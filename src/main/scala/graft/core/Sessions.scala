@@ -1,0 +1,32 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Defaults chosen for the driver environment (single-JVM `local[N]`,
+  * 128 GiB) but expressed so the same settings scale to a multi-executor
+  * cluster: AQE on (runtime join re-planning, skew splitting, partition
+  * coalescing), UTC session time zone (oracle parity), shuffle
+  * partitions sized to cores rather than the 200 default.
+  */
+object Sessions {
+  def local(appName: String = "graft", cores: Int = defaultCores): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def defaultCores: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(4)
+}
