@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Loader for the driver's synthetic parquet tables (TESTDATA.md):
   * TPC-H-ish star schema plus `events` (stream analog), `documents`
@@ -15,8 +17,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // Spark has no TIMESTAMP(NANOS) type; with
+    // spark.sql.legacy.parquet.nanosAsLong=true (set by our sessions)
+    // nanos columns surface as LongType nanos-since-epoch. Convert to a
+    // proper timestamp (integer division — double math would lose
+    // precision above 2^53).
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      if (f.name == "ts" && f.dataType == LongType)
+        acc.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else acc
+    }
+  }
 
   /** Register every table as a temp view named after itself. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -1,0 +1,392 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import Qhelpers._
+
+/** Aggregation / window / JSON / routing catalog (SURVEY.md §2.4, §2.5,
+  * §2.8 F16, §2.9). Single-pass designs: the reference computes its
+  * dashboard with 20 separate filter passes (`apps/web/src/App.tsx:
+  * 122-154`); here each stat is a conditional aggregate in ONE scan —
+  * the shape that survives 100 TB.
+  */
+object Analytics {
+
+  /** A3-family — dashboard multi-dim counts as one pass
+    * (ref `apps/web/src/App.tsx:122-154`: 20 filter().length passes →
+    * a single conditional aggregate). */
+  def a3_dashboard_stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").agg(
+      count(lit(1)).as("n_total"),
+      count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+      count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+      count(when(col("o_orderstatus") === "P", 1)).as("n_pending"),
+      count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"),
+      count(when(col("o_totalprice") < 10000.0, 1)).as("n_small"),
+      count(when(col("o_totalprice") >= 250000.0, 1)).as("n_large"),
+      countDistinct(col("o_custkey")).as("n_customers"),
+      msum(col("o_totalprice")).as("total_value"))
+
+  /** A1-family — global multi-expression aggregate with exact distincts
+    * (ref `src/index.ts:176-178`). */
+  def a1_global_distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      count(lit(1)).as("n_lines"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      min(col("l_shipdate")).as("first_ship"),
+      max(col("l_shipdate")).as("last_ship"))
+
+  /** A4-family — latest event per type (`runs[0]` generalized,
+    * ref `App.tsx:149`). max over unique event_id disambiguates. */
+  def a4_latest_per_type(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(max(col("ts")).as("last_ts"),
+        max(col("event_id")).as("max_event_id"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  private val priorityRank =
+    when(col("o_orderpriority") === "1-URGENT", 5)
+      .when(col("o_orderpriority") === "2-HIGH", 4)
+      .when(col("o_orderpriority") === "3-MEDIUM", 3)
+      .when(col("o_orderpriority") === "4-NOT SPECIFIED", 2)
+      .otherwise(1)
+
+  /** A5-family — argmax by custom rank map (trust-tier argmax,
+    * ref `src/jobs/merge.ts:163-182`): per customer, their
+    * highest-urgency order priority via `max_by` (Spark 4 built-in).
+    * Ties share the same arg value → deterministic. */
+  def a5_argmax_rank(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(max_by(col("o_orderpriority"), priorityRank).as("top_priority"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+
+  private val stageOrder = Seq("signup", "view", "click", "purchase", "error")
+
+  /** A6-family — argmax by ordinal position in a stage list
+    * (monitoring-stage argmax, ref `src/jobs/merge.ts:184-198`). */
+  def a6_argmax_ordinal(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        max_by(col("event_type"),
+          array_position(lit(stageOrder.toArray), col("event_type")))
+          .as("top_stage"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
+  /** O3-family — top-k with tiebreak (TakeOrderedAndProject: no global
+    * sort at scale; ref head-N truncations `src/lineage.ts:30-70`). */
+  def o3_topk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100)
+
+  /** Extension (§2.4 note) — ROLLUP hierarchy totals in one pass. */
+  def a_rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), msum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  /** W1 (§2.5 extension) — ranking window: top-3 customers per market
+    * segment by account balance. */
+  def w1_topn_per_group(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    t(s, dir, "customer")
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select("c_mktsegment", "rnk", "c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_mktsegment", "rnk")
+  }
+
+  /** W2 (§2.5 extension) — running (cumulative) sum, decimal-exact so
+    * segment-tree vs sequential accumulation can't diverge. */
+  def w2_running_sum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("s_nationkey").orderBy(asc("s_suppkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "supplier")
+      .withColumn("running_bal",
+        sum(money(col("s_acctbal"))).over(w).cast(DoubleType))
+      .select("s_nationkey", "s_suppkey", "s_name", "s_acctbal", "running_bal")
+      .orderBy("s_nationkey", "s_suppkey")
+  }
+
+  /** W3 (§2.5 extension) — lag/delta analytics: per event type, how many
+    * successive events (per user, time order) increased in value. */
+  def w3_lag_delta(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .groupBy("event_type")
+      .agg(
+        count(when(col("value") > col("prev_value"), 1)).as("n_increase"),
+        count(when(col("value") <= col("prev_value"), 1)).as("n_not_increase"),
+        count(when(col("prev_value").isNull, 1)).as("n_first"))
+      .orderBy("event_type")
+  }
+
+  /** D2-family — multi-column distinct (link-set dedup semantics,
+    * ref `db/schema.sql:101-102`). */
+  def d2_multi_col_dedup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select("user_id", "event_type")
+      .distinct()
+      .orderBy("user_id", "event_type")
+
+  /** D4-family — union of heterogeneous sources by name with missing
+    * columns (ref `src/services/scan.ts:64-107`). */
+  def d4_union_by_name(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(
+      lit("customer").as("kind"), col("c_custkey").as("id"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+      col("c_mktsegment").as("segment"))
+    val su = t(s, dir, "supplier").select(
+      lit("supplier").as("kind"), col("s_suppkey").as("id"),
+      col("s_name").as("name"), col("s_acctbal").as("acctbal"))
+    c.unionByName(su, allowMissingColumns = true)
+      .orderBy("kind", "id")
+  }
+
+  /** F16-family — JSON extraction from an open-map column
+    * (ref `meta JSONB`, `get_json_object` mapping in SURVEY §2.8). */
+  def f16_json_extract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+      .withColumn("k_bucket", floor(col("k") / 10).cast(IntegerType))
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec12_6)).cast(DoubleType).as("total_value"))
+      .orderBy("k_bucket")
+
+  /** F-family scalar bundle — substring/case/length/clamp/round/
+    * coalesce/md5 fingerprint (SURVEY §2.8 F6-F8, F11, F15, F19). */
+  def f_scalar_bundle(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_name"), 1, 5).as("name_prefix"),
+        length(col("p_name")).cast(LongType).as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        least(greatest(col("p_retailprice"), lit(500.0)), lit(1500.0))
+          .as("price_clamped"),
+        round(col("p_retailprice") * 100).cast(LongType).as("price_cents"),
+        coalesce(nullif(col("p_type"), lit("ECONOMY")), lit("STANDARD"))
+          .as("type_or_standard"),
+        md5(concat_ws("|", col("p_name"), col("p_brand"))).as("fingerprint"))
+      .orderBy("p_partkey")
+
+  /** Tumbling time-window aggregation (batch shape of §2.12 streaming;
+    * hourly event rollup). */
+  def ev_tumbling_hourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec12_6)).cast(DoubleType).as("total_value"))
+      .orderBy("hour", "event_type")
+
+  /** Gap-based sessionization (30-min inactivity gap) via lag + running
+    * sum — the deterministic batch analog of `session_window`
+    * (§2.12 extension). */
+  def ev_sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byTime))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("new_sess")).cast(LongType).as("n_sessions"))
+      .orderBy("user_id")
+  }
+
+  /** V1/V3-family — validation gate + routing split over documents
+    * (first-failing-reason-wins precedence, soft-fail routing; ref
+    * `src/ontology/validator.ts:26-48`, `src/jobs/scan.ts:50-74`). */
+  def v1_validation_route(s: SparkSession, dir: String): DataFrame = {
+    val reason =
+      when(!col("lang").isin("en", "de", "fr"), "lang_not_allowed")
+        .when(col("n_chars") < 120, "too_short")
+        .when(col("n_chars") > 2000, "too_long")
+        .otherwise(null)
+    t(s, dir, "documents")
+      .withColumn("reason", reason)
+      .withColumn("route",
+        when(col("reason").isNull, "main").otherwise("review_queue"))
+      .groupBy("route", "reason")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast(LongType).as("total_chars"))
+      .orderBy(asc_nulls_first("route"), asc_nulls_first("reason"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a3_dashboard_stats" -> (a3_dashboard_stats _),
+    "a1_global_distinct" -> (a1_global_distinct _),
+    "a4_latest_per_type" -> (a4_latest_per_type _),
+    "a5_argmax_rank" -> (a5_argmax_rank _),
+    "a6_argmax_ordinal" -> (a6_argmax_ordinal _),
+    "o3_topk" -> (o3_topk _),
+    "a_rollup" -> (a_rollup _),
+    "w1_topn_per_group" -> (w1_topn_per_group _),
+    "w2_running_sum" -> (w2_running_sum _),
+    "w3_lag_delta" -> (w3_lag_delta _),
+    "d2_multi_col_dedup" -> (d2_multi_col_dedup _),
+    "d4_union_by_name" -> (d4_union_by_name _),
+    "f16_json_extract" -> (f16_json_extract _),
+    "f_scalar_bundle" -> (f_scalar_bundle _),
+    "ev_tumbling_hourly" -> (ev_tumbling_hourly _),
+    "ev_sessionize" -> (ev_sessionize _),
+    "v1_validation_route" -> (v1_validation_route _))
+
+  val oracle: Map[String, String] = Map(
+    "a3_dashboard_stats" ->
+      s"""SELECT COUNT(*) AS n_total,
+         | COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+         | COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+         | COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending,
+         | COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+         | COUNT(*) FILTER (WHERE o_totalprice < 10000.0) AS n_small,
+         | COUNT(*) FILTER (WHERE o_totalprice >= 250000.0) AS n_large,
+         | COUNT(DISTINCT o_custkey) AS n_customers,
+         | ${sqlMsum("o_totalprice")} AS total_value
+         |FROM orders""".stripMargin,
+    "a1_global_distinct" ->
+      """SELECT COUNT(*) AS n_lines,
+        | COUNT(DISTINCT l_orderkey) AS n_orders,
+        | COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps,
+        | MIN(l_shipdate) AS first_ship,
+        | MAX(l_shipdate) AS last_ship
+        |FROM lineitem""".stripMargin,
+    "a4_latest_per_type" ->
+      """SELECT event_type, MAX(ts) AS last_ts, MAX(event_id) AS max_event_id,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a5_argmax_rank" ->
+      """SELECT o_custkey,
+        | ARG_MAX(o_orderpriority, CASE o_orderpriority
+        |   WHEN '1-URGENT' THEN 5 WHEN '2-HIGH' THEN 4 WHEN '3-MEDIUM' THEN 3
+        |   WHEN '4-NOT SPECIFIED' THEN 2 ELSE 1 END) AS top_priority,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "a6_argmax_ordinal" ->
+      """SELECT user_id,
+        | ARG_MAX(event_type, list_position(['signup','view','click','purchase','error'], event_type)) AS top_stage,
+        | COUNT(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "o3_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "a_rollup" ->
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         | COALESCE(o_orderpriority, 'ALL') AS priority,
+         | COUNT(*) AS n, ${sqlMsum("o_totalprice")} AS total
+         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin,
+    "w1_topn_per_group" ->
+      """SELECT c_mktsegment, rnk, c_custkey, c_name, c_acctbal FROM (
+        | SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+        |  ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+        | FROM customer) x
+        |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin,
+    "w2_running_sum" ->
+      """SELECT s_nationkey, s_suppkey, s_name, s_acctbal,
+        | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY s_nationkey ORDER BY s_suppkey ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS running_bal
+        |FROM supplier ORDER BY s_nationkey, s_suppkey""".stripMargin,
+    "w3_lag_delta" ->
+      """SELECT event_type,
+        | COUNT(*) FILTER (WHERE value > prev_value) AS n_increase,
+        | COUNT(*) FILTER (WHERE value <= prev_value) AS n_not_increase,
+        | COUNT(*) FILTER (WHERE prev_value IS NULL) AS n_first
+        |FROM (
+        | SELECT event_type, value,
+        |  LAG(value, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC) AS prev_value
+        | FROM events) x
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "d2_multi_col_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "d4_union_by_name" ->
+      """SELECT * FROM (
+        | SELECT 'customer' AS kind, c_custkey AS id, c_name AS name,
+        |   c_acctbal AS acctbal, c_mktsegment AS segment
+        | FROM customer
+        | UNION ALL BY NAME
+        | SELECT 'supplier' AS kind, s_suppkey AS id, s_name AS name,
+        |   s_acctbal AS acctbal, NULL AS segment
+        | FROM supplier) u
+        |ORDER BY kind, id""".stripMargin,
+    "f16_json_extract" ->
+      """SELECT k_bucket, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(12,6))) AS DOUBLE) AS total_value
+        |FROM (
+        | SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER)
+        |   / 10) AS INTEGER) AS k_bucket, value
+        | FROM events) x
+        |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
+    "f_scalar_bundle" ->
+      """SELECT p_partkey,
+        | upper(p_name) AS name_upper,
+        | substr(p_name, 1, 5) AS name_prefix,
+        | length(p_name) AS name_len,
+        | concat_ws('|', p_brand, p_type) AS brand_type,
+        | least(greatest(p_retailprice, 500.0), 1500.0) AS price_clamped,
+        | CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+        | COALESCE(NULLIF(p_type, 'ECONOMY'), 'STANDARD') AS type_or_standard,
+        | md5(concat_ws('|', p_name, p_brand)) AS fingerprint
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "ev_tumbling_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(12,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "ev_sessionize" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        | CAST(SUM(new_sess) AS BIGINT) AS n_sessions
+        |FROM (
+        | SELECT user_id,
+        |  CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |    THEN 1 ELSE 0 END AS new_sess
+        | FROM (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |   LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |     ORDER BY ts ASC, event_id ASC) AS prev_us
+        |  FROM events) y) x
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "v1_validation_route" ->
+      """SELECT route, reason, COUNT(*) AS n,
+        | CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM (
+        | SELECT CASE WHEN reason IS NULL THEN 'main' ELSE 'review_queue' END
+        |   AS route, reason, n_chars
+        | FROM (
+        |  SELECT n_chars,
+        |   CASE WHEN lang NOT IN ('en','de','fr') THEN 'lang_not_allowed'
+        |        WHEN n_chars < 120 THEN 'too_short'
+        |        WHEN n_chars > 2000 THEN 'too_long'
+        |        ELSE NULL END AS reason
+        |  FROM documents) d) r
+        |GROUP BY route, reason
+        |ORDER BY route ASC NULLS FIRST, reason ASC NULLS FIRST""".stripMargin)
+}

@@ -60,6 +60,12 @@ def main(sfdir, outdir):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
             n_fail += 1
             continue
+        dt_bad = [(c, str(g[c].dtype), str(e[c].dtype))
+                  for c in g.columns if str(g[c].dtype) != str(e[c].dtype)]
+        if dt_bad:
+            print(f"FAIL {name}: dtype mismatch {dt_bad}")
+            n_fail += 1
+            continue
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
             n_fail += 1
