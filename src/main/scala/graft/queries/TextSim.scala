@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import Qhelpers._
+
+/** LLM-data-pipeline operators over `documents` and `embeddings`
+  * (SURVEY.md §2.11 X1–X4 + the north-star extensions): text analysis,
+  * exact/near dedup, similarity search. All designs are
+  * shuffle-conscious: per-document work is embarrassingly parallel
+  * (no shuffle), pair generation goes through LSH-style bucketing
+  * (shuffle on band signature, never a full cross join).
+  */
+object TextSim {
+
+  /** Lowercase word list of a text column (identical regex semantics in
+    * Spark and DuckDB RE2: ASCII letter runs). */
+  private def words(c: Column): Column =
+    expr(s"regexp_extract_all(lower(${c.toString}), '[a-z]+', 0)")
+
+  /** X4 — token counting + per-language corpus stats (tokens = \\S+ runs,
+    * the whitespace tokenizer; ref north-star text analysis). */
+  def x4_token_stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("n_tokens",
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast(LongType))
+      .withColumn("n_words", size(words(col("text"))).cast(LongType))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_words")).as("total_words"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy("lang")
+
+  /** X4 — per-document quality scoring: punctuation ratio, stopword
+    * ratio, mean word length (length/punct/stopword heuristics). */
+  def x4_quality_scores(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .withColumn("ws", words(col("text")))
+      .withColumn("n_words", size(col("ws")).cast(LongType))
+      .withColumn("n_punct",
+        size(expr("regexp_extract_all(text, '[.,!?;:]', 0)")).cast(LongType))
+      .withColumn("n_stop",
+        size(expr("filter(ws, w -> w IN ('the','a','an','and','or','of','to','in'))"))
+          .cast(LongType))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("n_punct"),
+        col("n_stop"),
+        (col("n_punct").cast(DoubleType) / col("n_chars")).as("punct_ratio"),
+        (col("n_stop").cast(DoubleType) / col("n_words")).as("stop_ratio"),
+        (col("n_chars").cast(DoubleType) / col("n_words")).as("chars_per_word"))
+      .orderBy("doc_id")
+
+  private val stopEn = Seq("the", "a", "and", "of", "to")
+  private val stopDe = Seq("der", "die", "das", "und", "zu")
+  private val stopFr = Seq("le", "la", "et", "de", "un")
+  private val stopEs = Seq("el", "la", "y", "de", "un")
+
+  private def stopCount(ws: Column, stops: Seq[String]): Column = {
+    val inList = stops.map(w => s"'$w'").mkString(",")
+    size(expr(s"filter(${ws.toString}, w -> w IN ($inList))")).cast(LongType)
+  }
+
+  /** X4 — language identification by stopword-profile argmax (the
+    * n-gram-heuristic family; deterministic tie order en>de>fr>es),
+    * reported as a confusion matrix against the labeled `lang`. */
+  def x4_langid(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").withColumn("ws", words(col("text")))
+      .withColumn("s_en", stopCount(col("ws"), stopEn))
+      .withColumn("s_de", stopCount(col("ws"), stopDe))
+      .withColumn("s_fr", stopCount(col("ws"), stopFr))
+      .withColumn("s_es", stopCount(col("ws"), stopEs))
+    d.withColumn("predicted",
+        when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
+          .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** X3 — exact dedup with first-wins precedence over a simulated
+    * re-crawl (ref D1 `dedupeByUrl` `src/services/scan.ts:312-321` +
+    * content-hash identity D5): original corpus ∪ re-crawled subset,
+    * keep the earliest (src_rank, doc_id) per content fingerprint.
+    * Explicit precedence rank — never partition order. */
+  def x3_exact_dedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val original = docs.withColumn("src_rank", lit(0))
+    val recrawl = docs.filter(col("doc_id") < 100).withColumn("src_rank", lit(1))
+    val unioned = original.unionByName(recrawl)
+      .withColumn("fp", md5(col("text")))
+    val w = Window.partitionBy("fp").orderBy(asc("src_rank"), asc("doc_id"))
+    unioned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("src_rank")).cast(LongType).as("n_from_recrawl"))
+      .orderBy("lang")
+  }
+
+  /** Salted-min-hash band value: min over words of md5(salt:word) —
+    * identical string-lexicographic semantics in both engines. */
+  private def minhashBand(ws: Column, salt: Int): Column =
+    expr(s"array_min(transform(${ws.toString}, w -> md5('$salt:' || w)))")
+
+  /** X2 — MinHash+LSH banding: per-document 4-band signature →
+    * bucket-size histogram per band (the candidate-generation stage of
+    * near-dup detection at scale; pairs only ever form within a
+    * bucket, never via cross join). */
+  def x2_minhash_buckets(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("ws", words(col("text")))
+    val withBands = (0 until 4).foldLeft(d) { (acc, i) =>
+      acc.withColumn(s"band$i", minhashBand(col("ws"), i))
+    }
+    val bands = (0 until 4).map { i =>
+      withBands.select(lit(i).as("band"), col(s"band$i").as("sig"))
+    }.reduce(_ unionByName _)
+    bands.groupBy("band", "sig")
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") >= 2)
+      .orderBy("band", "sig")
+  }
+
+  /** X2 — n-gram (word-set) Jaccard near-dup pairs over a bounded
+    * candidate set; exact distinct-set intersection/union ratio. */
+  def x2_jaccard_pairs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .filter(col("doc_id") < 60)
+      .withColumn("ws", expr("array_sort(array_distinct(" +
+        "regexp_extract_all(lower(text), '[a-z]+', 0)))"))
+      .select(col("doc_id"), col("ws"))
+    val a = d.select(col("doc_id").as("id_a"), col("ws").as("ws_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("ws").as("ws_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("ws_a"), col("ws_b"))).cast(LongType))
+      .withColumn("n_union",
+        size(array_union(col("ws_a"), col("ws_b"))).cast(LongType))
+      .withColumn("jaccard",
+        col("n_inter").cast(DoubleType) / col("n_union").cast(DoubleType))
+      .filter(col("jaccard") >= 0.6)
+      .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** X1 — brute-force cosine top-k over the embedding column: the
+    * exact baseline for ANN. Query vector broadcast; per-row dot
+    * product in double precision; top-k via TakeOrdered (no global
+    * sort). Score rounded to 6 dp for cross-engine determinism. */
+  def x1_cosine_topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("e").as("qe"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+      .withColumn("na", sqrt(expr(
+        "aggregate(e, 0D, (acc, x) -> acc + x * x)")))
+      .withColumn("nq", sqrt(expr(
+        "aggregate(qe, 0D, (acc, x) -> acc + x * x)")))
+      .withColumn("score", round(col("dot") / (col("na") * col("nq")), 6))
+      .select("vec_id", "label", "score")
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(20)
+  }
+
+  /** X1 — label centroid top-k: mean embedding per label (decimal-exact
+    * per-dimension mean is overkill; counts and rounded norms suffice
+    * for the oracle) — demonstrates groupwise vector aggregation. */
+  def x1_label_stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .withColumn("e", col("embedding").cast("array<double>"))
+      .withColumn("norm", round(sqrt(expr(
+        "aggregate(e, 0D, (acc, x) -> acc + x * x)")), 6))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("norm")), 6).as("min_norm"),
+        round(max(col("norm")), 6).as("max_norm"))
+      .orderBy("label")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x4_token_stats" -> (x4_token_stats _),
+    "x4_quality_scores" -> (x4_quality_scores _),
+    "x4_langid" -> (x4_langid _),
+    "x3_exact_dedup" -> (x3_exact_dedup _),
+    "x2_minhash_buckets" -> (x2_minhash_buckets _),
+    "x2_jaccard_pairs" -> (x2_jaccard_pairs _),
+    "x1_cosine_topk" -> (x1_cosine_topk _),
+    "x1_label_stats" -> (x1_label_stats _))
+
+  val oracle: Map[String, String] = Map(
+    "x4_token_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
+        | CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS total_words,
+        | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        | CAST(MAX(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS max_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "x4_quality_scores" ->
+      """SELECT doc_id, n_words, n_punct, n_stop,
+        | CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+        | CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+        | CAST(n_chars AS DOUBLE) / n_words AS chars_per_word
+        |FROM (
+        | SELECT doc_id, n_chars,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+        |  CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        |    w -> w IN ('the','a','an','and','or','of','to','in'))) AS BIGINT) AS n_stop
+        | FROM documents WHERE doc_id < 100) x
+        |ORDER BY doc_id""".stripMargin,
+    "x4_langid" ->
+      """SELECT lang, predicted, COUNT(*) AS n FROM (
+        | SELECT lang,
+        |  CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+        |       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr'
+        |       ELSE 'es' END AS predicted
+        | FROM (
+        |  SELECT lang,
+        |   len(list_filter(ws, w -> w IN ('the','a','and','of','to'))) AS s_en,
+        |   len(list_filter(ws, w -> w IN ('der','die','das','und','zu'))) AS s_de,
+        |   len(list_filter(ws, w -> w IN ('le','la','et','de','un'))) AS s_fr,
+        |   len(list_filter(ws, w -> w IN ('el','la','y','de','un'))) AS s_es
+        |  FROM (SELECT lang, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |        FROM documents) w) sc) p
+        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "x3_exact_dedup" ->
+      """SELECT lang, COUNT(*) AS n_kept,
+        | CAST(SUM(src_rank) AS BIGINT) AS n_from_recrawl
+        |FROM (
+        | SELECT lang, src_rank,
+        |  ROW_NUMBER() OVER (PARTITION BY fp ORDER BY src_rank ASC, doc_id ASC) AS rn
+        | FROM (
+        |  SELECT lang, doc_id, 0 AS src_rank, md5(text) AS fp FROM documents
+        |  UNION ALL
+        |  SELECT lang, doc_id, 1 AS src_rank, md5(text) AS fp FROM documents
+        |  WHERE doc_id < 100) u) r
+        |WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
+    "x2_minhash_buckets" ->
+      """SELECT band, sig, COUNT(*) AS bucket_size FROM (
+        | SELECT b.band,
+        |  list_aggregate(list_transform(ws, w -> md5(CAST(b.band AS VARCHAR) || ':' || w)), 'min') AS sig
+        | FROM (SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |       FROM documents) d
+        | CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS band) b) s
+        |GROUP BY band, sig HAVING COUNT(*) >= 2
+        |ORDER BY band, sig""".stripMargin,
+    "x2_jaccard_pairs" ->
+      """SELECT id_a, id_b, n_inter, n_union,
+        | CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+        |FROM (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS n_inter,
+        |  CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS BIGINT) AS n_union
+        | FROM
+        |  (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS ws
+        |   FROM documents WHERE doc_id < 60) a
+        | JOIN
+        |  (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS ws
+        |   FROM documents WHERE doc_id < 60) b
+        | ON a.doc_id < b.doc_id) p
+        |WHERE CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x1_cosine_topk" ->
+      """SELECT e.vec_id, e.label,
+        | ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score
+        |FROM embeddings e
+        |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY score DESC, e.vec_id ASC LIMIT 20""".stripMargin,
+    "x1_label_stats" ->
+      """SELECT label, COUNT(*) AS n,
+        | ROUND(MIN(norm), 6) AS min_norm, ROUND(MAX(norm), 6) AS max_norm
+        |FROM (
+        | SELECT label,
+        |  ROUND(sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+        |    x -> x * x), 'sum')), 6) AS norm
+        | FROM embeddings) x
+        |GROUP BY label ORDER BY label""".stripMargin)
+}
