@@ -1,0 +1,132 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for LLM training-data pipelines (north-star
+  * extension; SURVEY §2.11 X2/X3). Scale discipline: pair generation
+  * ALWAYS goes through a bucketing stage (MinHash bands / SimHash
+  * pigeonhole blocks) — shuffle on bucket key, never a cross join —
+  * so the candidate set stays near-linear at 100 TB.
+  *
+  * All hashing is md5/byte-arithmetic expressible in plain SQL, so
+  * results are engine-portable (DuckDB oracle parity) and stable
+  * across Spark versions.
+  */
+object Dedup {
+
+  /** Lowercase word array of a text column. */
+  def words(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+
+  /** X3 — exact dedup by content fingerprint, first-wins by explicit
+    * precedence (rankCols), never partition order. */
+  def exactFirstWins(df: DataFrame, fingerprint: Column,
+      rankCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(fingerprint).orderBy(rankCols: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Salted MinHash: one band value = min over words of md5("salt:w").
+    * String-lexicographic min is portable across engines. */
+  def minhashBand(ws: Column, salt: Int): Column =
+    array_min(transform(ws, w => md5(concat(lit(s"$salt:"), w))))
+
+  /** MinHash band signatures: adds `band0..band{n-1}`. */
+  def withMinhashBands(df: DataFrame, ws: Column, nBands: Int): DataFrame =
+    (0 until nBands).foldLeft(df)((acc, i) =>
+      acc.withColumn(s"band$i", minhashBand(ws, i)))
+
+  /** X2 — LSH candidate pairs: ids sharing ANY band value. Long-format
+    * explode → shuffle on (band, sig) → within-bucket pairing with a
+    * bucket-size cap (oversized buckets are degenerate — near-identical
+    * boilerplate — and are counted, not paired, to bound the output). */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      nBands: Int, maxBucket: Int = 1000): DataFrame = {
+    val withBands = withMinhashBands(
+      df.select(col(idCol).as("_id"), words(col(textCol)).as("_ws")),
+      col("_ws"), nBands)
+    val long = (0 until nBands).map(i =>
+      withBands.select(lit(i).as("band"), col(s"band$i").as("sig"),
+        col("_id"))).reduce(_ unionByName _)
+    val bucketed = long
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("band", "sig")))
+      .filter(col("_n") <= maxBucket)
+    val a = bucketed.select(col("band"), col("sig"), col("_id").as("id_a"))
+    val b = bucketed.select(col("band"), col("sig"), col("_id").as("id_b"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact word-set Jaccard for candidate pairs (n-gram Jaccard with
+    * word unigrams; swap `words` for shingles for higher n). */
+  def jaccardVerify(pairs: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
+    val sets = df.select(col(idCol).as("_jid"),
+      array_distinct(words(col(textCol))).as("_set"))
+    pairs
+      .join(sets.withColumnRenamed("_jid", "id_a")
+        .withColumnRenamed("_set", "set_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("_jid", "id_b")
+        .withColumnRenamed("_set", "set_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("set_a"), col("set_b"))).cast(DoubleType) /
+          size(array_union(col("set_a"), col("set_b"))).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Portable 16-bit SimHash over a named word-array column: bit b of
+    * md5(w) votes ±1; sign of the vote sum sets bit b. Hex-char
+    * arithmetic only — identical in Spark SQL and DuckDB. */
+  def simhash16(wsCol: String): Column =
+    expr(
+      s"""aggregate(sequence(0, 15), 0L, (acc, b) ->
+         | acc + CASE WHEN
+         |   aggregate($wsCol, 0, (s, w) ->
+         |     s + 2 * ((instr('0123456789abcdef',
+         |           substr(md5(w), 1 + CAST(b div 4 AS INT), 1)) - 1
+         |         >> (3 - b % 4)) & 1) - 1) > 0
+         |   THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin)
+
+  /** Hamming distance between two SimHash values. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** X2 — SimHash near-dup pairs with pigeonhole blocking: split the
+    * 16 bits into `maxHamming + 1` blocks; any pair within the
+    * distance budget must agree on at least one whole block, so
+    * blocking on each block in turn finds all pairs without a cross
+    * join (shuffle key = block value). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val bits = 16
+    val blockSize = bits / nBlocks
+    val sims = df
+      .withColumn("_ws", array_distinct(words(col(textCol))))
+      .select(col(idCol).as("_id"), simhash16("_ws").as("_sh"))
+    val blocks = (0 until nBlocks).map { j =>
+      val lo = j * blockSize
+      val width = if (j == nBlocks - 1) bits - lo else blockSize
+      val mask = (1L << width) - 1
+      sims.select(lit(j).as("blk"),
+        (shiftright(col("_sh"), lo).bitwiseAND(lit(mask))).as("blkval"),
+        col("_id"), col("_sh"))
+    }.reduce(_ unionByName _)
+    val a = blocks.select(col("blk"), col("blkval"),
+      col("_id").as("id_a"), col("_sh").as("sh_a"))
+    val b = blocks.select(col("blk"), col("blkval"),
+      col("_id").as("id_b"), col("_sh").as("sh_b"))
+    a.join(b, Seq("blk", "blkval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

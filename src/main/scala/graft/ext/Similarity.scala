@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (north-star extension;
+  * SURVEY §2.11 X1): exact brute-force cosine top-k as the baseline,
+  * and a random-hyperplane LSH bucketing as the scale path (candidate
+  * set = one bucket + optional multi-probe, instead of the full
+  * corpus).
+  *
+  * Hyperplanes are derived deterministically from md5 hex arithmetic
+  * (engine-portable, no RNG state to ship to executors).
+  */
+object Similarity {
+
+  def toDouble(emb: Column): Column = emb.cast(ArrayType(DoubleType))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** X1 — exact top-k by cosine against one query vector (broadcast;
+    * TakeOrdered — no global sort). */
+  def cosineTopK(emb: DataFrame, embCol: String, queryId: Column,
+      idCol: String, k: Int): DataFrame = {
+    val e = emb.withColumn("_e", toDouble(col(embCol)))
+    val q = e.filter(col(idCol) === queryId).select(col("_e").as("_qe"))
+    e.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("score", cosine(col("_e"), col("_qe")))
+      .drop("_e", "_qe")
+      .orderBy(desc("score"), asc(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic hyperplane component hp(plane, i) ∈ [-1, 1): value
+    * of the first 4 hex chars of md5("hp:plane:i") scaled. Pure SQL →
+    * identical in the DuckDB oracle. */
+  private def hyperplaneSql(plane: String, iVar: String): String =
+    s"""(CAST(aggregate(sequence(0, 3), 0, (hv, p) ->
+       |  hv * 16 + instr('0123456789abcdef',
+       |    substr(md5(concat('hp:', $plane, ':', $iVar)), 1 + p, 1)) - 1)
+       | AS DOUBLE) / 32768.0 - 1.0)""".stripMargin
+
+  /** Random-hyperplane signature over a named double-array column:
+    * nBits sign bits of ⟨e, hp_j⟩ packed into a long. Buckets cluster
+    * directionally-similar vectors. */
+  def hyperplaneSignature(embCol: String, nBits: Int): Column = {
+    val hp = hyperplaneSql("CAST(j AS STRING)", "CAST(i AS STRING)")
+    expr(
+      s"""aggregate(sequence(0, ${nBits - 1}), 0L, (acc, j) ->
+         | acc + CASE WHEN
+         |   aggregate(zip_with($embCol, sequence(0, size($embCol) - 1),
+         |     (x, i) -> x * $hp), 0D, (s, v) -> s + v) > 0D
+         |   THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin)
+  }
+
+  /** Bucket histogram — the data layout a cluster deployment would
+    * persist (partition-by-bucket) for sub-linear ANN reads. */
+  def lshBuckets(emb: DataFrame, embCol: String, nBits: Int): DataFrame =
+    emb.withColumn("_ed", toDouble(col(embCol)))
+      .withColumn("bucket", hyperplaneSignature("_ed", nBits))
+      .drop("_ed")
+
+  /** X1 scale path — ANN top-k: hash the query, scan only rows whose
+    * bucket is within `probeHamming` of the query bucket (multi-probe
+    * recovers near-boundary neighbours), exact cosine inside the
+    * candidate set. */
+  def annTopK(emb: DataFrame, embCol: String, queryId: Column,
+      idCol: String, k: Int, nBits: Int = 8, probeHamming: Int = 1): DataFrame = {
+    val bucketed = lshBuckets(emb, embCol, nBits)
+      .withColumn("_e", toDouble(col(embCol)))
+    val q = bucketed.filter(col(idCol) === queryId)
+      .select(col("_e").as("_qe"), col("bucket").as("_qbucket"))
+    bucketed.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .filter(bit_count(col("bucket").bitwiseXOR(col("_qbucket"))) <= probeHamming)
+      .withColumn("score", cosine(col("_e"), col("_qe")))
+      .drop("_e", "_qe", "_qbucket")
+      .orderBy(desc("score"), asc(idCol))
+      .limit(k)
+  }
+
+  /** X2 — embedding-cosine near-dup pairs within LSH buckets (never a
+    * full cross join; bucket-size capped like MinHash). */
+  def cosineNearDupPairs(emb: DataFrame, embCol: String, idCol: String,
+      threshold: Double, nBits: Int = 8, maxBucket: Int = 10000): DataFrame = {
+    val bucketed = lshBuckets(emb, embCol, nBits)
+      .withColumn("_e", toDouble(col(embCol)))
+      .select(col(idCol).as("_id"), col("bucket"), col("_e"))
+    val capped = bucketed.withColumn("_n",
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+      .filter(col("_n") <= maxBucket).drop("_n")
+    val a = capped.select(col("bucket"), col("_id").as("id_a"), col("_e").as("e_a"))
+    val b = capped.select(col("bucket"), col("_id").as("id_b"), col("_e").as("e_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", cosine(col("e_a"), col("e_b")))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score").distinct()
+  }
+}

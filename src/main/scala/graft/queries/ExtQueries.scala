@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Qhelpers._
+import graft.ext.{Dedup, Similarity}
+
+/** Oracle-checked queries over the `graft.ext` dedup/similarity library
+  * (SimHash, hyperplane LSH, bucketed near-dup, multi-probe ANN) —
+  * the scale-path operators of SURVEY §2.11, exercised end-to-end via
+  * the same code paths the library exposes.
+  */
+object ExtQueries {
+
+  /** X2 — SimHash near-dup pairs (hamming ≤ 3 on a portable 16-bit
+    * simhash) over a bounded corpus slice; found via pigeonhole
+    * blocking, never a cross join. */
+  def x2_simhash_pairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 80)
+    Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast(LongType))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** X1 scale path — random-hyperplane LSH bucket histogram over the
+    * embedding corpus (the partition layout a cluster would persist
+    * for sub-linear ANN reads). */
+  def x1_lsh_buckets(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshBuckets(t(s, dir, "embeddings"), "embedding", nBits = 8)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec_id"))
+      .orderBy("bucket")
+
+  /** X1 — multi-probe ANN top-k: query bucket ± 1 bit, exact cosine
+    * within candidates only. */
+  def x1_ann_topk(s: SparkSession, dir: String): DataFrame =
+    Similarity.annTopK(t(s, dir, "embeddings"), "embedding",
+      lit(0L), "vec_id", k = 1000, nBits = 8, probeHamming = 1)
+      .select(col("vec_id"), col("label"),
+        round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(10)
+
+  /** X2 — embedding-cosine near-dup pairs within LSH buckets. */
+  def x2_cosine_neardup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "embedding",
+      "vec_id", threshold = 0.35, nBits = 4)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+      .orderBy("id_a", "id_b")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x2_simhash_pairs" -> (x2_simhash_pairs _),
+    "x1_lsh_buckets" -> (x1_lsh_buckets _),
+    "x1_ann_topk" -> (x1_ann_topk _),
+    "x2_cosine_neardup" -> (x2_cosine_neardup _))
+
+  /** DuckDB equivalents. SimHash / hyperplane math is hex-char
+    * arithmetic with integer sums — value-identical across engines. */
+  private val simhashCte =
+    """WITH d AS (
+      | SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS ws
+      | FROM documents WHERE doc_id < 80),
+      |s AS (
+      | SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), b ->
+      |   CASE WHEN list_sum(list_transform(ws, w ->
+      |     2 * ((strpos('0123456789abcdef',
+      |         substr(md5(w), 1 + CAST(b // 4 AS INT), 1)) - 1
+      |       >> (3 - b % 4)) & 1) - 1)) > 0
+      |   THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS sh
+      | FROM d)""".stripMargin
+
+  private val bucketSql: String = {
+    val hp = "(CAST(list_sum(list_transform(range(0, 4), p -> " +
+      "(strpos('0123456789abcdef', substr(md5('hp:' || CAST(j AS VARCHAR) " +
+      "|| ':' || CAST(i AS VARCHAR)), 1 + CAST(p AS INT), 1)) - 1) " +
+      "* (CAST(1 AS BIGINT) << (4 * CAST(3 - p AS INT))))) AS DOUBLE) " +
+      "/ 32768.0 - 1.0)"
+    s"CAST(list_sum(list_transform(range(0, %NBITS%), j -> " +
+      s"CASE WHEN list_sum(list_transform(range(0, len(e)), i -> " +
+      s"e[CAST(i AS INT) + 1] * $hp)) > 0 " +
+      s"THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS BIGINT)"
+  }
+
+  private def bucketCte(nBits: Int): String =
+    s"""WITH v AS (
+       | SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+       |b AS (
+       | SELECT vec_id, label, e,
+       |  ${bucketSql.replace("%NBITS%", nBits.toString)} AS bucket
+       | FROM v)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "x2_simhash_pairs" ->
+      s"""$simhashCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | CAST(bit_count(CAST(xor(a.sh, b.sh) AS BIGINT)) AS BIGINT) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(CAST(xor(a.sh, b.sh) AS BIGINT)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "x1_lsh_buckets" ->
+      s"""${bucketCte(8)}
+         |SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_vec_id
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "x1_ann_topk" ->
+      s"""${bucketCte(8)}
+         |SELECT x.vec_id, x.label,
+         | ROUND(list_cosine_similarity(x.e, q.e), 6) AS score
+         |FROM b x CROSS JOIN (SELECT e, bucket FROM b WHERE vec_id = 0) q
+         |WHERE x.vec_id <> 0
+         |  AND bit_count(CAST(xor(x.bucket, q.bucket) AS BIGINT)) <= 1
+         |ORDER BY score DESC, x.vec_id ASC LIMIT 10""".stripMargin,
+    "x2_cosine_neardup" ->
+      s"""${bucketCte(4)}
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         | ROUND(list_cosine_similarity(a.e, b.e), 6) AS score
+         |FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.e, b.e) >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin)
+}

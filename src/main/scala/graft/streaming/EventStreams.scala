@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming surface (SURVEY §2.12 north-star extension).
+  * The reference has no stream engine (BullMQ + 2s polling); here the
+  * same `events` shape flows through real streaming operators:
+  * tumbling/sliding windows, watermarked late-data handling, session
+  * windows, and a `foreachBatch` parquet sink.
+  *
+  * Every transform is defined on a plain DataFrame so it runs
+  * identically in batch (oracle-checkable) and streaming modes —
+  * the Spark unified-engine idiom.
+  */
+object EventStreams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming source over an events directory (new files
+    * are discovered per micro-batch; `maxFilesPerTrigger` bounds batch
+    * size for steady resource use). */
+  def readStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Tumbling-window counts with watermark (late events beyond
+    * `lateness` are dropped from state — bounded state at scale). */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding-window rates (window `width`, slide `slide`). */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+      slide: String = "15 minutes", lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"), col("n"))
+
+  /** Session windows per user (gap-based; state closes `gap` after the
+    * last event + watermark — the streaming twin of the batch
+    * sessionization query `ev_sessionize`). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** Drive a streaming frame into an in-memory table until the source
+    * is exhausted (test/dev harness). */
+  def runToMemory(df: DataFrame, name: String,
+      outputMode: String = "append"): StreamingQuery = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** foreachBatch parquet sink — the production write path: each
+    * micro-batch lands atomically under `outDir` (idempotent by
+    * batchId on retry). */
+  def toParquetSink(df: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/batch=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity}
+
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 0
+    (2L, "completely different sentence about spark engines"),
+    (3L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (4L, "spark engines process completely different sentence")) // perm of 2
+    .toDF("doc_id", "text")
+
+  test("exactFirstWins keeps lowest-ranked row per fingerprint") {
+    val kept = Dedup.exactFirstWins(corpus, md5(col("text")),
+      Seq(asc("doc_id")))
+    assert(kept.count() === 4)
+    assert(kept.filter(col("doc_id") === 3).count() === 0)
+  }
+
+  test("MinHash LSH candidates include exact and near dups, verified by Jaccard") {
+    val pairs = Dedup.lshCandidatePairs(corpus, "doc_id", "text", nBands = 4)
+    val cand = pairs.as[(Long, Long)].collect().toSet
+    assert(cand.contains((0L, 3L))) // exact dup always shares all bands
+    val verified = Dedup.jaccardVerify(pairs, corpus, "doc_id", "text", 0.7)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    assert(verified.contains((0L, 3L)))
+    assert(verified.contains((0L, 1L))) // |∩|=7, |∪|=9 → 0.778
+    assert(verified.contains((2L, 4L))) // |∩|=5, |∪|=7 → 0.714
+    assert(!verified.exists { case (a, b) => Set(a, b) == Set(0L, 2L) })
+  }
+
+  test("simhash16 is deterministic, equal for equal word sets, and pairs respect hamming") {
+    val sh = corpus
+      .withColumn("ws", array_distinct(Dedup.words(col("text"))))
+      .select(col("doc_id"), Dedup.simhash16("ws").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(0L) === sh(3L))          // identical text
+    assert(sh.values.forall(v => v >= 0 && v < 65536))
+
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    val pairSet = pairs.map(t => (t._1, t._2)).toSet
+    assert(pairSet.contains((0L, 3L))) // hamming 0
+    assert(pairSet.contains((0L, 1L))) // one word swapped
+    assert(pairSet.contains((2L, 4L))) // one word swapped
+    assert(pairs.forall(_._3 <= 3))
+  }
+
+  test("cosineTopK finds the duplicate embedding first") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.01f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(emb, "embedding", lit(0L), "vec_id", 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top === Seq(1L, 2L))
+  }
+
+  test("LSH buckets put identical directions together; annTopK finds the neighbour") {
+    val emb = (0 until 50).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 2.0f, 3.0f, 4.0f)
+      else Array(-4.0f, 3.0f, -2.0f, 1.0f)
+      (i.toLong, base.map(_ * (1.0f + i / 100.0f)))
+    }.toDF("vec_id", "embedding")
+    val buckets = Similarity.lshBuckets(emb, "embedding", nBits = 8)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    // scaled copies of the same direction always share a bucket
+    assert(buckets(0L) === buckets(2L))
+    assert(buckets(1L) === buckets(3L))
+
+    val ann = Similarity.annTopK(emb, "embedding", lit(0L), "vec_id", 3)
+      .select("vec_id", "score").as[(Long, Double)].collect()
+    assert(ann.nonEmpty)
+    assert(ann.forall { case (id, score) => id % 2 == 0 && score > 0.999 })
+  }
+
+  test("cosineNearDupPairs finds same-direction pairs without cross join") {
+    val emb = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (1L, Array(2.0f, 4.0f, 6.0f, 8.0f)),
+      (2L, Array(-1.0f, 5.0f, 0.5f, -2.0f))).toDF("vec_id", "embedding")
+    val pairs = Similarity
+      .cosineNearDupPairs(emb, "embedding", "vec_id", threshold = 0.999)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(t => (t._1, t._2)).toSeq === Seq((0L, 1L)))
+  }
+
+  test("multimodal feature extraction over binary columns") {
+    val rows = Seq(
+      Multimodal.MediaRow("m1", "image", "image/png",
+        Array[Byte](1, 2, 3, 1, 2, 1), Some(640), Some(480), None, None),
+      Multimodal.MediaRow("m2", "audio", "audio/wav",
+        Array[Byte](9, 9, 9, 9), None, None, Some(4000L), None),
+      Multimodal.MediaRow("m3", "image", "image/png",
+        null, Some(10), Some(10), None, None))
+    val media = spark.createDataFrame(rows)
+    val feats = Multimodal.extractFeatures(spark, media,
+      new Multimodal.FakeDecoder(8)).collect()
+    val byId = feats.map(f => f.media_id -> f).toMap
+    assert(byId("m1").n_bytes === 6)
+    assert(byId("m1").features.length === 8)
+    assert(math.abs(byId("m1").features.sum - 1.0f) < 1e-6)
+    assert(byId("m3").n_bytes === 0)
+    // deterministic: same bytes → same features
+    val again = Multimodal.extractFeatures(spark, media,
+      new Multimodal.FakeDecoder(8)).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    assert(again("m1") === byId("m1").features.toSeq)
+  }
+
+  test("resize and frame-sample plans") {
+    val rows = Seq(
+      Multimodal.MediaRow("img", "image", "image/png", Array[Byte](1),
+        Some(4000), Some(1000), None, None),
+      Multimodal.MediaRow("vid", "video", "video/mp4", Array[Byte](1),
+        None, None, Some(10500L), None))
+    val media = spark.createDataFrame(rows)
+    val resize = Multimodal.resizePlan(media, 1024)
+      .select("media_id", "target_w", "target_h")
+      .as[(String, Int, Int)].collect().head
+    assert(resize === (("img", 1024, 256)))
+    val frames = Multimodal.frameSamplePlan(media, 1000L, maxFrames = 5)
+      .select("frame_ts_ms").as[Long].collect().toSeq
+    assert(frames === Seq(0L, 1000L, 2000L, 3000L, 4000L))
+  }
+}

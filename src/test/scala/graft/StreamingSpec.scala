@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+/** Streaming vs batch on the same transforms (Spark unified engine).
+  * Watermark semantics make streaming-append a SUBSET of batch: late
+  * rows relative to an earlier micro-batch are dropped, and windows
+  * not yet passed by the final watermark stay in state. The tests
+  * assert exactly that contract: streamed ⊆ batch, and every window
+  * safely behind the final watermark IS emitted. Files are written in
+  * time-range order so watermarks advance monotonically.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val eventsDir = {
+    val dir = tmpDir("events-src")
+    val batch = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    batch.repartitionByRange(3, col("ts"))
+      .sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private lazy val batchEvents = spark.read
+    .schema(EventStreams.eventSchema).parquet(eventsDir)
+
+  private lazy val maxTs: java.sql.Timestamp =
+    batchEvents.agg(max("ts")).as[java.sql.Timestamp].collect().head
+
+  private def safeCutoff(hoursBack: Int): java.sql.Timestamp =
+    new java.sql.Timestamp(maxTs.getTime - hoursBack * 3600L * 1000)
+
+  test("tumbling windows: streamed ⊆ batch; all safely-closed windows emitted") {
+    val stream = EventStreams.readStream(spark, eventsDir, maxFilesPerTrigger = 2)
+    EventStreams.runToMemory(
+      EventStreams.tumblingCounts(stream, "1 hour"), "tumbling_out")
+    val streamed = spark.table("tumbling_out")
+      .select("window_start", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val batch = EventStreams.tumblingCounts(batchEvents, "1 hour")
+      .select("window_start", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch))
+    // windows ending well before (lateness + window) behind max ts must
+    // all have been emitted by the final watermark
+    val cutoff = safeCutoff(hoursBack = 3)
+    val mustEmit = batch.filter(_._1.before(cutoff))
+    assert(mustEmit.subsetOf(streamed))
+  }
+
+  test("session windows: streamed ⊆ batch; closed sessions emitted") {
+    val stream = EventStreams.readStream(spark, eventsDir, maxFilesPerTrigger = 3)
+    EventStreams.runToMemory(
+      EventStreams.sessionCounts(stream, "30 minutes"), "session_out")
+    val streamed = spark.table("session_out")
+      .select("session_start", "user_id", "n_events")
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+    val batch = EventStreams.sessionCounts(batchEvents, "30 minutes")
+      .select("session_start", "user_id", "n_events")
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch))
+    val cutoff = safeCutoff(hoursBack = 2)
+    val mustEmit = batch.filter(_._1.before(cutoff))
+    assert(mustEmit.subsetOf(streamed))
+  }
+
+  test("sliding windows produce denser coverage than tumbling") {
+    val tumble = EventStreams.tumblingCounts(batchEvents, "1 hour").count()
+    val slide = EventStreams
+      .slidingCounts(batchEvents, "1 hour", "15 minutes").count()
+    assert(slide > 2 * tumble)
+  }
+
+  test("foreachBatch parquet sink lands all rows") {
+    val out = tmpDir("sink-out")
+    val cp = tmpDir("sink-cp")
+    val stream = EventStreams.readStream(spark, eventsDir, maxFilesPerTrigger = 2)
+    val q = EventStreams.toParquetSink(
+      stream.filter(col("event_type") === "purchase"), out, cp)
+    q.awaitTermination()
+    val landed = spark.read.parquet(out + "/batch=*").count()
+    val expected = batchEvents.filter(col("event_type") === "purchase").count()
+    assert(landed === expected)
+  }
+}
