@@ -41,26 +41,33 @@ object Similarity {
   }
 
   /** Deterministic hyperplane component hp(plane, i) ∈ [-1, 1): value
-    * of the first 4 hex chars of md5("hp:plane:i") scaled. Pure SQL →
-    * identical in the DuckDB oracle. */
-  private def hyperplaneSql(plane: String, iVar: String): String =
-    s"""(CAST(aggregate(sequence(0, 3), 0, (hv, p) ->
-       |  hv * 16 + instr('0123456789abcdef',
-       |    substr(md5(concat('hp:', $plane, ':', $iVar)), 1 + p, 1)) - 1)
-       | AS DOUBLE) / 32768.0 - 1.0)""".stripMargin
+    * of the first 4 hex chars of md5("hp:plane:i") scaled.
+    *
+    * Computed ONCE on the driver and shipped as literals — the naive
+    * formulation recomputes dim × nBits md5 digests per ROW inside an
+    * interpreted higher-order function, which dominated BENCH; the
+    * same arithmetic in the DuckDB oracle stays row-side (tiny there).
+    */
+  def hyperplane(plane: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"hp:$plane:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(4)
+    hex.foldLeft(0)((hv, c) => hv * 16 + Integer.parseInt(c.toString, 16))
+      .toDouble / 32768.0 - 1.0
+  }
 
   /** Random-hyperplane signature over a named double-array column:
-    * nBits sign bits of ⟨e, hp_j⟩ packed into a long. Buckets cluster
-    * directionally-similar vectors. */
-  def hyperplaneSignature(embCol: String, nBits: Int): Column = {
-    val hp = hyperplaneSql("CAST(j AS STRING)", "CAST(i AS STRING)")
-    expr(
-      s"""aggregate(sequence(0, ${nBits - 1}), 0L, (acc, j) ->
-         | acc + CASE WHEN
-         |   aggregate(zip_with($embCol, sequence(0, size($embCol) - 1),
-         |     (x, i) -> x * $hp), 0D, (s, v) -> s + v) > 0D
-         |   THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin)
-  }
+    * nBits sign bits of ⟨e, hp_j⟩ packed into a long (hyperplanes are
+    * literal constant arrays — zero per-row hashing). Buckets cluster
+    * directionally-similar vectors. `dim` must cover the embedding
+    * length (extra components are never touched). */
+  def hyperplaneSignature(embCol: String, nBits: Int, dim: Int = 512): Column =
+    (0 until nBits).map { j =>
+      val hp = array((0 until dim).map(i => lit(hyperplane(j, i))): _*)
+      when(aggregate(
+        zip_with(col(embCol), slice(hp, lit(1), size(col(embCol))), (x, h) => x * h),
+        lit(0.0), (s, v) => s + v) > 0.0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
 
   /** Bucket histogram — the data layout a cluster deployment would
     * persist (partition-by-bucket) for sub-linear ANN reads. */
@@ -92,18 +99,23 @@ object Similarity {
     * full cross join; bucket-size capped like MinHash). */
   def cosineNearDupPairs(emb: DataFrame, embCol: String, idCol: String,
       threshold: Double, nBits: Int = 8, maxBucket: Int = 10000): DataFrame = {
+    // norms precomputed per ROW (not per pair — 2× the work avoided;
+    // at ingest scale you'd store unit vectors instead)
     val bucketed = lshBuckets(emb, embCol, nBits)
       .withColumn("_e", toDouble(col(embCol)))
-      .select(col(idCol).as("_id"), col("bucket"), col("_e"))
+      .select(col(idCol).as("_id"), col("bucket"), col("_e"),
+        norm(col("_e")).as("_nrm"))
     val capped = bucketed.withColumn("_n",
       count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
       .filter(col("_n") <= maxBucket).drop("_n")
-    val a = capped.select(col("bucket"), col("_id").as("id_a"), col("_e").as("e_a"))
-    val b = capped.select(col("bucket"), col("_id").as("id_b"), col("_e").as("e_b"))
+    val a = capped.select(col("bucket"), col("_id").as("id_a"),
+      col("_e").as("e_a"), col("_nrm").as("n_a"))
+    val b = capped.select(col("bucket"), col("_id").as("id_b"),
+      col("_e").as("e_b"), col("_nrm").as("n_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("score", cosine(col("e_a"), col("e_b")))
+      .withColumn("score", dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score").distinct()
   }

@@ -123,9 +123,11 @@ object TextSim {
     val withBands = (0 until 4).foldLeft(d) { (acc, i) =>
       acc.withColumn(s"band$i", minhashBand(col("ws"), i))
     }
-    val bands = (0 until 4).map { i =>
-      withBands.select(lit(i).as("band"), col(s"band$i").as("sig"))
-    }.reduce(_ unionByName _)
+    // explode, not a per-band union: one pass over documents
+    val bands = withBands
+      .select(explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"), col(s"band$i").as("sig"))): _*)).as("e"))
+      .select(col("e.band").as("band"), col("e.sig").as("sig"))
     bands.groupBy("band", "sig")
       .agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") >= 2)
