@@ -87,8 +87,10 @@ object Normalizer {
           .as("source_type"),
         title.as("title"),
         summary.as("summary_1line"),
+        // `get` (0-based) returns null out of bounds — element_at would
+        // throw under ANSI mode when citations is empty
         coalesce(p.getField("url"),
-          element_at(evFixed.getField("citations"), 1).getField("url")).as("url"),
+          get(evFixed.getField("citations"), lit(0)).getField("url")).as("url"),
         to_date(substring(p.getField("published_date"), 1, 10)).as("published_date"),
         coalesce(to_timestamp(p.getField("retrieved_at")), fallbackNow)
           .cast(TimestampType).as("retrieved_at"),

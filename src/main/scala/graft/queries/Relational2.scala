@@ -1,0 +1,275 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import Qhelpers._
+import graft.core.Tables
+
+/** Second relational tranche: typed Dataset API, extended window
+  * functions, CUBE, set operations, PIVOT, hash sampling, string/date
+  * function suites, outer joins, the spark.sql SQL surface, and
+  * order-stable array aggregation (SURVEY §2 P12/§2.5/§2.4/§2.7/§2.8).
+  */
+object Relational2 {
+
+  case class Order(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+      o_totalprice: Double, o_orderdate: Timestamp, o_orderpriority: String)
+
+  /** P12-family — typed `Dataset[Order]` path (case-class Encoder,
+    * compile-time field checks; ref `rowToItem` typed decode
+    * `src/repository.ts:147-172`). */
+  def t_typed_dataset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders").as[Order]
+      .filter(_.o_totalprice > 100000.0)
+      .groupByKey(_.o_orderstatus)
+      .count()
+      .toDF("status", "n_big_orders")
+      .orderBy("status")
+  }
+
+  /** W4 (§2.5 extension) — ranking-function suite: dense_rank,
+    * percent_rank, ntile over account balances per segment. */
+  def w4_rank_suite(s: SparkSession, dir: String): DataFrame = {
+    val byBal = Window.partitionBy("c_mktsegment")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    t(s, dir, "customer")
+      .withColumn("rn", row_number().over(byBal).cast(LongType))
+      .withColumn("drank", dense_rank().over(byBal).cast(LongType))
+      .withColumn("prank", percent_rank().over(byBal))
+      .withColumn("quartile", ntile(4).over(byBal).cast(LongType))
+      .filter(col("rn") <= 5)
+      .select("c_mktsegment", "rn", "c_custkey", "c_acctbal",
+        "drank", "prank", "quartile")
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  /** A-family extension — CUBE over (status, priority): all grouping
+    * combinations in one pass. */
+  def a_cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), msum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  /** D3 (§2.7 note) — INTERSECT / EXCEPT: nations that have customers
+    * vs suppliers. */
+  def d3_intersect_except(s: SparkSession, dir: String): DataFrame = {
+    val custNations = t(s, dir, "customer")
+      .select(col("c_nationkey").as("nationkey"))
+    val suppNations = t(s, dir, "supplier")
+      .select(col("s_nationkey").as("nationkey"))
+    val both = custNations.intersect(suppNations)
+      .withColumn("tag", lit("both"))
+    val custOnly = custNations.except(suppNations)
+      .withColumn("tag", lit("customer_only"))
+    both.unionByName(custOnly)
+      .select("tag", "nationkey")
+      .orderBy("tag", "nationkey")
+  }
+
+  private val priorityValues =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** A3-family — PIVOT: order counts status × priority as a matrix. */
+  def a_pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", priorityValues)
+      .agg(count(lit(1)))
+      .orderBy("o_orderstatus")
+
+  /** Deterministic hash sampling (portable alternative to RNG
+    * `sample()` — the idiom for reproducible sampling at 100 TB):
+    * keep keys whose md5 starts with '0' (≈ 1/16). */
+  def p_sample_hash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(substring(md5(col("o_orderkey").cast(StringType)), 1, 1) === "0")
+      .agg(count(lit(1)).as("n_sampled"),
+        msum(col("o_totalprice")).as("sampled_total"),
+        min(col("o_orderkey")).as("first_key"))
+
+  /** F-family — string function suite (regexp_replace, pads, reverse,
+    * translate, levenshtein, trim, split). */
+  def f_string_suite(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_partkey") < 500)
+      .select(
+        col("p_partkey"),
+        regexp_replace(col("p_name"), "[aeiou]", "*").as("devoweled"),
+        lpad(col("p_brand"), 10, ".").as("brand_padded"),
+        reverse(col("p_name")).as("name_rev"),
+        translate(col("p_type"), "AEO", "aeo").as("type_translated"),
+        levenshtein(col("p_name"), col("p_type")).cast(LongType).as("edit_dist"),
+        trim(lit("  x  ")).as("trimmed"),
+        size(split(col("p_name"), " ")).cast(LongType).as("n_name_parts"))
+      .orderBy("p_partkey")
+
+  /** F9/F10-family — date/time function suite. */
+  def f_date_suite(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 500)
+      .withColumn("od", col("o_orderdate").cast(DateType))
+      .select(
+        col("o_orderkey"),
+        col("od").cast(TimestampType).as("od"),
+        year(col("od")).cast(LongType).as("y"),
+        month(col("od")).cast(LongType).as("m"),
+        dayofmonth(col("od")).cast(LongType).as("d"),
+        quarter(col("od")).cast(LongType).as("q"),
+        (weekday(col("od")) + 1).cast(LongType).as("isodow"),
+        last_day(col("od")).cast(TimestampType).as("month_end"),
+        date_add(col("od"), 30).cast(TimestampType).as("plus_30d"),
+        datediff(lit("2026-01-01").cast(DateType), col("od"))
+          .cast(LongType).as("days_to_2026"))
+      .orderBy("o_orderkey")
+
+  /** J-family — outer join keeping empty groups: BUILDING-segment
+    * customer counts per nation, zeros included. */
+  def j_outer_join(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    n.join(c, n("n_nationkey") === c("c_nationkey"), "left_outer")
+      .groupBy("n_nationkey", "n_name")
+      .agg(count(col("c_custkey")).as("n_building_customers"))
+      .orderBy("n_nationkey")
+  }
+
+  /** TPC-H Q3 via the spark.sql surface over registered views — the
+    * identical SQL text runs on both engines (ANSI subset). */
+  private val q3Sql: String =
+    """SELECT l_orderkey,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |   * (1 - CAST(l_discount AS DECIMAL(12,6)))) AS DOUBLE) AS revenue,
+      | o_orderdate, o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 20""".stripMargin
+
+  def sql_tpch_q3(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q3Sql)
+  }
+
+  /** Order-stable array aggregation: sorted distinct segment list per
+    * nation rendered as a string (collect_set order is never relied
+    * on). */
+  def a_array_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(
+        array_join(array_sort(collect_set(col("c_mktsegment"))), ",")
+          .as("segments"),
+        countDistinct(col("c_mktsegment")).as("n_segments"))
+      .orderBy("c_nationkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_typed_dataset" -> (t_typed_dataset _),
+    "w4_rank_suite" -> (w4_rank_suite _),
+    "a_cube" -> (a_cube _),
+    "d3_intersect_except" -> (d3_intersect_except _),
+    "a_pivot" -> (a_pivot _),
+    "p_sample_hash" -> (p_sample_hash _),
+    "f_string_suite" -> (f_string_suite _),
+    "f_date_suite" -> (f_date_suite _),
+    "j_outer_join" -> (j_outer_join _),
+    "sql_tpch_q3" -> (sql_tpch_q3 _),
+    "a_array_agg" -> (a_array_agg _))
+
+  val oracle: Map[String, String] = Map(
+    "t_typed_dataset" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_big_orders
+        |FROM orders WHERE o_totalprice > 100000.0
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+    "w4_rank_suite" ->
+      """SELECT c_mktsegment, rn, c_custkey, c_acctbal, drank, prank, quartile
+        |FROM (
+        | SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  ROW_NUMBER() OVER w AS rn,
+        |  DENSE_RANK() OVER w AS drank,
+        |  PERCENT_RANK() OVER w AS prank,
+        |  NTILE(4) OVER w AS quartile
+        | FROM customer
+        | WINDOW w AS (PARTITION BY c_mktsegment
+        |   ORDER BY c_acctbal DESC, c_custkey ASC)) x
+        |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin,
+    "a_cube" ->
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         | COALESCE(o_orderpriority, 'ALL') AS priority,
+         | COUNT(*) AS n, ${sqlMsum("o_totalprice")} AS total
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin,
+    "d3_intersect_except" ->
+      """SELECT 'both' AS tag, nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'customer_only' AS tag, nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT SELECT s_nationkey FROM supplier)
+        |ORDER BY tag, nationkey""".stripMargin,
+    "a_pivot" ->
+      """SELECT o_orderstatus,
+        | COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+        | COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+        | COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+        | COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+        | COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "p_sample_hash" ->
+      s"""SELECT COUNT(*) AS n_sampled,
+         | ${sqlMsum("o_totalprice")} AS sampled_total,
+         | MIN(o_orderkey) AS first_key
+         |FROM orders
+         |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'""".stripMargin,
+    "f_string_suite" ->
+      """SELECT p_partkey,
+        | regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+        | lpad(p_brand, 10, '.') AS brand_padded,
+        | reverse(p_name) AS name_rev,
+        | translate(p_type, 'AEO', 'aeo') AS type_translated,
+        | CAST(levenshtein(p_name, p_type) AS BIGINT) AS edit_dist,
+        | trim('  x  ') AS trimmed,
+        | CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_name_parts
+        |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin,
+    "f_date_suite" ->
+      """SELECT o_orderkey, CAST(od AS TIMESTAMP) AS od,
+        | CAST(year(od) AS BIGINT) AS y,
+        | CAST(month(od) AS BIGINT) AS m,
+        | CAST(day(od) AS BIGINT) AS d,
+        | CAST(quarter(od) AS BIGINT) AS q,
+        | CAST(isodow(od) AS BIGINT) AS isodow,
+        | CAST(last_day(od) AS TIMESTAMP) AS month_end,
+        | CAST(od + 30 AS TIMESTAMP) AS plus_30d,
+        | CAST(date_diff('day', od, DATE '2026-01-01') AS BIGINT) AS days_to_2026
+        |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders
+        |      WHERE o_orderkey < 500) x
+        |ORDER BY o_orderkey""".stripMargin,
+    "j_outer_join" ->
+      """SELECT n_nationkey, n_name, COUNT(c_custkey) AS n_building_customers
+        |FROM nation LEFT OUTER JOIN
+        | (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+        | ON n_nationkey = c_nationkey
+        |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
+    "sql_tpch_q3" -> q3Sql,
+    "a_array_agg" ->
+      """SELECT c_nationkey,
+        | array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+        | COUNT(DISTINCT c_mktsegment) AS n_segments
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+}

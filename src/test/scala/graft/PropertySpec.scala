@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.domain.{Normalizer, OntoFunctions, Schemas, Terms, Validator}
+import graft.ext.Dedup
+
+/** Property-based invariants (SURVEY §5.4): the normalizer is total
+  * (any JSON → a schema-valid row, never a throw), URL canonicalization
+  * is idempotent, dedup is idempotent, routing partitions the input.
+  * Generators are driven by a seeded sampler (the scalatest-scalacheck
+  * bridge isn't in the offline cache).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic scalacheck sampling: `trials` draws from `g`. */
+  private def forAll[T](g: Gen[T], trials: Int = 12)(body: T => Unit): Unit = {
+    var seed = Seed(42L)
+    (0 until trials).foreach { _ =>
+      g.apply(Gen.Parameters.default, seed).foreach(body)
+      seed = seed.next
+    }
+  }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  private val jsonScalar: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(s => "\"" + s + "\""),
+    Gen.choose(-1000, 1000).map(_.toString),
+    Gen.choose(-5.0, 5.0).map(_.toString),
+    Gen.const("null"), Gen.const("true"))
+
+  private val dirtyPayload: Gen[String] = for {
+    id <- Gen.option(Gen.identifier)
+    jur <- Gen.oneOf(Terms.Jurisdictions ++ Seq("XX", "", "eu"))
+    conf <- jsonScalar
+    topics <- Gen.oneOf(
+      "[\"GDPR\",\"JUNK\"]", "\"GDPR\"", "null", "[]", "[3]")
+    extra <- Gen.alphaNumStr
+  } yield {
+    val idPart = id.map(i => s""""id":"$i",""").getOrElse("")
+    s"""{$idPart"jurisdiction":"$jur","confidence":$conf,
+       |"topics":$topics,"summary_1line":"s $extra",
+       |"priority":"P9"}""".stripMargin.replace("\n", "")
+  }
+
+  test("normalizer is total: arbitrary dirty payloads yield schema-clean enums") {
+    forAll(Gen.listOfN(8, dirtyPayload)) { payloads =>
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(payloads.zipWithIndex.map { case (p, i) =>
+          Row(s"r$i", "RegulationItem", p, "reason", "pending", t0, null, null)
+        }: _*), Schemas.reviewQueue)
+      val out = Normalizer.normalizePayload(df, "payload", lit(t0))
+        .select("item.*").collect()
+      assert(out.length === payloads.length)
+      out.foreach { r =>
+        assert(Terms.Jurisdictions.contains(r.getAs[String]("jurisdiction")))
+        assert(Terms.Priorities.contains(r.getAs[String]("priority")))
+        assert(Terms.ItemStatuses.contains(r.getAs[String]("status")))
+        val conf = r.getAs[Double]("confidence")
+        assert(conf >= 0.0 && conf <= 1.0)
+        val topics = r.getSeq[String](r.fieldIndex("topics"))
+        assert(topics.forall(Terms.Topics.contains))
+        assert(r.getAs[String]("summary_1line").length <= 400)
+      }
+    }
+  }
+
+  test("canonicalizeUrl is idempotent (non-degenerate paths)") {
+    // the reference strips exactly ONE trailing slash
+    // (`policy.ts:90-93` pathname.slice(0, -1)), so "/p//" legitimately
+    // needs two passes — excluded here, pinned in the test below
+    val urlGen: Gen[String] = for {
+      host <- Gen.oneOf("a.org", "www.b.co.uk", "x-y.de")
+      path <- Gen.oneOf("", "/", "/p", "/p/q/", "/p.html/")
+      query <- Gen.oneOf("", "?utm_source=1", "?a=1&utm_x=2&b=3", "?utm_a=1&utm_b=2")
+    } yield s"https://$host$path$query"
+    forAll(Gen.listOfN(12, urlGen)) { urls =>
+      val once = urls.toDF("url")
+        .select(OntoFunctions.canonicalizeUrl(col("url")).as("u"))
+      val twice = once.select(OntoFunctions.canonicalizeUrl(col("u")).as("u"))
+      assert(once.as[String].collect().toSeq ===
+        twice.as[String].collect().toSeq)
+    }
+  }
+
+  test("canonicalizeUrl strips exactly one trailing slash (reference parity)") {
+    val got = Seq("https://a.org/p//").toDF("url")
+      .select(OntoFunctions.canonicalizeUrl(col("url")))
+      .as[String].collect().head
+    assert(got === "https://a.org/p/")
+  }
+
+  test("dedup ∘ dedup = dedup (first-wins)") {
+    forAll(Gen.listOfN(30, Gen.choose(0, 8))) { keys =>
+      whenever(keys.nonEmpty) {
+        val df = keys.zipWithIndex.map { case (k, i) => (k, i) }
+          .toDF("k", "ord")
+        val once = Dedup.exactFirstWins(df, col("k"), Seq(asc("ord")))
+        val twice = Dedup.exactFirstWins(once, col("k"), Seq(asc("ord")))
+        assert(once.orderBy("k").collect().toSeq ===
+          twice.orderBy("k").collect().toSeq)
+        // first-wins: the kept ord per key is the minimum
+        val kept = once.select("k", "ord").as[(Int, Int)].collect().toMap
+        keys.zipWithIndex.groupBy(_._1).foreach { case (k, grp) =>
+          assert(kept(k) === grp.map(_._2).min)
+        }
+      }
+    }
+  }
+
+  test("validation routing is a partition: accepted + review = total") {
+    val itemGen = for {
+      conf <- Gen.choose(0.0, 1.0)
+      tier <- Gen.oneOf(Terms.TrustTiers ++ Seq(null))
+      nCit <- Gen.choose(0, 2)
+    } yield (conf, tier, nCit)
+    forAll(Gen.listOfN(10, itemGen)) { specs =>
+      val rows = specs.zipWithIndex.map { case ((conf, tier, nCit), i) =>
+        Row(s"i$i", "EU", "Org", "guidance", "t", "s",
+          "https://eur-lex.europa.eu/x", null, t0, null, "unknown",
+          Seq(), Seq(), Seq(),
+          Row(null, null, (0 until nCit).map(c =>
+            Row(s"c$c", "https://eur-lex.europa.eu/x", null))),
+          conf, "", "P2", tier, null, null, null, t0)
+      }
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), Schemas.regulationItems)
+      val routed = Validator.routeItems(Validator.validateItems(df, 0.7))
+      val byRoute = routed.groupBy("_route").count()
+        .as[(String, Long)].collect().toMap
+      assert(byRoute.values.sum === specs.length)
+      // every review row carries a non-empty reason
+      val reviewReasons = routed.filter(col("_route") === "review_queue")
+        .select("_review_reason").as[String].collect()
+      assert(reviewReasons.forall(r => r != null && r.nonEmpty))
+    }
+  }
+}
