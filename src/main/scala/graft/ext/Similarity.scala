@@ -17,8 +17,11 @@ object Similarity {
 
   def toDouble(emb: Column): Column = emb.cast(ArrayType(DoubleType))
 
+  /** Codegen'd native expression (see
+    * [[graft.functions.DotProduct]]); identical fold order to the SQL
+    * `aggregate(zip_with(a,b,*),0D,+)` formulation it replaces. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dot_product(a, b)
 
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))

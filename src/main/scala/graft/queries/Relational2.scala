@@ -178,7 +178,27 @@ object Relational2 {
         countDistinct(col("c_mktsegment")).as("n_segments"))
       .orderBy("c_nationkey")
 
+  /** Skew-resistant two-phase (salted) aggregation: revenue per return
+    * flag — 3 hot keys over 600k rows spread across 16 salt buckets in
+    * the partial phase; result identical to a direct GROUP BY (which
+    * is exactly what the oracle runs). */
+  def a_salted_agg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    graft.ext.Skew.saltedAgg(
+      li,
+      key = col("l_returnflag"),
+      saltSource = col("l_orderkey"),
+      buckets = 16,
+      aggs = Seq(
+        (count(lit(1)), (c: String) => sum(col(c)), "n"),
+        (sum(money(col("l_extendedprice"))),
+          (c: String) => sum(col(c)).cast(DoubleType), "revenue")))
+      .withColumnRenamed("key", "l_returnflag")
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_salted_agg" -> (a_salted_agg _),
     "t_typed_dataset" -> (t_typed_dataset _),
     "w4_rank_suite" -> (w4_rank_suite _),
     "a_cube" -> (a_cube _),
@@ -192,6 +212,10 @@ object Relational2 {
     "a_array_agg" -> (a_array_agg _))
 
   val oracle: Map[String, String] = Map(
+    "a_salted_agg" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         | ${sqlMsum("l_extendedprice")} AS revenue
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "t_typed_dataset" ->
       """SELECT o_orderstatus AS status, COUNT(*) AS n_big_orders
         |FROM orders WHERE o_totalprice > 100000.0

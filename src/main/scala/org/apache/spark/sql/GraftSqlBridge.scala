@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into the `private[sql]` Column ↔ Expression
+  * converters of Spark 4's classic API, for registering native
+  * Catalyst expressions as user-facing Columns (the Spark 3 idiom
+  * `new Column(expr)` is no longer public). Shim only — no Spark
+  * internals are re-implemented here.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
