@@ -27,8 +27,9 @@ import org.apache.spark.sql.types.StructType
   */
 final class Warehouse(val spark: SparkSession, val root: String) {
 
-  def table(name: String, schema: StructType, keys: Seq[String]): Table =
-    new Table(spark, s"$root/$name", schema, keys)
+  def table(name: String, schema: StructType, keys: Seq[String],
+      partitionCols: Seq[String] = Nil): Table =
+    new Table(spark, s"$root/$name", schema, keys, partitionCols)
 
   def domainTable(name: String): Table = {
     val (schema, keys) = graft.domain.Schemas.tables(name)
@@ -45,7 +46,12 @@ final class Table(
     spark: SparkSession,
     val dir: String,
     val schema: StructType,
-    val keys: Seq[String]) {
+    val keys: Seq[String],
+    /** Hive-style partition columns (e.g. a derived date column):
+      * predicates on them prune whole directories at scan planning
+      * (`PartitionFilters` in the physical plan) — the data-skipping
+      * analog of the reference's secondary indexes (SURVEY §4). */
+    val partitionCols: Seq[String] = Nil) {
 
   private def fs: FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -67,9 +73,14 @@ final class Table(
   private def conform(df: DataFrame): DataFrame =
     df.select(schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
 
+  private def writer(df: DataFrame, mode: SaveMode) = {
+    val w = conform(df).write.mode(mode)
+    if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
+  }
+
   /** S12 — plain append. */
   def append(df: DataFrame): Unit =
-    conform(df).write.mode(SaveMode.Append).parquet(dir)
+    writer(df, SaveMode.Append).parquet(dir)
 
   /** S9 — insert rows whose key is not already present
     * (`ON CONFLICT DO NOTHING`). Also dedups within the incoming
@@ -106,7 +117,7 @@ final class Table(
     val tmp = new Path(dir + s".tmp-$token")
     val old = new Path(dir + s".old-$token")
     val cur = new Path(dir)
-    conform(df).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    writer(df, SaveMode.Overwrite).parquet(tmp.toString)
     val f = fs
     if (f.exists(cur)) {
       if (!f.rename(cur, old))

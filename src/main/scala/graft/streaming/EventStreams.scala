@@ -1,9 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured-Streaming surface (SURVEY §2.12 north-star extension).
   * The reference has no stream engine (BullMQ + 2s polling); here the
@@ -82,6 +84,38 @@ object EventStreams {
       .start()
     q.awaitTermination()
     q
+  }
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  case class UserMilestone(user_id: Long, n_events: Long, total_value: Double,
+      milestone: Long)
+
+  /** Custom keyed state via `flatMapGroupsWithState` (SURVEY §2.12
+    * mapping): per-user cumulative counters that EMIT a row only when
+    * the user crosses an every-`step`-events milestone — logic no
+    * built-in window expresses. State is one small struct per key;
+    * at cluster scale it lives in the state store, keyed-partitioned. */
+  def userMilestones(events: Dataset[Event], step: Long = 10): Dataset[UserMilestone] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), UserMilestone](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[(Long, Double)]) =>
+          var (n, total) = state.getOption.getOrElse((0L, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer[UserMilestone]()
+          // deterministic in-batch order
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            n += 1
+            total += e.value
+            if (n % step == 0)
+              out += UserMilestone(userId, n, total, n / step)
+          }
+          state.update((n, total))
+          out.iterator
+      }
   }
 
   /** foreachBatch parquet sink — the production write path: each

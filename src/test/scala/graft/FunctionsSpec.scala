@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Warehouse
+import graft.functions.VectorFunctions
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native dot_product matches the SQL aggregate/zip_with fold bit-for-bit") {
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.1, -0.2), Array(0.3, 0.7)),
+      (Array.empty[Double], Array.empty[Double])).toDF("a", "b")
+    val got = df.select(
+      VectorFunctions.dot_product(col("a"), col("b")).as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, v) -> s + v)")
+        .as("hof"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) ===
+        java.lang.Double.doubleToLongBits(h))
+    }
+    assert(got(0)._1 === 32.0)
+  }
+
+  test("dot_product null propagation and codegen path") {
+    val df = Seq(
+      (Some(Array(1.0, 2.0)), Some(Array(3.0, 4.0))),
+      (None, Some(Array(1.0)))).toDF("a", "b")
+    val got = df.select(VectorFunctions.dot_product(col("a"), col("b")))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq === Seq(Some(11.0), None))
+  }
+
+  test("dot_product is callable from SQL via the function registry") {
+    // same builder GraftExtensions injects; registered directly here
+    // because the shared test session is already built (extensions
+    // apply only at session construction)
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product",
+      exprs => graft.functions.DotProduct(exprs(0), exprs(1)),
+      "built-in")
+    val r = spark.sql(
+      "SELECT dot_product(array(1D, 2D), array(3D, 4D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(r === 11.0)
+  }
+
+  test("partitioned table writes hive layout and prunes partitions") {
+    val wh = new Warehouse(spark, tmpDir("part"))
+    val t = wh.table("logs",
+      StructType(Seq(
+        StructField("id", StringType),
+        StructField("msg", StringType),
+        StructField("day", StringType))),
+      keys = Seq("id"),
+      partitionCols = Seq("day"))
+    t.append(Seq(("a", "m1", "2026-01-01"), ("b", "m2", "2026-01-02"),
+      ("c", "m3", "2026-01-02")).toDF("id", "msg", "day"))
+
+    // hive-style directories exist
+    val dirs = new java.io.File(t.dir).listFiles().map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("day=2026-01-01")))
+
+    val q = t.read.filter(col("day") === "2026-01-02")
+    assert(q.count() === 2)
+    // partition pruning visible in the physical plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("day#") || plan.contains("isnotnull(day"))
+  }
+}

@@ -76,6 +76,24 @@ class StreamingSpec extends SparkSpec {
     assert(slide > 2 * tumble)
   }
 
+  test("flatMapGroupsWithState milestones: streaming state matches batch math") {
+    val stream = EventStreams.readStream(spark, eventsDir, maxFilesPerTrigger = 2)
+      .as[EventStreams.Event]
+    EventStreams.runToMemory(
+      EventStreams.userMilestones(stream, step = 10).toDF(), "milestones_out")
+    val streamed = spark.table("milestones_out")
+      .select("user_id", "n_events", "milestone")
+      .as[(Long, Long, Long)].collect().toSet
+    // batch math: every user emits floor(count/10) milestones
+    val counts = batchEvents.groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    val expected = counts.flatMap { case (u, n) =>
+      (1L to n / 10).map(m => (u, m * 10, m))
+    }.toSet
+    assert(streamed === expected)
+    assert(streamed.nonEmpty)
+  }
+
   test("foreachBatch parquet sink lands all rows") {
     val out = tmpDir("sink-out")
     val cp = tmpDir("sink-cp")
