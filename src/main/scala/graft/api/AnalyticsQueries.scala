@@ -118,10 +118,13 @@ final class AnalyticsQueries(wh: Warehouse) {
       max(col("created_at")).as("last_ingested"))
 
   /** J1/A2 — grouped vector documents (`src/index.ts:183-194`). */
-  def vectorDocuments(): DataFrame =
-    chunks.join(docs, chunks("document_id") === docs("id"))
-      .groupBy(docs("id"), docs("title"), docs("url"), docs("domain"))
+  def vectorDocuments(): DataFrame = {
+    val c = chunks
+    val d = docs
+    c.join(d, c("document_id") === d("id"))
+      .groupBy(d("id"), d("title"), d("url"), d("domain"))
       .agg(count(lit(1)).as("chunk_count"),
-        max(chunks("created_at")).as("last_ingested"))
-      .orderBy(desc("last_ingested"), asc(docs("id").toString))
+        max(c("created_at")).as("last_ingested"))
+      .orderBy(desc("last_ingested"), d("id").asc)
+  }
 }
