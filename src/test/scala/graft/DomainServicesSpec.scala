@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.core.Warehouse
+import graft.domain.{RuntimeConfig, Schemas, Seeder, Terms}
+import graft.ingest.Connectors
+import graft.jobs.EvidenceVerifier
+
+class DomainServicesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshWarehouse(): Warehouse = {
+    val wh = new Warehouse(spark, tmpDir("dsvc"))
+    wh.createAll()
+    wh
+  }
+
+  test("runtime config: defaults, typed load, upsert override, junk tolerated") {
+    val wh = freshWarehouse()
+    val cfg = new RuntimeConfig(wh)
+    assert(cfg.load() === cfg.Values())       // defaults
+    cfg.set("confidence_min", "0.9", t0)
+    cfg.set("reasoning_effort", "high", t0)
+    cfg.set("reasoning_effort", "low", t0)    // upsert replaces
+    cfg.set("unrelated_key", "x", t0)
+    val v = cfg.load()
+    assert(v.confidenceMin === 0.9)
+    assert(v.reasoningEffort === "low")
+    cfg.set("confidence_min", "not-a-number", t0)
+    cfg.set("reasoning_effort", "extreme", t0)
+    val v2 = cfg.load()
+    assert(v2.confidenceMin === 0.7)          // junk → default
+    assert(v2.reasoningEffort === "medium")   // out-of-enum → default
+  }
+
+  test("seeder populates the 11 term families idempotently + local store") {
+    val wh = freshWarehouse()
+    Seeder.run(wh, t0)
+    Seeder.run(wh, t0) // idempotent
+    val terms = wh.domainTable("ontology_terms").read
+    val expected = Terms.Families.values.map(_.size).sum
+    assert(terms.count() === expected)
+    val byFamily = terms.groupBy("term_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byFamily("jurisdiction") === 10)
+    assert(byFamily("topic") === 22)
+    assert(byFamily("trust_tier") === 4)
+    assert(wh.domainTable("vector_stores").read
+      .filter(col("provider") === "local").count() === 1)
+  }
+
+  test("HTML harvest: anchors, relative URL resolution, path filter, title/content cascade") {
+    val listPages = Seq(
+      ("https://news.example.eu/en/news", """
+        <html><body>
+        <a href="/en/news/article-1">A1</a>
+        <a href="https://news.example.eu/en/news/article-2">A2</a>
+        <a href="/en/other/skip-me">skip</a>
+        <a href="/en/news/article-1">dup</a>
+        </body></html>""")).toDF("page_url", "html")
+    val articles = Seq(
+      ("https://news.example.eu/en/news/article-1",
+        """<html><head><meta property="og:title" content="OG Title"/></head>
+          |<body><p>First para.</p><p>Second <b>bold</b> para.</p></body></html>"""
+          .stripMargin, "2026-01-10"),
+      ("https://news.example.eu/en/news/article-2",
+        "<html><head><title>Plain Title</title></head><body><p>Body.</p></body></html>",
+        null))
+      .toDF("url", "html", "published_date")
+
+    val conn = new Connectors.HtmlCorpusConnector(
+      "eu_news", 0, listPages, articles, "/en/news")
+    val got = conn.candidates(spark)
+      .orderBy("url")
+      .select("url", "title", "content", "connector_rank")
+      .as[(String, String, String, Int)].collect()
+    assert(got.length === 2)
+    assert(got(0)._1.endsWith("article-1"))
+    assert(got(0)._2 === "OG Title")
+    assert(got(0)._3 === "First para.\nSecond bold para.")
+    assert(got(1)._2 === "Plain Title")
+    assert(got.forall(_._4 === 0))
+  }
+
+  test("evidence verifier: rule verdicts with reference contract shape") {
+    val wh = freshWarehouse()
+    def item(id: String, nCit: Int, conf: Double, citUrl: String) = Row(
+      id, "EU", "Org", "guidance", "t", "s", "https://eur-lex.europa.eu/x",
+      null, t0, null, "unknown", Seq(), Seq(), Seq(),
+      Row(null, null, (0 until nCit).map(_ => Row("c", citUrl, null))),
+      conf, "", "P2", "TIER_A_BINDING", null, null, null, t0)
+    wh.domainTable("regulation_items").append(spark.createDataFrame(
+      java.util.Arrays.asList(
+        item("ok", 1, 0.9, "https://eur-lex.europa.eu/x"),
+        item("no-cit", 0, 0.9, "https://eur-lex.europa.eu/x"),
+        item("bad-domain", 1, 0.9, "https://evil.example.com/x"),
+        item("low-conf", 1, 0.2, "https://eur-lex.europa.eu/x")),
+      Schemas.regulationItems))
+
+    assert(EvidenceVerifier.verify(wh, "ok") === Some((true, "pass")))
+    assert(EvidenceVerifier.verify(wh, "no-cit") ===
+      Some((false, "fail: no citations")))
+    assert(EvidenceVerifier.verify(wh, "bad-domain") ===
+      Some((false, "fail: citation from disallowed domain")))
+    val (p, msg) = EvidenceVerifier.verify(wh, "low-conf").get
+    assert(!p && msg.contains("confidence below 0.5"))
+    assert(EvidenceVerifier.verify(wh, "missing") === None)
+  }
+}
