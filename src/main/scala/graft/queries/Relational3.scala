@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Qhelpers._
+import graft.core.Tables
+
+/** Third tranche: distribution analytics (TPC-H Q13 shape), scalar
+  * subqueries, and character k-gram fingerprinting (the
+  * winnowing/rolling-hash family of document fingerprints).
+  */
+object Relational3 {
+
+  /** TPC-H Q13 — customer order-count distribution including
+    * zero-order customers (outer join + double aggregation). */
+  def a_q13_distribution(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** Scalar subquery — orders above the global mean price, compared in
+    * EXACT arithmetic (price × count > total) so both engines agree on
+    * every boundary row; runs through spark.sql to exercise the SQL
+    * scalar-subquery planner. */
+  private val aboveMeanSql =
+    """SELECT COUNT(*) AS n_above,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
+      |FROM orders
+      |WHERE CAST(o_totalprice AS DECIMAL(18,2))
+      |    * (SELECT COUNT(*) FROM orders)
+      |  > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)"""
+      .stripMargin
+
+  def p_scalar_subquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(aboveMeanSql)
+  }
+
+  /** X4 — k-gram document fingerprinting: minimum md5 over all char
+    * 8-grams (winnowing-lite) + gram diversity, per document. */
+  def x4_kgram_fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 500 && col("n_chars") >= 8)
+      .withColumn("_grams", expr(
+        "transform(sequence(1, length(text) - 7), i -> md5(substr(text, i, 8)))"))
+      .select(
+        col("doc_id"),
+        array_min(col("_grams")).as("fingerprint"),
+        size(array_distinct(col("_grams"))).cast(LongType).as("n_distinct_grams"),
+        size(col("_grams")).cast(LongType).as("n_grams"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_q13_distribution" -> (a_q13_distribution _),
+    "p_scalar_subquery" -> (p_scalar_subquery _),
+    "x4_kgram_fingerprint" -> (x4_kgram_fingerprint _))
+
+  val oracle: Map[String, String] = Map(
+    "a_q13_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        | SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        | FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        | GROUP BY c_custkey) x
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "p_scalar_subquery" -> aboveMeanSql,
+    "x4_kgram_fingerprint" ->
+      """SELECT doc_id,
+        | list_aggregate(grams, 'min') AS fingerprint,
+        | CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+        | CAST(len(grams) AS BIGINT) AS n_grams
+        |FROM (
+        | SELECT doc_id, list_transform(range(1, length(text) - 6),
+        |   i -> md5(substr(text, CAST(i AS INT), 8))) AS grams
+        | FROM documents WHERE doc_id < 500 AND n_chars >= 8) g
+        |ORDER BY doc_id""".stripMargin)
+}
