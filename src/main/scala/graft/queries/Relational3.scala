@@ -58,12 +58,33 @@ object Relational3 {
         size(col("_grams")).cast(LongType).as("n_grams"))
       .orderBy("doc_id")
 
+  /** Data-quality expectation report over orders (single pass; the
+    * declarative check list of `ext.Quality`). */
+  def q_quality_report(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Quality
+    Quality.check(t(s, dir, "orders"), Seq(
+      Quality.Expectation("viol_key_nonnull", col("o_orderkey").isNotNull),
+      Quality.Expectation("viol_price_positive", col("o_totalprice") > 0),
+      Quality.Expectation("viol_status_domain",
+        col("o_orderstatus").isin("O", "F", "P")),
+      Quality.Expectation("viol_date_range",
+        col("o_orderdate").between("1990-01-01", "2030-01-01"))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_report" -> (q_quality_report _),
     "a_q13_distribution" -> (a_q13_distribution _),
     "p_scalar_subquery" -> (p_scalar_subquery _),
     "x4_kgram_fingerprint" -> (x4_kgram_fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "q_quality_report" ->
+      """SELECT COUNT(*) AS n_rows,
+        | COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS viol_key_nonnull,
+        | COUNT(*) FILTER (WHERE NOT COALESCE(o_totalprice > 0, FALSE)) AS viol_price_positive,
+        | COUNT(*) FILTER (WHERE NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)) AS viol_status_domain,
+        | COUNT(*) FILTER (WHERE NOT COALESCE(o_orderdate BETWEEN TIMESTAMP '1990-01-01 00:00:00' AND TIMESTAMP '2030-01-01 00:00:00', FALSE)) AS viol_date_range
+        |FROM orders""".stripMargin,
     "a_q13_distribution" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
         | SELECT c_custkey, COUNT(o_orderkey) AS c_count

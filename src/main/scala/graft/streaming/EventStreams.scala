@@ -86,6 +86,21 @@ object EventStreams {
     q
   }
 
+  /** Streaming exact dedup by event id with bounded state: watermark
+    * caps how long an id is remembered (at-least-once source →
+    * effectively-once sink; the streaming face of X3). */
+  def dedupedEvents(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment join: the static side is re-read per
+    * micro-batch (dimension updates visible without restart); the
+    * stream side never shuffles when the dim broadcasts. */
+  def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(userDim),
+      Seq("user_id"), "left_outer")
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
 

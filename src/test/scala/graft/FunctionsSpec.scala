@@ -50,6 +50,29 @@ class FunctionsSpec extends SparkSpec {
     assert(r === 11.0)
   }
 
+  test("DotProductRewrite replaces the HOF fold with the native expression") {
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .select(expr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        .as("d"))
+    val before = df.queryExecution.analyzed
+    val after = graft.functions.DotProductRewrite(before)
+    assert(before.toString.contains("aggregate("))
+    assert(after.toString.toLowerCase.contains("dotproduct"))
+    // rewritten plan evaluates to the same value
+    val rewritten = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, after)
+    assert(rewritten.as[Double].collect().head === 11.0)
+  }
+
+  test("DotProductRewrite leaves non-matching folds alone") {
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .select(expr(
+        "aggregate(zip_with(a, b, (x, y) -> x + y), 0D, (acc, v) -> acc + v)")
+        .as("d"))
+    val after = graft.functions.DotProductRewrite(df.queryExecution.analyzed)
+    assert(!after.toString.toLowerCase.contains("dotproduct"))
+  }
+
   test("bucketed tables join without any Exchange (co-located join)") {
     import graft.ext.Bucketing
     val facts = (0L until 2000L).map(i => (i % 97, i, i * 1.5))

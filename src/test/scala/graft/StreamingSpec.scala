@@ -94,6 +94,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup: duplicated source events land exactly once") {
+    // duplicate every event across two files, read as a stream
+    val dupDir = tmpDir("events-dup")
+    val base = batchEvents.limit(500)
+    base.write.mode("overwrite").parquet(dupDir)
+    base.write.mode("append").parquet(dupDir)
+    val stream = EventStreams.readStream(spark, dupDir, maxFilesPerTrigger = 10)
+    EventStreams.runToMemory(
+      EventStreams.dedupedEvents(stream), "dedup_out")
+    val got = spark.table("dedup_out")
+    assert(got.count() === got.select("event_id").distinct().count())
+    assert(got.count() === 500)
+  }
+
+  test("stream-static enrichment join broadcasts the dimension") {
+    val userDim = batchEvents.select("user_id").distinct()
+      .withColumn("cohort", pmod(col("user_id"), lit(3)))
+    val stream = EventStreams.readStream(spark, eventsDir, maxFilesPerTrigger = 5)
+    EventStreams.runToMemory(
+      EventStreams.enriched(stream, userDim)
+        .groupBy("cohort").agg(count(lit(1)).as("n")), "enriched_out",
+      outputMode = "complete")
+    val got = spark.table("enriched_out")
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.sum === batchEvents.count())
+    assert(got.keySet === Set(0L, 1L, 2L))
+  }
+
   test("foreachBatch parquet sink lands all rows") {
     val out = tmpDir("sink-out")
     val cp = tmpDir("sink-cp")
