@@ -71,13 +71,59 @@ object Relational3 {
         col("o_orderdate").between("1990-01-01", "2030-01-01"))))
   }
 
+  /** Per-group top-k via the typed Aggregator (bounded partial
+    * buffers, not a window sort): top-3 order prices per status. */
+  def a_topk_aggregator(s: SparkSession, dir: String): DataFrame = {
+    val topk = graft.ext.TopK.top_k(3)
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_orderstatus"),
+        posexplode(col("top.entries")).as(Seq("rnk0", "e")))
+      .select(col("o_orderstatus"),
+        (col("rnk0") + 1).cast(LongType).as("rnk"),
+        col("e.id").as("o_orderkey"),
+        col("e.value").as("o_totalprice"))
+      .orderBy("o_orderstatus", "rnk")
+  }
+
+  /** Exact interpolated percentiles (median / p90) per status — engine
+    * interpolation differs in the last ulp, so outputs are rounded to
+    * cents. For 100 TB the approx_percentile variant is the default;
+    * both are shown. */
+  def a_percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_percentiles" -> (a_percentiles _),
+    "a_topk_aggregator" -> (a_topk_aggregator _),
     "q_quality_report" -> (q_quality_report _),
     "a_q13_distribution" -> (a_q13_distribution _),
     "p_scalar_subquery" -> (p_scalar_subquery _),
     "x4_kgram_fingerprint" -> (x4_kgram_fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "a_percentiles" ->
+      """SELECT o_orderstatus,
+        | ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        | ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "a_topk_aggregator" ->
+      """SELECT o_orderstatus, CAST(rnk AS BIGINT) AS rnk, o_orderkey,
+        | o_totalprice
+        |FROM (
+        | SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        | FROM orders) x
+        |WHERE rnk <= 3 ORDER BY o_orderstatus, rnk""".stripMargin,
     "q_quality_report" ->
       """SELECT COUNT(*) AS n_rows,
         | COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS viol_key_nonnull,
