@@ -40,6 +40,14 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * reference's SQL migration runner, `src/db.ts:29-75`). */
   def createAll(): Unit =
     graft.domain.Schemas.tables.keys.foreach(domainTable(_).createIfAbsent())
+
+  /** Register every domain table as a temp view so the spark.sql
+    * surface can query the warehouse by name (SURVEY §1.1 catalog
+    * registration). */
+  def registerViews(): Unit =
+    graft.domain.Schemas.tables.keys.foreach { n =>
+      domainTable(n).read.createOrReplaceTempView(n)
+    }
 }
 
 final class Table(

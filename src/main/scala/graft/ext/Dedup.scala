@@ -82,6 +82,50 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation (SURVEY §2.11 X2: near-dup GROUPS, not just
+    * pairs): each node adopts the smallest label among itself and its
+    * neighbours until fixpoint. Iterations ≈ graph diameter — near-dup
+    * clusters are tiny and dense, so a handful of joins suffices; each
+    * iteration is a shuffle on node id. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "component")
+  }
+
+  /** End-to-end near-dup grouping: MinHash-LSH candidates → exact
+    * Jaccard verification → transitive closure into components. */
+  def nearDupGroups(df: DataFrame, idCol: String, textCol: String,
+      nBands: Int, threshold: Double): DataFrame = {
+    val verified = jaccardVerify(
+      lshCandidatePairs(df, idCol, textCol, nBands), df, idCol, textCol,
+      threshold)
+    connectedComponents(verified.select("id_a", "id_b"))
+  }
+
   /** Portable 16-bit SimHash over a named word-array column: bit b of
     * md5(w) votes ±1; sign of the vote sum sets bit b. Hex-char
     * arithmetic only — identical in Spark SQL and DuckDB.

@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.{Vectors => MlVectors}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** IVF (inverted-file) ANN index over an embedding column (the
+  * k-means-quantizer alternative to hyperplane LSH; SURVEY §2.11 X1
+  * scale path). Build: MLlib KMeans (seeded → deterministic) learns
+  * `nLists` centroids; every vector is assigned to its nearest
+  * centroid (one narrow pass). Query: score the `nProbe` nearest
+  * centroids, then exact cosine only within those inverted lists —
+  * at scale the assignment is the partition key, so a query touches
+  * nProbe/nLists of the corpus.
+  */
+object IvfIndex {
+
+  case class Model(centroids: Array[Array[Double]]) {
+    def nLists: Int = centroids.length
+  }
+
+  private def centroidArrayCol(m: Model): Column =
+    array(m.centroids.map(c => array(c.map(lit): _*)): _*)
+
+  /** Squared L2 distance of `e` to each centroid; returns the argmin
+    * index — pure column expressions, no UDF. */
+  private def assignCol(m: Model, embCol: String): Column = {
+    val dists = m.centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit): _*)
+      struct(
+        aggregate(zip_with(col(embCol), cLit, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (s, v) => s + v).as("dist"),
+        lit(i).as("idx"))
+    }
+    // argmin via array_min over (dist, idx) structs — struct ordering
+    // compares dist first, idx breaks exact ties deterministically
+    array_min(array(dists: _*)).getField("idx")
+  }
+
+  /** Fit the coarse quantizer (seeded, deterministic). */
+  def fit(emb: DataFrame, embCol: String, nLists: Int, seed: Long = 42L): Model = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col(embCol).cast(ArrayType(DoubleType)))
+      .as[Seq[Double]]
+      .map(s => Tuple1(MlVectors.dense(s.toArray)))
+      .toDF("features")
+    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(20)
+      .fit(vecs)
+    Model(km.clusterCenters.map(_.toArray))
+  }
+
+  /** Assign every vector to its inverted list. */
+  def assign(emb: DataFrame, embCol: String, model: Model): DataFrame =
+    emb.withColumn("_ed", col(embCol).cast(ArrayType(DoubleType)))
+      .withColumn("ivf_list", assignCol(model, "_ed"))
+      .drop("_ed")
+
+  /** ANN top-k: probe the nProbe centroids nearest to the query
+    * vector, exact cosine within their lists only. */
+  def annTopK(emb: DataFrame, embCol: String, model: Model,
+      queryId: Column, idCol: String, k: Int, nProbe: Int): DataFrame = {
+    val assigned = assign(emb, embCol, model)
+      .withColumn("_e", col(embCol).cast(ArrayType(DoubleType)))
+    val q = assigned.filter(col(idCol) === queryId)
+      .select(col("_e").as("_qe"))
+    // rank centroids by distance to the query (tiny: nLists rows)
+    val centroids = assigned.sparkSession.range(model.nLists)
+      .withColumn("c", element_at(centroidArrayCol(model), col("id").cast(IntegerType) + 1))
+      .crossJoin(broadcast(q))
+      .withColumn("dist",
+        aggregate(zip_with(col("c"), col("_qe"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (s, v) => s + v))
+      .orderBy(asc("dist"), asc("id"))
+      .limit(nProbe)
+      .select(col("id").cast(IntegerType).as("ivf_list"))
+    assigned.filter(col(idCol) =!= queryId)
+      .join(broadcast(centroids), Seq("ivf_list"))
+      .crossJoin(broadcast(q))
+      .withColumn("score", Similarity.cosine(col("_e"), col("_qe")))
+      .drop("_e", "_qe")
+      .orderBy(desc("score"), asc(idCol))
+      .limit(k)
+  }
+}

@@ -91,6 +91,73 @@ class ExtSpec extends SparkSpec {
     assert(pairs.map(t => (t._1, t._2)).toSeq === Seq((0L, 1L)))
   }
 
+  test("near-dup groups: transitive closure merges chained pairs") {
+    val chained = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon eta"),    // ~0 (5/7)
+      (2L, "alpha beta gamma delta theta eta"),      // ~1, weaker vs 0
+      (3L, "completely unrelated words here now"),
+      (4L, "alpha beta gamma delta epsilon zeta"))   // ==0
+      .toDF("doc_id", "text")
+    val groups = graft.ext.Dedup
+      .nearDupGroups(chained, "doc_id", "text", nBands = 4, threshold = 0.6)
+      .as[(Long, Long)].collect().toMap
+    // 0,1,2,4 all transitively connected → one component labeled 0
+    assert(groups(0L) === 0L && groups(1L) === 0L &&
+      groups(2L) === 0L && groups(4L) === 0L)
+    assert(!groups.contains(3L)) // isolated doc never pairs
+  }
+
+  test("MLlib BRP-LSH: cosine kNN and near-dup pairs on unit vectors") {
+    import graft.ext.MllibAnn
+    val emb = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 2.0f, 3.0f, 4.0f)
+      else Array(-4.0f, 3.0f, -2.0f, 1.0f)
+      (i.toLong, base.map(_ * (1.0f + i / 50.0f)))
+    }.toDF("vec_id", "embedding")
+    val top = MllibAnn.approxTopK(emb, "embedding", "vec_id", 0L, 5)
+      .select("id", "cosine").as[(Long, Double)].collect()
+    assert(top.nonEmpty)
+    assert(top.forall { case (id, c) => id % 2 == 0 && c > 0.999 })
+
+    val pairs = MllibAnn
+      .approxNearDupPairs(emb, "embedding", "vec_id", 0.999)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    // same-direction vectors only
+    assert(pairs.forall { case (a, b, _) => (a % 2) == (b % 2) })
+  }
+
+  test("IVF index: clustered directions get separate lists; ANN finds true neighbours") {
+    // two well-separated clusters of scaled directions
+    val emb = (0 until 60).map { i =>
+      val base = if (i % 2 == 0) Array(10.0f, 0.5f, 0.1f, 0.2f)
+      else Array(-0.3f, 9.0f, -0.2f, 0.4f)
+      (i.toLong, base.map(x => x * (1.0f + (i % 7) / 10.0f) +
+        (i % 3) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val model = graft.ext.IvfIndex.fit(emb, "embedding", nLists = 2)
+    assert(model.nLists === 2)
+
+    val assigned = graft.ext.IvfIndex.assign(emb, "embedding", model)
+      .select("vec_id", "ivf_list").as[(Long, Int)].collect().toMap
+    // every even id shares a list; every odd id shares the other
+    assert(assigned.filter(_._1 % 2 == 0).values.toSet.size === 1)
+    assert(assigned.filter(_._1 % 2 == 1).values.toSet.size === 1)
+    assert(assigned(0L) !== assigned(1L))
+
+    val ann = graft.ext.IvfIndex.annTopK(emb, "embedding", model,
+      lit(0L), "vec_id", k = 5, nProbe = 1)
+      .select("vec_id", "score").as[(Long, Double)].collect()
+    assert(ann.length === 5)
+    assert(ann.forall { case (id, score) => id % 2 == 0 && score > 0.99 })
+
+    // nProbe = nLists degrades gracefully to full coverage
+    val all = graft.ext.IvfIndex.annTopK(emb, "embedding", model,
+      lit(0L), "vec_id", k = 59, nProbe = 2)
+    assert(all.count() === 59)
+  }
+
   test("multimodal feature extraction over binary columns") {
     val rows = Seq(
       Multimodal.MediaRow("m1", "image", "image/png",

@@ -114,6 +114,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("saltedAgg equals direct groupBy for random data (any bucket count)") {
+    import org.apache.spark.sql.types.DoubleType
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      buckets <- Gen.choose(1, 9)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 4), Gen.choose(-100, 100)))
+    } yield (buckets, rows)
+    forAll(gen, trials = 8) { case (buckets, rows) =>
+      val df = rows.zipWithIndex.map { case ((k, v), i) => (k, v, i) }
+        .toDF("k", "v", "id")
+      val salted = graft.ext.Skew.saltedAgg(
+        df, col("k"), col("id"), buckets,
+        Seq((count(lit(1)), (c: String) => sum(col(c)), "n"),
+          (sum(col("v").cast("long")),
+            (c: String) => sum(col(c)), "total")))
+        .select(col("key").cast("int"), col("n"), col("total"))
+        .as[(Int, Long, Long)].collect().toSet
+      val direct = df.groupBy("k")
+        .agg(count(lit(1)).as("n"), sum(col("v").cast("long")).as("total"))
+        .as[(Int, Long, Long)].collect().toSet
+      assert(salted === direct)
+    }
+  }
+
+  test("TopK aggregator equals sort-take for random data") {
+    val gen = Gen.listOfN(40, Gen.zip(Gen.choose(0, 2), Gen.choose(-50, 50)))
+    forAll(gen, trials = 8) { rows =>
+      val df = rows.zipWithIndex.map { case ((g, v), i) =>
+        (g, v.toDouble, i.toLong)
+      }.toDF("g", "v", "id")
+      val topk = graft.ext.TopK.top_k(3)
+      val got = df.groupBy("g").agg(topk(col("v"), col("id")).as("top"))
+        .select(col("g"), explode(col("top.entries")).as("e"))
+        .select(col("g"), col("e.value"), col("e.id"))
+        .as[(Int, Double, Long)].collect().toSet
+      val expected = rows.zipWithIndex
+        .map { case ((g, v), i) => (g, v.toDouble, i.toLong) }
+        .groupBy(_._1).flatMap { case (_, grp) =>
+          grp.sortBy(t => (-t._2, t._3)).take(3)
+        }.toSet
+      assert(got === expected)
+    }
+  }
+
   test("validation routing is a partition: accepted + review = total") {
     val itemGen = for {
       conf <- Gen.choose(0.0, 1.0)
