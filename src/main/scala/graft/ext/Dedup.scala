@@ -31,9 +31,11 @@ object Dedup {
   }
 
   /** Salted MinHash: one band value = min over words of md5("salt:w").
-    * String-lexicographic min is portable across engines. */
+    * String-lexicographic min is portable across engines. Native
+    * streaming expression (see [[graft.functions.MinSaltedMd5]]) —
+    * value-identical to `array_min(transform(ws, w -> md5(salt:w)))`. */
   def minhashBand(ws: Column, salt: Int): Column =
-    array_min(transform(ws, w => md5(concat(lit(s"$salt:"), w))))
+    graft.functions.MinHashFunctions.min_salted_md5(ws, lit(salt.toString))
 
   /** MinHash band signatures: adds `band0..band{n-1}`. */
   def withMinhashBands(df: DataFrame, ws: Column, nBands: Int): DataFrame =

@@ -109,9 +109,10 @@ object TextSim {
   }
 
   /** Salted-min-hash band value: min over words of md5(salt:word) —
-    * identical string-lexicographic semantics in both engines. */
+    * identical string-lexicographic semantics in both engines (native
+    * streaming expression, `graft.functions.MinSaltedMd5`). */
   private def minhashBand(ws: Column, salt: Int): Column =
-    expr(s"array_min(transform(${ws.toString}, w -> md5('$salt:' || w)))")
+    graft.ext.Dedup.minhashBand(ws, salt)
 
   /** X2 — MinHash+LSH banding: per-document 4-band signature →
     * bucket-size histogram per band (the candidate-generation stage of

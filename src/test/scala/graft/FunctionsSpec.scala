@@ -50,6 +50,24 @@ class FunctionsSpec extends SparkSpec {
     assert(r === 11.0)
   }
 
+  test("min_salted_md5 equals the declarative array_min(transform(md5)) form") {
+    val df = Seq(
+      (Seq("alpha", "beta", "gamma"), "0"),
+      (Seq("single"), "3"),
+      (Seq.empty[String], "1")).toDF("ws", "salt")
+    val got = df.select(
+      graft.functions.MinHashFunctions.min_salted_md5(col("ws"), col("salt"))
+        .as("native"),
+      expr("array_min(transform(ws, w -> md5(concat(salt, ':', w))))")
+        .as("hof"))
+      .collect()
+    got.foreach { r =>
+      assert(Option(r.getString(0)) === Option(r.getString(1)))
+    }
+    assert(got(0).getString(0) != null)
+    assert(got(2).isNullAt(0))
+  }
+
   test("DotProductRewrite replaces the HOF fold with the native expression") {
     val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
       .select(expr(
