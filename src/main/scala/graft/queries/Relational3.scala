@@ -100,7 +100,24 @@ object Relational3 {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** As-of join: each purchase event picks up the value of the user's
+    * most recent prior-or-equal click (union-carry pattern, verified
+    * against DuckDB's native ASOF JOIN). */
+  def j_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").as("click_value"))
+    graft.ext.AsOf.asofJoin(purchases, clicks, "user_id", "ts",
+      Seq("click_value"), tieBreak = Seq("event_id"))
+      .select("event_id", "user_id", "ts", "value", "asof_click_value")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j_asof_join" -> (j_asof_join _),
     "a_percentiles" -> (a_percentiles _),
     "a_topk_aggregator" -> (a_topk_aggregator _),
     "q_quality_report" -> (q_quality_report _),
@@ -109,6 +126,15 @@ object Relational3 {
     "x4_kgram_fingerprint" -> (x4_kgram_fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "j_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        | c.value AS asof_click_value
+        |FROM (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |      WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
     "a_percentiles" ->
       """SELECT o_orderstatus,
         | ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,

@@ -91,6 +91,30 @@ class ExtSpec extends SparkSpec {
     assert(pairs.map(t => (t._1, t._2)).toSeq === Seq((0L, 1L)))
   }
 
+  test("asofJoin: backward match, inclusive ties, null before first right row") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 100L, ts("2026-01-01 10:00:00")),  // before any right row
+      (2L, 100L, ts("2026-01-01 12:00:00")),  // exactly at right row → inclusive
+      (3L, 100L, ts("2026-01-01 15:00:00")),  // after both → latest wins
+      (4L, 200L, ts("2026-01-01 12:30:00")))  // other key
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, ts("2026-01-01 12:00:00"), 1.0),
+      (100L, ts("2026-01-01 14:00:00"), 2.0),
+      (200L, ts("2026-01-01 12:15:00"), 9.0))
+      .toDF("user_id", "ts", "v")
+    val got = graft.ext.AsOf
+      .asofJoin(left, right, "user_id", "ts", Seq("v"))
+      .select("event_id", "asof_v")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L) === None)
+    assert(got(2L) === Some(1.0))
+    assert(got(3L) === Some(2.0))
+    assert(got(4L) === Some(9.0))
+  }
+
   test("near-dup groups: transitive closure merges chained pairs") {
     val chained = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"),
