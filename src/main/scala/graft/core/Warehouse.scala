@@ -118,6 +118,17 @@ final class Table(
 
   def count(): Long = read.count()
 
+  /** Small-file compaction + optional clustering: rewrite the table
+    * into `numFiles` files, optionally sorted within files so column
+    * min/max stats prune reads (the OPTIMIZE/ZORDER analog for plain
+    * parquet). */
+  def compact(numFiles: Int, sortCols: Seq[String] = Nil): Unit = {
+    val df0 = read.repartition(numFiles)
+    val df = if (sortCols.nonEmpty)
+      df0.sortWithinPartitions(sortCols.map(col): _*) else df0
+    overwriteAtomic(df)
+  }
+
   /** Write-tmp-and-swap overwrite; readers never observe a partial
     * directory. */
   def overwriteAtomic(df: DataFrame): Unit = {

@@ -116,7 +116,28 @@ object Relational3 {
       .orderBy("event_id")
   }
 
+  /** Bucketized range join: (purchase, error) event pairs of the same
+    * user within 10 minutes — equi-join on (user, time-bucket) + exact
+    * filter, never a nested-loop inequality join. */
+  def j_range_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    graft.ext.RangeJoin.withinInterval(
+      purchases, errors, "user_id", "ts", tolMicros = 10L * 60 * 1000 * 1000)
+      .select(
+        col("l_event_id").as("purchase_id"),
+        col("r_event_id").as("error_id"),
+        col("l_user_id").as("user_id"),
+        (abs(unix_micros(col("l_ts")) - unix_micros(col("r_ts"))) / lit(1000000L))
+          .cast(LongType).as("gap_seconds"))
+      .orderBy("purchase_id", "error_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j_range_join" -> (j_range_join _),
     "j_asof_join" -> (j_asof_join _),
     "a_percentiles" -> (a_percentiles _),
     "a_topk_aggregator" -> (a_topk_aggregator _),
@@ -126,6 +147,18 @@ object Relational3 {
     "x4_kgram_fingerprint" -> (x4_kgram_fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "j_range_join" ->
+      """SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+        | p.user_id,
+        | CAST(abs(epoch_us(p.ts) - epoch_us(e.ts)) // 1000000 AS BIGINT)
+        |   AS gap_seconds
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |JOIN (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id
+        | AND abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 600000000
+        |ORDER BY purchase_id, error_id""".stripMargin,
     "j_asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value,
         | c.value AS asof_click_value

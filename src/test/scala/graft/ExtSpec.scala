@@ -91,6 +91,24 @@ class ExtSpec extends SparkSpec {
     assert(pairs.map(t => (t._1, t._2)).toSeq === Seq((0L, 1L)))
   }
 
+  test("range join equals the naive inequality join, without nested loops") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val l = Seq((1L, 7L, ts(0)), (2L, 7L, ts(25)), (3L, 8L, ts(10)))
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq((10L, 7L, ts(9)), (11L, 7L, ts(34)), (12L, 8L, ts(50)),
+      (13L, 9L, ts(10))).toDF("event_id", "user_id", "ts")
+    val tol = 10L * 60 * 1000 * 1000
+    val got = graft.ext.RangeJoin.withinInterval(l, r, "user_id", "ts", tol)
+      .select("l_event_id", "r_event_id").as[(Long, Long)].collect().toSet
+    val naive = l.as("l").join(r.as("r"),
+      col("l.user_id") === col("r.user_id") &&
+        abs(unix_micros(col("l.ts")) - unix_micros(col("r.ts"))) <= tol)
+      .select(col("l.event_id"), col("r.event_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === naive)
+    assert(got === Set((1L, 10L), (2L, 11L)))
+  }
+
   test("asofJoin: backward match, inclusive ties, null before first right row") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val left = Seq(

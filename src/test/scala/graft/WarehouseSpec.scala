@@ -59,6 +59,20 @@ class WarehouseSpec extends SparkSpec {
     assert(t.read.schema.fieldNames.toSeq === Seq("k", "v"))
   }
 
+  test("compact rewrites to the target file count preserving data") {
+    val t = kv()
+    (1 to 5).foreach(i => t.append(Seq((s"k$i", i)).toDF("k", "v")))
+    val before = new java.io.File(t.dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before >= 5)
+    t.compact(1, sortCols = Seq("k"))
+    val after = new java.io.File(t.dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after === 1)
+    assert(t.read.orderBy("k").as[(String, Int)].collect().map(_._2).toSeq ===
+      Seq(1, 2, 3, 4, 5))
+  }
+
   test("createAll creates every domain table") {
     val wh = new Warehouse(spark, tmpDir("whall"))
     wh.createAll()
