@@ -202,6 +202,31 @@ class PipelineSpec extends SparkSpec {
     assert(svc.approve("rev-1", t0) === "approved")
   }
 
+  test("run state machine: failure path and JSONB-style meta merge") {
+    val wh = freshWarehouse()
+    val tracker = new RunTracker(wh)
+    tracker.create("run-f", "scan", "EU", 30, t0)
+    // a scan over candidates missing required columns throws → failed
+    intercept[Exception] {
+      ScanJob.run(wh, spark.range(1).toDF("bogus"),
+        ScanJob.Params("run-f", "EU", 30, 10, 0.5, t0),
+        RuleExtractor, new HashEmbedder(8))
+    }
+    val failed = wh.domainTable("runs").read.filter(col("id") === "run-f")
+      .select("status", "meta").collect()(0)
+    assert(failed.getString(0) === "failed")
+    assert(failed.getString(1).contains("\"error\""))
+
+    // S14: merge patches into existing meta, right side wins
+    tracker.create("run-m", "scan", "EU", 30, t0)
+    tracker.mergeMeta("run-m", """{"vector_error":"boom"}""")
+    tracker.mergeMeta("run-m", """{"vector_error":"boom2","extra":"1"}""")
+    val meta = wh.domainTable("runs").read.filter(col("id") === "run-m")
+      .select("meta").collect()(0).getString(0)
+    assert(meta.contains("\"vector_error\":\"boom2\""))
+    assert(meta.contains("\"extra\":\"1\""))
+  }
+
   test("ReviewService reject marks row") {
     val wh = freshWarehouse()
     val row = org.apache.spark.sql.Row("rev-2", "RegulationItem", "{}",
