@@ -194,7 +194,18 @@ object TextSim {
         round(max(col("norm")), 6).as("max_norm"))
       .orderBy("label")
 
+  /** X4 — the canonical distributed text op: corpus word frequencies
+    * (explode → groupBy; generator/UDTF family §2.13). */
+  def x4_wordcount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("word"))
+      .limit(30)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x4_wordcount" -> (x4_wordcount _),
     "x4_token_stats" -> (x4_token_stats _),
     "x4_quality_scores" -> (x4_quality_scores _),
     "x4_langid" -> (x4_langid _),
@@ -205,6 +216,11 @@ object TextSim {
     "x1_label_stats" -> (x1_label_stats _))
 
   val oracle: Map[String, String] = Map(
+    "x4_wordcount" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        | SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        | FROM documents) w
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 30""".stripMargin,
     "x4_token_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         | CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
