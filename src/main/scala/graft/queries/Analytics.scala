@@ -309,10 +309,10 @@ object Analytics {
         |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin,
     "w2_running_sum" ->
       """SELECT s_nationkey, s_suppkey, s_name, s_acctbal,
-        | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) OVER (
+        | CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) OVER (
         |   PARTITION BY s_nationkey ORDER BY s_suppkey ASC
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-        |   AS running_bal
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS VARCHAR) AS DOUBLE) AS running_bal
         |FROM supplier ORDER BY s_nationkey, s_suppkey""".stripMargin,
     "w3_lag_delta" ->
       """SELECT event_type,
@@ -340,7 +340,7 @@ object Analytics {
         |ORDER BY kind, id""".stripMargin,
     "f16_json_extract" ->
       """SELECT k_bucket, COUNT(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(12,6))) AS DOUBLE) AS total_value
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(12,6))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM (
         | SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER)
         |   / 10) AS INTEGER) AS k_bucket, value
@@ -359,7 +359,7 @@ object Analytics {
         |FROM part ORDER BY p_partkey""".stripMargin,
     "ev_tumbling_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(12,6))) AS DOUBLE) AS total_value
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(12,6))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "ev_sessionize" ->
       """SELECT user_id, COUNT(*) AS n_events,

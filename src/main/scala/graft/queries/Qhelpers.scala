@@ -34,9 +34,14 @@ object Qhelpers {
   def discounted(price: Column, discount: Column): Column =
     money(price) * (lit(1) - ratio(discount))
 
-  /** Oracle-side SQL fragment equivalents (DuckDB dialect = ANSI). */
+  /** Oracle-side SQL fragment equivalents (DuckDB dialect = ANSI).
+    * The final decimal→double conversion goes through VARCHAR: DuckDB's
+    * direct decimal cast is not correctly rounded (off by one ulp at
+    * ~5e9 magnitudes, observed at sf0.1), while its string→double is;
+    * Spark's Decimal→double is correctly rounded — so this makes both
+    * engines agree bit-for-bit at every scale factor. */
   def sqlMsum(col: String): String =
-    s"CAST(SUM(CAST($col AS DECIMAL(18,2))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($col AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
   def sqlDiscountedSum(price: String, discount: String): String =
-    s"CAST(SUM(CAST($price AS DECIMAL(18,2)) * (1 - CAST($discount AS DECIMAL(12,6)))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($price AS DECIMAL(18,2)) * (1 - CAST($discount AS DECIMAL(12,6)))) AS VARCHAR) AS DOUBLE)"
 }

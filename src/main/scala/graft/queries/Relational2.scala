@@ -148,8 +148,9 @@ object Relational2 {
     * identical SQL text runs on both engines (ANSI subset). */
   private val q3Sql: String =
     """SELECT l_orderkey,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-      |   * (1 - CAST(l_discount AS DECIMAL(12,6)))) AS DOUBLE) AS revenue,
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |   * (1 - CAST(l_discount AS DECIMAL(12,6)))) AS VARCHAR) AS DOUBLE)
+      |   AS revenue,
       | o_orderdate, o_orderpriority
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING'

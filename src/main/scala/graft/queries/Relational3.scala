@@ -32,7 +32,8 @@ object Relational3 {
     * scalar-subquery planner. */
   private val aboveMeanSql =
     """SELECT COUNT(*) AS n_above,
-      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
+      | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+      |   AS sum_above
       |FROM orders
       |WHERE CAST(o_totalprice AS DECIMAL(18,2))
       |    * (SELECT COUNT(*) FROM orders)
