@@ -84,6 +84,35 @@ class DomainServicesSpec extends SparkSpec {
     assert(got.forall(_._4 === 0))
   }
 
+  test("quality profile: per-column nulls and distincts in one pass") {
+    val df = Seq(
+      (Some("a"), 1), (None, 2), (Some("a"), 3), (Some("b"), 3))
+      .toDF("s", "n")
+    val p = graft.ext.Quality.profile(df, exact = true).collect()(0)
+    assert(p.getAs[Long]("n_rows") === 4)
+    assert(p.getAs[Long]("nulls_s") === 1)
+    assert(p.getAs[Long]("distinct_s") === 2)   // nulls not counted
+    assert(p.getAs[Long]("nulls_n") === 0)
+    assert(p.getAs[Long]("distinct_n") === 3)
+  }
+
+  test("unionCandidates merges connectors; empty list yields empty typed frame") {
+    val pages = Seq(("https://news.example.eu/en/news",
+      """<a href="/en/news/a1">x</a>""")).toDF("page_url", "html")
+    val arts = Seq(("https://news.example.eu/en/news/a1",
+      "<html><head><title>T</title></head><body><p>B</p></body></html>",
+      "2026-01-01")).toDF("url", "html", "published_date")
+    val c1 = new Connectors.HtmlCorpusConnector("one", 0, pages, arts, "/en/news")
+    val c2 = new Connectors.HtmlCorpusConnector("two", 1, pages, arts, "/en/news")
+    val both = Connectors.unionCandidates(spark, Seq(c1, c2))
+    assert(both.count() === 2)
+    assert(both.select("connector").distinct().count() === 2)
+    val none = Connectors.unionCandidates(spark, Seq.empty)
+    assert(none.count() === 0)
+    assert(none.schema.fieldNames.toSeq ===
+      Connectors.candidateSchema.fieldNames.toSeq)
+  }
+
   test("evidence verifier: rule verdicts with reference contract shape") {
     val wh = freshWarehouse()
     def item(id: String, nCit: Int, conf: Double, citUrl: String) = Row(
