@@ -149,7 +149,7 @@ object Relational2 {
   private val q3Sql: String =
     """SELECT l_orderkey,
       | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-      |   * (1 - CAST(l_discount AS DECIMAL(12,6)))) AS VARCHAR) AS DOUBLE)
+      |   * (1 - CAST(l_discount AS DECIMAL(12,6)))) AS STRING) AS DOUBLE)
       |   AS revenue,
       | o_orderdate, o_orderpriority
       |FROM customer, orders, lineitem

@@ -32,7 +32,7 @@ object Relational3 {
     * scalar-subquery planner. */
   private val aboveMeanSql =
     """SELECT COUNT(*) AS n_above,
-      | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+      | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
       |   AS sum_above
       |FROM orders
       |WHERE CAST(o_totalprice AS DECIMAL(18,2))
