@@ -109,6 +109,36 @@ class ExtSpec extends SparkSpec {
     assert(got === Set((1L, 10L), (2L, 11L)))
   }
 
+  test("range join: exact-tolerance boundary is inclusive across bucket edges") {
+    def us(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val tol = 60L * 1000 * 1000 // 60 s
+    // pairs exactly AT tolerance, straddling a bucket boundary, and 1us over
+    val l = Seq((1L, 5L, us(60)), (2L, 5L, us(119)), (3L, 5L, us(240)))
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq((10L, 5L, us(120)), (11L, 5L, us(301)))
+      .toDF("event_id", "user_id", "ts")
+    val got = graft.ext.RangeJoin.withinInterval(l, r, "user_id", "ts", tol)
+      .select("l_event_id", "r_event_id").as[(Long, Long)].collect().toSet
+    // (1,10): gap exactly 60s → included; (2,10): 1s → included;
+    // (3,10): 120s → out; (3,11): 61s → out
+    assert(got === Set((1L, 10L), (2L, 10L)))
+  }
+
+  test("asofJoin: tie between two right rows at the same time uses tiebreak") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, 9L, ts("2026-01-01 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (9L, ts("2026-01-01 12:00:00"), 20L, 5.0),
+      (9L, ts("2026-01-01 12:00:00"), 10L, 3.0))
+      .toDF("user_id", "ts", "rid", "v")
+    val got = graft.ext.AsOf
+      .asofJoin(left, right, "user_id", "ts", Seq("v"), tieBreak = Seq("rid"))
+      .select("asof_v").as[Double].collect()
+    // highest tiebreak (last in ascending rid order) wins the carry
+    assert(got.toSeq === Seq(5.0))
+  }
+
   test("asofJoin: backward match, inclusive ties, null before first right row") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val left = Seq(
