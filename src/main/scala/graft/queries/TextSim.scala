@@ -204,7 +204,33 @@ object TextSim {
       .orderBy(desc("n"), asc("word"))
       .limit(30)
 
+  /** X4 — TF-IDF: top-3 characteristic terms per document. Ranking is
+    * by the ROUNDED score (integer tf/df mean cross-engine ln() ulps
+    * can't flip an order decided at 6 dp). */
+  def x4_tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tokens = docs.select(col("doc_id"),
+      explode(words(col("text"))).as("word"))
+    val tf = tokens.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tokens.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast(DoubleType) /
+          col("df").cast(DoubleType)), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("tfidf"), asc("word"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 3 && col("doc_id") < 100)
+      .select("doc_id", "rnk", "word", "tf", "df", "tfidf")
+      .orderBy("doc_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x4_tfidf" -> (x4_tfidf _),
     "x4_wordcount" -> (x4_wordcount _),
     "x4_token_stats" -> (x4_token_stats _),
     "x4_quality_scores" -> (x4_quality_scores _),
@@ -216,6 +242,25 @@ object TextSim {
     "x1_label_stats" -> (x1_label_stats _))
 
   val oracle: Map[String, String] = Map(
+    "x4_tfidf" ->
+      """WITH tokens AS (
+        | SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        | FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
+        |df AS (SELECT word, COUNT(*) AS df FROM
+        |        (SELECT DISTINCT doc_id, word FROM tokens) GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        | SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |  ROUND(tf.tf * ln(CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6)
+        |    AS tfidf
+        | FROM tf JOIN df USING (word) CROSS JOIN n)
+        |SELECT doc_id, rnk, word, tf, df, tfidf FROM (
+        | SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |   ORDER BY tfidf DESC, word ASC) AS rnk
+        | FROM scored) x
+        |WHERE rnk <= 3 AND doc_id < 100
+        |ORDER BY doc_id, rnk""".stripMargin,
     "x4_wordcount" ->
       """SELECT word, COUNT(*) AS n FROM (
         | SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS word

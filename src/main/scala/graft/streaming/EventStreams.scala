@@ -94,6 +94,28 @@ object EventStreams {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * clicks from the preceding `window`. Watermarks on BOTH sides plus
+    * the time-range predicate bound the join state — without them a
+    * stream-stream join buffers forever. */
+  def purchasesWithRecentClicks(events: DataFrame, window: String = "10 minutes",
+      lateness: String = "1 hour"): DataFrame = {
+    val purchases = events.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select(org.apache.spark.sql.functions.col("event_id").as("p_id"),
+        org.apache.spark.sql.functions.col("user_id").as("p_user"),
+        org.apache.spark.sql.functions.col("ts").as("p_ts"))
+      .withWatermark("p_ts", lateness)
+    val clicks = events.filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .select(org.apache.spark.sql.functions.col("event_id").as("c_id"),
+        org.apache.spark.sql.functions.col("user_id").as("c_user"),
+        org.apache.spark.sql.functions.col("ts").as("c_ts"),
+        org.apache.spark.sql.functions.col("value").as("c_value"))
+      .withWatermark("c_ts", lateness)
+    purchases.join(clicks,
+      org.apache.spark.sql.functions.expr(
+        s"p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL $window AND p_ts"))
+  }
+
   /** Stream-static enrichment join: the static side is re-read per
     * micro-batch (dimension updates visible without restart); the
     * stream side never shuffles when the dim broadcasts. */

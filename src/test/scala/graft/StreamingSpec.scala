@@ -122,6 +122,18 @@ class StreamingSpec extends SparkSpec {
     assert(got.keySet === Set(0L, 1L, 2L))
   }
 
+  test("stream-stream interval join matches batch when fed in one micro-batch") {
+    val stream = EventStreams.readStream(spark, eventsDir, maxFilesPerTrigger = 10)
+    EventStreams.runToMemory(
+      EventStreams.purchasesWithRecentClicks(stream), "ssj_out")
+    val streamed = spark.table("ssj_out")
+      .select("p_id", "c_id").as[(Long, Long)].collect().toSet
+    val batch = EventStreams.purchasesWithRecentClicks(batchEvents)
+      .select("p_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("foreachBatch parquet sink lands all rows") {
     val out = tmpDir("sink-out")
     val cp = tmpDir("sink-cp")
