@@ -3,9 +3,9 @@ package graft.core
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /** Parquet-directory table layer with the reference's write semantics
   * (SURVEY §2.1) re-expressed for a lakehouse without a transactional
@@ -22,18 +22,27 @@ import org.apache.spark.sql.types.StructType
   * Atomic swap protocol: write to `<dir>.tmp-<uuid>`, rename old →
   * `<dir>.old-<uuid>`, rename tmp → dir, delete old. Single-writer
   * (matches the reference: merge concurrency 1, `worker.ts:26`).
-  * On a real deployment this layer is where Delta/Iceberg would slot
-  * in; every caller sees only the `Table` interface.
+  *
+  * Mutable tables are hash-bucket partitioned (`numBuckets` > 0): rows
+  * live under `<dir>/_kb=<pmod(hash(keys), n)>/`, and `upsert` /
+  * `deleteWhere` rewrite ONLY the bucket partitions containing touched
+  * keys — a 1-row status update (S13) moves one bucket's worth of data,
+  * not the whole table. At 100 TB, size `numBuckets` so one bucket ≈ a
+  * few GB (buckets ≈ tableBytes / 4 GiB); the swap stays per-partition
+  * and the untouched 99.9% of files are never opened. On a real
+  * deployment this layer is where Delta/Iceberg would slot in; every
+  * caller sees only the `Table` interface.
   */
 final class Warehouse(val spark: SparkSession, val root: String) {
 
   def table(name: String, schema: StructType, keys: Seq[String],
-      partitionCols: Seq[String] = Nil): Table =
-    new Table(spark, s"$root/$name", schema, keys, partitionCols)
+      partitionCols: Seq[String] = Nil, numBuckets: Int = 0): Table =
+    new Table(spark, s"$root/$name", schema, keys, partitionCols, numBuckets)
 
   def domainTable(name: String): Table = {
     val (schema, keys) = graft.domain.Schemas.tables(name)
-    table(name, schema, keys)
+    table(name, schema, keys,
+      numBuckets = Warehouse.bucketedTables.getOrElse(name, 0))
   }
 
   /** Create every domain table that doesn't exist yet (replaces the
@@ -50,6 +59,20 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }
 }
 
+object Warehouse {
+  /** Tables the reference mutates per pipeline step (`repository.ts:25-78`
+    * upsert, run/review status updates) get bucket partitioning so a
+    * point write rewrites one bucket, not the table. Counts are sized
+    * for test scale; at 100 TB they'd be derived from table bytes
+    * (see `Table` scaladoc) — the protocol is count-agnostic. */
+  val bucketedTables: Map[String, Int] = Map(
+    "regulation_items" -> 16,
+    "source_documents" -> 16,
+    "runs" -> 8,
+    "review_queue" -> 8,
+    "vector_chunks" -> 16)
+}
+
 final class Table(
     spark: SparkSession,
     val dir: String,
@@ -59,7 +82,25 @@ final class Table(
       * predicates on them prune whole directories at scan planning
       * (`PartitionFilters` in the physical plan) — the data-skipping
       * analog of the reference's secondary indexes (SURVEY §4). */
-    val partitionCols: Seq[String] = Nil) {
+    val partitionCols: Seq[String] = Nil,
+    /** When > 0, add a derived `_kb = pmod(hash(keys), numBuckets)`
+      * partition column; key-addressed mutations rewrite only touched
+      * buckets and key lookups prune to one bucket. */
+    val numBuckets: Int = 0) {
+
+  import Table.BUCKET
+
+  require(numBuckets == 0 || keys.nonEmpty, "bucketing requires keys")
+  require(numBuckets == 0 || partitionCols.isEmpty,
+    "bucketing and explicit partitionCols are mutually exclusive")
+
+  private def bucketed: Boolean = numBuckets > 0
+
+  private def bucketExpr: Column =
+    pmod(hash(keys.map(col): _*), lit(numBuckets)).cast(IntegerType)
+
+  private def schemaWithBucket: StructType =
+    StructType(schema.fields :+ StructField(BUCKET, IntegerType, nullable = false))
 
   private def fs: FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -74,16 +115,47 @@ final class Table(
 
   /** Read with the declared schema (projection/pushdown still apply —
     * the schema is fixed, not inferred, so planning never lists files
-    * twice). */
+    * twice). Bucket column is internal and never surfaces here. */
   def read: DataFrame =
-    if (exists) spark.read.schema(schema).parquet(dir) else empty
+    if (!exists) empty
+    else if (bucketed) readB.drop(BUCKET)
+    else spark.read.schema(schema).parquet(dir)
+
+  /** Internal read retaining `_kb` so mutations/lookups can prune. */
+  private def readB: DataFrame =
+    if (exists) spark.read.schema(schemaWithBucket).parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaWithBucket)
+
+  /** Point lookup pruned to the key's bucket: the literal bucket id
+    * constant-folds, so the scan carries `PartitionFilters: [_kb = n]`
+    * and opens one directory out of `numBuckets` (the reference's
+    * primary-key index lookup, `schema.sql` PKs). */
+  def lookup(values: Seq[Any]): DataFrame = {
+    require(values.length == keys.length, s"expected ${keys.length} key values")
+    val typedLits = keys.zip(values).map { case (k, v) =>
+      lit(v).cast(schema(k).dataType)
+    }
+    val keyPred = keys.zip(typedLits)
+      .map { case (k, l) => col(k) === l }.reduce(_ && _)
+    if (!bucketed) read.filter(keyPred)
+    else {
+      val b = pmod(hash(typedLits: _*), lit(numBuckets)).cast(IntegerType)
+      readB.filter(col(BUCKET) === b).filter(keyPred).drop(BUCKET)
+    }
+  }
 
   private def conform(df: DataFrame): DataFrame =
     df.select(schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
 
+  private def effectivePartitionCols: Seq[String] =
+    if (bucketed) Seq(BUCKET) else partitionCols
+
   private def writer(df: DataFrame, mode: SaveMode) = {
-    val w = conform(df).write.mode(mode)
-    if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
+    val out = if (bucketed) conform(df).withColumn(BUCKET, bucketExpr)
+              else conform(df)
+    val w = out.write.mode(mode)
+    if (effectivePartitionCols.nonEmpty) w.partitionBy(effectivePartitionCols: _*) else w
   }
 
   /** S12 — plain append. */
@@ -98,20 +170,50 @@ final class Table(
   def insertIfAbsent(df: DataFrame): Unit = {
     val incoming = conform(df).dropDuplicates(keys)
     val fresh = incoming.join(read.select(keys.map(col): _*), keys, "left_anti")
-    fresh.write.mode(SaveMode.Append).parquet(dir)
+    writer(fresh, SaveMode.Append).parquet(dir)
   }
 
   /** S10/S13 — MERGE: last-writer-wins per key (matches
-    * `ON CONFLICT DO UPDATE` semantics, `src/repository.ts:25-78`). */
+    * `ON CONFLICT DO UPDATE` semantics, `src/repository.ts:25-78`).
+    *
+    * The incoming batch is eagerly `localCheckpoint`ed first, so a
+    * caller handing us a DataFrame derived from THIS table (merge jobs
+    * do) can't be invalidated by the directory swap mid-write.
+    *
+    * Bucketed: only partitions whose bucket contains an updated key are
+    * rewritten; every other `_kb=` directory is untouched on disk. */
   def upsert(df: DataFrame): Unit = {
-    val updates = conform(df).dropDuplicates(keys)
-    val keep = read.join(updates.select(keys.map(col): _*), keys, "left_anti")
-    overwriteAtomic(keep.unionByName(updates))
+    val updates = conform(df).dropDuplicates(keys).localCheckpoint(true)
+    if (!bucketed || !exists) {
+      val keep = read.join(updates.select(keys.map(col): _*), keys, "left_anti")
+      overwriteAtomic(keep.unionByName(updates))
+    } else {
+      val updatesB = updates.withColumn(BUCKET, bucketExpr)
+      val touched = updatesB.select(BUCKET).distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      if (touched.nonEmpty) {
+        val existing = readB.filter(col(BUCKET).isin(touched: _*))
+        val keep = existing.join(updates.select(keys.map(col): _*), keys, "left_anti")
+        swapBuckets(keep.unionByName(updatesB), touched)
+      }
+    }
   }
 
-  /** S16 — delete rows matching the predicate. */
-  def deleteWhere(cond: org.apache.spark.sql.Column): Unit =
-    overwriteAtomic(read.filter(!coalesce(cond, lit(false))))
+  /** S16 — delete rows matching the predicate. Bucketed: only bucket
+    * partitions that actually contain matching rows are rewritten. */
+  def deleteWhere(cond: Column): Unit = {
+    val hit = coalesce(cond, lit(false))
+    if (!bucketed || !exists) {
+      overwriteAtomic(read.filter(!hit))
+    } else {
+      val touched = readB.filter(hit).select(BUCKET).distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      if (touched.nonEmpty) {
+        val remain = readB.filter(col(BUCKET).isin(touched: _*)).filter(!hit)
+        swapBuckets(remain, touched)
+      }
+    }
+  }
 
   /** S17 — truncate. */
   def truncate(): Unit = overwriteAtomic(empty)
@@ -119,11 +221,13 @@ final class Table(
   def count(): Long = read.count()
 
   /** Small-file compaction + optional clustering: rewrite the table
-    * into `numFiles` files, optionally sorted within files so column
-    * min/max stats prune reads (the OPTIMIZE/ZORDER analog for plain
-    * parquet). */
+    * into `numFiles` files (per bucket partition when bucketed),
+    * optionally sorted within files so column min/max stats prune
+    * reads (the OPTIMIZE/ZORDER analog for plain parquet). */
   def compact(numFiles: Int, sortCols: Seq[String] = Nil): Unit = {
-    val df0 = read.repartition(numFiles)
+    val df0 =
+      if (bucketed) read.repartition(numBuckets * numFiles, bucketExpr)
+      else read.repartition(numFiles)
     val df = if (sortCols.nonEmpty)
       df0.sortWithinPartitions(sortCols.map(col): _*) else df0
     overwriteAtomic(df)
@@ -146,4 +250,35 @@ final class Table(
       throw new IllegalStateException(s"swap failed: $tmp -> $cur")
     if (f.exists(old)) f.delete(old, true)
   }
+
+  /** Partition-scoped atomic swap: write `df` (which must carry `_kb`
+    * and contain only rows of `buckets`) partitioned to a tmp dir, then
+    * rename each touched `_kb=` directory into place. Directories of
+    * untouched buckets are never listed, read, or moved. */
+  private def swapBuckets(df: DataFrame, buckets: Seq[Int]): Unit = {
+    val token = UUID.randomUUID().toString.take(8)
+    val tmp = new Path(dir + s".tmp-$token")
+    val oldRoot = new Path(dir + s".old-$token")
+    conform(df.drop(BUCKET)).withColumn(BUCKET, bucketExpr)
+      .write.mode(SaveMode.Overwrite).partitionBy(BUCKET)
+      .parquet(tmp.toString)
+    val f = fs
+    f.mkdirs(oldRoot)
+    buckets.foreach { b =>
+      val live = new Path(dir, s"$BUCKET=$b")
+      val fresh = new Path(tmp, s"$BUCKET=$b")
+      if (f.exists(live) && !f.rename(live, new Path(oldRoot, s"$BUCKET=$b")))
+        throw new IllegalStateException(s"swap failed: $live")
+      // A bucket can come back empty (all rows deleted): no fresh dir.
+      if (f.exists(fresh) && !f.rename(fresh, live))
+        throw new IllegalStateException(s"swap failed: $fresh -> $live")
+    }
+    f.delete(oldRoot, true)
+    f.delete(tmp, true)
+  }
+}
+
+object Table {
+  /** Internal hash-bucket partition column name (never in `read`). */
+  val BUCKET = "_kb"
 }

@@ -2,7 +2,6 @@ package graft.domain
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Trust-tier source policy (SURVEY §2.9 V4): profile match →
   * domain-tier fallback → quarantine, as broadcast-join dataflow.
@@ -70,10 +69,13 @@ object Policy {
     * Plan shape: input ⟕ broadcast(profiles) on domain equality +
     * path-prefix + query-param containment (first profile in file
     * order wins, like the reference's `Array.find`,
-    * `policy.ts:108`), then a broadcast tier-domain contains-match
-    * fallback (`policy.ts:163-170`), then quarantine literals. Both
-    * dimension sides are tiny → broadcast hash joins; the input is
-    * never shuffled beyond the per-row window over `_row_id`.
+    * `policy.ts:108`) ⟕ broadcast(tier-domains) contains-match
+    * fallback (`policy.ts:163-170`), then ONE `groupBy(_row_id)`
+    * aggregation picks both winners via `min_by(struct, order)` —
+    * profile coalesced over tier over quarantine literals. Both
+    * dimension sides are tiny → broadcast hash joins; the candidate
+    * set crosses exactly one Exchange (the winner aggregation), with
+    * map-side partial aggregation absorbing the join fan-out.
     */
   def evaluateSource(
       spark: SparkSession,
@@ -103,50 +105,55 @@ object Policy {
     // missing param yields NULL → non-match, same as the reference.
     val paramOk = expr(
       "forall(map_entries(p_params), e -> array_contains(e.value, s_params[e.key]))")
-    val byRow = Window.partitionBy("_row_id")
-
-    val withProfile = canon
-      .join(broadcast(profiles),
-        col("s_domain") === col("p_domain") &&
-          col("s_path").startsWith(col("p_path")) && paramOk,
-        "left_outer")
-      .withColumn("_rn", row_number().over(byRow.orderBy(asc_nulls_last("p_order"))))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
 
     val tierOrder = Terms.TrustTiers.zipWithIndex.toMap
     val tierFallbacks = policy.tierDomains.toSeq
       .flatMap { case (tier, ds) => ds.map(d => (tier, d, tierOrder(tier))) }
       .toDF("t_tier", "t_domain", "t_order")
 
-    val withTier = withProfile
-      .join(broadcast(tierFallbacks),
-        col("p_id").isNull && col("s_domain").contains(col("t_domain")),
+    // Fan out to every matching profile AND every matching tier-domain
+    // (both broadcast, no shuffle), then pick both winners in a single
+    // aggregation. `min_by` skips rows whose ordering expr is null, so
+    // unmatched left-outer rows yield a null winner struct.
+    val joined = canon
+      .join(broadcast(profiles),
+        col("s_domain") === col("p_domain") &&
+          col("s_path").startsWith(col("p_path")) && paramOk,
         "left_outer")
-      .withColumn("_rn", row_number().over(byRow.orderBy(asc_nulls_last("t_order"))))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+      .join(broadcast(tierFallbacks),
+        col("s_domain").contains(col("t_domain")),
+        "left_outer")
 
-    withTier
-      .withColumn("profile_id", col("p_id"))
+    val carry = canon.columns.filterNot(
+      Set("_row_id", "s_path", "s_query", "s_params"))
+    val pickProfile = min_by(
+      struct(col("p_id"), col("p_tier"), col("p_stage"), col("p_requires_review")),
+      when(col("p_id").isNotNull, col("p_order"))).as("_p")
+    val pickTier = min_by(struct(col("t_tier")),
+      when(col("t_tier").isNotNull, col("t_order"))).as("_t")
+    val winners = joined.groupBy("_row_id")
+      .agg(pickProfile, (pickTier +: carry.map(c => first(col(c)).as(c))): _*)
+
+    winners
+      .withColumn("profile_id", col("_p.p_id"))
       .withColumn("trust_tier",
-        coalesce(col("p_tier"), col("t_tier"), lit("TIER_D_QUARANTINE")))
+        coalesce(col("_p.p_tier"), col("_t.t_tier"), lit("TIER_D_QUARANTINE")))
       .withColumn("monitoring_stage",
-        coalesce(col("p_stage"),
-          when(col("t_tier").isNotNull, "Official"), lit("Drafting")))
+        coalesce(col("_p.p_stage"),
+          when(col("_t.t_tier").isNotNull, "Official"), lit("Drafting")))
       .withColumn("requires_review",
-        coalesce(col("p_requires_review"),
-          when(col("t_tier").isNotNull, col("t_tier") =!= "TIER_A_BINDING"),
+        coalesce(col("_p.p_requires_review"),
+          when(col("_t.t_tier").isNotNull, col("_t.t_tier") =!= "TIER_A_BINDING"),
           lit(true)))
       .withColumn("route",
         when(col("trust_tier") === "TIER_A_BINDING" && !col("requires_review"),
           "main").otherwise("review_queue"))
       .withColumn("eval_reason",
-        when(col("p_id").isNotNull, lit(null).cast("string"))
-          .when(col("t_tier").isNotNull, "domain_tier_match")
+        when(col("_p.p_id").isNotNull, lit(null).cast("string"))
+          .when(col("_t.t_tier").isNotNull, "domain_tier_match")
           .otherwise("unrecognized_domain"))
-      .drop("p_order", "p_id", "p_domain", "p_path", "p_tier", "p_stage",
-        "p_requires_review", "p_params", "t_tier", "t_domain", "t_order",
-        "s_path", "s_query", "s_params", "_row_id")
+      .select(carry.map(col) ++ Seq(col("profile_id"), col("trust_tier"),
+        col("monitoring_stage"), col("requires_review"), col("route"),
+        col("eval_reason")): _*)
   }
 }

@@ -42,12 +42,28 @@ object Dedup {
     (0 until nBands).foldLeft(df)((acc, i) =>
       acc.withColumn(s"band$i", minhashBand(ws, i)))
 
+  /** Candidate pairs plus the recall ledger: `dropped` lists every
+    * bucket the cap excluded, with its size — a caller (or an ops
+    * dashboard at 100 TB) can alert on `dropped` volume or re-run the
+    * oversized buckets with more bands. Nothing is silently lost. */
+  final case class CandidateStats(pairs: DataFrame, dropped: DataFrame)
+
+  /** Band count that keeps expected bucket occupancy near
+    * `targetBucket` rows: buckets per band grow with corpus diversity,
+    * so more bands (finer signatures) are needed as the corpus grows.
+    * Heuristic, monotone in `corpusSize`; clamped to [4, 64]. */
+  def suggestedBands(corpusSize: Long, targetBucket: Long = 1000): Int =
+    math.min(64, math.max(4,
+      (math.log(math.max(2.0, corpusSize.toDouble / targetBucket)) /
+        math.log(2.0)).ceil.toInt))
+
   /** X2 — LSH candidate pairs: ids sharing ANY band value. Long-format
     * explode → shuffle on (band, sig) → within-bucket pairing with a
     * bucket-size cap (oversized buckets are degenerate — near-identical
-    * boilerplate — and are counted, not paired, to bound the output). */
-  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      nBands: Int, maxBucket: Int = 1000): DataFrame = {
+    * boilerplate — and are REPORTED in `dropped`, never silently
+    * filtered). */
+  def lshCandidatePairsWithStats(df: DataFrame, idCol: String, textCol: String,
+      nBands: Int, maxBucket: Int = 1000): CandidateStats = {
     val withBands = withMinhashBands(
       df.select(col(idCol).as("_id"), words(col(textCol)).as("_ws")),
       col("_ws"), nBands)
@@ -56,15 +72,25 @@ object Dedup {
       .select(col("_id"), explode(array((0 until nBands).map(i =>
         struct(lit(i).as("band"), col(s"band$i").as("sig"))): _*)).as("e"))
       .select(col("e.band").as("band"), col("e.sig").as("sig"), col("_id"))
-    val bucketed = long
+    val sized = long
       .withColumn("_n", count(lit(1)).over(Window.partitionBy("band", "sig")))
-      .filter(col("_n") <= maxBucket)
+    val bucketed = sized.filter(col("_n") <= maxBucket)
+    val dropped = sized.filter(col("_n") > maxBucket)
+      .groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("size"))
     val a = bucketed.select(col("band"), col("sig"), col("_id").as("id_a"))
     val b = bucketed.select(col("band"), col("sig"), col("_id").as("id_b"))
-    a.join(b, Seq("band", "sig"))
+    val pairs = a.join(b, Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    CandidateStats(pairs, dropped)
   }
+
+  /** Pairs-only view of [[lshCandidatePairsWithStats]]; use the stats
+    * variant when the recall ledger matters (it always does at scale). */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      nBands: Int, maxBucket: Int = 1000): DataFrame =
+    lshCandidatePairsWithStats(df, idCol, textCol, nBands, maxBucket).pairs
 
   /** Exact word-set Jaccard for candidate pairs (n-gram Jaccard with
     * word unigrams; swap `words` for shingles for higher n). */
@@ -84,18 +110,36 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Component labels plus convergence evidence: `converged` is false
+    * when the label propagation hit `maxIter` with changes pending —
+    * the labels are then a valid PARTIAL merge (over-split, never
+    * over-merged), and the caller must decide to iterate further or
+    * fail. */
+  final case class CcResult(components: DataFrame, converged: Boolean,
+      iterations: Int)
+
   /** Connected components over an undirected edge list by iterative
     * min-label propagation (SURVEY §2.11 X2: near-dup GROUPS, not just
     * pairs): each node adopts the smallest label among itself and its
     * neighbours until fixpoint. Iterations ≈ graph diameter — near-dup
     * clusters are tiny and dense, so a handful of joins suffices; each
-    * iteration is a shuffle on node id. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    * iteration is a shuffle on node id.
+    *
+    * Lineage discipline for long chains: every iteration's labels are
+    * cached and the superseded generation unpersisted; every
+    * `checkpointEvery` iterations the lineage is truncated with an
+    * eager `localCheckpoint` (otherwise the plan doubles per iteration
+    * and the driver OOMs on analysis long before the data is big). The
+    * convergence probe reads the just-materialized generation, so it
+    * costs a cache scan, not a recompute. */
+  def connectedComponentsWithStats(pairs: DataFrame, maxIter: Int = 10,
+      checkpointEvery: Int = 5): CcResult = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+    var prevCached: Option[DataFrame] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -103,20 +147,32 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nlabel"))
-      val next = labels.join(neighborMin, Seq("id"), "left_outer")
+      val stepped = labels.join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).limit(1).count() > 0
-      labels = next
-      converged = !changed
+            .as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label"))
+            .as("_changed"))
+      val next =
+        if ((i + 1) % checkpointEvery == 0) stepped.localCheckpoint(true)
+        else { val c = stepped.cache(); c.count(); c }
+      converged = next.filter(col("_changed")).limit(1).isEmpty
+      prevCached.foreach(_.unpersist())
+      prevCached = if ((i + 1) % checkpointEvery == 0) None else Some(next)
+      labels = next.drop("_changed")
       i += 1
     }
-    edges.unpersist()
-    labels.withColumnRenamed("label", "component")
+    if (!converged)
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"connectedComponents: not converged after $maxIter iterations; " +
+          "labels are over-split — raise maxIter")
+    CcResult(labels.withColumnRenamed("label", "component"), converged, i)
   }
+
+  /** Labels-only view of [[connectedComponentsWithStats]] (logs a
+    * warning when the fixpoint wasn't reached). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame =
+    connectedComponentsWithStats(pairs, maxIter).components
 
   /** End-to-end near-dup grouping: MinHash-LSH candidates → exact
     * Jaccard verification → transitive closure into components. */

@@ -98,28 +98,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** Signature width that keeps expected bucket occupancy near
+    * `targetBucket` (corpus / 2^nBits ≈ targetBucket). The r1 defaults
+    * (4/8 bits → 16/256 buckets) only fit test corpora; at 100 TB this
+    * returns ~24-30 bits. Clamped to [4, 48] (signature packs into a
+    * long). Monotone in `corpusSize`. */
+  def suggestedNBits(corpusSize: Long, targetBucket: Long = 10000): Int =
+    math.min(48, math.max(4,
+      (math.log(math.max(2.0, corpusSize.toDouble / targetBucket)) /
+        math.log(2.0)).ceil.toInt))
+
   /** X2 — embedding-cosine near-dup pairs within LSH buckets (never a
-    * full cross join; bucket-size capped like MinHash). */
-  def cosineNearDupPairs(emb: DataFrame, embCol: String, idCol: String,
-      threshold: Double, nBits: Int = 8, maxBucket: Int = 10000): DataFrame = {
+    * full cross join; bucket-size capped like MinHash, with the capped
+    * buckets REPORTED in `dropped` — (bucket, size) rows — so recall
+    * loss is observable, never silent). */
+  def cosineNearDupPairsWithStats(emb: DataFrame, embCol: String, idCol: String,
+      threshold: Double, nBits: Int = 8,
+      maxBucket: Int = 10000): Dedup.CandidateStats = {
     // norms precomputed per ROW (not per pair — 2× the work avoided;
     // at ingest scale you'd store unit vectors instead)
     val bucketed = lshBuckets(emb, embCol, nBits)
       .withColumn("_e", toDouble(col(embCol)))
       .select(col(idCol).as("_id"), col("bucket"), col("_e"),
         norm(col("_e")).as("_nrm"))
-    val capped = bucketed.withColumn("_n",
+    val sized = bucketed.withColumn("_n",
       count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
-      .filter(col("_n") <= maxBucket).drop("_n")
+    val capped = sized.filter(col("_n") <= maxBucket).drop("_n")
+    val dropped = sized.filter(col("_n") > maxBucket)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("size"))
     val a = capped.select(col("bucket"), col("_id").as("id_a"),
       col("_e").as("e_a"), col("_nrm").as("n_a"))
     val b = capped.select(col("bucket"), col("_id").as("id_b"),
       col("_e").as("e_b"), col("_nrm").as("n_b"))
-    a.join(b, Seq("bucket"))
+    val pairs = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("score", dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score").distinct()
+    Dedup.CandidateStats(pairs, dropped)
   }
+
+  /** Pairs-only view of [[cosineNearDupPairsWithStats]]. */
+  def cosineNearDupPairs(emb: DataFrame, embCol: String, idCol: String,
+      threshold: Double, nBits: Int = 8, maxBucket: Int = 10000): DataFrame =
+    cosineNearDupPairsWithStats(emb, embCol, idCol, threshold, nBits,
+      maxBucket).pairs
 }

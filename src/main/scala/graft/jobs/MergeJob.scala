@@ -46,11 +46,14 @@ object MergeJob {
     val spark = wh.spark
     val now = lit(params.now)
 
-    // P1 — merge input relation.
+    // P1 — merge input relation. Eagerly materialized (localCheckpoint,
+    // not best-effort cache): the upsert below atomically swaps the
+    // regulation_items directory this plan reads, so a cache-evicted
+    // recomputation would hit the swapped (or vanished) directory.
     val items = wh.domainTable("regulation_items").read
       .filter(col("jurisdiction") === params.jurisdiction)
       .orderBy(desc("created_at"))
-      .cache()
+      .localCheckpoint(true)
 
     // A5/A6 — argmax by tier rank / stage ordinal over input items.
     val tierRank = Terms.TierRank.foldLeft(lit(0): org.apache.spark.sql.Column) {
@@ -78,9 +81,12 @@ object MergeJob {
       .withColumn("monitoring_stage",
         coalesce(col("monitoring_stage"), lit(inferredStage.orNull)))
 
-    // V1 + V3 — validate then route.
+    // V1 + V3 — validate then route. Durable for the same reason as
+    // `items`: review rows and counters are computed from this AFTER
+    // the regulation_items swap.
     val routed = Validator.routeItems(
-      Validator.validateItems(backfilled, params.confidenceMin)).cache()
+      Validator.validateItems(backfilled, params.confidenceMin))
+      .localCheckpoint(true)
     val accepted = routed.filter(col("_route") === "main")
       .drop("_valid", "_reason", "_route", "_review_reason")
     wh.domainTable("regulation_items").upsert(accepted)
@@ -156,7 +162,7 @@ object MergeJob {
       "data_gaps" -> JsonUtil.RawJson(gapsJson),
       "summary" -> out.summary,
       "review" -> nReview), params.now)
-    routed.unpersist(); items.unpersist(); validReqs.unpersist()
+    validReqs.unpersist()
     Counters(nMerged, nRadar, nReview)
   }
 }

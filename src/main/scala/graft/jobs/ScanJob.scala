@@ -167,9 +167,13 @@ object ScanJob {
       col("_profile").as("profile_id"))
     val items = extractor.extract(extractDocs, params.jurisdiction, now)
 
-    // V1 + V3 — validate then route.
+    // V1 + V3 — validate then route. Eagerly materialized so the
+    // review/counter reads below survive the regulation_items
+    // directory swap performed by upsert (cache() is best-effort and
+    // recomputation would re-run the whole extract pipeline).
     val routed = Validator.routeItems(
-      Validator.validateItems(items, params.confidenceMin)).cache()
+      Validator.validateItems(items, params.confidenceMin))
+      .localCheckpoint(true)
 
     val accepted = routed.filter(col("_route") === "main")
       .drop("_valid", "_reason", "_route", "_review_reason")

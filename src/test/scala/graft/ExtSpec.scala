@@ -163,6 +163,72 @@ class ExtSpec extends SparkSpec {
     assert(got(4L) === Some(9.0))
   }
 
+  test("LSH bucket cap: oversized buckets are reported, not silently dropped") {
+    // 30 identical docs share every band → every bucket has 30 members,
+    // far over a cap of 5; plus one unrelated doc.
+    val boiler = ((0 until 30).map(i => (i.toLong, "same exact boilerplate text")) :+
+      (99L, "unique snowflake document entirely")).toDF("doc_id", "text")
+    val stats = Dedup.lshCandidatePairsWithStats(
+      boiler, "doc_id", "text", nBands = 4, maxBucket = 5)
+    val dropped = stats.dropped.as[(Int, String, Long)].collect()
+    assert(dropped.nonEmpty, "oversized buckets must appear in the ledger")
+    assert(dropped.forall(_._3 === 30L))
+    assert(dropped.length === 4) // one oversized bucket per band
+    assert(stats.pairs.count() === 0) // nothing paired from capped buckets
+    // with an adequate cap nothing is dropped and all pairs appear
+    val ok = Dedup.lshCandidatePairsWithStats(
+      boiler, "doc_id", "text", nBands = 4, maxBucket = 1000)
+    assert(ok.dropped.isEmpty)
+    assert(ok.pairs.count() === 30L * 29 / 2)
+  }
+
+  test("cosine near-dup bucket cap: dropped buckets surface with sizes") {
+    val emb = ((0 until 20).map(i => (i.toLong, Array(1.0f, 2.0f, 3.0f, 4.0f))) :+
+      (99L, Array(-4.0f, 3.0f, -2.0f, 1.0f))).toDF("vec_id", "embedding")
+    val stats = Similarity.cosineNearDupPairsWithStats(
+      emb, "embedding", "vec_id", threshold = 0.999, maxBucket = 5)
+    val dropped = stats.dropped.as[(Long, Long)].collect()
+    assert(dropped.map(_._2).toSet === Set(20L))
+    assert(stats.pairs.count() === 0)
+    val ok = Similarity.cosineNearDupPairsWithStats(
+      emb, "embedding", "vec_id", threshold = 0.999, maxBucket = 100)
+    assert(ok.dropped.isEmpty)
+    assert(ok.pairs.count() === 20L * 19 / 2)
+  }
+
+  test("suggested signature widths scale with corpus size and clamp") {
+    assert(Dedup.suggestedBands(1000) === 4)
+    assert(Dedup.suggestedBands(10L * 1000 * 1000) >= 13)
+    assert(Dedup.suggestedBands(Long.MaxValue) === 54) // log2(2^63/1e3), under the 64 clamp
+    assert(Dedup.suggestedBands(Long.MaxValue, 1) === 63)
+    assert(Similarity.suggestedNBits(10000) === 4)
+    val b100tb = Similarity.suggestedNBits(50L * 1000 * 1000 * 1000)
+    assert(b100tb >= 22 && b100tb <= 48)
+    assert(Similarity.suggestedNBits(Long.MaxValue) === 48)
+    // monotone
+    val sizes = Seq(1L, 1000L, 1000000L, 1000000000L, 1000000000000L)
+    assert(sizes.map(Dedup.suggestedBands(_)) === sizes.map(Dedup.suggestedBands(_)).sorted)
+    assert(sizes.map(Similarity.suggestedNBits(_)) ===
+      sizes.map(Similarity.suggestedNBits(_)).sorted)
+  }
+
+  test("connected components: chain longer than maxIter surfaces non-convergence") {
+    // a 30-node path graph: min-label propagation moves the label one
+    // hop per iteration, so maxIter=3 cannot converge
+    val chain = (0 until 29).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val partial = Dedup.connectedComponentsWithStats(chain, maxIter = 3)
+    assert(!partial.converged)
+    assert(partial.iterations === 3)
+    // partial labels are over-split, never over-merged
+    assert(partial.components.select("component").distinct().count() > 1)
+    // enough iterations → converged flag and a single component
+    val full = Dedup.connectedComponentsWithStats(chain, maxIter = 40)
+    assert(full.converged)
+    assert(full.components.select("component").distinct().count() === 1)
+    assert(full.components.count() === 30)
+    assert(full.components.filter(col("component") =!= 0L).count() === 0)
+  }
+
   test("near-dup groups: transitive closure merges chained pairs") {
     val chained = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"),

@@ -89,4 +89,18 @@ class PolicySpec extends SparkSpec {
     assert(r.getString(1) === "eurlex_all")
     assert(r.getString(5) === "main")
   }
+
+  test("plan: candidate side crosses exactly one shuffle Exchange") {
+    import spark.implicits._
+    val df = Seq(
+      "https://eur-lex.europa.eu/eli/reg/2024/1689",
+      "https://commission.europa.eu/news-and-media/news_en/a",
+      "https://random.blog.example/post").toDF("url")
+    val out = Policy.evaluateSource(spark, df, "url")
+    // AQE wraps the plan, so count shuffle nodes in the rendered tree
+    val s = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(s).length === 1, s)
+    // and both dimension joins are broadcast
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"), s)
+  }
 }

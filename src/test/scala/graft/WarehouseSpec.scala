@@ -79,4 +79,105 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.domainTable("regulation_items").read.count() === 0)
     assert(wh.domainTable("links").read.count() === 0)
   }
+
+  // ---- hash-bucket partitioned tables (partition-pruned mutation) ----
+
+  private def bkv(n: Int = 4): Table = {
+    val wh = new Warehouse(spark, tmpDir("whb"))
+    wh.table("kv", StructType(Seq(
+      StructField("k", StringType), StructField("v", IntegerType))),
+      Seq("k"), numBuckets = n)
+  }
+
+  /** Recursive (relativePath, size, mtime) snapshot of a table dir. */
+  private def snapshot(dir: String): Map[String, (Long, Long)] = {
+    val root = new java.io.File(dir)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(root).filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getPath.stripPrefix(root.getPath),
+        (f.length(), f.lastModified()))).toMap
+  }
+
+  test("bucketed: read hides _kb and preserves schema order") {
+    val t = bkv()
+    t.append(Seq(("a", 1), ("b", 2)).toDF("k", "v"))
+    assert(t.read.schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(t.read.count() === 2)
+  }
+
+  test("bucketed: upsert merges by key and is idempotent") {
+    val t = bkv()
+    t.append((1 to 40).map(i => (s"k$i", i)).toDF("k", "v"))
+    val updates = Seq(("k7", 700), ("new1", 1000)).toDF("k", "v")
+    t.upsert(updates)
+    t.upsert(updates)
+    val got = t.read.as[(String, Int)].collect().toMap
+    assert(got.size === 41)
+    assert(got("k7") === 700)
+    assert(got("new1") === 1000)
+    assert(got("k8") === 8)
+  }
+
+  test("bucketed: 1-row upsert leaves untouched bucket partitions' files unchanged") {
+    val t = bkv()
+    t.append((1 to 200).map(i => (s"k$i", i)).toDF("k", "v"))
+    val before = snapshot(t.dir)
+    assert(new java.io.File(t.dir).listFiles().count(_.getName.startsWith("_kb=")) > 1)
+    t.upsert(Seq(("k17", -17)).toDF("k", "v"))
+    val after = snapshot(t.dir)
+    val changed = after.keySet.diff(before.keySet) ++
+      before.keySet.diff(after.keySet) ++
+      after.keySet.intersect(before.keySet).filter(p => before(p) != after(p))
+    // every changed file lives in exactly one bucket directory
+    val touchedBuckets = changed.map(_.split("/").find(_.startsWith("_kb=")).get)
+    assert(touchedBuckets.size === 1, s"expected 1 touched bucket, got $touchedBuckets")
+    // and the other buckets' files are byte-identical with original mtimes
+    val untouched = before.keySet.filterNot(p => touchedBuckets.exists(p.contains))
+    assert(untouched.nonEmpty)
+    untouched.foreach(p => assert(before(p) === after(p), s"file $p was rewritten"))
+    assert(t.read.as[(String, Int)].collect().toMap.apply("k17") === -17)
+  }
+
+  test("bucketed: deleteWhere rewrites only buckets containing matches") {
+    val t = bkv()
+    t.append((1 to 200).map(i => (s"k$i", i)).toDF("k", "v"))
+    val before = snapshot(t.dir)
+    t.deleteWhere(col("k") === "k42")
+    val after = snapshot(t.dir)
+    val changed = after.keySet.diff(before.keySet) ++
+      before.keySet.diff(after.keySet) ++
+      after.keySet.intersect(before.keySet).filter(p => before(p) != after(p))
+    assert(changed.map(_.split("/").find(_.startsWith("_kb=")).get).size === 1)
+    assert(t.read.count() === 199)
+    assert(t.read.filter(col("k") === "k42").count() === 0)
+  }
+
+  test("bucketed: insertIfAbsent skips existing keys") {
+    val t = bkv()
+    t.append(Seq(("a", 1)).toDF("k", "v"))
+    t.insertIfAbsent(Seq(("a", 99), ("b", 2)).toDF("k", "v"))
+    assert(t.read.orderBy("k").as[(String, Int)].collect().toSeq ===
+      Seq(("a", 1), ("b", 2)))
+  }
+
+  test("bucketed: lookup prunes to one partition (PartitionFilters) and finds the row") {
+    val t = bkv(8)
+    t.append((1 to 100).map(i => (s"k$i", i)).toDF("k", "v"))
+    val q = t.lookup(Seq("k33"))
+    assert(q.as[(String, Int)].collect().toSeq === Seq(("k33", 33)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    // the bucket predicate constant-folded into the partition filter
+    assert(raw"PartitionFilters: \[[^\]]*_kb[^\]]*=[^\]]*\d".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
+  test("bucketed: deleteWhere with no matches touches nothing") {
+    val t = bkv()
+    t.append((1 to 50).map(i => (s"k$i", i)).toDF("k", "v"))
+    val before = snapshot(t.dir)
+    t.deleteWhere(col("k") === "absent")
+    assert(snapshot(t.dir) === before)
+  }
 }
