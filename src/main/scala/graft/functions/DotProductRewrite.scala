@@ -16,7 +16,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *
   * Semantics preserved exactly: same ascending-index fold, same
   * doubles; only fires when both arrays are `array<double>` and the
-  * lambda bodies are the pure `x * y` / `acc + v` shapes.
+  * lambda bodies are the pure `x * y` / `acc + v` shapes. Edge inputs
+  * too — [[DotProduct]] returns NULL for unequal lengths (zip_with
+  * null-pads, poisoning the fold) and for null elements, so ragged or
+  * nullable-element inputs produce the same NULL either way.
   */
 object DotProductRewrite extends Rule[LogicalPlan] {
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import Qhelpers._
-import graft.ext.{Dedup, Similarity}
+import graft.ext.{AnnIndex, Dedup, Similarity}
 
 /** Oracle-checked queries over the `graft.ext` dedup/similarity library
   * (SimHash, hyperplane LSH, bucketed near-dup, multi-probe ANN) —
@@ -43,6 +43,26 @@ object ExtQueries {
       .orderBy(desc("score"), asc("vec_id"))
       .limit(10)
 
+  /** X1 — same ANN top-k, but served from the PERSISTED
+    * bucket-partitioned index: build writes `bucket=` directories once,
+    * the probe prunes its scan to query-bucket ± 1 bit via
+    * `PartitionFilters` (sub-linear read; nothing recomputes
+    * signatures at query time). Results must equal [[x1_ann_topk]]. */
+  def x1_ann_index_topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    AnnIndex.build(emb, "embedding", nBits = 8, idxDir)
+    val qv = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+      .head.getSeq[Float](0).map(_.toDouble)
+    AnnIndex.topK(s, idxDir, emb.schema, "embedding", qv,
+      k = 1000, nBits = 8, probeHamming = 1)
+      .filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), col("label"),
+        round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(10)
+  }
+
   /** X2 — embedding-cosine near-dup pairs within LSH buckets. */
   def x2_cosine_neardup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "embedding",
@@ -54,6 +74,7 @@ object ExtQueries {
     "x2_simhash_pairs" -> (x2_simhash_pairs _),
     "x1_lsh_buckets" -> (x1_lsh_buckets _),
     "x1_ann_topk" -> (x1_ann_topk _),
+    "x1_ann_index_topk" -> (x1_ann_index_topk _),
     "x2_cosine_neardup" -> (x2_cosine_neardup _))
 
   /** DuckDB equivalents. SimHash / hyperplane math is hex-char
@@ -104,6 +125,16 @@ object ExtQueries {
          |SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_vec_id
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "x1_ann_topk" ->
+      s"""${bucketCte(8)}
+         |SELECT x.vec_id, x.label,
+         | ROUND(list_cosine_similarity(x.e, q.e), 6) AS score
+         |FROM b x CROSS JOIN (SELECT e, bucket FROM b WHERE vec_id = 0) q
+         |WHERE x.vec_id <> 0
+         |  AND bit_count(CAST(xor(x.bucket, q.bucket) AS BIGINT)) <= 1
+         |ORDER BY score DESC, x.vec_id ASC LIMIT 10""".stripMargin,
+    // identical semantics to x1_ann_topk — the persisted index changes
+    // the access path, never the result
+    "x1_ann_index_topk" ->
       s"""${bucketCte(8)}
          |SELECT x.vec_id, x.label,
          | ROUND(list_cosine_similarity(x.e, q.e), 6) AS score

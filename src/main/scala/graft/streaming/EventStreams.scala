@@ -156,15 +156,17 @@ object EventStreams {
   }
 
   /** foreachBatch parquet sink — the production write path: each
-    * micro-batch lands atomically under `outDir` (idempotent by
-    * batchId on retry). */
+    * micro-batch lands under `outDir/batch=<id>`, written with
+    * OVERWRITE so a batch retried after a partial/complete write
+    * replaces its own directory instead of appending duplicates —
+    * effectively-once, keyed by batchId. */
   def toParquetSink(df: DataFrame, outDir: String,
       checkpointDir: String): StreamingQuery =
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("append").parquet(s"$outDir/batch=$batchId")
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .trigger(Trigger.AvailableNow())
       .start()

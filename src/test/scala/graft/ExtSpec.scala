@@ -246,6 +246,35 @@ class ExtSpec extends SparkSpec {
     assert(!groups.contains(3L)) // isolated doc never pairs
   }
 
+  test("persisted ANN index returns the same neighbours as the inline ANN path") {
+    import graft.ext.AnnIndex
+    val emb = (0 until 60).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 2.0f, 3.0f, 4.0f)
+      else Array(-4.0f, 3.0f, -2.0f, 1.0f)
+      (i.toLong, base.map(_ * (1.0f + i / 100.0f)))
+    }.toDF("vec_id", "embedding")
+    val idxDir = tmpDir("annidx")
+    AnnIndex.build(emb, "embedding", nBits = 8, idxDir)
+    val qv = emb.filter(col("vec_id") === 0L).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    val fromIndex = AnnIndex.topK(spark, idxDir, emb.schema, "embedding",
+      qv, k = 100, nBits = 8, probeHamming = 1)
+      .filter(col("vec_id") =!= 0L)
+      .select("vec_id", "score").as[(Long, Double)].collect()
+      .sortBy { case (id, s) => (-s, id) }.take(5).toSeq
+    val inline = Similarity.annTopK(emb, "embedding", lit(0L), "vec_id",
+      k = 5, nBits = 8, probeHamming = 1)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    assert(fromIndex === inline)
+    // driver-side signature matches the executor-side one
+    val sigDriver = AnnIndex.signatureOf(qv, 8)
+    val sigSpark = Similarity.lshBuckets(emb.filter(col("vec_id") === 0L),
+      "embedding", 8).select("bucket").as[Long].head()
+    assert(sigDriver === sigSpark)
+    // probe set size: 1 + nBits for hamming 1
+    assert(AnnIndex.probeBuckets(sigDriver, 8, 1).distinct.length === 9)
+  }
+
   test("MLlib BRP-LSH: cosine kNN and near-dup pairs on unit vectors") {
     import graft.ext.MllibAnn
     val emb = (0 until 40).map { i =>

@@ -35,6 +35,27 @@ class FunctionsSpec extends SparkSpec {
     assert(got.toSeq === Seq(Some(11.0), None))
   }
 
+  test("dot_product matches the HOF fold on ragged and null-element inputs") {
+    // zip_with null-pads unequal lengths and a null element poisons the
+    // fold → NULL; the native expression must agree or the optimizer
+    // rewrite would change user results
+    val df = Seq(
+      (Some(Seq(Some(1.0), Some(2.0), Some(3.0))), Some(Seq(Some(4.0), Some(5.0)))), // ragged
+      (Some(Seq(Some(1.0), None)), Some(Seq(Some(3.0), Some(4.0)))),                 // null elem
+      (Some(Seq(Some(1.0), Some(2.0))), Some(Seq(Some(3.0), Some(4.0)))),            // clean
+      (None, Some(Seq(Some(1.0)))))                                                  // null array
+      .toDF("a", "b")
+    val got = df.select(
+      VectorFunctions.dot_product(col("a"), col("b")).as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, v) -> s + v)")
+        .as("hof"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    got.foreach { case (n, h) => assert(n === h) }
+    assert(got.map(_._1).toSeq === Seq(None, None, Some(11.0), None))
+  }
+
   test("dot_product is callable from SQL via the function registry") {
     // same builder GraftExtensions injects; registered directly here
     // because the shared test session is already built (extensions

@@ -53,4 +53,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("persisted ANN index probe prunes the scan to probed bucket partitions") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idxDir = tmpDir("annidx-plan")
+    graft.ext.AnnIndex.build(e, "embedding", nBits = 8, idxDir)
+    val qv = e.filter(col("vec_id") === 0L).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    val q = graft.ext.AnnIndex.topK(spark, idxDir, e.schema, "embedding",
+      qv, k = 10, nBits = 8, probeHamming = 1)
+    val p = q.queryExecution.executedPlan.toString
+    // bucket=… lives in directory names: the probe IN-list must appear
+    // as PartitionFilters (planning-time pruning), not a data Filter
+    assert(p.contains("PartitionFilters"), p)
+    assert(raw"PartitionFilters: \[[^\]]*bucket[^\]]*".r.findFirstIn(p).isDefined, p)
+    // and the full index is never scanned: 9 probes max out of 256 buckets
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(scanned.nonEmpty && scanned.head <= 9, s"scanned=$scanned")
+  }
 }
