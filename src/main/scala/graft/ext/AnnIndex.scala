@@ -20,10 +20,14 @@ object AnnIndex {
 
   /** One pass over `emb`: signature → write partitioned by bucket.
     * Rows keep every input column; `bucket` lives only in directory
-    * names. Shuffle-free (signatures are per-row; the write task's
-    * dynamic partitioning splits files per bucket). */
+    * names. The pre-write `repartition(bucket)` clusters each bucket
+    * into one task so the dynamic-partition write emits one file per
+    * bucket — without it every task writes a sliver into every bucket
+    * directory (tasks × buckets small files, the classic partitionBy
+    * mistake). */
   def build(emb: DataFrame, embCol: String, nBits: Int, dir: String): Unit =
     Similarity.lshBuckets(emb, embCol, nBits)
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
 
   /** Read back with the data schema declared (never inferred — one

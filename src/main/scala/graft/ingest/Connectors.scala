@@ -101,6 +101,82 @@ object Connectors {
     }
   }
 
+  // ---- S6: binary document extraction (ref globalautoregs.ts:93-121) ----
+
+  /** Extracted text of one binary document. */
+  final case class DocText(title: String, text: String)
+
+  /** The .pdf/.docx text-extraction seam (the reference's
+    * mammoth/pdf-parse step). A real deployment drops a PDFBox/POI
+    * implementation behind this trait; the container ships no document
+    * parser, so the default is a deterministic printable-run extractor
+    * (honest stub, same pattern as
+    * [[graft.ext.Multimodal.MediaDecoder]]). */
+  trait DocExtractor extends Serializable {
+    def extractText(path: String, content: Array[Byte]): DocText
+  }
+
+  /** Deterministic fake parser: printable-ASCII runs of ≥ 4 chars
+    * become the text (works verbatim for text-bearing fixtures and
+    * uncompressed PDF text operators); first run is the title. */
+  final class PrintableTextExtractor(maxChars: Int = 20000) extends DocExtractor {
+    override def extractText(path: String, content: Array[Byte]): DocText = {
+      val raw = new String(
+        if (content == null) Array.empty[Byte] else content, "ISO-8859-1")
+      val runs = "[\\x20-\\x7E]{4,}".r.findAllIn(raw).toSeq
+      val title = runs.headOption.getOrElse(
+        path.substring(path.lastIndexOf('/') + 1))
+      DocText(title.trim.take(200), runs.mkString("\n").take(maxChars))
+    }
+  }
+
+  private case class ExtractedDoc(
+      path: String, title: String, text: String,
+      modified: java.sql.Timestamp)
+
+  /** Run the extractor over a `binaryFile` DataFrame
+    * (path/modificationTime/length/content rows): mapPartitions with
+    * one extractor per partition — the bytes stream through executors,
+    * never the driver, so a 100 TB document corpus partitions like any
+    * other scan (`maxPartitionBytes` splits across files). */
+  def extractBinaryDocs(spark: SparkSession, bin: DataFrame,
+      extractor: DocExtractor): DataFrame = {
+    import spark.implicits._
+    bin.select(col("path"), col("modificationTime"), col("content"))
+      .as[(String, java.sql.Timestamp, Array[Byte])]
+      .mapPartitions(_.map { case (p, m, c) =>
+        val dt = extractor.extractText(p, c)
+        ExtractedDoc(p, dt.title, dt.text, m)
+      }).toDF()
+  }
+
+  /** S6 — connector over a directory of fetched binary documents
+    * (`spark.read.format("binaryFile")`, glob-filtered to
+    * `.pdf`/`.docx`/`.doc`): extract text per document, map the file
+    * path to its source URL (`urlFor`), emit candidate rows. Mirrors
+    * the reference's document branch that downloads attachments and
+    * extracts their text before triage (`globalautoregs.ts:93-121`). */
+  final class BinaryDocConnector(
+      override val name: String,
+      override val rank: Int,
+      docsDir: String,
+      urlFor: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      extractor: DocExtractor = new PrintableTextExtractor(),
+      glob: String = "*.{pdf,docx,doc}") extends SourceConnector {
+    override def candidates(spark: SparkSession): DataFrame = {
+      val bin = spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob).load(docsDir)
+      extractBinaryDocs(spark, bin, extractor)
+        .select(
+          urlFor(col("path")).as("url"),
+          col("title"),
+          substring(col("text"), 1, 4000).as("content"),
+          date_format(col("modified"), "yyyy-MM-dd").as("published_date"),
+          lit(name).as("connector"),
+          lit(rank).as("connector_rank"))
+    }
+  }
+
   /** Union candidates from many connectors (D4 heterogeneous union —
     * `unionByName` with missing columns allowed). */
   def unionCandidates(spark: SparkSession, connectors: Seq[SourceConnector]): DataFrame =

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.core.Warehouse
 import graft.domain.{RuntimeConfig, Schemas, Seeder, Terms}
 import graft.ingest.Connectors
-import graft.jobs.EvidenceVerifier
+import graft.jobs.{EvidenceVerifier, RunTracker, ScanJob}
+import graft.pipeline.{HashEmbedder, RuleExtractor}
 
 class DomainServicesSpec extends SparkSpec {
   import spark.implicits._
@@ -111,6 +112,50 @@ class DomainServicesSpec extends SparkSpec {
     assert(none.count() === 0)
     assert(none.schema.fieldNames.toSeq ===
       Connectors.candidateSchema.fieldNames.toSeq)
+  }
+
+  test("S6 binary documents: binaryFile scan → text extraction → ScanJob accepts") {
+    val docsDir = tmpDir("bindocs")
+    def write(name: String, bytes: Array[Byte]): Unit = {
+      val os = new java.io.FileOutputStream(new java.io.File(docsDir, name))
+      os.write(bytes); os.close()
+    }
+    // fake PDF: non-printable junk, then text operators the extractor
+    // should surface; first run becomes the title
+    write("reg-2026.pdf",
+      Array[Byte](0x01, 0x02, 0x03) ++
+        "Binding regulation on AI Act and GDPR compliance".getBytes("US-ASCII") ++
+        Array[Byte](0x00, 0x0B) ++
+        "urgent cybersecurity rules apply".getBytes("US-ASCII"))
+    write("notes.docx",
+      "Type approval guidance for software update management".getBytes("US-ASCII"))
+    write("skip.txt", "never harvested".getBytes("US-ASCII"))
+
+    val conn = new Connectors.BinaryDocConnector(
+      "gar_docs", 0, docsDir,
+      p => concat(lit("https://eur-lex.europa.eu/docs/"),
+        regexp_extract(p, "([^/]+)$", 1)))
+    val cands = conn.candidates(spark).orderBy("url")
+    val got = cands.select("url", "title", "content", "connector")
+      .as[(String, String, String, String)].collect()
+    assert(got.length === 2) // .txt filtered out by the glob
+    assert(got(0)._1 === "https://eur-lex.europa.eu/docs/notes.docx")
+    assert(got(1)._1 === "https://eur-lex.europa.eu/docs/reg-2026.pdf")
+    assert(got(1)._2 === "Binding regulation on AI Act and GDPR compliance")
+    assert(got(1)._3.contains("urgent cybersecurity rules apply"))
+    assert(got(0)._2.startsWith("Type approval guidance"))
+
+    // e2e: the extracted candidates flow through the scan pipeline and
+    // the TIER_A domain docs are accepted into regulation_items
+    val wh = freshWarehouse()
+    new RunTracker(wh).create("run-bin", "scan", "EU", 30, t0)
+    val counters = ScanJob.run(wh, cands,
+      ScanJob.Params("run-bin", "EU", 30, 10, 0.5, t0),
+      RuleExtractor, new HashEmbedder(16))
+    assert(counters.discovered === 2)
+    val items = wh.domainTable("regulation_items").read
+    assert(items.filter(col("url").contains("eur-lex.europa.eu/docs/")).count() === 2)
+    assert(wh.domainTable("source_documents").read.count() === 2)
   }
 
   test("evidence verifier: rule verdicts with reference contract shape") {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.streaming.EventStreams
+import graft.streaming.{EventStreams, StreamingScan}
 
 /** Streaming vs batch on the same transforms (Spark unified engine).
   * Watermark semantics make streaming-append a SUBSET of batch: late
@@ -144,5 +144,67 @@ class StreamingSpec extends SparkSpec {
     val landed = spark.read.parquet(out + "/batch=*").count()
     val expected = batchEvents.filter(col("event_type") === "purchase").count()
     assert(landed === expected)
+  }
+
+  test("streaming scan pipeline: incremental ScanJob equals one batch run") {
+    import graft.core.Warehouse
+    import graft.jobs.{RunTracker, ScanJob}
+    import graft.pipeline.{HashEmbedder, RuleExtractor}
+
+    // candidate corpus across several files → several micro-batches
+    val cands = Seq(
+      ("https://eur-lex.europa.eu/eli/reg/2024/1689", "AI Act",
+        "binding regulation on ai act", "2026-01-10", "eu_news", 0),
+      ("https://unece.org/r157", "UN R157",
+        "automated driving un r157", "2026-01-12", "eu_news", 0),
+      ("https://commission.europa.eu/news-and-media/news_en/item-9", "News",
+        "guidance on type approval", "2026-01-11", "eu_news", 0),
+      ("https://random.example.org/blog", "Blog",
+        "battery blog", "2026-01-13", "web_search", 1),
+      ("https://eur-lex.europa.eu/eli/dir/2026/5", "Directive",
+        "urgent cybersecurity directive", "2026-01-09", "eu_news", 0),
+      ("https://unece.org/undated", "Undated", "gdpr note", null, "eu_news", 0))
+      .toDF("url", "title", "content", "published_date", "connector",
+        "connector_rank")
+    val candDir = tmpDir("scan-cands")
+    cands.repartition(3).write.mode("overwrite").parquet(candDir)
+
+    val params = ScanJob.Params("srun", "EU", 30, 100, 0.5, t0)
+
+    // streaming: one file per trigger → ≥3 child runs
+    val whS = new Warehouse(spark, tmpDir("wh-stream")); whS.createAll()
+    val stream = spark.readStream
+      .schema(graft.ingest.Connectors.candidateSchema)
+      .option("maxFilesPerTrigger", 1).parquet(candDir)
+    val q = StreamingScan.start(whS, stream, params,
+      RuleExtractor, new HashEmbedder(16), tmpDir("scan-cp"))
+    q.awaitTermination()
+
+    // batch: same corpus in one ScanJob
+    val whB = new Warehouse(spark, tmpDir("wh-batch")); whB.createAll()
+    new RunTracker(whB).create("brun", "scan", "EU", 30, t0)
+    ScanJob.run(whB, cands, params.copy(runId = "brun"),
+      RuleExtractor, new HashEmbedder(16))
+
+    // table parity after source exhaustion (ids are deterministic)
+    def itemKeys(wh: Warehouse) =
+      wh.domainTable("regulation_items").read
+        .select("id", "url", "trust_tier", "confidence")
+        .as[(String, String, String, Double)].collect().toSet
+    assert(itemKeys(whS) === itemKeys(whB))
+    assert(itemKeys(whS).nonEmpty)
+    def docKeys(wh: Warehouse) =
+      wh.domainTable("source_documents").read
+        .select("id").as[String].collect().toSet
+    assert(docKeys(whS) === docKeys(whB))
+    def chunkKeys(wh: Warehouse) =
+      wh.domainTable("vector_chunks").read
+        .select("id").as[String].collect().toSet
+    assert(chunkKeys(whS) === chunkKeys(whB))
+    // one child run per non-empty micro-batch, all completed
+    val runs = whS.domainTable("runs").read
+      .select("id", "status").as[(String, String)].collect()
+    assert(runs.count(_._1.startsWith("srun-b")) >= 3)
+    assert(runs.filter(_._1.startsWith("srun-b")).forall(_._2 === "completed"))
   }
 }
