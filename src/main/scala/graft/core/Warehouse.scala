@@ -45,6 +45,20 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       numBuckets = Warehouse.bucketedTables.getOrElse(name, 0))
   }
 
+  /** Transactional table (manifest commits, snapshot isolation, time
+    * travel — see [[TxTable]]): the upgrade path from the directory-swap
+    * [[Table]] for deployments that need concurrent readers or history.
+    * A given table name should use one protocol or the other, not both. */
+  def txTable(name: String, schema: StructType, keys: Seq[String],
+      numBuckets: Int = 16): TxTable =
+    new TxTable(spark, s"$root/$name", schema, keys, numBuckets)
+
+  def domainTxTable(name: String): TxTable = {
+    val (schema, keys) = graft.domain.Schemas.tables(name)
+    txTable(name, schema, keys,
+      math.max(1, Warehouse.bucketedTables.getOrElse(name, 16)))
+  }
+
   /** Create every domain table that doesn't exist yet (replaces the
     * reference's SQL migration runner, `src/db.ts:29-75`). */
   def createAll(): Unit =

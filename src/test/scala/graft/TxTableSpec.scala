@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.TxTable
+
+class TxTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tkv(n: Int = 4): TxTable =
+    new TxTable(spark, tmpDir("tx") + "/kv", StructType(Seq(
+      StructField("k", StringType), StructField("v", IntegerType))),
+      Seq("k"), numBuckets = n)
+
+  /** data-file name set of the table (excluding local-FS .crc shadows). */
+  private def dataFiles(t: TxTable): Set[String] =
+    new java.io.File(t.dir + "/data").listFiles() match {
+      case null => Set.empty
+      case fs => fs.map(_.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).toSet
+    }
+
+  test("create, append, read round-trip; version advances per commit") {
+    val t = tkv(); t.createIfAbsent()
+    assert(t.currentVersion === 0)
+    assert(t.read.count() === 0)
+    t.append(Seq(("a", 1), ("b", 2)).toDF("k", "v"))
+    assert(t.currentVersion === 1)
+    assert(t.read.orderBy("k").as[(String, Int)].collect().toSeq ===
+      Seq(("a", 1), ("b", 2)))
+  }
+
+  test("upsert merges by key, is idempotent, and only rewrites touched buckets") {
+    val t = tkv()
+    t.append((1 to 200).map(i => (s"k$i", i)).toDF("k", "v"))
+    val before = dataFiles(t)
+    val updates = Seq(("k17", -17), ("new1", 1000)).toDF("k", "v")
+    t.upsert(updates)
+    t.upsert(updates)
+    val got = t.read.as[(String, Int)].collect().toMap
+    assert(got.size === 201 && got("k17") === -17 && got("new1") === 1000)
+    // untouched buckets' data files survive in place (still referenced)
+    val after = dataFiles(t)
+    assert(before.intersect(after).nonEmpty, "untouched files must be re-linked")
+    assert(before.size === 4) // one file per bucket from the first commit
+  }
+
+  test("time travel: every version stays readable until vacuum") {
+    val t = tkv()
+    t.append(Seq(("a", 1)).toDF("k", "v"))          // v1
+    t.upsert(Seq(("a", 2)).toDF("k", "v"))          // v2
+    t.deleteWhere(col("k") === "a")                 // v3
+    assert(t.versions === Seq(0L, 1L, 2L, 3L))
+    assert(t.readVersion(1).as[(String, Int)].collect().toSeq === Seq(("a", 1)))
+    assert(t.readVersion(2).as[(String, Int)].collect().toSeq === Seq(("a", 2)))
+    assert(t.readVersion(3).count() === 0)
+  }
+
+  test("snapshot isolation: a DataFrame read before an upsert still evaluates against its snapshot") {
+    val t = tkv()
+    t.append((1 to 50).map(i => (s"k$i", i)).toDF("k", "v"))
+    val snapshot = t.read.filter(col("v") <= 10) // NOT materialized
+    t.upsert((1 to 50).map(i => (s"k$i", -i)).toDF("k", "v"))
+    // lazy evaluation AFTER the commit: old files still on disk
+    assert(snapshot.as[(String, Int)].collect().map(_._2).sorted.toSeq ===
+      (1 to 10).toSeq)
+    assert(t.read.as[(String, Int)].collect().forall(_._2 < 0))
+  }
+
+  test("upsert whose input derives from the table itself is safe without caching") {
+    val t = tkv()
+    t.append((1 to 30).map(i => (s"k$i", i)).toDF("k", "v"))
+    // classic merge-job shape: read, transform, upsert back, then reuse
+    val doubled = t.read.withColumn("v", col("v") * 2)
+    t.upsert(doubled)
+    // reusing the SAME derived frame after the commit re-reads the old
+    // snapshot's files (not the new state) — deterministic, no error
+    assert(doubled.agg(sum("v")).as[Long].head() === 2L * (1 to 30).sum)
+    assert(t.read.agg(sum("v")).as[Long].head() === 2L * (1 to 30).sum)
+  }
+
+  test("deleteWhere rewrites only matching buckets; no-match touches nothing") {
+    val t = tkv()
+    t.append((1 to 100).map(i => (s"k$i", i)).toDF("k", "v"))
+    val v = t.currentVersion
+    t.deleteWhere(col("k") === "absent")
+    assert(t.currentVersion === v) // early-out: no commit at all
+    t.deleteWhere(col("k") === "k42")
+    assert(t.read.count() === 99)
+    assert(t.readVersion(v).count() === 100)
+  }
+
+  test("insertIfAbsent skips existing keys") {
+    val t = tkv()
+    t.append(Seq(("a", 1)).toDF("k", "v"))
+    t.insertIfAbsent(Seq(("a", 99), ("b", 2)).toDF("k", "v"))
+    assert(t.read.orderBy("k").as[(String, Int)].collect().toSeq ===
+      Seq(("a", 1), ("b", 2)))
+  }
+
+  test("compact merges small files per bucket; vacuum drops unreferenced files and old versions") {
+    val t = tkv(2)
+    (1 to 6).foreach(i => t.append(Seq((s"k$i", i)).toDF("k", "v")))
+    assert(dataFiles(t).size >= 6)
+    t.compact()
+    val compacted = t.read.as[(String, Int)].collect().toMap
+    assert(compacted === (1 to 6).map(i => (s"k$i", i)).toMap)
+    t.vacuum(keepVersions = 1)
+    assert(dataFiles(t).size <= 2) // ≤ one file per bucket
+    assert(t.versions.length === 1)
+    assert(t.read.as[(String, Int)].collect().toMap === compacted)
+  }
+
+  test("truncate commits an empty version; history retained") {
+    val t = tkv()
+    t.append(Seq(("a", 1)).toDF("k", "v"))
+    val v = t.currentVersion
+    t.truncate()
+    assert(t.read.count() === 0)
+    assert(t.readVersion(v).count() === 1)
+  }
+}
