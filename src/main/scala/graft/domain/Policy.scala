@@ -66,26 +66,24 @@ object Policy {
     * Adds: `canonical_url, s_domain, profile_id, trust_tier,
     * monitoring_stage, requires_review, route, eval_reason`.
     *
-    * Plan shape: input ⟕ broadcast(profiles) on domain equality +
-    * path-prefix + query-param containment (first profile in file
-    * order wins, like the reference's `Array.find`,
-    * `policy.ts:108`) ⟕ broadcast(tier-domains) contains-match
-    * fallback (`policy.ts:163-170`), then ONE `groupBy(_row_id)`
-    * aggregation picks both winners via `min_by(struct, order)` —
-    * profile coalesced over tier over quarantine literals. Both
-    * dimension sides are tiny → broadcast hash joins; the candidate
-    * set crosses exactly one Exchange (the winner aggregation), with
-    * map-side partial aggregation absorbing the join fan-out.
+    * Plan shape: ZERO shuffles, zero joins. The policy is driver-side
+    * config, so "first profile in file order wins" (the reference's
+    * `Array.find`, `policy.ts:108`) compiles to an ordered
+    * `coalesce(when(match₁, profile₁), when(match₂, profile₂), …)`
+    * scalar expression, and the domain-tier fallback
+    * (`policy.ts:163-170`) to the same fold over tiers in rank order.
+    * V4 becomes a pure projection — map-only at any scale, inside
+    * whole-stage codegen, nothing exchanged regardless of candidate
+    * count. (A policy with thousands of profiles would flip back to a
+    * broadcast join; this one has single digits, like the reference's.)
     */
   def evaluateSource(
       spark: SparkSession,
       df: DataFrame,
       urlCol: String,
       policy: TrustPolicy = referencePolicy): DataFrame = {
-    import spark.implicits._
 
     val canon = df
-      .withColumn("_row_id", monotonically_increasing_id())
       .withColumn("canonical_url", OntoFunctions.canonicalizeUrl(col(urlCol)))
       .withColumn("s_domain", OntoFunctions.safeDomain(col("canonical_url")))
       .withColumn("s_path",
@@ -96,64 +94,65 @@ object Policy {
         "transform(filter(split(s_query, '&'), p -> p != ''), " +
           "p -> struct(split(p, '=')[0] AS k, split(p, '=')[1] AS v))")))
 
-    val profiles = policy.profiles.zipWithIndex.map { case (p, i) =>
-      (i, p.id, p.domain, p.path, p.tier, p.stage, p.requiresReview, p.requiredQueryParams)
-    }.toDF("p_order", "p_id", "p_domain", "p_path", "p_tier", "p_stage",
-      "p_requires_review", "p_params")
-
     // required_query_params ⊆ url params (`policy.ts:149-161`); a
-    // missing param yields NULL → non-match, same as the reference.
-    val paramOk = expr(
-      "forall(map_entries(p_params), e -> array_contains(e.value, s_params[e.key]))")
+    // missing param yields NULL → when() non-match, same as the
+    // reference's strict containment.
+    def paramOk(p: Profile): Column =
+      p.requiredQueryParams.map { case (k, vs) =>
+        array_contains(array(vs.map(lit): _*), col("s_params").getItem(k))
+      }.foldLeft(lit(true))(_ && _)
 
-    val tierOrder = Terms.TrustTiers.zipWithIndex.toMap
-    val tierFallbacks = policy.tierDomains.toSeq
-      .flatMap { case (tier, ds) => ds.map(d => (tier, d, tierOrder(tier))) }
-      .toDF("t_tier", "t_domain", "t_order")
+    def profileMatch(p: Profile): Column =
+      col("s_domain") === lit(p.domain) &&
+        col("s_path").startsWith(lit(p.path)) && paramOk(p)
 
-    // Fan out to every matching profile AND every matching tier-domain
-    // (both broadcast, no shuffle), then pick both winners in a single
-    // aggregation. `min_by` skips rows whose ordering expr is null, so
-    // unmatched left-outer rows yield a null winner struct.
-    val joined = canon
-      .join(broadcast(profiles),
-        col("s_domain") === col("p_domain") &&
-          col("s_path").startsWith(col("p_path")) && paramOk,
-        "left_outer")
-      .join(broadcast(tierFallbacks),
-        col("s_domain").contains(col("t_domain")),
-        "left_outer")
+    val pType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("p_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("p_tier",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("p_stage",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("p_requires_review",
+        org.apache.spark.sql.types.BooleanType)))
+    // ordered coalesce-of-whens = Array.find over profiles in file order
+    val pick = coalesce(policy.profiles.map(p =>
+      when(profileMatch(p), struct(
+        lit(p.id).as("p_id"), lit(p.tier).as("p_tier"),
+        lit(p.stage).as("p_stage"),
+        lit(p.requiresReview).as("p_requires_review")))) :+
+      lit(null).cast(pType): _*)
 
-    val carry = canon.columns.filterNot(
-      Set("_row_id", "s_path", "s_query", "s_params"))
-    val pickProfile = min_by(
-      struct(col("p_id"), col("p_tier"), col("p_stage"), col("p_requires_review")),
-      when(col("p_id").isNotNull, col("p_order"))).as("_p")
-    val pickTier = min_by(struct(col("t_tier")),
-      when(col("t_tier").isNotNull, col("t_order"))).as("_t")
-    val winners = joined.groupBy("_row_id")
-      .agg(pickProfile, (pickTier +: carry.map(c => first(col(c)).as(c))): _*)
+    // tier fallback in rank order; within a tier any listed domain
+    // substring matches (`policy.ts:163-170`)
+    val tierPick = coalesce(Terms.TrustTiers
+      .filter(policy.tierDomains.contains).map { tier =>
+        val anyDomain = policy.tierDomains(tier)
+          .map(d => col("s_domain").contains(lit(d)))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        when(anyDomain, lit(tier))
+      } :+ lit(null).cast("string"): _*)
 
-    winners
+    canon
+      .withColumn("_p", pick)
+      .withColumn("_t", tierPick)
       .withColumn("profile_id", col("_p.p_id"))
       .withColumn("trust_tier",
-        coalesce(col("_p.p_tier"), col("_t.t_tier"), lit("TIER_D_QUARANTINE")))
+        coalesce(col("_p.p_tier"), col("_t"), lit("TIER_D_QUARANTINE")))
       .withColumn("monitoring_stage",
         coalesce(col("_p.p_stage"),
-          when(col("_t.t_tier").isNotNull, "Official"), lit("Drafting")))
+          when(col("_t").isNotNull, "Official"), lit("Drafting")))
       .withColumn("requires_review",
         coalesce(col("_p.p_requires_review"),
-          when(col("_t.t_tier").isNotNull, col("_t.t_tier") =!= "TIER_A_BINDING"),
+          when(col("_t").isNotNull, col("_t") =!= "TIER_A_BINDING"),
           lit(true)))
       .withColumn("route",
         when(col("trust_tier") === "TIER_A_BINDING" && !col("requires_review"),
           "main").otherwise("review_queue"))
       .withColumn("eval_reason",
         when(col("_p.p_id").isNotNull, lit(null).cast("string"))
-          .when(col("_t.t_tier").isNotNull, "domain_tier_match")
+          .when(col("_t").isNotNull, "domain_tier_match")
           .otherwise("unrecognized_domain"))
-      .select(carry.map(col) ++ Seq(col("profile_id"), col("trust_tier"),
-        col("monitoring_stage"), col("requires_review"), col("route"),
-        col("eval_reason")): _*)
+      .drop("_p", "_t", "s_path", "s_query", "s_params")
   }
 }

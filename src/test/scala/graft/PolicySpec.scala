@@ -90,17 +90,15 @@ class PolicySpec extends SparkSpec {
     assert(r.getString(5) === "main")
   }
 
-  test("plan: candidate side crosses exactly one shuffle Exchange") {
+  test("plan: evaluateSource is map-only — no shuffle, no join") {
     import spark.implicits._
     val df = Seq(
       "https://eur-lex.europa.eu/eli/reg/2024/1689",
       "https://commission.europa.eu/news-and-media/news_en/a",
       "https://random.blog.example/post").toDF("url")
     val out = Policy.evaluateSource(spark, df, "url")
-    // AQE wraps the plan, so count shuffle nodes in the rendered tree
     val s = out.queryExecution.executedPlan.toString
-    assert("Exchange hashpartitioning".r.findAllIn(s).length === 1, s)
-    // and both dimension joins are broadcast
-    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("Exchange"), s)
+    assert(!s.contains("Join"), s)
   }
 }
