@@ -60,17 +60,19 @@ object Similarity {
   }
 
   /** Random-hyperplane signature over a named double-array column:
-    * nBits sign bits of ⟨e, hp_j⟩ packed into a long (hyperplanes are
-    * literal constant arrays — zero per-row hashing). Buckets cluster
+    * nBits sign bits of ⟨e, hp_j⟩ packed into a long. Buckets cluster
     * directionally-similar vectors. `dim` must cover the embedding
-    * length (extra components are never touched). */
+    * length (extra components are never touched).
+    *
+    * Evaluated by the codegen'd
+    * [[graft.functions.HyperplaneSignature]] — one fused primitive
+    * loop with the matrix as a driver-computed constant, replacing
+    * nBits interpreted HOF folds per row (same ascending multiply-add
+    * order and `> 0.0` sign rule: bit-identical signatures, DuckDB
+    * oracle parity unchanged). */
   def hyperplaneSignature(embCol: String, nBits: Int, dim: Int = 512): Column =
-    (0 until nBits).map { j =>
-      val hp = array((0 until dim).map(i => lit(hyperplane(j, i))): _*)
-      when(aggregate(
-        zip_with(col(embCol), slice(hp, lit(1), size(col(embCol))), (x, h) => x * h),
-        lit(0.0), (s, v) => s + v) > 0.0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
+    graft.functions.VectorFunctions.hyperplane_signature(
+      col(embCol), Array.tabulate(nBits, dim)(hyperplane))
 
   /** Bucket histogram — the data layout a cluster deployment would
     * persist (partition-by-bucket) for sub-linear ANN reads. */

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -97,9 +97,102 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Packed sign-bit signature ⟨e, hp_j⟩ > 0 for j < nBits over a
+  * constant hyperplane matrix (random-hyperplane LSH). The pure-SQL
+  * formulation evaluates nBits interpreted `aggregate(zip_with(…))`
+  * folds per row; this is the same arithmetic — ascending-index
+  * multiply-add per plane, strict `> 0.0` sign rule — as one fused
+  * primitive loop with the matrix held as a JVM reference object.
+  *
+  * Fold-edge parity with the HOF form (`zip_with` null-pads):
+  * an embedding longer than the matrix row, or containing a null
+  * element, poisons every plane's sum to NULL → every bit 0 → the
+  * signature is 0L, exactly as the SQL fold produces. */
+case class HyperplaneSignature(child: Expression,
+    hyperplanes: Array[Array[Double]])
+    extends UnaryExpression {
+
+  private def nBits = hyperplanes.length
+  private def dim = if (nBits == 0) 0 else hyperplanes(0).length
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_signature expects array<double>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  private lazy val containsNull: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n > dim) return 0L
+    if (containsNull) {
+      var i = 0
+      while (i < n) { if (a.isNullAt(i)) return 0L; i += 1 }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < nBits) {
+      val h = hyperplanes(j)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a.getDouble(i) * h(i); i += 1 }
+      if (s > 0.0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val hp = ctx.addReferenceObj("hyperplanes", hyperplanes, "double[][]")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val ok = ctx.freshName("ok")
+      val nullScan =
+        if (containsNull)
+          s"for (int $i = 0; $i < $n && $ok; $i++) { if ($a.isNullAt($i)) $ok = false; }"
+        else ""
+      s"""
+         |int $n = $a.numElements();
+         |boolean $ok = $n <= ${dim};
+         |$nullScan
+         |${ev.value} = 0L;
+         |if ($ok) {
+         |  for (int $j = 0; $j < ${nBits}; $j++) {
+         |    double[] $h = $hp[$j];
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += $a.getDouble($i) * $h[$i];
+         |    }
+         |    if ($s > 0.0) ${ev.value} |= (1L << $j);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneSignature = copy(child = newChild)
+}
+
 object VectorFunctions {
   /** ⟨a, b⟩ over two array<double> columns (codegen'd). */
   def dot_product(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProduct(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Packed LSH sign bits of an array<double> column against a
+    * constant hyperplane matrix (codegen'd). */
+  def hyperplane_signature(e: Column, hyperplanes: Array[Array[Double]]): Column =
+    GraftSqlBridge.column(HyperplaneSignature(
+      GraftSqlBridge.expression(e), hyperplanes))
 }

@@ -71,6 +71,31 @@ class FunctionsSpec extends SparkSpec {
     assert(r === 11.0)
   }
 
+  test("hyperplane_signature matches the HOF fold formulation bit-for-bit") {
+    import graft.ext.Similarity
+    val nBits = 8; val dim = 16
+    val emb = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(6)(d => math.sin(i * 7 + d) * (d + 1)))
+    }.toDF("id", "e")
+    // the declarative formulation the native expression replaced
+    val hofBits = (0 until nBits).map { j =>
+      val hp = array((0 until dim).map(i => lit(Similarity.hyperplane(j, i))): _*)
+      when(aggregate(
+        zip_with(col("e"), slice(hp, lit(1), size(col("e"))), (x, h) => x * h),
+        lit(0.0), (s, v) => s + v) > 0.0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    val got = emb.select(
+      Similarity.hyperplaneSignature("e", nBits, dim).as("native"),
+      hofBits.as("hof")).as[(Long, Long)].collect()
+    got.foreach { case (n, h) => assert(n === h) }
+    assert(got.map(_._1).distinct.length > 1) // non-degenerate fixture
+    // HOF edge parity: a null element poisons every plane → 0L
+    val withNull = Seq(Seq[Option[Double]](Some(1.0), None)).toDF("e")
+      .select(col("e").cast(ArrayType(DoubleType)).as("e"))
+    assert(withNull.select(Similarity.hyperplaneSignature("e", nBits, dim))
+      .as[Long].head() === 0L)
+  }
+
   test("min_salted_md5 equals the declarative array_min(transform(md5)) form") {
     val df = Seq(
       (Seq("alpha", "beta", "gamma"), "0"),
