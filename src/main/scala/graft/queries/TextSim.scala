@@ -157,6 +157,49 @@ object TextSim {
       .orderBy("id_a", "id_b")
   }
 
+  /** X2 — char-3-gram shingle Jaccard over MINHASH-LSH candidate
+    * pairs: the scale path end to end (blocking by shared band, never
+    * a theta join over the corpus; `x2_jaccard_pairs` keeps the
+    * bounded exact-verify demo). Shingles catch near-dups that word
+    * sets miss (reordered words, small edits). */
+  def x2_shingle_jaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 120)
+    val pairs = graft.ext.Dedup
+      .lshCandidatePairs(docs, "doc_id", "text", nBands = 4)
+    val sh = docs
+      .withColumn("lt", lower(col("text")))
+      .select(col("doc_id"),
+        expr("array_distinct(CASE WHEN length(lt) >= 3 THEN " +
+          "transform(sequence(1, length(lt) - 2), i -> substring(lt, i, 3)) " +
+          "ELSE array() END)").as("sh"))
+    val jac =
+      size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+        size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType)
+    pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("_j", jac)
+      .filter(col("_j") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("_j"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** X4 — BPE-ish token counting: letter runs / digit runs / single
+    * punctuation marks (the shape of GPT-style pre-tokenization),
+    * next to whitespace tokens, with the per-doc ratio. */
+  def x4_bpe_tokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, " +
+          "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)")).cast(LongType)
+          .as("n_bpe"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast(LongType)
+          .as("n_ws"))
+      .withColumn("bpe_per_ws",
+        round(col("n_bpe").cast(DoubleType) / col("n_ws").cast(DoubleType), 6))
+      .orderBy("doc_id")
+
   /** X1 — brute-force cosine top-k over the embedding column: the
     * exact baseline for ANN. Query vector broadcast; per-row dot
     * product in double precision; top-k via TakeOrdered (no global
@@ -238,6 +281,8 @@ object TextSim {
     "x3_exact_dedup" -> (x3_exact_dedup _),
     "x2_minhash_buckets" -> (x2_minhash_buckets _),
     "x2_jaccard_pairs" -> (x2_jaccard_pairs _),
+    "x2_shingle_jaccard" -> (x2_shingle_jaccard _),
+    "x4_bpe_tokens" -> (x4_bpe_tokens _),
     "x1_cosine_topk" -> (x1_cosine_topk _),
     "x1_label_stats" -> (x1_label_stats _))
 
@@ -339,6 +384,44 @@ object TextSim {
         | ON a.doc_id < b.doc_id) p
         |WHERE CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
+    "x2_shingle_jaccard" ->
+      """WITH d AS (
+        | SELECT doc_id, lower(text) AS lt,
+        |  list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS ws
+        | FROM documents WHERE doc_id < 120),
+        |sigs AS (
+        | SELECT doc_id, b.band,
+        |  list_aggregate(list_transform(ws,
+        |    w -> md5(CAST(b.band AS VARCHAR) || ':' || w)), 'min') AS sig
+        | FROM d CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS band) b),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+        | FROM sigs a JOIN sigs bb
+        |  ON a.band = bb.band AND a.sig = bb.sig AND a.doc_id < bb.doc_id),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   range(0, greatest(len(lt) - 2, 0)),
+        |   i -> substr(lt, CAST(i AS INT) + 1, 3))) AS sh
+        | FROM d)
+        |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM (
+        | SELECT c.id_a, c.id_b,
+        |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+        |   CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS j
+        | FROM cand c
+        | JOIN sh x ON x.doc_id = c.id_a
+        | JOIN sh y ON y.doc_id = c.id_b) p
+        |WHERE j >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x4_bpe_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text,
+        |   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe,
+        | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
+        | ROUND(CAST(len(regexp_extract_all(text,
+        |     '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS DOUBLE) /
+        |   CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 6)
+        |   AS bpe_per_ws
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     "x1_cosine_topk" ->
       """SELECT e.vec_id, e.label,
         | ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score
