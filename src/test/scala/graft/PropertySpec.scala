@@ -185,4 +185,60 @@ class PropertySpec extends SparkSpec {
       assert(reviewReasons.forall(r => r != null && r.nonEmpty))
     }
   }
+
+  test("TxTable agrees with an in-memory model over random op sequences") {
+    import graft.core.TxTable
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+    sealed trait Op
+    case class Append(rows: Seq[(String, Int)]) extends Op
+    case class Upsert(rows: Seq[(String, Int)]) extends Op
+    case class InsertIfAbsent(rows: Seq[(String, Int)]) extends Op
+    case class Delete(threshold: Int) extends Op
+    case object Truncate extends Op
+
+    val key: Gen[String] = Gen.choose(0, 12).map(i => s"k$i")
+    val rowsGen: Gen[Seq[(String, Int)]] = for {
+      n <- Gen.choose(1, 5)
+      ks <- Gen.listOfN(n, key)
+      vs <- Gen.listOfN(n, Gen.choose(-50, 50))
+    } yield ks.zip(vs).distinctBy(_._1)
+    val opGen: Gen[Op] = Gen.frequency(
+      3 -> rowsGen.map(Append),
+      4 -> rowsGen.map(Upsert),
+      2 -> rowsGen.map(InsertIfAbsent),
+      2 -> Gen.choose(-20, 20).map(Delete),
+      1 -> Gen.const(Truncate))
+    val seqGen: Gen[List[Op]] = Gen.choose(3, 7).flatMap(Gen.listOfN(_, opGen))
+
+    forAll(seqGen, trials = 4) { ops =>
+      val t = new TxTable(spark, tmpDir("txprop") + "/t", StructType(Seq(
+        StructField("k", StringType), StructField("v", IntegerType))),
+        Seq("k"), numBuckets = 3)
+      // model: append keeps EVERY row (multiset); keyed ops see any
+      // row per key, matching Table/TxTable's dropDuplicates contract —
+      // restrict appends to fresh keys to keep the model deterministic
+      var model = Map.empty[String, Int]
+      ops.foreach {
+        case Append(rows) =>
+          val fresh = rows.filterNot { case (k, _) => model.contains(k) }
+          t.append(fresh.toDF("k", "v")); model ++= fresh
+        case Upsert(rows) =>
+          t.upsert(rows.toDF("k", "v")); model ++= rows
+        case InsertIfAbsent(rows) =>
+          t.insertIfAbsent(rows.toDF("k", "v"))
+          model ++= rows.filterNot { case (k, _) => model.contains(k) }
+        case Delete(th) =>
+          t.deleteWhere(col("v") >= th)
+          model = model.filterNot { case (_, v) => v >= th }
+        case Truncate =>
+          t.truncate(); model = Map.empty
+      }
+      val got = t.read.as[(String, Int)].collect().toMap
+      assert(got === model, s"ops=$ops")
+      // version count == committed mutations (+ v0), each time-travelable
+      assert(t.versions.nonEmpty)
+      assert(t.readVersion(0).count() === 0)
+    }
+  }
 }
