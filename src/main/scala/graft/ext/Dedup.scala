@@ -174,15 +174,30 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame =
     connectedComponentsWithStats(pairs, maxIter).components
 
-  /** End-to-end near-dup grouping: MinHash-LSH candidates → exact
-    * Jaccard verification → transitive closure into components. */
-  def nearDupGroups(df: DataFrame, idCol: String, textCol: String,
-      nBands: Int, threshold: Double): DataFrame = {
-    val verified = jaccardVerify(
-      lshCandidatePairs(df, idCol, textCol, nBands), df, idCol, textCol,
-      threshold)
-    connectedComponents(verified.select("id_a", "id_b"))
+  /** Full evidence of an end-to-end near-dup run: the component
+    * labels, the recall ledger of capped LSH buckets, and the
+    * propagation convergence facts — everything an ops dashboard needs
+    * to trust (or distrust) a 100 TB dedup pass. */
+  final case class NearDupStats(components: DataFrame, dropped: DataFrame,
+      converged: Boolean, iterations: Int)
+
+  /** End-to-end near-dup grouping with nothing silent: MinHash-LSH
+    * candidates (dropped buckets reported) → exact Jaccard
+    * verification → transitive closure (convergence reported). */
+  def nearDupGroupsWithStats(df: DataFrame, idCol: String, textCol: String,
+      nBands: Int, threshold: Double, maxBucket: Int = 1000,
+      maxIter: Int = 10): NearDupStats = {
+    val cand = lshCandidatePairsWithStats(df, idCol, textCol, nBands, maxBucket)
+    val verified = jaccardVerify(cand.pairs, df, idCol, textCol, threshold)
+    val cc = connectedComponentsWithStats(
+      verified.select("id_a", "id_b"), maxIter)
+    NearDupStats(cc.components, cand.dropped, cc.converged, cc.iterations)
   }
+
+  /** Labels-only view of [[nearDupGroupsWithStats]]. */
+  def nearDupGroups(df: DataFrame, idCol: String, textCol: String,
+      nBands: Int, threshold: Double): DataFrame =
+    nearDupGroupsWithStats(df, idCol, textCol, nBands, threshold).components
 
   /** Portable 16-bit SimHash over a named word-array column: bit b of
     * md5(w) votes ±1; sign of the vote sum sets bit b. Hex-char

@@ -58,6 +58,64 @@ object IvfIndex {
       .withColumn("ivf_list", assignCol(model, "_ed"))
       .drop("_ed")
 
+  // ---- persisted index (round-2: the IVF twin of ext.AnnIndex) ----
+
+  /** Build + persist: inverted lists as `ivf_list=` parquet partitions
+    * (one file per list) with the centroid matrix as a tiny sidecar
+    * table. One corpus pass; probes then read nProbe directories. */
+  def buildPersisted(emb: DataFrame, embCol: String, nLists: Int,
+      dir: String, seed: Long = 42L): Model = {
+    val m = fit(emb, embCol, nLists, seed)
+    assign(emb, embCol, m)
+      .repartition(col("ivf_list"))
+      .write.mode("overwrite").partitionBy("ivf_list")
+      .parquet(s"$dir/data")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    m.centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("idx", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    m
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    val rows = spark.read.parquet(s"$dir/centroids")
+      .orderBy("idx").collect()
+    Model(rows.map(_.getSeq[Double](1).toArray))
+  }
+
+  /** nProbe nearest list ids to a query vector — driver-side argsort
+    * over the (tiny) centroid matrix; ties break by index like the
+    * relational path. */
+  def probeLists(m: Model, queryVec: Seq[Double], nProbe: Int): Seq[Int] =
+    m.centroids.zipWithIndex.map { case (c, i) =>
+      val d = c.indices.foldLeft(0.0) { (s, j) =>
+        val diff = queryVec(j) - c(j); s + diff * diff
+      }
+      (d, i)
+    }.sortBy(identity).take(nProbe).map(_._2).toSeq
+
+  /** Top-k against the persisted index: `ivf_list IN probes` becomes
+    * `PartitionFilters` — nProbe of nLists directories scanned, exact
+    * cosine only inside them. */
+  def persistedTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+      dataSchema: StructType, embCol: String, queryVec: Seq[Double],
+      k: Int, nProbe: Int): DataFrame = {
+    val m = loadModel(spark, dir)
+    val probes = probeLists(m, queryVec, nProbe)
+    val q = array(queryVec.map(lit): _*)
+    spark.read
+      .schema(StructType(dataSchema.fields :+
+        StructField("ivf_list", IntegerType, nullable = false)))
+      .parquet(s"$dir/data")
+      .filter(col("ivf_list").isin(probes: _*))
+      .withColumn("_e", col(embCol).cast(ArrayType(DoubleType)))
+      .withColumn("score", Similarity.cosine(col("_e"), q))
+      .drop("_e")
+      .orderBy(desc("score"))
+      .limit(k)
+  }
+
   /** ANN top-k: probe the nProbe centroids nearest to the query
     * vector, exact cosine within their lists only. */
   def annTopK(emb: DataFrame, embCol: String, model: Model,

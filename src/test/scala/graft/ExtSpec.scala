@@ -275,6 +275,56 @@ class ExtSpec extends SparkSpec {
     assert(AnnIndex.probeBuckets(sigDriver, 8, 1).distinct.length === 9)
   }
 
+  test("persisted IVF index: probes prune to nProbe list partitions and match the in-memory path") {
+    import graft.ext.IvfIndex
+    val emb = (0 until 80).map { i =>
+      val base = i % 4 match {
+        case 0 => Array(1.0f, 2.0f, 3.0f, 4.0f)
+        case 1 => Array(-4.0f, 3.0f, -2.0f, 1.0f)
+        case 2 => Array(2.0f, -1.0f, 4.0f, -3.0f)
+        case _ => Array(-1.0f, -2.0f, -3.0f, -4.0f)
+      }
+      (i.toLong, base.map(_ * (1.0f + i / 200.0f)))
+    }.toDF("vec_id", "embedding")
+    val dir = tmpDir("ivf-idx")
+    val model = IvfIndex.buildPersisted(emb, "embedding", nLists = 4, dir)
+    assert(IvfIndex.loadModel(spark, dir).centroids.map(_.toSeq).toSeq ===
+      model.centroids.map(_.toSeq).toSeq)
+    val qv = emb.filter(col("vec_id") === 0L).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    val q = IvfIndex.persistedTopK(spark, dir, emb.schema, "embedding",
+      qv, k = 100, nProbe = 1)
+    val fromIndex = q.filter(col("vec_id") =!= 0L)
+      .select("vec_id", "score").as[(Long, Double)].collect()
+      .sortBy { case (id, s) => (-s, id) }.take(5).toSeq
+    val inline = IvfIndex.annTopK(emb, "embedding", model, lit(0L),
+      "vec_id", k = 5, nProbe = 1)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    assert(fromIndex === inline)
+    assert(fromIndex.forall { case (id, s) => id % 4 == 0 && s > 0.999 })
+    // scan is pruned to the probed list's partition directory
+    val plan = q.queryExecution.executedPlan
+    assert(plan.toString.contains("PartitionFilters"), plan.toString)
+    val scanned = plan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(scanned.nonEmpty && scanned.head === 1, s"scanned=$scanned")
+  }
+
+  test("nearDupGroupsWithStats surfaces the recall ledger and convergence") {
+    val stats = Dedup.nearDupGroupsWithStats(
+      corpus, "doc_id", "text", nBands = 4, threshold = 0.6)
+    assert(stats.converged)
+    assert(stats.dropped.isEmpty) // tiny corpus: nothing capped
+    val labels = stats.components.as[(Long, Long)].collect().toMap
+    assert(labels(0L) === 0L && labels(3L) === 0L) // exact dups grouped
+    // with a pathological cap every bucket is dropped and no groups form
+    val capped = Dedup.nearDupGroupsWithStats(
+      corpus, "doc_id", "text", nBands = 4, threshold = 0.6, maxBucket = 1)
+    assert(capped.dropped.count() > 0)
+    assert(capped.components.count() === 0)
+  }
+
   test("MLlib BRP-LSH: cosine kNN and near-dup pairs on unit vectors") {
     import graft.ext.MllibAnn
     val emb = (0 until 40).map { i =>
