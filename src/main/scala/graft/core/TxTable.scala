@@ -53,7 +53,7 @@ final class TxTable(
     val dir: String,
     val schema: StructType,
     val keys: Seq[String],
-    val numBuckets: Int = 16) {
+    val numBuckets: Int = 16) extends TableOps {
 
   require(keys.nonEmpty, "TxTable requires key columns")
   require(numBuckets > 0, "TxTable requires numBuckets > 0")

@@ -33,17 +33,40 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   * deployment this layer is where Delta/Iceberg would slot in; every
   * caller sees only the `Table` interface.
   */
-final class Warehouse(val spark: SparkSession, val root: String) {
+/** The write/read surface shared by both storage protocols — the
+  * directory-swap [[Table]] and the manifest-committed [[TxTable]].
+  * Jobs and services program against this trait, so a deployment picks
+  * its protocol with one constructor flag (`Warehouse(transactional)`),
+  * the way a real lakehouse picks parquet-dir vs Delta/Iceberg. */
+trait TableOps {
+  def exists: Boolean
+  def createIfAbsent(): Unit
+  def read: DataFrame
+  def append(df: DataFrame): Unit
+  def insertIfAbsent(df: DataFrame): Unit
+  def upsert(df: DataFrame): Unit
+  def deleteWhere(cond: Column): Unit
+  def truncate(): Unit
+  def count(): Long
+}
+
+final class Warehouse(val spark: SparkSession, val root: String,
+    /** true → domain tables use the transactional manifest protocol
+      * ([[TxTable]]: snapshot isolation, time travel); false → the
+      * swap-based [[Table]]. Same jobs run on either. */
+    val transactional: Boolean = false) {
 
   def table(name: String, schema: StructType, keys: Seq[String],
       partitionCols: Seq[String] = Nil, numBuckets: Int = 0): Table =
     new Table(spark, s"$root/$name", schema, keys, partitionCols, numBuckets)
 
-  def domainTable(name: String): Table = {
-    val (schema, keys) = graft.domain.Schemas.tables(name)
-    table(name, schema, keys,
-      numBuckets = Warehouse.bucketedTables.getOrElse(name, 0))
-  }
+  def domainTable(name: String): TableOps =
+    if (transactional) domainTxTable(name)
+    else {
+      val (schema, keys) = graft.domain.Schemas.tables(name)
+      table(name, schema, keys,
+        numBuckets = Warehouse.bucketedTables.getOrElse(name, 0))
+    }
 
   /** Transactional table (manifest commits, snapshot isolation, time
     * travel — see [[TxTable]]): the upgrade path from the directory-swap
@@ -100,7 +123,7 @@ final class Table(
     /** When > 0, add a derived `_kb = pmod(hash(keys), numBuckets)`
       * partition column; key-addressed mutations rewrite only touched
       * buckets and key lookups prune to one bucket. */
-    val numBuckets: Int = 0) {
+    val numBuckets: Int = 0) extends TableOps {
 
   import Table.BUCKET
 

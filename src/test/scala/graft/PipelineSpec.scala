@@ -237,4 +237,40 @@ class PipelineSpec extends SparkSpec {
     assert(wh.domainTable("review_queue").read
       .filter(col("status") === "rejected").count() === 1)
   }
+
+  test("full lifecycle on a transactional (TxTable) warehouse matches the swap-based one") {
+    def runAll(wh: Warehouse): (ScanJob.Counters, MergeJob.Counters) = {
+      wh.createAll()
+      new RunTracker(wh).create("run-1", "scan", "EU", 30, t0)
+      val sc = ScanJob.run(wh, candidates,
+        ScanJob.Params("run-1", "EU", 30, 10, 0.5, t0),
+        RuleExtractor, new HashEmbedder(16))
+      new RunTracker(wh).create("run-2", "merge", "EU", 0, t0)
+      val mc = MergeJob.run(wh, MergeJob.Params("run-2", "EU", 0.5, t0),
+        RuleMerger)
+      (sc, mc)
+    }
+    val swap = new Warehouse(spark, tmpDir("life-swap"))
+    val tx = new Warehouse(spark, tmpDir("life-tx"), transactional = true)
+    val (scSwap, mcSwap) = runAll(swap)
+    val (scTx, mcTx) = runAll(tx)
+    assert(scTx === scSwap)
+    assert(mcTx === mcSwap)
+    // table-level parity (created_at/ids all deterministic from t0)
+    def dump(wh: Warehouse, name: String, sortCols: Seq[String]) =
+      wh.domainTable(name).read.orderBy(sortCols.map(col): _*)
+        .collect().toSeq
+    for ((name, keys) <- Seq(
+        "regulation_items" -> Seq("id"),
+        "source_documents" -> Seq("id"),
+        "requirements" -> Seq("id"),
+        "links" -> Seq("from_type", "from_id", "to_type", "to_id", "relation"),
+        "review_queue" -> Seq("id"),
+        "vector_chunks" -> Seq("id")))
+      assert(dump(tx, name, keys) === dump(swap, name, keys), s"table $name")
+    // and the tx run left every version time-travelable
+    val items = tx.domainTxTable("regulation_items")
+    assert(items.versions.length >= 2)
+    assert(items.readVersion(0).count() === 0)
+  }
 }
