@@ -200,6 +200,50 @@ object TextSim {
         round(col("n_bpe").cast(DoubleType) / col("n_ws").cast(DoubleType), 6))
       .orderBy("doc_id")
 
+  /** X4 — term masking (the blocklist-redaction shape of PII/boiler-
+    * plate scrubbing in training pipelines): word-boundary regexp
+    * replace over a driver-side term list, with the mask count per
+    * doc. One projection pass — at 100 TB this is map-only. */
+  def x4_mask_terms(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 150)
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(lower(text), " +
+          "'\\\\b(the|a|value|table)\\\\b', 0)")).cast(LongType)
+          .as("n_masked"),
+        substring(regexp_replace(lower(col("text")),
+          "\\b(the|a|value|table)\\b", "[MASK]"), 1, 120).as("masked_head"))
+      .orderBy("doc_id")
+
+  /** X4 — repetition profile (degenerate-document detector): distinct-
+    * word ratio and the dominant word's share per doc. Shuffles once
+    * on (doc, word) with map-side partial counts; the per-doc rollup
+    * rides the same partitioning. */
+  def x4_repetition(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .filter(col("doc_id") < 150)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+    val counts = words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(desc("c"), asc("w"))
+    counts
+      .withColumn("_rn", row_number().over(byDoc))
+      .withColumn("n_words", sum(col("c")).over(Window.partitionBy("doc_id")))
+      .withColumn("n_distinct",
+        count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"),
+        col("n_words").cast(LongType).as("n_words"),
+        col("n_distinct").cast(LongType).as("n_distinct"),
+        round(col("n_distinct").cast(DoubleType) /
+          col("n_words").cast(DoubleType), 6).as("distinct_ratio"),
+        col("w").as("top_word"),
+        round(col("c").cast(DoubleType) /
+          col("n_words").cast(DoubleType), 6).as("top_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** X1 — brute-force cosine top-k over the embedding column: the
     * exact baseline for ANN. Query vector broadcast; per-row dot
     * product in double precision; top-k via TakeOrdered (no global
@@ -283,6 +327,8 @@ object TextSim {
     "x2_jaccard_pairs" -> (x2_jaccard_pairs _),
     "x2_shingle_jaccard" -> (x2_shingle_jaccard _),
     "x4_bpe_tokens" -> (x4_bpe_tokens _),
+    "x4_mask_terms" -> (x4_mask_terms _),
+    "x4_repetition" -> (x4_repetition _),
     "x1_cosine_topk" -> (x1_cosine_topk _),
     "x1_label_stats" -> (x1_label_stats _))
 
@@ -412,6 +458,32 @@ object TextSim {
         | JOIN sh y ON y.doc_id = c.id_b) p
         |WHERE j >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "x4_mask_terms" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(lower(text),
+        |   '\b(the|a|value|table)\b')) AS BIGINT) AS n_masked,
+        | substr(regexp_replace(lower(text),
+        |   '\b(the|a|value|table)\b', '[MASK]', 'g'), 1, 120) AS masked_head
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+    "x4_repetition" ->
+      """WITH w AS (
+        | SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        | FROM documents WHERE doc_id < 150),
+        |c AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+        |r AS (
+        | SELECT doc_id, w, c,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, w ASC) AS rn,
+        |  SUM(c) OVER (PARTITION BY doc_id) AS n_words,
+        |  COUNT(*) OVER (PARTITION BY doc_id) AS n_distinct
+        | FROM c)
+        |SELECT doc_id,
+        | CAST(n_words AS BIGINT) AS n_words,
+        | CAST(n_distinct AS BIGINT) AS n_distinct,
+        | ROUND(CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+        |   AS distinct_ratio,
+        | w AS top_word,
+        | ROUND(CAST(c AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS top_ratio
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "x4_bpe_tokens" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text,
