@@ -138,6 +138,28 @@ final class TxTable(
 
   def count(): Long = read.count()
 
+  /** Point lookup via MANIFEST pruning: the key's bucket is computed
+    * driver-side with the same Murmur3 (seed 42) Spark's `hash()`
+    * uses, and only that bucket's files are planned — metadata-level
+    * data skipping, no directory listing of the other buckets. */
+  def lookup(values: Seq[Any]): DataFrame = {
+    require(values.length == keys.length, s"expected ${keys.length} key values")
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    val lits = keys.zip(values).map { case (k, v) =>
+      Literal.create(v, schema(k).dataType)
+    }
+    val b = math.floorMod(
+      Murmur3Hash(lits, 42).eval(null).asInstanceOf[Int], numBuckets)
+    val files =
+      if (!exists) Nil
+      else loadManifest(currentVersion).entries
+        .filter(_._1 == b).map(_._2)
+    val keyPred = keys.zip(values).map { case (k, v) =>
+      col(k) === lit(v).cast(schema(k).dataType)
+    }.reduce(_ && _)
+    readFiles(files).filter(keyPred)
+  }
+
   // ---- writes ----
 
   /** Write `df` bucketed into fresh immutable data files; returns their

@@ -42,6 +42,9 @@ trait TableOps {
   def exists: Boolean
   def createIfAbsent(): Unit
   def read: DataFrame
+  /** Primary-key point read, pruned to the key's hash bucket when the
+    * protocol supports it (partition pruning / manifest pruning). */
+  def lookup(values: Seq[Any]): DataFrame
   def append(df: DataFrame): Unit
   def insertIfAbsent(df: DataFrame): Unit
   def upsert(df: DataFrame): Unit

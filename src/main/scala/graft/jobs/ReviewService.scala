@@ -17,7 +17,7 @@ final class ReviewService(wh: Warehouse) {
 
   def approve(reviewId: String, now: Timestamp): String = {
     val queue = wh.domainTable("review_queue")
-    val rows = queue.read.filter(col("id") === reviewId).cache()
+    val rows = queue.lookup(Seq(reviewId)).cache()
     val first = rows.limit(1).collect()
     if (first.isEmpty) return "not_found"
     val status = first(0).getAs[String]("status")
@@ -64,7 +64,7 @@ final class ReviewService(wh: Warehouse) {
 
   private def setStatus(reviewId: String, status: String, now: Timestamp): Unit = {
     val queue = wh.domainTable("review_queue")
-    queue.upsert(queue.read.filter(col("id") === reviewId)
+    queue.upsert(queue.lookup(Seq(reviewId))
       .withColumn("status", lit(status))
       .withColumn("reviewed_at", lit(now).cast(TimestampType)))
   }

@@ -30,7 +30,7 @@ final class RunTracker(wh: Warehouse) {
   }
 
   def setStatus(runId: String, status: String): Unit =
-    runs.upsert(runs.read.filter(col("id") === runId)
+    runs.upsert(runs.lookup(Seq(runId))
       .withColumn("status", lit(status)))
 
   def log(runId: String, stage: String, message: String,
@@ -61,7 +61,7 @@ final class RunTracker(wh: Warehouse) {
     val rightMap = coalesce(from_json(lit(patchJson), mapType), map().cast(mapType))
     val leftOnly = map_filter(leftMap,
       (k, _) => !array_contains(map_keys(rightMap), k))
-    runs.upsert(runs.read.filter(col("id") === runId)
+    runs.upsert(runs.lookup(Seq(runId))
       .withColumn("meta", to_json(map_concat(leftOnly, rightMap))))
   }
 
@@ -70,7 +70,7 @@ final class RunTracker(wh: Warehouse) {
 
   private def finish(runId: String, status: String, metaJson: String,
       now: Timestamp): Unit =
-    runs.upsert(runs.read.filter(col("id") === runId)
+    runs.upsert(runs.lookup(Seq(runId))
       .withColumn("status", lit(status))
       .withColumn("completed_at", lit(now))
       .withColumn("meta", lit(metaJson)))

@@ -26,6 +26,11 @@ import graft.pipeline.{Embedder, Extractor}
   * files, `maxFilesPerTrigger` bounds batch size (and therefore state
   * + shuffle width per trigger), and the warehouse tables stay the
   * single source of truth shared with batch jobs.
+  *
+  * Semantics note: `params.maxResults` (O3 head-limit) applies PER
+  * micro-batch, mirroring the reference's per-scan-run cap — a stream
+  * chunked into n batches may admit up to n× the single-batch cap.
+  * Size it for the per-trigger volume, not the lifetime total.
   */
 object StreamingScan {
 

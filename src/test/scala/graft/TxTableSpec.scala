@@ -112,6 +112,20 @@ class TxTableSpec extends SparkSpec {
     assert(t.read.as[(String, Int)].collect().toMap === compacted)
   }
 
+  test("lookup plans only the key bucket's files (manifest pruning)") {
+    val t = tkv(4)
+    t.append((1 to 100).map(i => (s"k$i", i)).toDF("k", "v"))
+    assert(dataFiles(t).size === 4) // one file per bucket
+    val q = t.lookup(Seq("k33"))
+    assert(q.as[(String, Int)].collect().toSeq === Seq(("k33", 33)))
+    val filesPlanned = q.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.length
+    }.sum
+    assert(filesPlanned === 1, s"planned $filesPlanned files, expected 1")
+    assert(t.lookup(Seq("nope")).count() === 0)
+  }
+
   test("truncate commits an empty version; history retained") {
     val t = tkv()
     t.append(Seq(("a", 1)).toDF("k", "v"))
