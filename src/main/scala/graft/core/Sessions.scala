@@ -23,6 +23,13 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // split size: 128 MiB keeps a task's input inside executor memory
+      // at any corpus size (scan parallelism = bytes / this, not files)
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      // pack many small files into one task instead of task-per-file
+      // (binaryFile doc corpora and per-run log appends produce them)
+      .config("spark.sql.files.openCostInBytes", (4L * 1024 * 1024).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

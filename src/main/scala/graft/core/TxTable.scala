@@ -252,6 +252,13 @@ final class TxTable(
     commit(stageFiles(read))
   }
 
+  def optimize(): Unit = compact()
+
+  /** Files referenced by the CURRENT version (manifest metadata — no
+    * directory listing). */
+  def dataFileCount: Int =
+    if (!exists) 0 else loadManifest(currentVersion).entries.length
+
   /** Drop manifests older than the newest `keepVersions` and delete
     * data files no retained manifest references. Bounds storage; the
     * retention window is the time-travel horizon. */

@@ -51,6 +51,11 @@ trait TableOps {
   def deleteWhere(cond: Column): Unit
   def truncate(): Unit
   def count(): Long
+  /** Small-file compaction with protocol-appropriate layout (one file
+    * per bucket partition when bucketed) — the OPTIMIZE analog. */
+  def optimize(): Unit
+  /** Current number of data files (the compaction trigger metric). */
+  def dataFileCount: Int
 }
 
 final class Warehouse(val spark: SparkSession, val root: String,
@@ -97,6 +102,22 @@ final class Warehouse(val spark: SparkSession, val root: String,
     graft.domain.Schemas.tables.keys.foreach { n =>
       domainTable(n).read.createOrReplaceTempView(n)
     }
+
+  /** Scheduled-maintenance sweep (the lakehouse OPTIMIZE job; the
+    * reference's Postgres autovacuum/index-maintenance analog):
+    * compact every domain table whose data-file count exceeds
+    * `maxFiles`. Returns table → (filesBefore, filesAfter) for the
+    * tables compacted. Run it from a cron/stream trigger between
+    * pipeline runs (single-writer). */
+  def compactAll(maxFiles: Int = 16): Map[String, (Int, Int)] =
+    graft.domain.Schemas.tables.keys.toSeq.sorted.flatMap { n =>
+      val t = domainTable(n)
+      val before = t.dataFileCount
+      if (before > maxFiles) {
+        t.optimize()
+        Some(n -> (before, t.dataFileCount))
+      } else None
+    }.toMap
 }
 
 object Warehouse {
@@ -272,6 +293,21 @@ final class Table(
       df0.sortWithinPartitions(sortCols.map(col): _*) else df0
     overwriteAtomic(df)
   }
+
+  /** OPTIMIZE default: one file per bucket partition when bucketed
+    * (the layout mutations maintain), a handful of files otherwise. */
+  def optimize(): Unit = compact(if (bucketed) 1 else 4)
+
+  def dataFileCount: Int =
+    if (!exists) 0
+    else {
+      val it = fs.listFiles(new Path(dir), true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
 
   /** Write-tmp-and-swap overwrite; readers never observe a partial
     * directory. */

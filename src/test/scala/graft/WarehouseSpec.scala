@@ -173,6 +173,26 @@ class WarehouseSpec extends SparkSpec {
       .findFirstIn(plan).isDefined, plan)
   }
 
+  test("compactAll sweeps only tables over the file threshold, preserving data") {
+    val wh = new Warehouse(spark, tmpDir("whopt"))
+    wh.createAll()
+    val logs = wh.domainTable("run_logs")
+    (1 to 20).foreach { i =>
+      logs.append(Seq((s"l$i", s"run-1", "stage", s"m$i"))
+        .toDF("id", "run_id", "stage", "message")
+        .withColumn("meta", lit(null).cast(StringType))
+        .withColumn("created_at", lit(t0).cast(TimestampType)))
+    }
+    assert(logs.dataFileCount >= 20)
+    val swept = wh.compactAll(maxFiles = 16)
+    assert(swept.contains("run_logs"))
+    val (before, after) = swept("run_logs")
+    assert(before >= 20 && after <= 4)
+    assert(wh.domainTable("run_logs").count() === 20)
+    // tables under the threshold are untouched
+    assert(!swept.contains("regulation_items"))
+  }
+
   test("bucketed: deleteWhere with no matches touches nothing") {
     val t = bkv()
     t.append((1 to 50).map(i => (s"k$i", i)).toDF("k", "v"))
