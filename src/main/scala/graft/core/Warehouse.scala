@@ -330,7 +330,14 @@ final class Table(
   /** Partition-scoped atomic swap: write `df` (which must carry `_kb`
     * and contain only rows of `buckets`) partitioned to a tmp dir, then
     * rename each touched `_kb=` directory into place. Directories of
-    * untouched buckets are never listed, read, or moved. */
+    * untouched buckets are never listed, read, or moved.
+    *
+    * Visibility caveat: each bucket's rename is atomic, but a reader
+    * planning WHILE a multi-bucket mutation is mid-swap can observe
+    * some buckets new and others old. Single-writer batch pipelines
+    * tolerate this (reads happen between jobs); deployments needing a
+    * cross-bucket atomic commit point use [[TxTable]], whose manifest
+    * rename publishes all buckets at once. */
   private def swapBuckets(df: DataFrame, buckets: Seq[Int]): Unit = {
     val token = UUID.randomUUID().toString.take(8)
     val tmp = new Path(dir + s".tmp-$token")
