@@ -200,6 +200,38 @@ object TextSim {
         round(col("n_bpe").cast(DoubleType) / col("n_ws").cast(DoubleType), 6))
       .orderBy("doc_id")
 
+  /** X4 — stratified sampling for a training mixture: per-language
+    * keep rates (en 4/16, others 8/16) decided by the first hex char
+    * of md5(doc_id) — deterministic, engine-portable, and exactly
+    * reproducible at any scale (the RNG-free `sampleBy`). Map-only
+    * until the per-stratum rollup. */
+  def x4_stratified_sample(s: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast(StringType)), 1, 1)
+    val keep = when(col("lang") === "en", h.isin("0", "1", "2", "3"))
+      .otherwise(h.isin("0", "1", "2", "3", "4", "5", "6", "7"))
+    t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy("lang")
+  }
+
+  /** X4 — leak-free train/val/test split: assignment is a pure
+    * function of md5(doc_id) (first hex char: 0 → val, 1 → test,
+    * rest → train ≈ 14/16), so re-runs, re-shards, and incremental
+    * appends can never move a document across splits. */
+  def x4_split_assign(s: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast(StringType)), 1, 1)
+    t(s, dir, "documents")
+      .withColumn("split",
+        when(h === "0", "val").when(h === "1", "test").otherwise("train"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("split")
+  }
+
   /** X4 — term masking (the blocklist-redaction shape of PII/boiler-
     * plate scrubbing in training pipelines): word-boundary regexp
     * replace over a driver-side term list, with the mask count per
@@ -329,6 +361,8 @@ object TextSim {
     "x4_bpe_tokens" -> (x4_bpe_tokens _),
     "x4_mask_terms" -> (x4_mask_terms _),
     "x4_repetition" -> (x4_repetition _),
+    "x4_stratified_sample" -> (x4_stratified_sample _),
+    "x4_split_assign" -> (x4_split_assign _),
     "x1_cosine_topk" -> (x1_cosine_topk _),
     "x1_label_stats" -> (x1_label_stats _))
 
@@ -458,6 +492,24 @@ object TextSim {
         | JOIN sh y ON y.doc_id = c.id_b) p
         |WHERE j >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "x4_stratified_sample" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(CASE
+        |  WHEN lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |    IN ('0','1','2','3') THEN 1
+        |  WHEN lang <> 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |    IN ('0','1','2','3','4','5','6','7') THEN 1
+        |  ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "x4_split_assign" ->
+      """SELECT split, COUNT(*) AS n_docs,
+        | MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM (
+        | SELECT doc_id,
+        |  CASE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |   WHEN '0' THEN 'val' WHEN '1' THEN 'test' ELSE 'train' END AS split
+        | FROM documents) s
+        |GROUP BY split ORDER BY split""".stripMargin,
     "x4_mask_terms" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(lower(text),
