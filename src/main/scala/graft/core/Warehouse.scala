@@ -234,6 +234,21 @@ final class Table(
     writer(fresh, SaveMode.Append).parquet(dir)
   }
 
+  /** Bucketing is a CREATION-TIME layout property: a directory written
+    * unbucketed holds root-level data files whose rows would read as
+    * `_kb = null` and silently vanish from bucket-pruned mutations.
+    * Fail fast instead; `compact()` rewrites into the bucketed layout
+    * (the one-off migration). */
+  private def assertBucketLayout(): Unit = {
+    val f = fs
+    val stray = f.listStatus(new Path(dir))
+      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (stray)
+      throw new IllegalStateException(
+        s"$dir holds unbucketed data files but numBuckets=$numBuckets; " +
+          "run compact() once to migrate the layout")
+  }
+
   /** S10/S13 — MERGE: last-writer-wins per key (matches
     * `ON CONFLICT DO UPDATE` semantics, `src/repository.ts:25-78`).
     *
@@ -245,6 +260,7 @@ final class Table(
     * rewritten; every other `_kb=` directory is untouched on disk. */
   def upsert(df: DataFrame): Unit = {
     val updates = conform(df).dropDuplicates(keys).localCheckpoint(true)
+    if (bucketed && exists) assertBucketLayout()
     if (!bucketed || !exists) {
       val keep = read.join(updates.select(keys.map(col): _*), keys, "left_anti")
       overwriteAtomic(keep.unionByName(updates))
@@ -264,6 +280,7 @@ final class Table(
     * partitions that actually contain matching rows are rewritten. */
   def deleteWhere(cond: Column): Unit = {
     val hit = coalesce(cond, lit(false))
+    if (bucketed && exists) assertBucketLayout()
     if (!bucketed || !exists) {
       overwriteAtomic(read.filter(!hit))
     } else {

@@ -21,11 +21,13 @@ final class RunTracker(wh: Warehouse) {
 
   private var logSeq = 0
 
+  /** Idempotent by runId (insert-if-absent): a streaming micro-batch
+    * replay re-creating its child run must not duplicate the row. */
   def create(runId: String, runType: String, jurisdiction: String,
       daysWindow: Int, now: Timestamp): Unit = {
     val row = Row(runId, runType, jurisdiction, daysWindow, "queued",
       now, null, null, null)
-    runs.append(spark.createDataFrame(
+    runs.insertIfAbsent(spark.createDataFrame(
       java.util.Arrays.asList(row), Schemas.runs))
   }
 

@@ -200,4 +200,31 @@ class WarehouseSpec extends SparkSpec {
     t.deleteWhere(col("k") === "absent")
     assert(snapshot(t.dir) === before)
   }
+
+  test("bucketed: mutating an unbucketed legacy layout fails fast; compact migrates it") {
+    val wh = new Warehouse(spark, tmpDir("whmig"))
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", IntegerType)))
+    // legacy writer: same dir, no bucketing
+    wh.table("kv", schema, Seq("k"))
+      .append(Seq(("a", 1), ("b", 2)).toDF("k", "v"))
+    val bucketed = wh.table("kv", schema, Seq("k"), numBuckets = 4)
+    val e = intercept[IllegalStateException] {
+      bucketed.upsert(Seq(("a", 10)).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("compact"))
+    bucketed.compact(1) // one-off layout migration
+    bucketed.upsert(Seq(("a", 10)).toDF("k", "v"))
+    assert(bucketed.read.as[(String, Int)].collect().toMap ===
+      Map("a" -> 10, "b" -> 2))
+  }
+
+  test("run creation is idempotent by id (streaming replay safety)") {
+    val wh = new Warehouse(spark, tmpDir("whrun"))
+    wh.createAll()
+    val tr = new graft.jobs.RunTracker(wh)
+    tr.create("r1", "scan", "EU", 30, t0)
+    tr.create("r1", "scan", "EU", 30, t0)
+    assert(wh.domainTable("runs").read.filter(col("id") === "r1").count() === 1)
+  }
 }
