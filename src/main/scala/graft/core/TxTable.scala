@@ -98,25 +98,37 @@ final class TxTable(
     Manifest(v, entries)
   }
 
-  /** Commit: write tmp manifest, fsync-close, rename into place. The
-    * rename IS the transaction. */
-  private def commit(entries: Seq[(Int, String)]): Long = {
+  /** Commit `entries` as version `base + 1`, where `base` is the
+    * version the writer READ its state from: write tmp manifest,
+    * fsync-close, check no one has claimed `base + 1`, rename into
+    * place. Optimistic concurrency: if another writer committed since
+    * `base` was read, the version check fails and the caller's work is
+    * rejected instead of silently dropping the other writer's commit
+    * (lost update). The exists-check + rename pair is the seam a real
+    * object-store deployment replaces with one conditional PUT. */
+  private def commit(entries: Seq[(Int, String)], base: Long): Long = {
     val f = fs
     f.mkdirs(new Path(manifestDir))
-    val v = currentVersion + 1
+    val v = base + 1
     val tmp = new Path(manifestDir, s".tmp-${UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, false)
     try out.write(entries.sortBy(_._1)
       .map { case (b, p) => s"$b\t${p.stripPrefix(s"$dataDir/")}" }
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, manifestPath(v)))
+    val target = manifestPath(v)
+    if (f.exists(target)) {
+      f.delete(tmp, false)
       throw new IllegalStateException(
-        s"commit conflict at version $v (concurrent writer?)")
+        s"commit conflict: version $v already exists (another writer " +
+          s"committed after this one read version $base)")
+    }
+    if (!f.rename(tmp, target))
+      throw new IllegalStateException(s"commit rename failed at version $v")
     v
   }
 
-  def createIfAbsent(): Unit = if (!exists) commit(Nil)
+  def createIfAbsent(): Unit = if (!exists) commit(Nil, -1L)
 
   // ---- reads ----
 
@@ -192,17 +204,19 @@ final class TxTable(
   /** S12 — append: new files, manifest = old ∪ new. */
   def append(df: DataFrame): Unit = {
     createIfAbsent()
-    val cur = loadManifest(currentVersion).entries
-    commit(cur ++ stageFiles(df))
+    val base = currentVersion
+    commit(loadManifest(base).entries ++ stageFiles(df), base)
   }
 
   /** S9 — insert keys not present (ON CONFLICT DO NOTHING). */
   def insertIfAbsent(df: DataFrame): Unit = {
     createIfAbsent()
+    val base = currentVersion
+    val cur = loadManifest(base).entries
     val incoming = df.dropDuplicates(keys)
-    val fresh = incoming.join(read.select(keys.map(col): _*), keys, "left_anti")
-    val cur = loadManifest(currentVersion).entries
-    commit(cur ++ stageFiles(fresh))
+    val fresh = incoming.join(
+      readFiles(cur.map(_._2)).select(keys.map(col): _*), keys, "left_anti")
+    commit(cur ++ stageFiles(fresh), base)
   }
 
   /** S10/S13 — MERGE, last-writer-wins per key. Only files of buckets
@@ -219,37 +233,44 @@ final class TxTable(
     val touched = updates.select(bucketExpr.as("_kb")).distinct()
       .collect().map(_.getInt(0)).toSet
     if (touched.isEmpty) return
-    val cur = loadManifest(currentVersion).entries
+    val base = currentVersion
+    val cur = loadManifest(base).entries
     val (hit, kept) = cur.partition { case (b, _) => touched(b) }
     val existing = readFiles(hit.map(_._2))
     val merged = existing
       .join(updates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(updates)
-    commit(kept ++ stageFiles(merged))
+    commit(kept ++ stageFiles(merged), base)
   }
 
   /** S16 — delete matching rows; rewrites only buckets with matches. */
   def deleteWhere(cond: Column): Unit = {
     if (!exists) return
+    val base = currentVersion
+    val cur = loadManifest(base).entries
     val hitCond = coalesce(cond, lit(false))
-    val touched = read.filter(hitCond).select(bucketExpr.as("_kb"))
+    val touched = readFiles(cur.map(_._2)).filter(hitCond)
+      .select(bucketExpr.as("_kb"))
       .distinct().collect().map(_.getInt(0)).toSet
     if (touched.isEmpty) return
-    val cur = loadManifest(currentVersion).entries
     val (hit, kept) = cur.partition { case (b, _) => touched(b) }
     val remain = readFiles(hit.map(_._2)).filter(!hitCond)
-    commit(kept ++ stageFiles(remain))
+    commit(kept ++ stageFiles(remain), base)
   }
 
   /** S17 — truncate: an empty manifest; prior versions stay readable
     * until vacuumed. */
-  def truncate(): Unit = { createIfAbsent(); commit(Nil) }
+  def truncate(): Unit = {
+    createIfAbsent()
+    commit(Nil, currentVersion)
+  }
 
   /** Rewrite the current version into one file per bucket (small-file
     * compaction; old version remains for time travel). */
   def compact(): Unit = {
     createIfAbsent()
-    commit(stageFiles(read))
+    val base = currentVersion
+    commit(stageFiles(readVersion(base)), base)
   }
 
   def optimize(): Unit = compact()

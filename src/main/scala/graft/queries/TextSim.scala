@@ -135,8 +135,11 @@ object TextSim {
       .orderBy("band", "sig")
   }
 
-  /** X2 — n-gram (word-set) Jaccard near-dup pairs over a bounded
-    * candidate set; exact distinct-set intersection/union ratio. */
+  /** X2 — n-gram (word-set) Jaccard near-dup pairs: the EXACT-VERIFY
+    * demo, deliberately bounded to 60 docs because the `id_a < id_b`
+    * theta join plans a BroadcastNestedLoopJoin (all-pairs). The scale
+    * path is [[x2_shingle_jaccard]] / `Dedup.jaccardVerify`, which
+    * block through LSH buckets and never form the full pair square. */
   def x2_jaccard_pairs(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
       .filter(col("doc_id") < 60)

@@ -126,6 +126,24 @@ class TxTableSpec extends SparkSpec {
     assert(t.lookup(Seq("nope")).count() === 0)
   }
 
+  test("foreign next-version manifest is adopted as the new base, never clobbered") {
+    val t = tkv()
+    t.append(Seq(("a", 1)).toDF("k", "v")) // v0 (create) + v1
+    // simulate another writer having committed v2 (content = v1's)
+    val mdir = t.dir + "/_manifests"
+    val v1Text = scala.io.Source.fromFile(
+      new java.io.File(mdir, "v%020d.tsv".format(1))).mkString
+    val foreign = new java.io.File(mdir, "v%020d.tsv".format(2))
+    val w = new java.io.FileWriter(foreign); w.write(v1Text); w.close()
+    // this writer reads base = 2 (the foreign commit) and builds on it
+    t.append(Seq(("b", 2)).toDF("k", "v"))
+    assert(t.currentVersion === 3)
+    assert(t.read.orderBy("k").as[(String, Int)].collect().toSeq ===
+      Seq(("a", 1), ("b", 2)))
+    // the foreign manifest is untouched in the log
+    assert(scala.io.Source.fromFile(foreign).mkString === v1Text)
+  }
+
   test("truncate commits an empty version; history retained") {
     val t = tkv()
     t.append(Seq(("a", 1)).toDF("k", "v"))
