@@ -106,15 +106,21 @@ final class Warehouse(val spark: SparkSession, val root: String,
   /** Scheduled-maintenance sweep (the lakehouse OPTIMIZE job; the
     * reference's Postgres autovacuum/index-maintenance analog):
     * compact every domain table whose data-file count exceeds
-    * `maxFiles`. Returns table → (filesBefore, filesAfter) for the
-    * tables compacted. Run it from a cron/stream trigger between
-    * pipeline runs (single-writer). */
-  def compactAll(maxFiles: Int = 16): Map[String, (Int, Int)] =
+    * `maxFiles`; transactional tables are then vacuumed to
+    * `keepVersions` so compaction reclaims space instead of doubling
+    * it (old versions' files stay until vacuum). Returns table →
+    * (filesBefore, filesAfter) for the tables compacted. Run it from a
+    * cron/stream trigger between pipeline runs (single-writer). */
+  def compactAll(maxFiles: Int = 16, keepVersions: Int = 3): Map[String, (Int, Int)] =
     graft.domain.Schemas.tables.keys.toSeq.sorted.flatMap { n =>
       val t = domainTable(n)
       val before = t.dataFileCount
       if (before > maxFiles) {
         t.optimize()
+        t match {
+          case tx: TxTable => tx.vacuum(keepVersions)
+          case _ => ()
+        }
         Some(n -> (before, t.dataFileCount))
       } else None
     }.toMap

@@ -219,6 +219,28 @@ class WarehouseSpec extends SparkSpec {
       Map("a" -> 10, "b" -> 2))
   }
 
+  test("compactAll on a transactional warehouse compacts AND vacuums to the retention window") {
+    val wh = new Warehouse(spark, tmpDir("whopt-tx"), transactional = true)
+    wh.createAll()
+    val logs = wh.domainTable("run_logs")
+    (1 to 20).foreach { i =>
+      logs.append(Seq((s"l$i", s"run-1", "stage", s"m$i"))
+        .toDF("id", "run_id", "stage", "message")
+        .withColumn("meta", lit(null).cast(StringType))
+        .withColumn("created_at", lit(t0).cast(TimestampType)))
+    }
+    assert(logs.dataFileCount >= 20)
+    val swept = wh.compactAll(maxFiles = 16, keepVersions = 1)
+    assert(swept("run_logs")._2 <= 16) // one file per non-empty bucket
+    assert(wh.domainTable("run_logs").count() === 20)
+    val tx = wh.domainTxTable("run_logs")
+    assert(tx.versions.length === 1) // retention window enforced
+    // physically reclaimed: only the retained version's files remain
+    val onDisk = new java.io.File(tx.dir + "/data").listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(onDisk === tx.dataFileCount, s"$onDisk files left after vacuum")
+  }
+
   test("run creation is idempotent by id (streaming replay safety)") {
     val wh = new Warehouse(spark, tmpDir("whrun"))
     wh.createAll()
