@@ -41,9 +41,19 @@ import org.apache.spark.sql.types.{IntegerType, StructType}
   *    files unreferenced by retained versions, `compact` rewrites a
   *    version into one file per bucket.
   *
-  * Single-writer, like the reference (merge concurrency 1,
-  * `worker.ts:26`); multi-writer needs a CAS on the manifest name —
-  * the documented seam for a lock service / conditional PUT.
+  * **Multi-writer**: commits are optimistic with retry/rebase — the
+  * reference runs scan workers at concurrency 2 against Postgres MVCC
+  * (`services/api/src/worker.ts:18`), and this matches that contract.
+  * A writer claims version `base+1` with an atomic exclusive create
+  * (`O_CREAT|O_EXCL` on local FS, server-side exclusive create on
+  * HDFS — NOT check-then-rename, which silently overwrites on POSIX
+  * rename(2)); on conflict the losing mutation re-reads the new
+  * current version, re-applies itself against that snapshot, and
+  * re-commits, up to `commitRetries` attempts. No lost updates: every
+  * committed manifest extends the version it was rebased onto. On an
+  * object store the claim is the seam a conditional PUT replaces.
+  * Files staged by a failed attempt are unreferenced and swept by
+  * `vacuum`.
   * At 100 TB: manifests list O(buckets × files-per-bucket) lines of
   * driver-side metadata (the Iceberg avro-manifest analog); bucket
   * count is sized so a bucket ≈ a few GB (see [[Warehouse]] scaladoc).
@@ -53,7 +63,8 @@ final class TxTable(
     val dir: String,
     val schema: StructType,
     val keys: Seq[String],
-    val numBuckets: Int = 16) extends TableOps {
+    val numBuckets: Int = 16,
+    val commitRetries: Int = 8) extends TableOps {
 
   require(keys.nonEmpty, "TxTable requires key columns")
   require(numBuckets > 0, "TxTable requires numBuckets > 0")
@@ -98,37 +109,103 @@ final class TxTable(
     Manifest(v, entries)
   }
 
+  private def claimPath(v: Long): Path =
+    new Path(manifestDir, f"v$v%020d.claim")
+
+  /** Atomically claim the right to commit version `v`. Exactly one
+    * caller (process- or thread-wise) wins: on the local FS this is
+    * `File.createNewFile` (`open(O_CREAT|O_EXCL)` — POSIX-atomic,
+    * unlike Hadoop's RawLocalFileSystem `create(overwrite = false)`
+    * whose exists-check races); on HDFS `create(path, false)` is an
+    * atomic server-side exclusive create. On an object store this is
+    * the conditional-PUT seam. The claim file outlives the commit (it
+    * is what makes the claim durable) and ages out with its manifest
+    * in `vacuum`. */
+  private def claimVersion(v: Long): Boolean = {
+    val claim = claimPath(v)
+    val scheme = claim.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      val local = new java.io.File(
+        if (scheme == null) claim.toString else claim.toUri.getPath)
+      try local.createNewFile()
+      catch { case _: java.io.IOException => false }
+    } else {
+      try { fs.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
+  }
+
+  /** Count of commit conflicts this instance has hit (diagnostics /
+    * tests: proves the optimistic-concurrency path was exercised). */
+  def commitConflicts: Long = conflictCounter.get()
+  private val conflictCounter = new java.util.concurrent.atomic.AtomicLong
+
+  private def conflict(v: Long, base: Long): Nothing = {
+    conflictCounter.incrementAndGet()
+    throw new TxTable.CommitConflict(
+      s"commit conflict: version $v already claimed (another writer " +
+        s"committed after this one read version $base)")
+  }
+
   /** Commit `entries` as version `base + 1`, where `base` is the
-    * version the writer READ its state from: write tmp manifest,
-    * fsync-close, check no one has claimed `base + 1`, rename into
-    * place. Optimistic concurrency: if another writer committed since
-    * `base` was read, the version check fails and the caller's work is
-    * rejected instead of silently dropping the other writer's commit
-    * (lost update). The exists-check + rename pair is the seam a real
-    * object-store deployment replaces with one conditional PUT. */
+    * version the writer READ its state from. Protocol: atomically
+    * claim `base + 1` (exclusive create — see [[claimVersion]]), then
+    * write the manifest to a tmp name and rename it into place; only
+    * the claim winner renames, so the rename can never overwrite a
+    * committed manifest. If another writer committed since `base` was
+    * read, the claim fails with [[TxTable.CommitConflict]] and the
+    * caller rebases (see [[withRetry]]) instead of silently dropping
+    * the other writer's commit. */
   private def commit(entries: Seq[(Int, String)], base: Long): Long = {
     val f = fs
     f.mkdirs(new Path(manifestDir))
     val v = base + 1
+    val target = manifestPath(v)
+    // fast-path reject before burning a claim: someone already won v,
+    // or this writer's base is stale by more than one version
+    if (f.exists(target) || currentVersion >= v) conflict(v, base)
+    if (!claimVersion(v)) conflict(v, base)
     val tmp = new Path(manifestDir, s".tmp-${UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, false)
     try out.write(entries.sortBy(_._1)
       .map { case (b, p) => s"$b\t${p.stripPrefix(s"$dataDir/")}" }
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    val target = manifestPath(v)
-    if (f.exists(target)) {
-      f.delete(tmp, false)
-      throw new IllegalStateException(
-        s"commit conflict: version $v already exists (another writer " +
-          s"committed after this one read version $base)")
-    }
     if (!f.rename(tmp, target))
       throw new IllegalStateException(s"commit rename failed at version $v")
     v
   }
 
-  def createIfAbsent(): Unit = if (!exists) commit(Nil, -1L)
+  /** Run `body` (which must re-read `currentVersion` as its base —
+    * every mutation below does) until it commits, rebasing on
+    * [[TxTable.CommitConflict]] up to `commitRetries` attempts with
+    * jittered backoff. Each retry recomputes the mutation against the
+    * NEW current snapshot, so concurrent writers serialize without
+    * lost updates. Data files staged by a failed attempt are simply
+    * never referenced; `vacuum` sweeps them. */
+  private def withRetry[A](body: => A): A = {
+    var attempt = 1
+    var out: Option[A] = None
+    while (out.isEmpty) {
+      try out = Some(body)
+      catch {
+        case e: TxTable.CommitConflict =>
+          if (attempt >= math.max(1, commitRetries)) throw e
+          attempt += 1
+          Thread.sleep(
+            java.util.concurrent.ThreadLocalRandom.current()
+              .nextLong(2L + attempt * 5L))
+      }
+    }
+    out.get
+  }
+
+  def createIfAbsent(): Unit =
+    if (!exists) {
+      // a conflict here means another writer created the table — done
+      try commit(Nil, -1L)
+      catch { case _: TxTable.CommitConflict => () }
+    }
 
   // ---- reads ----
 
@@ -201,22 +278,29 @@ final class TxTable(
     entries
   }
 
-  /** S12 — append: new files, manifest = old ∪ new. */
+  /** S12 — append: new files, manifest = old ∪ new. The staged files
+    * don't depend on the base version, so a rebase after a conflict
+    * only re-reads the manifest and re-commits — no data rewrite. */
   def append(df: DataFrame): Unit = {
     createIfAbsent()
-    val base = currentVersion
-    commit(loadManifest(base).entries ++ stageFiles(df), base)
+    val staged = stageFiles(df)
+    withRetry {
+      val base = currentVersion
+      commit(loadManifest(base).entries ++ staged, base)
+    }
   }
 
   /** S9 — insert keys not present (ON CONFLICT DO NOTHING). */
   def insertIfAbsent(df: DataFrame): Unit = {
     createIfAbsent()
-    val base = currentVersion
-    val cur = loadManifest(base).entries
-    val incoming = df.dropDuplicates(keys)
-    val fresh = incoming.join(
-      readFiles(cur.map(_._2)).select(keys.map(col): _*), keys, "left_anti")
-    commit(cur ++ stageFiles(fresh), base)
+    withRetry {
+      val base = currentVersion
+      val cur = loadManifest(base).entries
+      val incoming = df.dropDuplicates(keys)
+      val fresh = incoming.join(
+        readFiles(cur.map(_._2)).select(keys.map(col): _*), keys, "left_anti")
+      commit(cur ++ stageFiles(fresh), base)
+    }
   }
 
   /** S10/S13 — MERGE, last-writer-wins per key. Only files of buckets
@@ -233,44 +317,51 @@ final class TxTable(
     val touched = updates.select(bucketExpr.as("_kb")).distinct()
       .collect().map(_.getInt(0)).toSet
     if (touched.isEmpty) return
-    val base = currentVersion
-    val cur = loadManifest(base).entries
-    val (hit, kept) = cur.partition { case (b, _) => touched(b) }
-    val existing = readFiles(hit.map(_._2))
-    val merged = existing
-      .join(updates.select(keys.map(col): _*), keys, "left_anti")
-      .unionByName(updates)
-    commit(kept ++ stageFiles(merged), base)
+    withRetry {
+      val base = currentVersion
+      val cur = loadManifest(base).entries
+      val (hit, kept) = cur.partition { case (b, _) => touched(b) }
+      val existing = readFiles(hit.map(_._2))
+      val merged = existing
+        .join(updates.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(updates)
+      commit(kept ++ stageFiles(merged), base)
+    }
   }
 
   /** S16 — delete matching rows; rewrites only buckets with matches. */
   def deleteWhere(cond: Column): Unit = {
     if (!exists) return
-    val base = currentVersion
-    val cur = loadManifest(base).entries
     val hitCond = coalesce(cond, lit(false))
-    val touched = readFiles(cur.map(_._2)).filter(hitCond)
-      .select(bucketExpr.as("_kb"))
-      .distinct().collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) return
-    val (hit, kept) = cur.partition { case (b, _) => touched(b) }
-    val remain = readFiles(hit.map(_._2)).filter(!hitCond)
-    commit(kept ++ stageFiles(remain), base)
+    withRetry {
+      val base = currentVersion
+      val cur = loadManifest(base).entries
+      val touched = readFiles(cur.map(_._2)).filter(hitCond)
+        .select(bucketExpr.as("_kb"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      if (touched.nonEmpty) {
+        val (hit, kept) = cur.partition { case (b, _) => touched(b) }
+        val remain = readFiles(hit.map(_._2)).filter(!hitCond)
+        commit(kept ++ stageFiles(remain), base)
+      }
+    }
   }
 
   /** S17 — truncate: an empty manifest; prior versions stay readable
     * until vacuumed. */
   def truncate(): Unit = {
     createIfAbsent()
-    commit(Nil, currentVersion)
+    withRetry(commit(Nil, currentVersion))
   }
 
   /** Rewrite the current version into one file per bucket (small-file
     * compaction; old version remains for time travel). */
   def compact(): Unit = {
     createIfAbsent()
-    val base = currentVersion
-    commit(stageFiles(readVersion(base)), base)
+    withRetry {
+      val base = currentVersion
+      commit(stageFiles(readVersion(base)), base)
+    }
   }
 
   def optimize(): Unit = compact()
@@ -281,21 +372,69 @@ final class TxTable(
     if (!exists) 0 else loadManifest(currentVersion).entries.length
 
   /** Drop manifests older than the newest `keepVersions` and delete
-    * data files no retained manifest references. Bounds storage; the
-    * retention window is the time-travel horizon. */
-  def vacuum(keepVersions: Int = 1): Unit = {
+    * data files no retained manifest references — but NEVER anything
+    * younger than `minAgeMs`. Bounds storage; the retention window is
+    * the time-travel horizon AND the reader-lifetime contract: a
+    * snapshot read pins a *file list*, so a job that holds a plan open
+    * longer than `minAgeMs` after its version ages out of
+    * `keepVersions` can hit FileNotFound. Size `minAgeMs` above the
+    * longest job lifetime (default 7 days, the Delta `retentionHours`
+    * analog); tests and aggressive space reclamation pass `0L`
+    * explicitly.
+    *
+    * File identity is compared by MANIFEST-RELATIVE basename, not full
+    * path: manifests store bare file names, `dataDir` contains only
+    * this table's files, and basename comparison is exact regardless
+    * of how `dir` was spelled (relative, `.`/`..`, `file:///`) — a
+    * full-path string comparison would silently match nothing and
+    * delete live data. Also sweeps aged-out commit claims and orphaned
+    * tmp/stage debris from failed attempts. */
+  def vacuum(
+      keepVersions: Int = 1,
+      minAgeMs: Long = TxTable.DefaultVacuumRetentionMs): Unit = {
     val f = fs
     val vs = versions
     if (vs.isEmpty) return
+    val now = System.currentTimeMillis()
+    def aged(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      now - st.getModificationTime >= minAgeMs
     val keep = vs.takeRight(math.max(1, keepVersions))
-    val referenced = keep.flatMap(v => loadManifest(v).entries.map(_._2)).toSet
+    // manifests store bare names; stripPrefix inverts exactly what
+    // loadManifest prepended, so this is the raw manifest name
+    val referenced: Set[String] = keep
+      .flatMap(v => loadManifest(v).entries.map(_._2.stripPrefix(s"$dataDir/")))
+      .toSet
     if (f.exists(new Path(dataDir)))
       f.listStatus(new Path(dataDir)).foreach { st =>
-        if (!referenced(st.getPath.toUri.getPath) &&
-            !referenced(st.getPath.toString))
+        if (!referenced(st.getPath.getName) && aged(st))
           f.delete(st.getPath, false)
       }
-    vs.dropRight(math.max(1, keepVersions))
-      .foreach(v => f.delete(manifestPath(v), false))
+    val oldestKept = keep.head
+    vs.filter(_ < oldestKept).foreach { v =>
+      val p = manifestPath(v)
+      if (f.exists(p) && aged(f.getFileStatus(p))) {
+        f.delete(p, false)
+        f.delete(claimPath(v), false) // its claim ages out with it
+      }
+    }
+    // orphaned debris from crashed/failed commit attempts
+    f.listStatus(new Path(manifestDir)).foreach { st =>
+      if (st.getPath.getName.startsWith(".tmp-") && aged(st))
+        f.delete(st.getPath, false)
+    }
+    f.listStatus(new Path(dir)).foreach { st =>
+      if (st.getPath.getName.startsWith(".stage-") && aged(st))
+        f.delete(st.getPath, true)
+    }
   }
+}
+
+object TxTable {
+  /** Default vacuum retention: nothing younger than this is ever
+    * deleted, protecting live snapshot readers (see [[TxTable.vacuum]]). */
+  val DefaultVacuumRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
+
+  /** A writer lost the race for its target version; the mutation is
+    * rebased onto the new current version and retried. */
+  final class CommitConflict(msg: String) extends RuntimeException(msg)
 }

@@ -110,15 +110,18 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * `keepVersions` so compaction reclaims space instead of doubling
     * it (old versions' files stay until vacuum). Returns table →
     * (filesBefore, filesAfter) for the tables compacted. Run it from a
-    * cron/stream trigger between pipeline runs (single-writer). */
-  def compactAll(maxFiles: Int = 16, keepVersions: Int = 3): Map[String, (Int, Int)] =
+    * cron/stream trigger between pipeline runs (single-writer).
+    * `vacuumMinAgeMs` is the reader-protection window — see
+    * [[TxTable.vacuum]]; keep it above the longest job lifetime. */
+  def compactAll(maxFiles: Int = 16, keepVersions: Int = 3,
+      vacuumMinAgeMs: Long = TxTable.DefaultVacuumRetentionMs): Map[String, (Int, Int)] =
     graft.domain.Schemas.tables.keys.toSeq.sorted.flatMap { n =>
       val t = domainTable(n)
       val before = t.dataFileCount
       if (before > maxFiles) {
         t.optimize()
         t match {
-          case tx: TxTable => tx.vacuum(keepVersions)
+          case tx: TxTable => tx.vacuum(keepVersions, vacuumMinAgeMs)
           case _ => ()
         }
         Some(n -> (before, t.dataFileCount))
@@ -225,9 +228,13 @@ final class Table(
     if (effectivePartitionCols.nonEmpty) w.partitionBy(effectivePartitionCols: _*) else w
   }
 
-  /** S12 — plain append. */
-  def append(df: DataFrame): Unit =
+  /** S12 — plain append. Guarded like the mutations: appending
+    * bucketed data next to legacy root-level files would create the
+    * mixed layout partition discovery can't read. */
+  def append(df: DataFrame): Unit = {
+    if (bucketed && exists) assertBucketLayout()
     writer(df, SaveMode.Append).parquet(dir)
+  }
 
   /** S9 — insert rows whose key is not already present
     * (`ON CONFLICT DO NOTHING`). Also dedups within the incoming
@@ -235,6 +242,7 @@ final class Table(
     * reference inserts row-at-a-time, any single row per key is
     * acceptable — but we keep it deterministic via min ordering). */
   def insertIfAbsent(df: DataFrame): Unit = {
+    if (bucketed && exists) assertBucketLayout()
     val incoming = conform(df).dropDuplicates(keys)
     val fresh = incoming.join(read.select(keys.map(col): _*), keys, "left_anti")
     writer(fresh, SaveMode.Append).parquet(dir)

@@ -106,10 +106,94 @@ class TxTableSpec extends SparkSpec {
     t.compact()
     val compacted = t.read.as[(String, Int)].collect().toMap
     assert(compacted === (1 to 6).map(i => (s"k$i", i)).toMap)
-    t.vacuum(keepVersions = 1)
+    t.vacuum(keepVersions = 1, minAgeMs = 0L)
     assert(dataFiles(t).size <= 2) // ≤ one file per bucket
     assert(t.versions.length === 1)
     assert(t.read.as[(String, Int)].collect().toMap === compacted)
+  }
+
+  test("vacuum retention guard: an open snapshot plan survives vacuum inside the window, fails loudly outside") {
+    val t = tkv(2)
+    t.append((1 to 20).map(i => (s"k$i", i)).toDF("k", "v")) // v1
+    val openPlan = t.read.filter(col("v") > 0)               // pins v1's files
+    t.upsert((1 to 20).map(i => (s"k$i", -i)).toDF("k", "v")) // v2
+    t.compact()                                               // v3
+    // inside the retention window: nothing young is deleted, the open
+    // plan still evaluates against its snapshot
+    t.vacuum(keepVersions = 1, minAgeMs = 60 * 60 * 1000L)
+    assert(openPlan.count() === 20)
+    assert(t.versions.length === 4) // manifests also respect the window
+    // outside the window (minAge 0): old files go; the open plan now
+    // fails LOUDLY (FileNotFound), never returns silently wrong data
+    t.vacuum(keepVersions = 1, minAgeMs = 0L)
+    assert(t.versions.length === 1)
+    intercept[Exception] { openPlan.count() }
+    assert(t.read.count() === 20) // current version intact
+  }
+
+  test("vacuum never deletes live data regardless of how dir was spelled (basename matching)") {
+    // file:/// scheme + trailing-dot path segment: full-path string
+    // comparison between manifest paths and listed paths would match
+    // nothing and delete the CURRENT version's files
+    val t = new TxTable(spark, "file://" + tmpDir("txuri") + "/./kv",
+      StructType(Seq(
+        StructField("k", StringType), StructField("v", IntegerType))),
+      Seq("k"), numBuckets = 2)
+    t.append(Seq(("a", 1), ("b", 2)).toDF("k", "v"))
+    t.compact()
+    t.vacuum(keepVersions = 1, minAgeMs = 0L)
+    assert(t.read.orderBy("k").as[(String, Int)].collect().toSeq ===
+      Seq(("a", 1), ("b", 2)))
+  }
+
+  test("two concurrent writers: no lost updates, conflict path exercised") {
+    val dir = tmpDir("txcc") + "/kv"
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", IntegerType)))
+    // two INDEPENDENT instances on the same directory (two workers),
+    // writing disjoint keys into the SAME buckets so every pair of
+    // interleaved commits is a genuine write-write race
+    val w1 = new TxTable(spark, dir, schema, Seq("k"), numBuckets = 2)
+    val w2 = new TxTable(spark, dir, schema, Seq("k"), numBuckets = 2)
+    w1.createIfAbsent()
+    val rounds = 6
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def writerThread(t: TxTable, tag: String): Thread = {
+      val th = new Thread(() => {
+        (1 to rounds).foreach { i =>
+          barrier.await() // line both writers up per round to force races
+          t.upsert(Seq((s"$tag$i", i)).toDF("k", "v"))
+        }
+      })
+      th.start(); th
+    }
+    val (t1, t2) = (writerThread(w1, "a"), writerThread(w2, "b"))
+    t1.join(120000); t2.join(120000)
+    val got = w1.read.as[(String, Int)].collect().toMap
+    val want = ((1 to rounds).map(i => s"a$i" -> i) ++
+      (1 to rounds).map(i => s"b$i" -> i)).toMap
+    assert(got === want, "every commit from both writers must survive")
+    // commits serialized: one version per successful upsert (+ create)
+    assert(w1.currentVersion === 2L * rounds)
+    assert(w1.commitConflicts + w2.commitConflicts > 0,
+      "barrier-aligned writers must have hit the conflict/rebase path")
+  }
+
+  test("a writer that cannot win the claim gives up loudly after bounded retries") {
+    val t = new TxTable(spark, tmpDir("txclaim") + "/kv",
+      StructType(Seq(
+        StructField("k", StringType), StructField("v", IntegerType))),
+      Seq("k"), numBuckets = 2, commitRetries = 2)
+    t.append(Seq(("a", 1)).toDF("k", "v")) // v0 + v1
+    // a crashed writer's claim for v2 that never committed: retries
+    // re-read base (still 1), re-target v2, and keep losing the claim
+    val claim = new java.io.File(t.dir + "/_manifests", "v%020d.claim".format(2))
+    assert(claim.createNewFile())
+    intercept[graft.core.TxTable.CommitConflict] {
+      t.append(Seq(("b", 2)).toDF("k", "v"))
+    }
+    assert(t.commitConflicts >= 2) // one per attempt
+    assert(t.read.count() === 1)   // table state untouched
   }
 
   test("lookup plans only the key bucket's files (manifest pruning)") {

@@ -230,7 +230,7 @@ class WarehouseSpec extends SparkSpec {
         .withColumn("created_at", lit(t0).cast(TimestampType)))
     }
     assert(logs.dataFileCount >= 20)
-    val swept = wh.compactAll(maxFiles = 16, keepVersions = 1)
+    val swept = wh.compactAll(maxFiles = 16, keepVersions = 1, vacuumMinAgeMs = 0L)
     assert(swept("run_logs")._2 <= 16) // one file per non-empty bucket
     assert(wh.domainTable("run_logs").count() === 20)
     val tx = wh.domainTxTable("run_logs")
