@@ -24,10 +24,22 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (millisecond) precision: full doubles push the 71-query
+    // JSON line past the harness's captured stdout tail and the line
+    // arrives truncated/unparseable (observed in BENCH_r03.json).
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // durable copy for post-hoc inspection (stdout tail is lossy)
+    try {
+      val w = new java.io.PrintWriter("/root/repo/BENCH_LOCAL.json", "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
+    // last line of output, after Spark's shutdown logs
+    println(line)
   }
 }

@@ -42,17 +42,36 @@ import org.apache.spark.sql.types.{IntegerType, StructType}
   *    version into one file per bucket.
   *
   * **Multi-writer**: commits are optimistic with retry/rebase — the
-  * reference runs scan workers at concurrency 2 against Postgres MVCC
-  * (`services/api/src/worker.ts:18`), and this matches that contract.
+  * reference runs its scan workers at concurrency 2 and its merge
+  * (table-mutating) worker at concurrency 1 against Postgres MVCC
+  * (`services/api/src/worker.ts:18,26`); this protocol admits both.
   * A writer claims version `base+1` with an atomic exclusive create
   * (`O_CREAT|O_EXCL` on local FS, server-side exclusive create on
   * HDFS — NOT check-then-rename, which silently overwrites on POSIX
   * rename(2)); on conflict the losing mutation re-reads the new
   * current version, re-applies itself against that snapshot, and
-  * re-commits, up to `commitRetries` attempts. No lost updates: every
-  * committed manifest extends the version it was rebased onto. On an
-  * object store the claim is the seam a conditional PUT replaces.
-  * Files staged by a failed attempt are unreferenced and swept by
+  * re-commits, with capped-exponential backoff until `commitBudgetMs`
+  * elapses. No lost updates: every committed manifest extends the
+  * version it was rebased onto. On an object store the claim is the
+  * seam a conditional PUT replaces.
+  *
+  * **Crash recovery**: the claim is a short-lived lock marker, deleted
+  * after the manifest rename lands. A winner that dies mid-commit
+  * leaves an orphan claim; any later writer that loses the claim while
+  * the claimed manifest is absent AND the claim is older than
+  * `claimStalenessMs` sweeps the orphan and retakes the version, so a
+  * crash never wedges the table. If the presumed-dead winner was
+  * merely stalled (GC pause longer than the staleness window) and
+  * wakes after its claim was retaken, its manifest rename fails
+  * against the thief's committed manifest and it rebases — the race
+  * stays lost-update-free because the manifest rename, not the claim,
+  * is the commit point.
+  *
+  * Data files are staged OUTSIDE `data/` and moved in only after the
+  * claim is won (see [[stageFiles]]), so `vacuum` can never observe an
+  * uncommitted file in `data/` outside a claim-held window bounded by
+  * one commit's duration. Files staged by a failed attempt are
+  * unreferenced and deleted by the mutation itself or swept by
   * `vacuum`.
   * At 100 TB: manifests list O(buckets × files-per-bucket) lines of
   * driver-side metadata (the Iceberg avro-manifest analog); bucket
@@ -64,7 +83,8 @@ final class TxTable(
     val schema: StructType,
     val keys: Seq[String],
     val numBuckets: Int = 16,
-    val commitRetries: Int = 8) extends TableOps {
+    val commitBudgetMs: Long = TxTable.DefaultCommitBudgetMs,
+    val claimStalenessMs: Long = TxTable.DefaultClaimStalenessMs) extends TableOps {
 
   require(keys.nonEmpty, "TxTable requires key columns")
   require(numBuckets > 0, "TxTable requires numBuckets > 0")
@@ -118,9 +138,10 @@ final class TxTable(
     * unlike Hadoop's RawLocalFileSystem `create(overwrite = false)`
     * whose exists-check races); on HDFS `create(path, false)` is an
     * atomic server-side exclusive create. On an object store this is
-    * the conditional-PUT seam. The claim file outlives the commit (it
-    * is what makes the claim durable) and ages out with its manifest
-    * in `vacuum`. */
+    * the conditional-PUT seam. The claim is a short-lived lock marker:
+    * the winner deletes it once the manifest rename lands, so a claim
+    * that persists is either an in-flight commit or a crashed one
+    * (see [[acquireClaim]] for how the latter is swept). */
   private def claimVersion(v: Long): Boolean = {
     val claim = claimPath(v)
     val scheme = claim.toUri.getScheme
@@ -132,6 +153,37 @@ final class TxTable(
     } else {
       try { fs.create(claim, false).close(); true }
       catch { case _: java.io.IOException => false }
+    }
+  }
+
+  /** [[claimVersion]] plus crash recovery: losing the claim while the
+    * claimed version's MANIFEST is absent means either a commit is in
+    * flight (claim younger than `claimStalenessMs` → back off, the
+    * caller conflicts and rebases) or the claimant died mid-commit
+    * (claim stale → delete the orphan and take the claim ourselves).
+    * Without this sweep an orphaned claim at `currentVersion + 1`
+    * would make every future writer lose the claim forever — a
+    * permanently wedged table. Size `claimStalenessMs` above the
+    * longest plausible commit stall (manifest write + rename + one GC
+    * pause); a stalled-not-dead winner that loses its claim to the
+    * sweep still cannot lose data — its manifest rename fails and it
+    * rebases. */
+  private def acquireClaim(v: Long): Boolean = {
+    if (claimVersion(v)) return true
+    if (fs.exists(manifestPath(v))) return false // v genuinely taken
+    val st =
+      try Some(fs.getFileStatus(claimPath(v)))
+      catch { case _: java.io.FileNotFoundException => None }
+    st match {
+      case None =>
+        // claim vanished between our attempts (winner committed and
+        // cleaned, or an orphan was swept) — one more try
+        claimVersion(v)
+      case Some(s)
+          if System.currentTimeMillis() - s.getModificationTime >= claimStalenessMs =>
+        fs.delete(claimPath(v), false) // orphan of a crashed winner
+        claimVersion(v)
+      case _ => false // live commit in flight
     }
   }
 
@@ -149,13 +201,16 @@ final class TxTable(
 
   /** Commit `entries` as version `base + 1`, where `base` is the
     * version the writer READ its state from. Protocol: atomically
-    * claim `base + 1` (exclusive create — see [[claimVersion]]), then
-    * write the manifest to a tmp name and rename it into place; only
-    * the claim winner renames, so the rename can never overwrite a
-    * committed manifest. If another writer committed since `base` was
-    * read, the claim fails with [[TxTable.CommitConflict]] and the
-    * caller rebases (see [[withRetry]]) instead of silently dropping
-    * the other writer's commit. */
+    * claim `base + 1` (exclusive create + orphan sweep — see
+    * [[acquireClaim]]), move any still-staged entry into `data/`
+    * (uncommitted files are thus visible there only inside this
+    * claim-held window), then write the manifest to a tmp name and
+    * RENAME it into place — the rename, not the claim, is the commit
+    * point. If another writer committed since `base` was read, the
+    * claim (or, after a stolen stale claim, the rename) fails with
+    * [[TxTable.CommitConflict]]; moved files are moved back to their
+    * stage paths and the caller rebases (see [[withRetry]]) instead
+    * of silently dropping the other writer's commit. */
   private def commit(entries: Seq[(Int, String)], base: Long): Long = {
     val f = fs
     f.mkdirs(new Path(manifestDir))
@@ -164,37 +219,71 @@ final class TxTable(
     // fast-path reject before burning a claim: someone already won v,
     // or this writer's base is stale by more than one version
     if (f.exists(target) || currentVersion >= v) conflict(v, base)
-    if (!claimVersion(v)) conflict(v, base)
+    if (!acquireClaim(v)) conflict(v, base)
+    f.mkdirs(new Path(dataDir))
+    val moved = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+    def rollbackMoves(): Unit =
+      moved.reverseIterator.foreach { case (from, to) => f.rename(to, from) }
+    def releaseClaim(): Unit = f.delete(claimPath(v), false)
+    val finalEntries =
+      try entries.map { case (b, p) =>
+        if (p.startsWith(s"$dataDir/")) (b, p)
+        else {
+          val to = new Path(dataDir, s"${UUID.randomUUID()}.parquet")
+          if (!f.rename(new Path(p), to))
+            throw new IllegalStateException(s"stage move failed: $p")
+          moved += ((new Path(p), to))
+          (b, s"$dataDir/${to.getName}")
+        }
+      }
+      catch { case e: Throwable => rollbackMoves(); releaseClaim(); throw e }
     val tmp = new Path(manifestDir, s".tmp-${UUID.randomUUID().toString.take(8)}")
-    val out = f.create(tmp, false)
-    try out.write(entries.sortBy(_._1)
-      .map { case (b, p) => s"$b\t${p.stripPrefix(s"$dataDir/")}" }
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    if (!f.rename(tmp, target))
+    try {
+      val out = f.create(tmp, false)
+      try out.write(finalEntries.sortBy(_._1)
+        .map { case (b, p) => s"$b\t${p.stripPrefix(s"$dataDir/")}" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+    } catch { case e: Throwable => rollbackMoves(); releaseClaim(); throw e }
+    if (!f.rename(tmp, target)) {
+      f.delete(tmp, false)
+      rollbackMoves()
+      if (f.exists(target)) {
+        // this writer stalled past claimStalenessMs, its claim was
+        // retaken, and the thief committed v first — rebase
+        conflict(v, base)
+      }
+      releaseClaim()
       throw new IllegalStateException(s"commit rename failed at version $v")
+    }
+    releaseClaim() // the claim's job ends at the committed manifest
     v
   }
 
   /** Run `body` (which must re-read `currentVersion` as its base —
     * every mutation below does) until it commits, rebasing on
-    * [[TxTable.CommitConflict]] up to `commitRetries` attempts with
-    * jittered backoff. Each retry recomputes the mutation against the
-    * NEW current snapshot, so concurrent writers serialize without
-    * lost updates. Data files staged by a failed attempt are simply
-    * never referenced; `vacuum` sweeps them. */
+    * [[TxTable.CommitConflict]] with capped exponential backoff until
+    * `commitBudgetMs` has elapsed (a TIME budget, not an attempt
+    * count: a fixed small attempt count with millisecond sleeps would
+    * make a healthy loser give up while a slow winner's manifest
+    * write is still in flight). Each retry recomputes the mutation
+    * against the NEW current snapshot, so concurrent writers
+    * serialize without lost updates. Data files staged by a failed
+    * attempt are simply never referenced; the mutation deletes its
+    * stage on exit and `vacuum` sweeps any crash leftovers. */
   private def withRetry[A](body: => A): A = {
-    var attempt = 1
+    val deadline = System.currentTimeMillis() + math.max(0L, commitBudgetMs)
+    var attempt = 0
     var out: Option[A] = None
     while (out.isEmpty) {
       try out = Some(body)
       catch {
         case e: TxTable.CommitConflict =>
-          if (attempt >= math.max(1, commitRetries)) throw e
+          if (System.currentTimeMillis() >= deadline) throw e
           attempt += 1
+          val cap = math.min(250L, 4L << math.min(attempt, 6))
           Thread.sleep(
-            java.util.concurrent.ThreadLocalRandom.current()
-              .nextLong(2L + attempt * 5L))
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(1L, cap + 1))
       }
     }
     out.get
@@ -251,11 +340,17 @@ final class TxTable(
 
   // ---- writes ----
 
-  /** Write `df` bucketed into fresh immutable data files; returns their
-    * manifest entries. One file per non-empty bucket. */
-  private def stageFiles(df: DataFrame): Seq[(Int, String)] = {
+  /** Write `df` bucketed into fresh immutable files under a private
+    * `.stage-*` directory — NOT `data/`: uncommitted bytes must never
+    * be visible where `vacuum` deletes unreferenced files, or a
+    * `vacuum(minAgeMs = 0)` racing an in-flight writer would delete
+    * its staged files before the commit references them. [[commit]]
+    * moves the files into `data/` only after the version claim is
+    * won. Returns the manifest entries (stage paths) and the stage
+    * dir, which the caller deletes when the mutation ends. One file
+    * per non-empty bucket. */
+  private def stageFiles(df: DataFrame): (Seq[(Int, String)], Path) = {
     val f = fs
-    f.mkdirs(new Path(dataDir))
     val stage = new Path(dir, s".stage-${UUID.randomUUID().toString.take(8)}")
     df.select(schema.fields.map(fl => col(fl.name).cast(fl.dataType)): _*)
       .withColumn("_kb", bucketExpr)
@@ -267,27 +362,32 @@ final class TxTable(
         val b = d.getPath.getName.stripPrefix("_kb=").toInt
         f.listStatus(d.getPath).toSeq
           .filter(_.getPath.getName.endsWith(".parquet"))
-          .map { file =>
-            val name = s"${UUID.randomUUID()}.parquet"
-            if (!f.rename(file.getPath, new Path(dataDir, name)))
-              throw new IllegalStateException(s"stage move failed: $file")
-            (b, s"$dataDir/$name")
-          }
+          .map(file => (b, file.getPath.toString))
       }
-    f.delete(stage, true)
-    entries
+    (entries, stage)
+  }
+
+  /** Stage `df`, commit `keep ∪ staged` on top of `base`, and delete
+    * the stage dir whether or not the commit succeeded (a failed
+    * mutation's data is garbage; the table state is untouched). */
+  private def stageAndCommit(
+      keep: Seq[(Int, String)], df: DataFrame, base: Long): Long = {
+    val (staged, stage) = stageFiles(df)
+    try commit(keep ++ staged, base)
+    finally fs.delete(stage, true)
   }
 
   /** S12 — append: new files, manifest = old ∪ new. The staged files
     * don't depend on the base version, so a rebase after a conflict
-    * only re-reads the manifest and re-commits — no data rewrite. */
+    * only re-reads the manifest and re-commits — no data rewrite
+    * (commit's post-conflict rollback returns them to the stage). */
   def append(df: DataFrame): Unit = {
     createIfAbsent()
-    val staged = stageFiles(df)
-    withRetry {
+    val (staged, stage) = stageFiles(df)
+    try withRetry {
       val base = currentVersion
       commit(loadManifest(base).entries ++ staged, base)
-    }
+    } finally fs.delete(stage, true)
   }
 
   /** S9 — insert keys not present (ON CONFLICT DO NOTHING). */
@@ -299,7 +399,7 @@ final class TxTable(
       val incoming = df.dropDuplicates(keys)
       val fresh = incoming.join(
         readFiles(cur.map(_._2)).select(keys.map(col): _*), keys, "left_anti")
-      commit(cur ++ stageFiles(fresh), base)
+      stageAndCommit(cur, fresh, base)
     }
   }
 
@@ -325,7 +425,7 @@ final class TxTable(
       val merged = existing
         .join(updates.select(keys.map(col): _*), keys, "left_anti")
         .unionByName(updates)
-      commit(kept ++ stageFiles(merged), base)
+      stageAndCommit(kept, merged, base)
     }
   }
 
@@ -342,7 +442,7 @@ final class TxTable(
       if (touched.nonEmpty) {
         val (hit, kept) = cur.partition { case (b, _) => touched(b) }
         val remain = readFiles(hit.map(_._2)).filter(!hitCond)
-        commit(kept ++ stageFiles(remain), base)
+        stageAndCommit(kept, remain, base)
       }
     }
   }
@@ -360,7 +460,7 @@ final class TxTable(
     createIfAbsent()
     withRetry {
       val base = currentVersion
-      commit(stageFiles(readVersion(base)), base)
+      stageAndCommit(Nil, readVersion(base), base)
     }
   }
 
@@ -379,8 +479,13 @@ final class TxTable(
     * longer than `minAgeMs` after its version ages out of
     * `keepVersions` can hit FileNotFound. Size `minAgeMs` above the
     * longest job lifetime (default 7 days, the Delta `retentionHours`
-    * analog); tests and aggressive space reclamation pass `0L`
-    * explicitly.
+    * analog). With CONCURRENT WRITERS it must also exceed the longest
+    * in-flight commit: uncommitted files appear in `data/` only
+    * inside a claim-held commit window (staging is outside `data/` —
+    * see [[stageFiles]]), but a `vacuum(minAgeMs = 0)` landing inside
+    * that window could still delete a just-moved file before its
+    * manifest lands. Tests pass `0L` explicitly and only
+    * single-writer.
     *
     * File identity is compared by MANIFEST-RELATIVE basename, not full
     * path: manifests store bare file names, `dataDir` contains only
@@ -412,15 +517,24 @@ final class TxTable(
     val oldestKept = keep.head
     vs.filter(_ < oldestKept).foreach { v =>
       val p = manifestPath(v)
-      if (f.exists(p) && aged(f.getFileStatus(p))) {
-        f.delete(p, false)
-        f.delete(claimPath(v), false) // its claim ages out with it
-      }
+      if (f.exists(p) && aged(f.getFileStatus(p))) f.delete(p, false)
     }
-    // orphaned debris from crashed/failed commit attempts
+    // orphaned debris from crashed/failed commit attempts. A claim is
+    // garbage once its manifest exists (crash between rename and
+    // claim-delete); a manifest-less claim is a crashed winner, but
+    // only past the staleness window — younger ones are in-flight
+    // commits (acquireClaim sweeps these on demand too).
     f.listStatus(new Path(manifestDir)).foreach { st =>
-      if (st.getPath.getName.startsWith(".tmp-") && aged(st))
-        f.delete(st.getPath, false)
+      val n = st.getPath.getName
+      if (n.startsWith(".tmp-") && aged(st)) f.delete(st.getPath, false)
+      else if (n.endsWith(".claim")) {
+        val v = n.stripPrefix("v").stripSuffix(".claim").toLong
+        val committed = f.exists(manifestPath(v))
+        val age = now - st.getModificationTime
+        if ((committed && aged(st)) ||
+            (!committed && age >= math.max(minAgeMs, claimStalenessMs)))
+          f.delete(st.getPath, false)
+      }
     }
     f.listStatus(new Path(dir)).foreach { st =>
       if (st.getPath.getName.startsWith(".stage-") && aged(st))
@@ -433,6 +547,16 @@ object TxTable {
   /** Default vacuum retention: nothing younger than this is ever
     * deleted, protecting live snapshot readers (see [[TxTable.vacuum]]). */
   val DefaultVacuumRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
+
+  /** Default total time a conflicting writer keeps rebasing before
+    * giving up with [[CommitConflict]] (see [[TxTable.withRetry]]). */
+  val DefaultCommitBudgetMs: Long = 30L * 1000
+
+  /** Default age past which a manifest-less claim is presumed the
+    * orphan of a crashed writer and swept (see [[TxTable.acquireClaim]]).
+    * Must exceed a commit's manifest write + rename plus the longest
+    * plausible stall (GC pause, FS hiccup). */
+  val DefaultClaimStalenessMs: Long = 10L * 60 * 1000
 
   /** A writer lost the race for its target version; the mutation is
     * rebased onto the new current version and retried. */

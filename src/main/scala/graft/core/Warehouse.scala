@@ -109,10 +109,12 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * `maxFiles`; transactional tables are then vacuumed to
     * `keepVersions` so compaction reclaims space instead of doubling
     * it (old versions' files stay until vacuum). Returns table →
-    * (filesBefore, filesAfter) for the tables compacted. Run it from a
-    * cron/stream trigger between pipeline runs (single-writer).
-    * `vacuumMinAgeMs` is the reader-protection window — see
-    * [[TxTable.vacuum]]; keep it above the longest job lifetime. */
+    * (filesBefore, filesAfter) for the tables compacted. Safe to run
+    * from a cron/stream trigger WHILE writers are live: compaction is
+    * an ordinary optimistic commit (rebased on conflict), and vacuum
+    * deletes nothing younger than `vacuumMinAgeMs` — size that window
+    * above BOTH the longest reader job lifetime and the longest
+    * in-flight commit (see [[TxTable.vacuum]]). */
   def compactAll(maxFiles: Int = 16, keepVersions: Int = 3,
       vacuumMinAgeMs: Long = TxTable.DefaultVacuumRetentionMs): Map[String, (Int, Int)] =
     graft.domain.Schemas.tables.keys.toSeq.sorted.flatMap { n =>
