@@ -164,7 +164,26 @@ object TextSim {
     * pairs: the scale path end to end (blocking by shared band, never
     * a theta join over the corpus; `x2_jaccard_pairs` keeps the
     * bounded exact-verify demo). Shingles catch near-dups that word
-    * sets miss (reordered words, small edits). */
+    * sets miss (reordered words, small edits).
+    *
+    * Why the 120-doc cap stays: the synthetic corpus is templated —
+    * at sf0.01 the UNCAPPED query returns 47k pairs with true
+    * Jaccard ≥ 0.5 from 500 docs, i.e. the OUTPUT is quadratic in
+    * corpus size on this data, which no candidate-generation scheme
+    * can avoid (they are real near-dups, not LSH false positives).
+    * The cap bounds the demo; the library path
+    * (`Dedup.lshCandidatePairsWithStats` + this verify shape) is
+    * uncapped and reports anything it drops.
+    *
+    * Shuffle-volume discipline: each doc's shingle SET is compacted to
+    * 64-bit hashes BEFORE the candidate joins — 8 bytes per element
+    * flat, vs ~16+ for a string element (offset+len+bytes in Tungsten
+    * rows) — and Jaccard's denominator comes from the per-doc set
+    * sizes (`|A| + |B| − |A∩B|`), so no union array is ever built per
+    * pair. Hashing preserves the Jaccard value exactly barring 64-bit
+    * collisions (the 3-gram universe is ≪ 2^32, collision odds
+    * ~1e-10), which lets the DuckDB oracle verify over raw shingles —
+    * same sizes, same quotient, no portable-hash coupling. */
   def x2_shingle_jaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("doc_id") < 120)
     val pairs = graft.ext.Dedup
@@ -173,14 +192,18 @@ object TextSim {
       .withColumn("lt", lower(col("text")))
       .select(col("doc_id"),
         expr("array_distinct(CASE WHEN length(lt) >= 3 THEN " +
-          "transform(sequence(1, length(lt) - 2), i -> substring(lt, i, 3)) " +
+          "transform(sequence(1, length(lt) - 2), i -> xxhash64(substring(lt, i, 3))) " +
           "ELSE array() END)").as("sh"))
-    val jac =
-      size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-        size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType)
+      .withColumn("n_sh", size(col("sh")).cast(LongType))
+    val jac = {
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
+      inter / (col("n_a") + col("n_b") - inter)
+    }
     pairs
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+        col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+        col("n_sh").as("n_b")), Seq("id_b"))
       .withColumn("_j", jac)
       .filter(col("_j") >= 0.5)
       .select(col("id_a"), col("id_b"), round(col("_j"), 6).as("jaccard"))
@@ -489,7 +512,8 @@ object TextSim {
         |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM (
         | SELECT c.id_a, c.id_b,
         |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-        |   CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS j
+        |   (CAST(len(x.sh) AS DOUBLE) + CAST(len(y.sh) AS DOUBLE)
+        |    - CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)) AS j
         | FROM cand c
         | JOIN sh x ON x.doc_id = c.id_a
         | JOIN sh y ON y.doc_id = c.id_b) p
