@@ -59,10 +59,13 @@ trait TableOps {
 }
 
 final class Warehouse(val spark: SparkSession, val root: String,
-    /** true → domain tables use the transactional manifest protocol
-      * ([[TxTable]]: snapshot isolation, time travel); false → the
-      * swap-based [[Table]]. Same jobs run on either. */
-    val transactional: Boolean = false) {
+    /** true (the DEFAULT protocol) → domain tables use the
+      * transactional manifest protocol ([[TxTable]]: snapshot
+      * isolation, time travel, multi-writer optimistic commits);
+      * false → the swap-based [[Table]], kept as the fallback for
+      * single-writer deployments that want a plain directory layout.
+      * Same jobs run on either (proven byte-equal in PipelineSpec). */
+    val transactional: Boolean = true) {
 
   def table(name: String, schema: StructType, keys: Seq[String],
       partitionCols: Seq[String] = Nil, numBuckets: Int = 0): Table =

@@ -250,7 +250,7 @@ class PipelineSpec extends SparkSpec {
         RuleMerger)
       (sc, mc)
     }
-    val swap = new Warehouse(spark, tmpDir("life-swap"))
+    val swap = new Warehouse(spark, tmpDir("life-swap"), transactional = false)
     val tx = new Warehouse(spark, tmpDir("life-tx"), transactional = true)
     val (scSwap, mcSwap) = runAll(swap)
     val (scTx, mcTx) = runAll(tx)

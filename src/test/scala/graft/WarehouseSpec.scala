@@ -174,7 +174,8 @@ class WarehouseSpec extends SparkSpec {
   }
 
   test("compactAll sweeps only tables over the file threshold, preserving data") {
-    val wh = new Warehouse(spark, tmpDir("whopt"))
+    // explicitly the swap-protocol variant (the tx one is below)
+    val wh = new Warehouse(spark, tmpDir("whopt"), transactional = false)
     wh.createAll()
     val logs = wh.domainTable("run_logs")
     (1 to 20).foreach { i =>
