@@ -103,7 +103,11 @@ object MergeJob {
       now.cast(TimestampType).as("created_at"),
       lit(null).cast(TimestampType).as("reviewed_at"),
       lit(null).cast(StringType).as("reviewer"))
-    wh.domainTable("review_queue").append(reviewRows)
+    // insert-if-absent, not append: review ids are deterministic per
+    // (runId, itemId), so a replayed run (streaming retry under the
+    // same child runId — see StreamingMerge) converges instead of
+    // duplicating queue rows. Distinct runIds still queue separately.
+    wh.domainTable("review_queue").insertIfAbsent(reviewRows)
 
     // V2 + V5 — requirements radar, gated on inferred TIER_A.
     val allowRequirements = inferredTier.contains("TIER_A_BINDING")

@@ -207,4 +207,87 @@ class StreamingSpec extends SparkSpec {
     assert(runs.count(_._1.startsWith("srun-b")) >= 3)
     assert(runs.filter(_._1.startsWith("srun-b")).forall(_._2 === "completed"))
   }
+
+  test("streaming merge pipeline: request-driven MergeJob equals one batch run") {
+    import graft.core.Warehouse
+    import graft.jobs.{MergeJob, RunTracker, ScanJob}
+    import graft.pipeline.{HashEmbedder, RuleExtractor, RuleMerger}
+
+    val cands = Seq(
+      ("https://eur-lex.europa.eu/eli/reg/2024/1689", "AI Act",
+        "binding regulation on ai act", "2026-01-10", "eu_news", 0),
+      ("https://unece.org/r157", "UN R157",
+        "automated driving un r157", "2026-01-12", "eu_news", 0),
+      ("https://eur-lex.europa.eu/eli/dir/2026/5", "Directive",
+        "urgent cybersecurity directive", "2026-01-09", "eu_news", 0))
+      .toDF("url", "title", "content", "published_date", "connector",
+        "connector_rank")
+
+    // identical scan seed in both warehouses (deterministic ids)
+    def seeded(tag: String): Warehouse = {
+      val wh = new Warehouse(spark, tmpDir(s"whm-$tag")); wh.createAll()
+      new RunTracker(wh).create("seed", "scan", "EU", 30, t0)
+      ScanJob.run(wh, cands, ScanJob.Params("seed", "EU", 30, 10, 0.5, t0),
+        RuleExtractor, new HashEmbedder(16))
+      wh
+    }
+    val whS = seeded("stream")
+    val whB = seeded("batch")
+
+    // streaming: one merge-request row drives one child MergeJob run
+    val reqDir = tmpDir("merge-reqs")
+    Seq(("EU", t0.toString)).toDF("jurisdiction", "requested_at")
+      .coalesce(1).write.mode("overwrite").parquet(reqDir)
+    val reqStream = spark.readStream
+      .schema("jurisdiction STRING, requested_at STRING").parquet(reqDir)
+    val q = graft.streaming.StreamingMerge.start(whS, reqStream,
+      MergeJob.Params("mrun", "ignored", 0.5, t0), RuleMerger,
+      tmpDir("merge-cp"))
+    q.awaitTermination()
+
+    // batch: same merge directly
+    new RunTracker(whB).create("mrun-b0-EU", "merge", "EU", 0, t0)
+    MergeJob.run(whB, MergeJob.Params("mrun-b0-EU", "EU", 0.5, t0), RuleMerger)
+
+    // table parity (ids deterministic, so sets must be equal)
+    def keySet(wh: Warehouse, table: String, cols: String*) =
+      wh.domainTable(table).read
+        .select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toSeq).toSet
+    assert(keySet(whS, "regulation_items", "id", "trust_tier") ===
+      keySet(whB, "regulation_items", "id", "trust_tier"))
+    assert(keySet(whS, "requirements", "id") === keySet(whB, "requirements", "id"))
+    assert(keySet(whS, "requirements", "id").nonEmpty)
+    assert(keySet(whS, "links", "id", "relation") ===
+      keySet(whB, "links", "id", "relation"))
+    val run = whS.domainTable("runs").read
+      .filter(col("id") === "mrun-b0-EU").select("status").as[String].collect()
+    assert(run.toSeq === Seq("completed"))
+  }
+
+  test("MergeJob replay under the same runId converges (review queue included)") {
+    import graft.core.Warehouse
+    import graft.jobs.{MergeJob, RunTracker, ScanJob}
+    import graft.pipeline.{HashEmbedder, RuleExtractor, RuleMerger}
+    val wh = new Warehouse(spark, tmpDir("whm-replay")); wh.createAll()
+    new RunTracker(wh).create("seed", "scan", "EU", 30, t0)
+    // low-confidence threshold on merge routes some rows to review
+    val cands = Seq(
+      ("https://random.example.org/blog", "Blog", "battery blog",
+        "2026-01-13", "web_search", 1),
+      ("https://eur-lex.europa.eu/eli/reg/2024/1689", "AI Act",
+        "binding regulation on ai act", "2026-01-10", "eu_news", 0))
+      .toDF("url", "title", "content", "published_date", "connector",
+        "connector_rank")
+    ScanJob.run(wh, cands, ScanJob.Params("seed", "EU", 30, 10, 0.0, t0),
+      RuleExtractor, new HashEmbedder(16))
+    new RunTracker(wh).create("m1", "merge", "EU", 0, t0)
+    MergeJob.run(wh, MergeJob.Params("m1", "EU", 0.99, t0), RuleMerger)
+    def counts = Seq("regulation_items", "requirements", "links", "review_queue")
+      .map(t => t -> wh.domainTable(t).read.count()).toMap
+    val first = counts
+    // replay (streaming checkpoint retry semantics): same runId again
+    MergeJob.run(wh, MergeJob.Params("m1", "EU", 0.99, t0), RuleMerger)
+    assert(counts === first, "replay must not duplicate any table rows")
+  }
 }
