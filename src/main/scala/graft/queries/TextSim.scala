@@ -374,7 +374,67 @@ object TextSim {
       .orderBy("doc_id", "rnk")
   }
 
+  /** X4 — train/eval DECONTAMINATION: flag training documents that
+    * share any word 5-gram with the held-out eval set (here: docs
+    * with `doc_id % 97 == 0`, ≈1%). The canonical pretraining hygiene
+    * pass: benchmark text leaking into training data inflates evals.
+    *
+    * Scale shape: the eval side's distinct n-grams are the SMALL side
+    * (eval sets are thousands of docs, not billions) — broadcast them;
+    * the train side explodes to (doc, gram) once and map-side
+    * hash-joins, so the 100 TB corpus is never shuffled, only its
+    * matching grams reach the per-doc count. */
+  def x4_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("ws", words(col("text")))
+    val grams = docs.select(col("doc_id"),
+      explode(expr("CASE WHEN size(ws) >= 5 THEN " +
+        "transform(sequence(1, size(ws) - 4), i -> " +
+        "concat_ws(' ', slice(ws, i, 5))) " +
+        "ELSE array() END")).as("gram"))
+    val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+      .select("gram").distinct()
+    val overlap = grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared"))
+    docs.filter(col("doc_id") % 97 =!= 0).select("doc_id")
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_shared"), lit(0L)) > 0, 1L).otherwise(0L)
+          .as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** X4 — SEQUENCE PACKING: assign each document an (output shard,
+    * packed-sequence id, token offset) for a fixed token budget per
+    * training sequence — deterministic, so re-runs produce identical
+    * batches. Documents pack in doc_id order WITHIN a shard via a
+    * running token sum; a doc starting at offset o lands in sequence
+    * `start div budget` (continuous packing — long docs straddle).
+    *
+    * Scale shape: the window partitions BY SHARD, so packing is
+    * embarrassingly parallel across shards (each executor packs its
+    * shards independently) — never a global single-partition window,
+    * which is the classic packing scale-killer. */
+  def x4_seq_pack(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        (col("doc_id") % 8).cast(LongType).as("shard"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast(LongType)
+          .as("n_tok"))
+      .withColumn("end_tok", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        expr("(end_tok - n_tok) DIV 512").as("seq_id"),
+        ((col("end_tok") - col("n_tok")) % 512).as("tok_offset"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x4_decontaminate" -> (x4_decontaminate _),
+    "x4_seq_pack" -> (x4_seq_pack _),
     "x4_tfidf" -> (x4_tfidf _),
     "x4_wordcount" -> (x4_wordcount _),
     "x4_token_stats" -> (x4_token_stats _),
@@ -393,6 +453,40 @@ object TextSim {
     "x1_label_stats" -> (x1_label_stats _))
 
   val oracle: Map[String, String] = Map(
+    "x4_decontaminate" ->
+      """WITH d AS (
+        | SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, UNNEST(list_transform(
+        |   range(1, greatest(len(ws) - 3, 1)),
+        |   i -> array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 4), ' '))) AS gram
+        | FROM d),
+        |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |o AS (
+        | SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared
+        | FROM g JOIN e USING (gram) WHERE g.doc_id % 97 <> 0 GROUP BY 1)
+        |SELECT d.doc_id,
+        | CAST(COALESCE(o.n_shared, 0) AS BIGINT) AS n_shared,
+        | CAST(CASE WHEN COALESCE(o.n_shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |   AS contaminated
+        |FROM d LEFT JOIN o ON d.doc_id = o.doc_id
+        |WHERE d.doc_id % 97 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
+    "x4_seq_pack" ->
+      """WITH d AS (
+        | SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, shard, n_tok,
+        |  SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
+        | FROM d)
+        |SELECT doc_id, shard, n_tok,
+        | CAST((end_tok - n_tok) // 512 AS BIGINT) AS seq_id,
+        | CAST((end_tok - n_tok) % 512 AS BIGINT) AS tok_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
     "x4_tfidf" ->
       """WITH tokens AS (
         | SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS word

@@ -74,4 +74,18 @@ class PlanShapeSpec extends SparkSpec {
         f.selectedPartitions.partitionCount }
     assert(scanned.nonEmpty && scanned.head <= 9, s"scanned=$scanned")
   }
+
+  test("decontamination broadcasts the eval n-grams; train side never shuffle-joins") {
+    val p = planOf("x4_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the gram-overlap join must not sort-merge the exploded train side
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("sequence packing windows per shard, never a single global partition") {
+    val p = planOf("x4_seq_pack")
+    // a global window would plan Exchange SinglePartition before Window
+    assert(!p.contains("SinglePartition, ENSURE_REQUIREMENTS"), p)
+    assert(p.contains("Window"), p)
+  }
 }
