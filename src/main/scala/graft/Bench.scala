@@ -13,9 +13,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up: trigger codegen/classloading + file listing once so the
-    // first measured query isn't charged ~5s of JVM start-up.
+    // Warm-up: trigger codegen/classloading, file listing, and the OS
+    // page cache for EVERY table once, so measured times reflect query
+    // compute rather than which table happened to be read first (cold
+    // first-touch was worth 2-4x on a query's number — see PLANS.md).
     try {
+      new java.io.File(sfDir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => spark.read.parquet(f.getPath).foreach(_ => ()))
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       li.groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }

@@ -146,4 +146,51 @@ object Similarity {
       threshold: Double, nBits: Int = 8, maxBucket: Int = 10000): DataFrame =
     cosineNearDupPairsWithStats(emb, embCol, idCol, threshold, nBits,
       maxBucket).pairs
+
+  /** Recall@k of the hyperplane-LSH ANN path against exact brute
+    * force, over a SAMPLE of query ids — the tuning harness every ANN
+    * deployment needs before committing to an (nBits, probeHamming)
+    * operating point at scale. One row per query: hits / k.
+    *
+    * Fully distributed, both paths in ONE pass each: the sampled
+    * queries broadcast (recall evals run on hundreds of queries, not
+    * the corpus), every (candidate, query) pair is scored once, and
+    * per-query top-k comes from a window over the query partitioning —
+    * no per-query driver loop. Ties break by ascending id in both
+    * paths, so `probeHamming >= nBits` reproduces exact recall 1.0
+    * bit-for-bit, and recall is monotone in the probe radius. */
+  def recallAtK(emb: DataFrame, embCol: String, idCol: String,
+      queryIds: Seq[Long], k: Int, nBits: Int = 8,
+      probeHamming: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = lshBuckets(emb, embCol, nBits)
+      .withColumn("_e", toDouble(col(embCol)))
+    val queries = bucketed
+      .filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("_qid"), col("_e").as("_qe"),
+        col("bucket").as("_qbucket"))
+    val scored = bucketed
+      .select(col(idCol).as("_id"), col("_e"), col("bucket"))
+      .crossJoin(broadcast(queries))
+      .filter(col("_id") =!= col("_qid"))
+      .withColumn("_score", cosine(col("_e"), col("_qe")))
+    val w = Window.partitionBy("_qid").orderBy(desc("_score"), asc("_id"))
+    val exact = scored
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select(col("_qid"), col("_id"))
+    val ann = scored
+      .filter(bit_count(col("bucket").bitwiseXOR(col("_qbucket"))) <= probeHamming)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select(col("_qid"), col("_id"))
+    exact.join(ann, Seq("_qid", "_id"), "left_semi")
+      .groupBy("_qid").agg(count(lit(1)).as("n_hit"))
+      .join(exact.groupBy("_qid").agg(count(lit(1)).as("n_exact")),
+        Seq("_qid"), "right")
+      .select(col("_qid").as("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_exact"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double"), 6).as("recall"))
+      .orderBy("query_id")
+  }
 }

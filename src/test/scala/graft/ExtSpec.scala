@@ -80,6 +80,27 @@ class ExtSpec extends SparkSpec {
     assert(ann.forall { case (id, score) => id % 2 == 0 && score > 0.999 })
   }
 
+  test("recallAtK: full probe radius reproduces exact; recall is monotone in probe") {
+    // real corpus slice: 200 embeddings, 5 query points
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    val qids = Seq(3L, 17L, 42L, 99L, 150L)
+    def meanRecall(probe: Int): Double =
+      Similarity.recallAtK(emb, "embedding", "vec_id", qids, k = 10,
+        nBits = 8, probeHamming = probe)
+        .agg(avg("recall")).as[Double].collect().head
+    val r0 = meanRecall(0)
+    val r2 = meanRecall(2)
+    val rFull = meanRecall(8) // probe radius = nBits → scans everything
+    assert(rFull === 1.0, s"full-probe recall must be exact, got $rFull")
+    assert(r0 <= r2 + 1e-9 && r2 <= 1.0, s"monotone: $r0 <= $r2 <= 1")
+    // per-query rows are complete and well-formed
+    val rows = Similarity.recallAtK(emb, "embedding", "vec_id", qids, k = 10)
+      .collect()
+    assert(rows.length === qids.length)
+    assert(rows.forall(r => r.getLong(2) === 10L)) // n_exact = k
+  }
+
   test("cosineNearDupPairs finds same-direction pairs without cross join") {
     val emb = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
