@@ -167,6 +167,59 @@ object Relational2 {
     s.sql(q3Sql)
   }
 
+  /** TPC-H Q5 shape (local-supplier volume): the 6-table star —
+    * region→nation→supplier prune the fact via broadcast dims, then
+    * orders/customer join. The classic `c_nationkey = s_nationkey`
+    * correlation is dropped: the synthetic keys are uncorrelated and
+    * it selects zero rows (verified), which would make the query
+    * vacuous. Decimal-exact revenue via the house STRING-cast rule. */
+  private val q5Sql: String =
+    """SELECT n_name,
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |   * (1 - CAST(l_discount AS DECIMAL(12,6)))) AS STRING) AS DOUBLE)
+      |   AS revenue,
+      | COUNT(*) AS n_lineitems
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey
+      |  AND s_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  def sql_tpch_q5(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q5Sql)
+  }
+
+  /** TPC-H Q18 (large-volume customers): HAVING-filtered semi-join —
+    * the inner aggregate finds big orders, the outer 3-table join
+    * decorates them. Quantity sums go through DECIMAL so engine
+    * summation order can't flip a HAVING boundary. */
+  private val q18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
+      |   AS sum_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+      |  AND c_custkey = o_custkey
+      |  AND o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  def sql_tpch_q18(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q18Sql)
+  }
+
   /** Order-stable array aggregation: sorted distinct segment list per
     * nation rendered as a string (collect_set order is never relied
     * on). */
@@ -210,6 +263,8 @@ object Relational2 {
     "f_date_suite" -> (f_date_suite _),
     "j_outer_join" -> (j_outer_join _),
     "sql_tpch_q3" -> (sql_tpch_q3 _),
+    "sql_tpch_q5" -> (sql_tpch_q5 _),
+    "sql_tpch_q18" -> (sql_tpch_q18 _),
     "a_array_agg" -> (a_array_agg _))
 
   val oracle: Map[String, String] = Map(
@@ -292,6 +347,8 @@ object Relational2 {
         | ON n_nationkey = c_nationkey
         |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
     "sql_tpch_q3" -> q3Sql,
+    "sql_tpch_q5" -> q5Sql,
+    "sql_tpch_q18" -> q18Sql,
     "a_array_agg" ->
       """SELECT c_nationkey,
         | array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,

@@ -75,6 +75,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(scanned.nonEmpty && scanned.head <= 9, s"scanned=$scanned")
   }
 
+  test("tpch q5: all dimension joins broadcast, fact never shuffled for joins") {
+    val p = planOf("sql_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch q18: HAVING subquery plans as a semi join, not a full join+dedup") {
+    val p = planOf("sql_tpch_q18")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("decontamination broadcasts the eval n-grams; train side never shuffle-joins") {
     val p = planOf("x4_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p)
