@@ -30,6 +30,9 @@ object Sessions {
       // (binaryFile doc corpora and per-run log appends produce them)
       .config("spark.sql.files.openCostInBytes", (4L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
+      // INT96 (the legacy default) carries no usable footer statistics;
+      // micros gives TxTable's manifest zone maps timestamp min/max
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

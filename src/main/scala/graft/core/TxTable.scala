@@ -5,7 +5,7 @@ import java.util.UUID
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, StructField, StructType}
 
 /** Transactional parquet table — the Delta/Iceberg seam of
   * `core.Table` made real with nothing but parquet + one atomic file
@@ -100,8 +100,28 @@ final class TxTable(
 
   // ---- manifests ----
 
-  /** (bucket, absolute file path) pairs of one committed version. */
-  private case class Manifest(version: Long, entries: Seq[(Int, String)])
+  /** One manifest line: a data file, its key-hash bucket, and its
+    * zone-map stats document (empty = none recorded — legacy entry or
+    * unsupported columns; skipping then keeps the file). */
+  private[core] case class FEntry(bucket: Int, path: String, stats: String) {
+    /** Parsed stats, resolved against the table schema. */
+    def parsedStats(schema: StructType): Option[FileStats.Stats] =
+      FileStats.fromJson(stats, schema)
+  }
+
+  /** The file set of one committed version, plus the schema the
+    * version was committed under (None = pre-evolution manifest →
+    * the table's declared create schema). */
+  private case class Manifest(version: Long, entries: Seq[FEntry],
+      declaredSchema: Option[StructType] = None)
+
+  private def schemaAt(m: Manifest): StructType =
+    m.declaredSchema.getOrElse(schema)
+
+  /** The schema of the CURRENT version — the create schema widened by
+    * any [[appendEvolving]]/[[upsertEvolving]] commits since. */
+  def currentSchema: StructType =
+    if (!exists) schema else schemaAt(loadManifest(currentVersion))
 
   private def manifestPath(v: Long): Path =
     new Path(manifestDir, f"v$v%020d.tsv")
@@ -122,11 +142,20 @@ final class TxTable(
     val in = fs.open(manifestPath(v))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    val entries = text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
-      val Array(b, f) = line.split("\t", 2)
-      (b.toInt, s"$dataDir/$f")
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    val declared = lines.collectFirst {
+      case l if l.startsWith("#schema\t") =>
+        DataType.fromJson(l.stripPrefix("#schema\t")).asInstanceOf[StructType]
     }
-    Manifest(v, entries)
+    val entries = lines
+      .filter(l => !l.startsWith("#")) // '#' = header lines
+      .map { line =>
+        line.split("\t", 3) match {
+          case Array(b, f)     => FEntry(b.toInt, s"$dataDir/$f", "")
+          case Array(b, f, st) => FEntry(b.toInt, s"$dataDir/$f", st)
+        }
+      }
+    Manifest(v, entries, declared)
   }
 
   private def claimPath(v: Long): Path =
@@ -211,7 +240,8 @@ final class TxTable(
     * [[TxTable.CommitConflict]]; moved files are moved back to their
     * stage paths and the caller rebases (see [[withRetry]]) instead
     * of silently dropping the other writer's commit. */
-  private def commit(entries: Seq[(Int, String)], base: Long): Long = {
+  private def commit(entries: Seq[FEntry], base: Long,
+      asSchema: Option[StructType] = None): Long = {
     val f = fs
     f.mkdirs(new Path(manifestDir))
     val v = base + 1
@@ -226,23 +256,32 @@ final class TxTable(
       moved.reverseIterator.foreach { case (from, to) => f.rename(to, from) }
     def releaseClaim(): Unit = f.delete(claimPath(v), false)
     val finalEntries =
-      try entries.map { case (b, p) =>
-        if (p.startsWith(s"$dataDir/")) (b, p)
+      try entries.map { e =>
+        if (e.path.startsWith(s"$dataDir/")) e
         else {
           val to = new Path(dataDir, s"${UUID.randomUUID()}.parquet")
-          if (!f.rename(new Path(p), to))
-            throw new IllegalStateException(s"stage move failed: $p")
-          moved += ((new Path(p), to))
-          (b, s"$dataDir/${to.getName}")
+          if (!f.rename(new Path(e.path), to))
+            throw new IllegalStateException(s"stage move failed: ${e.path}")
+          moved += ((new Path(e.path), to))
+          e.copy(path = s"$dataDir/${to.getName}")
         }
       }
       catch { case e: Throwable => rollbackMoves(); releaseClaim(); throw e }
     val tmp = new Path(manifestDir, s".tmp-${UUID.randomUUID().toString.take(8)}")
     try {
       val out = f.create(tmp, false)
-      try out.write(finalEntries.sortBy(_._1)
-        .map { case (b, p) => s"$b\t${p.stripPrefix(s"$dataDir/")}" }
-        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      // schema header: carries evolution forward commit-over-commit
+      // (absent on legacy manifests → the declared create schema)
+      val header = asSchema
+        .orElse(if (base < 0) None else loadManifest(base).declaredSchema)
+        .map(s => s"#schema\t${s.json}\n").getOrElse("")
+      try out.write((header + finalEntries.sortBy(_.bucket)
+        .map { e =>
+          val name = e.path.stripPrefix(s"$dataDir/")
+          if (e.stats.isEmpty) s"${e.bucket}\t$name"
+          else s"${e.bucket}\t$name\t${e.stats}"
+        }
+        .mkString("", "\n", "\n")).getBytes("UTF-8"))
       finally out.close()
     } catch { case e: Throwable => rollbackMoves(); releaseClaim(); throw e }
     if (!f.rename(tmp, target)) {
@@ -298,23 +337,171 @@ final class TxTable(
 
   // ---- reads ----
 
-  private def emptyDf: DataFrame =
+  private def emptyDfFor(s: StructType): DataFrame =
     spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
 
-  private def readFiles(files: Seq[String]): DataFrame =
-    if (files.isEmpty) emptyDf
-    else spark.read.schema(schema).parquet(files: _*)
+  private def emptyDf: DataFrame = emptyDfFor(currentSchema)
+
+  /** Read `files` under schema `s`; files written before an evolution
+    * commit simply lack the new columns and surface them as nulls
+    * (parquet-by-declared-schema — no footer merging, no rewrite). */
+  private def readFiles(files: Seq[String], s: StructType): DataFrame =
+    if (files.isEmpty) emptyDfFor(s)
+    else spark.read.schema(s).parquet(files: _*)
 
   /** Snapshot read of the current version: the plan pins this
     * version's file list, so later commits never disturb it. */
   def read: DataFrame = readVersion(currentVersion)
 
-  /** Time travel to any retained version. */
+  /** Time travel to any retained version — under the schema that
+    * version was COMMITTED with (schema history travels too). */
   def readVersion(v: Long): DataFrame =
-    if (v < 0) emptyDf else readFiles(loadManifest(v).entries.map(_._2))
+    if (v < 0) emptyDfFor(schema)
+    else {
+      val m = loadManifest(v)
+      readFiles(m.entries.map(_.path), schemaAt(m))
+    }
 
-  def count(): Long = read.count()
+  /** Exact row count from manifest metadata alone when every file has
+    * recorded stats (footer row counts are exact) — zero data I/O, the
+    * `SELECT count(*)` fast path of the table format. Falls back to a
+    * scan if any entry predates stats. */
+  def count(): Long =
+    if (!exists) 0L
+    else {
+      val entries = loadManifest(currentVersion).entries
+      val statRows = entries.map(_.parsedStats(schema).map(_.rows))
+      if (statRows.forall(r => r.isDefined && r.get >= 0)) statRows.flatten.sum
+      else read.count()
+    }
+
+  // ---- data skipping (manifest zone maps) ----
+
+  /** Skipping diagnostics: of `total` files in the version, `scanned`
+    * survived zone-map pruning for the predicate. */
+  final case class SkipReport(scanned: Int, total: Int) {
+    def skipped: Int = total - scanned
+  }
+
+  /** Resolve a user `Column` predicate into an ANALYZED Catalyst
+    * expression by analyzing a filter over an empty relation with the
+    * table schema — Spark's own analyzer does name resolution and type
+    * coercion, so the zone-map evaluator sees exact types. Driver-only,
+    * once per query. None → predicate shapes we can't resolve (then
+    * nothing is pruned). */
+  private def analyzedPredicate(pred: Column): Option[
+      org.apache.spark.sql.catalyst.expressions.Expression] =
+    scala.util.Try {
+      emptyDf.filter(pred).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    }.toOption.flatten
+
+  private def pruneEntries(entries: Seq[FEntry], pred: Column): Seq[FEntry] = {
+    val s = currentSchema // column types never change under evolution
+    analyzedPredicate(pred) match {
+      case None => entries
+      case Some(cond) => entries.filter { e =>
+        e.parsedStats(s) match {
+          case Some(st) => FileStats.mayMatch(st, cond, s)
+          case None => true // no stats recorded → never skip
+        }
+      }
+    }
+  }
+
+  /** Filtered read with FILE-LEVEL data skipping: files whose manifest
+    * zone maps prove no row can satisfy `pred` are dropped before Spark
+    * plans anything — the manifest-metadata analog of partition
+    * pruning, effective on any column with write-time locality (ingest
+    * batches clustered by event time, [[compactClustered]] layouts).
+    * The predicate is still applied to surviving files, so results are
+    * identical to `read.filter(pred)` regardless of pruning. */
+  def scanWhere(pred: Column): DataFrame =
+    if (!exists) emptyDf.filter(pred)
+    else {
+      val m = loadManifest(currentVersion)
+      readFiles(pruneEntries(m.entries, pred).map(_.path), schemaAt(m))
+        .filter(pred)
+    }
+
+  /** What [[scanWhere]] would prune, for tests and EXPLAIN-style
+    * diagnostics — no data I/O. */
+  def skipReport(pred: Column): SkipReport = {
+    if (!exists) return SkipReport(0, 0)
+    val entries = loadManifest(currentVersion).entries
+    SkipReport(pruneEntries(entries, pred).length, entries.length)
+  }
+
+  // ---- change data capture ----
+
+  /** Row-level NET change feed between two committed versions (the
+    * `table_changes` analog, derived — no extra write-path cost).
+    *
+    * Scale shape: the manifest file-diff runs driver-side first, so
+    * files present in BOTH versions (every untouched bucket — commits
+    * re-link them) contribute ZERO I/O; only rewritten files are read,
+    * and the single full-outer key join shuffles just those delta
+    * rows. A 1-row upsert on a 100 TB table diffs one bucket.
+    *
+    * Output: the table schema plus `_change_type` ∈ insert | delete |
+    * update_preimage | update_postimage. Unchanged rows that merely
+    * rode along in a rewritten bucket are dropped by the join's
+    * null-safe column compare. NET means a key upserted then deleted
+    * between `fromV` and `toV` shows only its net effect; use
+    * [[changeFeed]] for per-commit granularity. */
+  def changes(fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"changes requires fromV <= toV ($fromV > $toV)")
+    val fromE = if (fromV < 0) Nil else loadManifest(fromV).entries
+    val toM = loadManifest(toV)
+    val toE = toM.entries
+    // both sides read under the TO version's schema: pre-evolution
+    // files surface new columns as null, so an evolution commit's
+    // changed rows diff correctly
+    val s = schemaAt(toM)
+    val fromPaths = fromE.map(_.path).toSet
+    val toPaths = toE.map(_.path).toSet
+    val pre = readFiles(fromE.collect { case e if !toPaths(e.path) => e.path }, s)
+    val post = readFiles(toE.collect { case e if !fromPaths(e.path) => e.path }, s)
+    val dataCols = s.fields.map(_.name).filterNot(keys.contains)
+    def tagged(df: DataFrame, tag: String) = df.select(
+      (keys.map(col) ++ dataCols.map(c => col(c).as(s"_${tag}_$c")) :+
+        lit(true).as(s"_in_$tag")): _*)
+    val joined = tagged(pre, "pre").join(tagged(post, "post"), keys, "full_outer")
+    def image(tag: String, kind: String) = struct(
+      (lit(kind).as("_change_type") +: keys.map(col)) ++
+        dataCols.map(c => col(s"_${tag}_$c").as(c)): _*)
+    val differs =
+      if (dataCols.isEmpty) lit(false)
+      else !dataCols.map(c => col(s"_pre_$c") <=> col(s"_post_$c")).reduce(_ && _)
+    joined.select(explode(
+      when(col("_in_pre").isNull, array(image("post", "insert")))
+        .when(col("_in_post").isNull, array(image("pre", "delete")))
+        .when(differs, array(
+          image("pre", "update_preimage"), image("post", "update_postimage")))
+        // unchanged row in a rewritten bucket → empty array of the
+        // right struct type (slice keeps the element type; array()
+        // alone would be array<string>)
+        .otherwise(slice(array(image("pre", "x")), 1, 0))
+    ).as("_c")).select("_c.*")
+  }
+
+  /** Per-commit change feed AFTER `fromV` (exclusive) up to the current
+    * version: one [[changes]] diff per commit, stamped with
+    * `_commit_version` — replaying it in version order reconstructs
+    * the table state (proven in CdcSpec). Requires the versions to
+    * still be retained (vacuum shrinks the horizon). */
+  def changeFeed(fromV: Long): DataFrame = {
+    val cur = currentVersion
+    val vs = versions.filter(v => v > fromV && v <= cur)
+    val steps = vs.map { v =>
+      val prev = versions.filter(_ < v).lastOption.getOrElse(-1L)
+      changes(prev, v).withColumn("_commit_version", lit(v))
+    }
+    steps.reduceOption(_ unionByName _).getOrElse(
+      changes(cur, cur).withColumn("_commit_version", lit(cur)))
+  }
 
   /** Point lookup via MANIFEST pruning: the key's bucket is computed
     * driver-side with the same Murmur3 (seed 42) Spark's `hash()`
@@ -328,14 +515,15 @@ final class TxTable(
     }
     val b = math.floorMod(
       Murmur3Hash(lits, 42).eval(null).asInstanceOf[Int], numBuckets)
-    val files =
-      if (!exists) Nil
-      else loadManifest(currentVersion).entries
-        .filter(_._1 == b).map(_._2)
     val keyPred = keys.zip(values).map { case (k, v) =>
       col(k) === lit(v).cast(schema(k).dataType)
     }.reduce(_ && _)
-    readFiles(files).filter(keyPred)
+    val files =
+      if (!exists) Nil
+      else pruneEntries( // bucket pruning, then zone maps within the bucket
+        loadManifest(currentVersion).entries.filter(_.bucket == b), keyPred)
+        .map(_.path)
+    readFiles(files, currentSchema).filter(keyPred)
   }
 
   // ---- writes ----
@@ -349,20 +537,43 @@ final class TxTable(
     * won. Returns the manifest entries (stage paths) and the stage
     * dir, which the caller deletes when the mutation ends. One file
     * per non-empty bucket. */
-  private def stageFiles(df: DataFrame): (Seq[(Int, String)], Path) = {
+  private def stageFiles(
+      df: DataFrame, asSchema: StructType, layout: Option[Column] = None,
+      filesPerBucket: Int = 1): (Seq[FEntry], Path) = {
     val f = fs
     val stage = new Path(dir, s".stage-${UUID.randomUUID().toString.take(8)}")
-    df.select(schema.fields.map(fl => col(fl.name).cast(fl.dataType)): _*)
+    val cast = df.select(asSchema.fields.map(fl => col(fl.name).cast(fl.dataType)): _*)
       .withColumn("_kb", bucketExpr)
-      .repartition(col("_kb"))
-      .write.mode(SaveMode.Overwrite).partitionBy("_kb").parquet(stage.toString)
+    val laidOut = layout match {
+      case None => cast.repartition(col("_kb"))
+      case Some(key) =>
+        // range-split each bucket on the layout key and sort files by
+        // it: files get disjoint key ranges, so zone maps prune within
+        // every bucket. The key is a scratch column — computed for the
+        // layout, dropped before writing (never stored).
+        val keyed = cast.withColumn("_layout", key)
+        (if (filesPerBucket <= 1) keyed.repartition(col("_kb"))
+         else keyed.repartitionByRange(
+           numBuckets * filesPerBucket, col("_kb"), col("_layout")))
+          .sortWithinPartitions(col("_kb"), col("_layout"))
+          .drop("_layout")
+    }
+    laidOut.write.mode(SaveMode.Overwrite).partitionBy("_kb").parquet(stage.toString)
+    val conf = spark.sparkContext.hadoopConfiguration
     val entries = f.listStatus(stage).toSeq
       .filter(_.getPath.getName.startsWith("_kb="))
       .flatMap { d =>
         val b = d.getPath.getName.stripPrefix("_kb=").toInt
         f.listStatus(d.getPath).toSeq
           .filter(_.getPath.getName.endsWith(".parquet"))
-          .map(file => (b, file.getPath.toString))
+          .map { file =>
+            // zone maps from the parquet FOOTER — metadata-only, no
+            // rescan of just-written data (the Delta stats analog)
+            val stats = scala.util.Try(
+              FileStats.fromFooter(file.getPath.toString, asSchema, conf).toJson)
+              .getOrElse("")
+            FEntry(b, file.getPath.toString, stats)
+          }
       }
     (entries, stage)
   }
@@ -371,11 +582,36 @@ final class TxTable(
     * the stage dir whether or not the commit succeeded (a failed
     * mutation's data is garbage; the table state is untouched). */
   private def stageAndCommit(
-      keep: Seq[(Int, String)], df: DataFrame, base: Long): Long = {
-    val (staged, stage) = stageFiles(df)
-    try commit(keep ++ staged, base)
+      keep: Seq[FEntry], df: DataFrame, base: Long, asSchema: StructType,
+      layout: Option[Column] = None, filesPerBucket: Int = 1): Long = {
+    val (staged, stage) = stageFiles(df, asSchema, layout, filesPerBucket)
+    try commit(keep ++ staged, base, Some(asSchema))
     finally fs.delete(stage, true)
   }
+
+  /** `cur` widened by `incoming`'s NEW columns (appended, nullable).
+    * Columns present in both must keep their exact type — evolution
+    * adds columns, never mutates them. */
+  private def widen(cur: StructType, incoming: StructType): StructType = {
+    incoming.fields.foreach { f =>
+      cur.find(_.name == f.name).foreach { have =>
+        require(have.dataType == f.dataType,
+          s"schema evolution cannot change column '${f.name}' from " +
+            s"${have.dataType.simpleString} to ${f.dataType.simpleString}")
+      }
+    }
+    StructType(cur.fields ++ incoming.fields
+      .filterNot(f => cur.fieldNames.contains(f.name))
+      .map(f => StructField(f.name, f.dataType, nullable = true)))
+  }
+
+  /** `df` shaped to `target`: present columns cast, absent columns
+    * null-filled (evolving writers may omit columns either way). */
+  private def conform(df: DataFrame, target: StructType): DataFrame =
+    df.select(target.fields.map { fl =>
+      if (df.columns.contains(fl.name)) col(fl.name).cast(fl.dataType)
+      else lit(null).cast(fl.dataType).as(fl.name)
+    }: _*)
 
   /** S12 — append: new files, manifest = old ∪ new. The staged files
     * don't depend on the base version, so a rebase after a conflict
@@ -383,11 +619,39 @@ final class TxTable(
     * (commit's post-conflict rollback returns them to the stage). */
   def append(df: DataFrame): Unit = {
     createIfAbsent()
-    val (staged, stage) = stageFiles(df)
+    val (staged, stage) = stageFiles(df, currentSchema)
     try withRetry {
       val base = currentVersion
       commit(loadManifest(base).entries ++ staged, base)
     } finally fs.delete(stage, true)
+  }
+
+  /** [[append]] with SCHEMA EVOLUTION: columns of `df` not yet in the
+    * table are added (nullable) to the table schema; columns `df`
+    * omits are null-filled. Existing data files are NOT rewritten —
+    * they lack the new columns physically and read as null. Types of
+    * existing columns never change. */
+  def appendEvolving(df: DataFrame): Unit = {
+    createIfAbsent()
+    withRetry {
+      val base = currentVersion
+      val m = loadManifest(base)
+      val target = widen(schemaAt(m), df.schema)
+      stageAndCommit(m.entries, conform(df, target), base, target)
+    }
+  }
+
+  /** [[upsert]] with SCHEMA EVOLUTION (see [[appendEvolving]]).
+    * Update rows that omit an existing column null it — upsert is
+    * whole-row last-writer-wins, same as the non-evolving path. */
+  def upsertEvolving(df: DataFrame): Unit = {
+    createIfAbsent()
+    withRetry {
+      val base = currentVersion
+      val m = loadManifest(base)
+      val target = widen(schemaAt(m), df.schema)
+      upsertOnto(m, conform(df, target), base, target)
+    }
   }
 
   /** S9 — insert keys not present (ON CONFLICT DO NOTHING). */
@@ -397,9 +661,10 @@ final class TxTable(
       val base = currentVersion
       val cur = loadManifest(base).entries
       val incoming = df.dropDuplicates(keys)
+      val s = currentSchema
       val fresh = incoming.join(
-        readFiles(cur.map(_._2)).select(keys.map(col): _*), keys, "left_anti")
-      stageAndCommit(cur, fresh, base)
+        readFiles(cur.map(_.path), s).select(keys.map(col): _*), keys, "left_anti")
+      stageAndCommit(cur, fresh, base, s)
     }
   }
 
@@ -411,21 +676,30 @@ final class TxTable(
     // no localCheckpoint needed: even if `df` derives from this table,
     // its plan pins the files of the snapshot it was read from, which
     // a commit never mutates (only vacuum deletes files)
-    val updates = df
-      .select(schema.fields.map(fl => col(fl.name).cast(fl.dataType)): _*)
-      .dropDuplicates(keys)
-    val touched = updates.select(bucketExpr.as("_kb")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) return
     withRetry {
       val base = currentVersion
-      val cur = loadManifest(base).entries
-      val (hit, kept) = cur.partition { case (b, _) => touched(b) }
-      val existing = readFiles(hit.map(_._2))
+      val m = loadManifest(base)
+      val target = schemaAt(m)
+      val updates = df
+        .select(target.fields.map(fl => col(fl.name).cast(fl.dataType)): _*)
+      upsertOnto(m, updates, base, target)
+    }
+  }
+
+  /** Shared MERGE body: dedup updates, rewrite only touched buckets,
+    * re-link the rest. Runs inside a [[withRetry]] attempt. */
+  private def upsertOnto(
+      m: Manifest, updates0: DataFrame, base: Long, target: StructType): Unit = {
+    val updates = updates0.dropDuplicates(keys)
+    val touched = updates.select(bucketExpr.as("_kb")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.nonEmpty) {
+      val (hit, kept) = m.entries.partition(e => touched(e.bucket))
+      val existing = readFiles(hit.map(_.path), target)
       val merged = existing
         .join(updates.select(keys.map(col): _*), keys, "left_anti")
         .unionByName(updates)
-      stageAndCommit(kept, merged, base)
+      stageAndCommit(kept, merged, base, target)
     }
   }
 
@@ -436,13 +710,21 @@ final class TxTable(
     withRetry {
       val base = currentVersion
       val cur = loadManifest(base).entries
-      val touched = readFiles(cur.map(_._2)).filter(hitCond)
+      // zone-map pruning FIRST: only files that may hold a matching row
+      // are even read to discover touched buckets (a delete by event
+      // time on a time-clustered table scans just that time range).
+      // Pruning sees the RAW cond, not the coalesce wrapper (same row
+      // semantics — a null condition deletes nothing, and zone-map
+      // comparisons already treat nulls as non-matching)
+      val candidates = pruneEntries(cur, cond)
+      val s = currentSchema
+      val touched = readFiles(candidates.map(_.path), s).filter(hitCond)
         .select(bucketExpr.as("_kb"))
         .distinct().collect().map(_.getInt(0)).toSet
       if (touched.nonEmpty) {
-        val (hit, kept) = cur.partition { case (b, _) => touched(b) }
-        val remain = readFiles(hit.map(_._2)).filter(!hitCond)
-        stageAndCommit(kept, remain, base)
+        val (hit, kept) = cur.partition(e => touched(e.bucket))
+        val remain = readFiles(hit.map(_.path), s).filter(!hitCond)
+        stageAndCommit(kept, remain, base, s)
       }
     }
   }
@@ -460,7 +742,50 @@ final class TxTable(
     createIfAbsent()
     withRetry {
       val base = currentVersion
-      stageAndCommit(Nil, readVersion(base), base)
+      stageAndCommit(Nil, readVersion(base), base, currentSchema)
+    }
+  }
+
+  /** Compaction + CLUSTERING: rewrite the current version so each
+    * bucket's rows are range-split across `filesPerBucket` files by
+    * `clusterBy` (plus sorted within files). After this, zone maps give
+    * ~`filesPerBucket`-way pruning on the cluster key inside EVERY
+    * bucket. Lexicographic: tight bounds on the LEADING key only — use
+    * [[compactZOrdered]] for multi-dimensional locality. Old version
+    * remains for time travel. */
+  def compactClustered(clusterBy: Seq[String], filesPerBucket: Int = 8): Unit = {
+    require(clusterBy.nonEmpty, "compactClustered requires cluster columns")
+    createIfAbsent()
+    withRetry {
+      val base = currentVersion
+      stageAndCommit(Nil, readVersion(base), base, currentSchema,
+        Some(struct(clusterBy.map(col): _*)), filesPerBucket)
+    }
+  }
+
+  /** [[compactClustered]] along a Z-ORDER (Morton) curve over several
+    * numeric/date/timestamp columns: files get tight zone maps on ALL
+    * the listed dimensions, where lexicographic clustering is tight
+    * only on the leading one (OPTIMIZE ZORDER BY). Column ranges come
+    * from one driver-side min/max agg over the current version. */
+  def compactZOrdered(cols: Seq[String], filesPerBucket: Int = 8,
+      bitsPerCol: Int = 8): Unit = {
+    require(cols.nonEmpty, "compactZOrdered requires columns")
+    createIfAbsent()
+    withRetry {
+      val base = currentVersion
+      val snap = readVersion(base)
+      val bounds = snap.select(cols.flatMap(c =>
+        Seq(min(col(c).cast("double")), max(col(c).cast("double")))): _*).head()
+      if (bounds.anyNull) // empty table or all-null dims: plain compact
+        stageAndCommit(Nil, snap, base, currentSchema)
+      else {
+        val mins = cols.indices.map(i => bounds.getDouble(2 * i))
+        val maxs = cols.indices.map(i => bounds.getDouble(2 * i + 1))
+        stageAndCommit(Nil, snap, base, currentSchema,
+          Some(ZOrder.zvalue(cols.map(col), mins, maxs, bitsPerCol)),
+          filesPerBucket)
+      }
     }
   }
 
@@ -507,7 +832,7 @@ final class TxTable(
     // manifests store bare names; stripPrefix inverts exactly what
     // loadManifest prepended, so this is the raw manifest name
     val referenced: Set[String] = keep
-      .flatMap(v => loadManifest(v).entries.map(_._2.stripPrefix(s"$dataDir/")))
+      .flatMap(v => loadManifest(v).entries.map(_.path.stripPrefix(s"$dataDir/")))
       .toSet
     if (f.exists(new Path(dataDir)))
       f.listStatus(new Path(dataDir)).foreach { st =>
