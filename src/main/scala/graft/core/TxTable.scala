@@ -111,9 +111,12 @@ final class TxTable(
 
   /** The file set of one committed version, plus the schema the
     * version was committed under (None = pre-evolution manifest →
-    * the table's declared create schema). */
+    * the table's declared create schema) and the commit's small
+    * metadata map (application watermarks etc. — rides the atomic
+    * manifest rename, so it is transactional with the data). */
   private case class Manifest(version: Long, entries: Seq[FEntry],
-      declaredSchema: Option[StructType] = None)
+      declaredSchema: Option[StructType] = None,
+      meta: Map[String, String] = Map.empty)
 
   private def schemaAt(m: Manifest): StructType =
     m.declaredSchema.getOrElse(schema)
@@ -147,6 +150,15 @@ final class TxTable(
       case l if l.startsWith("#schema\t") =>
         DataType.fromJson(l.stripPrefix("#schema\t")).asInstanceOf[StructType]
     }
+    val meta = lines.collectFirst {
+      case l if l.startsWith("#meta\t") =>
+        org.json4s.jackson.JsonMethods.parse(l.stripPrefix("#meta\t")) match {
+          case org.json4s.JObject(fs) => fs.collect {
+            case (k, org.json4s.JString(s)) => k -> s
+          }.toMap
+          case _ => Map.empty[String, String]
+        }
+    }.getOrElse(Map.empty[String, String])
     val entries = lines
       .filter(l => !l.startsWith("#")) // '#' = header lines
       .map { line =>
@@ -155,8 +167,20 @@ final class TxTable(
           case Array(b, f, st) => FEntry(b.toInt, s"$dataDir/$f", st)
         }
       }
-    Manifest(v, entries, declared)
+    Manifest(v, entries, declared, meta)
   }
+
+  /** The metadata map a version was committed with (empty if none).
+    * Metadata is per-commit, not inherited: it marks WHAT a commit
+    * applied (e.g. an incremental view's source watermark). */
+  def commitMeta(v: Long): Map[String, String] =
+    if (v < 0 || !exists) Map.empty else loadManifest(v).meta
+
+  /** Newest retained commit's value for `key` (commits without the key
+    * — compactions, unrelated writes — are skipped). */
+  def latestMeta(key: String): Option[String] =
+    versions.reverseIterator.map(commitMeta(_).get(key))
+      .collectFirst { case Some(v) => v }
 
   private def claimPath(v: Long): Path =
     new Path(manifestDir, f"v$v%020d.claim")
@@ -241,7 +265,8 @@ final class TxTable(
     * stage paths and the caller rebases (see [[withRetry]]) instead
     * of silently dropping the other writer's commit. */
   private def commit(entries: Seq[FEntry], base: Long,
-      asSchema: Option[StructType] = None): Long = {
+      asSchema: Option[StructType] = None,
+      meta: Map[String, String] = Map.empty): Long = {
     val f = fs
     f.mkdirs(new Path(manifestDir))
     val v = base + 1
@@ -272,9 +297,16 @@ final class TxTable(
       val out = f.create(tmp, false)
       // schema header: carries evolution forward commit-over-commit
       // (absent on legacy manifests → the declared create schema)
-      val header = asSchema
+      val schemaHeader = asSchema
         .orElse(if (base < 0) None else loadManifest(base).declaredSchema)
         .map(s => s"#schema\t${s.json}\n").getOrElse("")
+      val metaHeader =
+        if (meta.isEmpty) ""
+        else "#meta\t" + org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
+            meta.toList.sortBy(_._1).map { case (k, v2) =>
+              k -> org.json4s.JString(v2) }))) + "\n"
+      val header = schemaHeader + metaHeader
       try out.write((header + finalEntries.sortBy(_.bucket)
         .map { e =>
           val name = e.path.stripPrefix(s"$dataDir/")
@@ -583,9 +615,10 @@ final class TxTable(
     * mutation's data is garbage; the table state is untouched). */
   private def stageAndCommit(
       keep: Seq[FEntry], df: DataFrame, base: Long, asSchema: StructType,
-      layout: Option[Column] = None, filesPerBucket: Int = 1): Long = {
+      layout: Option[Column] = None, filesPerBucket: Int = 1,
+      meta: Map[String, String] = Map.empty): Long = {
     val (staged, stage) = stageFiles(df, asSchema, layout, filesPerBucket)
-    try commit(keep ++ staged, base, Some(asSchema))
+    try commit(keep ++ staged, base, Some(asSchema), meta)
     finally fs.delete(stage, true)
   }
 
@@ -671,7 +704,12 @@ final class TxTable(
   /** S10/S13 — MERGE, last-writer-wins per key. Only files of buckets
     * containing updated keys are rewritten; every other file is
     * re-linked into the new manifest untouched. */
-  def upsert(df: DataFrame): Unit = {
+  def upsert(df: DataFrame): Unit = upsert(df, Map.empty[String, String])
+
+  /** [[upsert]] carrying commit metadata — e.g. an incremental view's
+    * applied-source-version watermark, made ATOMIC with the data by
+    * riding the same manifest rename (see [[commitMeta]]). */
+  def upsert(df: DataFrame, meta: Map[String, String]): Unit = {
     createIfAbsent()
     // no localCheckpoint needed: even if `df` derives from this table,
     // its plan pins the files of the snapshot it was read from, which
@@ -682,14 +720,25 @@ final class TxTable(
       val target = schemaAt(m)
       val updates = df
         .select(target.fields.map(fl => col(fl.name).cast(fl.dataType)): _*)
-      upsertOnto(m, updates, base, target)
+      upsertOnto(m, updates, base, target, meta)
+    }
+  }
+
+  /** Replace the table's entire contents in ONE commit (full-refresh
+    * semantics; prior versions stay time-travelable until vacuum). */
+  def replace(df: DataFrame, meta: Map[String, String] = Map.empty): Unit = {
+    createIfAbsent()
+    withRetry {
+      val base = currentVersion
+      stageAndCommit(Nil, df, base, currentSchema, meta = meta)
     }
   }
 
   /** Shared MERGE body: dedup updates, rewrite only touched buckets,
     * re-link the rest. Runs inside a [[withRetry]] attempt. */
   private def upsertOnto(
-      m: Manifest, updates0: DataFrame, base: Long, target: StructType): Unit = {
+      m: Manifest, updates0: DataFrame, base: Long, target: StructType,
+      meta: Map[String, String] = Map.empty): Unit = {
     val updates = updates0.dropDuplicates(keys)
     val touched = updates.select(bucketExpr.as("_kb")).distinct()
       .collect().map(_.getInt(0)).toSet
@@ -699,7 +748,11 @@ final class TxTable(
       val merged = existing
         .join(updates.select(keys.map(col): _*), keys, "left_anti")
         .unionByName(updates)
-      stageAndCommit(kept, merged, base, target)
+      stageAndCommit(kept, merged, base, target, meta = meta)
+    } else if (meta.nonEmpty) {
+      // nothing to merge but the watermark must still land (e.g. a
+      // refresh whose feed nets out to zero row changes)
+      commit(m.entries, base, Some(target), meta)
     }
   }
 

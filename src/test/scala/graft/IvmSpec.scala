@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.TxTable
+import graft.ext.IncrementalView
+
+/** Incremental view maintenance over the TxTable CDC feed: refreshes
+  * must equal a full recompute after ANY mutation mix, watermarks must
+  * be atomic with the data, and double-refresh must be a no-op. */
+class IvmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def src(): TxTable =
+    new TxTable(spark, tmpDir("ivm") + "/src", StructType(Seq(
+      StructField("k", StringType), StructField("g", StringType),
+      StructField("v", LongType))), Seq("k"), numBuckets = 4)
+
+  private def recompute(t: TxTable) =
+    t.read.groupBy("g").agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+      .as[(String, Long, Long)].collect().toSet
+
+  private def viewRows(view: IncrementalView) =
+    view.read.select("g", "cnt", "sum_v").as[(String, Long, Long)]
+      .collect().toSet
+
+  test("refresh after every mutation mix equals the full recompute") {
+    val t = src()
+    val view = new IncrementalView(spark, t, tmpDir("ivmv") + "/v",
+      Seq("g"), Seq("v"), numBuckets = 2)
+    t.append((1 to 40).map(i => (s"k$i", s"g${i % 5}", i.toLong)).toDF("k", "g", "v"))
+    assert(view.refresh() >= 1)
+    assert(viewRows(view) === recompute(t))
+
+    // updates move rows BETWEEN groups (the hard IVM case: the old
+    // group loses the preimage, the new group gains the postimage)
+    t.upsert(Seq(("k1", "g9", 100L), ("k2", "g9", 200L)).toDF("k", "g", "v"))
+    t.deleteWhere(col("v") > 30 && col("v") < 100)
+    t.append(Seq(("kx", "g0", 7L)).toDF("k", "g", "v"))
+    assert(view.refresh() === 3)
+    assert(viewRows(view) === recompute(t))
+
+    // idempotence: nothing new → no-op, no version churn
+    val vv = view.table.currentVersion
+    assert(view.refresh() === 0)
+    assert(view.table.currentVersion === vv)
+    assert(view.appliedVersion === t.currentVersion)
+  }
+
+  test("emptied groups tombstone out of read and sweep away") {
+    val t = src()
+    val view = new IncrementalView(spark, t, tmpDir("ivmt") + "/v",
+      Seq("g"), Seq("v"), numBuckets = 2)
+    t.append(Seq(("a", "g1", 1L), ("b", "g2", 2L)).toDF("k", "g", "v"))
+    view.refresh()
+    t.deleteWhere(col("g") === "g1") // g1 empties
+    view.refresh()
+    assert(viewRows(view) === Set(("g2", 1L, 2L)))
+    assert(view.table.read.count() === 2) // tombstone row still stored
+    view.compactTombstones()
+    assert(view.table.read.count() === 1)
+    assert(viewRows(view) === recompute(t))
+  }
+
+  test("watermark is atomic with the data and survives unrelated view commits") {
+    val t = src()
+    val view = new IncrementalView(spark, t, tmpDir("ivmw") + "/v",
+      Seq("g"), Seq("v"), numBuckets = 2)
+    t.append(Seq(("a", "g1", 5L)).toDF("k", "g", "v"))
+    view.refresh()
+    val applied = view.appliedVersion
+    assert(applied === t.currentVersion)
+    // an unrelated commit on the view (compaction) must not clobber it
+    view.table.compact()
+    assert(view.appliedVersion === applied)
+    // and the meta travels in the manifest, not a side file
+    assert(view.table.commitMeta(view.table.versions.last).isEmpty) // compact carries none
+    assert(view.table.latestMeta("ivm_src_version") === Some(applied.toString))
+  }
+
+  test("a zero-net-change feed still advances the watermark") {
+    val t = src()
+    val view = new IncrementalView(spark, t, tmpDir("ivmz") + "/v",
+      Seq("g"), Seq("v"), numBuckets = 2)
+    t.append(Seq(("a", "g1", 5L)).toDF("k", "g", "v"))
+    view.refresh()
+    // upsert the identical row: CDC nets to zero rows
+    t.upsert(Seq(("a", "g1", 5L)).toDF("k", "g", "v"))
+    assert(view.refresh() === 1)
+    assert(view.appliedVersion === t.currentVersion)
+    assert(viewRows(view) === recompute(t))
+  }
+
+  test("vacuumed source horizon falls back to one-commit full recompute") {
+    val t = src()
+    val view = new IncrementalView(spark, t, tmpDir("ivmf") + "/v",
+      Seq("g"), Seq("v"), numBuckets = 2)
+    t.append(Seq(("a", "g1", 1L)).toDF("k", "g", "v"))
+    view.refresh()
+    t.append(Seq(("b", "g2", 2L)).toDF("k", "g", "v"))
+    t.upsert(Seq(("a", "g1", 10L)).toDF("k", "g", "v"))
+    t.vacuum(keepVersions = 1, minAgeMs = 0L) // watermark version is gone
+    assert(view.refresh() >= 1)
+    assert(viewRows(view) === recompute(t))
+    assert(view.appliedVersion === t.currentVersion)
+  }
+}
