@@ -405,6 +405,101 @@ object FileStats {
     case x => x
   }
 
+  // ---- parquet bloom filters (point-read skipping) ----
+
+  /** The top-level AND-conjunct equality constraints of an analyzed
+    * predicate: column → the candidate values (Catalyst-internal, in
+    * the column's own type) the row must take. `EqualTo` yields one
+    * value, `In` its list (ANY-of semantics). OR branches and casts
+    * are not descended — blooms only ever make pruning TIGHTER, so
+    * missing a constraint is always sound. */
+  def equalityConjuncts(pred: Expression, schema: StructType)
+      : Map[String, Seq[Any]] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    conjuncts(pred).flatMap {
+      case EqualTo(a, b) => eqPair(a, b, schema).orElse(eqPair(b, a, schema))
+      case EqualNullSafe(a, b) => eqPair(a, b, schema).orElse(eqPair(b, a, schema))
+      case In(a, vs) =>
+        for {
+          name <- attrName(a)
+          fld <- schema.find(_.name == name)
+          vals <- Try(vs.map { v =>
+            val (value, lt) = foldValue(v).getOrElse(throw new Exception)
+            if (lt != fld.dataType || value == null) throw new Exception
+            value
+          }).toOption
+        } yield name -> vals
+      case _ => None
+    }.groupBy(_._1).map { case (k, vs) =>
+      // several conjuncts on one column: values must satisfy ALL of
+      // them — keep the first (sound; tighter intersection is overkill)
+      k -> vs.head._2
+    }
+  }
+
+  private def eqPair(a: Expression, b: Expression, schema: StructType)
+      : Option[(String, Seq[Any])] = for {
+    name <- attrName(a)
+    fld <- schema.find(_.name == name)
+    (v, lt) <- foldValue(b)
+    if lt == fld.dataType && v != null
+  } yield name -> Seq(v)
+
+  /** Probe a file's parquet bloom filters: can the file contain a row
+    * where EVERY listed column takes (one of) its candidate value(s)?
+    * `false` only when some column's bloom DEFINITIVELY excludes every
+    * candidate in every row group; missing blooms / unsupported types
+    * answer true. Metadata+bloom I/O only (no data pages). */
+  def bloomMayContain(path: String, conf: Configuration,
+      wanted: Map[String, Seq[Any]], schema: StructType): Boolean = {
+    if (wanted.isEmpty) return true
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      // per column: true if ANY block may contain ANY candidate value
+      wanted.forall { case (name, values) =>
+        blocks.exists { b =>
+          val bfr = reader.getBloomFilterDataReader(b)
+          b.getColumns.asScala.find(_.getPath.toDotString == name) match {
+            case None => true // column absent (pre-evolution file)
+            case Some(cc) =>
+              val bf = bfr.readBloomFilter(cc)
+              if (bf == null) true // no bloom written → indeterminate
+              else values.exists { v =>
+                bloomHash(bf, v, cc.getPrimitiveType) match {
+                  case Some(h) => bf.findHash(h)
+                  case None => true // unhashable type → keep
+                }
+              }
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => true }
+    finally reader.close()
+  }
+
+  /** Catalyst-internal value → parquet bloom hash, honoring the file's
+    * physical type (int32 vs int64 hash differently). */
+  private def bloomHash(
+      bf: org.apache.parquet.column.values.bloomfilter.BloomFilter,
+      v: Any, pt: PrimitiveType): Option[Long] = {
+    (pt.getPrimitiveTypeName, v) match {
+      case (PrimitiveTypeName.INT32, i: Int)    => Some(bf.hash(i))
+      case (PrimitiveTypeName.INT32, b: Byte)   => Some(bf.hash(b.toInt))
+      case (PrimitiveTypeName.INT32, s: Short)  => Some(bf.hash(s.toInt))
+      case (PrimitiveTypeName.INT64, l: Long)   => Some(bf.hash(l))
+      case (PrimitiveTypeName.FLOAT, f: Float)  => Some(bf.hash(f))
+      case (PrimitiveTypeName.DOUBLE, d: Double) => Some(bf.hash(d))
+      case (PrimitiveTypeName.BINARY, s) if pt.getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        Some(bf.hash(org.apache.parquet.io.api.Binary.fromString(s.toString)))
+      case _ => None
+    }
+  }
+
   private object CmpOp extends Enumeration {
     val EQ, LT, LE, GT, GE = Value
     /** `lit ⊙ col` ⇔ `col mirror(⊙) lit`. */

@@ -84,7 +84,12 @@ final class TxTable(
     val keys: Seq[String],
     val numBuckets: Int = 16,
     val commitBudgetMs: Long = TxTable.DefaultCommitBudgetMs,
-    val claimStalenessMs: Long = TxTable.DefaultClaimStalenessMs) extends TableOps {
+    val claimStalenessMs: Long = TxTable.DefaultClaimStalenessMs,
+    /** EXTRA columns (beyond the keys, which always get one) to write
+      * parquet bloom filters for — point-read skipping on
+      * high-cardinality columns whose values hash across every file,
+      * where zone maps can't help (see [[scanWhere]]). */
+    val bloomCols: Seq[String] = Nil) extends TableOps {
 
   require(keys.nonEmpty, "TxTable requires key columns")
   require(numBuckets > 0, "TxTable requires numBuckets > 0")
@@ -434,12 +439,25 @@ final class TxTable(
     val s = currentSchema // column types never change under evolution
     analyzedPredicate(pred) match {
       case None => entries
-      case Some(cond) => entries.filter { e =>
-        e.parsedStats(s) match {
-          case Some(st) => FileStats.mayMatch(st, cond, s)
-          case None => true // no stats recorded → never skip
+      case Some(cond) =>
+        val zoneKept = entries.filter { e =>
+          e.parsedStats(s) match {
+            case Some(st) => FileStats.mayMatch(st, cond, s)
+            case None => true // no stats recorded → never skip
+          }
         }
-      }
+        // second layer: parquet bloom probes for equality conjuncts on
+        // bloom-enabled columns — catches what zone maps can't (values
+        // hash-scattered across every file's [min, max]). Probes are
+        // driver-side footer reads, so bound them: past the cap the
+        // planning cost would rival the scan it saves.
+        val eqs = FileStats.equalityConjuncts(cond, s)
+          .filter { case (c, _) => keys.contains(c) || bloomCols.contains(c) }
+        if (eqs.isEmpty || zoneKept.length > TxTable.MaxBloomProbeFiles) zoneKept
+        else {
+          val conf = spark.sparkContext.hadoopConfiguration
+          zoneKept.filter(e => FileStats.bloomMayContain(e.path, conf, eqs, s))
+        }
     }
   }
 
@@ -590,7 +608,15 @@ final class TxTable(
           .sortWithinPartitions(col("_kb"), col("_layout"))
           .drop("_layout")
     }
-    laidOut.write.mode(SaveMode.Overwrite).partitionBy("_kb").parquet(stage.toString)
+    // bloom filters on key (+ configured) columns: point-read file
+    // skipping where zone maps are blind (hash-scattered values).
+    // Bounded at 64 KiB per column chunk so file bloat stays marginal.
+    val withBlooms = (keys ++ bloomCols).distinct
+      .filter(asSchema.fieldNames.contains)
+      .foldLeft(laidOut.write.option("parquet.bloom.filter.max.bytes", "65536")) {
+        (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      }
+    withBlooms.mode(SaveMode.Overwrite).partitionBy("_kb").parquet(stage.toString)
     val conf = spark.sparkContext.hadoopConfiguration
     val entries = f.listStatus(stage).toSeq
       .filter(_.getPath.getName.startsWith("_kb="))
@@ -935,6 +961,12 @@ object TxTable {
     * Must exceed a commit's manifest write + rename plus the longest
     * plausible stall (GC pause, FS hiccup). */
   val DefaultClaimStalenessMs: Long = 10L * 60 * 1000
+
+  /** Bloom probing reads one footer per candidate file driver-side;
+    * past this many surviving files the planning cost would rival the
+    * scan it saves, so probing turns off (zone maps still apply). On a
+    * cluster this is where probes would fan out to executors instead. */
+  val MaxBloomProbeFiles: Int = 1024
 
   /** A writer lost the race for its target version; the mutation is
     * rebased onto the new current version and retried. */

@@ -219,6 +219,37 @@ class SkippingSpec extends SparkSpec {
     assert(zed.read.count() === 1024)
   }
 
+  test("bloom filters prune point reads that zone maps cannot") {
+    val t = new TxTable(spark, tmpDir("bloom") + "/t", StructType(Seq(
+      StructField("k", StringType), StructField("v", IntegerType))),
+      Seq("k"), numBuckets = 1)
+    // three appends whose key RANGES interleave lexicographically
+    // ("k150" sits inside [k1, k99]), so zone maps keep everything and
+    // only the bloom can tell which file holds a key
+    t.append((1 to 100).map(i => (s"k$i", i)).toDF("k", "v"))
+    t.append((101 to 200).map(i => (s"k$i", i)).toDF("k", "v"))
+    t.append((201 to 300).map(i => (s"k$i", i)).toDF("k", "v"))
+    assert(t.dataFileCount === 3)
+    val r = t.skipReport(col("k") === "k150")
+    assert(r.scanned === 1, s"got $r") // bloom isolates the middle file
+    assert(t.scanWhere(col("k") === "k150").as[(String, Int)].collect().toSeq
+      === Seq(("k150", 150)))
+    // absent key: every bloom says no
+    assert(t.skipReport(col("k") === "k999").scanned === 0)
+    assert(t.scanWhere(col("k") === "k999").count() === 0)
+    // IN across two files keeps exactly those two
+    assert(t.skipReport(col("k").isin("k50", "k250")).scanned === 2)
+    // equality on a NON-bloom column falls back to zone maps only
+    assert(t.skipReport(col("v") === 150).scanned === 1) // zone maps cover ints
+    // and lookup stacks bucket + zone + bloom: plans exactly one file
+    val planned = t.lookup(Seq("k150")).queryExecution.executedPlan
+      .collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }.sum
+    assert(planned === 1, s"planned $planned files")
+  }
+
   test("time travel and vacuum carry stats through re-linked entries") {
     val t = evTable(2)
     t.append(batch(1, 50, "alpha"))
