@@ -760,6 +760,42 @@ final class TxTable(
     }
   }
 
+  /** MERGE in one commit: upsert `upserts` AND delete `deleteKeys`
+    * (a keys-shaped DataFrame) atomically — the WHEN MATCHED UPDATE /
+    * WHEN MATCHED DELETE composite a CDC apply needs. A key in both
+    * inputs upserts (the post-image wins). Only buckets containing
+    * touched keys are rewritten; `meta` rides the single commit.
+    * Fully distributed: no key list ever reaches the driver (bucket
+    * ids do — bounded by `numBuckets`). */
+  def applyChanges(upserts: DataFrame, deleteKeys: DataFrame,
+      meta: Map[String, String] = Map.empty): Unit = {
+    createIfAbsent()
+    withRetry {
+      val base = currentVersion
+      val m = loadManifest(base)
+      val target = schemaAt(m)
+      val ups = upserts
+        .select(target.fields.map(fl => col(fl.name).cast(fl.dataType)): _*)
+        .dropDuplicates(keys)
+      val dels = deleteKeys
+        .select(keys.map(k => col(k).cast(target(k).dataType)): _*)
+        .dropDuplicates(keys)
+        .join(ups.select(keys.map(col): _*), keys, "left_anti") // upsert wins
+      val gone = ups.select(keys.map(col): _*).unionByName(dels)
+      val touched = gone.select(bucketExpr.as("_kb")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (touched.nonEmpty) {
+        val (hit, kept) = m.entries.partition(e => touched(e.bucket))
+        val remain = readFiles(hit.map(_.path), target)
+          .join(gone, keys, "left_anti")
+          .unionByName(ups)
+        stageAndCommit(kept, remain, base, target, meta = meta)
+      } else if (meta.nonEmpty) {
+        commit(m.entries, base, Some(target), meta)
+      }
+    }
+  }
+
   /** Shared MERGE body: dedup updates, rewrite only touched buckets,
     * re-link the rest. Runs inside a [[withRetry]] attempt. */
   private def upsertOnto(

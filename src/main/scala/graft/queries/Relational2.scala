@@ -220,6 +220,33 @@ object Relational2 {
     s.sql(q18Sql)
   }
 
+  /** TPC-H Q10 shape (returned-item reporting): quarter-filtered
+    * orders ⋈ returned lineitems, customer + nation decoration, top 20
+    * by lost revenue. Same ANSI text runs on both engines; revenue
+    * decimal-exact via the house STRING-cast rule; LIMIT tie-broken by
+    * key so the cut is deterministic. */
+  private val q10Sql: String =
+    """SELECT c_custkey, c_name,
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |   * (1 - CAST(l_discount AS DECIMAL(12,6)))) AS STRING) AS DOUBLE)
+      |   AS revenue,
+      | c_acctbal, n_name
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |  AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  def sql_tpch_q10(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q10Sql)
+  }
+
   /** Order-stable array aggregation: sorted distinct segment list per
     * nation rendered as a string (collect_set order is never relied
     * on). */
@@ -264,6 +291,7 @@ object Relational2 {
     "j_outer_join" -> (j_outer_join _),
     "sql_tpch_q3" -> (sql_tpch_q3 _),
     "sql_tpch_q5" -> (sql_tpch_q5 _),
+    "sql_tpch_q10" -> (sql_tpch_q10 _),
     "sql_tpch_q18" -> (sql_tpch_q18 _),
     "a_array_agg" -> (a_array_agg _))
 
@@ -348,6 +376,7 @@ object Relational2 {
         |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
     "sql_tpch_q3" -> q3Sql,
     "sql_tpch_q5" -> q5Sql,
+    "sql_tpch_q10" -> q10Sql,
     "sql_tpch_q18" -> q18Sql,
     "a_array_agg" ->
       """SELECT c_nationkey,
