@@ -177,6 +177,83 @@ object Connectors {
     }
   }
 
+  // ---- S8: web-search enrichment source (ref scan.ts:323-369) ----
+
+  /** One result row from a search backend. */
+  final case class SearchHit(query: String, url: String, title: String,
+      snippet: String, publishedDate: String)
+
+  /** The ONLY external boundary of S8 — the reference calls a hosted
+    * `web_search` tool here (`scan.ts:331-340`, boundary #4). Bounded,
+    * driver-side (a scan issues a handful of queries — control plane,
+    * never data-proportional). Deterministic fixture in tests; a real
+    * deployment plugs an HTTP client in. */
+  trait SearchClient {
+    def search(query: String, maxResults: Int): Seq[SearchHit]
+  }
+
+  final class FixtureSearchClient(hits: Map[String, Seq[SearchHit]])
+      extends SearchClient {
+    override def search(query: String, maxResults: Int): Seq[SearchHit] =
+      hits.getOrElse(query, Nil).take(maxResults)
+  }
+
+  /** S8 — everything AFTER the search API boundary, for real: the
+    * reference's `allowed_domains` restriction re-expressed as a
+    * domain post-filter, URL canonicalization (policy-driven UTM /
+    * trailing-slash strip), per-URL first-wins dedup across queries,
+    * robots admission via the governed fetcher's decision functions
+    * (S7), then fetched-page decoration — pages the deployment
+    * actually fetched join in their extracted title/content; hits
+    * without a fetched page fall back to the search snippet (the
+    * reference keeps those too, `scan.ts:352-365`). */
+  final class WebSearchConnector(
+      override val name: String,
+      override val rank: Int,
+      client: SearchClient,
+      queries: Seq[String],
+      allowedDomains: Seq[String],
+      fetchedPages: DataFrame, // (url, html, published_date)
+      policy: graft.domain.Policy.TrustPolicy =
+        graft.domain.Policy.referencePolicy,
+      robotsByDomain: Map[String, String] = Map.empty,
+      userAgent: String = "graftbot",
+      maxResultsPerQuery: Int = 10) extends SourceConnector {
+    override def candidates(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      val hits = queries.flatMap(q => client.search(q, maxResultsPerQuery))
+      val raw = hits.toDF("query", "url", "title", "snippet", "published_date")
+        .withColumn("url", graft.domain.OntoFunctions.canonicalizeUrl(col("url")))
+      val allowed = raw.filter(
+        graft.domain.OntoFunctions.isAllowedDomain(col("url"), allowedDomains))
+      // first-wins per URL across queries (query order is precedence)
+      val deduped = allowed
+        .withColumn("_q", monotonically_increasing_id())
+        .withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("url").orderBy("_q")))
+        .filter(col("_rn") === 1).drop("_q", "_rn")
+      val admitted = graft.ingest.Fetching.robotsAdmitted(
+        deduped, policy, robotsByDomain, userAgent)
+      val pages = fetchedPages.select(
+        col("url").as("p_url"), col("html"),
+        col("published_date").as("p_published"))
+      admitted.join(pages, admitted("url") === pages("p_url"), "left_outer")
+        .select(
+          col("url"),
+          // extractTitle/-Content have their own last-resort fallbacks
+          // ("Untitled"/empty), so gate on page presence, not null-ness
+          when(col("html").isNotNull, extractTitle(col("html")))
+            .otherwise(col("title")).as("title"),
+          when(col("html").isNotNull, extractContent(col("html")))
+            .otherwise(col("snippet")).as("content"),
+          coalesce(col("p_published"), col("published_date"))
+            .as("published_date"),
+          lit(name).as("connector"),
+          lit(rank).as("connector_rank"))
+    }
+  }
+
   /** Union candidates from many connectors (D4 heterogeneous union —
     * `unionByName` with missing columns allowed). */
   def unionCandidates(spark: SparkSession, connectors: Seq[SourceConnector]): DataFrame =

@@ -158,6 +158,51 @@ class DomainServicesSpec extends SparkSpec {
     assert(wh.domainTable("source_documents").read.count() === 2)
   }
 
+  test("S8 web search: domain filter, canonicalization, cross-query dedup, robots gate, page decoration") {
+    import graft.ingest.Connectors.{FixtureSearchClient, SearchHit, WebSearchConnector}
+    val client = new FixtureSearchClient(Map(
+      "ai act" -> Seq(
+        SearchHit("ai act", "https://eur-lex.europa.eu/reg/2026?utm_source=x",
+          "AI Act (search)", "snippet about the AI Act", "2026-01-10"),
+        SearchHit("ai act", "https://spam.example.com/clickbait",
+          "Spam", "not allowed", "2026-01-01"),
+        SearchHit("ai act", "https://unece.org/private/draft",
+          "Blocked draft", "robots denies this", "2026-01-02")),
+      "cyber rules" -> Seq(
+        // same URL as query 1 post-canonicalization → first query wins
+        SearchHit("cyber rules", "https://eur-lex.europa.eu/reg/2026",
+          "dup title", "dup snippet", "2026-01-11"),
+        SearchHit("cyber rules", "https://unece.org/public/rules",
+          "Cyber rules (search)", "snippet on cyber rules", "2026-02-01"))))
+    // one hit has a fetched page (decorated); the others keep snippets
+    val pages = Seq((
+      "https://eur-lex.europa.eu/reg/2026",
+      "<html><head><title>AI Act final text</title></head>" +
+        "<body><p>Full binding obligations text.</p></body></html>",
+      "2026-01-15")).toDF("url", "html", "published_date")
+    val conn = new WebSearchConnector(
+      "web_search", 5, client, Seq("ai act", "cyber rules"),
+      allowedDomains = Seq("eur-lex.europa.eu", "unece.org"),
+      fetchedPages = pages,
+      robotsByDomain = Map(
+        "unece.org" -> "User-agent: *\nDisallow: /private/\n"))
+    val got = conn.candidates(spark)
+      .select("url", "title", "content", "published_date", "connector_rank")
+      .as[(String, String, String, String, Int)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(
+      "https://eur-lex.europa.eu/reg/2026", // utm stripped, deduped, fetched
+      "https://unece.org/public/rules"))    // snippet fallback; /private robots-blocked
+    val lex = got(0)
+    assert(lex._2 === "AI Act final text") // page beats search title
+    assert(lex._3.contains("Full binding obligations"))
+    assert(lex._4 === "2026-01-15")
+    val unece = got(1)
+    assert(unece._2 === "Cyber rules (search)")
+    assert(unece._3 === "snippet on cyber rules")
+    assert(unece._4 === "2026-02-01")
+    assert(got.forall(_._5 === 5))
+  }
+
   test("evidence verifier: rule verdicts with reference contract shape") {
     val wh = freshWarehouse()
     def item(id: String, nCit: Int, conf: Double, citUrl: String) = Row(
