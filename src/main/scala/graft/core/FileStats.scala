@@ -146,8 +146,11 @@ object FileStats {
             val st = cc.getStatistics
             if (st == null || st.isEmpty || !st.isNumNullsSet) None
             else if (!st.hasNonNullValue) {
-              // all-null chunk: contributes nulls, leaves min/max alone
-              if (st.getNumNulls == b.getRowCount || st.getNumNulls >= 0)
+              // min/max absent: provably all-null ONLY when the null
+              // count covers every row in the group — writers also omit
+              // BINARY min/max above the max-statistics size while still
+              // setting null_count, and such a chunk may hold values
+              if (st.getNumNulls == b.getRowCount)
                 Some((mn0, mx0, n0 + st.getNumNulls))
               else None
             } else {
@@ -262,6 +265,12 @@ object FileStats {
     case _ => false
   }
 
+  private def intWidth(dt: DataType): Int = dt match {
+    case _: ByteType => 1; case _: ShortType => 2
+    case _: IntegerType => 4; case _: LongType => 8
+    case _ => 0
+  }
+
   private def attrSide(e: Expression, schema: StructType): Option[AttrSide] = {
     def direct(x: Expression) = for {
       name <- attrName(x)
@@ -271,8 +280,10 @@ object FileStats {
       case c: Cast =>
         direct(c.child).flatMap { as =>
           (as.effType, c.dataType) match {
-            case (f, t) if intLike(f) && intLike(t) => // stats stay Long
-              Some(AttrSide(as.name, t, identity))
+            case (f, t) if intLike(f) && intLike(t) && intWidth(t) >= intWidth(f) =>
+              // only WIDENING integral casts are monotone — a narrowing
+              // cast wraps on overflow, so [min,max] proves nothing
+              Some(AttrSide(as.name, t, identity)) // stats stay Long
             case (f, _: FloatType | _: DoubleType) if intLike(f) =>
               // monotone (not injective past 2^53, which is still sound
               // for bound checks) — stats Long → Double
@@ -324,21 +335,6 @@ object FileStats {
       case _ => None
     }
   }
-
-  /** (attr, domainValue, colType) from a binary comparison's two sides,
-    * flipped so the attribute is on the left. */
-  private def sides(l: Expression, r: Expression, schema: StructType)
-      : Option[(ColStatsView, Any, Boolean)] = {
-    def view(a: Expression, b: Expression, flipped: Boolean) = for {
-      name <- attrName(a)
-      fld <- schema.find(_.name == name)
-      (v, lt) <- foldValue(b)
-      dom <- litToDomain(v, lt, fld.dataType)
-    } yield (ColStatsView(name), dom, flipped)
-    view(l, r, flipped = false).orElse(view(r, l, flipped = true))
-  }
-
-  private case class ColStatsView(name: String)
 
   private def evalMay(st: Stats, e: Expression, schema: StructType): Boolean = e match {
     case And(l, r) => evalMay(st, l, schema) && evalMay(st, r, schema)

@@ -103,6 +103,21 @@ final class TxTable(
   private def bucketExpr: Column =
     pmod(hash(keys.map(col): _*), lit(numBuckets)).cast(IntegerType)
 
+  /** Anti/semi-join `left` against `right`'s key columns with NULL-SAFE
+    * key equality. Name-based `join(_, keys, _)` compares with `=`, so
+    * a NULL-keyed stored row would never match its incoming
+    * counterpart — upsert would duplicate it on every write. Still an
+    * equi-join (EqualNullSafe plans as a hash join), so the physical
+    * plan shape is unchanged. */
+  private def keyMatchJoin(
+      left: DataFrame, right: DataFrame, joinType: String): DataFrame = {
+    val l = left.alias("_kjl")
+    val r = right.select(keys.map(col): _*).alias("_kjr")
+    l.join(r,
+      keys.map(k => col(s"_kjl.$k") <=> col(s"_kjr.$k")).reduce(_ && _),
+      joinType)
+  }
+
   // ---- manifests ----
 
   /** One manifest line: a data file, its key-hash bucket, and its
@@ -518,7 +533,17 @@ final class TxTable(
     def tagged(df: DataFrame, tag: String) = df.select(
       (keys.map(col) ++ dataCols.map(c => col(c).as(s"_${tag}_$c")) :+
         lit(true).as(s"_in_$tag")): _*)
-    val joined = tagged(pre, "pre").join(tagged(post, "post"), keys, "full_outer")
+    // null-safe key match: a NULL-keyed row present in both versions
+    // must pair up (plain `=` would emit a spurious delete+insert)
+    val joined = tagged(pre, "pre").alias("_cl")
+      .join(tagged(post, "post").alias("_cr"),
+        keys.map(k => col(s"_cl.$k") <=> col(s"_cr.$k")).reduce(_ && _),
+        "full_outer")
+      .select(keys.map(k =>
+        coalesce(col(s"_cl.$k"), col(s"_cr.$k")).as(k)) ++
+        (dataCols.map(c => col(s"_pre_$c")) ++
+          dataCols.map(c => col(s"_post_$c")) ++
+          Seq(col("_in_pre"), col("_in_post"))): _*)
     def image(tag: String, kind: String) = struct(
       (lit(kind).as("_change_type") +: keys.map(col)) ++
         dataCols.map(c => col(s"_${tag}_$c").as(c)): _*)
@@ -721,8 +746,7 @@ final class TxTable(
       val cur = loadManifest(base).entries
       val incoming = df.dropDuplicates(keys)
       val s = currentSchema
-      val fresh = incoming.join(
-        readFiles(cur.map(_.path), s).select(keys.map(col): _*), keys, "left_anti")
+      val fresh = keyMatchJoin(incoming, readFiles(cur.map(_.path), s), "left_anti")
       stageAndCommit(cur, fresh, base, s)
     }
   }
@@ -777,17 +801,15 @@ final class TxTable(
       val ups = upserts
         .select(target.fields.map(fl => col(fl.name).cast(fl.dataType)): _*)
         .dropDuplicates(keys)
-      val dels = deleteKeys
+      val dels = keyMatchJoin(deleteKeys
         .select(keys.map(k => col(k).cast(target(k).dataType)): _*)
-        .dropDuplicates(keys)
-        .join(ups.select(keys.map(col): _*), keys, "left_anti") // upsert wins
+        .dropDuplicates(keys), ups, "left_anti") // upsert wins
       val gone = ups.select(keys.map(col): _*).unionByName(dels)
       val touched = gone.select(bucketExpr.as("_kb")).distinct()
         .collect().map(_.getInt(0)).toSet
       if (touched.nonEmpty) {
         val (hit, kept) = m.entries.partition(e => touched(e.bucket))
-        val remain = readFiles(hit.map(_.path), target)
-          .join(gone, keys, "left_anti")
+        val remain = keyMatchJoin(readFiles(hit.map(_.path), target), gone, "left_anti")
           .unionByName(ups)
         stageAndCommit(kept, remain, base, target, meta = meta)
       } else if (meta.nonEmpty) {
@@ -807,8 +829,7 @@ final class TxTable(
     if (touched.nonEmpty) {
       val (hit, kept) = m.entries.partition(e => touched(e.bucket))
       val existing = readFiles(hit.map(_.path), target)
-      val merged = existing
-        .join(updates.select(keys.map(col): _*), keys, "left_anti")
+      val merged = keyMatchJoin(existing, updates, "left_anti")
         .unionByName(updates)
       stageAndCommit(kept, merged, base, target, meta = meta)
     } else if (meta.nonEmpty) {

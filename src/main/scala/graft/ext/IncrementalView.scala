@@ -43,8 +43,9 @@ final class IncrementalView(
     numBuckets: Int = 16) {
 
   require(groupCols.nonEmpty, "IncrementalView requires group columns")
-  require(!groupCols.exists(c => c == "cnt" || c.startsWith("sum_")),
-    "group columns may not collide with the view's cnt/sum_* outputs")
+  require(!groupCols.exists(c =>
+    c == "cnt" || c.startsWith("sum_") || c.startsWith("nn_")),
+    "group columns may not collide with the view's cnt/sum_*/nn_* columns")
   private val srcSchema = source.currentSchema
   sumCols.foreach { c =>
     require(srcSchema.fieldNames.contains(c), s"unknown sum column $c")
@@ -56,10 +57,18 @@ final class IncrementalView(
     case _ => DoubleType
   }
 
+  /** Stored schema. Each sum column carries a shadow `nn_<c>` NON-NULL
+    * COUNT so the view can reproduce SQL sum semantics exactly: a full
+    * recompute's SUM is NULL iff the group has zero non-null values,
+    * which plain ±delta arithmetic on the sum alone cannot track
+    * (0-from-values vs no-values are indistinguishable). [[read]]
+    * projects the shadows away. */
   val schema: StructType = StructType(
     groupCols.map(c => srcSchema(c).copy(nullable = true)) ++
       Seq(StructField("cnt", LongType)) ++
-      sumCols.map(c => StructField(s"sum_$c", sumFieldType(c))))
+      sumCols.flatMap(c => Seq(
+        StructField(s"sum_$c", sumFieldType(c)),
+        StructField(s"nn_$c", LongType))))
 
   val table = new TxTable(spark, dir, schema, groupCols, numBuckets)
 
@@ -69,13 +78,22 @@ final class IncrementalView(
   def appliedVersion: Long =
     table.latestMeta(WatermarkKey).map(_.toLong).getOrElse(-1L)
 
-  /** The view's current contents (tombstones of emptied groups
-    * filtered out). */
+  /** The view's current contents: tombstones of emptied groups filtered
+    * out, nn_* shadows folded back into NULL-exact sums (a group whose
+    * values are all NULL reads sum = NULL, same as a recompute). */
   def read: DataFrame = table.read.filter(col("cnt") > 0)
+    .select((groupCols.map(col) :+ col("cnt")) ++
+      sumCols.map(c => when(col(s"nn_$c") > 0, col(s"sum_$c")).as(s"sum_$c")): _*)
 
+  /** Stored representation keeps sums NULL-free (all-null group → 0)
+    * so ±delta arithmetic never poisons an accumulator with NULL; the
+    * nn_* shadow restores NULL on [[read]]. */
   private def aggs(weight: org.apache.spark.sql.Column) =
     sum(weight).as("cnt") +:
-      sumCols.map(c => sum(col(c).cast(sumFieldType(c)) * weight).as(s"sum_$c"))
+      sumCols.flatMap(c => Seq(
+        coalesce(sum(col(c).cast(sumFieldType(c)) * weight),
+          lit(0).cast(sumFieldType(c))).as(s"sum_$c"),
+        sum(when(col(c).isNotNull, weight).otherwise(0L)).as(s"nn_$c")))
 
   /** Catch the view up to the source's current version. Returns the
     * number of source commits applied (0 = already current). */
@@ -102,19 +120,27 @@ final class IncrementalView(
         val wAggs = aggs(weight)
         val delta = ch.groupBy(groupCols.map(col): _*)
           .agg(wAggs.head, wAggs.tail: _*)
+        // group keys may legitimately be NULL — every key match below
+        // is null-safe (`<=>`), or a NULL-keyed group would miss its
+        // existing view row and reset instead of accumulating
+        def keyCond(l: String, r: String) =
+          groupCols.map(k => col(s"$l.$k") <=> col(s"$r.$k")).reduce(_ && _)
         // affected groups only: broadcast the (small) delta keys; the
         // view is never shuffled wholesale
-        val affected = table.read.join(
-          broadcast(delta.select(groupCols.map(col): _*)), groupCols, "left_semi")
+        val affected = table.read.alias("_v").join(
+          broadcast(delta.select(groupCols.map(col): _*)).alias("_dk"),
+          keyCond("_v", "_dk"), "left_semi")
         val dAlias = delta.columns.map(c =>
           col(c).as(if (groupCols.contains(c)) c else s"_d_$c"))
-        val merged = delta.select(dAlias: _*)
-          .join(affected, groupCols, "left_outer")
-          .select((groupCols.map(col) :+
-            (coalesce(col("cnt"), lit(0L)) + col("_d_cnt")).as("cnt")) ++
-            sumCols.map(c =>
-              (coalesce(col(s"sum_$c"), lit(0).cast(sumFieldType(c))) +
-                col(s"_d_sum_$c")).as(s"sum_$c")): _*)
+        val merged = delta.select(dAlias: _*).alias("_d")
+          .join(affected.alias("_a"), keyCond("_d", "_a"), "left_outer")
+          .select((groupCols.map(k => col(s"_d.$k").as(k)) :+
+            (coalesce(col("_a.cnt"), lit(0L)) + col("_d_cnt")).as("cnt")) ++
+            sumCols.flatMap(c => Seq(
+              (coalesce(col(s"_a.sum_$c"), lit(0).cast(sumFieldType(c))) +
+                col(s"_d_sum_$c")).as(s"sum_$c"),
+              (coalesce(col(s"_a.nn_$c"), lit(0L)) + col(s"_d_nn_$c"))
+                .as(s"nn_$c"))): _*)
         table.upsert(merged, Map(WatermarkKey -> to.toString))
     }
     versionsApplied(from, to)

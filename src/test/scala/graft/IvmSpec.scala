@@ -48,6 +48,48 @@ class IvmSpec extends SparkSpec {
     assert(view.appliedVersion === t.currentVersion)
   }
 
+  test("NULL sum values and NULL group keys track the recompute exactly") {
+    val t = src()
+    val view = new IncrementalView(spark, t, tmpDir("ivmn") + "/v",
+      Seq("g"), Seq("v"), numBuckets = 2)
+    // option-typed rows so v can be NULL; one group (g2) is ALL-null
+    t.append(Seq(
+      ("a", "g1", Some(5L)), ("b", "g1", None),
+      ("c", null, Some(7L)), ("d", null, None),
+      ("e", "g2", None), ("f", "g2", None)).toDF("k", "g", "v"))
+    // NULL-exact comparator: sum must be NULL (not 0) for all-null groups
+    def recomputeN = t.read.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    def viewN = view.read.select("g", "cnt", "sum_v")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    view.refresh()
+    assert(viewN === recomputeN)
+
+    // the r5-advice case: a delta whose changed rows are all NULL in v
+    // must neither poison the accumulated sum with NULL nor reset it
+    t.append(Seq(("x", "g1", None: Option[Long]),
+      ("y", null, None: Option[Long])).toDF("k", "g", "v"))
+    view.refresh()
+    assert(viewN === recomputeN)
+    t.append(Seq(("w", "g1", Some(2L))).toDF("k", "g", "v")) // next delta sees intact sum
+    view.refresh()
+    assert(viewN === recomputeN)
+
+    // NULL group key accumulates into ONE view row (no upsert dup)
+    t.append(Seq(("z", null, Some(100L))).toDF("k", "g", "v"))
+    view.refresh()
+    assert(viewN === recomputeN)
+    assert(view.table.read.filter(col("g").isNull).count() === 1)
+
+    // a group drained of its last non-null value reads sum = NULL again
+    t.deleteWhere(col("k") === "a" || col("k") === "w")
+    view.refresh()
+    assert(viewN === recomputeN)
+  }
+
   test("emptied groups tombstone out of read and sweep away") {
     val t = src()
     val view = new IncrementalView(spark, t, tmpDir("ivmt") + "/v",

@@ -128,6 +128,46 @@ class SkippingSpec extends SparkSpec {
     assert(t.skipReport(col("s") === "aaa").scanned === 0)
   }
 
+  test("oversized string stats (no min/max, null_count set) never read as all-null") {
+    val t = new TxTable(spark, tmpDir("skipb") + "/t", StructType(Seq(
+      StructField("k", StringType), StructField("s", StringType))),
+      Seq("k"), numBuckets = 1)
+    // beyond parquet's max-statistics size the writer omits BINARY
+    // min/max but still records null_count — a chunk shaped exactly
+    // like an all-null one, except it holds a value
+    val big = "b" + ("x" * 5000)
+    t.append(Seq(("a", Some(big)), ("b", None: Option[String])).toDF("k", "s"))
+    assert(t.dataFileCount === 1)
+    assert(t.skipReport(col("s") === big).scanned === 1) // must keep
+    assert(t.scanWhere(col("s") === big).count() === 1)
+    assert(t.skipReport(col("s").isNotNull).scanned === 1)
+    assert(t.scanWhere(col("s").isNotNull).count() === 1)
+    // null tracking on the same file still works for IsNull
+    assert(t.scanWhere(col("s").isNull).select("k").as[String].collect().toSeq
+      === Seq("b"))
+  }
+
+  test("narrowing integral casts never prune; widening casts still do") {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    import graft.core.FileStats
+    val schema = StructType(Seq(StructField("v", IntegerType)))
+    // file holds v = 300; cast(v as byte) wraps to 44
+    val stats = FileStats.Stats(1,
+      Map("v" -> FileStats.ColStats(Some(300L), Some(300L), 0L)))
+    val narrowing = EqualTo(
+      Cast(UnresolvedAttribute("v"), ByteType), Literal(44.toByte, ByteType))
+    assert(FileStats.mayMatch(stats, narrowing, schema),
+      "narrowing cast pruned a file containing a matching (wrapped) row")
+    // widening casts remain monotone and keep pruning
+    val widenMiss = EqualTo(
+      Cast(UnresolvedAttribute("v"), LongType), Literal(5L, LongType))
+    val widenHit = EqualTo(
+      Cast(UnresolvedAttribute("v"), LongType), Literal(300L, LongType))
+    assert(!FileStats.mayMatch(stats, widenMiss, schema))
+    assert(FileStats.mayMatch(stats, widenHit, schema))
+  }
+
   test("metadata-only count() equals scan count across mutations") {
     val t = evTable(3)
     t.append(batch(1, 80, "alpha"))

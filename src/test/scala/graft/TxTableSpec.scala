@@ -91,6 +91,30 @@ class TxTableSpec extends SparkSpec {
     assert(t.readVersion(v).count() === 100)
   }
 
+  test("NULL key components match null-safely across upsert/insertIfAbsent/CDC/applyChanges") {
+    val t = tkv(2)
+    t.append(Seq((null: String, 1), ("a", 2)).toDF("k", "v"))
+    // upsert of the NULL key REPLACES the stored row — a plain `=`
+    // anti-join would miss it and duplicate the key every write
+    t.upsert(Seq((null: String, 10)).toDF("k", "v"))
+    assert(t.read.count() === 2)
+    assert(t.read.filter(col("k").isNull).select("v").as[Int].head() === 10)
+    // insertIfAbsent sees the stored NULL key as present
+    t.insertIfAbsent(Seq((null: String, 99), ("b", 3)).toDF("k", "v"))
+    assert(t.read.count() === 3)
+    assert(t.read.filter(col("k").isNull).select("v").as[Int].head() === 10)
+    // CDC pairs the NULL-keyed pre/post rows: one update, no
+    // spurious delete+insert
+    val ch = t.changes(1L, 2L).filter(col("k").isNull)
+      .select("_change_type").as[String].collect().sorted.toSeq
+    assert(ch === Seq("update_postimage", "update_preimage"))
+    // applyChanges deletes a NULL key
+    t.applyChanges(Seq.empty[(String, Int)].toDF("k", "v"),
+      Seq(Tuple1(null: String)).toDF("k"))
+    assert(t.read.filter(col("k").isNull).count() === 0)
+    assert(t.read.count() === 2)
+  }
+
   test("insertIfAbsent skips existing keys") {
     val t = tkv()
     t.append(Seq(("a", 1)).toDF("k", "v"))
