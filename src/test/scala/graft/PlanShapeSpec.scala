@@ -88,6 +88,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("tpch q4: EXISTS plans as a semi join against the fact table") {
+    val p = planOf("sql_tpch_q4")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch q7: two-role nation joins broadcast; no cartesian pair blowup") {
+    val p = planOf("sql_tpch_q7")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch q8: the 8-table star never degenerates to cartesian/nested-loop") {
+    val p = planOf("sql_tpch_q8")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("tpch q17: correlated AVG decorrelates to aggregate + equi-join, no per-row subquery") {
+    val p = planOf("sql_tpch_q17")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the de-correlated per-part average is a real aggregate in the plan
+    assert(p.contains("avg("), p)
+  }
+
+  test("tpch q19: OR-of-ANDs keeps the equi hash join") {
+    val p = planOf("sql_tpch_q19")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("tpch q21: EXISTS and NOT EXISTS plan as semi + anti joins") {
+    val p = planOf("sql_tpch_q21")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch q22: NOT EXISTS plans as an anti join; scalar subquery evaluated once") {
+    val p = planOf("sql_tpch_q22")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("decontamination broadcasts the eval n-grams; train side never shuffle-joins") {
     val p = planOf("x4_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p)
