@@ -96,6 +96,7 @@ final class TxTable(
 
   private val dataDir = s"$dir/data"
   private val manifestDir = s"$dir/_manifests"
+  private val dvDir = s"$dir/_dv"
 
   private def fs: FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -120,13 +121,27 @@ final class TxTable(
 
   // ---- manifests ----
 
-  /** One manifest line: a data file, its key-hash bucket, and its
-    * zone-map stats document (empty = none recorded — legacy entry or
-    * unsupported columns; skipping then keeps the file). */
-  private[core] case class FEntry(bucket: Int, path: String, stats: String) {
+  /** One deletion-vector reference on a manifest entry: the sidecar
+    * parquet holding (file, row position) tombstones, plus how many of
+    * its positions fall in THIS entry's file (keeps `count()`
+    * metadata-exact without reading the sidecar). */
+  private[core] case class DvRef(path: String, rows: Long)
+
+  /** One manifest line: a data file, its key-hash bucket, its zone-map
+    * stats document (empty = none recorded — legacy entry or
+    * unsupported columns; skipping then keeps the file), and the
+    * deletion vectors masking rows of this file (merge-on-read
+    * deletes — see [[deleteWhereLight]]). */
+  private[core] case class FEntry(bucket: Int, path: String, stats: String,
+      dvs: Seq[DvRef] = Nil) {
     /** Parsed stats, resolved against the table schema. */
     def parsedStats(schema: StructType): Option[FileStats.Stats] =
       FileStats.fromJson(stats, schema)
+    /** Identity for the CDC file diff: a DV added to an otherwise
+      * re-linked file must read as a CHANGED file (its live row set
+      * shrank), so the identity covers path + DV chain. */
+    def changeId: String =
+      path + dvs.map(d => s"${d.path}:${d.rows}").sorted.mkString("|", ";", "")
   }
 
   /** The file set of one committed version, plus the schema the
@@ -182,9 +197,15 @@ final class TxTable(
     val entries = lines
       .filter(l => !l.startsWith("#")) // '#' = header lines
       .map { line =>
-        line.split("\t", 3) match {
+        line.split("\t", 4) match {
           case Array(b, f)     => FEntry(b.toInt, s"$dataDir/$f", "")
           case Array(b, f, st) => FEntry(b.toInt, s"$dataDir/$f", st)
+          case Array(b, f, st, dv) =>
+            val refs = dv.split(";").toSeq.filter(_.nonEmpty).map { r =>
+              val i = r.lastIndexOf(':')
+              DvRef(s"$dvDir/${r.take(i)}", r.drop(i + 1).toLong)
+            }
+            FEntry(b.toInt, s"$dataDir/$f", st, refs)
         }
       }
     Manifest(v, entries, declared, meta)
@@ -300,16 +321,32 @@ final class TxTable(
     def rollbackMoves(): Unit =
       moved.reverseIterator.foreach { case (from, to) => f.rename(to, from) }
     def releaseClaim(): Unit = f.delete(claimPath(v), false)
+    // staged DV sidecars move into _dv/ under the same claim-held
+    // window as data files (one sidecar may be shared by many entries —
+    // move once, rewrite every reference)
+    val dvMoves = scala.collection.mutable.Map.empty[String, String]
+    def normalizedDv(d: DvRef): DvRef =
+      if (d.path.startsWith(s"$dvDir/")) d
+      else d.copy(path = dvMoves.getOrElseUpdate(d.path, {
+        f.mkdirs(new Path(dvDir))
+        val to = new Path(dvDir, s"${UUID.randomUUID()}.dv.parquet")
+        if (!f.rename(new Path(d.path), to))
+          throw new IllegalStateException(s"dv stage move failed: ${d.path}")
+        moved += ((new Path(d.path), to))
+        s"$dvDir/${to.getName}"
+      }))
     val finalEntries =
       try entries.map { e =>
-        if (e.path.startsWith(s"$dataDir/")) e
-        else {
-          val to = new Path(dataDir, s"${UUID.randomUUID()}.parquet")
-          if (!f.rename(new Path(e.path), to))
-            throw new IllegalStateException(s"stage move failed: ${e.path}")
-          moved += ((new Path(e.path), to))
-          e.copy(path = s"$dataDir/${to.getName}")
-        }
+        val e1 =
+          if (e.path.startsWith(s"$dataDir/")) e
+          else {
+            val to = new Path(dataDir, s"${UUID.randomUUID()}.parquet")
+            if (!f.rename(new Path(e.path), to))
+              throw new IllegalStateException(s"stage move failed: ${e.path}")
+            moved += ((new Path(e.path), to))
+            e.copy(path = s"$dataDir/${to.getName}")
+          }
+        if (e1.dvs.isEmpty) e1 else e1.copy(dvs = e1.dvs.map(normalizedDv))
       }
       catch { case e: Throwable => rollbackMoves(); releaseClaim(); throw e }
     val tmp = new Path(manifestDir, s".tmp-${UUID.randomUUID().toString.take(8)}")
@@ -330,7 +367,11 @@ final class TxTable(
       try out.write((header + finalEntries.sortBy(_.bucket)
         .map { e =>
           val name = e.path.stripPrefix(s"$dataDir/")
-          if (e.stats.isEmpty) s"${e.bucket}\t$name"
+          val dvField = e.dvs
+            .map(d => s"${d.path.stripPrefix(s"$dvDir/")}:${d.rows}")
+            .mkString(";")
+          if (e.dvs.nonEmpty) s"${e.bucket}\t$name\t${e.stats}\t$dvField"
+          else if (e.stats.isEmpty) s"${e.bucket}\t$name"
           else s"${e.bucket}\t$name\t${e.stats}"
         }
         .mkString("", "\n", "\n")).getBytes("UTF-8"))
@@ -402,6 +443,46 @@ final class TxTable(
     if (files.isEmpty) emptyDfFor(s)
     else spark.read.schema(s).parquet(files: _*)
 
+  /** [[readFiles]] plus provenance columns `_file` (basename) and
+    * `_pos` (row position within the file) from the parquet reader's
+    * `_metadata` struct — the row identity deletion vectors tombstone. */
+  private def readFilesWithPos(files: Seq[String], s: StructType): DataFrame =
+    if (files.isEmpty)
+      emptyDfFor(s).withColumn("_file", lit("")).withColumn("_pos", lit(0L))
+    else spark.read.schema(s).parquet(files: _*)
+      .withColumn("_file",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("_pos", col("_metadata.row_index"))
+
+  /** The live tombstone set of `entries`: (file basename, row position)
+    * pairs from every referenced DV sidecar. */
+  private def dvTombstones(entries: Seq[FEntry]): DataFrame = {
+    val paths = entries.flatMap(_.dvs.map(_.path)).distinct
+    if (paths.isEmpty)
+      spark.range(0).select(lit("").as("_dv_file"), lit(0L).as("_dv_pos"))
+    else spark.read.parquet(paths: _*).select("_dv_file", "_dv_pos").distinct()
+  }
+
+  /** MERGE-ON-READ: the live rows of `entries` — clean files stream
+    * straight through; files carrying deletion vectors are anti-joined
+    * against the (broadcast, tiny) tombstone set on (file, position).
+    * The anti-join is a map-side broadcast filter: no shuffle of the
+    * data, and files without DVs never pay it. */
+  private def readEntries(entries: Seq[FEntry], s: StructType): DataFrame = {
+    val (dirty, clean) = entries.partition(_.dvs.nonEmpty)
+    val cleanDf = readFiles(clean.map(_.path), s)
+    if (dirty.isEmpty) cleanDf
+    else {
+      val tomb = dvTombstones(dirty)
+      val d = readFilesWithPos(dirty.map(_.path), s)
+        .join(broadcast(tomb),
+          col("_file") === col("_dv_file") && col("_pos") === col("_dv_pos"),
+          "left_anti")
+        .drop("_file", "_pos")
+      cleanDf.unionByName(d)
+    }
+  }
+
   /** Snapshot read of the current version: the plan pins this
     * version's file list, so later commits never disturb it. */
   def read: DataFrame = readVersion(currentVersion)
@@ -412,7 +493,7 @@ final class TxTable(
     if (v < 0) emptyDfFor(schema)
     else {
       val m = loadManifest(v)
-      readFiles(m.entries.map(_.path), schemaAt(m))
+      readEntries(m.entries, schemaAt(m))
     }
 
   /** Exact row count from manifest metadata alone when every file has
@@ -424,7 +505,11 @@ final class TxTable(
     else {
       val entries = loadManifest(currentVersion).entries
       val statRows = entries.map(_.parsedStats(schema).map(_.rows))
-      if (statRows.forall(r => r.isDefined && r.get >= 0)) statRows.flatten.sum
+      // DV'd rows subtract exactly: each DvRef carries its per-file
+      // tombstone count, and tombstones never repeat (deletes are
+      // computed over the already-DV-filtered live rows)
+      if (statRows.forall(r => r.isDefined && r.get >= 0))
+        statRows.flatten.sum - entries.flatMap(_.dvs).map(_.rows).sum
       else read.count()
     }
 
@@ -487,8 +572,7 @@ final class TxTable(
     if (!exists) emptyDf.filter(pred)
     else {
       val m = loadManifest(currentVersion)
-      readFiles(pruneEntries(m.entries, pred).map(_.path), schemaAt(m))
-        .filter(pred)
+      readEntries(pruneEntries(m.entries, pred), schemaAt(m)).filter(pred)
     }
 
   /** What [[scanWhere]] would prune, for tests and EXPLAIN-style
@@ -525,10 +609,12 @@ final class TxTable(
     // files surface new columns as null, so an evolution commit's
     // changed rows diff correctly
     val s = schemaAt(toM)
-    val fromPaths = fromE.map(_.path).toSet
-    val toPaths = toE.map(_.path).toSet
-    val pre = readFiles(fromE.collect { case e if !toPaths(e.path) => e.path }, s)
-    val post = readFiles(toE.collect { case e if !fromPaths(e.path) => e.path }, s)
+    // identity includes the DV chain: a deletion-vector commit re-links
+    // the data file but shrinks its live rows, so it must diff
+    val fromIds = fromE.map(_.changeId).toSet
+    val toIds = toE.map(_.changeId).toSet
+    val pre = readEntries(fromE.filterNot(e => toIds(e.changeId)), s)
+    val post = readEntries(toE.filterNot(e => fromIds(e.changeId)), s)
     val dataCols = s.fields.map(_.name).filterNot(keys.contains)
     def tagged(df: DataFrame, tag: String) = df.select(
       (keys.map(col) ++ dataCols.map(c => col(c).as(s"_${tag}_$c")) :+
@@ -593,12 +679,11 @@ final class TxTable(
     val keyPred = keys.zip(values).map { case (k, v) =>
       col(k) === lit(v).cast(schema(k).dataType)
     }.reduce(_ && _)
-    val files =
+    val picked =
       if (!exists) Nil
       else pruneEntries( // bucket pruning, then zone maps within the bucket
         loadManifest(currentVersion).entries.filter(_.bucket == b), keyPred)
-        .map(_.path)
-    readFiles(files, currentSchema).filter(keyPred)
+    readEntries(picked, currentSchema).filter(keyPred)
   }
 
   // ---- writes ----
@@ -746,7 +831,7 @@ final class TxTable(
       val cur = loadManifest(base).entries
       val incoming = df.dropDuplicates(keys)
       val s = currentSchema
-      val fresh = keyMatchJoin(incoming, readFiles(cur.map(_.path), s), "left_anti")
+      val fresh = keyMatchJoin(incoming, readEntries(cur, s), "left_anti")
       stageAndCommit(cur, fresh, base, s)
     }
   }
@@ -809,7 +894,7 @@ final class TxTable(
         .collect().map(_.getInt(0)).toSet
       if (touched.nonEmpty) {
         val (hit, kept) = m.entries.partition(e => touched(e.bucket))
-        val remain = keyMatchJoin(readFiles(hit.map(_.path), target), gone, "left_anti")
+        val remain = keyMatchJoin(readEntries(hit, target), gone, "left_anti")
           .unionByName(ups)
         stageAndCommit(kept, remain, base, target, meta = meta)
       } else if (meta.nonEmpty) {
@@ -828,7 +913,7 @@ final class TxTable(
       .collect().map(_.getInt(0)).toSet
     if (touched.nonEmpty) {
       val (hit, kept) = m.entries.partition(e => touched(e.bucket))
-      val existing = readFiles(hit.map(_.path), target)
+      val existing = readEntries(hit, target)
       val merged = keyMatchJoin(existing, updates, "left_anti")
         .unionByName(updates)
       stageAndCommit(kept, merged, base, target, meta = meta)
@@ -854,13 +939,94 @@ final class TxTable(
       // comparisons already treat nulls as non-matching)
       val candidates = pruneEntries(cur, cond)
       val s = currentSchema
-      val touched = readFiles(candidates.map(_.path), s).filter(hitCond)
+      val touched = readEntries(candidates, s).filter(hitCond)
         .select(bucketExpr.as("_kb"))
         .distinct().collect().map(_.getInt(0)).toSet
       if (touched.nonEmpty) {
         val (hit, kept) = cur.partition(e => touched(e.bucket))
-        val remain = readFiles(hit.map(_.path), s).filter(!hitCond)
+        val remain = readEntries(hit, s).filter(!hitCond)
         stageAndCommit(kept, remain, base, s)
+      }
+    }
+  }
+
+  /** MERGE-ON-READ delete (deletion vectors): instead of rewriting
+    * every file of every touched bucket (the [[deleteWhere]]
+    * copy-on-write path), write ONE tiny sidecar of (file, row
+    * position) tombstones and re-link every data file untouched. A
+    * 1-row delete on a 100 TB table writes kilobytes; the read path
+    * masks tombstoned rows with a broadcast anti-join that only files
+    * carrying DVs pay (see [[readEntries]]). Reads get slightly more
+    * expensive per accumulated DV — [[materializeDeletes]] (or any
+    * bucket rewrite: upsert, compact) folds them back in.
+    *
+    * Matching positions are computed over the LIVE rows (existing DVs
+    * applied), so re-deleting an already-tombstoned row is a no-op and
+    * per-file tombstone counts stay exact — `count()` remains
+    * metadata-only. Zone maps prune the position scan the same way
+    * they prune [[scanWhere]]. */
+  def deleteWhereLight(cond: Column): Unit = {
+    if (!exists) return
+    val hitCond = coalesce(cond, lit(false))
+    withRetry {
+      val base = currentVersion
+      val m = loadManifest(base)
+      val s = schemaAt(m)
+      val candidates = pruneEntries(m.entries, cond)
+      if (candidates.nonEmpty) {
+        // live matching rows → (file, pos) tombstones. The per-file
+        // counts come back to the driver (bounded by the candidate
+        // file count, same order as the manifest itself).
+        val (dirty, clean) = candidates.partition(_.dvs.nonEmpty)
+        val cleanHits = readFilesWithPos(clean.map(_.path), s)
+        val dirtyHits =
+          if (dirty.isEmpty) None
+          else Some(readFilesWithPos(dirty.map(_.path), s)
+            .join(broadcast(dvTombstones(dirty)),
+              col("_file") === col("_dv_file") && col("_pos") === col("_dv_pos"),
+              "left_anti"))
+        val hits = dirtyHits.fold(cleanHits)(cleanHits.unionByName(_))
+          .filter(hitCond)
+          .select(col("_file").as("_dv_file"), col("_pos").as("_dv_pos"))
+        val stage = new Path(dir, s".stage-${UUID.randomUUID().toString.take(8)}")
+        try {
+          hits.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage.toString)
+          val perFile: Map[String, Long] = spark.read.parquet(stage.toString)
+            .groupBy("_dv_file").count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          if (perFile.nonEmpty) {
+            val sidecar = fs.listStatus(stage).toSeq
+              .map(_.getPath)
+              .filter(p => p.getName.endsWith(".parquet"))
+              .head.toString
+            val newEntries = m.entries.map { e =>
+              val name = e.path.stripPrefix(s"$dataDir/")
+              perFile.get(name) match {
+                case Some(n) => e.copy(dvs = e.dvs :+ DvRef(sidecar, n))
+                case None => e
+              }
+            }
+            commit(newEntries, base, Some(s))
+          }
+        } finally fs.delete(stage, true)
+      }
+    }
+  }
+
+  /** Fold accumulated deletion vectors back into data: rewrite ONLY the
+    * buckets holding DV-carrying files (their live rows restage, DVs
+    * drop); clean buckets re-link untouched. Run when read-side DV
+    * masking has grown past its worth — the REORG PURGE analog. */
+  def materializeDeletes(): Unit = {
+    if (!exists) return
+    withRetry {
+      val base = currentVersion
+      val m = loadManifest(base)
+      val s = schemaAt(m)
+      val dirtyBuckets = m.entries.filter(_.dvs.nonEmpty).map(_.bucket).toSet
+      if (dirtyBuckets.nonEmpty) {
+        val (hit, kept) = m.entries.partition(e => dirtyBuckets(e.bucket))
+        stageAndCommit(kept, readEntries(hit, s), base, s)
       }
     }
   }
@@ -967,12 +1133,20 @@ final class TxTable(
     val keep = vs.takeRight(math.max(1, keepVersions))
     // manifests store bare names; stripPrefix inverts exactly what
     // loadManifest prepended, so this is the raw manifest name
-    val referenced: Set[String] = keep
-      .flatMap(v => loadManifest(v).entries.map(_.path.stripPrefix(s"$dataDir/")))
-      .toSet
+    val keptEntries = keep.flatMap(v => loadManifest(v).entries)
+    val referenced: Set[String] =
+      keptEntries.map(_.path.stripPrefix(s"$dataDir/")).toSet
     if (f.exists(new Path(dataDir)))
       f.listStatus(new Path(dataDir)).foreach { st =>
         if (!referenced(st.getPath.getName) && aged(st))
+          f.delete(st.getPath, false)
+      }
+    // deletion-vector sidecars: same reference-count-by-basename sweep
+    val referencedDvs: Set[String] = keptEntries
+      .flatMap(_.dvs.map(_.path.stripPrefix(s"$dvDir/"))).toSet
+    if (f.exists(new Path(dvDir)))
+      f.listStatus(new Path(dvDir)).foreach { st =>
+        if (!referencedDvs(st.getPath.getName) && aged(st))
           f.delete(st.getPath, false)
       }
     val oldestKept = keep.head

@@ -112,9 +112,35 @@ object TxQueries {
     table.read.orderBy("n_nationkey")
   }
 
+  /** Merge-on-read delete (deletion vectors), end to end: suppliers
+    * ingested, a predicate deleted via `deleteWhereLight` (tombstone
+    * sidecar, zero data-file rewrites — DeletionVectorSpec proves the
+    * byte-stability; THIS proves the masked read is exact), then an
+    * aggregate over the survivors must equal SQL over `NOT pred`. */
+  def tx_dv_delete(s: SparkSession, dir: String): DataFrame = {
+    val supp = t(s, dir, "supplier")
+      .select("s_suppkey", "s_nationkey", "s_acctbal")
+    // tag encodes the delete recipe: cached() keys on source identity
+    // only, so a recipe change MUST change the tag or a stale build
+    // with the old predicate would be reused
+    val table = cached(s, dir, "supplier", "dv-mod3", 2L) { loc =>
+      new TxTable(s, loc, supp.schema, Seq("s_suppkey"), numBuckets = 4)
+    } { tx =>
+      tx.append(supp)                              // v1
+      tx.deleteWhereLight(col("s_suppkey") % 3 === 0) // v2: tombstones only
+    }
+    table.read
+      .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        Qhelpers.msum(col("s_acctbal")).as("total_bal"),
+        min("s_suppkey").as("first_supp"))
+      .orderBy("nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_skipping_scan" -> (tx_skipping_scan _),
     "tx_cdc_diff" -> (tx_cdc_diff _),
+    "tx_dv_delete" -> (tx_dv_delete _),
     "tx_evolution_read" -> (tx_evolution_read _))
 
   val oracle: Map[String, String] = Map(
@@ -142,6 +168,14 @@ object TxQueries {
         |SELECT 'update_postimage', u.c_custkey, u.c_acctbal
         |FROM base b JOIN upd u ON b.c_custkey = u.c_custkey
         |ORDER BY c_custkey, _change_type""".stripMargin,
+    "tx_dv_delete" ->
+      s"""SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+         |       COUNT(*) AS n_suppliers,
+         |       ${Qhelpers.sqlMsum("s_acctbal")} AS total_bal,
+         |       MIN(s_suppkey) AS first_supp
+         |FROM supplier
+         |WHERE NOT (s_suppkey % 3 = 0)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "tx_evolution_read" ->
       """SELECT n_nationkey, n_name,
         |       CASE WHEN n_nationkey >= 13 THEN 'N-' || n_name END AS note
