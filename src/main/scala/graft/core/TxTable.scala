@@ -194,18 +194,24 @@ final class TxTable(
           case _ => Map.empty[String, String]
         }
     }.getOrElse(Map.empty[String, String])
+    // bare names resolve against this table's dirs; absolute paths /
+    // URIs are FOREIGN references (shallow clones) and pass through
+    def dataPath(n: String) =
+      if (n.startsWith("/") || n.contains(":/")) n else s"$dataDir/$n"
+    def dvPath(n: String) =
+      if (n.startsWith("/") || n.contains(":/")) n else s"$dvDir/$n"
     val entries = lines
       .filter(l => !l.startsWith("#")) // '#' = header lines
       .map { line =>
         line.split("\t", 4) match {
-          case Array(b, f)     => FEntry(b.toInt, s"$dataDir/$f", "")
-          case Array(b, f, st) => FEntry(b.toInt, s"$dataDir/$f", st)
+          case Array(b, f)     => FEntry(b.toInt, dataPath(f), "")
+          case Array(b, f, st) => FEntry(b.toInt, dataPath(f), st)
           case Array(b, f, st, dv) =>
             val refs = dv.split(";").toSeq.filter(_.nonEmpty).map { r =>
               val i = r.lastIndexOf(':')
-              DvRef(s"$dvDir/${r.take(i)}", r.drop(i + 1).toLong)
+              DvRef(dvPath(r.take(i)), r.drop(i + 1).toLong)
             }
-            FEntry(b.toInt, s"$dataDir/$f", st, refs)
+            FEntry(b.toInt, dataPath(f), st, refs)
         }
       }
     Manifest(v, entries, declared, meta)
@@ -324,9 +330,13 @@ final class TxTable(
     // staged DV sidecars move into _dv/ under the same claim-held
     // window as data files (one sidecar may be shared by many entries —
     // move once, rewrite every reference)
+    // only STAGE paths move into place — entries already in data/, and
+    // FOREIGN absolute paths (shallow-clone references into another
+    // table's data/) are referenced as-is, never touched
+    def isStaged(p: String): Boolean = p.contains("/.stage-")
     val dvMoves = scala.collection.mutable.Map.empty[String, String]
     def normalizedDv(d: DvRef): DvRef =
-      if (d.path.startsWith(s"$dvDir/")) d
+      if (!isStaged(d.path)) d
       else d.copy(path = dvMoves.getOrElseUpdate(d.path, {
         f.mkdirs(new Path(dvDir))
         val to = new Path(dvDir, s"${UUID.randomUUID()}.dv.parquet")
@@ -338,7 +348,7 @@ final class TxTable(
     val finalEntries =
       try entries.map { e =>
         val e1 =
-          if (e.path.startsWith(s"$dataDir/")) e
+          if (!isStaged(e.path)) e
           else {
             val to = new Path(dataDir, s"${UUID.randomUUID()}.parquet")
             if (!f.rename(new Path(e.path), to))
@@ -859,6 +869,70 @@ final class TxTable(
     }
   }
 
+  /** MERGE-ON-READ upsert: the deletion-vector twin of [[upsert]].
+    * Old versions of updated keys are TOMBSTONED (one tiny sidecar),
+    * the new rows land in fresh files, and every existing data file
+    * re-links untouched — a 1-row update on a 100 TB table writes one
+    * small file plus kilobytes of tombstones, where [[upsert]] rewrites
+    * the whole bucket. Same last-writer-wins-per-key semantics,
+    * byte-identical read results (parity-tested); reads pay the DV
+    * mask until a bucket rewrite or [[materializeDeletes]] folds it in.
+    * Prefer [[upsert]] when updates cluster densely in few buckets
+    * (the rewrite amortizes); prefer this when updates are sparse. */
+  def upsertLight(df: DataFrame): Unit = {
+    createIfAbsent()
+    withRetry {
+      val base = currentVersion
+      val m = loadManifest(base)
+      val target = schemaAt(m)
+      val updates = df
+        .select(target.fields.map(fl => col(fl.name).cast(fl.dataType)): _*)
+        .dropDuplicates(keys)
+      val touched = updates.select(bucketExpr.as("_kb")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (touched.nonEmpty) {
+        val hit = m.entries.filter(e => touched(e.bucket))
+        // live positions of the keys being replaced (existing DVs apply:
+        // an already-tombstoned row must not be tombstoned twice)
+        val (dirty, clean) = hit.partition(_.dvs.nonEmpty)
+        val cleanPos = readFilesWithPos(clean.map(_.path), target)
+        val livePos =
+          if (dirty.isEmpty) cleanPos
+          else cleanPos.unionByName(
+            readFilesWithPos(dirty.map(_.path), target)
+              .join(broadcast(dvTombstones(dirty)),
+                col("_file") === col("_dv_file") && col("_pos") === col("_dv_pos"),
+                "left_anti"))
+        val hits = keyMatchJoin(livePos, updates, "left_semi")
+          .select(col("_file").as("_dv_file"), col("_pos").as("_dv_pos"))
+        val dvStage = new Path(dir, s".stage-${UUID.randomUUID().toString.take(8)}")
+        val (staged, dataStage) = stageFiles(updates, target)
+        try {
+          hits.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dvStage.toString)
+          val perFile: Map[String, Long] = spark.read.parquet(dvStage.toString)
+            .groupBy("_dv_file").count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val sidecar =
+            if (perFile.isEmpty) None
+            else fs.listStatus(dvStage).toSeq.map(_.getPath)
+              .find(_.getName.endsWith(".parquet")).map(_.toString)
+          val masked = m.entries.map { e =>
+            // basename match — see deleteWhereLight
+            val name = e.path.substring(e.path.lastIndexOf('/') + 1)
+            (perFile.get(name), sidecar) match {
+              case (Some(n), Some(sc)) => e.copy(dvs = e.dvs :+ DvRef(sc, n))
+              case _ => e
+            }
+          }
+          commit(masked ++ staged, base, Some(target))
+        } finally {
+          fs.delete(dvStage, true)
+          fs.delete(dataStage, true)
+        }
+      }
+    }
+  }
+
   /** Replace the table's entire contents in ONE commit (full-refresh
     * semantics; prior versions stay time-travelable until vacuum). */
   def replace(df: DataFrame, meta: Map[String, String] = Map.empty): Unit = {
@@ -1000,7 +1074,9 @@ final class TxTable(
               .filter(p => p.getName.endsWith(".parquet"))
               .head.toString
             val newEntries = m.entries.map { e =>
-              val name = e.path.stripPrefix(s"$dataDir/")
+              // basename match: tombstones store basenames, and a
+              // shallow clone's foreign entries keep absolute paths
+              val name = e.path.substring(e.path.lastIndexOf('/') + 1)
               perFile.get(name) match {
                 case Some(n) => e.copy(dvs = e.dvs :+ DvRef(sidecar, n))
                 case None => e
@@ -1036,6 +1112,21 @@ final class TxTable(
   def truncate(): Unit = {
     createIfAbsent()
     withRetry(commit(Nil, currentVersion))
+  }
+
+  /** RESTORE: roll the table back to retained version `v` by
+    * committing v's file list as a NEW version — history moves only
+    * forward (the rolled-back states stay time-travelable until
+    * vacuum), and the restored files are re-referenced, so vacuum
+    * keeps protecting them. O(manifest) metadata, zero data I/O. */
+  def restore(v: Long): Unit = {
+    require(versions.contains(v), s"version $v is not retained")
+    withRetry {
+      val base = currentVersion
+      val m = loadManifest(v)
+      commit(m.entries, base, Some(schemaAt(m)),
+        Map("restored_from" -> v.toString))
+    }
   }
 
   /** Rewrite the current version into one file per bucket (small-file
@@ -1092,6 +1183,36 @@ final class TxTable(
   }
 
   def optimize(): Unit = compact()
+
+  /** ZERO-COPY shallow clone: a new table at `dstDir` whose first
+    * manifest references THIS table's current data files (and DV
+    * sidecars) by absolute path — no data is read or copied, the clone
+    * commit is O(manifest). The clone is fully writable: its mutations
+    * stage into its OWN data/, rewriting (copy-on-write) or masking
+    * (DVs) foreign files without ever touching the source; source
+    * writes after the clone are invisible to it (it pinned a file
+    * list). The standard shallow-clone caveat applies: the SOURCE's
+    * vacuum does not know about clone references, so keep clones
+    * inside the source's retention window or run `clone.compact()`
+    * (which rewrites every bucket into the clone's own files) to cut
+    * the dependency. Dev/test branching at 100 TB for the price of a
+    * metadata write. */
+  def shallowCloneTo(dstDir: String): TxTable = {
+    require(exists, "cannot clone a table that was never created")
+    val srcV = currentVersion
+    val m = loadManifest(srcV)
+    val s = schemaAt(m)
+    val clone = new TxTable(spark, dstDir, s, keys, numBuckets,
+      commitBudgetMs, claimStalenessMs, bloomCols)
+    require(!clone.exists, s"clone target $dstDir already exists")
+    val f = fs
+    def abs(p: String) = f.makeQualified(new Path(p)).toString
+    val absEntries = m.entries.map(e => clone.FEntry(e.bucket, abs(e.path),
+      e.stats, e.dvs.map(d => clone.DvRef(abs(d.path), d.rows))))
+    clone.commit(absEntries, -1L, Some(s),
+      Map("cloned_from" -> s"${abs(dir)}@$srcV"))
+    clone
+  }
 
   /** Files referenced by the CURRENT version (manifest metadata — no
     * directory listing). */

@@ -16,6 +16,15 @@ import org.apache.spark.sql.types._
   * implemented relationally below so it scales over a corpus of
   * fetched pages (`binaryFile`/text sources at 100 TB).
   */
+/** One extracted binary document (see
+  * [[Connectors.extractBinaryDocs]]). Top-level on purpose: a nested
+  * private case class makes the Dataset encoder's generated code
+  * unloadable by Janino (constructor not accessible), silently
+  * dropping every extraction batch to the interpreted row path. */
+final case class ExtractedDoc(
+    path: String, title: String, text: String,
+    modified: java.sql.Timestamp)
+
 object Connectors {
 
   /** Candidate shape consumed by `jobs.ScanJob`. */
@@ -129,10 +138,6 @@ object Connectors {
       DocText(title.trim.take(200), runs.mkString("\n").take(maxChars))
     }
   }
-
-  private case class ExtractedDoc(
-      path: String, title: String, text: String,
-      modified: java.sql.Timestamp)
 
   /** Run the extractor over a `binaryFile` DataFrame
     * (path/modificationTime/length/content rows): mapPartitions with

@@ -123,6 +123,95 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.scanWhere(col("v") > 30).count() === 11) // 31..40 + x
   }
 
+  test("upsertLight equals upsert row-for-row without rewriting existing files") {
+    val rows = (1 to 200).map(i => (s"k$i", i))
+    val a = tkv(); val b = tkv()
+    a.append(rows.toDF("k", "v")); b.append(rows.toDF("k", "v"))
+    val bBefore = dataFiles(b)
+    val ups = Seq(("k5", -5), ("k100", -100), ("new1", 1000)).toDF("k", "v")
+    a.upsert(ups)
+    b.upsertLight(ups)
+    assert(a.read.orderBy("v").as[(String, Int)].collect().toSeq ===
+      b.read.orderBy("v").as[(String, Int)].collect().toSeq)
+    assert(a.count() === b.count() && b.count() === 201)
+    // light path: every pre-existing data file byte-identical, one new
+    // small file per touched bucket appeared
+    val bAfter = dataFiles(b)
+    assert(bBefore.forall { case (n, ts) => bAfter.get(n).contains(ts) },
+      "upsertLight must not rewrite existing data files")
+    assert(bAfter.size > bBefore.size)
+    // idempotence: same upsert again — same result
+    b.upsertLight(ups)
+    assert(b.read.orderBy("v").as[(String, Int)].collect().toSeq ===
+      a.read.orderBy("v").as[(String, Int)].collect().toSeq)
+  }
+
+  test("upsertLight CDC: update pre/post images and inserts, no ride-alongs") {
+    val t = tkv(2)
+    t.append(Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v"))
+    val v1 = t.currentVersion
+    t.upsertLight(Seq(("b", 20), ("d", 4)).toDF("k", "v"))
+    val ch = t.changes(v1, t.currentVersion)
+      .select("_change_type", "k", "v").as[(String, String, Int)]
+      .collect().toSet
+    assert(ch === Set(
+      ("update_preimage", "b", 2), ("update_postimage", "b", 20),
+      ("insert", "d", 4)))
+  }
+
+  test("restore rolls back to a prior version as a new commit") {
+    val t = tkv(2)
+    t.append((1 to 50).map(i => (s"k$i", i)).toDF("k", "v"))
+    val good = t.currentVersion
+    t.deleteWhere(col("v") > 10)
+    t.upsert(Seq(("k1", -1)).toDF("k", "v"))
+    assert(t.read.count() === 10)
+    t.restore(good)
+    assert(t.read.count() === 50)
+    assert(t.read.agg(min("v"), max("v")).as[(Int, Int)].head() === ((1, 50)))
+    assert(t.currentVersion > good, "restore must move history forward")
+    assert(t.commitMeta(t.currentVersion) === Map("restored_from" -> good.toString))
+    // the bad states remain time-travelable until vacuum
+    assert(t.readVersion(good + 1).count() === 10)
+    // vacuum keeps the re-referenced files
+    t.vacuum(keepVersions = 1, minAgeMs = 0L)
+    assert(t.read.count() === 50)
+  }
+
+  test("shallow clone: zero-copy, snapshot-isolated, writable, materializable") {
+    val t = tkv(2)
+    t.append((1 to 100).map(i => (s"k$i", i)).toDF("k", "v"))
+    t.deleteWhereLight(col("v") > 90) // clone must inherit the DV too
+    val cloneDir = tmpDir("dvclone") + "/c"
+    val c = t.shallowCloneTo(cloneDir)
+    // zero copy: the clone owns no data files at all
+    assert(!new java.io.File(cloneDir + "/data").exists() ||
+      new java.io.File(cloneDir + "/data").listFiles().isEmpty)
+    assert(c.read.orderBy("v").as[(String, Int)].collect().toSeq ===
+      t.read.orderBy("v").as[(String, Int)].collect().toSeq)
+    assert(c.count() === 90)
+    // clone writes never touch the source
+    val srcFiles = dataFiles(t)
+    c.upsert(Seq(("k1", -1)).toDF("k", "v"))
+    c.deleteWhereLight(col("k") === "k2")
+    assert(dataFiles(t) === srcFiles)
+    assert(t.read.filter(col("k").isin("k1", "k2")).count() === 2)
+    assert(c.read.filter(col("k") === "k1").as[(String, Int)].head()._2 === -1)
+    assert(c.read.filter(col("k") === "k2").count() === 0)
+    // source writes after the clone are invisible to it (pinned list)
+    t.append(Seq(("zz", 999)).toDF("k", "v"))
+    assert(c.read.filter(col("k") === "zz").count() === 0)
+    // compact() cuts the foreign dependency: all refs become local
+    c.compact()
+    val manifest = new java.io.File(cloneDir + "/_manifests").listFiles()
+      .filter(_.getName.endsWith(".tsv")).maxBy(_.getName)
+    val body = scala.io.Source.fromFile(manifest).getLines()
+      .filterNot(_.startsWith("#")).mkString("\n")
+    assert(!body.contains(":/") && !body.contains(t.dir),
+      s"materialized clone must not reference the source:\n$body")
+    assert(c.read.count() === 89)
+  }
+
   test("deletes and zone maps compose: the position scan prunes to candidate files") {
     val t = tkv(1)
     t.append((1 to 100).map(i => (s"k$i", i)).toDF("k", "v"))      // v ∈ [1,100]
