@@ -274,30 +274,26 @@ object TextSim {
       .orderBy("doc_id")
 
   /** X4 — repetition profile (degenerate-document detector): distinct-
-    * word ratio and the dominant word's share per doc. Shuffles once
-    * on (doc, word) with map-side partial counts; the per-doc rollup
-    * rides the same partitioning. */
+    * word ratio and the dominant word's share per doc. Two hash
+    * aggregates, both with map-side partials: (doc, word) counts, then
+    * a per-doc rollup whose argmax rides a struct-MIN ((-count, word)
+    * orders by count desc, word asc) — no window, so nothing ever
+    * sorts the full (doc, word) stream. */
   def x4_repetition(s: SparkSession, dir: String): DataFrame = {
     val words = t(s, dir, "documents")
       .filter(col("doc_id") < 150)
       .select(col("doc_id"),
         explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
-    val counts = words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-    val byDoc = Window.partitionBy("doc_id")
-      .orderBy(desc("c"), asc("w"))
-    counts
-      .withColumn("_rn", row_number().over(byDoc))
-      .withColumn("n_words", sum(col("c")).over(Window.partitionBy("doc_id")))
-      .withColumn("n_distinct",
-        count(lit(1)).over(Window.partitionBy("doc_id")))
-      .filter(col("_rn") === 1)
-      .select(col("doc_id"),
-        col("n_words").cast(LongType).as("n_words"),
-        col("n_distinct").cast(LongType).as("n_distinct"),
+    words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").cast(LongType).as("n_words"),
+        count(lit(1)).cast(LongType).as("n_distinct"),
+        min(struct((-col("c")).as("nc"), col("w"), col("c").as("c"))).as("_top"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
         round(col("n_distinct").cast(DoubleType) /
           col("n_words").cast(DoubleType), 6).as("distinct_ratio"),
-        col("w").as("top_word"),
-        round(col("c").cast(DoubleType) /
+        col("_top.w").as("top_word"),
+        round(col("_top.c").cast(DoubleType) /
           col("n_words").cast(DoubleType), 6).as("top_ratio"))
       .orderBy("doc_id")
   }
