@@ -1092,14 +1092,30 @@ final class TxTable(
   /** Fold accumulated deletion vectors back into data: rewrite ONLY the
     * buckets holding DV-carrying files (their live rows restage, DVs
     * drop); clean buckets re-link untouched. Run when read-side DV
-    * masking has grown past its worth — the REORG PURGE analog. */
-  def materializeDeletes(): Unit = {
+    * masking has grown past its worth — the REORG PURGE analog.
+    *
+    * `minDeadFraction` targets the maintenance: only buckets whose
+    * tombstoned-row share exceeds it rewrite (0.0 = every dirty
+    * bucket). Dead fractions come from manifest metadata alone
+    * (footer row counts vs DV counts — no data I/O to decide), so a
+    * scheduled `materializeDeletes(0.3)` is a cheap idempotent
+    * background job: lightly-masked buckets keep their cheap reads,
+    * heavily-masked ones stop paying the mask. */
+  def materializeDeletes(minDeadFraction: Double = 0.0): Unit = {
     if (!exists) return
     withRetry {
       val base = currentVersion
       val m = loadManifest(base)
       val s = schemaAt(m)
-      val dirtyBuckets = m.entries.filter(_.dvs.nonEmpty).map(_.bucket).toSet
+      val dirtyBuckets = m.entries.groupBy(_.bucket).collect {
+        case (b, es) if es.exists(_.dvs.nonEmpty) &&
+            (minDeadFraction <= 0.0 || {
+              val dead = es.flatMap(_.dvs).map(_.rows).sum.toDouble
+              val total = es.flatMap(_.parsedStats(s).map(_.rows))
+                .filter(_ >= 0).sum.toDouble
+              total <= 0.0 || dead / total > minDeadFraction
+            }) => b
+      }.toSet
       if (dirtyBuckets.nonEmpty) {
         val (hit, kept) = m.entries.partition(e => dirtyBuckets(e.bucket))
         stageAndCommit(kept, readEntries(hit, s), base, s)

@@ -112,6 +112,24 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.read.count() === 90)
   }
 
+  test("materializeDeletes(minDeadFraction) rewrites only heavily-masked buckets") {
+    val t2 = tkv(2)
+    t2.append((1 to 100).map(i => (s"k$i", i)).toDF("k", "v"))
+    t2.deleteWhereLight(col("v") <= 2) // tiny dead fraction overall
+    val filesBefore = dataFiles(t2)
+    t2.materializeDeletes(minDeadFraction = 0.5) // nothing is >50% dead
+    assert(dataFiles(t2) === filesBefore, "below threshold: no rewrite")
+    assert(t2.read.count() === 98)
+    t2.materializeDeletes() // unconditional: folds everything
+    assert(t2.read.count() === 98)
+    assert(t2.count() === 98)
+    val m = new java.io.File(t2.dir + "/_manifests").listFiles()
+      .filter(_.getName.endsWith(".tsv")).maxBy(_.getName)
+    assert(!scala.io.Source.fromFile(m).getLines()
+      .filterNot(_.startsWith("#")).exists(_.split("\t", 4).length == 4),
+      "no DV refs may remain after unconditional materialization")
+  }
+
   test("vacuum keeps DV sidecars referenced by retained versions") {
     val t = tkv(2)
     t.append((1 to 50).map(i => (s"k$i", i)).toDF("k", "v"))
