@@ -62,10 +62,14 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructField, StructTyp
   * `claimStalenessMs` sweeps the orphan and retakes the version, so a
   * crash never wedges the table. If the presumed-dead winner was
   * merely stalled (GC pause longer than the staleness window) and
-  * wakes after its claim was retaken, its manifest rename fails
+  * wakes after its claim was retaken, its manifest PUBLISH fails
   * against the thief's committed manifest and it rebases — the race
-  * stays lost-update-free because the manifest rename, not the claim,
-  * is the commit point.
+  * stays lost-update-free because the publish, not the claim, is the
+  * commit point. The publish refuses an existing target ATOMICALLY on
+  * every backend: HDFS rename fails on an existing destination, but
+  * POSIX rename(2) silently replaces it, so on the local FS the
+  * publish is a hard link (`link(2)` fails with EEXIST) — see
+  * [[publishManifest]].
   *
   * Data files are staged OUTSIDE `data/` and moved in only after the
   * claim is won (see [[stageFiles]]), so `vacuum` can never observe an
@@ -93,6 +97,9 @@ final class TxTable(
 
   require(keys.nonEmpty, "TxTable requires key columns")
   require(numBuckets > 0, "TxTable requires numBuckets > 0")
+  require(!schema.fieldNames.exists(TxTable.ReservedCols.contains),
+    s"schema may not use the reserved column names " +
+      s"${TxTable.ReservedCols.mkString(", ")} (internal layout/DV scratch)")
 
   private val dataDir = s"$dir/data"
   private val manifestDir = s"$dir/_manifests"
@@ -157,9 +164,14 @@ final class TxTable(
     m.declaredSchema.getOrElse(schema)
 
   /** The schema of the CURRENT version — the create schema widened by
-    * any [[appendEvolving]]/[[upsertEvolving]] commits since. */
-  def currentSchema: StructType =
-    if (!exists) schema else schemaAt(loadManifest(currentVersion))
+    * any [[appendEvolving]]/[[upsertEvolving]] commits since. Guarded
+    * on the version, not `exists`: a crash between mkdirs and the
+    * first manifest publish leaves the directory without a manifest,
+    * which must read as the empty-table state, not crash. */
+  def currentSchema: StructType = {
+    val v = currentVersion
+    if (v < 0) schema else schemaAt(loadManifest(v))
+  }
 
   private def manifestPath(v: Long): Path =
     new Path(manifestDir, f"v$v%020d.tsv")
@@ -281,8 +293,30 @@ final class TxTable(
         claimVersion(v)
       case Some(s)
           if System.currentTimeMillis() - s.getModificationTime >= claimStalenessMs =>
-        fs.delete(claimPath(v), false) // orphan of a crashed winner
-        claimVersion(v)
+        // atomic sweep: RENAME the orphan to a unique tombstone — of N
+        // competing sweepers exactly one rename succeeds, and the
+        // losers never touch the winner's freshly re-created claim (a
+        // plain delete here could remove it). If the rename caught a
+        // claim that was re-created fresh in the meantime, put it back
+        // (best effort — see note below) and treat v as taken.
+        val tomb = new Path(manifestDir,
+          s".swept-${UUID.randomUUID().toString.take(8)}")
+        if (!fs.rename(claimPath(v), tomb)) false // another sweeper won
+        else {
+          val sweptStale =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(tomb).getModificationTime >= claimStalenessMs
+            catch { case _: java.io.IOException => false }
+          if (sweptStale) { fs.delete(tomb, false); claimVersion(v) }
+          else {
+            // raced a live claimant: restore their claim. If the
+            // restore itself loses a race, the victim's PUBLISH (not
+            // the claim) still protects their commit — claim races
+            // degrade to spurious conflicts, never to lost updates.
+            fs.rename(tomb, claimPath(v))
+            false
+          }
+        }
       case _ => false // live commit in flight
     }
   }
@@ -387,7 +421,7 @@ final class TxTable(
         .mkString("", "\n", "\n")).getBytes("UTF-8"))
       finally out.close()
     } catch { case e: Throwable => rollbackMoves(); releaseClaim(); throw e }
-    if (!f.rename(tmp, target)) {
+    if (!publishManifest(tmp, target)) {
       f.delete(tmp, false)
       rollbackMoves()
       if (f.exists(target)) {
@@ -400,6 +434,33 @@ final class TxTable(
     }
     releaseClaim() // the claim's job ends at the committed manifest
     v
+  }
+
+  /** Atomically publish `tmp` as `target`, FAILING iff `target` exists
+    * — the commit point must refuse to replace a committed manifest.
+    * HDFS `rename` has exactly that contract. POSIX `rename(2)` does
+    * NOT (it silently REPLACES the destination — a stalled writer
+    * whose claim was swept would clobber the thief's committed version
+    * and silently lose its update), so on the local FS the commit
+    * point is a HARD LINK: `link(2)` fails atomically with EEXIST on
+    * an existing target; the tmp name is then unlinked. On an object
+    * store this is the conditional-PUT (If-None-Match) seam. */
+  private def publishManifest(tmp: Path, target: Path): Boolean = {
+    val scheme = target.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      def localFile(p: Path) = new java.io.File(
+        if (p.toUri.getScheme == null) p.toString else p.toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(
+          localFile(target).toPath, localFile(tmp).toPath)
+        val t = localFile(tmp)
+        t.delete()
+        // the Hadoop checksum shadow of the tmp name no longer gets
+        // renamed along (raw link/unlink bypasses ChecksumFileSystem)
+        new java.io.File(t.getParentFile, "." + t.getName + ".crc").delete()
+        true
+      } catch { case _: java.io.IOException => false }
+    } else fs.rename(tmp, target)
   }
 
   /** Run `body` (which must re-read `currentVersion` as its base —
@@ -432,7 +493,10 @@ final class TxTable(
   }
 
   def createIfAbsent(): Unit =
-    if (!exists) {
+    // versions-based, not directory-based: a crash between mkdirs and
+    // the first publish leaves the dir with no manifest — that state
+    // must self-heal into v0 here, not wedge every later mutation
+    if (currentVersion < 0) {
       // a conflict here means another writer created the table — done
       try commit(Nil, -1L)
       catch { case _: TxTable.CommitConflict => () }
@@ -510,10 +574,11 @@ final class TxTable(
     * recorded stats (footer row counts are exact) — zero data I/O, the
     * `SELECT count(*)` fast path of the table format. Falls back to a
     * scan if any entry predates stats. */
-  def count(): Long =
-    if (!exists) 0L
+  def count(): Long = {
+    val v = currentVersion
+    if (v < 0) 0L
     else {
-      val entries = loadManifest(currentVersion).entries
+      val entries = loadManifest(v).entries
       val statRows = entries.map(_.parsedStats(schema).map(_.rows))
       // DV'd rows subtract exactly: each DvRef carries its per-file
       // tombstone count, and tombstones never repeat (deletes are
@@ -522,6 +587,7 @@ final class TxTable(
         statRows.flatten.sum - entries.flatMap(_.dvs).map(_.rows).sum
       else read.count()
     }
+  }
 
   // ---- data skipping (manifest zone maps) ----
 
@@ -537,17 +603,20 @@ final class TxTable(
     * coercion, so the zone-map evaluator sees exact types. Driver-only,
     * once per query. None → predicate shapes we can't resolve (then
     * nothing is pruned). */
-  private def analyzedPredicate(pred: Column): Option[
+  private def analyzedPredicate(pred: Column, s: StructType): Option[
       org.apache.spark.sql.catalyst.expressions.Expression] =
     scala.util.Try {
-      emptyDf.filter(pred).queryExecution.analyzed.collectFirst {
+      emptyDfFor(s).filter(pred).queryExecution.analyzed.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }
     }.toOption.flatten
 
-  private def pruneEntries(entries: Seq[FEntry], pred: Column): Seq[FEntry] = {
-    val s = currentSchema // column types never change under evolution
-    analyzedPredicate(pred) match {
+  /** Schema is threaded in by the caller (it has the loaded manifest)
+    * rather than re-derived: `currentSchema` is a manifest load, and on
+    * an object store every avoidable metadata read is a round-trip. */
+  private def pruneEntries(
+      entries: Seq[FEntry], pred: Column, s: StructType): Seq[FEntry] = {
+    analyzedPredicate(pred, s) match {
       case None => entries
       case Some(cond) =>
         val zoneKept = entries.filter { e =>
@@ -578,19 +647,24 @@ final class TxTable(
     * batches clustered by event time, [[compactClustered]] layouts).
     * The predicate is still applied to surviving files, so results are
     * identical to `read.filter(pred)` regardless of pruning. */
-  def scanWhere(pred: Column): DataFrame =
-    if (!exists) emptyDf.filter(pred)
+  def scanWhere(pred: Column): DataFrame = {
+    val v = currentVersion
+    if (v < 0) emptyDfFor(schema).filter(pred)
     else {
-      val m = loadManifest(currentVersion)
-      readEntries(pruneEntries(m.entries, pred), schemaAt(m)).filter(pred)
+      val m = loadManifest(v)
+      val s = schemaAt(m)
+      readEntries(pruneEntries(m.entries, pred, s), s).filter(pred)
     }
+  }
 
   /** What [[scanWhere]] would prune, for tests and EXPLAIN-style
     * diagnostics — no data I/O. */
   def skipReport(pred: Column): SkipReport = {
-    if (!exists) return SkipReport(0, 0)
-    val entries = loadManifest(currentVersion).entries
-    SkipReport(pruneEntries(entries, pred).length, entries.length)
+    val v = currentVersion
+    if (v < 0) return SkipReport(0, 0)
+    val m = loadManifest(v)
+    SkipReport(
+      pruneEntries(m.entries, pred, schemaAt(m)).length, m.entries.length)
   }
 
   // ---- change data capture ----
@@ -664,10 +738,15 @@ final class TxTable(
     * the table state (proven in CdcSpec). Requires the versions to
     * still be retained (vacuum shrinks the horizon). */
   def changeFeed(fromV: Long): DataFrame = {
-    val cur = currentVersion
-    val vs = versions.filter(v => v > fromV && v <= cur)
+    val all = versions // ONE listing; per-step prev comes from this
+    val cur = all.lastOption.getOrElse(-1L)
+    if (cur < 0) // never created / no commit yet: an empty, typed feed
+      return emptyDfFor(schema)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L))
+    val vs = all.filter(v => v > fromV && v <= cur)
     val steps = vs.map { v =>
-      val prev = versions.filter(_ < v).lastOption.getOrElse(-1L)
+      val prev = all.filter(_ < v).lastOption.getOrElse(-1L)
       changes(prev, v).withColumn("_commit_version", lit(v))
     }
     steps.reduceOption(_ unionByName _).getOrElse(
@@ -680,20 +759,31 @@ final class TxTable(
     * data skipping, no directory listing of the other buckets. */
   def lookup(values: Seq[Any]): DataFrame = {
     require(values.length == keys.length, s"expected ${keys.length} key values")
-    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash}
     val lits = keys.zip(values).map { case (k, v) =>
-      Literal.create(v, schema(k).dataType)
+      val dt = schema(k).dataType
+      // coerce driver-side exactly as the filter path would: a scala
+      // Int against a LongType key must hash as a Long, not throw
+      val raw = Literal(v)
+      if (raw.dataType == dt) raw
+      else Literal.create(Cast(raw, dt, Some("UTC")).eval(null), dt)
     }
     val b = math.floorMod(
       Murmur3Hash(lits, 42).eval(null).asInstanceOf[Int], numBuckets)
+    // null-safe: NULL-keyed rows are first-class (see keyMatchJoin) and
+    // must be findable — `===` would filter them out silently
     val keyPred = keys.zip(values).map { case (k, v) =>
-      col(k) === lit(v).cast(schema(k).dataType)
+      col(k) <=> lit(v).cast(schema(k).dataType)
     }.reduce(_ && _)
-    val picked =
-      if (!exists) Nil
-      else pruneEntries( // bucket pruning, then zone maps within the bucket
-        loadManifest(currentVersion).entries.filter(_.bucket == b), keyPred)
-    readEntries(picked, currentSchema).filter(keyPred)
+    val v0 = currentVersion
+    if (v0 < 0) emptyDfFor(schema).filter(keyPred)
+    else {
+      val m = loadManifest(v0)
+      val s = schemaAt(m)
+      val picked = pruneEntries( // bucket pruning, then zone maps within
+        m.entries.filter(_.bucket == b), keyPred, s)
+      readEntries(picked, s).filter(keyPred)
+    }
   }
 
   // ---- writes ----
@@ -772,24 +862,31 @@ final class TxTable(
     * Columns present in both must keep their exact type — evolution
     * adds columns, never mutates them. */
   private def widen(cur: StructType, incoming: StructType): StructType = {
+    // CASE-INSENSITIVE matching, like Spark's own resolver under the
+    // default spark.sql.caseSensitive=false: 'ID' against existing
+    // 'id' is the SAME column (a case-sensitive compare would append a
+    // duplicate that parquet then rejects as ambiguous)
     incoming.fields.foreach { f =>
-      cur.find(_.name == f.name).foreach { have =>
+      cur.find(_.name.equalsIgnoreCase(f.name)).foreach { have =>
         require(have.dataType == f.dataType,
           s"schema evolution cannot change column '${f.name}' from " +
             s"${have.dataType.simpleString} to ${f.dataType.simpleString}")
       }
     }
     StructType(cur.fields ++ incoming.fields
-      .filterNot(f => cur.fieldNames.contains(f.name))
+      .filterNot(f => cur.fieldNames.exists(_.equalsIgnoreCase(f.name)))
       .map(f => StructField(f.name, f.dataType, nullable = true)))
   }
 
-  /** `df` shaped to `target`: present columns cast, absent columns
-    * null-filled (evolving writers may omit columns either way). */
+  /** `df` shaped to `target`: present columns cast (matched
+    * case-insensitively, renamed to the stored spelling), absent
+    * columns null-filled (evolving writers may omit columns). */
   private def conform(df: DataFrame, target: StructType): DataFrame =
     df.select(target.fields.map { fl =>
-      if (df.columns.contains(fl.name)) col(fl.name).cast(fl.dataType)
-      else lit(null).cast(fl.dataType).as(fl.name)
+      df.columns.find(_.equalsIgnoreCase(fl.name)) match {
+        case Some(c) => col(c).cast(fl.dataType).as(fl.name)
+        case None => lit(null).cast(fl.dataType).as(fl.name)
+      }
     }: _*)
 
   /** S12 — append: new files, manifest = old ∪ new. The staged files
@@ -1000,7 +1097,7 @@ final class TxTable(
 
   /** S16 — delete matching rows; rewrites only buckets with matches. */
   def deleteWhere(cond: Column): Unit = {
-    if (!exists) return
+    if (currentVersion < 0) return
     val hitCond = coalesce(cond, lit(false))
     withRetry {
       val base = currentVersion
@@ -1011,8 +1108,8 @@ final class TxTable(
       // Pruning sees the RAW cond, not the coalesce wrapper (same row
       // semantics — a null condition deletes nothing, and zone-map
       // comparisons already treat nulls as non-matching)
-      val candidates = pruneEntries(cur, cond)
       val s = currentSchema
+      val candidates = pruneEntries(cur, cond, s)
       val touched = readEntries(candidates, s).filter(hitCond)
         .select(bucketExpr.as("_kb"))
         .distinct().collect().map(_.getInt(0)).toSet
@@ -1040,13 +1137,13 @@ final class TxTable(
     * metadata-only. Zone maps prune the position scan the same way
     * they prune [[scanWhere]]. */
   def deleteWhereLight(cond: Column): Unit = {
-    if (!exists) return
+    if (currentVersion < 0) return
     val hitCond = coalesce(cond, lit(false))
     withRetry {
       val base = currentVersion
       val m = loadManifest(base)
       val s = schemaAt(m)
-      val candidates = pruneEntries(m.entries, cond)
+      val candidates = pruneEntries(m.entries, cond, s)
       if (candidates.nonEmpty) {
         // live matching rows → (file, pos) tombstones. The per-file
         // counts come back to the driver (bounded by the candidate
@@ -1102,7 +1199,7 @@ final class TxTable(
     * background job: lightly-masked buckets keep their cheap reads,
     * heavily-masked ones stop paying the mask. */
   def materializeDeletes(minDeadFraction: Double = 0.0): Unit = {
-    if (!exists) return
+    if (currentVersion < 0) return
     withRetry {
       val base = currentVersion
       val m = loadManifest(base)
@@ -1184,15 +1281,24 @@ final class TxTable(
     withRetry {
       val base = currentVersion
       val snap = readVersion(base)
+      val s = currentSchema
+      // DateType has no legal direct cast to double — route through
+      // timestamp (epoch seconds: order-preserving, which is all the
+      // z-value needs)
+      def numView(c: String): Column = s(c).dataType match {
+        case _: org.apache.spark.sql.types.DateType =>
+          col(c).cast("timestamp").cast("double")
+        case _ => col(c).cast("double")
+      }
       val bounds = snap.select(cols.flatMap(c =>
-        Seq(min(col(c).cast("double")), max(col(c).cast("double")))): _*).head()
+        Seq(min(numView(c)), max(numView(c)))): _*).head()
       if (bounds.anyNull) // empty table or all-null dims: plain compact
-        stageAndCommit(Nil, snap, base, currentSchema)
+        stageAndCommit(Nil, snap, base, s)
       else {
         val mins = cols.indices.map(i => bounds.getDouble(2 * i))
         val maxs = cols.indices.map(i => bounds.getDouble(2 * i + 1))
-        stageAndCommit(Nil, snap, base, currentSchema,
-          Some(ZOrder.zvalue(cols.map(col), mins, maxs, bitsPerCol)),
+        stageAndCommit(Nil, snap, base, s,
+          Some(ZOrder.zvalue(cols.map(numView), mins, maxs, bitsPerCol)),
           filesPerBucket)
       }
     }
@@ -1214,8 +1320,8 @@ final class TxTable(
     * the dependency. Dev/test branching at 100 TB for the price of a
     * metadata write. */
   def shallowCloneTo(dstDir: String): TxTable = {
-    require(exists, "cannot clone a table that was never created")
     val srcV = currentVersion
+    require(srcV >= 0, "cannot clone a table that was never created")
     val m = loadManifest(srcV)
     val s = schemaAt(m)
     val clone = new TxTable(spark, dstDir, s, keys, numBuckets,
@@ -1233,7 +1339,7 @@ final class TxTable(
   /** Files referenced by the CURRENT version (manifest metadata — no
     * directory listing). */
   def dataFileCount: Int =
-    if (!exists) 0 else loadManifest(currentVersion).entries.length
+    if (currentVersion < 0) 0 else loadManifest(currentVersion).entries.length
 
   /** Drop manifests older than the newest `keepVersions` and delete
     * data files no retained manifest references — but NEVER anything
@@ -1298,7 +1404,9 @@ final class TxTable(
     // commits (acquireClaim sweeps these on demand too).
     f.listStatus(new Path(manifestDir)).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith(".tmp-") && aged(st)) f.delete(st.getPath, false)
+      if ((n.startsWith(".tmp-") || n.startsWith(".swept-") ||
+          (n.startsWith("..tmp-") && n.endsWith(".crc"))) && aged(st))
+        f.delete(st.getPath, false)
       else if (n.endsWith(".claim")) {
         val v = n.stripPrefix("v").stripSuffix(".claim").toLong
         val committed = f.exists(manifestPath(v))
@@ -1335,6 +1443,13 @@ object TxTable {
     * scan it saves, so probing turns off (zone maps still apply). On a
     * cluster this is where probes would fan out to executors instead. */
   val MaxBloomProbeFiles: Int = 1024
+
+  /** Column names the table machinery uses as scratch (bucket/layout
+    * columns on the write path, file/position provenance on the
+    * deletion-vector read path) — a user schema containing one would
+    * be silently overwritten, so the constructor rejects them. */
+  val ReservedCols: Seq[String] =
+    Seq("_kb", "_layout", "_file", "_pos", "_dv_file", "_dv_pos")
 
   /** A writer lost the race for its target version; the mutation is
     * rebased onto the new current version and retried. */

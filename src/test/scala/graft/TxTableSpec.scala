@@ -115,6 +115,88 @@ class TxTableSpec extends SparkSpec {
     assert(t.read.count() === 2)
   }
 
+  test("a manifest dir without any manifest reads as the empty table, not a crash") {
+    // simulates a writer killed between mkdirs(_manifests) and the
+    // first manifest publish
+    val dir = tmpDir("txe") + "/kv"
+    new java.io.File(dir + "/_manifests").mkdirs()
+    val t = new TxTable(spark, dir, StructType(Seq(
+      StructField("k", StringType), StructField("v", IntegerType))),
+      Seq("k"), numBuckets = 2)
+    assert(t.exists) // the dir is there...
+    assert(t.currentVersion === -1L) // ...but no version committed
+    assert(t.count() === 0L)
+    assert(t.read.count() === 0L)
+    assert(t.scanWhere(col("v") > 0).count() === 0L)
+    assert(t.skipReport(col("v") > 0) === t.SkipReport(0, 0))
+    assert(t.lookup(Seq("a")).count() === 0L)
+    assert(t.currentSchema === t.schema)
+    assert(t.changeFeed(-1L).count() === 0L)
+    t.append(Seq(("a", 1)).toDF("k", "v")) // and it recovers normally
+    assert(t.count() === 1L)
+  }
+
+  test("lookup is null-safe and coerces mistyped key values like the filter path") {
+    val t = new TxTable(spark, tmpDir("txl") + "/kv", StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType))),
+      Seq("k"), numBuckets = 4)
+    t.append(Seq((null: String, 7L), ("a", 1L)).toDF("k", "v"))
+    import spark.implicits._
+    // NULL key is findable (=== would silently return empty)
+    assert(t.lookup(Seq(null)).select("v").as[Long].collect().toSeq === Seq(7L))
+    val t2 = new TxTable(spark, tmpDir("txl2") + "/kv", StructType(Seq(
+      StructField("id", LongType), StructField("v", IntegerType))),
+      Seq("id"), numBuckets = 4)
+    t2.append(Seq((42L, 1)).toDF("id", "v"))
+    // a scala Int against the LongType key coerces instead of throwing
+    assert(t2.lookup(Seq(42)).count() === 1L)
+    assert(t2.lookup(Seq(42L)).count() === 1L)
+  }
+
+  test("reserved internal column names are rejected at construction") {
+    for (bad <- graft.core.TxTable.ReservedCols) {
+      val e = intercept[IllegalArgumentException] {
+        new TxTable(spark, tmpDir("txr") + "/kv", StructType(Seq(
+          StructField("k", StringType), StructField(bad, IntegerType))),
+          Seq("k"))
+      }
+      assert(e.getMessage.contains("reserved"), s"$bad: ${e.getMessage}")
+    }
+  }
+
+  test("compactZOrdered handles DateType columns (epoch view, order-preserving)") {
+    val t = new TxTable(spark, tmpDir("txd") + "/kv", StructType(Seq(
+      StructField("k", StringType), StructField("d", DateType),
+      StructField("x", IntegerType))), Seq("k"), numBuckets = 1)
+    val rows = scala.util.Random.shuffle((1 to 200).toList).map(i =>
+      (s"k$i", java.sql.Date.valueOf(f"2026-${1 + i % 12}%02d-${1 + i % 28}%02d"), i))
+    t.append(rows.toDF("k", "d", "x"))
+    t.compactZOrdered(Seq("d", "x"), filesPerBucket = 8, bitsPerCol = 5)
+    assert(t.read.count() === 200)
+    // pruning works on the date dimension after clustering
+    val band = col("d") < lit(java.sql.Date.valueOf("2026-03-01"))
+    assert(t.scanWhere(band).count() === t.read.filter(band).count())
+    assert(t.skipReport(band).scanned < t.dataFileCount)
+  }
+
+  test("schema evolution matches column names case-insensitively like Spark's resolver") {
+    val t = new TxTable(spark, tmpDir("txc") + "/kv", StructType(Seq(
+      StructField("k", StringType), StructField("v", IntegerType))),
+      Seq("k"), numBuckets = 1)
+    t.append(Seq(("a", 1)).toDF("k", "v"))
+    // 'V' is the SAME column as 'v' — not a duplicate-creating new one
+    t.appendEvolving(Seq(("b", 2)).toDF("k", "V"))
+    assert(t.currentSchema.fieldNames.toSeq === Seq("k", "v"))
+    import spark.implicits._
+    assert(t.read.orderBy("k").as[(String, Int)].collect().toSeq ===
+      Seq(("a", 1), ("b", 2)))
+    // and a case-variant TYPE change is still rejected
+    val e = intercept[IllegalArgumentException] {
+      t.appendEvolving(Seq(("c", "nope")).toDF("k", "V"))
+    }
+    assert(e.getMessage.contains("cannot change column"))
+  }
+
   test("insertIfAbsent skips existing keys") {
     val t = tkv()
     t.append(Seq(("a", 1)).toDF("k", "v"))
