@@ -452,7 +452,12 @@ object FileStats {
   def bloomMayContain(path: String, conf: Configuration,
       wanted: Map[String, Seq[Any]], schema: StructType): Boolean = {
     if (wanted.isEmpty) return true
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+    // the open itself is inside the conservative guard: an unreadable
+    // footer must KEEP the file (like every other stats path), not
+    // abort the whole scan
+    val reader =
+      try ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+      catch { case scala.util.control.NonFatal(_) => return true }
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       // per column: true if ANY block may contain ANY candidate value

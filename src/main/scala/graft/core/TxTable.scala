@@ -561,6 +561,23 @@ final class TxTable(
     * version's file list, so later commits never disturb it. */
   def read: DataFrame = readVersion(currentVersion)
 
+  /** Live rows of just `buckets` — manifest-pruned driver-side, DV
+    * masks applied. The read primitive for callers that know their
+    * key set's buckets (e.g. an incremental view touching a handful
+    * of groups on a huge table). */
+  private[graft] def readBuckets(buckets: Set[Int]): DataFrame = {
+    val v = currentVersion
+    if (v < 0) emptyDfFor(schema)
+    else {
+      val m = loadManifest(v)
+      readEntries(m.entries.filter(e => buckets(e.bucket)), schemaAt(m))
+    }
+  }
+
+  /** This table's bucket id for a row (the manifest partitioner) —
+    * lets callers compute which buckets a key set touches. */
+  private[graft] def bucketColumn: Column = bucketExpr
+
   /** Time travel to any retained version — under the schema that
     * version was COMMITTED with (schema history travels too). */
   def readVersion(v: Long): DataFrame =
@@ -1037,6 +1054,45 @@ final class TxTable(
     withRetry {
       val base = currentVersion
       stageAndCommit(Nil, df, base, currentSchema, meta = meta)
+    }
+  }
+
+  /** GUARDED [[upsert]]: a compare-and-set against table state. `pre`
+    * is re-evaluated inside every commit attempt — a competing commit
+    * fails this writer's claim, the retry re-reads the new state, and
+    * a now-false precondition abandons the mutation (returns false)
+    * instead of double-applying it. This is how an incremental view
+    * makes `refresh` idempotent under CONCURRENT refreshers: the
+    * precondition checks the applied-watermark is still the one the
+    * delta was computed against. */
+  def upsertIf(df: DataFrame, meta: Map[String, String])
+      (pre: => Boolean): Boolean = {
+    createIfAbsent()
+    withRetry {
+      if (!pre) false
+      else {
+        val base = currentVersion
+        val m = loadManifest(base)
+        val target = schemaAt(m)
+        val updates = df
+          .select(target.fields.map(fl => col(fl.name).cast(fl.dataType)): _*)
+        upsertOnto(m, updates, base, target, meta)
+        true
+      }
+    }
+  }
+
+  /** GUARDED [[replace]] — see [[upsertIf]]. */
+  def replaceIf(df: DataFrame, meta: Map[String, String])
+      (pre: => Boolean): Boolean = {
+    createIfAbsent()
+    withRetry {
+      if (!pre) false
+      else {
+        val base = currentVersion
+        stageAndCommit(Nil, df, base, currentSchema, meta = meta)
+        true
+      }
     }
   }
 

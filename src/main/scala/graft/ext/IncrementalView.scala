@@ -102,32 +102,57 @@ final class IncrementalView(
     val to = source.currentVersion
     if (to <= from) return 0
     table.createIfAbsent()
+    // horizon check up front; the narrow catch covers only the
+    // check-then-load race with a concurrent source vacuum. Any OTHER
+    // failure (transient FS error, corrupt manifest) must surface —
+    // swallowing it would silently escalate an incremental refresh
+    // into a full-source recompute.
+    val horizonOk = from < 0 || source.versions.contains(from)
     val feed =
-      try Some(source.changes(math.max(from, -1L), to))
-      catch { case _: Exception => None } // watermark vacuumed away
-    feed match {
+      if (!horizonOk) None
+      else
+        try Some(source.changes(math.max(from, -1L), to))
+        catch { case _: java.io.FileNotFoundException => None }
+    // every commit below is GUARDED on the watermark still being
+    // `from` (re-checked inside each commit attempt): two concurrent
+    // refreshers can both compute the same delta, but only the first
+    // applies it — the loser's precondition fails after its commit
+    // conflict rebases, instead of double-counting the delta.
+    val applied = feed match {
       case None =>
         // horizon lost: one-commit full recompute (replace is atomic,
-        // so readers see either the old view or the complete new one)
+        // so readers see either the old view or the complete new one).
+        // Aggregate the snapshot AT `to` — a floating `source.read`
+        // would include any commit landing after `to` was read, which
+        // the next refresh would then re-apply.
         val full = aggs(lit(1L))
-        table.replace(
-          source.read.groupBy(groupCols.map(col): _*).agg(full.head, full.tail: _*),
-          Map(WatermarkKey -> to.toString))
+        table.replaceIf(
+          source.readVersion(to)
+            .groupBy(groupCols.map(col): _*).agg(full.head, full.tail: _*),
+          Map(WatermarkKey -> to.toString))(appliedVersion == from)
       case Some(ch) =>
         val weight = when(
           col("_change_type").isin("insert", "update_postimage"), 1L)
           .otherwise(-1L) // delete / update_preimage subtract
         val wAggs = aggs(weight)
+        // localCheckpoint: the (small) delta feeds the bucket probe,
+        // the broadcast key set AND the merge — without it the CDC
+        // read + shuffle would re-execute for each
         val delta = ch.groupBy(groupCols.map(col): _*)
           .agg(wAggs.head, wAggs.tail: _*)
+          .localCheckpoint()
         // group keys may legitimately be NULL — every key match below
         // is null-safe (`<=>`), or a NULL-keyed group would miss its
         // existing view row and reset instead of accumulating
         def keyCond(l: String, r: String) =
           groupCols.map(k => col(s"$l.$k") <=> col(s"$r.$k")).reduce(_ && _)
-        // affected groups only: broadcast the (small) delta keys; the
-        // view is never shuffled wholesale
-        val affected = table.read.alias("_v").join(
+        // affected groups only, from affected BUCKETS only: the delta
+        // keys' buckets are computed driver-side and the view read is
+        // manifest-pruned to them — a 1-group delta reads one bucket
+        // of a 100 TB view, exactly like the upsert that follows
+        val keyBuckets = delta.select(table.bucketColumn.as("_b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val affected = table.readBuckets(keyBuckets).alias("_v").join(
           broadcast(delta.select(groupCols.map(col): _*)).alias("_dk"),
           keyCond("_v", "_dk"), "left_semi")
         val dAlias = delta.columns.map(c =>
@@ -141,9 +166,10 @@ final class IncrementalView(
                 col(s"_d_sum_$c")).as(s"sum_$c"),
               (coalesce(col(s"_a.nn_$c"), lit(0L)) + col(s"_d_nn_$c"))
                 .as(s"nn_$c"))): _*)
-        table.upsert(merged, Map(WatermarkKey -> to.toString))
+        table.upsertIf(merged, Map(WatermarkKey -> to.toString))(
+          appliedVersion == from)
     }
-    versionsApplied(from, to)
+    if (applied) versionsApplied(from, to) else 0
   }
 
   private def versionsApplied(from: Long, to: Long): Int =

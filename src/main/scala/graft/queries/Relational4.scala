@@ -183,8 +183,11 @@ object Relational4 {
 
   /** TPC-H Q22 shape (global sales opportunity): above-average-balance
     * customers with no recent orders, grouped by a name-derived code
-    * (the original's phone country code). Uncorrelated scalar AVG
-    * subquery + NOT EXISTS anti-join. */
+    * (the original's phone country code). Uncorrelated scalar
+    * subqueries + NOT EXISTS anti-join. The above-average test is
+    * DECIMAL-EXACT (`bal × count > total`, both sides integral cents —
+    * the house boundary discipline): a raw double AVG threshold could
+    * flip a boundary row on engine summation order. */
   private val q22Sql: String =
     """SELECT cntrycode, COUNT(*) AS numcust,
       | CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS STRING)
@@ -192,8 +195,10 @@ object Relational4 {
       |FROM (
       | SELECT substr(c_name, 17, 2) AS cntrycode, c_acctbal, c_custkey
       | FROM customer
-      | WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
-      |                    WHERE c_acctbal > 0.0)) c
+      | WHERE CAST(c_acctbal AS DECIMAL(18,2))
+      |       * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0)
+      |     > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+      |        FROM customer WHERE c_acctbal > 0.0)) c
       |WHERE NOT EXISTS (SELECT 1 FROM orders
       |                  WHERE o_custkey = c_custkey
       |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')

@@ -21,7 +21,7 @@ import graft.core.TxTable
 object TxQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Qhelpers.t(s, dir, name) // one loader everywhere (ts normalization etc.)
 
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rmTree)

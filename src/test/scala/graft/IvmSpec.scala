@@ -90,6 +90,28 @@ class IvmSpec extends SparkSpec {
     assert(viewN === recomputeN)
   }
 
+  test("concurrent refreshers never double-apply a delta (watermark CAS)") {
+    val t = src()
+    val view = new IncrementalView(spark, t, tmpDir("ivmc") + "/v",
+      Seq("g"), Seq("v"), numBuckets = 2)
+    t.append((1 to 30).map(i => (s"k$i", s"g${i % 3}", i.toLong)).toDF("k", "g", "v"))
+    view.refresh()
+    t.append(Seq(("x1", "g0", 100L), ("x2", "g1", 200L)).toDF("k", "g", "v"))
+    // two racers catch up the same commit: exactly one applies it, the
+    // other's guarded commit abandons (or it arrives late and no-ops)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futs = (1 to 2).map(_ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = view.refresh()
+        }))
+      val applied = futs.map(_.get())
+      assert(applied.count(_ > 0) === 1, s"applied=$applied")
+    } finally pool.shutdown()
+    assert(viewRows(view) === recompute(t))
+    assert(view.appliedVersion === t.currentVersion)
+  }
+
   test("emptied groups tombstone out of read and sweep away") {
     val t = src()
     val view = new IncrementalView(spark, t, tmpDir("ivmt") + "/v",
