@@ -1105,27 +1105,42 @@ final class TxTable(
     * ids do — bounded by `numBuckets`). */
   def applyChanges(upserts: DataFrame, deleteKeys: DataFrame,
       meta: Map[String, String] = Map.empty): Unit = {
+    applyChangesIf(upserts, deleteKeys, meta)(true)
+    ()
+  }
+
+  /** GUARDED [[applyChanges]] — see [[upsertIf]] for the CAS contract.
+    * How a CDC consumer (replication) makes concurrent syncs safe:
+    * the precondition re-checks its watermark inside every commit
+    * attempt, so a stale diff is abandoned instead of re-applied on
+    * top of a newer sync. */
+  def applyChangesIf(upserts: DataFrame, deleteKeys: DataFrame,
+      meta: Map[String, String])(pre: => Boolean): Boolean = {
     createIfAbsent()
     withRetry {
-      val base = currentVersion
-      val m = loadManifest(base)
-      val target = schemaAt(m)
-      val ups = upserts
-        .select(target.fields.map(fl => col(fl.name).cast(fl.dataType)): _*)
-        .dropDuplicates(keys)
-      val dels = keyMatchJoin(deleteKeys
-        .select(keys.map(k => col(k).cast(target(k).dataType)): _*)
-        .dropDuplicates(keys), ups, "left_anti") // upsert wins
-      val gone = ups.select(keys.map(col): _*).unionByName(dels)
-      val touched = gone.select(bucketExpr.as("_kb")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      if (touched.nonEmpty) {
-        val (hit, kept) = m.entries.partition(e => touched(e.bucket))
-        val remain = keyMatchJoin(readEntries(hit, target), gone, "left_anti")
-          .unionByName(ups)
-        stageAndCommit(kept, remain, base, target, meta = meta)
-      } else if (meta.nonEmpty) {
-        commit(m.entries, base, Some(target), meta)
+      if (!pre) false
+      else {
+        val base = currentVersion
+        val m = loadManifest(base)
+        val target = schemaAt(m)
+        val ups = upserts
+          .select(target.fields.map(fl => col(fl.name).cast(fl.dataType)): _*)
+          .dropDuplicates(keys)
+        val dels = keyMatchJoin(deleteKeys
+          .select(keys.map(k => col(k).cast(target(k).dataType)): _*)
+          .dropDuplicates(keys), ups, "left_anti") // upsert wins
+        val gone = ups.select(keys.map(col): _*).unionByName(dels)
+        val touched = gone.select(bucketExpr.as("_kb")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        if (touched.nonEmpty) {
+          val (hit, kept) = m.entries.partition(e => touched(e.bucket))
+          val remain = keyMatchJoin(readEntries(hit, target), gone, "left_anti")
+            .unionByName(ups)
+          stageAndCommit(kept, remain, base, target, meta = meta)
+        } else if (meta.nonEmpty) {
+          commit(m.entries, base, Some(target), meta)
+        }
+        true
       }
     }
   }

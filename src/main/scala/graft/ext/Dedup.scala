@@ -17,9 +17,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
-  /** Lowercase word array of a text column. */
+  /** Lowercase word array of a text column. SCOPE: `[a-z]+` runs only
+    * — a doc with none (CJK/Cyrillic scripts, digits-only) yields an
+    * EMPTY array and carries zero signal for every word-based
+    * signature below; such docs are excluded from candidates and
+    * REPORTED (see the `EmptyWordSet` ledger row), never silently
+    * paired. Non-Latin corpora need a script-aware tokenizer here. */
   def words(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+
+  /** Ledger sig marker for docs excluded because [[words]] found no
+    * tokens (see [[lshCandidatePairsWithStats]]'s `dropped`). */
+  val EmptyWordSet = "EMPTY_WORDSET"
 
   /** X3 — exact dedup by content fingerprint, first-wins by explicit
     * precedence (rankCols), never partition order. */
@@ -51,11 +60,10 @@ object Dedup {
   /** Band count that keeps expected bucket occupancy near
     * `targetBucket` rows: buckets per band grow with corpus diversity,
     * so more bands (finer signatures) are needed as the corpus grows.
-    * Heuristic, monotone in `corpusSize`; clamped to [4, 64]. */
+    * Heuristic, monotone in `corpusSize`; clamped to [4, 64]. Shares
+    * the clamped-log2 core with [[Similarity.suggestedNBits]]. */
   def suggestedBands(corpusSize: Long, targetBucket: Long = 1000): Int =
-    math.min(64, math.max(4,
-      (math.log(math.max(2.0, corpusSize.toDouble / targetBucket)) /
-        math.log(2.0)).ceil.toInt))
+    Similarity.clampedLog2(corpusSize, targetBucket, lo = 4, hi = 64)
 
   /** X2 — LSH candidate pairs: ids sharing ANY band value. Long-format
     * explode → shuffle on (band, sig) → within-bucket pairing with a
@@ -64,9 +72,10 @@ object Dedup {
     * filtered). */
   def lshCandidatePairsWithStats(df: DataFrame, idCol: String, textCol: String,
       nBands: Int, maxBucket: Int = 1000): CandidateStats = {
+    val tokenized =
+      df.select(col(idCol).as("_id"), words(col(textCol)).as("_ws"))
     val withBands = withMinhashBands(
-      df.select(col(idCol).as("_id"), words(col(textCol)).as("_ws")),
-      col("_ws"), nBands)
+      tokenized.filter(size(col("_ws")) > 0), col("_ws"), nBands)
     // explode, not a per-band union: one scan instead of nBands scans
     val long = withBands
       .select(col("_id"), explode(array((0 until nBands).map(i =>
@@ -75,9 +84,16 @@ object Dedup {
     val sized = long
       .withColumn("_n", count(lit(1)).over(Window.partitionBy("band", "sig")))
     val bucketed = sized.filter(col("_n") <= maxBucket)
+    // the recall ledger also reports docs with NO word tokens (their
+    // null band signatures would silently never join otherwise)
+    val emptyDocs = tokenized.filter(size(col("_ws")) === 0)
+      .agg(count(lit(1)).as("size"))
+      .select(lit(-1).as("band"), lit(EmptyWordSet).as("sig"), col("size"))
+      .filter(col("size") > 0)
     val dropped = sized.filter(col("_n") > maxBucket)
       .groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("size"))
+      .unionByName(emptyDocs)
     val a = bucketed.select(col("band"), col("sig"), col("_id").as("id_a"))
     val b = bucketed.select(col("band"), col("sig"), col("_id").as("id_b"))
     val pairs = a.join(b, Seq("band", "sig"))
@@ -103,9 +119,14 @@ object Dedup {
         .withColumnRenamed("_set", "set_a"), Seq("id_a"))
       .join(sets.withColumnRenamed("_jid", "id_b")
         .withColumnRenamed("_set", "set_b"), Seq("id_b"))
+      .withColumn("_u",
+        size(array_union(col("set_a"), col("set_b"))).cast(DoubleType))
+      // two empty sets → 0/0 = NaN, which Spark compares GREATER than
+      // every double and would pass the threshold; NULL never does
       .withColumn("jaccard",
-        size(array_intersect(col("set_a"), col("set_b"))).cast(DoubleType) /
-          size(array_union(col("set_a"), col("set_b"))).cast(DoubleType))
+        when(col("_u") > 0.0,
+          size(array_intersect(col("set_a"), col("set_b"))).cast(DoubleType) /
+            col("_u")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -237,6 +258,9 @@ object Dedup {
     val blockSize = bits / nBlocks
     val sims = df
       .withColumn("_ws", array_distinct(words(col(textCol))))
+      // zero-signal docs all hash to _sh = 0 and would be declared
+      // mutual near-dups of each other — exclude them (see [[words]])
+      .filter(size(col("_ws")) > 0)
       .select(col(idCol).as("_id"), simhash16("_ws").as("_sh"))
     // explode into (block, value) rows in one scan; a cluster run
     // would persist `sims` (the signature table) instead of recomputing

@@ -30,7 +30,8 @@ object Replication {
     follower.latestMeta(WatermarkKey).map(_.toLong).getOrElse(-1L)
 
   /** Converge `follower` to `leader`'s current version. Returns the
-    * number of leader commits applied (0 = already current). */
+    * number of leader commits applied (0 = already current, or a
+    * concurrent sync won the race and applied it first). */
   def sync(leader: TxTable, follower: TxTable): Int = {
     require(follower.keys == leader.keys,
       "replication requires identical key columns")
@@ -38,14 +39,33 @@ object Replication {
     val to = leader.currentVersion
     if (to <= from) return 0
     follower.createIfAbsent()
+    // horizon verified up front; the narrow catch covers only the
+    // check-then-read race with a concurrent leader vacuum (the
+    // localCheckpoint executes the delta read NOW, inside the try, so
+    // a just-vacuumed data file takes the snapshot fallback instead of
+    // crashing later). Any OTHER failure must surface — a transient
+    // error silently escalating into a full-snapshot rewrite of a
+    // 100 TB follower is the costliest possible response to a hiccup.
+    val horizonOk = from < 0 || leader.versions.contains(from)
     val diff =
-      try Some(leader.changes(math.max(from, -1L), to))
-      catch { case _: Exception => None } // horizon vacuumed away
-    diff match {
+      if (!horizonOk) None
+      else
+        try Some(leader.changes(math.max(from, -1L), to).localCheckpoint())
+        catch { case _: java.io.FileNotFoundException => None }
+    // both commit paths are GUARDED on the watermark still being
+    // `from` (re-checked inside every commit attempt): concurrent
+    // syncs serialize — the loser abandons its stale diff instead of
+    // re-applying it on top of the winner's newer state (which would
+    // resurrect deleted keys and regress updated ones).
+    val applied = diff match {
       case None =>
-        follower.replace(leader.read, Map(WatermarkKey -> to.toString))
-      case Some(ch) =>
-        val cached = ch.localCheckpoint() // one pass over the delta
+        // snapshot pinned AT the recorded watermark: a floating
+        // `leader.read` could include commits past `to`, leaving the
+        // follower AHEAD of its own watermark (the next sync would
+        // then re-apply changes it already holds)
+        follower.replaceIf(leader.readVersion(to),
+          Map(WatermarkKey -> to.toString))(appliedVersion(follower) == from)
+      case Some(cached) =>
         try {
           val upserts = cached
             .filter(col("_change_type").isin("insert", "update_postimage"))
@@ -54,10 +74,10 @@ object Replication {
             .select(leader.keys.map(col): _*)
           // ONE atomic commit applies both sides and the watermark —
           // fully distributed (no key list touches the driver)
-          follower.applyChanges(upserts, deletes,
-            Map(WatermarkKey -> to.toString))
+          follower.applyChangesIf(upserts, deletes,
+            Map(WatermarkKey -> to.toString))(appliedVersion(follower) == from)
         } finally cached.unpersist()
     }
-    leader.versions.count(v => v > from && v <= to)
+    if (applied) leader.versions.count(v => v > from && v <= to) else 0
   }
 }

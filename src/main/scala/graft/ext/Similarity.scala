@@ -23,22 +23,40 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.dot_product(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  /** ‖a‖ via the codegen'd dot product (the HOF fold it replaces was
+    * the interpreted hot spot the DotProduct expression exists for). */
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  /** NaN-PROOF cosine: a zero-norm vector (failed embed, padding row)
+    * yields NULL, not 0/0 = NaN — NaN compares GREATER than every
+    * double in Spark, so it would rank FIRST in every top-k and pass
+    * every `>= threshold` near-dup gate. NULL does neither (desc
+    * ordering puts nulls last; a null comparison is never true). */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom > 0.0, dot(a, b) / denom)
+  }
+
+  /** [[cosine]] with both norms precomputed (per-ROW work hoisted out
+    * of per-PAIR scoring). */
+  def cosineWithNorms(dotAb: Column, na: Column, nb: Column): Column = {
+    val denom = na * nb
+    when(denom > 0.0, dotAb / denom)
+  }
 
   /** X1 — exact top-k by cosine against one query vector (broadcast;
-    * TakeOrdered — no global sort). */
+    * TakeOrdered — no global sort). The query norm is computed once on
+    * the 1-row broadcast side, not re-folded per corpus row. */
   def cosineTopK(emb: DataFrame, embCol: String, queryId: Column,
       idCol: String, k: Int): DataFrame = {
     val e = emb.withColumn("_e", toDouble(col(embCol)))
-    val q = e.filter(col(idCol) === queryId).select(col("_e").as("_qe"))
+    val q = e.filter(col(idCol) === queryId)
+      .select(col("_e").as("_qe"), norm(col("_e")).as("_qn"))
     e.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
-      .withColumn("score", cosine(col("_e"), col("_qe")))
-      .drop("_e", "_qe")
+      .withColumn("score",
+        cosineWithNorms(dot(col("_e"), col("_qe")), norm(col("_e")), col("_qn")))
+      .drop("_e", "_qe", "_qn")
       .orderBy(desc("score"), asc(idCol))
       .limit(k)
   }
@@ -75,11 +93,26 @@ object Similarity {
       col(embCol), Array.tabulate(nBits, dim)(hyperplane))
 
   /** Bucket histogram — the data layout a cluster deployment would
-    * persist (partition-by-bucket) for sub-linear ANN reads. */
-  def lshBuckets(emb: DataFrame, embCol: String, nBits: Int): DataFrame =
+    * persist (partition-by-bucket) for sub-linear ANN reads.
+    *
+    * The hyperplane matrix is sized to the DATA (dim ≤ 0 probes one
+    * row): a fixed 512 would silently send every 768/1024-dim
+    * embedding to bucket 0 (the expression's fold-parity rule maps
+    * over-length vectors to signature 0), while the driver-side
+    * [[AnnIndex.signatureOf]] folds the full vector — total silent
+    * recall loss. Matrix entries are positionally deterministic, so
+    * sizing the matrix up never changes any in-range signature. */
+  def lshBuckets(emb: DataFrame, embCol: String, nBits: Int,
+      dim: Int = 0): DataFrame = {
+    val d =
+      if (dim > 0) dim
+      else math.max(512, emb.select(size(col(embCol)).as("n"))
+        .filter(col("n") > 0).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(512))
     emb.withColumn("_ed", toDouble(col(embCol)))
-      .withColumn("bucket", hyperplaneSignature("_ed", nBits))
+      .withColumn("bucket", hyperplaneSignature("_ed", nBits, d))
       .drop("_ed")
+  }
 
   /** X1 scale path — ANN top-k: hash the query, scan only rows whose
     * bucket is within `probeHamming` of the query bucket (multi-probe
@@ -90,15 +123,26 @@ object Similarity {
     val bucketed = lshBuckets(emb, embCol, nBits)
       .withColumn("_e", toDouble(col(embCol)))
     val q = bucketed.filter(col(idCol) === queryId)
-      .select(col("_e").as("_qe"), col("bucket").as("_qbucket"))
+      .select(col("_e").as("_qe"), col("bucket").as("_qbucket"),
+        norm(col("_e")).as("_qn"))
     bucketed.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .filter(bit_count(col("bucket").bitwiseXOR(col("_qbucket"))) <= probeHamming)
-      .withColumn("score", cosine(col("_e"), col("_qe")))
-      .drop("_e", "_qe", "_qbucket")
+      .withColumn("score",
+        cosineWithNorms(dot(col("_e"), col("_qe")), norm(col("_e")), col("_qn")))
+      .drop("_e", "_qe", "_qbucket", "_qn")
       .orderBy(desc("score"), asc(idCol))
       .limit(k)
   }
+
+  /** Shared bucketing heuristic: ceil(log2(corpus / target)), clamped.
+    * One implementation for both LSH tuning knobs ([[suggestedNBits]],
+    * [[Dedup.suggestedBands]]) so the formula can't silently diverge. */
+  private[ext] def clampedLog2(corpusSize: Long, target: Long,
+      lo: Int, hi: Int): Int =
+    math.min(hi, math.max(lo,
+      (math.log(math.max(2.0, corpusSize.toDouble / target)) /
+        math.log(2.0)).ceil.toInt))
 
   /** Signature width that keeps expected bucket occupancy near
     * `targetBucket` (corpus / 2^nBits ≈ targetBucket). The r1 defaults
@@ -106,9 +150,7 @@ object Similarity {
     * returns ~24-30 bits. Clamped to [4, 48] (signature packs into a
     * long). Monotone in `corpusSize`. */
   def suggestedNBits(corpusSize: Long, targetBucket: Long = 10000): Int =
-    math.min(48, math.max(4,
-      (math.log(math.max(2.0, corpusSize.toDouble / targetBucket)) /
-        math.log(2.0)).ceil.toInt))
+    clampedLog2(corpusSize, targetBucket, lo = 4, hi = 48)
 
   /** X2 — embedding-cosine near-dup pairs within LSH buckets (never a
     * full cross join; bucket-size capped like MinHash, with the capped
@@ -135,7 +177,8 @@ object Similarity {
       col("_e").as("e_b"), col("_nrm").as("n_b"))
     val pairs = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("score", dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+      .withColumn("score",
+        cosineWithNorms(dot(col("e_a"), col("e_b")), col("n_a"), col("n_b")))
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score").distinct()
     Dedup.CandidateStats(pairs, dropped)
@@ -168,12 +211,13 @@ object Similarity {
     val queries = bucketed
       .filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("_qid"), col("_e").as("_qe"),
-        col("bucket").as("_qbucket"))
+        col("bucket").as("_qbucket"), norm(col("_e")).as("_qn"))
     val scored = bucketed
       .select(col(idCol).as("_id"), col("_e"), col("bucket"))
       .crossJoin(broadcast(queries))
       .filter(col("_id") =!= col("_qid"))
-      .withColumn("_score", cosine(col("_e"), col("_qe")))
+      .withColumn("_score",
+        cosineWithNorms(dot(col("_e"), col("_qe")), norm(col("_e")), col("_qn")))
     val w = Window.partitionBy("_qid").orderBy(desc("_score"), asc("_id"))
     val exact = scored
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)

@@ -112,6 +112,73 @@ class ExtSpec extends SparkSpec {
     assert(pairs.map(t => (t._1, t._2)).toSeq === Seq((0L, 1L)))
   }
 
+  test("zero-norm embeddings never rank first nor pass near-dup thresholds (NaN guard)") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),   // true nearest to 0
+      (2L, Array(0.0f, 0.0f, 0.0f)),   // zero vector: failed embed
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(emb, "embedding", lit(0L), "vec_id", 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top.head === 1L, s"zero vector must not outrank real neighbours: $top")
+    assert(!top.contains(2L))
+    val pairs = Similarity.cosineNearDupPairs(
+      emb, "embedding", "vec_id", threshold = 0.9, nBits = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      s"zero vector declared near-dup: $pairs")
+  }
+
+  test("ANN survives embeddings wider than 512 dims (matrix sized to data)") {
+    val d = 768
+    def v(seed: Int): Array[Float] = Array.tabulate(d)(i =>
+      (math.sin(seed * 31 + i).toFloat))
+    val base = v(1)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val emb = Seq((0L, base), (1L, near), (2L, v(7)), (3L, v(13)))
+      .toDF("vec_id", "embedding")
+    // buckets must not all collapse to 0 (the old fixed-512 matrix
+    // zeroed every oversized signature)
+    val buckets = Similarity.lshBuckets(emb, "embedding", nBits = 8)
+      .select("bucket").as[Long].collect().toSet
+    assert(buckets.exists(_ != 0L), s"all-zero buckets: $buckets")
+    // and the persisted index probe agrees driver-to-executor
+    val dir = tmpDir("ann768") + "/idx"
+    graft.ext.AnnIndex.build(emb, "embedding", nBits = 8, dir)
+    val got = graft.ext.AnnIndex.topK(spark, dir, emb.schema, "embedding",
+      base.map(_.toDouble).toSeq, k = 2, nBits = 8, probeHamming = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got.nonEmpty, "probe found nothing: driver/executor signature mismatch")
+    assert(got.head === 0L || got.head === 1L)
+  }
+
+  test("no-word documents are excluded from signatures and ledgered, never mass-paired") {
+    val mixed = Seq(
+      (10L, "12345 67890"),          // digits only: no [a-z] words
+      (11L, "完全に異なる文書"),        // CJK: no [a-z] words
+      (12L, "третий документ"),      // Cyrillic: no [a-z] words
+      (13L, "the quick brown fox"),
+      (14L, "the quick brown foxes")).toDF("doc_id", "text")
+    // simhash: the three zero-signal docs must NOT pair with each other
+    val sp = Dedup.simhashPairs(mixed, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!sp.exists(p => Set(10L, 11L, 12L)(p._1) || Set(10L, 11L, 12L)(p._2)),
+      s"zero-signal docs paired: $sp")
+    // minhash: excluded AND reported in the recall ledger
+    val stats = Dedup.lshCandidatePairsWithStats(
+      mixed, "doc_id", "text", nBands = 4)
+    val ids = stats.pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    assert(!ids.exists(Set(10L, 11L, 12L)))
+    val ledger = stats.dropped
+      .filter(col("sig") === Dedup.EmptyWordSet)
+      .select("size").as[Long].collect().toSeq
+    assert(ledger === Seq(3L), s"ledger: $ledger")
+    // jaccard verify on an empty-vs-empty pair: NULL, never a NaN pass
+    val fake = Seq((10L, 11L)).toDF("id_a", "id_b")
+    assert(Dedup.jaccardVerify(fake, mixed, "doc_id", "text", 0.5).count() === 0)
+  }
+
   test("range join equals the naive inequality join, without nested loops") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
     val l = Seq((1L, 7L, ts(0)), (2L, 7L, ts(25)), (3L, 8L, ts(10)))

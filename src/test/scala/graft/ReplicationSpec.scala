@@ -41,6 +41,29 @@ class ReplicationSpec extends SparkSpec {
     assert(Replication.appliedVersion(follower) === leader.currentVersion)
   }
 
+  test("concurrent syncs never double-apply or resurrect (watermark CAS)") {
+    val leader = tbl("repl-c", 2)
+    val follower = tbl("repl-cf", 2)
+    leader.append((1 to 30).map(i => (s"k$i", i)).toDF("k", "v"))
+    Replication.sync(leader, follower)
+    leader.deleteWhere(col("v") > 25)
+    leader.upsert(Seq(("k1", -1)).toDF("k", "v"))
+    // two racers catch up the same commits: exactly one applies them
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futs = (1 to 2).map(_ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = Replication.sync(leader, follower)
+        }))
+      val applied = futs.map(_.get())
+      assert(applied.count(_ > 0) === 1, s"applied=$applied")
+    } finally pool.shutdown()
+    assert(contents(follower) === contents(leader))
+    assert(follower.read.filter(col("v") > 25).count() === 0,
+      "deleted keys must not resurrect")
+    assert(Replication.appliedVersion(follower) === leader.currentVersion)
+  }
+
   test("a key deleted and re-inserted across the sync window upserts (post-image wins)") {
     val leader = tbl("repl-d", 2)
     val follower = tbl("repl-e", 2)
