@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+
+/** Fifth relational tranche — completes the TPC-H shape catalog
+  * (rounds 1–5 covered q3/q4/q5/q7/q8/q10/q13/q14/q17/q18/q19/q21/q22;
+  * this file adds the remaining nine):
+  *
+  *  - q1   full-scan grouped pricing summary (sums / averages / count)
+  *  - q2   min-cost-supplier: correlated scalar MAX over a multi-table
+  *         subquery, decorrelated to agg + join
+  *  - q6   single-table predicate aggregate (the "filter then fold" probe)
+  *  - q9   product-type profit: 5-table join, LIKE filter, signed
+  *         decimal arithmetic, group by (nation, year)
+  *  - q11  important-stock: grouped HAVING against an uncorrelated
+  *         scalar-subquery threshold (fraction of global total)
+  *  - q12  priority-class conditional counts over an orders⋈lineitem join
+  *  - q15  top-supplier: CTE referenced twice (revenue per supplier +
+  *         scalar MAX over the same CTE)
+  *  - q16  supplier-count-per-part-attrs: COUNT(DISTINCT) + NOT IN
+  *         anti-subquery
+  *  - q20  nested IN whose inner query carries a correlated scalar
+  *         subquery (half-of-part-total threshold)
+  *
+  * The synthetic schema has no partsupp table (TESTDATA.md), so the
+  * partsupp-based originals (q2/q9/q11/q16/q20) bridge part↔supplier
+  * through lineitem and substitute p_retailprice / s_acctbal for
+  * ps_supplycost — the OPERATOR SHAPE (correlation, decorrelation,
+  * anti-subquery, threshold-vs-global-aggregate) is what's under test,
+  * exactly as Relational4 does for its tranche.
+  *
+  * Identical ANSI text runs on Spark and DuckDB (the oracle). House
+  * determinism rules (see [[Qhelpers]]): money folds in exact DECIMAL,
+  * surfaced through STRING→DOUBLE (DuckDB reads STRING as VARCHAR);
+  * averages divide a deterministic double by a BIGINT count;
+  * conditional counts use COUNT(CASE ...) (BIGINT in both engines —
+  * SUM(INT) would be HUGEINT in DuckDB); q1's three-factor charge
+  * pre-combines (1-disc)*(1+tax) into one exact DECIMAL(14,6) so no
+  * product exceeds precision 38 in Spark or the int64 multiply bound
+  * in DuckDB (a (18,2)×(13,6)×(13,6) chain trips both).
+  *
+  * Scale notes (100 TB): q1/q6 are single-pass partial+final
+  * HashAggregates with pushed scan filters; q2/q17-style correlated
+  * scalars decorrelate to a per-key aggregate + equi-join (no per-row
+  * subquery execution); q11/q15's global thresholds are one-row
+  * subquery results broadcast into the HAVING filter; q16's NOT IN is
+  * a null-safe anti join against a 100-row dimension (broadcast);
+  * q20's nested IN becomes semi-join(supplier, agg(lineitem⋈part))
+  * with both aggregates shuffled on their group keys. Plans audited in
+  * PLANS.md; q1/q15/q20 shapes asserted in PlanShapeSpec.
+  */
+object Relational5 {
+
+  private def sql(s: SparkSession, dir: String, text: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(text)
+  }
+
+  /** TPC-H Q1 (pricing summary report). The charge factor
+    * (1-disc)*(1+tax) is computed once and cast to DECIMAL(14,6) —
+    * exact, because discount and tax carry ≤2 decimal digits so the
+    * product carries ≤4 (verified: zero rows change under the cast) —
+    * which keeps the price product small enough that DuckDB's int64
+    * decimal path cannot overflow and Spark stays within precision 38
+    * (a (18,2)×(13,6)×(13,6) chain trips both: Spark precision-loss
+    * rounding on one side, DuckDB multiplication overflow on the
+    * other). */
+  private val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS STRING)
+      |   AS DOUBLE) AS sum_qty,
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING)
+      |   AS DOUBLE) AS sum_base_price,
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |   * (1 - CAST(l_discount AS DECIMAL(12,6)))) AS STRING) AS DOUBLE)
+      |   AS sum_disc_price,
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |   * CAST((1 - CAST(l_discount AS DECIMAL(12,6)))
+      |          * (1 + CAST(l_tax AS DECIMAL(12,6))) AS DECIMAL(14,6)))
+      |   AS STRING) AS DOUBLE) AS sum_charge,
+      | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS STRING)
+      |   AS DOUBLE) / COUNT(*) AS avg_qty,
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING)
+      |   AS DOUBLE) / COUNT(*) AS avg_price,
+      | CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,6))) AS STRING)
+      |   AS DOUBLE) / COUNT(*) AS avg_disc,
+      | COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q2 shape (minimum-cost supplier). s_acctbal stands in for
+    * ps_supplycost (no partsupp table; lineitem is the part↔supplier
+    * bridge); the correlated MAX compares raw doubles — no arithmetic,
+    * so cross-engine equality is exact. DISTINCT collapses the
+    * many-lineitems-per-(part,supplier) fan-in; ORDER BY totally
+    * orders the 5-tuple so LIMIT is deterministic. */
+  private val q2Sql: String =
+    """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+      |FROM part, supplier, lineitem, nation, region
+      |WHERE p_partkey = l_partkey
+      |  AND s_suppkey = l_suppkey
+      |  AND p_type = 'LARGE'
+      |  AND s_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE'
+      |  AND s_acctbal = (SELECT MAX(s2.s_acctbal)
+      |                   FROM supplier s2, lineitem l2, nation n2, region r2
+      |                   WHERE l2.l_partkey = p_partkey
+      |                     AND s2.s_suppkey = l2.l_suppkey
+      |                     AND s2.s_nationkey = n2.n_nationkey
+      |                     AND n2.n_regionkey = r2.r_regionkey
+      |                     AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, p_name
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q6 (forecasting revenue change): the canonical
+    * filter-then-fold scan probe — every predicate pushes to the
+    * parquet scan, one partial+final aggregate, no shuffle of data. */
+  private val q6Sql: String =
+    """SELECT COUNT(*) AS n_items,
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |   * CAST(l_discount AS DECIMAL(12,6))) AS STRING) AS DOUBLE)
+      |   AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q9 shape (product-type profit): p_retailprice*quantity
+    * substitutes ps_supplycost*quantity as the cost term. Signed
+    * DECIMAL subtraction stays at precision 37 ≤ 38 (exact in both
+    * engines); profit can legitimately go negative. */
+  private val q9Sql: String =
+    """SELECT nation, o_year,
+      | CAST(CAST(SUM(amount) AS STRING) AS DOUBLE) AS sum_profit
+      |FROM (
+      | SELECT n_name AS nation,
+      |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(12,6)))
+      |   - CAST(p_retailprice AS DECIMAL(18,2))
+      |    * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+      | FROM part, supplier, lineitem, orders, nation
+      | WHERE s_suppkey = l_suppkey
+      |  AND p_partkey = l_partkey
+      |  AND o_orderkey = l_orderkey
+      |  AND s_nationkey = n_nationkey
+      |  AND p_name LIKE '%gear%') profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q11 shape (important stock): per-part value from one
+    * REGION's suppliers, kept only when above 1.5× the average part
+    * value in that region. The original's fixed fraction (0.0001/SF)
+    * is scale-dependent; normalizing by the distinct-part count keeps
+    * the query meaningful at every SF. The threshold compare is exact
+    * DECIMAL on BOTH sides (value × count > total × 1.5, via bounded
+    * casts so neither engine loses precision) — a double threshold
+    * could flip a boundary part between engines. */
+  private val q11Sql: String =
+    """SELECT l_partkey,
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING)
+      |   AS DOUBLE) AS part_value
+      |FROM lineitem, supplier, nation, region
+      |WHERE l_suppkey = s_suppkey
+      |  AND s_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE'
+      |GROUP BY l_partkey
+      |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |         AS DECIMAL(24,2))
+      |   * (SELECT CAST(COUNT(DISTINCT l_partkey) AS DECIMAL(8,0))
+      |      FROM lineitem, supplier, nation, region
+      |      WHERE l_suppkey = s_suppkey
+      |        AND s_nationkey = n_nationkey
+      |        AND n_regionkey = r_regionkey
+      |        AND r_name = 'EUROPE')
+      | > (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |             AS DECIMAL(30,2)) * 1.5
+      |    FROM lineitem, supplier, nation, region
+      |    WHERE l_suppkey = s_suppkey
+      |      AND s_nationkey = n_nationkey
+      |      AND n_regionkey = r_regionkey
+      |      AND r_name = 'EUROPE')
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q12 shape (shipping-priority classes): l_returnflag bands
+    * substitute ship modes. COUNT(CASE) — not SUM(CASE) — because
+    * DuckDB's SUM(INTEGER) is HUGEINT while Spark's is BIGINT. */
+  private val q12Sql: String =
+    """SELECT l_linestatus,
+      | COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |   THEN 1 END) AS high_line_count,
+      | COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |   THEN 1 END) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_returnflag = 'R'
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** TPC-H Q15 (top supplier): the revenue CTE is referenced twice —
+    * once as the join input, once under the scalar MAX. total_revenue
+    * is deterministic (decimal fold → VARCHAR → DOUBLE) before either
+    * use, so the equality join cannot diverge between engines. */
+  private val q15Sql: String =
+    """WITH revenue AS (
+      | SELECT l_suppkey AS supplier_no,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(12,6)))) AS STRING) AS DOUBLE)
+      |    AS total_revenue
+      | FROM lineitem
+      | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |   AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      | GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT
+    * supplier) per part attribute triple, suppliers filtered by a
+    * NOT IN anti-subquery (negative balance substitutes the
+    * complaint-comment filter; s_suppkey is non-null so NOT IN's
+    * null-trap cannot bite). */
+  private val q16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      | COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand <> 'Brand#1'
+      |  AND p_type NOT LIKE 'PROMO%'
+      |  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q20 shape (potential part promotion): suppliers whose
+    * shipped quantity of some red part exceeds half that part's total
+    * in the window. Nested IN → semi-join; the inner correlated scalar
+    * decorrelates to a per-part aggregate + join. Quantities are
+    * integer-valued doubles (sums exact below 2^53 — order-free). */
+  private val q20Sql: String =
+    """SELECT s_name, s_acctbal
+      |FROM supplier, nation
+      |WHERE s_nationkey = n_nationkey
+      |  AND n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+      |  AND s_suppkey IN (
+      |   SELECT ps.suppkey FROM (
+      |    SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+      |           SUM(l_quantity) AS qty
+      |    FROM lineitem, part
+      |    WHERE p_partkey = l_partkey AND p_name LIKE 'red%'
+      |    GROUP BY l_suppkey, l_partkey) ps
+      |   WHERE ps.qty > (SELECT 0.5 * SUM(l2.l_quantity)
+      |                   FROM lineitem l2
+      |                   WHERE l2.l_partkey = ps.partkey
+      |                     AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |                     AND l2.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
+      |ORDER BY s_name""".stripMargin
+
+  private val texts: Map[String, String] = Map(
+    "sql_tpch_q1" -> q1Sql,
+    "sql_tpch_q2" -> q2Sql,
+    "sql_tpch_q6" -> q6Sql,
+    "sql_tpch_q9" -> q9Sql,
+    "sql_tpch_q11" -> q11Sql,
+    "sql_tpch_q12" -> q12Sql,
+    "sql_tpch_q15" -> q15Sql,
+    "sql_tpch_q16" -> q16Sql,
+    "sql_tpch_q20" -> q20Sql)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    texts.map { case (name, text) =>
+      name -> ((s: SparkSession, dir: String) => sql(s, dir, text))
+    }
+
+  val oracle: Map[String, String] = texts
+}

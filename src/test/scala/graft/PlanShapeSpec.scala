@@ -134,6 +134,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("tpch q1: partial+final aggregation, only the six needed columns scanned") {
+    val p = planOf("sql_tpch_q1")
+    assert(p.contains("partial_"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    // column pruning: join keys never referenced, so never read
+    assert(!p.contains("l_orderkey") && !p.contains("l_partkey"), p)
+  }
+
+  test("tpch q15: the revenue CTE's scalar MAX is a one-row subquery, no cartesian") {
+    val p = planOf("sql_tpch_q15")
+    assert(p.contains("Subquery") || p.contains("subquery"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("tpch q20: nested IN plans as a semi join; correlated scalar decorrelates") {
+    val p = planOf("sql_tpch_q20")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("decontamination broadcasts the eval n-grams; train side never shuffle-joins") {
     val p = planOf("x4_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p)
