@@ -606,6 +606,23 @@ final class TxTable(
     }
   }
 
+  /** The current version's live data-file set — `Some((version,
+    * files))` only when every entry is deletion-vector-free, so a
+    * plain parquet scan of exactly these files equals the table's
+    * contents. `None` when the table is empty or any DV is live (a
+    * raw file scan would then resurrect deleted rows). Driver-side
+    * metadata only; the contract the materialized-view rewrite
+    * ([[graft.plans.MvRewrite]]) matches scans against. */
+  def liveFileSet: Option[(Long, Set[String])] = {
+    val v = currentVersion
+    if (v < 0) None
+    else {
+      val m = loadManifest(v)
+      if (m.entries.exists(_.dvs.nonEmpty)) None
+      else Some((v, m.entries.map(_.path).toSet))
+    }
+  }
+
   // ---- data skipping (manifest zone maps) ----
 
   /** Skipping diagnostics: of `total` files in the version, `scanned`

@@ -78,6 +78,14 @@ final class IncrementalView(
   def appliedVersion: Long =
     table.latestMeta(WatermarkKey).map(_.toLong).getOrElse(-1L)
 
+  /** Storage-form rows (cnt / sum_* / nn_* columns, tombstones
+    * filtered) — the relation the materialized-view rewrite
+    * ([[graft.plans.MvRewrite]]) splices in place of a matched
+    * aggregate; each call builds a fresh plan (fresh expression ids,
+    * so one query may use the view more than once). */
+  private[graft] def storageRead: DataFrame =
+    table.read.filter(col("cnt") > 0)
+
   /** The view's current contents: tombstones of emptied groups filtered
     * out, nn_* shadows folded back into NULL-exact sums (a group whose
     * values are all NULL reads sum = NULL, same as a recompute). */

@@ -19,5 +19,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => DotProductRewrite)
+    e.injectOptimizerRule(_ => graft.plans.MvRewrite)
   }
 }

@@ -1,0 +1,216 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.ext.IncrementalView
+
+/** Registry of incrementally-maintained views eligible for transparent
+  * query rewrite (the lakehouse "MV routing" feature: BigQuery/Redshift
+  * autorewrite, Databricks MV routing). Register a view once; any
+  * aggregate query over its SOURCE table — `spark.sql` text or
+  * DataFrame code, neither mentioning the view — is rerouted by
+  * [[MvRewrite]] to the view's (tiny) materialization when that is
+  * provably equivalent. Driver-side, session-shared.
+  */
+object MvCatalog {
+  private val views = TrieMap.empty[String, IncrementalView]
+  @volatile var enabled: Boolean = true
+
+  def register(v: IncrementalView): Unit = views.put(v.dir, v)
+  def unregister(viewDir: String): Unit = views.remove(viewDir)
+  def clear(): Unit = views.clear()
+  def isEmpty: Boolean = views.isEmpty
+  def all: Seq[IncrementalView] = views.values.toSeq
+}
+
+/** Optimizer rule: rewrite `Aggregate` plans over a registered
+  * [[IncrementalView]]'s source table to read the view instead.
+  *
+  * A rewrite fires only when ALL of the following hold (else the plan
+  * is left untouched — the rule is allowed to decline, never to be
+  * wrong):
+  *
+  *  - the aggregate's input (through column-pruning Projects and
+  *    Filters) is one parquet relation whose file set is EXACTLY the
+  *    source TxTable's current live file set ([[graft.core.TxTable
+  *    .liveFileSet]]; deletion vectors disqualify — a raw file scan
+  *    then isn't the table) — so time-travel reads, foreign tables,
+  *    and mid-mutation scans never match;
+  *  - the view is FRESH: its applied-source-version watermark equals
+  *    the source's current version (stale views never serve);
+  *  - grouping expressions are a subset of the view's group columns,
+  *    filters reference only group columns, and every aggregate is a
+  *    supported shape: COUNT(*), COUNT(col) / SUM(col) / AVG(col) for
+  *    a tracked sum column (no DISTINCT, no FILTER clause, AVG only
+  *    over non-decimal inputs — decimal AVG's result-scale contract is
+  *    Spark-internal and not worth reproducing).
+  *
+  * Exact-group match → Project over the view (zero aggregation at
+  * query time). Subset grouping → re-aggregate the VIEW (cardinality
+  * = group count, not source rows) with sum-of-sums / sum-of-counts;
+  * NULL semantics ride the nn_* shadows either way (SUM/AVG are NULL
+  * iff the group saw no non-null value, exactly like a recompute).
+  * Output attribute ids are pinned to the original aggregate's, so
+  * parent operators are oblivious.
+  *
+  * 100 TB shape: the matched aggregate would scan the full source
+  * (shuffling change-volume × groups); the rewrite reads the view —
+  * group-count rows from a few manifest-listed files — and the
+  * freshness/file checks are driver-side metadata reads (two small
+  * files), paid only for plans that already LOOK like a match.
+  */
+object MvRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!MvCatalog.enabled || MvCatalog.isEmpty) return plan
+    plan.transformUp {
+      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    }
+  }
+
+  private def norm(p: String): String = new Path(p).toUri.getPath
+
+  /** Peel pruning Projects / Filters off the aggregate input; returns
+    * (relation, filter conditions) or None if anything else appears. */
+  private def peel(p: LogicalPlan, conds: Seq[Expression])
+      : Option[(LogicalRelation, Seq[Expression])] = p match {
+    case lr: LogicalRelation => Some((lr, conds))
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      peel(child, conds)
+    case Filter(cond, child) => peel(child, conds :+ cond)
+    case _ => None
+  }
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    for {
+      (rel, conds) <- peel(agg.child, Nil)
+      hfs <- rel.relation match {
+        case h: HadoopFsRelation => Some(h)
+        case _ => None
+      }
+      relFiles = hfs.location.inputFiles.map(norm).toSet
+      if relFiles.nonEmpty
+      view <- MvCatalog.all.find { v =>
+        // cheap prefix gate before any manifest IO
+        relFiles.head.startsWith(norm(v.source.dir) + "/") && fresh(v, relFiles)
+      }
+      out <- build(agg, rel, conds, view)
+    } yield out
+  }
+
+  /** View watermark == source current version AND the scanned file set
+    * is exactly that version's live (DV-free) file set. */
+  private def fresh(v: IncrementalView, relFiles: Set[String]): Boolean =
+    v.source.liveFileSet.exists { case (srcVersion, files) =>
+      v.appliedVersion == srcVersion && files.map(norm) == relFiles
+    }
+
+  private def build(agg: Aggregate, rel: LogicalRelation,
+      conds: Seq[Expression], view: IncrementalView): Option[LogicalPlan] = {
+    val srcByExprId: Map[ExprId, String] =
+      rel.output.map(a => a.exprId -> a.name).toMap
+    val groupSet = view.groupCols.toSet
+    val sumSet = view.sumCols.toSet
+
+    // grouping expressions: plain source attributes, all view group cols
+    val groupNames: Seq[String] = agg.groupingExpressions.map {
+      case a: AttributeReference => srcByExprId.get(a.exprId)
+      case _ => None
+    } match {
+      case gs if gs.forall(g => g.exists(groupSet.contains)) => gs.flatten
+      case _ => return None
+    }
+    // residual filters may touch any group column (they apply to view
+    // rows before re-aggregation), nothing else
+    val condsOk = conds.forall(_.references.toSeq.forall(a =>
+      srcByExprId.get(a.exprId).exists(groupSet.contains)))
+    if (!condsOk) return None
+
+    // fresh storage plan (fresh expr ids per use)
+    val vplan = view.storageRead.queryExecution.analyzed
+    val vAttr: Map[String, Attribute] =
+      vplan.output.map(a => a.name -> a).toMap
+    val subst: Map[ExprId, Attribute] = srcByExprId.collect {
+      case (id, name) if vAttr.contains(name) => id -> vAttr(name)
+    }
+    val vconds = conds.map(_.transform {
+      case a: AttributeReference => subst(a.exprId)
+    })
+    val filtered = if (vconds.isEmpty) vplan
+      else Filter(vconds.reduce(And), vplan)
+
+    val exact = groupNames.toSet == groupSet && groupNames.nonEmpty
+
+    def nullOf(e: Expression) = Literal.create(null, e.dataType)
+
+    // map one output NamedExpression onto view columns; None = shape
+    // we don't serve (whole rewrite is then abandoned)
+    def mapOut(ne: NamedExpression): Option[NamedExpression] = {
+      def pin(e: Expression): NamedExpression =
+        Alias(e, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier)
+      def groupRef(a: AttributeReference): Option[Expression] =
+        srcByExprId.get(a.exprId).filter(groupSet.contains).map(vAttr(_))
+      def agged(ae: AggregateExpression): Option[Expression] = {
+        if (ae.isDistinct || ae.filter.isDefined) return None
+        def cnt = vAttr("cnt")
+        def sumA(c: String) = vAttr(s"sum_$c")
+        def nnA(c: String) = vAttr(s"nn_$c")
+        def sumCol(e: Expression): Option[String] = e match {
+          case a: AttributeReference =>
+            srcByExprId.get(a.exprId).filter(sumSet.contains)
+          case _ => None
+        }
+        def total(a: Attribute): Expression =
+          if (exact) a else Sum(a).toAggregateExpression()
+        ae.aggregateFunction match {
+          case Count(Seq(l: Literal)) if l.value != null =>
+            Some(Coalesce(Seq(total(cnt), Literal(0L))))
+          case Count(Seq(e)) => sumCol(e).map(c =>
+            Coalesce(Seq(total(nnA(c)), Literal(0L))))
+          case s: Sum => sumCol(s.child).map { c =>
+            val t = total(sumA(c))
+            val cast = if (t.dataType == ae.dataType) t else Cast(t, ae.dataType)
+            If(GreaterThan(Coalesce(Seq(total(nnA(c)), Literal(0L))),
+              Literal(0L)), cast, nullOf(ae))
+          }
+          case a: Average if !a.child.dataType.isInstanceOf[DecimalType]
+              && ae.dataType == DoubleType => sumCol(a.child).map { c =>
+            val n = total(nnA(c))
+            If(GreaterThan(Coalesce(Seq(n, Literal(0L))), Literal(0L)),
+              Divide(Cast(total(sumA(c)), DoubleType), Cast(n, DoubleType)),
+              nullOf(ae))
+          }
+          case _ => None
+        }
+      }
+      ne match {
+        case a: AttributeReference => groupRef(a).map(pin)
+        case al @ Alias(a: AttributeReference, _) => groupRef(a).map(pin)
+        case al @ Alias(ae: AggregateExpression, _) => agged(ae).map(pin)
+        case _ => None
+      }
+    }
+
+    val outs = agg.aggregateExpressions.map(mapOut)
+    if (outs.exists(_.isEmpty)) return None
+    val mapped = outs.flatten
+
+    val rewritten: LogicalPlan =
+      if (exact) Project(mapped, filtered)
+      else Aggregate(groupNames.map(vAttr(_)), mapped, filtered)
+
+    // the splice must be type-identical from the parent's view
+    val sameShape = rewritten.output.zip(agg.output).forall { case (n, o) =>
+      n.exprId == o.exprId && n.dataType == o.dataType
+    }
+    if (sameShape) Some(rewritten) else None
+  }
+}

@@ -137,11 +137,45 @@ object TxQueries {
       .orderBy("nationkey")
   }
 
+  /** Transparent MV routing, end to end: lineitem ingested into a
+    * TxTable, an [[graft.ext.IncrementalView]] materialized over it
+    * (group by flag/status, sum quantity + price), the view registered
+    * in [[graft.plans.MvCatalog]] — then a plain aggregate over the
+    * TABLE is required to route to the view ([[graft.plans.MvRewrite]];
+    * `require` fails the whole query if routing declines, so this
+    * oracle row proves ROUTED results match DuckDB computing from raw
+    * parquet). Sums are exact: quantities are integer-valued doubles
+    * and the price folds in DECIMAL inside the view. */
+  def mv_routed_agg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_returnflag",
+        "l_linestatus", "l_quantity")
+    val table = cached(s, dir, "lineitem", "mv", 1L) { loc =>
+      new TxTable(s, loc, li.schema, Seq("l_orderkey", "l_linenumber"),
+        numBuckets = 4)
+    } { tx => tx.append(li) }
+    val view = new graft.ext.IncrementalView(s, table,
+      table.dir + "-view", Seq("l_returnflag", "l_linestatus"),
+      Seq("l_quantity"), numBuckets = 2)
+    view.refresh() // no-op when already current
+    graft.plans.MvCatalog.register(view)
+    val q = table.read.groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
+        count(col("l_quantity")).as("n_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+    // prove the route fires (don't silently fall back to the source)
+    val before = q.queryExecution.analyzed
+    val after = graft.plans.MvRewrite(before)
+    require(after ne before, "MV rewrite did not fire for mv_routed_agg")
+    org.apache.spark.sql.GraftSqlBridge.ofRows(s, after)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_skipping_scan" -> (tx_skipping_scan _),
     "tx_cdc_diff" -> (tx_cdc_diff _),
     "tx_dv_delete" -> (tx_dv_delete _),
-    "tx_evolution_read" -> (tx_evolution_read _))
+    "tx_evolution_read" -> (tx_evolution_read _),
+    "mv_routed_agg" -> (mv_routed_agg _))
 
   val oracle: Map[String, String] = Map(
     "tx_skipping_scan" ->
@@ -179,5 +213,11 @@ object TxQueries {
     "tx_evolution_read" ->
       """SELECT n_nationkey, n_name,
         |       CASE WHEN n_nationkey >= 13 THEN 'N-' || n_name END AS note
-        |FROM nation ORDER BY n_nationkey""".stripMargin)
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "mv_routed_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       SUM(l_quantity) AS sum_qty, COUNT(l_quantity) AS n_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
 }
