@@ -286,4 +286,55 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** SUB-document dedup at fixed word-window granularity (the
+    * training-data recipe popularized by "Deduplicating Training Data
+    * Makes Language Models Better": document-level dedup misses
+    * boilerplate and templated spans repeated ACROSS distinct
+    * documents). Each document is cut into consecutive
+    * `windowWords`-word chunks; a chunk instance survives iff it is
+    * the GLOBAL first occurrence of its text — first = smallest
+    * (id, position), the same explicit-precedence rule as
+    * [[exactFirstWins]], never partition order. Survivors are
+    * reassembled in document order.
+    *
+    * Returns (id, n_chunks, n_kept, text_dedup) — one row per input
+    * document; a fully-duplicated document keeps n_kept = 0 and an
+    * empty string (callers typically drop those).
+    *
+    * Scale shape (100 TB): one explode (rows ≈ words/W), ONE shuffle
+    * for the first-occurrence window — partitioned by (xxhash64(chunk),
+    * chunk): the hash is the effective shuffle key, the full text
+    * rides only for exactness against hash collisions — and one
+    * groupBy(id) to reassemble. No self-join, no all-pairs anything;
+    * window state per key = duplicate count of that chunk. */
+  def windowChunkDedup(df: DataFrame, idCol: String, textCol: String,
+      windowWords: Int = 10): DataFrame = {
+    require(windowWords > 0, "windowWords must be positive")
+    val w = windowWords
+    val ws = split(col(textCol), " ")
+    val lastChunk = ((size(ws) - 1) / w).cast(IntegerType)
+    val chunks = transform(sequence(lit(0), lastChunk),
+      i => struct(i.as("idx"),
+        array_join(slice(ws, i * w + 1, lit(w)), " ").as("chunk")))
+    val exploded = df
+      .filter(length(col(textCol)) > 0)
+      .select(col(idCol), explode(chunks).as("e"))
+      .select(col(idCol), col("e.idx").as("_cidx"),
+        col("e.chunk").as("_chunk"))
+    val firstWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col("_chunk")), col("_chunk"))
+      .orderBy(col(idCol), col("_cidx"))
+    exploded
+      .withColumn("_keep", row_number().over(firstWin) === 1)
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("_keep"), 1)).as("n_kept"),
+        coalesce(array_join(transform(
+          array_sort(collect_list(when(col("_keep"),
+            struct(col("_cidx"), col("_chunk"))))),
+          x => x.getField("_chunk")), " "), lit(""))
+          .as("text_dedup"))
+  }
 }

@@ -108,6 +108,20 @@ object TextSim {
       .orderBy("lang")
   }
 
+  /** X3 — SUB-document window dedup (`ext.Dedup.windowChunkDedup`):
+    * 10-word chunks, global first-occurrence wins, survivors
+    * reassembled in document order. Catches boilerplate repeated
+    * ACROSS distinct documents, which document-level dedup cannot.
+    * Uncapped: one explode + one window shuffle + one reassembly
+    * groupBy. Summary projection keeps the oracle row narrow while
+    * still pinning the reassembled text via its md5. */
+  def x3_window_dedup(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.windowChunkDedup(t(s, dir, "documents"),
+        "doc_id", "text", windowWords = 10)
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        md5(col("text_dedup")).as("dedup_md5"))
+      .orderBy("doc_id")
+
   /** Salted-min-hash band value: min over words of md5(salt:word) —
     * identical string-lexicographic semantics in both engines (native
     * streaming expression, `graft.functions.MinSaltedMd5`). */
@@ -437,6 +451,7 @@ object TextSim {
     "x4_quality_scores" -> (x4_quality_scores _),
     "x4_langid" -> (x4_langid _),
     "x3_exact_dedup" -> (x3_exact_dedup _),
+    "x3_window_dedup" -> (x3_window_dedup _),
     "x2_minhash_buckets" -> (x2_minhash_buckets _),
     "x2_jaccard_pairs" -> (x2_jaccard_pairs _),
     "x2_shingle_jaccard" -> (x2_shingle_jaccard _),
@@ -555,6 +570,27 @@ object TextSim {
         |  SELECT lang, doc_id, 1 AS src_rank, md5(text) AS fp FROM documents
         |  WHERE doc_id < 100) u) r
         |WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
+    "x3_window_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents WHERE len(text) > 0),
+        |c AS (
+        | SELECT doc_id, u.idx AS idx, u.chunk AS chunk FROM (
+        |  SELECT doc_id,
+        |   unnest(list_transform(range(0, CAST(ceil(len(ws)/10.0) AS BIGINT)),
+        |    i -> {'idx': i,
+        |          'chunk': array_to_string(list_slice(ws,
+        |            CAST(i*10+1 AS BIGINT), CAST(i*10+10 AS BIGINT)), ' ')}))
+        |   AS u
+        |  FROM w)),
+        |r AS (
+        | SELECT doc_id, idx, chunk,
+        |  ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+        | FROM c)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        | COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+        | md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END,
+        |   ' ' ORDER BY idx), '')) AS dedup_md5
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x2_minhash_buckets" ->
       """SELECT band, sig, COUNT(*) AS bucket_size FROM (
         | SELECT b.band,

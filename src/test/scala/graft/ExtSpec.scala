@@ -528,4 +528,23 @@ class ExtSpec extends SparkSpec {
       .select("frame_ts_ms").as[Long].collect().toSeq
     assert(frames === Seq(0L, 1000L, 2000L, 3000L, 4000L))
   }
+
+  test("windowChunkDedup: global first occurrence wins, order-stable reassembly") {
+    // w=2 chunks: doc 1 = [a b][c d], doc 2 = [c d][e f] (second chunk
+    // of doc 2 repeats doc 1's second chunk), doc 3 duplicates doc 1
+    // entirely, doc 4 repeats ITS OWN chunk (intra-doc dup) + a tail
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "c d e f"),
+      (3L, "a b c d"),
+      (4L, "g h g h i")).toDF("doc_id", "text")
+    val out = Dedup.windowChunkDedup(docs, "doc_id", "text", windowWords = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 2L, 2L, "a b c d"),     // first occurrences of both chunks
+      (2L, 2L, 1L, "e f"),         // "c d" lost to doc 1
+      (3L, 2L, 0L, ""),            // fully duplicated → empty
+      (4L, 3L, 2L, "g h i")))      // intra-doc dup dropped, tail kept
+  }
 }
