@@ -98,6 +98,23 @@ final class Warehouse(val spark: SparkSession, val root: String,
   def createAll(): Unit =
     graft.domain.Schemas.tables.keys.foreach(domainTable(_).createIfAbsent())
 
+  /** Run `body` as a crash-safe multi-table job over the named domain
+    * tables (the reference's per-job Postgres transaction analog —
+    * see [[JobTxn]] for the exact semantics and caveats). Requires
+    * the transactional protocol. */
+  def jobTxn[A](names: Seq[String])(body: => A): A = {
+    require(transactional, "jobTxn requires the transactional protocol")
+    JobTxn.run(spark, s"$root/_txn",
+      names.map(n => n -> domainTxTable(n)))(body)
+  }
+
+  /** Roll back any job that crashed mid-write (journal present) —
+    * run at startup before new jobs. Returns journals recovered. */
+  def recoverJobTxns(): Int = {
+    require(transactional, "recoverJobTxns requires the transactional protocol")
+    JobTxn.recover(spark, s"$root/_txn", domainTxTable)
+  }
+
   /** Register every domain table as a temp view so the spark.sql
     * surface can query the warehouse by name (SURVEY §1.1 catalog
     * registration). */

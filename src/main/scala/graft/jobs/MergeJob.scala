@@ -28,11 +28,18 @@ object MergeJob {
 
   case class Counters(merged: Long, radar: Long, review: Long)
 
+  /** [[graft.core.JobTxn]] enlistment set (see [[ScanJob.persistTables]]). */
+  val persistTables: Seq[String] =
+    Seq("regulation_items", "review_queue", "requirements", "links")
+
   def run(wh: Warehouse, params: Params, merger: Merger): Counters = {
     val tracker = new RunTracker(wh)
     tracker.setStatus(params.runId, "running")
     try {
-      val counters = execute(wh, params, merger, tracker)
+      val counters =
+        if (wh.transactional)
+          wh.jobTxn(persistTables)(execute(wh, params, merger, tracker))
+        else execute(wh, params, merger, tracker)
       counters
     } catch {
       case e: Exception =>

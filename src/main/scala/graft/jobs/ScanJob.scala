@@ -31,6 +31,12 @@ import graft.pipeline.{Embedder, Extractor, Ids}
   */
 object ScanJob {
 
+  /** Tables the persist phase writes — the [[graft.core.JobTxn]]
+    * enlistment set (runs/run_logs excluded: status and progress must
+    * survive a rolled-back job, as in the reference). */
+  val persistTables: Seq[String] = Seq("source_documents", "vector_chunks",
+    "regulation_items", "review_queue", "links", "vector_stores")
+
   case class Params(
       runId: String,
       jurisdiction: String,
@@ -55,7 +61,15 @@ object ScanJob {
     tracker.log(params.runId, "detect",
       s"scanning ${params.jurisdiction} (last ${params.days} days)", params.now)
     try {
-      val counters = execute(wh, candidates, params, extractor, embedder, policy, tracker)
+      // the reference wraps the persist block in one Postgres
+      // transaction (jobs/scan.ts:35-94): a failed job leaves no
+      // partial doc/item/review/link state. Same boundary here —
+      // run status + logs stay OUTSIDE (they must survive a failure).
+      val counters =
+        if (wh.transactional)
+          wh.jobTxn(ScanJob.persistTables)(
+            execute(wh, candidates, params, extractor, embedder, policy, tracker))
+        else execute(wh, candidates, params, extractor, embedder, policy, tracker)
       tracker.log(params.runId, "complete",
         s"scan done: discovered ${counters.discovered} / accepted ${counters.accepted} / review ${counters.review}",
         params.now)
