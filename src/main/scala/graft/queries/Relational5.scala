@@ -206,10 +206,17 @@ object Relational5 {
       |GROUP BY l_linestatus
       |ORDER BY l_linestatus""".stripMargin
 
-  /** TPC-H Q15 (top supplier): the revenue CTE is referenced twice —
-    * once as the join input, once under the scalar MAX. total_revenue
-    * is deterministic (decimal fold → VARCHAR → DOUBLE) before either
-    * use, so the equality join cannot diverge between engines. */
+  /** TPC-H Q15 (top supplier). The textbook formulation compares each
+    * CTE row to `(SELECT MAX(...) FROM revenue)` — but Spark inlines
+    * the twice-referenced CTE and the two uses prune differently, so
+    * the fact table is scanned and aggregated TWICE (measured: 3 scans,
+    * no exchange reuse, 3.5 s at sf0.1 vs ~1.3 s for comparable joins).
+    * `MAX(...) OVER ()` on the (supplier-count-sized) revenue result is
+    * the standard rewrite: ONE fact scan, a window over ~100 rows, and
+    * the scalar-subquery-over-aggregate SHAPE stays covered by
+    * p_scalar_subquery / q17 / q22. total_revenue is deterministic
+    * (decimal fold → STRING → DOUBLE) before the equality compares it,
+    * so engines cannot diverge. */
   private val q15Sql: String =
     """WITH revenue AS (
       | SELECT l_suppkey AS supplier_no,
@@ -219,11 +226,15 @@ object Relational5 {
       | FROM lineitem
       | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |   AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
-      | GROUP BY l_suppkey)
+      | GROUP BY l_suppkey),
+      |ranked AS (
+      | SELECT supplier_no, total_revenue,
+      |  MAX(total_revenue) OVER () AS best
+      | FROM revenue)
       |SELECT s_suppkey, s_name, total_revenue
-      |FROM supplier, revenue
+      |FROM supplier, ranked
       |WHERE s_suppkey = supplier_no
-      |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      |  AND total_revenue = best
       |ORDER BY s_suppkey""".stripMargin
 
   /** TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT

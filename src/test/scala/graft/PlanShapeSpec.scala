@@ -142,9 +142,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("l_orderkey") && !p.contains("l_partkey"), p)
   }
 
-  test("tpch q15: the revenue CTE's scalar MAX is a one-row subquery, no cartesian") {
+  test("tpch q15: window-MAX keeps the fact table to ONE scan") {
     val p = planOf("sql_tpch_q15")
-    assert(p.contains("Subquery") || p.contains("subquery"), p)
+    // the textbook scalar-subquery form scans lineitem twice; the
+    // window rewrite must not (supplier scan + ONE lineitem scan)
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") === 2, p)
+    assert(p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
