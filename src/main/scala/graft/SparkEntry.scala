@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Analytics, ExtQueries, Relational, Relational2, Relational3, Relational4, Relational5, TextSim, TxQueries}
+import graft.queries.{Analytics, ExtQueries, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, TextSim, TxQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,13 +17,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
-      Relational4.queries ++ Relational5.queries ++ Analytics.queries ++
-      TextSim.queries ++ ExtQueries.queries ++ TxQueries.queries
+      Relational4.queries ++ Relational5.queries ++ Relational6.queries ++
+      Analytics.queries ++ TextSim.queries ++ ExtQueries.queries ++
+      TxQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++
-      Relational4.oracle ++ Relational5.oracle ++ Analytics.oracle ++
-      TextSim.oracle ++ ExtQueries.oracle ++ TxQueries.oracle
+      Relational4.oracle ++ Relational5.oracle ++ Relational6.oracle ++
+      Analytics.oracle ++ TextSim.oracle ++ ExtQueries.oracle ++
+      TxQueries.oracle
 }
