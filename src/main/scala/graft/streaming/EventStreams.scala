@@ -116,6 +116,31 @@ object EventStreams {
         s"p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL $window AND p_ts"))
   }
 
+  /** LEFT-OUTER stream-stream interval join: every purchase emits —
+    * matched rows immediately, unmatched rows NULL-extended only once
+    * the watermark passes the end of their join window (before that
+    * the match could still arrive, so outer rows are held in state;
+    * this watermark-gated null emission is what distinguishes the
+    * outer from the inner form operationally). Same state bounds as
+    * [[purchasesWithRecentClicks]]. */
+  def purchasesWithClicksLeftOuter(events: DataFrame,
+      window: String = "10 minutes", lateness: String = "1 hour"): DataFrame = {
+    val purchases = events.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select(org.apache.spark.sql.functions.col("event_id").as("p_id"),
+        org.apache.spark.sql.functions.col("user_id").as("p_user"),
+        org.apache.spark.sql.functions.col("ts").as("p_ts"))
+      .withWatermark("p_ts", lateness)
+    val clicks = events.filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .select(org.apache.spark.sql.functions.col("event_id").as("c_id"),
+        org.apache.spark.sql.functions.col("user_id").as("c_user"),
+        org.apache.spark.sql.functions.col("ts").as("c_ts"))
+      .withWatermark("c_ts", lateness)
+    purchases.join(clicks,
+      org.apache.spark.sql.functions.expr(
+        s"p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL $window AND p_ts"),
+      "left_outer")
+  }
+
   /** Stream-static enrichment join: the static side is re-read per
     * micro-batch (dimension updates visible without restart); the
     * stream side never shuffles when the dim broadcasts. */

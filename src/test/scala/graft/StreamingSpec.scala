@@ -134,6 +134,67 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  /** Event files in GUARANTEED time order: the shared eventsDir's three
+    * range files are written by parallel tasks whose modification
+    * times race, and FileStreamSource orders per-file triggers by
+    * (modTime, path) — so write the tertiles sequentially and force
+    * strictly increasing mod times. Matters only for
+    * maxFilesPerTrigger = 1 tests (single-batch tests see all files at
+    * once). */
+  private lazy val orderedEventsDir: String = {
+    val dir = tmpDir("events-src-ord")
+    val ranked = batchEvents.withColumn("_t",
+      ntile(3).over(org.apache.spark.sql.expressions.Window.orderBy("ts")))
+    (1 to 3).foreach { i =>
+      ranked.filter(col("_t") === i).drop("_t")
+        .coalesce(1).write.mode("append").parquet(dir)
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.lastModified())
+        .lastOption.foreach(_.setLastModified(1700000000000L + i * 60000L))
+    }
+    dir
+  }
+
+  test("stream-stream LEFT OUTER join: matches emit eagerly, nulls only past the watermark") {
+    // one file per micro-batch so the watermark actually advances and
+    // state for unmatched purchases expires into null-extended rows
+    val stream = EventStreams.readStream(spark, orderedEventsDir, maxFilesPerTrigger = 1)
+    EventStreams.runToMemory(
+      EventStreams.purchasesWithClicksLeftOuter(stream), "ssoj_out")
+    val out = spark.table("ssoj_out")
+    val matched = out.filter(col("c_id").isNotNull)
+      .select("p_id", "c_id").as[(Long, Long)].collect().toSet
+    val batchInner = EventStreams.purchasesWithRecentClicks(batchEvents)
+      .select("p_id", "c_id").as[(Long, Long)].collect().toSet
+    // matched rows are the inner join, exactly
+    assert(matched === batchInner)
+    // every null-extended row is a purchase the batch join cannot match
+    val nullRows = out.filter(col("c_id").isNull)
+      .select("p_id").as[Long].collect().toSet
+    val batchMatchedPurchases = batchInner.map(_._1)
+    assert(nullRows.intersect(batchMatchedPurchases).isEmpty,
+      "a matched purchase must never emit a null row")
+    // completeness: state expirations emit in the batch AFTER the
+    // watermark advances, so the last usable watermark comes from the
+    // first two of the three files — null rows are guaranteed only for
+    // purchases whose window closed safely before THAT
+    val firstTwo = new java.io.File(orderedEventsDir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.lastModified())
+      .take(2).map(_.toString)
+    val wmBase = spark.read.schema(EventStreams.eventSchema)
+      .parquet(firstTwo: _*)
+      .agg(max("ts")).as[java.sql.Timestamp].collect().head
+    val cutoff = new java.sql.Timestamp( // - lateness - window - slack
+      wmBase.getTime - (3600L + 600L + 60L) * 1000)
+    val safelyUnmatched = batchEvents
+      .filter(col("event_type") === "purchase" && col("ts") < cutoff)
+      .select(col("event_id").as("p_id")).as[Long].collect().toSet --
+      batchMatchedPurchases
+    assert(safelyUnmatched.subsetOf(nullRows),
+      s"missing null rows for ${(safelyUnmatched -- nullRows).take(5)}")
+    assert(safelyUnmatched.nonEmpty, "test needs some unmatched purchases")
+  }
+
   test("foreachBatch parquet sink lands all rows") {
     val out = tmpDir("sink-out")
     val cp = tmpDir("sink-cp")
