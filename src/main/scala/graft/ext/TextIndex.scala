@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted INVERTED TEXT INDEX: term → document postings, laid out
+  * so a search query never scans the corpus (the [[AnnIndex]] /
+  * [[IvfIndex]] layout-as-index recipe applied to P6 text search —
+  * `p6_text_search` LIKE-scans every text; at 100 TB that is the
+  * wrong plan for repeated search workloads).
+  *
+  * Layout: postings (term, id) partitioned by `tb = hash(term) mod
+  * nBuckets` directories — a FIXED directory fan-out (a `term=`
+  * partition per distinct term would create millions of directories),
+  * with each bucket's files SORTED by term so parquet row-group
+  * min/max stats + dictionary filtering prune within the bucket.
+  *
+  * Probe: the query terms' buckets are computed DRIVER-SIDE with the
+  * same Murmur3(seed 42) Spark's `hash()` writes with (the
+  * [[graft.core.TxTable.lookup]] technique), so `tb IN (...)`
+  * becomes `PartitionFilters` — planning-time pruning to ≤ one
+  * directory per query term — and `term IN (...)` pushes to the
+  * parquet scan. A k-term query reads ~k/nBuckets of the postings and
+  * ZERO document texts.
+  *
+  * Incremental: [[append]] adds a new batch's postings (the ingest
+  * path, like [[AnnIndex.append]] / [[BandIndex.append]]).
+  */
+object TextIndex {
+
+  /** Driver-side twin of `pmod(hash(term), nBuckets)`. */
+  private def termBucket(term: String, nBuckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    math.floorMod(
+      Murmur3Hash(Seq(Literal(term)), 42).eval(null).asInstanceOf[Int],
+      nBuckets)
+  }
+
+  private def postingsOf(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame =
+    docs.select(col(idCol),
+      explode(array_distinct(Dedup.words(col(textCol)))).as("term"))
+      .withColumn("tb", pmod(hash(col("term")), lit(nBuckets)))
+
+  /** One corpus pass: distinct (doc, term) postings → bucket-partitioned,
+    * term-sorted parquet + an nBuckets sidecar. */
+  def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
+      nBuckets: Int = 64): Unit = {
+    postingsOf(docs, idCol, textCol, nBuckets)
+      .repartition(col("tb"))
+      .sortWithinPartitions("term", idCol)
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/data")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def nBuckets(spark: SparkSession, dir: String): Int =
+    spark.read.parquet(s"$dir/meta").head.getInt(0)
+
+  /** Append a new batch's postings (ingest path). */
+  def append(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit =
+    postingsOf(docs, idCol, textCol, nBuckets(docs.sparkSession, dir))
+      .repartition(col("tb"))
+      .sortWithinPartitions("term", idCol)
+      .write.mode("append").partitionBy("tb").parquet(s"$dir/data")
+
+  /** Postings of `terms`: (term, id) rows, partition-pruned to the
+    * terms' buckets and term-filtered at the scan. */
+  def postings(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "at least one search term")
+    val n = nBuckets(spark, dir)
+    val buckets = terms.map(termBucket(_, n)).distinct
+    spark.read.parquet(s"$dir/data")
+      .filter(col("tb").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+      .drop("tb")
+  }
+
+  /** Ids whose document contains EVERY term (AND — intersection of
+    * postings via count-distinct, one shuffle on id). */
+  def searchAll(spark: SparkSession, dir: String, idCol: String,
+      terms: Seq[String]): DataFrame =
+    postings(spark, dir, terms.distinct)
+      .groupBy(idCol)
+      .agg(countDistinct("term").as("_nt"))
+      .filter(col("_nt") === terms.distinct.size)
+      .drop("_nt")
+
+  /** Ids whose document contains ANY term (OR — union of postings). */
+  def searchAny(spark: SparkSession, dir: String, idCol: String,
+      terms: Seq[String]): DataFrame =
+    postings(spark, dir, terms.distinct).select(idCol).distinct()
+}

@@ -108,12 +108,35 @@ object ExtQueries {
       .orderBy(desc("score"), asc("vec_id"))
   }
 
+  /** P6 at scale — multi-term AND search served from the persisted
+    * inverted index (`ext.TextIndex`): probe prunes to the terms'
+    * bucket directories (plan-asserted in TextIndexSpec), postings
+    * intersect on doc_id, texts are never read. The oracle computes
+    * the same answer by word-membership scan — the index changes the
+    * access path, never the result. */
+  def p6b_indexed_search(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = Integer.toHexString(
+      (dir, src.length(), src.lastModified()).hashCode())
+    val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-textidx-$key-nb16")
+    if (!new java.io.File(idxDir, "data/_SUCCESS").exists())
+      graft.ext.TextIndex.build(docs, "doc_id", "text",
+        idxDir.toString, nBuckets = 16)
+    graft.ext.TextIndex.searchAll(s, idxDir.toString, "doc_id",
+        Seq("spark", "table", "vector"))
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x2_simhash_pairs" -> (x2_simhash_pairs _),
     "x1_lsh_buckets" -> (x1_lsh_buckets _),
     "x1_ann_topk" -> (x1_ann_topk _),
     "x1_ann_index_topk" -> (x1_ann_index_topk _),
     "x1_pq_topk" -> (x1_pq_topk _),
+    "p6b_indexed_search" -> (p6b_indexed_search _),
     "x2_cosine_neardup" -> (x2_cosine_neardup _))
 
   /** DuckDB equivalents. SimHash / hyperplane math is hex-char
@@ -188,6 +211,12 @@ object ExtQueries {
          |FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(a.e, b.e) >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+    "p6b_indexed_search" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE list_contains(regexp_extract_all(lower(text), '[a-z]+'), 'spark')
+        |  AND list_contains(regexp_extract_all(lower(text), '[a-z]+'), 'table')
+        |  AND list_contains(regexp_extract_all(lower(text), '[a-z]+'), 'vector')
+        |ORDER BY doc_id""".stripMargin,
     // PQ re-rank with a 3×-margin refine recovers the TRUE top-k, so
     // the oracle is plain brute-force cosine — the quantizer changes
     // the access path and scan bytes, never the answer

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, TextIndex}
+
+/** Inverted text index: probe pruning, scan parity, and append
+  * visibility. */
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+    .select("doc_id", "text")
+
+  private def scanSearchAll(terms: Seq[String]): Set[Long] =
+    docs.filter(terms.map(t =>
+        array_contains(Dedup.words(col("text")), t)).reduce(_ && _))
+      .select("doc_id").as[Long].collect().toSet
+
+  test("searchAll/searchAny equal the full-scan answers") {
+    val idxDir = tmpDir("textidx")
+    TextIndex.build(docs, "doc_id", "text", idxDir, nBuckets = 16)
+    val terms = Seq("spark", "table")
+    val all = TextIndex.searchAll(spark, idxDir, "doc_id", terms)
+      .as[Long].collect().toSet
+    assert(all === scanSearchAll(terms))
+    assert(all.nonEmpty)
+    val any = TextIndex.searchAny(spark, idxDir, "doc_id", terms)
+      .as[Long].collect().toSet
+    val scanAny = docs.filter(terms.map(t =>
+        array_contains(Dedup.words(col("text")), t)).reduce(_ || _))
+      .select("doc_id").as[Long].collect().toSet
+    assert(any === scanAny)
+  }
+
+  test("a probe prunes to the query terms' bucket directories at plan time") {
+    val idxDir = tmpDir("textidx-prune")
+    TextIndex.build(docs, "doc_id", "text", idxDir, nBuckets = 16)
+    val q = TextIndex.postings(spark, idxDir, Seq("spark", "vector"))
+    val p = q.queryExecution.executedPlan
+    val scanned = p.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(scanned.nonEmpty && scanned.forall(_ <= 2), s"scanned=$scanned")
+    // and the term filter is pushed to the parquet scan
+    assert(p.toString.contains("PushedFilters"), p.toString)
+    assert(p.toString.contains("In(term"), p.toString)
+  }
+
+  test("appended documents become searchable") {
+    val idxDir = tmpDir("textidx-app")
+    TextIndex.build(docs.filter(col("doc_id") < 100), "doc_id", "text",
+      idxDir, nBuckets = 16)
+    val newDoc = Seq((90001L, "zeppelin table spark zeppelin"))
+      .toDF("doc_id", "text")
+    TextIndex.append(newDoc, "doc_id", "text", idxDir)
+    val hits = TextIndex.searchAll(spark, idxDir, "doc_id",
+      Seq("zeppelin", "spark")).as[Long].collect().toSet
+    assert(hits === Set(90001L))
+  }
+}
