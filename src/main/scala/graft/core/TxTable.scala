@@ -1429,6 +1429,35 @@ final class TxTable(
   def dataFileCount: Int =
     if (currentVersion < 0) 0 else loadManifest(currentVersion).entries.length
 
+  /** Total bytes of the current version's data files — driver-side
+    * metadata (one getFileStatus per manifest entry). */
+  def currentDataBytes: Long =
+    if (currentVersion < 0) 0L
+    else {
+      val f = fs
+      loadManifest(currentVersion).entries.map { e =>
+        scala.util.Try(f.getFileStatus(new Path(e.path)).getLen).getOrElse(0L)
+      }.sum
+    }
+
+  /** Size-TARGETED compaction: derive the per-bucket output file count
+    * from the table's ACTUAL bytes (files ≈ targetFileBytes each)
+    * instead of a guessed constant — at 100 TB a one-file-per-bucket
+    * `compact()` would write 100 GB files (unsplittable row groups,
+    * no scan parallelism, no intra-bucket pruning), while a fixed
+    * files-per-bucket over-fragments small tables. Hash buckets are
+    * balanced by construction, so a single global files-per-bucket
+    * derived from the average is the right granularity; files are
+    * range-split and sorted on `clusterBy` (default: the key columns)
+    * so zone maps prune within every bucket. */
+  def compactTo(targetFileBytes: Long,
+      clusterBy: Seq[String] = keys): Unit = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val perBucket = math.max(1L, math.ceil(
+      currentDataBytes.toDouble / numBuckets / targetFileBytes).toLong)
+    compactClustered(clusterBy, perBucket.toInt)
+  }
+
   /** Drop manifests older than the newest `keepVersions` and delete
     * data files no retained manifest references — but NEVER anything
     * younger than `minAgeMs`. Bounds storage; the retention window is

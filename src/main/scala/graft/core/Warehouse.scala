@@ -136,15 +136,21 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * above BOTH the longest reader job lifetime and the longest
     * in-flight commit (see [[TxTable.vacuum]]). */
   def compactAll(maxFiles: Int = 16, keepVersions: Int = 3,
-      vacuumMinAgeMs: Long = TxTable.DefaultVacuumRetentionMs): Map[String, (Int, Int)] =
+      vacuumMinAgeMs: Long = TxTable.DefaultVacuumRetentionMs,
+      /** Transactional tables size their output files from ACTUAL
+        * bytes (≈ this many bytes per file — the Delta/Iceberg
+        * target-file-size knob; see [[TxTable.compactTo]]) instead of
+        * writing one file per bucket regardless of table size. */
+      targetFileBytes: Long = Warehouse.DefaultTargetFileBytes): Map[String, (Int, Int)] =
     graft.domain.Schemas.tables.keys.toSeq.sorted.flatMap { n =>
       val t = domainTable(n)
       val before = t.dataFileCount
       if (before > maxFiles) {
-        t.optimize()
         t match {
-          case tx: TxTable => tx.vacuum(keepVersions, vacuumMinAgeMs)
-          case _ => ()
+          case tx: TxTable =>
+            tx.compactTo(targetFileBytes)
+            tx.vacuum(keepVersions, vacuumMinAgeMs)
+          case _ => t.optimize()
         }
         Some(n -> (before, t.dataFileCount))
       } else None
@@ -152,6 +158,11 @@ final class Warehouse(val spark: SparkSession, val root: String,
 }
 
 object Warehouse {
+  /** Default compaction file-size target (the 128 MiB lakehouse
+    * convention: big enough for scan efficiency, small enough for
+    * task-level parallelism and tight zone maps). */
+  val DefaultTargetFileBytes: Long = 128L * 1024 * 1024
+
   /** Tables the reference mutates per pipeline step (`repository.ts:25-78`
     * upsert, run/review status updates) get bucket partitioning so a
     * point write rewrites one bucket, not the table. Counts are sized

@@ -162,8 +162,43 @@ object Pq {
     Codebooks(books(0)(0).length * m, m, k, books)
   }
 
+  /** Recall@k of the ADC candidate stage vs exact brute force, for a
+    * broadcast query sample — the (m, k, refine) tuning tool, twin of
+    * [[Similarity.recallAtK]]. Both paths run in ONE distributed pass
+    * (windowed per-query ranking, no driver loop): recall = |exact
+    * top-k ∩ ADC top-refine| / k per query. refine = corpus size
+    * must return 1.0 (the ADC order then cannot exclude anything the
+    * re-rank would keep). */
+  def recallAtK(encoded: DataFrame, embCol: String, idCol: String,
+      cb: Codebooks, queryIds: Seq[Long], k: Int, refine: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = col(embCol).cast(ArrayType(DoubleType))
+    val queries = encoded.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("_qid"), e.as("_qe"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val perQuery = queries.map { case (qid, qv) =>
+      encoded.filter(col(idCol) =!= qid)
+        .select(lit(qid).as("_qid"), col(idCol).as("_id"),
+          Similarity.cosine(e, array(qv.map(lit): _*)).as("_exact"),
+          adcCosine(cb, qv).as("_adc"))
+    }.reduce(_ unionByName _)
+    val wE = Window.partitionBy("_qid").orderBy(desc_nulls_last("_exact"), asc("_id"))
+    val wA = Window.partitionBy("_qid").orderBy(desc_nulls_last("_adc"), asc("_id"))
+    val ranked = perQuery
+      .withColumn("_re", row_number().over(wE))
+      .withColumn("_ra", row_number().over(wA))
+    ranked.filter(col("_re") <= k)
+      .groupBy("_qid")
+      .agg(count(when(col("_ra") <= refine, 1)).as("n_hit"),
+        count(lit(1)).as("n_exact"))
+      .select(col("_qid").as("query_id"), col("n_hit"), col("n_exact"),
+        round(col("n_hit").cast(DoubleType) /
+          col("n_exact").cast(DoubleType), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** ADC top-`refine` then exact-cosine re-rank to top-`k`. The ADC
-    * stage reads only (id, code); the re-rank joins the BROADCAST
+    * stage stays on (id, code); the re-rank joins the BROADCAST
     * candidate ids back for exact scoring of ≤ `refine` rows. */
   def topK(encoded: DataFrame, embCol: String, idCol: String,
       cb: Codebooks, queryVec: Seq[Double], k: Int, refine: Int,

@@ -76,6 +76,22 @@ class PqSpec extends SparkSpec {
     assert(!top.contains(999999L))
   }
 
+  test("recallAtK: full refine is exact; recall is monotone in refine") {
+    import spark.implicits._
+    val n = emb.count().toInt
+    def recalls(refine: Int): Map[Long, Double] =
+      Pq.recallAtK(encoded, "embedding", "vec_id", cb,
+        queryIds = Seq(0L, 1L, 2L), k = 10, refine = refine)
+        .select("query_id", "recall").as[(Long, Double)].collect().toMap
+    val full = recalls(n)
+    assert(full.values.forall(_ === 1.0), s"full-refine recall must be 1.0: $full")
+    val r20 = recalls(20)
+    val r60 = recalls(60)
+    assert(r20.keySet === Set(0L, 1L, 2L))
+    assert(r60.forall { case (q, r) => r >= r20(q) },
+      s"recall must be monotone in refine: r20=$r20 r60=$r60")
+  }
+
   test("persisted IVF-PQ probes prune partitions and match the inline path") {
     val idxDir = tmpDir("ivfpq")
     val idx = IvfPq.buildPersisted(emb, "embedding", nLists = 8,

@@ -370,6 +370,25 @@ class TxTableSpec extends SparkSpec {
     assert(scala.io.Source.fromFile(foreign).mkString === v1Text)
   }
 
+  test("compactTo sizes output files from actual bytes, not a guess") {
+    val t = tkv(n = 2)
+    // several appends → many small files
+    (0 until 6).foreach(i => t.append(
+      (0 until 400).map(j => (s"k$i-$j", i * 1000 + j)).toDF("k", "v")))
+    val before = t.read.as[(String, Int)].collect().toSet
+    val bytes = t.currentDataBytes
+    assert(bytes > 0)
+    // tiny target → multiple files per bucket, ≈ bytes/target overall
+    t.compactTo(targetFileBytes = bytes / 8)
+    val small = t.dataFileCount
+    assert(small >= 8, s"expected >= 8 files, got $small")
+    assert(t.read.as[(String, Int)].collect().toSet === before)
+    // huge target → one file per bucket
+    t.compactTo(targetFileBytes = Long.MaxValue / 4)
+    assert(t.dataFileCount === 2)
+    assert(t.read.as[(String, Int)].collect().toSet === before)
+  }
+
   test("truncate commits an empty version; history retained") {
     val t = tkv()
     t.append(Seq(("a", 1)).toDF("k", "v"))
