@@ -122,6 +122,23 @@ object TextSim {
         md5(col("text_dedup")).as("dedup_md5"))
       .orderBy("doc_id")
 
+  /** X4 — bigram language-model fluency score
+    * (`ext.Quality.bigramLogScore`): the KenLM-style perplexity filter
+    * of training pipelines, trained on docs ≥ 250 (bigram/unigram
+    * count tables — the counts ARE the model) and scoring docs < 250
+    * by mean add-k-smoothed log-probability. Rounded to 6 dp (the
+    * only float-order freedom is the per-doc mean, ~1 ulp). */
+  def x4_lm_score(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ext.Quality.bigramLogScore(
+        docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", k = 0.5)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("lm_score"), 6).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
   /** Salted-min-hash band value: min over words of md5(salt:word) —
     * identical string-lexicographic semantics in both engines (native
     * streaming expression, `graft.functions.MinSaltedMd5`). */
@@ -452,6 +469,7 @@ object TextSim {
     "x4_langid" -> (x4_langid _),
     "x3_exact_dedup" -> (x3_exact_dedup _),
     "x3_window_dedup" -> (x3_window_dedup _),
+    "x4_lm_score" -> (x4_lm_score _),
     "x2_minhash_buckets" -> (x2_minhash_buckets _),
     "x2_jaccard_pairs" -> (x2_jaccard_pairs _),
     "x2_shingle_jaccard" -> (x2_shingle_jaccard _),
@@ -591,6 +609,30 @@ object TextSim {
         | md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END,
         |   ' ' ORDER BY idx), '')) AS dedup_md5
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x4_lm_score" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+        |cb AS (
+        | SELECT (u).prev AS prev, (u).cur AS cur FROM (
+        |  SELECT unnest(list_transform(range(2, len(ws)+1),
+        |    i -> {'prev': ws[CAST(i-1 AS BIGINT)],
+        |          'cur': ws[CAST(i AS BIGINT)]})) AS u
+        |  FROM t WHERE doc_id >= 250)),
+        |big AS (SELECT prev, cur, COUNT(*) AS c2 FROM cb GROUP BY 1, 2),
+        |uni AS (SELECT prev, COUNT(*) AS c1 FROM cb GROUP BY 1),
+        |voc AS (SELECT COUNT(DISTINCT w) AS v FROM (
+        |  SELECT unnest(ws) AS w FROM t WHERE doc_id >= 250)),
+        |db AS (
+        | SELECT doc_id, (u).prev AS prev, (u).cur AS cur FROM (
+        |  SELECT doc_id, unnest(list_transform(range(2, len(ws)+1),
+        |    i -> {'prev': ws[CAST(i-1 AS BIGINT)],
+        |          'cur': ws[CAST(i AS BIGINT)]})) AS u
+        |  FROM t WHERE doc_id < 250))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        | ROUND(AVG(ln((COALESCE(c2, 0) + 0.5)
+        |   / (COALESCE(c1, 0) + 0.5 * (SELECT v FROM voc)))), 6) AS lm_score
+        |FROM db LEFT JOIN big USING (prev, cur) LEFT JOIN uni USING (prev)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x2_minhash_buckets" ->
       """SELECT band, sig, COUNT(*) AS bucket_size FROM (
         | SELECT b.band,
