@@ -93,4 +93,46 @@ object TextIndex {
   def searchAny(spark: SparkSession, dir: String, idCol: String,
       terms: Seq[String]): DataFrame =
     postings(spark, dir, terms.distinct).select(idCol).distinct()
+
+  // ---- trigram index: arbitrary substring (LIKE '%p%') search ----
+
+  /** Build the trigram index (the pg_trgm recipe): postings of every
+    * distinct lowercase char-3-gram under the same `tb=hash(tg)`
+    * bucket layout as the word index. A document containing substring
+    * P contains every trigram of P, so trigram-postings intersection
+    * yields a SOUND candidate superset for any pattern ≥ 3 chars. */
+  def buildTrigram(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, nBuckets: Int = 64): Unit = {
+    val lt = lower(col(textCol))
+    val tgs = array_distinct(when(length(lt) >= 3,
+      expr(s"transform(sequence(1, length(lower($textCol)) - 2), " +
+        s"i -> substring(lower($textCol), i, 3))")).otherwise(array()))
+    docs.select(col(idCol), explode(tgs).as("term"))
+      .withColumn("tb", pmod(hash(col("term")), lit(nBuckets)))
+      .repartition(col("tb"))
+      .sortWithinPartitions("term", idCol)
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/data")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Exact substring search served by the trigram index: candidate ids
+    * from the pattern's trigram-postings intersection (partition-pruned
+    * probe, sound superset), then the candidates ALONE are verified
+    * with an exact `contains` against the docs — the corpus text is
+    * read only for candidate rows via a broadcast semi join. Patterns
+    * shorter than 3 chars have no trigrams; callers fall back to a
+    * scan (require fails loudly rather than silently scanning). */
+  def substringSearch(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String, pattern: String): DataFrame = {
+    require(pattern.length >= 3,
+      s"substring pattern '$pattern' too short for trigram search (< 3 chars)")
+    val p = pattern.toLowerCase
+    val tgs = (0 to p.length - 3).map(i => p.substring(i, i + 3)).distinct
+    val cands = searchAll(spark, dir, idCol, tgs)
+    docs.join(broadcast(cands), Seq(idCol), "left_semi")
+      .filter(contains(lower(col(textCol)), lit(p)))
+  }
 }

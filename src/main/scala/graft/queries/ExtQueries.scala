@@ -130,6 +130,28 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** P6 substring form at scale — LIKE '%pattern%' served by the
+    * TRIGRAM index (pg_trgm recipe): the pattern's char-3-grams
+    * intersect in postings space (sound candidate superset,
+    * partition-pruned probe), then candidates alone are verified with
+    * exact `contains` — corpus texts are read only for candidate
+    * rows. Oracle = the plain contains scan. */
+  def p6c_substring_search(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = Integer.toHexString(
+      (dir, src.length(), src.lastModified()).hashCode())
+    val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-trgidx-$key-nb16")
+    if (!new java.io.File(idxDir, "data/_SUCCESS").exists())
+      graft.ext.TextIndex.buildTrigram(docs, "doc_id", "text",
+        idxDir.toString, nBuckets = 16)
+    graft.ext.TextIndex.substringSearch(s, idxDir.toString, docs,
+        "doc_id", "text", "fast merge")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x2_simhash_pairs" -> (x2_simhash_pairs _),
     "x1_lsh_buckets" -> (x1_lsh_buckets _),
@@ -137,6 +159,7 @@ object ExtQueries {
     "x1_ann_index_topk" -> (x1_ann_index_topk _),
     "x1_pq_topk" -> (x1_pq_topk _),
     "p6b_indexed_search" -> (p6b_indexed_search _),
+    "p6c_substring_search" -> (p6c_substring_search _),
     "x2_cosine_neardup" -> (x2_cosine_neardup _))
 
   /** DuckDB equivalents. SimHash / hyperplane math is hex-char
@@ -211,6 +234,10 @@ object ExtQueries {
          |FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(a.e, b.e) >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+    "p6c_substring_search" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE contains(lower(text), 'fast merge')
+        |ORDER BY doc_id""".stripMargin,
     "p6b_indexed_search" ->
       """SELECT doc_id, lang FROM documents
         |WHERE list_contains(regexp_extract_all(lower(text), '[a-z]+'), 'spark')

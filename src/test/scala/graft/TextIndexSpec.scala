@@ -48,6 +48,21 @@ class TextIndexSpec extends SparkSpec {
     assert(p.toString.contains("In(term"), p.toString)
   }
 
+  test("trigram substring search equals the LIKE scan; short patterns refuse") {
+    val idxDir = tmpDir("textidx-tg")
+    TextIndex.buildTrigram(docs, "doc_id", "text", idxDir, nBuckets = 16)
+    val pattern = "fast merge"
+    val got = TextIndex.substringSearch(spark, idxDir, docs,
+      "doc_id", "text", pattern).select("doc_id").as[Long].collect().toSet
+    val scan = docs.filter(lower(col("text")).contains(pattern))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === scan)
+    assert(got.nonEmpty)
+    intercept[IllegalArgumentException] {
+      TextIndex.substringSearch(spark, idxDir, docs, "doc_id", "text", "ab")
+    }
+  }
+
   test("appended documents become searchable") {
     val idxDir = tmpDir("textidx-app")
     TextIndex.build(docs.filter(col("doc_id") < 100), "doc_id", "text",
