@@ -61,10 +61,18 @@ object JobTxn {
       catch {
         case e: Throwable =>
           rollback(entries.map { case (n, t, v) => (t, v) })
+          // best-effort: a surviving journal on THIS path is safe —
+          // recover() re-rolls-back to the same versions
           f.delete(journal, false)
           throw e
       }
-    f.delete(journal, false) // commit point
+    // the delete IS the commit point: a silently-failed delete would
+    // make the next recover() roll back a SUCCESSFUL job — that must
+    // surface here, not there
+    if (!f.delete(journal, false) && f.exists(journal))
+      sys.error(s"job committed but its journal $journal could not be " +
+        "removed — remove it before restarting, or recovery will roll " +
+        "the job back")
     done
   }
 
@@ -94,7 +102,14 @@ object JobTxn {
     * journaled version and delete the journal. Run at startup before
     * new jobs (the WAL-recovery analog). `resolve` maps a journaled
     * table name to its table. Returns the number of journals
-    * recovered. */
+    * recovered.
+    *
+    * Journals are processed INDEPENDENTLY: one corrupt line or a name
+    * `resolve` no longer knows must not block every later startup and
+    * starve the healthy journals behind it — such a journal is renamed
+    * to `quarantine-<name>` (its versions preserved for manual
+    * repair; that job's partial state stands until then) and recovery
+    * continues. Monitor the journal dir for quarantine files. */
   def recover(spark: SparkSession, journalDir: String,
       resolve: String => TxTable): Int = {
     val f = fs(spark, journalDir)
@@ -102,17 +117,25 @@ object JobTxn {
     if (!f.exists(dir)) return 0
     val journals = f.listStatus(dir).toSeq.map(_.getPath)
       .filter(p => p.getName.startsWith("txn-") && p.getName.endsWith(".tsv"))
-    journals.foreach { j =>
-      val in = f.open(j)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      val entries = text.split("\n").toSeq.filter(_.nonEmpty).map { l =>
-        val Array(n, v) = l.split("\t", 2)
-        (resolve(n), v.toLong)
+    journals.count { j =>
+      try {
+        val in = f.open(j)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val entries = text.split("\n").toSeq.filter(_.nonEmpty).map { l =>
+          l.split("\t", 2) match {
+            case Array(n, v) => (resolve(n), v.toLong)
+            case bad => sys.error(s"malformed journal line '${bad.mkString}'")
+          }
+        }
+        rollback(entries)
+        f.delete(j, false)
+        true
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          f.rename(j, new Path(dir, s"quarantine-${j.getName}"))
+          false
       }
-      rollback(entries)
-      f.delete(j, false)
     }
-    journals.size
   }
 }

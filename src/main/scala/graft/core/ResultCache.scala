@@ -36,7 +36,13 @@ final class ResultCache(spark: SparkSession, cacheDir: String) {
     // file locations, and two same-shaped reads of different sources
     // must not collide)
     val plan = df.queryExecution.analyzed
-    val canonical = plan.canonicalized.treeString
+    // maxFields = MaxValue: the default treeString elides expression
+    // lists past spark.sql.debug.maxToStringFields (25) — a display
+    // convenience that would let two queries differing only in a
+    // late aggregate share a key
+    val canonical = plan.canonicalized
+      .treeString(verbose = true, addSuffix = false,
+        maxFields = Int.MaxValue, printOperatorId = false)
     val srcs = plan.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {

@@ -129,9 +129,13 @@ object MvRewrite extends Rule[LogicalPlan] {
       case _ => return None
     }
     // residual filters may touch any group column (they apply to view
-    // rows before re-aggregation), nothing else
-    val condsOk = conds.forall(_.references.toSeq.forall(a =>
-      srcByExprId.get(a.exprId).exists(groupSet.contains)))
+    // rows before re-aggregation), nothing else — and they must be
+    // DETERMINISTIC: rand() < 0.5 references no attribute, but over
+    // the view it would sample whole GROUPS instead of source rows
+    // (the same guard Spark's own predicate-movement rules apply)
+    val condsOk = conds.forall(c => c.deterministic &&
+      c.references.toSeq.forall(a =>
+        srcByExprId.get(a.exprId).exists(groupSet.contains)))
     if (!condsOk) return None
 
     // fresh storage plan (fresh expr ids per use)

@@ -50,19 +50,13 @@ object ExtQueries {
     * signatures at query time). Results must equal [[x1_ann_topk]]. */
   def x1_ann_index_topk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    // build once per corpus (an index is built once and probed many
-    // times — rebuilding per query would charge the one-time 256-dir
-    // write to every probe); _SUCCESS marks a completed build
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    val key = Integer.toHexString(
-      (dir, src.length(), src.lastModified()).hashCode())
-    val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-annidx-$key-nb8")
-    if (!new java.io.File(idxDir, "_SUCCESS").exists())
-      AnnIndex.build(emb, "embedding", nBits = 8, idxDir.toString)
+    val idxDir = buildOnce(dir, "embeddings", "annidx-nb8",
+      marker = "_SUCCESS") { d =>
+      AnnIndex.build(emb, "embedding", nBits = 8, d)
+    }
     val qv = emb.filter(col("vec_id") === 0L).select(col("embedding"))
       .head.getSeq[Float](0).map(_.toDouble)
-    AnnIndex.topK(s, idxDir.toString, emb.schema, "embedding", qv,
+    AnnIndex.topK(s, idxDir, emb.schema, "embedding", qv,
       k = 1000, nBits = 8, probeHamming = 1)
       .filter(col("vec_id") =!= 0L)
       .select(col("vec_id"), col("label"),
@@ -78,34 +72,50 @@ object ExtQueries {
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
       .orderBy("id_a", "id_b")
 
+  /** Build-once cache for persisted index layouts: an index is built
+    * once and probed many times — rebuilding per query would charge
+    * the one-time write to every probe. Keyed by source-file identity
+    * (size + mtime), completion marked by the written `_SUCCESS`. */
+  private def buildOnce(dir: String, srcTable: String, tag: String,
+      marker: String = "data/_SUCCESS")(build: String => Unit): String = {
+    val src = new java.io.File(s"$dir/$srcTable.parquet")
+    val key = Integer.toHexString(
+      (dir, src.length(), src.lastModified()).hashCode())
+    val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-$tag-$key")
+    if (!new java.io.File(idxDir, marker).exists())
+      build(idxDir.toString)
+    idxDir.toString
+  }
+
   /** X1 — product-quantized top-k (third ANN family; `ext.Pq`): the
     * corpus is PQ-encoded ONCE into a persisted flat index (16
     * subspaces × 32 codewords over 64 dims — codes are ~16 bytes/row
     * vs 256 for the raw floats), candidates come from the ADC pass
     * (m lookup-table hits/row, reads only id+code+norm columns), and
-    * the exact-cosine re-rank of the top-400 recovers the TRUE top-10
+    * the exact-cosine re-rank of the top-400 recovers the TRUE top-50
     * (measured worst ADC rank of an exact-top-10 member: 23 at
-    * sf0.01, 123 at sf0.1 — 3× margin), so the oracle is brute-force
-    * cosine in DuckDB. PqSpec covers the approximation contract
-    * itself (recall, NULL norms, IVF-PQ pruning). */
+    * sf0.01, 123 of 2000 at sf0.1 — 3× margin), so the oracle is
+    * brute-force cosine in DuckDB. The final cut follows the
+    * x1_ann_topk pattern: take top-50 exact with margin, then ORDER BY
+    * the ROUNDED score + id and LIMIT 10 — both engines cut the same
+    * boundary even when 6-dp ties straddle rank 10. PqSpec covers the
+    * approximation contract itself (recall, NULL norms, IVF-PQ
+    * pruning). */
   def x1_pq_topk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    val key = Integer.toHexString(
-      (dir, src.length(), src.lastModified()).hashCode())
-    val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-pqidx-$key-m16k32")
-    if (!new java.io.File(idxDir, "data/_SUCCESS").exists())
-      graft.ext.Pq.buildPersistedFlat(emb, "embedding", m = 16, k = 32,
-        idxDir.toString)
+    val idxDir = buildOnce(dir, "embeddings", "pqidx-m16k32") { d =>
+      graft.ext.Pq.buildPersistedFlat(emb, "embedding", m = 16, k = 32, d)
+    }
     val cb = graft.ext.Pq.loadCodebooks(s, s"$idxDir/codebooks")
-    val stored = graft.ext.Pq.readPersistedFlat(s, idxDir.toString, emb.schema)
+    val stored = graft.ext.Pq.readPersistedFlat(s, idxDir, emb.schema)
     val qv = emb.filter(col("vec_id") === 0L).select(col("embedding"))
       .head.getSeq[Float](0).map(_.toDouble)
     graft.ext.Pq.topK(stored, "embedding", "vec_id", cb, qv,
-      k = 10, refine = 400)
+      k = 50, refine = 400)
       .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
+      .limit(10)
   }
 
   /** P6 at scale — multi-term AND search served from the persisted
@@ -116,15 +126,10 @@ object ExtQueries {
     * access path, never the result. */
   def p6b_indexed_search(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val key = Integer.toHexString(
-      (dir, src.length(), src.lastModified()).hashCode())
-    val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-textidx-$key-nb16")
-    if (!new java.io.File(idxDir, "data/_SUCCESS").exists())
-      graft.ext.TextIndex.build(docs, "doc_id", "text",
-        idxDir.toString, nBuckets = 16)
-    graft.ext.TextIndex.searchAll(s, idxDir.toString, "doc_id",
+    val idxDir = buildOnce(dir, "documents", "textidx-nb16") { d =>
+      graft.ext.TextIndex.build(docs, "doc_id", "text", d, nBuckets = 16)
+    }
+    graft.ext.TextIndex.searchAll(s, idxDir, "doc_id",
         Seq("spark", "table", "vector"))
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
       .orderBy("doc_id")
@@ -138,15 +143,10 @@ object ExtQueries {
     * rows. Oracle = the plain contains scan. */
   def p6c_substring_search(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val key = Integer.toHexString(
-      (dir, src.length(), src.lastModified()).hashCode())
-    val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-trgidx-$key-nb16")
-    if (!new java.io.File(idxDir, "data/_SUCCESS").exists())
-      graft.ext.TextIndex.buildTrigram(docs, "doc_id", "text",
-        idxDir.toString, nBuckets = 16)
-    graft.ext.TextIndex.substringSearch(s, idxDir.toString, docs,
+    val idxDir = buildOnce(dir, "documents", "trgidx-nb16") { d =>
+      graft.ext.TextIndex.buildTrigram(docs, "doc_id", "text", d, nBuckets = 16)
+    }
+    graft.ext.TextIndex.substringSearch(s, idxDir, docs,
         "doc_id", "text", "fast merge")
       .select("doc_id", "lang")
       .orderBy("doc_id")
