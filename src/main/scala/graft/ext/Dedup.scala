@@ -302,12 +302,17 @@ object Dedup {
     * document; a fully-duplicated document keeps n_kept = 0 and an
     * empty string (callers typically drop those).
     *
-    * Scale shape (100 TB): one explode (rows ≈ words/W), ONE shuffle
-    * for the first-occurrence window — partitioned by (xxhash64(chunk),
-    * chunk): the hash is the effective shuffle key, the full text
-    * rides only for exactness against hash collisions — and one
-    * groupBy(id) to reassemble. No self-join, no all-pairs anything;
-    * window state per key = duplicate count of that chunk. */
+    * Scale shape (100 TB): one explode (rows ≈ words/W), a
+    * `groupBy(chunk).agg(min(struct(id, idx)))` to pick each chunk's
+    * global first occurrence — min is PARTIAL-aggregable, so the
+    * ubiquitous boilerplate chunk this operator exists to catch
+    * collapses to one row per map task BEFORE the shuffle (a
+    * `row_number` window here would instead send every occurrence of
+    * the hottest chunk to a single reducer) — then a join back keyed
+    * on the full (chunk, id, idx) TRIPLE, so occurrences of a hot
+    * chunk spread across join partitions by their distinct (id, idx),
+    * and one groupBy(id) to reassemble. No self-join, no all-pairs
+    * anything. */
   def windowChunkDedup(df: DataFrame, idCol: String, textCol: String,
       windowWords: Int = 10): DataFrame = {
     require(windowWords > 0, "windowWords must be positive")
@@ -322,11 +327,21 @@ object Dedup {
       .select(col(idCol), explode(chunks).as("e"))
       .select(col(idCol), col("e.idx").as("_cidx"),
         col("e.chunk").as("_chunk"))
-    val firstWin = org.apache.spark.sql.expressions.Window
-      .partitionBy(xxhash64(col("_chunk")), col("_chunk"))
-      .orderBy(col(idCol), col("_cidx"))
+    // global first occurrence per chunk text; min(struct) compares
+    // (id, idx) lexicographically — explicit precedence, never
+    // partition order
+    val winners = exploded
+      .groupBy(col("_chunk").as("_wchunk"))
+      .agg(min(struct(col(idCol), col("_cidx"))).as("_first"))
+      .select(col("_wchunk"),
+        col("_first").getField(idCol).as("_wid"),
+        col("_first").getField("_cidx").as("_widx"))
     exploded
-      .withColumn("_keep", row_number().over(firstWin) === 1)
+      .join(winners,
+        col("_chunk") === col("_wchunk") &&
+          col(idCol) === col("_wid") && col("_cidx") === col("_widx"),
+        "left")
+      .withColumn("_keep", col("_wid").isNotNull)
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_chunks"),

@@ -39,11 +39,20 @@ object IvfIndex {
     array_min(array(dists: _*)).getField("idx")
   }
 
-  /** Fit the coarse quantizer (seeded, deterministic). */
-  def fit(emb: DataFrame, embCol: String, nLists: Int, seed: Long = 42L): Model = {
+  /** Fit the coarse quantizer (seeded, deterministic) on a BOUNDED
+    * training sample — same FAISS recipe as [[Pq.fit]]: centroid
+    * quality converges with ~100k vectors, so training on the full
+    * corpus (maxIter corpus passes) is pure waste at 100 TB. The
+    * sample is the `sampleCap` rows with the smallest xxhash64(vector)
+    * (TakeOrdered: one pass, map-side top-k, deterministic regardless
+    * of partitioning); a corpus under the cap trains on everything. */
+  def fit(emb: DataFrame, embCol: String, nLists: Int, seed: Long = 42L,
+      sampleCap: Int = 100000): Model = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val vecs = emb.select(col(embCol).cast(ArrayType(DoubleType)))
+    val vecs = emb.select(col(embCol).cast(ArrayType(DoubleType)).as("_e"))
+      .orderBy(xxhash64(col("_e")))
+      .limit(sampleCap)
       .as[Seq[Double]]
       .map(s => Tuple1(MlVectors.dense(s.toArray)))
       .toDF("features")

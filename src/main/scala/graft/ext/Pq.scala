@@ -46,26 +46,39 @@ object Pq {
   }
 
   /** Fit per-subspace quantizers (seeded → deterministic given the
-    * corpus). One distributed KMeans per subspace over the sliced
-    * column; m is small (8–64), so this is m quick narrow passes. */
+    * corpus) on a BOUNDED training sample — the FAISS recipe:
+    * codebook quality converges with ~100k training vectors, so
+    * training m KMeans fits over the full corpus (m × maxIter corpus
+    * passes) buys nothing at 100 TB but an infeasible build. ONE
+    * corpus pass takes the `sampleCap` rows with the smallest
+    * xxhash64(vector) (TakeOrdered — map-side partial top-k, no
+    * global sort; deterministic regardless of partitioning), the
+    * sample is cached once, and all m subspace fits slice it. When
+    * the corpus is smaller than `sampleCap` the sample IS the corpus. */
   def fit(emb: DataFrame, embCol: String, m: Int, k: Int,
-      seed: Long = 42L): Codebooks = {
+      seed: Long = 42L, sampleCap: Int = 100000): Codebooks = {
     val spark = emb.sparkSession
     import spark.implicits._
     val dim = emb.select(size(col(embCol))).head.getInt(0)
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
     val sub = dim / m
-    val books = (0 until m).map { s =>
-      val vecs = emb
-        .select(slice(col(embCol).cast(ArrayType(DoubleType)),
-          s * sub + 1, sub).as("v"))
-        .as[Seq[Double]]
-        .map(x => Tuple1(MlVectors.dense(x.toArray)))
-        .toDF("features")
-      new KMeans().setK(k).setSeed(seed + s).setMaxIter(20)
-        .fit(vecs).clusterCenters.map(_.toArray)
-    }.toArray
-    Codebooks(dim, m, k, books)
+    val sample = emb
+      .select(col(embCol).cast(ArrayType(DoubleType)).as("_e"))
+      .orderBy(xxhash64(col("_e")))
+      .limit(sampleCap)
+      .cache()
+    try {
+      val books = (0 until m).map { s =>
+        val vecs = sample
+          .select(slice(col("_e"), s * sub + 1, sub).as("v"))
+          .as[Seq[Double]]
+          .map(x => Tuple1(MlVectors.dense(x.toArray)))
+          .toDF("features")
+        new KMeans().setK(k).setSeed(seed + s).setMaxIter(20)
+          .fit(vecs).clusterCenters.map(_.toArray)
+      }.toArray
+      Codebooks(dim, m, k, books)
+    } finally { sample.unpersist(); () }
   }
 
   /** Per-subspace argmin over the codewords — pure column expressions

@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   * parquet scan. A k-term query reads ~k/nBuckets of the postings and
   * ZERO document texts.
   *
-  * Incremental: [[append]] adds a new batch's postings (the ingest
-  * path, like [[AnnIndex.append]] / [[BandIndex.append]]).
+  * Incremental: [[append]] / [[appendTrigram]] add a new batch's
+  * postings (the ingest path, like [[AnnIndex.append]] /
+  * [[BandIndex.append]]).
   */
 object TextIndex {
 
@@ -42,30 +43,41 @@ object TextIndex {
       explode(array_distinct(Dedup.words(col(textCol)))).as("term"))
       .withColumn("tb", pmod(hash(col("term")), lit(nBuckets)))
 
+  /** Shared postings writer for the word and trigram modes: bucket
+    * directories, term-sorted files (row-group min/max + dictionary
+    * pruning within a bucket), nBuckets sidecar on full builds. */
+  private def writePostings(postings: DataFrame, idCol: String,
+      dir: String, overwrite: Boolean, nBucketsForMeta: Int): Unit = {
+    postings
+      .repartition(col("tb"))
+      .sortWithinPartitions("term", idCol)
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("tb").parquet(s"$dir/data")
+    if (overwrite) {
+      val spark = postings.sparkSession
+      import spark.implicits._
+      Seq(nBucketsForMeta).toDF("n_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
+  }
+
   /** One corpus pass: distinct (doc, term) postings → bucket-partitioned,
     * term-sorted parquet + an nBuckets sidecar. */
   def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
-      nBuckets: Int = 64): Unit = {
-    postingsOf(docs, idCol, textCol, nBuckets)
-      .repartition(col("tb"))
-      .sortWithinPartitions("term", idCol)
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/data")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    Seq(nBuckets).toDF("n_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-  }
+      nBuckets: Int = 64): Unit =
+    writePostings(postingsOf(docs, idCol, textCol, nBuckets), idCol,
+      dir, overwrite = true, nBuckets)
 
   def nBuckets(spark: SparkSession, dir: String): Int =
     spark.read.parquet(s"$dir/meta").head.getInt(0)
 
   /** Append a new batch's postings (ingest path). */
   def append(docs: DataFrame, idCol: String, textCol: String,
-      dir: String): Unit =
-    postingsOf(docs, idCol, textCol, nBuckets(docs.sparkSession, dir))
-      .repartition(col("tb"))
-      .sortWithinPartitions("term", idCol)
-      .write.mode("append").partitionBy("tb").parquet(s"$dir/data")
+      dir: String): Unit = {
+    val n = nBuckets(docs.sparkSession, dir)
+    writePostings(postingsOf(docs, idCol, textCol, n), idCol,
+      dir, overwrite = false, n)
+  }
 
   /** Postings of `terms`: (term, id) rows, partition-pruned to the
     * terms' buckets and term-filtered at the scan. */
@@ -101,30 +113,43 @@ object TextIndex {
     * bucket layout as the word index. A document containing substring
     * P contains every trigram of P, so trigram-postings intersection
     * yields a SOUND candidate superset for any pattern ≥ 3 chars. */
-  def buildTrigram(docs: DataFrame, idCol: String, textCol: String,
-      dir: String, nBuckets: Int = 64): Unit = {
+  private def trigramPostingsOf(docs: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int): DataFrame = {
     val lt = lower(col(textCol))
     val tgs = array_distinct(when(length(lt) >= 3,
       expr(s"transform(sequence(1, length(lower($textCol)) - 2), " +
         s"i -> substring(lower($textCol), i, 3))")).otherwise(array()))
     docs.select(col(idCol), explode(tgs).as("term"))
       .withColumn("tb", pmod(hash(col("term")), lit(nBuckets)))
-      .repartition(col("tb"))
-      .sortWithinPartitions("term", idCol)
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/data")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    Seq(nBuckets).toDF("n_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def buildTrigram(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, nBuckets: Int = 64): Unit =
+    writePostings(trigramPostingsOf(docs, idCol, textCol, nBuckets), idCol,
+      dir, overwrite = true, nBuckets)
+
+  /** Append a new batch's trigram postings (ingest path — parity with
+    * the word index's [[append]]: a continuously-ingested corpus never
+    * rebuilds the substring index from scratch). */
+  def appendTrigram(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val n = nBuckets(docs.sparkSession, dir)
+    writePostings(trigramPostingsOf(docs, idCol, textCol, n), idCol,
+      dir, overwrite = false, n)
   }
 
   /** Exact substring search served by the trigram index: candidate ids
     * from the pattern's trigram-postings intersection (partition-pruned
     * probe, sound superset), then the candidates ALONE are verified
     * with an exact `contains` against the docs — the corpus text is
-    * read only for candidate rows via a broadcast semi join. Patterns
-    * shorter than 3 chars have no trigrams; callers fall back to a
-    * scan (require fails loudly rather than silently scanning). */
+    * read only for candidate rows via the semi join. The candidate set
+    * is NOT hint-broadcast: a pattern whose trigrams are all common
+    * yields candidates ≈ corpus, and a forced broadcast would explode
+    * at scale — AQE broadcasts small candidate sets at runtime from
+    * their MEASURED size and falls back to a shuffle semi join for the
+    * pathological patterns. Patterns shorter than 3 chars have no
+    * trigrams; callers fall back to a scan (require fails loudly
+    * rather than silently scanning). */
   def substringSearch(spark: SparkSession, dir: String, docs: DataFrame,
       idCol: String, textCol: String, pattern: String): DataFrame = {
     require(pattern.length >= 3,
@@ -132,7 +157,7 @@ object TextIndex {
     val p = pattern.toLowerCase
     val tgs = (0 to p.length - 3).map(i => p.substring(i, i + 3)).distinct
     val cands = searchAll(spark, dir, idCol, tgs)
-    docs.join(broadcast(cands), Seq(idCol), "left_semi")
+    docs.join(cands, Seq(idCol), "left_semi")
       .filter(contains(lower(col(textCol)), lit(p)))
   }
 }

@@ -50,10 +50,7 @@ object ExtQueries {
     * signatures at query time). Results must equal [[x1_ann_topk]]. */
   def x1_ann_index_topk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val idxDir = buildOnce(dir, "embeddings", "annidx-nb8",
-      marker = "_SUCCESS") { d =>
-      AnnIndex.build(emb, "embedding", nBits = 8, d)
-    }
+    val idxDir = annIndexDir(s, dir)
     val qv = emb.filter(col("vec_id") === 0L).select(col("embedding"))
       .head.getSeq[Float](0).map(_.toDouble)
     AnnIndex.topK(s, idxDir, emb.schema, "embedding", qv,
@@ -75,7 +72,15 @@ object ExtQueries {
   /** Build-once cache for persisted index layouts: an index is built
     * once and probed many times — rebuilding per query would charge
     * the one-time write to every probe. Keyed by source-file identity
-    * (size + mtime), completion marked by the written `_SUCCESS`. */
+    * (size + mtime), completion marked by the written `_SUCCESS`.
+    *
+    * NAMING CONTRACT: the `graft-$tag-$key` spelling and every tag
+    * below are FROZEN — a rename orphans the cached build and
+    * re-charges it to the next probe (the round-6
+    * `x1_ann_index_topk` 4.2× "regression" was exactly that). A tag
+    * changes ONLY when the build CONTENT changes (e.g. `pqidx`'s `-s`
+    * suffix when codebook training moved to bounded samples), because
+    * then the old artifact is genuinely stale. */
   private def buildOnce(dir: String, srcTable: String, tag: String,
       marker: String = "data/_SUCCESS")(build: String => Unit): String = {
     val src = new java.io.File(s"$dir/$srcTable.parquet")
@@ -88,14 +93,70 @@ object ExtQueries {
     idxDir.toString
   }
 
+  // ---- shared persisted-index builders: each query's probe and the
+  // Bench warm-up prebuild go through the SAME buildOnce call (same
+  // tag, marker, params), so warm-up pays every build exactly once
+  // and probes always cache-hit.
+
+  private def annIndexDir(s: SparkSession, dir: String): String =
+    buildOnce(dir, "embeddings", "annidx-nb8", marker = "_SUCCESS") { d =>
+      AnnIndex.build(t(s, dir, "embeddings"), "embedding", nBits = 8, d)
+    }
+
+  private def pqIndexDir(s: SparkSession, dir: String): String =
+    buildOnce(dir, "embeddings", "pqidx-m16k32-s") { d =>
+      graft.ext.Pq.buildPersistedFlat(t(s, dir, "embeddings"),
+        "embedding", m = 16, k = 32, d)
+      ()
+    }
+
+  private def ivfPqIndexDir(s: SparkSession, dir: String): String =
+    buildOnce(dir, "embeddings", "ivfpqidx-n8m16k32") { d =>
+      graft.ext.IvfPq.buildPersisted(t(s, dir, "embeddings"),
+        "embedding", nLists = 8, m = 16, k = 32, d)
+      ()
+    }
+
+  private def textIndexDir(s: SparkSession, dir: String): String =
+    buildOnce(dir, "documents", "textidx-nb16") { d =>
+      graft.ext.TextIndex.build(t(s, dir, "documents"),
+        "doc_id", "text", d, nBuckets = 16)
+    }
+
+  private def trigramIndexDir(s: SparkSession, dir: String): String =
+    buildOnce(dir, "documents", "trgidx-nb16") { d =>
+      graft.ext.TextIndex.buildTrigram(t(s, dir, "documents"),
+        "doc_id", "text", d, nBuckets = 16)
+    }
+
+  /** Build every persisted index up front (the Bench warm-up path):
+    * in production an index is built once and probed many times, so
+    * the bench reports builds as a separate `build_seconds` map
+    * instead of charging them to whichever probe runs first. Returns
+    * (index, seconds) — ~0 when the cache was already warm. */
+  def prebuildIndexes(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    def timed(name: String)(f: => Any): (String, Double) = {
+      val t0 = System.nanoTime()
+      f
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    Seq(
+      timed("annidx")(annIndexDir(s, dir)),
+      timed("pqidx")(pqIndexDir(s, dir)),
+      timed("ivfpqidx")(ivfPqIndexDir(s, dir)),
+      timed("textidx")(textIndexDir(s, dir)),
+      timed("trgidx")(trigramIndexDir(s, dir)))
+  }
+
   /** X1 — product-quantized top-k (third ANN family; `ext.Pq`): the
     * corpus is PQ-encoded ONCE into a persisted flat index (16
     * subspaces × 32 codewords over 64 dims — codes are ~16 bytes/row
     * vs 256 for the raw floats), candidates come from the ADC pass
     * (m lookup-table hits/row, reads only id+code+norm columns), and
-    * the exact-cosine re-rank of the top-400 recovers the TRUE top-50
-    * (measured worst ADC rank of an exact-top-10 member: 23 at
-    * sf0.01, 123 of 2000 at sf0.1 — 3× margin), so the oracle is
+    * the exact-cosine re-rank of the top-400 recovers the TRUE
+    * top-10+ties (measured worst ADC rank of an exact-top-12 member
+    * under the sample-trained codebooks: 39 at sf0.01, 94 of 2000 at
+    * sf0.1 — 4× margin), so the oracle is
     * brute-force cosine in DuckDB. The final cut follows the
     * x1_ann_topk pattern: take top-50 exact with margin, then ORDER BY
     * the ROUNDED score + id and LIMIT 10 — both engines cut the same
@@ -104,15 +165,41 @@ object ExtQueries {
     * pruning). */
   def x1_pq_topk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val idxDir = buildOnce(dir, "embeddings", "pqidx-m16k32") { d =>
-      graft.ext.Pq.buildPersistedFlat(emb, "embedding", m = 16, k = 32, d)
-    }
+    val idxDir = pqIndexDir(s, dir)
     val cb = graft.ext.Pq.loadCodebooks(s, s"$idxDir/codebooks")
     val stored = graft.ext.Pq.readPersistedFlat(s, idxDir, emb.schema)
     val qv = emb.filter(col("vec_id") === 0L).select(col("embedding"))
       .head.getSeq[Float](0).map(_.toDouble)
     graft.ext.Pq.topK(stored, "embedding", "vec_id", cb, qv,
       k = 50, refine = 400)
+      .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(10)
+  }
+
+  /** X1 — the flagship IVF-PQ composition ([[graft.ext.IvfPq]]):
+    * coarse IVF lists as `ivf_list=` partition directories, probe
+    * pruned to the `nProbe` lists nearest the query (PartitionFilters
+    * — plan-asserted in PqSpec), ADC ranking over id+code+norm inside
+    * the probed lists only, exact-cosine re-rank of ≤`refine` rows.
+    * nProbe follows the house measured-margin discipline — and here
+    * the measurement DICTATES no pruning: the synthetic embeddings
+    * are near-uniform (balanced ~n/8 lists; the exact top-12's lists
+    * span probe ranks up to 4 of 8 at sf0.01 and 8 of 8 at sf0.1), so
+    * any nProbe < nLists would drop true neighbors. nProbe = 8 keeps
+    * the oracle sound on THIS corpus; the partition-prune mechanics
+    * (`ivf_list IN` → PartitionFilters, ≤3/8 directories scanned) are
+    * plan-asserted in PqSpec on CLUSTERED data where pruning is
+    * actually safe. refine = 400 carries the same 4× ADC-rank margin
+    * as [[x1_pq_topk]]. The oracle is therefore plain brute-force
+    * cosine — the index changes scan bytes, never the answer. */
+  def x1_ivfpq_topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idxDir = ivfPqIndexDir(s, dir)
+    val qv = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+      .head.getSeq[Float](0).map(_.toDouble)
+    graft.ext.IvfPq.persistedTopK(s, idxDir, emb.schema, "embedding",
+        "vec_id", qv, k = 50, nProbe = 8, refine = 400)
       .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
       .limit(10)
@@ -126,9 +213,7 @@ object ExtQueries {
     * access path, never the result. */
   def p6b_indexed_search(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val idxDir = buildOnce(dir, "documents", "textidx-nb16") { d =>
-      graft.ext.TextIndex.build(docs, "doc_id", "text", d, nBuckets = 16)
-    }
+    val idxDir = textIndexDir(s, dir)
     graft.ext.TextIndex.searchAll(s, idxDir, "doc_id",
         Seq("spark", "table", "vector"))
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
@@ -143,9 +228,7 @@ object ExtQueries {
     * rows. Oracle = the plain contains scan. */
   def p6c_substring_search(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val idxDir = buildOnce(dir, "documents", "trgidx-nb16") { d =>
-      graft.ext.TextIndex.buildTrigram(docs, "doc_id", "text", d, nBuckets = 16)
-    }
+    val idxDir = trigramIndexDir(s, dir)
     graft.ext.TextIndex.substringSearch(s, idxDir, docs,
         "doc_id", "text", "fast merge")
       .select("doc_id", "lang")
@@ -158,6 +241,7 @@ object ExtQueries {
     "x1_ann_topk" -> (x1_ann_topk _),
     "x1_ann_index_topk" -> (x1_ann_index_topk _),
     "x1_pq_topk" -> (x1_pq_topk _),
+    "x1_ivfpq_topk" -> (x1_ivfpq_topk _),
     "p6b_indexed_search" -> (p6b_indexed_search _),
     "p6c_substring_search" -> (p6c_substring_search _),
     "x2_cosine_neardup" -> (x2_cosine_neardup _))
@@ -248,6 +332,15 @@ object ExtQueries {
     // the oracle is plain brute-force cosine — the quantizer changes
     // the access path and scan bytes, never the answer
     "x1_pq_topk" ->
+      """SELECT e.vec_id, e.label,
+        | ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+        |   q.embedding::DOUBLE[]), 6) AS score
+        |FROM embeddings e
+        |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+    // IVF-PQ with measured-margin nProbe + refine recovers the TRUE
+    // top-k — same brute-force oracle as x1_pq_topk
+    "x1_ivfpq_topk" ->
       """SELECT e.vec_id, e.label,
         | ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
         |   q.embedding::DOUBLE[]), 6) AS score

@@ -547,4 +547,18 @@ class ExtSpec extends SparkSpec {
       (3L, 2L, 0L, ""),            // fully duplicated → empty
       (4L, 3L, 2L, "g h i")))      // intra-doc dup dropped, tail kept
   }
+
+  test("windowChunkDedup plans with NO per-chunk window (hot-key safe)") {
+    // boilerplate chunks are by construction the hottest keys; the
+    // first-occurrence winner must come from a partial-aggregating
+    // groupBy (map-side combine collapses the hot key), never a
+    // row_number window partitioned by chunk
+    val docs = Seq((1L, "a b c d"), (2L, "c d e f")).toDF("doc_id", "text")
+    val plan = Dedup.windowChunkDedup(docs, "doc_id", "text", windowWords = 2)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"unexpected Window in plan: $windows")
+  }
 }

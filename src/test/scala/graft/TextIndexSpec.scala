@@ -74,4 +74,40 @@ class TextIndexSpec extends SparkSpec {
       Seq("zeppelin", "spark")).as[Long].collect().toSet
     assert(hits === Set(90001L))
   }
+
+  test("appended documents become substring-searchable (trigram append)") {
+    val base = docs.filter(col("doc_id") < 100)
+    val idxDir = tmpDir("textidx-tg-app")
+    TextIndex.buildTrigram(base, "doc_id", "text", idxDir, nBuckets = 16)
+    val newDoc = Seq((90002L, "the quincunx arrangement holds"))
+      .toDF("doc_id", "text")
+    TextIndex.appendTrigram(newDoc, "doc_id", "text", idxDir)
+    val corpus = base.unionByName(newDoc)
+    val got = TextIndex.substringSearch(spark, idxDir, corpus,
+      "doc_id", "text", "quincunx").select("doc_id").as[Long].collect().toSet
+    assert(got === Set(90002L))
+    // pre-existing docs still found after the append
+    val pattern = "fast merge"
+    val old = TextIndex.substringSearch(spark, idxDir, corpus,
+      "doc_id", "text", pattern).select("doc_id").as[Long].collect().toSet
+    val scan = corpus.filter(lower(col("text")).contains(pattern))
+      .select("doc_id").as[Long].collect().toSet
+    assert(old === scan)
+  }
+
+  test("substringSearch does not FORCE a broadcast of the candidate set") {
+    // a pattern of common trigrams can make candidates ≈ corpus; the
+    // join must stay AQE-sized (runtime broadcast only if small), so
+    // the LOGICAL plan carries no broadcast hint
+    val idxDir = tmpDir("textidx-tg-nohint")
+    TextIndex.buildTrigram(docs, "doc_id", "text", idxDir, nBuckets = 16)
+    val q = TextIndex.substringSearch(spark, idxDir, docs,
+      "doc_id", "text", "the and")
+    val joinHints = q.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.hint
+    }
+    assert(joinHints.nonEmpty)
+    assert(joinHints.forall(h => h.leftHint.isEmpty && h.rightHint.isEmpty),
+      s"unexpected join strategy hint: $joinHints")
+  }
 }
