@@ -1,7 +1,5 @@
 package graft.ext
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.{Vectors => MlVectors}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -39,26 +37,24 @@ object IvfIndex {
     array_min(array(dists: _*)).getField("idx")
   }
 
-  /** Fit the coarse quantizer (seeded, deterministic) on a BOUNDED
-    * training sample — same FAISS recipe as [[Pq.fit]]: centroid
-    * quality converges with ~100k vectors, so training on the full
-    * corpus (maxIter corpus passes) is pure waste at 100 TB. The
-    * sample is the `sampleCap` rows with the smallest xxhash64(vector)
-    * (TakeOrdered: one pass, map-side top-k, deterministic regardless
-    * of partitioning); a corpus under the cap trains on everything. */
+  /** Fit the coarse quantizer on a BOUNDED training sample — same
+    * FAISS recipe as [[Pq.fit]]: centroid quality converges with
+    * ~100k vectors, so training on the full corpus (maxIter corpus
+    * passes) is pure waste at 100 TB. One distributed pass takes the
+    * `sampleCap` rows with the smallest xxhash64(vector) (TakeOrdered:
+    * map-side top-k, deterministic regardless of partitioning) to the
+    * driver; the centroids then train locally ([[LocalKMeans]] —
+    * bit-deterministic, no scheduler round-trips). A corpus under the
+    * cap trains on everything. */
   def fit(emb: DataFrame, embCol: String, nLists: Int, seed: Long = 42L,
       sampleCap: Int = 100000): Model = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val vecs = emb.select(col(embCol).cast(ArrayType(DoubleType)).as("_e"))
+    val sample: Array[Array[Double]] = emb
+      .select(col(embCol).cast(ArrayType(DoubleType)).as("_e"))
       .orderBy(xxhash64(col("_e")))
       .limit(sampleCap)
-      .as[Seq[Double]]
-      .map(s => Tuple1(MlVectors.dense(s.toArray)))
-      .toDF("features")
-    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(20)
-      .fit(vecs)
-    Model(km.clusterCenters.map(_.toArray))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    Model(LocalKMeans.train(sample, nLists, iters = 20, seed = seed))
   }
 
   /** Assign every vector to its inverted list. */

@@ -1,7 +1,5 @@
 package graft.ext
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.{Vectors => MlVectors}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -45,40 +43,34 @@ object Pq {
     def subDim: Int = dim / m
   }
 
-  /** Fit per-subspace quantizers (seeded → deterministic given the
-    * corpus) on a BOUNDED training sample — the FAISS recipe:
-    * codebook quality converges with ~100k training vectors, so
-    * training m KMeans fits over the full corpus (m × maxIter corpus
+  /** Fit per-subspace quantizers on a BOUNDED training sample — the
+    * FAISS recipe: codebook quality converges with ~100k training
+    * vectors, so training over the full corpus (m × maxIter corpus
     * passes) buys nothing at 100 TB but an infeasible build. ONE
-    * corpus pass takes the `sampleCap` rows with the smallest
+    * distributed pass takes the `sampleCap` rows with the smallest
     * xxhash64(vector) (TakeOrdered — map-side partial top-k, no
-    * global sort; deterministic regardless of partitioning), the
-    * sample is cached once, and all m subspace fits slice it. When
-    * the corpus is smaller than `sampleCap` the sample IS the corpus. */
+    * global sort; deterministic regardless of partitioning) to the
+    * driver, then all m subspace codebooks train locally
+    * ([[LocalKMeans]]) — a distributed KMeans on a 100k-row sample is
+    * pure scheduler overhead (m × maxIter micro-jobs), and the local
+    * fit is bit-deterministic where a distributed reduce is
+    * fp-order-sensitive. A corpus under the cap trains on everything. */
   def fit(emb: DataFrame, embCol: String, m: Int, k: Int,
       seed: Long = 42L, sampleCap: Int = 100000): Codebooks = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val dim = emb.select(size(col(embCol))).head.getInt(0)
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
     val sub = dim / m
-    val sample = emb
+    val sample: Array[Array[Double]] = emb
       .select(col(embCol).cast(ArrayType(DoubleType)).as("_e"))
       .orderBy(xxhash64(col("_e")))
       .limit(sampleCap)
-      .cache()
-    try {
-      val books = (0 until m).map { s =>
-        val vecs = sample
-          .select(slice(col("_e"), s * sub + 1, sub).as("v"))
-          .as[Seq[Double]]
-          .map(x => Tuple1(MlVectors.dense(x.toArray)))
-          .toDF("features")
-        new KMeans().setK(k).setSeed(seed + s).setMaxIter(20)
-          .fit(vecs).clusterCenters.map(_.toArray)
-      }.toArray
-      Codebooks(dim, m, k, books)
-    } finally { sample.unpersist(); () }
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val books = (0 until m).map { s =>
+      val slices = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      LocalKMeans.train(slices, k, iters = 20, seed = seed + s)
+    }.toArray
+    Codebooks(dim, m, k, books)
   }
 
   /** Per-subspace argmin over the codewords — pure column expressions

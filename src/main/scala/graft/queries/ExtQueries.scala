@@ -155,7 +155,7 @@ object ExtQueries {
     * (m lookup-table hits/row, reads only id+code+norm columns), and
     * the exact-cosine re-rank of the top-400 recovers the TRUE
     * top-10+ties (measured worst ADC rank of an exact-top-12 member
-    * under the sample-trained codebooks: 39 at sf0.01, 94 of 2000 at
+    * under the sample-trained codebooks: 54 at sf0.01, 91 of 2000 at
     * sf0.1 — 4× margin), so the oracle is
     * brute-force cosine in DuckDB. The final cut follows the
     * x1_ann_topk pattern: take top-50 exact with margin, then ORDER BY
@@ -185,7 +185,7 @@ object ExtQueries {
     * nProbe follows the house measured-margin discipline — and here
     * the measurement DICTATES no pruning: the synthetic embeddings
     * are near-uniform (balanced ~n/8 lists; the exact top-12's lists
-    * span probe ranks up to 4 of 8 at sf0.01 and 8 of 8 at sf0.1), so
+    * span probe ranks up to 8 of 8 at both sf0.01 and sf0.1), so
     * any nProbe < nLists would drop true neighbors. nProbe = 8 keeps
     * the oracle sound on THIS corpus; the partition-prune mechanics
     * (`ivf_list IN` → PartitionFilters, ≤3/8 directories scanned) are
