@@ -146,7 +146,10 @@ object TxQueries {
     * oracle row proves ROUTED results match DuckDB computing from raw
     * parquet). Sums are exact: quantities are integer-valued doubles
     * and the price folds in DECIMAL inside the view. */
-  def mv_routed_agg(s: SparkSession, dir: String): DataFrame = {
+  /** Shared table + view for the mv_routed_* family (cached() keys on
+    * source identity, so both queries reuse one build). */
+  private def mvTableView(s: SparkSession, dir: String)
+      : (TxTable, graft.ext.IncrementalView) = {
     val li = t(s, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_returnflag",
         "l_linestatus", "l_quantity")
@@ -159,15 +162,45 @@ object TxQueries {
       Seq("l_quantity"), numBuckets = 2)
     view.refresh() // no-op when already current
     graft.plans.MvCatalog.register(view)
+    (table, view)
+  }
+
+  /** Route-or-fail: run `q`'s analyzed plan through MvRewrite and
+    * require the route fired (don't silently fall back to the source). */
+  private def mustRoute(s: SparkSession, q: DataFrame, name: String): DataFrame = {
+    val before = q.queryExecution.analyzed
+    val after = graft.plans.MvRewrite(before)
+    require(after ne before, s"MV rewrite did not fire for $name")
+    org.apache.spark.sql.GraftSqlBridge.ofRows(s, after)
+  }
+
+  def mv_routed_agg(s: SparkSession, dir: String): DataFrame = {
+    val (table, _) = mvTableView(s, dir)
     val q = table.read.groupBy("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
         count(col("l_quantity")).as("n_qty"))
       .orderBy("l_returnflag", "l_linestatus")
-    // prove the route fires (don't silently fall back to the source)
-    val before = q.queryExecution.analyzed
-    val after = graft.plans.MvRewrite(before)
-    require(after ne before, "MV rewrite did not fire for mv_routed_agg")
-    org.apache.spark.sql.GraftSqlBridge.ofRows(s, after)
+    mustRoute(s, q, "mv_routed_agg")
+  }
+
+  /** The dashboard HAVING shape, still routed: SUBSET grouping (the
+    * view groups by flag+status; the query by flag alone → the view
+    * re-aggregates, cardinality = group count) under a POST-aggregate
+    * filter mixing an aggregate predicate and a group-column
+    * predicate. The synthetic flags are UNIFORM (~1/3 each), so the
+    * count threshold is total/4 — every surviving group clears it
+    * with a 33%-vs-25% margin at any scale factor (a total/3
+    * threshold would sit exactly on the boundary and flip per SF);
+    * the row reduction comes from the exact group-column predicate.
+    * Integer division matches DuckDB's `//`. */
+  def mv_routed_having(s: SparkSession, dir: String): DataFrame = {
+    val (table, _) = mvTableView(s, dir)
+    val threshold = table.read.count() / 4
+    val q = table.read.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      .filter(col("l_returnflag") =!= "R" && col("n") > threshold)
+      .orderBy("l_returnflag")
+    mustRoute(s, q, "mv_routed_having")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -175,7 +208,8 @@ object TxQueries {
     "tx_cdc_diff" -> (tx_cdc_diff _),
     "tx_dv_delete" -> (tx_dv_delete _),
     "tx_evolution_read" -> (tx_evolution_read _),
-    "mv_routed_agg" -> (mv_routed_agg _))
+    "mv_routed_agg" -> (mv_routed_agg _),
+    "mv_routed_having" -> (mv_routed_having _))
 
   val oracle: Map[String, String] = Map(
     "tx_skipping_scan" ->
@@ -219,5 +253,12 @@ object TxQueries {
         |       SUM(l_quantity) AS sum_qty, COUNT(l_quantity) AS n_qty
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "mv_routed_having" ->
+      """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |HAVING l_returnflag <> 'R'
+        |   AND COUNT(*) > (SELECT COUNT(*) // 4 FROM lineitem)
+        |ORDER BY l_returnflag""".stripMargin)
 }

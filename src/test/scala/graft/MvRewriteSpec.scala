@@ -188,6 +188,49 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   }
 
+  test("HAVING / post-aggregate filters still route the inner aggregate") {
+    val t = mkSource()
+    val view = mkView(t)
+    MvCatalog.clear(); MvCatalog.register(view)
+    try {
+      // DataFrame post-agg filter (the dashboard HAVING shape)
+      val q = t.read.groupBy("g", "r")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+        .filter(col("sv") > lit(100L) && col("n") > lit(2L))
+      val (hit, got) = routed(q)
+      assert(hit, "rewrite did not fire under a post-aggregate filter")
+      assert(scansViewNot(q, view), "rewritten plan still scans the source")
+      MvCatalog.clear()
+      assert(got === q.collect().toSet)
+      assert(got.nonEmpty)
+    } finally MvCatalog.clear()
+  }
+
+  test("sql HAVING on an aggregate absent from the select list routes") {
+    val t = mkSource()
+    val view = mkView(t)
+    MvCatalog.clear(); MvCatalog.register(view)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ MvRewrite
+    try {
+      t.read.createOrReplaceTempView("mv_src_having")
+      val sql =
+        "SELECT g, sum(v) AS sv FROM mv_src_having GROUP BY g HAVING count(*) > 10"
+      val q = spark.sql(sql)
+      val files = scanFiles(q)
+      assert(files.forall(_.contains(view.dir)),
+        s"HAVING query still scans the source: $files")
+      val got = q.collect().toSet
+      spark.experimental.extraOptimizations = prev
+      MvCatalog.clear()
+      assert(got === spark.sql(sql).collect().toSet)
+      assert(got.nonEmpty)
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      MvCatalog.clear()
+    }
+  }
+
   test("end-to-end: a spark.sql query over a registered temp view routes") {
     val t = mkSource()
     val view = mkView(t)
