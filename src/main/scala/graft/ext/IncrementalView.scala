@@ -29,6 +29,16 @@ import graft.core.TxTable
   * vacuumed out of the source's retention horizon, refresh falls back
   * to a full recompute in one `replace` commit.
   *
+  * MIN/MAX tracking (`minMaxCols`) follows the standard IVM split for
+  * NON-invertible aggregates: inserts merge cheaply
+  * (least/greatest against the stored extremum), but a delete can
+  * strand a stale extremum — so any group touched by a delete or
+  * update_preimage in the refresh window is RECOMPUTED from the
+  * source snapshot, pruned to exactly those dirty groups (broadcast
+  * semi join; clean groups still take the pure-delta path and the
+  * source is never re-aggregated wholesale). Append-mostly sources —
+  * the lakehouse norm — pay nothing extra.
+  *
   * Caveats (standard for IVM): float sums drift under long ± chains —
   * prefer integral/decimal value columns; groups whose count reaches
   * zero stay as tombstone rows filtered by [[read]] (swept by
@@ -40,15 +50,17 @@ final class IncrementalView(
     val dir: String,
     val groupCols: Seq[String],
     val sumCols: Seq[String],
-    numBuckets: Int = 16) {
+    numBuckets: Int = 16,
+    val minMaxCols: Seq[String] = Nil) {
 
   require(groupCols.nonEmpty, "IncrementalView requires group columns")
   require(!groupCols.exists(c =>
-    c == "cnt" || c.startsWith("sum_") || c.startsWith("nn_")),
-    "group columns may not collide with the view's cnt/sum_*/nn_* columns")
+    c == "cnt" || c.startsWith("sum_") || c.startsWith("nn_") ||
+      c.startsWith("min_") || c.startsWith("max_")),
+    "group columns may not collide with the view's cnt/sum_*/nn_*/min_*/max_* columns")
   private val srcSchema = source.currentSchema
-  sumCols.foreach { c =>
-    require(srcSchema.fieldNames.contains(c), s"unknown sum column $c")
+  (sumCols ++ minMaxCols).foreach { c =>
+    require(srcSchema.fieldNames.contains(c), s"unknown tracked column $c")
   }
 
   private def sumFieldType(c: String): DataType = srcSchema(c).dataType match {
@@ -68,7 +80,13 @@ final class IncrementalView(
       Seq(StructField("cnt", LongType)) ++
       sumCols.flatMap(c => Seq(
         StructField(s"sum_$c", sumFieldType(c)),
-        StructField(s"nn_$c", LongType))))
+        StructField(s"nn_$c", LongType))) ++
+      // extrema store the SOURCE type and may be NULL (a group with no
+      // non-null value) — least/greatest skip NULLs, so no shadow
+      // column is needed, unlike sums
+      minMaxCols.flatMap(c => Seq(
+        StructField(s"min_$c", srcSchema(c).dataType),
+        StructField(s"max_$c", srcSchema(c).dataType))))
 
   val table = new TxTable(spark, dir, schema, groupCols, numBuckets)
 
@@ -91,17 +109,24 @@ final class IncrementalView(
     * values are all NULL reads sum = NULL, same as a recompute). */
   def read: DataFrame = table.read.filter(col("cnt") > 0)
     .select((groupCols.map(col) :+ col("cnt")) ++
-      sumCols.map(c => when(col(s"nn_$c") > 0, col(s"sum_$c")).as(s"sum_$c")): _*)
+      sumCols.map(c => when(col(s"nn_$c") > 0, col(s"sum_$c")).as(s"sum_$c")) ++
+      minMaxCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))): _*)
 
   /** Stored representation keeps sums NULL-free (all-null group → 0)
     * so ±delta arithmetic never poisons an accumulator with NULL; the
     * nn_* shadow restores NULL on [[read]]. */
   private def aggs(weight: org.apache.spark.sql.Column) =
-    sum(weight).as("cnt") +:
+    (sum(weight).as("cnt") +:
       sumCols.flatMap(c => Seq(
         coalesce(sum(col(c).cast(sumFieldType(c)) * weight),
           lit(0).cast(sumFieldType(c))).as(s"sum_$c"),
-        sum(when(col(c).isNotNull, weight).otherwise(0L)).as(s"nn_$c")))
+        sum(when(col(c).isNotNull, weight).otherwise(0L)).as(s"nn_$c")))) ++
+      // extrema over INSERTED rows only: deletes cannot subtract from a
+      // min/max, so refresh routes any delete-touched group to a
+      // recompute where weight is uniformly 1 and the `when` is a no-op
+      minMaxCols.flatMap(c => Seq(
+        min(when(weight > 0, col(c))).as(s"min_$c"),
+        max(when(weight > 0, col(c))).as(s"max_$c")))
 
   /** Catch the view up to the source's current version. Returns the
     * number of source commits applied (0 = already current). */
@@ -154,6 +179,24 @@ final class IncrementalView(
         // existing view row and reset instead of accumulating
         def keyCond(l: String, r: String) =
           groupCols.map(k => col(s"$l.$k") <=> col(s"$r.$k")).reduce(_ && _)
+        // min/max are NOT invertible under deletes: a group the window
+        // deleted from may have lost its stored extremum, so those
+        // DIRTY groups recompute from the `to` snapshot (pruned to the
+        // dirty keys — the source is never re-aggregated wholesale);
+        // clean groups keep the pure ±delta merge below
+        val dirtyKeys =
+          if (minMaxCols.isEmpty) None
+          else {
+            val dk = ch.filter(
+              !col("_change_type").isin("insert", "update_postimage"))
+              .select(groupCols.map(col): _*).distinct().localCheckpoint()
+            if (dk.isEmpty) None else Some(dk)
+          }
+        val cleanDelta = dirtyKeys match {
+          case None => delta
+          case Some(dk) => delta.alias("_d0")
+            .join(broadcast(dk).alias("_k0"), keyCond("_d0", "_k0"), "left_anti")
+        }
         // affected groups only, from affected BUCKETS only: the delta
         // keys' buckets are computed driver-side and the view read is
         // manifest-pruned to them — a 1-group delta reads one bucket
@@ -163,9 +206,9 @@ final class IncrementalView(
         val affected = table.readBuckets(keyBuckets).alias("_v").join(
           broadcast(delta.select(groupCols.map(col): _*)).alias("_dk"),
           keyCond("_v", "_dk"), "left_semi")
-        val dAlias = delta.columns.map(c =>
+        val dAlias = cleanDelta.columns.map(c =>
           col(c).as(if (groupCols.contains(c)) c else s"_d_$c"))
-        val merged = delta.select(dAlias: _*).alias("_d")
+        val merged = cleanDelta.select(dAlias: _*).alias("_d")
           .join(affected.alias("_a"), keyCond("_d", "_a"), "left_outer")
           .select((groupCols.map(k => col(s"_d.$k").as(k)) :+
             (coalesce(col("_a.cnt"), lit(0L)) + col("_d_cnt")).as("cnt")) ++
@@ -173,8 +216,33 @@ final class IncrementalView(
               (coalesce(col(s"_a.sum_$c"), lit(0).cast(sumFieldType(c))) +
                 col(s"_d_sum_$c")).as(s"sum_$c"),
               (coalesce(col(s"_a.nn_$c"), lit(0L)) + col(s"_d_nn_$c"))
-                .as(s"nn_$c"))): _*)
-        table.upsertIf(merged, Map(WatermarkKey -> to.toString))(
+                .as(s"nn_$c"))) ++
+            minMaxCols.flatMap(c => Seq(
+              least(col(s"_a.min_$c"), col(s"_d_min_$c")).as(s"min_$c"),
+              greatest(col(s"_a.max_$c"), col(s"_d_max_$c")).as(s"max_$c"))): _*)
+        val toWrite = dirtyKeys match {
+          case None => merged
+          case Some(dk) =>
+            val full = aggs(lit(1L))
+            val recomputed = source.readVersion(to).alias("_s")
+              .join(broadcast(dk).alias("_k"), keyCond("_s", "_k"), "left_semi")
+              .groupBy(groupCols.map(col): _*)
+              .agg(full.head, full.tail: _*)
+              .localCheckpoint()
+            // dirty groups with NO surviving source rows must still
+            // overwrite their stale view row with a tombstone
+            val gone = dk.alias("_g")
+              .join(recomputed.alias("_r"), keyCond("_g", "_r"), "left_anti")
+              .select((groupCols.map(col) :+ lit(0L).as("cnt")) ++
+                sumCols.flatMap(c => Seq(
+                  lit(0).cast(sumFieldType(c)).as(s"sum_$c"),
+                  lit(0L).as(s"nn_$c"))) ++
+                minMaxCols.flatMap(c => Seq(
+                  lit(null).cast(srcSchema(c).dataType).as(s"min_$c"),
+                  lit(null).cast(srcSchema(c).dataType).as(s"max_$c"))): _*)
+            merged.unionByName(recomputed).unionByName(gone)
+        }
+        table.upsertIf(toWrite, Map(WatermarkKey -> to.toString))(
           appliedVersion == from)
     }
     if (applied) versionsApplied(from, to) else 0

@@ -49,7 +49,8 @@ object MvCatalog {
   *  - grouping expressions are a subset of the view's group columns,
   *    filters reference only group columns, and every aggregate is a
   *    supported shape: COUNT(*), COUNT(col) / SUM(col) / AVG(col) for
-  *    a tracked sum column (no DISTINCT, no FILTER clause, AVG only
+  *    a tracked sum column, MIN(col) / MAX(col) for a tracked
+  *    min/max column (no DISTINCT, no FILTER clause, AVG only
   *    over non-decimal inputs — decimal AVG's result-scale contract is
   *    Spark-internal and not worth reproducing).
   *
@@ -98,11 +99,19 @@ object MvRewrite extends Rule[LogicalPlan] {
       }
       relFiles = hfs.location.inputFiles.map(norm).toSet
       if relFiles.nonEmpty
-      view <- MvCatalog.all.find { v =>
-        // cheap prefix gate before any manifest IO
-        relFiles.head.startsWith(norm(v.source.dir) + "/") && fresh(v, relFiles)
-      }
-      out <- build(agg, rel, conds, view)
+      // several views may be registered over one source (e.g. a sum
+      // view and a min/max view): the FIRST fresh view whose tracked
+      // shape can actually serve this aggregate wins — a view that
+      // matches the source but declines the shape must not block the
+      // others
+      out <- MvCatalog.all.iterator
+        .filter { v =>
+          // cheap prefix gate before any manifest IO
+          relFiles.head.startsWith(norm(v.source.dir) + "/") &&
+            fresh(v, relFiles)
+        }
+        .map(v => build(agg, rel, conds, v))
+        .collectFirst { case Some(p) => p }
     } yield out
   }
 
@@ -119,6 +128,7 @@ object MvRewrite extends Rule[LogicalPlan] {
       rel.output.map(a => a.exprId -> a.name).toMap
     val groupSet = view.groupCols.toSet
     val sumSet = view.sumCols.toSet
+    val minMaxSet = view.minMaxCols.toSet
 
     // grouping expressions: plain source attributes, all view group cols
     val groupNames: Seq[String] = agg.groupingExpressions.map {
@@ -172,6 +182,11 @@ object MvRewrite extends Rule[LogicalPlan] {
             srcByExprId.get(a.exprId).filter(sumSet.contains)
           case _ => None
         }
+        def mmCol(e: Expression): Option[String] = e match {
+          case a: AttributeReference =>
+            srcByExprId.get(a.exprId).filter(minMaxSet.contains)
+          case _ => None
+        }
         def total(a: Attribute): Expression =
           if (exact) a else Sum(a).toAggregateExpression()
         ae.aggregateFunction match {
@@ -191,6 +206,20 @@ object MvRewrite extends Rule[LogicalPlan] {
             If(GreaterThan(Coalesce(Seq(n, Literal(0L))), Literal(0L)),
               Divide(Cast(total(sumA(c)), DoubleType), Cast(n, DoubleType)),
               nullOf(ae))
+          }
+          // extrema serve from the min_*/max_* columns (views tracking
+          // them refresh delete-touched groups by recompute, so the
+          // stored extremum is always exact); NULL semantics are free —
+          // the stored value is NULL iff the group saw no non-null
+          // value, and Min/Max re-aggregation skips NULLs like the
+          // recompute would
+          case m: Min => mmCol(m.child).map { c =>
+            val a = vAttr(s"min_$c")
+            if (exact) a else Min(a).toAggregateExpression()
+          }
+          case m: Max => mmCol(m.child).map { c =>
+            val a = vAttr(s"max_$c")
+            if (exact) a else Max(a).toAggregateExpression()
           }
           case _ => None
         }

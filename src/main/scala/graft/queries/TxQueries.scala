@@ -203,13 +203,35 @@ object TxQueries {
     mustRoute(s, q, "mv_routed_having")
   }
 
+  /** MIN/MAX through MV routing (round 7): a SECOND view over the same
+    * source tracks extrema (`minMaxCols` — insert-cheap least/greatest
+    * merge, delete-touched groups recompute), and the min/max query is
+    * REQUIRED to route. Also exercises multi-view dispatch: the sum
+    * view registered by [[mvTableView]] matches the source but cannot
+    * serve extrema, so the rewrite must fall through to the tracking
+    * view instead of giving up at the first match. */
+  def mv_routed_minmax(s: SparkSession, dir: String): DataFrame = {
+    val (table, _) = mvTableView(s, dir)
+    val viewMm = new graft.ext.IncrementalView(s, table,
+      table.dir + "-viewmm", Seq("l_returnflag", "l_linestatus"),
+      Nil, numBuckets = 2, minMaxCols = Seq("l_quantity"))
+    viewMm.refresh()
+    graft.plans.MvCatalog.register(viewMm)
+    val q = table.read.groupBy("l_returnflag")
+      .agg(min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+    mustRoute(s, q, "mv_routed_minmax")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_skipping_scan" -> (tx_skipping_scan _),
     "tx_cdc_diff" -> (tx_cdc_diff _),
     "tx_dv_delete" -> (tx_dv_delete _),
     "tx_evolution_read" -> (tx_evolution_read _),
     "mv_routed_agg" -> (mv_routed_agg _),
-    "mv_routed_having" -> (mv_routed_having _))
+    "mv_routed_having" -> (mv_routed_having _),
+    "mv_routed_minmax" -> (mv_routed_minmax _))
 
   val oracle: Map[String, String] = Map(
     "tx_skipping_scan" ->
@@ -260,5 +282,13 @@ object TxQueries {
         |GROUP BY l_returnflag
         |HAVING l_returnflag <> 'R'
         |   AND COUNT(*) > (SELECT COUNT(*) // 4 FROM lineitem)
+        |ORDER BY l_returnflag""".stripMargin,
+    // extrema are comparison-only (no summation-order concerns) — the
+    // routed result must equal the raw-parquet recompute exactly
+    "mv_routed_minmax" ->
+      """SELECT l_returnflag, MIN(l_quantity) AS min_qty,
+        |       MAX(l_quantity) AS max_qty, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin)
 }

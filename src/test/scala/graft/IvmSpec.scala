@@ -156,6 +156,75 @@ class IvmSpec extends SparkSpec {
     assert(viewRows(view) === recompute(t))
   }
 
+  test("min/max tracking: inserts merge, deletes recompute dirty groups only") {
+    val t = src()
+    val view = new IncrementalView(spark, t, tmpDir("ivmm") + "/v",
+      Seq("g"), Seq("v"), numBuckets = 2, minMaxCols = Seq("v"))
+    def recomputeM = t.read.groupBy("g").agg(
+      count(lit(1)).as("cnt"), sum("v").as("sum_v"),
+      min("v").as("min_v"), max("v").as("max_v"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+    def viewM = view.read.select("g", "cnt", "sum_v", "min_v", "max_v")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+
+    t.append((1 to 30).map(i => (s"k$i", s"g${i % 3}", i.toLong)).toDF("k", "g", "v"))
+    view.refresh()
+    assert(viewM === recomputeM)
+
+    // insert-only delta: pure least/greatest merge path
+    t.append(Seq(("a1", "g0", -5L), ("a2", "g1", 99L)).toDF("k", "g", "v"))
+    view.refresh()
+    assert(viewM === recomputeM)
+
+    // delete the CURRENT max of g1 — the stored extremum is stranded;
+    // g1 must recompute while untouched groups keep their rows
+    t.deleteWhere(col("v") === 99L)
+    view.refresh()
+    assert(viewM === recomputeM)
+
+    // update moves a row between groups: preimage group is dirty, the
+    // postimage group merges
+    t.upsert(Seq(("k3", "g9", 1000L)).toDF("k", "g", "v"))
+    view.refresh()
+    assert(viewM === recomputeM)
+
+    // drain a group entirely: its stale extremum must tombstone, and a
+    // later re-insert starts fresh
+    t.deleteWhere(col("g") === "g9")
+    view.refresh()
+    assert(viewM === recomputeM)
+    t.append(Seq(("r1", "g9", 3L)).toDF("k", "g", "v"))
+    view.refresh()
+    assert(viewM === recomputeM)
+  }
+
+  test("min/max NULL semantics: all-null groups read NULL extrema") {
+    val t = src()
+    val view = new IncrementalView(spark, t, tmpDir("ivmmn") + "/v",
+      Seq("g"), Seq("v"), numBuckets = 2, minMaxCols = Seq("v"))
+    t.append(Seq(("a", "g1", Some(5L)), ("b", "g1", None),
+      ("c", "g2", None), ("d", "g2", None)).toDF("k", "g", "v"))
+    view.refresh()
+    val rows = view.read.select("g", "min_v", "max_v").collect()
+      .map(r => r.getString(0) -> (
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(rows("g1") === ((Some(5L), Some(5L))))
+    assert(rows("g2") === ((None, None)))
+    // NULL-valued insert into g1 must not disturb the extremum
+    t.append(Seq(("e", "g1", None: Option[Long])).toDF("k", "g", "v"))
+    view.refresh()
+    val r2 = view.read.filter(col("g") === "g1")
+      .select("min_v", "max_v").head
+    assert(r2.getLong(0) === 5L && r2.getLong(1) === 5L)
+  }
+
   test("vacuumed source horizon falls back to one-commit full recompute") {
     val t = src()
     val view = new IncrementalView(spark, t, tmpDir("ivmf") + "/v",

@@ -188,6 +188,36 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   }
 
+  test("min/max route from a tracking view (exact + re-aggregated), untracked declines") {
+    val t = mkSource()
+    val view = new IncrementalView(spark, t, tmpDir("mvmm") + "/v",
+      Seq("g", "r"), Seq("v", "w"), numBuckets = 2, minMaxCols = Seq("v"))
+    view.refresh()
+    MvCatalog.clear(); MvCatalog.register(view)
+    try {
+      // exact grouping: extrema read straight off min_v/max_v
+      val q = t.read.groupBy("g", "r").agg(
+        min("v").as("mnv"), max("v").as("mxv"), sum("v").as("sv"))
+      val (hit, got) = routed(q)
+      assert(hit, "min/max rewrite did not fire on exact grouping")
+      assert(scansViewNot(q, view), "rewritten plan still scans the source")
+      MvCatalog.clear()
+      assert(got === q.collect().toSet)
+
+      // subset grouping: Min(min_v)/Max(max_v) re-aggregation
+      MvCatalog.register(view)
+      val q2 = t.read.groupBy("g").agg(max("v").as("mxv"), min("v").as("mnv"))
+      val (hit2, got2) = routed(q2)
+      assert(hit2, "min/max rewrite did not fire on subset grouping")
+      MvCatalog.clear()
+      assert(got2 === q2.collect().toSet)
+
+      // an extremum on an UNTRACKED column still declines
+      MvCatalog.register(view)
+      assert(!routed(t.read.groupBy("g").agg(max("w").as("mw")))._1)
+    } finally MvCatalog.clear()
+  }
+
   test("HAVING / post-aggregate filters still route the inner aggregate") {
     val t = mkSource()
     val view = mkView(t)
