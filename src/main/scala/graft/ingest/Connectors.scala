@@ -203,6 +203,46 @@ object Connectors {
       hits.getOrElse(query, Nil).take(maxResults)
   }
 
+  /** LOCAL search backend — a real, zero-egress implementation of the
+    * [[SearchClient]] boundary: queries rank against the persisted
+    * inverted text index ([[graft.ext.TextIndex]], the P6b layout)
+    * over an ingested corpus, the enterprise-search fallback for a
+    * deployment without the hosted `web_search` tool. Retrieval is
+    * distinct-matched-terms ranking with doc-id tiebreak; the probe
+    * partition-prunes to the query terms' buckets (driver-hashed →
+    * `PartitionFilters`, texts read only for the ≤ maxResults
+    * winners). Result URLs derive from the document's source
+    * (`https://<source>.example/docs/<id>`) so the connector's domain
+    * whitelist, canonicalization, dedup, and robots gates all apply
+    * unchanged downstream. Bounded driver-side collect: maxResults
+    * rows — control plane, never data-proportional. */
+  final class IndexSearchClient(
+      spark: SparkSession,
+      idxDir: String,
+      docs: DataFrame, // (doc_id, text, source)
+      snippetChars: Int = 160) extends SearchClient {
+    override def search(query: String, maxResults: Int): Seq[SearchHit] = {
+      val terms = query.toLowerCase.split("[^a-z0-9]+")
+        .filter(_.nonEmpty).distinct.toSeq
+      if (terms.isEmpty) return Nil
+      val ranked = graft.ext.TextIndex.postings(spark, idxDir, terms)
+        .groupBy("doc_id")
+        .agg(countDistinct("term").as("_matched"))
+        .orderBy(col("_matched").desc, col("doc_id").asc)
+        .limit(maxResults)
+      ranked.join(docs, Seq("doc_id"))
+        .orderBy(col("_matched").desc, col("doc_id").asc)
+        .select(col("doc_id"), col("text"), col("source"))
+        .collect()
+        .map { r =>
+          val (id, text, src) = (r.getLong(0), r.getString(1), r.getString(2))
+          SearchHit(query, s"https://$src.example/docs/$id",
+            text.split(" ").take(8).mkString(" "),
+            text.take(snippetChars), "")
+        }.toSeq
+    }
+  }
+
   /** S8 — everything AFTER the search API boundary, for real: the
     * reference's `allowed_domains` restriction re-expressed as a
     * domain post-filter, URL canonicalization (policy-driven UTM /

@@ -203,6 +203,45 @@ class DomainServicesSpec extends SparkSpec {
     assert(got.forall(_._5 === 5))
   }
 
+  test("S8 with the LOCAL index-backed search client: ranked retrieval end to end") {
+    import graft.ingest.Connectors.{IndexSearchClient, WebSearchConnector}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "source")
+    val idxDir = tmpDir("s8idx")
+    graft.ext.TextIndex.build(docs, "doc_id", "text", idxDir, nBuckets = 16)
+    val client = new IndexSearchClient(spark, idxDir, docs)
+
+    val hits = client.search("fast merge spark", 5)
+    assert(hits.size === 5)
+    // ranking contract: matched-term count is non-increasing down the
+    // result list (recomputed directly from the corpus texts)
+    val terms = Seq("fast", "merge", "spark")
+    val byId = docs.as[(Long, String, String)].collect()
+      .map(r => r._1 -> r._2.toLowerCase.split("[^a-z0-9]+").toSet).toMap
+    val matched = hits.map(h =>
+      terms.count(byId(h.url.split("/").last.toLong)))
+    assert(matched === matched.sorted.reverse, s"ranking broke: $matched")
+    assert(matched.head === 3, "top hit should match every query term")
+    // determinism: same query, same results
+    assert(client.search("fast merge spark", 5) === hits)
+
+    // and the full S8 connector runs over the local backend: domain
+    // whitelist + robots gates apply to the synthesized URLs unchanged
+    val conn = new WebSearchConnector(
+      "web_search_local", 5, client, Seq("fast merge spark"),
+      allowedDomains = Seq("src0.example", "src1.example"),
+      fetchedPages = Seq.empty[(String, String, String)]
+        .toDF("url", "html", "published_date"))
+    val got = conn.candidates(spark)
+      .select("url", "title", "content").as[(String, String, String)]
+      .collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r =>
+      r._1.startsWith("https://src0.example/") ||
+        r._1.startsWith("https://src1.example/")))
+    assert(got.forall(r => r._2.nonEmpty && r._3.nonEmpty))
+  }
+
   test("evidence verifier: rule verdicts with reference contract shape") {
     val wh = freshWarehouse()
     def item(id: String, nCit: Int, conf: Double, citUrl: String) = Row(
