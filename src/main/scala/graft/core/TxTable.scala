@@ -1074,6 +1074,27 @@ final class TxTable(
     }
   }
 
+  /** GUARDED [[append]] — see [[upsertIf]]: `pre` re-evaluates inside
+    * every commit attempt; a now-false precondition abandons the
+    * append (returns false) instead of double-applying it. This is
+    * how a streaming sink makes a REPLAYED micro-batch converge: the
+    * precondition checks the per-stream batch watermark this append
+    * was computed against, committed atomically with the data via
+    * `meta`. */
+  def appendIf(df: DataFrame, meta: Map[String, String])
+      (pre: => Boolean): Boolean = {
+    createIfAbsent()
+    val (staged, stage) = stageFiles(df, currentSchema)
+    try withRetry {
+      if (!pre) false
+      else {
+        val base = currentVersion
+        commit(loadManifest(base).entries ++ staged, base, meta = meta)
+        true
+      }
+    } finally fs.delete(stage, true)
+  }
+
   /** GUARDED [[upsert]]: a compare-and-set against table state. `pre`
     * is re-evaluated inside every commit attempt — a competing commit
     * fails this writer's claim, the retry re-reads the new state, and
