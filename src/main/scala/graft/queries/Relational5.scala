@@ -158,35 +158,35 @@ object Relational5 {
     * REGION's suppliers, kept only when above 1.5× the average part
     * value in that region. The original's fixed fraction (0.0001/SF)
     * is scale-dependent; normalizing by the distinct-part count keeps
-    * the query meaningful at every SF. The threshold compare is exact
-    * DECIMAL on BOTH sides (value × count > total × 1.5, via bounded
-    * casts so neither engine loses precision) — a double threshold
-    * could flip a boundary part between engines. */
+    * the query meaningful at every SF. The scalar-subquery form scans
+    * the four-table join THREE times (main + count + total); both
+    * thresholds are DERIVABLE from the grouped result itself —
+    * COUNT(*) OVER () of the per-part rows IS the distinct-part count
+    * and their window-SUM IS the global total (decimal addition is
+    * associative, so regrouping the sum is exact) — the q15 treatment:
+    * ONE fact-join scan plus a window over the part-count-sized
+    * aggregate. The threshold compare keeps the exact-DECIMAL
+    * discipline on both sides (value × count > total × 1.5 via the
+    * same bounded casts — a double threshold could flip a boundary
+    * part between engines). */
   private val q11Sql: String =
     """SELECT l_partkey,
-      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING)
-      |   AS DOUBLE) AS part_value
-      |FROM lineitem, supplier, nation, region
-      |WHERE l_suppkey = s_suppkey
-      |  AND s_nationkey = n_nationkey
-      |  AND n_regionkey = r_regionkey
-      |  AND r_name = 'EUROPE'
-      |GROUP BY l_partkey
-      |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-      |         AS DECIMAL(24,2))
-      |   * (SELECT CAST(COUNT(DISTINCT l_partkey) AS DECIMAL(8,0))
-      |      FROM lineitem, supplier, nation, region
-      |      WHERE l_suppkey = s_suppkey
-      |        AND s_nationkey = n_nationkey
-      |        AND n_regionkey = r_regionkey
-      |        AND r_name = 'EUROPE')
-      | > (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-      |             AS DECIMAL(30,2)) * 1.5
-      |    FROM lineitem, supplier, nation, region
-      |    WHERE l_suppkey = s_suppkey
-      |      AND s_nationkey = n_nationkey
-      |      AND n_regionkey = r_regionkey
-      |      AND r_name = 'EUROPE')
+      | CAST(CAST(val AS STRING) AS DOUBLE) AS part_value
+      |FROM (
+      | SELECT l_partkey, val,
+      |  CAST(COUNT(*) OVER () AS DECIMAL(8,0)) AS n_parts,
+      |  SUM(CAST(val AS DECIMAL(24,2))) OVER () AS total
+      | FROM (
+      |  SELECT l_partkey,
+      |   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+      |  FROM lineitem, supplier, nation, region
+      |  WHERE l_suppkey = s_suppkey
+      |    AND s_nationkey = n_nationkey
+      |    AND n_regionkey = r_regionkey
+      |    AND r_name = 'EUROPE'
+      |  GROUP BY l_partkey) v) w
+      |WHERE CAST(val AS DECIMAL(24,2)) * n_parts
+      |    > CAST(total AS DECIMAL(30,2)) * 1.5
       |ORDER BY part_value DESC, l_partkey""".stripMargin
 
   /** TPC-H Q12 shape (shipping-priority classes): l_returnflag bands

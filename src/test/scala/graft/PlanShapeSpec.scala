@@ -82,10 +82,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("tpch q18: HAVING subquery plans as a semi join, not a full join+dedup") {
+  /** Count scans of a given source table — on the optimized LOGICAL
+    * plan (AQE hides physical scan leaves behind query stages). */
+  private def scansOf(name: String, table: String): Int =
+    SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+      .collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if (lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.exists(_.toString.contains(table))
+              case _ => false
+            }) => lr
+      }.size
+
+  test("tpch q18: derived-table form scans lineitem ONCE (no re-aggregated semi join)") {
     val p = planOf("sql_tpch_q18")
-    assert(p.contains("LeftSemi"), p)
     assert(!p.contains("CartesianProduct"), p)
+    assert(scansOf("sql_tpch_q18", "lineitem") === 1)
+  }
+
+  test("tpch q11: windowed thresholds scan the fact join ONCE (was 3 scalar-subquery scans)") {
+    val p = planOf("sql_tpch_q11")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(scansOf("sql_tpch_q11", "lineitem") === 1)
   }
 
   test("tpch q4: EXISTS plans as a semi join against the fact table") {
