@@ -162,7 +162,12 @@ object Relational4 {
     * contributed to the order) AND NOT EXISTS (another supplier also
     * flagged) — adapted to return flags (the original's receipt >
     * commit dates don't exist in this schema). Semi + anti hash joins
-    * on l_orderkey. */
+    * on l_orderkey. A fold-into-one-aggregation rewrite (per
+    * (order, supplier) counts + per-order windows) was MEASURED
+    * SLOWER (1.5 → 2.5 s warm at sf0.1): the sort-based window over
+    * the pair aggregate costs more than two extra columnar scans
+    * whose projections are two ints — the q18/q11 single-scan
+    * treatment does not generalize to this shape. */
   private val q21Sql: String =
     """SELECT s_name, COUNT(*) AS numwait
       |FROM supplier, lineitem l1, orders
