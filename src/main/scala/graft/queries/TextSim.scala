@@ -273,6 +273,44 @@ object TextSim {
       .orderBy("lang")
   }
 
+  /** X4 — TOKEN-BUDGET mixture sampling (the domain-mixing recipe:
+    * given a total token budget and target per-language fractions,
+    * derive each language's keep RATE from its available token mass
+    * — rate = min(1, budget·weight / available) — then sample
+    * deterministically). The decision hash is the first 4 hex chars
+    * of md5(doc_id) as a uniform draw in [0, 65536): RNG-free, so
+    * re-runs and re-shards keep exactly the same documents, and a
+    * budget change moves the cut monotonically (a kept doc stays
+    * kept when its language's budget grows). One tiny per-language
+    * aggregate broadcast back; everything else map-side. Both
+    * engines compute the rate in IEEE DOUBLE (the oracle casts its
+    * literals explicitly — DuckDB would otherwise do DECIMAL math)
+    * so the comparison boundary is bit-identical. */
+  def x4_mixture_sample(s: SparkSession, dir: String): DataFrame = {
+    val budget = 8000L
+    val weights = Seq("en" -> 0.4, "de" -> 0.2, "es" -> 0.15,
+      "fr" -> 0.15, "zh" -> 0.1)
+    val docs = t(s, dir, "documents")
+      .withColumn("_tok", size(split(col("text"), " ")).cast(LongType))
+    val w = weights.foldLeft(lit(0.0)) { case (acc, (l, f)) =>
+      when(col("lang") === l, lit(f)).otherwise(acc)
+    }
+    val avail = docs.groupBy("lang").agg(sum("_tok").as("_avail"))
+    val rated = docs.join(broadcast(avail), Seq("lang"))
+      .withColumn("_rate",
+        least(lit(1.0), lit(budget.toDouble) * w / col("_avail").cast(DoubleType)))
+    val u = conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
+      .cast(LongType)
+    rated
+      .withColumn("_keep", u.cast(DoubleType) < col("_rate") * lit(65536.0))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_keep"), col("_tok")).otherwise(0L)).as("tokens_kept"),
+        max(round(col("_rate"), 6)).as("rate"))
+      .orderBy("lang")
+  }
+
   /** X4 — leak-free train/val/test split: assignment is a pure
     * function of md5(doc_id) (first hex char: 0 → val, 1 → test,
     * rest → train ≈ 14/16), so re-runs, re-shards, and incremental
@@ -477,6 +515,7 @@ object TextSim {
     "x4_mask_terms" -> (x4_mask_terms _),
     "x4_repetition" -> (x4_repetition _),
     "x4_stratified_sample" -> (x4_stratified_sample _),
+    "x4_mixture_sample" -> (x4_mixture_sample _),
     "x4_split_assign" -> (x4_split_assign _),
     "x1_cosine_topk" -> (x1_cosine_topk _),
     "x1_label_stats" -> (x1_label_stats _))
@@ -696,6 +735,38 @@ object TextSim {
         |    IN ('0','1','2','3','4','5','6','7') THEN 1
         |  ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // rate math forced to IEEE DOUBLE (explicit casts — DuckDB decimal
+    // literals would otherwise compute in DECIMAL and move the
+    // comparison boundary); u = first 4 md5 hex chars as an integer,
+    // identical to Spark's conv(substring(md5, 1, 4), 16, 10)
+    "x4_mixture_sample" ->
+      """WITH d AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS u
+        | FROM documents),
+        |a AS (SELECT lang, SUM(tok) AS avail FROM d GROUP BY lang),
+        |r AS (
+        | SELECT d.lang, d.tok, d.u,
+        |  LEAST(CAST(1.0 AS DOUBLE), CAST(8000 AS DOUBLE) *
+        |   (CASE d.lang WHEN 'en' THEN CAST(0.4 AS DOUBLE)
+        |     WHEN 'de' THEN CAST(0.2 AS DOUBLE)
+        |     WHEN 'es' THEN CAST(0.15 AS DOUBLE)
+        |     WHEN 'fr' THEN CAST(0.15 AS DOUBLE)
+        |     WHEN 'zh' THEN CAST(0.1 AS DOUBLE)
+        |     ELSE CAST(0.0 AS DOUBLE) END)
+        |   / CAST(a.avail AS DOUBLE)) AS rate
+        | FROM d JOIN a ON d.lang = a.lang)
+        |SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(CASE WHEN CAST(u AS DOUBLE) < rate * CAST(65536 AS DOUBLE)
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(SUM(CASE WHEN CAST(u AS DOUBLE) < rate * CAST(65536 AS DOUBLE)
+        |   THEN tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+        | MAX(ROUND(rate, 6)) AS rate
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     "x4_split_assign" ->
       """SELECT split, COUNT(*) AS n_docs,
         | MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
