@@ -237,4 +237,38 @@ object Similarity {
           col("n_exact").cast("double"), 6).as("recall"))
       .orderBy("query_id")
   }
+
+  /** EMBEDDING-QUALITY curation: the k vectors per label FARTHEST
+    * from their label centroid (lowest cosine) — mislabeled or failed
+    * embeds sit at the bottom of this ranking. Cosine is
+    * SCALE-INVARIANT, so the "centroid" can be the element-wise SUM
+    * instead of the mean — and the sum is computed in exact DECIMAL
+    * (per-component cast to DECIMAL(18,9)), which makes the centroid
+    * independent of aggregation order where a double mean would carry
+    * partition-order noise in its low bits. One posexplode (rows ×
+    * dims, columnar-narrow), a (labels × dims)-sized aggregate
+    * rebuilt into arrays, a BROADCAST of the (tiny) centroid table
+    * back onto the corpus, and a per-label top-k window over the
+    * ROUNDED score (6 dp) with id tiebreak — deterministic across
+    * engines and partitionings. */
+  def labelCentroidOutliers(emb: DataFrame, embCol: String, idCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = col(embCol).cast(ArrayType(DoubleType))
+    val pos = emb.select(col(labelCol).as("_lbl"),
+        posexplode(e).as(Seq("_pos", "_x")))
+      .select(col("_lbl"), col("_pos"),
+        col("_x").cast(DecimalType(18, 9)).as("_xd"))
+    val cent = pos.groupBy("_lbl", "_pos").agg(sum("_xd").as("_sx"))
+      .groupBy("_lbl")
+      .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_sx")))),
+        s => s.getField("_sx").cast(DoubleType)).as("_cent"))
+    val w = Window.partitionBy(col(labelCol))
+      .orderBy(col("centroid_cos").asc, col(idCol).asc)
+    emb.join(broadcast(cent), col(labelCol) === col("_lbl"))
+      .withColumn("centroid_cos", round(cosine(e, col("_cent")), 6))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col(labelCol), col(idCol), col("centroid_cos"), col("rank"))
+  }
 }

@@ -62,6 +62,18 @@ object ExtQueries {
       .limit(10)
   }
 
+  /** X1 — embedding-quality curation: per label, the 3 vectors
+    * farthest from their label centroid (lowest cosine — the
+    * mislabeled/failed-embed detector). The centroid is an exact
+    * DECIMAL element-wise sum (cosine is scale-invariant, so sum ≡
+    * mean in direction and the decimal fold is independent of
+    * aggregation order — a double mean would carry partition-order
+    * noise into the ranking). */
+  def x1_label_outliers(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroidOutliers(t(s, dir, "embeddings"),
+      "embedding", "vec_id", "label", k = 3)
+      .orderBy("label", "rank")
+
   /** X2 — embedding-cosine near-dup pairs within LSH buckets. */
   def x2_cosine_neardup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "embedding",
@@ -244,7 +256,8 @@ object ExtQueries {
     "x1_ivfpq_topk" -> (x1_ivfpq_topk _),
     "p6b_indexed_search" -> (p6b_indexed_search _),
     "p6c_substring_search" -> (p6c_substring_search _),
-    "x2_cosine_neardup" -> (x2_cosine_neardup _))
+    "x2_cosine_neardup" -> (x2_cosine_neardup _),
+    "x1_label_outliers" -> (x1_label_outliers _))
 
   /** DuckDB equivalents. SimHash / hyperplane math is hex-char
     * arithmetic with integer sums — value-identical across engines. */
@@ -338,6 +351,37 @@ object ExtQueries {
         |FROM embeddings e
         |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+    // centroid = exact DECIMAL element-wise sum (order-independent;
+    // cosine is scale-invariant so sum ≡ mean in direction); ranking
+    // over the ROUNDED cosine with vec_id tiebreak, as in the x1
+    // top-k family
+    "x1_label_outliers" ->
+      """WITH e AS (
+        | SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |p AS (
+        | SELECT label,
+        |  UNNEST(range(1, len(emb) + 1)) AS pos,
+        |  UNNEST(list_transform(range(1, len(emb) + 1),
+        |    i -> emb[CAST(i AS INT)])) AS x
+        | FROM e),
+        |c AS (
+        | SELECT label, pos, SUM(CAST(x AS DECIMAL(18,9))) AS sx
+        | FROM p GROUP BY label, pos),
+        |cl AS (
+        | SELECT label, list(CAST(sx AS DOUBLE) ORDER BY pos) AS cent
+        | FROM c GROUP BY label),
+        |s AS (
+        | SELECT e.label, e.vec_id,
+        |  ROUND(list_cosine_similarity(e.emb, cl.cent), 6) AS centroid_cos
+        | FROM e JOIN cl USING (label)),
+        |r AS (
+        | SELECT label, vec_id, centroid_cos,
+        |  ROW_NUMBER() OVER (PARTITION BY label
+        |    ORDER BY centroid_cos ASC, vec_id ASC) AS rank
+        | FROM s)
+        |SELECT label, vec_id, centroid_cos, rank
+        |FROM r WHERE rank <= 3
+        |ORDER BY label, rank""".stripMargin,
     // IVF-PQ with measured-margin nProbe + refine recovers the TRUE
     // top-k — same brute-force oracle as x1_pq_topk
     "x1_ivfpq_topk" ->
