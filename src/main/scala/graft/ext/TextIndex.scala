@@ -138,6 +138,54 @@ object TextIndex {
       dir, overwrite = false, n)
   }
 
+  // ---- positional index: exact PHRASE search in postings space ----
+
+  private def positionalPostingsOf(docs: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int): DataFrame =
+    docs.select(col(idCol),
+      posexplode(Dedup.words(col(textCol))).as(Seq("pos", "term")))
+      .withColumn("tb", pmod(hash(col("term")), lit(nBuckets)))
+
+  /** Build the POSITIONAL index: (doc, term, word-position) postings
+    * under the same `tb = hash(term)` bucket layout. Positions make
+    * phrase queries a pure postings computation — no document text is
+    * ever read, not even for a verify step. */
+  def buildPositional(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, nBuckets: Int = 64): Unit =
+    writePostings(positionalPostingsOf(docs, idCol, textCol, nBuckets),
+      idCol, dir, overwrite = true, nBuckets)
+
+  /** Append a new batch's positional postings (ingest path). */
+  def appendPositional(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val n = nBuckets(docs.sparkSession, dir)
+    writePostings(positionalPostingsOf(docs, idCol, textCol, n), idCol,
+      dir, overwrite = false, n)
+  }
+
+  /** Ids whose document contains the words of `phrase` CONSECUTIVELY
+    * (exact token-adjacent phrase match). Each term's postings anchor
+    * to `pos - i` (its offset in the phrase); a document matches where
+    * some anchor collects ALL phrase offsets — one partition-pruned
+    * postings scan and ONE shuffle on (id, anchor), never a self-join
+    * chain and never a text read. Repeated phrase words work: a single
+    * posting row legitimately serves several offsets. */
+  def phraseSearch(spark: SparkSession, dir: String, idCol: String,
+      phrase: String): DataFrame = {
+    val terms = phrase.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, s"phrase '$phrase' has no indexable words")
+    val base = postings(spark, dir, terms.distinct)
+    val anchored = terms.zipWithIndex.map { case (t, i) =>
+      base.filter(col("term") === t)
+        .select(col(idCol), (col("pos") - i).as("_anchor"), lit(i).as("_off"))
+    }.reduce(_ unionByName _)
+    anchored
+      .groupBy(col(idCol), col("_anchor"))
+      .agg(countDistinct("_off").as("_n"))
+      .filter(col("_n") === terms.length)
+      .select(idCol).distinct()
+  }
+
   /** Exact substring search served by the trigram index: candidate ids
     * from the pattern's trigram-postings intersection (partition-pruned
     * probe, sound superset), then the candidates ALONE are verified

@@ -95,6 +95,36 @@ class TextIndexSpec extends SparkSpec {
     assert(old === scan)
   }
 
+  test("phrase search equals the adjacent-word scan; repeated words; append") {
+    val idxDir = tmpDir("textidx-pos")
+    TextIndex.buildPositional(docs, "doc_id", "text", idxDir, nBuckets = 16)
+    val phrase = "fast merge"
+    val got = TextIndex.phraseSearch(spark, idxDir, "doc_id", phrase)
+      .as[Long].collect().toSet
+    // scan truth: consecutive pair in the word sequence
+    val scan = docs.as[(Long, String)].collect().filter { case (_, text) =>
+      "[a-z]+".r.findAllIn(text.toLowerCase).toSeq
+        .sliding(2).exists(_.mkString(" ") == phrase)
+    }.map(_._1).toSet
+    assert(got === scan)
+    assert(got.nonEmpty)
+    // word-membership alone is NOT phrase match: strictly fewer hits
+    val and = TextIndex.searchAll(spark, idxDir, "doc_id",
+      phrase.split(" ").toSeq).as[Long].collect().toSet
+    assert(got.subsetOf(and) && got != and,
+      s"phrase should be stricter than AND (${got.size} vs ${and.size})")
+
+    // repeated words anchor correctly, and appended docs are visible
+    val newDocs = Seq(
+      (90010L, "alpha beta alpha beta gamma"), // has "beta alpha beta"
+      (90011L, "beta alpha gamma beta alpha")) // pair only, not triple
+      .toDF("doc_id", "text")
+    TextIndex.appendPositional(newDocs, "doc_id", "text", idxDir)
+    val rep = TextIndex.phraseSearch(spark, idxDir, "doc_id",
+      "beta alpha beta").as[Long].collect().toSet
+    assert(rep === Set(90010L))
+  }
+
   test("substringSearch does not FORCE a broadcast of the candidate set") {
     // a pattern of common trigrams can make candidates ≈ corpus; the
     // join must stay AQE-sized (runtime broadcast only if small), so
