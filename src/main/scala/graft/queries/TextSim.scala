@@ -171,7 +171,7 @@ object TextSim {
     * theta join plans a BroadcastNestedLoopJoin (all-pairs). The scale
     * path is [[x2_shingle_jaccard]] / `Dedup.jaccardVerify`, which
     * block through LSH buckets and never form the full pair square. */
-  def x2_jaccard_pairs(s: SparkSession, dir: String): DataFrame = {
+  private def jaccardPairs60(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
       .filter(col("doc_id") < 60)
       .withColumn("ws", expr("array_sort(array_distinct(" +
@@ -188,8 +188,23 @@ object TextSim {
         col("n_inter").cast(DoubleType) / col("n_union").cast(DoubleType))
       .filter(col("jaccard") >= 0.6)
       .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
-      .orderBy("id_a", "id_b")
   }
+
+  def x2_jaccard_pairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs60(s, dir).orderBy("id_a", "id_b")
+
+  /** X2 — near-dup GROUPS: connected components over the exact
+    * ≥0.6-Jaccard pairs (the `ext.Dedup` min-label propagation, the
+    * step that turns pairwise candidates into dedup clusters with a
+    * canonical representative = min doc id). The DuckDB oracle
+    * computes the same fixpoint as a recursive-CTE transitive
+    * closure — sound on this bounded demo slice; at corpus scale the
+    * library's checkpointed iteration is the only viable form. */
+  def x2_cc_components(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.connectedComponents(jaccardPairs60(s, dir), maxIter = 20)
+      .select(col("id").cast(LongType).as("doc_id"),
+        col("component").cast(LongType).as("component"))
+      .orderBy("doc_id")
 
   /** X2 — char-3-gram shingle Jaccard over MINHASH-LSH candidate
     * pairs: the scale path end to end (blocking by shared band, never
@@ -510,6 +525,7 @@ object TextSim {
     "x4_lm_score" -> (x4_lm_score _),
     "x2_minhash_buckets" -> (x2_minhash_buckets _),
     "x2_jaccard_pairs" -> (x2_jaccard_pairs _),
+    "x2_cc_components" -> (x2_cc_components _),
     "x2_shingle_jaccard" -> (x2_shingle_jaccard _),
     "x4_bpe_tokens" -> (x4_bpe_tokens _),
     "x4_mask_terms" -> (x4_mask_terms _),
@@ -697,6 +713,33 @@ object TextSim {
         | ON a.doc_id < b.doc_id) p
         |WHERE CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
+    // component labels = min reachable id; the oracle materializes the
+    // transitive closure with a recursive CTE (bounded demo slice)
+    "x2_cc_components" ->
+      """WITH RECURSIVE pairs AS (
+        | SELECT id_a, id_b FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS n_inter,
+        |   CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS BIGINT) AS n_union
+        |  FROM
+        |   (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS ws
+        |    FROM documents WHERE doc_id < 60) a
+        |  JOIN
+        |   (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS ws
+        |    FROM documents WHERE doc_id < 60) b
+        |  ON a.doc_id < b.doc_id) p
+        | WHERE CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.6),
+        |edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION
+        | SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+        |FROM reach GROUP BY src
+        |ORDER BY doc_id""".stripMargin,
     "x2_shingle_jaccard" ->
       """WITH d AS (
         | SELECT doc_id, lower(text) AS lt,
