@@ -217,6 +217,35 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** Sliding time-window aggregation (batch shape of §2.12): Spark's
+    * own `window(ts, 2h, 1h)` generator in BATCH mode — every event
+    * lands in two hour-aligned windows; the oracle unnests the same
+    * two starts per event. */
+  def ev_sliding_2h1h(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        window(col("ts"), "2 hours", "1 hour").getField("start")
+          .as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("window_start", "event_type")
+
+  /** Batch twin of the `flatMapGroupsWithState` milestone state machine
+    * (`streaming.EventStreams.userMilestones`): a user emits a row at
+    * every 10th event in (ts, event_id) order — n_events = the running
+    * count at the crossing. StreamingSpec proves the STREAMING state
+    * matches this batch math; this row pins the batch math itself
+    * against DuckDB. */
+  def ev_milestones(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    t(s, dir, "events")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") % 10 === 0)
+      .select(col("user_id"), col("_rn").cast(LongType).as("n_events"),
+        (col("_rn") / 10).cast(LongType).as("milestone"))
+      .orderBy("user_id", "milestone")
+  }
+
   /** V1/V3-family — validation gate + routing split over documents
     * (first-failing-reason-wins precedence, soft-fail routing; ref
     * `src/ontology/validator.ts:26-48`, `src/jobs/scan.ts:50-74`). */
@@ -253,6 +282,8 @@ object Analytics {
     "f_scalar_bundle" -> (f_scalar_bundle _),
     "ev_tumbling_hourly" -> (ev_tumbling_hourly _),
     "ev_sessionize" -> (ev_sessionize _),
+    "ev_sliding_2h1h" -> (ev_sliding_2h1h _),
+    "ev_milestones" -> (ev_milestones _),
     "v1_validation_route" -> (v1_validation_route _))
 
   val oracle: Map[String, String] = Map(
@@ -361,6 +392,23 @@ object Analytics {
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
         | CAST(CAST(SUM(CAST(value AS DECIMAL(12,6))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // every event lands in exactly two hour-aligned 2h windows
+    "ev_sliding_2h1h" ->
+      """SELECT window_start, event_type, COUNT(*) AS n FROM (
+        | SELECT event_type,
+        |  UNNEST([date_trunc('hour', ts),
+        |          date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start
+        | FROM events)
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "ev_milestones" ->
+      """SELECT user_id, CAST(rn AS BIGINT) AS n_events,
+        | CAST(rn // 10 AS BIGINT) AS milestone
+        |FROM (
+        | SELECT user_id, ROW_NUMBER() OVER (PARTITION BY user_id
+        |   ORDER BY ts ASC, event_id ASC) AS rn
+        | FROM events)
+        |WHERE rn % 10 = 0
+        |ORDER BY user_id, milestone""".stripMargin,
     "ev_sessionize" ->
       """SELECT user_id, COUNT(*) AS n_events,
         | CAST(SUM(new_sess) AS BIGINT) AS n_sessions
