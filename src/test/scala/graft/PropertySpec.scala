@@ -241,4 +241,55 @@ class PropertySpec extends SparkSpec {
       assert(t.readVersion(0).count() === 0)
     }
   }
+
+  test("phraseSearch equals the brute sliding-window scan on random corpora") {
+    import graft.ext.TextIndex
+    val word: Gen[String] = Gen.oneOf("ab", "cd", "ef", "gh", "ij")
+    val docGen: Gen[String] =
+      Gen.choose(1, 10).flatMap(Gen.listOfN(_, word)).map(_.mkString(" "))
+    val corpusGen: Gen[List[String]] =
+      Gen.choose(4, 10).flatMap(Gen.listOfN(_, docGen))
+    val phraseGen: Gen[String] =
+      Gen.choose(1, 3).flatMap(Gen.listOfN(_, word)).map(_.mkString(" "))
+    forAll(Gen.zip(corpusGen, phraseGen), trials = 4) { case (texts, phrase) =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val idxDir = tmpDir("pprop")
+      TextIndex.buildPositional(docs, "doc_id", "text", idxDir, nBuckets = 4)
+      val got = TextIndex.phraseSearch(spark, idxDir, "doc_id", phrase)
+        .as[Long].collect().toSet
+      val n = phrase.split(" ").length
+      val brute = texts.zipWithIndex.collect {
+        case (t, i) if t.split(" ").sliding(n).exists(_.mkString(" ") == phrase) =>
+          i.toLong
+      }.toSet
+      assert(got === brute, s"phrase='$phrase' corpus=$texts")
+    }
+  }
+
+  test("mixture sampling is monotone in the budget (a kept doc stays kept)") {
+    // the docstring claims budget growth only ADDS documents — that is
+    // exactly `u < rate·65536` with rate monotone in budget; pin it on
+    // the real corpus by running the same rate computation at two
+    // budgets
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text")
+    def keptAt(budget: Long): Set[Long] = {
+      val toks = size(split(col("text"), " ")).cast("long")
+      val d = docs.withColumn("_tok", toks)
+      val avail = d.groupBy("lang").agg(sum("_tok").as("_avail"))
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+      d.join(broadcast(avail), Seq("lang"))
+        .withColumn("_rate", least(lit(1.0),
+          lit(budget.toDouble) * lit(0.2) / col("_avail").cast("double")))
+        .filter(u.cast("double") < col("_rate") * lit(65536.0))
+        .select("doc_id").as[Long].collect().toSet
+    }
+    val small = keptAt(2000L)
+    val big = keptAt(6000L)
+    assert(small.subsetOf(big),
+      s"budget growth dropped docs: ${small -- big}")
+    assert(big.size > small.size, "bigger budget should add documents")
+  }
 }
