@@ -92,6 +92,18 @@ object Multimodal {
             lit(intervalMs) * (maxFrames - 1)), lit(intervalMs))))
       .select(col("media_id"), col("frame_ts_ms"))
 
+  /** Media near-dup pairs: decoder features feed the SAME bucketed
+    * embedding-cosine path as the text/embedding X2 family
+    * ([[Similarity.cosineNearDupPairs]] — hyperplane-LSH blocking,
+    * exact cosine inside buckets, never all-pairs). Asset or
+    * frame-level near-dup costs no media-specific dedup code: decode
+    * once behind the seam, then it IS an embedding problem. */
+  def nearDupPairs(spark: SparkSession, media: DataFrame,
+      decoder: MediaDecoder, threshold: Double, nBits: Int = 4): DataFrame =
+    Similarity.cosineNearDupPairs(
+      extractFeatures(spark, media, decoder).toDF(),
+      "features", "media_id", threshold, nBits)
+
   /** Resize request plan (image rows): target box preserving aspect
     * ratio — metadata math now, decode behind the seam. */
   def resizePlan(media: DataFrame, maxSide: Int): DataFrame =

@@ -529,6 +529,25 @@ class ExtSpec extends SparkSpec {
     assert(frames === Seq(0L, 1000L, 2000L, 3000L, 4000L))
   }
 
+  test("media near-dup rides the bucketed cosine path (no media-specific dedup)") {
+    // two byte-payloads with near-identical histograms and one far-off
+    val base = Array.tabulate(600)(i => (i % 7).toByte)
+    val near = base.clone(); near(0) = 1.toByte; near(1) = 2.toByte
+    val far = Array.tabulate(600)(i => ((i % 2) * 64).toByte)
+    val rows = Seq(
+      Multimodal.MediaRow("a", "image", "image/png", base,
+        Some(8), Some(8), None, None),
+      Multimodal.MediaRow("b", "image", "image/png", near,
+        Some(8), Some(8), None, None),
+      Multimodal.MediaRow("c", "image", "image/png", far,
+        Some(8), Some(8), None, None))
+    val media = spark.createDataFrame(rows)
+    val pairs = Multimodal.nearDupPairs(spark, media,
+      new Multimodal.FakeDecoder(16), threshold = 0.98, nBits = 2)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(pairs === Set(("a", "b")))
+  }
+
   test("windowChunkDedup: global first occurrence wins, order-stable reassembly") {
     // w=2 chunks: doc 1 = [a b][c d], doc 2 = [c d][e f] (second chunk
     // of doc 2 repeats doc 1's second chunk), doc 3 duplicates doc 1
