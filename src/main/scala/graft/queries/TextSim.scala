@@ -206,6 +206,27 @@ object TextSim {
         col("component").cast(LongType).as("component"))
       .orderBy("doc_id")
 
+  /** X2 — the END of the dedup pipeline: canonical selection. Each
+    * near-dup component keeps its min-id document; documents outside
+    * any component (no ≥0.6-Jaccard pair) keep themselves. Output is
+    * the per-component roll-up the curation report needs: canonical
+    * id, cluster size, how many duplicates were dropped. One
+    * left-join of the component labels onto the slice (labels cover
+    * only paired docs; singletons coalesce to themselves). */
+  def x2_canonical_dedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(col("doc_id") < 60).select("doc_id")
+    val comp = graft.ext.Dedup
+      .connectedComponents(jaccardPairs60(s, dir), maxIter = 20)
+      .select(col("id").as("doc_id"), col("component"))
+    docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("canonical", coalesce(col("component"), col("doc_id")))
+      .groupBy(col("canonical").cast(LongType).as("canonical"))
+      .agg(count(lit(1)).as("n_members"),
+        (count(lit(1)) - 1).cast(LongType).as("n_dropped"))
+      .orderBy("canonical")
+  }
+
   /** X2 — char-3-gram shingle Jaccard over MINHASH-LSH candidate
     * pairs: the scale path end to end (blocking by shared band, never
     * a theta join over the corpus; `x2_jaccard_pairs` keeps the
@@ -526,6 +547,7 @@ object TextSim {
     "x2_minhash_buckets" -> (x2_minhash_buckets _),
     "x2_jaccard_pairs" -> (x2_jaccard_pairs _),
     "x2_cc_components" -> (x2_cc_components _),
+    "x2_canonical_dedup" -> (x2_canonical_dedup _),
     "x2_shingle_jaccard" -> (x2_shingle_jaccard _),
     "x4_bpe_tokens" -> (x4_bpe_tokens _),
     "x4_mask_terms" -> (x4_mask_terms _),
@@ -740,6 +762,41 @@ object TextSim {
         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
         |FROM reach GROUP BY src
         |ORDER BY doc_id""".stripMargin,
+    // canonical = component label (min reachable id) for paired docs,
+    // self for singletons; roll up cluster sizes
+    "x2_canonical_dedup" ->
+      """WITH RECURSIVE pairs AS (
+        | SELECT id_a, id_b FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS n_inter,
+        |   CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS BIGINT) AS n_union
+        |  FROM
+        |   (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS ws
+        |    FROM documents WHERE doc_id < 60) a
+        |  JOIN
+        |   (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS ws
+        |    FROM documents WHERE doc_id < 60) b
+        |  ON a.doc_id < b.doc_id) p
+        | WHERE CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.6),
+        |edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION
+        | SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (
+        | SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+        | FROM reach GROUP BY src)
+        |SELECT canonical, COUNT(*) AS n_members,
+        | CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+        |FROM (
+        | SELECT COALESCE(c.component, d.doc_id) AS canonical
+        | FROM (SELECT doc_id FROM documents WHERE doc_id < 60) d
+        | LEFT JOIN comp c ON d.doc_id = c.doc_id)
+        |GROUP BY canonical
+        |ORDER BY canonical""".stripMargin,
     "x2_shingle_jaccard" ->
       """WITH d AS (
         | SELECT doc_id, lower(text) AS lt,
