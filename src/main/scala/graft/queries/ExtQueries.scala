@@ -93,7 +93,7 @@ object ExtQueries {
     * changes ONLY when the build CONTENT changes (e.g. `pqidx`'s `-s`
     * suffix when codebook training moved to bounded samples), because
     * then the old artifact is genuinely stale. */
-  private def buildOnce(dir: String, srcTable: String, tag: String,
+  private[queries] def buildOnce(dir: String, srcTable: String, tag: String,
       marker: String = "data/_SUCCESS")(build: String => Unit): String = {
     val src = new java.io.File(s"$dir/$srcTable.parquet")
     val key = Integer.toHexString(
@@ -164,7 +164,8 @@ object ExtQueries {
       timed("ivfpqidx")(ivfPqIndexDir(s, dir)),
       timed("textidx")(textIndexDir(s, dir)),
       timed("trgidx")(trigramIndexDir(s, dir)),
-      timed("posidx")(positionalIndexDir(s, dir)))
+      timed("posidx")(positionalIndexDir(s, dir)),
+      timed("ccidx")(TextSim.ccComponentsDir(s, dir)))
   }
 
   /** X1 — product-quantized top-k (third ANN family; `ext.Pq`): the
