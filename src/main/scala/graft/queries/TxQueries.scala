@@ -137,6 +137,47 @@ object TxQueries {
       .orderBy("nationkey")
   }
 
+  /** Z-ORDER clustering, end to end: orders ingested then
+    * `compactZOrdered` on (custkey, totalprice) — files get tight
+    * zone maps on BOTH dimensions (SkippingSpec proves the two-dim
+    * file pruning; THIS proves the clustered read is exact under a
+    * two-dimensional predicate). */
+  def tx_zorder_scan(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val table = cached(s, dir, "orders", "zord", 2L) { loc =>
+      new TxTable(s, loc, orders.schema, Seq("o_orderkey"), numBuckets = 4)
+    } { tx =>
+      tx.append(orders)                                          // v1
+      tx.compactZOrdered(Seq("o_custkey", "o_totalprice"),
+        filesPerBucket = 8)                                      // v2
+    }
+    table.scanWhere(col("o_custkey").between(100, 300) &&
+        col("o_totalprice") < 100000.0)
+      .select(col("o_orderkey"), col("o_custkey").cast("long").as("custkey"),
+        // row-level passthrough: both engines read the same parquet
+        // double, no arithmetic → bit-exact without a decimal detour
+        col("o_totalprice").as("totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Parquet BLOOM skipping, end to end: orders with a bloom filter on
+    * the NON-key o_custkey column (orderkey-ordered files leave
+    * custkey zone maps wide open — only the bloom can prune a point
+    * read; SkippingSpec proves the file isolation, THIS proves the
+    * pruned read is exact). */
+  def tx_bloom_lookup(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    val table = cached(s, dir, "orders", "bloomq", 1L) { loc =>
+      new TxTable(s, loc, orders.schema, Seq("o_orderkey"), numBuckets = 4,
+        bloomCols = Seq("o_custkey"))
+    } { tx => tx.append(orders) }
+    table.scanWhere(col("o_custkey") === 7L)
+      .select("o_orderkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
   /** Transparent MV routing, end to end: lineitem ingested into a
     * TxTable, an [[graft.ext.IncrementalView]] materialized over it
     * (group by flag/status, sum quantity + price), the view registered
@@ -229,6 +270,8 @@ object TxQueries {
     "tx_cdc_diff" -> (tx_cdc_diff _),
     "tx_dv_delete" -> (tx_dv_delete _),
     "tx_evolution_read" -> (tx_evolution_read _),
+    "tx_zorder_scan" -> (tx_zorder_scan _),
+    "tx_bloom_lookup" -> (tx_bloom_lookup _),
     "mv_routed_agg" -> (mv_routed_agg _),
     "mv_routed_having" -> (mv_routed_having _),
     "mv_routed_minmax" -> (mv_routed_minmax _))
@@ -270,6 +313,16 @@ object TxQueries {
       """SELECT n_nationkey, n_name,
         |       CASE WHEN n_nationkey >= 13 THEN 'N-' || n_name END AS note
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "tx_zorder_scan" ->
+      """SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS custkey,
+        |       o_totalprice AS totalprice
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 300 AND o_totalprice < 100000
+        |ORDER BY o_orderkey""".stripMargin,
+    "tx_bloom_lookup" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_custkey = 7
+        |ORDER BY o_orderkey""".stripMargin,
     "mv_routed_agg" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |       SUM(l_quantity) AS sum_qty, COUNT(l_quantity) AS n_qty
