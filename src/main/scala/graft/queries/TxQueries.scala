@@ -178,6 +178,56 @@ object TxQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Version RESTORE, end to end: two appends then `restore(v1)` — a
+    * metadata-only rollback commit (v3 references v1's files; nothing
+    * is rewritten, v2 stays time-travelable until vacuum). The current
+    * read must equal the v1 slice computed by SQL from raw parquet. */
+  def tx_restore_read(s: SparkSession, dir: String): DataFrame = {
+    val supp = t(s, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey")
+    val table = cached(s, dir, "supplier", "restoreq", 3L) { loc =>
+      new TxTable(s, loc, supp.schema, Seq("s_suppkey"), numBuckets = 2)
+    } { tx =>
+      tx.append(supp.filter(col("s_suppkey") <= 100))   // v1
+      tx.append(supp.filter(col("s_suppkey") > 100))    // v2
+      tx.restore(1L)                                    // v3 ≡ v1
+    }
+    table.read
+      .select(col("s_suppkey"), col("s_name"),
+        col("s_nationkey").cast("long").as("nationkey"))
+      .orderBy("s_suppkey")
+  }
+
+  /** SHALLOW CLONE, end to end: the clone pins the source's files by
+    * reference (zero copy), then takes its OWN upsert — its read must
+    * equal the source data with the clone's mutation applied
+    * (DeletionVectorSpec proves source isolation; THIS proves the
+    * clone's merged view is exact). */
+  def tx_clone_read(s: SparkSession, dir: String): DataFrame = {
+    val supp = t(s, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey")
+    val table = cached(s, dir, "supplier", "cloneq2", 1L) { loc =>
+      new TxTable(s, loc, supp.schema, Seq("s_suppkey"), numBuckets = 2)
+    } { clone =>
+      // the SOURCE side table lives outside the cached dir, so a
+      // retried build must start it fresh or it would double-append
+      rmTree(new java.io.File(clone.dir + "-src"))
+      val src = new TxTable(s, clone.dir + "-src", supp.schema,
+        Seq("s_suppkey"), numBuckets = 2)
+      src.append(supp)                                   // source v1
+      src.shallowCloneTo(clone.dir)                      // clone v0 (refs)
+      clone.upsert(s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(1L, "CLONED", supp.filter(
+            col("s_suppkey") === 1L).select("s_nationkey").head.get(0))),
+        supp.schema))                                    // clone v1
+    }
+    table.read
+      .select(col("s_suppkey"), col("s_name"),
+        col("s_nationkey").cast("long").as("nationkey"))
+      .orderBy("s_suppkey")
+  }
+
   /** Transparent MV routing, end to end: lineitem ingested into a
     * TxTable, an [[graft.ext.IncrementalView]] materialized over it
     * (group by flag/status, sum quantity + price), the view registered
@@ -272,6 +322,8 @@ object TxQueries {
     "tx_evolution_read" -> (tx_evolution_read _),
     "tx_zorder_scan" -> (tx_zorder_scan _),
     "tx_bloom_lookup" -> (tx_bloom_lookup _),
+    "tx_restore_read" -> (tx_restore_read _),
+    "tx_clone_read" -> (tx_clone_read _),
     "mv_routed_agg" -> (mv_routed_agg _),
     "mv_routed_having" -> (mv_routed_having _),
     "mv_routed_minmax" -> (mv_routed_minmax _))
@@ -323,6 +375,16 @@ object TxQueries {
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_custkey = 7
         |ORDER BY o_orderkey""".stripMargin,
+    "tx_restore_read" ->
+      """SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS nationkey
+        |FROM supplier WHERE s_suppkey <= 100
+        |ORDER BY s_suppkey""".stripMargin,
+    "tx_clone_read" ->
+      """SELECT s_suppkey,
+        |       CASE WHEN s_suppkey = 1 THEN 'CLONED' ELSE s_name END AS s_name,
+        |       CAST(s_nationkey AS BIGINT) AS nationkey
+        |FROM supplier
+        |ORDER BY s_suppkey""".stripMargin,
     "mv_routed_agg" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |       SUM(l_quantity) AS sum_qty, COUNT(l_quantity) AS n_qty
