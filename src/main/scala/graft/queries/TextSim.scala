@@ -437,6 +437,34 @@ object TextSim {
       .limit(20)
   }
 
+  /** X1 — kNN majority-label classification (the labeling/curation
+    * shape: predict a query vector's label from its k nearest
+    * neighbors' votes). Neighbor cut follows the x1 top-k discipline
+    * — order by the ROUNDED cosine with id tiebreak, so both engines
+    * cut the same boundary — then votes roll up per label with a
+    * (votes desc, label asc) total order; row 1 is the prediction,
+    * the rest is the confidence histogram. */
+  def x1_knn_label(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("e").as("qe"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+      .withColumn("na", sqrt(expr(
+        "aggregate(e, 0D, (acc, x) -> acc + x * x)")))
+      .withColumn("nq", sqrt(expr(
+        "aggregate(qe, 0D, (acc, x) -> acc + x * x)")))
+      .withColumn("score", round(col("dot") / (col("na") * col("nq")), 6))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(25)
+      .groupBy("label")
+      .agg(count(lit(1)).as("votes"))
+      .orderBy(desc("votes"), asc("label"))
+  }
+
   /** X1 — label centroid top-k: mean embedding per label (decimal-exact
     * per-dimension mean is overkill; counts and rounded norms suffice
     * for the oracle) — demonstrates groupwise vector aggregation. */
@@ -567,6 +595,7 @@ object TextSim {
     "x4_mixture_sample" -> (x4_mixture_sample _),
     "x4_split_assign" -> (x4_split_assign _),
     "x1_cosine_topk" -> (x1_cosine_topk _),
+    "x1_knn_label" -> (x1_knn_label _),
     "x1_label_stats" -> (x1_label_stats _))
 
   val oracle: Map[String, String] = Map(
@@ -930,6 +959,19 @@ object TextSim {
         |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE e.vec_id <> 0
         |ORDER BY score DESC, e.vec_id ASC LIMIT 20""".stripMargin,
+    // kNN votes: neighbors cut by the ROUNDED cosine + id (both
+    // engines cut the same boundary), then a per-label rollup
+    "x1_knn_label" ->
+      """SELECT label, COUNT(*) AS votes FROM (
+        | SELECT e.label,
+        |  ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score,
+        |  e.vec_id
+        | FROM embeddings e
+        | CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        | WHERE e.vec_id <> 0
+        | ORDER BY score DESC, e.vec_id ASC LIMIT 25)
+        |GROUP BY label
+        |ORDER BY votes DESC, label ASC""".stripMargin,
     "x1_label_stats" ->
       """SELECT label, COUNT(*) AS n,
         | ROUND(MIN(norm), 6) AS min_norm, ROUND(MAX(norm), 6) AS max_norm
