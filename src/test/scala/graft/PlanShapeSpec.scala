@@ -107,6 +107,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(scansOf("sql_tpch_q11", "lineitem") === 1)
   }
 
+  test("knn label: broadcast query vector, top-k as TakeOrdered, no corpus sort") {
+    val p = planOf("x1_knn_label")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("mixture sample: one broadcast of the per-language aggregate, no sort") {
+    val p = planOf("x4_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("tpch q4: EXISTS plans as a semi join against the fact table") {
     val p = planOf("sql_tpch_q4")
     assert(p.contains("LeftSemi"), p)
