@@ -241,6 +241,17 @@ final class TxTable(
     versions.reverseIterator.map(commitMeta(_).get(key))
       .collectFirst { case Some(v) => v }
 
+  /** [[latestMeta]] pinned AT a version: newest value for `key` among
+    * retained commits `<= v`. Guarded commits hand their precondition
+    * a [[TxTable.Snapshot]] backed by this, so the check is against
+    * the exact state the commit claims — never floating head state. */
+  def metaAsOf(v: Long, key: String): Option[String] =
+    versions.reverseIterator.filter(_ <= v)
+      .map(commitMeta(_).get(key)).collectFirst { case Some(x) => x }
+
+  private def snapshotAt(v: Long): TxTable.Snapshot =
+    new TxTable.Snapshot(v, k => metaAsOf(v, k))
+
   private def claimPath(v: Long): Path =
     new Path(manifestDir, f"v$v%020d.claim")
 
@@ -1074,43 +1085,51 @@ final class TxTable(
     }
   }
 
-  /** GUARDED [[append]] — see [[upsertIf]]: `pre` re-evaluates inside
-    * every commit attempt; a now-false precondition abandons the
-    * append (returns false) instead of double-applying it. This is
+  /** GUARDED [[append]] — see [[upsertIf]]: `pre` sees the snapshot at
+    * each attempt's claimed base; a now-false precondition abandons
+    * the append (returns false) instead of double-applying it. This is
     * how a streaming sink makes a REPLAYED micro-batch converge: the
     * precondition checks the per-stream batch watermark this append
     * was computed against, committed atomically with the data via
     * `meta`. */
   def appendIf(df: DataFrame, meta: Map[String, String])
-      (pre: => Boolean): Boolean = {
+      (pre: TxTable.Snapshot => Boolean): Boolean = {
     createIfAbsent()
     val (staged, stage) = stageFiles(df, currentSchema)
     try withRetry {
-      if (!pre) false
+      val base = currentVersion
+      val m = loadManifest(base)
+      if (!pre(snapshotAt(base))) false
       else {
-        val base = currentVersion
-        commit(loadManifest(base).entries ++ staged, base, meta = meta)
+        commit(m.entries ++ staged, base, meta = meta)
         true
       }
     } finally fs.delete(stage, true)
   }
 
-  /** GUARDED [[upsert]]: a compare-and-set against table state. `pre`
-    * is re-evaluated inside every commit attempt — a competing commit
-    * fails this writer's claim, the retry re-reads the new state, and
-    * a now-false precondition abandons the mutation (returns false)
-    * instead of double-applying it. This is how an incremental view
-    * makes `refresh` idempotent under CONCURRENT refreshers: the
-    * precondition checks the applied-watermark is still the one the
-    * delta was computed against. */
+  /** GUARDED [[upsert]]: a compare-and-set against table state. Each
+    * commit attempt reads its base version FIRST and hands `pre` a
+    * [[TxTable.Snapshot]] pinned at that base; only if `pre` holds is
+    * base + 1 claimed. The exclusive-create claim thus SERIALIZES
+    * validation with publication: a competing commit landing after the
+    * base read fails this writer's claim, the retry re-reads the new
+    * base and re-evaluates `pre` against it, and a now-false
+    * precondition abandons the mutation (returns false) instead of
+    * double-applying it. (Evaluating `pre` against floating head state
+    * instead would re-open the window: a commit landing between the
+    * check and the base read hands this writer a clean claim at the
+    * NEW head and the stale delta applies twice.) This is how an
+    * incremental view makes `refresh` idempotent under CONCURRENT
+    * refreshers: the precondition checks the applied-watermark at the
+    * claimed base is still the one the delta was computed against. */
   def upsertIf(df: DataFrame, meta: Map[String, String])
-      (pre: => Boolean): Boolean = {
+      (pre: TxTable.Snapshot => Boolean): Boolean = {
     createIfAbsent()
     withRetry {
-      if (!pre) false
+      val base = currentVersion
+      val m = loadManifest(base)
+      if (!pre(snapshotAt(base))) false
       else {
-        val base = currentVersion
-        val m = loadManifest(base)
         val target = schemaAt(m)
         val updates = df
           .select(target.fields.map(fl => col(fl.name).cast(fl.dataType)): _*)
@@ -1122,13 +1141,14 @@ final class TxTable(
 
   /** GUARDED [[replace]] — see [[upsertIf]]. */
   def replaceIf(df: DataFrame, meta: Map[String, String])
-      (pre: => Boolean): Boolean = {
+      (pre: TxTable.Snapshot => Boolean): Boolean = {
     createIfAbsent()
     withRetry {
-      if (!pre) false
+      val base = currentVersion
+      val m = loadManifest(base)
+      if (!pre(snapshotAt(base))) false
       else {
-        val base = currentVersion
-        stageAndCommit(Nil, df, base, currentSchema, meta = meta)
+        stageAndCommit(Nil, df, base, schemaAt(m), meta = meta)
         true
       }
     }
@@ -1143,23 +1163,23 @@ final class TxTable(
     * ids do — bounded by `numBuckets`). */
   def applyChanges(upserts: DataFrame, deleteKeys: DataFrame,
       meta: Map[String, String] = Map.empty): Unit = {
-    applyChangesIf(upserts, deleteKeys, meta)(true)
+    applyChangesIf(upserts, deleteKeys, meta)(_ => true)
     ()
   }
 
   /** GUARDED [[applyChanges]] — see [[upsertIf]] for the CAS contract.
     * How a CDC consumer (replication) makes concurrent syncs safe:
-    * the precondition re-checks its watermark inside every commit
-    * attempt, so a stale diff is abandoned instead of re-applied on
-    * top of a newer sync. */
+    * each attempt re-checks its watermark against the snapshot at the
+    * claimed base, so a stale diff is abandoned instead of re-applied
+    * on top of a newer sync. */
   def applyChangesIf(upserts: DataFrame, deleteKeys: DataFrame,
-      meta: Map[String, String])(pre: => Boolean): Boolean = {
+      meta: Map[String, String])(pre: TxTable.Snapshot => Boolean): Boolean = {
     createIfAbsent()
     withRetry {
-      if (!pre) false
+      val base = currentVersion
+      val m = loadManifest(base)
+      if (!pre(snapshotAt(base))) false
       else {
-        val base = currentVersion
-        val m = loadManifest(base)
         val target = schemaAt(m)
         val ups = upserts
           .select(target.fields.map(fl => col(fl.name).cast(fl.dataType)): _*)
@@ -1531,7 +1551,33 @@ final class TxTable(
           f.delete(st.getPath, false)
       }
     val oldestKept = keep.head
-    vs.filter(_ < oldestKept).foreach { v =>
+    // Application watermarks (stream replay guards, IVM / replication
+    // source versions) live in commit meta, and [[latestMeta]] scans
+    // only RETAINED manifests — deleting the last manifest that
+    // carries a key would silently reset its consumer (a replayed
+    // stream batch would re-append, a view would full-recompute). So
+    // BEFORE deleting anything, fold the newest dropped value of every
+    // otherwise-lost key into one fresh commit. Crash-safe (the carry
+    // commit lands first; a crash in between just re-runs the carry)
+    // and race-safe (the lost set is recomputed inside each attempt,
+    // so a concurrent commit writing a newer value for the same key
+    // is never shadowed — its key lands in the retained set and drops
+    // out of `lost`). Idempotent: once carried, the key is retained
+    // and later vacuums skip it.
+    val dropped = vs.filter(_ < oldestKept)
+    if (dropped.nonEmpty) {
+      val candidate = dropped.sorted
+        .foldLeft(Map.empty[String, String])((acc, v) => acc ++ commitMeta(v))
+      if (candidate.nonEmpty) withRetry {
+        val base = currentVersion
+        val m = loadManifest(base)
+        val retainedKeys: Set[String] = versions.filter(_ >= oldestKept)
+          .flatMap(commitMeta(_).keys).toSet
+        val lost = candidate -- retainedKeys
+        if (lost.nonEmpty) { commit(m.entries, base, m.declaredSchema, lost); () }
+      }
+    }
+    dropped.foreach { v =>
       val p = manifestPath(v)
       if (f.exists(p) && aged(f.getFileStatus(p))) f.delete(p, false)
     }
@@ -1592,4 +1638,16 @@ object TxTable {
   /** A writer lost the race for its target version; the mutation is
     * rebased onto the new current version and retried. */
   final class CommitConflict(msg: String) extends RuntimeException(msg)
+
+  /** Read-only view of a table AS OF the base version a guarded-commit
+    * attempt claims against ([[TxTable.appendIf]]/`upsertIf`/
+    * `replaceIf`/`applyChangesIf`). Preconditions receive THIS — never
+    * floating head state — so the exclusive claim of `version + 1`
+    * serializes the precondition check with publication. */
+  final class Snapshot private[core] (
+      val version: Long, lookup: String => Option[String]) {
+    /** Newest value for `key` among retained commits `<= version`
+      * (the snapshot-pinned [[TxTable.latestMeta]]). */
+    def meta(key: String): Option[String] = lookup(key)
+  }
 }

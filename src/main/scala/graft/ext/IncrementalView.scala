@@ -96,6 +96,13 @@ final class IncrementalView(
   def appliedVersion: Long =
     table.latestMeta(WatermarkKey).map(_.toLong).getOrElse(-1L)
 
+  /** The watermark as a guarded-commit SNAPSHOT sees it — preconditions
+    * must read this (pinned at the claimed base), never the floating
+    * [[appliedVersion]], or a commit landing between the check and the
+    * base read would let a stale delta apply twice. */
+  private def watermarkOf(snap: TxTable.Snapshot): Long =
+    snap.meta(WatermarkKey).map(_.toLong).getOrElse(-1L)
+
   /** Storage-form rows (cnt / sum_* / nn_* columns, tombstones
     * filtered) — the relation the materialized-view rewrite
     * ([[graft.plans.MvRewrite]]) splices in place of a matched
@@ -147,10 +154,12 @@ final class IncrementalView(
         try Some(source.changes(math.max(from, -1L), to))
         catch { case _: java.io.FileNotFoundException => None }
     // every commit below is GUARDED on the watermark still being
-    // `from` (re-checked inside each commit attempt): two concurrent
-    // refreshers can both compute the same delta, but only the first
-    // applies it — the loser's precondition fails after its commit
-    // conflict rebases, instead of double-counting the delta.
+    // `from`, checked against the snapshot at each attempt's claimed
+    // base: two concurrent refreshers can both compute the same delta,
+    // but only the first applies it — the loser either fails its
+    // version claim (rebases, re-checks, abandons) or reads a base
+    // that already carries the winner's watermark and abandons
+    // outright, instead of double-counting the delta.
     val applied = feed match {
       case None =>
         // horizon lost: one-commit full recompute (replace is atomic,
@@ -162,7 +171,7 @@ final class IncrementalView(
         table.replaceIf(
           source.readVersion(to)
             .groupBy(groupCols.map(col): _*).agg(full.head, full.tail: _*),
-          Map(WatermarkKey -> to.toString))(appliedVersion == from)
+          Map(WatermarkKey -> to.toString))(watermarkOf(_) == from)
       case Some(ch) =>
         val weight = when(
           col("_change_type").isin("insert", "update_postimage"), 1L)
@@ -243,7 +252,7 @@ final class IncrementalView(
             merged.unionByName(recomputed).unionByName(gone)
         }
         table.upsertIf(toWrite, Map(WatermarkKey -> to.toString))(
-          appliedVersion == from)
+          watermarkOf(_) == from)
     }
     if (applied) versionsApplied(from, to) else 0
   }

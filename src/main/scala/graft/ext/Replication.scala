@@ -29,6 +29,12 @@ object Replication {
   def appliedVersion(follower: TxTable): Long =
     follower.latestMeta(WatermarkKey).map(_.toLong).getOrElse(-1L)
 
+  /** Watermark as a guarded-commit snapshot sees it — the form a
+    * precondition must use (pinned at the claimed base; the floating
+    * [[appliedVersion]] would re-open the replay window). */
+  private def watermarkOf(snap: TxTable.Snapshot): Long =
+    snap.meta(WatermarkKey).map(_.toLong).getOrElse(-1L)
+
   /** Converge `follower` to `leader`'s current version. Returns the
     * number of leader commits applied (0 = already current, or a
     * concurrent sync won the race and applied it first). */
@@ -53,7 +59,8 @@ object Replication {
         try Some(leader.changes(math.max(from, -1L), to).localCheckpoint())
         catch { case _: java.io.FileNotFoundException => None }
     // both commit paths are GUARDED on the watermark still being
-    // `from` (re-checked inside every commit attempt): concurrent
+    // `from` (checked against each attempt's claimed-base snapshot,
+    // so the version claim serializes check with publish): concurrent
     // syncs serialize — the loser abandons its stale diff instead of
     // re-applying it on top of the winner's newer state (which would
     // resurrect deleted keys and regress updated ones).
@@ -64,7 +71,7 @@ object Replication {
         // follower AHEAD of its own watermark (the next sync would
         // then re-apply changes it already holds)
         follower.replaceIf(leader.readVersion(to),
-          Map(WatermarkKey -> to.toString))(appliedVersion(follower) == from)
+          Map(WatermarkKey -> to.toString))(watermarkOf(_) == from)
       case Some(cached) =>
         try {
           val upserts = cached
@@ -75,7 +82,7 @@ object Replication {
           // ONE atomic commit applies both sides and the watermark —
           // fully distributed (no key list touches the driver)
           follower.applyChangesIf(upserts, deletes,
-            Map(WatermarkKey -> to.toString))(appliedVersion(follower) == from)
+            Map(WatermarkKey -> to.toString))(watermarkOf(_) == from)
         } finally cached.unpersist()
     }
     if (applied) leader.versions.count(v => v > from && v <= to) else 0

@@ -49,10 +49,14 @@ object StreamingView {
         val applied = table.latestMeta(metaKey(queryTag)).map(_.toLong)
         if (!applied.exists(_ >= batchId)) {
           val meta = Map(metaKey(queryTag) -> batchId.toString)
-          if (upsert) table.upsertIf(batch, meta)(
-            table.latestMeta(metaKey(queryTag)).map(_.toLong) == applied)
-          else table.appendIf(batch, meta)(
-            table.latestMeta(metaKey(queryTag)).map(_.toLong) == applied)
+          // the precondition reads the watermark from the snapshot at
+          // each attempt's claimed base (never floating head state), so
+          // a replay racing any other writer cannot slip a duplicate
+          // batch in behind the check
+          def fresh(snap: TxTable.Snapshot): Boolean =
+            !snap.meta(metaKey(queryTag)).map(_.toLong).exists(_ >= batchId)
+          if (upsert) table.upsertIf(batch, meta)(fresh)
+          else table.appendIf(batch, meta)(fresh)
           ()
         }
         views.foreach(_.refresh())

@@ -82,4 +82,42 @@ class StreamingViewSpec extends SparkSpec {
     assert(table.currentVersion === v, "replay must not commit again")
     assert(viewRows(view) === rows)
   }
+
+  test("replay racing an unrelated writer: batches apply once, the writer's rows survive") {
+    val src = eventsDir("sv3-src", nFiles = 2)
+    val table = mkTable("sv3-tab")
+    val view = new IncrementalView(spark, table, tmpDir("sv3-view") + "/v",
+      Seq("event_type"), Nil, numBuckets = 2, minMaxCols = Seq("value"))
+    def run(cp: String) = {
+      val stream = spark.readStream.schema(EventStreams.eventSchema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .select("event_id", "event_type", "value")
+      StreamingView.start(table, Seq(view), stream, cp, queryTag = "t1")
+        .awaitTermination()
+    }
+    run(tmpDir("sv3-cp-a"))
+    val n = table.read.count()
+    // checkpoint lost AND a rival writer lands unrelated commits while
+    // the batches replay: every replayed batch must skip (its guarded
+    // append re-checks the watermark against each claimed base), and
+    // none of the rival's commits may be lost to the race
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    try {
+      val rival = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = (1 to 5).foreach { i =>
+          table.upsert(Seq((900000L + i, "rival", i.toDouble))
+            .toDF("event_id", "event_type", "value"))
+        }
+      })
+      run(tmpDir("sv3-cp-b"))
+      rival.get()
+    } finally pool.shutdown()
+    assert(table.read.count() === n + 5, "replay dup or lost rival rows")
+    view.refresh() // rival commits may postdate the replay's last refresh
+    val expect = table.read.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), min("value").as("min_value"),
+        max("value").as("max_value"))
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(viewRows(view) === expect)
+  }
 }

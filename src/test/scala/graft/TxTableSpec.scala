@@ -252,6 +252,56 @@ class TxTableSpec extends SparkSpec {
       Seq(("a", 1), ("b", 2)))
   }
 
+  test("vacuum carries otherwise-lost commit meta forward (watermark keys survive retention)") {
+    val t = tkv()
+    t.append(Seq(("a", 1)).toDF("k", "v"))
+    assert(t.appendIf(Seq(("b", 2)).toDF("k", "v"),
+      Map("stream_batch:q" -> "7"))(_ => true))
+    t.compact() // newest retained commit carries no watermark key
+    t.append(Seq(("c", 3)).toDF("k", "v"))
+    val rows = t.read.count()
+    t.vacuum(keepVersions = 1, minAgeMs = 0L)
+    // the carry commit re-published the dropped key atop unchanged data
+    assert(t.latestMeta("stream_batch:q") === Some("7"))
+    assert(t.read.count() === rows)
+    // so a replayed guarded append (checkpoint lost) correctly no-ops
+    val replayed = t.appendIf(Seq(("b", 2)).toDF("k", "v"),
+      Map("stream_batch:q" -> "7"))(
+      s => !s.meta("stream_batch:q").map(_.toLong).exists(_ >= 7L))
+    assert(!replayed)
+    assert(t.read.count() === rows)
+    // idempotent: once carried the key is retained — no carry pile-up
+    val v = t.currentVersion
+    t.vacuum(keepVersions = 1, minAgeMs = 0L)
+    assert(t.currentVersion === v)
+    assert(t.latestMeta("stream_batch:q") === Some("7"))
+  }
+
+  test("guarded append: two racers with the same watermark — exactly one commits") {
+    // the appendIf CAS shape a streaming replay exercises: both racers
+    // read the same applied watermark, both stage, one wins the claim;
+    // the loser must re-check against the NEW base and abandon (the
+    // TOCTOU variant — precondition checked before the base read —
+    // let the loser land a clean duplicate at base + 1)
+    val t = tkv()
+    t.append(Seq(("seed", 0)).toDF("k", "v"))
+    val batch = Seq(("b1", 1), ("b2", 2)).toDF("k", "v")
+    def guardedAppend(): Boolean =
+      t.appendIf(batch, Map("stream_batch:q" -> "1"))(
+        s => !s.meta("stream_batch:q").map(_.toLong).exists(_ >= 1L))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      (1 to 5).foreach { _ => // race window is narrow — repeat
+        val futs = (1 to 2).map(_ =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean = guardedAppend()
+          }))
+        assert(futs.count(_.get()) <= 1)
+      }
+    } finally pool.shutdown()
+    assert(t.read.count() === 3, "the batch must apply exactly once")
+  }
+
   test("two concurrent writers: no lost updates, conflict path exercised") {
     val dir = tmpDir("txcc") + "/kv"
     val schema = StructType(Seq(
