@@ -248,12 +248,18 @@ object Similarity {
     * partition-order noise in its low bits. One posexplode (rows ×
     * dims, columnar-narrow), a (labels × dims)-sized aggregate
     * rebuilt into arrays, a BROADCAST of the (tiny) centroid table
-    * back onto the corpus, and a per-label top-k window over the
-    * ROUNDED score (6 dp) with id tiebreak — deterministic across
-    * engines and partitionings. */
+    * back onto the corpus, and a per-label BOTTOM-k via the bounded
+    * partial-aggregating [[TopK]] over the negated ROUNDED score
+    * (6 dp, id tiebreak) — deterministic across engines and
+    * partitionings. The top-k is an aggregate, not a window: labels
+    * are few by construction, so `row_number` partitioned by label
+    * would funnel every row of a label through one reducer (the
+    * hot-key anti-pattern [[TopK]]'s docstring warns about); the
+    * aggregator ships at most k entries per label per partition
+    * across the shuffle instead. `idCol` must be integral (it rides
+    * the aggregator as a Long). */
   def labelCentroidOutliers(emb: DataFrame, embCol: String, idCol: String,
       labelCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = col(embCol).cast(ArrayType(DoubleType))
     val pos = emb.select(col(labelCol).as("_lbl"),
         posexplode(e).as(Seq("_pos", "_x")))
@@ -263,12 +269,18 @@ object Similarity {
       .groupBy("_lbl")
       .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_sx")))),
         s => s.getField("_sx").cast(DoubleType)).as("_cent"))
-    val w = Window.partitionBy(col(labelCol))
-      .orderBy(col("centroid_cos").asc, col(idCol).asc)
+    val idType = emb.schema(idCol).dataType
+    val bottomK = TopK.top_k(k) // value DESC ≡ cosine ASC after negation
     emb.join(broadcast(cent), col(labelCol) === col("_lbl"))
       .withColumn("centroid_cos", round(cosine(e, col("_cent")), 6))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select(col(labelCol), col(idCol), col("centroid_cos"), col("rank"))
+      .groupBy(col(labelCol))
+      .agg(bottomK(negate(col("centroid_cos")),
+        col(idCol).cast(LongType)).as("_top"))
+      .select(col(labelCol),
+        posexplode(col("_top").getField("entries")).as(Seq("_r0", "_e")))
+      .select(col(labelCol),
+        col("_e").getField("id").cast(idType).as(idCol),
+        negate(col("_e").getField("value")).as("centroid_cos"),
+        (col("_r0") + 1).cast(LongType).as("rank"))
   }
 }

@@ -580,4 +580,26 @@ class ExtSpec extends SparkSpec {
     }
     assert(windows.isEmpty, s"unexpected Window in plan: $windows")
   }
+
+  test("labelCentroidOutliers: bottom-k per label with NO corpus-sized window") {
+    // labels are few by construction, so a per-label row_number window
+    // would rank the whole corpus through one reducer per label; the
+    // ranking must come from the bounded partial-aggregating TopK
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 0), (4L, Array(0.5f, 0.5f), 1),
+      (5L, Array(-1.0f, 0.2f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidOutliers(
+      emb, "embedding", "vec_id", "label", k = 2)
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"unexpected Window in plan: $windows")
+    // rank 1 = farthest from the label centroid, id-tiebroken
+    val got = out.select("label", "rank", "vec_id")
+      .as[(Int, Long, Long)].collect().toSet
+    // label 0 centroid ≈ (1.9, 1.1): v3 ⊥-most (cos .50), then v1 (.87)
+    // label 1 centroid ≈ (-0.5, 0.7): v4 (cos .16), then v5 (.73)
+    assert(got === Set((0, 1L, 3L), (0, 2L, 1L), (1, 1L, 4L), (1, 2L, 5L)))
+  }
 }
