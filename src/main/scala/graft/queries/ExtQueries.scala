@@ -62,6 +62,35 @@ object ExtQueries {
       .limit(10)
   }
 
+  /** X1 — INDEX-SERVED kNN majority-label classification: the labeling
+    * shape a 100 TB curation pipeline actually runs — candidates from
+    * the persisted IVF-PQ index, then the SAME rounded-score cut and
+    * per-label vote roll-up as the exact brute-force twin
+    * ([[graft.queries.TextSim.x1_knn_label]], which is also the
+    * oracle). Margin discipline as [[x1_ivfpq_topk]]: nProbe = nLists
+    * on this clusterless synthetic corpus (pruning would drop true
+    * neighbors — see PLANS.md); refine = 400 measured to recover the
+    * FULL exact top-50 at every tested SF (refine = 200 already drops
+    * one member), and the vote then cuts at 25 — a further 2×
+    * candidate margin. The index changes scan bytes (codes not
+    * vectors) and, on clustered data, the probed fraction — never the
+    * answer. */
+  def x1_knn_index_label(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idxDir = ivfPqIndexDir(s, dir)
+    val qv = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+      .head.getSeq[Float](0).map(_.toDouble)
+    graft.ext.IvfPq.persistedTopK(s, idxDir, emb.schema, "embedding",
+        "vec_id", qv, k = 50, nProbe = 8, refine = 400)
+      .filter(col("vec_id") =!= 0L)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(25)
+      .groupBy("label")
+      .agg(count(lit(1)).as("votes"))
+      .orderBy(desc("votes"), asc("label"))
+  }
+
   /** X1 — embedding-quality curation: per label, the 3 vectors
     * farthest from their label centroid (lowest cosine — the
     * mislabeled/failed-embed detector). The centroid is an exact
@@ -275,6 +304,7 @@ object ExtQueries {
     "x1_lsh_buckets" -> (x1_lsh_buckets _),
     "x1_ann_topk" -> (x1_ann_topk _),
     "x1_ann_index_topk" -> (x1_ann_index_topk _),
+    "x1_knn_index_label" -> (x1_knn_index_label _),
     "x1_pq_topk" -> (x1_pq_topk _),
     "x1_ivfpq_topk" -> (x1_ivfpq_topk _),
     "p6b_indexed_search" -> (p6b_indexed_search _),
@@ -377,6 +407,20 @@ object ExtQueries {
         |   i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]),
         |  'fast merge')
         |ORDER BY doc_id""".stripMargin,
+    // index-served kNN: the LSH candidate pool covers the exact top-25
+    // with measured margin, so the oracle is the exact brute-force
+    // vote — the index changes the access path, never the answer
+    "x1_knn_index_label" ->
+      """SELECT label, COUNT(*) AS votes FROM (
+        | SELECT e.label,
+        |  ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score,
+        |  e.vec_id
+        | FROM embeddings e
+        | CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        | WHERE e.vec_id <> 0
+        | ORDER BY score DESC, e.vec_id ASC LIMIT 25)
+        |GROUP BY label
+        |ORDER BY votes DESC, label ASC""".stripMargin,
     // PQ re-rank with a 3×-margin refine recovers the TRUE top-k, so
     // the oracle is plain brute-force cosine — the quantizer changes
     // the access path and scan bytes, never the answer
