@@ -26,10 +26,23 @@ object DistinctSketch {
 
   /** Aggregate + append one sketch row per tracked column for this
     * batch. One narrow pass over the batch; the stored row is a few
-    * KB regardless of batch size. */
+    * KB regardless of batch size. The tracked-column set is part of
+    * the store's contract: a batch tracking a DIFFERENT set is
+    * rejected up front — silently appending it would leave parquet
+    * files with disjoint sk_* columns, and a later schema-picked read
+    * would drop whole batches from the union (undercounted
+    * estimates). */
   def addBatch(batch: DataFrame, cols: Seq[String], dir: String,
       batchId: Long, lgConfigK: Int = 12): Unit = {
     require(cols.nonEmpty, "track at least one column")
+    val spark = batch.sparkSession
+    val stored = storedSketchCols(spark, dir)
+    if (stored.nonEmpty) {
+      val incoming = cols.map(c => s"sk_$c").toSet
+      require(incoming == stored,
+        s"tracked columns ${cols.sorted.mkString(",")} do not match the " +
+          s"store's ${stored.map(_.stripPrefix("sk_")).toSeq.sorted.mkString(",")}")
+    }
     val aggs = cols.map(c =>
       hll_sketch_agg(col(c).cast("string"), lit(lgConfigK)).as(s"sk_$c"))
     batch.agg(aggs.head, aggs.tail: _*)
@@ -37,24 +50,42 @@ object DistinctSketch {
       .write.mode("append").parquet(s"$dir/sketches")
   }
 
+  private def storedSketchCols(spark: SparkSession, dir: String): Set[String] =
+    try readSketches(spark, dir).columns.filter(_.startsWith("sk_")).toSet
+    catch { case e: Exception
+        if e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND") =>
+      Set.empty
+    }
+
+  /** mergeSchema guards against a store written before the
+    * tracked-set validation existed (files with disjoint sk_*
+    * columns): every column then surfaces (nulls where a file lacks
+    * it) instead of parquet silently electing one file's schema. */
+  private def readSketches(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", true).parquet(s"$dir/sketches")
+
   /** Distinct-count estimate for `column` over every batch persisted
-    * so far — reads (and unions) one small sketch per batch. */
-  def estimate(spark: SparkSession, dir: String, column: String): Long =
-    spark.read.parquet(s"$dir/sketches")
+    * so far — reads (and unions) one small sketch per batch. An
+    * all-null sketch column (no batch tracked it, or only empty
+    * batches) estimates 0 rather than NPE-ing on the null fold. */
+  def estimate(spark: SparkSession, dir: String, column: String): Long = {
+    val row = readSketches(spark, dir)
       .agg(hll_sketch_estimate(hll_union_agg(col(s"sk_$column")))
         .as("estimate"))
-      .head.getLong(0)
+      .head
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
 
   /** Estimates for every tracked column at once (one fold over the
     * sketch table). */
   def estimateAll(spark: SparkSession, dir: String): Map[String, Long] = {
-    val df = spark.read.parquet(s"$dir/sketches")
+    val df = readSketches(spark, dir)
     val skCols = df.columns.filter(_.startsWith("sk_")).toSeq
     val aggs = skCols.map(c =>
       hll_sketch_estimate(hll_union_agg(col(c))).as(c.stripPrefix("sk_")))
     val row = df.agg(aggs.head, aggs.tail: _*).head
     skCols.zipWithIndex.map { case (c, i) =>
-      c.stripPrefix("sk_") -> row.getLong(i)
+      c.stripPrefix("sk_") -> (if (row.isNullAt(i)) 0L else row.getLong(i))
     }.toMap
   }
 }

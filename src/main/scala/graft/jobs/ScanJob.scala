@@ -152,6 +152,14 @@ object ScanJob {
     val docTable = wh.domainTable("source_documents")
     docTable.insertIfAbsent(docs.drop("_published", "_tier", "_stage", "_profile"))
 
+    // Mergeable distinct sketches ride the ingest: one tiny HLL row
+    // per run for the doc batch's url/domain, so "distinct
+    // urls/domains so far?" folds the sketch store (cost ∝ runs)
+    // instead of rescanning a 100 TB corpus per ask.
+    graft.ext.DistinctSketch.addBatch(docs.select("url", "domain"),
+      Seq("url", "domain"), s"${wh.root}/sketches/source_documents",
+      batchId = params.runId.hashCode.toLong)
+
     // L3 — vectorize (embed title+content, 6000-char cap, single chunk
     // index 0; `vectorize.ts:6-33`).
     val localStoreId = ensureLocalStore(wh, params.now)

@@ -144,6 +144,45 @@ object ExtQueries {
       AnnIndex.build(t(s, dir, "embeddings"), "embedding", nBits = 8, d)
     }
 
+  /** Batch-appended HLL sketch store over `documents` (4 ingest
+    * batches split by doc_id). Marker written LAST after a wipe, so a
+    * crashed build re-runs from scratch instead of double-appending
+    * (the tx_clone_read lesson). */
+  private def hllSketchDir(s: SparkSession, dir: String): String =
+    buildOnce(dir, "documents", "hllsk", marker = "_DONE") { d =>
+      val root = new java.io.File(d)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      if (root.exists()) rm(root)
+      val docs = t(s, dir, "documents")
+      (0L to 3L).foreach { b =>
+        graft.ext.DistinctSketch.addBatch(
+          docs.filter(pmod(col("doc_id"), lit(4)) === b),
+          Seq("lang", "source"), d, batchId = b)
+      }
+      root.mkdirs()
+      new java.io.File(root, "_DONE").createNewFile()
+      ()
+    }
+
+  /** X — mergeable COUNT(DISTINCT) from the persisted sketch store:
+    * the 100 TB ingest answer to "how many distinct langs/sources so
+    * far?" — the probe folds one tiny sketch row per batch per
+    * column (cost ∝ batches, never corpus). At these cardinalities
+    * (5 langs / 20 sources) HLL sparse mode is EXACT, so a
+    * differential oracle against DuckDB's exact COUNT(DISTINCT) is
+    * sound; large cardinalities carry the standard ~1.6 % envelope
+    * (DistinctSketchSpec) and are deliberately not oracle'd. */
+  def x_hll_distinct(s: SparkSession, dir: String): DataFrame = {
+    val skDir = hllSketchDir(s, dir)
+    val est = graft.ext.DistinctSketch.estimateAll(s, skDir)
+      .toSeq.sortBy(_._1)
+    import s.implicits._
+    est.toDF("col", "n_distinct").orderBy("col")
+  }
+
   private def pqIndexDir(s: SparkSession, dir: String): String =
     buildOnce(dir, "embeddings", "pqidx-m16k32-s") { d =>
       graft.ext.Pq.buildPersistedFlat(t(s, dir, "embeddings"),
@@ -194,7 +233,8 @@ object ExtQueries {
       timed("textidx")(textIndexDir(s, dir)),
       timed("trgidx")(trigramIndexDir(s, dir)),
       timed("posidx")(positionalIndexDir(s, dir)),
-      timed("ccidx")(TextSim.ccComponentsDir(s, dir)))
+      timed("ccidx")(TextSim.ccComponentsDir(s, dir)),
+      timed("hllsk")(hllSketchDir(s, dir)))
   }
 
   /** X1 — product-quantized top-k (third ANN family; `ext.Pq`): the
@@ -311,7 +351,8 @@ object ExtQueries {
     "p6c_substring_search" -> (p6c_substring_search _),
     "p6d_phrase_search" -> (p6d_phrase_search _),
     "x2_cosine_neardup" -> (x2_cosine_neardup _),
-    "x1_label_outliers" -> (x1_label_outliers _))
+    "x1_label_outliers" -> (x1_label_outliers _),
+    "x_hll_distinct" -> (x_hll_distinct _))
 
   /** DuckDB equivalents. SimHash / hyperplane math is hex-char
     * arithmetic with integer sums — value-identical across engines. */
@@ -407,6 +448,13 @@ object ExtQueries {
         |   i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]),
         |  'fast merge')
         |ORDER BY doc_id""".stripMargin,
+    // sparse-mode HLL is exact at these cardinalities, so the sketch
+    // fold must hash-match the exact distinct count
+    "x_hll_distinct" ->
+      """SELECT 'lang' AS col, COUNT(DISTINCT lang) AS n_distinct FROM documents
+        |UNION ALL
+        |SELECT 'source' AS col, COUNT(DISTINCT source) AS n_distinct FROM documents
+        |ORDER BY col""".stripMargin,
     // index-served kNN: the LSH candidate pool covers the exact top-25
     // with measured margin, so the oracle is the exact brute-force
     // vote — the index changes the access path, never the answer

@@ -92,6 +92,14 @@ class PipelineSpec extends SparkSpec {
     val logs = wh.domainTable("run_logs").read
       .filter(col("run_id") === "run-1")
     assert(logs.count() >= 3)
+
+    // the ingest appended one HLL sketch batch for the doc batch; at
+    // these tiny cardinalities sparse mode is exact, so the sketch
+    // fold equals the exact distinct counts of what was persisted
+    val est = graft.ext.DistinctSketch.estimateAll(
+      spark, s"${wh.root}/sketches/source_documents")
+    assert(est("url") === docs.select("url").distinct().count())
+    assert(est("domain") === docs.select("domain").distinct().count())
   }
 
   test("ScanJob is idempotent on re-run (same run id, same candidates)") {
