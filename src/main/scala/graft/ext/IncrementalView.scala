@@ -160,18 +160,20 @@ final class IncrementalView(
     // version claim (rebases, re-checks, abandons) or reads a base
     // that already carries the winner's watermark and abandons
     // outright, instead of double-counting the delta.
+    // one-commit full recompute (replace is atomic, so readers see
+    // either the old view or the complete new one). Aggregate the
+    // snapshot AT `to` — a floating `source.read` would include any
+    // commit landing after `to` was read, which the next refresh
+    // would then re-apply.
+    def fullRecompute(): Boolean = {
+      val full = aggs(lit(1L))
+      table.replaceIf(
+        source.readVersion(to)
+          .groupBy(groupCols.map(col): _*).agg(full.head, full.tail: _*),
+        Map(WatermarkKey -> to.toString))(watermarkOf(_) == from)
+    }
     val applied = feed match {
-      case None =>
-        // horizon lost: one-commit full recompute (replace is atomic,
-        // so readers see either the old view or the complete new one).
-        // Aggregate the snapshot AT `to` — a floating `source.read`
-        // would include any commit landing after `to` was read, which
-        // the next refresh would then re-apply.
-        val full = aggs(lit(1L))
-        table.replaceIf(
-          source.readVersion(to)
-            .groupBy(groupCols.map(col): _*).agg(full.head, full.tail: _*),
-          Map(WatermarkKey -> to.toString))(watermarkOf(_) == from)
+      case None => fullRecompute() // horizon lost
       case Some(ch) =>
         val weight = when(
           col("_change_type").isin("insert", "update_postimage"), 1L)
@@ -201,10 +203,22 @@ final class IncrementalView(
               .select(groupCols.map(col): _*).distinct().localCheckpoint()
             if (dk.isEmpty) None else Some(dk)
           }
+        // key sets are broadcast ONLY while they are provably small
+        // (cheap counts — both sides are localCheckpointed): a delete
+        // sweeping a large fraction of groups, or a backfill touching
+        // millions, would otherwise FORCE a group-count-proportional
+        // broadcast and OOM the driver at the 100 TB design point.
+        // Over the cap the hint is dropped and AQE plans the join
+        // from measured sizes — still delta-proportional, never a
+        // cliff onto a full recompute.
+        val nDelta = delta.count()
+        val nDirty = dirtyKeys.fold(0L)(_.count())
+        def kb(df: DataFrame, n: Long): DataFrame =
+          if (n <= IncrementalView.MaxBroadcastKeys) broadcast(df) else df
         val cleanDelta = dirtyKeys match {
           case None => delta
           case Some(dk) => delta.alias("_d0")
-            .join(broadcast(dk).alias("_k0"), keyCond("_d0", "_k0"), "left_anti")
+            .join(kb(dk, nDirty).alias("_k0"), keyCond("_d0", "_k0"), "left_anti")
         }
         // affected groups only, from affected BUCKETS only: the delta
         // keys' buckets are computed driver-side and the view read is
@@ -213,7 +227,7 @@ final class IncrementalView(
         val keyBuckets = delta.select(table.bucketColumn.as("_b"))
           .distinct().collect().map(_.getInt(0)).toSet
         val affected = table.readBuckets(keyBuckets).alias("_v").join(
-          broadcast(delta.select(groupCols.map(col): _*)).alias("_dk"),
+          kb(delta.select(groupCols.map(col): _*), nDelta).alias("_dk"),
           keyCond("_v", "_dk"), "left_semi")
         val dAlias = cleanDelta.columns.map(c =>
           col(c).as(if (groupCols.contains(c)) c else s"_d_$c"))
@@ -234,7 +248,7 @@ final class IncrementalView(
           case Some(dk) =>
             val full = aggs(lit(1L))
             val recomputed = source.readVersion(to).alias("_s")
-              .join(broadcast(dk).alias("_k"), keyCond("_s", "_k"), "left_semi")
+              .join(kb(dk, nDirty).alias("_k"), keyCond("_s", "_k"), "left_semi")
               .groupBy(groupCols.map(col): _*)
               .agg(full.head, full.tail: _*)
               .localCheckpoint()
@@ -262,4 +276,13 @@ final class IncrementalView(
 
   /** Sweep tombstones (cnt = 0 groups) — safe anytime, refresh-safe. */
   def compactTombstones(): Unit = table.deleteWhere(col("cnt") === 0L)
+}
+
+object IncrementalView {
+  /** Broadcast-hint ceiling for the refresh's delta / dirty-group key
+    * sets: at or under this many keys the broadcast is tens of MB at
+    * worst (delta-proportional, the common case); over it the hint is
+    * dropped and AQE plans the join from measured sizes instead of
+    * force-shipping a group-count-proportional set to the driver. */
+  val MaxBroadcastKeys: Long = 1000000L
 }

@@ -222,8 +222,11 @@ object Connectors {
       docs: DataFrame, // (doc_id, text, source)
       snippetChars: Int = 160) extends SearchClient {
     override def search(query: String, maxResults: Int): Seq[SearchHit] = {
-      val terms = query.toLowerCase.split("[^a-z0-9]+")
-        .filter(_.nonEmpty).distinct.toSeq
+      // [a-z]+ runs, NOT a split: query tokenization must agree with
+      // the indexer's (Dedup.words) or digit-bearing terms ("error
+      // 404", "spark3") produce tokens no posting can ever match
+      val terms = "[a-z]+".r.findAllIn(query.toLowerCase)
+        .toSeq.distinct
       if (terms.isEmpty) return Nil
       val ranked = graft.ext.TextIndex.postings(spark, idxDir, terms)
         .groupBy("doc_id")
