@@ -5,7 +5,8 @@ import scala.collection.concurrent.TrieMap
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -73,7 +74,8 @@ object MvRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!MvCatalog.enabled || MvCatalog.isEmpty) return plan
     plan.transformUp {
-      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+      case agg: Aggregate =>
+        tryRewrite(agg).orElse(tryJoinRewrite(agg)).getOrElse(agg)
     }
   }
 
@@ -163,8 +165,6 @@ object MvRewrite extends Rule[LogicalPlan] {
 
     val exact = groupNames.toSet == groupSet && groupNames.nonEmpty
 
-    def nullOf(e: Expression) = Literal.create(null, e.dataType)
-
     // map one output NamedExpression onto view columns; None = shape
     // we don't serve (whole rewrite is then abandoned)
     def mapOut(ne: NamedExpression): Option[NamedExpression] = {
@@ -172,62 +172,11 @@ object MvRewrite extends Rule[LogicalPlan] {
         Alias(e, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier)
       def groupRef(a: AttributeReference): Option[Expression] =
         srcByExprId.get(a.exprId).filter(groupSet.contains).map(vAttr(_))
-      def agged(ae: AggregateExpression): Option[Expression] = {
-        if (ae.isDistinct || ae.filter.isDefined) return None
-        def cnt = vAttr("cnt")
-        def sumA(c: String) = vAttr(s"sum_$c")
-        def nnA(c: String) = vAttr(s"nn_$c")
-        def sumCol(e: Expression): Option[String] = e match {
-          case a: AttributeReference =>
-            srcByExprId.get(a.exprId).filter(sumSet.contains)
-          case _ => None
-        }
-        def mmCol(e: Expression): Option[String] = e match {
-          case a: AttributeReference =>
-            srcByExprId.get(a.exprId).filter(minMaxSet.contains)
-          case _ => None
-        }
-        def total(a: Attribute): Expression =
-          if (exact) a else Sum(a).toAggregateExpression()
-        ae.aggregateFunction match {
-          case Count(Seq(l: Literal)) if l.value != null =>
-            Some(Coalesce(Seq(total(cnt), Literal(0L))))
-          case Count(Seq(e)) => sumCol(e).map(c =>
-            Coalesce(Seq(total(nnA(c)), Literal(0L))))
-          case s: Sum => sumCol(s.child).map { c =>
-            val t = total(sumA(c))
-            val cast = if (t.dataType == ae.dataType) t else Cast(t, ae.dataType)
-            If(GreaterThan(Coalesce(Seq(total(nnA(c)), Literal(0L))),
-              Literal(0L)), cast, nullOf(ae))
-          }
-          case a: Average if !a.child.dataType.isInstanceOf[DecimalType]
-              && ae.dataType == DoubleType => sumCol(a.child).map { c =>
-            val n = total(nnA(c))
-            If(GreaterThan(Coalesce(Seq(n, Literal(0L))), Literal(0L)),
-              Divide(Cast(total(sumA(c)), DoubleType), Cast(n, DoubleType)),
-              nullOf(ae))
-          }
-          // extrema serve from the min_*/max_* columns (views tracking
-          // them refresh delete-touched groups by recompute, so the
-          // stored extremum is always exact); NULL semantics are free —
-          // the stored value is NULL iff the group saw no non-null
-          // value, and Min/Max re-aggregation skips NULLs like the
-          // recompute would
-          case m: Min => mmCol(m.child).map { c =>
-            val a = vAttr(s"min_$c")
-            if (exact) a else Min(a).toAggregateExpression()
-          }
-          case m: Max => mmCol(m.child).map { c =>
-            val a = vAttr(s"max_$c")
-            if (exact) a else Max(a).toAggregateExpression()
-          }
-          case _ => None
-        }
-      }
       ne match {
         case a: AttributeReference => groupRef(a).map(pin)
         case al @ Alias(a: AttributeReference, _) => groupRef(a).map(pin)
-        case al @ Alias(ae: AggregateExpression, _) => agged(ae).map(pin)
+        case al @ Alias(ae: AggregateExpression, _) =>
+          rewriteAgg(ae, exact, srcByExprId, vAttr, sumSet, minMaxSet).map(pin)
         case _ => None
       }
     }
@@ -240,10 +189,224 @@ object MvRewrite extends Rule[LogicalPlan] {
       if (exact) Project(mapped, filtered)
       else Aggregate(groupNames.map(vAttr(_)), mapped, filtered)
 
-    // the splice must be type-identical from the parent's view
-    val sameShape = rewritten.output.zip(agg.output).forall { case (n, o) =>
+    if (sameShape(rewritten, agg)) Some(rewritten) else None
+  }
+
+  /** The splice must be type-identical from the parent's view. */
+  private def sameShape(rewritten: LogicalPlan, agg: Aggregate): Boolean =
+    rewritten.output.zip(agg.output).forall { case (n, o) =>
       n.exprId == o.exprId && n.dataType == o.dataType
     }
-    if (sameShape) Some(rewritten) else None
+
+  /** Map one aggregate call onto view columns; None = a shape the view
+    * cannot serve (the whole rewrite is then abandoned). `exact` =
+    * the query's grouping equals the view's, so stored values serve
+    * verbatim; otherwise they re-aggregate (sum-of-sums etc.). */
+  private def rewriteAgg(ae: AggregateExpression, exact: Boolean,
+      srcByExprId: Map[ExprId, String], vAttr: Map[String, Attribute],
+      sumSet: Set[String], minMaxSet: Set[String]): Option[Expression] = {
+    if (ae.isDistinct || ae.filter.isDefined) return None
+    def nullOf(e: Expression) = Literal.create(null, e.dataType)
+    def cnt = vAttr("cnt")
+    def sumA(c: String) = vAttr(s"sum_$c")
+    def nnA(c: String) = vAttr(s"nn_$c")
+    def sumCol(e: Expression): Option[String] = e match {
+      case a: AttributeReference =>
+        srcByExprId.get(a.exprId).filter(sumSet.contains)
+      case _ => None
+    }
+    def mmCol(e: Expression): Option[String] = e match {
+      case a: AttributeReference =>
+        srcByExprId.get(a.exprId).filter(minMaxSet.contains)
+      case _ => None
+    }
+    def total(a: Attribute): Expression =
+      if (exact) a else Sum(a).toAggregateExpression()
+    ae.aggregateFunction match {
+      case Count(Seq(l: Literal)) if l.value != null =>
+        Some(Coalesce(Seq(total(cnt), Literal(0L))))
+      case Count(Seq(e)) => sumCol(e).map(c =>
+        Coalesce(Seq(total(nnA(c)), Literal(0L))))
+      case s: Sum => sumCol(s.child).map { c =>
+        val t = total(sumA(c))
+        val cast = if (t.dataType == ae.dataType) t else Cast(t, ae.dataType)
+        If(GreaterThan(Coalesce(Seq(total(nnA(c)), Literal(0L))),
+          Literal(0L)), cast, nullOf(ae))
+      }
+      case a: Average if !a.child.dataType.isInstanceOf[DecimalType]
+          && ae.dataType == DoubleType => sumCol(a.child).map { c =>
+        val n = total(nnA(c))
+        If(GreaterThan(Coalesce(Seq(n, Literal(0L))), Literal(0L)),
+          Divide(Cast(total(sumA(c)), DoubleType), Cast(n, DoubleType)),
+          nullOf(ae))
+      }
+      // extrema serve from the min_*/max_* columns (views tracking
+      // them refresh delete-touched groups by recompute, so the
+      // stored extremum is always exact); NULL semantics are free —
+      // the stored value is NULL iff the group saw no non-null
+      // value, and Min/Max re-aggregation skips NULLs like the
+      // recompute would
+      case m: Min => mmCol(m.child).map { c =>
+        val a = vAttr(s"min_$c")
+        if (exact) a else Min(a).toAggregateExpression()
+      }
+      case m: Max => mmCol(m.child).map { c =>
+        val a = vAttr(s"max_$c")
+        if (exact) a else Max(a).toAggregateExpression()
+      }
+      case _ => None
+    }
+  }
+
+  // ---- join routing: Aggregate over an INNER equi-Join of a view's
+  // source (the fact) with an arbitrary dim subtree — the dashboard
+  // "fact-join-dim then aggregate" shape (J1). The view must group by
+  // (at least) the fact's join keys; the rewrite joins the VIEW to the
+  // dim and re-aggregates, so query cost is view-cardinality × dim,
+  // never a fact scan.
+  //
+  // Correctness under multiplicity: an inner join replicates each fact
+  // row once per matching dim row. The rewritten join replicates each
+  // VIEW GROUP once per matching dim row, carrying its cnt/sum_*
+  // columns — so Sum(cnt) ≡ COUNT(*), Sum(sum_c) ≡ SUM(c) etc., for
+  // ANY dim-side multiplicity (no uniqueness assumption on the dim
+  // key). Filters above the join (or peeled off the fact side —
+  // fact-only predicates commute with an inner join) reapply above the
+  // rewritten join; fact-side references must be view group columns,
+  // which keep or drop a (group × dim) pair exactly as they kept or
+  // dropped all of that group's fact rows. Aggregates must reference
+  // only fact columns (dim-side aggregates would need a cnt-weighted
+  // form — declined, the rule is allowed to decline). Always
+  // re-aggregates: exact-group shortcuts never apply across a join.
+
+  private def tryJoinRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    def peelJ(p: LogicalPlan, conds: Seq[Expression])
+        : Option[(Join, Seq[Expression])] = p match {
+      case j: Join => Some((j, conds))
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        peelJ(child, conds)
+      case Filter(cond, child) => peelJ(child, conds :+ cond)
+      case _ => None
+    }
+    peelJ(agg.child, Nil)
+      .filter { case (j, _) => j.joinType == Inner && j.condition.isDefined }
+      .flatMap { case (join, conds) =>
+        trySide(agg, join, conds, factLeft = true)
+          .orElse(trySide(agg, join, conds, factLeft = false))
+      }
+  }
+
+  /** Conjunctive fact-attr = dim-attr pairs, or None if the condition
+    * holds anything else. */
+  private def equiPairs(cond: Expression, factOut: AttributeSet,
+      dimOut: AttributeSet): Option[Seq[(AttributeReference, AttributeReference)]] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case x => Seq(x)
+    }
+    val pairs = split(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if factOut.contains(a) && dimOut.contains(b) => Some((a, b))
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if dimOut.contains(a) && factOut.contains(b) => Some((b, a))
+      case _ => None
+    }
+    if (pairs.nonEmpty && pairs.forall(_.isDefined)) Some(pairs.flatten)
+    else None
+  }
+
+  private def trySide(agg: Aggregate, join: Join, conds: Seq[Expression],
+      factLeft: Boolean): Option[LogicalPlan] = {
+    val (factPlan, dimPlan) =
+      if (factLeft) (join.left, join.right) else (join.right, join.left)
+    for {
+      pairs <- equiPairs(join.condition.get, factPlan.outputSet, dimPlan.outputSet)
+      (rel, factConds) <- peel(factPlan, Nil)
+      hfs <- rel.relation match {
+        case h: HadoopFsRelation => Some(h)
+        case _ => None
+      }
+      relFiles = hfs.location.inputFiles.map(norm).toSet
+      if relFiles.nonEmpty
+      out <- MvCatalog.all.iterator
+        .filter { v =>
+          relFiles.head.startsWith(norm(v.source.dir) + "/") &&
+            fresh(v, relFiles)
+        }
+        .map(v => buildJoin(agg, rel, dimPlan, pairs, conds ++ factConds, v))
+        .collectFirst { case Some(p) => p }
+    } yield out
+  }
+
+  private def buildJoin(agg: Aggregate, rel: LogicalRelation,
+      dimPlan: LogicalPlan, pairs: Seq[(AttributeReference, AttributeReference)],
+      conds: Seq[Expression], view: IncrementalView): Option[LogicalPlan] = {
+    val srcByExprId: Map[ExprId, String] =
+      rel.output.map(a => a.exprId -> a.name).toMap
+    val groupSet = view.groupCols.toSet
+    val sumSet = view.sumCols.toSet
+    val minMaxSet = view.minMaxCols.toSet
+    val dimAttrs = dimPlan.outputSet
+
+    // every fact join key must be a view group column
+    if (!pairs.forall { case (f, _) =>
+      srcByExprId.get(f.exprId).exists(groupSet.contains) }) return None
+    // grouping: dim attrs pass through, fact attrs must be group cols
+    val groupingOk = agg.groupingExpressions.forall {
+      case a: AttributeReference =>
+        dimAttrs.contains(a) ||
+          srcByExprId.get(a.exprId).exists(groupSet.contains)
+      case _ => false
+    }
+    if (!groupingOk) return None
+    // filters: deterministic, fact-side references limited to group cols
+    val condsOk = conds.forall(c => c.deterministic &&
+      c.references.toSeq.forall(a => dimAttrs.contains(a) ||
+        srcByExprId.get(a.exprId).exists(groupSet.contains)))
+    if (!condsOk) return None
+
+    val vplan = view.storageRead.queryExecution.analyzed
+    val vAttr: Map[String, Attribute] =
+      vplan.output.map(a => a.name -> a).toMap
+    val subst: Map[ExprId, Attribute] = srcByExprId.collect {
+      case (id, name) if vAttr.contains(name) => id -> vAttr(name)
+    }
+    def substFact(e: Expression): Expression = e.transform {
+      case a: AttributeReference if subst.contains(a.exprId) => subst(a.exprId)
+    }
+
+    val newCond = pairs.map { case (f, d) =>
+      EqualTo(subst(f.exprId), d): Expression }.reduce(And)
+    val joined = Join(vplan, dimPlan, Inner, Some(newCond), JoinHint.NONE)
+    val filtered = if (conds.isEmpty) joined
+      else Filter(conds.map(substFact).reduce(And), joined)
+
+    def mapOut(ne: NamedExpression): Option[NamedExpression] = {
+      def pin(e: Expression): NamedExpression =
+        Alias(e, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier)
+      ne match {
+        case a: AttributeReference if dimAttrs.contains(a) => Some(a)
+        case a: AttributeReference =>
+          srcByExprId.get(a.exprId).filter(groupSet.contains)
+            .map(n => pin(vAttr(n)))
+        case al @ Alias(a: AttributeReference, _) if dimAttrs.contains(a) =>
+          Some(pin(a))
+        case al @ Alias(a: AttributeReference, _) =>
+          srcByExprId.get(a.exprId).filter(groupSet.contains)
+            .map(n => pin(vAttr(n)))
+        case al @ Alias(ae: AggregateExpression, _) =>
+          rewriteAgg(ae, exact = false, srcByExprId, vAttr, sumSet, minMaxSet)
+            .map(pin)
+        case _ => None
+      }
+    }
+    val outs = agg.aggregateExpressions.map(mapOut)
+    if (outs.exists(_.isEmpty)) return None
+    val newGrouping = agg.groupingExpressions.map {
+      case a: AttributeReference if dimAttrs.contains(a) => a
+      case a: AttributeReference => vAttr(srcByExprId(a.exprId))
+    }
+    val rewritten = Aggregate(newGrouping, outs.flatten, filtered)
+    if (sameShape(rewritten, agg)) Some(rewritten) else None
   }
 }

@@ -294,6 +294,32 @@ object TxQueries {
     mustRoute(s, q, "mv_routed_having")
   }
 
+  /** J1 through MV routing (round 8): an Aggregate over an INNER
+    * equi-join of the TxTable fact with a small dim routes onto a view
+    * keyed by the JOIN key — the "per-entity stats then decorate"
+    * dashboard shape (the reference's vector-doc stats query,
+    * `services/api/src/index.ts:183-194`). The rewritten plan joins
+    * the VIEW (one row per order) to the dim and re-aggregates:
+    * correct for any dim multiplicity (each view group carries its
+    * cnt/sums through the join exactly as many times as its fact rows
+    * would have joined), and the lineitem fact is never scanned.
+    * `mustRoute` fails the query if the rewrite declines; the
+    * view-not-fact scan shape is asserted in MvRewriteSpec. */
+  def mv_routed_join(s: SparkSession, dir: String): DataFrame = {
+    val (table, _) = mvTableView(s, dir)
+    val viewJ = new graft.ext.IncrementalView(s, table,
+      table.dir + "-viewjoin", Seq("l_orderkey"), Seq("l_quantity"),
+      numBuckets = 2)
+    viewJ.refresh() // no-op when already current
+    graft.plans.MvCatalog.register(viewJ)
+    val dim = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+    val q = table.read.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      .orderBy("o_orderstatus")
+    mustRoute(s, q, "mv_routed_join")
+  }
+
   /** MIN/MAX through MV routing (round 7): a SECOND view over the same
     * source tracks extrema (`minMaxCols` — insert-cheap least/greatest
     * merge, delete-touched groups recompute), and the min/max query is
@@ -325,6 +351,7 @@ object TxQueries {
     "tx_restore_read" -> (tx_restore_read _),
     "tx_clone_read" -> (tx_clone_read _),
     "mv_routed_agg" -> (mv_routed_agg _),
+    "mv_routed_join" -> (mv_routed_join _),
     "mv_routed_having" -> (mv_routed_having _),
     "mv_routed_minmax" -> (mv_routed_minmax _))
 
@@ -391,6 +418,14 @@ object TxQueries {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // the joined aggregate must equal the raw fact-join-dim recompute;
+    // quantities are integer-valued doubles, so the double sums are
+    // order-independent and exact in both engines
+    "mv_routed_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "mv_routed_having" ->
       """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
         |FROM lineitem

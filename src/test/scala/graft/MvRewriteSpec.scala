@@ -285,4 +285,71 @@ class MvRewriteSpec extends SparkSpec {
       MvCatalog.clear()
     }
   }
+
+  test("join aggregate routes: view joins the dim, fact never scanned") {
+    val t = mkSource()
+    val view = mkView(t) // grouped by (g, r) — g is the join key
+    MvCatalog.clear(); MvCatalog.register(view)
+    try {
+      // g1 appears TWICE in the dim: the rewrite must stay correct
+      // under dim-side multiplicity (each view group replicates per
+      // dim match exactly as its fact rows would have)
+      val dim = Seq(("g0", "zero"), ("g1", "one"), ("g1", "uno"),
+        ("g2", "two"), ("g3", "three")).toDF("gk", "name")
+      val q = t.read.join(dim, col("g") === col("gk"))
+        .groupBy("name")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+          count(col("w")).as("nw"), avg("v").as("av"))
+      val (hit, got) = routed(q)
+      assert(hit, "join rewrite did not fire")
+      assert(scansViewNot(q, view), "rewritten plan still scans the fact")
+      MvCatalog.clear()
+      assert(got === q.collect().toSet)
+      assert(got.nonEmpty)
+    } finally MvCatalog.clear()
+  }
+
+  test("join aggregate with fact-side and post-join filters routes; mixed grouping") {
+    val t = mkSource()
+    val view = mkView(t)
+    MvCatalog.clear(); MvCatalog.register(view)
+    try {
+      val dim = Seq(("g0", "zero"), ("g1", "one"), ("g2", "two"))
+        .toDF("gk", "name")
+      val q = t.read.filter(col("r") === "r1") // fact group-col filter
+        .join(dim, col("g") === col("gk"))
+        .filter(col("name") =!= "two") // dim filter above the join
+        .groupBy("name", "g") // dim col + fact group col
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      val (hit, got) = routed(q)
+      assert(hit, "join rewrite did not fire")
+      assert(scansViewNot(q, view), "rewritten plan still scans the fact")
+      MvCatalog.clear()
+      assert(got === q.collect().toSet)
+      assert(got.nonEmpty)
+    } finally MvCatalog.clear()
+  }
+
+  test("join rewrite declines unsupported shapes (never wrong, allowed to decline)") {
+    val t = mkSource()
+    val view = mkView(t)
+    MvCatalog.clear(); MvCatalog.register(view)
+    try {
+      val dim = Seq(("g0", 1L), ("g1", 2L), ("g2", 3L)).toDF("gk", "wt")
+      def declines(q: DataFrame, why: String): Unit =
+        assert(!routed(q)._1, s"join rewrite must decline: $why")
+      declines(t.read.join(dim, col("g") === col("gk"))
+        .groupBy("gk").agg(sum("wt").as("sw")),
+        "dim-side aggregate needs a cnt-weighted form")
+      declines(t.read.join(dim, col("g") === col("gk"))
+        .filter(col("v") > 3).groupBy("gk").agg(count(lit(1)).as("n")),
+        "filter on a non-group fact column")
+      declines(t.read.join(dim, col("k") === col("gk"))
+        .groupBy("gk").agg(count(lit(1)).as("n")),
+        "join key is not a view group column")
+      declines(t.read.join(dim, col("g") === col("gk"), "left_outer")
+        .groupBy("gk").agg(count(lit(1)).as("n")),
+        "outer join changes multiplicity for unmatched groups")
+    } finally MvCatalog.clear()
+  }
 }
