@@ -75,6 +75,54 @@ object Bench {
       name -> times
     }
     val results = allRuns.map { case (k, ts) => k -> ts.sorted.apply(ts.size / 2) }
+    // Pipeline-level metric: the §3 scan→merge→review lifecycle on
+    // candidates derived from this SF's documents table, one timed
+    // run into a throwaway warehouse — job-layer regressions (jobs/,
+    // domain/, pipeline/) surface here, where query probes can't see
+    // them. -1 marks a failed run (visible, never silent).
+    val pipelineSec: Option[Double] =
+      if (only.isDefined) None // dev-loop subsets skip the lifecycle
+      else try {
+        import org.apache.spark.sql.functions._
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-bench-pipe").toString
+        val now = java.sql.Timestamp.valueOf("2026-01-15 12:00:00")
+        val candidates = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(
+            concat(lit("https://eur-lex.europa.eu/eli/doc/"),
+              col("doc_id")).as("url"),
+            concat(lit("Doc "), col("doc_id")).as("title"),
+            col("text").as("content"),
+            lit("2026-01-10").as("published_date"),
+            lit("eu_news").as("connector"),
+            lit(0).as("connector_rank"))
+        val t0 = System.nanoTime()
+        val wh = new graft.core.Warehouse(spark, root)
+        wh.createAll()
+        graft.domain.Seeder.run(wh, now)
+        val tracker = new graft.jobs.RunTracker(wh)
+        tracker.create("bench-scan", "scan", "EU", 30, now)
+        val sc = graft.jobs.ScanJob.run(wh, candidates,
+          graft.jobs.ScanJob.Params("bench-scan", "EU", 30,
+            Int.MaxValue, 0.5, now),
+          graft.pipeline.RuleExtractor,
+          new graft.pipeline.HashEmbedder(64))
+        tracker.create("bench-merge", "merge", "EU", 0, now)
+        graft.jobs.MergeJob.run(wh,
+          graft.jobs.MergeJob.Params("bench-merge", "EU", 0.5, now),
+          graft.pipeline.RuleMerger)
+        val pending = wh.domainTable("review_queue").read
+          .filter(col("status") === "pending").orderBy("created_at", "id")
+          .limit(1).select("id").collect().headOption.map(_.getString(0))
+        pending.foreach(id =>
+          new graft.jobs.ReviewService(wh).approve(id, now))
+        require(sc.discovered > 0, "pipeline processed nothing")
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] pipeline lifecycle FAILED: $e")
+          Some(-1.0)
+      }
     // 3-decimal (millisecond) precision: full doubles push the 71-query
     // JSON line past the harness's captured stdout tail and the line
     // arrives truncated/unparseable (observed in BENCH_r03.json).
@@ -84,8 +132,9 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val bs = builds.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val pipe = pipelineSec.map(v => s""","pipeline_seconds":${fmt(v)}""").getOrElse("")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median","runs":$runsN,"queries":$qs,"build_seconds":$bs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median","runs":$runsN,"queries":$qs,"build_seconds":$bs$pipe,"sf":"$sfDir"}"""
     // durable copy for post-hoc inspection (stdout tail is lossy);
     // carries the full per-run detail the stdout line elides
     try {
