@@ -238,6 +238,45 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** BATCH kNN majority-label classification — the form a labeling
+    * pipeline actually runs at 100 TB: ONE distributed pass labels
+    * EVERY query vector, instead of a per-query driver loop (B probes
+    * = B jobs = B× scheduler overhead). Shape: corpus × BROADCAST
+    * query batch scored map-side (codegen'd cosine on the rounded
+    * 6-dp boundary, id tiebreak), per-query neighbor cut via the
+    * bounded partial-aggregating [[TopK]] (≤ k entries per query per
+    * partition cross the shuffle — never a per-query window), explode
+    * + broadcast label join-back, per-(query, label) vote roll-up.
+    * On a clustered corpus the scored input drops to the IVF-probed
+    * lists ([[graft.ext.IvfPq]]) — the cut and vote are unchanged;
+    * on this near-uniform synthetic corpus pruning would drop true
+    * neighbors (PLANS.md), so the exact product is the oracle form.
+    * `queryIds` is the bounded probe batch (control plane, not
+    * data-proportional). */
+  def knnLabelBatch(emb: DataFrame, embCol: String, idCol: String,
+      labelCol: String, queryIds: Seq[Long], k: Int): DataFrame = {
+    val e = toDouble(col(embCol))
+    val queries = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("_qid"), e.as("_qe"))
+    val scored = emb.select(col(idCol).cast(LongType).as(idCol), e.as("_e"))
+      .crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col("_qid"))
+      .withColumn("_score", round(cosine(col("_e"), col("_qe")), 6))
+    val topk = TopK.top_k(k)
+    val neighbors = scored.groupBy("_qid")
+      .agg(topk(col("_score"), col(idCol)).as("_top"))
+      .select(col("_qid"),
+        col("_top").getField("entries").getField("id").as("_ids"))
+      .select(col("_qid"), explode(col("_ids")).as(idCol))
+    neighbors
+      .join(emb.select(col(idCol).cast(LongType).as(idCol), col(labelCol)),
+        Seq(idCol))
+      .groupBy(col("_qid"), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+      .select(col("_qid").as("query_id"), col(labelCol), col("votes"))
+      .orderBy(asc("query_id"), desc("votes"), asc(labelCol))
+  }
+
   /** EMBEDDING-QUALITY curation: the k vectors per label FARTHEST
     * from their label centroid (lowest cosine) — mislabeled or failed
     * embeds sit at the bottom of this ranking. Cosine is

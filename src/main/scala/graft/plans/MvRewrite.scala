@@ -274,9 +274,9 @@ object MvRewrite extends Rule[LogicalPlan] {
   // fact-only predicates commute with an inner join) reapply above the
   // rewritten join; fact-side references must be view group columns,
   // which keep or drop a (group × dim) pair exactly as they kept or
-  // dropped all of that group's fact rows. Aggregates must reference
-  // only fact columns (dim-side aggregates would need a cnt-weighted
-  // form — declined, the rule is allowed to decline). Always
+  // dropped all of that group's fact rows. Fact-side aggregates map
+  // onto the view's cnt/sum_*/min_*/max_* columns; dim-side
+  // aggregates serve in cnt-weighted form (see dimAgg). Always
   // re-aggregates: exact-group shortcuts never apply across a join.
 
   private def tryJoinRewrite(agg: Aggregate): Option[LogicalPlan] = {
@@ -381,6 +381,45 @@ object MvRewrite extends Rule[LogicalPlan] {
     val filtered = if (conds.isEmpty) joined
       else Filter(conds.map(substFact).reduce(And), joined)
 
+    // dim-side aggregates serve in cnt-WEIGHTED form: the original
+    // join evaluates them once per matching FACT ROW, the rewritten
+    // join once per view group — multiplying by cnt restores the
+    // multiplicity (COUNT(d) = Σ cnt over non-null d, SUM(d) =
+    // Σ d·cnt). Min/Max need no weighting — replication never moves
+    // an extremum. NULL semantics are free: a NULL d zeroes/skips its
+    // term exactly as the original's per-row evaluation skipped it.
+    def dimAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      def cnt = vAttr("cnt")
+      def dimOnly(e: Expression): Option[Expression] =
+        if (e.deterministic && e.references.nonEmpty &&
+          e.references.toSeq.forall(dimAttrs.contains)) Some(e) else None
+      def weightedCount(d: Expression): Expression =
+        Coalesce(Seq(Sum(If(IsNotNull(d), cnt, Literal(0L)))
+          .toAggregateExpression(), Literal(0L)))
+      ae.aggregateFunction match {
+        case Count(Seq(e)) => dimOnly(e).map(weightedCount)
+        case s: Sum if !s.child.dataType.isInstanceOf[DecimalType] =>
+          dimOnly(s.child).map { d =>
+            val t = Sum(Multiply(Cast(d, ae.dataType), Cast(cnt, ae.dataType)))
+              .toAggregateExpression()
+            if (t.dataType == ae.dataType) t else Cast(t, ae.dataType)
+          }
+        case a: Average if !a.child.dataType.isInstanceOf[DecimalType]
+            && ae.dataType == DoubleType =>
+          dimOnly(a.child).map { d =>
+            val n = weightedCount(d)
+            If(GreaterThan(n, Literal(0L)),
+              Divide(Sum(Multiply(Cast(d, DoubleType), Cast(cnt, DoubleType)))
+                .toAggregateExpression(), Cast(n, DoubleType)),
+              Literal.create(null, ae.dataType))
+          }
+        case m: Min => dimOnly(m.child).map(d => Min(d).toAggregateExpression())
+        case m: Max => dimOnly(m.child).map(d => Max(d).toAggregateExpression())
+        case _ => None
+      }
+    }
+
     def mapOut(ne: NamedExpression): Option[NamedExpression] = {
       def pin(e: Expression): NamedExpression =
         Alias(e, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier)
@@ -396,7 +435,7 @@ object MvRewrite extends Rule[LogicalPlan] {
             .map(n => pin(vAttr(n)))
         case al @ Alias(ae: AggregateExpression, _) =>
           rewriteAgg(ae, exact = false, srcByExprId, vAttr, sumSet, minMaxSet)
-            .map(pin)
+            .orElse(dimAgg(ae)).map(pin)
         case _ => None
       }
     }

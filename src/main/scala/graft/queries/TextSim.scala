@@ -465,6 +465,17 @@ object TextSim {
       .orderBy(desc("votes"), asc("label"))
   }
 
+  /** X1 — BATCH kNN classification ([[graft.ext.Similarity
+    * .knnLabelBatch]]): one distributed pass labels a whole probe
+    * batch (8 query vectors here) — broadcast-scored map-side,
+    * per-query neighbor cut via the bounded TopK aggregator (no
+    * per-query window, no driver loop), vote roll-up per (query,
+    * label). The per-query confidence histogram a curation pipeline
+    * emits while labeling a corpus. */
+  def x1_knn_batch(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Similarity.knnLabelBatch(t(s, dir, "embeddings"),
+      "embedding", "vec_id", "label", queryIds = 0L to 7L, k = 25)
+
   /** X1 — label centroid top-k: mean embedding per label (decimal-exact
     * per-dimension mean is overkill; counts and rounded norms suffice
     * for the oracle) — demonstrates groupwise vector aggregation. */
@@ -596,6 +607,7 @@ object TextSim {
     "x4_split_assign" -> (x4_split_assign _),
     "x1_cosine_topk" -> (x1_cosine_topk _),
     "x1_knn_label" -> (x1_knn_label _),
+    "x1_knn_batch" -> (x1_knn_batch _),
     "x1_label_stats" -> (x1_label_stats _))
 
   val oracle: Map[String, String] = Map(
@@ -972,6 +984,25 @@ object TextSim {
         | ORDER BY score DESC, e.vec_id ASC LIMIT 25)
         |GROUP BY label
         |ORDER BY votes DESC, label ASC""".stripMargin,
+    // batch kNN: per-query exact top-25 on the same rounded-score +
+    // id boundary, voted per label — DuckDB ranks with a per-query
+    // window, the engine with the bounded TopK aggregate
+    "x1_knn_batch" ->
+      """WITH q AS (
+        | SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        | FROM embeddings WHERE vec_id BETWEEN 0 AND 7),
+        |s AS (
+        | SELECT q.qid, e.vec_id, e.label,
+        |  ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS score
+        | FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+        |r AS (
+        | SELECT qid, label,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn
+        | FROM s)
+        |SELECT qid AS query_id, label, COUNT(*) AS votes
+        |FROM r WHERE rn <= 25
+        |GROUP BY qid, label
+        |ORDER BY query_id ASC, votes DESC, label ASC""".stripMargin,
     "x1_label_stats" ->
       """SELECT label, COUNT(*) AS n,
         | ROUND(MIN(norm), 6) AS min_norm, ROUND(MAX(norm), 6) AS max_norm

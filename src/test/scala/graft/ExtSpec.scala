@@ -602,4 +602,23 @@ class ExtSpec extends SparkSpec {
     // label 1 centroid ≈ (-0.5, 0.7): v4 (cos .16), then v5 (.73)
     assert(got === Set((0, 1L, 3L), (0, 2L, 1L), (1, 1L, 4L), (1, 2L, 5L)))
   }
+
+  test("knnLabelBatch: per-query vote without a per-query window") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.0f, 1.0f), 1),
+      (2L, Array(0.9f, 0.1f), 0), (3L, Array(0.8f, 0.2f), 0),
+      (4L, Array(0.1f, 0.9f), 1), (5L, Array(0.2f, 0.8f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelBatch(
+      emb, "embedding", "vec_id", "label", queryIds = Seq(0L, 1L), k = 2)
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"unexpected Window in plan: $windows")
+    // q0 (points +x): neighbors v2, v3 — both label 0;
+    // q1 (points +y): neighbors v4, v5 — both label 1
+    val got = out.select("query_id", "label", "votes")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got === Set((0L, 0, 2L), (1L, 1, 2L)))
+  }
 }

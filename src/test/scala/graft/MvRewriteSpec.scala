@@ -330,6 +330,32 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   }
 
+  test("dim-side aggregates route in cnt-weighted form (NULL dim values included)") {
+    val t = mkSource()
+    val view = mkView(t)
+    MvCatalog.clear(); MvCatalog.register(view)
+    try {
+      // g1 duplicated AND a NULL weight: SUM/COUNT must weight by the
+      // group's fact-row count, skip NULLs, and survive multiplicity
+      val dim = Seq(("g0", Some(1L)), ("g1", Some(2L)), ("g1", None),
+        ("g2", Some(3L)), ("g4", None)).toDF("gk", "wt")
+      val q = t.read.join(dim, col("g") === col("gk"))
+        .groupBy("g")
+        .agg(sum("wt").as("sw"), count(col("wt")).as("nw"),
+          avg("wt").as("aw"), min("wt").as("mn"), max("wt").as("mx"),
+          count(lit(1)).as("n"), sum("v").as("sv"))
+      val (hit, got) = routed(q)
+      assert(hit, "dim-side aggregate rewrite did not fire")
+      assert(scansViewNot(q, view), "rewritten plan still scans the fact")
+      MvCatalog.clear()
+      assert(got === q.collect().toSet)
+      assert(got.nonEmpty)
+      // g4's weight is all-NULL: sum/avg NULL, count 0 — like a recompute
+      assert(got.exists(r => r.getString(0) == "g4" && r.isNullAt(1)
+        && r.getLong(2) == 0L && r.isNullAt(3)))
+    } finally MvCatalog.clear()
+  }
+
   test("join rewrite declines unsupported shapes (never wrong, allowed to decline)") {
     val t = mkSource()
     val view = mkView(t)
@@ -339,8 +365,8 @@ class MvRewriteSpec extends SparkSpec {
       def declines(q: DataFrame, why: String): Unit =
         assert(!routed(q)._1, s"join rewrite must decline: $why")
       declines(t.read.join(dim, col("g") === col("gk"))
-        .groupBy("gk").agg(sum("wt").as("sw")),
-        "dim-side aggregate needs a cnt-weighted form")
+        .groupBy("gk").agg(sum(col("wt") * col("v")).as("sw")),
+        "mixed fact×dim aggregate argument")
       declines(t.read.join(dim, col("g") === col("gk"))
         .filter(col("v") > 3).groupBy("gk").agg(count(lit(1)).as("n")),
         "filter on a non-group fact column")
