@@ -296,4 +296,53 @@ object IvfPq {
     Pq.topK(stored, embCol, idCol, idx.pq, queryVec, k, refine)
       .drop("ivf_list")
   }
+
+  /** BATCH probe — top-k per query for a bounded query batch in ONE
+    * distributed pass (the labeling/backfill shape: B probes as one
+    * job, not B jobs). Each query's nProbe nearest lists come from
+    * the centroid sidecar driver-side (B × nProbe pairs — control
+    * plane); the corpus read partition-prunes to the UNION of probed
+    * lists; each probed row joins only the queries probing its list
+    * (broadcast of the tiny pair set); exact cosine on the 6-dp
+    * rounded boundary; per-query cut via the bounded
+    * partial-aggregating [[TopK]] — ≤ k entries per query per
+    * partition cross the shuffle, never a per-query window or driver
+    * loop. Returns (query_id, idCol, score, rank).
+    *
+    * The batch path scores exact vectors instead of ADC codes: one
+    * driver-built ADC lookup-table EXPRESSION per query would bloat
+    * codegen linearly in B — list pruning is the scale lever here,
+    * and rows outside the probed lists are never read. */
+  def topKBatch(spark: SparkSession, dir: String, dataSchema: StructType,
+      embCol: String, idCol: String, queries: Seq[(Long, Seq[Double])],
+      k: Int, nProbe: Int): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty, "empty query batch")
+    val idx = loadIndex(spark, dir)
+    val pairs = queries.flatMap { case (qid, qv) =>
+      IvfIndex.probeLists(idx.ivf, qv, nProbe).map(l => (qid, l, qv))
+    }
+    val qdf = pairs.toDF("_qid", "ivf_list", "_qe")
+    val union = pairs.map(_._2).distinct
+    val stored = spark.read
+      .schema(StructType(dataSchema.fields ++ Seq(
+        StructField("pq_code", ArrayType(IntegerType)),
+        StructField("pq_code_norm", DoubleType),
+        StructField("ivf_list", IntegerType, nullable = false))))
+      .parquet(s"$dir/data")
+      .filter(col("ivf_list").isin(union: _*))
+    val scored = stored
+      .join(broadcast(qdf), Seq("ivf_list"))
+      .withColumn("_score", round(
+        Similarity.cosine(col(embCol).cast(ArrayType(DoubleType)), col("_qe")), 6))
+    val topk = TopK.top_k(k)
+    scored.groupBy("_qid")
+      .agg(topk(col("_score"), col(idCol).cast(LongType)).as("_top"))
+      .select(col("_qid").as("query_id"),
+        posexplode(col("_top").getField("entries")).as(Seq("_r0", "_e")))
+      .select(col("query_id"),
+        col("_e").getField("id").as(idCol),
+        col("_e").getField("value").as("score"),
+        (col("_r0") + 1).cast(LongType).as("rank"))
+  }
 }

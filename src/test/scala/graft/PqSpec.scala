@@ -154,4 +154,58 @@ class PqSpec extends SparkSpec {
       .select("vec_id").as[Long].collect()
     assert(top2.contains(990001L), s"appended vector missing from $top2")
   }
+
+  test("batch probe: one pass, union-of-lists pruning, per-query exact parity") {
+    import spark.implicits._
+    // CLUSTERED corpus (three tight orthogonal clusters): this is the
+    // data shape where IVF pruning is actually sound, so the batch
+    // probe must (a) read only the probed lists' union and (b) still
+    // return each query's global exact top-k
+    val axes = Seq(
+      Array(1.0f, 0f, 0f, 0f), Array(0f, 1.0f, 0f, 0f), Array(0f, 0f, 1.0f, 0f))
+    val rows = for {
+      c <- 0 until 3; i <- 0 until 30
+    } yield {
+      val v = axes(c).clone()
+      v((c + 1) % 4) = 0.01f * (i % 5) // deterministic jitter
+      ((c * 100 + i).toLong, v, s"c$c")
+    }
+    val cemb = rows.toDF("vec_id", "embedding", "label")
+    val idxDir = tmpDir("ivfpq-batch")
+    IvfPq.buildPersisted(cemb, "embedding", nLists = 3, m = 4, k = 8, idxDir)
+    val queries = Seq(
+      0L -> Seq(0.99, 0.01, 0.0, 0.0),
+      1L -> Seq(0.0, 0.98, 0.0, 0.02))
+    val got = IvfPq.topKBatch(spark, idxDir, cemb.schema, "embedding",
+      "vec_id", queries, k = 5, nProbe = 1)
+    got.collect() // finalize adaptive stages before inspecting the plan
+    // union-of-probed-lists pruning: 2 queries × 1 probe → ≤ 2 of the
+    // 3 list directories are ever read
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leaves(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        leaves(s.plan)
+      case _ if p.children.isEmpty => Seq(p)
+      case _ => p.children.flatMap(leaves)
+    }
+    val scanned = leaves(got.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(scanned.nonEmpty && scanned.forall(_ <= 2), s"scanned=$scanned")
+    // per-query parity with global exact brute force (clusters are
+    // separated, so the probed list contains every true neighbor)
+    val byQ = got.select("query_id", "rank", "vec_id")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(_._2).map(_._3).toSeq }
+    queries.foreach { case (qid, qv) =>
+      val exact = cemb.withColumn("s", round(Similarity.cosine(
+          col("embedding").cast("array<double>"), array(qv.map(lit): _*)), 6))
+        .orderBy(desc("s"), asc("vec_id"))
+        .limit(5).select("vec_id").as[Long].collect().toSeq
+      assert(byQ(qid) === exact, s"query $qid: ${byQ(qid)} vs exact $exact")
+    }
+  }
 }
