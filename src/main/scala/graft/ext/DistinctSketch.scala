@@ -50,6 +50,44 @@ object DistinctSketch {
       .write.mode("append").parquet(s"$dir/sketches")
   }
 
+  /** GROUPED variant — one sketch row per (group, batch): the
+    * "distinct Xs per Y so far" dashboard primitive (distinct users
+    * per day, distinct URLs per domain). Same mergeability contract
+    * as [[addBatch]]; group columns become part of the store's
+    * schema, estimates union per group. Cost ∝ batches × groups —
+    * group cardinality must be dashboard-shaped (bounded), which is
+    * what "per Y" means. */
+  def addBatchGrouped(batch: DataFrame, groupCols: Seq[String],
+      cols: Seq[String], dir: String, batchId: Long,
+      lgConfigK: Int = 12): Unit = {
+    require(groupCols.nonEmpty, "group by at least one column")
+    require(cols.nonEmpty, "track at least one column")
+    val stored = storedSketchCols(batch.sparkSession, dir)
+    if (stored.nonEmpty) {
+      val incoming = cols.map(c => s"sk_$c").toSet
+      require(incoming == stored,
+        s"tracked columns ${cols.sorted.mkString(",")} do not match the " +
+          s"store's ${stored.map(_.stripPrefix("sk_")).toSeq.sorted.mkString(",")}")
+    }
+    val aggs = cols.map(c =>
+      hll_sketch_agg(col(c).cast("string"), lit(lgConfigK)).as(s"sk_$c"))
+    batch.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(s"$dir/sketches")
+  }
+
+  /** Per-group distinct-count estimates for `column` — one fold over
+    * the store; groups a batch never saw simply contribute nothing.
+    * Output: (groupCols..., n_distinct). */
+  def estimateGrouped(spark: SparkSession, dir: String,
+      groupCols: Seq[String], column: String): DataFrame =
+    readSketches(spark, dir)
+      .groupBy(groupCols.map(col): _*)
+      .agg(coalesce(
+        hll_sketch_estimate(hll_union_agg(col(s"sk_$column"))), lit(0L))
+        .as("n_distinct"))
+
   private def storedSketchCols(spark: SparkSession, dir: String): Set[String] =
     try readSketches(spark, dir).columns.filter(_.startsWith("sk_")).toSet
     catch { case e: Exception

@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Persisted MERGEABLE histogram store — the quantile/CDF twin of
+  * [[DistinctSketch]]: each ingest batch appends one (value, n)
+  * histogram per tracked column, and merging batches is summing
+  * counts (associative, lossless) — so a quantile/percentile ask
+  * folds the stored histograms at cost ∝ batches × histogram domain,
+  * never the corpus. EXACT for bounded-cardinality columns (status
+  * codes, integer quantities, star ratings, pre-bucketized measures —
+  * the telemetry norm at 100 TB); continuous columns bucketize first
+  * (caller picks the grid; the error is the bucket width — the
+  * classic fixed-bin recipe).
+  *
+  * Reference analog: the reference's dashboard percentile asks rescan
+  * the corpus per request; this store answers them from ∝-batches
+  * rows, and the same merged histogram serves CDF / histogram-chart /
+  * mode asks for free.
+  */
+object HistogramSketch {
+
+  /** Aggregate + append one (value, n) histogram per tracked column
+    * for this batch. One narrow pass over the batch; NULLs are
+    * excluded (SQL quantile semantics ignore them). */
+  def addBatch(batch: DataFrame, cols: Seq[String], dir: String,
+      batchId: Long): Unit = {
+    require(cols.nonEmpty, "track at least one column")
+    val perCol = cols.map(c =>
+      batch.filter(col(c).isNotNull)
+        .groupBy(col(c).cast(DoubleType).as("value"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("column", lit(c)))
+    perCol.reduce(_ unionByName _)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(s"$dir/hist")
+  }
+
+  /** The merged histogram for `column` — (value, n) with counts summed
+    * across every appended batch. */
+  def histogram(spark: SparkSession, dir: String, column: String): DataFrame =
+    spark.read.parquet(s"$dir/hist")
+      .filter(col("column") === column)
+      .groupBy("value").agg(sum("n").as("n"))
+
+  /** Discrete quantiles (SQL `quantile_disc` semantics, verified
+    * against DuckDB: the smallest value whose cumulative count reaches
+    * `max(1, ceil(q·N))`). The cumulative window runs over the MERGED
+    * HISTOGRAM only — its cardinality is the histogram domain by
+    * contract (bounded), never corpus rows, so the single-partition
+    * window is a few rows. Callers comparing engines should pick
+    * binary-exact q (0.25, 0.5, 0.75…): `ceil` of an inexact q·N
+    * product can differ between engines at integer boundaries. */
+  def quantiles(spark: SparkSession, dir: String, column: String,
+      qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val h = histogram(spark, dir, column)
+    val w = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h
+      .withColumn("cum", sum("n").over(w))
+      .withColumn("total", sum("n").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    qs.toDF("q")
+      .crossJoin(broadcast(cum))
+      .filter(col("cum") >= greatest(lit(1L),
+        ceil(col("q") * col("total")).cast(LongType)))
+      .groupBy("q").agg(min("value").as("value"))
+      .orderBy("q")
+  }
+}

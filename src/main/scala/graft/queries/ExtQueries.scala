@@ -150,22 +150,80 @@ object ExtQueries {
     * (the tx_clone_read lesson). */
   private def hllSketchDir(s: SparkSession, dir: String): String =
     buildOnce(dir, "documents", "hllsk", marker = "_DONE") { d =>
-      val root = new java.io.File(d)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      if (root.exists()) rm(root)
+      wipeDir(d)
       val docs = t(s, dir, "documents")
       (0L to 3L).foreach { b =>
         graft.ext.DistinctSketch.addBatch(
           docs.filter(pmod(col("doc_id"), lit(4)) === b),
           Seq("lang", "source"), d, batchId = b)
       }
-      root.mkdirs()
-      new java.io.File(root, "_DONE").createNewFile()
-      ()
+      markDone(d)
     }
+
+  /** Batch-appended GROUPED sketch store (distinct sources per lang)
+    * and histogram store (l_quantity), same wipe-then-mark build
+    * discipline as [[hllSketchDir]]. */
+  private def hllGroupSketchDir(s: SparkSession, dir: String): String =
+    buildOnce(dir, "documents", "hllgsk", marker = "_DONE") { d =>
+      wipeDir(d)
+      val docs = t(s, dir, "documents")
+      (0L to 3L).foreach { b =>
+        graft.ext.DistinctSketch.addBatchGrouped(
+          docs.filter(pmod(col("doc_id"), lit(4)) === b),
+          Seq("lang"), Seq("source"), d, batchId = b)
+      }
+      markDone(d)
+    }
+
+  private def histSketchDir(s: SparkSession, dir: String): String =
+    buildOnce(dir, "lineitem", "histsk", marker = "_DONE") { d =>
+      wipeDir(d)
+      val li = t(s, dir, "lineitem")
+      (0L to 3L).foreach { b =>
+        graft.ext.HistogramSketch.addBatch(
+          li.filter(pmod(col("l_orderkey"), lit(4)) === b),
+          Seq("l_quantity"), d, batchId = b)
+      }
+      markDone(d)
+    }
+
+  private def wipeDir(d: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val root = new java.io.File(d)
+    if (root.exists()) rm(root)
+  }
+
+  private def markDone(d: String): Unit = {
+    new java.io.File(d).mkdirs()
+    new java.io.File(d, "_DONE").createNewFile()
+    ()
+  }
+
+  /** X — per-group mergeable COUNT(DISTINCT): the "distinct Xs per Y"
+    * dashboard ask served from the grouped sketch store — one fold
+    * over ∝ batches × groups rows. Sparse-exact at these per-group
+    * cardinalities (≤ 20 sources), so the differential oracle is
+    * sound. */
+  def x_hll_group_distinct(s: SparkSession, dir: String): DataFrame = {
+    val skDir = hllGroupSketchDir(s, dir)
+    graft.ext.DistinctSketch.estimateGrouped(s, skDir, Seq("lang"), "source")
+      .orderBy("lang")
+  }
+
+  /** X — discrete quantiles from the mergeable histogram store:
+    * l_quantity is integer-valued with a bounded domain, so the
+    * batch-merged histogram is EXACT and the quantile fold costs
+    * ∝ batches × domain, never a lineitem scan. q's are binary-exact
+    * (0.25/0.5/0.75) so both engines compute the identical
+    * `ceil(q·N)` rank. */
+  def x_hist_quantiles(s: SparkSession, dir: String): DataFrame = {
+    val hDir = histSketchDir(s, dir)
+    graft.ext.HistogramSketch.quantiles(s, hDir, "l_quantity",
+      Seq(0.25, 0.5, 0.75))
+  }
 
   /** X — mergeable COUNT(DISTINCT) from the persisted sketch store:
     * the 100 TB ingest answer to "how many distinct langs/sources so
@@ -234,7 +292,9 @@ object ExtQueries {
       timed("trgidx")(trigramIndexDir(s, dir)),
       timed("posidx")(positionalIndexDir(s, dir)),
       timed("ccidx")(TextSim.ccComponentsDir(s, dir)),
-      timed("hllsk")(hllSketchDir(s, dir)))
+      timed("hllsk")(hllSketchDir(s, dir)),
+      timed("hllgsk")(hllGroupSketchDir(s, dir)),
+      timed("histsk")(histSketchDir(s, dir)))
   }
 
   /** X1 — product-quantized top-k (third ANN family; `ext.Pq`): the
@@ -352,7 +412,9 @@ object ExtQueries {
     "p6d_phrase_search" -> (p6d_phrase_search _),
     "x2_cosine_neardup" -> (x2_cosine_neardup _),
     "x1_label_outliers" -> (x1_label_outliers _),
-    "x_hll_distinct" -> (x_hll_distinct _))
+    "x_hll_distinct" -> (x_hll_distinct _),
+    "x_hll_group_distinct" -> (x_hll_group_distinct _),
+    "x_hist_quantiles" -> (x_hist_quantiles _))
 
   /** DuckDB equivalents. SimHash / hyperplane math is hex-char
     * arithmetic with integer sums — value-identical across engines. */
@@ -448,6 +510,20 @@ object ExtQueries {
         |   i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]),
         |  'fast merge')
         |ORDER BY doc_id""".stripMargin,
+    // per-group sketch fold vs exact per-group distinct (sparse-exact
+    // at <= 20 sources per lang)
+    "x_hll_group_distinct" ->
+      """SELECT lang, COUNT(DISTINCT source) AS n_distinct
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // the batch-merged histogram is exact on this bounded integer
+    // domain; q's are binary-exact so ceil(q*N) agrees across engines
+    "x_hist_quantiles" ->
+      """SELECT CAST(0.25 AS DOUBLE) AS q, quantile_disc(l_quantity, 0.25) AS value FROM lineitem
+        |UNION ALL
+        |SELECT CAST(0.5 AS DOUBLE) AS q, quantile_disc(l_quantity, 0.5) AS value FROM lineitem
+        |UNION ALL
+        |SELECT CAST(0.75 AS DOUBLE) AS q, quantile_disc(l_quantity, 0.75) AS value FROM lineitem
+        |ORDER BY q""".stripMargin,
     // sparse-mode HLL is exact at these cardinalities, so the sketch
     // fold must hash-match the exact distinct count
     "x_hll_distinct" ->

@@ -73,4 +73,65 @@ class DistinctSketchSpec extends SparkSpec {
     val after = DistinctSketch.estimate(spark, dir, "o_custkey")
     assert(after > before, s"$after should exceed $before")
   }
+
+  test("mismatched tracked-column sets are rejected (no silent schema fork)") {
+    val dir = tmpDir("sketch-mismatch")
+    DistinctSketch.addBatch(orders, Seq("o_custkey"), dir, batchId = 0)
+    val e = intercept[IllegalArgumentException] {
+      DistinctSketch.addBatch(orders, Seq("o_orderstatus"), dir, batchId = 1)
+    }
+    assert(e.getMessage.contains("do not match"))
+  }
+
+  test("grouped sketches: per-group union equals the exact per-group distinct") {
+    val dir = tmpDir("sketch-grp")
+    // o_orderstatus per group is tiny → sparse-exact, so the grouped
+    // fold must EQUAL the exact per-group COUNT(DISTINCT)
+    Seq(0, 1, 2).foreach { b =>
+      DistinctSketch.addBatchGrouped(
+        orders.filter(col("o_orderkey") % 3 === b),
+        Seq("o_orderstatus"), Seq("o_orderstatus"), dir, batchId = b)
+    }
+    // distinct statuses per status is trivially 1 — use a richer probe:
+    // distinct custkey buckets per status at sparse-exact cardinality
+    val dir2 = tmpDir("sketch-grp2")
+    val bucketed = orders.withColumn("ck", pmod(col("o_custkey"), lit(17)))
+    Seq(0, 1, 2).foreach { b =>
+      DistinctSketch.addBatchGrouped(
+        bucketed.filter(col("o_orderkey") % 3 === b),
+        Seq("o_orderstatus"), Seq("ck"), dir2, batchId = b)
+    }
+    val got = DistinctSketch.estimateGrouped(spark, dir2,
+      Seq("o_orderstatus"), "ck")
+      .as[(String, Long)].collect().toMap
+    val exact = bucketed.groupBy("o_orderstatus")
+      .agg(countDistinct("ck").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got === exact)
+  }
+
+  test("histogram store: batch merge is exact; quantile_disc semantics") {
+    import graft.ext.HistogramSketch
+    val dir = tmpDir("hist-inc")
+    val vals = Seq(1, 1, 1, 1, 1, 1, 1, 2, 3).map(_.toDouble)
+    Seq(0, 1, 2).foreach { b =>
+      HistogramSketch.addBatch(
+        vals.zipWithIndex.filter(_._2 % 3 == b).map(_._1).toDF("v"),
+        Seq("v"), dir, batchId = b)
+    }
+    val hist = HistogramSketch.histogram(spark, dir, "v")
+      .as[(Double, Long)].collect().toMap
+    assert(hist === Map(1.0 -> 7L, 2.0 -> 1L, 3.0 -> 1L))
+    // verified against DuckDB quantile_disc on the same multiset:
+    // q=0.5 → 1, q=0.8 → 2, q=0.875 → 2 (rank = max(1, ceil(q·N)))
+    val qs = HistogramSketch.quantiles(spark, dir, "v",
+      Seq(0.5, 0.8, 0.875)).as[(Double, Double)].collect().toMap
+    assert(qs === Map(0.5 -> 1.0, 0.8 -> 2.0, 0.875 -> 2.0))
+    // NULLs are excluded like SQL aggregates exclude them
+    val dir2 = tmpDir("hist-null")
+    HistogramSketch.addBatch(
+      Seq(Some(1.0), None, Some(2.0)).toDF("v"), Seq("v"), dir2, batchId = 0)
+    assert(HistogramSketch.histogram(spark, dir2, "v")
+      .agg(sum("n")).as[Long].head === 2L)
+  }
 }
