@@ -91,6 +91,33 @@ object ExtQueries {
       .orderBy(desc("votes"), asc("label"))
   }
 
+  /** X1 — INDEX-SERVED BATCH kNN labeling: [[graft.ext.IvfPq
+    * .topKBatch]] end to end — 8 probes as ONE partition-pruned job
+    * over the persisted IVF-PQ index, then the per-(query, label)
+    * vote. Self-INCLUSIVE vote (the query is its own nearest
+    * neighbor — rank 1 by construction), which keeps the aggregator's
+    * k-cut exact; the exact batch twin [[graft.queries.TextSim
+    * .x1_knn_batch]] uses the self-exclusive form. nProbe = nLists on
+    * this clusterless corpus (PLANS.md); exact-vector scoring inside
+    * the probed lists means no refine margin is needed — the oracle
+    * is the plain per-query exact rank. */
+  def x1_knn_batch_index(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idxDir = ivfPqIndexDir(s, dir)
+    val queries = emb.filter(col("vec_id") <= 7L)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .sortBy(_._1).toSeq
+    graft.ext.IvfPq.topKBatch(s, idxDir, emb.schema, "embedding",
+        "vec_id", queries, k = 25, nProbe = 8)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy("query_id", "label")
+      .agg(count(lit(1)).as("votes"))
+      .orderBy(asc("query_id"), desc("votes"), asc("label"))
+      .select("query_id", "label", "votes")
+  }
+
   /** X1 — embedding-quality curation: per label, the 3 vectors
     * farthest from their label centroid (lowest cosine — the
     * mislabeled/failed-embed detector). The centroid is an exact
@@ -405,6 +432,7 @@ object ExtQueries {
     "x1_ann_topk" -> (x1_ann_topk _),
     "x1_ann_index_topk" -> (x1_ann_index_topk _),
     "x1_knn_index_label" -> (x1_knn_index_label _),
+    "x1_knn_batch_index" -> (x1_knn_batch_index _),
     "x1_pq_topk" -> (x1_pq_topk _),
     "x1_ivfpq_topk" -> (x1_ivfpq_topk _),
     "p6b_indexed_search" -> (p6b_indexed_search _),
@@ -531,6 +559,24 @@ object ExtQueries {
         |UNION ALL
         |SELECT 'source' AS col, COUNT(DISTINCT source) AS n_distinct FROM documents
         |ORDER BY col""".stripMargin,
+    // index-served batch kNN: exact scoring inside all-lists probes ≡
+    // plain exact rank; SELF-inclusive vote (see the query scaladoc)
+    "x1_knn_batch_index" ->
+      """WITH q AS (
+        | SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        | FROM embeddings WHERE vec_id BETWEEN 0 AND 7),
+        |s AS (
+        | SELECT q.qid, e.vec_id, e.label,
+        |  ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS score
+        | FROM embeddings e CROSS JOIN q),
+        |r AS (
+        | SELECT qid, label,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn
+        | FROM s)
+        |SELECT qid AS query_id, label, COUNT(*) AS votes
+        |FROM r WHERE rn <= 25
+        |GROUP BY qid, label
+        |ORDER BY query_id ASC, votes DESC, label ASC""".stripMargin,
     // index-served kNN: the LSH candidate pool covers the exact top-25
     // with measured margin, so the oracle is the exact brute-force
     // vote — the index changes the access path, never the answer
