@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Analytics, ExtQueries, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, TextSim, TxQueries}
+import graft.queries.{Analytics, ExtQueries, Graph, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, TextSim, TxQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,7 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       Relational4.queries ++ Relational5.queries ++ Relational6.queries ++
       Analytics.queries ++ TextSim.queries ++ ExtQueries.queries ++
-      TxQueries.queries
+      TxQueries.queries ++ Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +27,5 @@ object SparkEntry {
     Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++
       Relational4.oracle ++ Relational5.oracle ++ Relational6.oracle ++
       Analytics.oracle ++ TextSim.oracle ++ ExtQueries.oracle ++
-      TxQueries.oracle
+      TxQueries.oracle ++ Graph.oracle
 }

@@ -246,6 +246,69 @@ object Analytics {
       .orderBy("user_id", "milestone")
   }
 
+  /** Cohort retention matrix (§2.12 analytics extension): cohort = a
+    * user's first active DAY, cell (cohort_day, day_offset) = distinct
+    * users from that cohort active day_offset days later. ONE shuffle on
+    * user_id carries both the min and the per-user active-day set
+    * (collect_set is bounded by the calendar window — ≤ retention-window
+    * days per user, never per-event state), then the explode+re-count is
+    * over (users × active-days) rows with a tiny (cohorts × offsets)
+    * result. No window functions, no second scan of events. */
+  def ev_retention_cohorts(s: SparkSession, dir: String): DataFrame = {
+    // day as midnight TIMESTAMP, not DATE — date32 parquet lands as
+    // python objects in the driver's pandas compare
+    val perUser = t(s, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .groupBy("user_id")
+      .agg(min(col("d")).as("cohort_day"), collect_set(col("d")).as("days"))
+    perUser
+      .select(col("cohort_day"), explode(col("days")).as("active_day"))
+      .groupBy(col("cohort_day"),
+        datediff(col("active_day"), col("cohort_day")).cast(LongType)
+          .as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Ordered 3-step funnel with per-step conversion windows (view →
+    * click → purchase, each step within 24 h of the previous): per-user
+    * stepwise-minimal timestamps via ONE shuffle on user_id + an ordered
+    * fold (`aggregate` over the time-sorted event list — the fold is the
+    * sequential state machine, so no per-step self-joins over the corpus
+    * and no corpus-sized window). Events are pre-filtered to the three
+    * funnel types before the shuffle; per-user state is the 3-field
+    * struct, not the event list, at merge time. The oracle computes the
+    * same semantics the textbook way (chained min-after-previous-step
+    * CTEs) — stepwise min over a sorted stream ≡ min over the
+    * qualifying set. */
+  def ev_funnel_steps(s: SparkSession, dir: String): DataFrame = {
+    val evs = t(s, dir, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+    evs.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_type"))))
+        .as("evs"))
+      .withColumn("steps", expr(
+        """aggregate(evs,
+          |  named_struct('t1', CAST(NULL AS TIMESTAMP),
+          |               't2', CAST(NULL AS TIMESTAMP),
+          |               't3', CAST(NULL AS TIMESTAMP)),
+          |  (acc, e) -> named_struct(
+          |    't1', CASE WHEN acc.t1 IS NULL AND e.event_type = 'view'
+          |               THEN e.ts ELSE acc.t1 END,
+          |    't2', CASE WHEN acc.t1 IS NOT NULL AND acc.t2 IS NULL
+          |                AND e.event_type = 'click' AND e.ts > acc.t1
+          |                AND e.ts <= acc.t1 + INTERVAL 24 HOURS
+          |               THEN e.ts ELSE acc.t2 END,
+          |    't3', CASE WHEN acc.t2 IS NOT NULL AND acc.t3 IS NULL
+          |                AND e.event_type = 'purchase' AND e.ts > acc.t2
+          |                AND e.ts <= acc.t2 + INTERVAL 24 HOURS
+          |               THEN e.ts ELSE acc.t3 END))""".stripMargin))
+      .agg(count(col("steps.t1")).as("view_users"),
+        count(col("steps.t2")).as("click_users"),
+        count(col("steps.t3")).as("purchase_users"))
+  }
+
   /** V1/V3-family — validation gate + routing split over documents
     * (first-failing-reason-wins precedence, soft-fail routing; ref
     * `src/ontology/validator.ts:26-48`, `src/jobs/scan.ts:50-74`). */
@@ -284,6 +347,8 @@ object Analytics {
     "ev_sessionize" -> (ev_sessionize _),
     "ev_sliding_2h1h" -> (ev_sliding_2h1h _),
     "ev_milestones" -> (ev_milestones _),
+    "ev_retention_cohorts" -> (ev_retention_cohorts _),
+    "ev_funnel_steps" -> (ev_funnel_steps _),
     "v1_validation_route" -> (v1_validation_route _))
 
   val oracle: Map[String, String] = Map(
@@ -422,6 +487,32 @@ object Analytics {
         |     ORDER BY ts ASC, event_id ASC) AS prev_us
         |  FROM events) y) x
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ev_retention_cohorts" ->
+      """WITH u AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day
+        |      FROM events)
+        |SELECT u.cohort_day,
+        | datediff('day', u.cohort_day, a.active_day) AS day_offset,
+        | COUNT(*) AS n_users
+        |FROM a JOIN u USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    // stepwise min-after-previous-step with a 24h per-step window;
+    // the Spark side computes the same via an ordered per-user fold
+    "ev_funnel_steps" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 24 HOURS GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |         AND e.ts <= s2.t2 + INTERVAL 24 HOURS GROUP BY 1)
+        |SELECT (SELECT COUNT(*) FROM s1) AS view_users,
+        |       (SELECT COUNT(*) FROM s2) AS click_users,
+        |       (SELECT COUNT(*) FROM s3) AS purchase_users""".stripMargin,
     "v1_validation_route" ->
       """SELECT route, reason, COUNT(*) AS n,
         | CAST(SUM(n_chars) AS BIGINT) AS total_chars

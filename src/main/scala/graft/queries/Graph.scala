@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Qhelpers._
+import graft.ext.{Graph => GraphOps}
+
+/** Graph-analytics catalog (§2 extension; complements the
+  * connected-components + canonical-dedup pipeline in `TextSim`).
+  *
+  * The demo graph is FK-derived: suppliers are adjacent when they supply
+  * materially more parts in common than average (an entity-resolution /
+  * collusion-detection shape). The edge threshold is DATA-RELATIVE
+  * (1.05 × the mean shared-part count), so the query is meaningful at
+  * every SF without a hand-tuned constant; the comparison is exact in
+  * both engines — integer counts sum exactly, and the threshold is one
+  * double division + one multiply, no accumulation-order dependence.
+  *
+  * 100 TB notes: the pair-generation join on `l_partkey` is the one
+  * stage with a skew hazard (a part supplied by s suppliers emits
+  * C(s,2) pairs); in production the per-part supplier lists get capped
+  * or the hot parts salted — at TPC-H fan-outs it is a plain keyed
+  * shuffle. The triangle count itself rides `ext.Graph`'s
+  * degree-oriented wedge enumeration (out-degree ≤ O(√m) per vertex,
+  * no window functions anywhere).
+  */
+object Graph {
+
+  private def coSupplierEdges(s: SparkSession, dir: String): DataFrame = {
+    val ps = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("k")).distinct()
+    val co = ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.k") < col("y.k"))
+      .groupBy(col("x.k").as("a"), col("y.k").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val thr = co.agg(
+      (sum("n_shared").cast(DoubleType) / count(lit(1))).as("avg_shared"))
+    co.crossJoin(broadcast(thr))
+      .filter(col("n_shared").cast(DoubleType) >= col("avg_shared") * 1.05)
+      .select(col("a"), col("b"))
+  }
+
+  /** Triangle census of the co-supplier graph: nodes, edges, triangles
+    * in one row. */
+  def g_triangle_count(s: SparkSession, dir: String): DataFrame =
+    GraphOps.summary(coSupplierEdges(s, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_triangle_count" -> (g_triangle_count _))
+
+  val oracle: Map[String, String] = Map(
+    // same edge set, triangles counted the textbook way (a<b<c join);
+    // the Spark side's degree orientation counts each triangle once at
+    // its order-minimal corner — same census
+    "g_triangle_count" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS k
+        |            FROM lineitem),
+        |co AS (SELECT x.k AS a, y.k AS b, COUNT(*) AS n_shared
+        |       FROM ps x JOIN ps y ON x.p = y.p AND x.k < y.k
+        |       GROUP BY 1, 2),
+        |thr AS (SELECT CAST(SUM(n_shared) AS DOUBLE) / COUNT(*)
+        |          AS avg_shared FROM co),
+        |e AS (SELECT a, b FROM co, thr
+        |      WHERE CAST(n_shared AS DOUBLE) >= avg_shared * 1.05)
+        |SELECT
+        | (SELECT COUNT(DISTINCT v) FROM
+        |   (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)) AS n_nodes,
+        | (SELECT COUNT(*) FROM e) AS n_edges,
+        | (SELECT COUNT(*) FROM e e1
+        |   JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |   JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""".stripMargin)
+}
