@@ -147,6 +147,30 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** Bloom-reduced fact⋈dim join (`ext.BloomJoin`, §2.3 scale path):
+    * the filtered-orders key set becomes a 128 KiB bitmap, the
+    * lineitem scan pre-filters on it BEFORE the join shuffle, the join
+    * itself removes the bloom's false positives — so the result is the
+    * plain join's, which is exactly what the oracle runs. At 100 TB
+    * the dim here is the too-big-to-broadcast case: bloom build cost
+    * is one dim pass + partitions × 128 KiB of shuffle, vs moving the
+    * full unreduced fact. BloomJoinSpec pins the plan (pre-shuffle
+    * probe filter present) and the reduction ratio. */
+  def j_bloom_join(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderpriority")
+    val fact = graft.ext.BloomJoin.reduced(
+      t(s, dir, "lineitem"), col("l_orderkey"), dim, col("o_orderkey"))
+    fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(discounted(col("l_extendedprice"), col("l_discount")))
+          .cast(DoubleType).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   /** J7-family — cross join (cartesian; ref `src/jobs/merge.ts:147-158`). */
   def j7_cross_join(s: SparkSession, dir: String): DataFrame = {
     val r = t(s, dir, "region").select("r_name")
@@ -167,9 +191,17 @@ object Relational {
     "s9_anti_join" -> (s9_anti_join _),
     "j_semi_join" -> (j_semi_join _),
     "d1_dedup_first_wins" -> (d1_dedup_first_wins _),
+    "j_bloom_join" -> (j_bloom_join _),
     "j7_cross_join" -> (j7_cross_join _))
 
   val oracle: Map[String, String] = Map(
+    // the bloom reduction is semantically invisible — oracle = plain join
+    "j_bloom_join" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_lines,
+         | ${sqlDiscountedSum("l_extendedprice", "l_discount")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "a1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          | ${sqlMsum("l_quantity")} AS sum_qty,
