@@ -68,12 +68,19 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
-  /** Node/edge/triangle summary in one row — the dashboard shape. */
+  /** Node/edge/triangle summary in one row — the dashboard shape.
+    * The edge list is consumed by several branches (node census, edge
+    * count, degrees, wedge join, closing-edge probe); when deriving it
+    * is expensive (e.g. a co-occurrence self-join), recomputing it per
+    * branch dominates — so cache the thresholded edge set once. It is
+    * the SMALL end of the pipeline (the whole point of the threshold),
+    * so the cache is bounded. */
   def summary(edges: DataFrame): DataFrame = {
-    val nodes = edges.select(col("a").as("v"))
-      .unionAll(edges.select(col("b").as("v")))
+    val e = edges.cache()
+    val nodes = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
       .agg(count_distinct(col("v")).as("n_nodes"))
-    val es = edges.agg(count(lit(1)).as("n_edges"))
-    nodes.crossJoin(es).crossJoin(triangleCount(edges))
+    val es = e.agg(count(lit(1)).as("n_edges"))
+    nodes.crossJoin(es).crossJoin(triangleCount(e))
   }
 }
