@@ -43,11 +43,15 @@ object Graph {
     val aFirst = col("deg_a") < col("deg_b") ||
       (col("deg_a") === col("deg_b") && col("a") < col("b"))
     // keep the head's (deg, id) so wedge endpoints compare in the SAME
-    // total order without re-joining degrees
+    // total order without re-joining degrees. Materialize ONCE
+    // (localCheckpoint, same m-row footprint as the edge list): three
+    // branches read it (both wedge sides + the closing probe) and
+    // would otherwise each re-run the degree join.
     val oriented = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("src"),
       when(aFirst, col("b")).otherwise(col("a")).as("dst"),
       when(aFirst, col("deg_b")).otherwise(col("deg_a")).as("deg_dst"))
+      .localCheckpoint(true)
 
     // wedges at the order-minimal corner: two out-edges, heads ordered
     val o1 = oriented.select(col("src"), col("dst").as("v"),
@@ -74,13 +78,19 @@ object Graph {
     * is expensive (e.g. a co-occurrence self-join), recomputing it per
     * branch dominates — so cache the thresholded edge set once. It is
     * the SMALL end of the pipeline (the whole point of the threshold),
-    * so the cache is bounded. */
+    * so the cache is bounded WHILE IT LIVES — but a census is a
+    * one-shot consumer, so the cache must not outlive it: the one-row
+    * result is materialized eagerly (`localCheckpoint`) and the edge
+    * cache released before returning, instead of pinning executor
+    * storage for the rest of the session. */
   def summary(edges: DataFrame): DataFrame = {
     val e = edges.cache()
-    val nodes = e.select(col("a").as("v"))
-      .unionAll(e.select(col("b").as("v")))
-      .agg(count_distinct(col("v")).as("n_nodes"))
-    val es = e.agg(count(lit(1)).as("n_edges"))
-    nodes.crossJoin(es).crossJoin(triangleCount(e))
+    try {
+      val nodes = e.select(col("a").as("v"))
+        .unionAll(e.select(col("b").as("v")))
+        .agg(count_distinct(col("v")).as("n_nodes"))
+      val es = e.agg(count(lit(1)).as("n_edges"))
+      nodes.crossJoin(es).crossJoin(triangleCount(e)).localCheckpoint(true)
+    } finally e.unpersist()
   }
 }

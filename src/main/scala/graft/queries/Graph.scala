@@ -18,23 +18,52 @@ import graft.ext.{Graph => GraphOps}
   * constant; both moments derive from exact integer sums, so the
   * threshold is deterministic across engines.
   *
-  * 100 TB notes: the pair-generation join on `l_partkey` is the one
-  * stage with a skew hazard (a part supplied by s suppliers emits
-  * C(s,2) pairs); in production the per-part supplier lists get capped
-  * or the hot parts salted — at TPC-H fan-outs it is a plain keyed
-  * shuffle. The triangle count itself rides `ext.Graph`'s
-  * degree-oriented wedge enumeration (out-degree ≤ O(√m) per vertex,
-  * no window functions anywhere).
+  * 100 TB notes: pair generation is the one stage with a skew hazard
+  * (a part supplied by s suppliers emits C(s,2) pairs), so the
+  * per-part supplier lists are CAPPED: parts
+  * whose supplier set exceeds [[MaxSuppliersPerPart]] are excluded
+  * from pair generation and reported in a recall ledger (the LSH
+  * hot-bucket discipline of `ext.Dedup.lshCandidatePairsWithStats`) —
+  * bounded C(s,2) per part by contract, and the drop is visible, not
+  * silent. At TPC-H fan-outs (a handful of suppliers per part) no
+  * part ever trips the cap, so the census is unchanged. The triangle
+  * count itself rides `ext.Graph`'s degree-oriented wedge enumeration
+  * (out-degree ≤ O(√m) per vertex, no window functions anywhere).
   */
 object Graph {
 
-  private def coSupplierEdges(s: SparkSession, dir: String): DataFrame = {
-    val ps = t(s, dir, "lineitem")
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("k")).distinct()
-    val co = ps.as("x").join(ps.as("y"),
+  /** Per-part supplier-list cap for pair generation: a part with more
+    * suppliers is a degenerate hub (C(s,2) blow-up) whose pairs say
+    * little about targeted co-supply anyway — it is dropped whole and
+    * ledgered. 1024 bounds any single part's pair fan-out at ~524k. */
+  val MaxSuppliersPerPart = 1024
+
+  /** Edge set plus the recall ledger of capped parts. */
+  final case class EdgeStats(edges: DataFrame, droppedParts: DataFrame)
+
+  private[graft] def coSupplierEdgesWithStats(ps0: DataFrame,
+      maxSuppliers: Int = MaxSuppliersPerPart): EdgeStats = {
+    // ONE shuffle gathers each part's distinct supplier set (collect_set
+    // dedups in its map-side partials), which sizes the cap WITHOUT a
+    // window; the kept lists explode back to (p, k) rows that are
+    // already hash-partitioned on p, so the pair self-join needs no
+    // further exchange (AQE broadcasts the small side when it fits).
+    // The collect_set buffer is O(s) per part — the same quantity the
+    // cap bounds — so an over-cap part costs its list once, never its
+    // C(s,2) pairs.
+    val sized = ps0.groupBy("p").agg(collect_set(col("k")).as("ks"))
+    val kept = sized.filter(size(col("ks")) <= maxSuppliers)
+    val droppedParts = sized.filter(size(col("ks")) > maxSuppliers)
+      .select(col("p"), size(col("ks")).cast(LongType).as("n_suppliers"))
+    val ks = kept.select(col("p"), explode(col("ks")).as("k"))
+    // materialize the pair counts ONCE (localCheckpoint): both the
+    // threshold aggregate and the filter below read co, and without
+    // the checkpoint each would re-run the expensive pair expansion
+    val co = ks.as("x").join(ks.as("y"),
         col("x.p") === col("y.p") && col("x.k") < col("y.k"))
       .groupBy(col("x.k").as("a"), col("y.k").as("b"))
       .agg(count(lit(1)).as("n_shared"))
+      .localCheckpoint(true)
     // edge iff shared count ≥ mean + 2σ of the pair distribution. Both
     // moments come from EXACT integer sums (Σn, Σn²), so the threshold
     // is a fixed small sequence of IEEE double ops on identical
@@ -48,9 +77,18 @@ object Graph {
     val thr = co.agg(
       (sum1 / n + lit(2.0) * sqrt((sum2 - sum1 * sum("n_shared") / n) / n))
         .as("thr"))
-    co.crossJoin(broadcast(thr))
+    val edges = co.crossJoin(broadcast(thr))
       .filter(col("n_shared").cast(DoubleType) >= col("thr"))
       .select(col("a"), col("b"))
+    EdgeStats(edges, droppedParts)
+  }
+
+  private def coSupplierEdges(s: SparkSession, dir: String): DataFrame = {
+    // no pre-distinct: collect_set dedups inside the same shuffle's
+    // map-side partial aggregation
+    val ps0 = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("k"))
+    coSupplierEdgesWithStats(ps0).edges
   }
 
   /** Triangle census of the co-supplier graph: nodes, edges, triangles

@@ -53,4 +53,29 @@ class GraphSpec extends SparkSpec {
     assert(r.getLong(1) === 4L) // edges
     assert(r.getLong(2) === 1L) // triangles
   }
+
+  test("summary releases the edge cache after the census materializes") {
+    val e = edges((1, 2), (1, 3), (2, 3))
+    val r = Graph.summary(e) // eager: materialized + cache dropped inside
+    assert(e.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+    assert(r.head().getLong(2) === 1L)
+  }
+
+  test("pair generation caps hot parts and ledgers the drop") {
+    // part 100 has 6 suppliers (C(6,2)=15 pairs), part 200 has 3; with
+    // the cap at 5 the hot part is dropped WHOLE and ledgered with its
+    // true supplier count — only part 200's 3 pairs survive (each with
+    // n_shared=1, so mean+2σ keeps them all)
+    val ps = ((1 to 6).map(k => (100, k)) ++ (11 to 13).map(k => (200, k)))
+      .toDF("p", "k")
+    val st = graft.queries.Graph.coSupplierEdgesWithStats(ps, maxSuppliers = 5)
+    val led = st.droppedParts.collect()
+    assert(led.length === 1)
+    assert(led(0).getInt(0) === 100 && led(0).getLong(1) === 6L)
+    assert(st.edges.count() === 3L)
+    // under the default cap nothing is dropped and all pairs survive
+    val st2 = graft.queries.Graph.coSupplierEdgesWithStats(ps)
+    assert(st2.droppedParts.isEmpty)
+    assert(st2.edges.count() === 15L + 3L)
+  }
 }

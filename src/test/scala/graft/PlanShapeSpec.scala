@@ -137,12 +137,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("tpch q17: correlated AVG decorrelates to aggregate + equi-join, no per-row subquery") {
+  test("tpch q17: per-part AVG is aggregate + equi-join, input semi-reduced to brand keys") {
     val p = planOf("sql_tpch_q17")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     // the de-correlated per-part average is a real aggregate in the plan
     assert(p.contains("avg("), p)
+    // the reduction: a broadcast semi-join on the brand-filtered part
+    // keys gates BOTH lineitem branches BELOW the aggregate, so the
+    // per-part AVG reads the brand slice, not the whole fact table
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("tpch q19: OR-of-ANDs keeps the equi hash join") {
