@@ -34,26 +34,51 @@ object BloomJoin {
   /** The k bit positions of `key` in a `bits`-wide bloom (bits must be
     * a power of two ≤ 2^30). Pure column expressions — codegen'd, and
     * identical on build and probe sides by construction. */
-  def positions(key: Column, bits: Long, k: Int): Seq[Column] = {
+  private def checkShape(bits: Long, k: Int): Unit = {
     require(bits > 0 && (bits & (bits - 1)) == 0 && bits <= (1L << 30),
       s"bits must be a power of two <= 2^30, got $bits")
+    require(k >= 1, s"k must be >= 1, got $k")
+  }
+
+  /** The two Kirsch–Mitzenmacher base hashes of `key`, each folded to
+    * 31 bits (see class doc). Position i = (h1 + i·h2) mod bits on
+    * BOTH build and probe sides by construction. */
+  private def baseHashes(key: Column): (Column, Column) = {
     val h1 = pmod(xxhash64(key), lit(HashSpace))
     // +1 keeps h2 odd-ish and never 0 (h2=0 would collapse all k probes)
     val h2 = pmod(xxhash64(key, lit(Salt)), lit(HashSpace)) + lit(1L)
+    (h1, h2)
+  }
+
+  def positions(key: Column, bits: Long, k: Int): Seq[Column] = {
+    checkShape(bits, k)
+    val (h1, h2) = baseHashes(key)
     (0 until k).map(i => pmod(h1 + lit(i.toLong) * h2, lit(bits)))
   }
 
   case class Buf(words: Array[Long])
 
-  /** Global bitmap OR-aggregator: input = bit position, buffer = the
-    * bitmap. Partial bitmaps build map-side; the final merge ORs one
-    * bitmap per partition — shuffle volume is partitions × bits/8,
-    * independent of dim cardinality. */
-  final class BitsetAggregator(words: Int)
-      extends Aggregator[Long, Buf, Buf] {
+  /** Global bitmap OR-aggregator: input = the key's two base hashes
+    * (ONE row per dim key — all k bit positions are derived and set
+    * inside `reduce`, so no k× row explosion feeds the aggregation and
+    * the per-row encoder traffic is two longs). Partial bitmaps build
+    * map-side; the final merge ORs one bitmap per partition — shuffle
+    * volume is partitions × bits/8, independent of dim cardinality. */
+  final class BitsetAggregator(words: Int, bits: Long, k: Int)
+      extends Aggregator[(Long, Long), Buf, Buf] {
     override def zero: Buf = Buf(new Array[Long](words))
-    override def reduce(b: Buf, pos: Long): Buf = {
-      b.words((pos >> 6).toInt) |= (1L << (pos & 63L).toInt); b
+    override def reduce(b: Buf, in: (Long, Long)): Buf = {
+      val (h1, h2) = in
+      var i = 0
+      while (i < k) {
+        // h1, h2 < 2^31 and i < k keep h1 + i·h2 far from Long
+        // overflow; both are non-negative, so % == pmod == the probe
+        // side's position arithmetic
+        val pos = (h1 + i.toLong * h2) % bits
+        b.words((pos >> 6).toInt) |= (1L << (pos & 63L).toInt)
+        i += 1
+      }
+      b
     }
     override def merge(a: Buf, b: Buf): Buf = {
       var i = 0
@@ -68,10 +93,12 @@ object BloomJoin {
   /** One-row frame with `bloom: array<bigint>` covering `key` over
     * `dim`. */
   def build(dim: DataFrame, key: Column, bits: Long, k: Int): DataFrame = {
-    val agg = udaf(new BitsetAggregator((bits >> 6).toInt),
-      Encoders.scalaLong)
-    dim.select(explode(array(positions(key, bits, k): _*)).as("pos"))
-      .agg(agg(col("pos")).as("b"))
+    checkShape(bits, k)
+    val agg = udaf(new BitsetAggregator((bits >> 6).toInt, bits, k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    val (h1, h2) = baseHashes(key)
+    dim.select(h1.as("h1"), h2.as("h2"))
+      .agg(agg(col("h1"), col("h2")).as("b"))
       .select(col("b.words").as("bloom"))
   }
 
