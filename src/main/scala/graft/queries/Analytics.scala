@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 
 import Qhelpers._
+import graft.ext.Funnel
 
 /** Aggregation / window / JSON / routing catalog (SURVEY.md §2.4, §2.5,
   * §2.8 F16, §2.9). Single-pass designs: the reference computes its
@@ -270,44 +271,28 @@ object Analytics {
       .orderBy("cohort_day", "day_offset")
   }
 
-  /** Ordered 3-step funnel with per-step conversion windows (view →
-    * click → purchase, each step within 24 h of the previous): per-user
-    * stepwise-minimal timestamps via ONE shuffle on user_id + an ordered
-    * fold (`aggregate` over the time-sorted event list — the fold is the
-    * sequential state machine, so no per-step self-joins over the corpus
-    * and no corpus-sized window). Events are pre-filtered to the three
-    * funnel types before the shuffle; per-user state is the 3-field
-    * struct, not the event list, at merge time. The oracle computes the
-    * same semantics the textbook way (chained min-after-previous-step
-    * CTEs) — stepwise min over a sorted stream ≡ min over the
-    * qualifying set. */
-  def ev_funnel_steps(s: SparkSession, dir: String): DataFrame = {
-    val evs = t(s, dir, "events")
-      .filter(col("event_type").isin("view", "click", "purchase"))
-      .select(col("user_id"), col("ts"), col("event_type"))
-    evs.groupBy("user_id")
-      .agg(sort_array(collect_list(struct(col("ts"), col("event_type"))))
-        .as("evs"))
-      .withColumn("steps", expr(
-        """aggregate(evs,
-          |  named_struct('t1', CAST(NULL AS TIMESTAMP),
-          |               't2', CAST(NULL AS TIMESTAMP),
-          |               't3', CAST(NULL AS TIMESTAMP)),
-          |  (acc, e) -> named_struct(
-          |    't1', CASE WHEN acc.t1 IS NULL AND e.event_type = 'view'
-          |               THEN e.ts ELSE acc.t1 END,
-          |    't2', CASE WHEN acc.t1 IS NOT NULL AND acc.t2 IS NULL
-          |                AND e.event_type = 'click' AND e.ts > acc.t1
-          |                AND e.ts <= acc.t1 + INTERVAL 24 HOURS
-          |               THEN e.ts ELSE acc.t2 END,
-          |    't3', CASE WHEN acc.t2 IS NOT NULL AND acc.t3 IS NULL
-          |                AND e.event_type = 'purchase' AND e.ts > acc.t2
-          |                AND e.ts <= acc.t2 + INTERVAL 24 HOURS
-          |               THEN e.ts ELSE acc.t3 END))""".stripMargin))
-      .agg(count(col("steps.t1")).as("view_users"),
-        count(col("steps.t2")).as("click_users"),
-        count(col("steps.t3")).as("purchase_users"))
-  }
+  /** Ordered 3-step funnel (view → click → purchase, each step within
+    * 24 h of the previous) via the parametric [[graft.ext.Funnel]]
+    * fold: ONE shuffle on user_id, ordered fold as the sequential
+    * state machine, no per-step self-joins, no corpus-sized window
+    * (design + equivalence argument documented there). */
+  def ev_funnel_steps(s: SparkSession, dir: String): DataFrame =
+    Funnel.fold(t(s, dir, "events"),
+      col("user_id"), col("ts"), col("event_type"),
+      Seq(Funnel.Step("view", 0, "view"),
+        Funnel.Step("click", 24, "click"),
+        Funnel.Step("purchase", 24, "purchase")))
+
+  /** 4-step funnel (signup → view → click → purchase) with per-step
+    * windows that NARROW down-funnel (72 h → 24 h → 12 h) — the
+    * parametric form of [[ev_funnel_steps]], same one-shuffle fold. */
+  def ev_funnel_4step(s: SparkSession, dir: String): DataFrame =
+    Funnel.fold(t(s, dir, "events"),
+      col("user_id"), col("ts"), col("event_type"),
+      Seq(Funnel.Step("signup", 0, "signup"),
+        Funnel.Step("view", 72, "view"),
+        Funnel.Step("click", 24, "click"),
+        Funnel.Step("purchase", 12, "purchase")))
 
   /** V1/V3-family — validation gate + routing split over documents
     * (first-failing-reason-wins precedence, soft-fail routing; ref
@@ -349,6 +334,7 @@ object Analytics {
     "ev_milestones" -> (ev_milestones _),
     "ev_retention_cohorts" -> (ev_retention_cohorts _),
     "ev_funnel_steps" -> (ev_funnel_steps _),
+    "ev_funnel_4step" -> (ev_funnel_4step _),
     "v1_validation_route" -> (v1_validation_route _))
 
   val oracle: Map[String, String] = Map(
@@ -513,6 +499,26 @@ object Analytics {
         |SELECT (SELECT COUNT(*) FROM s1) AS view_users,
         |       (SELECT COUNT(*) FROM s2) AS click_users,
         |       (SELECT COUNT(*) FROM s3) AS purchase_users""".stripMargin,
+    // 4-step parametric funnel, same chained-min oracle discipline
+    "ev_funnel_4step" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 72 HOURS GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s2.t2
+        |         AND e.ts <= s2.t2 + INTERVAL 24 HOURS GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e
+        |       JOIN s3 ON e.user_id = s3.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s3.t3
+        |         AND e.ts <= s3.t3 + INTERVAL 12 HOURS GROUP BY 1)
+        |SELECT (SELECT COUNT(*) FROM s1) AS signup_users,
+        |       (SELECT COUNT(*) FROM s2) AS view_users,
+        |       (SELECT COUNT(*) FROM s3) AS click_users,
+        |       (SELECT COUNT(*) FROM s4) AS purchase_users""".stripMargin,
     "v1_validation_route" ->
       """SELECT route, reason, COUNT(*) AS n,
         | CAST(SUM(n_chars) AS BIGINT) AS total_chars
