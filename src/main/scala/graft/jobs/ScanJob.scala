@@ -160,6 +160,17 @@ object ScanJob {
       Seq("url", "domain"), s"${wh.root}/sketches/source_documents",
       batchId = params.runId.hashCode.toLong)
 
+    // The content-length histogram rides the same ingest (the
+    // quantile/CDF twin of the HLL store): lengths bucketize to
+    // 200-char bins so the histogram domain stays bounded, and corpus
+    // length-percentile dashboards fold ∝ runs × bins rows instead of
+    // rescanning the documents table per ask.
+    graft.ext.HistogramSketch.addBatch(
+      docs.select((floor(length(col("content")) / 200) * 200)
+        .as("len_bucket")),
+      Seq("len_bucket"), s"${wh.root}/sketches/source_documents",
+      batchId = params.runId.hashCode.toLong)
+
     // L3 — vectorize (embed title+content, 6000-char cap, single chunk
     // index 0; `vectorize.ts:6-33`).
     val localStoreId = ensureLocalStore(wh, params.now)

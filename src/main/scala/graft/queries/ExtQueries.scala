@@ -214,6 +214,22 @@ object ExtQueries {
       markDone(d)
     }
 
+  /** Histogram store fed through the INGEST bucketization (the exact
+    * shape ScanJob appends per run: length bucketized to a bounded
+    * bin domain), batched like an ingest would be. */
+  private def histIngestDir(s: SparkSession, dir: String): String =
+    buildOnce(dir, "documents", "histingest", marker = "_DONE") { d =>
+      wipeDir(d)
+      val docs = t(s, dir, "documents")
+      (0L to 3L).foreach { b =>
+        graft.ext.HistogramSketch.addBatch(
+          docs.filter(pmod(col("doc_id"), lit(4)) === b)
+            .select((floor(col("n_chars") / 100) * 100).as("len_bucket")),
+          Seq("len_bucket"), d, batchId = b)
+      }
+      markDone(d)
+    }
+
   private def wipeDir(d: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
@@ -249,6 +265,18 @@ object ExtQueries {
   def x_hist_quantiles(s: SparkSession, dir: String): DataFrame = {
     val hDir = histSketchDir(s, dir)
     graft.ext.HistogramSketch.quantiles(s, hDir, "l_quantity",
+      Seq(0.25, 0.5, 0.75))
+  }
+
+  /** X — the ingest-fed twin of [[x_hist_quantiles]]: quantiles of the
+    * document content-length distribution served from the histogram
+    * store the ingest path appends (ScanJob tracks the same
+    * length-bucket shape per run; see `jobs/ScanJob`). Bucketized to
+    * 100-char bins → bounded domain → batch-merged histogram is exact
+    * over the bucketized values. */
+  def x_hist_quantiles_ingest(s: SparkSession, dir: String): DataFrame = {
+    val hDir = histIngestDir(s, dir)
+    graft.ext.HistogramSketch.quantiles(s, hDir, "len_bucket",
       Seq(0.25, 0.5, 0.75))
   }
 
@@ -321,7 +349,8 @@ object ExtQueries {
       timed("ccidx")(TextSim.ccComponentsDir(s, dir)),
       timed("hllsk")(hllSketchDir(s, dir)),
       timed("hllgsk")(hllGroupSketchDir(s, dir)),
-      timed("histsk")(histSketchDir(s, dir)))
+      timed("histsk")(histSketchDir(s, dir)),
+      timed("histingest")(histIngestDir(s, dir)))
   }
 
   /** X1 — product-quantized top-k (third ANN family; `ext.Pq`): the
@@ -442,7 +471,8 @@ object ExtQueries {
     "x1_label_outliers" -> (x1_label_outliers _),
     "x_hll_distinct" -> (x_hll_distinct _),
     "x_hll_group_distinct" -> (x_hll_group_distinct _),
-    "x_hist_quantiles" -> (x_hist_quantiles _))
+    "x_hist_quantiles" -> (x_hist_quantiles _),
+    "x_hist_quantiles_ingest" -> (x_hist_quantiles_ingest _))
 
   /** DuckDB equivalents. SimHash / hyperplane math is hex-char
     * arithmetic with integer sums — value-identical across engines. */
@@ -551,6 +581,18 @@ object ExtQueries {
         |SELECT CAST(0.5 AS DOUBLE) AS q, quantile_disc(l_quantity, 0.5) AS value FROM lineitem
         |UNION ALL
         |SELECT CAST(0.75 AS DOUBLE) AS q, quantile_disc(l_quantity, 0.75) AS value FROM lineitem
+        |ORDER BY q""".stripMargin,
+    // ingest-track twin: same bucketization the ScanJob ingest appends
+    // (bounded bin domain → exact merged histogram over bucket values)
+    "x_hist_quantiles_ingest" ->
+      """SELECT CAST(0.25 AS DOUBLE) AS q,
+        | quantile_disc(FLOOR(n_chars / 100) * 100, 0.25) AS value FROM documents
+        |UNION ALL
+        |SELECT CAST(0.5 AS DOUBLE) AS q,
+        | quantile_disc(FLOOR(n_chars / 100) * 100, 0.5) AS value FROM documents
+        |UNION ALL
+        |SELECT CAST(0.75 AS DOUBLE) AS q,
+        | quantile_disc(FLOOR(n_chars / 100) * 100, 0.75) AS value FROM documents
         |ORDER BY q""".stripMargin,
     // sparse-mode HLL is exact at these cardinalities, so the sketch
     // fold must hash-match the exact distinct count

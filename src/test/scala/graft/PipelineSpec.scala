@@ -100,6 +100,19 @@ class PipelineSpec extends SparkSpec {
       spark, s"${wh.root}/sketches/source_documents")
     assert(est("url") === docs.select("url").distinct().count())
     assert(est("domain") === docs.select("domain").distinct().count())
+
+    // ...and one histogram batch (content length, 200-char bins); the
+    // merged histogram equals the exact bucket census of the persisted
+    // docs, so quantile asks never need to rescan the table
+    val hist = graft.ext.HistogramSketch.histogram(
+      spark, s"${wh.root}/sketches/source_documents", "len_bucket")
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val exact = docs
+      .select((floor(length(col("content")) / 200) * 200)
+        .cast("double").as("b"))
+      .groupBy("b").count()
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(hist === exact && hist.nonEmpty)
   }
 
   test("ScanJob is idempotent on re-run (same run id, same candidates)") {
