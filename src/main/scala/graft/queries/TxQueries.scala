@@ -320,6 +320,36 @@ object TxQueries {
     mustRoute(s, q, "mv_routed_join")
   }
 
+  /** The join route under SUBSET grouping and HAVING (round 9): the
+    * view groups by (l_orderkey, l_returnflag) — the join key plus a
+    * dimension — and the query groups by (o_orderstatus,
+    * l_returnflag), a strict subset of the fact-side grouping, under a
+    * post-aggregate filter mixing an aggregate predicate with a
+    * group-column predicate. The rewrite joins the VIEW to orders and
+    * re-aggregates; pinned output attr ids keep the HAVING transparent.
+    * Multi-view dispatch is exercised for free: the (l_orderkey)-only
+    * join view registered by [[mv_routed_join]] cannot serve
+    * l_returnflag grouping and must be fallen through. The 9 groups
+    * are uniform (~1/9 each), so the count threshold is total/12 —
+    * a 33 % relative margin at every SF (house margin discipline);
+    * row reduction comes from the flag predicate. */
+  def mv_routed_join_subset(s: SparkSession, dir: String): DataFrame = {
+    val (table, _) = mvTableView(s, dir)
+    val viewJs = new graft.ext.IncrementalView(s, table,
+      table.dir + "-viewjoinsub", Seq("l_orderkey", "l_returnflag"),
+      Seq("l_quantity"), numBuckets = 2)
+    viewJs.refresh() // no-op when already current
+    graft.plans.MvCatalog.register(viewJs)
+    val threshold = table.read.count() / 12
+    val dim = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+    val q = table.read.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus", "l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      .filter(col("l_returnflag") =!= "R" && col("n") > threshold)
+      .orderBy("o_orderstatus", "l_returnflag")
+    mustRoute(s, q, "mv_routed_join_subset")
+  }
+
   /** MIN/MAX through MV routing (round 7): a SECOND view over the same
     * source tracks extrema (`minMaxCols` — insert-cheap least/greatest
     * merge, delete-touched groups recompute), and the min/max query is
@@ -352,6 +382,7 @@ object TxQueries {
     "tx_clone_read" -> (tx_clone_read _),
     "mv_routed_agg" -> (mv_routed_agg _),
     "mv_routed_join" -> (mv_routed_join _),
+    "mv_routed_join_subset" -> (mv_routed_join_subset _),
     "mv_routed_having" -> (mv_routed_having _),
     "mv_routed_minmax" -> (mv_routed_minmax _))
 
@@ -433,6 +464,16 @@ object TxQueries {
         |HAVING l_returnflag <> 'R'
         |   AND COUNT(*) > (SELECT COUNT(*) // 4 FROM lineitem)
         |ORDER BY l_returnflag""".stripMargin,
+    // join route + subset grouping + HAVING: routed result must equal
+    // the raw fact-join-dim recompute under the same post-agg filter
+    "mv_routed_join_subset" ->
+      """SELECT o_orderstatus, l_returnflag, COUNT(*) AS n,
+        |       SUM(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus, l_returnflag
+        |HAVING l_returnflag <> 'R'
+        |   AND COUNT(*) > (SELECT COUNT(*) // 12 FROM lineitem)
+        |ORDER BY o_orderstatus, l_returnflag""".stripMargin,
     // extrema are comparison-only (no summation-order concerns) — the
     // routed result must equal the raw-parquet recompute exactly
     "mv_routed_minmax" ->

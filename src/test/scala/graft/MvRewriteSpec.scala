@@ -330,6 +330,29 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   }
 
+  test("join aggregate under HAVING routes: subset grouping + post-agg filter") {
+    val t = mkSource()
+    val view = mkView(t) // groups by (g, r); query groups by a SUBSET
+    MvCatalog.clear(); MvCatalog.register(view)
+    try {
+      val dim = Seq(("g0", "zero"), ("g1", "one"), ("g2", "two"))
+        .toDF("gk", "name")
+      // HAVING sits ABOVE the aggregate, mixing an aggregate predicate
+      // with a group-column predicate; pinned output attr ids make the
+      // rewrite transparent to it
+      val q = t.read.join(dim, col("g") === col("gk"))
+        .groupBy("name")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"), avg("v").as("av"))
+        .filter(col("n") > 2 && col("name") =!= "two")
+      val (hit, got) = routed(q)
+      assert(hit, "join+HAVING rewrite did not fire")
+      assert(scansViewNot(q, view), "rewritten plan still scans the fact")
+      MvCatalog.clear()
+      assert(got === q.collect().toSet)
+      assert(got.nonEmpty)
+    } finally MvCatalog.clear()
+  }
+
   test("dim-side aggregates route in cnt-weighted form (NULL dim values included)") {
     val t = mkSource()
     val view = mkView(t)
