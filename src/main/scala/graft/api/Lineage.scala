@@ -15,6 +15,45 @@ final class Lineage(wh: Warehouse) {
 
   case class Graph(nodes: DataFrame, edges: DataFrame)
 
+  /** Every node reachable FROM `(nodeType, nodeId)` following edge
+    * direction, with minimal hop count (the UI's expand-descendants
+    * walk, `LineageGraph.tsx:48-76` — multi-hop, not the one-hop J5
+    * assembly). Columns: node_type, node_id, hops (≥ 1). */
+  def descendants(g: Graph, nodeType: String, nodeId: String,
+      maxHops: Int = 20): DataFrame =
+    walk(g, nodeType, nodeId, forward = true, maxHops)
+
+  /** Every node that can reach `(nodeType, nodeId)` — the provenance
+    * chain (expand-ancestors). Columns: node_type, node_id, hops. */
+  def ancestors(g: Graph, nodeType: String, nodeId: String,
+      maxHops: Int = 20): DataFrame =
+    walk(g, nodeType, nodeId, forward = false, maxHops)
+
+  private def walk(g: Graph, nodeType: String, nodeId: String,
+      forward: Boolean, maxHops: Int): DataFrame = {
+    // composite node key: types are fixed literal names (never contain
+    // ':'), so the first ':' always splits correctly
+    def key(t: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      concat(t, lit(":"), i)
+    val edges =
+      if (forward) g.edges.select(
+        key(col("from_type"), col("from_id")).as("src"),
+        key(col("to_type"), col("to_id")).as("dst"))
+      else g.edges.select(
+        key(col("to_type"), col("to_id")).as("src"),
+        key(col("from_type"), col("from_id")).as("dst"))
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val seed = Seq(s"$nodeType:$nodeId").toDF("id")
+    graft.ext.Closure.reachFrom(edges, seed, maxHops).pairs
+      .filter(col("hops") > 0)
+      .select(
+        substring_index(col("id"), ":", 1).as("node_type"),
+        expr("substring(id, instr(id, ':') + 1)").as("node_id"),
+        col("hops"))
+      .orderBy("hops", "node_type", "node_id")
+  }
+
   def graph(runLimit: Int = 50, docLimit: Int = 200, itemLimit: Int = 200,
       reqLimit: Int = 200): Graph = {
     val runs = wh.domainTable("runs").read

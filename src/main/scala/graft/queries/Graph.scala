@@ -96,8 +96,33 @@ object Graph {
   def g_triangle_count(s: SparkSession, dir: String): DataFrame =
     GraphOps.summary(coSupplierEdges(s, dir))
 
+  /** Transitive closure of the FK lineage DAG (`ext.Closure` frontier
+    * walk): orders → customer → nation → region plus supplier →
+    * nation, node keys namespaced by type letter. Every (node,
+    * ancestor) pair at any hop distance — the multi-hop provenance ask
+    * the reference UI answers by walking the lineage graph; the oracle
+    * computes the identical closure with a recursive CTE. Orders are
+    * capped to a fixed key range so the output stays compare-sized at
+    * every SF (the operator itself is corpus-wide). */
+  def lineage_closure(s: SparkSession, dir: String): DataFrame = {
+    def key(prefix: String, c: String) =
+      concat(lit(prefix), col(c).cast(StringType))
+    val edges = t(s, dir, "supplier")
+      .select(key("S", "s_suppkey").as("src"), key("N", "s_nationkey").as("dst"))
+      .unionByName(t(s, dir, "customer")
+        .select(key("C", "c_custkey").as("src"), key("N", "c_nationkey").as("dst")))
+      .unionByName(t(s, dir, "nation")
+        .select(key("N", "n_nationkey").as("src"), key("R", "n_regionkey").as("dst")))
+      .unionByName(t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+        .select(key("O", "o_orderkey").as("src"), key("C", "o_custkey").as("dst")))
+    graft.ext.Closure.transitive(edges)
+      .select(col("src").as("node"), col("anc"))
+      .orderBy("node", "anc")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "g_triangle_count" -> (g_triangle_count _))
+    "g_triangle_count" -> (g_triangle_count _),
+    "lineage_closure" -> (lineage_closure _))
 
   val oracle: Map[String, String] = Map(
     // same edge set, triangles counted the textbook way (a<b<c join);
@@ -121,5 +146,28 @@ object Graph {
         | (SELECT COUNT(*) FROM e) AS n_edges,
         | (SELECT COUNT(*) FROM e e1
         |   JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
-        |   JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""".stripMargin)
+        |   JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""".stripMargin,
+    // identical closure via a recursive CTE (UNION dedups generations,
+    // so the recursion terminates at the DAG depth)
+    "lineage_closure" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS src,
+        |         'N' || CAST(s_nationkey AS VARCHAR) AS dst FROM supplier
+        |  UNION ALL
+        |  SELECT 'C' || CAST(c_custkey AS VARCHAR),
+        |         'N' || CAST(c_nationkey AS VARCHAR) FROM customer
+        |  UNION ALL
+        |  SELECT 'N' || CAST(n_nationkey AS VARCHAR),
+        |         'R' || CAST(n_regionkey AS VARCHAR) FROM nation
+        |  UNION ALL
+        |  SELECT 'O' || CAST(o_orderkey AS VARCHAR),
+        |         'C' || CAST(o_custkey AS VARCHAR) FROM orders
+        |  WHERE o_orderkey <= 500),
+        |reach AS (
+        |  SELECT src, dst AS anc FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst AS anc FROM reach r
+        |  JOIN edges e ON r.anc = e.src)
+        |SELECT src AS node, anc FROM reach
+        |ORDER BY node, anc""".stripMargin)
 }

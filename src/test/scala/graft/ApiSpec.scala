@@ -127,4 +127,32 @@ class ApiSpec extends SparkSpec {
       e.getAs[String]("to_id"), e.getAs[String]("relation")))
     assert(keys.distinct.length === keys.length)
   }
+
+  test("lineage multi-hop walk: descendants/ancestors with minimal hops") {
+    val lin = new Lineage(wh)
+    val g = lin.graph()
+    val edges = g.edges
+      .select("from_type", "from_id", "to_type", "to_id")
+      .as[(String, String, String, String)].collect()
+    assert(edges.nonEmpty)
+    // direct edge → 1-hop descendant, and the inverse 1-hop ancestor
+    val (ft, fi, tt, ti) = edges.head
+    val desc = lin.descendants(g, ft, fi)
+      .as[(String, String, Int)].collect()
+    assert(desc.contains((tt, ti, 1)))
+    val anc = lin.ancestors(g, tt, ti)
+      .as[(String, String, Int)].collect()
+    assert(anc.contains((ft, fi, 1)))
+    // a 2-edge chain must surface in the walk (hops ≤ 2: a shorter
+    // parallel edge may exist, minimal distance wins)
+    val chains = for {
+      a <- edges; b <- edges
+      if (a._3, a._4) == ((b._1, b._2)) && (a._1, a._2) != ((b._3, b._4))
+    } yield (a, b)
+    assert(chains.nonEmpty, "fixture has no 2-hop lineage chain")
+    val (ca, cb) = chains.head
+    val d2 = lin.descendants(g, ca._1, ca._2)
+      .as[(String, String, Int)].collect()
+    assert(d2.exists(r => r._1 == cb._3 && r._2 == cb._4 && r._3 <= 2))
+  }
 }
