@@ -1,6 +1,58 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** One timed §3 scan→merge→review lifecycle into the throwaway
+    * warehouse at `root` (deleted by the caller — a bench must not
+    * leak a full warehouse per invocation). -1 marks a failed run
+    * (visible, never silent). */
+  private def timePipeline(spark: SparkSession, sfDir: String,
+      root: String): Option[Double] =
+    try {
+      import org.apache.spark.sql.functions._
+      val now = java.sql.Timestamp.valueOf("2026-01-15 12:00:00")
+      val candidates = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(
+          concat(lit("https://eur-lex.europa.eu/eli/doc/"),
+            col("doc_id")).as("url"),
+          concat(lit("Doc "), col("doc_id")).as("title"),
+          col("text").as("content"),
+          lit("2026-01-10").as("published_date"),
+          lit("eu_news").as("connector"),
+          lit(0).as("connector_rank"))
+      val t0 = System.nanoTime()
+      val wh = new graft.core.Warehouse(spark, root)
+      wh.createAll()
+      graft.domain.Seeder.run(wh, now)
+      val tracker = new graft.jobs.RunTracker(wh)
+      tracker.create("bench-scan", "scan", "EU", 30, now)
+      val sc = graft.jobs.ScanJob.run(wh, candidates,
+        graft.jobs.ScanJob.Params("bench-scan", "EU", 30,
+          Int.MaxValue, 0.5, now),
+        graft.pipeline.RuleExtractor,
+        new graft.pipeline.HashEmbedder(64))
+      tracker.create("bench-merge", "merge", "EU", 0, now)
+      graft.jobs.MergeJob.run(wh,
+        graft.jobs.MergeJob.Params("bench-merge", "EU", 0.5, now),
+        graft.pipeline.RuleMerger)
+      val pending = wh.domainTable("review_queue").read
+        .filter(col("status") === "pending").orderBy("created_at", "id")
+        .limit(1).select("id").collect().headOption.map(_.getString(0))
+      pending.foreach(id =>
+        new graft.jobs.ReviewService(wh).approve(id, now))
+      require(sc.discovered > 0, "pipeline processed nothing")
+      Some((System.nanoTime() - t0) / 1e9)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] pipeline lifecycle FAILED: $e")
+        Some(-1.0)
+    }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -82,46 +134,11 @@ object Bench {
     // them. -1 marks a failed run (visible, never silent).
     val pipelineSec: Option[Double] =
       if (only.isDefined) None // dev-loop subsets skip the lifecycle
-      else try {
-        import org.apache.spark.sql.functions._
+      else {
         val root = java.nio.file.Files
           .createTempDirectory("graft-bench-pipe").toString
-        val now = java.sql.Timestamp.valueOf("2026-01-15 12:00:00")
-        val candidates = spark.read.parquet(s"$sfDir/documents.parquet")
-          .select(
-            concat(lit("https://eur-lex.europa.eu/eli/doc/"),
-              col("doc_id")).as("url"),
-            concat(lit("Doc "), col("doc_id")).as("title"),
-            col("text").as("content"),
-            lit("2026-01-10").as("published_date"),
-            lit("eu_news").as("connector"),
-            lit(0).as("connector_rank"))
-        val t0 = System.nanoTime()
-        val wh = new graft.core.Warehouse(spark, root)
-        wh.createAll()
-        graft.domain.Seeder.run(wh, now)
-        val tracker = new graft.jobs.RunTracker(wh)
-        tracker.create("bench-scan", "scan", "EU", 30, now)
-        val sc = graft.jobs.ScanJob.run(wh, candidates,
-          graft.jobs.ScanJob.Params("bench-scan", "EU", 30,
-            Int.MaxValue, 0.5, now),
-          graft.pipeline.RuleExtractor,
-          new graft.pipeline.HashEmbedder(64))
-        tracker.create("bench-merge", "merge", "EU", 0, now)
-        graft.jobs.MergeJob.run(wh,
-          graft.jobs.MergeJob.Params("bench-merge", "EU", 0.5, now),
-          graft.pipeline.RuleMerger)
-        val pending = wh.domainTable("review_queue").read
-          .filter(col("status") === "pending").orderBy("created_at", "id")
-          .limit(1).select("id").collect().headOption.map(_.getString(0))
-        pending.foreach(id =>
-          new graft.jobs.ReviewService(wh).approve(id, now))
-        require(sc.discovered > 0, "pipeline processed nothing")
-        Some((System.nanoTime() - t0) / 1e9)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] pipeline lifecycle FAILED: $e")
-          Some(-1.0)
+        try timePipeline(spark, sfDir, root)
+        finally deleteRecursively(new java.io.File(root))
       }
     // 3-decimal (millisecond) precision: full doubles push the 71-query
     // JSON line past the harness's captured stdout tail and the line

@@ -236,10 +236,13 @@ final class TxTable(
     if (v < 0 || !exists) Map.empty else loadManifest(v).meta
 
   /** Newest retained commit's value for `key` (commits without the key
-    * — compactions, unrelated writes — are skipped). */
+    * — compactions, unrelated writes — are skipped). A tombstoned key
+    * ([[dropMeta]]) reads as absent — the tombstone shadows every
+    * older value, it never falls through to one. */
   def latestMeta(key: String): Option[String] =
     versions.reverseIterator.map(commitMeta(_).get(key))
       .collectFirst { case Some(v) => v }
+      .filterNot(_ == TxTable.MetaTombstone)
 
   /** [[latestMeta]] pinned AT a version: newest value for `key` among
     * retained commits `<= v`. Guarded commits hand their precondition
@@ -248,6 +251,28 @@ final class TxTable(
   def metaAsOf(v: Long, key: String): Option[String] =
     versions.reverseIterator.filter(_ <= v)
       .map(commitMeta(_).get(key)).collectFirst { case Some(x) => x }
+      .filterNot(_ == TxTable.MetaTombstone)
+
+  /** Retire commit-meta keys (watermarks of consumers that no longer
+    * exist — a dropped view, a deleted stream query). Vacuum's
+    * carry-forward otherwise keeps every key alive FOREVER (each cycle
+    * re-folds it into a fresh commit); a tombstone ends that
+    * lifecycle: the key immediately reads as absent, stays shadowed
+    * while the tombstone's manifest is retained, and when that
+    * manifest ages out the carry drops the key entirely instead of
+    * resurrecting an older value. Data is untouched (the commit
+    * republishes the current entries). */
+  def dropMeta(keys: Iterable[String]): Unit = {
+    val ks = keys.toSeq.distinct
+    require(ks.nonEmpty, "dropMeta needs at least one key")
+    withRetry {
+      val base = currentVersion
+      val m = loadManifest(base)
+      commit(m.entries, base, m.declaredSchema,
+        ks.map(_ -> TxTable.MetaTombstone).toMap)
+      ()
+    }
+  }
 
   private def snapshotAt(v: Long): TxTable.Snapshot =
     new TxTable.Snapshot(v, k => metaAsOf(v, k))
@@ -1573,7 +1598,11 @@ final class TxTable(
         val m = loadManifest(base)
         val retainedKeys: Set[String] = versions.filter(_ >= oldestKept)
           .flatMap(commitMeta(_).keys).toSet
-        val lost = candidate -- retainedKeys
+        // a key whose newest dropped value is a TOMBSTONE ends its
+        // lifecycle here: not carried, and every older value aged out
+        // with it — the retirement [[dropMeta]] promised
+        val lost = (candidate -- retainedKeys)
+          .filterNot(_._2 == TxTable.MetaTombstone)
         if (lost.nonEmpty) { commit(m.entries, base, m.declaredSchema, lost); () }
       }
     }
@@ -1611,6 +1640,12 @@ object TxTable {
   /** Default vacuum retention: nothing younger than this is ever
     * deleted, protecting live snapshot readers (see [[TxTable.vacuum]]). */
   val DefaultVacuumRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
+
+  /** Reserved commit-meta value marking a key retired by
+    * [[TxTable.dropMeta]]: reads skip it, vacuum's carry-forward ends
+    * the key's lifecycle at it. The NUL bytes keep it out of any
+    * plausible application value space. */
+  val MetaTombstone: String = "\u0000tombstone\u0000"
 
   /** Default total time a conflicting writer keeps rebasing before
     * giving up with [[CommitConflict]] (see [[TxTable.withRetry]]). */

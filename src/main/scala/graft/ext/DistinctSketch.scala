@@ -34,15 +34,7 @@ object DistinctSketch {
     * estimates). */
   def addBatch(batch: DataFrame, cols: Seq[String], dir: String,
       batchId: Long, lgConfigK: Int = 12): Unit = {
-    require(cols.nonEmpty, "track at least one column")
-    val spark = batch.sparkSession
-    val stored = storedSketchCols(spark, dir)
-    if (stored.nonEmpty) {
-      val incoming = cols.map(c => s"sk_$c").toSet
-      require(incoming == stored,
-        s"tracked columns ${cols.sorted.mkString(",")} do not match the " +
-          s"store's ${stored.map(_.stripPrefix("sk_")).toSeq.sorted.mkString(",")}")
-    }
+    validateShape(batch.sparkSession, dir, cols, groupCols = Nil)
     val aggs = cols.map(c =>
       hll_sketch_agg(col(c).cast("string"), lit(lgConfigK)).as(s"sk_$c"))
     batch.agg(aggs.head, aggs.tail: _*)
@@ -61,14 +53,7 @@ object DistinctSketch {
       cols: Seq[String], dir: String, batchId: Long,
       lgConfigK: Int = 12): Unit = {
     require(groupCols.nonEmpty, "group by at least one column")
-    require(cols.nonEmpty, "track at least one column")
-    val stored = storedSketchCols(batch.sparkSession, dir)
-    if (stored.nonEmpty) {
-      val incoming = cols.map(c => s"sk_$c").toSet
-      require(incoming == stored,
-        s"tracked columns ${cols.sorted.mkString(",")} do not match the " +
-          s"store's ${stored.map(_.stripPrefix("sk_")).toSeq.sorted.mkString(",")}")
-    }
+    validateShape(batch.sparkSession, dir, cols, groupCols)
     val aggs = cols.map(c =>
       hll_sketch_agg(col(c).cast("string"), lit(lgConfigK)).as(s"sk_$c"))
     batch.groupBy(groupCols.map(col): _*)
@@ -88,11 +73,43 @@ object DistinctSketch {
         hll_sketch_estimate(hll_union_agg(col(s"sk_$column"))), lit(0L))
         .as("n_distinct"))
 
-  private def storedSketchCols(spark: SparkSession, dir: String): Set[String] =
-    try readSketches(spark, dir).columns.filter(_.startsWith("sk_")).toSet
-    catch { case e: Exception
+  /** Shape gate for both writers: the tracked set AND the group set
+    * are the store's contract. Tracked-only validation let addBatch
+    * and addBatchGrouped (or two grouped writers with different group
+    * columns) silently fork one store's parquet schema — the exact
+    * failure the check exists to reject; estimateGrouped over such a
+    * fork emits spurious NULL-group rows. Reserved names (sk_*,
+    * batch_id) are rejected up front so a group or tracked column can
+    * never collide with the store's own columns. */
+  private def validateShape(spark: SparkSession, dir: String,
+      cols: Seq[String], groupCols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "track at least one column")
+    (cols ++ groupCols).foreach { c =>
+      require(!c.startsWith("sk_") && c != "batch_id",
+        s"'$c' collides with the store's reserved columns (sk_*, batch_id)")
+    }
+    storedShape(spark, dir).foreach { case (storedSk, storedGroups) =>
+      val incoming = cols.map(c => s"sk_$c").toSet
+      require(incoming == storedSk,
+        s"tracked columns ${cols.sorted.mkString(",")} do not match the " +
+          s"store's ${storedSk.map(_.stripPrefix("sk_")).toSeq.sorted.mkString(",")}")
+      require(groupCols.toSet == storedGroups,
+        s"group columns [${groupCols.sorted.mkString(",")}] do not match " +
+          s"the store's [${storedGroups.toSeq.sorted.mkString(",")}]")
+    }
+  }
+
+  /** (sk_* columns, group columns) of an existing store; None when the
+    * store has no files yet. */
+  private def storedShape(spark: SparkSession, dir: String)
+      : Option[(Set[String], Set[String])] =
+    try {
+      val cs = readSketches(spark, dir).columns
+      Some((cs.filter(_.startsWith("sk_")).toSet,
+        cs.filterNot(c => c.startsWith("sk_") || c == "batch_id").toSet))
+    } catch { case e: Exception
         if e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND") =>
-      Set.empty
+      None
     }
 
   /** mergeSchema guards against a store written before the

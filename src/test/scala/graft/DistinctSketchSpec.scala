@@ -83,6 +83,35 @@ class DistinctSketchSpec extends SparkSpec {
     assert(e.getMessage.contains("do not match"))
   }
 
+  test("mismatched GROUP sets are rejected too, and reserved names up front") {
+    val dir = tmpDir("sketch-grpmismatch")
+    DistinctSketch.addBatchGrouped(orders, Seq("o_orderstatus"),
+      Seq("o_custkey"), dir, batchId = 0)
+    // ungrouped writer against a grouped store: same silent-fork hazard
+    val e1 = intercept[IllegalArgumentException] {
+      DistinctSketch.addBatch(orders, Seq("o_custkey"), dir, batchId = 1)
+    }
+    assert(e1.getMessage.contains("group columns"))
+    // grouped writer with a different group set
+    val e2 = intercept[IllegalArgumentException] {
+      DistinctSketch.addBatchGrouped(orders, Seq("o_orderpriority"),
+        Seq("o_custkey"), dir, batchId = 2)
+    }
+    assert(e2.getMessage.contains("group columns"))
+    // reserved names can never enter a store's schema
+    val dir2 = tmpDir("sketch-reserved")
+    intercept[IllegalArgumentException] {
+      DistinctSketch.addBatch(
+        orders.withColumnRenamed("o_custkey", "batch_id"),
+        Seq("batch_id"), dir2, batchId = 0)
+    }
+    intercept[IllegalArgumentException] {
+      DistinctSketch.addBatchGrouped(
+        orders.withColumnRenamed("o_orderstatus", "sk_g"),
+        Seq("sk_g"), Seq("o_custkey"), dir2, batchId = 0)
+    }
+  }
+
   test("grouped sketches: per-group union equals the exact per-group distinct") {
     val dir = tmpDir("sketch-grp")
     // o_orderstatus per group is tiny → sparse-exact, so the grouped

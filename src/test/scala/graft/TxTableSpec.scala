@@ -277,6 +277,36 @@ class TxTableSpec extends SparkSpec {
     assert(t.latestMeta("stream_batch:q") === Some("7"))
   }
 
+  test("dropMeta tombstones a watermark: reads absent, carry-forward ends") {
+    val t = tkv()
+    t.append(Seq(("a", 1)).toDF("k", "v"))
+    assert(t.appendIf(Seq(("b", 2)).toDF("k", "v"),
+      Map("view_wm:dead" -> "3", "view_wm:live" -> "5"))(_ => true))
+    // retire one consumer's key; the other must be untouched
+    t.dropMeta(Seq("view_wm:dead"))
+    assert(t.latestMeta("view_wm:dead") === None)
+    assert(t.latestMeta("view_wm:live") === Some("5"))
+    val rows = t.read.count()
+    // the tombstone is always newer than every value it shadows, and
+    // vacuum drops a contiguous version prefix — so when it ages out,
+    // the old "3" aged out with it: the carry must DROP the key (not
+    // resurrect), while the live key is carried as before
+    t.append(Seq(("c", 3)).toDF("k", "v"))
+    t.vacuum(keepVersions = 1, minAgeMs = 0L)
+    assert(t.latestMeta("view_wm:dead") === None)
+    assert(t.latestMeta("view_wm:live") === Some("5"))
+    // no value for the dead key survives in ANY retained manifest —
+    // the lifecycle ended instead of re-folding forever
+    val all = t.versions.flatMap(t.commitMeta(_).get("view_wm:dead"))
+    assert(all.isEmpty)
+    // ...and it STAYS ended across further cycles
+    t.append(Seq(("d", 4)).toDF("k", "v"))
+    t.vacuum(keepVersions = 1, minAgeMs = 0L)
+    assert(t.latestMeta("view_wm:dead") === None)
+    assert(t.latestMeta("view_wm:live") === Some("5"))
+    assert(t.read.count() === rows + 2)
+  }
+
   test("guarded append: two racers with the same watermark — exactly one commits") {
     // the appendIf CAS shape a streaming replay exercises: both racers
     // read the same applied watermark, both stage, one wins the claim;
