@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank over an edge list — iterative keyed joins, no
+  * graph library, and DETERMINISTIC across engines and partitionings:
+  * ranks live in integer units (10¹² total mass) and every per-step
+  * operation is integer arithmetic (`div`, `*`, `+`) — a long sum is
+  * exact and order-independent, where a floating-point PageRank leaks
+  * partition order into the low bits of every rank (the house
+  * determinism discipline: same trick as the DECIMAL money folds).
+  * Floor losses from the integer divisions are bounded by one unit
+  * per edge per iteration — invisible at 10¹² mass, identical in
+  * every engine that floors the same way.
+  *
+  * Per iteration: contribution = rank div out-degree shipped along
+  * each edge (one keyed join + grouped sum — the classic shuffle
+  * shape), then rank' = (1−d)·mass/N + d·Σ contributions, all in
+  * integer units. Iterations are unrolled with the checkpointed
+  * lineage discipline of `Dedup.connectedComponents` (each
+  * generation's plan truncated eagerly — the plan would otherwise
+  * double per iteration). Dangling nodes (no out-edges) leak their
+  * mass; feed a symmetrized edge list (as the catalog query does)
+  * when conservation matters.
+  */
+object PageRank {
+
+  /** Total integer rank mass (10¹²): large enough that floor losses
+    * are noise, small enough that `mass × dampingPct` stays far from
+    * Long overflow. */
+  val Mass: Long = 1000000000000L
+
+  /** Ranks after `iterations` synchronous steps over `edges` (columns
+    * `src`, `dst`; deduplicated internally). Returns (v, r) with r in
+    * integer units of [[Mass]]. `dampingPct` is the damping factor in
+    * percent (85 = the classic 0.85) — integer so the update rule is
+    * exact. */
+  def fixedPointRanks(edges: DataFrame, iterations: Int,
+      dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(dampingPct >= 1 && dampingPct <= 99,
+      s"dampingPct must be in [1, 99], got $dampingPct")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    // driver-side integer constants — the oracle computes the same
+    // literals with the same floor divisions
+    val base = (Mass * (100 - dampingPct) / 100) / n
+    val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    var pr = nodes.select(col("v"), lit(Mass / n).as("r"))
+      .localCheckpoint(true)
+    (1 to iterations).foreach { _ =>
+      val contrib = e
+        .join(pr.select(col("v").as("src"), col("r")), Seq("src"))
+        .join(deg.select(col("v").as("src"), col("d")), Seq("src"))
+        .select(col("dst").as("v"), expr("r div d").as("c"))
+        .groupBy("v").agg(sum("c").as("c"))
+      pr = nodes.join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          (lit(base) + expr(s"(coalesce(c, 0L) * $dampingPct) div 100"))
+            .as("r"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
+}

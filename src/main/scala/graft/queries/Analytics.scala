@@ -201,6 +201,29 @@ object Analytics {
         sum(col("value").cast(dec12_6)).cast(DoubleType).as("total_value"))
       .orderBy("hour", "event_type")
 
+  /** Time-series gap filling — the dashboard ask "hourly series with
+    * explicit ZERO rows for silent hours": the hour spine generates
+    * from the corpus min..max via `sequence()` (calendar-bounded —
+    * spine size = hours × event types, never corpus rows), crossed
+    * with the tiny type dimension, then the real hourly counts
+    * left-join in and gaps coalesce to 0. One shuffle for the counts;
+    * the spine side is a one-row aggregate exploded map-side. */
+  def ev_gap_fill(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val counts = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val spine = ev
+      .agg(date_trunc("hour", min("ts")).as("h0"),
+        date_trunc("hour", max("ts")).as("h1"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      .crossJoin(ev.select("event_type").distinct())
+    spine.join(counts, Seq("hour", "event_type"), "left")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("hour", "event_type")
+  }
+
   /** Gap-based sessionization (30-min inactivity gap) via lag + running
     * sum — the deterministic batch analog of `session_window`
     * (§2.12 extension). */
@@ -335,6 +358,7 @@ object Analytics {
     "ev_retention_cohorts" -> (ev_retention_cohorts _),
     "ev_funnel_steps" -> (ev_funnel_steps _),
     "ev_funnel_4step" -> (ev_funnel_4step _),
+    "ev_gap_fill" -> (ev_gap_fill _),
     "v1_validation_route" -> (v1_validation_route _))
 
   val oracle: Map[String, String] = Map(
@@ -519,6 +543,22 @@ object Analytics {
         |       (SELECT COUNT(*) FROM s2) AS view_users,
         |       (SELECT COUNT(*) FROM s3) AS click_users,
         |       (SELECT COUNT(*) FROM s4) AS purchase_users""".stripMargin,
+    // hour spine via DuckDB's list-form generate_series (inclusive on
+    // both ends, like Spark's sequence())
+    "ev_gap_fill" ->
+      """WITH counts AS (SELECT date_trunc('hour', ts) AS chour,
+        |                       event_type AS cet, COUNT(*) AS n
+        |                FROM events GROUP BY 1, 2),
+        |span AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+        |                date_trunc('hour', MAX(ts)) AS h1 FROM events),
+        |hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |          FROM span),
+        |spine AS (SELECT hours.h, t.event_type
+        |          FROM hours, (SELECT DISTINCT event_type FROM events) t)
+        |SELECT spine.h AS hour, spine.event_type, COALESCE(counts.n, 0) AS n
+        |FROM spine LEFT JOIN counts
+        |  ON counts.chour = spine.h AND counts.cet = spine.event_type
+        |ORDER BY hour, event_type""".stripMargin,
     "v1_validation_route" ->
       """SELECT route, reason, COUNT(*) AS n,
         | CAST(SUM(n_chars) AS BIGINT) AS total_chars

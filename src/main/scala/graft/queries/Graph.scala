@@ -120,9 +120,32 @@ object Graph {
       .orderBy("node", "anc")
   }
 
+  /** Fixed-point PageRank (`ext.PageRank`) over the SYMMETRIZED FK
+    * entity graph (supplier/customer ↔ nation ↔ region): 5 synchronous
+    * iterations in integer units, so the result is bit-identical
+    * between engines — the oracle unrolls the same five steps with the
+    * same floor divisions. Symmetrizing gives every node an out-edge
+    * (no dangling-mass leak); nations surface as the hubs. */
+  def g_pagerank(s: SparkSession, dir: String): DataFrame = {
+    def key(prefix: String, c: String) =
+      concat(lit(prefix), col(c).cast(StringType))
+    val fk = t(s, dir, "supplier")
+      .select(key("S", "s_suppkey").as("src"), key("N", "s_nationkey").as("dst"))
+      .unionByName(t(s, dir, "customer")
+        .select(key("C", "c_custkey").as("src"), key("N", "c_nationkey").as("dst")))
+      .unionByName(t(s, dir, "nation")
+        .select(key("N", "n_nationkey").as("src"), key("R", "n_regionkey").as("dst")))
+    val sym = fk.unionByName(
+      fk.select(col("dst").as("src"), col("src").as("dst")))
+    graft.ext.PageRank.fixedPointRanks(sym, iterations = 5)
+      .select(col("v").as("node"), col("r").as("rank_units"))
+      .orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_triangle_count" -> (g_triangle_count _),
-    "lineage_closure" -> (lineage_closure _))
+    "lineage_closure" -> (lineage_closure _),
+    "g_pagerank" -> (g_pagerank _))
 
   val oracle: Map[String, String] = Map(
     // same edge set, triangles counted the textbook way (a<b<c join);
@@ -169,5 +192,35 @@ object Graph {
         |  SELECT r.src, e.dst AS anc FROM reach r
         |  JOIN edges e ON r.anc = e.src)
         |SELECT src AS node, anc FROM reach
-        |ORDER BY node, anc""".stripMargin)
+        |ORDER BY node, anc""".stripMargin,
+    // identical five fixed-point iterations unrolled as CTEs: every
+    // step is integer arithmetic (// floors like Spark's div), so the
+    // rank units match bit-for-bit
+    "g_pagerank" -> {
+      val step = (k: Int) =>
+        s"""c$k AS (SELECT e.dst AS v, CAST(SUM(p.r // dg.d) AS BIGINT) AS c
+           |       FROM edges e JOIN pr${k - 1} p ON p.v = e.src
+           |       JOIN deg dg ON dg.v = e.src GROUP BY e.dst),
+           |pr$k AS (SELECT n.v,
+           |        (SELECT b FROM base) + (COALESCE(c$k.c, 0) * 85) // 100 AS r
+           |        FROM nodes n LEFT JOIN c$k ON c$k.v = n.v)""".stripMargin
+      s"""WITH fk AS (
+         |  SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS src,
+         |         'N' || CAST(s_nationkey AS VARCHAR) AS dst FROM supplier
+         |  UNION ALL
+         |  SELECT 'C' || CAST(c_custkey AS VARCHAR),
+         |         'N' || CAST(c_nationkey AS VARCHAR) FROM customer
+         |  UNION ALL
+         |  SELECT 'N' || CAST(n_nationkey AS VARCHAR),
+         |         'R' || CAST(n_regionkey AS VARCHAR) FROM nation),
+         |edges AS (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM fk UNION ALL SELECT dst, src FROM fk)),
+         |nodes AS (SELECT DISTINCT src AS v FROM edges),
+         |deg AS (SELECT src AS v, COUNT(*) AS d FROM edges GROUP BY 1),
+         |base AS (SELECT (1000000000000 * 15 // 100) // COUNT(*) AS b FROM nodes),
+         |pr0 AS (SELECT v, 1000000000000 // (SELECT COUNT(*) FROM nodes) AS r
+         |        FROM nodes),
+         |${(1 to 5).map(step).mkString(",\n")}
+         |SELECT v AS node, r AS rank_units FROM pr5 ORDER BY node""".stripMargin
+    })
 }

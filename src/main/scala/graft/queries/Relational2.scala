@@ -88,6 +88,25 @@ object Relational2 {
       .agg(count(lit(1)))
       .orderBy("o_orderstatus")
 
+  /** PIVOT's inverse — UNPIVOT/melt: per-flag wide measures back to
+    * long (flag, metric, value) form via Spark's `unpivot` (the melt
+    * API) vs DuckDB's UNPIVOT clause. All measures cast to one
+    * comparable DOUBLE up front (unpivot needs a common value type;
+    * the money sum goes through the DECIMAL→STRING→DOUBLE house
+    * rule, quantities/counts are integer-valued → exact). Map-only
+    * row expansion over a 3-row aggregate — the melt itself never
+    * shuffles. */
+  def a_unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(msum(col("l_extendedprice")).as("sum_price"),
+        sum(col("l_quantity")).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).cast(DoubleType).as("n_items"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_price"), col("sum_qty"), col("n_items")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+
   /** Deterministic hash sampling (portable alternative to RNG
     * `sample()` — the idiom for reproducible sampling at 100 TB):
     * keep keys whose md5 starts with '0' (≈ 1/16). */
@@ -293,6 +312,7 @@ object Relational2 {
     "a_cube" -> (a_cube _),
     "d3_intersect_except" -> (d3_intersect_except _),
     "a_pivot" -> (a_pivot _),
+    "a_unpivot" -> (a_unpivot _),
     "p_sample_hash" -> (p_sample_hash _),
     "f_string_suite" -> (f_string_suite _),
     "f_date_suite" -> (f_date_suite _),
@@ -347,6 +367,16 @@ object Relational2 {
         | COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
         | COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "a_unpivot" ->
+      s"""WITH wide AS (
+         |  SELECT l_returnflag,
+         |    ${sqlMsum("l_extendedprice")} AS sum_price,
+         |    SUM(l_quantity) AS sum_qty,
+         |    CAST(COUNT(*) AS DOUBLE) AS n_items
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, metric, value
+         |FROM wide UNPIVOT (value FOR metric IN (sum_price, sum_qty, n_items))
+         |ORDER BY l_returnflag, metric""".stripMargin,
     "p_sample_hash" ->
       s"""SELECT COUNT(*) AS n_sampled,
          | ${sqlMsum("o_totalprice")} AS sampled_total,
