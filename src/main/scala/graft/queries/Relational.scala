@@ -171,6 +171,23 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Salted skew join (`ext.SkewJoin`): the lineitem⋈part join run
+    * through explicit (key, salt) salting — the result must equal the
+    * plain join (replication × salting partition the match set), so
+    * the oracle is the UNSALTED SQL. The spreading property itself is
+    * pinned on constructed 90 %-hot data in SkewJoinSpec; here the
+    * technique is proven semantically invisible on real tables. */
+  def j_salted_join(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_partkey", "l_quantity")
+    val part = t(s, dir, "part").select("p_partkey", "p_brand")
+    graft.ext.SkewJoin.saltedInner(li, part,
+        Seq("l_partkey" -> "p_partkey"), salts = 8)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast(DoubleType).as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
   /** J7-family — cross join (cartesian; ref `src/jobs/merge.ts:147-158`). */
   def j7_cross_join(s: SparkSession, dir: String): DataFrame = {
     val r = t(s, dir, "region").select("r_name")
@@ -192,6 +209,7 @@ object Relational {
     "j_semi_join" -> (j_semi_join _),
     "d1_dedup_first_wins" -> (d1_dedup_first_wins _),
     "j_bloom_join" -> (j_bloom_join _),
+    "j_salted_join" -> (j_salted_join _),
     "j7_cross_join" -> (j7_cross_join _))
 
   val oracle: Map[String, String] = Map(
@@ -202,6 +220,11 @@ object Relational {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // salting is semantically invisible — oracle = plain join
+    "j_salted_join" ->
+      """SELECT p_brand, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "a1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          | ${sqlMsum("l_quantity")} AS sum_qty,

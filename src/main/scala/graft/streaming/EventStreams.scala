@@ -180,6 +180,60 @@ object EventStreams {
       }
   }
 
+  case class FunnelStepDef(eventType: String, withinHours: Int)
+
+  case class UserFunnelStep(user_id: Long, steps_completed: Int,
+      ts: Timestamp)
+
+  /** Streaming twin of the batch `ext.Funnel` fold (§2.12 ×
+    * behavioral analytics): per-user step timestamps live in keyed
+    * state, each micro-batch folds its events (in-batch sorted by
+    * (ts, event_type) — the exact order the batch fold's sorted list
+    * induces) with the SAME transition rule (step 1 at first match;
+    * step i > 1 strictly after step i−1 and inside its window,
+    * evaluated against the pre-event snapshot so one event never
+    * satisfies two steps), and a row is emitted whenever a user
+    * advances. Parity with the batch fold holds under in-order
+    * delivery across micro-batches (the file-sequence assumption the
+    * milestone machine makes); late cross-batch stragglers are the
+    * standard no-retraction streaming caveat. State is N longs per
+    * user — state-store-resident and keyed-partitioned at scale. */
+  def funnelProgress(events: Dataset[Event],
+      steps: Seq[FunnelStepDef]): Dataset[UserFunnelStep] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val n = steps.size
+    val types = steps.map(_.eventType).toArray
+    val winMs = steps.map(_.withinHours.toLong * 3600L * 1000L).toArray
+    val typeSet = types.toSet
+    events
+      .filter(e => typeSet.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Array[Long], UserFunnelStep](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[Array[Long]]) =>
+          val st = state.getOption.getOrElse(Array.fill(n)(-1L))
+          val out = scala.collection.mutable.ArrayBuffer[UserFunnelStep]()
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+            val old = st.clone()
+            val ts = e.ts.getTime
+            if (old(0) < 0L && e.event_type == types(0)) st(0) = ts
+            var i = 1
+            while (i < n) {
+              if (old(i - 1) >= 0L && old(i) < 0L &&
+                  e.event_type == types(i) && ts > old(i - 1) &&
+                  ts <= old(i - 1) + winMs(i)) st(i) = ts
+              i += 1
+            }
+            val advancedTo = st.count(_ >= 0L)
+            if (advancedTo > old.count(_ >= 0L))
+              out += UserFunnelStep(userId, advancedTo, e.ts)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** foreachBatch parquet sink — the production write path: each
     * micro-batch lands under `outDir/batch=<id>`, written with
     * OVERWRITE so a batch retried after a partial/complete write

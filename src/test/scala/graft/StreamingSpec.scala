@@ -94,6 +94,57 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming funnel state matches the batch fold's per-step counts") {
+    // cross-batch state: one time-range file per micro-batch, so a
+    // user's click can land batches after their view — the keyed state
+    // must carry the partial funnel across. Time-range files make
+    // concatenation-of-sorted-batches equal the global sort, so the
+    // scala state machine and the SQL higher-order fold see the same
+    // event order (two independent implementations of one contract).
+    // The shared eventsDir writes its 3 range files in ONE job whose
+    // near-identical mtimes leave FileStreamSource's oldest-first
+    // order unspecified — here delivery order IS the contract, so the
+    // slices are written separately with strictly increasing mtimes.
+    import graft.ext.Funnel
+    val funnelDir = tmpDir("events-funnel-src")
+    val (t0, t1) = batchEvents
+      .agg(min(col("ts")).cast("long"), max(col("ts")).cast("long"))
+      .as[(Long, Long)].collect().head
+    val cuts = Seq(t0 + (t1 - t0) / 3, t0 + 2 * (t1 - t0) / 3)
+    val slices = Seq(
+      batchEvents.filter(col("ts").cast("long") < cuts(0)),
+      batchEvents.filter(col("ts").cast("long") >= cuts(0) &&
+        col("ts").cast("long") < cuts(1)),
+      batchEvents.filter(col("ts").cast("long") >= cuts(1)))
+    var seen = Set.empty[String]
+    slices.zipWithIndex.foreach { case (df, i) =>
+      df.coalesce(1).write.mode("append").parquet(funnelDir)
+      val files = new java.io.File(funnelDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+      (files -- seen).foreach(p =>
+        new java.io.File(p).setLastModified(1700000000000L + i * 60000L))
+      seen = files
+    }
+    val steps = Seq(
+      EventStreams.FunnelStepDef("view", 0),
+      EventStreams.FunnelStepDef("click", 24),
+      EventStreams.FunnelStepDef("purchase", 24))
+    val stream = EventStreams.readStream(spark, funnelDir, maxFilesPerTrigger = 1)
+      .as[EventStreams.Event]
+    EventStreams.runToMemory(
+      EventStreams.funnelProgress(stream, steps).toDF(), "funnel_out")
+    val perUser = spark.table("funnel_out")
+      .groupBy("user_id").agg(max("steps_completed").as("s"))
+      .as[(Long, Int)].collect()
+    val streamedCounts = (1 to 3).map(i => perUser.count(_._2 >= i).toLong)
+    val b = Funnel.fold(batchEvents, col("user_id"), col("ts"),
+      col("event_type"),
+      Seq(Funnel.Step("view", 0, "view"), Funnel.Step("click", 24, "click"),
+        Funnel.Step("purchase", 24, "purchase"))).head()
+    assert(streamedCounts === (0 to 2).map(b.getLong))
+    assert(streamedCounts.head > 0L)
+  }
+
   test("streaming dedup: duplicated source events land exactly once") {
     // duplicate every event across two files, read as a stream
     val dupDir = tmpDir("events-dup")
