@@ -38,12 +38,63 @@ object HistogramSketch {
       .write.mode("append").parquet(s"$dir/hist")
   }
 
+  /** GROUPED variant — one (group, value, n) histogram row set per
+    * batch: the per-group quantile/CDF primitive ("p95 doc length per
+    * language"), the exact symmetry of `DistinctSketch
+    * .addBatchGrouped`. Cost ∝ batches × groups × domain; group
+    * cardinality must be dashboard-shaped (bounded), which is what
+    * "per Y" means. */
+  def addBatchGrouped(batch: DataFrame, groupCols: Seq[String],
+      cols: Seq[String], dir: String, batchId: Long): Unit = {
+    require(groupCols.nonEmpty, "group by at least one column")
+    require(cols.nonEmpty, "track at least one column")
+    val perCol = cols.map(c =>
+      batch.filter(col(c).isNotNull)
+        .groupBy(groupCols.map(col) :+
+          col(c).cast(DoubleType).as("value"): _*)
+        .agg(count(lit(1)).as("n"))
+        .withColumn("column", lit(c)))
+    perCol.reduce(_ unionByName _)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(s"$dir/hist")
+  }
+
   /** The merged histogram for `column` — (value, n) with counts summed
     * across every appended batch. */
   def histogram(spark: SparkSession, dir: String, column: String): DataFrame =
     spark.read.parquet(s"$dir/hist")
       .filter(col("column") === column)
       .groupBy("value").agg(sum("n").as("n"))
+
+  /** Per-group discrete quantiles from a GROUPED store — same rank
+    * rule as [[quantiles]], windows partitioned per group (each
+    * partition is one group's merged histogram: bounded by the domain
+    * by contract, never corpus rows). Output: (groupCols..., q,
+    * value). */
+  def quantilesGrouped(spark: SparkSession, dir: String,
+      groupCols: Seq[String], column: String,
+      qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val h = spark.read.parquet(s"$dir/hist")
+      .filter(col("column") === column)
+      .groupBy(groupCols.map(col) :+ col("value"): _*)
+      .agg(sum("n").as("n"))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = h
+      .withColumn("cum", sum("n").over(w))
+      .withColumn("total", sum("n").over(wAll))
+    qs.toDF("q")
+      .crossJoin(broadcast(cum))
+      .filter(col("cum") >= greatest(lit(1L),
+        ceil(col("q") * col("total")).cast(LongType)))
+      .groupBy(groupCols.map(col) :+ col("q"): _*)
+      .agg(min("value").as("value"))
+      .orderBy(groupCols.map(col) :+ col("q"): _*)
+  }
 
   /** Discrete quantiles (SQL `quantile_disc` semantics, verified
     * against DuckDB: the smallest value whose cumulative count reaches

@@ -214,6 +214,22 @@ object ExtQueries {
       markDone(d)
     }
 
+  /** GROUPED histogram store (per-lang content-length buckets) —
+    * the quantile symmetry of [[hllGroupSketchDir]]. */
+  private def histGroupSketchDir(s: SparkSession, dir: String): String =
+    buildOnce(dir, "documents", "histgsk", marker = "_DONE") { d =>
+      wipeDir(d)
+      val docs = t(s, dir, "documents")
+      (0L to 3L).foreach { b =>
+        graft.ext.HistogramSketch.addBatchGrouped(
+          docs.filter(pmod(col("doc_id"), lit(4)) === b)
+            .select(col("lang"),
+              (floor(col("n_chars") / 100) * 100).as("len_bucket")),
+          Seq("lang"), Seq("len_bucket"), d, batchId = b)
+      }
+      markDone(d)
+    }
+
   /** Histogram store fed through the INGEST bucketization (the exact
     * shape ScanJob appends per run: length bucketized to a bounded
     * bin domain), batched like an ingest would be. */
@@ -278,6 +294,16 @@ object ExtQueries {
     val hDir = histIngestDir(s, dir)
     graft.ext.HistogramSketch.quantiles(s, hDir, "len_bucket",
       Seq(0.25, 0.5, 0.75))
+  }
+
+  /** X — PER-GROUP quantiles from the grouped histogram store ("p25/
+    * p50/p75 doc length per language"): the fold costs ∝ batches ×
+    * groups × bins, never a documents scan; per-group windows are
+    * bounded by the bin domain by contract. */
+  def x_hist_group_quantiles(s: SparkSession, dir: String): DataFrame = {
+    val hDir = histGroupSketchDir(s, dir)
+    graft.ext.HistogramSketch.quantilesGrouped(s, hDir, Seq("lang"),
+      "len_bucket", Seq(0.25, 0.5, 0.75))
   }
 
   /** X — mergeable COUNT(DISTINCT) from the persisted sketch store:
@@ -350,7 +376,9 @@ object ExtQueries {
       timed("hllsk")(hllSketchDir(s, dir)),
       timed("hllgsk")(hllGroupSketchDir(s, dir)),
       timed("histsk")(histSketchDir(s, dir)),
-      timed("histingest")(histIngestDir(s, dir)))
+      timed("histingest")(histIngestDir(s, dir)),
+      timed("histgsk")(histGroupSketchDir(s, dir)),
+      timed("coedges")(Graph.coEdgesDir(s, dir)))
   }
 
   /** X1 — product-quantized top-k (third ANN family; `ext.Pq`): the
@@ -472,7 +500,8 @@ object ExtQueries {
     "x_hll_distinct" -> (x_hll_distinct _),
     "x_hll_group_distinct" -> (x_hll_group_distinct _),
     "x_hist_quantiles" -> (x_hist_quantiles _),
-    "x_hist_quantiles_ingest" -> (x_hist_quantiles_ingest _))
+    "x_hist_quantiles_ingest" -> (x_hist_quantiles_ingest _),
+    "x_hist_group_quantiles" -> (x_hist_group_quantiles _))
 
   /** DuckDB equivalents. SimHash / hyperplane math is hex-char
     * arithmetic with integer sums — value-identical across engines. */
@@ -594,6 +623,21 @@ object ExtQueries {
         |SELECT CAST(0.75 AS DOUBLE) AS q,
         | quantile_disc(FLOOR(n_chars / 100) * 100, 0.75) AS value FROM documents
         |ORDER BY q""".stripMargin,
+    // per-group twin: DuckDB quantile_disc per lang over the same
+    // bucketization — the grouped merged histogram is exact
+    "x_hist_group_quantiles" ->
+      """SELECT lang, CAST(0.25 AS DOUBLE) AS q,
+        | quantile_disc(FLOOR(n_chars / 100) * 100, 0.25) AS value
+        |FROM documents GROUP BY lang
+        |UNION ALL
+        |SELECT lang, CAST(0.5 AS DOUBLE) AS q,
+        | quantile_disc(FLOOR(n_chars / 100) * 100, 0.5) AS value
+        |FROM documents GROUP BY lang
+        |UNION ALL
+        |SELECT lang, CAST(0.75 AS DOUBLE) AS q,
+        | quantile_disc(FLOOR(n_chars / 100) * 100, 0.75) AS value
+        |FROM documents GROUP BY lang
+        |ORDER BY lang, q""".stripMargin,
     // sparse-mode HLL is exact at these cardinalities, so the sketch
     // fold must hash-match the exact distinct count
     "x_hll_distinct" ->

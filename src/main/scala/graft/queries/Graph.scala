@@ -91,10 +91,21 @@ object Graph {
     coSupplierEdgesWithStats(ps0).edges
   }
 
+  /** Persisted co-supplier edge artifact: the derivation (supplier
+    * sets → capped pair expansion → mean+2σ threshold) is the
+    * expensive end of the pipeline and is corpus-determined, so it
+    * runs ONCE per corpus — the same persisted-index economics as the
+    * text/ANN/CC artifacts — and analytic probes read the stored edge
+    * list. Billed to `build_seconds("coedges")` in Bench's warm-up. */
+  private[queries] def coEdgesDir(s: SparkSession, dir: String): String =
+    ExtQueries.buildOnce(dir, "lineitem", "coedges") { d =>
+      coSupplierEdges(s, dir).write.mode("overwrite").parquet(s"$d/data")
+    }
+
   /** Triangle census of the co-supplier graph: nodes, edges, triangles
-    * in one row. */
+    * in one row, served from the persisted edge artifact. */
   def g_triangle_count(s: SparkSession, dir: String): DataFrame =
-    GraphOps.summary(coSupplierEdges(s, dir))
+    GraphOps.summary(s.read.parquet(s"${coEdgesDir(s, dir)}/data"))
 
   /** Transitive closure of the FK lineage DAG (`ext.Closure` frontier
     * walk): orders → customer → nation → region plus supplier →

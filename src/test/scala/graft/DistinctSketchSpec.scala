@@ -163,4 +163,29 @@ class DistinctSketchSpec extends SparkSpec {
     assert(HistogramSketch.histogram(spark, dir2, "v")
       .agg(sum("n")).as[Long].head === 2L)
   }
+
+  test("grouped histograms: per-group quantile fold equals the exact rank rule") {
+    import graft.ext.HistogramSketch
+    val dir = tmpDir("hist-grp")
+    Seq(0, 1, 2).foreach { b =>
+      HistogramSketch.addBatchGrouped(
+        orders.filter(pmod(col("o_custkey"), lit(3)) === b)
+          .select(col("o_orderstatus").as("g"),
+            pmod(col("o_custkey"), lit(17)).cast("double").as("v")),
+        Seq("g"), Seq("v"), dir, batchId = b)
+    }
+    val got = HistogramSketch.quantilesGrouped(spark, dir, Seq("g"), "v",
+      Seq(0.25, 0.5, 0.75)).as[(String, Double, Double)].collect().toSet
+    // exact per-group quantile_disc: value at rank max(1, ceil(q·N))
+    val exact = orders
+      .select(col("o_orderstatus").as("g"),
+        pmod(col("o_custkey"), lit(17)).cast("double").as("v"))
+      .as[(String, Double)].collect().groupBy(_._1)
+      .flatMap { case (g, rows) =>
+        val vs = rows.map(_._2).sorted
+        Seq(0.25, 0.5, 0.75).map(q =>
+          (g, q, vs(math.max(1, math.ceil(q * vs.length).toInt) - 1)))
+      }.toSet
+    assert(got === exact && got.nonEmpty)
+  }
 }
