@@ -107,6 +107,40 @@ object Relational2 {
         "metric", "value")
       .orderBy("l_returnflag", "metric")
 
+  /** Aggregate FILTER clause (SQL:2003; IDENTICAL text runs on both
+    * engines): per-aggregate predicates without CASE contortions —
+    * Catalyst folds the filter into the aggregate's update, so it
+    * stays one partial+final hash aggregate, no extra pass. Integer
+    * quantity and stored-double discount comparisons are exact in
+    * both engines. */
+  private val filterAggSql =
+    """SELECT l_returnflag,
+      | COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+      | COUNT(*) AS n,
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |   FILTER (WHERE l_discount > 0.05) AS STRING) AS DOUBLE)
+      |   AS hi_disc_price
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  def a_filter_agg(s: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.registerAll(s, dir)
+    s.sql(filterAggSql)
+  }
+
+  /** Edit-distance fuzzy matching (`levenshtein` — entity-resolution
+    * primitive, both engines implement the same DP edit distance):
+    * map-only scalar work over a pruned scan. */
+  def f_fuzzy_match(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"),
+        levenshtein(col("p_name"), col("p_brand")).cast(LongType)
+          .as("lev_brand"),
+        levenshtein(lower(col("p_name")), reverse(lower(col("p_name"))))
+          .cast(LongType).as("lev_pal"))
+      .orderBy("p_partkey")
+
   /** Deterministic hash sampling (portable alternative to RNG
     * `sample()` — the idiom for reproducible sampling at 100 TB):
     * keep keys whose md5 starts with '0' (≈ 1/16). */
@@ -313,6 +347,8 @@ object Relational2 {
     "d3_intersect_except" -> (d3_intersect_except _),
     "a_pivot" -> (a_pivot _),
     "a_unpivot" -> (a_unpivot _),
+    "a_filter_agg" -> (a_filter_agg _),
+    "f_fuzzy_match" -> (f_fuzzy_match _),
     "p_sample_hash" -> (p_sample_hash _),
     "f_string_suite" -> (f_string_suite _),
     "f_date_suite" -> (f_date_suite _),
@@ -367,6 +403,12 @@ object Relational2 {
         | COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
         | COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "a_filter_agg" -> filterAggSql,
+    "f_fuzzy_match" ->
+      """SELECT p_partkey, levenshtein(p_name, p_brand) AS lev_brand,
+        | levenshtein(lower(p_name), reverse(lower(p_name))) AS lev_pal
+        |FROM part WHERE p_partkey <= 200
+        |ORDER BY p_partkey""".stripMargin,
     "a_unpivot" ->
       s"""WITH wide AS (
          |  SELECT l_returnflag,

@@ -350,6 +350,33 @@ object TxQueries {
     mustRoute(s, q, "mv_routed_join_subset")
   }
 
+  /** Live per-group COUNT(DISTINCT) from a sketch-tracking view
+    * (round 9, `IncrementalView(distinctCols)`): the view stores one
+    * HLL sketch per (flag, ship-month column) and serves the distinct
+    * month count at zero source cost — the "distinct Xs per Y, always
+    * current" dashboard ask. The tracked cardinality (active ship
+    * months per flag, ~84) is far inside HLL sparse mode at every SF,
+    * so the estimate is EXACT and the differential oracle against
+    * DuckDB's COUNT(DISTINCT) is sound — the same soundness argument
+    * as `x_hll_distinct`. */
+  def mv_sketch_distinct(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        date_trunc("month", col("l_shipdate")).as("ship_month"))
+    val table = cached(s, dir, "lineitem", "mvsk", 1L) { loc =>
+      new TxTable(s, loc, li.schema, Seq("l_orderkey", "l_linenumber"),
+        numBuckets = 4)
+    } { tx => tx.append(li) }
+    val view = new graft.ext.IncrementalView(s, table,
+      table.dir + "-viewsk", Seq("l_returnflag"), Nil, numBuckets = 2,
+      distinctCols = Seq("ship_month"))
+    view.refresh() // no-op when already current
+    view.read
+      .select(col("l_returnflag"), col("cnt").as("n"),
+        col("nd_ship_month").as("nd_months"))
+      .orderBy("l_returnflag")
+  }
+
   /** MIN/MAX through MV routing (round 7): a SECOND view over the same
     * source tracks extrema (`minMaxCols` — insert-cheap least/greatest
     * merge, delete-touched groups recompute), and the min/max query is
@@ -383,6 +410,7 @@ object TxQueries {
     "mv_routed_agg" -> (mv_routed_agg _),
     "mv_routed_join" -> (mv_routed_join _),
     "mv_routed_join_subset" -> (mv_routed_join_subset _),
+    "mv_sketch_distinct" -> (mv_sketch_distinct _),
     "mv_routed_having" -> (mv_routed_having _),
     "mv_routed_minmax" -> (mv_routed_minmax _))
 
@@ -463,6 +491,14 @@ object TxQueries {
         |GROUP BY l_returnflag
         |HAVING l_returnflag <> 'R'
         |   AND COUNT(*) > (SELECT COUNT(*) // 4 FROM lineitem)
+        |ORDER BY l_returnflag""".stripMargin,
+    // sparse-exact sketch cardinality → the view's estimate must equal
+    // DuckDB's exact COUNT(DISTINCT) on raw parquet
+    "mv_sketch_distinct" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | COUNT(DISTINCT date_trunc('month', l_shipdate)) AS nd_months
+        |FROM lineitem
+        |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     // join route + subset grouping + HAVING: routed result must equal
     // the raw fact-join-dim recompute under the same post-agg filter

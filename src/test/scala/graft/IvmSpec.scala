@@ -225,6 +225,35 @@ class IvmSpec extends SparkSpec {
     assert(r2.getLong(0) === 5L && r2.getLong(1) === 5L)
   }
 
+  test("distinct sketches: live per-group COUNT(DISTINCT) through every mutation mix") {
+    val t = src()
+    val view = new IncrementalView(spark, t, tmpDir("ivmd") + "/v",
+      Seq("g"), Seq("v"), numBuckets = 2, distinctCols = Seq("v"))
+    def exact = t.read.groupBy("g").agg(countDistinct("v").as("nd"))
+      .as[(String, Long)].collect().toSet
+    def got = view.read.select("g", "nd_v").as[(String, Long)].collect().toSet
+    t.append((1 to 40).map(i => (s"k$i", s"g${i % 5}", (i % 7).toLong))
+      .toDF("k", "g", "v"))
+    view.refresh()
+    assert(got === exact) // sparse-exact at these cardinalities
+    // insert-only path: the delta sketch UNIONs into the stored one
+    t.append(Seq(("ka", "g0", 100L), ("kb", "g9", 1L)).toDF("k", "g", "v"))
+    view.refresh()
+    assert(got === exact)
+    // delete → dirty-group recompute (a sketch cannot forget)
+    t.deleteWhere(col("v") === 3L)
+    view.refresh()
+    assert(got === exact)
+    // update moves a row between groups: preimage group recomputes,
+    // postimage group takes the union path
+    t.upsert(Seq(("k1", "g9", 50L)).toDF("k", "g", "v"))
+    view.refresh()
+    assert(got === exact)
+    // refresh with nothing new is a no-op and estimates are stable
+    assert(view.refresh() === 0)
+    assert(got === exact)
+  }
+
   test("vacuumed source horizon falls back to one-commit full recompute") {
     val t = src()
     val view = new IncrementalView(spark, t, tmpDir("ivmf") + "/v",
