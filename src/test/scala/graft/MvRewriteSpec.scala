@@ -170,6 +170,16 @@ class MvRewriteSpec extends SparkSpec {
       // filter on a NON-group column → no rewrite
       val fv = t.read.filter(col("v") > 10).groupBy("g").agg(sum("v").as("sv"))
       assert(!routed(fv)._1)
+      // a SKETCH-tracking view must still decline COUNT(DISTINCT):
+      // the stored estimate is approximate, the query asks for exact —
+      // routing would silently change the answer
+      val vd = new IncrementalView(spark, t, tmpDir("mvrd") + "/v",
+        Seq("g", "r"), Seq("v"), numBuckets = 2, distinctCols = Seq("w"))
+      vd.refresh()
+      MvCatalog.register(vd)
+      val dc2 = t.read.groupBy("g").agg(countDistinct("w").as("dw"))
+      assert(!routed(dc2)._1,
+        "approximate sketch must never serve exact COUNT(DISTINCT)")
     } finally MvCatalog.clear()
   }
 
