@@ -317,6 +317,57 @@ object Analytics {
         Funnel.Step("click", 24, "click"),
         Funnel.Step("purchase", 12, "purchase")))
 
+  /** New-vs-returning users per day — the classic acquisition
+    * dashboard split: a user's first active day marks them "new" that
+    * day and "returning" on every later active day. One (user, day)
+    * distinct pass, a per-user min-day aggregate joined back, one
+    * grouped count — no windows, no second events scan. */
+  def ev_new_vs_returning(s: SparkSession, dir: String): DataFrame = {
+    val ud = t(s, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    val fd = ud.groupBy("user_id").agg(min("d").as("first_d"))
+    ud.join(fd, "user_id")
+      .groupBy("d")
+      .agg(count(when(col("d") === col("first_d"), 1)).as("new_users"),
+        count(when(col("d") =!= col("first_d"), 1)).as("returning_users"))
+      .orderBy("d")
+  }
+
+  /** SESSION-scoped funnel — operator composition: the ev_sessionize
+    * gap rule (30-min inactivity, same window expression) assigns
+    * each event a (user, session) key, and the PARAMETRIC
+    * [[graft.ext.Funnel]] fold then runs per session instead of per
+    * user — "did the view convert to a click within the same visit".
+    * The windowed frame is materialized once (localCheckpoint) for
+    * its two consumers (session census + fold). The oracle derives
+    * identical session ids with the same lag/running-sum SQL and
+    * chains the per-(user, session) min CTEs. */
+  def ev_session_funnel(s: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    val se = t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byTime))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sess", sum(col("new_sess")).over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("user_id", "sess", "ts", "event_type")
+      .localCheckpoint()
+    val sessions = se.agg(
+      count_distinct(col("user_id"), col("sess")).as("n_sessions"))
+    // 8760 h (= a year) cannot bind inside a 30-min-gap session — the
+    // step window exists because the fold requires one; the oracle
+    // carries the same bound so the texts stay equivalent by identity
+    val funnel = Funnel.fold(se,
+      struct(col("user_id"), col("sess")), col("ts"), col("event_type"),
+      Seq(Funnel.Step("view", 0, "view"), Funnel.Step("click", 8760, "click")))
+    sessions.crossJoin(funnel.select(
+      col("view_users").as("view_sessions"),
+      col("click_users").as("click_sessions")))
+  }
+
   /** V1/V3-family — validation gate + routing split over documents
     * (first-failing-reason-wins precedence, soft-fail routing; ref
     * `src/ontology/validator.ts:26-48`, `src/jobs/scan.ts:50-74`). */
@@ -359,6 +410,8 @@ object Analytics {
     "ev_funnel_steps" -> (ev_funnel_steps _),
     "ev_funnel_4step" -> (ev_funnel_4step _),
     "ev_gap_fill" -> (ev_gap_fill _),
+    "ev_new_vs_returning" -> (ev_new_vs_returning _),
+    "ev_session_funnel" -> (ev_session_funnel _),
     "v1_validation_route" -> (v1_validation_route _))
 
   val oracle: Map[String, String] = Map(
@@ -543,6 +596,38 @@ object Analytics {
         |       (SELECT COUNT(*) FROM s2) AS view_users,
         |       (SELECT COUNT(*) FROM s3) AS click_users,
         |       (SELECT COUNT(*) FROM s4) AS purchase_users""".stripMargin,
+    // first-active-day split: COUNT(CASE) per house rule
+    "ev_new_vs_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+        |            FROM events),
+        |fd AS (SELECT user_id, MIN(d) AS first_d FROM ud GROUP BY 1)
+        |SELECT ud.d, COUNT(CASE WHEN ud.d = fd.first_d THEN 1 END) AS new_users,
+        |       COUNT(CASE WHEN ud.d <> fd.first_d THEN 1 END) AS returning_users
+        |FROM ud JOIN fd ON ud.user_id = fd.user_id
+        |GROUP BY ud.d ORDER BY ud.d""".stripMargin,
+    // identical session ids (same lag + running-sum rule as
+    // ev_sessionize), chained per-(user, session) min CTEs
+    "ev_session_funnel" ->
+      """WITH se AS (
+        |  SELECT user_id, ts, event_type,
+        |    SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+        |  FROM (SELECT user_id, ts, event_type, event_id,
+        |               epoch_us(ts) AS us,
+        |               lag(epoch_us(ts))
+        |                 OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                 AS prev_us
+        |        FROM events)),
+        |s1 AS (SELECT user_id, sess, MIN(ts) AS t1 FROM se
+        |       WHERE event_type = 'view' GROUP BY 1, 2),
+        |s2 AS (SELECT e.user_id, e.sess, MIN(e.ts) AS t2 FROM se e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.sess = s1.sess
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 8760 HOURS GROUP BY 1, 2)
+        |SELECT (SELECT COUNT(DISTINCT (user_id, sess)) FROM se) AS n_sessions,
+        |       (SELECT COUNT(*) FROM s1) AS view_sessions,
+        |       (SELECT COUNT(*) FROM s2) AS click_sessions""".stripMargin,
     // hour spine via DuckDB's list-form generate_series (inclusive on
     // both ends, like Spark's sequence())
     "ev_gap_fill" ->
