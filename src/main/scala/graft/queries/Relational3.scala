@@ -72,6 +72,33 @@ object Relational3 {
         col("o_orderdate").between("1990-01-01", "2030-01-01"))))
   }
 
+  /** Referential-integrity audit — the cross-table data-quality ask a
+    * warehouse runs nightly: one orphan count per FK relationship
+    * (child keys with no parent row) via ANTI joins. Every parent here
+    * is dimension-sized, so each anti join broadcasts and each fact
+    * table scans once (key column only, pruned); the 1-row counts
+    * cross-join into one report row. Zero orphans on consistent data —
+    * the query is the machinery that would CATCH drift. */
+  def q_fk_integrity(s: SparkSession, dir: String): DataFrame = {
+    def orphans(childTable: String, childKey: String, parentTable: String,
+        parentKey: String, as: String): DataFrame =
+      t(s, dir, childTable).select(col(childKey))
+        .join(t(s, dir, parentTable).select(col(parentKey)),
+          col(childKey) === col(parentKey), "left_anti")
+        .agg(count(lit(1)).as(as))
+    Seq(
+      orphans("lineitem", "l_orderkey", "orders", "o_orderkey",
+        "lineitem_orders_orphans"),
+      orphans("orders", "o_custkey", "customer", "c_custkey",
+        "orders_customer_orphans"),
+      orphans("customer", "c_nationkey", "nation", "n_nationkey",
+        "customer_nation_orphans"),
+      orphans("supplier", "s_nationkey", "nation", "n_nationkey",
+        "supplier_nation_orphans"),
+      orphans("nation", "n_regionkey", "region", "r_regionkey",
+        "nation_region_orphans")).reduce(_ crossJoin _)
+  }
+
   /** Per-group top-k via the typed Aggregator (bounded partial
     * buffers, not a window sort): top-3 order prices per status. */
   def a_topk_aggregator(s: SparkSession, dir: String): DataFrame = {
@@ -143,6 +170,7 @@ object Relational3 {
     "a_percentiles" -> (a_percentiles _),
     "a_topk_aggregator" -> (a_topk_aggregator _),
     "q_quality_report" -> (q_quality_report _),
+    "q_fk_integrity" -> (q_fk_integrity _),
     "a_q13_distribution" -> (a_q13_distribution _),
     "p_scalar_subquery" -> (p_scalar_subquery _),
     "x4_kgram_fingerprint" -> (x4_kgram_fingerprint _))
@@ -191,6 +219,24 @@ object Relational3 {
         | COUNT(*) FILTER (WHERE NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)) AS viol_status_domain,
         | COUNT(*) FILTER (WHERE NOT COALESCE(o_orderdate BETWEEN TIMESTAMP '1990-01-01 00:00:00' AND TIMESTAMP '2030-01-01 00:00:00', FALSE)) AS viol_date_range
         |FROM orders""".stripMargin,
+    // NOT EXISTS (never NOT IN: a NULL parent key would poison it)
+    "q_fk_integrity" ->
+      """SELECT
+        | (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |   (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |   AS lineitem_orders_orphans,
+        | (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |   AS orders_customer_orphans,
+        | (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+        |   (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        |   AS customer_nation_orphans,
+        | (SELECT COUNT(*) FROM supplier s WHERE NOT EXISTS
+        |   (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+        |   AS supplier_nation_orphans,
+        | (SELECT COUNT(*) FROM nation n WHERE NOT EXISTS
+        |   (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+        |   AS nation_region_orphans""".stripMargin,
     "a_q13_distribution" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
         | SELECT c_custkey, COUNT(o_orderkey) AS c_count
