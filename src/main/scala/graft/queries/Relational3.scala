@@ -72,6 +72,35 @@ object Relational3 {
         col("o_orderdate").between("1990-01-01", "2030-01-01"))))
   }
 
+  /** Per-group statistical outlier census (mean + σ threshold over
+    * o_totalprice): the moments come from EXACT decimal sums (Σp, Σp²
+    * through the STRING→DOUBLE rule), so the threshold is a fixed
+    * sequence of IEEE ops on identical doubles in both engines —
+    * deterministic, no accumulation-order dependence (the
+    * co-supplier-graph threshold discipline). One moment pass + one
+    * broadcast threshold join + one counting pass. 1σ, not 2σ: the
+    * synthetic price distribution is bounded/uniform-ish (max ≈ μ +
+    * 1.7σ), so a 2σ cut selects nothing at any SF. */
+  def a_outliers(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select("o_orderstatus", "o_totalprice")
+    val m = o.groupBy("o_orderstatus").agg(
+      count(lit(1)).as("n"),
+      sum(money(col("o_totalprice")))
+        .cast(StringType).cast(DoubleType).as("s1"),
+      sum(money(col("o_totalprice")) * money(col("o_totalprice")))
+        .cast(StringType).cast(DoubleType).as("s2"))
+    val thr = m.select(col("o_orderstatus"),
+      (col("s1") / col("n").cast(DoubleType) +
+        lit(1.0) * sqrt((col("s2") -
+          col("s1") * col("s1") / col("n").cast(DoubleType)) /
+          col("n").cast(DoubleType))).as("thr"))
+    o.join(broadcast(thr), Seq("o_orderstatus"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("o_totalprice") > col("thr"), 1)).as("n_outliers"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Referential-integrity audit — the cross-table data-quality ask a
     * warehouse runs nightly: one orphan count per FK relationship
     * (child keys with no parent row) via ANTI joins. Every parent here
@@ -171,6 +200,7 @@ object Relational3 {
     "a_topk_aggregator" -> (a_topk_aggregator _),
     "q_quality_report" -> (q_quality_report _),
     "q_fk_integrity" -> (q_fk_integrity _),
+    "a_outliers" -> (a_outliers _),
     "a_q13_distribution" -> (a_q13_distribution _),
     "p_scalar_subquery" -> (p_scalar_subquery _),
     "x4_kgram_fingerprint" -> (x4_kgram_fingerprint _))
@@ -219,6 +249,22 @@ object Relational3 {
         | COUNT(*) FILTER (WHERE NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)) AS viol_status_domain,
         | COUNT(*) FILTER (WHERE NOT COALESCE(o_orderdate BETWEEN TIMESTAMP '1990-01-01 00:00:00' AND TIMESTAMP '2030-01-01 00:00:00', FALSE)) AS viol_date_range
         |FROM orders""".stripMargin,
+    // exact decimal moments -> identical doubles -> identical threshold
+    "a_outliers" ->
+      """WITH m AS (SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING)
+        |    AS DOUBLE) AS s1,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+        |    * CAST(o_totalprice AS DECIMAL(18,2))) AS STRING)
+        |    AS DOUBLE) AS s2
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT o_orderstatus, s1 / CAST(n AS DOUBLE)
+        |       + 1.0 * sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE))
+        |         / CAST(n AS DOUBLE)) AS thr FROM m)
+        |SELECT o.o_orderstatus, COUNT(*) AS n,
+        | COUNT(CASE WHEN o.o_totalprice > t.thr THEN 1 END) AS n_outliers
+        |FROM orders o JOIN t ON o.o_orderstatus = t.o_orderstatus
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // NOT EXISTS (never NOT IN: a NULL parent key would poison it)
     "q_fk_integrity" ->
       """SELECT
