@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Analytics, ExtQueries, Graph, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, TextSim, TxQueries}
+import graft.queries.{Analytics, ExtQueries, Graph, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, Relational7, TextSim, TxQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       Relational4.queries ++ Relational5.queries ++ Relational6.queries ++
+      Relational7.queries ++
       Analytics.queries ++ TextSim.queries ++ ExtQueries.queries ++
       TxQueries.queries ++ Graph.queries
 
@@ -26,6 +27,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++
       Relational4.oracle ++ Relational5.oracle ++ Relational6.oracle ++
+      Relational7.oracle ++
       Analytics.oracle ++ TextSim.oracle ++ ExtQueries.oracle ++
       TxQueries.oracle ++ Graph.oracle
 }

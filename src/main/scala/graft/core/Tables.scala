@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loader for the driver's synthetic parquet tables (TESTDATA.md):
   * TPC-H-ish star schema plus `events` (stream analog), `documents`
@@ -27,6 +27,14 @@ object Tables {
     df.schema.fields.foldLeft(df) { (acc, f) =>
       if (f.name == "ts" && f.dataType == LongType)
         acc.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // Parquet written with isAdjustedToUTC=false surfaces as
+      // TIMESTAMP_NTZ (a driver-side testdata refresh flipped this in
+      // round 9, silently dropping the unix_micros-based queries from
+      // the correctness file). Sessions pin the TZ to UTC, so the cast
+      // preserves every wall-clock value while restoring the plain
+      // TIMESTAMP type the whole catalog is written against.
+      else if (f.dataType == TimestampNTZType)
+        acc.withColumn(f.name, col(f.name).cast(TimestampType))
       else acc
     }
   }

@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Table RECONCILIATION (anti-entropy diff) between two states of a
+  * keyed dataset — the replication-validation / drift-detection shape
+  * (Merkle-style divergence narrowing, as in anti-entropy repair of
+  * replicated stores):
+  *
+  *  1. BUCKET FINGERPRINTS — each side aggregates into `nBuckets`
+  *     key-hash buckets carrying (row count, XOR of row hashes). One
+  *     map-side-combinable aggregate per side; what crosses the shuffle
+  *     is `nBuckets` rows, not data.
+  *  2. DIRTY NARROWING — bucket fingerprints that differ mark their
+  *     bucket dirty (a clean bucket needs equal counts AND equal XOR —
+  *     a miss requires an XOR collision on top of an equal count;
+  *     fingerprint-equality caveat as in any Merkle scheme). The dirty
+  *     id list is bounded by `nBuckets` (control plane, collected).
+  *  3. ROW-LEVEL DIFF — only dirty buckets' rows enter the full outer
+  *     join on the key; classification there compares the ACTUAL value
+  *     structs (exact, no hashing), yielding only_left / only_right /
+  *     changed.
+  *
+  * At 100 TB with drift concentrated in recent partitions, stages 1–2
+  * cost two scans + a constant-size shuffle, and stage 3's join reads
+  * only the diverged slice. (With both tables bucketed/co-partitioned
+  * on the key, stage 3 is additionally shuffle-free.) Uniform drift —
+  * the synthetic case here — degenerates gracefully to a full diff.
+  */
+object Reconcile {
+
+  /** Summary of the difference between `left` and `right` keyed by
+    * `keyCol`: one row per status (only_left / only_right / changed)
+    * with the row count and the min/max affected key. Identical rows
+    * contribute nothing. Both inputs must share a schema; `keyCol`
+    * must be unique per side (a keyed table, not a bag). */
+  def diffSummary(left: DataFrame, right: DataFrame, keyCol: String,
+      nBuckets: Int = 256): DataFrame = {
+    require(left.columns.sameElements(right.columns),
+      s"schema mismatch: ${left.columns.mkString(",")} vs ${right.columns.mkString(",")}")
+    val valCols = left.columns.filterNot(_ == keyCol).toSeq
+    require(valCols.nonEmpty, "diffSummary needs at least one value column")
+    def bucketOf(c: Column): Column = pmod(xxhash64(c), lit(nBuckets))
+    def rowHash(cols: Seq[String]): Column = xxhash64(cols.map(col): _*)
+
+    // stage 1: per-bucket fingerprints (count + order-independent XOR)
+    def fingerprints(df: DataFrame): DataFrame =
+      df.groupBy(bucketOf(col(keyCol)).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          bit_xor(rowHash(keyCol +: valCols)).as("x"))
+    val lf = fingerprints(left).withColumnsRenamed(
+      Map("n" -> "n_l", "x" -> "x_l"))
+    val rf = fingerprints(right).withColumnsRenamed(
+      Map("n" -> "n_r", "x" -> "x_r"))
+    // stage 2: dirty buckets — bounded by nBuckets, a control-plane read
+    val dirty = lf.join(rf, Seq("bucket"), "full_outer")
+      .filter(col("n_l").isNull || col("n_r").isNull ||
+        col("n_l") =!= col("n_r") || col("x_l") =!= col("x_r"))
+      .select("bucket").collect().map(_.getLong(0)).toSeq
+
+    // stage 3: row-level diff over dirty buckets only; classification
+    // compares the real value structs (exact), not hashes
+    def sideOf(df: DataFrame, k: String, v: String): DataFrame =
+      df.filter(bucketOf(col(keyCol)).isin(dirty: _*))
+        .select(col(keyCol).as(k), struct(valCols.map(col): _*).as(v))
+    val l = sideOf(left, "k_l", "v_l")
+    val r = sideOf(right, "k_r", "v_r")
+    val status = when(col("k_r").isNull, "only_left")
+      .when(col("k_l").isNull, "only_right")
+      .when(col("v_l") =!= col("v_r"), "changed")
+    l.join(r, col("k_l") === col("k_r"), "full_outer")
+      .select(status.as("status"), coalesce(col("k_l"), col("k_r")).as("k"))
+      .filter(col("status").isNotNull)
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        min("k").as("min_key"), max("k").as("max_key"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted INVERTED TEXT INDEX: term → document postings, laid out
@@ -183,6 +183,34 @@ object TextIndex {
       .groupBy(col(idCol), col("_anchor"))
       .agg(countDistinct("_off").as("_n"))
       .filter(col("_n") === terms.length)
+      .select(idCol).distinct()
+  }
+
+  /** Ids whose document contains `termA` and `termB` within `slop`
+    * word positions of each other (unordered NEAR/k search), served
+    * ENTIRELY from the positional index. Scale shape: a naive
+    * per-document position join is a range join (cross-product of the
+    * two terms' occurrence lists per doc); instead positions are
+    * quantized into `slop`-wide windows and termA's postings probe its
+    * own window ± 1 — a pure EQUI-join on (id, window) whose 3×
+    * fan-out is constant, followed by the exact |pa−pb| ≤ slop verify
+    * on the few co-windowed pairs. Any qualifying pair differs by at
+    * most `slop`, so it lands in the same or an adjacent window — the
+    * candidate set is a sound superset. No text is ever read. */
+  def proximitySearch(spark: SparkSession, dir: String, idCol: String,
+      termA: String, termB: String, slop: Int): DataFrame = {
+    require(slop >= 1, s"slop must be >= 1, got $slop")
+    val a = termA.toLowerCase; val b = termB.toLowerCase
+    val base = postings(spark, dir, Seq(a, b).distinct)
+    def winOf(pos: Column): Column = floor(pos / lit(slop)).cast("long")
+    val pa = base.filter(col("term") === a)
+      .select(col(idCol), col("pos").as("pa"))
+      .withColumn("win", explode(array(winOf(col("pa")) - 1,
+        winOf(col("pa")), winOf(col("pa")) + 1)))
+    val pb = base.filter(col("term") === b)
+      .select(col(idCol), col("pos").as("pb"), winOf(col("pos")).as("win"))
+    pa.join(pb, Seq(idCol, "win"))
+      .filter(abs(col("pa") - col("pb")) <= slop && col("pa") =!= col("pb"))
       .select(idCol).distinct()
   }
 

@@ -483,7 +483,54 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** P6 proximity form at scale — unordered NEAR/2 search ("slow"
+    * within two word positions of "query") served entirely from the
+    * positional index: positions quantize into slop-wide windows and
+    * the terms equi-join on (doc, window ± 1) — never a per-document
+    * position cross-product, never a text read
+    * ([[graft.ext.TextIndex.proximitySearch]]). Oracle = the
+    * position-list scan over extracted words. */
+  def p6e_proximity_search(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val idxDir = positionalIndexDir(s, dir)
+    graft.ext.TextIndex.proximitySearch(s, idxDir, "doc_id",
+        "slow", "query", slop = 2)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Segment OVERLAP via KMV/theta sketches ([[graft.ext.KmvSketch]]):
+    * distinct high-value purchasers vs high-value clickers, their
+    * intersection and union — the audience-overlap ask HLL cannot
+    * answer (HLL only unions). Each segment is sketched in one
+    * partial-distinct + TakeOrdered(k) pass; set algebra happens on
+    * ≤ k driver-held hashes (control plane). The tracked cardinalities
+    * (≤ 1500 users) sit far inside k = 4096, so every sketch is in its
+    * exact regime — asserted, and the differential oracle against
+    * DuckDB's INTERSECT/UNION of exact DISTINCT sets is sound (the
+    * same sparse-exact argument as `x_hll_distinct`). */
+  def x_kmv_segments(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.KmvSketch
+    val ev = t(s, dir, "events")
+    def seg(tpe: String) = ev
+      .filter(col("event_type") === tpe && col("value") >= 95.0)
+      .select("user_id")
+    val a = KmvSketch.sketch(seg("purchase"), "user_id", k = 4096)
+    val b = KmvSketch.sketch(seg("click"), "user_id", k = 4096)
+    require(a.isExact && b.isExact,
+      "KMV sketches left the exact regime; the oracle would be unsound")
+    val rows = Seq(
+      ("both", a.intersectEstimate(b).toLong),
+      ("click_hi", b.estimate.toLong),
+      ("either", a.unionEstimate(b).toLong),
+      ("purchase_hi", a.estimate.toLong))
+    import s.implicits._
+    rows.toDF("segment", "n_users").orderBy("segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_kmv_segments" -> (x_kmv_segments _),
+    "p6e_proximity_search" -> (p6e_proximity_search _),
     "x2_simhash_pairs" -> (x2_simhash_pairs _),
     "x1_lsh_buckets" -> (x1_lsh_buckets _),
     "x1_ann_topk" -> (x1_ann_topk _),
@@ -584,6 +631,39 @@ object ExtQueries {
         |WHERE list_contains(regexp_extract_all(lower(text), '[a-z]+'), 'spark')
         |  AND list_contains(regexp_extract_all(lower(text), '[a-z]+'), 'table')
         |  AND list_contains(regexp_extract_all(lower(text), '[a-z]+'), 'vector')
+        |ORDER BY doc_id""".stripMargin,
+    // exact-regime KMV set algebra must equal DuckDB's INTERSECT/UNION
+    // over the exact DISTINCT user sets
+    "x_kmv_segments" ->
+      """WITH a AS (
+        | SELECT DISTINCT user_id FROM events
+        | WHERE event_type = 'purchase' AND value >= 95),
+        |b AS (
+        | SELECT DISTINCT user_id FROM events
+        | WHERE event_type = 'click' AND value >= 95)
+        |SELECT 'both' AS segment, COUNT(*) AS n_users
+        |FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'click_hi', COUNT(*) FROM b
+        |UNION ALL
+        |SELECT 'either', COUNT(*)
+        |FROM (SELECT * FROM a UNION SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'purchase_hi', COUNT(*) FROM a
+        |ORDER BY segment""".stripMargin,
+    // proximity = some occurrence of each term within `slop` positions
+    // (unordered, distinct positions) — the oracle nests position
+    // filters over the extracted word list
+    "p6e_proximity_search" ->
+      """SELECT doc_id, lang FROM (
+        | SELECT doc_id, lang,
+        |  regexp_extract_all(lower(text), '[a-z]+') AS ws
+        | FROM documents)
+        |WHERE len(list_filter(range(1, len(ws) + 1),
+        |  i -> ws[CAST(i AS INT)] = 'slow'
+        |   AND len(list_filter(range(1, len(ws) + 1),
+        |     j -> ws[CAST(j AS INT)] = 'query'
+        |      AND abs(i - j) <= 2 AND i <> j)) > 0)) > 0
         |ORDER BY doc_id""".stripMargin,
     // phrase = consecutive tokens of the word sequence — the oracle
     // slides a 2-word window over the extracted words

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import Qhelpers._
+
+/** Round-10 relational tranche — warehouse-lifecycle shapes over the
+  * orders table:
+  *
+  *  - scd2_build       type-2 slowly-changing dimension from a change
+  *                     stream (run-length collapse + effective ranges)
+  *  - q_table_diff     anti-entropy reconciliation of two table states
+  *                     ([[graft.ext.Reconcile]] — bucket fingerprints
+  *                     narrow to dirty buckets before any row-level join)
+  *  - x_profile_columns one-pass long-format column profiler (nulls /
+  *                     distincts / extrema per column)
+  *
+  * Scale notes (100 TB): scd2 shuffles once on the dimension key and
+  * both its windows reuse that partitioning (no second shuffle until
+  * the bounded per-key run table); the diff's row-level join reads only
+  * fingerprint-diverged buckets; the profiler is ONE aggregate over the
+  * table (Spark expands multiple COUNT(DISTINCT)s into a single
+  * two-stage aggregate — one scan, not one per column).
+  */
+object Relational7 {
+
+  /** SCD2 — build the type-2 history of each customer's order status
+    * from the order stream: consecutive same-status orders collapse
+    * into one version row (run-length encoding via a change-flag
+    * running sum), each version carries [effective_from, effective_to)
+    * with the open current version flagged. Total order inside a key
+    * comes from (ts, orderkey) — orderkey breaks same-day ties, so run
+    * boundaries are deterministic. */
+  def scd2_build(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "orders").filter(col("o_custkey") <= 200)
+      .select(col("o_custkey").as("custkey"), col("o_orderdate").as("ts"),
+        col("o_orderkey").as("seq"), col("o_orderstatus").as("status"))
+    val w = Window.partitionBy("custkey").orderBy("ts", "seq")
+    val prev = lag("status", 1).over(w)
+    val runs = ev
+      .withColumn("is_change",
+        when(prev.isNull || prev =!= col("status"), 1L).otherwise(0L))
+      .withColumn("ver", sum("is_change").over(w))
+      .groupBy("custkey", "ver")
+      .agg(min("status").as("status"), min("ts").as("effective_from"))
+    val wv = Window.partitionBy("custkey").orderBy("ver")
+    runs
+      .withColumn("effective_to", lead("effective_from", 1).over(wv))
+      .withColumn("is_current", col("effective_to").isNull)
+      .select("custkey", "ver", "status", "effective_from",
+        "effective_to", "is_current")
+      .orderBy("custkey", "ver")
+  }
+
+  /** Reconciliation — diff the orders table against a deterministically
+    * drifted twin (keys % 97 dropped, % 101 reprices by +1.00, % 103
+    * re-keyed past the key space as inserts) through the two-stage
+    * bucket-fingerprint narrowing of [[graft.ext.Reconcile]]. The
+    * summary (status, count, key range) must equal what the naive full
+    * outer join computes — the fingerprints change the access path,
+    * never the verdict. */
+  def q_table_diff(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val drifted = o.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 101 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(o.filter(col("o_orderkey") % 103 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    graft.ext.Reconcile.diffSummary(o, drifted, "o_orderkey")
+      .select(col("status"), col("n"), col("min_key"), col("max_key"))
+      .orderBy("status")
+  }
+
+  /** Profiling — per-column null count, exact distinct count, and
+    * stringified extrema over orders, in long format, from ONE
+    * aggregate pass (the multi-distinct expand). Money extrema go
+    * through the house DECIMAL(18,2) view so both engines render the
+    * same string. */
+  def x_profile_columns(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def mm(c: org.apache.spark.sql.Column) = (min(c).cast("string"),
+      max(c).cast("string"))
+    val cols = Seq(
+      ("o_orderkey", col("o_orderkey")),
+      ("o_custkey", col("o_custkey")),
+      ("o_orderstatus", col("o_orderstatus")),
+      ("o_totalprice", money(col("o_totalprice"))),
+      ("o_orderdate", col("o_orderdate")),
+      ("o_orderpriority", col("o_orderpriority")))
+    val aggs = count(lit(1)).as("n_rows") +: cols.zipWithIndex.flatMap {
+      case ((_, c), i) =>
+        val (mn, mx) = mm(c)
+        Seq(count(c).as(s"c$i"), countDistinct(c).as(s"d$i"),
+          mn.as(s"mn$i"), mx.as(s"mx$i"))
+    }
+    val one = o.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.zipWithIndex.map { case ((name, _), i) =>
+      s"'$name', n_rows - c$i, d$i, mn$i, mx$i"
+    }.mkString(", ")
+    one.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_nulls, n_distinct, min_value, max_value)")
+      .orderBy("column_name")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scd2_build" -> (scd2_build _),
+    "q_table_diff" -> (q_table_diff _),
+    "x_profile_columns" -> (x_profile_columns _))
+
+  val oracle: Map[String, String] = Map(
+    "scd2_build" ->
+      """WITH ev AS (
+        | SELECT o_custkey AS custkey, o_orderdate AS ts,
+        |        o_orderkey AS seq, o_orderstatus AS status
+        | FROM orders WHERE o_custkey <= 200),
+        |chg AS (
+        | SELECT *, CASE WHEN lag(status) OVER w IS NULL
+        |                  OR lag(status) OVER w <> status
+        |           THEN 1 ELSE 0 END AS is_change
+        | FROM ev WINDOW w AS (PARTITION BY custkey ORDER BY ts, seq)),
+        |ver AS (
+        | SELECT *, CAST(SUM(is_change) OVER (PARTITION BY custkey
+        |   ORDER BY ts, seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS ver
+        | FROM chg),
+        |runs AS (
+        | SELECT custkey, ver, MIN(status) AS status,
+        |        MIN(ts) AS effective_from
+        | FROM ver GROUP BY 1, 2)
+        |SELECT custkey, ver, status, effective_from,
+        | lead(effective_from) OVER w2 AS effective_to,
+        | lead(effective_from) OVER w2 IS NULL AS is_current
+        |FROM runs WINDOW w2 AS (PARTITION BY custkey ORDER BY ver)
+        |ORDER BY custkey, ver""".stripMargin,
+    // the naive diff: full outer join + per-status summary — the
+    // engine's fingerprint narrowing must land on the same verdict
+    "q_table_diff" ->
+      """WITH l AS (
+        | SELECT o_orderkey AS k, o_custkey, o_totalprice, o_orderstatus
+        | FROM orders),
+        |r AS (
+        | SELECT o_orderkey AS k, o_custkey,
+        |  CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        | FROM orders WHERE o_orderkey % 97 <> 0
+        | UNION ALL
+        | SELECT o_orderkey + 10000000, o_custkey, o_totalprice, o_orderstatus
+        | FROM orders WHERE o_orderkey % 103 = 0),
+        |d AS (
+        | SELECT CASE WHEN r.k IS NULL THEN 'only_left'
+        |             WHEN l.k IS NULL THEN 'only_right'
+        |             WHEN l.o_custkey <> r.o_custkey
+        |               OR l.o_totalprice <> r.o_totalprice
+        |               OR l.o_orderstatus <> r.o_orderstatus THEN 'changed'
+        |        END AS status,
+        |        COALESCE(l.k, r.k) AS k
+        | FROM l FULL OUTER JOIN r ON l.k = r.k)
+        |SELECT status, COUNT(*) AS n, MIN(k) AS min_key, MAX(k) AS max_key
+        |FROM d WHERE status IS NOT NULL
+        |GROUP BY status ORDER BY status""".stripMargin,
+    "x_profile_columns" ->
+      """SELECT * FROM (
+        | SELECT 'o_orderkey' AS column_name,
+        |  COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+        |  COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+        |  CAST(MAX(o_orderkey) AS VARCHAR) AS max_value FROM orders
+        | UNION ALL
+        | SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey),
+        |  COUNT(DISTINCT o_custkey),
+        |  CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+        | FROM orders
+        | UNION ALL
+        | SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+        |  COUNT(DISTINCT o_orderstatus),
+        |  CAST(MIN(o_orderstatus) AS VARCHAR),
+        |  CAST(MAX(o_orderstatus) AS VARCHAR) FROM orders
+        | UNION ALL
+        | SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+        |  COUNT(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))),
+        |  CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+        | FROM orders
+        | UNION ALL
+        | SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate),
+        |  COUNT(DISTINCT o_orderdate),
+        |  CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+        | FROM orders
+        | UNION ALL
+        | SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+        |  COUNT(DISTINCT o_orderpriority),
+        |  CAST(MIN(o_orderpriority) AS VARCHAR),
+        |  CAST(MAX(o_orderpriority) AS VARCHAR) FROM orders)
+        |ORDER BY column_name""".stripMargin)
+}

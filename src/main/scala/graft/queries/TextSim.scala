@@ -583,7 +583,57 @@ object TextSim {
       .orderBy("doc_id")
   }
 
+  /** X4 — EXACT heavy hitters (frequent items) over the corpus BIGRAM
+    * stream, the two-pass Misra–Gries sketch-then-verify plan
+    * ([[graft.ext.HeavyHitters]]): pass 1 keeps a bounded candidate
+    * summary per partition (capacity 4096 counters no matter how large
+    * the partition or vocabulary), pass 2 broadcast-semi-join-reduces
+    * the corpus to candidates and counts them exactly — the full
+    * vocabulary never crosses a shuffle. Threshold: bigrams covering
+    * more than 1/800 of all bigram occurrences, kept in integer
+    * arithmetic (n × 800 > total) so engines can't disagree on a
+    * boundary. The synthetic corpus's vocabulary fits the summary
+    * outright; the guarantee (capacity ≥ den/num, checked) is what
+    * holds at a 100 TB vocabulary. */
+  def x_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val bigrams = docs.select(explode(transform(
+      sequence(lit(0), size(col("ws")) - 2),
+      i => concat_ws(" ", element_at(col("ws"), i + 1),
+        element_at(col("ws"), i + 2)))).as("bigram"))
+    graft.ext.HeavyHitters
+      .frequentItems(bigrams, "bigram", num = 1L, den = 800L)
+      .select(col("item").as("bigram"), col("n"))
+  }
+
+  /** X4 — retrieval-style document CHUNKING: fixed 400-char windows
+    * sliding by 320 (80-char overlap, the RAG chunking shape). Chunk
+    * counts come from the closed form ceil((len − overlap) / step)
+    * (floored at one chunk), so the op is a pure per-document explode —
+    * embarrassingly parallel, no shuffle until the output sort. Chunk
+    * CONTENT is verified by md5 (not shipped raw) so the oracle
+    * hash-checks every boundary without hauling text. */
+  def x4_chunk_overlap(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .withColumn("n_chunks",
+        greatest(ceil((col("len") - lit(80)) / lit(320.0)).cast(LongType),
+          lit(1L)))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("chunk",
+        expr("substring(text, CAST(chunk_id * 320 + 1 AS INT), 400)"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * 320).as("chunk_start"),
+        length(col("chunk")).cast(LongType).as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x4_chunk_overlap" -> (x4_chunk_overlap _),
+    "x_heavy_hitters" -> (x_heavy_hitters _),
     "x4_decontaminate" -> (x4_decontaminate _),
     "x4_seq_pack" -> (x4_seq_pack _),
     "x4_tfidf" -> (x4_tfidf _),
@@ -611,6 +661,36 @@ object TextSim {
     "x1_label_stats" -> (x1_label_stats _))
 
   val oracle: Map[String, String] = Map(
+    // chunk boundaries and md5-verified content must agree exactly
+    "x4_chunk_overlap" ->
+      """WITH d AS (
+        | SELECT doc_id, text,
+        |  GREATEST(CAST(CEIL((LENGTH(text) - 80) / 320.0) AS BIGINT), 1)
+        |    AS n_chunks
+        | FROM documents WHERE doc_id < 200),
+        |c AS (
+        | SELECT doc_id, UNNEST(range(0, n_chunks)) AS chunk_id, text FROM d)
+        |SELECT doc_id, chunk_id, chunk_id * 320 AS chunk_start,
+        | CAST(LENGTH(substr(text, CAST(chunk_id * 320 + 1 AS INT), 400))
+        |   AS BIGINT) AS chunk_len,
+        | md5(substr(text, CAST(chunk_id * 320 + 1 AS INT), 400)) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // exact frequent items: the sketch only reduces the aggregate's
+    // input — the result must equal the naive GROUP BY + HAVING
+    "x_heavy_hitters" ->
+      """WITH d AS (
+        | SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws
+        | FROM documents),
+        |g AS (
+        | SELECT UNNEST(list_transform(range(1, len(ws)),
+        |   i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])) AS bigram
+        | FROM d),
+        |t AS (SELECT COUNT(*) AS total FROM g)
+        |SELECT bigram, COUNT(*) AS n
+        |FROM g CROSS JOIN t
+        |GROUP BY bigram, t.total
+        |HAVING COUNT(*) * 800 > t.total
+        |ORDER BY n DESC, bigram ASC""".stripMargin,
     "x4_decontaminate" ->
       """WITH d AS (
         | SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws

@@ -228,6 +228,33 @@ object TxQueries {
       .orderBy("s_suppkey")
   }
 
+  /** Small-file COMPACTION (OPTIMIZE), end to end: part arrives as SIX
+    * small appends (v1..v6 — the streaming-ingest small-file pathology,
+    * 12 files across 2 buckets), then one `compact()` rewrites the
+    * current version into one file per bucket (v7; old versions stay
+    * time-travelable). The build REQUIRES the manifest's file count to
+    * collapse to exactly numBuckets — then the read must still equal
+    * SQL over the raw parquet: the rewrite lost nothing, duplicated
+    * nothing, and reordered nothing that an aggregate can see. */
+  def tx_compact_read(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+    val table = cached(s, dir, "part", "compactq", 7L) { loc =>
+      new TxTable(s, loc, part.schema, Seq("p_partkey"), numBuckets = 2)
+    } { tx =>
+      (0 until 6).foreach(i =>
+        tx.append(part.filter(col("p_partkey") % 6 === i))) // v1..v6
+      tx.compact()                                          // v7
+      require(tx.dataFileCount == 2,
+        s"compact left ${tx.dataFileCount} files, wanted one per bucket")
+    }
+    table.read
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        Qhelpers.msum(col("p_retailprice")).as("total_price"),
+        min("p_partkey").as("first_key"))
+      .orderBy("p_brand")
+  }
+
   /** Transparent MV routing, end to end: lineitem ingested into a
     * TxTable, an [[graft.ext.IncrementalView]] materialized over it
     * (group by flag/status, sum quantity + price), the view registered
@@ -407,6 +434,7 @@ object TxQueries {
     "tx_bloom_lookup" -> (tx_bloom_lookup _),
     "tx_restore_read" -> (tx_restore_read _),
     "tx_clone_read" -> (tx_clone_read _),
+    "tx_compact_read" -> (tx_compact_read _),
     "mv_routed_agg" -> (mv_routed_agg _),
     "mv_routed_join" -> (mv_routed_join _),
     "mv_routed_join_subset" -> (mv_routed_join_subset _),
@@ -471,6 +499,15 @@ object TxQueries {
         |       CAST(s_nationkey AS BIGINT) AS nationkey
         |FROM supplier
         |ORDER BY s_suppkey""".stripMargin,
+    // compaction is a pure layout rewrite — the aggregate must equal
+    // the raw-parquet recompute (house DECIMAL money fold)
+    "tx_compact_read" ->
+      s"""SELECT p_brand, COUNT(*) AS n,
+         |       ${Qhelpers.sqlMsum("p_retailprice")} AS total_price,
+         |       MIN(p_partkey) AS first_key
+         |FROM part
+         |GROUP BY p_brand
+         |ORDER BY p_brand""".stripMargin,
     "mv_routed_agg" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |       SUM(l_quantity) AS sum_qty, COUNT(l_quantity) AS n_qty

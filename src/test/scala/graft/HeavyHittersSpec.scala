@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.HeavyHitters
+
+/** Two-pass exact heavy hitters: result parity with the naive
+  * GROUP BY + HAVING, under a capacity small enough that the
+  * Misra–Gries summaries actually evict. */
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  // skewed synthetic: 2 true heavy hitters over a 102-word vocabulary
+  private lazy val items =
+    (Seq.fill(500)("hot") ++ Seq.fill(120)("warm") ++
+      (0 until 100).flatMap(i => Seq.fill(4)(s"cold_$i")))
+      .toDF("item")
+
+  private def naive(num: Long, den: Long): Map[String, Long] = {
+    val total = items.count()
+    items.groupBy("item").agg(count(lit(1)).as("n"))
+      .filter(col("n") * den > lit(total) * num)
+      .as[(String, Long)].collect().toMap
+  }
+
+  test("exact parity with naive GROUP BY + HAVING while counters evict") {
+    // capacity 16 < vocabulary 102 → the decrement-all path runs; the
+    // guarantee only needs capacity ≥ den/num = 10
+    val got = HeavyHitters.frequentItems(items, "item", 1L, 10L, capacity = 16)
+      .as[(String, Long)].collect()
+    val gotMap = got.toMap
+    assert(gotMap === naive(1L, 10L))
+    assert(got.map(_._1).toSeq === Seq("hot", "warm")) // heaviest first
+    assert(gotMap("hot") === 500L) // counts are exact, not estimates
+  }
+
+  test("threshold boundary is strict (n*den > total*num, never >=)") {
+    // threshold exactly at warm's share: warm must be excluded
+    val total = items.count() // 1020
+    val got = HeavyHitters.frequentItems(items, "item", 120L, total,
+      capacity = 64).as[(String, Long)].collect().toMap
+    assert(got === Map("hot" -> 500L))
+  }
+
+  test("capacity below den/num is refused, not silently lossy") {
+    intercept[IllegalArgumentException] {
+      HeavyHitters.frequentItems(items, "item", 1L, 100L, capacity = 50)
+    }
+  }
+
+  test("null items are ignored; empty input yields empty output") {
+    val withNulls = Seq(Some("a"), None, Some("a"), Some("b"))
+      .toDF("item")
+    val got = HeavyHitters.frequentItems(withNulls, "item", 1L, 3L,
+      capacity = 8).as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 2L)) // 2*3 > 3*1; b: 1*3 !> 3
+    val empty = HeavyHitters.frequentItems(
+      Seq.empty[String].toDF("item"), "item", 1L, 10L, capacity = 16)
+    assert(empty.count() === 0L)
+  }
+}

@@ -54,6 +54,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("column profiler is ONE scan (multi-distinct expands, never re-reads)") {
+    val p = planOf("x_profile_columns")
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") === 1, p)
+    assert(p.contains("Expand"), p) // the multi-COUNT(DISTINCT) rewrite
+  }
+
+  test("scd2 build shuffles ONCE on the key; both windows and the run agg reuse it") {
+    val p = planOf("scd2_build")
+    val hashExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1, s"want 1 hash exchange, plan:\n$p")
+  }
+
+  test("heavy hitters: the verify pass semi-joins via a broadcast of candidates") {
+    import org.apache.spark.sql.functions._
+    val items = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(graft.ext.Dedup.words(col("text"))).as("w"))
+    val p = graft.ext.HeavyHitters.frequentItems(items, "w", 1L, 400L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("persisted ANN index probe prunes the scan to probed bucket partitions") {
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -48,6 +48,34 @@ class TextIndexSpec extends SparkSpec {
     assert(p.toString.contains("In(term"), p.toString)
   }
 
+  test("proximity search equals the position scan; slop boundary is exact") {
+    val idxDir = tmpDir("textidx-prox")
+    TextIndex.buildPositional(docs, "doc_id", "text", idxDir, nBuckets = 16)
+    val got = TextIndex.proximitySearch(spark, idxDir, "doc_id",
+      "slow", "query", slop = 2).as[Long].collect().toSet
+    val pos = docs.select(col("doc_id"),
+      posexplode(Dedup.words(col("text"))).as(Seq("pos", "term")))
+    val a = pos.filter(col("term") === "slow")
+      .select(col("doc_id"), col("pos").as("pa"))
+    val b = pos.filter(col("term") === "query")
+      .select(col("doc_id").as("doc_b"), col("pos").as("pb"))
+    val scan = a.join(b, col("doc_id") === col("doc_b") &&
+        abs(col("pa") - col("pb")) <= 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === scan)
+    assert(got.nonEmpty)
+
+    // window-quantization boundary: distance == slop matches (adjacent
+    // windows), distance == slop+1 does not
+    val tiny = Seq((1L, "slow a query"), (2L, "slow a b query"),
+      (3L, "slow query"), (4L, "query x slow")).toDF("doc_id", "text")
+    val tinyIdx = tmpDir("textidx-prox-tiny")
+    TextIndex.buildPositional(tiny, "doc_id", "text", tinyIdx, nBuckets = 4)
+    val hits = TextIndex.proximitySearch(spark, tinyIdx, "doc_id",
+      "slow", "query", slop = 2).as[Long].collect().toSet
+    assert(hits === Set(1L, 3L, 4L)) // doc 2 is distance 3; order-free
+  }
+
   test("trigram substring search equals the LIKE scan; short patterns refuse") {
     val idxDir = tmpDir("textidx-tg")
     TextIndex.buildTrigram(docs, "doc_id", "text", idxDir, nBuckets = 16)
