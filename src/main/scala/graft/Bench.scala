@@ -156,9 +156,9 @@ object Bench {
     // remainder into one summary object; BENCH_LOCAL.json keeps the
     // complete map plus per-run detail.
     val (slowAll, fast) = results.toSeq.partition(_._2 >= 0.25)
-    val slow = slowAll.sortBy(-_._2).take(80)
-    val overflow = slowAll.drop(80)
-    val fastAll = fast ++ overflow
+    val sortedSlow = slowAll.sortBy(-_._2)
+    val slow = sortedSlow.take(80)
+    val fastAll = fast ++ sortedSlow.drop(80)
     val qs = slow.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val fastMax = if (fastAll.isEmpty) 0.0 else fastAll.map(_._2).max

