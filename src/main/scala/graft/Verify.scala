@@ -22,10 +22,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -48,6 +50,16 @@ object Verify {
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Catalog-vs-dump accounting: a query that THROWS writes no parquet
+    // and silently vanishes from a per-query correctness report — an
+    // all-green file then can't be told apart from one that never ran
+    // the lost queries (it happened in round 9: a testdata timestamp
+    // flavor change broke 3 queries and 145/145 looked perfect). The
+    // sidecar makes the expected count and the failure list explicit.
+    val meta =
+      s"""{"n_catalog":${SparkEntry.queries.size},"n_selected":${selected.size},""" +
+        s""""n_written":${selected.size - failed.size},"failed":${failed.map(q(_)).mkString("[", ",", "]")}}"""
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta)
     spark.stop()
   }
 }

@@ -34,16 +34,22 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
-  /** Per-partition Misra–Gries summary: at most `k` counters. */
-  private[ext] def misraGries(items: Iterator[String], k: Int)
-      : Iterator[(String, Long)] = {
+  /** Per-partition Misra–Gries summary (at most `k` counters) plus the
+    * number of decrement-all events — each event undercounts any
+    * single item's summary count by at most 1, so the event count IS
+    * the partition's per-item undercount budget (0 = the summary is an
+    * exact census of the partition). */
+  private[ext] def misraGriesWithStats(items: Iterator[String], k: Int)
+      : (List[(String, Long)], Long) = {
     val counters = new java.util.HashMap[String, Long](k * 2)
+    var decrements = 0L
     items.foreach { item =>
       val c = counters.get(item)
       if (c != 0L || counters.containsKey(item)) counters.put(item, c + 1L)
       else if (counters.size < k) counters.put(item, 1L)
       else {
         // decrement-all step: drop every counter by 1, evict zeros
+        decrements += 1L
         val it = counters.entrySet().iterator()
         while (it.hasNext) {
           val e = it.next()
@@ -52,8 +58,12 @@ object HeavyHitters {
       }
     }
     import scala.jdk.CollectionConverters._
-    counters.asScala.iterator.map { case (t, c) => (t, c) }.toList.iterator
+    (counters.asScala.toList, decrements)
   }
+
+  private[ext] def misraGries(items: Iterator[String], k: Int)
+      : Iterator[(String, Long)] =
+    misraGriesWithStats(items, k)._1.iterator
 
   /** Items of `itemCol` whose frequency × `den` > corpus size × `num`
     * (i.e. frequency > (num/den) · n, exact rational threshold — kept

@@ -171,6 +171,17 @@ object ScanJob {
       Seq("len_bucket"), s"${wh.root}/sketches/source_documents",
       batchId = params.runId.hashCode.toLong)
 
+    // The term-frequency summary completes the ingest sketch family
+    // (distincts + quantiles + frequent items): one bounded
+    // Misra-Gries summary per run over the batch's content words, so
+    // "top terms so far" folds ∝ runs × capacity rows — and stays
+    // oracle-exact while vocabularies sit inside the capacity.
+    graft.ext.FreqSketch.addBatch(
+      docs.select(explode(graft.ext.Dedup.words(col("content")))
+        .as("word")),
+      "word", s"${wh.root}/sketches/source_documents_freq",
+      batchId = params.runId.hashCode.toLong)
+
     // L3 — vectorize (embed title+content, 6000-char cap, single chunk
     // index 0; `vectorize.ts:6-33`).
     val localStoreId = ensureLocalStore(wh, params.now)

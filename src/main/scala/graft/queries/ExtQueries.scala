@@ -202,6 +202,30 @@ object ExtQueries {
       markDone(d)
     }
 
+  /** Batch-appended FREQUENCY summary store (document bigrams), same
+    * wipe-then-mark build discipline as [[hllSketchDir]]. */
+  private def freqSketchDir(s: SparkSession, dir: String): String =
+    buildOnce(dir, "documents", "freqsk", marker = "_DONE") { d =>
+      wipeDir(d)
+      val docs = t(s, dir, "documents")
+      (0L to 3L).foreach { b =>
+        graft.ext.FreqSketch.addBatch(
+          bigramsOf(docs.filter(pmod(col("doc_id"), lit(4)) === b)),
+          "bigram", d, batchId = b)
+      }
+      markDone(d)
+    }
+
+  /** The corpus bigram stream (shared by the heavy-hitter twins). */
+  private def bigramsOf(docs: DataFrame): DataFrame = {
+    val ws = graft.ext.Dedup.words(col("text"))
+    docs.select(ws.as("ws")).filter(size(col("ws")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("ws")) - 2),
+        i => concat_ws(" ", element_at(col("ws"), i + 1),
+          element_at(col("ws"), i + 2)))).as("bigram"))
+  }
+
   private def histSketchDir(s: SparkSession, dir: String): String =
     buildOnce(dir, "lineitem", "histsk", marker = "_DONE") { d =>
       wipeDir(d)
@@ -378,6 +402,7 @@ object ExtQueries {
       timed("histsk")(histSketchDir(s, dir)),
       timed("histingest")(histIngestDir(s, dir)),
       timed("histgsk")(histGroupSketchDir(s, dir)),
+      timed("freqsk")(freqSketchDir(s, dir)),
       timed("coedges")(Graph.coEdgesDir(s, dir)))
   }
 
@@ -528,7 +553,23 @@ object ExtQueries {
     rows.toDF("segment", "n_users").orderBy("segment")
   }
 
+  /** The ingest-store twin of `x_heavy_hitters`: the same >1/800
+    * frequent-bigram ask served ENTIRELY from the persisted 4-batch
+    * Misra–Gries store ([[graft.ext.FreqSketch]]) — the fold reads
+    * ∝ batches × capacity summary rows, the corpus is never touched.
+    * The store's meta rows prove no batch ever trimmed (916 bigrams
+    * inside capacity 4096, checked by `frequentFromStore`), so the
+    * stored counts are exact and the differential oracle — the SAME
+    * naive GROUP BY + HAVING the corpus-pass twin uses — is sound.
+    * Result must equal `x_heavy_hitters` row for row. */
+  def x_freq_store_top(s: SparkSession, dir: String): DataFrame = {
+    val skDir = freqSketchDir(s, dir)
+    graft.ext.FreqSketch.frequentFromStore(s, skDir, num = 1L, den = 800L)
+      .select(col("item").as("bigram"), col("cnt").as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_freq_store_top" -> (x_freq_store_top _),
     "x_kmv_segments" -> (x_kmv_segments _),
     "p6e_proximity_search" -> (p6e_proximity_search _),
     "x2_simhash_pairs" -> (x2_simhash_pairs _),
@@ -632,6 +673,22 @@ object ExtQueries {
         |  AND list_contains(regexp_extract_all(lower(text), '[a-z]+'), 'table')
         |  AND list_contains(regexp_extract_all(lower(text), '[a-z]+'), 'vector')
         |ORDER BY doc_id""".stripMargin,
+    // store-served frequent items in the untrimmed regime must equal
+    // the naive corpus GROUP BY + HAVING (and thus x_heavy_hitters)
+    "x_freq_store_top" ->
+      """WITH d AS (
+        | SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws
+        | FROM documents),
+        |g AS (
+        | SELECT UNNEST(list_transform(range(1, len(ws)),
+        |   i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])) AS bigram
+        | FROM d),
+        |t AS (SELECT COUNT(*) AS total FROM g)
+        |SELECT bigram, COUNT(*) AS n
+        |FROM g CROSS JOIN t
+        |GROUP BY bigram, t.total
+        |HAVING COUNT(*) * 800 > t.total
+        |ORDER BY n DESC, bigram ASC""".stripMargin,
     // exact-regime KMV set algebra must equal DuckDB's INTERSECT/UNION
     // over the exact DISTINCT user sets
     "x_kmv_segments" ->

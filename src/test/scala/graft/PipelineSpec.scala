@@ -113,6 +113,20 @@ class PipelineSpec extends SparkSpec {
       .groupBy("b").count()
       .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
     assert(hist === exact && hist.nonEmpty)
+
+    // ...and one frequency-summary batch (content words): vocabulary
+    // is far inside the summary capacity, so the store is untrimmed
+    // and its folded counts equal the exact word census
+    val freqDir = s"${wh.root}/sketches/source_documents_freq"
+    val (freqExact, pivots) = graft.ext.FreqSketch.exactness(spark, freqDir)
+    assert(freqExact && pivots === 0L)
+    val stored = graft.ext.FreqSketch.merged(spark, freqDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val trueCounts = docs
+      .select(explode(graft.ext.Dedup.words(col("content"))).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stored === trueCounts && stored.nonEmpty)
   }
 
   test("ScanJob is idempotent on re-run (same run id, same candidates)") {

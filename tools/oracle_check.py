@@ -43,6 +43,19 @@ def main(sfdir, outdir):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # catalog-vs-dump accounting: a thrown query writes no parquet and
+    # would otherwise vanish from the report while everything still
+    # reads "all pass" (round-9 failure mode)
+    try:
+        meta = json.load(open(f"{outdir}/verify_meta.json"))
+        if meta.get("failed"):
+            print(f"FAIL _meta: Verify failed queries: {meta['failed']}")
+            n_fail += 1
+        if meta.get("n_selected") != meta.get("n_written"):
+            print(f"FAIL _meta: {meta['n_selected']} selected vs "
+                  f"{meta['n_written']} written")
+    except FileNotFoundError:
+        print("WARN no verify_meta.json (old Verify build?)")
     for name, sql in sorted(oracle.items()):
         got = load_spark_result(outdir, name)
         if got is None:
