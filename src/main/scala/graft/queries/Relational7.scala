@@ -33,7 +33,7 @@ object Relational7 {
     * with the open current version flagged. Total order inside a key
     * comes from (ts, orderkey) — orderkey breaks same-day ties, so run
     * boundaries are deterministic. */
-  def scd2_build(s: SparkSession, dir: String): DataFrame = {
+  private def scd2Dim(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "orders").filter(col("o_custkey") <= 200)
       .select(col("o_custkey").as("custkey"), col("o_orderdate").as("ts"),
         col("o_orderkey").as("seq"), col("o_orderstatus").as("status"))
@@ -51,7 +51,40 @@ object Relational7 {
       .withColumn("is_current", col("effective_to").isNull)
       .select("custkey", "ver", "status", "effective_from",
         "effective_to", "is_current")
-      .orderBy("custkey", "ver")
+  }
+
+  def scd2_build(s: SparkSession, dir: String): DataFrame =
+    scd2Dim(s, dir).orderBy("custkey", "ver")
+
+  /** Point-in-time enrichment — the reason SCD2 exists: every shipment
+    * of the tracked customers picks up the status version in effect at
+    * its ship date. Runs as a backward AS-OF join on
+    * (custkey, effective_from ≤ ship ts), the union-carry shape of
+    * [[graft.ext.AsOf]] (one shuffle on the key, linear state — never
+    * an interval theta-join); `ver` tie-breaks same-day versions so
+    * the carry lands on the newest change at that instant, exactly the
+    * version whose [from, to) interval is non-empty there — identical
+    * to the oracle's interval predicate (zero-length intervals match
+    * nothing on both sides). The synthetic corpus ships some lines
+    * BEFORE their order's own date (not TPC-H-faithful), so shipments
+    * predating the customer's first version legitimately carry NULL —
+    * LEFT interval-join semantics on both sides. (l_orderkey,
+    * l_linenumber) is not unique here either; ts completes the total
+    * output order (residual ties are full-row duplicates). */
+  def scd2_pit_join(s: SparkSession, dir: String): DataFrame = {
+    val dim = scd2Dim(s, dir)
+      .select(col("custkey"), col("effective_from").as("ts"),
+        col("status"), col("ver"))
+    val facts = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+      .join(t(s, dir, "orders").filter(col("o_custkey") <= 200)
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("l_orderkey"),
+        col("l_linenumber"), col("l_shipdate").as("ts"))
+    graft.ext.AsOf.asofJoin(facts, dim, "custkey", "ts",
+        valueCols = Seq("status", "ver"), tieBreak = Seq("ver"))
+      .orderBy("l_orderkey", "l_linenumber", "ts")
   }
 
   /** Reconciliation — diff the orders table against a deterministically
@@ -108,6 +141,7 @@ object Relational7 {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scd2_pit_join" -> (scd2_pit_join _),
     "scd2_build" -> (scd2_build _),
     "q_table_diff" -> (q_table_diff _),
     "x_profile_columns" -> (x_profile_columns _))
@@ -137,6 +171,43 @@ object Relational7 {
         | lead(effective_from) OVER w2 IS NULL AS is_current
         |FROM runs WINDOW w2 AS (PARTITION BY custkey ORDER BY ver)
         |ORDER BY custkey, ver""".stripMargin,
+    // point-in-time semantics: the as-of carry must equal the interval
+    // join against the SCD2 CTE (non-empty [from, to) containing ts)
+    "scd2_pit_join" ->
+      """WITH ev AS (
+        | SELECT o_custkey AS custkey, o_orderdate AS ts,
+        |        o_orderkey AS seq, o_orderstatus AS status
+        | FROM orders WHERE o_custkey <= 200),
+        |chg AS (
+        | SELECT *, CASE WHEN lag(status) OVER w IS NULL
+        |                  OR lag(status) OVER w <> status
+        |           THEN 1 ELSE 0 END AS is_change
+        | FROM ev WINDOW w AS (PARTITION BY custkey ORDER BY ts, seq)),
+        |ver AS (
+        | SELECT *, CAST(SUM(is_change) OVER (PARTITION BY custkey
+        |   ORDER BY ts, seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS ver
+        | FROM chg),
+        |runs AS (
+        | SELECT custkey, ver, MIN(status) AS status,
+        |        MIN(ts) AS effective_from
+        | FROM ver GROUP BY 1, 2),
+        |scd2 AS (
+        | SELECT custkey, ver, status, effective_from,
+        |  lead(effective_from) OVER (PARTITION BY custkey ORDER BY ver)
+        |    AS effective_to
+        | FROM runs),
+        |f AS (
+        | SELECT o_custkey AS custkey, l_orderkey, l_linenumber,
+        |        l_shipdate AS ts
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE o_custkey <= 200)
+        |SELECT f.custkey, f.l_orderkey, f.l_linenumber, f.ts,
+        |       d.status AS asof_status, d.ver AS asof_ver
+        |FROM f LEFT JOIN scd2 d ON d.custkey = f.custkey
+        |  AND d.effective_from <= f.ts
+        |  AND (d.effective_to IS NULL OR f.ts < d.effective_to)
+        |ORDER BY l_orderkey, l_linenumber, ts""".stripMargin,
     // the naive diff: full outer join + per-status summary — the
     // engine's fingerprint narrowing must land on the same verdict
     "q_table_diff" ->
