@@ -34,7 +34,9 @@ object FreqSketch {
     * a TakeOrdered, never a full sort; ≤ capacity+1 rows reach the
     * driver. Meta records (capacity, trimmed, budget) per batch, where
     * budget = merge-trim pivot + partition decrement events — the
-    * batch's total per-item undercount bound. */
+    * batch's total per-item undercount bound. Batches land in
+    * per-batch partition directories with OVERWRITE, so replaying a
+    * batch id is idempotent rather than double-counting. */
   def addBatch(batch: DataFrame, itemCol: String, dir: String,
       batchId: Long, capacity: Int = 4096): Unit = {
     val s = batch.sparkSession
@@ -68,14 +70,18 @@ object FreqSketch {
       val budget = pivot + decrements
       val rows = (if (mergeTrim) top.init.map { case (i, c) => (i, c - pivot) }
         .filter(_._2 > 0L).toSeq else top.toSeq)
+      // per-batch partition directories, OVERWRITTEN: a replayed batch
+      // (idempotent ScanJob re-run, crash between the two writes)
+      // rewrites the same bytes instead of appending a double-counting
+      // duplicate — counts merge by summing, so append-on-replay would
+      // silently double every count while exactness() still read clean
       rows.toDF("item", "cnt")
-        .withColumn("batch_id", lit(batchId))
         .coalesce(1)
-        .write.mode("append").parquet(s"$dir/freq")
-      Seq((batchId, capacity, budget > 0L, budget))
-        .toDF("batch_id", "capacity", "trimmed", "pivot")
+        .write.mode("overwrite").parquet(s"$dir/freq/batch_id=$batchId")
+      Seq((capacity, budget > 0L, budget))
+        .toDF("capacity", "trimmed", "pivot")
         .coalesce(1)
-        .write.mode("append").parquet(s"$dir/meta")
+        .write.mode("overwrite").parquet(s"$dir/meta/batch_id=$batchId")
     } finally { partials.unpersist(); () }
   }
 

@@ -83,10 +83,22 @@ object HeavyHitters {
     val col0 = col(itemCol)
     val strings = items.select(col0.cast("string").as("item"))
       .filter(col("item").isNotNull)
-    val total = strings.count() // scalar: the threshold's n
-    val cands = strings.as[String]
-      .mapPartitions(it => misraGries(it, capacity).map(_._1))
-      .toDF("item").distinct()
+    // ONE pass yields BOTH the candidates and the threshold's n: each
+    // partition emits its summary plus a sentinel row (null item)
+    // carrying its item count — a separate count() action would
+    // re-evaluate the whole upstream pipeline (explodes, regexes) a
+    // third time. The collected output is bounded by construction:
+    // ≤ (capacity + 1) rows per partition, control plane.
+    val partRows = strings.as[String].mapPartitions { it =>
+      var n = 0L
+      val counted = it.map { x => n += 1; x }
+      val (summary, _) = misraGriesWithStats(counted, capacity)
+      (summary.map { case (i, _) => (i, 0L) } :+
+        ((null: String, n))).iterator
+    }.collect()
+    val total = partRows.collect { case (null, n) => n }.sum
+    val cands = partRows.collect { case (i, _) if i != null => i }
+      .distinct.toSeq.toDF("item")
     // candidate set is ≤ capacity × partitions by construction — small
     // enough that the hint is safe at any corpus size
     strings.join(broadcast(cands), Seq("item"), "left_semi")

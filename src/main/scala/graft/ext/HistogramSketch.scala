@@ -24,7 +24,11 @@ object HistogramSketch {
 
   /** Aggregate + append one (value, n) histogram per tracked column
     * for this batch. One narrow pass over the batch; NULLs are
-    * excluded (SQL quantile semantics ignore them). */
+    * excluded (SQL quantile semantics ignore them). Batches land in
+    * per-batch partition directories with OVERWRITE — counts MERGE by
+    * summing, so an append-on-replay (idempotent ScanJob re-run,
+    * crash replay) would silently double every count it touched;
+    * rewriting the same bytes is a no-op instead. */
   def addBatch(batch: DataFrame, cols: Seq[String], dir: String,
       batchId: Long): Unit = {
     require(cols.nonEmpty, "track at least one column")
@@ -34,8 +38,7 @@ object HistogramSketch {
         .agg(count(lit(1)).as("n"))
         .withColumn("column", lit(c)))
     perCol.reduce(_ unionByName _)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(s"$dir/hist")
+      .write.mode("overwrite").parquet(s"$dir/hist/batch_id=$batchId")
   }
 
   /** GROUPED variant — one (group, value, n) histogram row set per
@@ -55,8 +58,7 @@ object HistogramSketch {
         .agg(count(lit(1)).as("n"))
         .withColumn("column", lit(c)))
     perCol.reduce(_ unionByName _)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(s"$dir/hist")
+      .write.mode("overwrite").parquet(s"$dir/hist/batch_id=$batchId")
   }
 
   /** The merged histogram for `column` — (value, n) with counts summed

@@ -42,7 +42,14 @@ object Reconcile {
     val valCols = left.columns.filterNot(_ == keyCol).toSeq
     require(valCols.nonEmpty, "diffSummary needs at least one value column")
     def bucketOf(c: Column): Column = pmod(xxhash64(c), lit(nBuckets))
-    def rowHash(cols: Seq[String]): Column = xxhash64(cols.map(col): _*)
+    // xxhash64 SKIPS null inputs (the seed passes through unchanged),
+    // so hashing the bare columns would collide rows that differ only
+    // in WHICH column is null — a deterministic fingerprint miss, not
+    // the probabilistic 64-bit caveat. Interleaving a never-null
+    // isnull flag per column keeps every position discriminated.
+    def rowHash(cols: Seq[String]): Column =
+      xxhash64(cols.flatMap(c =>
+        Seq(col(c), isnull(col(c)).cast("int"))): _*)
 
     // stage 1: per-bucket fingerprints (count + order-independent XOR)
     def fingerprints(df: DataFrame): DataFrame =

@@ -210,21 +210,11 @@ object ExtQueries {
       val docs = t(s, dir, "documents")
       (0L to 3L).foreach { b =>
         graft.ext.FreqSketch.addBatch(
-          bigramsOf(docs.filter(pmod(col("doc_id"), lit(4)) === b)),
+          TextSim.bigramStream(docs.filter(pmod(col("doc_id"), lit(4)) === b)),
           "bigram", d, batchId = b)
       }
       markDone(d)
     }
-
-  /** The corpus bigram stream (shared by the heavy-hitter twins). */
-  private def bigramsOf(docs: DataFrame): DataFrame = {
-    val ws = graft.ext.Dedup.words(col("text"))
-    docs.select(ws.as("ws")).filter(size(col("ws")) >= 2)
-      .select(explode(transform(
-        sequence(lit(0), size(col("ws")) - 2),
-        i => concat_ws(" ", element_at(col("ws"), i + 1),
-          element_at(col("ws"), i + 2)))).as("bigram"))
-  }
 
   private def histSketchDir(s: SparkSession, dir: String): String =
     buildOnce(dir, "lineitem", "histsk", marker = "_DONE") { d =>
@@ -542,12 +532,16 @@ object ExtQueries {
       .select("user_id")
     val a = KmvSketch.sketch(seg("purchase"), "user_id", k = 4096)
     val b = KmvSketch.sketch(seg("click"), "user_id", k = 4096)
-    require(a.isExact && b.isExact,
+    // the MERGED sketch must be exact too: two exact sketches whose
+    // union tops k would make the 'either' row an estimate while the
+    // inputs still pass an inputs-only check
+    val u = a.merge(b)
+    require(a.isExact && b.isExact && u.isExact,
       "KMV sketches left the exact regime; the oracle would be unsound")
     val rows = Seq(
       ("both", a.intersectEstimate(b).toLong),
       ("click_hi", b.estimate.toLong),
-      ("either", a.unionEstimate(b).toLong),
+      ("either", u.estimate.toLong),
       ("purchase_hi", a.estimate.toLong))
     import s.implicits._
     rows.toDF("segment", "n_users").orderBy("segment")
@@ -674,21 +668,9 @@ object ExtQueries {
         |  AND list_contains(regexp_extract_all(lower(text), '[a-z]+'), 'vector')
         |ORDER BY doc_id""".stripMargin,
     // store-served frequent items in the untrimmed regime must equal
-    // the naive corpus GROUP BY + HAVING (and thus x_heavy_hitters)
-    "x_freq_store_top" ->
-      """WITH d AS (
-        | SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws
-        | FROM documents),
-        |g AS (
-        | SELECT UNNEST(list_transform(range(1, len(ws)),
-        |   i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])) AS bigram
-        | FROM d),
-        |t AS (SELECT COUNT(*) AS total FROM g)
-        |SELECT bigram, COUNT(*) AS n
-        |FROM g CROSS JOIN t
-        |GROUP BY bigram, t.total
-        |HAVING COUNT(*) * 800 > t.total
-        |ORDER BY n DESC, bigram ASC""".stripMargin,
+    // the naive corpus GROUP BY + HAVING (the SAME oracle text as
+    // x_heavy_hitters — the twins are pinned to one definition)
+    "x_freq_store_top" -> TextSim.bigramFrequentOracle,
     // exact-regime KMV set algebra must equal DuckDB's INTERSECT/UNION
     // over the exact DISTINCT user sets
     "x_kmv_segments" ->

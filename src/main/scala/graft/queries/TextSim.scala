@@ -595,18 +595,40 @@ object TextSim {
     * boundary. The synthetic corpus's vocabulary fits the summary
     * outright; the guarantee (capacity ≥ den/num, checked) is what
     * holds at a 100 TB vocabulary. */
-  def x_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 2)
-    val bigrams = docs.select(explode(transform(
-      sequence(lit(0), size(col("ws")) - 2),
-      i => concat_ws(" ", element_at(col("ws"), i + 1),
-        element_at(col("ws"), i + 2)))).as("bigram"))
+  def x_heavy_hitters(s: SparkSession, dir: String): DataFrame =
     graft.ext.HeavyHitters
-      .frequentItems(bigrams, "bigram", num = 1L, den = 800L)
+      .frequentItems(bigramStream(t(s, dir, "documents")), "bigram",
+        num = 1L, den = 800L)
       .select(col("item").as("bigram"), col("n"))
-  }
+
+  /** The corpus bigram stream — shared by the heavy-hitter corpus pass
+    * and the persisted-store twin (`x_freq_store_top`), which are
+    * pinned to agree row for row; one builder keeps a tokenizer or
+    * windowing tweak from silently breaking that contract. */
+  private[queries] def bigramStream(docs: DataFrame): DataFrame =
+    docs.select(words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("ws")) - 2),
+        i => concat_ws(" ", element_at(col("ws"), i + 1),
+          element_at(col("ws"), i + 2)))).as("bigram"))
+
+  /** DuckDB oracle for the >1/800 frequent-bigram ask — shared by both
+    * twins for the same reason. */
+  private[queries] val bigramFrequentOracle: String =
+    """WITH d AS (
+      | SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws
+      | FROM documents),
+      |g AS (
+      | SELECT UNNEST(list_transform(range(1, len(ws)),
+      |   i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])) AS bigram
+      | FROM d),
+      |t AS (SELECT COUNT(*) AS total FROM g)
+      |SELECT bigram, COUNT(*) AS n
+      |FROM g CROSS JOIN t
+      |GROUP BY bigram, t.total
+      |HAVING COUNT(*) * 800 > t.total
+      |ORDER BY n DESC, bigram ASC""".stripMargin
 
   /** X4 — retrieval-style document CHUNKING: fixed 400-char windows
     * sliding by 320 (80-char overlap, the RAG chunking shape). Chunk
@@ -677,20 +699,7 @@ object TextSim {
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     // exact frequent items: the sketch only reduces the aggregate's
     // input — the result must equal the naive GROUP BY + HAVING
-    "x_heavy_hitters" ->
-      """WITH d AS (
-        | SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws
-        | FROM documents),
-        |g AS (
-        | SELECT UNNEST(list_transform(range(1, len(ws)),
-        |   i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])) AS bigram
-        | FROM d),
-        |t AS (SELECT COUNT(*) AS total FROM g)
-        |SELECT bigram, COUNT(*) AS n
-        |FROM g CROSS JOIN t
-        |GROUP BY bigram, t.total
-        |HAVING COUNT(*) * 800 > t.total
-        |ORDER BY n DESC, bigram ASC""".stripMargin,
+    "x_heavy_hitters" -> bigramFrequentOracle,
     "x4_decontaminate" ->
       """WITH d AS (
         | SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws

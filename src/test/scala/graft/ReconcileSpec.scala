@@ -45,6 +45,19 @@ class ReconcileSpec extends SparkSpec {
     assert(got.toSeq === Seq(("changed", 1L, 500L, 500L)))
   }
 
+  test("a null moving between columns is a detected change, not a hash skip") {
+    // xxhash64 passes nulls through unchanged; without the isnull
+    // discriminators, ('x', NULL) -> (NULL, 'x') hashes identically
+    // and the bucket fingerprints would read clean
+    val l = Seq((1L, Option("x"), Option.empty[String]),
+      (2L, Option("a"), Option("b"))).toDF("k", "c1", "c2")
+    val r = Seq((1L, Option.empty[String], Option("x")),
+      (2L, Option("a"), Option("b"))).toDF("k", "c1", "c2")
+    val got = Reconcile.diffSummary(l, r, "k", nBuckets = 4)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq(("changed", 1L, 1L, 1L)))
+  }
+
   test("mismatched schemas are refused") {
     intercept[IllegalArgumentException] {
       Reconcile.diffSummary(base, base.withColumnRenamed("name", "nm"), "k")

@@ -54,6 +54,7 @@ def main(sfdir, outdir):
         if meta.get("n_selected") != meta.get("n_written"):
             print(f"FAIL _meta: {meta['n_selected']} selected vs "
                   f"{meta['n_written']} written")
+            n_fail += 1
     except FileNotFoundError:
         print("WARN no verify_meta.json (old Verify build?)")
     for name, sql in sorted(oracle.items()):
