@@ -18,10 +18,16 @@ import org.apache.spark.sql.functions._
   *     summary (if it survived nowhere, its total frequency would be
   *     ≤ Σ n_p/k = n/k) — the union of per-partition candidates is a
   *     sound superset for any threshold φ ≥ 1/k.
-  *  2. VERIFY — exact counts for candidates only: the deduplicated
-  *     candidate set (≤ k per partition, thousands of rows at most —
-  *     broadcastable by construction) semi-join-reduces the corpus,
-  *     and one hash aggregate counts the survivors exactly.
+  *  2. VERIFY — exact counts for candidates only: the per-partition
+  *     summaries stay a DataFrame (at 10k+ cluster partitions the
+  *     union is tens of millions of rows — executor data, not driver
+  *     state), are deduplicated executor-side (≤ k distinct survivors
+  *     per partition before dedup, skew-free after), then broadcast
+  *     semi-join-reduce the corpus, and one hash aggregate counts the
+  *     survivors exactly. The corpus size for the threshold comes from
+  *     an aggregate over per-partition sentinel rows, joined in as a
+  *     1-row broadcast — the driver never materializes candidates or
+  *     the count.
   *
   * The output is EXACT (identical to a full GROUP BY + HAVING), but the
   * shuffled aggregate runs over candidate items only — at 100 TB the
@@ -87,24 +93,34 @@ object HeavyHitters {
     // partition emits its summary plus a sentinel row (null item)
     // carrying its item count — a separate count() action would
     // re-evaluate the whole upstream pipeline (explodes, regexes) a
-    // third time. The collected output is bounded by construction:
-    // ≤ (capacity + 1) rows per partition, control plane.
-    val partRows = strings.as[String].mapPartitions { it =>
+    // third time. The summaries STAY distributed: at cluster partition
+    // counts (10k+ partitions × capacity) the union of candidates is
+    // tens of millions of rows — executor data, never driver state.
+    // localCheckpoint materializes the bounded summary rows (≤
+    // capacity + 1 per partition) exactly once so the two derived
+    // subplans (candidates, total) don't re-run the upstream pipeline.
+    val summaries = strings.as[String].mapPartitions { it =>
       var n = 0L
       val counted = it.map { x => n += 1; x }
       val (summary, _) = misraGriesWithStats(counted, capacity)
       (summary.map { case (i, _) => (i, 0L) } :+
         ((null: String, n))).iterator
-    }.collect()
-    val total = partRows.collect { case (null, n) => n }.sum
-    val cands = partRows.collect { case (i, _) if i != null => i }
-      .distinct.toSeq.toDF("item")
-    // candidate set is ≤ capacity × partitions by construction — small
-    // enough that the hint is safe at any corpus size
+    }.toDF("item", "n").localCheckpoint(true)
+    // sentinel rows → corpus size, as a 1-row DataFrame joined in
+    // below (never a driver-side literal)
+    val totalDf = summaries.filter(col("item").isNull)
+      .agg(coalesce(sum("n"), lit(0L)).as("hh_total"))
+    // executor-side dedup of the candidate union; the deduped set is
+    // ≤ capacity × partitions and skew-free (already distinct), so the
+    // broadcast hint is safe at any corpus size
+    val cands = summaries.filter(col("item").isNotNull)
+      .select("item").distinct()
     strings.join(broadcast(cands), Seq("item"), "left_semi")
       .groupBy("item")
       .agg(count(lit(1)).as("n"))
-      .filter(col("n") * den > lit(total) * num)
+      .join(broadcast(totalDf))
+      .filter(col("n") * den > col("hh_total") * num)
+      .drop("hh_total")
       .orderBy(desc("n"), asc("item"))
   }
 }

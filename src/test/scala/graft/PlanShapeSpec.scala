@@ -78,6 +78,14 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
     assert(!p.contains("SortMergeJoin"), p)
+    // the whole computation — candidate dedup, sentinel-row total —
+    // lives INSIDE this one plan (r10 collected candidates + total to
+    // the driver, so the plan began at an in-memory LocalTableScan of
+    // driver rows); the corpus size arrives as a 1-row broadcast join,
+    // not a literal baked in by a driver-side action
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("hh_total"), p)
+    assert(!p.toLowerCase.contains("localtablescan"), p)
   }
 
   test("persisted ANN index probe prunes the scan to probed bucket partitions") {
