@@ -85,6 +85,97 @@ object FreqSketch {
     } finally { partials.unpersist(); () }
   }
 
+  /** GROUPED batch append: one Misra–Gries summary per `groupCol`
+    * group (per-group rows (grp, item, cnt) + per-group meta), the
+    * store shape behind per-jurisdiction / per-language frequent-item
+    * asks. Distributed end to end: per-partition per-group bounded
+    * states ([[HeavyHitters.misraGriesByGroup]]) emit ≤ capacity
+    * candidate rows per (partition, group) plus a sentinel row
+    * carrying the group's decrement-event count; the partials sum per
+    * (group, item); the mergeable trim ranks WITHIN each group
+    * (row_number over a window partitioned by group — the ranked
+    * slice is ≤ (capacity+1) × groups rows, control-plane sized) and
+    * subtracts each group's own pivot. Nothing is collected to the
+    * driver — the trimmed rows and meta write straight from
+    * executors. Same overwrite-per-batch-directory idempotence as
+    * [[addBatch]]. Meta's `pivot` records each group's total per-item
+    * undercount budget (merge-trim pivot + that group's partition
+    * decrement events). */
+  def addBatchGrouped(batch: DataFrame, groupCol: String, itemCol: String,
+      dir: String, batchId: Long, capacity: Int = 4096): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    validateCapacity(s, dir, capacity)
+    val partials = batch.select(col(groupCol).cast("string").as("grp"),
+        col(itemCol).cast("string").as("item"))
+      .filter(col("grp").isNotNull && col("item").isNotNull)
+      .as[(String, String)]
+      .mapPartitions { it =>
+        HeavyHitters.misraGriesByGroup(it, capacity).flatMap {
+          case (g, st) =>
+            st.summary.map { case (i, c) => (g, i, c, 0L) } :+
+              ((g, null: String, 0L, st.decrements))
+        }
+      }
+      .toDF("grp", "item", "cnt", "dec")
+      .persist()
+    try {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("grp").orderBy(desc("cnt"), asc("item"))
+      // ≤ (capacity+1) × groups rows survive the rank — checkpointed
+      // once for their two consumers (trimmed rows, per-group pivots)
+      val ranked = partials.filter(col("item").isNotNull)
+        .groupBy("grp", "item").agg(sum("cnt").as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= capacity + 1)
+        .localCheckpoint(true)
+      val pivots = ranked.filter(col("rk") === capacity + 1)
+        .select(col("grp"), col("cnt").as("trim_pivot"))
+      val decs = partials.filter(col("item").isNull)
+        .groupBy("grp").agg(sum("dec").as("dec"))
+      ranked.filter(col("rk") <= capacity)
+        .join(broadcast(pivots), Seq("grp"), "left")
+        .withColumn("cnt", col("cnt") - coalesce(col("trim_pivot"), lit(0L)))
+        .filter(col("cnt") > 0L)
+        .select("grp", "item", "cnt")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/freq/batch_id=$batchId")
+      decs.join(broadcast(pivots), Seq("grp"), "left")
+        .select(col("grp"), lit(capacity).as("capacity"),
+          (coalesce(col("trim_pivot"), lit(0L)) + col("dec") > 0L)
+            .as("trimmed"),
+          (coalesce(col("trim_pivot"), lit(0L)) + col("dec")).as("pivot"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/meta/batch_id=$batchId")
+    } finally { partials.unpersist(); () }
+  }
+
+  /** Group-wise fold of a grouped store: (grp, item, cnt) — exact
+    * while [[exactness]] reports (true, 0) (the meta schema is shared,
+    * so the exactness discipline is too). */
+  def mergedGrouped(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/freq")
+      .groupBy("grp", "item").agg(sum("cnt").as("cnt"))
+
+  /** Per-group frequent items served entirely from a grouped store:
+    * items whose group frequency × den > the group's item count ×
+    * num. Exact-regime only, like [[frequentFromStore]] — in that
+    * regime each group's summed counts ARE its corpus counts, so the
+    * per-group stored totals are the thresholds' n. */
+  def frequentFromStoreGrouped(spark: SparkSession, dir: String,
+      num: Long, den: Long): DataFrame = {
+    val (exact, _) = exactness(spark, dir)
+    require(exact,
+      "store has trimmed batches; exact frequent-items needs the " +
+        "untrimmed regime (raise capacity or verify against the corpus)")
+    val m = mergedGrouped(spark, dir)
+    val totals = m.groupBy("grp").agg(sum("cnt").as("grp_total"))
+    m.join(broadcast(totals), Seq("grp"))
+      .filter(col("cnt") * den > col("grp_total") * num)
+      .drop("grp_total")
+      .orderBy(asc("grp"), desc("cnt"), asc("item"))
+  }
+
   /** Item-wise fold of every stored summary: (item, cnt). Counts are
     * exact while [[exactness]] reports (true, 0); otherwise lower
     * bounds with total undercount ≤ the reported pivot sum. The fold

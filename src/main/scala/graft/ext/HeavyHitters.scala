@@ -40,16 +40,20 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
-  /** Per-partition Misra–Gries summary (at most `k` counters) plus the
-    * number of decrement-all events — each event undercounts any
-    * single item's summary count by at most 1, so the event count IS
-    * the partition's per-item undercount budget (0 = the summary is an
-    * exact census of the partition). */
-  private[ext] def misraGriesWithStats(items: Iterator[String], k: Int)
-      : (List[(String, Long)], Long) = {
+  /** One Misra–Gries summary (at most `k` counters) as incremental
+    * state: `decrements` counts decrement-all events — each event
+    * undercounts any single item's summary count by at most 1, so the
+    * event count IS the per-item undercount budget (0 = the summary is
+    * an exact census of what was added); `n` counts items added. The
+    * class shape (vs a closed-over iterator fold) exists so the
+    * grouped variants can keep ONE bounded state per group inside a
+    * partition. */
+  private[ext] final class MgState(k: Int) {
     val counters = new java.util.HashMap[String, Long](k * 2)
     var decrements = 0L
-    items.foreach { item =>
+    var n = 0L
+    def add(item: String): Unit = {
+      n += 1L
       val c = counters.get(item)
       if (c != 0L || counters.containsKey(item)) counters.put(item, c + 1L)
       else if (counters.size < k) counters.put(item, 1L)
@@ -63,8 +67,36 @@ object HeavyHitters {
         }
       }
     }
+    def summary: List[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      counters.asScala.toList
+    }
+  }
+
+  /** Per-partition Misra–Gries summary plus the decrement-event count
+    * (see [[MgState]]). */
+  private[ext] def misraGriesWithStats(items: Iterator[String], k: Int)
+      : (List[(String, Long)], Long) = {
+    val st = new MgState(k)
+    items.foreach(st.add)
+    (st.summary, st.decrements)
+  }
+
+  /** Per-partition grouped summaries: one bounded [[MgState]] per
+    * group seen in the partition (state = groups-in-partition ×
+    * capacity — sized for low-cardinality group domains: languages,
+    * jurisdictions, sources). Returns (group → state). */
+  private[ext] def misraGriesByGroup(
+      rows: Iterator[(String, String)], k: Int)
+      : Iterator[(String, MgState)] = {
+    val states = new java.util.HashMap[String, MgState]()
+    rows.foreach { case (g, x) =>
+      var st = states.get(g)
+      if (st == null) { st = new MgState(k); states.put(g, st) }
+      st.add(x)
+    }
     import scala.jdk.CollectionConverters._
-    (counters.asScala.toList, decrements)
+    states.asScala.iterator
   }
 
   private[ext] def misraGries(items: Iterator[String], k: Int)
@@ -122,5 +154,60 @@ object HeavyHitters {
       .filter(col("n") * den > col("hh_total") * num)
       .drop("hh_total")
       .orderBy(desc("n"), asc("item"))
+  }
+
+  /** PER-GROUP exact heavy hitters: items of `itemCol` whose frequency
+    * WITHIN their `groupCol` group exceeds (num/den) of that group's
+    * item count. Same two-pass sketch-then-verify plan as
+    * [[frequentItems]], with one bounded Misra–Gries state per group
+    * per partition — the candidate guarantee applies group-wise (an
+    * item with group frequency > n_g/capacity survives in some
+    * partition's state for that group, by the same summed-undercount
+    * argument restricted to the group's rows). The full per-group
+    * vocabulary never crosses a shuffle; only candidates do.
+    *
+    * Per-partition state is groups-in-partition × capacity counters —
+    * sized for low-cardinality group domains (languages,
+    * jurisdictions), not for group counts rivaling the vocabulary
+    * (there, run the plain GROUP BY — no sketch can help).
+    *
+    * Returns (groupCol, item, n) with exact counts, ordered by group
+    * then heaviest first. Null groups and null items are ignored.
+    *
+    * Reference behavior: per-jurisdiction term processing
+    * (`/root/reference/services/api/src/services/merge.ts:22-25`). */
+  def frequentItemsByGroup(items: DataFrame, groupCol: String,
+      itemCol: String, num: Long, den: Long,
+      capacity: Int = 4096): DataFrame = {
+    require(num > 0 && den > 0, "threshold must be a positive rational")
+    require(capacity.toLong * num >= den,
+      s"capacity $capacity < den/num = ${den / num}: Misra-Gries cannot " +
+        "guarantee candidates at this threshold")
+    val s = items.sparkSession
+    import s.implicits._
+    val strings = items.select(col(groupCol).cast("string").as("grp"),
+        col(itemCol).cast("string").as("item"))
+      .filter(col("grp").isNotNull && col("item").isNotNull)
+    // same distributed shape as the ungrouped pass: bounded summary
+    // rows stay a DataFrame (localCheckpoint = evaluated once), a
+    // per-(partition, group) sentinel row carries the group's item
+    // count, and the driver never materializes candidates or totals
+    val summaries = strings.as[(String, String)].mapPartitions { it =>
+      misraGriesByGroup(it, capacity).flatMap { case (g, st) =>
+        st.summary.map { case (i, _) => (g, i, 0L) } :+
+          ((g, null: String, st.n))
+      }
+    }.toDF("grp", "item", "n").localCheckpoint(true)
+    val totals = summaries.filter(col("item").isNull)
+      .groupBy("grp").agg(sum("n").as("hh_total"))
+    val cands = summaries.filter(col("item").isNotNull)
+      .select("grp", "item").distinct()
+    strings.join(broadcast(cands), Seq("grp", "item"), "left_semi")
+      .groupBy("grp", "item")
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(totals), Seq("grp"))
+      .filter(col("n") * den > col("hh_total") * num)
+      .select(col("grp").as(groupCol), col("item"), col("n"))
+      .orderBy(asc(groupCol), desc("n"), asc("item"))
   }
 }

@@ -216,6 +216,21 @@ object ExtQueries {
       markDone(d)
     }
 
+  /** GROUPED frequency store (per-language document bigrams), same
+    * wipe-then-mark build discipline as [[freqSketchDir]]. */
+  private def freqGroupSketchDir(s: SparkSession, dir: String): String =
+    buildOnce(dir, "documents", "freqgsk", marker = "_DONE") { d =>
+      wipeDir(d)
+      val docs = t(s, dir, "documents")
+      (0L to 3L).foreach { b =>
+        graft.ext.FreqSketch.addBatchGrouped(
+          TextSim.bigramStreamByLang(
+            docs.filter(pmod(col("doc_id"), lit(4)) === b)),
+          "lang", "bigram", d, batchId = b)
+      }
+      markDone(d)
+    }
+
   private def histSketchDir(s: SparkSession, dir: String): String =
     buildOnce(dir, "lineitem", "histsk", marker = "_DONE") { d =>
       wipeDir(d)
@@ -393,6 +408,7 @@ object ExtQueries {
       timed("histingest")(histIngestDir(s, dir)),
       timed("histgsk")(histGroupSketchDir(s, dir)),
       timed("freqsk")(freqSketchDir(s, dir)),
+      timed("freqgsk")(freqGroupSketchDir(s, dir)),
       timed("coedges")(Graph.coEdgesDir(s, dir)))
   }
 
@@ -562,8 +578,25 @@ object ExtQueries {
       .select(col("item").as("bigram"), col("cnt").as("n"))
   }
 
+  /** The grouped-store twin of `x_heavy_hitters_grouped`: per-language
+    * >1/800 frequent bigrams served entirely from the persisted
+    * 4-batch grouped Misra–Gries store
+    * ([[graft.ext.FreqSketch.frequentFromStoreGrouped]]) — per-group
+    * meta rows prove no (batch, language) ever trimmed, so the stored
+    * counts are exact and both twins share one differential oracle.
+    * Must equal `x_heavy_hitters_grouped` row for row. */
+  def x_freq_store_group_top(s: SparkSession, dir: String): DataFrame = {
+    val skDir = freqGroupSketchDir(s, dir)
+    graft.ext.FreqSketch.frequentFromStoreGrouped(s, skDir,
+        num = 1L, den = 800L)
+      .select(col("grp").as("lang"), col("item").as("bigram"),
+        col("cnt").as("n"))
+      .orderBy(asc("lang"), desc("n"), asc("bigram"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_freq_store_top" -> (x_freq_store_top _),
+    "x_freq_store_group_top" -> (x_freq_store_group_top _),
     "x_kmv_segments" -> (x_kmv_segments _),
     "p6e_proximity_search" -> (p6e_proximity_search _),
     "x2_simhash_pairs" -> (x2_simhash_pairs _),
@@ -671,6 +704,7 @@ object ExtQueries {
     // the naive corpus GROUP BY + HAVING (the SAME oracle text as
     // x_heavy_hitters — the twins are pinned to one definition)
     "x_freq_store_top" -> TextSim.bigramFrequentOracle,
+    "x_freq_store_group_top" -> TextSim.bigramFrequentGroupedOracle,
     // exact-regime KMV set algebra must equal DuckDB's INTERSECT/UNION
     // over the exact DISTINCT user sets
     "x_kmv_segments" ->

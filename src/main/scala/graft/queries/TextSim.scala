@@ -601,6 +601,22 @@ object TextSim {
         num = 1L, den = 800L)
       .select(col("item").as("bigram"), col("n"))
 
+  /** X4 — PER-LANGUAGE exact heavy hitters: bigrams covering more
+    * than 1/800 of THEIR LANGUAGE's bigram occurrences, the grouped
+    * variant of `x_heavy_hitters` (one bounded Misra–Gries state per
+    * language per partition; candidates and per-group totals stay
+    * distributed — [[graft.ext.HeavyHitters.frequentItemsByGroup]]).
+    * Per-group relative thresholds are what a multi-jurisdiction /
+    * multi-language corpus actually asks (a minority language's
+    * frequent terms are invisible to a global threshold); the
+    * vocabulary still never crosses a shuffle. */
+  def x_heavy_hitters_grouped(s: SparkSession, dir: String): DataFrame =
+    graft.ext.HeavyHitters
+      .frequentItemsByGroup(bigramStreamByLang(t(s, dir, "documents")),
+        "lang", "bigram", num = 1L, den = 800L)
+      .select(col("lang"), col("item").as("bigram"), col("n"))
+      .orderBy(asc("lang"), desc("n"), asc("bigram"))
+
   /** The corpus bigram stream — shared by the heavy-hitter corpus pass
     * and the persisted-store twin (`x_freq_store_top`), which are
     * pinned to agree row for row; one builder keeps a tokenizer or
@@ -612,6 +628,35 @@ object TextSim {
         sequence(lit(0), size(col("ws")) - 2),
         i => concat_ws(" ", element_at(col("ws"), i + 1),
           element_at(col("ws"), i + 2)))).as("bigram"))
+
+  /** The language-keyed bigram stream — shared by the grouped
+    * heavy-hitter corpus pass and its store-served twin
+    * (`x_freq_store_group_top`), same one-builder contract as
+    * [[bigramStream]]. */
+  private[queries] def bigramStreamByLang(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("lang"), explode(transform(
+        sequence(lit(0), size(col("ws")) - 2),
+        i => concat_ws(" ", element_at(col("ws"), i + 1),
+          element_at(col("ws"), i + 2)))).as("bigram"))
+
+  /** DuckDB oracle for the per-language >1/800 frequent-bigram ask —
+    * shared by the corpus-pass and store-served twins. */
+  private[queries] val bigramFrequentGroupedOracle: String =
+    """WITH d AS (
+      | SELECT lang, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      | FROM documents),
+      |g AS (
+      | SELECT lang, UNNEST(list_transform(range(1, len(ws)),
+      |   i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])) AS bigram
+      | FROM d),
+      |t AS (SELECT lang, COUNT(*) AS total FROM g GROUP BY lang)
+      |SELECT lang, bigram, COUNT(*) AS n
+      |FROM g JOIN t USING (lang)
+      |GROUP BY lang, bigram, t.total
+      |HAVING COUNT(*) * 800 > t.total
+      |ORDER BY lang ASC, n DESC, bigram ASC""".stripMargin
 
   /** DuckDB oracle for the >1/800 frequent-bigram ask — shared by both
     * twins for the same reason. */
@@ -656,6 +701,7 @@ object TextSim {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x4_chunk_overlap" -> (x4_chunk_overlap _),
     "x_heavy_hitters" -> (x_heavy_hitters _),
+    "x_heavy_hitters_grouped" -> (x_heavy_hitters_grouped _),
     "x4_decontaminate" -> (x4_decontaminate _),
     "x4_seq_pack" -> (x4_seq_pack _),
     "x4_tfidf" -> (x4_tfidf _),
@@ -700,6 +746,7 @@ object TextSim {
     // exact frequent items: the sketch only reduces the aggregate's
     // input — the result must equal the naive GROUP BY + HAVING
     "x_heavy_hitters" -> bigramFrequentOracle,
+    "x_heavy_hitters_grouped" -> bigramFrequentGroupedOracle,
     "x4_decontaminate" ->
       """WITH d AS (
         | SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws

@@ -57,6 +57,55 @@ class FreqSketchSpec extends SparkSpec {
     }
   }
 
+  // grouped twin of the batches: group "a" is batch(b) relabeled,
+  // group "b" a smaller stream with its own heavy item
+  private def groupedBatch(b: Int) =
+    batch(b).select(lit("a").as("grp"), col("item"))
+      .union((Seq.fill(30)("beta") ++ (0 until 10).map(i => s"bc_${b}_$i"))
+        .toDF("item").select(lit("b").as("grp"), col("item")))
+
+  test("grouped untrimmed store: per-group folded counts equal the census") {
+    val dir = tmpDir("freqsk-grp-exact")
+    (0 to 2).foreach(b => FreqSketch.addBatchGrouped(groupedBatch(b),
+      "grp", "item", dir, batchId = b.toLong, capacity = 512))
+    val (exact, pivots) = FreqSketch.exactness(spark, dir)
+    assert(exact && pivots === 0L)
+    val stored = FreqSketch.mergedGrouped(spark, dir)
+      .as[(String, String, Long)].collect()
+      .map { case (g, i, c) => (g, i) -> c }.toMap
+    val truth = (0 to 2).map(groupedBatch).reduce(_ union _)
+      .groupBy("grp", "item").count().as[(String, String, Long)]
+      .collect().map { case (g, i, c) => (g, i) -> c }.toMap
+    assert(stored === truth)
+    // per-group threshold serving: >1/20 of EACH group's stream —
+    // "beta" is 30/40 of group b but would drown under group a's total
+    val top = FreqSketch.frequentFromStoreGrouped(spark, dir, 1L, 20L)
+      .as[(String, String, Long)].collect()
+    assert(top.map(r => (r._1, r._2)).toSeq ===
+      Seq(("a", "hot"), ("a", "warm"), ("b", "beta")))
+    assert(top.find(r => r._1 == "b" && r._2 == "beta").get._3 === 90L)
+  }
+
+  test("grouped trimmed store: per-group budgets, refusal on exact asks") {
+    val dir = tmpDir("freqsk-grp-trim")
+    (0 to 2).foreach(b => FreqSketch.addBatchGrouped(groupedBatch(b),
+      "grp", "item", dir, batchId = b.toLong, capacity = 8))
+    val (exact, pivots) = FreqSketch.exactness(spark, dir)
+    assert(!exact && pivots > 0L)
+    val stored = FreqSketch.mergedGrouped(spark, dir)
+      .as[(String, String, Long)].collect()
+      .map { case (g, i, c) => (g, i) -> c }.toMap
+    val truth = (0 to 2).map(groupedBatch).reduce(_ union _)
+      .groupBy("grp", "item").count().as[(String, String, Long)]
+      .collect().map { case (g, i, c) => (g, i) -> c }.toMap
+    // lower bounds everywhere; both heavy items survive their trims
+    stored.foreach { case (k, c) => assert(c <= truth(k), k) }
+    assert(stored.contains(("a", "hot")) && stored.contains(("b", "beta")))
+    intercept[IllegalArgumentException] {
+      FreqSketch.frequentFromStoreGrouped(spark, dir, 1L, 20L)
+    }
+  }
+
   test("a store rejects a batch summarized at a different capacity") {
     val dir = tmpDir("freqsk-cap")
     FreqSketch.addBatch(batch(0), "item", dir, 0L, capacity = 64)

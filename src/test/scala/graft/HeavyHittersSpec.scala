@@ -48,6 +48,47 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  // two groups with deliberately DIFFERENT frequency profiles: a
+  // global 1/10 threshold would miss b's heavy item (b is the small
+  // group), the per-group threshold must find it
+  private lazy val grouped =
+    ((Seq.fill(300)("hot") ++ Seq.fill(50)("warm") ++
+      (0 until 80).flatMap(i => Seq.fill(3)(s"a_cold_$i"))).map(("a", _)) ++
+      (Seq.fill(40)("beta") ++
+        (0 until 60).flatMap(i => Seq.fill(2)(s"b_cold_$i"))).map(("b", _)))
+      .toDF("grp", "item")
+
+  test("grouped: per-group parity with naive per-group GROUP BY + HAVING") {
+    val naive = {
+      val totals = grouped.groupBy("grp")
+        .agg(count(lit(1)).as("total"))
+      grouped.groupBy("grp", "item").agg(count(lit(1)).as("n"))
+        .join(totals, "grp")
+        .filter(col("n") * 10L > col("total") * 1L)
+        .select("grp", "item", "n")
+        .as[(String, String, Long)].collect().toSet
+    }
+    // capacity 16 < either group's vocabulary → counters evict per group
+    val got = HeavyHitters.frequentItemsByGroup(grouped, "grp", "item",
+        1L, 10L, capacity = 16)
+      .as[(String, String, Long)].collect()
+    assert(got.toSet === naive)
+    assert(got.map(r => (r._1, r._2)).toSeq ===
+      Seq(("a", "hot"), ("b", "beta"))) // group-then-heaviest order
+    assert(got.exists { case (g, i, n) =>
+      g == "a" && i == "hot" && n == 300L }) // counts exact per group
+  }
+
+  test("grouped: null groups and null items are ignored") {
+    val withNulls = Seq((Some("g"), Some("x")), (Some("g"), Some("x")),
+      (None, Some("x")), (Some("g"), None))
+      .toDF("grp", "item")
+    val got = HeavyHitters.frequentItemsByGroup(withNulls, "grp", "item",
+        1L, 3L, capacity = 8)
+      .as[(String, String, Long)].collect()
+    assert(got.toSeq === Seq(("g", "x", 2L))) // 2*3 > 2*1
+  }
+
   test("null items are ignored; empty input yields empty output") {
     val withNulls = Seq(Some("a"), None, Some("a"), Some("b"))
       .toDF("item")
