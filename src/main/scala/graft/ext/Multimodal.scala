@@ -8,10 +8,12 @@ import org.apache.spark.sql.types._
   * as opaque `binary` columns with typed metadata, processed by
   * `mapPartitions` over a typed Dataset — the Scala analog of
   * `mapInPandas` batch UDFs. The Spark-side plumbing (schema,
-  * partitioning, batch iteration, output shape) is real; the codec
-  * itself is a trait with a deterministic fake, because no image/audio
-  * libraries ship in this container — a real deployment swaps in a
-  * JNI/javax.imageio decoder behind the same trait.
+  * partitioning, batch iteration, output shape) is real, and so is the
+  * image codec: [[ImageCodec.ImageIoDecoder]] decodes PNG/JPEG/GIF/
+  * BMP/TIFF via the JDK's `javax.imageio` and emits real dimensions +
+  * perceptual aHash/dHash features. Audio/video codecs don't ship in
+  * the JDK, so those kinds go through the same [[MediaDecoder]] seam
+  * with a deployment-provided implementation.
   */
 object Multimodal {
 
@@ -42,27 +44,13 @@ object Multimodal {
       n_bytes: Long,
       features: Array[Float])
 
-  /** The decode/feature seam. Deterministic fake: byte histogram
-    * folded to `dim` — STUB for a real codec (the container has no
-    * image/audio libraries); everything around it is production
-    * plumbing. */
+  /** The decode/feature seam. Images: [[ImageCodec.ImageIoDecoder]]
+    * (real `javax.imageio` decode). Audio/video: deployment-provided
+    * (no JDK codec); tests exercise the plumbing with a deterministic
+    * byte-histogram fake. */
   trait MediaDecoder extends Serializable {
     def dim: Int
     def decodeFeatures(row: MediaRow): Array[Float]
-  }
-
-  final class FakeDecoder(override val dim: Int = 16) extends MediaDecoder {
-    override def decodeFeatures(row: MediaRow): Array[Float] = {
-      val acc = new Array[Float](dim)
-      val bytes = if (row.content == null) Array.empty[Byte] else row.content
-      var i = 0
-      while (i < bytes.length) {
-        acc(java.lang.Byte.toUnsignedInt(bytes(i)) % dim) += 1.0f
-        i += 1
-      }
-      val n = math.max(1, bytes.length).toFloat
-      acc.map(_ / n)
-    }
   }
 
   /** Batch feature extraction: one decoder instance per partition

@@ -594,7 +594,57 @@ object ExtQueries {
       .orderBy(asc("lang"), desc("n"), asc("bigram"))
   }
 
+  /** Static sidecar path for the image-feature dump — the DuckDB
+    * oracle reads the decoded features from here, so the path must be
+    * a compile-time literal in the oracle text (java.io.tmpdir is
+    * stable within the verify run that writes and then checks it). */
+  private val mediaFeatsSidecar: String =
+    new java.io.File(sys.props("java.io.tmpdir"), "graft-media-feats")
+      .toString
+
+  /** M1 — IMAGE near-duplicate pairs through the REAL codec: 120
+    * synthetic PNGs (deterministic pixels; groups of 3 consecutive
+    * doc_ids share a base pattern with ~1% per-variant pixel noise —
+    * in-group cosine ≈ 0.99+, cross-group ≈ 0) are decoded with
+    * `javax.imageio` ([[graft.ext.ImageCodec]]), yielding real
+    * dimensions + centered gray-grid features, and the features ride
+    * the SAME hyperplane-LSH cosine path as the embedding X2 family —
+    * media near-dup costs no media-specific dedup code.
+    *
+    * Differential contract: the decoded features are dumped to a
+    * parquet sidecar; DuckDB recomputes the hyperplane buckets AND
+    * the in-bucket cosine scores from the sidecar floats (the same
+    * independent bucket arithmetic as `x2_cosine_neardup`'s oracle),
+    * so the oracle checks pair enumeration, bucketing, scoring, and
+    * thresholding. The decode itself (dims, aHash/dHash, grid values)
+    * is pinned by ImageCodecSpec against generated ground truth. */
+  def m1_image_neardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir, "documents").filter(col("doc_id") < 120)
+      .select(col("doc_id")).as[Long]
+    val media = ids.map { d =>
+      val grp = d / 3
+      val w = 32 + (grp % 4).toInt * 8 // real varying dims, group-stable
+      graft.ext.Multimodal.MediaRow(f"img_$d%04d", "image", "image/png",
+        graft.ext.ImageCodec.syntheticPng(grp, w, 32,
+          variant = d % 3, noiseDen = 96),
+        None, None, None, None)
+    }
+    // one decode pass; the sidecar then feeds BOTH engines, so the
+    // cosine compare runs over bit-identical float inputs
+    graft.ext.ImageCodec.extractImageFeatures(s, media.toDF())
+      .select("media_id", "width", "height", "ahash", "dhash", "features")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(mediaFeatsSidecar)
+    val stored = s.read.parquet(mediaFeatsSidecar)
+    Similarity.cosineNearDupPairs(stored, "features", "media_id",
+        threshold = 0.8, nBits = 4)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_image_neardup" -> (m1_image_neardup _),
     "x_freq_store_top" -> (x_freq_store_top _),
     "x_freq_store_group_top" -> (x_freq_store_group_top _),
     "x_kmv_segments" -> (x_kmv_segments _),
@@ -705,6 +755,23 @@ object ExtQueries {
     // x_heavy_hitters — the twins are pinned to one definition)
     "x_freq_store_top" -> TextSim.bigramFrequentOracle,
     "x_freq_store_group_top" -> TextSim.bigramFrequentGroupedOracle,
+    // image near-dup over the decoded-feature sidecar: DuckDB
+    // independently recomputes hyperplane buckets + cosine scores
+    // from the dumped floats (decode ground truth is ImageCodecSpec's)
+    "m1_image_neardup" ->
+      s"""WITH v AS (
+         | SELECT media_id, features::DOUBLE[] AS e
+         | FROM read_parquet('$mediaFeatsSidecar/*.parquet')),
+         |b AS (
+         | SELECT media_id, e,
+         |  ${bucketSql.replace("%NBITS%", "4")} AS bucket
+         | FROM v)
+         |SELECT a.media_id AS id_a, b2.media_id AS id_b,
+         | ROUND(list_cosine_similarity(a.e, b2.e), 6) AS score
+         |FROM b a JOIN b b2
+         |  ON a.bucket = b2.bucket AND a.media_id < b2.media_id
+         |WHERE list_cosine_similarity(a.e, b2.e) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
     // exact-regime KMV set algebra must equal DuckDB's INTERSECT/UNION
     // over the exact DISTINCT user sets
     "x_kmv_segments" ->

@@ -4,6 +4,27 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{Dedup, Multimodal, Similarity}
 
+/** Deterministic byte-histogram decoder — the TEST double for the
+  * audio/video side of the [[Multimodal.MediaDecoder]] seam (the JDK
+  * ships no audio/video codec); images go through the real
+  * [[graft.ext.ImageCodec.ImageIoDecoder]]. Top-level (not nested in
+  * the spec) so Spark closures don't drag the suite into
+  * serialization. */
+final class FakeDecoder(override val dim: Int = 16)
+    extends Multimodal.MediaDecoder {
+  override def decodeFeatures(row: Multimodal.MediaRow): Array[Float] = {
+    val acc = new Array[Float](dim)
+    val bytes = if (row.content == null) Array.empty[Byte] else row.content
+    var i = 0
+    while (i < bytes.length) {
+      acc(java.lang.Byte.toUnsignedInt(bytes(i)) % dim) += 1.0f
+      i += 1
+    }
+    val n = math.max(1, bytes.length).toFloat
+    acc.map(_ / n)
+  }
+}
+
 class ExtSpec extends SparkSpec {
   import spark.implicits._
 
@@ -500,7 +521,7 @@ class ExtSpec extends SparkSpec {
         null, Some(10), Some(10), None, None))
     val media = spark.createDataFrame(rows)
     val feats = Multimodal.extractFeatures(spark, media,
-      new Multimodal.FakeDecoder(8)).collect()
+      new FakeDecoder(8)).collect()
     val byId = feats.map(f => f.media_id -> f).toMap
     assert(byId("m1").n_bytes === 6)
     assert(byId("m1").features.length === 8)
@@ -508,7 +529,7 @@ class ExtSpec extends SparkSpec {
     assert(byId("m3").n_bytes === 0)
     // deterministic: same bytes → same features
     val again = Multimodal.extractFeatures(spark, media,
-      new Multimodal.FakeDecoder(8)).collect()
+      new FakeDecoder(8)).collect()
       .map(f => f.media_id -> f.features.toSeq).toMap
     assert(again("m1") === byId("m1").features.toSeq)
   }
@@ -543,7 +564,7 @@ class ExtSpec extends SparkSpec {
         Some(8), Some(8), None, None))
     val media = spark.createDataFrame(rows)
     val pairs = Multimodal.nearDupPairs(spark, media,
-      new Multimodal.FakeDecoder(16), threshold = 0.98, nBits = 2)
+      new FakeDecoder(16), threshold = 0.98, nBits = 2)
       .select("id_a", "id_b").as[(String, String)].collect().toSet
     assert(pairs === Set(("a", "b")))
   }
