@@ -38,7 +38,15 @@ object FreqSketch {
     * per-batch partition directories with OVERWRITE, so replaying a
     * batch id is idempotent rather than double-counting. */
   def addBatch(batch: DataFrame, itemCol: String, dir: String,
-      batchId: Long, capacity: Int = 4096): Unit = {
+      batchId: Long, capacity: Int = 4096): Unit =
+    addBatchKeyed(batch, itemCol, dir, batchId.toString, capacity)
+
+  /** String-keyed [[addBatch]] — the sanitized run id IS the batch
+    * partition value, so distinct runs can never hash-collide into
+    * one overwritten directory (see [[StoreKeys.sanitize]]). */
+  def addBatchKeyed(batch: DataFrame, itemCol: String, dir: String,
+      batchKey: String, capacity: Int = 4096): Unit = {
+    val batchId = StoreKeys.sanitize(batchKey)
     val s = batch.sparkSession
     import s.implicits._
     validateCapacity(s, dir, capacity)

@@ -30,15 +30,25 @@ object HistogramSketch {
     * crash replay) would silently double every count it touched;
     * rewriting the same bytes is a no-op instead. */
   def addBatch(batch: DataFrame, cols: Seq[String], dir: String,
-      batchId: Long): Unit = {
+      batchId: Long): Unit =
+    addBatchKeyed(batch, cols, dir, batchId.toString)
+
+  /** String-keyed [[addBatch]] — for ingest callers whose natural
+    * batch identity is a run id: the sanitized id string IS the
+    * partition value, so two distinct runs can never share (and
+    * overwrite) a batch directory the way a 32-bit hash of the id
+    * could. */
+  def addBatchKeyed(batch: DataFrame, cols: Seq[String], dir: String,
+      batchKey: String): Unit = {
     require(cols.nonEmpty, "track at least one column")
+    val key = StoreKeys.sanitize(batchKey)
     val perCol = cols.map(c =>
       batch.filter(col(c).isNotNull)
         .groupBy(col(c).cast(DoubleType).as("value"))
         .agg(count(lit(1)).as("n"))
         .withColumn("column", lit(c)))
     perCol.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$dir/hist/batch_id=$batchId")
+      .write.mode("overwrite").parquet(s"$dir/hist/batch_id=$key")
   }
 
   /** GROUPED variant — one (group, value, n) histogram row set per

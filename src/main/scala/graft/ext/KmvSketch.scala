@@ -80,7 +80,16 @@ object KmvSketch {
 
   /** Sketch the distinct values of `keyCol`: partial-distinct
     * aggregate, then the k smallest hashes via TakeOrdered (never a
-    * global sort), ≤ k longs to the driver. */
+    * global sort), ≤ k longs to the driver.
+    *
+    * Distinctness is over xxhash64 VALUES, not keys — so the "exact
+    * regime" (fewer than k distinct keys ⇒ the sketch is a census,
+    * and the differential oracle in `x_kmv_segments` is sound)
+    * additionally assumes no 64-bit hash collision among the distinct
+    * keys: a collision undercounts by one and would fail the oracle
+    * with a confusing mismatch. Same caveat class as the HLL sparse
+    * mode — negligible probability (~n²/2⁶⁵), stated so an oracle
+    * failure points at the right cause. */
   def sketch(df: DataFrame, keyCol: String, k: Int = 4096): KmvSketch = {
     val hs = df.select(xxhash64(col(keyCol)).as("h")).distinct()
       // signed sort on the flipped value == unsigned hash order

@@ -165,22 +165,26 @@ object ScanJob {
     // 200-char bins so the histogram domain stays bounded, and corpus
     // length-percentile dashboards fold ∝ runs × bins rows instead of
     // rescanning the documents table per ask.
-    graft.ext.HistogramSketch.addBatch(
+    // Keyed by the run id STRING: these stores overwrite their
+    // batch_id directory for replay idempotence, so a 32-bit
+    // hash-of-runId collision between two distinct runs would
+    // silently delete the earlier run's summary.
+    graft.ext.HistogramSketch.addBatchKeyed(
       docs.select((floor(length(col("content")) / 200) * 200)
         .as("len_bucket")),
       Seq("len_bucket"), s"${wh.root}/sketches/source_documents",
-      batchId = params.runId.hashCode.toLong)
+      batchKey = params.runId)
 
     // The term-frequency summary completes the ingest sketch family
     // (distincts + quantiles + frequent items): one bounded
     // Misra-Gries summary per run over the batch's content words, so
     // "top terms so far" folds ∝ runs × capacity rows — and stays
     // oracle-exact while vocabularies sit inside the capacity.
-    graft.ext.FreqSketch.addBatch(
+    graft.ext.FreqSketch.addBatchKeyed(
       docs.select(explode(graft.ext.Dedup.words(col("content")))
         .as("word")),
       "word", s"${wh.root}/sketches/source_documents_freq",
-      batchId = params.runId.hashCode.toLong)
+      batchKey = params.runId)
 
     // L3 — vectorize (embed title+content, 6000-char cap, single chunk
     // index 0; `vectorize.ts:6-33`).

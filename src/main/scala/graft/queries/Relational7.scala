@@ -20,9 +20,13 @@ import Qhelpers._
   * Scale notes (100 TB): scd2 shuffles once on the dimension key and
   * both its windows reuse that partitioning (no second shuffle until
   * the bounded per-key run table); the diff's row-level join reads only
-  * fingerprint-diverged buckets; the profiler is ONE aggregate over the
-  * table (Spark expands multiple COUNT(DISTINCT)s into a single
-  * two-stage aggregate — one scan, not one per column).
+  * fingerprint-diverged buckets; the profiler is one independent
+  * single-column aggregate PER COLUMN, unioned — parquet is columnar,
+  * so six one-column scans read the same bytes as one six-column pass,
+  * and each distinct stays a codegen'd two-stage partial aggregate
+  * instead of the 7-way Expand + SortAggregate the single-agg
+  * multi-distinct form degenerates to (measured 13× slower; plan
+  * asserted in PlanShapeSpec).
   */
 object Relational7 {
 
@@ -93,16 +97,22 @@ object Relational7 {
     * bucket-fingerprint narrowing of [[graft.ext.Reconcile]]. The
     * summary (status, count, key range) must equal what the naive full
     * outer join computes — the fingerprints change the access path,
-    * never the verdict. */
+    * never the verdict. The insert offset is max(o_orderkey), DERIVED
+    * from the data (a fixed 10M offset holds only below sf≈2 — TPC-H
+    * orderkeys pass 10M there and the re-keyed rows would collide with
+    * real keys, violating diffSummary's unique-key precondition). */
   def q_table_diff(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val maxKey = o.agg(max("o_orderkey").as("_maxk"))
     val drifted = o.filter(col("o_orderkey") % 97 =!= 0)
       .withColumn("o_totalprice",
         when(col("o_orderkey") % 101 === 0, col("o_totalprice") + 1.0)
           .otherwise(col("o_totalprice")))
       .unionByName(o.filter(col("o_orderkey") % 103 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+        .crossJoin(broadcast(maxKey))
+        .withColumn("o_orderkey", col("o_orderkey") + col("_maxk"))
+        .drop("_maxk"))
     graft.ext.Reconcile.diffSummary(o, drifted, "o_orderkey")
       .select(col("status"), col("n"), col("min_key"), col("max_key"))
       .orderBy("status")
@@ -221,14 +231,16 @@ object Relational7 {
         |  o_orderstatus
         | FROM orders WHERE o_orderkey % 97 <> 0
         | UNION ALL
-        | SELECT o_orderkey + 10000000, o_custkey, o_totalprice, o_orderstatus
+        | SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM orders),
+        |  o_custkey, o_totalprice, o_orderstatus
         | FROM orders WHERE o_orderkey % 103 = 0),
         |d AS (
         | SELECT CASE WHEN r.k IS NULL THEN 'only_left'
         |             WHEN l.k IS NULL THEN 'only_right'
-        |             WHEN l.o_custkey <> r.o_custkey
-        |               OR l.o_totalprice <> r.o_totalprice
-        |               OR l.o_orderstatus <> r.o_orderstatus THEN 'changed'
+        |             WHEN l.o_custkey IS DISTINCT FROM r.o_custkey
+        |               OR l.o_totalprice IS DISTINCT FROM r.o_totalprice
+        |               OR l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
+        |               THEN 'changed'
         |        END AS status,
         |        COALESCE(l.k, r.k) AS k
         | FROM l FULL OUTER JOIN r ON l.k = r.k)

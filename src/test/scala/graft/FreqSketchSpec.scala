@@ -106,6 +106,21 @@ class FreqSketchSpec extends SparkSpec {
     }
   }
 
+  test("string batch keys: replay overwrites; sanitized twins never collide") {
+    val dir = tmpDir("freqsk-keys")
+    // "run/x" and "run:x" sanitize to the same charset form — the
+    // appended raw-key hash must keep them distinct directories
+    FreqSketch.addBatchKeyed(batch(0), "item", dir, "run/x", capacity = 512)
+    FreqSketch.addBatchKeyed(batch(0), "item", dir, "run/x", capacity = 512)
+    FreqSketch.addBatchKeyed(batch(1), "item", dir, "run:x", capacity = 512)
+    val stored = FreqSketch.merged(spark, dir)
+      .as[(String, Long)].collect().toMap
+    val truth = (batch(0) union batch(1))
+      .groupBy("item").count().as[(String, Long)].collect().toMap
+    // replay of run/x didn't double-count; run:x didn't overwrite it
+    assert(stored === truth)
+  }
+
   test("a store rejects a batch summarized at a different capacity") {
     val dir = tmpDir("freqsk-cap")
     FreqSketch.addBatch(batch(0), "item", dir, 0L, capacity = 64)
