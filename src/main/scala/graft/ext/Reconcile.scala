@@ -36,11 +36,22 @@ object Reconcile {
     * contribute nothing. Both inputs must share a schema; `keyCol`
     * must be unique per side (a keyed table, not a bag). */
   def diffSummary(left: DataFrame, right: DataFrame, keyCol: String,
+      nBuckets: Int = 256): DataFrame =
+    diffRows(left, right, keyCol, nBuckets)
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        min("k").as("min_key"), max("k").as("max_key"))
+
+  /** Row-level classification behind [[diffSummary]] (and the feed of
+    * [[repair]]): (k, status) for every diverged key, computed over
+    * dirty buckets only — identical rows never enter the row-level
+    * join. Output size is drift-sized, not table-sized. */
+  def diffRows(left: DataFrame, right: DataFrame, keyCol: String,
       nBuckets: Int = 256): DataFrame = {
     require(left.columns.sameElements(right.columns),
       s"schema mismatch: ${left.columns.mkString(",")} vs ${right.columns.mkString(",")}")
     val valCols = left.columns.filterNot(_ == keyCol).toSeq
-    require(valCols.nonEmpty, "diffSummary needs at least one value column")
+    require(valCols.nonEmpty, "diff needs at least one value column")
     def bucketOf(c: Column): Column = pmod(xxhash64(c), lit(nBuckets))
     // xxhash64 SKIPS null inputs (the seed passes through unchanged),
     // so hashing the bare columns would collide rows that differ only
@@ -79,8 +90,63 @@ object Reconcile {
     l.join(r, col("k_l") === col("k_r"), "full_outer")
       .select(status.as("status"), coalesce(col("k_l"), col("k_r")).as("k"))
       .filter(col("status").isNotNull)
-      .groupBy("status")
-      .agg(count(lit(1)).as("n"),
-        min("k").as("min_key"), max("k").as("max_key"))
+  }
+
+  final case class RepairStats(upserted: Long, deleted: Long)
+
+  /** REPAIR (anti-entropy convergence): make the keyed transactional
+    * table `target` row-identical to `source`, from the dirty-bucket
+    * diff — only_left and changed keys upsert the source row (MERGE-
+    * ON-READ `upsertLight`: sparse repairs write new files + tiny
+    * tombstones, never rewrite clean buckets), only_right keys delete
+    * (`deleteWhereLight`, same DV discipline). Both ops run inside ONE
+    * [[graft.core.JobTxn]], so a crash between them rolls the table
+    * back to its pre-repair version instead of leaving a half-repaired
+    * state — and [[graft.core.JobTxn.recover]] finishes the rollback
+    * after a hard crash.
+    *
+    * Cost model: the diff is two fingerprint scans + a drift-sized
+    * row join ([[diffRows]]); the repair writes ∝ drift. The diff rows
+    * are localCheckpoint'ed (drift-sized by assumption) so the
+    * classification is computed once against the PRE-repair snapshot —
+    * the intended regime is localized drift (replication lag, a bad
+    * batch); if most of the table diverged, rebuild instead of
+    * repairing. The only_right key list is collected for the delete
+    * predicate, so delete volume must be control-plane sized — true in
+    * the localized regime. */
+  def repair(source: DataFrame, target: graft.core.TxTable,
+      journalDir: String, nBuckets: Int = 256): RepairStats = {
+    val spark = source.sparkSession
+    require(target.keys.size == 1,
+      s"repair reconciles single-key tables, got ${target.keys.mkString(",")}")
+    val keyCol = target.keys.head
+    require(source.columns.contains(keyCol),
+      s"source is missing the target key column $keyCol")
+    // align the target read to the source column order (diffRows
+    // demands identical column vectors)
+    val right = target.read.select(source.columns.map(col).toSeq: _*)
+    val rows = diffRows(source, right, keyCol, nBuckets)
+      .localCheckpoint(true)
+    val counts = rows.groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nUpsert = counts.getOrElse("only_left", 0L) +
+      counts.getOrElse("changed", 0L)
+    val nDelete = counts.getOrElse("only_right", 0L)
+    graft.core.JobTxn.run(spark, journalDir,
+      Seq(s"repair:${target.dir}" -> target)) {
+      if (nUpsert > 0L) {
+        val upsertKeys = rows
+          .filter(col("status").isin("only_left", "changed"))
+          .select(col("k").as(keyCol))
+        target.upsertLight(
+          source.join(broadcast(upsertKeys), Seq(keyCol), "left_semi"))
+      }
+      if (nDelete > 0L) {
+        val delKeys = rows.filter(col("status") === "only_right")
+          .select("k").collect().map(_.get(0)).toSeq
+        target.deleteWhereLight(col(keyCol).isin(delKeys: _*))
+      }
+    }
+    RepairStats(nUpsert, nDelete)
   }
 }

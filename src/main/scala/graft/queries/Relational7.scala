@@ -101,11 +101,12 @@ object Relational7 {
     * from the data (a fixed 10M offset holds only below sf≈2 — TPC-H
     * orderkeys pass 10M there and the re-keyed rows would collide with
     * real keys, violating diffSummary's unique-key precondition). */
-  def q_table_diff(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+  /** The deterministic drift recipe — shared by `q_table_diff` and the
+    * repair round-trip (`tx_repair_read`), so the repaired state is
+    * checked against exactly the drift the diff classified. */
+  private[queries] def driftedOrders(o: DataFrame): DataFrame = {
     val maxKey = o.agg(max("o_orderkey").as("_maxk"))
-    val drifted = o.filter(col("o_orderkey") % 97 =!= 0)
+    o.filter(col("o_orderkey") % 97 =!= 0)
       .withColumn("o_totalprice",
         when(col("o_orderkey") % 101 === 0, col("o_totalprice") + 1.0)
           .otherwise(col("o_totalprice")))
@@ -113,7 +114,12 @@ object Relational7 {
         .crossJoin(broadcast(maxKey))
         .withColumn("o_orderkey", col("o_orderkey") + col("_maxk"))
         .drop("_maxk"))
-    graft.ext.Reconcile.diffSummary(o, drifted, "o_orderkey")
+  }
+
+  def q_table_diff(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    graft.ext.Reconcile.diffSummary(o, driftedOrders(o), "o_orderkey")
       .select(col("status"), col("n"), col("min_key"), col("max_key"))
       .orderBy("status")
   }

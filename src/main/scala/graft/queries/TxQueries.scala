@@ -255,6 +255,40 @@ object TxQueries {
       .orderBy("p_brand")
   }
 
+  /** Anti-entropy REPAIR, end to end: a TxTable seeded with the
+    * DRIFTED orders twin (the exact q_table_diff recipe —
+    * [[Relational7.driftedOrders]]) converges back to the source via
+    * [[graft.ext.Reconcile.repair]]: dropped keys and repriced rows
+    * upsert (merge-on-read), phantom inserts delete, both inside one
+    * JobTxn (v2 upsert + v3 delete — a crash between them rolls back
+    * to the drifted v1, never a half-repaired state; ReconcileSpec
+    * drives the crash path). The build REQUIRES the post-repair diff
+    * to be empty; then the read must equal SQL over the RAW orders
+    * parquet — the repaired table is indistinguishable from the
+    * source. */
+  def tx_repair_read(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val table = cached(s, dir, "orders", "repair", 3L) { loc =>
+      new TxTable(s, loc, o.schema, Seq("o_orderkey"), numBuckets = 4)
+    } { tx =>
+      tx.append(Relational7.driftedOrders(o)) // v1: the diverged replica
+      val stats = graft.ext.Reconcile.repair(o, tx, s"${tx.dir}/_txnlog")
+      require(stats.upserted > 0L && stats.deleted > 0L,
+        s"drift recipe produced a degenerate repair: $stats")
+      val residue = graft.ext.Reconcile
+        .diffSummary(o, tx.read.select(o.columns.map(col).toSeq: _*),
+          "o_orderkey").count()
+      require(residue == 0L, s"repair left $residue diverged status rows")
+    }
+    table.read
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        Qhelpers.msum(col("o_totalprice")).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Transparent MV routing, end to end: lineitem ingested into a
     * TxTable, an [[graft.ext.IncrementalView]] materialized over it
     * (group by flag/status, sum quantity + price), the view registered
@@ -435,6 +469,7 @@ object TxQueries {
     "tx_restore_read" -> (tx_restore_read _),
     "tx_clone_read" -> (tx_clone_read _),
     "tx_compact_read" -> (tx_compact_read _),
+    "tx_repair_read" -> (tx_repair_read _),
     "mv_routed_agg" -> (mv_routed_agg _),
     "mv_routed_join" -> (mv_routed_join _),
     "mv_routed_join_subset" -> (mv_routed_join_subset _),
@@ -508,6 +543,15 @@ object TxQueries {
          |FROM part
          |GROUP BY p_brand
          |ORDER BY p_brand""".stripMargin,
+    // after repair the table must be indistinguishable from the
+    // source — the oracle recomputes the summary from RAW orders
+    "tx_repair_read" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |       ${Qhelpers.sqlMsum("o_totalprice")} AS total,
+         |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         |FROM orders
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
     "mv_routed_agg" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |       SUM(l_quantity) AS sum_qty, COUNT(l_quantity) AS n_qty

@@ -63,4 +63,57 @@ class ReconcileSpec extends SparkSpec {
       Reconcile.diffSummary(base, base.withColumnRenamed("name", "nm"), "k")
     }
   }
+
+  private def driftedTwin = base.filter(col("k") > 10)
+    .withColumn("value",
+      when(col("k").between(101, 110), col("value") + 1.0)
+        .otherwise(col("value")))
+    .unionByName((2001L to 2005L)
+      .map(k => (k, s"name_$k", k * 10.0)).toDF("k", "name", "value"))
+
+  test("repair converges the drifted table to the source in one JobTxn") {
+    val loc = tmpDir("rec-repair")
+    val table = new graft.core.TxTable(spark, s"$loc/t", base.schema,
+      Seq("k"), numBuckets = 4)
+    table.append(driftedTwin)
+    val stats = Reconcile.repair(base, table, s"$loc/journal", nBuckets = 32)
+    assert(stats === Reconcile.RepairStats(upserted = 20L, deleted = 5L))
+    assert(Reconcile.diffSummary(base, table.read.select("k", "name", "value"),
+      "k", nBuckets = 32).count() === 0L)
+    assert(table.read.select("k", "name", "value").as[(Long, String, Double)]
+      .collect().length === 1000)
+    // idempotent: repairing a converged table is a no-op (no commits)
+    val v = table.currentVersion
+    assert(Reconcile.repair(base, table, s"$loc/journal", nBuckets = 32)
+      === Reconcile.RepairStats(0L, 0L))
+    assert(table.currentVersion === v)
+  }
+
+  test("crashed repair rolls back via the JobTxn sweep, then converges") {
+    val loc = tmpDir("rec-repair-crash")
+    val table = new graft.core.TxTable(spark, s"$loc/t", base.schema,
+      Seq("k"), numBuckets = 4)
+    table.append(driftedTwin)
+    val v1 = table.currentVersion
+    val preRepair = table.read.select("k").as[Long].collect().toSet
+    // simulate a crash mid-repair: journal published, the upsert leg
+    // committed, process died before the delete leg and the rollback
+    graft.core.JobTxn.writeJournal(spark,
+      new org.apache.hadoop.fs.Path(s"$loc/journal", "txn-dead.tsv"),
+      Seq("t" -> v1))
+    table.upsertLight(base.filter(col("k") <= 10))
+    assert(table.currentVersion !== v1)
+    val n = graft.core.JobTxn.recover(spark, s"$loc/journal",
+      Map("t" -> table))
+    assert(n === 1)
+    // restore() commits a NEW version whose content mirrors v1 — the
+    // sweep guarantee is content, not a rewound counter
+    assert(table.read.select("k").as[Long].collect().toSet === preRepair,
+      "sweep must restore the pre-repair content")
+    // the re-run (at-least-once job scheduling) then converges cleanly
+    val stats = Reconcile.repair(base, table, s"$loc/journal", nBuckets = 32)
+    assert(stats === Reconcile.RepairStats(20L, 5L))
+    assert(Reconcile.diffSummary(base, table.read.select("k", "name", "value"),
+      "k", nBuckets = 32).count() === 0L)
+  }
 }
