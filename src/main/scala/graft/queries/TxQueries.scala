@@ -289,6 +289,48 @@ object TxQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** CDC-fed INCREMENTAL SCD2, end to end: the scd2_build event slice
+    * lands in a source TxTable over FOUR append batches, and a
+    * [[graft.ext.Scd2View]] refreshes after each — every refresh diffs
+    * only that batch's commits, recomputes only the touched keys'
+    * run-length history (zone-map-pruned event re-read), and merges
+    * new + stale version rows in one guarded commit carrying the
+    * watermark. The end state must equal the SAME DuckDB oracle as
+    * the one-shot `scd2_build` — incremental maintenance is
+    * invisible in the result. (Scd2ViewSpec drives the
+    * update/delete/out-of-order cases and the no-full-scan plan
+    * evidence; this row pins the batched build against SQL.) */
+  def scd2_incr_build(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "orders").filter(col("o_custkey") <= 200)
+      .select(col("o_custkey").as("custkey"), col("o_orderdate").as("ts"),
+        col("o_orderkey").as("seq"), col("o_orderstatus").as("status"))
+    import org.apache.spark.sql.types._
+    val histSchema = StructType(Seq(
+      ev.schema("custkey").copy(nullable = false),
+      StructField("ver", LongType, nullable = false),
+      ev.schema("status"),
+      StructField("effective_from", ev.schema("ts").dataType),
+      StructField("effective_to", ev.schema("ts").dataType),
+      StructField("is_current", BooleanType)))
+    // view table lands at v4: replace (first refresh) + 3 merges
+    var locRef: String = null
+    val viewTable = cached(s, dir, "orders", "scd2incr", 4L) { loc =>
+      locRef = loc
+      new TxTable(s, s"$loc/hist", histSchema, Seq("custkey", "ver"),
+        numBuckets = 4)
+    } { _ =>
+      val src = new TxTable(s, s"$locRef/src", ev.schema, Seq("seq"),
+        numBuckets = 4)
+      val view = new graft.ext.Scd2View(s, src, s"$locRef/hist",
+        "custkey", "ts", "seq", "status", numBuckets = 4)
+      (0 until 4).foreach { b =>
+        src.append(ev.filter(pmod(col("seq"), lit(4)) === b))
+        require(view.refresh().applied, s"scd2 refresh $b lost its CAS")
+      }
+    }
+    viewTable.read.orderBy("custkey", "ver")
+  }
+
   /** Transparent MV routing, end to end: lineitem ingested into a
     * TxTable, an [[graft.ext.IncrementalView]] materialized over it
     * (group by flag/status, sum quantity + price), the view registered
@@ -470,6 +512,7 @@ object TxQueries {
     "tx_clone_read" -> (tx_clone_read _),
     "tx_compact_read" -> (tx_compact_read _),
     "tx_repair_read" -> (tx_repair_read _),
+    "scd2_incr_build" -> (scd2_incr_build _),
     "mv_routed_agg" -> (mv_routed_agg _),
     "mv_routed_join" -> (mv_routed_join _),
     "mv_routed_join_subset" -> (mv_routed_join_subset _),
@@ -543,6 +586,9 @@ object TxQueries {
          |FROM part
          |GROUP BY p_brand
          |ORDER BY p_brand""".stripMargin,
+    // incremental maintenance must be invisible: the batched build
+    // answers to the SAME SQL as the one-shot scd2_build
+    "scd2_incr_build" -> Relational7.oracle("scd2_build"),
     // after repair the table must be indistinguishable from the
     // source — the oracle recomputes the summary from RAW orders
     "tx_repair_read" ->
