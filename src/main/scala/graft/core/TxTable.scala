@@ -1495,6 +1495,16 @@ final class TxTable(
   def dataFileCount: Int =
     if (currentVersion < 0) 0 else loadManifest(currentVersion).entries.length
 
+  /** Metadata of the current version's live data files — the export
+    * surface (interop writers like [[DeltaExport]] read this instead
+    * of the private manifest): absolute path, bucket, the manifest's
+    * stats JSON, and the file's outstanding deletion-vector row count
+    * (0 = the file's rows are all live). */
+  def currentFileInfo: Seq[TxTable.LiveFile] =
+    if (currentVersion < 0) Nil
+    else loadManifest(currentVersion).entries.map(e =>
+      TxTable.LiveFile(e.path, e.bucket, e.stats, e.dvs.map(_.rows).sum))
+
   /** Total bytes of the current version's data files — driver-side
     * metadata (one getFileStatus per manifest entry). */
   def currentDataBytes: Long =
@@ -1637,6 +1647,11 @@ final class TxTable(
 }
 
 object TxTable {
+  /** One live data file of a committed version (see
+    * [[TxTable.currentFileInfo]]). */
+  final case class LiveFile(path: String, bucket: Int, statsJson: String,
+      dvRows: Long)
+
   /** Default vacuum retention: nothing younger than this is ever
     * deleted, protecting live snapshot readers (see [[TxTable.vacuum]]). */
   val DefaultVacuumRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
