@@ -35,9 +35,22 @@ object PageRank {
     * `src`, `dst`; deduplicated internally). Returns (v, r) with r in
     * integer units of [[Mass]]. `dampingPct` is the damping factor in
     * percent (85 = the classic 0.85) — integer so the update rule is
-    * exact. */
+    * exact.
+    *
+    * `convergeUnits` ≥ 0 arms the CONVERGENCE EARLY EXIT: after each
+    * step the total rank movement Σ|r′−r| is measured (an exact
+    * integer sum — the check is bit-deterministic like everything
+    * else here) and iteration stops once it is ≤ the threshold, so a
+    * deep iteration budget doesn't pay blind steps after the ranks
+    * stop moving. At 0 the exit fires only on an EXACT fixed point,
+    * where the remaining iterations provably cannot change any rank
+    * (the update is a deterministic function of the rank vector) —
+    * early exit ≡ running the full budget, property-tested. The
+    * default (−1) never exits, preserving the fixed-iteration
+    * contract oracle rows pin. Cost: one nodes-sized join + aggregate
+    * per iteration while armed. */
   def fixedPointRanks(edges: DataFrame, iterations: Int,
-      dampingPct: Int = 85): DataFrame = {
+      dampingPct: Int = 85, convergeUnits: Long = -1L): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(dampingPct >= 1 && dampingPct <= 99,
       s"dampingPct must be in [1, 99], got $dampingPct")
@@ -57,16 +70,27 @@ object PageRank {
     val eDeg = e.join(deg, Seq("src")).localCheckpoint(true)
     var pr = nodes.select(col("v"), lit(Mass / n).as("r"))
       .localCheckpoint(true)
-    (1 to iterations).foreach { _ =>
+    var iter = 0
+    var converged = false
+    while (iter < iterations && !converged) {
       val contrib = eDeg
         .join(pr.select(col("v").as("src"), col("r")), Seq("src"))
         .select(col("dst").as("v"), expr("r div d").as("c"))
         .groupBy("v").agg(sum("c").as("c"))
-      pr = nodes.join(contrib, Seq("v"), "left")
+      val next = nodes.join(contrib, Seq("v"), "left")
         .select(col("v"),
           (lit(base) + expr(s"(coalesce(c, 0L) * $dampingPct) div 100"))
             .as("r"))
         .localCheckpoint(true)
+      if (convergeUnits >= 0L) {
+        val delta = next
+          .join(pr.select(col("v"), col("r").as("r0")), Seq("v"))
+          .agg(coalesce(sum(abs(col("r") - col("r0"))), lit(0L)))
+          .head.getLong(0)
+        converged = delta <= convergeUnits
+      }
+      pr = next
+      iter += 1
     }
     pr
   }

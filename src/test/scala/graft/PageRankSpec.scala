@@ -44,6 +44,44 @@ class PageRankSpec extends SparkSpec {
     assert(r1 === r2)
   }
 
+  test("early exit at an exact fixed point equals the full iteration budget") {
+    // a regular graph (cycle, symmetrized): every node starts at
+    // Mass/n and stays there — delta hits 0 after the first step, so
+    // the armed run exits early; the ranks must equal the blind run's
+    val n = 12
+    val g = sym((1 to n).map(i => (s"c$i", s"c${i % n + 1}")): _*)
+    val blind = PageRank.fixedPointRanks(g, iterations = 9)
+      .as[(String, Long)].collect().toMap
+    val armed = PageRank.fixedPointRanks(g, iterations = 9,
+      convergeUnits = 0L).as[(String, Long)].collect().toMap
+    assert(armed === blind)
+    // and on a NON-converging fixture the armed run changes nothing
+    val star = sym(("h", "a"), ("h", "b"), ("h", "c"))
+    val sBlind = PageRank.fixedPointRanks(star, 5)
+      .as[(String, Long)].collect().toMap
+    val sArmed = PageRank.fixedPointRanks(star, 5, convergeUnits = 0L)
+      .as[(String, Long)].collect().toMap
+    assert(sArmed === sBlind)
+  }
+
+  test("a movement threshold stops deep budgets once ranks settle") {
+    val es = (for {
+      a <- 1 to 24; b <- (a + 1) to 24
+      if ((a * 11 + b * 3) % 4) == 0
+    } yield (s"n$a", s"n$b"))
+    val g = sym(es: _*)
+    // generous threshold: must stop well before 50 blind iterations
+    // and still land within the threshold of the settled ranks
+    val settled = PageRank.fixedPointRanks(g, 50)
+      .as[(String, Long)].collect().toMap
+    val quick = PageRank.fixedPointRanks(g, 50,
+      convergeUnits = PageRank.Mass / 1000000L)
+      .as[(String, Long)].collect().toMap
+    val drift = settled.map { case (v, r) => math.abs(r - quick(v)) }.sum
+    assert(drift <= PageRank.Mass / 100000L,
+      s"threshold exit drifted $drift units from the settled ranks")
+  }
+
   test("bad configs rejected") {
     val g = sym(("a", "b"))
     intercept[IllegalArgumentException](PageRank.fixedPointRanks(g, 0))
