@@ -409,6 +409,8 @@ object ExtQueries {
       timed("histgsk")(histGroupSketchDir(s, dir)),
       timed("freqsk")(freqSketchDir(s, dir)),
       timed("freqgsk")(freqGroupSketchDir(s, dir)),
+      timed("mediafeats")(mediaFeatsDir(s, dir)),
+      timed("audiofeats")(audioFeatsDir(s, dir)),
       timed("coedges")(Graph.coEdgesDir(s, dir)))
   }
 
@@ -618,25 +620,80 @@ object ExtQueries {
     * so the oracle checks pair enumeration, bucketing, scoring, and
     * thresholding. The decode itself (dims, aHash/dHash, grid values)
     * is pinned by ImageCodecSpec against generated ground truth. */
-  def m1_image_neardup(s: SparkSession, dir: String): DataFrame = {
+  /** Build the image-feature sidecar once (parquet's _SUCCESS is the
+    * marker): the synthetic corpus depends only on code (doc_ids
+    * 0..119 exist at every SF), so probes skip the render+decode and
+    * measure the NEAR-DUP QUERY — the build bills to warm-up like
+    * every other persisted artifact. */
+  private[queries] def mediaFeatsDir(s: SparkSession, dir: String): String = {
     import s.implicits._
-    val ids = t(s, dir, "documents").filter(col("doc_id") < 120)
-      .select(col("doc_id")).as[Long]
-    val media = ids.map { d =>
-      val grp = d / 3
-      val w = 32 + (grp % 4).toInt * 8 // real varying dims, group-stable
-      graft.ext.Multimodal.MediaRow(f"img_$d%04d", "image", "image/png",
-        graft.ext.ImageCodec.syntheticPng(grp, w, 32,
-          variant = d % 3, noiseDen = 96),
-        None, None, None, None)
+    if (!new java.io.File(mediaFeatsSidecar, "_SUCCESS").exists()) {
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id")).as[Long]
+      val media = ids.map { d =>
+        val grp = d / 3
+        val w = 32 + (grp % 4).toInt * 8 // real varying dims, group-stable
+        graft.ext.Multimodal.MediaRow(f"img_$d%04d", "image", "image/png",
+          graft.ext.ImageCodec.syntheticPng(grp, w, 32,
+            variant = d % 3, noiseDen = 96),
+          None, None, None, None)
+      }
+      // one decode pass; the sidecar then feeds BOTH engines, so the
+      // cosine compare runs over bit-identical float inputs
+      graft.ext.ImageCodec.extractImageFeatures(s, media.toDF())
+        .select("media_id", "width", "height", "ahash", "dhash", "features")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(mediaFeatsSidecar)
     }
-    // one decode pass; the sidecar then feeds BOTH engines, so the
-    // cosine compare runs over bit-identical float inputs
-    graft.ext.ImageCodec.extractImageFeatures(s, media.toDF())
-      .select("media_id", "width", "height", "ahash", "dhash", "features")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(mediaFeatsSidecar)
-    val stored = s.read.parquet(mediaFeatsSidecar)
+    mediaFeatsSidecar
+  }
+
+  def m1_image_neardup(s: SparkSession, dir: String): DataFrame = {
+    val stored = s.read.parquet(mediaFeatsDir(s, dir))
+    Similarity.cosineNearDupPairs(stored, "features", "media_id",
+        threshold = 0.8, nBits = 4)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val audioFeatsSidecar: String =
+    new java.io.File(sys.props("java.io.tmpdir"), "graft-audio-feats")
+      .toString
+
+  /** Audio twin of [[mediaFeatsDir]]: 90 deterministic synthetic WAV
+    * clips (groups of 3 share an amplitude envelope; ~1% per-variant
+    * sample re-rolls) decoded ONCE through `javax.sound.sampled`
+    * ([[graft.ext.AudioCodec]]) into real format metadata + centered
+    * RMS-envelope features. */
+  private[queries] def audioFeatsDir(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    if (!new java.io.File(audioFeatsSidecar, "_SUCCESS").exists()) {
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 90)
+        .select(col("doc_id")).as[Long]
+      val media = ids.map { d =>
+        val grp = d / 3
+        val rate = 8000 + (grp % 3).toInt * 2000 // real varying rates
+        graft.ext.Multimodal.MediaRow(f"clip_$d%04d", "audio", "audio/wav",
+          graft.ext.AudioCodec.syntheticWav(grp, rate, nSamples = 4000,
+            variant = d % 3, noiseDen = 96),
+          None, None, None, None)
+      }
+      graft.ext.AudioCodec.extractAudioFeatures(s, media.toDF())
+        .select("media_id", "sample_rate", "channels", "duration_ms",
+          "features")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(audioFeatsSidecar)
+    }
+    audioFeatsSidecar
+  }
+
+  /** M2 — AUDIO near-duplicate pairs through the REAL codec: the
+    * audio member of the m1 family — decoded WAV envelopes ride the
+    * same hyperplane-LSH cosine path, DuckDB recomputes buckets and
+    * scores from the feature sidecar, AudioCodecSpec pins the decode
+    * against generated ground truth. */
+  def m2_audio_neardup(s: SparkSession, dir: String): DataFrame = {
+    val stored = s.read.parquet(audioFeatsDir(s, dir))
     Similarity.cosineNearDupPairs(stored, "features", "media_id",
         threshold = 0.8, nBits = 4)
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
@@ -645,6 +702,7 @@ object ExtQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_image_neardup" -> (m1_image_neardup _),
+    "m2_audio_neardup" -> (m2_audio_neardup _),
     "x_freq_store_top" -> (x_freq_store_top _),
     "x_freq_store_group_top" -> (x_freq_store_group_top _),
     "x_kmv_segments" -> (x_kmv_segments _),
@@ -758,6 +816,20 @@ object ExtQueries {
     // image near-dup over the decoded-feature sidecar: DuckDB
     // independently recomputes hyperplane buckets + cosine scores
     // from the dumped floats (decode ground truth is ImageCodecSpec's)
+    "m2_audio_neardup" ->
+      s"""WITH v AS (
+         | SELECT media_id, features::DOUBLE[] AS e
+         | FROM read_parquet('$audioFeatsSidecar/*.parquet')),
+         |b AS (
+         | SELECT media_id, e,
+         |  ${bucketSql.replace("%NBITS%", "4")} AS bucket
+         | FROM v)
+         |SELECT a.media_id AS id_a, b2.media_id AS id_b,
+         | ROUND(list_cosine_similarity(a.e, b2.e), 6) AS score
+         |FROM b a JOIN b b2
+         |  ON a.bucket = b2.bucket AND a.media_id < b2.media_id
+         |WHERE list_cosine_similarity(a.e, b2.e) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
     "m1_image_neardup" ->
       s"""WITH v AS (
          | SELECT media_id, features::DOUBLE[] AS e
