@@ -146,21 +146,85 @@ object TextIndex {
       posexplode(Dedup.words(col(textCol))).as(Seq("pos", "term")))
       .withColumn("tb", pmod(hash(col("term")), lit(nBuckets)))
 
+  /** Per-document token counts — the ranking sidecar `buildPositional`
+    * writes alongside the postings: BM25's length normalization needs
+    * |d| and avgdl, and deriving them at probe time would read every
+    * postings bucket (the full corpus) per query. One (id, len) row
+    * per document, computed from the same tokenizer as the postings. */
+  private def docStatsOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(Dedup.words(col(textCol))).cast("long").as("len"))
+
   /** Build the POSITIONAL index: (doc, term, word-position) postings
-    * under the same `tb = hash(term)` bucket layout. Positions make
+    * under the same `tb = hash(term)` bucket layout, plus the (id,
+    * len) doc-stats sidecar for ranked retrieval. Positions make
     * phrase queries a pure postings computation — no document text is
     * ever read, not even for a verify step. */
   def buildPositional(docs: DataFrame, idCol: String, textCol: String,
-      dir: String, nBuckets: Int = 64): Unit =
+      dir: String, nBuckets: Int = 64): Unit = {
     writePostings(positionalPostingsOf(docs, idCol, textCol, nBuckets),
       idCol, dir, overwrite = true, nBuckets)
+    docStatsOf(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$dir/docstats")
+  }
 
-  /** Append a new batch's positional postings (ingest path). */
+  /** Append a new batch's positional postings + doc stats (ingest
+    * path). */
   def appendPositional(docs: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
     val n = nBuckets(docs.sparkSession, dir)
     writePostings(positionalPostingsOf(docs, idCol, textCol, n), idCol,
       dir, overwrite = false, n)
+    docStatsOf(docs, idCol, textCol)
+      .write.mode("append").parquet(s"$dir/docstats")
+  }
+
+  /** BM25-RANKED retrieval served entirely from the positional index
+    * (the Okapi BM25 formula, the published probabilistic-retrieval
+    * standard): score(d) = Σ_t IDF(t) · tf·(k1+1) / (tf + k1·(1 − b +
+    * b·|d|/avgdl)), IDF = ln((N − df + ½)/(df + ½) + 1).
+    *
+    * Scale shape: tf comes from the partition-pruned postings probe
+    * (≤ one bucket directory per query term — the corpus text is
+    * never read); df is a tiny per-term aggregate of the same probe,
+    * broadcast; |d| joins in from the doc-stats sidecar (doc-count
+    * rows, semi-reduced by the candidates); N and avgdl are two
+    * collected scalars. The only corpus-sized object anywhere is the
+    * sidecar join — the classic ranked-retrieval shape.
+    *
+    * Determinism: both engines compute the formula in IEEE double and
+    * the output (and the top-k CUT) order by the 6-decimal ROUNDED
+    * score with an id tie-break — ULP-level ln/division divergence
+    * between engines sits ~9 orders of magnitude below the rounding
+    * quantum, so ordering and hashes agree. */
+  def bm25Search(spark: SparkSession, dir: String, idCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val qs = terms.map(_.toLowerCase).distinct
+    require(qs.nonEmpty, "bm25Search needs at least one term")
+    require(k >= 1, "k must be >= 1")
+    val stats = spark.read.parquet(s"$dir/docstats")
+    val g = stats.agg(count(lit(1)).as("n"),
+      coalesce(sum("len"), lit(0L)).as("total")).head
+    val nDocs = g.getLong(0)
+    require(nDocs > 0L, "empty doc-stats sidecar")
+    val avgdl = g.getLong(1).toDouble / nDocs
+    val tf = postings(spark, dir, qs)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term")
+      .agg(countDistinct(col(idCol)).as("df"))
+    val idf = log((lit(nDocs.toDouble) - col("df") + 0.5) /
+      (col("df") + 0.5) + 1.0)
+    val norm = col("tf") + lit(k1) *
+      (lit(1.0 - b) + lit(b) * col("len") / lit(avgdl))
+    tf.join(broadcast(dfreq), "term")
+      .join(stats, idCol)
+      .withColumn("_s", idf * col("tf") * lit(k1 + 1.0) / norm)
+      .groupBy(col(idCol))
+      .agg(round(sum("_s"), 6).as("score"))
+      .orderBy(desc("score"), asc(idCol))
+      .limit(k)
   }
 
   /** Ids whose document contains the words of `phrase` CONSECUTIVELY

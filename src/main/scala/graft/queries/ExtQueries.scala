@@ -377,8 +377,13 @@ object ExtQueries {
         "doc_id", "text", d, nBuckets = 16)
     }
 
+  // tag bumped -bs when the build gained the BM25 doc-stats sidecar
+  // (the naming contract: a tag changes exactly when build CONTENT does)
+  // marker = the LAST artifact the build writes, so a crash between
+  // postings and doc-stats re-runs the build instead of half-serving
   private def positionalIndexDir(s: SparkSession, dir: String): String =
-    buildOnce(dir, "documents", "posidx-nb16") { d =>
+    buildOnce(dir, "documents", "posidx-bs-nb16",
+        marker = "docstats/_SUCCESS") { d =>
       graft.ext.TextIndex.buildPositional(t(s, dir, "documents"),
         "doc_id", "text", d, nBuckets = 16)
     }
@@ -514,6 +519,20 @@ object ExtQueries {
     graft.ext.TextIndex.phraseSearch(s, idxDir, "doc_id", "fast merge")
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
       .orderBy("doc_id")
+  }
+
+  /** P6 RANKED retrieval at scale — Okapi BM25 top-10 for a 3-term
+    * query, served entirely from the positional index + its doc-stats
+    * sidecar ([[graft.ext.TextIndex.bm25Search]]): tf from the
+    * partition-pruned postings probe, df broadcast from the same
+    * probe, length normalization from the sidecar — the corpus text
+    * is never read. The DuckDB oracle recomputes the full formula
+    * from raw text; both engines order by the 6-decimal rounded score
+    * (ULP divergence in ln/÷ sits far below the rounding quantum). */
+  def p6f_bm25_rank(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = positionalIndexDir(s, dir)
+    graft.ext.TextIndex.bm25Search(s, idxDir, "doc_id",
+      Seq("spark", "table", "vector"), k = 10)
   }
 
   /** P6 proximity form at scale — unordered NEAR/2 search ("slow"
@@ -718,6 +737,7 @@ object ExtQueries {
     "p6b_indexed_search" -> (p6b_indexed_search _),
     "p6c_substring_search" -> (p6c_substring_search _),
     "p6d_phrase_search" -> (p6d_phrase_search _),
+    "p6f_bm25_rank" -> (p6f_bm25_rank _),
     "x2_cosine_neardup" -> (x2_cosine_neardup _),
     "x1_label_outliers" -> (x1_label_outliers _),
     "x_hll_distinct" -> (x_hll_distinct _),
@@ -802,6 +822,29 @@ object ExtQueries {
       """SELECT doc_id, lang FROM documents
         |WHERE contains(lower(text), 'fast merge')
         |ORDER BY doc_id""".stripMargin,
+    // full Okapi BM25 recomputed from raw text; the top-k cut and the
+    // output order use the 6-decimal ROUNDED score in both engines
+    "p6f_bm25_rank" ->
+      """WITH w AS (
+        | SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+'))
+        |   AS term
+        | FROM documents),
+        |len AS (SELECT doc_id, COUNT(*) AS len FROM w GROUP BY doc_id),
+        |n AS (SELECT COUNT(*) AS n_docs, SUM(len) AS total FROM len),
+        |tf AS (
+        | SELECT doc_id, term, COUNT(*) AS tf FROM w
+        | WHERE term IN ('spark', 'table', 'vector') GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        | SELECT tf.doc_id,
+        |  SUM(ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |      * tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * len.len
+        |          / (n.total / (n.n_docs * 1.0))))) AS score
+        | FROM tf JOIN df USING (term) JOIN len USING (doc_id) CROSS JOIN n
+        | GROUP BY 1)
+        |SELECT doc_id, ROUND(score, 6) AS score FROM sc
+        |ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 10""".stripMargin,
     "p6b_indexed_search" ->
       """SELECT doc_id, lang FROM documents
         |WHERE list_contains(regexp_extract_all(lower(text), '[a-z]+'), 'spark')

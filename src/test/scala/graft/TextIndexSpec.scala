@@ -123,6 +123,49 @@ class TextIndexSpec extends SparkSpec {
     assert(old === scan)
   }
 
+  test("bm25 ranking equals the from-text recompute; append shifts stats") {
+    val idxDir = tmpDir("textidx-bm25")
+    TextIndex.buildPositional(docs, "doc_id", "text", idxDir, nBuckets = 16)
+    val terms = Seq("spark", "table", "vector")
+
+    def recompute(corpus: org.apache.spark.sql.DataFrame,
+        k: Int): Seq[(Long, Double)] = {
+      val w = corpus.select(col("doc_id"),
+        explode(Dedup.words(col("text"))).as("term"))
+      val len = w.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val g = len.agg(count(lit(1)), sum("len")).head
+      val n = g.getLong(0); val avgdl = g.getLong(1).toDouble / n
+      val tf = w.filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      tf.join(df, "term").join(len, "doc_id")
+        .withColumn("_s",
+          log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+            * col("tf") * lit(2.2)
+            / (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("len") / lit(avgdl))))
+        .groupBy("doc_id").agg(round(sum("_s"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id")).limit(k)
+        .as[(Long, Double)].collect().toSeq
+    }
+
+    val got = TextIndex.bm25Search(spark, idxDir, "doc_id", terms, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === recompute(docs, 10))
+    assert(got.nonEmpty && got.map(_._2) === got.map(_._2).sorted.reverse)
+
+    // append a term-stuffed doc: it must outrank everything, and the
+    // corpus stats (N, avgdl, df) must reflect the append
+    val newDoc = Seq((91001L,
+      "spark table vector spark table vector spark table vector"))
+      .toDF("doc_id", "text")
+    TextIndex.appendPositional(newDoc, "doc_id", "text", idxDir)
+    val after = TextIndex.bm25Search(spark, idxDir, "doc_id", terms, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(after.head._1 === 91001L)
+    assert(after === recompute(docs.unionByName(newDoc), 10))
+  }
+
   test("phrase search equals the adjacent-word scan; repeated words; append") {
     val idxDir = tmpDir("textidx-pos")
     TextIndex.buildPositional(docs, "doc_id", "text", idxDir, nBuckets = 16)
