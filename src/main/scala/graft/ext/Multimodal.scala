@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * as opaque `binary` columns with typed metadata, processed by
   * `mapPartitions` over a typed Dataset — the Scala analog of
   * `mapInPandas` batch UDFs. The Spark-side plumbing (schema,
-  * partitioning, batch iteration, output shape) is real, and so is the
-  * image codec: [[ImageCodec.ImageIoDecoder]] decodes PNG/JPEG/GIF/
-  * BMP/TIFF via the JDK's `javax.imageio` and emits real dimensions +
-  * perceptual aHash/dHash features. Audio/video codecs don't ship in
-  * the JDK, so those kinds go through the same [[MediaDecoder]] seam
-  * with a deployment-provided implementation.
+  * partitioning, batch iteration, output shape) is real, and so are
+  * all three codecs, pure-JDK: [[ImageCodec.ImageIoDecoder]] decodes
+  * PNG/JPEG/GIF/BMP/TIFF via `javax.imageio` (real dimensions +
+  * perceptual aHash/dHash features), [[AudioCodec.AudioIoDecoder]]
+  * decodes WAV/PCM via `javax.sound.sampled` (real format metadata +
+  * RMS-envelope features), and [[VideoCodec.GifFrameDecoder]] decodes
+  * multi-frame animated GIF via the ImageIO sequence API (real frame
+  * counts + sampled-frame mean features). Licensed containers
+  * (mp4/h264, mp3) slot in behind the same [[MediaDecoder]] seam.
   */
 object Multimodal {
 

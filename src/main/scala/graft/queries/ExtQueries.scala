@@ -416,6 +416,7 @@ object ExtQueries {
       timed("freqgsk")(freqGroupSketchDir(s, dir)),
       timed("mediafeats")(mediaFeatsDir(s, dir)),
       timed("audiofeats")(audioFeatsDir(s, dir)),
+      timed("videofeats")(videoFeatsDir(s, dir)),
       timed("coedges")(Graph.coEdgesDir(s, dir)))
   }
 
@@ -719,9 +720,56 @@ object ExtQueries {
       .orderBy("id_a", "id_b")
   }
 
+  private val videoFeatsSidecar: String =
+    new java.io.File(sys.props("java.io.tmpdir"), "graft-video-feats")
+      .toString
+
+  /** Video member of the [[mediaFeatsDir]] family: 60 deterministic
+    * synthetic animated GIFs (6 frames each; groups of 3 share a seed,
+    * ~1% per-variant pixel re-rolls) decoded ONCE through the JDK's
+    * multi-frame GIF codec ([[graft.ext.VideoCodec]]) into real frame
+    * counts + sampled-frame mean features (every 2nd frame). */
+  private[queries] def videoFeatsDir(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    if (!new java.io.File(videoFeatsSidecar, "_SUCCESS").exists()) {
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+      val media = ids.map { d =>
+        val grp = d / 3
+        val w = 32 + (grp % 3).toInt * 8 // real varying dims, group-stable
+        graft.ext.Multimodal.MediaRow(f"vid_$d%04d", "video", "image/gif",
+          graft.ext.VideoCodec.syntheticGif(grp, w, 24, nFrames = 6,
+            variant = d % 3, noiseDen = 96),
+          None, None, None, None)
+      }
+      graft.ext.VideoCodec.extractVideoFeatures(s, media.toDF(), everyK = 2)
+        .select("media_id", "n_frames", "n_sampled", "width", "height",
+          "features")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(videoFeatsSidecar)
+    }
+    videoFeatsSidecar
+  }
+
+  /** M3 — VIDEO near-duplicate pairs through the REAL multi-frame
+    * codec: clip features are the mean of every-2nd-frame centered
+    * gray-grids ([[graft.ext.VideoCodec]] — frame decode, sampling
+    * grid, and per-frame feature parity all pinned by VideoCodecSpec),
+    * and ride the SAME hyperplane-LSH cosine path as images, audio,
+    * and text embeddings; DuckDB recomputes buckets and scores from
+    * the feature sidecar. */
+  def m3_video_neardup(s: SparkSession, dir: String): DataFrame = {
+    val stored = s.read.parquet(videoFeatsDir(s, dir))
+    Similarity.cosineNearDupPairs(stored, "features", "media_id",
+        threshold = 0.8, nBits = 4)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_image_neardup" -> (m1_image_neardup _),
     "m2_audio_neardup" -> (m2_audio_neardup _),
+    "m3_video_neardup" -> (m3_video_neardup _),
     "x_freq_store_top" -> (x_freq_store_top _),
     "x_freq_store_group_top" -> (x_freq_store_group_top _),
     "x_kmv_segments" -> (x_kmv_segments _),
@@ -863,6 +911,20 @@ object ExtQueries {
       s"""WITH v AS (
          | SELECT media_id, features::DOUBLE[] AS e
          | FROM read_parquet('$audioFeatsSidecar/*.parquet')),
+         |b AS (
+         | SELECT media_id, e,
+         |  ${bucketSql.replace("%NBITS%", "4")} AS bucket
+         | FROM v)
+         |SELECT a.media_id AS id_a, b2.media_id AS id_b,
+         | ROUND(list_cosine_similarity(a.e, b2.e), 6) AS score
+         |FROM b a JOIN b b2
+         |  ON a.bucket = b2.bucket AND a.media_id < b2.media_id
+         |WHERE list_cosine_similarity(a.e, b2.e) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+    "m3_video_neardup" ->
+      s"""WITH v AS (
+         | SELECT media_id, features::DOUBLE[] AS e
+         | FROM read_parquet('$videoFeatsSidecar/*.parquet')),
          |b AS (
          | SELECT media_id, e,
          |  ${bucketSql.replace("%NBITS%", "4")} AS bucket

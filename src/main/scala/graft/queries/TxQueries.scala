@@ -289,6 +289,38 @@ object TxQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** DELTA-PROTOCOL ROUND-TRIP, end to end: orders lands in a TxTable
+    * over two appends, a merge-on-read delete tombstones the urgent
+    * rows (v3), materialization folds the deletion vectors back to
+    * plain parquet (v4 — the protocol-floor precondition), and the
+    * snapshot publishes as a `_delta_log` ([[graft.core.DeltaExport]]).
+    * The query then reads the table ONLY through the open protocol —
+    * [[graft.core.DeltaImport]] replays the JSON log into the live
+    * file set, never touching the TxTable manifest — and the result
+    * must equal SQL over the raw parquet: export and import agree on
+    * exactly which bytes are the table. This is the interop loop the
+    * north star names (Delta-format tables readable by stock engines),
+    * proven bidirectionally with zero Delta jars. */
+  def tx_delta_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val table = cached(s, dir, "orders", "deltart", 4L) { loc =>
+      new TxTable(s, loc, o.schema, Seq("o_orderkey"), numBuckets = 4)
+    } { tx =>
+      tx.append(o.filter(col("o_orderkey") % 5 < 3))  // v1
+      tx.append(o.filter(col("o_orderkey") % 5 >= 3)) // v2
+      tx.deleteWhereLight(col("o_orderpriority") === "1-URGENT") // v3: DVs
+      tx.materializeDeletes()                         // v4: protocol floor
+      graft.core.DeltaExport.writeDeltaLog(s, tx)
+    }
+    graft.core.DeltaImport.read(s, table.dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        Qhelpers.msum(col("o_totalprice")).as("total"),
+        min("o_orderkey").as("min_key"))
+      .orderBy("o_orderpriority")
+  }
+
   /** CDC-fed INCREMENTAL SCD2, end to end: the scd2_build event slice
     * lands in a source TxTable over FOUR append batches, and a
     * [[graft.ext.Scd2View]] refreshes after each — every refresh diffs
@@ -512,6 +544,7 @@ object TxQueries {
     "tx_clone_read" -> (tx_clone_read _),
     "tx_compact_read" -> (tx_compact_read _),
     "tx_repair_read" -> (tx_repair_read _),
+    "tx_delta_roundtrip" -> (tx_delta_roundtrip _),
     "scd2_incr_build" -> (scd2_incr_build _),
     "mv_routed_agg" -> (mv_routed_agg _),
     "mv_routed_join" -> (mv_routed_join _),
@@ -598,6 +631,17 @@ object TxQueries {
          |FROM orders
          |GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
+    // both appends together reconstitute orders; the light delete +
+    // materialize removes exactly the urgent rows — the Delta-read
+    // aggregate must equal the raw-parquet recompute of that state
+    "tx_delta_roundtrip" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |       ${Qhelpers.sqlMsum("o_totalprice")} AS total,
+         |       MIN(o_orderkey) AS min_key
+         |FROM orders
+         |WHERE o_orderpriority <> '1-URGENT'
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
     "mv_routed_agg" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |       SUM(l_quantity) AS sum_qty, COUNT(l_quantity) AS n_qty

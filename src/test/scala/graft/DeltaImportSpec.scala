@@ -1,0 +1,127 @@
+package graft
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{DeltaExport, DeltaImport, TxTable}
+
+/** Delta-protocol import: the production reader must (a) round-trip
+  * [[DeltaExport]]'s own snapshots exactly, (b) replay MULTI-commit
+  * logs written by other engines per the protocol's state
+  * reconstruction rules (adds minus removes, re-add replaces,
+  * last metaData wins), (c) materialize log-carried partition values
+  * as typed columns, and (d) refuse what it cannot honestly read
+  * (higher protocol floors, gapped logs) instead of misreading. */
+class DeltaImportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def writeCommit(tableDir: String, version: Long,
+      lines: Seq[String]): Unit = {
+    val logDir = new File(tableDir, "_delta_log")
+    logDir.mkdirs()
+    Files.write(Paths.get(logDir.toString, f"$version%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  private val protoLine =
+    """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+  private def metaLine(schemaJson: String, partCols: Seq[String]) = {
+    val pc = partCols.map(c => s""""$c"""").mkString(",")
+    s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(
+          org.json4s.JString(schemaJson)))},""" +
+      s""""partitionColumns":[$pc],"configuration":{},"createdTime":1}}"""
+  }
+
+  /** Write a single-file parquet dir, return the data file's name
+    * relative to tableDir. */
+  private def dataFile(tableDir: String, sub: String,
+      df: org.apache.spark.sql.DataFrame): String = {
+    val out = new File(tableDir, sub)
+    df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+    val f = out.listFiles().filter(_.getName.endsWith(".parquet")).head
+    s"$sub/${f.getName}"
+  }
+
+  test("round-trips DeltaExport's snapshot through the production reader") {
+    val dir = tmpDir("deltai-rt") + "/t"
+    val data = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "name", "v")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 2)
+    t.append(data)
+    t.upsert(Seq((2L, "B", 21.0)).toDF("k", "name", "v"))
+    t.deleteWhere(col("k") === 3L)
+    DeltaExport.writeDeltaLog(spark, t)
+    val back = DeltaImport.read(spark, dir)
+    // names + types must match the log's declared schema; nullability
+    // relaxes to true, the standard Spark file-scan behavior
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      t.currentSchema.map(f => (f.name, f.dataType)))
+    assert(rows(back) === rows(t.read))
+  }
+
+  test("multi-commit replay: remove drops, re-add replaces, order holds") {
+    val dir = tmpDir("deltai-mc") + "/t"
+    val schema = Seq((0L, "")).toDF("k", "s").schema
+    val f1 = dataFile(dir, "d1", Seq((1L, "one"), (2L, "two")).toDF("k", "s"))
+    val f2 = dataFile(dir, "d2", Seq((3L, "three")).toDF("k", "s"))
+    val f3 = dataFile(dir, "d3", Seq((4L, "four")).toDF("k", "s"))
+    writeCommit(dir, 0L, Seq(protoLine, metaLine(schema.json, Nil),
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""",
+      s"""{"add":{"path":"$f2","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    writeCommit(dir, 1L, Seq(
+      s"""{"remove":{"path":"$f2","deletionTimestamp":2,"dataChange":true}}""",
+      s"""{"add":{"path":"$f3","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}"""))
+    // commit 2: re-add f1 (metadata refresh) — must not duplicate it
+    writeCommit(dir, 2L, Seq(
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":1,"modificationTime":3,"dataChange":false}}"""))
+    val snap = DeltaImport.snapshot(spark, dir)
+    assert(snap.version === 2L)
+    assert(snap.files.map(_._1).count(_.endsWith(f1.split("/").last)) === 1)
+    assert(rows(DeltaImport.read(spark, dir)) ===
+      Set(Seq(1L, "one"), Seq(2L, "two"), Seq(4L, "four")))
+  }
+
+  test("log-carried partition values materialize as typed columns") {
+    val dir = tmpDir("deltai-pv") + "/t"
+    import org.apache.spark.sql.types._
+    val full = StructType(Seq(StructField("k", LongType),
+      StructField("p", IntegerType), StructField("s", StringType)))
+    val f1 = dataFile(dir, "p1", Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    val f2 = dataFile(dir, "p2", Seq((3L, "c")).toDF("k", "s"))
+    writeCommit(dir, 0L, Seq(protoLine, metaLine(full.json, Seq("p")),
+      s"""{"add":{"path":"$f1","partitionValues":{"p":"7"},"size":1,"modificationTime":1,"dataChange":true}}""",
+      s"""{"add":{"path":"$f2","partitionValues":{"p":null},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val back = DeltaImport.read(spark, dir)
+    assert(back.schema.fieldNames.toSeq === Seq("k", "p", "s"))
+    assert(back.schema("p").dataType === IntegerType)
+    assert(rows(back) === Set(Seq(1L, 7, "a"), Seq(2L, 7, "b"),
+      Seq(3L, null, "c")))
+  }
+
+  test("refuses higher protocol floors and gapped logs honestly") {
+    val dir = tmpDir("deltai-ref") + "/t"
+    val schema = Seq((0L, "")).toDF("k", "s").schema
+    writeCommit(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      metaLine(schema.json, Nil)))
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaImport.snapshot(spark, dir)
+    }
+    assert(e1.getMessage.contains("minReaderVersion 3"))
+
+    val dir2 = tmpDir("deltai-gap") + "/t"
+    writeCommit(dir2, 1L, Seq(protoLine, metaLine(schema.json, Nil)))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaImport.snapshot(spark, dir2)
+    }
+    assert(e2.getMessage.contains("missing commits"))
+  }
+}
