@@ -2,8 +2,9 @@ package graft.core
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -27,76 +28,90 @@ import org.json4s.jackson.JsonMethods
   * `add.stats` (numRecords / minValues / maxValues / nullCount) so a
   * Delta reader data-skips exactly where TxTable would.
   *
-  * The export is a SNAPSHOT mirror (one commit 00...0.json, the
-  * current version), not a live dual-format table: TxTable commits
-  * after an export do not appear in the Delta log until re-export —
-  * re-exporting overwrites the log with the new snapshot.
+  * The base export is a SNAPSHOT mirror (commit 00...0.json, the
+  * current version); [[syncDeltaLog]] then keeps the log LIVE — each
+  * sync appends the next Delta commit as a remove/add DIFF between
+  * what the log already says and the table's current snapshot, so a
+  * stock Delta reader (or [[DeltaImport]]) follows the table forward
+  * and can time-travel the exported history (VERSION AS OF = replay
+  * prefix). The diff is computed from the log itself, not a separate
+  * watermark — the log can never drift from what was actually
+  * published. Diff cost scales with the CHANGE (untouched files are
+  * identical relative paths on both sides), mirroring TxTable's own
+  * re-link commits.
   */
 object DeltaExport {
 
-  /** Write `table.dir/_delta_log/00000000000000000000.json` for the
-    * current snapshot. Returns the commit file's path. */
-  def writeDeltaLog(spark: SparkSession, table: TxTable): String = {
-    val files = table.currentFileInfo
-    require(files.forall(_.dvRows == 0L),
-      "snapshot has outstanding deletion vectors, which Delta protocol " +
-        "(1,2) cannot express - run materializeDeletes() first")
+  private def fsFor(spark: SparkSession, table: TxTable): (FileSystem, String) = {
     val root = new Path(table.dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rootUri = fs.makeQualified(root).toString.stripSuffix("/") + "/"
-    val schema = table.currentSchema
+    (fs, fs.makeQualified(root).toString.stripSuffix("/") + "/")
+  }
 
-    def relative(p: String): String = {
-      val q = fs.makeQualified(new Path(p)).toString
-      require(q.startsWith(rootUri),
-        s"foreign file reference $p (shallow clone?) cannot be exported " +
-          "as a table-relative Delta add action")
-      q.stripPrefix(rootUri)
+  private def relative(fs: FileSystem, rootUri: String)(p: String): String = {
+    val q = fs.makeQualified(new Path(p)).toString
+    require(q.startsWith(rootUri),
+      s"foreign file reference $p (shallow clone?) cannot be exported " +
+        "as a table-relative Delta add action")
+    q.stripPrefix(rootUri)
+  }
+
+  // Delta add.stats: numRecords + min/max/nullCount per column the
+  // zone maps cover. Timestamp extrema are omitted (Delta wants ISO
+  // strings; the manifest stores comparable micros) — stats are an
+  // optimization, absence only costs skipping.
+  private def deltaStats(statsJson: String, schema: StructType)
+      : Option[String] =
+    FileStats.fromJson(statsJson, schema).map { st =>
+      import org.apache.spark.sql.types._
+      // extrema only for types whose JSON rendering a Delta reader
+      // interprets the same way we do: a timestamp's comparable
+      // micros would render as a bare number and MISLEAD a reader
+      // expecting ISO strings — worse than no stats
+      def plainJson(c: String): Boolean =
+        schema.find(_.name == c).map(_.dataType).exists {
+          case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+              _: FloatType | _: DoubleType | _: StringType |
+              _: BooleanType => true
+          case _ => false
+        }
+      def jval(v: Any): Option[JValue] = v match {
+        case l: Long    => Some(JLong(l))
+        case d: Double  => Some(JDouble(d))
+        case s: String  => Some(JString(s))
+        case b: Boolean => Some(JBool(b))
+        case _          => None
+      }
+      val statted = st.cols.toSeq.sortBy(_._1)
+        .filter { case (c, _) => plainJson(c) }
+      val mins = statted.flatMap { case (c, s) =>
+        s.min.flatMap(jval).map(c -> _) }
+      val maxs = statted.flatMap { case (c, s) =>
+        s.max.flatMap(jval).map(c -> _) }
+      val nulls = statted.collect { case (c, s) if s.nulls >= 0L =>
+        c -> (JLong(s.nulls): JValue) }
+      JsonMethods.compact(JsonMethods.render(JObject(
+        "numRecords" -> JLong(st.rows),
+        "minValues" -> JObject(mins.toList),
+        "maxValues" -> JObject(maxs.toList),
+        "nullCount" -> JObject(nulls.toList))))
     }
 
-    // Delta add.stats: numRecords + min/max/nullCount per column the
-    // zone maps cover. Timestamp extrema are omitted (Delta wants ISO
-    // strings; the manifest stores comparable micros) — stats are an
-    // optimization, absence only costs skipping.
-    def deltaStats(statsJson: String): Option[String] =
-      FileStats.fromJson(statsJson, schema).map { st =>
-        import org.apache.spark.sql.types._
-        // extrema only for types whose JSON rendering a Delta reader
-        // interprets the same way we do: a timestamp's comparable
-        // micros would render as a bare number and MISLEAD a reader
-        // expecting ISO strings — worse than no stats
-        def plainJson(c: String): Boolean =
-          schema.find(_.name == c).map(_.dataType).exists {
-            case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
-                _: FloatType | _: DoubleType | _: StringType |
-                _: BooleanType => true
-            case _ => false
-          }
-        def jval(v: Any): Option[JValue] = v match {
-          case l: Long    => Some(JLong(l))
-          case d: Double  => Some(JDouble(d))
-          case s: String  => Some(JString(s))
-          case b: Boolean => Some(JBool(b))
-          case _          => None
-        }
-        val statted = st.cols.toSeq.sortBy(_._1)
-          .filter { case (c, _) => plainJson(c) }
-        val mins = statted.flatMap { case (c, s) =>
-          s.min.flatMap(jval).map(c -> _) }
-        val maxs = statted.flatMap { case (c, s) =>
-          s.max.flatMap(jval).map(c -> _) }
-        val nulls = statted.collect { case (c, s) if s.nulls >= 0L =>
-          c -> (JLong(s.nulls): JValue) }
-        JsonMethods.compact(JsonMethods.render(JObject(
-          "numRecords" -> JLong(st.rows),
-          "minValues" -> JObject(mins.toList),
-          "maxValues" -> JObject(maxs.toList),
-          "nullCount" -> JObject(nulls.toList))))
-      }
+  private def addAction(fs: FileSystem, rootUri: String,
+      schema: StructType)(f: TxTable.LiveFile): JObject = {
+    val status = fs.getFileStatus(new Path(f.path))
+    JObject("add" -> JObject(List(
+      "path" -> JString(relative(fs, rootUri)(f.path)),
+      "partitionValues" -> JObject(),
+      "size" -> JLong(status.getLen),
+      "modificationTime" -> JLong(status.getModificationTime),
+      "dataChange" -> JBool(true)) ++
+      deltaStats(f.statsJson, schema).map(s =>
+        "stats" -> (JString(s): JValue))))
+  }
 
-    val protocol = JObject("protocol" -> JObject(
-      "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))
-    val metaData = JObject("metaData" -> JObject(
+  private def metaDataAction(schema: StructType): JObject =
+    JObject("metaData" -> JObject(
       "id" -> JString(java.util.UUID.randomUUID().toString),
       "format" -> JObject("provider" -> JString("parquet"),
         "options" -> JObject()),
@@ -105,25 +120,69 @@ object DeltaExport {
       "partitionColumns" -> JArray(Nil),
       "configuration" -> JObject(),
       "createdTime" -> JLong(System.currentTimeMillis())))
-    val adds = files.sortBy(_.path).map { f =>
-      val status = fs.getFileStatus(new Path(f.path))
-      JObject("add" -> JObject(List(
-        "path" -> JString(relative(f.path)),
-        "partitionValues" -> JObject(),
-        "size" -> JLong(status.getLen),
-        "modificationTime" -> JLong(status.getModificationTime),
-        "dataChange" -> JBool(true)) ++
-        deltaStats(f.statsJson).map(s => "stats" -> (JString(s): JValue))))
-    }
 
-    val logDir = new Path(root, "_delta_log")
+  private def writeCommit(fs: FileSystem, tableDir: String, version: Long,
+      actions: Seq[JObject]): String = {
+    val logDir = new Path(new Path(tableDir), "_delta_log")
     fs.mkdirs(logDir)
-    val commit = new Path(logDir, f"${0L}%020d.json")
+    val commit = new Path(logDir, f"$version%020d.json")
     val out = fs.create(commit, true)
-    try out.write((protocol +: metaData +: adds)
+    try out.write(actions
       .map(j => JsonMethods.compact(JsonMethods.render(j)))
       .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     commit.toString
+  }
+
+  private def liveFiles(table: TxTable): Seq[TxTable.LiveFile] = {
+    val files = table.currentFileInfo
+    require(files.forall(_.dvRows == 0L),
+      "snapshot has outstanding deletion vectors, which Delta protocol " +
+        "(1,2) cannot express - run materializeDeletes() first")
+    files
+  }
+
+  /** Write `table.dir/_delta_log/00000000000000000000.json` for the
+    * current snapshot. Returns the commit file's path. */
+  def writeDeltaLog(spark: SparkSession, table: TxTable): String = {
+    val files = liveFiles(table)
+    val (fs, rootUri) = fsFor(spark, table)
+    val schema = table.currentSchema
+    val protocol = JObject("protocol" -> JObject(
+      "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))
+    val adds = files.sortBy(_.path).map(addAction(fs, rootUri, schema))
+    writeCommit(fs, table.dir, 0L,
+      protocol +: metaDataAction(schema) +: adds)
+  }
+
+  /** Append the NEXT Delta commit: the remove/add diff between the
+    * published log state and the table's current snapshot (plus a
+    * fresh metaData action when the schema evolved). First call (no
+    * log yet) is the full snapshot export. Returns the commit path,
+    * or None when the log is already current — nothing is written. */
+  def syncDeltaLog(spark: SparkSession, table: TxTable): Option[String] = {
+    val (fs, rootUri) = fsFor(spark, table)
+    if (!fs.exists(new Path(new Path(table.dir), "_delta_log")))
+      return Some(writeDeltaLog(spark, table))
+    val logged = DeltaImport.snapshot(spark, table.dir)
+    val files = liveFiles(table)
+    val schema = table.currentSchema
+    val rel = relative(fs, rootUri) _
+    val loggedRel = logged.files.map { case (p, _) => rel(p) }.toSet
+    val current = files.map(f => rel(f.path) -> f).toMap
+    val removes = (loggedRel -- current.keySet).toSeq.sorted
+    val adds = (current.keySet -- loggedRel).toSeq.sorted
+    val schemaChanged = logged.schema.json != schema.json
+    if (removes.isEmpty && adds.isEmpty && !schemaChanged) return None
+    val removeActions = removes.map { p =>
+      JObject("remove" -> JObject(
+        "path" -> JString(p),
+        "deletionTimestamp" -> JLong(System.currentTimeMillis()),
+        "dataChange" -> JBool(true)))
+    }
+    val addActions = adds.map(p => addAction(fs, rootUri, schema)(current(p)))
+    val meta = if (schemaChanged) Seq(metaDataAction(schema)) else Nil
+    Some(writeCommit(fs, table.dir, logged.version + 1L,
+      meta ++ removeActions ++ addActions))
   }
 }

@@ -57,15 +57,18 @@ object DeltaImport {
   private implicit val fmts: Formats = DefaultFormats
 
   /** Replay the JSON commits under `dir/_delta_log` into a
-    * [[Snapshot]]. */
-  def snapshot(spark: SparkSession, dir: String): Snapshot = {
+    * [[Snapshot]] — all of them, or only those up to `asOf`
+    * (Delta-style VERSION AS OF time travel: the log IS the history,
+    * so reading an older version is just stopping the replay early). */
+  def snapshot(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): Snapshot = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(root, "_delta_log")
     require(fs.exists(logDir), s"$dir has no _delta_log - not a Delta table")
 
     val commitRe = "(\\d{20})\\.json".r
-    val commits = fs.listStatus(logDir).toSeq
+    val allCommits = fs.listStatus(logDir).toSeq
       .flatMap { st =>
         st.getPath.getName match {
           case commitRe(v) => Some(v.toLong -> st.getPath)
@@ -73,12 +76,19 @@ object DeltaImport {
         }
       }
       .sortBy(_._1)
-    require(commits.nonEmpty, s"$dir/_delta_log holds no JSON commits")
-    require(commits.head._1 == 0L && commits.map(_._1) == (0L to
-        commits.last._1),
-      s"log is missing commits ${(0L to commits.last._1).toSet --
-        commits.map(_._1).toSet} (vacuumed into a checkpoint?) - " +
+    require(allCommits.nonEmpty, s"$dir/_delta_log holds no JSON commits")
+    require(allCommits.head._1 == 0L && allCommits.map(_._1) == (0L to
+        allCommits.last._1),
+      s"log is missing commits ${(0L to allCommits.last._1).toSet --
+        allCommits.map(_._1).toSet} (vacuumed into a checkpoint?) - " +
         "JSON replay needs the contiguous history from 0")
+    val commits = asOf match {
+      case None => allCommits
+      case Some(v) =>
+        require(v >= 0L && v <= allCommits.last._1,
+          s"version $v not in the log (0..${allCommits.last._1})")
+        allCommits.takeWhile(_._1 <= v)
+    }
 
     val rootUri = fs.makeQualified(root).toString.stripSuffix("/")
     def resolve(raw: String): String = {
@@ -140,10 +150,12 @@ object DeltaImport {
     Snapshot(commits.last._1, schema, partCols, live.toSeq)
   }
 
-  /** Read the table's current state as a DataFrame with the log's
-    * declared schema (partition columns included, typed per schema). */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val snap = snapshot(spark, dir)
+  /** Read the table's state as a DataFrame with the log's declared
+    * schema (partition columns included, typed per schema) — current,
+    * or at `asOf` (VERSION AS OF). */
+  def read(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, dir, asOf)
     val dataSchema = StructType(
       snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
     def scan(paths: Seq[String]): DataFrame =

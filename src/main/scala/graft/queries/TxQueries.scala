@@ -290,17 +290,19 @@ object TxQueries {
   }
 
   /** DELTA-PROTOCOL ROUND-TRIP, end to end: orders lands in a TxTable
-    * over two appends, a merge-on-read delete tombstones the urgent
-    * rows (v3), materialization folds the deletion vectors back to
-    * plain parquet (v4 — the protocol-floor precondition), and the
-    * snapshot publishes as a `_delta_log` ([[graft.core.DeltaExport]]).
-    * The query then reads the table ONLY through the open protocol —
-    * [[graft.core.DeltaImport]] replays the JSON log into the live
-    * file set, never touching the TxTable manifest — and the result
-    * must equal SQL over the raw parquet: export and import agree on
-    * exactly which bytes are the table. This is the interop loop the
-    * north star names (Delta-format tables readable by stock engines),
-    * proven bidirectionally with zero Delta jars. */
+    * over two appends and the v2 snapshot publishes as Delta commit 0
+    * ([[graft.core.DeltaExport]]); a merge-on-read delete then
+    * tombstones the urgent rows (v3), materialization folds the
+    * deletion vectors back to plain parquet (v4 — the protocol-floor
+    * precondition), and `syncDeltaLog` appends Delta commit 1 carrying
+    * exactly the remove/add diff. The query then reads the table ONLY
+    * through the open protocol — [[graft.core.DeltaImport]] replays
+    * the MULTI-commit JSON log into the live file set, never touching
+    * the TxTable manifest — and the result must equal SQL over the
+    * raw parquet: export and import agree on exactly which bytes are
+    * the table, across its published history. This is the interop
+    * loop the north star names (Delta-format tables readable by stock
+    * engines), proven bidirectionally with zero Delta jars. */
   def tx_delta_roundtrip(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
       .select("o_orderkey", "o_orderpriority", "o_totalprice")
@@ -309,9 +311,12 @@ object TxQueries {
     } { tx =>
       tx.append(o.filter(col("o_orderkey") % 5 < 3))  // v1
       tx.append(o.filter(col("o_orderkey") % 5 >= 3)) // v2
+      graft.core.DeltaExport.writeDeltaLog(s, tx)     // Delta commit 0
       tx.deleteWhereLight(col("o_orderpriority") === "1-URGENT") // v3: DVs
       tx.materializeDeletes()                         // v4: protocol floor
-      graft.core.DeltaExport.writeDeltaLog(s, tx)
+      // Delta commit 1: the remove/add diff of the materialized delete
+      require(graft.core.DeltaExport.syncDeltaLog(s, tx).isDefined,
+        "sync found no diff after a materialized delete")
     }
     graft.core.DeltaImport.read(s, table.dir)
       .groupBy("o_orderpriority")

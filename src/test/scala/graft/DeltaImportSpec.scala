@@ -106,6 +106,39 @@ class DeltaImportSpec extends SparkSpec {
       Seq(3L, null, "c")))
   }
 
+  test("syncDeltaLog follows TxTable commits; VERSION AS OF time-travels") {
+    val dir = tmpDir("deltai-sync") + "/t"
+    val data = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      .toDF("k", "v")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 2)
+    t.append(data)
+    // first sync = full export (commit 0)
+    val c0 = DeltaExport.syncDeltaLog(spark, t)
+    assert(c0.exists(_.endsWith("00000000000000000000.json")))
+    val atV0 = rows(DeltaImport.read(spark, dir))
+
+    t.upsert(Seq((2L, 21.0), (5L, 50.0)).toDF("k", "v"))
+    t.deleteWhere(col("k") === 3L)
+    // second sync = the diff commit (removes rewritten buckets' old
+    // files, adds their new ones)
+    val c1 = DeltaExport.syncDeltaLog(spark, t)
+    assert(c1.exists(_.endsWith("00000000000000000001.json")))
+    val lines = scala.io.Source.fromFile(
+      c1.get.stripPrefix("file:"), "UTF-8").getLines().toSeq
+    assert(lines.exists(_.contains("\"remove\"")))
+    assert(lines.exists(_.contains("\"add\"")))
+
+    // current read follows the table; as-of 0 replays the old snapshot
+    assert(rows(DeltaImport.read(spark, dir)) === rows(t.read))
+    assert(rows(DeltaImport.read(spark, dir, asOf = Some(0L))) === atV0)
+    assert(rows(DeltaImport.read(spark, dir)) ===
+      Set(Seq(1L, 10.0), Seq(2L, 21.0), Seq(4L, 40.0), Seq(5L, 50.0)))
+
+    // already-current log: sync is a no-op, nothing written
+    assert(DeltaExport.syncDeltaLog(spark, t).isEmpty)
+    assert(DeltaImport.snapshot(spark, dir).version === 1L)
+  }
+
   test("refuses higher protocol floors and gapped logs honestly") {
     val dir = tmpDir("deltai-ref") + "/t"
     val schema = Seq((0L, "")).toDF("k", "s").schema
