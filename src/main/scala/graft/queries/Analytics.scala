@@ -270,6 +270,23 @@ object Analytics {
       .orderBy("user_id", "milestone")
   }
 
+  /** Batch twin of the STREAM-STREAM interval join
+    * (`streaming.EventStreams.purchasesWithRecentClicks` — purchases ⋈
+    * clicks within a per-user 10-minute look-back, the Structured
+    * Streaming watermarked state join): the query runs the SAME
+    * production transformation in batch mode (watermarks are no-ops on
+    * a bounded input — one code path serves both), rolled up per user.
+    * StreamingSpec proves the incremental streaming execution emits
+    * exactly these rows; this row pins the join semantics themselves
+    * (inclusive interval bounds, per-user equi-key) against DuckDB. */
+  def ev_stream_join(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.purchasesWithRecentClicks(
+        t(s, dir, "events"))
+      .groupBy(col("p_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("c_value").cast(dec12_6)).cast(DoubleType).as("click_value"))
+      .orderBy("user_id")
+
   /** Cohort retention matrix (§2.12 analytics extension): cohort = a
     * user's first active DAY, cell (cohort_day, day_offset) = distinct
     * users from that cohort active day_offset days later. ONE shuffle on
@@ -405,6 +422,7 @@ object Analytics {
     "ev_tumbling_hourly" -> (ev_tumbling_hourly _),
     "ev_sessionize" -> (ev_sessionize _),
     "ev_sliding_2h1h" -> (ev_sliding_2h1h _),
+    "ev_stream_join" -> (ev_stream_join _),
     "ev_milestones" -> (ev_milestones _),
     "ev_retention_cohorts" -> (ev_retention_cohorts _),
     "ev_funnel_steps" -> (ev_funnel_steps _),
@@ -528,6 +546,16 @@ object Analytics {
         |          date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start
         | FROM events)
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // inclusive BETWEEN on both engines; decimal-cast value sum
+    "ev_stream_join" ->
+      """SELECT p.user_id AS user_id, COUNT(*) AS n_pairs,
+        | CAST(CAST(SUM(CAST(c.value AS DECIMAL(12,6))) AS VARCHAR) AS DOUBLE)
+        |   AS click_value
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_milestones" ->
       """SELECT user_id, CAST(rn AS BIGINT) AS n_events,
         | CAST(rn // 10 AS BIGINT) AS milestone
