@@ -131,6 +131,78 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** X2 — EXACT set-similarity self-join by prefix filtering (the
+    * AllPairs / PPJoin recipe: Chaudhuri, Ganti & Kaushik, ICDE'06;
+    * Bayardo, Ma & Srikant, WWW'07): every pair with word-set Jaccard
+    * ≥ num/den is returned — no LSH recall loss, no recall ledger to
+    * audit, and still no all-pairs join anywhere.
+    *
+    * The filter: order the vocabulary by (document frequency asc,
+    * token asc) — a TOTAL order computed once per corpus — and block
+    * each document on only its first p = |s| − o* + 1 tokens in that
+    * order, where o* = ⌈t·|s|⌉ is the smallest overlap any qualifying
+    * partner can have (J ≥ t ⟹ |a∩b| ≥ t·|a| for both sides). Two
+    * documents whose prefixes share no token overlap in at most
+    * o* − 1 tokens, so every true pair survives blocking; candidates
+    * then verify with an EXACT integer comparison
+    * (inter·den ≥ num·union — no floating-point boundary for engines
+    * to disagree on). o* itself is exact integer arithmetic
+    * ((sz·num + den − 1) DIV den): a double `ceil(t·sz)` can round UP
+    * past the true ceiling (0.6·5 = 3.0000000000000004) and silently
+    * SHORTEN a prefix below the soundness bound.
+    *
+    * Scale shape (100 TB): candidate buckets are keyed by PREFIX
+    * tokens — a stop-word enters a document's prefix only when it is
+    * among that document's (|s| − o* + 1) globally-rarest tokens, so
+    * the ubiquitous tokens that explode a naive token-blocking join
+    * almost never become bucket keys (rarest-first ordering is what
+    * makes the recipe work, not just correct). The vocabulary
+    * frequency pass is one partial-aggregating groupBy; the per-doc
+    * rarest-first sort is a within-row `array_sort`, never a global
+    * sort; the hottest residual bucket is bounded by the true near-dup
+    * cluster size — quadratic OUTPUT no exact scheme avoids. */
+  def prefixJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+      num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num < den,
+      s"threshold num/den must be a rational in (0, 1); got $num/$den")
+    val sets = df.select(col(idCol).as("_id"),
+        array_distinct(words(col(textCol))).as("_set"))
+      .filter(size(col("_set")) > 0)
+    val toks = sets.select(col("_id"), size(col("_set")).as("_sz"),
+      explode(col("_set")).as("_tok"))
+    val freq = toks.groupBy("_tok").agg(count(lit(1)).as("_df"))
+    // rarest-first per-doc ordering; prefix length from the EXACT
+    // integer minimal-overlap bound o* = ceil(sz * num / den)
+    val ordered = toks.join(freq, Seq("_tok"))
+      .groupBy(col("_id"), col("_sz"))
+      .agg(array_sort(collect_list(struct(col("_df"), col("_tok"))))
+        .as("_ord"))
+      .withColumn("_p",
+        expr(s"CAST(_sz - ((_sz * $num + ${den - 1}) DIV $den) + 1 AS INT)"))
+    val pref = ordered
+      .select(col("_id"), explode(slice(col("_ord"), lit(1), col("_p"))).as("_e"))
+      .select(col("_e._tok").as("_tok"), col("_id"))
+    val cand = pref.select(col("_tok"), col("_id").as("id_a"))
+      .join(pref.select(col("_tok"), col("_id").as("id_b")), Seq("_tok"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sized = sets.select(col("_id"), col("_set"),
+      size(col("_set")).cast(LongType).as("_n"))
+    cand
+      .join(sized.select(col("_id").as("id_a"), col("_set").as("_set_a"),
+        col("_n").as("_n_a")), Seq("id_a"))
+      .join(sized.select(col("_id").as("id_b"), col("_set").as("_set_b"),
+        col("_n").as("_n_b")), Seq("id_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("_set_a"), col("_set_b"))).cast(LongType))
+      .withColumn("n_union", col("_n_a") + col("_n_b") - col("n_inter"))
+      // integer-exact threshold: J >= num/den  ⟺  inter*den >= num*union
+      .filter(col("n_inter") * den >= col("n_union") * num)
+      .withColumn("jaccard",
+        col("n_inter").cast(DoubleType) / col("n_union").cast(DoubleType))
+      .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
+  }
+
   /** Component labels plus convergence evidence: `converged` is false
     * when the label propagation hit `maxIter` with changes pending —
     * the labels are then a valid PARTIAL merge (over-split, never
@@ -194,6 +266,68 @@ object Dedup {
     * warning when the fixpoint wasn't reached). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame =
     connectedComponentsWithStats(pairs, maxIter).components
+
+  /** INCREMENTAL connected components — fold one ingest batch's
+    * near-dup pairs into persisted component labels without touching
+    * the corpus (the labels-table sibling of [[BandIndex]]'s
+    * incremental candidate generation: the band index finds a new
+    * batch's pairs without re-signaturing the corpus; this folds those
+    * pairs into the standing labels without re-clustering it).
+    *
+    * `labels` is the standing (id, component) table where component =
+    * min reachable id — exactly [[connectedComponents]]' output, so
+    * every component's label node carries a (label, label) row.
+    * Each new edge endpoint maps to its current representative
+    * (its component label, or itself if unseen); edges whose endpoints
+    * already share a representative vanish; the survivors form a
+    * CONDENSED graph over representatives whose size is bounded by the
+    * batch, never the corpus. Min-label propagation runs on that
+    * condensed graph only, and the resulting (old label → merged
+    * label) mapping — batch-bounded, broadcastable — relabels exactly
+    * the components the batch touched. Old labels are component
+    * minima, so the condensed minimum IS the global minimum: the
+    * result is row-identical to a full recompute over all pairs ever
+    * seen (spec-proven differentially).
+    *
+    * Scale shape (100 TB): the corpus-sized `labels` table is read
+    * once and joined map-side against two batch-bounded broadcasts
+    * (the touched-node lookup and the relabel mapping); the iterative
+    * propagation — the expensive, shuffle-per-iteration part — runs on
+    * the condensed batch graph alone. With labels in a bucketed
+    * TxTable the rewrite touches only buckets holding relabeled rows. */
+  def incrementalComponents(labels: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 10): CcResult = {
+    val nodes = newPairs.select(col("id_a").as("id"))
+      .unionByName(newPairs.select(col("id_b").as("id"))).distinct()
+    val repr = nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("_repr"))
+    val condensed = newPairs
+      .join(repr.select(col("id").as("id_a"), col("_repr").as("_ra")),
+        Seq("id_a"))
+      .join(repr.select(col("id").as("id_b"), col("_repr").as("_rb")),
+        Seq("id_b"))
+      .filter(col("_ra") =!= col("_rb"))
+      .select(least(col("_ra"), col("_rb")).as("id_a"),
+        greatest(col("_ra"), col("_rb")).as("id_b"))
+      .distinct()
+    val cc = connectedComponentsWithStats(condensed, maxIter)
+    val mapping = cc.components
+      .select(col("id").as("_from"), col("component").as("_to"))
+    // relabel the touched components (old reprs are labels in `labels`,
+    // including each component's own (label, label) row)
+    val relabeled = labels
+      .join(broadcast(mapping), labels("component") === col("_from"), "left")
+      .select(labels("id"),
+        coalesce(col("_to"), labels("component")).as("component"))
+    // new nodes enter with their condensed-graph label; every new node
+    // survives into the condensed graph (its repr is itself, and
+    // id_a =!= id_b), so the mapping covers it
+    val newRows = mapping
+      .join(labels.select(col("id")), mapping("_from") === labels("id"),
+        "left_anti")
+      .select(col("_from").as("id"), col("_to").as("component"))
+    CcResult(relabeled.unionByName(newRows), cc.converged, cc.iterations)
+  }
 
   /** Full evidence of an end-to-end near-dup run: the component
     * labels, the recall ledger of capped LSH buckets, and the

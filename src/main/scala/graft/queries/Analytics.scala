@@ -241,6 +241,33 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** Behavioral PATH analysis — the session transition matrix: for
+    * every within-session consecutive event pair, count (from_type →
+    * to_type) and each origin's outgoing share (the Markov-chain view
+    * of user journeys: "after a click, 40% purchase"). Session rule =
+    * the ev_sessionize 30-min gap; a transition exists iff the gap
+    * rule did NOT open a new session, so ONE lag window yields both
+    * the predecessor type and the same-session mask — one shuffle on
+    * user_id, then the matrix aggregate over a tiny (from, to) grid.
+    * `share` is a single double division of two exact counts —
+    * engine-portable without decimal contortions. */
+  def ev_transition_matrix(s: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    val counts = t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byTime))
+      .withColumn("from_type", lag(col("event_type"), 1).over(byTime))
+      .filter(col("prev_us").isNotNull &&
+        unix_micros(col("ts")) - col("prev_us") <= gapUs)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("share", round(col("n").cast(DoubleType) /
+        sum(col("n")).over(Window.partitionBy("from_type"))
+          .cast(DoubleType), 6))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Sliding time-window aggregation (batch shape of §2.12): Spark's
     * own `window(ts, 2h, 1h)` generator in BATCH mode — every event
     * lands in two hour-aligned windows; the oracle unnests the same
@@ -421,6 +448,7 @@ object Analytics {
     "f_scalar_bundle" -> (f_scalar_bundle _),
     "ev_tumbling_hourly" -> (ev_tumbling_hourly _),
     "ev_sessionize" -> (ev_sessionize _),
+    "ev_transition_matrix" -> (ev_transition_matrix _),
     "ev_sliding_2h1h" -> (ev_sliding_2h1h _),
     "ev_stream_join" -> (ev_stream_join _),
     "ev_milestones" -> (ev_milestones _),
@@ -578,6 +606,26 @@ object Analytics {
         |     ORDER BY ts ASC, event_id ASC) AS prev_us
         |  FROM events) y) x
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // a transition = a consecutive same-session pair (the gap rule did
+    // not fire); share = outgoing fraction per origin type — one
+    // double division of exact counts in both engines
+    "ev_transition_matrix" ->
+      """SELECT from_type, to_type, n,
+        | ROUND(CAST(n AS DOUBLE) /
+        |   CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+        |   AS share
+        |FROM (
+        | SELECT from_type, event_type AS to_type, COUNT(*) AS n
+        | FROM (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us,
+        |   LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |     ORDER BY ts ASC, event_id ASC) AS prev_us,
+        |   LAG(event_type, 1) OVER (PARTITION BY user_id
+        |     ORDER BY ts ASC, event_id ASC) AS from_type
+        |  FROM events) e
+        | WHERE prev_us IS NOT NULL AND us - prev_us <= 1800000000
+        | GROUP BY from_type, event_type) m
+        |ORDER BY from_type, to_type""".stripMargin,
     "ev_retention_cohorts" ->
       """WITH u AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
         |           FROM events GROUP BY 1),

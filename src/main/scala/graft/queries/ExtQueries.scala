@@ -407,6 +407,7 @@ object ExtQueries {
       timed("trgidx")(trigramIndexDir(s, dir)),
       timed("posidx")(positionalIndexDir(s, dir)),
       timed("ccidx")(TextSim.ccComponentsDir(s, dir)),
+      timed("ccinc")(TextSim.ccIncrementalDir(s, dir)),
       timed("hllsk")(hllSketchDir(s, dir)),
       timed("hllgsk")(hllGroupSketchDir(s, dir)),
       timed("histsk")(histSketchDir(s, dir)),

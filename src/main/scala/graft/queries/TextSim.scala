@@ -219,6 +219,33 @@ object TextSim {
   def x2_cc_components(s: SparkSession, dir: String): DataFrame =
     ccComponents(s, dir).orderBy("doc_id")
 
+  /** X2 — INCREMENTALLY maintained component labels
+    * (`ext.Dedup.incrementalComponents`): the same ≥0.6-Jaccard pairs
+    * as `x2_cc_components`, but delivered as THREE ingest batches
+    * folded into a standing labels table — each fold clusters only the
+    * batch's condensed graph and relabels only touched components,
+    * never re-clustering the corpus. The oracle is the one-shot
+    * recursive-CTE closure over ALL pairs: incremental maintenance
+    * must be invisible in the result. Persisted like the ccidx
+    * artifact (the fold is the clustering job; probes read labels). */
+  private[queries] def ccIncrementalDir(s: SparkSession, dir: String): String =
+    ExtQueries.buildOnce(dir, "documents", "ccinc-j06") { d =>
+      val pairs = jaccardPairs60(s, dir).select("id_a", "id_b")
+      val empty = pairs
+        .select(col("id_a").as("id"), col("id_a").as("component")).limit(0)
+      val folded = (0 until 3).foldLeft(empty) { (labels, k) =>
+        graft.ext.Dedup.incrementalComponents(labels,
+          pairs.filter(pmod(col("id_b"), lit(3)) === k), maxIter = 20)
+          .components.localCheckpoint(true)
+      }
+      folded.select(col("id").cast(LongType).as("doc_id"),
+        col("component").cast(LongType).as("component"))
+        .write.mode("overwrite").parquet(s"$d/data")
+    }
+
+  def x2_cc_incremental(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${ccIncrementalDir(s, dir)}/data").orderBy("doc_id")
+
   /** X2 — the END of the dedup pipeline: canonical selection. Each
     * near-dup component keeps its min-id document; documents outside
     * any component (no ≥0.6-Jaccard pair) keep themselves. Output is
@@ -237,6 +264,23 @@ object TextSim {
         (count(lit(1)) - 1).cast(LongType).as("n_dropped"))
       .orderBy("canonical")
   }
+
+  /** X2 — EXACT set-similarity self-join by prefix filtering
+    * (`ext.Dedup.prefixJaccardJoin`, the AllPairs/PPJoin recipe):
+    * every ≥ 3/5 word-set-Jaccard pair over a 240-doc slice — 4× the
+    * `x2_jaccard_pairs` demo slice, because blocking on
+    * globally-rarest prefix tokens replaces the all-pairs theta join.
+    * The threshold is the integer rational 3/5 end to end (both
+    * engines compare inter·5 ≥ union·3 — no floating-point boundary),
+    * and the DuckDB oracle is the NAIVE quadratic truth: prefix
+    * filtering is exact, so the scale path must reproduce it row for
+    * row. `jaccard` is surfaced rounded; the cut itself is integral. */
+  def x2_prefix_jaccard(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.prefixJaccardJoin(
+      t(s, dir, "documents").filter(col("doc_id") < 240),
+      "doc_id", "text", num = 3, den = 5)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("id_a", "id_b")
 
   /** X2 — char-3-gram shingle Jaccard over MINHASH-LSH candidate
     * pairs: the scale path end to end (blocking by shared band, never
@@ -356,6 +400,32 @@ object TextSim {
         sum(when(col("_keep"), col("_tok")).otherwise(0L)).as("tokens_kept"),
         max(round(col("_rate"), 6)).as("rate"))
       .orderBy("lang")
+  }
+
+  /** X4 — deterministic WEIGHTED sampling without replacement
+    * (Efraimidis & Spirakis, IPL 2006 — the A-ES recipe): each doc
+    * draws key = u^(1/w) with weight w = its token count, and the
+    * sample is the top-k by key — longer documents are
+    * proportionally likelier, yet the draw is RNG-free: u is the
+    * first 4 md5 hex chars of doc_id mapped to (0, 1], so re-runs,
+    * re-shards, and engine swaps pick exactly the same documents (the
+    * x4_mixture_sample discipline extended from Bernoulli keeps to a
+    * fixed-size weighted reservoir). Top-k by key is
+    * TakeOrderedAndProject — a per-partition bounded heap + one
+    * k-row driver merge, never a global sort; at 100 TB the reservoir
+    * shape is exactly this plan. The cut orders by the ROUNDED key
+    * with doc_id tiebreak so an ULP-level `pow` divergence between
+    * engines cannot flip the boundary. */
+  def x4_weighted_sample(s: SparkSession, dir: String): DataFrame = {
+    val w = size(split(col("text"), " ")).cast(DoubleType)
+    val u = (conv(substring(md5(col("doc_id").cast(StringType)), 1, 4),
+      16, 10).cast(DoubleType) + 1.0) / 65536.0
+    t(s, dir, "documents")
+      .withColumn("n_tokens", w.cast(LongType))
+      .withColumn("key", round(pow(u, lit(1.0) / w), 6))
+      .select("doc_id", "lang", "n_tokens", "key")
+      .orderBy(desc("key"), asc("doc_id"))
+      .limit(25)
   }
 
   /** X4 — leak-free train/val/test split: assignment is a pure
@@ -715,12 +785,15 @@ object TextSim {
     "x2_minhash_buckets" -> (x2_minhash_buckets _),
     "x2_jaccard_pairs" -> (x2_jaccard_pairs _),
     "x2_cc_components" -> (x2_cc_components _),
+    "x2_cc_incremental" -> (x2_cc_incremental _),
     "x2_canonical_dedup" -> (x2_canonical_dedup _),
     "x2_shingle_jaccard" -> (x2_shingle_jaccard _),
+    "x2_prefix_jaccard" -> (x2_prefix_jaccard _),
     "x4_bpe_tokens" -> (x4_bpe_tokens _),
     "x4_mask_terms" -> (x4_mask_terms _),
     "x4_repetition" -> (x4_repetition _),
     "x4_stratified_sample" -> (x4_stratified_sample _),
+    "x4_weighted_sample" -> (x4_weighted_sample _),
     "x4_mixture_sample" -> (x4_mixture_sample _),
     "x4_split_assign" -> (x4_split_assign _),
     "x1_cosine_topk" -> (x1_cosine_topk _),
@@ -950,6 +1023,34 @@ object TextSim {
         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
         |FROM reach GROUP BY src
         |ORDER BY doc_id""".stripMargin,
+    // the incremental fold must be INVISIBLE: three-batch maintenance
+    // ≡ the one-shot closure over all pairs (same CTE as
+    // x2_cc_components)
+    "x2_cc_incremental" ->
+      """WITH RECURSIVE pairs AS (
+        | SELECT id_a, id_b FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS n_inter,
+        |   CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS BIGINT) AS n_union
+        |  FROM
+        |   (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS ws
+        |    FROM documents WHERE doc_id < 60) a
+        |  JOIN
+        |   (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS ws
+        |    FROM documents WHERE doc_id < 60) b
+        |  ON a.doc_id < b.doc_id) p
+        | WHERE CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.6),
+        |edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION
+        | SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+        |FROM reach GROUP BY src
+        |ORDER BY doc_id""".stripMargin,
     // canonical = component label (min reachable id) for paired docs,
     // self for singletons; roll up cluster sizes
     "x2_canonical_dedup" ->
@@ -985,6 +1086,31 @@ object TextSim {
         | LEFT JOIN comp c ON d.doc_id = c.doc_id)
         |GROUP BY canonical
         |ORDER BY canonical""".stripMargin,
+    // the naive quadratic truth — prefix filtering is EXACT, so the
+    // blocked scale path must reproduce it row for row; the threshold
+    // comparison is the same integer form (inter*5 >= union*3) in both
+    // engines, and empty word sets are excluded on both sides (a 0/0
+    // pair would otherwise pass 0 >= 0)
+    "x2_prefix_jaccard" ->
+      """SELECT id_a, id_b, n_inter, n_union,
+        | ROUND(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE), 6)
+        |   AS jaccard
+        |FROM (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS n_inter,
+        |  CAST(len(a.ws) + len(b.ws)
+        |    - len(list_intersect(a.ws, b.ws)) AS BIGINT) AS n_union
+        | FROM
+        |  (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS ws
+        |   FROM documents WHERE doc_id < 240
+        |     AND len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) > 0) a
+        | JOIN
+        |  (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS ws
+        |   FROM documents WHERE doc_id < 240
+        |     AND len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) > 0) b
+        | ON a.doc_id < b.doc_id) p
+        |WHERE n_inter * 5 >= n_union * 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "x2_shingle_jaccard" ->
       """WITH d AS (
         | SELECT doc_id, lower(text) AS lt,
@@ -1027,6 +1153,23 @@ object TextSim {
     // literals would otherwise compute in DECIMAL and move the
     // comparison boundary); u = first 4 md5 hex chars as an integer,
     // identical to Spark's conv(substring(md5, 1, 4), 16, 10)
+    // A-ES key recomputed from the same md5 draw and IEEE double
+    // power; both engines cut at the ROUNDED key with id tiebreak
+    "x4_weighted_sample" ->
+      """WITH d AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS w,
+        |  CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+        |   + 1 AS DOUBLE) / CAST(65536 AS DOUBLE) AS u
+        | FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        | ROUND(POWER(u, CAST(1.0 AS DOUBLE) / w), 6) AS key
+        |FROM d
+        |ORDER BY key DESC, doc_id LIMIT 25""".stripMargin,
     "x4_mixture_sample" ->
       """WITH d AS (
         | SELECT doc_id, lang,

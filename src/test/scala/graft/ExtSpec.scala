@@ -55,6 +55,73 @@ class ExtSpec extends SparkSpec {
     assert(!verified.exists { case (a, b) => Set(a, b) == Set(0L, 2L) })
   }
 
+  test("prefixJaccardJoin equals the naive all-pairs join (exact, no recall loss)") {
+    // a larger varied corpus: templated sentences with word edits so
+    // pairs straddle the 3/5 boundary in both directions
+    val docs = (0 until 40).map { i =>
+      val base = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+        "zeta", "eta", "theta", "iota", "kappa")
+      val ws = base.take(5 + i % 5) ++ Seq(s"tail${i % 7}", s"doc${i % 11}")
+      (i.toLong, ws.mkString(" "))
+    }.toDF("doc_id", "text")
+    val fast = Dedup.prefixJaccardJoin(docs, "doc_id", "text", 3, 5)
+      .select("id_a", "id_b", "n_inter", "n_union")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val sets = docs.select(col("doc_id"),
+      array_distinct(Dedup.words(col("text"))).as("ws"))
+    val naive = sets.select(col("doc_id").as("id_a"), col("ws").as("wa"))
+      .join(sets.select(col("doc_id").as("id_b"), col("ws").as("wb")),
+        col("id_a") < col("id_b"))
+      .withColumn("ni", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+      .withColumn("nu", (size(col("wa")) + size(col("wb"))).cast("long") - col("ni"))
+      .filter(col("ni") * 5 >= col("nu") * 3)
+      .select("id_a", "id_b", "ni", "nu")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(naive.nonEmpty, "fixture must produce qualifying pairs")
+    assert(fast === naive)
+  }
+
+  test("prefixJaccardJoin boundary: J exactly num/den is kept; empty word sets excluded") {
+    // |∩| = 3, |∪| = 5 → exactly 3/5: sets {a b c d}, {a b c e}? that's 3/5 ✓
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "a b c e"),       // J = 3/5 exactly → kept
+      (2L, "a b x y z"), (3L, "q r s t u"),   // J = 0 → dropped
+      (4L, "12345 67890"), (5L, "999 888"))   // no [a-z]+ tokens → excluded
+      .toDF("doc_id", "text")
+    val out = Dedup.prefixJaccardJoin(docs, "doc_id", "text", 3, 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((0L, 1L)), "exact-boundary pair must survive")
+    assert(!out.exists { case (a, b) => a >= 4L || b >= 4L },
+      "empty word-set docs must never pair (0/0 is not a match)")
+    intercept[IllegalArgumentException] {
+      Dedup.prefixJaccardJoin(docs, "doc_id", "text", 5, 5)
+    }
+  }
+
+  test("incrementalComponents: batch folds equal the one-shot clustering") {
+    // batch 2 merges components formed separately in batches 0 and 1,
+    // and adds a brand-new pair — the hard cases: cross-batch merge,
+    // new-node entry, untouched component (40,41 never revisited)
+    val batches = Seq(
+      Seq((1L, 2L), (10L, 11L), (20L, 21L), (40L, 41L)),
+      Seq((2L, 3L), (21L, 22L), (30L, 31L)),
+      Seq((3L, 10L), (22L, 30L), (50L, 51L)))
+    val empty = Seq.empty[(Long, Long)].toDF("id", "component")
+    val folded = batches.foldLeft(empty) { (labels, b) =>
+      Dedup.incrementalComponents(labels, b.toDF("id_a", "id_b"))
+        .components.localCheckpoint(true)
+    }
+    val full = Dedup.connectedComponents(
+      batches.flatten.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(folded.as[(Long, Long)].collect().toSet === full)
+    // an edge internal to an existing component changes nothing
+    val noop = Dedup.incrementalComponents(folded,
+      Seq((1L, 3L)).toDF("id_a", "id_b"))
+    assert(noop.components.as[(Long, Long)].collect().toSet === full)
+    assert(noop.converged)
+  }
+
   test("simhash16 is deterministic, equal for equal word sets, and pairs respect hamming") {
     val sh = corpus
       .withColumn("ws", array_distinct(Dedup.words(col("text"))))
