@@ -278,6 +278,135 @@ object TextIndex {
       .select(idCol).distinct()
   }
 
+  // ---- fuzzy index: edit-distance term expansion (SymSpell recipe) ----
+
+  /** Spark-side delete-1 neighborhood of a string column `c` (SQL
+    * expression): every string obtainable by deleting exactly one
+    * character. Length-L term → L variants (duplicates possible;
+    * callers `array_distinct`). */
+  private def del1Expr(c: String, v: String = "i"): String =
+    s"transform(sequence(1, length($c)), $v -> " +
+      s"concat(substring($c, 1, $v - 1), substring($c, $v + 1, length($c))))"
+
+  /** Driver-side twin of the Spark-side variant generation: all
+    * delete-only variants of `term` with at most `depth` deletions,
+    * INCLUDING the term itself. Bounded by Σ_{i≤depth} C(L, i) — a
+    * handful of strings for real-world terms, never corpus-scaled. */
+  private[graft] def deleteVariants(term: String, depth: Int): Seq[String] = {
+    var cur = Set(term); var all = Set(term)
+    for (_ <- 1 to depth) {
+      cur = cur.flatMap(t => (0 until t.length)
+        .map(j => t.substring(0, j) + t.substring(j + 1)))
+      all ++= cur
+    }
+    all.toSeq.sorted
+  }
+
+  private def fuzzyMeta(spark: SparkSession, dir: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$dir/meta").select("n_buckets", "depth").head
+    (r.getInt(0), r.getInt(1))
+  }
+
+  /** Vocabulary rows (one per distinct term) of a corpus batch,
+    * exploded into (variant, term) delete-neighborhood pairs under the
+    * `vb = hash(variant)` bucket layout. Depth ≤ 2 (the SymSpell
+    * sweet spot — depth-d neighborhoods grow as L^d). */
+  private def fuzzyPostingsOf(docs: DataFrame, textCol: String,
+      nBuckets: Int, depth: Int): DataFrame = {
+    require(depth == 1 || depth == 2, s"fuzzy depth must be 1 or 2, got $depth")
+    val vocab = docs
+      .select(explode(array_distinct(Dedup.words(col(textCol)))).as("term"))
+      .distinct()
+    val d1 = expr(del1Expr("term"))
+    val variants = depth match {
+      case 1 => array_distinct(concat(array(col("term")), d1))
+      case 2 => array_distinct(concat(array(col("term")), d1,
+        flatten(expr(s"transform(${del1Expr("term")}, v -> ${del1Expr("v", "j")})"))))
+    }
+    vocab.select(col("term"), explode(variants).as("variant"))
+      .withColumn("vb", pmod(hash(col("variant")), lit(nBuckets)))
+  }
+
+  /** Build the FUZZY term index (the published SymSpell
+    * deletion-neighborhood recipe): each vocabulary term is indexed
+    * under every string reachable by ≤ `depth` character DELETIONS
+    * (including itself), bucketed by `vb = hash(variant)`. Two terms
+    * within Levenshtein distance d share a common ≤ d-deletion
+    * variant (walk an optimal edit script: a substitution deletes one
+    * char from EACH side, an insert/delete deletes from ONE), so a
+    * probe that generates the query's own ≤ maxEdit deletions and
+    * equi-looks them up sees a SOUND candidate superset — fuzzy
+    * matching becomes exact hash lookups, never a vocabulary scan or
+    * a similarity join. Candidates then pass an exact `levenshtein`
+    * verify, so the answer is exact. */
+  def buildFuzzy(docs: DataFrame, textCol: String, dir: String,
+      nBuckets: Int = 64, depth: Int = 2): Unit = {
+    fuzzyPostingsOf(docs, textCol, nBuckets, depth)
+      .repartition(col("vb"))
+      .sortWithinPartitions("variant", "term")
+      .write.mode("overwrite").partitionBy("vb").parquet(s"$dir/data")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((nBuckets, depth)).toDF("n_buckets", "depth")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Append a new batch's vocabulary to the fuzzy index (ingest
+    * path). Re-appearing terms add duplicate (variant, term) rows;
+    * probes dedup, so append stays write-only (no read-merge). */
+  def appendFuzzy(docs: DataFrame, textCol: String, dir: String): Unit = {
+    val (n, depth) = fuzzyMeta(docs.sparkSession, dir)
+    fuzzyPostingsOf(docs, textCol, n, depth)
+      .repartition(col("vb"))
+      .sortWithinPartitions("variant", "term")
+      .write.mode("append").partitionBy("vb").parquet(s"$dir/data")
+  }
+
+  /** Vocabulary terms within Levenshtein distance ≤ `maxEdit` of
+    * `term`: (term, dist) rows. The query's own delete variants are
+    * generated DRIVER-SIDE (bounded: Σ C(|q|, i) strings) and their
+    * buckets computed with the same hash — `vb IN (...)` prunes at
+    * planning time and `variant IN (...)` pushes to the scan, so the
+    * probe reads a few bucket directories of the vocabulary index and
+    * nothing else. Exact `levenshtein` verify on the candidates makes
+    * the expansion exact (the deletion-neighborhood candidates are a
+    * sound superset at maxEdit ≤ the indexed depth). */
+  def fuzzyExpand(spark: SparkSession, dir: String, term: String,
+      maxEdit: Int): DataFrame = {
+    val q = term.toLowerCase
+    val (n, depth) = fuzzyMeta(spark, dir)
+    require(maxEdit >= 1 && maxEdit <= depth,
+      s"maxEdit must be in [1, $depth] (indexed depth), got $maxEdit")
+    val vars = deleteVariants(q, maxEdit)
+    val buckets = vars.map(termBucket(_, n)).distinct
+    spark.read.parquet(s"$dir/data")
+      .filter(col("vb").isin(buckets: _*))
+      .filter(col("variant").isin(vars: _*))
+      .select("term").distinct()
+      .withColumn("dist", levenshtein(col("term"), lit(q)))
+      .filter(col("dist") <= maxEdit)
+  }
+
+  /** Fuzzy document search: postings of every vocabulary term within
+    * edit distance ≤ `maxEdit` of `term` — (id, term, dist) rows from
+    * the word index at `wordDir`. The expansion collects DRIVER-SIDE
+    * (bounded: the edit neighborhood of ONE query term — control
+    * plane, like every probe's bucket list) so the postings probe can
+    * partition-prune per matched term; dist rides a broadcast of that
+    * same tiny set. */
+  def fuzzySearch(spark: SparkSession, fuzzyDir: String, wordDir: String,
+      idCol: String, term: String, maxEdit: Int): DataFrame = {
+    import spark.implicits._
+    val matched = fuzzyExpand(spark, fuzzyDir, term, maxEdit)
+      .as[(String, Int)].collect().toSeq
+    if (matched.isEmpty)
+      Seq.empty[(Long, String, Int)].toDF(idCol, "term", "dist")
+    else
+      postings(spark, wordDir, matched.map(_._1))
+        .join(broadcast(matched.toDF("term", "dist")), "term")
+        .select(col(idCol), col("term"), col("dist"))
+  }
+
   /** Exact substring search served by the trigram index: candidate ids
     * from the pattern's trigram-postings intersection (partition-pruned
     * probe, sound superset), then the candidates ALONE are verified

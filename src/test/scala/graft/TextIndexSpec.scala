@@ -196,6 +196,99 @@ class TextIndexSpec extends SparkSpec {
     assert(rep === Set(90010L))
   }
 
+  test("fuzzy expansion equals the brute-force vocabulary scan at both depths") {
+    val idxDir = tmpDir("textidx-fuz")
+    TextIndex.buildFuzzy(docs, "text", idxDir, nBuckets = 16, depth = 2)
+    val vocab = docs
+      .select(explode(array_distinct(Dedup.words(col("text")))).as("term"))
+      .distinct()
+    def brute(q: String, d: Int): Set[(String, Int)] = vocab
+      .withColumn("dist", levenshtein(col("term"), lit(q)))
+      .filter(col("dist") <= d)
+      .as[(String, Int)].collect().toSet
+    for (q <- Seq("part", "sow", "vektor"); d <- Seq(1, 2)) {
+      val got = TextIndex.fuzzyExpand(spark, idxDir, q, maxEdit = d)
+        .as[(String, Int)].collect().toSet
+      assert(got === brute(q, d), s"q=$q maxEdit=$d")
+    }
+    // "part" at 2 hits multiple vocabulary neighbors (the query fixture)
+    assert(TextIndex.fuzzyExpand(spark, idxDir, "part", 2).count() >= 3)
+    // absent neighborhoods come back empty, not error
+    assert(TextIndex.fuzzyExpand(spark, idxDir, "zzzzzzzz", 2).count() === 0L)
+    // maxEdit beyond the indexed depth refuses (candidates would be unsound)
+    intercept[IllegalArgumentException] {
+      TextIndex.fuzzyExpand(spark, idxDir, "part", maxEdit = 3)
+    }
+  }
+
+  test("fuzzy probe prunes to the query variants' bucket directories") {
+    val idxDir = tmpDir("textidx-fuz-prune")
+    TextIndex.buildFuzzy(docs, "text", idxDir, nBuckets = 16, depth = 2)
+    val q = TextIndex.fuzzyExpand(spark, idxDir, "part", maxEdit = 2)
+    val nVarBuckets = TextIndex.deleteVariants("part", 2).size
+    q.collect() // finalize adaptive stages before inspecting the plan
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leaves(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        leaves(s.plan)
+      case _ if p.children.isEmpty => Seq(p)
+      case _ => p.children.flatMap(leaves)
+    }
+    val scanned = leaves(q.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(scanned.nonEmpty && scanned.forall(_ <= nVarBuckets),
+      s"scanned=$scanned variants=$nVarBuckets")
+  }
+
+  test("every single-edit shape lands inside the depth-1 neighborhood") {
+    // substitution / insertion / deletion each share a ≤1-deletion
+    // variant; transposition is distance 2 and needs depth 2
+    val tiny = Seq((1L, "alpha"), (2L, "alpfa"), (3L, "alpha x"),
+      (4L, "aloha zz")).toDF("doc_id", "text")
+    val d1 = tmpDir("textidx-fuz-d1")
+    TextIndex.buildFuzzy(tiny, "text", d1, nBuckets = 4, depth = 1)
+    val got1 = TextIndex.fuzzyExpand(spark, d1, "alpha", 1)
+      .as[(String, Int)].collect().toMap
+    assert(got1 === Map("alpha" -> 0, "alpfa" -> 1, "aloha" -> 1))
+    val d2 = tmpDir("textidx-fuz-d2")
+    TextIndex.buildFuzzy(Seq((1L, "alhpa alpha"))
+      .toDF("doc_id", "text"), "text", d2, nBuckets = 4, depth = 2)
+    val got2 = TextIndex.fuzzyExpand(spark, d2, "alpha", 2)
+      .as[(String, Int)].collect().toMap
+    assert(got2 === Map("alpha" -> 0, "alhpa" -> 2))
+  }
+
+  test("fuzzySearch equals the per-word levenshtein scan; append visibility") {
+    val fuzDir = tmpDir("textidx-fuz-e2e")
+    val wordDir = tmpDir("textidx-fuz-word")
+    TextIndex.buildFuzzy(docs, "text", fuzDir, nBuckets = 16, depth = 2)
+    TextIndex.build(docs, "doc_id", "text", wordDir, nBuckets = 16)
+    val got = TextIndex.fuzzySearch(spark, fuzDir, wordDir, "doc_id",
+      "part", maxEdit = 2).as[(Long, String, Int)].collect().toSet
+    val scan = docs.select(col("doc_id"),
+        explode(array_distinct(Dedup.words(col("text")))).as("term"))
+      .withColumn("dist", levenshtein(col("term"), lit("part")))
+      .filter(col("dist") <= 2)
+      .as[(Long, String, Int)].collect().toSet
+    assert(got === scan)
+    assert(got.nonEmpty)
+    // a new batch's vocabulary becomes fuzzy-searchable via append
+    val newDoc = Seq((95001L, "psrt psrt")).toDF("doc_id", "text")
+    TextIndex.appendFuzzy(newDoc, "text", fuzDir)
+    TextIndex.append(newDoc, "doc_id", "text", wordDir)
+    val after = TextIndex.fuzzySearch(spark, fuzDir, wordDir, "doc_id",
+      "part", maxEdit = 1).as[(Long, String, Int)].collect().toSet
+    assert(after.contains((95001L, "psrt", 1)))
+    // no matches → empty result with the contract schema, not a throw
+    val none = TextIndex.fuzzySearch(spark, fuzDir, wordDir, "doc_id",
+      "qqqqqqqq", maxEdit = 2)
+    assert(none.columns.toSeq === Seq("doc_id", "term", "dist"))
+    assert(none.count() === 0L)
+  }
+
   test("substringSearch does not FORCE a broadcast of the candidate set") {
     // a pattern of common trigrams can make candidates ≈ corpus; the
     // join must stay AQE-sized (runtime broadcast only if small), so
