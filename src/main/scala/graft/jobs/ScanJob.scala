@@ -186,6 +186,17 @@ object ScanJob {
       "word", s"${wh.root}/sketches/source_documents_freq",
       batchKey = params.runId)
 
+    // The unbinned rank-quantile summary closes the ingest sketch
+    // family: exact content-length quantiles (not 200-char-bin
+    // approximations) while a run's distinct lengths fit the summary
+    // capacity, equi-weight-grid compaction with a recorded rank
+    // budget when they don't — "what is the p95 document length so
+    // far?" folds ∝ runs × capacity rows.
+    graft.ext.QuantileSketch.addBatchKeyed(
+      docs.select(length(col("content")).cast("double").as("len")),
+      "len", s"${wh.root}/sketches/source_documents_quant",
+      batchKey = params.runId)
+
     // L3 — vectorize (embed title+content, 6000-char cap, single chunk
     // index 0; `vectorize.ts:6-33`).
     val localStoreId = ensureLocalStore(wh, params.now)

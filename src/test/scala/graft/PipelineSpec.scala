@@ -127,6 +127,18 @@ class PipelineSpec extends SparkSpec {
       .groupBy("w").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(stored === trueCounts && stored.nonEmpty)
+
+    // ...and one rank-quantile batch (exact content lengths): distinct
+    // lengths sit far inside the summary capacity, so the store is
+    // exact and its median equals the raw computation
+    val qDir = s"${wh.root}/sketches/source_documents_quant"
+    val (qExact, qBudget) = graft.ext.QuantileSketch.exactness(spark, qDir)
+    assert(qExact && qBudget === 0L)
+    val med = graft.ext.QuantileSketch.quantiles(spark, qDir, Seq(0.5))
+      .collect().head.getDouble(1)
+    val lens = docs.select(length(col("content")).cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    assert(med === lens((math.ceil(0.5 * lens.length) - 1).toInt))
   }
 
   test("ScanJob is idempotent on re-run (same run id, same candidates)") {
