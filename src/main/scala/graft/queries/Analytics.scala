@@ -268,6 +268,41 @@ object Analytics {
       .orderBy("from_type", "to_type")
   }
 
+  /** EWMA (exponentially weighted moving average) engagement score per
+    * user — s_t = α·x_t + (1−α)·s_{t−1} over the user's last 20 events
+    * in (ts, event_id) order, evaluated at the newest event. The
+    * sequential recursion unrolls to its closed form (newest event has
+    * descending rank 1, the oldest kept M = min(T, 20)): s = 2^{−(M−1)}
+    * ·x_{rank M} + Σ_{rank<M} 2^{−rank}·x — ONE user_id shuffle
+    * (window), each term independent, the sum an ordinary grouped
+    * aggregate: embarrassingly parallel instead of a per-user scan.
+    * DETERMINISM: α = ½ makes every weight an exact power of two
+    * (shiftleft + divide — no `pow`, whose last-ULP rounding differs
+    * between libm implementations), so each term x·2^{−e} is
+    * bit-exact in both engines (power-of-two multiply shifts the
+    * exponent only); terms sum in DECIMAL(38,18) (the house
+    * no-raw-double-sum rule) so addition order cannot matter. */
+  def ev_ewma_users(s: SparkSession, dir: String): DataFrame = {
+    val newestFirst = Window.partitionBy("user_id")
+      .orderBy(desc("ts"), desc("event_id"))
+    t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .withColumn("_rnd", row_number().over(newestFirst))
+      .filter(col("_rnd") <= 20)
+      .withColumn("_m", count(lit(1)).over(Window.partitionBy("user_id")))
+      .withColumn("_e",
+        when(col("_rnd") === col("_m"), col("_m") - 1)
+          .otherwise(col("_rnd")))
+      .withColumn("_term", col("value") /
+        expr("cast(shiftleft(1L, cast(_e as int)) as double)"))
+      .groupBy("user_id")
+      .agg(
+        round(sum(col("_term").cast("decimal(38,18)")).cast(DoubleType), 6)
+          .as("ewma"),
+        count(lit(1)).as("n_used"))
+      .orderBy("user_id")
+  }
+
   /** Sliding time-window aggregation (batch shape of §2.12): Spark's
     * own `window(ts, 2h, 1h)` generator in BATCH mode — every event
     * lands in two hour-aligned windows; the oracle unnests the same
@@ -449,6 +484,7 @@ object Analytics {
     "ev_tumbling_hourly" -> (ev_tumbling_hourly _),
     "ev_sessionize" -> (ev_sessionize _),
     "ev_transition_matrix" -> (ev_transition_matrix _),
+    "ev_ewma_users" -> (ev_ewma_users _),
     "ev_sliding_2h1h" -> (ev_sliding_2h1h _),
     "ev_stream_join" -> (ev_stream_join _),
     "ev_milestones" -> (ev_milestones _),
@@ -609,6 +645,24 @@ object Analytics {
     // a transition = a consecutive same-session pair (the gap rule did
     // not fire); share = outgoing fraction per origin type — one
     // double division of exact counts in both engines
+    // α = ½ EWMA over the last-20 window: every weight is an exact
+    // power of two (shift + divide, no libm pow), terms sum in
+    // DECIMAL(38,18) — bit-deterministic across engines
+    "ev_ewma_users" ->
+      """WITH r AS (
+        | SELECT user_id, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |                     ORDER BY ts DESC, event_id DESC) AS rnd
+        | FROM events WHERE value IS NOT NULL),
+        |k AS (
+        | SELECT user_id, value, rnd, count(*) OVER (PARTITION BY user_id) AS m
+        | FROM r WHERE rnd <= 20)
+        |SELECT user_id,
+        | ROUND(CAST(sum(CAST(value /
+        |   CAST((1::BIGINT << (CASE WHEN rnd = m THEN m - 1 ELSE rnd END))
+        |        AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE), 6) AS ewma,
+        | count(*) AS n_used
+        |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ev_transition_matrix" ->
       """SELECT from_type, to_type, n,
         | ROUND(CAST(n AS DOUBLE) /

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -388,6 +389,40 @@ object ExtQueries {
         "doc_id", "text", d, nBuckets = 16)
     }
 
+  /** Global + grouped quantile-summary stores over lineitem.l_quantity
+    * (50 distinct values — the exact regime at capacity 256), four
+    * ingest batches each, same wipe-then-mark build discipline as
+    * [[freqSketchDir]]. */
+  private def quantSketchDir(s: SparkSession, dir: String): String =
+    buildOnce(dir, "lineitem", "quantsk", marker = "_DONE") { d =>
+      wipeDir(d)
+      val li = t(s, dir, "lineitem")
+      (0L to 3L).foreach { b =>
+        graft.ext.QuantileSketch.addBatch(
+          li.filter(pmod(col("l_orderkey"), lit(4)) === b),
+          "l_quantity", d, batchId = b, capacity = 256)
+      }
+      markDone(d)
+    }
+
+  private def quantGroupSketchDir(s: SparkSession, dir: String): String =
+    buildOnce(dir, "lineitem", "quantgsk", marker = "_DONE") { d =>
+      wipeDir(d)
+      val li = t(s, dir, "lineitem")
+      (0L to 3L).foreach { b =>
+        graft.ext.QuantileSketch.addBatchGrouped(
+          li.filter(pmod(col("l_orderkey"), lit(4)) === b),
+          "l_returnflag", "l_quantity", d, batchId = b, capacity = 256)
+      }
+      markDone(d)
+    }
+
+  private def fuzzyIndexDir(s: SparkSession, dir: String): String =
+    buildOnce(dir, "documents", "fuzidx-d2-nb16") { d =>
+      graft.ext.TextIndex.buildFuzzy(t(s, dir, "documents"),
+        "text", d, nBuckets = 16, depth = 2)
+    }
+
   /** Build every persisted index up front (the Bench warm-up path):
     * in production an index is built once and probed many times, so
     * the bench reports builds as a separate `build_seconds` map
@@ -406,6 +441,7 @@ object ExtQueries {
       timed("textidx")(textIndexDir(s, dir)),
       timed("trgidx")(trigramIndexDir(s, dir)),
       timed("posidx")(positionalIndexDir(s, dir)),
+      timed("fuzidx")(fuzzyIndexDir(s, dir)),
       timed("ccidx")(TextSim.ccComponentsDir(s, dir)),
       timed("ccinc")(TextSim.ccIncrementalDir(s, dir)),
       timed("hllsk")(hllSketchDir(s, dir)),
@@ -415,6 +451,8 @@ object ExtQueries {
       timed("histgsk")(histGroupSketchDir(s, dir)),
       timed("freqsk")(freqSketchDir(s, dir)),
       timed("freqgsk")(freqGroupSketchDir(s, dir)),
+      timed("quantsk")(quantSketchDir(s, dir)),
+      timed("quantgsk")(quantGroupSketchDir(s, dir)),
       timed("mediafeats")(mediaFeatsDir(s, dir)),
       timed("audiofeats")(audioFeatsDir(s, dir)),
       timed("videofeats")(videoFeatsDir(s, dir)),
@@ -553,6 +591,52 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** P6 FUZZY form at scale — edit-distance term search ("part" ± 2
+    * edits) served by the SymSpell deletion-neighborhood index
+    * ([[graft.ext.TextIndex.buildFuzzy]]): the query's own ≤ 2-deletion
+    * variants equi-look-up candidate vocabulary terms (partition-pruned
+    * probe — never a vocabulary scan, never a similarity join), an
+    * exact `levenshtein` verify makes the expansion exact, and the
+    * matched terms' documents come from the word index's postings.
+    * Oracle = the full word-explode scan with DuckDB's own
+    * levenshtein — the index changes the access path, never the
+    * answer. */
+  def p6g_fuzzy_search(s: SparkSession, dir: String): DataFrame = {
+    val fDir = fuzzyIndexDir(s, dir)
+    val wDir = textIndexDir(s, dir)
+    graft.ext.TextIndex.fuzzySearch(s, fDir, wDir, "doc_id",
+        "part", maxEdit = 2)
+      .groupBy("term", "dist")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .orderBy("term")
+  }
+
+  /** "Did you mean" ranked spell suggestion on top of the fuzzy index:
+    * for each misspelled input, expand to vocabulary candidates
+    * (partition-pruned SymSpell probe), score each candidate by its
+    * document frequency from the word index's postings, and pick the
+    * best by (edit distance, then df desc, then term) — the published
+    * spell-correction ranking (closest first, most common among
+    * ties). Three probes touch a handful of bucket directories; the
+    * corpus text is never read. */
+  def p6h_did_you_mean(s: SparkSession, dir: String): DataFrame = {
+    val fDir = fuzzyIndexDir(s, dir)
+    val wDir = textIndexDir(s, dir)
+    val inputs = Seq("vektor", "tabel", "qurey")
+    val perInput = inputs.map { q =>
+      graft.ext.TextIndex.fuzzySearch(s, fDir, wDir, "doc_id", q, maxEdit = 2)
+        .groupBy("term", "dist").agg(countDistinct("doc_id").as("n_docs"))
+        .withColumn("input", lit(q))
+    }.reduce(_ unionByName _)
+    val best = Window.partitionBy("input")
+      .orderBy(asc("dist"), desc("n_docs"), asc("term"))
+    perInput.withColumn("_rk", row_number().over(best))
+      .filter(col("_rk") === 1)
+      .select(col("input"), col("term").as("suggestion"),
+        col("dist"), col("n_docs"))
+      .orderBy("input")
+  }
+
   /** Segment OVERLAP via KMV/theta sketches ([[graft.ext.KmvSketch]]):
     * distinct high-value purchasers vs high-value clickers, their
     * intersection and union — the audience-overlap ask HLL cannot
@@ -615,6 +699,36 @@ object ExtQueries {
       .select(col("grp").as("lang"), col("item").as("bigram"),
         col("cnt").as("n"))
       .orderBy(asc("lang"), desc("n"), asc("bigram"))
+  }
+
+  /** Rank quantiles served ENTIRELY from the persisted 4-batch
+    * quantile-summary store ([[graft.ext.QuantileSketch]]) — the
+    * ingest-path answer to "what is the p50/p90 so far?": the fold
+    * reads ∝ batches × capacity summary rows, the corpus is never
+    * touched. l_quantity's 50 distinct values sit inside capacity 256,
+    * so every batch summary is the exact weighted census (the meta
+    * rows prove it — the probe `require`s the exact regime) and the
+    * differential oracle — the same smallest-value-reaching-
+    * ceil(q·n) rank definition in window SQL — is sound. Both
+    * engines evaluate the identical IEEE `ceil(q * n)`, the BM25
+    * cross-engine determinism discipline. */
+  def x_quant_store_quantiles(s: SparkSession, dir: String): DataFrame = {
+    val skDir = quantSketchDir(s, dir)
+    val (exact, _) = graft.ext.QuantileSketch.exactness(s, skDir)
+    require(exact, "quantile store trimmed; the oracle needs the exact regime")
+    graft.ext.QuantileSketch.quantiles(s, skDir,
+      Seq(0.25, 0.5, 0.75, 0.9))
+  }
+
+  /** Per-group store twin: p50/p90 of l_quantity per return flag from
+    * the grouped quantile store — per-group meta rows prove every
+    * (batch, flag) summary stayed exact, so the grouped window-SQL
+    * oracle is sound. */
+  def x_quant_store_group_quantiles(s: SparkSession, dir: String): DataFrame = {
+    val skDir = quantGroupSketchDir(s, dir)
+    val (exact, _) = graft.ext.QuantileSketch.exactness(s, skDir)
+    require(exact, "quantile store trimmed; the oracle needs the exact regime")
+    graft.ext.QuantileSketch.quantilesGrouped(s, skDir, Seq(0.5, 0.9))
   }
 
   /** Static sidecar path for the image-feature dump — the DuckDB
@@ -772,6 +886,8 @@ object ExtQueries {
     "m2_audio_neardup" -> (m2_audio_neardup _),
     "m3_video_neardup" -> (m3_video_neardup _),
     "x_freq_store_top" -> (x_freq_store_top _),
+    "x_quant_store_quantiles" -> (x_quant_store_quantiles _),
+    "x_quant_store_group_quantiles" -> (x_quant_store_group_quantiles _),
     "x_freq_store_group_top" -> (x_freq_store_group_top _),
     "x_kmv_segments" -> (x_kmv_segments _),
     "p6e_proximity_search" -> (p6e_proximity_search _),
@@ -784,6 +900,8 @@ object ExtQueries {
     "x1_pq_topk" -> (x1_pq_topk _),
     "x1_ivfpq_topk" -> (x1_ivfpq_topk _),
     "p6b_indexed_search" -> (p6b_indexed_search _),
+    "p6g_fuzzy_search" -> (p6g_fuzzy_search _),
+    "p6h_did_you_mean" -> (p6h_did_you_mean _),
     "p6c_substring_search" -> (p6c_substring_search _),
     "p6d_phrase_search" -> (p6d_phrase_search _),
     "p6f_bm25_rank" -> (p6f_bm25_rank _),
@@ -900,10 +1018,67 @@ object ExtQueries {
         |  AND list_contains(regexp_extract_all(lower(text), '[a-z]+'), 'table')
         |  AND list_contains(regexp_extract_all(lower(text), '[a-z]+'), 'vector')
         |ORDER BY doc_id""".stripMargin,
+    // fuzzy expansion + postings probe must equal the word-explode
+    // scan under DuckDB's own levenshtein (both engines implement the
+    // standard unit-cost Levenshtein distance)
+    "p6g_fuzzy_search" ->
+      """WITH w AS (
+        | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        | FROM documents)
+        |SELECT term, CAST(levenshtein(term, 'part') AS INT) AS dist,
+        | count(DISTINCT doc_id) AS n_docs
+        |FROM w WHERE levenshtein(term, 'part') <= 2
+        |GROUP BY term ORDER BY term""".stripMargin,
+    // ranked spell suggestion: per input the (dist, df desc, term)
+    // argmin over the same word-explode + levenshtein scan
+    "p6h_did_you_mean" ->
+      """WITH w AS (
+        | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        | FROM documents),
+        |inp AS (SELECT unnest(['vektor', 'tabel', 'qurey']) AS input),
+        |cand AS (
+        | SELECT i.input, w.term,
+        |  CAST(levenshtein(w.term, i.input) AS INT) AS dist,
+        |  count(DISTINCT w.doc_id) AS n_docs
+        | FROM inp i JOIN w ON levenshtein(w.term, i.input) <= 2
+        | GROUP BY 1, 2, 3),
+        |r AS (
+        | SELECT *, row_number() OVER (PARTITION BY input
+        |   ORDER BY dist, n_docs DESC, term) AS rk
+        | FROM cand)
+        |SELECT input, term AS suggestion, dist, n_docs
+        |FROM r WHERE rk = 1 ORDER BY input""".stripMargin,
     // store-served frequent items in the untrimmed regime must equal
     // the naive corpus GROUP BY + HAVING (the SAME oracle text as
     // x_heavy_hitters — the twins are pinned to one definition)
     "x_freq_store_top" -> TextSim.bigramFrequentOracle,
+    // store-served rank quantiles in the exact regime must equal the
+    // window-SQL rank definition over the corpus: smallest value whose
+    // cumulative count reaches ceil(q * n)
+    "x_quant_store_quantiles" ->
+      """WITH c AS (
+        | SELECT CAST(l_quantity AS DOUBLE) AS v, count(*) AS w
+        | FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+        |cum AS (
+        | SELECT v, sum(w) OVER (ORDER BY v) AS cum, sum(w) OVER () AS n
+        | FROM c),
+        |q AS (SELECT unnest(CAST([0.25, 0.5, 0.75, 0.9] AS DOUBLE[])) AS q)
+        |SELECT q.q, min(cum.v) AS value
+        |FROM q JOIN cum ON cum.cum >= CAST(ceil(q.q * cum.n) AS BIGINT)
+        |GROUP BY q.q ORDER BY q.q""".stripMargin,
+    "x_quant_store_group_quantiles" ->
+      """WITH c AS (
+        | SELECT CAST(l_returnflag AS VARCHAR) AS grp,
+        |  CAST(l_quantity AS DOUBLE) AS v, count(*) AS w
+        | FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+        |cum AS (
+        | SELECT grp, v, sum(w) OVER (PARTITION BY grp ORDER BY v) AS cum,
+        |  sum(w) OVER (PARTITION BY grp) AS n
+        | FROM c),
+        |q AS (SELECT unnest(CAST([0.5, 0.9] AS DOUBLE[])) AS q)
+        |SELECT cum.grp, q.q, min(cum.v) AS value
+        |FROM q JOIN cum ON cum.cum >= CAST(ceil(q.q * cum.n) AS BIGINT)
+        |GROUP BY cum.grp, q.q ORDER BY cum.grp, q.q""".stripMargin,
     "x_freq_store_group_top" -> TextSim.bigramFrequentGroupedOracle,
     // image near-dup over the decoded-feature sidecar: DuckDB
     // independently recomputes hyperplane buckets + cosine scores

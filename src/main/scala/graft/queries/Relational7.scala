@@ -156,13 +156,60 @@ object Relational7 {
       .orderBy("column_name")
   }
 
+  /** JOIN-KEY SKEW diagnostics — the planning input the salted-join
+    * family (`ext.SkewJoin`) and AQE skew handling act on: for each
+    * candidate join key, total rows, distinct keys, the heaviest key's
+    * row count, and the skew factor max/(n/keys) (1.0 = perfectly
+    * uniform). Each key is one two-stage aggregate (partial
+    * per-key counts, then a 3-counter roll-up — nothing wider than a
+    * key crosses the shuffle, nothing is collected); at 100 TB this
+    * is the cheap pre-flight that decides salting BEFORE a 4-hour
+    * join discovers the hot key the hard way. The skew factor is a
+    * single long-product ÷ double — one IEEE op, engine-identical. */
+  def q_skew_profile(s: SparkSession, dir: String): DataFrame = {
+    def skewOf(label: String, df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+        .agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+          max("c").as("max_key_rows"))
+        .select(lit(label).as("join_key"), col("n_rows"), col("n_keys"),
+          col("max_key_rows"),
+          round((col("max_key_rows") * col("n_keys"))
+            .cast("double") / col("n_rows").cast("double"), 6)
+            .as("skew_factor"))
+    Seq(
+      skewOf("lineitem.l_partkey", t(s, dir, "lineitem"), "l_partkey"),
+      skewOf("lineitem.l_suppkey", t(s, dir, "lineitem"), "l_suppkey"),
+      skewOf("orders.o_custkey", t(s, dir, "orders"), "o_custkey"))
+      .reduce(_ unionByName _)
+      .orderBy("join_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd2_pit_join" -> (scd2_pit_join _),
     "scd2_build" -> (scd2_build _),
     "q_table_diff" -> (q_table_diff _),
+    "q_skew_profile" -> (q_skew_profile _),
     "x_profile_columns" -> (x_profile_columns _))
 
   val oracle: Map[String, String] = Map(
+    "q_skew_profile" ->
+      """WITH lp AS (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey),
+        |ls AS (SELECT count(*) AS c FROM lineitem GROUP BY l_suppkey),
+        |oc AS (SELECT count(*) AS c FROM orders GROUP BY o_custkey),
+        |u AS (
+        | SELECT 'lineitem.l_partkey' AS join_key,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  count(*) AS n_keys, max(c) AS max_key_rows FROM lp
+        | UNION ALL
+        | SELECT 'lineitem.l_suppkey', CAST(sum(c) AS BIGINT), count(*),
+        |  max(c) FROM ls
+        | UNION ALL
+        | SELECT 'orders.o_custkey', CAST(sum(c) AS BIGINT), count(*),
+        |  max(c) FROM oc)
+        |SELECT join_key, n_rows, n_keys, max_key_rows,
+        | ROUND(CAST(max_key_rows * n_keys AS DOUBLE)
+        |   / CAST(n_rows AS DOUBLE), 6) AS skew_factor
+        |FROM u ORDER BY join_key""".stripMargin,
     "scd2_build" ->
       """WITH ev AS (
         | SELECT o_custkey AS custkey, o_orderdate AS ts,
