@@ -180,6 +180,63 @@ object EventStreams {
       }
   }
 
+  case class UserEwma(user_id: Long, n_seen: Long, n_used: Long,
+      ewma: Double)
+
+  /** Streaming twin of the batch α=½ EWMA closed form
+    * (`queries.Analytics.ev_ewma_users`): keyed state holds each
+    * user's newest ≤ `k` (ts, id, value) rows — bounded, state-store
+    * resident — and every micro-batch re-emits the user's current
+    * smoothed score. The arithmetic REPLAYS the batch query's exact
+    * decimal pipeline (each term value·2^−e is an exact double;
+    * `BigDecimal.valueOf` mirrors Spark's shortest-representation
+    * double→DECIMAL(38,18) cast; sum exact; double-then-round-6
+    * mirrors `round(sum(..).cast(double), 6)`), so the LAST emission
+    * per user is bit-equal to the batch result — and the buffer
+    * merges by explicit (ts, id) order, so out-of-order micro-batches
+    * only misrank events older than an already-evicted k-th row (the
+    * standard bounded-state caveat; StreamingSpec asserts the
+    * equality). */
+  def userEwma(events: Dataset[Event], k: Int = 20): Dataset[UserEwma] = {
+    import events.sparkSession.implicits._
+    require(k >= 1 && k <= 62, s"k must be in [1, 62], got $k")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, List[(Long, Long, Double)]), UserEwma](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event],
+            state: GroupState[(Long, List[(Long, Long, Double)])]) =>
+          val (seen0, buf0) = state.getOption.getOrElse((0L, List.empty))
+          val incoming = batch.toSeq
+          if (incoming.isEmpty) Iterator.empty
+          else {
+            val seen = seen0 + incoming.size
+            // newest-k by explicit (ts, id) order — no delivery-order
+            // assumption: a micro-batch may carry older files than the
+            // buffered ones (only events older than an already-evicted
+            // 20th row can be misranked — the standard bounded-state
+            // caveat)
+            val buf = (incoming.iterator
+              .map(e => (e.ts.getTime, e.event_id, e.value)).toList ++ buf0)
+              .sortBy { case (ts, id, _) => (-ts, -id) }
+              .take(k)
+            val m = buf.size
+            var acc = java.math.BigDecimal.ZERO
+            buf.iterator.zipWithIndex.foreach { case ((_, _, v), i) =>
+              val rank = i + 1
+              val e = if (rank == m) m - 1 else rank
+              val term = v / (1L << e).toDouble
+              acc = acc.add(java.math.BigDecimal.valueOf(term)
+                .setScale(18, java.math.RoundingMode.HALF_UP))
+            }
+            state.update((seen, buf))
+            val ewma = java.math.BigDecimal.valueOf(acc.doubleValue)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+            Iterator.single(UserEwma(userId, seen, m.toLong, ewma))
+          }
+      }
+  }
+
   case class FunnelStepDef(eventType: String, withinHours: Int)
 
   case class UserFunnelStep(user_id: Long, steps_completed: Int,

@@ -94,6 +94,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming EWMA state equals the batch closed form bit for bit") {
+    val stream = EventStreams.readStream(spark, eventsDir, maxFilesPerTrigger = 2)
+      .as[EventStreams.Event]
+    EventStreams.runToMemory(
+      EventStreams.userEwma(stream, k = 20).toDF(), "ewma_out")
+    // one emission per user per micro-batch touching the user; the
+    // LAST (max n_seen) is the full-corpus score
+    val streamed = spark.table("ewma_out")
+      .select("user_id", "n_seen", "n_used", "ewma")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (u, rows) =>
+        val last = rows.maxBy(_._2)
+        (u, last._3, last._4)
+      }.toSet
+    val batch = graft.queries.Analytics
+      .ev_ewma_users(spark, "/root/testdata/sf0.001")
+      .as[(Long, Double, Long)].collect()
+      .map { case (u, ewma, nUsed) => (u, nUsed, ewma) }.toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // every user's total event count was carried across micro-batches
+    val seen = spark.table("ewma_out").groupBy("user_id")
+      .agg(max("n_seen").as("n")).as[(Long, Long)].collect().toMap
+    val counts = batchEvents.groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(seen === counts)
+  }
+
   test("streaming funnel state matches the batch fold's per-step counts") {
     // cross-batch state: one time-range file per micro-batch, so a
     // user's click can land batches after their view — the keyed state
