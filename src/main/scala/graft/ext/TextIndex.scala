@@ -372,39 +372,62 @@ object TextIndex {
     * the expansion exact (the deletion-neighborhood candidates are a
     * sound superset at maxEdit ≤ the indexed depth). */
   def fuzzyExpand(spark: SparkSession, dir: String, term: String,
+      maxEdit: Int): DataFrame =
+    fuzzyExpandAll(spark, dir, Seq(term), maxEdit).drop("input")
+
+  /** Batched [[fuzzyExpand]] for several query terms at once —
+    * (input, term, dist) rows from ONE index scan: all inputs'
+    * delete variants union into a single partition-pruned probe, and
+    * a broadcast (input, variant) map fans candidates back out to
+    * their inputs (a query term's neighborhood is bounded, so the
+    * broadcast is control-plane sized however many inputs batch). */
+  def fuzzyExpandAll(spark: SparkSession, dir: String, terms: Seq[String],
       maxEdit: Int): DataFrame = {
-    val q = term.toLowerCase
+    import spark.implicits._
+    val qs = terms.map(_.toLowerCase).distinct
+    require(qs.nonEmpty, "at least one fuzzy term")
     val (n, depth) = fuzzyMeta(spark, dir)
     require(maxEdit >= 1 && maxEdit <= depth,
       s"maxEdit must be in [1, $depth] (indexed depth), got $maxEdit")
-    val vars = deleteVariants(q, maxEdit)
+    val pairs = qs.flatMap(q => deleteVariants(q, maxEdit).map(v => (q, v)))
+    val vars = pairs.map(_._2).distinct
     val buckets = vars.map(termBucket(_, n)).distinct
     spark.read.parquet(s"$dir/data")
       .filter(col("vb").isin(buckets: _*))
       .filter(col("variant").isin(vars: _*))
-      .select("term").distinct()
-      .withColumn("dist", levenshtein(col("term"), lit(q)))
+      .join(broadcast(pairs.toDF("input", "variant")), "variant")
+      .select("input", "term").distinct()
+      .withColumn("dist", levenshtein(col("term"), col("input")))
       .filter(col("dist") <= maxEdit)
   }
 
   /** Fuzzy document search: postings of every vocabulary term within
     * edit distance ≤ `maxEdit` of `term` — (id, term, dist) rows from
-    * the word index at `wordDir`. The expansion collects DRIVER-SIDE
-    * (bounded: the edit neighborhood of ONE query term — control
-    * plane, like every probe's bucket list) so the postings probe can
-    * partition-prune per matched term; dist rides a broadcast of that
-    * same tiny set. */
+    * the word index at `wordDir`. */
   def fuzzySearch(spark: SparkSession, fuzzyDir: String, wordDir: String,
-      idCol: String, term: String, maxEdit: Int): DataFrame = {
+      idCol: String, term: String, maxEdit: Int): DataFrame =
+    fuzzySearchAll(spark, fuzzyDir, wordDir, idCol, Seq(term), maxEdit)
+      .select(col(idCol), col("term"), col("dist"))
+
+  /** Batched fuzzy document search — (input, id, term, dist) rows for
+    * several query terms from ONE expansion scan + ONE postings
+    * probe. The expansion collects DRIVER-SIDE (bounded: the edit
+    * neighborhoods of the query terms — control plane, like every
+    * probe's bucket list) so the postings probe can partition-prune
+    * per matched term; (input, dist) ride a broadcast of that same
+    * tiny set. */
+  def fuzzySearchAll(spark: SparkSession, fuzzyDir: String, wordDir: String,
+      idCol: String, terms: Seq[String], maxEdit: Int): DataFrame = {
     import spark.implicits._
-    val matched = fuzzyExpand(spark, fuzzyDir, term, maxEdit)
-      .as[(String, Int)].collect().toSeq
+    val matched = fuzzyExpandAll(spark, fuzzyDir, terms, maxEdit)
+      .as[(String, String, Int)].collect().toSeq
     if (matched.isEmpty)
-      Seq.empty[(Long, String, Int)].toDF(idCol, "term", "dist")
+      Seq.empty[(String, Long, String, Int)]
+        .toDF("input", idCol, "term", "dist")
     else
-      postings(spark, wordDir, matched.map(_._1))
-        .join(broadcast(matched.toDF("term", "dist")), "term")
-        .select(col(idCol), col("term"), col("dist"))
+      postings(spark, wordDir, matched.map(_._2).distinct)
+        .join(broadcast(matched.toDF("input", "term", "dist")), "term")
+        .select(col("input"), col(idCol), col("term"), col("dist"))
   }
 
   /** Exact substring search served by the trigram index: candidate ids

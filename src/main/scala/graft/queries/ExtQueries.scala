@@ -622,15 +622,13 @@ object ExtQueries {
   def p6h_did_you_mean(s: SparkSession, dir: String): DataFrame = {
     val fDir = fuzzyIndexDir(s, dir)
     val wDir = textIndexDir(s, dir)
-    val inputs = Seq("vektor", "tabel", "qurey")
-    val perInput = inputs.map { q =>
-      graft.ext.TextIndex.fuzzySearch(s, fDir, wDir, "doc_id", q, maxEdit = 2)
-        .groupBy("term", "dist").agg(countDistinct("doc_id").as("n_docs"))
-        .withColumn("input", lit(q))
-    }.reduce(_ unionByName _)
     val best = Window.partitionBy("input")
       .orderBy(asc("dist"), desc("n_docs"), asc("term"))
-    perInput.withColumn("_rk", row_number().over(best))
+    graft.ext.TextIndex.fuzzySearchAll(s, fDir, wDir, "doc_id",
+        Seq("vektor", "tabel", "qurey"), maxEdit = 2)
+      .groupBy("input", "term", "dist")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .withColumn("_rk", row_number().over(best))
       .filter(col("_rk") === 1)
       .select(col("input"), col("term").as("suggestion"),
         col("dist"), col("n_docs"))

@@ -287,6 +287,17 @@ class TextIndexSpec extends SparkSpec {
       "qqqqqqqq", maxEdit = 2)
     assert(none.columns.toSeq === Seq("doc_id", "term", "dist"))
     assert(none.count() === 0L)
+    // the batched multi-input probe equals the per-input union
+    val batched = TextIndex.fuzzySearchAll(spark, fuzDir, wordDir,
+      "doc_id", Seq("part", "sow"), maxEdit = 2)
+      .as[(String, Long, String, Int)].collect().toSet
+    val perInput = Seq("part", "sow").flatMap { q =>
+      TextIndex.fuzzySearch(spark, fuzDir, wordDir, "doc_id", q, 2)
+        .as[(Long, String, Int)].collect()
+        .map { case (id, t2, d2) => (q, id, t2, d2) }
+    }.toSet
+    assert(batched === perInput)
+    assert(batched.nonEmpty)
   }
 
   test("substringSearch does not FORCE a broadcast of the candidate set") {
