@@ -274,6 +274,114 @@ final class TxTable(
     }
   }
 
+  // ---- CHECK constraints (write-path governance; Delta's CHECK
+  // constraint analog) ----
+
+  private def encodeChecks(m: Map[String, String]): String =
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
+        m.toList.sortBy(_._1).map { case (k, v) =>
+          k -> (org.json4s.JString(v): org.json4s.JValue) })))
+
+  private def decodeChecks(s: String): Map[String, String] =
+    org.json4s.jackson.JsonMethods.parse(s) match {
+      case org.json4s.JObject(fs) => fs.collect {
+        case (k, org.json4s.JString(v)) => k -> v }.toMap
+      case _ => Map.empty
+    }
+
+  /** (version, active set) — constraints change rarely, so the set is
+    * carried forward version-by-version: a lookup at a new head loads
+    * ONLY the manifests newer than the cached version (one JSON read
+    * per commit since, not a full history walk per write). */
+  @volatile private var checksCache: Option[(Long, Map[String, String])] =
+    None
+
+  /** Active CHECK constraints (name → SQL predicate) at the current
+    * version. The full set is declared under ONE meta key per change,
+    * so the newest declaration wins outright (no per-key tombstone
+    * folding). */
+  def checkConstraints: Map[String, String] = {
+    val head = currentVersion
+    if (head < 0) Map.empty
+    else checksCache match {
+      case Some((v, m)) if v == head => m
+      case cached =>
+        val floor = cached.map(_._1).getOrElse(-1L)
+        val declared = versions.filter(_ > floor).sorted.reverseIterator
+          .map(v => commitMeta(v).get("checks"))
+          .collectFirst { case Some(s) => decodeChecks(s) }
+        val m = declared.orElse(cached.map(_._2)).getOrElse(Map.empty)
+        checksCache = Some((head, m))
+        m
+    }
+  }
+
+  /** SQL-standard CHECK semantics: a NULL predicate PASSES (only
+    * definite FALSE violates). */
+  private def checkPasses(pred: String): Column =
+    coalesce(expr(pred), lit(true))
+
+  /** Declare a CHECK constraint: `predicateSql` must parse against
+    * the schema and hold on every EXISTING row (one filter scan —
+    * refused otherwise), then every later write validates its
+    * incoming batch at the staging choke point (one aggregate pass
+    * per batch) and refuses the commit on violation. Concurrency
+    * caveat, stated not hidden: a batch staged before this
+    * constraint's commit lands is admitted unchecked (the standard
+    * optimistic read-validate-commit race) — re-run this method or a
+    * quality sweep to converge after racing writers drain. */
+  def addCheckConstraint(name: String, predicateSql: String): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name must be an identifier, got '$name'")
+    createIfAbsent()
+    val violating = read.filter(!checkPasses(predicateSql)).limit(1).count()
+    require(violating == 0L,
+      s"existing rows violate CHECK $name ($predicateSql)")
+    withRetry {
+      val base = currentVersion
+      val m = loadManifest(base)
+      val cur = checkConstraints
+      require(!cur.contains(name), s"CHECK $name already exists")
+      commit(m.entries, base, m.declaredSchema,
+        Map("checks" -> encodeChecks(cur + (name -> predicateSql))))
+    }
+    ()
+  }
+
+  /** Retire a CHECK constraint (later writes stop validating it). */
+  def dropCheckConstraint(name: String): Unit = {
+    withRetry {
+      val base = currentVersion
+      val m = loadManifest(base)
+      val cur = checkConstraints
+      require(cur.contains(name), s"CHECK $name does not exist")
+      commit(m.entries, base, m.declaredSchema,
+        Map("checks" -> encodeChecks(cur - name)))
+    }
+    ()
+  }
+
+  /** One aggregate pass counting violations of every active
+    * constraint over an incoming batch; refuses (with per-constraint
+    * counts) before any file is staged. Costs one extra evaluation of
+    * the batch plan — the price of admission control; tables without
+    * constraints pay nothing. */
+  private def enforceChecks(batch: DataFrame): Unit = {
+    val checks = checkConstraints.toSeq.sortBy(_._1)
+    if (checks.nonEmpty) {
+      val aggs = checks.map { case (n, p) =>
+        org.apache.spark.sql.functions.count(when(!checkPasses(p), 1)).as(n) }
+      val row = batch.agg(aggs.head, aggs.tail: _*).head
+      checks.zipWithIndex.foreach { case ((n, p), i) =>
+        if (row.getLong(i) != 0L)
+          throw new IllegalArgumentException(
+            s"CHECK constraint $n ($p) violated by ${row.getLong(i)} " +
+              "incoming row(s); commit refused")
+      }
+    }
+  }
+
   private def snapshotAt(v: Long): TxTable.Snapshot =
     new TxTable.Snapshot(v, k => metaAsOf(v, k))
 
@@ -872,8 +980,13 @@ final class TxTable(
       filesPerBucket: Int = 1): (Seq[FEntry], Path) = {
     val f = fs
     val stage = new Path(dir, s".stage-${UUID.randomUUID().toString.take(8)}")
-    val cast = df.select(asSchema.fields.map(fl => col(fl.name).cast(fl.dataType)): _*)
-      .withColumn("_kb", bucketExpr)
+    val projected = df.select(
+      asSchema.fields.map(fl => col(fl.name).cast(fl.dataType)): _*)
+    // admission control: every write path stages through here, so the
+    // CHECK pass covers append/upsert/insert-if-absent/apply-changes
+    // alike (compaction re-stages rows that already passed)
+    enforceChecks(projected)
+    val cast = projected.withColumn("_kb", bucketExpr)
     val laidOut = layout match {
       case None => cast.repartition(col("_kb"))
       case Some(key) =>

@@ -255,6 +255,42 @@ object TxQueries {
       .orderBy("p_brand")
   }
 
+  /** CHECK-constraint admission control, end to end: half the
+    * customers land, a `c_acctbal > -1000` CHECK is declared, and a
+    * poisoned copy of the OTHER half (acctbal forced to −9999) is
+    * REFUSED at the staging choke point — the build requires the
+    * refusal and that the version did not advance — before the clean
+    * half lands. If enforcement silently failed, the poisoned rows
+    * would sit beside the clean ones and every aggregate below would
+    * diverge from the oracle, which reads the RAW customer parquet:
+    * admitted data is indistinguishable from never having had a
+    * constraint. */
+  def tx_check_read(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val table = cached(s, dir, "customer", "checkq", 3L) { loc =>
+      new TxTable(s, loc, cust.schema, Seq("c_custkey"), numBuckets = 4)
+    } { tx =>
+      val evens = cust.filter(col("c_custkey") % 2 === 0)
+      val odds = cust.filter(col("c_custkey") % 2 === 1)
+      tx.append(evens)                                           // v1
+      tx.addCheckConstraint("bal_floor", "c_acctbal > -1000.0")  // v2
+      val refused =
+        try { tx.append(odds.withColumn("c_acctbal", lit(-9999.0))); false }
+        catch { case e: Exception => e.getMessage.contains("bal_floor") }
+      require(refused, "CHECK did not refuse the violating batch")
+      require(tx.currentVersion == 2L,
+        s"refused write advanced the version to ${tx.currentVersion}")
+      tx.append(odds)                                            // v3
+    }
+    table.read
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        Qhelpers.msum(col("c_acctbal")).as("total_bal"),
+        min("c_custkey").as("first_cust"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Anti-entropy REPAIR, end to end: a TxTable seeded with the
     * DRIFTED orders twin (the exact q_table_diff recipe —
     * [[Relational7.driftedOrders]]) converges back to the source via
@@ -548,6 +584,7 @@ object TxQueries {
     "tx_restore_read" -> (tx_restore_read _),
     "tx_clone_read" -> (tx_clone_read _),
     "tx_compact_read" -> (tx_compact_read _),
+    "tx_check_read" -> (tx_check_read _),
     "tx_repair_read" -> (tx_repair_read _),
     "tx_delta_roundtrip" -> (tx_delta_roundtrip _),
     "scd2_incr_build" -> (scd2_incr_build _),
@@ -627,6 +664,15 @@ object TxQueries {
     // incremental maintenance must be invisible: the batched build
     // answers to the SAME SQL as the one-shot scd2_build
     "scd2_incr_build" -> Relational7.oracle("scd2_build"),
+    // admitted data must be indistinguishable from never having had a
+    // constraint — the oracle reads the RAW customer parquet
+    "tx_check_read" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n,
+         |       ${Qhelpers.sqlMsum("c_acctbal")} AS total_bal,
+         |       MIN(c_custkey) AS first_cust
+         |FROM customer
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin,
     // after repair the table must be indistinguishable from the
     // source — the oracle recomputes the summary from RAW orders
     "tx_repair_read" ->
