@@ -268,6 +268,36 @@ object Analytics {
       .orderBy("from_type", "to_type")
   }
 
+  /** Seasonal ANOMALY baseline (time-series ops ask: "was last night's
+    * traffic weird for a 3am?"): hourly event counts compared to the
+    * baseline of hours sharing their HOUR-OF-DAY — per hod: #hours
+    * observed, mean, σ, and how many hours sat more than 1σ from the
+    * mean. The moments are exact integer sums (hour counts are
+    * longs), so mean/σ are a fixed IEEE sequence on identical inputs
+    * in both engines (the `a_outliers` discipline); two tiny
+    * aggregates + one broadcast join of a 24-row baseline — the only
+    * corpus-sized pass is the first hourly roll-up. */
+  def ev_anomaly_hours(s: SparkSession, dir: String): DataFrame = {
+    def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast(DoubleType)
+    val hourly = t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hod", hour(col("h")))
+    val base = hourly.groupBy("hod").agg(count(lit(1)).as("k"),
+        sum("n").as("s1"), sum(col("n") * col("n")).as("s2"))
+      .select(col("hod"), col("k"),
+        (d(col("s1")) / d(col("k"))).as("mean"),
+        sqrt((d(col("s2")) - d(col("s1")) * d(col("s1")) / d(col("k")))
+          / d(col("k"))).as("sigma"))
+    hourly.join(broadcast(base), "hod")
+      .groupBy(col("hod"), col("k"), round(col("mean"), 6).as("mean_n"),
+        round(col("sigma"), 6).as("sigma_n"))
+      .agg(count(when(abs(d(col("n")) - col("mean")) > col("sigma"), 1))
+        .as("n_anomalous"))
+      .orderBy("hod")
+  }
+
   /** EWMA (exponentially weighted moving average) engagement score per
     * user — s_t = α·x_t + (1−α)·s_{t−1} over the user's last 20 events
     * in (ts, event_id) order, evaluated at the newest event. The
@@ -484,6 +514,7 @@ object Analytics {
     "ev_tumbling_hourly" -> (ev_tumbling_hourly _),
     "ev_sessionize" -> (ev_sessionize _),
     "ev_transition_matrix" -> (ev_transition_matrix _),
+    "ev_anomaly_hours" -> (ev_anomaly_hours _),
     "ev_ewma_users" -> (ev_ewma_users _),
     "ev_sliding_2h1h" -> (ev_sliding_2h1h _),
     "ev_stream_join" -> (ev_stream_join _),
@@ -645,6 +676,29 @@ object Analytics {
     // a transition = a consecutive same-session pair (the gap rule did
     // not fire); share = outgoing fraction per origin type — one
     // double division of exact counts in both engines
+    // hour-of-day anomaly baseline: exact integer moments → a fixed
+    // IEEE mean/σ sequence (the a_outliers discipline), 1σ flag
+    "ev_anomaly_hours" ->
+      """WITH h AS (
+        | SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        | FROM events GROUP BY 1),
+        |hod AS (SELECT *, CAST(extract(hour FROM h) AS INT) AS hod FROM h),
+        |b AS (
+        | SELECT hod, count(*) AS k, CAST(sum(n) AS BIGINT) AS s1,
+        |  CAST(sum(n * n) AS BIGINT) AS s2
+        | FROM hod GROUP BY 1),
+        |st AS (
+        | SELECT hod, k, CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) AS mean,
+        |  sqrt((CAST(s2 AS DOUBLE)
+        |    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+        |   / CAST(k AS DOUBLE)) AS sigma
+        | FROM b)
+        |SELECT hod.hod, st.k, ROUND(st.mean, 6) AS mean_n,
+        | ROUND(st.sigma, 6) AS sigma_n,
+        | count(*) FILTER (WHERE abs(CAST(hod.n AS DOUBLE) - st.mean)
+        |                        > st.sigma) AS n_anomalous
+        |FROM hod JOIN st USING (hod)
+        |GROUP BY 1, 2, 3, 4 ORDER BY hod""".stripMargin,
     // α = ½ EWMA over the last-20 window: every weight is an exact
     // power of two (shift + divide, no libm pow), terms sum in
     // DECIMAL(38,18) — bit-deterministic across engines

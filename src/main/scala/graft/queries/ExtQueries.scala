@@ -276,6 +276,24 @@ object ExtQueries {
       markDone(d)
     }
 
+  /** Ingest-shaped quantile store over RAW document lengths — the
+    * unbinned twin of [[histIngestDir]]: where the histogram path
+    * must pre-bucketize to keep its domain bounded (100-char bins →
+    * ±100-char quantile granularity), the quantile summary keeps the
+    * EXACT lengths while per-batch distincts sit inside capacity
+    * (≤ 474 at every SF vs capacity 1024). */
+  private def quantIngestDir(s: SparkSession, dir: String): String =
+    buildOnce(dir, "documents", "quantingest", marker = "_DONE") { d =>
+      wipeDir(d)
+      val docs = t(s, dir, "documents")
+      (0L to 3L).foreach { b =>
+        graft.ext.QuantileSketch.addBatch(
+          docs.filter(pmod(col("doc_id"), lit(4)) === b),
+          "n_chars", d, batchId = b, capacity = 1024)
+      }
+      markDone(d)
+    }
+
   private def wipeDir(d: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
@@ -324,6 +342,20 @@ object ExtQueries {
     val hDir = histIngestDir(s, dir)
     graft.ext.HistogramSketch.quantiles(s, hDir, "len_bucket",
       Seq(0.25, 0.5, 0.75))
+  }
+
+  /** X — EXACT document-length quantiles from the ingest-shaped
+    * QUANTILE store: the histogram twin above answers from 100-char
+    * bins (quantile = its bin floor); this store kept the raw
+    * lengths (per-batch distincts inside capacity — the meta rows
+    * prove it), so p25/p50/p75/p95 come back as exact character
+    * counts. Same fold economics: ∝ batches × capacity rows, never a
+    * documents scan. */
+  def x_quant_quantiles_ingest(s: SparkSession, dir: String): DataFrame = {
+    val qDir = quantIngestDir(s, dir)
+    val (exact, _) = graft.ext.QuantileSketch.exactness(s, qDir)
+    require(exact, "quantile store trimmed; the oracle needs the exact regime")
+    graft.ext.QuantileSketch.quantiles(s, qDir, Seq(0.25, 0.5, 0.75, 0.95))
   }
 
   /** X — PER-GROUP quantiles from the grouped histogram store ("p25/
@@ -448,6 +480,7 @@ object ExtQueries {
       timed("hllgsk")(hllGroupSketchDir(s, dir)),
       timed("histsk")(histSketchDir(s, dir)),
       timed("histingest")(histIngestDir(s, dir)),
+      timed("quantingest")(quantIngestDir(s, dir)),
       timed("histgsk")(histGroupSketchDir(s, dir)),
       timed("freqsk")(freqSketchDir(s, dir)),
       timed("freqgsk")(freqGroupSketchDir(s, dir)),
@@ -909,6 +942,7 @@ object ExtQueries {
     "x_hll_group_distinct" -> (x_hll_group_distinct _),
     "x_hist_quantiles" -> (x_hist_quantiles _),
     "x_hist_quantiles_ingest" -> (x_hist_quantiles_ingest _),
+    "x_quant_quantiles_ingest" -> (x_quant_quantiles_ingest _),
     "x_hist_group_quantiles" -> (x_hist_group_quantiles _))
 
   /** DuckDB equivalents. SimHash / hyperplane math is hex-char
@@ -1053,6 +1087,17 @@ object ExtQueries {
     // store-served rank quantiles in the exact regime must equal the
     // window-SQL rank definition over the corpus: smallest value whose
     // cumulative count reaches ceil(q * n)
+    "x_quant_quantiles_ingest" ->
+      """WITH c AS (
+        | SELECT CAST(n_chars AS DOUBLE) AS v, count(*) AS w
+        | FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |cum AS (
+        | SELECT v, sum(w) OVER (ORDER BY v) AS cum, sum(w) OVER () AS n
+        | FROM c),
+        |q AS (SELECT unnest(CAST([0.25, 0.5, 0.75, 0.95] AS DOUBLE[])) AS q)
+        |SELECT q.q, min(cum.v) AS value
+        |FROM q JOIN cum ON cum.cum >= CAST(ceil(q.q * cum.n) AS BIGINT)
+        |GROUP BY q.q ORDER BY q.q""".stripMargin,
     "x_quant_store_quantiles" ->
       """WITH c AS (
         | SELECT CAST(l_quantity AS DOUBLE) AS v, count(*) AS w
