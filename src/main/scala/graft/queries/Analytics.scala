@@ -268,6 +268,60 @@ object Analytics {
       .orderBy("from_type", "to_type")
   }
 
+  /** RANGE-frame window (§2.5 — the one frame kind rows-frames can't
+    * fake): trailing 7-DAY revenue per order day, where the frame
+    * covers a VALUE distance (≤ 6 days back), so calendar gaps
+    * contribute nothing instead of dragging in the previous 6 ROWS
+    * whatever their dates. The window rides the daily roll-up
+    * (calendar-bounded — ~2.4k rows at sf1, control-plane sized like
+    * the gap-fill spine), never the orders table; revenue sums are
+    * exact DECIMAL before the final double cast. */
+  def w6_range_frame_7d(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(money(col("o_totalprice"))).as("rev"))
+    val trailing = Window.orderBy(col("dn")).rangeBetween(-6, 0)
+    daily
+      .withColumn("dn",
+        datediff(col("day"), lit(java.sql.Date.valueOf("1990-01-01")))
+          .cast(LongType))
+      .withColumn("rev7d", sum(col("rev")).over(trailing))
+      .select(col("day"), col("rev").cast(DoubleType).as("rev"),
+        col("rev7d").cast(DoubleType).as("rev7d"))
+      .orderBy("day")
+  }
+
+  /** TIME-WEIGHTED average (TWAP — the irregular-series mean where a
+    * value "holds" until the next observation; plain AVG over-weights
+    * bursts): per day, Σ value·Δt / Σ Δt with Δt = microseconds to
+    * the day's next event (the day's last event carries no interval).
+    * ONE day-partitioned window (lead) — a single shuffle — then a
+    * grouped sum; each value·Δt product is ONE IEEE multiply landed
+    * in DECIMAL(38,6) (sum order cannot matter; the ~2e-3 double ULP
+    * at μs·value magnitudes sits far above the 6-dp quantum, so both
+    * engines truncate identically), and the final ratio is one
+    * divide + round. */
+  def ev_twap_daily(s: SparkSession, dir: String): DataFrame = {
+    val byDay = Window.partitionBy(col("d"))
+      .orderBy(asc("ts"), asc("event_id"))
+    t(s, dir, "events")
+      .withColumn("d", date_trunc("day", col("ts")))
+      .withColumn("dt",
+        unix_micros(lead(col("ts"), 1).over(byDay)) - unix_micros(col("ts")))
+      .filter(col("dt").isNotNull)
+      .groupBy(col("d").as("day"))
+      .agg(
+        sum((col("value") * col("dt").cast(DoubleType))
+          .cast("decimal(38,6)")).as("_num"),
+        sum(col("dt")).as("_den"),
+        count(lit(1)).as("n_intervals"))
+      .select(col("day"),
+        round(col("_num").cast(DoubleType) / col("_den").cast(DoubleType), 6)
+          .as("twap"),
+        col("n_intervals"))
+      .orderBy("day")
+  }
+
   /** Seasonal ANOMALY baseline (time-series ops ask: "was last night's
     * traffic weird for a 3am?"): hourly event counts compared to the
     * baseline of hours sharing their HOUR-OF-DAY — per hod: #hours
@@ -515,6 +569,8 @@ object Analytics {
     "ev_sessionize" -> (ev_sessionize _),
     "ev_transition_matrix" -> (ev_transition_matrix _),
     "ev_anomaly_hours" -> (ev_anomaly_hours _),
+    "ev_twap_daily" -> (ev_twap_daily _),
+    "w6_range_frame_7d" -> (w6_range_frame_7d _),
     "ev_ewma_users" -> (ev_ewma_users _),
     "ev_sliding_2h1h" -> (ev_sliding_2h1h _),
     "ev_stream_join" -> (ev_stream_join _),
@@ -676,6 +732,35 @@ object Analytics {
     // a transition = a consecutive same-session pair (the gap rule did
     // not fire); share = outgoing fraction per origin type — one
     // double division of exact counts in both engines
+    // RANGE frame over day distance: calendar gaps contribute nothing
+    // (a rows-frame would drag in 6 prior rows whatever their dates)
+    "w6_range_frame_7d" ->
+      """WITH d AS (
+        | SELECT o_orderdate AS day,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        | FROM orders GROUP BY 1)
+        |SELECT day, CAST(rev AS DOUBLE) AS rev,
+        | CAST(sum(rev) OVER (ORDER BY day
+        |   RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+        |  AS DOUBLE) AS rev7d
+        |FROM d ORDER BY day""".stripMargin,
+    // time-weighted average: value·Δt products land in DECIMAL(38,6)
+    // (order-independent sum), one divide + round at the end
+    "ev_twap_daily" ->
+      """WITH e AS (
+        | SELECT date_trunc('day', ts) AS d, ts, value,
+        |  lead(ts) OVER (PARTITION BY date_trunc('day', ts)
+        |                 ORDER BY ts, event_id) AS nts
+        | FROM events),
+        |x AS (
+        | SELECT d, value, epoch_us(nts) - epoch_us(ts) AS dt
+        | FROM e WHERE nts IS NOT NULL)
+        |SELECT d AS day,
+        | ROUND(CAST(sum(CAST(value * CAST(dt AS DOUBLE)
+        |          AS DECIMAL(38,6))) AS DOUBLE)
+        |   / CAST(CAST(sum(dt) AS BIGINT) AS DOUBLE), 6) AS twap,
+        | count(*) AS n_intervals
+        |FROM x GROUP BY d ORDER BY day""".stripMargin,
     // hour-of-day anomaly baseline: exact integer moments → a fixed
     // IEEE mean/σ sequence (the a_outliers discipline), 1σ flag
     "ev_anomaly_hours" ->
