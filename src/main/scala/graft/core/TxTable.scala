@@ -1629,6 +1629,32 @@ final class TxTable(
       }.sum
     }
 
+  /** DESCRIBE HISTORY analog — one row per RETAINED commit, derived
+    * entirely from the manifests (no write-path bookkeeping to keep in
+    * step): version, commit timestamp (manifest mtime), live file
+    * count, files added / removed vs the previous retained version,
+    * and the commit's meta keys. Driver-side over the version list —
+    * control-plane bounded like every manifest walk; note a vacuum
+    * that dropped old manifests makes the oldest retained row's
+    * "added" count its full file set (there is no earlier state to
+    * diff against — the honest reading of a truncated history). */
+  def history: DataFrame = {
+    import spark.implicits._
+    val f = fs
+    val states = versions.map { v =>
+      val m = loadManifest(v)
+      (v, m.entries.map(_.path).toSet, m.meta.keys.toSeq.sorted,
+        new java.sql.Timestamp(
+          f.getFileStatus(manifestPath(v)).getModificationTime))
+    }
+    states.zipWithIndex.map { case ((v, paths, metaKeys, ts), i) =>
+      val prev = if (i == 0) Set.empty[String] else states(i - 1)._2
+      (v, ts, paths.size.toLong, (paths -- prev).size.toLong,
+        (prev -- paths).size.toLong, metaKeys.mkString(","))
+    }.toDF("version", "commit_ts", "n_files", "n_added", "n_removed",
+      "meta_keys")
+  }
+
   /** Size-TARGETED compaction: derive the per-bucket output file count
     * from the table's ACTUAL bytes (files ≈ targetFileBytes each)
     * instead of a guessed constant — at 100 TB a one-file-per-bucket

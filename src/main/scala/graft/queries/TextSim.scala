@@ -507,6 +507,34 @@ object TextSim {
       .limit(20)
   }
 
+  /** X1 — FILTERED vector search ("metadata WHERE + kNN", the RAG
+    * retrieval ask: nearest neighbors among label ∈ {3, 7} only),
+    * filter-FIRST: the metadata predicate pushes to the parquet scan
+    * (`PushedFilters: In(label, ...)`) so the vector math runs on the
+    * predicate's subset alone — exact by construction, which is the
+    * selective-filter regime's right plan (an ANN probe + post-filter
+    * can return < k survivors and must escalate probes; that regime
+    * belongs to the index families when the filter is LOOSE). Oracle =
+    * the same filtered brute force. */
+  def x1_filtered_topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("e").as("qe"))
+    emb.filter(col("vec_id") =!= 0 && col("label").isin(3, 7))
+      .crossJoin(broadcast(q))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+      .withColumn("na", sqrt(expr(
+        "aggregate(e, 0D, (acc, x) -> acc + x * x)")))
+      .withColumn("nq", sqrt(expr(
+        "aggregate(qe, 0D, (acc, x) -> acc + x * x)")))
+      .withColumn("score", round(col("dot") / (col("na") * col("nq")), 6))
+      .select("vec_id", "label", "score")
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(10)
+  }
+
   /** X1 — kNN majority-label classification (the labeling/curation
     * shape: predict a query vector's label from its k nearest
     * neighbors' votes). Neighbor cut follows the x1 top-k discipline
@@ -797,11 +825,21 @@ object TextSim {
     "x4_mixture_sample" -> (x4_mixture_sample _),
     "x4_split_assign" -> (x4_split_assign _),
     "x1_cosine_topk" -> (x1_cosine_topk _),
+    "x1_filtered_topk" -> (x1_filtered_topk _),
     "x1_knn_label" -> (x1_knn_label _),
     "x1_knn_batch" -> (x1_knn_batch _),
     "x1_label_stats" -> (x1_label_stats _))
 
   val oracle: Map[String, String] = Map(
+    // filtered kNN: exact over the predicate's subset — the oracle is
+    // the same filtered brute force
+    "x1_filtered_topk" ->
+      """SELECT e.vec_id, e.label,
+        | ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score
+        |FROM embeddings e
+        |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0 AND e.label IN (3, 7)
+        |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
     // chunk boundaries and md5-verified content must agree exactly
     "x4_chunk_overlap" ->
       """WITH d AS (

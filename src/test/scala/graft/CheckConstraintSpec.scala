@@ -95,4 +95,23 @@ class CheckConstraintSpec extends SparkSpec {
     t2.compact()
     assert(t2.read.count() === 2L)
   }
+
+  test("history reports per-commit file deltas and meta keys") {
+    val t = fresh()
+    t.append(Seq(("a", 1), ("b", 2), ("c", 3), ("d", 4)).toDF("k", "v")) // v1
+    t.addCheckConstraint("v_nonneg", "v >= 0")                           // v2
+    t.upsert(Seq(("a", 10)).toDF("k", "v"))                              // v3
+    t.compact()                                                          // v4
+    val h = t.history.orderBy("version")
+      .select("version", "n_files", "n_added", "n_removed", "meta_keys")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(h.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    val byV = h.map(r => r._1 -> r).toMap
+    assert(byV(0L)._2 === 0L)                       // create: empty
+    assert(byV(1L)._3 > 0L && byV(1L)._4 === 0L)    // append adds only
+    assert(byV(2L)._3 === 0L && byV(2L)._4 === 0L)  // meta-only commit
+    assert(byV(2L)._5.contains("checks"))
+    assert(byV(3L)._3 > 0L && byV(3L)._4 > 0L)      // upsert rewrites
+    assert(byV(4L)._2 <= byV(3L)._2)                // compact shrinks
+  }
 }
