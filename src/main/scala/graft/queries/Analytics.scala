@@ -268,6 +268,48 @@ object Analytics {
       .orderBy("from_type", "to_type")
   }
 
+  /** ITEM CO-OCCURRENCE ("users who bought X also bought Y" — the
+    * co-visitation recommender primitive): distinct (user, item)
+    * purchases, per-user item lists CAPPED at 64 (deterministic
+    * row_number cut, mirrored in the oracle — the capped-pair
+    * discipline of the co-supplier graph: a power user's fan-out is
+    * bounded, never quadratic in their history), item pairs via ONE
+    * equi self-join on user_id, then lift = n_co·N / (n_a·n_b)
+    * (integer products, one IEEE divide) against broadcast per-item
+    * user counts. Shuffles: one on user_id, one on the item pair —
+    * the pair domain is catalog², aggregated map-side. */
+  def ev_item_cooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+    val capped = p
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("user_id").orderBy("item")))
+      .filter(col("_rk") <= 64).drop("_rk")
+    val co = capped.select(col("user_id"), col("item").as("item_a"))
+      .join(capped.select(col("user_id"), col("item").as("item_b")),
+        Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(countDistinct("user_id").as("n_co"))
+      .filter(col("n_co") >= 2)
+    val itemUsers = capped.groupBy("item")
+      .agg(countDistinct("user_id").as("nu"))
+    val nUsers = capped.select("user_id").distinct().count()
+    co.join(broadcast(itemUsers
+        .select(col("item").as("item_a"), col("nu").as("n_a"))), "item_a")
+      .join(broadcast(itemUsers
+        .select(col("item").as("item_b"), col("nu").as("n_b"))), "item_b")
+      .withColumn("lift",
+        round((col("n_co") * nUsers).cast(DoubleType)
+          / (col("n_a") * col("n_b")).cast(DoubleType), 6))
+      .select("item_a", "item_b", "n_co", "n_a", "n_b", "lift")
+      .orderBy("item_a", "item_b")
+  }
+
   /** RANGE-frame window (§2.5 — the one frame kind rows-frames can't
     * fake): trailing 7-DAY revenue per order day, where the frame
     * covers a VALUE distance (≤ 6 days back), so calendar gaps
@@ -571,6 +613,7 @@ object Analytics {
     "ev_anomaly_hours" -> (ev_anomaly_hours _),
     "ev_twap_daily" -> (ev_twap_daily _),
     "w6_range_frame_7d" -> (w6_range_frame_7d _),
+    "ev_item_cooccurrence" -> (ev_item_cooccurrence _),
     "ev_ewma_users" -> (ev_ewma_users _),
     "ev_sliding_2h1h" -> (ev_sliding_2h1h _),
     "ev_stream_join" -> (ev_stream_join _),
@@ -732,6 +775,35 @@ object Analytics {
     // a transition = a consecutive same-session pair (the gap rule did
     // not fire); share = outgoing fraction per origin type — one
     // double division of exact counts in both engines
+    // co-visitation with the deterministic 64-item cap mirrored, lift
+    // from integer products + one divide
+    "ev_item_cooccurrence" ->
+      """WITH p AS (
+        | SELECT DISTINCT user_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS item
+        | FROM events WHERE event_type = 'purchase'
+        |  AND json_extract_string(props, '$.k') IS NOT NULL),
+        |c AS (
+        | SELECT user_id, item FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY item) AS rk FROM p)
+        | WHERE rk <= 64),
+        |co AS (
+        | SELECT a.item AS item_a, b.item AS item_b,
+        |  count(DISTINCT a.user_id) AS n_co
+        | FROM c a JOIN c b ON a.user_id = b.user_id AND a.item < b.item
+        | GROUP BY 1, 2),
+        |iu AS (SELECT item, count(DISTINCT user_id) AS nu FROM c GROUP BY 1),
+        |n AS (SELECT count(DISTINCT user_id) AS nu FROM c)
+        |SELECT co.item_a, co.item_b, co.n_co, ia.nu AS n_a, ib.nu AS n_b,
+        | ROUND(CAST(co.n_co * n.nu AS DOUBLE)
+        |   / CAST(ia.nu * ib.nu AS DOUBLE), 6) AS lift
+        |FROM co
+        |CROSS JOIN n
+        |JOIN iu ia ON ia.item = co.item_a
+        |JOIN iu ib ON ib.item = co.item_b
+        |WHERE co.n_co >= 2
+        |ORDER BY item_a, item_b""".stripMargin,
     // RANGE frame over day distance: calendar gaps contribute nothing
     // (a rows-frame would drag in 6 prior rows whatever their dates)
     "w6_range_frame_7d" ->
