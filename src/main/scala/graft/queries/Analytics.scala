@@ -268,6 +268,28 @@ object Analytics {
       .orderBy("from_type", "to_type")
   }
 
+  /** GLOBAL ranking family (§2.5) WITHOUT the single-partition window
+    * ([[graft.ext.GlobalRank]]): customer spend percentiles —
+    * row_number / rank / percent_rank / cume_dist / NTILE(10) over
+    * the full customer ordering via the two-phase distributed-rank
+    * recipe (range partition + broadcast prefix offsets; the only
+    * windows in the plan are keyed). The oracle pits the closed forms
+    * against DuckDB's NATIVE window functions — the distributed
+    * formulation must be indistinguishable from the engine built-ins.
+    * Rank family orders by spend alone (ties share rank); positional
+    * functions tie-break by custkey, exactly `ORDER BY spend,
+    * custkey`. */
+  def w7_global_ranks(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(money(col("o_totalprice"))).cast(DoubleType).as("spend"))
+    graft.ext.GlobalRank.withRanks(spend, "spend", "custkey", nTiles = 10)
+      .select(col("custkey"), col("spend"), col("row_number"),
+        col("rank"), col("percent_rank"), col("cume_dist"),
+        col("ntile").cast(LongType).as("decile"))
+      .orderBy("custkey")
+  }
+
   /** ITEM CO-OCCURRENCE ("users who bought X also bought Y" — the
     * co-visitation recommender primitive): distinct (user, item)
     * purchases, per-user item lists CAPPED at 64 (deterministic
@@ -614,6 +636,7 @@ object Analytics {
     "ev_twap_daily" -> (ev_twap_daily _),
     "w6_range_frame_7d" -> (w6_range_frame_7d _),
     "ev_item_cooccurrence" -> (ev_item_cooccurrence _),
+    "w7_global_ranks" -> (w7_global_ranks _),
     "ev_ewma_users" -> (ev_ewma_users _),
     "ev_sliding_2h1h" -> (ev_sliding_2h1h _),
     "ev_stream_join" -> (ev_stream_join _),
@@ -775,6 +798,21 @@ object Analytics {
     // a transition = a consecutive same-session pair (the gap rule did
     // not fire); share = outgoing fraction per origin type — one
     // double division of exact counts in both engines
+    // the distributed closed forms must equal DuckDB's NATIVE window
+    // functions; positional functions tie-break by custkey, the rank
+    // family orders by spend alone (SQL tie semantics)
+    "w7_global_ranks" ->
+      """WITH s AS (
+        | SELECT o_custkey AS custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        | FROM orders GROUP BY 1)
+        |SELECT custkey, spend,
+        | row_number() OVER (ORDER BY spend, custkey) AS row_number,
+        | rank() OVER (ORDER BY spend) AS rank,
+        | ROUND(percent_rank() OVER (ORDER BY spend), 6) AS percent_rank,
+        | ROUND(cume_dist() OVER (ORDER BY spend), 6) AS cume_dist,
+        | ntile(10) OVER (ORDER BY spend, custkey) AS decile
+        |FROM s ORDER BY custkey""".stripMargin,
     // co-visitation with the deterministic 64-item cap mirrored, lift
     // from integer products + one divide
     "ev_item_cooccurrence" ->
