@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -98,6 +99,42 @@ object Relational3 {
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
         count(when(col("o_totalprice") > col("thr"), 1)).as("n_outliers"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** ROBUST outlier census — median + MAD (median absolute
+    * deviation), the robust twin of [[a_outliers]]'s mean + σ: one
+    * corrupt billion-dollar row shifts a mean arbitrarily but moves a
+    * median by at most one rank. Both medians use the house RANK
+    * definition (smallest value whose cumulative count reaches
+    * ⌈n/2⌉ — integer `div`, engine-identical) computed over per-group
+    * VALUE-WEIGHT rows under group-KEYED windows: the window domain
+    * is a group's distinct values, never corpus rows — no
+    * unpartitioned window anywhere. Two passes (median, then the
+    * same machinery over |v − median|), 3×MAD flag. */
+  def a_robust_outliers(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderstatus").as("st"),
+      money(col("o_totalprice")).cast(DoubleType).as("v"))
+    def medianOf(df: DataFrame): DataFrame = {
+      val wts = df.groupBy("st", "v").agg(count(lit(1)).as("w"))
+      val cum = wts
+        .withColumn("cum",
+          sum("w").over(Window.partitionBy("st").orderBy("v")))
+        .withColumn("n", sum("w").over(Window.partitionBy("st")))
+      cum.filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy("st").agg(min("v").as("med"))
+    }
+    val med = medianOf(o)
+    val dev = o.join(broadcast(med), "st")
+      .withColumn("d", abs(col("v") - col("med")))
+    val mad = medianOf(dev.select(col("st"), col("d").as("v")))
+      .withColumnRenamed("med", "mad")
+    dev.join(broadcast(mad), "st")
+      .groupBy(col("st").as("o_orderstatus"), col("med").as("median"),
+        col("mad"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("d") > lit(3.0) * col("mad"), 1)).as("n_outliers"))
+      .select("o_orderstatus", "n", "median", "mad", "n_outliers")
       .orderBy("o_orderstatus")
   }
 
@@ -201,6 +238,7 @@ object Relational3 {
     "q_quality_report" -> (q_quality_report _),
     "q_fk_integrity" -> (q_fk_integrity _),
     "a_outliers" -> (a_outliers _),
+    "a_robust_outliers" -> (a_robust_outliers _),
     "a_q13_distribution" -> (a_q13_distribution _),
     "p_scalar_subquery" -> (p_scalar_subquery _),
     "x4_kgram_fingerprint" -> (x4_kgram_fingerprint _))
@@ -249,6 +287,35 @@ object Relational3 {
         | COUNT(*) FILTER (WHERE NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)) AS viol_status_domain,
         | COUNT(*) FILTER (WHERE NOT COALESCE(o_orderdate BETWEEN TIMESTAMP '1990-01-01 00:00:00' AND TIMESTAMP '2030-01-01 00:00:00', FALSE)) AS viol_date_range
         |FROM orders""".stripMargin,
+    // robust twin: both medians via the rank definition (smallest
+    // value reaching ceil(n/2), integer div) — engine-identical
+    "a_robust_outliers" ->
+      """WITH o AS (
+        | SELECT o_orderstatus AS st,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS v
+        | FROM orders),
+        |w1 AS (SELECT st, v, count(*) AS w FROM o GROUP BY 1, 2),
+        |c1 AS (
+        | SELECT st, v, sum(w) OVER (PARTITION BY st ORDER BY v) AS cum,
+        |  sum(w) OVER (PARTITION BY st) AS n
+        | FROM w1),
+        |m AS (SELECT st, min(v) AS med FROM c1
+        |      WHERE cum >= (n + 1) // 2 GROUP BY st),
+        |d AS (SELECT o.st, m.med, abs(o.v - m.med) AS dv
+        |      FROM o JOIN m USING (st)),
+        |w2 AS (SELECT st, dv, count(*) AS w FROM d GROUP BY 1, 2),
+        |c2 AS (
+        | SELECT st, dv, sum(w) OVER (PARTITION BY st ORDER BY dv) AS cum,
+        |  sum(w) OVER (PARTITION BY st) AS n
+        | FROM w2),
+        |m2 AS (SELECT st, min(dv) AS mad FROM c2
+        |       WHERE cum >= (n + 1) // 2 GROUP BY st)
+        |SELECT d.st AS o_orderstatus, count(*) AS n, m.med AS median,
+        | m2.mad AS mad,
+        | count(*) FILTER (WHERE d.dv > 3 * m2.mad) AS n_outliers
+        |FROM d JOIN m ON d.st = m.st JOIN m2 ON d.st = m2.st
+        |GROUP BY 1, m.med, m2.mad
+        |ORDER BY 1""".stripMargin,
     // exact decimal moments -> identical doubles -> identical threshold
     "a_outliers" ->
       """WITH m AS (SELECT o_orderstatus, COUNT(*) AS n,
