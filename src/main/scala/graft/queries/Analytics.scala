@@ -268,6 +268,30 @@ object Analytics {
       .orderBy("from_type", "to_type")
   }
 
+  /** LAST-TOUCH ATTRIBUTION (the marketing-analytics staple: credit
+    * each purchase to the most recent prior click): the as-of
+    * union-carry ([[graft.ext.AsOf]] — one key shuffle, never a range
+    * self-join) pins each purchase to the user's latest click at or
+    * before its timestamp and carries the clicked ITEM; revenue then
+    * rolls up per attributed item in exact decimal. Unattributed
+    * purchases (no prior click) are counted in a dedicated row rather
+    * than dropped — attribution reports that silently shrink their
+    * denominator overstate every channel. */
+  def ev_attribution_last_touch(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("item"))
+    graft.ext.AsOf.asofJoin(purchases, clicks, "user_id", "ts",
+        Seq("item"), tieBreak = Seq("event_id"))
+      .groupBy(coalesce(col("asof_item"), lit(-1)).as("item"))
+      .agg(count(lit(1)).as("n_purchases"),
+        msum(col("value")).as("attributed_value"))
+      .orderBy("item")
+  }
+
   /** GLOBAL ranking family (§2.5) WITHOUT the single-partition window
     * ([[graft.ext.GlobalRank]]): customer spend percentiles —
     * row_number / rank / percent_rank / cume_dist / NTILE(10) over
@@ -637,6 +661,7 @@ object Analytics {
     "w6_range_frame_7d" -> (w6_range_frame_7d _),
     "ev_item_cooccurrence" -> (ev_item_cooccurrence _),
     "w7_global_ranks" -> (w7_global_ranks _),
+    "ev_attribution_last_touch" -> (ev_attribution_last_touch _),
     "ev_ewma_users" -> (ev_ewma_users _),
     "ev_sliding_2h1h" -> (ev_sliding_2h1h _),
     "ev_stream_join" -> (ev_stream_join _),
@@ -798,6 +823,20 @@ object Analytics {
     // a transition = a consecutive same-session pair (the gap rule did
     // not fire); share = outgoing fraction per origin type — one
     // double division of exact counts in both engines
+    // last-touch attribution: DuckDB's native ASOF JOIN vs the
+    // union-carry; unattributed purchases land in item -1, not dropped
+    "ev_attribution_last_touch" ->
+      s"""SELECT coalesce(c.item, -1) AS item,
+         | count(*) AS n_purchases,
+         | ${Qhelpers.sqlMsum("p.value")} AS attributed_value
+         |FROM (SELECT event_id, user_id, ts, value FROM events
+         |      WHERE event_type = 'purchase') p
+         |ASOF LEFT JOIN (
+         |  SELECT user_id, ts,
+         |   CAST(json_extract_string(props, '$$.k') AS INTEGER) AS item
+         |  FROM events WHERE event_type = 'click') c
+         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+         |GROUP BY 1 ORDER BY item""".stripMargin,
     // the distributed closed forms must equal DuckDB's NATIVE window
     // functions; positional functions tie-break by custkey, the rank
     // family orders by spend alone (SQL tie semantics)
