@@ -31,13 +31,18 @@ object GlobalRank {
     * `ntile` columns appended, ordered by (`valueCol`, `idCol`) —
     * `idCol` breaks ties for the POSITIONAL functions (row_number,
     * ntile) exactly as `ORDER BY value, id` would; the rank-family
-    * functions order by `valueCol` alone, per SQL. */
+    * functions order by `valueCol` alone, per SQL. NULL-valued rows
+    * are EXCLUDED (dropped from the output and from n) — the honest
+    * contract for a ranking metric; SQL's nulls-first window rows
+    * would otherwise silently shift every real rank while the
+    * equi-join back dropped the null rows themselves. */
   def withRanks(df: DataFrame, valueCol: String, idCol: String,
       nTiles: Int = 10): DataFrame = {
     require(nTiles >= 1, s"nTiles must be >= 1, got $nTiles")
     val s = df.sparkSession
     import s.implicits._
-    val w = df.groupBy(col(valueCol).as("_v")).agg(count(lit(1)).as("_w"))
+    val w = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("_v")).agg(count(lit(1)).as("_w"))
       .repartitionByRange(col("_v"))
       .withColumn("_pid", spark_partition_id())
       .persist()

@@ -66,6 +66,16 @@ class GlobalRankSpec extends SparkSpec {
       "found an unpartitioned (single-partition) window")
   }
 
+  test("NULL values are excluded from output and from n") {
+    val df = Seq((1L, Some(1.0)), (2L, None), (3L, Some(2.0)))
+      .toDF("id", "v")
+    val got = GlobalRank.withRanks(df, "v", "id")
+      .select("id", "rank", "cume_dist")
+      .as[(Long, Long, Double)].collect().toSet
+    // n = 2 (the null row neither appears nor shifts ranks)
+    assert(got === Set((1L, 1L, 0.5), (3L, 2L, 1.0)))
+  }
+
   test("empty input refuses; single row ranks trivially") {
     intercept[IllegalArgumentException] {
       GlobalRank.withRanks(
