@@ -38,4 +38,50 @@ object RangeJoin {
       .filter(abs(col("l_us") - col("r_us")) <= tolMicros)
       .drop("_key", "_bucket", "l_us", "r_us")
   }
+
+  /** SELF interval-OVERLAP pairs within a key (the temporal-join
+    * staple: concurrent bookings, co-active sessions, same-part
+    * in-transit shipments). Each pair is oriented a-starts-first
+    * (ties broken by the id tuple), so overlap reduces to ONE
+    * inequality — b starts at or before a ends — and the
+    * nested-loop-free plan follows the house bucket recipe: the
+    * EARLIER side explodes into the calendar MONTHS its interval
+    * covers, the later side keys by its START month (which the
+    * earlier interval must cover for any overlap), candidates
+    * equi-join on (key, month) and the exact predicate verifies. A
+    * (a, b) pair meets in exactly ONE month — b's start month — so
+    * no dedup pass is needed. Fan-out = interval length in months
+    * (bounded for operational intervals); callers cap per-key row
+    * counts upstream when keys can be hot. Output: key, both id
+    * tuples (prefixed a_/b_), both intervals, and overlap_days
+    * (inclusive). Intervals are [start, end] inclusive with
+    * start ≤ end. */
+  def overlapPairs(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String, idCols: Seq[String]): DataFrame = {
+    require(idCols.nonEmpty, "overlapPairs needs id columns for pair order")
+    val cols = keyCol +: startCol +: endCol +: idCols
+    val base = df.select(cols.map(col): _*)
+    def side(p: String): DataFrame =
+      cols.foldLeft(base)((acc, c) => acc.withColumnRenamed(c, s"$p$c"))
+    val a = side("a_")
+      .withColumn("_am", explode(expr(
+        s"sequence(date_trunc('MONTH', a_$startCol), " +
+          s"date_trunc('MONTH', a_$endCol), interval 1 month)")))
+    val b = side("b_")
+      .withColumn("_bm", date_trunc("MONTH", col(s"b_$startCol")))
+    val aFirst = {
+      val aIds = struct(idCols.map(c => col(s"a_$c")): _*)
+      val bIds = struct(idCols.map(c => col(s"b_$c")): _*)
+      col(s"a_$startCol") < col(s"b_$startCol") ||
+        (col(s"a_$startCol") === col(s"b_$startCol") && aIds < bIds)
+    }
+    a.join(b, col(s"a_$keyCol") === col(s"b_$keyCol") &&
+        col("_am") === col("_bm"))
+      .filter(aFirst && col(s"b_$startCol") <= col(s"a_$endCol"))
+      .withColumn("overlap_days",
+        (datediff(least(col(s"a_$endCol"), col(s"b_$endCol")),
+          col(s"b_$startCol")) + 1).cast("long"))
+      .drop("_am", "_bm", s"b_$keyCol")
+      .withColumnRenamed(s"a_$keyCol", keyCol)
+  }
 }

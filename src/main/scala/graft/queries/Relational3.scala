@@ -210,6 +210,39 @@ object Relational3 {
       .orderBy("event_id")
   }
 
+  /** INTERVAL-OVERLAP self-join ([[graft.ext.RangeJoin.overlapPairs]]
+    * — the temporal join proper: not point-in-window but
+    * window-meets-window): same-part lineitems whose [ship, receipt]
+    * transit intervals overlap — "how often is a part doubly
+    * in-transit, and for how long?". Pairs orient earlier-start
+    * first, so overlap is ONE inequality; candidates equi-join on
+    * (part, calendar month of the later start) — never a nested-loop
+    * inequality join — and each pair meets in exactly one month (no
+    * dedup pass). Per-part rows capped at a deterministic 32
+    * (mirrored in the oracle; the co-occurrence cap discipline). */
+  def j_overlap_join(s: SparkSession, dir: String): DataFrame = {
+    // the fixture carries no receipt date; the transit END derives
+    // deterministically from quantity (1-14 days), mirrored verbatim
+    // in the oracle — the operator under test is the join, not the ETA
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"),
+        date_add(col("l_shipdate"),
+          (col("l_quantity").cast(IntegerType) % 14) + 1).as("l_transit_end"))
+    val capped = li
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("l_partkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")))
+      .filter(col("_rk") <= 32).drop("_rk")
+    graft.ext.RangeJoin.overlapPairs(capped, "l_partkey",
+        "l_shipdate", "l_transit_end",
+        Seq("l_orderkey", "l_linenumber"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_pairs"),
+        max("overlap_days").as("max_overlap_days"))
+      .orderBy("l_partkey")
+  }
+
   /** Bucketized range join: (purchase, error) event pairs of the same
     * user within 10 minutes — equi-join on (user, time-bucket) + exact
     * filter, never a nested-loop inequality join. */
@@ -239,6 +272,7 @@ object Relational3 {
     "q_fk_integrity" -> (q_fk_integrity _),
     "a_outliers" -> (a_outliers _),
     "a_robust_outliers" -> (a_robust_outliers _),
+    "j_overlap_join" -> (j_overlap_join _),
     "a_q13_distribution" -> (a_q13_distribution _),
     "p_scalar_subquery" -> (p_scalar_subquery _),
     "x4_kgram_fingerprint" -> (x4_kgram_fingerprint _))
@@ -287,6 +321,34 @@ object Relational3 {
         | COUNT(*) FILTER (WHERE NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)) AS viol_status_domain,
         | COUNT(*) FILTER (WHERE NOT COALESCE(o_orderdate BETWEEN TIMESTAMP '1990-01-01 00:00:00' AND TIMESTAMP '2030-01-01 00:00:00', FALSE)) AS viol_date_range
         |FROM orders""".stripMargin,
+    // interval overlap: the oracle uses the plain inequality self-join
+    // (sound at oracle scale) against the engine's month-bucket plan;
+    // the 32-per-part cap is mirrored exactly
+    "j_overlap_join" ->
+      """WITH li AS (
+        | SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+        |  l_shipdate + INTERVAL 1 DAY *
+        |    ((CAST(l_quantity AS INT) % 14) + 1) AS l_transit_end
+        | FROM lineitem),
+        |c AS (
+        | SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_partkey
+        |     ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rk
+        |  FROM li) WHERE rk <= 32),
+        |p AS (
+        | SELECT a.l_partkey,
+        |  CAST(datediff('day', b.l_shipdate,
+        |    LEAST(a.l_transit_end, b.l_transit_end)) + 1 AS BIGINT)
+        |   AS overlap_days
+        | FROM c a JOIN c b
+        |  ON a.l_partkey = b.l_partkey
+        |  AND (a.l_shipdate < b.l_shipdate OR (a.l_shipdate = b.l_shipdate
+        |       AND (a.l_orderkey < b.l_orderkey OR (a.l_orderkey = b.l_orderkey
+        |            AND a.l_linenumber < b.l_linenumber))))
+        |  AND b.l_shipdate <= a.l_transit_end)
+        |SELECT l_partkey, count(*) AS n_pairs,
+        | max(overlap_days) AS max_overlap_days
+        |FROM p GROUP BY 1 ORDER BY l_partkey""".stripMargin,
     // robust twin: both medians via the rank definition (smallest
     // value reaching ceil(n/2), integer div) — engine-identical
     "a_robust_outliers" ->
