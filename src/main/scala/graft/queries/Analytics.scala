@@ -268,6 +268,59 @@ object Analytics {
       .orderBy("from_type", "to_type")
   }
 
+  /** ROLLING 7-day DISTINCT users from MERGEABLE daily sketches — the
+    * ask plain SQL cannot window ("COUNT(DISTINCT) OVER a sliding
+    * frame" doesn't exist because distinct doesn't subtract): each day
+    * is HLL-sketched ONCE (Spark's native Datasketches aggregate),
+    * every day's sketch explodes to the ≤ 7 windows it serves, and
+    * each window is a UNION of 7 tiny sketches — corpus rows are read
+    * exactly once however long the window. lgK 14 keeps every window's
+    * cardinality in HLL's EXACT sparse regime at these SFs, so the
+    * differential oracle against DuckDB's true per-window
+    * COUNT(DISTINCT) is sound (the x_hll_distinct discipline; bigger
+    * cardinalities carry the standard envelope and are spec territory,
+    * not oracle territory). */
+  def ev_rolling_distinct_7d(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("user_id").cast("string"), lit(14)).as("sk"))
+    val observed = daily.select(col("day").as("target"))
+    daily
+      .withColumn("target", explode(expr(
+        "sequence(day, day + interval 6 days, interval 1 day)")))
+      .join(observed, Seq("target"), "left_semi")
+      .groupBy(col("target").as("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("n_users"))
+      .orderBy("day")
+  }
+
+  /** PARETO / revenue-concentration report ("do the top 10 % of
+    * customers carry half the revenue?"): spend DECILES from the
+    * distributed ranking family ([[graft.ext.GlobalRank]] — no
+    * single-partition window), then per-decile customer counts, exact
+    * decimal revenue, and each decile's share of total (integer-exact
+    * decimal sums; the share is one divide, rounded). */
+  def a_pareto_deciles(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(money(col("o_totalprice"))).as("spend_dec"))
+    val ranked = graft.ext.GlobalRank.withRanks(
+      spend.withColumn("spend", col("spend_dec").cast(DoubleType)),
+      "spend", "custkey", nTiles = 10)
+    val byDecile = ranked.groupBy(col("ntile").cast(LongType).as("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend_dec")).as("_rev"))
+    val total = byDecile.agg(sum("_rev")).head.getDecimal(0)
+    byDecile
+      .select(col("decile"), col("n_customers"),
+        col("_rev").cast(DoubleType).as("revenue"),
+        round(col("_rev").cast(DoubleType) / lit(total.doubleValue), 6)
+          .as("revenue_share"))
+      .orderBy("decile")
+  }
+
   /** LAST-TOUCH ATTRIBUTION (the marketing-analytics staple: credit
     * each purchase to the most recent prior click): the as-of
     * union-carry ([[graft.ext.AsOf]] — one key shuffle, never a range
@@ -662,6 +715,8 @@ object Analytics {
     "ev_item_cooccurrence" -> (ev_item_cooccurrence _),
     "w7_global_ranks" -> (w7_global_ranks _),
     "ev_attribution_last_touch" -> (ev_attribution_last_touch _),
+    "a_pareto_deciles" -> (a_pareto_deciles _),
+    "ev_rolling_distinct_7d" -> (ev_rolling_distinct_7d _),
     "ev_ewma_users" -> (ev_ewma_users _),
     "ev_sliding_2h1h" -> (ev_sliding_2h1h _),
     "ev_stream_join" -> (ev_stream_join _),
@@ -823,6 +878,38 @@ object Analytics {
     // a transition = a consecutive same-session pair (the gap rule did
     // not fire); share = outgoing fraction per origin type — one
     // double division of exact counts in both engines
+    // rolling distinct: sketch unions in the exact sparse regime must
+    // equal the true per-window COUNT(DISTINCT)
+    "ev_rolling_distinct_7d" ->
+      """WITH days AS (
+        | SELECT DISTINCT date_trunc('day', ts) AS d FROM events)
+        |SELECT days.d AS day,
+        | count(DISTINCT e.user_id) AS n_users
+        |FROM days JOIN events e
+        |  ON date_trunc('day', e.ts)
+        |     BETWEEN days.d - INTERVAL 6 DAY AND days.d
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+    // Pareto deciles: ntile ordered by (spend, custkey) mirrors the
+    // distributed rank; decimal-exact revenue, one divide per share
+    "a_pareto_deciles" ->
+      """WITH s AS (
+        | SELECT o_custkey AS custkey,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        | FROM orders GROUP BY 1),
+        |d AS (
+        | SELECT custkey, spend_dec,
+        |  ntile(10) OVER (ORDER BY spend, custkey) AS decile
+        | FROM s),
+        |g AS (
+        | SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_customers,
+        |  sum(spend_dec) AS rev
+        | FROM d GROUP BY 1),
+        |t AS (SELECT sum(rev) AS trev FROM g)
+        |SELECT g.decile, g.n_customers, CAST(g.rev AS DOUBLE) AS revenue,
+        | ROUND(CAST(g.rev AS DOUBLE) / CAST(t.trev AS DOUBLE), 6)
+        |  AS revenue_share
+        |FROM g CROSS JOIN t ORDER BY decile""".stripMargin,
     // last-touch attribution: DuckDB's native ASOF JOIN vs the
     // union-carry; unattributed purchases land in item -1, not dropped
     "ev_attribution_last_touch" ->
