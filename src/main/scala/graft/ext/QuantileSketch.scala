@@ -164,6 +164,26 @@ object QuantileSketch {
       .orderBy("q")
   }
 
+  /** CDF probe — the INVERSE of [[quantiles]] ("what share of rows
+    * sit at or below v?"): cumulative weight at each probe value over
+    * the folded summary, as (value, rank, n, cdf). Exact in the exact
+    * regime; rank error within the store budget otherwise. One fold ∝
+    * batches × capacity rows; probes ride a broadcast. */
+  def cdfAt(spark: SparkSession, dir: String,
+      values: Seq[Double]): DataFrame = {
+    require(values.nonEmpty, "at least one probe value")
+    import spark.implicits._
+    val m = merged(spark, dir)
+    val n = m.agg(coalesce(sum("w"), lit(0L))).head.getLong(0)
+    require(n > 0L, "empty quantile store")
+    m.join(broadcast(values.toDF("value")), col("v") <= col("value"))
+      .groupBy("value")
+      .agg(sum("w").as("rank"))
+      .withColumn("n", lit(n))
+      .withColumn("cdf", round(col("rank").cast("double") / lit(n.toDouble), 6))
+      .orderBy("value")
+  }
+
   /** Per-group rank quantiles from a grouped store — same target
     * semantics as [[quantiles]], one (grp, q, value) row per group ×
     * requested q. */

@@ -751,6 +751,19 @@ object ExtQueries {
       Seq(0.25, 0.5, 0.75, 0.9))
   }
 
+  /** The INVERSE probe on the same store — CDF at given quantities
+    * ("what share of lineitems ship 25 units or fewer?"): cumulative
+    * weight over the folded summary, exact in the exact regime. With
+    * [[x_quant_store_quantiles]] this closes the loop: the store
+    * answers value→percentile and percentile→value from one
+    * artifact. */
+  def x_quant_store_cdf(s: SparkSession, dir: String): DataFrame = {
+    val skDir = quantSketchDir(s, dir)
+    val (exact, _) = graft.ext.QuantileSketch.exactness(s, skDir)
+    require(exact, "quantile store trimmed; the oracle needs the exact regime")
+    graft.ext.QuantileSketch.cdfAt(s, skDir, Seq(5.0, 25.0, 45.0))
+  }
+
   /** Per-group store twin: p50/p90 of l_quantity per return flag from
     * the grouped quantile store — per-group meta rows prove every
     * (batch, flag) summary stayed exact, so the grouped window-SQL
@@ -918,6 +931,7 @@ object ExtQueries {
     "m3_video_neardup" -> (m3_video_neardup _),
     "x_freq_store_top" -> (x_freq_store_top _),
     "x_quant_store_quantiles" -> (x_quant_store_quantiles _),
+    "x_quant_store_cdf" -> (x_quant_store_cdf _),
     "x_quant_store_group_quantiles" -> (x_quant_store_group_quantiles _),
     "x_freq_store_group_top" -> (x_freq_store_group_top _),
     "x_kmv_segments" -> (x_kmv_segments _),
@@ -1109,6 +1123,18 @@ object ExtQueries {
         |SELECT q.q, min(cum.v) AS value
         |FROM q JOIN cum ON cum.cum >= CAST(ceil(q.q * cum.n) AS BIGINT)
         |GROUP BY q.q ORDER BY q.q""".stripMargin,
+    "x_quant_store_cdf" ->
+      """WITH n AS (
+        | SELECT count(*) AS n FROM lineitem WHERE l_quantity IS NOT NULL),
+        |p AS (SELECT unnest(CAST([5.0, 25.0, 45.0] AS DOUBLE[])) AS value)
+        |SELECT p.value,
+        | (SELECT count(*) FROM lineitem
+        |  WHERE CAST(l_quantity AS DOUBLE) <= p.value) AS rank,
+        | n.n,
+        | ROUND(CAST((SELECT count(*) FROM lineitem
+        |   WHERE CAST(l_quantity AS DOUBLE) <= p.value) AS DOUBLE)
+        |  / CAST(n.n AS DOUBLE), 6) AS cdf
+        |FROM p CROSS JOIN n ORDER BY value""".stripMargin,
     "x_quant_store_group_quantiles" ->
       """WITH c AS (
         | SELECT CAST(l_returnflag AS VARCHAR) AS grp,
