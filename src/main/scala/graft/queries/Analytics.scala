@@ -309,14 +309,15 @@ object Analytics {
     val ranked = graft.ext.GlobalRank.withRanks(
       spend.withColumn("spend", col("spend_dec").cast(DoubleType)),
       "spend", "custkey", nTiles = 10)
-    val byDecile = ranked.groupBy(col("ntile").cast(LongType).as("decile"))
+    ranked.groupBy(col("ntile").cast(LongType).as("decile"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("spend_dec")).as("_rev"))
-    val total = byDecile.agg(sum("_rev")).head.getDecimal(0)
-    byDecile
+      // total via a window over the TEN decile rows (bounded fold —
+      // no extra driver action, no corpus data under the window)
+      .withColumn("_total", sum("_rev").over(Window.partitionBy()))
       .select(col("decile"), col("n_customers"),
         col("_rev").cast(DoubleType).as("revenue"),
-        round(col("_rev").cast(DoubleType) / lit(total.doubleValue), 6)
+        round(col("_rev").cast(DoubleType) / col("_total").cast(DoubleType), 6)
           .as("revenue_share"))
       .orderBy("decile")
   }
