@@ -268,6 +268,27 @@ object Analytics {
       .orderBy("from_type", "to_type")
   }
 
+  /** CONVERSION LATENCY distribution (the funnel's "how long does it
+    * take?" companion: time from a user's FIRST view to their first
+    * purchase at or after it), bucketed by hour — a bounded-domain
+    * histogram instead of a global median, so no unpartitioned
+    * window and pure integer arithmetic end to end (`div` on
+    * microseconds; long `/` would be double division). Two grouped
+    * aggregates + one user-keyed join. */
+  def ev_conversion_latency(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("vus"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pus"))
+    purchases.join(firstView, Seq("user_id"))
+      .filter(col("pus") >= col("vus"))
+      .groupBy("user_id", "vus").agg(min("pus").as("pus"))
+      .withColumn("hours", expr("(pus - vus) div 3600000000"))
+      .groupBy("hours").agg(count(lit(1)).as("n_users"))
+      .orderBy("hours")
+  }
+
   /** ROLLING 7-day DISTINCT users from MERGEABLE daily sketches — the
     * ask plain SQL cannot window ("COUNT(DISTINCT) OVER a sliding
     * frame" doesn't exist because distinct doesn't subtract): each day
@@ -718,6 +739,7 @@ object Analytics {
     "ev_attribution_last_touch" -> (ev_attribution_last_touch _),
     "a_pareto_deciles" -> (a_pareto_deciles _),
     "ev_rolling_distinct_7d" -> (ev_rolling_distinct_7d _),
+    "ev_conversion_latency" -> (ev_conversion_latency _),
     "ev_ewma_users" -> (ev_ewma_users _),
     "ev_sliding_2h1h" -> (ev_sliding_2h1h _),
     "ev_stream_join" -> (ev_stream_join _),
@@ -879,6 +901,18 @@ object Analytics {
     // a transition = a consecutive same-session pair (the gap rule did
     // not fire); share = outgoing fraction per origin type — one
     // double division of exact counts in both engines
+    // conversion latency: integer microsecond div end to end
+    "ev_conversion_latency" ->
+      """WITH v AS (
+        | SELECT user_id, min(epoch_us(ts)) AS vus
+        | FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        | SELECT p.user_id, v.vus, min(epoch_us(p.ts)) AS pus
+        | FROM events p JOIN v ON p.user_id = v.user_id
+        | WHERE p.event_type = 'purchase' AND epoch_us(p.ts) >= v.vus
+        | GROUP BY 1, 2)
+        |SELECT (pus - vus) // 3600000000 AS hours, count(*) AS n_users
+        |FROM c GROUP BY 1 ORDER BY hours""".stripMargin,
     // rolling distinct: sketch unions in the exact sparse regime must
     // equal the true per-window COUNT(DISTINCT)
     "ev_rolling_distinct_7d" ->
