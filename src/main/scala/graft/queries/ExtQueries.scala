@@ -644,6 +644,33 @@ object ExtQueries {
       .orderBy("term")
   }
 
+  /** LABEL-DISTRIBUTION DRIFT via PSI (population stability index —
+    * the ML-ops "did my training mix shift?" gate): the label shares
+    * of two dataset halves compared per label, psi_term =
+    * (p_a − p_b)·ln(p_a/p_b) (Σ > 0.2 = actionable drift by the
+    * published rule of thumb). Counts are integers, shares one divide
+    * against a window total over the label × half grid (bounded —
+    * never corpus rows), and the ln sits ~11 orders below the 6-dp
+    * rounding quantum (the BM25 cross-engine discipline). */
+  def x_label_psi(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "embeddings")
+      .select(col("label"), (col("vec_id") % 2).as("half"))
+      .groupBy("label", "half").agg(count(lit(1)).as("n"))
+    val share = c.withColumn("share",
+      col("n").cast(DoubleType) /
+        sum("n").over(Window.partitionBy("half")).cast(DoubleType))
+    val a = share.filter(col("half") === 0)
+      .select(col("label"), col("share").as("sa"))
+    val b = share.filter(col("half") === 1)
+      .select(col("label"), col("share").as("sb"))
+    a.join(b, Seq("label"))
+      .select(col("label"), round(col("sa"), 6).as("share_a"),
+        round(col("sb"), 6).as("share_b"),
+        round((col("sa") - col("sb")) * log(col("sa") / col("sb")), 6)
+          .as("psi_term"))
+      .orderBy("label")
+  }
+
   /** "Did you mean" ranked spell suggestion on top of the fuzzy index:
     * for each misspelled input, expand to vocabulary candidates
     * (partition-pruned SymSpell probe), score each candidate by its
@@ -947,6 +974,7 @@ object ExtQueries {
     "p6b_indexed_search" -> (p6b_indexed_search _),
     "p6g_fuzzy_search" -> (p6g_fuzzy_search _),
     "p6h_did_you_mean" -> (p6h_did_you_mean _),
+    "x_label_psi" -> (x_label_psi _),
     "p6c_substring_search" -> (p6c_substring_search _),
     "p6d_phrase_search" -> (p6d_phrase_search _),
     "p6f_bm25_rank" -> (p6f_bm25_rank _),
@@ -1075,6 +1103,21 @@ object ExtQueries {
         | count(DISTINCT doc_id) AS n_docs
         |FROM w WHERE levenshtein(term, 'part') <= 2
         |GROUP BY term ORDER BY term""".stripMargin,
+    // PSI drift: integer counts, one divide per share, ln far below
+    // the rounding quantum
+    "x_label_psi" ->
+      """WITH c AS (
+        | SELECT label, vec_id % 2 AS half, count(*) AS n
+        | FROM embeddings GROUP BY 1, 2),
+        |s AS (
+        | SELECT label, half, CAST(n AS DOUBLE)
+        |   / CAST(sum(n) OVER (PARTITION BY half) AS DOUBLE) AS share
+        | FROM c)
+        |SELECT a.label, ROUND(a.share, 6) AS share_a,
+        | ROUND(b.share, 6) AS share_b,
+        | ROUND((a.share - b.share) * ln(a.share / b.share), 6) AS psi_term
+        |FROM s a JOIN s b ON a.label = b.label AND a.half = 0 AND b.half = 1
+        |ORDER BY a.label""".stripMargin,
     // ranked spell suggestion: per input the (dist, df desc, term)
     // argmin over the same word-explode + levenshtein scan
     "p6h_did_you_mean" ->
