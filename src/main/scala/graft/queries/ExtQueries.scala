@@ -644,6 +644,35 @@ object ExtQueries {
       .orderBy("term")
   }
 
+  /** VECTOR QUALITY audit — the embedding-column pre-flight every ANN
+    * build should gate on (corrupt vectors break similarity search
+    * SILENTLY: a zero-norm row cosines to NULL, a short vector skews
+    * any fixed-dim kernel): one pass counting nulls, zero-norm rows,
+    * rows off the dominant dimensionality, plus the dim extrema. All
+    * integer counts; the dominant dim is an exact mode computed from
+    * the bounded dim histogram. */
+  def x1_vector_quality(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        size(col("embedding")).as("dim"),
+        expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+          .as("sq"))
+    val modeDim = e.filter(col("embedding").isNotNull)
+      .groupBy("dim").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("dim")).limit(1)
+      .select("dim").head.getInt(0)
+    e.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("embedding").isNull, 1)).as("n_null"),
+      count(when(col("embedding").isNotNull && col("sq") === 0.0, 1))
+        .as("n_zero_norm"),
+      count(when(col("embedding").isNotNull && col("dim") =!= modeDim, 1))
+        .as("n_off_dim"),
+      min(when(col("embedding").isNotNull, col("dim"))).as("min_dim"),
+      max(when(col("embedding").isNotNull, col("dim"))).as("max_dim"))
+      .withColumn("mode_dim", lit(modeDim))
+  }
+
   /** LABEL-DISTRIBUTION DRIFT via PSI (population stability index —
     * the ML-ops "did my training mix shift?" gate): the label shares
     * of two dataset halves compared per label, psi_term =
@@ -975,6 +1004,7 @@ object ExtQueries {
     "p6g_fuzzy_search" -> (p6g_fuzzy_search _),
     "p6h_did_you_mean" -> (p6h_did_you_mean _),
     "x_label_psi" -> (x_label_psi _),
+    "x1_vector_quality" -> (x1_vector_quality _),
     "p6c_substring_search" -> (p6c_substring_search _),
     "p6d_phrase_search" -> (p6d_phrase_search _),
     "p6f_bm25_rank" -> (p6f_bm25_rank _),
@@ -1103,6 +1133,29 @@ object ExtQueries {
         | count(DISTINCT doc_id) AS n_docs
         |FROM w WHERE levenshtein(term, 'part') <= 2
         |GROUP BY term ORDER BY term""".stripMargin,
+    // vector quality: all integer counts; mode dim from the bounded
+    // dim histogram with a deterministic (count desc, dim) tiebreak
+    "x1_vector_quality" ->
+      """WITH e AS (
+        | SELECT vec_id, embedding, len(embedding) AS dim,
+        |  list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq
+        | FROM embeddings),
+        |m AS (
+        | SELECT dim AS mode_dim FROM e WHERE embedding IS NOT NULL
+        | GROUP BY dim ORDER BY count(*) DESC, dim LIMIT 1)
+        |SELECT count(*) AS n_rows,
+        | count(*) FILTER (WHERE embedding IS NULL) AS n_null,
+        | count(*) FILTER (WHERE embedding IS NOT NULL AND sq = 0.0)
+        |   AS n_zero_norm,
+        | count(*) FILTER (WHERE embedding IS NOT NULL
+        |   AND dim <> m.mode_dim) AS n_off_dim,
+        | CAST(min(dim) FILTER (WHERE embedding IS NOT NULL) AS INT)
+        |   AS min_dim,
+        | CAST(max(dim) FILTER (WHERE embedding IS NOT NULL) AS INT)
+        |   AS max_dim,
+        | CAST(m.mode_dim AS INT) AS mode_dim
+        |FROM e CROSS JOIN m GROUP BY m.mode_dim""".stripMargin,
     // PSI drift: integer counts, one divide per share, ln far below
     // the rounding quantum
     "x_label_psi" ->
