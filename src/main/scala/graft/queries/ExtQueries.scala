@@ -644,6 +644,45 @@ object ExtQueries {
       .orderBy("term")
   }
 
+  /** HYBRID RETRIEVAL via Reciprocal Rank Fusion (the RAG-stack
+    * default for combining lexical and semantic search): BM25 top-50
+    * (served from the positional index — text never read) and exact
+    * cosine top-50 fuse as Σ 1/(60 + rank), the published RRF
+    * constant. Rank lists are 50-row bounded, so their row_number
+    * windows are control-plane folds; each fused score is TWO IEEE
+    * divides + one add (commutative — order-proof without decimal),
+    * and the cut orders by the 6-dp rounded fusion + id. Documents
+    * found by only one modality keep their single term (full outer
+    * join) — that asymmetry is RRF's point. */
+  def p6i_hybrid_rrf(s: SparkSession, dir: String): DataFrame = {
+    val posDir = positionalIndexDir(s, dir)
+    val bm = graft.ext.TextIndex.bm25Search(s, posDir, "doc_id",
+        Seq("spark", "table", "vector"), k = 50)
+      .withColumn("rb", row_number().over(
+        Window.orderBy(desc("score"), asc("doc_id"))).cast(LongType))
+      .select("doc_id", "rb")
+    val emb = t(s, dir, "embeddings")
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    val vec = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("vscore", round(
+        expr("aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+          / (sqrt(expr("aggregate(e, 0D, (acc, x) -> acc + x * x)"))
+            * sqrt(expr("aggregate(qe, 0D, (acc, x) -> acc + x * x)"))), 6))
+      .orderBy(desc("vscore"), asc("vec_id")).limit(50)
+      .withColumn("rv", row_number().over(
+        Window.orderBy(desc("vscore"), asc("vec_id"))).cast(LongType))
+      .select(col("vec_id").as("doc_id"), col("rv"))
+    bm.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (col("rb").cast(DoubleType) + lit(60.0)), lit(0.0))
+          + coalesce(lit(1.0) / (col("rv").cast(DoubleType) + lit(60.0)),
+            lit(0.0)), 6))
+      .select("doc_id", "rb", "rv", "rrf")
+      .orderBy(desc("rrf"), asc("doc_id")).limit(10)
+  }
+
   /** VECTOR QUALITY audit — the embedding-column pre-flight every ANN
     * build should gate on (corrupt vectors break similarity search
     * SILENTLY: a zero-norm row cosines to NULL, a short vector skews
@@ -1005,6 +1044,7 @@ object ExtQueries {
     "p6h_did_you_mean" -> (p6h_did_you_mean _),
     "x_label_psi" -> (x_label_psi _),
     "x1_vector_quality" -> (x1_vector_quality _),
+    "p6i_hybrid_rrf" -> (p6i_hybrid_rrf _),
     "p6c_substring_search" -> (p6c_substring_search _),
     "p6d_phrase_search" -> (p6d_phrase_search _),
     "p6f_bm25_rank" -> (p6f_bm25_rank _),
@@ -1116,6 +1156,48 @@ object ExtQueries {
         | GROUP BY 1)
         |SELECT doc_id, ROUND(score, 6) AS score FROM sc
         |ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 10""".stripMargin,
+    // RRF fusion: both rank lists recomputed natively, two divides +
+    // one commutative add per fused score, rounded cut
+    "p6i_hybrid_rrf" ->
+      """WITH w AS (
+        | SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+'))
+        |   AS term
+        | FROM documents),
+        |len AS (SELECT doc_id, COUNT(*) AS len FROM w GROUP BY doc_id),
+        |n AS (SELECT COUNT(*) AS n_docs, SUM(len) AS total FROM len),
+        |tf AS (
+        | SELECT doc_id, term, COUNT(*) AS tf FROM w
+        | WHERE term IN ('spark', 'table', 'vector') GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        | SELECT tf.doc_id,
+        |  SUM(ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |      * tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * len.len
+        |          / (n.total / (n.n_docs * 1.0))))) AS score
+        | FROM tf JOIN df USING (term) JOIN len USING (doc_id) CROSS JOIN n
+        | GROUP BY 1),
+        |bm AS (
+        | SELECT doc_id,
+        |  row_number() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) AS rb
+        | FROM sc ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 50),
+        |vs AS (
+        | SELECT e.vec_id AS doc_id,
+        |  ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+        |    q.embedding::DOUBLE[]), 6) AS vscore
+        | FROM embeddings e
+        | CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        | WHERE e.vec_id <> 0),
+        |vr AS (
+        | SELECT doc_id,
+        |  row_number() OVER (ORDER BY vscore DESC, doc_id) AS rv
+        | FROM vs ORDER BY vscore DESC, doc_id LIMIT 50)
+        |SELECT COALESCE(bm.doc_id, vr.doc_id) AS doc_id,
+        | CAST(bm.rb AS BIGINT) AS rb, CAST(vr.rv AS BIGINT) AS rv,
+        | ROUND(COALESCE(1 / (CAST(bm.rb AS DOUBLE) + 60), 0)
+        |   + COALESCE(1 / (CAST(vr.rv AS DOUBLE) + 60), 0), 6) AS rrf
+        |FROM bm FULL OUTER JOIN vr ON bm.doc_id = vr.doc_id
+        |ORDER BY rrf DESC, COALESCE(bm.doc_id, vr.doc_id) LIMIT 10""".stripMargin,
     "p6b_indexed_search" ->
       """SELECT doc_id, lang FROM documents
         |WHERE list_contains(regexp_extract_all(lower(text), '[a-z]+'), 'spark')
