@@ -35,7 +35,15 @@ object GlobalRank {
     * are EXCLUDED (dropped from the output and from n) — the honest
     * contract for a ranking metric; SQL's nulls-first window rows
     * would otherwise silently shift every real rank while the
-    * equi-join back dropped the null rows themselves. */
+    * equi-join back dropped the null rows themselves.
+    *
+    * Skew caveat, stated not hidden: the positional columns route
+    * every row of one VALUE through that value's keyed window, so a
+    * pathological tie domain (90 % of rows sharing one value) makes a
+    * hot task — rank/percent_rank/cume_dist don't care (closed forms
+    * of the prefix), but row_number/ntile callers on heavy-tie
+    * domains should pre-salt the tie-break or rank a de-duplicated
+    * projection. */
   def withRanks(df: DataFrame, valueCol: String, idCol: String,
       nTiles: Int = 10): DataFrame = {
     require(nTiles >= 1, s"nTiles must be >= 1, got $nTiles")
