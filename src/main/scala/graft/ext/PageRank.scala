@@ -50,12 +50,38 @@ object PageRank {
     * contract oracle rows pin. Cost: one nodes-sized join + aggregate
     * per iteration while armed. */
   def fixedPointRanks(edges: DataFrame, iterations: Int,
+      dampingPct: Int = 85, convergeUnits: Long = -1L): DataFrame =
+    core(edges.select(col("src"), col("dst")).distinct()
+        .withColumn("w", lit(1L)),
+      iterations, dampingPct, convergeUnits)
+
+  /** WEIGHTED variant: rank flows PROPORTIONAL to integer edge
+    * weights — contribution = (r · w) div W_out with W_out the
+    * node's total out-weight, so a 10-purchase edge carries 10× the
+    * mass of a 1-purchase one. Parallel (src, dst) rows sum their
+    * weights. Same integer determinism as the uniform walk (the
+    * uniform walk IS this with w = 1 — r·1 div d ≡ r div d, bit for
+    * bit); overflow guard: a rank never exceeds [[Mass]], so r·w
+    * stays inside Long while max edge weight ≤ Long.Max/Mass
+    * (~9.2 × 10⁶) — `require`d from one control-plane aggregate. */
+  def weightedRanks(edges: DataFrame, iterations: Int,
       dampingPct: Int = 85, convergeUnits: Long = -1L): DataFrame = {
+    val e = edges.select(col("src"), col("dst"),
+        col("w").cast("long").as("w"))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val maxW = e.agg(coalesce(max("w"), lit(0L))).head.getLong(0)
+    require(maxW >= 1L, "edge weights must be >= 1")
+    require(maxW <= Long.MaxValue / Mass,
+      s"max edge weight $maxW overflows rank units (cap ${Long.MaxValue / Mass})")
+    core(e, iterations, dampingPct, convergeUnits)
+  }
+
+  private def core(weightedEdges: DataFrame, iterations: Int,
+      dampingPct: Int, convergeUnits: Long): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(dampingPct >= 1 && dampingPct <= 99,
       s"dampingPct must be in [1, 99], got $dampingPct")
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(true)
+    val e = weightedEdges.localCheckpoint(true)
     val nodes = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v")))
       .distinct().localCheckpoint(true)
@@ -64,9 +90,9 @@ object PageRank {
     // driver-side integer constants — the oracle computes the same
     // literals with the same floor divisions
     val base = (Mass * (100 - dampingPct) / 100) / n
-    // out-degree is loop-invariant: pre-join it onto the edges ONCE
-    // instead of paying a third join every iteration
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // total out-weight is loop-invariant: pre-join it onto the edges
+    // ONCE instead of paying a third join every iteration
+    val deg = e.groupBy(col("src")).agg(sum("w").as("d"))
     val eDeg = e.join(deg, Seq("src")).localCheckpoint(true)
     var pr = nodes.select(col("v"), lit(Mass / n).as("r"))
       .localCheckpoint(true)
@@ -75,7 +101,7 @@ object PageRank {
     while (iter < iterations && !converged) {
       val contrib = eDeg
         .join(pr.select(col("v").as("src"), col("r")), Seq("src"))
-        .select(col("dst").as("v"), expr("r div d").as("c"))
+        .select(col("dst").as("v"), expr("(r * w) div d").as("c"))
         .groupBy("v").agg(sum("c").as("c"))
       val next = nodes.join(contrib, Seq("v"), "left")
         .select(col("v"),

@@ -153,10 +153,34 @@ object Graph {
       .orderBy("node")
   }
 
+  /** WEIGHTED PageRank (`ext.PageRank.weightedRanks` — the r10
+    * stretch item's other half): rank flows proportional to integer
+    * edge weights over the symmetrized user ↔ purchased-item graph
+    * (weight = purchase count, so a 10-purchase relationship carries
+    * 10× the mass of a 1-purchase one). Same bit-deterministic
+    * integer arithmetic as [[g_pagerank]] — the oracle unrolls the
+    * same five weighted steps with the same floor divisions. */
+  def g_pagerank_weighted(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(
+        concat(lit("U"), col("user_id").cast(StringType)).as("src"),
+        concat(lit("K"),
+          get_json_object(col("props"), "$.k")).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val sym = p.unionByName(
+      p.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    graft.ext.PageRank.weightedRanks(sym, iterations = 5)
+      .select(col("v").as("node"), col("r").as("rank_units"))
+      .orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_triangle_count" -> (g_triangle_count _),
     "lineage_closure" -> (lineage_closure _),
-    "g_pagerank" -> (g_pagerank _))
+    "g_pagerank" -> (g_pagerank _),
+    "g_pagerank_weighted" -> (g_pagerank_weighted _))
 
   val oracle: Map[String, String] = Map(
     // same edge set, triangles counted the textbook way (a<b<c join);
@@ -204,6 +228,36 @@ object Graph {
         |  JOIN edges e ON r.anc = e.src)
         |SELECT src AS node, anc FROM reach
         |ORDER BY node, anc""".stripMargin,
+    // weighted twin: the same unrolled integer iterations with
+    // contribution (r * w) // W_out — bit-for-bit like the uniform row
+    "g_pagerank_weighted" -> {
+      val step = (k: Int) =>
+        s"""c$k AS (SELECT e.dst AS v,
+           |         CAST(SUM((p.r * e.w) // dg.d) AS BIGINT) AS c
+           |       FROM edges e JOIN pr${k - 1} p ON p.v = e.src
+           |       JOIN deg dg ON dg.v = e.src GROUP BY e.dst),
+           |pr$k AS (SELECT n.v,
+           |        (SELECT b FROM base) + (COALESCE(c$k.c, 0) * 85) // 100 AS r
+           |        FROM nodes n LEFT JOIN c$k ON c$k.v = n.v)""".stripMargin
+      s"""WITH p AS (
+         |  SELECT 'U' || CAST(user_id AS VARCHAR) AS src,
+         |         'K' || json_extract_string(props, '$$.k') AS dst,
+         |         count(*) AS wt
+         |  FROM events WHERE event_type = 'purchase'
+         |    AND json_extract_string(props, '$$.k') IS NOT NULL
+         |  GROUP BY 1, 2),
+         |edges AS (SELECT src, dst, CAST(SUM(wt) AS BIGINT) AS w FROM
+         |  (SELECT src, dst, wt FROM p
+         |   UNION ALL SELECT dst, src, wt FROM p) GROUP BY 1, 2),
+         |nodes AS (SELECT DISTINCT src AS v FROM edges),
+         |deg AS (SELECT src AS v, CAST(SUM(w) AS BIGINT) AS d
+         |        FROM edges GROUP BY 1),
+         |base AS (SELECT (1000000000000 * 15 // 100) // COUNT(*) AS b FROM nodes),
+         |pr0 AS (SELECT v, 1000000000000 // (SELECT COUNT(*) FROM nodes) AS r
+         |        FROM nodes),
+         |${(1 to 5).map(step).mkString(",\n")}
+         |SELECT v AS node, r AS rank_units FROM pr5 ORDER BY node""".stripMargin
+    },
     // identical five fixed-point iterations unrolled as CTEs: every
     // step is integer arithmetic (// floors like Spark's div), so the
     // rank units match bit-for-bit
