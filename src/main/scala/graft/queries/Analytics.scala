@@ -241,6 +241,26 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** SESSION-LENGTH distribution (the engagement-shape report:
+    * "mostly one-event bounces, or long sessions?"): the ev_sessionize
+    * 30-min gap rule assigns (user, session) ids via a running sum
+    * inside the SAME keyed window as the lag (one user_id shuffle
+    * total), events roll up per session, and session lengths roll up
+    * into a bounded histogram — pure integer counts end to end. */
+  def ev_session_lengths(s: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byTime))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sess", sum("new_sess").over(byTime))
+      .groupBy("user_id", "sess").agg(count(lit(1)).as("len"))
+      .groupBy("len").agg(count(lit(1)).as("n_sessions"))
+      .orderBy("len")
+  }
+
   /** Behavioral PATH analysis — the session transition matrix: for
     * every within-session consecutive event pair, count (from_type →
     * to_type) and each origin's outgoing share (the Markov-chain view
@@ -730,6 +750,7 @@ object Analytics {
     "f_scalar_bundle" -> (f_scalar_bundle _),
     "ev_tumbling_hourly" -> (ev_tumbling_hourly _),
     "ev_sessionize" -> (ev_sessionize _),
+    "ev_session_lengths" -> (ev_session_lengths _),
     "ev_transition_matrix" -> (ev_transition_matrix _),
     "ev_anomaly_hours" -> (ev_anomaly_hours _),
     "ev_twap_daily" -> (ev_twap_daily _),
@@ -901,6 +922,25 @@ object Analytics {
     // a transition = a consecutive same-session pair (the gap rule did
     // not fire); share = outgoing fraction per origin type — one
     // double division of exact counts in both engines
+    // session lengths: same lag/running-sum session ids as the
+    // sessionize oracle, then two integer roll-ups
+    "ev_session_lengths" ->
+      """WITH e AS (
+        | SELECT user_id, ts, event_id,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_us
+        | FROM events),
+        |s AS (
+        | SELECT user_id,
+        |  sum(CASE WHEN prev_us IS NULL
+        |        OR epoch_us(ts) - prev_us > 1800000000
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS sess
+        | FROM e),
+        |l AS (SELECT user_id, sess, count(*) AS len FROM s GROUP BY 1, 2)
+        |SELECT CAST(len AS BIGINT) AS len, count(*) AS n_sessions
+        |FROM l GROUP BY 1 ORDER BY len""".stripMargin,
     // conversion latency: integer microsecond div end to end
     "ev_conversion_latency" ->
       """WITH v AS (
