@@ -758,6 +758,47 @@ object TextSim {
 
   /** DuckDB oracle for the >1/800 frequent-bigram ask — shared by both
     * twins for the same reason. */
+  /** X4 — COLLOCATION detection via PMI (pointwise mutual
+    * information, the published "are these words together more than
+    * chance?" score): for the >1/800 frequent bigrams (the
+    * heavy-hitter set — tiny by construction), PMI = ln(p(ab) /
+    * (p(a)·p(b))) from the exact bigram and unigram censuses. The
+    * expression is a PINNED division sequence — (nab/N2) / ((na/N1)·
+    * (nb/N1)) — so both engines execute the identical IEEE ops
+    * before ONE ln (the BM25 rounding discipline); counts are exact
+    * integers and the word-count join sides are vocabulary-sized
+    * broadcasts. */
+  def x4_bigram_pmi(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bi = bigramStream(docs).groupBy("bigram")
+      .agg(count(lit(1)).as("nab"))
+      .persist()
+    try {
+      val n2 = bi.agg(coalesce(sum("nab"), lit(0L))).head.getLong(0)
+      val wcounts = docs
+        .select(explode(words(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("nw"))
+        .persist()
+      try {
+        val n1 = wcounts.agg(coalesce(sum("nw"), lit(0L))).head.getLong(0)
+        bi.filter(col("nab") * 800 > n2)
+          .withColumn("w1", split(col("bigram"), " ").getItem(0))
+          .withColumn("w2", split(col("bigram"), " ").getItem(1))
+          .join(broadcast(wcounts.select(col("w").as("w1"),
+            col("nw").as("na"))), Seq("w1"))
+          .join(broadcast(wcounts.select(col("w").as("w2"),
+            col("nw").as("nb"))), Seq("w2"))
+          .select(col("bigram"), col("nab").as("n"),
+            round(log((col("nab").cast(DoubleType) / lit(n2.toDouble)) /
+              ((col("na").cast(DoubleType) / lit(n1.toDouble)) *
+                (col("nb").cast(DoubleType) / lit(n1.toDouble)))), 6)
+              .as("pmi"))
+          .orderBy("bigram")
+          .localCheckpoint(true)
+      } finally { wcounts.unpersist(); () }
+    } finally { bi.unpersist(); () }
+  }
+
   private[queries] val bigramFrequentOracle: String =
     """WITH d AS (
       | SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws
@@ -826,11 +867,38 @@ object TextSim {
     "x4_split_assign" -> (x4_split_assign _),
     "x1_cosine_topk" -> (x1_cosine_topk _),
     "x1_filtered_topk" -> (x1_filtered_topk _),
+    "x4_bigram_pmi" -> (x4_bigram_pmi _),
     "x1_knn_label" -> (x1_knn_label _),
     "x1_knn_batch" -> (x1_knn_batch _),
     "x1_label_stats" -> (x1_label_stats _))
 
   val oracle: Map[String, String] = Map(
+    // PMI: identical pinned division sequence before one ln
+    "x4_bigram_pmi" ->
+      """WITH d AS (
+        | SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws
+        | FROM documents),
+        |g AS (
+        | SELECT UNNEST(list_transform(range(1, len(ws)),
+        |   i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])) AS bigram
+        | FROM d),
+        |wc AS (
+        | SELECT UNNEST(ws) AS w FROM d),
+        |wcount AS (SELECT w, COUNT(*) AS nw FROM wc GROUP BY 1),
+        |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wc),
+        |n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+        |b AS (
+        | SELECT bigram, COUNT(*) AS nab FROM g CROSS JOIN n2
+        | GROUP BY bigram, n2.n HAVING COUNT(*) * 800 > n2.n)
+        |SELECT b.bigram, b.nab AS n,
+        | ROUND(ln((CAST(b.nab AS DOUBLE) / CAST(n2.n AS DOUBLE)) /
+        |   ((CAST(wa.nw AS DOUBLE) / CAST(n1.n AS DOUBLE)) *
+        |    (CAST(wb.nw AS DOUBLE) / CAST(n1.n AS DOUBLE)))), 6) AS pmi
+        |FROM b
+        |CROSS JOIN n1 CROSS JOIN n2
+        |JOIN wcount wa ON wa.w = split_part(b.bigram, ' ', 1)
+        |JOIN wcount wb ON wb.w = split_part(b.bigram, ' ', 2)
+        |ORDER BY b.bigram""".stripMargin,
     // filtered kNN: exact over the predicate's subset — the oracle is
     // the same filtered brute force
     "x1_filtered_topk" ->
