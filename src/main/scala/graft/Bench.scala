@@ -118,15 +118,43 @@ object Bench {
     // regression distinguishable from machine noise round over round.
     val runsN = math.max(1,
       sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3))
+    // Per-query GC/RSS telemetry: a single 24g JVM carrying 199
+    // queries' cached tables and persisted indexes drifts (r11's
+    // official artifact inflated trivially-cheap queries 3-14x vs the
+    // same-code builder run) — attribute that drift FROM the artifact
+    // by recording, per query, the GC milliseconds its runs incurred
+    // and the process RSS after them. SPARK_GRAFT_GC_FENCE=1 adds a
+    // System.gc() fence before each query's run set (fresh-state mode
+    // — wall-clock costs one full GC per query, query times exclude it).
+    def gcMsNow(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    def rssMbNow(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/self/status")
+        try src.getLines().collectFirst {
+          case l if l.startsWith("VmRSS:") =>
+            l.split("\\s+")(1).toLong / 1024L
+        }.getOrElse(-1L)
+        finally src.close()
+      } catch { case _: Throwable => -1L }
+    val gcFence = sys.env.get("SPARK_GRAFT_GC_FENCE").contains("1")
     val allRuns = selected.map { case (name, fn) =>
+      if (gcFence) System.gc()
+      val g0 = gcMsNow()
       val times = (1 to runsN).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times
+      name -> (times, gcMsNow() - g0, rssMbNow())
     }
-    val results = allRuns.map { case (k, ts) => k -> ts.sorted.apply(ts.size / 2) }
+    val gcByQuery = allRuns.map { case (k, (_, gc, _)) => k -> gc }
+    val rssByQuery = allRuns.map { case (k, (_, _, rss)) => k -> rss }
+    val runDetail = allRuns.map { case (k, (ts, _, _)) => k -> ts }
+    val results = runDetail.map { case (k, ts) => k -> ts.sorted.apply(ts.size / 2) }
     // Pipeline-level metric: the §3 scan→merge→review lifecycle on
     // candidates derived from this SF's documents table, one timed
     // run into a throwaway warehouse — job-layer regressions (jobs/,
@@ -163,19 +191,38 @@ object Bench {
       .mkString("{", ",", "}")
     val fastMax = if (fastAll.isEmpty) 0.0 else fastAll.map(_._2).max
     val fastJson = s"""{"n":${fastAll.size},"total":${fmt(fastAll.map(_._2).sum)},"max":${fmt(fastMax)}}"""
+    // Noise attribution in the OFFICIAL artifact: total GC ms across
+    // the measured pass, end-state RSS/heap, and the 5 queries with
+    // the widest per-run spread (max-min seconds) — an inflated
+    // median with a wide spread and high gc_ms reads as environment,
+    // a tight spread as a real plan change. Bounded: 5 entries.
+    val gcTotal = gcByQuery.values.sum
+    val heapMb =
+      (Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()) /
+        (1024L * 1024L)
+    val spreads = runDetail.map { case (k, ts) => k -> (ts.max - ts.min) }
+      .toSeq.sortBy(-_._2).take(5)
+    val spreadJson = spreads.map { case (k, v) =>
+      "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val telemetry =
+      s"""{"gc_ms":$gcTotal,"rss_mb":${rssMbNow()},"heap_mb":$heapMb,"gc_fence":$gcFence,"widest_spread":$spreadJson}"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median","runs":$runsN,"n_queries":${results.size},"queries":$qs,"fast_queries":$fastJson,"build_seconds":$bs$pipe,"sf":"$sfDir","full":"BENCH_LOCAL.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median","runs":$runsN,"n_queries":${results.size},"queries":$qs,"fast_queries":$fastJson,"build_seconds":$bs$pipe,"telemetry":$telemetry,"sf":"$sfDir","full":"BENCH_LOCAL.json"}"""
     // durable copy for post-hoc inspection (stdout tail is lossy);
     // carries the complete per-query map and per-run detail the
     // stdout line elides
     try {
       val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      val detail = allRuns.map { case (k, ts) =>
+      val detail = runDetail.map { case (k, ts) =>
         s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
+      val gcJson = gcByQuery.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val rssJson = rssByQuery.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
       val durable =
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median","runs":$runsN,"n_queries":${results.size},"queries":$fullQs,"build_seconds":$bs$pipe,"sf":"$sfDir","runs_detail":$detail}"""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median","runs":$runsN,"n_queries":${results.size},"queries":$fullQs,"build_seconds":$bs$pipe,"telemetry":$telemetry,"sf":"$sfDir","runs_detail":$detail,"gc_ms":$gcJson,"rss_mb":$rssJson}"""
       val w = new java.io.PrintWriter("/root/repo/BENCH_LOCAL.json", "UTF-8")
       try w.println(durable) finally w.close()
     } catch { case _: Throwable => () }

@@ -52,14 +52,33 @@ object DeltaImport {
       partitionColumns: Seq[String],
       /** live data files: absolute path -> partition values (raw
         * protocol strings; null value = null partition). */
-      files: Seq[(String, Map[String, Option[String]])])
+      files: Seq[(String, Map[String, Option[String]])],
+      /** raw JSON of the winning metaData action (checkpoint writers
+        * carry the table id / createdTime forward from it). */
+      metaRaw: Option[String] = None,
+      /** checkpoint version this replay bootstrapped from, if any —
+        * evidence that the JSON prefix was NOT re-read. */
+      fromCheckpoint: Option[Long] = None,
+      /** JSON commit files actually replayed (after the bootstrap). */
+      replayedJsonCommits: Int = 0)
 
   private implicit val fmts: Formats = DefaultFormats
 
-  /** Replay the JSON commits under `dir/_delta_log` into a
-    * [[Snapshot]] — all of them, or only those up to `asOf`
-    * (Delta-style VERSION AS OF time travel: the log IS the history,
-    * so reading an older version is just stopping the replay early). */
+  /** Replay the log under `dir/_delta_log` into a [[Snapshot]] —
+    * current state, or only up to `asOf` (Delta-style VERSION AS OF:
+    * the log IS the history, so reading an older version is just
+    * stopping the replay early).
+    *
+    * Checkpoint-aware per PROTOCOL.md: when `_last_checkpoint` names
+    * a checkpoint at or below the target version, state bootstraps
+    * from that ONE parquet file and only the JSON commits AFTER it
+    * replay — the log's scale cliff (replaying thousands of JSON
+    * commits) is paid once per checkpoint interval by the writer, not
+    * on every read. JSON commits BEFORE the checkpoint may be absent
+    * (vacuumed); the contiguity requirement starts at checkpoint + 1.
+    * Time travel to a version below the last checkpoint falls back to
+    * full JSON replay from 0 and refuses (gap named) if that prefix
+    * was vacuumed — never a silently wrong older snapshot. */
   def snapshot(spark: SparkSession, dir: String,
       asOf: Option[Long] = None): Snapshot = {
     val root = new Path(dir)
@@ -68,27 +87,62 @@ object DeltaImport {
     require(fs.exists(logDir), s"$dir has no _delta_log - not a Delta table")
 
     val commitRe = "(\\d{20})\\.json".r
-    val allCommits = fs.listStatus(logDir).toSeq
-      .flatMap { st =>
-        st.getPath.getName match {
-          case commitRe(v) => Some(v.toLong -> st.getPath)
-          case _           => None
-        }
+    val cpRe = "(\\d{20})\\.checkpoint\\.parquet".r
+    val names = fs.listStatus(logDir).toSeq.map(_.getPath)
+    val allCommits = names.flatMap { p =>
+      p.getName match {
+        case commitRe(v) => Some(v.toLong -> p)
+        case _           => None
       }
-      .sortBy(_._1)
-    require(allCommits.nonEmpty, s"$dir/_delta_log holds no JSON commits")
-    require(allCommits.head._1 == 0L && allCommits.map(_._1) == (0L to
-        allCommits.last._1),
-      s"log is missing commits ${(0L to allCommits.last._1).toSet --
-        allCommits.map(_._1).toSet} (vacuumed into a checkpoint?) - " +
-        "JSON replay needs the contiguous history from 0")
-    val commits = asOf match {
-      case None => allCommits
-      case Some(v) =>
-        require(v >= 0L && v <= allCommits.last._1,
-          s"version $v not in the log (0..${allCommits.last._1})")
-        allCommits.takeWhile(_._1 <= v)
+    }.sortBy(_._1)
+    val checkpoints = names.flatMap { p =>
+      p.getName match {
+        case cpRe(v) => Some(v.toLong -> p)
+        case _       => None
+      }
+    }.toMap
+    // _last_checkpoint is the pointer stock readers trust; fall back
+    // to the newest checkpoint file actually present (pointer write
+    // is the non-atomic last step — a crash can strand a valid
+    // checkpoint behind a stale pointer)
+    val lastCp: Option[Long] = {
+      val ptr = new Path(logDir, "_last_checkpoint")
+      val pointed =
+        if (!fs.exists(ptr)) None
+        else scala.util.Try {
+          val in = fs.open(ptr)
+          val txt = try Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          (JsonMethods.parse(txt) \ "version").extract[Long]
+        }.toOption
+      (pointed.toSeq ++ checkpoints.keys).filter(checkpoints.contains)
+        .reduceOption(_ max _)
     }
+
+    val newestKnown =
+      (allCommits.lastOption.map(_._1).toSeq ++ lastCp).reduceOption(_ max _)
+    require(newestKnown.nonEmpty,
+      s"$dir/_delta_log holds no JSON commits and no checkpoint")
+    val target = asOf match {
+      case None => newestKnown.get
+      case Some(v) =>
+        require(v >= 0L && v <= newestKnown.get,
+          s"version $v not in the log (0..${newestKnown.get})")
+        v
+    }
+    // bootstrap choice: the newest checkpoint at or below the target
+    val boot: Option[Long] = lastCp.filter(_ <= target)
+    val replayFrom = boot.map(_ + 1L).getOrElse(0L)
+    val tail = allCommits.filter { case (v, _) =>
+      v >= replayFrom && v <= target }
+    val expected = (replayFrom to target)
+    require(tail.map(_._1) == expected,
+      s"log is missing commits ${expected.toSet -- tail.map(_._1).toSet}" +
+        (if (boot.isEmpty && lastCp.nonEmpty)
+          s" - JSON replay from 0 needs the full prefix, but commits up " +
+            s"to checkpoint ${lastCp.get} were vacuumed; only versions >= " +
+            s"${lastCp.get} are reachable"
+        else " (vacuumed?) - replay needs the contiguous history") )
 
     val rootUri = fs.makeQualified(root).toString.stripSuffix("/")
     def resolve(raw: String): String = {
@@ -98,11 +152,65 @@ object DeltaImport {
 
     var schema: StructType = null
     var partCols: Seq[String] = Nil
+    var metaRaw: Option[String] = None
     // LinkedHashMap keeps add order for deterministic file lists
     val live = scala.collection.mutable.LinkedHashMap
       .empty[String, Map[String, Option[String]]]
 
-    commits.foreach { case (_, path) =>
+    def checkProtocol(r: Int): Unit =
+      require(r <= 1,
+        s"table demands minReaderVersion $r (column mapping / " +
+          "deletion vectors / v2 checkpoints) - this reader " +
+          "honestly supports protocol 1 only")
+    def applyMeta(m: JValue): Unit = {
+      val fmt = (m \ "format" \ "provider").extractOpt[String]
+      require(fmt.forall(_ == "parquet"),
+        s"unsupported storage format ${fmt.get}")
+      schema = DataType.fromJson((m \ "schemaString").extract[String])
+        .asInstanceOf[StructType]
+      partCols = (m \ "partitionColumns").extract[Seq[String]]
+      metaRaw = Some(JsonMethods.compact(JsonMethods.render(m)))
+    }
+
+    // 1) checkpoint bootstrap: ONE parquet file holds the complete
+    // state at its version (driver-side metadata read, rows = actions)
+    boot.foreach { cv =>
+      val rows = spark.read.parquet(checkpoints(cv).toString)
+      val cols = rows.columns.toSet
+      rows.collect().foreach { row =>
+        if (cols("protocol") && !row.isNullAt(row.fieldIndex("protocol"))) {
+          val p = row.getStruct(row.fieldIndex("protocol"))
+          checkProtocol(p.getInt(p.fieldIndex("minReaderVersion")))
+        }
+        if (cols("metaData") && !row.isNullAt(row.fieldIndex("metaData"))) {
+          val m = row.getStruct(row.fieldIndex("metaData"))
+          val fmtStruct = m.getStruct(m.fieldIndex("format"))
+          applyMeta(JObject(
+            "id" -> JString(m.getString(m.fieldIndex("id"))),
+            "format" -> JObject(
+              "provider" -> JString(
+                fmtStruct.getString(fmtStruct.fieldIndex("provider"))),
+              "options" -> JObject()),
+            "schemaString" -> JString(m.getString(m.fieldIndex("schemaString"))),
+            "partitionColumns" -> JArray(
+              m.getSeq[String](m.fieldIndex("partitionColumns"))
+                .map(JString(_)).toList),
+            "configuration" -> JObject(),
+            "createdTime" -> JLong(m.getLong(m.fieldIndex("createdTime")))))
+        }
+        if (cols("add") && !row.isNullAt(row.fieldIndex("add"))) {
+          val a = row.getStruct(row.fieldIndex("add"))
+          val pv = Option(a.getMap[String, String](
+            a.fieldIndex("partitionValues")))
+            .map(_.toMap.map { case (k, v) => k -> Option(v) })
+            .getOrElse(Map.empty[String, Option[String]])
+          live.put(resolve(a.getString(a.fieldIndex("path"))), pv)
+        }
+      }
+    }
+
+    // 2) JSON tail replay
+    tail.foreach { case (_, path) =>
       val in = fs.open(path)
       val lines =
         try Source.fromInputStream(in, "UTF-8").getLines().toList
@@ -111,22 +219,11 @@ object DeltaImport {
         val j = JsonMethods.parse(line)
         (j \ "protocol") match {
           case JNothing => ()
-          case p =>
-            val r = (p \ "minReaderVersion").extract[Int]
-            require(r <= 1,
-              s"table demands minReaderVersion $r (column mapping / " +
-                "deletion vectors / v2 checkpoints) - this reader " +
-                "honestly supports protocol 1 only")
+          case p => checkProtocol((p \ "minReaderVersion").extract[Int])
         }
         (j \ "metaData") match {
           case JNothing => ()
-          case m =>
-            val fmt = (m \ "format" \ "provider").extractOpt[String]
-            require(fmt.forall(_ == "parquet"),
-              s"unsupported storage format ${fmt.get}")
-            schema = DataType.fromJson((m \ "schemaString").extract[String])
-              .asInstanceOf[StructType]
-            partCols = (m \ "partitionColumns").extract[Seq[String]]
+          case m => applyMeta(m)
         }
         (j \ "add") match {
           case JNothing => ()
@@ -147,7 +244,8 @@ object DeltaImport {
       }
     }
     require(schema != null, "log replay found no metaData action")
-    Snapshot(commits.last._1, schema, partCols, live.toSeq)
+    Snapshot(target, schema, partCols, live.toSeq, metaRaw,
+      boot, tail.size)
   }
 
   /** Read the table's state as a DataFrame with the log's declared

@@ -335,12 +335,18 @@ final class TxTable(
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"constraint name must be an identifier, got '$name'")
     createIfAbsent()
-    val violating = read.filter(!checkPasses(predicateSql)).limit(1).count()
-    require(violating == 0L,
-      s"existing rows violate CHECK $name ($predicateSql)")
     withRetry {
       val base = currentVersion
       val m = loadManifest(base)
+      // validate INSIDE each attempt, over the base the commit will
+      // land on: a CommitConflict retry (or a writer racing between
+      // scan and commit) otherwise admits a constraint over rows it
+      // never checked. The scan is the cheap limit(1) probe, so
+      // re-paying it per attempt closes most of the optimistic window.
+      val violating = readVersion(base)
+        .filter(!checkPasses(predicateSql)).limit(1).count()
+      require(violating == 0L,
+        s"existing rows violate CHECK $name ($predicateSql)")
       val cur = checkConstraints
       require(!cur.contains(name), s"CHECK $name already exists")
       commit(m.entries, base, m.declaredSchema,

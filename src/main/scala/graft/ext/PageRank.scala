@@ -69,8 +69,16 @@ object PageRank {
     val e = edges.select(col("src"), col("dst"),
         col("w").cast("long").as("w"))
       .groupBy("src", "dst").agg(sum("w").as("w"))
-    val maxW = e.agg(coalesce(max("w"), lit(0L))).head.getLong(0)
+    // ONE control-plane aggregate checks both ends of the weight
+    // contract: minW guards the w >= 1 floor on EVERY edge (a mixed
+    // dataset with zero/negative weights would corrupt the per-node
+    // out-weight d and the (r·w) div d flow), maxW the overflow cap
+    val wRow = e.agg(coalesce(max("w"), lit(0L)).as("maxW"),
+      coalesce(min("w"), lit(1L)).as("minW")).head
+    val (maxW, minW) = (wRow.getLong(0), wRow.getLong(1))
     require(maxW >= 1L, "edge weights must be >= 1")
+    require(minW >= 1L,
+      s"every edge weight must be >= 1, found min weight $minW")
     require(maxW <= Long.MaxValue / Mass,
       s"max edge weight $maxW overflows rank units (cap ${Long.MaxValue / Mass})")
     core(e, iterations, dampingPct, convergeUnits)

@@ -176,9 +176,14 @@ object QuantileSketch {
     val m = merged(spark, dir)
     val n = m.agg(coalesce(sum("w"), lit(0L))).head.getLong(0)
     require(n > 0L, "empty quantile store")
-    m.join(broadcast(values.toDF("value")), col("v") <= col("value"))
+    // LEFT join FROM the probe list: a probe below every stored value
+    // must still answer (value, rank 0, cdf 0.0) — an inner join would
+    // silently drop it from the result, violating the "cumulative
+    // weight at each probe value" contract
+    values.toDF("value")
+      .join(m, col("v") <= col("value"), "left")
       .groupBy("value")
-      .agg(sum("w").as("rank"))
+      .agg(coalesce(sum("w"), lit(0L)).as("rank"))
       .withColumn("n", lit(n))
       .withColumn("cdf", round(col("rank").cast("double") / lit(n.toDouble), 6))
       .orderBy("value")

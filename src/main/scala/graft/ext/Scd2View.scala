@@ -29,9 +29,14 @@ import graft.core.TxTable
   *    double-apply, and a concurrent/replayed refresh whose watermark
   *    no longer matches the claimed base abandons instead of
   *    re-applying (the [[IncrementalView]] CAS contract).
-  *  - the FIRST refresh (no watermark) is a full build via `replaceIf`
-  *    — no driver-side key list at any scale; the incremental path's
-  *    key list is delta-sized (the localized-drift regime CDC serves).
+  *  - the FIRST refresh (no watermark) is a full build via `replaceIf`.
+  *    NO DRIVER-SIDE KEY LIST AT ANY SCALE: the incremental path keeps
+  *    the touched keys as a DataFrame and restricts source + history by
+  *    LEFT SEMI join (broadcast when the delta is small, shuffle hash
+  *    otherwise); file skipping comes from the delta keys' aggregated
+  *    min/max (a 2-value control-plane row), never an In(...) literal
+  *    list — a backfill touching millions of keys costs a join, not a
+  *    million-literal plan.
   *
   * Differential contract (Scd2ViewSpec, the CdcSpec replay pattern):
   * after any interleaving of insert/update/delete batches, the
@@ -105,7 +110,11 @@ final class Scd2View(
     * manifest's live files). A full build reports read = total. */
   final case class RefreshStats(
       applied: Boolean, touchedKeys: Long,
-      srcFilesRead: Int, srcFilesTotal: Int)
+      srcFilesRead: Int, srcFilesTotal: Int,
+      /** analyzed plan of the incremental touched-key scan ("" on the
+        * full-build / no-op paths) — lets tests assert the access path
+        * (semi-join visible, no In literal list) from the stats. */
+      touchedPlan: String = "")
 
   /** Advance the history to the source's current version. Idempotent:
     * an already-current view is a no-op; a concurrent refresh that
@@ -124,9 +133,16 @@ final class Scd2View(
       return RefreshStats(ok, -1L, total, total)
     }
     val delta = source.changes(wm, srcV)
-    val touched = delta.select(col(keyCol)).distinct()
-      .collect().map(_.get(0)).toSeq
-    if (touched.isEmpty) {
+    // touched keys STAY a DataFrame — a backfill or wide UPDATE can
+    // touch millions of keys, and a driver-side list would both
+    // materialize them all in driver memory and compile a
+    // million-literal In(...) predicate (plan-size blowup). The only
+    // driver-side values are the key EXTREMA (one 2-value aggregate,
+    // control plane), which drive zone-map file pruning; exactness
+    // comes from the semi-join below, never from the range.
+    val keys = delta.select(col(keyCol)).distinct().localCheckpoint(true)
+    val nTouched = keys.count()
+    if (nTouched == 0L) {
       // layout-only commits (compaction, clone): advance the watermark
       // with an empty merge so the next refresh diffs from srcV
       val ok = table.applyChangesIf(
@@ -138,17 +154,35 @@ final class Scd2View(
         Map(WatermarkKey -> srcV.toString))(s => watermarkOf(s) == wm)
       return RefreshStats(ok, 0L, 0, source.skipReport(lit(true)).total)
     }
-    val touchedPred = col(keyCol).isin(touched: _*)
-    val skip = source.skipReport(touchedPred)
-    val newHist = buildHistory(source.scanWhere(touchedPred))
+    // file skipping from the AGGREGATED key extrema, not a literal
+    // list: zone maps prune any file whose key range misses
+    // [minK, maxK] (write-time key locality — the regime CDC serves);
+    // null-keyed rows are outside between(), so keep them scannable
+    val ext = keys.agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
+      .head
+    val rangePred =
+      if (ext.isNullAt(0)) col(keyCol).isNull
+      else col(keyCol).between(lit(ext.get(0)), lit(ext.get(1))) ||
+        col(keyCol).isNull
+    val skip = source.skipReport(rangePred)
+    // exact touched-key restriction via LEFT SEMI against the delta's
+    // distinct keys — broadcast when the delta is small (the count is
+    // already paid above), shuffle hash otherwise; never an In literal
+    val keyedKeys =
+      if (nTouched <= 1000000L) broadcast(keys) else keys
+    val touchedScan = source.scanWhere(rangePred)
+      .join(keyedKeys, Seq(keyCol), "left_semi")
+    val newHist = buildHistory(touchedScan)
       .localCheckpoint(true) // delta-sized; pins vs the upsert below
-    val stale = table.scanWhere(touchedPred)
+    val stale = table.scanWhere(rangePred)
+      .join(keyedKeys, Seq(keyCol), "left_semi")
       .select(col(keyCol), col("ver"))
       .join(newHist.select(col(keyCol), col("ver")),
         Seq(keyCol, "ver"), "left_anti")
     val ok = table.applyChangesIf(newHist, stale,
       Map(WatermarkKey -> srcV.toString))(s => watermarkOf(s) == wm)
-    RefreshStats(ok, touched.length.toLong, skip.scanned, skip.total)
+    RefreshStats(ok, nTouched, skip.scanned, skip.total,
+      touchedScan.queryExecution.analyzed.toString)
   }
 
   /** The current history. */

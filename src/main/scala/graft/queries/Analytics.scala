@@ -985,19 +985,29 @@ object Analytics {
         | ROUND(CAST(g.rev AS DOUBLE) / CAST(t.trev AS DOUBLE), 6)
         |  AS revenue_share
         |FROM g CROSS JOIN t ORDER BY decile""".stripMargin,
-    // last-touch attribution: DuckDB's native ASOF JOIN vs the
-    // union-carry; unattributed purchases land in item -1, not dropped
+    // last-touch attribution: TIE-AWARE window argmax (not DuckDB's
+    // native ASOF JOIN, which picks an ARBITRARY click when two clicks
+    // share the same max ts <= purchase ts — the Spark side breaks
+    // that tie deterministically by event_id, so the oracle must
+    // mirror the (ts, event_id) ordering, not depend on the fixture
+    // never having per-user duplicate click timestamps); unattributed
+    // purchases land in item -1, not dropped
     "ev_attribution_last_touch" ->
-      s"""SELECT coalesce(c.item, -1) AS item,
+      s"""WITH p AS (SELECT event_id, user_id, ts, value FROM events
+         |           WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts, event_id,
+         |       CAST(json_extract_string(props, '$$.k') AS INTEGER) AS item
+         |      FROM events WHERE event_type = 'click'),
+         |m AS (
+         | SELECT p.event_id AS pid, p.value AS value, c.item,
+         |  row_number() OVER (PARTITION BY p.event_id
+         |                     ORDER BY c.ts DESC, c.event_id DESC) AS rk
+         | FROM p LEFT JOIN c
+         |  ON p.user_id = c.user_id AND c.ts <= p.ts)
+         |SELECT coalesce(m.item, -1) AS item,
          | count(*) AS n_purchases,
-         | ${Qhelpers.sqlMsum("p.value")} AS attributed_value
-         |FROM (SELECT event_id, user_id, ts, value FROM events
-         |      WHERE event_type = 'purchase') p
-         |ASOF LEFT JOIN (
-         |  SELECT user_id, ts,
-         |   CAST(json_extract_string(props, '$$.k') AS INTEGER) AS item
-         |  FROM events WHERE event_type = 'click') c
-         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+         | ${Qhelpers.sqlMsum("m.value")} AS attributed_value
+         |FROM m WHERE m.rk = 1
          |GROUP BY 1 ORDER BY item""".stripMargin,
     // the distributed closed forms must equal DuckDB's NATIVE window
     // functions; positional functions tie-break by custkey, the rank

@@ -450,7 +450,10 @@ object ExtQueries {
     }
 
   private def fuzzyIndexDir(s: SparkSession, dir: String): String =
-    buildOnce(dir, "documents", "fuzidx-d2-nb16") { d =>
+    // marker = the LAST artifact buildFuzzy writes (meta lands after
+    // data): a crash between the two must read as "incomplete, rebuild",
+    // never as a complete index whose fuzzyMeta read fails forever
+    buildOnce(dir, "documents", "fuzidx-d2-nb16", marker = "meta/_SUCCESS") { d =>
       graft.ext.TextIndex.buildFuzzy(t(s, dir, "documents"),
         "text", d, nBuckets = 16, depth = 2)
     }

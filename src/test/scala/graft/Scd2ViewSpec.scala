@@ -101,4 +101,25 @@ class Scd2ViewSpec extends SparkSpec {
       s"refresh read ${s.srcFilesRead}/${s.srcFilesTotal} files — no pruning")
     assertConverged(src, view)
   }
+
+  test("incremental access path is a semi-join, never an In literal list") {
+    val (src, view) = mkPair("plan")
+    // wide enough that a literal-list plan would be visibly large
+    val seed = (1L to 400L).map(k => (k, 1L, k, "A"))
+    src.append(ev(seed: _*))
+    assert(view.refresh().applied)
+    // backfill-shaped delta: 300 of 400 keys touched in one commit
+    src.upsert(ev((1L to 300L).map(k => (k, 2L, 10000L + k, "B")): _*))
+    val s = view.refresh()
+    assert(s.applied && s.touchedKeys === 300L)
+    assert(s.touchedPlan.nonEmpty, "incremental path must expose its plan")
+    assert(s.touchedPlan.contains("LeftSemi"),
+      "touched-key restriction must be a semi-join against the delta keys")
+    // no 100+-literal In(...) predicate anywhere in the analyzed plan:
+    // count literal commas inside any In( ... ) fragment
+    val inLists = "(?s)\\bIN \\(".r.findAllIn(s.touchedPlan).size
+    assert(!s.touchedPlan.matches("(?s).*\\bIN \\([^)]{2000,}.*"),
+      s"plan carries a huge In literal list ($inLists IN sites)")
+    assertConverged(src, view)
+  }
 }
