@@ -155,12 +155,89 @@ object DeltaExport {
       protocol +: metaDataAction(schema) +: adds)
   }
 
+  // ---- checkpoints (PROTOCOL.md "Checkpoints") ----
+  //
+  // A long-synced log is the protocol's known scale cliff: a stock
+  // reader replays EVERY JSON commit from 0. A checkpoint collapses
+  // the state at version V into one parquet file
+  // (_delta_log/<V pad 20>.checkpoint.parquet, one action per row)
+  // plus the _last_checkpoint pointer — readers bootstrap from the
+  // parquet and replay only the JSON tail, and the JSON prefix
+  // becomes vacuumable.
+
+  private case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
+  private case class CpFormat(provider: String)
+  private case class CpMetaData(id: String, format: CpFormat,
+      schemaString: String, partitionColumns: Seq[String], createdTime: Long)
+  private case class CpAdd(path: String, partitionValues: Map[String, String],
+      size: Long, modificationTime: Long, dataChange: Boolean,
+      stats: Option[String])
+  private case class CpRow(protocol: Option[CpProtocol],
+      metaData: Option[CpMetaData], add: Option[CpAdd])
+
+  /** Checkpoint the log's CURRENT state (not the table's — a
+    * checkpoint must equal what replaying the JSON prefix would say,
+    * byte for byte in effect, or bootstrapped readers diverge from
+    * replaying ones). Writes the parquet first, the `_last_checkpoint`
+    * pointer LAST — a crash in between strands a valid checkpoint
+    * behind a stale pointer, which readers recover from by listing;
+    * the reverse order would point at a checkpoint that doesn't
+    * exist. `add.stats` carry through, so a bootstrapped reader
+    * data-skips exactly like a replaying one. Returns the checkpoint
+    * file path. */
+  def writeCheckpoint(spark: SparkSession, table: TxTable): String = {
+    implicit val fmts: org.json4s.Formats = DefaultFormats
+    val snap = DeltaImport.snapshot(spark, table.dir)
+    val (fs, rootUri) = fsFor(spark, table)
+    val logDir = new Path(new Path(table.dir), "_delta_log")
+    val metaJ = JsonMethods.parse(snap.metaRaw.getOrElse(
+      throw new IllegalStateException("log has no metaData action")))
+    val meta = CpMetaData(
+      id = (metaJ \ "id").extract[String],
+      format = CpFormat("parquet"),
+      schemaString = (metaJ \ "schemaString").extract[String],
+      partitionColumns = snap.partitionColumns,
+      createdTime = (metaJ \ "createdTime").extractOpt[Long]
+        .getOrElse(System.currentTimeMillis()))
+    val rel = relative(fs, rootUri) _
+    val rows: Seq[CpRow] =
+      CpRow(Some(CpProtocol(1, 2)), None, None) +:
+      CpRow(None, Some(meta), None) +:
+      snap.adds.map(a => CpRow(None, None, Some(CpAdd(
+        rel(a.path),
+        a.partitionValues.map { case (k, v) => k -> v.orNull },
+        a.size, a.modificationTime, dataChange = true, a.stats))))
+    import spark.implicits._
+    val stage = new Path(logDir, s".cp-stage-${snap.version}")
+    spark.createDataset(rows).toDF()
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = fs.listStatus(stage).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") &&
+        p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("no checkpoint part file"))
+    val cpPath = new Path(logDir, f"${snap.version}%020d.checkpoint.parquet")
+    fs.delete(cpPath, false)
+    require(fs.rename(part, cpPath), s"could not publish $cpPath")
+    fs.delete(stage, true)
+    val ptr = new Path(logDir, "_last_checkpoint")
+    val out = fs.create(ptr, true)
+    try out.write(
+      s"""{"version":${snap.version},"size":${rows.size}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    cpPath.toString
+  }
+
   /** Append the NEXT Delta commit: the remove/add diff between the
     * published log state and the table's current snapshot (plus a
     * fresh metaData action when the schema evolved). First call (no
-    * log yet) is the full snapshot export. Returns the commit path,
-    * or None when the log is already current — nothing is written. */
-  def syncDeltaLog(spark: SparkSession, table: TxTable): Option[String] = {
+    * log yet) is the full snapshot export. Every `checkpointInterval`
+    * commits the new log state is also checkpointed ([[writeCheckpoint]])
+    * so stock readers never replay an unbounded JSON history; 0
+    * disables. Returns the commit path, or None when the log is
+    * already current — nothing is written. */
+  def syncDeltaLog(spark: SparkSession, table: TxTable,
+      checkpointInterval: Int = 10): Option[String] = {
     val (fs, rootUri) = fsFor(spark, table)
     if (!fs.exists(new Path(new Path(table.dir), "_delta_log")))
       return Some(writeDeltaLog(spark, table))
@@ -182,7 +259,10 @@ object DeltaExport {
     }
     val addActions = adds.map(p => addAction(fs, rootUri, schema)(current(p)))
     val meta = if (schemaChanged) Seq(metaDataAction(schema)) else Nil
-    Some(writeCommit(fs, table.dir, logged.version + 1L,
-      meta ++ removeActions ++ addActions))
+    val v = logged.version + 1L
+    val commit = writeCommit(fs, table.dir, v, meta ++ removeActions ++ addActions)
+    if (checkpointInterval > 0 && v % checkpointInterval == 0)
+      writeCheckpoint(spark, table)
+    Some(commit)
   }
 }

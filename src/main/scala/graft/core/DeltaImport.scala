@@ -45,14 +45,22 @@ import org.json4s.jackson.JsonMethods
   */
 object DeltaImport {
 
+  /** A live add action's payload — everything a checkpoint must carry
+    * forward (losing `stats` would cost Delta readers their skipping). */
+  final case class AddFile(
+      path: String,
+      partitionValues: Map[String, Option[String]],
+      size: Long,
+      modificationTime: Long,
+      stats: Option[String])
+
   /** Reconstructed snapshot: what the log says the table IS now. */
   final case class Snapshot(
       version: Long,
       schema: StructType,
       partitionColumns: Seq[String],
-      /** live data files: absolute path -> partition values (raw
-        * protocol strings; null value = null partition). */
-      files: Seq[(String, Map[String, Option[String]])],
+      /** live add actions in add order (absolute resolved paths). */
+      adds: Seq[AddFile],
       /** raw JSON of the winning metaData action (checkpoint writers
         * carry the table id / createdTime forward from it). */
       metaRaw: Option[String] = None,
@@ -60,7 +68,12 @@ object DeltaImport {
         * evidence that the JSON prefix was NOT re-read. */
       fromCheckpoint: Option[Long] = None,
       /** JSON commit files actually replayed (after the bootstrap). */
-      replayedJsonCommits: Int = 0)
+      replayedJsonCommits: Int = 0) {
+    /** live data files: absolute path -> partition values (raw
+      * protocol strings; null value = null partition). */
+    def files: Seq[(String, Map[String, Option[String]])] =
+      adds.map(a => a.path -> a.partitionValues)
+  }
 
   private implicit val fmts: Formats = DefaultFormats
 
@@ -154,8 +167,7 @@ object DeltaImport {
     var partCols: Seq[String] = Nil
     var metaRaw: Option[String] = None
     // LinkedHashMap keeps add order for deterministic file lists
-    val live = scala.collection.mutable.LinkedHashMap
-      .empty[String, Map[String, Option[String]]]
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
 
     def checkProtocol(r: Int): Unit =
       require(r <= 1,
@@ -204,7 +216,15 @@ object DeltaImport {
             a.fieldIndex("partitionValues")))
             .map(_.toMap.map { case (k, v) => k -> Option(v) })
             .getOrElse(Map.empty[String, Option[String]])
-          live.put(resolve(a.getString(a.fieldIndex("path"))), pv)
+          val p = resolve(a.getString(a.fieldIndex("path")))
+          val stats =
+            if (a.schema.fieldNames.contains("stats") &&
+                !a.isNullAt(a.fieldIndex("stats")))
+              Some(a.getString(a.fieldIndex("stats")))
+            else None
+          live.put(p, AddFile(p, pv,
+            a.getLong(a.fieldIndex("size")),
+            a.getLong(a.fieldIndex("modificationTime")), stats))
         }
       }
     }
@@ -235,7 +255,11 @@ object DeltaImport {
               }.toMap
               case _ => Map.empty[String, Option[String]]
             }
-            live.put(resolve((a \ "path").extract[String]), pv)
+            val p = resolve((a \ "path").extract[String])
+            live.put(p, AddFile(p, pv,
+              (a \ "size").extractOpt[Long].getOrElse(0L),
+              (a \ "modificationTime").extractOpt[Long].getOrElse(0L),
+              (a \ "stats").extractOpt[String]))
         }
         (j \ "remove") match {
           case JNothing => ()
@@ -244,7 +268,7 @@ object DeltaImport {
       }
     }
     require(schema != null, "log replay found no metaData action")
-    Snapshot(target, schema, partCols, live.toSeq, metaRaw,
+    Snapshot(target, schema, partCols, live.values.toSeq, metaRaw,
       boot, tail.size)
   }
 

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** KMV (k-minimum-values) distinct sketch with SET OPERATIONS — the
@@ -77,6 +77,122 @@ case class KmvSketch(k: Int, hashes: Array[Long]) {
 object KmvSketch {
   private[ext] def flip(h: Long): Long = h ^ Long.MinValue
   private val HashSpace = math.pow(2, 64)
+
+  /** Bounded per-group k-MINIMUM hashes as a typed `Aggregator` (the
+    * [[TopK]] partial-aggregate recipe): each partition ships at most
+    * `k` longs per group across the shuffle — the window formulation
+    * (`row_number <= k` over the group's full distinct hash set)
+    * would instead SORT every group's millions of distinct hashes to
+    * keep 4096. Fast path: a full buffer rejects any hash at or above
+    * its current k-th minimum in O(1). */
+  final case class KmBuf(hs: Seq[Long])
+  final class KMinAggregator(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, KmBuf, KmBuf] {
+    private def trim(hs: Seq[Long]): Seq[Long] =
+      hs.distinct.sortBy(flip).take(k)
+    override def zero: KmBuf = KmBuf(Seq.empty)
+    override def reduce(b: KmBuf, h: Long): KmBuf =
+      if (b.hs.length >= k && flip(h) >= flip(b.hs.last)) b
+      else KmBuf(trim(b.hs :+ h))
+    override def merge(a: KmBuf, b: KmBuf): KmBuf = KmBuf(trim(a.hs ++ b.hs))
+    override def finish(b: KmBuf): KmBuf = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[KmBuf] =
+      org.apache.spark.sql.Encoders.product[KmBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[KmBuf] =
+      org.apache.spark.sql.Encoders.product[KmBuf]
+  }
+
+  /** Persist one ingest batch's PER-SEGMENT k-min sketches under
+    * `dir/batch=<id>` — the mergeable-sketch-store pattern
+    * ([[DistinctSketch]], [[QuantileSketch]]): each batch writes its
+    * own partition, replay-safe (overwrite), and the store folds to
+    * current with no corpus re-read. Store size ∝ segments × k longs
+    * per batch — control-plane data, coalesced to one file. */
+  def addBatchGrouped(df: DataFrame, segCol: String, keyCol: String,
+      dir: String, batchId: Long, k: Int = 4096): Unit = {
+    import org.apache.spark.sql.functions.udaf
+    val kmin = udaf(new KMinAggregator(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    df.select(col(segCol).cast("string").as("seg"),
+        xxhash64(col(keyCol)).as("h"))
+      .distinct()
+      .groupBy("seg").agg(kmin(col("h")).as("s"))
+      .select(col("seg"), explode(col("s.hs")).as("h"), lit(k).as("k"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+  }
+
+  /** PAIRWISE SEGMENT-OVERLAP GRID from the persisted store: one row
+    * per unordered segment pair (zero-overlap pairs included) with
+    * common / per-side distinct counts and Jaccard. Batch sketches
+    * re-merge per segment (lossless: the k smallest of a union lie in
+    * the union of each side's k smallest), then pairs count common
+    * survivors at the pair's JOINT theta — the theta-sketch
+    * intersection, gridded. All counts are EXACT while every merged
+    * sketch is exact (`n < k`, reported in the `exact` column — the
+    * sparse-exact oracle discipline); past k they are the standard
+    * (k-1)/theta estimators. Scale shape: the only corpus-sized work
+    * happened at `addBatchGrouped` time; this read touches segments ×
+    * ≤ k store rows, the pair join is an equi-join on the hash, and
+    * the N² pair frame is segment-taxonomy-sized (broadcast). */
+  def overlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.udaf
+    val st = spark.read.parquet(dir)
+    val k = st.agg(min("k")).head.getInt(0)
+    val kmin = udaf(new KMinAggregator(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val merged = st.select("seg", "h").distinct()
+      .groupBy("seg").agg(kmin(col("h")).as("s"))
+      .select(col("seg"), col("s.hs").as("hs"))
+      .localCheckpoint(true) // segments × ≤ k longs — bounded
+    val fl = (c: Column) => c.bitwiseXOR(lit(Long.MinValue))
+    // per-segment dims: retained count, exactness, k-th-min cut (the
+    // last retained hash — `hs` is sorted in unsigned order), estimate
+    val dims = broadcast(merged.select(
+      col("seg"), size(col("hs")).cast("long").as("n_kept"),
+      (size(col("hs")) < k).as("exact"),
+      fl(element_at(col("hs"), -1)).as("cutFlip"))
+      .withColumn("theta", when(col("exact"), lit(1.0)).otherwise(
+        (col("cutFlip").cast("double") - lit(Long.MinValue.toDouble)) /
+          lit(HashSpace)))
+      .withColumn("est", when(col("exact"), col("n_kept").cast("double"))
+        .otherwise(lit((k - 1).toDouble) / col("theta"))))
+    val kept = merged.select(col("seg"), explode(col("hs")).as("h"))
+    // common survivors per pair at the joint cut: min over the
+    // INEXACT sides' cuts (exact sides retain everything — no cut);
+    // least() skips nulls, so a null joint cut marks an exact pair
+    val pairCounts = kept.as("a")
+      .join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.seg") < col("b.seg"))
+      .join(dims.as("da"), col("a.seg") === col("da.seg"))
+      .join(dims.as("db"), col("b.seg") === col("db.seg"))
+      .withColumn("cut", least(
+        when(col("da.exact"), lit(null)).otherwise(col("da.cutFlip")),
+        when(col("db.exact"), lit(null)).otherwise(col("db.cutFlip"))))
+      .filter(fl(col("a.h")) <= coalesce(col("cut"), fl(col("a.h"))))
+      .groupBy(col("a.seg").as("seg_a"), col("b.seg").as("seg_b"),
+        col("cut"))
+      .agg(count(lit(1)).as("n_survivors"))
+      .withColumn("t_joint", when(col("cut").isNull, lit(1.0)).otherwise(
+        (col("cut").cast("double") - lit(Long.MinValue.toDouble)) /
+          lit(HashSpace)))
+      .withColumn("n_common",
+        round(col("n_survivors").cast("double") / col("t_joint"))
+          .cast("long"))
+      .select("seg_a", "seg_b", "n_common")
+    // full grid including zero-overlap pairs
+    dims.as("da").join(dims.as("db"), col("da.seg") < col("db.seg"))
+      .select(col("da.seg").as("seg_a"), col("db.seg").as("seg_b"),
+        round(col("da.est")).cast("long").as("n_a"),
+        round(col("db.est")).cast("long").as("n_b"),
+        (col("da.exact") && col("db.exact")).as("exact"))
+      .join(pairCounts, Seq("seg_a", "seg_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("jaccard", round(col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6))
+      .select("seg_a", "seg_b", "n_common", "n_a", "n_b", "jaccard", "exact")
+      .orderBy("seg_a", "seg_b")
+  }
 
   /** Sketch the distinct values of `keyCol`: partial-distinct
     * aggregate, then the k smallest hashes via TakeOrdered (never a

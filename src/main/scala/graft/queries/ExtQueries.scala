@@ -489,6 +489,7 @@ object ExtQueries {
       timed("freqgsk")(freqGroupSketchDir(s, dir)),
       timed("quantsk")(quantSketchDir(s, dir)),
       timed("quantgsk")(quantGroupSketchDir(s, dir)),
+      timed("kmvgsk")(kmvGroupStoreDir(s, dir)),
       timed("mediafeats")(mediaFeatsDir(s, dir)),
       timed("audiofeats")(audioFeatsDir(s, dir)),
       timed("videofeats")(videoFeatsDir(s, dir)),
@@ -799,6 +800,41 @@ object ExtQueries {
     rows.toDF("segment", "n_users").orderBy("segment")
   }
 
+  /** Batch-appended grouped KMV store over the high-value event
+    * segments: 4 ingest batches (users sharded by pmod), one k-min
+    * sketch per (batch, event_type). */
+  private def kmvGroupStoreDir(s: SparkSession, dir: String): String =
+    buildOnce(dir, "events", "kmvgsk", marker = "_DONE") { d =>
+      wipeDir(d)
+      val ev = t(s, dir, "events").filter(col("value") >= 95.0)
+        .select(col("event_type"), col("user_id"))
+      (0L to 3L).foreach { b =>
+        graft.ext.KmvSketch.addBatchGrouped(
+          ev.filter(pmod(col("user_id"), lit(4)) === b),
+          "event_type", "user_id", d, batchId = b, k = 4096)
+      }
+      markDone(d)
+    }
+
+  /** PAIRWISE segment-overlap matrix from the persisted grouped KMV
+    * store ([[graft.ext.KmvSketch.overlapMatrix]]) — the N-segment
+    * generalization of `x_kmv_segments`' fixed pair: every unordered
+    * pair of high-value event segments with common / per-side
+    * distinct-user counts and Jaccard, zero-overlap pairs included.
+    * Served ENTIRELY from the store (segments × ≤ k longs per batch);
+    * the event corpus is never re-read. Every merged sketch sits far
+    * inside k = 4096 at every SF (≤ ~1310 distinct users per segment
+    * at sf0.1) — the `exact` guard makes the sparse-exact argument a
+    * runtime check, so the differential oracle against DuckDB's exact
+    * pairwise intersections is sound. */
+  def x_kmv_overlap_matrix(s: SparkSession, dir: String): DataFrame = {
+    val d = kmvGroupStoreDir(s, dir)
+    val m = graft.ext.KmvSketch.overlapMatrix(s, d)
+    require(m.filter(!col("exact")).isEmpty,
+      "a merged KMV sketch left the exact regime; the oracle would be unsound")
+    m.drop("exact")
+  }
+
   /** The ingest-store twin of `x_heavy_hitters`: the same >1/800
     * frequent-bigram ask served ENTIRELY from the persisted 4-batch
     * Misra–Gries store ([[graft.ext.FreqSketch]]) — the fold reads
@@ -1033,6 +1069,7 @@ object ExtQueries {
     "x_quant_store_group_quantiles" -> (x_quant_store_group_quantiles _),
     "x_freq_store_group_top" -> (x_freq_store_group_top _),
     "x_kmv_segments" -> (x_kmv_segments _),
+    "x_kmv_overlap_matrix" -> (x_kmv_overlap_matrix _),
     "p6e_proximity_search" -> (p6e_proximity_search _),
     "x2_simhash_pairs" -> (x2_simhash_pairs _),
     "x1_lsh_buckets" -> (x1_lsh_buckets _),
@@ -1394,6 +1431,28 @@ object ExtQueries {
         |UNION ALL
         |SELECT 'purchase_hi', COUNT(*) FROM a
         |ORDER BY segment""".stripMargin,
+    // the N-segment overlap grid: exact-regime KMV pair counts must
+    // equal DuckDB's exact pairwise DISTINCT-set intersections;
+    // zero-overlap pairs present with n_common 0; jaccard = integer
+    // counts + one IEEE divide + round on both engines
+    "x_kmv_overlap_matrix" ->
+      """WITH s AS (
+        | SELECT DISTINCT event_type AS seg, user_id
+        | FROM events WHERE value >= 95),
+        |d AS (SELECT seg, count(*) AS n FROM s GROUP BY 1),
+        |p AS (
+        | SELECT a.seg AS seg_a, b.seg AS seg_b, count(*) AS n_common
+        | FROM s a JOIN s b ON a.user_id = b.user_id AND a.seg < b.seg
+        | GROUP BY 1, 2)
+        |SELECT da.seg AS seg_a, db.seg AS seg_b,
+        | coalesce(p.n_common, 0) AS n_common,
+        | da.n AS n_a, db.n AS n_b,
+        | ROUND(CAST(coalesce(p.n_common, 0) AS DOUBLE) /
+        |  CAST(da.n + db.n - coalesce(p.n_common, 0) AS DOUBLE), 6)
+        |  AS jaccard
+        |FROM d da JOIN d db ON da.seg < db.seg
+        |LEFT JOIN p ON p.seg_a = da.seg AND p.seg_b = db.seg
+        |ORDER BY seg_a, seg_b""".stripMargin,
     // proximity = some occurrence of each term within `slop` positions
     // (unordered, distinct positions) — the oracle nests position
     // filters over the extracted word list

@@ -139,6 +139,49 @@ class DeltaImportSpec extends SparkSpec {
     assert(DeltaImport.snapshot(spark, dir).version === 1L)
   }
 
+  test("checkpoint bootstraps a long synced history without the JSON prefix") {
+    val dir = tmpDir("deltai-cp") + "/t"
+    val data = Seq((1L, 0.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 2)
+    t.append(data)
+    // 13 synced commits at interval 5 → checkpoints at 5 and 10
+    assert(DeltaExport.syncDeltaLog(spark, t, checkpointInterval = 5).nonEmpty)
+    (1L to 12L).foreach { i =>
+      t.upsert(Seq((i % 4L, i.toDouble)).toDF("k", "v"))
+      assert(DeltaExport.syncDeltaLog(spark, t, checkpointInterval = 5).nonEmpty)
+    }
+    val logDir = new File(dir, "_delta_log")
+    assert(new File(logDir, "00000000000000000010.checkpoint.parquet").exists())
+    assert(new File(logDir, "_last_checkpoint").exists())
+
+    // the bootstrap must NOT replay the JSON prefix: only the tail
+    val snap = DeltaImport.snapshot(spark, dir)
+    assert(snap.version === 12L)
+    assert(snap.fromCheckpoint === Some(10L))
+    assert(snap.replayedJsonCommits === 2,
+      s"expected 2 tail commits, replayed ${snap.replayedJsonCommits}")
+    assert(rows(DeltaImport.read(spark, dir)) === rows(t.read))
+
+    // vacuum the JSON prefix (protocol allows it once checkpointed):
+    // current reads still work from the checkpoint alone…
+    (0L to 10L).foreach(v =>
+      new File(logDir, f"$v%020d.json").delete())
+    val snap2 = DeltaImport.snapshot(spark, dir)
+    assert(snap2.fromCheckpoint === Some(10L) &&
+      snap2.replayedJsonCommits === 2)
+    assert(rows(DeltaImport.read(spark, dir)) === rows(t.read))
+    // …the checkpoint preserves add.stats (skipping parity for
+    // bootstrapped readers)…
+    assert(snap2.adds.forall(_.stats.exists(_.contains("numRecords"))),
+      "checkpoint lost add.stats")
+    // …and time travel BELOW the checkpoint refuses with the gap
+    // named instead of replaying a history that no longer exists
+    val e = intercept[IllegalArgumentException] {
+      DeltaImport.snapshot(spark, dir, asOf = Some(3L))
+    }
+    assert(e.getMessage.contains("missing commits"))
+  }
+
   test("refuses higher protocol floors and gapped logs honestly") {
     val dir = tmpDir("deltai-ref") + "/t"
     val schema = Seq((0L, "")).toDF("k", "s").schema

@@ -39,4 +39,39 @@ class KmvSketchSpec extends SparkSpec {
     val est = a.intersectEstimate(b) // true overlap 5000
     assert(est > 3500 && est < 6500, est)
   }
+
+  private def segRows(rs: (String, Range)*) =
+    rs.flatMap { case (s, r) => r.map(i => (s, i.toLong)) }
+      .toDF("seg", "id")
+
+  test("grouped store + overlap matrix: exact regime equals brute force") {
+    val dir = tmpDir("kmv-grid")
+    // batches split the id space; segments overlap pairwise by
+    // construction; one pair (a, c) shares nothing
+    val all = segRows("a" -> (1 to 300), "b" -> (200 to 500),
+      "c" -> (1000 to 1100))
+    KmvSketch.addBatchGrouped(all.filter($"id" % 2 === 0),
+      "seg", "id", dir, batchId = 0L, k = 1024)
+    KmvSketch.addBatchGrouped(all.filter($"id" % 2 === 1),
+      "seg", "id", dir, batchId = 1L, k = 1024)
+    val m = KmvSketch.overlapMatrix(spark, dir)
+    val rows = m.collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(rows(("a", "b")) === ((101L, 300L, 301L))) // 200..300 common
+    assert(rows(("a", "c")) === ((0L, 300L, 101L)))   // disjoint, present
+    assert(rows(("b", "c")) === ((0L, 301L, 101L)))
+    assert(m.collect().forall(_.getBoolean(6)), "all sketches exact")
+  }
+
+  test("overlap matrix past k: theta-scaled pair estimate tracks truth") {
+    val dir = tmpDir("kmv-grid-est")
+    val all = segRows("big" -> (1 to 10000), "other" -> (5001 to 15000))
+    KmvSketch.addBatchGrouped(all, "seg", "id", dir, batchId = 0L, k = 512)
+    val r = KmvSketch.overlapMatrix(spark, dir).collect().head
+    assert(!r.getBoolean(6), "past k must report inexact")
+    val nCommon = r.getLong(2) // true overlap 5000
+    assert(nCommon > 3500 && nCommon < 6500, nCommon)
+    assert(math.abs(r.getLong(3) - 10000L) < 1500, r.getLong(3))
+  }
 }
