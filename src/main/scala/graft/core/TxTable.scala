@@ -546,10 +546,16 @@ final class TxTable(
     val tmp = new Path(manifestDir, s".tmp-${UUID.randomUUID().toString.take(8)}")
     try {
       val out = f.create(tmp, false)
-      // schema header: carries evolution forward commit-over-commit
-      // (absent on legacy manifests → the declared create schema)
-      val schemaHeader = asSchema
+      // schema header: carries evolution forward commit-over-commit.
+      // ALWAYS written (falling back to the declared create schema) so
+      // every manifest is self-describing — readers that open a table
+      // directory without knowing its schema (the DSv2 provider) must
+      // not depend on the constructor's declaration. Legacy manifests
+      // without the header still resolve to the create schema.
+      val schemaHeader = Some(asSchema
         .orElse(if (base < 0) None else loadManifest(base).declaredSchema)
+        .getOrElse(schema))
+        .filter(_.nonEmpty)
         .map(s => s"#schema\t${s.json}\n").getOrElse("")
       val metaHeader =
         if (meta.isEmpty) ""
@@ -727,6 +733,19 @@ final class TxTable(
   /** This table's bucket id for a row (the manifest partitioner) —
     * lets callers compute which buckets a key set touches. */
   private[graft] def bucketColumn: Column = bucketExpr
+
+  /** DSv2 provider surface ([[graft.sources.GraftDataSource]]): the
+    * schema and live (data file, DV sidecars) pairs of version `v`,
+    * zone-map/bloom pruned by `pred` when given — the same
+    * [[pruneEntries]] path [[scanWhere]] uses, so `spark.sql` through
+    * the provider skips exactly the files the Scala API would. */
+  private[graft] def providerSnapshot(v: Long, pred: Option[Column])
+      : (StructType, Seq[(String, Seq[String])]) = {
+    val m = loadManifest(v)
+    val s = schemaAt(m)
+    val es = pred.map(p => pruneEntries(m.entries, p, s)).getOrElse(m.entries)
+    (s, es.map(e => e.path -> e.dvs.map(_.path)))
+  }
 
   /** Time travel to any retained version — under the schema that
     * version was COMMITTED with (schema history travels too). */

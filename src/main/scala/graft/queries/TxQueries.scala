@@ -574,8 +574,36 @@ object TxQueries {
     mustRoute(s, q, "mv_routed_minmax")
   }
 
+  /** PURE SQL TEXT against a TxTable through the DataSource V2
+    * provider ([[graft.sources.GraftDataSource]]) — the reference's
+    * actual read surface (its repository layer is SQL strings against
+    * the store, `services/api/src/repository.ts`): lineitem ingested
+    * into a transactional table, loaded with
+    * `spark.read.format("graft")`, registered as a view, and queried
+    * with `spark.sql` — filter pushdown reaches the manifest's
+    * zone-map pruning, column pruning reaches the parquet reader, and
+    * Spark re-verifies rows above the scan. The decimal-cast sum is
+    * the house double discipline. */
+  def tx_sql_provider(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    val table = cached(s, dir, "lineitem", "dsv2", 1L) { loc =>
+      new TxTable(s, loc, li.schema, Seq("l_orderkey", "l_linenumber"),
+        numBuckets = 4)
+    } { tx => tx.append(li) }
+    s.read.format("graft").load(table.dir)
+      .createOrReplaceTempView("graft_sql_lineitem")
+    s.sql(
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM graft_sql_lineitem
+        |WHERE l_quantity >= 25
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_skipping_scan" -> (tx_skipping_scan _),
+    "tx_sql_provider" -> (tx_sql_provider _),
     "tx_cdc_diff" -> (tx_cdc_diff _),
     "tx_dv_delete" -> (tx_dv_delete _),
     "tx_evolution_read" -> (tx_evolution_read _),
@@ -596,6 +624,14 @@ object TxQueries {
     "mv_routed_minmax" -> (mv_routed_minmax _))
 
   val oracle: Map[String, String] = Map(
+    // the DSv2 provider must be INVISIBLE semantically: SQL through it
+    // equals DuckDB over the raw parquet the table ingested
+    "tx_sql_provider" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_quantity >= 25
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "tx_skipping_scan" ->
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
         |       CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,

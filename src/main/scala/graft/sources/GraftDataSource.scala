@@ -1,0 +1,364 @@
+package graft.sources
+
+import java.nio.ByteOrder
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.TxTable
+
+/** DATASOURCE V2 PROVIDER for [[TxTable]] — the SQL surface the
+  * reference implies (every read path in its repository layer is SQL
+  * text against the store, `services/api/src/repository.ts`;
+  * `src/index.ts:183-194`): `spark.read.format("graft").load(dir)`
+  * and, through a registered view, plain `spark.sql(...)` serve
+  * SNAPSHOT-ISOLATED reads of a transactional graft table with the
+  * table's own metadata pruning, all via public Spark connector API
+  * (`TableProvider` / `ScanBuilder` / `PartitionReader`).
+  *
+  * Design for 100 TB:
+  *  - the version is pinned when the relation is created, so a query
+  *    plan never sees a concurrent commit (the same read-after-swap
+  *    guarantee `TxTable.read` gives the Scala API);
+  *  - pushed filters run through the SAME zone-map + parquet-bloom
+  *    pruning as `scanWhere` (driver-side manifest metadata, zero data
+  *    I/O), then each surviving file becomes ONE `InputPartition`, so
+  *    a 1000-executor cluster fans out file-parallel with no central
+  *    scan state; filters are also RE-evaluated by Spark above the
+  *    scan (pruning is best-effort, correctness never depends on it);
+  *  - column pruning reaches the parquet reader as a projected read
+  *    schema — unrequested columns are never materialized;
+  *  - merge-on-read deletion vectors apply INSIDE the partition
+  *    reader: each reader loads only its own file's tombstone
+  *    positions (basename-keyed sidecar rows) and skips them by row
+  *    index while streaming, so a DV'd table reads correctly through
+  *    plain SQL with no extra shuffle.
+  *
+  * The row decode uses parquet's public example/Group API rather than
+  * Spark's internal vectorized reader (which is `private[spark]` and
+  * not a stable surface); that trades per-row materialization cost
+  * for a dependency-free reader. The upgrade path — swapping the
+  * Group decode for `VectorizedParquetRecordReader` behind the same
+  * `PartitionReader` seam — changes no planning code.
+  *
+  * Read-only by design: writes go through the Scala API's guarded
+  * commit protocol; admitting blind `INSERT` here would bypass
+  * CHECK constraints and the CAS discipline.
+  */
+final class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  private def dirOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "graft source needs a table directory: " +
+        "spark.read.format(\"graft\").load(<txtable dir>)")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftDataSource.openForRead(SparkSession.active, dirOf(options))
+      .currentSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GraftTable(dirOf(new CaseInsensitiveStringMap(properties)), schema)
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object GraftDataSource {
+  /** Open an existing table directory for reading only. The declared
+    * schema and key list matter only to write paths; reads resolve the
+    * schema from the manifest's `#schema` header, and the read-side
+    * bloom probe is conservative for any column without a written
+    * filter. Legacy manifests (pre-self-describing commits) lack the
+    * header — for those the schema comes from a data-file footer
+    * (driver-side, one footer; sound because every schema-evolution
+    * commit DOES write the header, so a headerless table is
+    * single-schema). */
+  private[graft] def openForRead(spark: SparkSession, dir: String): TxTable = {
+    val probe = new TxTable(spark, dir, new StructType(), Seq("__reader__"),
+      numBuckets = 1)
+    val v = probe.currentVersion
+    if (v < 0 || probe.currentSchema.nonEmpty) probe
+    else {
+      val (_, files) = probe.providerSnapshot(v, None)
+      require(files.nonEmpty,
+        s"$dir has a headerless manifest and no data files to infer from")
+      val inferred = spark.read.parquet(files.head._1).schema
+      new TxTable(spark, dir, inferred, Seq("__reader__"), numBuckets = 1)
+    }
+  }
+
+  /** Translate a DSv2 source filter into a Column the zone-map
+    * evaluator understands. None = shape we don't prune on (Spark
+    * still evaluates it above the scan). */
+  private[sources] def translate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case And(l, r) =>
+      for (lc <- translate(l); rc <- translate(r)) yield lc && rc
+    case Or(l, r) =>
+      for (lc <- translate(l); rc <- translate(r)) yield lc || rc
+    case _ => None
+  }
+}
+
+/** One relation = one pinned table version (snapshot isolation). */
+final class GraftTable(val dir: String, declaredSchema: StructType)
+    extends Table with SupportsRead {
+  private val spark = SparkSession.active
+  private[sources] val tx = GraftDataSource.openForRead(spark, dir)
+  private[sources] val pinnedVersion: Long = tx.currentVersion
+
+  override def name(): String = s"graft:`$dir`@v$pinnedVersion"
+  override def schema(): StructType = declaredSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(tx, pinnedVersion, declaredSchema)
+}
+
+final class GraftScanBuilder(tx: TxTable, version: Long,
+    fullSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Every filter is returned as a residual (Spark re-evaluates —
+    * manifest pruning is file-granular, not row-exact); the
+    * translatable subset is additionally reported as pushed so
+    * EXPLAIN shows what the provider prunes with. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => GraftDataSource.translate(f).isDefined)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new GraftScan(tx, version, required, pushed)
+}
+
+final case class GraftInputPartition(path: String, dvPaths: Array[String])
+    extends InputPartition
+
+final class GraftScan(tx: TxTable, version: Long, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val p = pushed.map(_.toString).mkString(", ")
+    s"GraftScan ${tx.dir}@v$version PushedFilters: [$p]"
+  }
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (version < 0) return Array.empty
+    val pred = pushed.flatMap(GraftDataSource.translate(_))
+      .reduceOption(_ && _)
+    val (_, files) = tx.providerSnapshot(version, pred)
+    files.map { case (p, dvs) => GraftInputPartition(p, dvs.toArray) }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required)
+}
+
+final class GraftReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftPartitionReader(p.path, p.dvPaths, required)
+  }
+}
+
+/** Streams one data file as InternalRows: projected parquet Group
+  * decode, row-index tombstone skip for this file's deletion vectors.
+  * Row position counts every physical row in file order (no row-group
+  * filtering here — positions must match the `_metadata.row_index`
+  * identity the DV sidecars tombstone). */
+final class GraftPartitionReader(path: String, dvPaths: Array[String],
+    required: StructType) extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private val hPath = new Path(path)
+  private val baseName = path.substring(path.lastIndexOf('/') + 1)
+
+  private val fileSchema: MessageType = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+
+  // projection: the required columns present in THIS file (a
+  // pre-evolution file simply lacks the new ones — they surface null);
+  // parquet cannot read zero columns, so an empty projection (count(*)
+  // over no columns) reads the narrowest stand-in field
+  private val presentFields = required.fields
+    .filter(f => fileSchema.containsField(f.name))
+  private val requestedSchema: MessageType = {
+    val types =
+      if (presentFields.nonEmpty)
+        presentFields
+          .map(f => fileSchema.getType(fileSchema.getFieldIndex(f.name)))
+          .toList
+      else List(fileSchema.getFields.asScala.head)
+    new MessageType(fileSchema.getName, types.asJava)
+  }
+
+  private val reader: ParquetReader[Group] = {
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA, requestedSchema.toString)
+    ParquetReader.builder(new GroupReadSupport(), hPath)
+      .withConf(conf).build()
+  }
+
+  // per required field: index in the projected group (-1 = null-fill)
+  // and a primitive decoder bound to the FILE's physical type
+  private val fieldIdx: Array[Int] = required.fields.map { f =>
+    presentFields.indexWhere(_.name == f.name)
+  }
+  private val decoders: Array[(Group, Int) => Any] =
+    required.fields.zipWithIndex.map { case (f, i) =>
+      if (fieldIdx(i) < 0) null
+      else GraftPartitionReader.decoderFor(f.dataType,
+        requestedSchema.getType(fieldIdx(i)).asPrimitiveType())
+    }
+
+  // this file's tombstoned row positions (sidecars are shared across
+  // files of a commit — filter to our basename; bounded by DV size)
+  private val deleted: java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    dvPaths.foreach { dv =>
+      val r = ParquetReader.builder(new GroupReadSupport(), new Path(dv))
+        .withConf(new Configuration()).build()
+      try {
+        var g = r.read()
+        while (g != null) {
+          if (g.getString("_dv_file", 0) == baseName)
+            set.add(g.getLong("_dv_pos", 0))
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    set
+  }
+
+  private var pos: Long = -1L
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    var g = reader.read()
+    pos += 1
+    while (g != null && deleted.contains(pos)) {
+      g = reader.read()
+      pos += 1
+    }
+    current = g
+    g != null
+  }
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      val gi = fieldIdx(i)
+      vals(i) =
+        if (gi < 0 || current.getFieldRepetitionCount(gi) == 0) null
+        else decoders(i)(current, gi)
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = reader.close()
+}
+
+object GraftPartitionReader {
+  import LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
+  import PrimitiveType.PrimitiveTypeName._
+
+  private def int96ToMicros(b: Binary): Long = {
+    val buf = b.toByteBuffer.order(ByteOrder.LITTLE_ENDIAN)
+    val nanos = buf.getLong
+    val julian = buf.getInt
+    (julian - 2440588).toLong * 86400000000L + nanos / 1000L
+  }
+
+  private def tsUnitScale(p: PrimitiveType): Long =
+    p.getLogicalTypeAnnotation match {
+      case t: TimestampLogicalTypeAnnotation => t.getUnit match {
+        case TimeUnit.MILLIS => 1000L
+        case TimeUnit.MICROS => 1L
+        case TimeUnit.NANOS  => -1L // marker: divide
+      }
+      case _ => 1L // unannotated INT64 timestamp = micros (Spark's own)
+    }
+
+  /** Decoder from the file's physical type to the Catalyst-internal
+    * value Spark expects (UTF8String / Decimal / micros / days).
+    * Nested types are refused loudly — this reader serves the flat
+    * relational schemas TxTable stores. */
+  private[sources] def decoderFor(dt: DataType, p: PrimitiveType)
+      : (Group, Int) => Any = dt match {
+    case BooleanType => (g, i) => g.getBoolean(i, 0)
+    case IntegerType | ShortType | ByteType => (g, i) => g.getInteger(i, 0)
+    case LongType => p.getPrimitiveTypeName match {
+      case INT32 => (g, i) => g.getInteger(i, 0).toLong
+      case _     => (g, i) => g.getLong(i, 0)
+    }
+    case FloatType => (g, i) => g.getFloat(i, 0)
+    case DoubleType => p.getPrimitiveTypeName match {
+      case FLOAT => (g, i) => g.getFloat(i, 0).toDouble
+      case _     => (g, i) => g.getDouble(i, 0)
+    }
+    case StringType =>
+      (g, i) => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+    case BinaryType => (g, i) => g.getBinary(i, 0).getBytes
+    case DateType => (g, i) => g.getInteger(i, 0)
+    case TimestampType | TimestampNTZType => p.getPrimitiveTypeName match {
+      case INT96 => (g, i) => int96ToMicros(g.getInt96(i, 0))
+      case _ =>
+        val scale = tsUnitScale(p)
+        if (scale == -1L) (g, i) => g.getLong(i, 0) / 1000L
+        else (g, i) => g.getLong(i, 0) * scale
+    }
+    case d: DecimalType => p.getPrimitiveTypeName match {
+      case INT32 => (g, i) =>
+        Decimal(BigDecimal(BigInt(g.getInteger(i, 0)), d.scale), d.precision, d.scale)
+      case INT64 => (g, i) =>
+        Decimal(BigDecimal(BigInt(g.getLong(i, 0)), d.scale), d.precision, d.scale)
+      case _ => (g, i) =>
+        Decimal(BigDecimal(BigInt(g.getBinary(i, 0).getBytes), d.scale),
+          d.precision, d.scale)
+    }
+    case other => throw new UnsupportedOperationException(
+      s"graft DSv2 reader does not decode $other (flat relational " +
+        "schemas only; read nested tables through the Scala API)")
+  }
+}
