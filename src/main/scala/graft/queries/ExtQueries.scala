@@ -490,6 +490,7 @@ object ExtQueries {
       timed("quantsk")(quantSketchDir(s, dir)),
       timed("quantgsk")(quantGroupSketchDir(s, dir)),
       timed("kmvgsk")(kmvGroupStoreDir(s, dir)),
+      timed("pairsk")(pairStoreDir(s, dir)),
       timed("mediafeats")(mediaFeatsDir(s, dir)),
       timed("audiofeats")(audioFeatsDir(s, dir)),
       timed("videofeats")(videoFeatsDir(s, dir)),
@@ -816,6 +817,36 @@ object ExtQueries {
       markDone(d)
     }
 
+  /** Batch-appended co-occurrence pair store over purchase events: 4
+    * USER-SHARDED ingest batches (a user's whole history in one batch
+    * — the distinct-count mergeability contract), capped per-user
+    * fan-out, pair/item/user partials persisted per batch. */
+  private def pairStoreDir(s: SparkSession, dir: String): String =
+    buildOnce(dir, "events", "pairsk", marker = "_DONE") { d =>
+      wipeDir(d)
+      val p = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("item"))
+        .filter(col("item").isNotNull)
+      (0L to 3L).foreach { b =>
+        graft.ext.PairStore.addBatch(
+          p.filter(pmod(col("user_id"), lit(4)) === b),
+          "user_id", "item", d, batchId = b, shard = "pmod(user_id,4)")
+      }
+      markDone(d)
+    }
+
+  /** The ingest-store twin of `ev_item_cooccurrence`
+    * ([[graft.ext.PairStore]]): the same co-visitation matrix served
+    * ENTIRELY from the persisted 4-batch pair store — the fold reads
+    * ∝ batches × catalog² pair rows, the event corpus is never
+    * touched. User-sharded batches make the distinct-user partials
+    * sum exactly (checked by the fold), so this must equal the batch
+    * query row for row and shares its oracle. */
+  def ev_cooccurrence_store(s: SparkSession, dir: String): DataFrame =
+    graft.ext.PairStore.cooccurrenceFromStore(s, pairStoreDir(s, dir))
+
   /** PAIRWISE segment-overlap matrix from the persisted grouped KMV
     * store ([[graft.ext.KmvSketch.overlapMatrix]]) — the N-segment
     * generalization of `x_kmv_segments`' fixed pair: every unordered
@@ -1070,6 +1101,7 @@ object ExtQueries {
     "x_freq_store_group_top" -> (x_freq_store_group_top _),
     "x_kmv_segments" -> (x_kmv_segments _),
     "x_kmv_overlap_matrix" -> (x_kmv_overlap_matrix _),
+    "ev_cooccurrence_store" -> (ev_cooccurrence_store _),
     "p6e_proximity_search" -> (p6e_proximity_search _),
     "x2_simhash_pairs" -> (x2_simhash_pairs _),
     "x1_lsh_buckets" -> (x1_lsh_buckets _),
@@ -1316,6 +1348,9 @@ object ExtQueries {
     // the naive corpus GROUP BY + HAVING (the SAME oracle text as
     // x_heavy_hitters — the twins are pinned to one definition)
     "x_freq_store_top" -> TextSim.bigramFrequentOracle,
+    // the store twin is pinned to the batch query's own oracle — one
+    // SQL text, two serving paths
+    "ev_cooccurrence_store" -> Analytics.oracle("ev_item_cooccurrence"),
     // store-served rank quantiles in the exact regime must equal the
     // window-SQL rank definition over the corpus: smallest value whose
     // cumulative count reaches ceil(q * n)
