@@ -1,0 +1,251 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** ICEBERG-SPEC EXPORT — the second half of the interop phrase the
+  * north star names ("table formats like Delta/Iceberg"): publish a
+  * [[TxTable]] snapshot as an Apache Iceberg v2 table by writing the
+  * spec's metadata tree INSIDE the table directory, per the published
+  * Iceberg table spec (iceberg.apache.org/spec — format-version 2):
+  *
+  *   metadata/v1.metadata.json        table metadata (schema w/ field
+  *                                    ids, specs, snapshot)
+  *   metadata/snap-<id>-1-<uuid>.avro manifest list (manifest_file
+  *                                    records, spec field-ids)
+  *   metadata/<uuid>-m0.avro          manifest (manifest_entry →
+  *                                    data_file records)
+  *   metadata/version-hint.text       HadoopCatalog pointer ("1")
+  *
+  * Like [[DeltaExport]], this is pure metadata over the manifest — no
+  * Iceberg jars, no data rewrite: data_file entries reference the
+  * snapshot's existing parquet by absolute URI, record counts come
+  * from the manifest's footer stats. The same honesty floor applies:
+  * outstanding deletion vectors cannot be expressed as v2 POSITION
+  * DELETES without rewriting sidecars into Iceberg's delete-file
+  * format, so a DV-carrying snapshot is REFUSED with the remedy
+  * (`materializeDeletes()`) rather than exported wrong; shallow-clone
+  * foreign references export fine (Iceberg paths are absolute URIs).
+  *
+  * Validation honesty: no stock Iceberg reader exists in this offline
+  * JVM, so IcebergExportSpec validates the LAYOUT against the
+  * published spec (required metadata fields, spec field-ids on every
+  * avro field, manifest-list → manifest → data-file reachability,
+  * record-count exactness) — the strongest check available without
+  * the jars; COVERAGE.md states this boundary.
+  */
+object IcebergExport {
+
+  private def icebergType(dt: DataType): String = dt match {
+    case BooleanType      => "boolean"
+    case IntegerType      => "int"
+    case ShortType | ByteType => "int"
+    case LongType         => "long"
+    case FloatType        => "float"
+    case DoubleType       => "double"
+    case StringType       => "string"
+    case BinaryType       => "binary"
+    case DateType         => "date"
+    case TimestampType    => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case d: DecimalType   => s"decimal(${d.precision}, ${d.scale})"
+    case other => throw new UnsupportedOperationException(
+      s"iceberg export does not map $other (flat relational schemas only)")
+  }
+
+  private def schemaJson(schema: StructType): JObject = {
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      JObject(
+        "id" -> JInt(i + 1),
+        "name" -> JString(f.name),
+        "required" -> JBool(!f.nullable),
+        "type" -> JString(icebergType(f.dataType)))
+    }
+    JObject(
+      "type" -> JString("struct"),
+      "schema-id" -> JInt(0),
+      "fields" -> JArray(fields.toList))
+  }
+
+  // avro schemas with the spec's REQUIRED field-ids as avro props —
+  // Iceberg readers resolve manifest fields by id, not position
+  private val ManifestEntrySchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      | {"name":"content","type":"int","field-id":134},
+      | {"name":"file_path","type":"string","field-id":100},
+      | {"name":"file_format","type":"string","field-id":101},
+      | {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      | {"name":"record_count","type":"long","field-id":103},
+      | {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |]}}]}""".stripMargin)
+
+  private val ManifestFileSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514}
+      |]}""".stripMargin)
+
+  private def writeAvro(fs: FileSystem, path: Path, schema: Schema,
+      records: Seq[GenericRecord], meta: Map[String, String]): Long = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => w.setMeta(k, v) }
+    val out = fs.create(path, true)
+    try {
+      w.create(schema, out)
+      records.foreach(w.append)
+    } finally w.close() // closes out
+    fs.getFileStatus(path).getLen
+  }
+
+  /** Export the table's current snapshot as an Iceberg v2 metadata
+    * tree under `table.dir/metadata/`. Returns the table metadata
+    * file's path. */
+  def writeIcebergMetadata(spark: SparkSession, table: TxTable): String = {
+    val files = table.currentFileInfo
+    require(files.forall(_.dvRows == 0L),
+      "snapshot has outstanding deletion vectors, which this export " +
+        "does not rewrite into Iceberg position-delete files - run " +
+        "materializeDeletes() first")
+    val root = new Path(table.dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = fs.makeQualified(root).toString.stripSuffix("/")
+    val metaDir = new Path(root, "metadata")
+    fs.mkdirs(metaDir)
+
+    val schema = table.currentSchema
+    val snapshotId = 1000L + table.currentVersion
+    val nowMs = System.currentTimeMillis()
+    val uuid = java.util.UUID.randomUUID().toString
+
+    // rows per file from footer stats (exact); a stats-less legacy
+    // entry pays one count over just that file
+    def rowsOf(f: TxTable.LiveFile): Long =
+      FileStats.fromJson(f.statsJson, schema).map(_.rows)
+        .getOrElse(spark.read.schema(schema).parquet(f.path).count())
+
+    // manifest: one manifest_entry per live data file
+    val entryRecords = files.map { f =>
+      val df = new GenericData.Record(
+        ManifestEntrySchema.getField("data_file").schema())
+      df.put("content", 0)
+      df.put("file_path", fs.makeQualified(new Path(f.path)).toString)
+      df.put("file_format", "PARQUET")
+      df.put("partition", new GenericData.Record(
+        df.getSchema.getField("partition").schema()))
+      df.put("record_count", rowsOf(f))
+      df.put("file_size_in_bytes", fs.getFileStatus(new Path(f.path)).getLen)
+      val e = new GenericData.Record(ManifestEntrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", 1L)
+      e.put("file_sequence_number", 1L)
+      e.put("data_file", df)
+      e
+    }
+    val manifestPath = new Path(metaDir, s"$uuid-m0.avro")
+    val partitionSpecJson = """{"spec-id":0,"fields":[]}"""
+    val manifestLen = writeAvro(fs, manifestPath, ManifestEntrySchema,
+      entryRecords, Map(
+        "schema" -> JsonMethods.compact(JsonMethods.render(schemaJson(schema))),
+        "schema-id" -> "0",
+        "partition-spec" -> "[]",
+        "partition-spec-id" -> "0",
+        "format-version" -> "2",
+        "content" -> "data"))
+
+    // manifest list: one manifest_file record
+    val totalRows = files.map(rowsOf).sum
+    val mf = new GenericData.Record(ManifestFileSchema)
+    mf.put("manifest_path", fs.makeQualified(manifestPath).toString)
+    mf.put("manifest_length", manifestLen)
+    mf.put("partition_spec_id", 0)
+    mf.put("content", 0)
+    mf.put("sequence_number", 1L)
+    mf.put("min_sequence_number", 1L)
+    mf.put("added_snapshot_id", snapshotId)
+    mf.put("added_files_count", files.size)
+    mf.put("existing_files_count", 0)
+    mf.put("deleted_files_count", 0)
+    mf.put("added_rows_count", totalRows)
+    mf.put("existing_rows_count", 0L)
+    mf.put("deleted_rows_count", 0L)
+    val listPath = new Path(metaDir, s"snap-$snapshotId-1-$uuid.avro")
+    writeAvro(fs, listPath, ManifestFileSchema, Seq(mf), Map(
+      "format-version" -> "2",
+      "snapshot-id" -> snapshotId.toString,
+      "sequence-number" -> "1",
+      "parent-snapshot-id" -> "null"))
+
+    // table metadata (v2 required fields per spec §"Table Metadata")
+    val metadata = JObject(
+      "format-version" -> JInt(2),
+      "table-uuid" -> JString(uuid),
+      "location" -> JString(rootUri),
+      "last-sequence-number" -> JInt(1),
+      "last-updated-ms" -> JLong(nowMs),
+      "last-column-id" -> JInt(schema.length),
+      "current-schema-id" -> JInt(0),
+      "schemas" -> JArray(List(schemaJson(schema))),
+      "default-spec-id" -> JInt(0),
+      "partition-specs" -> JArray(List(
+        JsonMethods.parse(partitionSpecJson))),
+      "last-partition-id" -> JInt(999),
+      "default-sort-order-id" -> JInt(0),
+      "sort-orders" -> JArray(List(JObject(
+        "order-id" -> JInt(0), "fields" -> JArray(Nil)))),
+      "properties" -> JObject(),
+      "current-snapshot-id" -> JLong(snapshotId),
+      "snapshots" -> JArray(List(JObject(
+        "snapshot-id" -> JLong(snapshotId),
+        "sequence-number" -> JInt(1),
+        "timestamp-ms" -> JLong(nowMs),
+        "manifest-list" -> JString(fs.makeQualified(listPath).toString),
+        "summary" -> JObject(
+          "operation" -> JString("append"),
+          "added-data-files" -> JString(files.size.toString),
+          "added-records" -> JString(totalRows.toString)),
+        "schema-id" -> JInt(0)))),
+      "snapshot-log" -> JArray(List(JObject(
+        "timestamp-ms" -> JLong(nowMs),
+        "snapshot-id" -> JLong(snapshotId)))),
+      "metadata-log" -> JArray(Nil))
+    val mdPath = new Path(metaDir, "v1.metadata.json")
+    val out = fs.create(mdPath, true)
+    try out.write(JsonMethods.pretty(JsonMethods.render(metadata))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+
+    // HadoopCatalog version pointer — readers resolve v<hint>.metadata.json
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write("1".getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    mdPath.toString
+  }
+}

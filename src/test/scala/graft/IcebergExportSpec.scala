@@ -1,0 +1,104 @@
+package graft
+
+import java.io.File
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.core.{IcebergExport, TxTable}
+
+/** Iceberg v2 export: the metadata tree must follow the published
+  * table spec — required metadata fields, spec field-ids on every
+  * avro field, manifest-list → manifest → data-file reachability with
+  * exact record counts. (No stock Iceberg reader ships in this
+  * offline JVM; this layout check against the spec is the validation
+  * boundary, stated in COVERAGE.md.) */
+class IcebergExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private implicit val fmts: Formats = DefaultFormats
+
+  private def readAvro(path: String): (Seq[GenericRecord], org.apache.avro.Schema) = {
+    val r = new DataFileReader[GenericRecord](
+      new File(path), new GenericDatumReader[GenericRecord]())
+    try (r.iterator().asScala.toList, r.getSchema) finally r.close()
+  }
+
+  test("exports a spec-conformant v2 metadata tree with exact counts") {
+    val dir = tmpDir("iceberg") + "/t"
+    val data = (1L to 100L).map(i => (i, s"n$i", i * 1.5)).toDF("k", "s", "v")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 2)
+    t.append(data)
+    t.deleteWhere(col("k") > 90L) // rewrite path, no DVs
+    val mdPath = IcebergExport.writeIcebergMetadata(spark, t)
+
+    // version hint resolves the metadata file
+    val hint = scala.io.Source.fromFile(s"$dir/metadata/version-hint.text")
+      .mkString.trim
+    assert(hint === "1")
+    assert(new File(s"$dir/metadata/v1.metadata.json").exists())
+
+    val md = JsonMethods.parse(
+      scala.io.Source.fromFile(mdPath.stripPrefix("file:")).mkString)
+    assert((md \ "format-version").extract[Int] === 2)
+    for (k <- Seq("table-uuid", "location", "last-sequence-number",
+        "last-updated-ms", "last-column-id", "current-schema-id",
+        "schemas", "default-spec-id", "partition-specs",
+        "default-sort-order-id", "sort-orders", "current-snapshot-id",
+        "snapshots", "snapshot-log"))
+      assert((md \ k) !== JNothing, s"metadata missing required '$k'")
+    // schema: one field per column, ids 1..n, iceberg type names
+    val fields = (md \ "schemas")(0) \ "fields"
+    assert(fields.children.size === 3)
+    assert(fields.children.map(f => (f \ "id").extract[Int]) === List(1, 2, 3))
+    assert(fields.children.map(f => (f \ "type").extract[String]) ===
+      List("long", "string", "double"))
+
+    // current snapshot → manifest list avro
+    val snapId = (md \ "current-snapshot-id").extract[Long]
+    val snaps = (md \ "snapshots").children
+    assert(snaps.map(s => (s \ "snapshot-id").extract[Long]).contains(snapId))
+    val listPath = (snaps.find(s =>
+      (s \ "snapshot-id").extract[Long] == snapId).get \ "manifest-list")
+      .extract[String].stripPrefix("file:")
+    val (listRecs, listSchema) = readAvro(listPath)
+    assert(listRecs.size === 1)
+    // spec field-ids present on every manifest-list field
+    assert(listSchema.getFields.asScala.forall(_.getObjectProp("field-id") != null),
+      "manifest_file fields must carry spec field-ids")
+    assert(listSchema.getField("manifest_path").getObjectProp("field-id")
+      .toString === "500")
+    assert(listRecs.head.get("added_rows_count") === 90L)
+
+    // manifest list → manifest avro → data files, counts exact
+    val manifestPath = listRecs.head.get("manifest_path").toString
+      .stripPrefix("file:")
+    val (entries, entrySchema) = readAvro(manifestPath)
+    assert(entrySchema.getFields.asScala.forall(_.getObjectProp("field-id") != null))
+    val dataFiles = entries.map(_.get("data_file").asInstanceOf[GenericRecord])
+    assert(dataFiles.map(_.get("record_count").asInstanceOf[Long]).sum === 90L)
+    dataFiles.foreach { f =>
+      val p = f.get("file_path").toString.stripPrefix("file:")
+      assert(new File(p).exists(), s"data_file path missing: $p")
+      assert(f.get("file_format").toString === "PARQUET")
+    }
+    assert(entries.size === t.dataFileCount)
+  }
+
+  test("outstanding deletion vectors refuse export with the remedy named") {
+    val dir = tmpDir("iceberg-dv") + "/t"
+    val data = (1L to 20L).map(i => (i, i % 3L)).toDF("k", "g")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 2)
+    t.append(data)
+    t.deleteWhereLight(col("g") === 0L)
+    val e = intercept[IllegalArgumentException] {
+      IcebergExport.writeIcebergMetadata(spark, t)
+    }
+    assert(e.getMessage.contains("materializeDeletes"))
+  }
+}
