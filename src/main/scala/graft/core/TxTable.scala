@@ -589,8 +589,35 @@ final class TxTable(
       throw new IllegalStateException(s"commit rename failed at version $v")
     }
     releaseClaim() // the claim's job ends at the committed manifest
+    writeDescriptorIfAbsent()
     v
   }
+
+  /** Self-describing WRITE metadata: `_table.json` records the key
+    * columns, bucket count and bloom columns so a later schema-free
+    * open ([[graft.sources.GraftDataSource.openForRead]]) can stage
+    * CORRECTLY BUCKETED writes — reads don't need it, but an append
+    * bucketed by the wrong keys would corrupt bucket pruning forever.
+    * Written once after the first successful commit (idempotent
+    * content; a racing duplicate write is harmless), best-effort: a
+    * failure here never fails the commit that data correctness
+    * depends on. */
+  private def writeDescriptorIfAbsent(): Unit =
+    try {
+      val p = new Path(dir, "_table.json")
+      val f = fs
+      if (!f.exists(p) && keys.nonEmpty && !keys.contains("__reader__")) {
+        val json = org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
+            "keys" -> org.json4s.JArray(
+              keys.toList.map(org.json4s.JString(_))),
+            "numBuckets" -> org.json4s.JInt(numBuckets),
+            "bloomCols" -> org.json4s.JArray(
+              bloomCols.toList.map(org.json4s.JString(_))))))
+        val out = f.create(p, false)
+        try out.write(json.getBytes("UTF-8")) finally out.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Atomically publish `tmp` as `target`, FAILING iff `target` exists
     * — the commit point must refuse to replace a committed manifest.
@@ -1815,6 +1842,29 @@ object TxTable {
     * [[TxTable.currentFileInfo]]). */
   final case class LiveFile(path: String, bucket: Int, statsJson: String,
       dvRows: Long)
+
+  /** The `_table.json` write descriptor, if the table has one:
+    * (key columns, bucket count, bloom columns). See
+    * `writeDescriptorIfAbsent` — schema-free opens need it to stage
+    * correctly bucketed writes. */
+  private[graft] def readDescriptor(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[(Seq[String], Int, Seq[String])] =
+    scala.util.Try {
+      val p = new Path(dir, "_table.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        val j = org.json4s.jackson.JsonMethods.parse(txt)
+        Some((
+          (j \ "keys").extract[Seq[String]],
+          (j \ "numBuckets").extract[Int],
+          (j \ "bloomCols").extract[Seq[String]]))
+      }
+    }.toOption.flatten
 
   /** Default vacuum retention: nothing younger than this is ever
     * deleted, protecting live snapshot readers (see [[TxTable.vacuum]]). */

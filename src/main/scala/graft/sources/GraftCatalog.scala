@@ -26,12 +26,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * pinned-snapshot [[GraftTable]] — so every query gets snapshot
   * isolation and manifest pruning exactly as `format("graft")` does.
   *
-  * Read-only like the provider: DDL/DML through the catalog is
-  * refused with the Scala-API pointer — table creation is a guarded
-  * commit-protocol concern (bucketing keys, CHECK constraints), not
-  * something a bare `CREATE TABLE` statement can express safely.
-  * Catalog metadata ops are driver-side directory listings (cheap,
-  * object-store friendly); nothing reads data.
+  * DDL/DML surface: `CREATE TABLE … TBLPROPERTIES('keys'='…')` and
+  * `INSERT INTO` / `INSERT OVERWRITE` work — creation and writes
+  * route through the guarded commit protocol (the write bridge in
+  * [[GraftWriteBuilder]]), so SQL pays the same CHECK admission,
+  * bucketing and CAS as the Scala API. Destructive DDL (DROP/RENAME)
+  * stays refused with the Scala-API pointer. Catalog metadata ops are
+  * driver-side directory listings (cheap, object-store friendly);
+  * nothing reads data.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
@@ -80,12 +82,44 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft catalog is read-only ($op refused): create/write tables " +
+      s"graft catalog refuses destructive DDL ($op): drop/rename tables " +
         "through the Scala API's guarded commit protocol (graft.core.TxTable)")
 
+  /** `CREATE TABLE lake.t (cols) TBLPROPERTIES('keys'='k1,k2'
+    * [, 'buckets'='16'][, 'blooms'='c1,c2'])` — the bucketing keys are
+    * a REQUIRED property because they are the table's physical
+    * identity (manifest partitioner, bucket pruning, upsert
+    * co-location); a bare CREATE TABLE cannot guess them safely.
+    * Creation commits v0 through the normal protocol, which also
+    * records the `_table.json` descriptor that later SQL inserts
+    * bucket by. */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: JMap[String, String]): Table =
-    readOnly("CREATE TABLE")
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables take no PARTITIONED BY - physical layout comes from " +
+        "the 'keys'/'buckets' table properties (manifest bucketing)")
+    val keys = Option(properties.get("keys"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        "CREATE TABLE needs TBLPROPERTIES('keys'='k1,k2'" +
+          "[, 'buckets'='16'][, 'blooms'='c1,c2'])"))
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"key column '$k' is not in the table schema"))
+    val buckets = Option(properties.get("buckets")).map(_.toInt).getOrElse(16)
+    val blooms = Option(properties.get("blooms"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val dir = dirFor(ident.namespace(), ident.name())
+    if (isTableDir(dir))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (catalogName +: ident.namespace().toSeq) :+ ident.name())
+    val tx = new graft.core.TxTable(SparkSession.active, dir.toString,
+      schema, keys, numBuckets = buckets, bloomCols = blooms)
+    tx.createIfAbsent() // v0 commit writes #schema + _table.json
+    new GraftTable(dir.toString, schema)
+  }
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     readOnly("ALTER TABLE")
   override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")

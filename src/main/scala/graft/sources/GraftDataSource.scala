@@ -17,7 +17,7 @@ import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveT
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.functions.{col, lit}
@@ -62,9 +62,13 @@ import graft.core.TxTable
   * Group decode for `VectorizedParquetRecordReader` behind the same
   * `PartitionReader` seam — changes no planning code.
   *
-  * Read-only by design: writes go through the Scala API's guarded
-  * commit protocol; admitting blind `INSERT` here would bypass
-  * CHECK constraints and the CAS discipline.
+  * Writes route THROUGH the guarded commit protocol, never around it:
+  * the V1 write bridge ([[GraftWriteBuilder]]) hands the resolved
+  * insert frame to `TxTable.append`/`replace`, so `INSERT INTO` pays
+  * the same CHECK admission pass, key bucketing, bloom layout and
+  * optimistic CAS as the Scala API. Tables created before the
+  * `_table.json` descriptor existed refuse SQL writes (unknown key
+  * columns would bucket rows wrongly) rather than corrupting layout.
   */
 final class GraftDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
@@ -99,8 +103,14 @@ object GraftDataSource {
     * commit DOES write the header, so a headerless table is
     * single-schema). */
   private[graft] def openForRead(spark: SparkSession, dir: String): TxTable = {
-    val probe = new TxTable(spark, dir, new StructType(), Seq("__reader__"),
-      numBuckets = 1)
+    // the _table.json descriptor restores the WRITE identity (keys /
+    // buckets / blooms) so SQL inserts stage correctly bucketed rows;
+    // descriptor-less tables open with placeholder keys — reads are
+    // unaffected, writes are refused (see GraftWriteBuilder)
+    val (ks, nb, blooms) = TxTable.readDescriptor(spark, dir)
+      .getOrElse((Seq("__reader__"), 1, Nil: Seq[String]))
+    val probe = new TxTable(spark, dir, new StructType(), ks,
+      numBuckets = nb, bloomCols = blooms)
     val v = probe.currentVersion
     if (v < 0 || probe.currentSchema.nonEmpty) probe
     else {
@@ -108,7 +118,8 @@ object GraftDataSource {
       require(files.nonEmpty,
         s"$dir has a headerless manifest and no data files to infer from")
       val inferred = spark.read.parquet(files.head._1).schema
-      new TxTable(spark, dir, inferred, Seq("__reader__"), numBuckets = 1)
+      new TxTable(spark, dir, inferred, ks, numBuckets = nb,
+        bloomCols = blooms)
     }
   }
 
@@ -133,9 +144,14 @@ object GraftDataSource {
   }
 }
 
-/** One relation = one pinned table version (snapshot isolation). */
+/** One relation = one pinned table version (snapshot isolation).
+  * Writes are served through the V1 write bridge
+  * ([[GraftWriteBuilder]]) so `INSERT INTO` / `INSERT OVERWRITE` /
+  * `df.writeTo(...).append()` route INTO the guarded commit protocol
+  * — CHECK admission, key bucketing, bloom layout, optimistic CAS —
+  * never around it. */
 final class GraftTable(val dir: String, declaredSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   private val spark = SparkSession.active
   private[sources] val tx = GraftDataSource.openForRead(spark, dir)
   private[sources] val pinnedVersion: Long = tx.currentVersion
@@ -143,9 +159,55 @@ final class GraftTable(val dir: String, declaredSchema: StructType)
   override def name(): String = s"graft:`$dir`@v$pinnedVersion"
   override def schema(): StructType = declaredSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tx, pinnedVersion, declaredSchema)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(tx, declaredSchema)
+}
+
+/** SQL write path via Spark's V1 write bridge (`V1Write` →
+  * `InsertableRelation` — the public DSv2-to-DataFrame fallback that
+  * table formats use precisely so the format's OWN commit protocol
+  * does the writing): append = `TxTable.append` (CHECK-enforced,
+  * bucketed, bloom'd, CAS-committed), INSERT OVERWRITE = `replace`.
+  * The incoming frame conforms to the table schema positionally (the
+  * SQL INSERT contract) with a cast per column. Writes are refused on
+  * descriptor-less legacy tables — appending with unknown key columns
+  * would bucket rows wrongly and corrupt bucket pruning forever. */
+final class GraftWriteBuilder(tx: TxTable, tableSchema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var overwriteAll = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwriteAll = true
+    this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation: InsertableRelation =
+        new InsertableRelation {
+          override def insert(data: org.apache.spark.sql.DataFrame,
+              overwrite: Boolean): Unit = {
+            require(!tx.keys.contains("__reader__"),
+              s"${tx.dir} has no _table.json write descriptor (created " +
+                "before round 12): SQL writes need the key columns to " +
+                "bucket correctly - write once through the Scala API " +
+                "(which records the descriptor) or add _table.json")
+            require(data.schema.length == tableSchema.length,
+              s"INSERT provides ${data.schema.length} columns, table has " +
+                s"${tableSchema.length}")
+            val conformed = data.toDF(tableSchema.fieldNames.toIndexedSeq: _*)
+              .select(tableSchema.fields.toIndexedSeq
+                .map(f => col(f.name).cast(f.dataType)): _*)
+            if (overwriteAll || overwrite) tx.replace(conformed)
+            else tx.append(conformed)
+          }
+        }
+    }
 }
 
 final class GraftScanBuilder(tx: TxTable, version: Long,

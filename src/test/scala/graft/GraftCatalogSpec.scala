@@ -42,6 +42,47 @@ class GraftCatalogSpec extends SparkSpec {
     val ddl = intercept[Exception] {
       spark.sql("DROP TABLE lake.sales")
     }
-    assert(ddl.getMessage.contains("read-only"))
+    assert(allMessages(ddl).contains("destructive DDL"))
+  }
+
+  private def allMessages(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+
+  test("CREATE TABLE + INSERT route through the guarded commit protocol") {
+    val root = tmpDir("graft-cat-ddl")
+    spark.conf.set("spark.sql.catalog.ddl", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ddl.root", root)
+    spark.sql("""CREATE TABLE ddl.users (k BIGINT, name STRING, bal DOUBLE)
+                 TBLPROPERTIES('keys'='k', 'buckets'='4')""")
+    spark.sql("INSERT INTO ddl.users VALUES (1, 'a', 10.0), (2, 'b', 20.0)")
+    spark.sql("INSERT INTO ddl.users VALUES (3, 'c', 30.0)")
+    assert(spark.sql("SELECT sum(bal) AS s FROM ddl.users")
+      .head().getDouble(0) === 60.0)
+
+    // the descriptor drove REAL bucketing: a Scala-API open of the
+    // same directory bucket-prunes point lookups correctly
+    val schema = spark.sql("SELECT * FROM ddl.users").schema
+    val tx = new TxTable(spark, s"$root/users", schema, Seq("k"),
+      numBuckets = 4)
+    assert(tx.lookup(Seq(2L)).collect().map(_.getString(1)).toSeq ===
+      Seq("b"))
+
+    spark.sql("INSERT OVERWRITE ddl.users VALUES (CAST(9 AS BIGINT), 'z', 1.0)")
+    assert(spark.sql("SELECT count(*) FROM ddl.users").head().getLong(0) === 1L)
+
+    // CHECK constraints gate SQL inserts exactly like Scala appends
+    tx.addCheckConstraint("pos_bal", "bal >= 0")
+    val bad = intercept[Exception] {
+      spark.sql("INSERT INTO ddl.users VALUES (CAST(10 AS BIGINT), 'neg', -5.0)")
+    }
+    assert(allMessages(bad).contains("pos_bal"))
+    assert(spark.sql("SELECT count(*) FROM ddl.users").head().getLong(0) === 1L)
+
+    // keys property is required — physical identity can't be guessed
+    val noKeys = intercept[Exception] {
+      spark.sql("CREATE TABLE ddl.bad (x INT)")
+    }
+    assert(allMessages(noKeys).contains("keys"))
   }
 }
