@@ -160,9 +160,11 @@ final class GraftTable(val dir: String, declaredSchema: StructType)
   override def schema(): StructType = declaredSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tx, pinnedVersion, declaredSchema)
+    new GraftScanBuilder(tx, pinnedVersion, declaredSchema,
+      Option(options.get("startingVersion")).map(_.toLong))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -211,7 +213,8 @@ final class GraftWriteBuilder(tx: TxTable, tableSchema: StructType)
 }
 
 final class GraftScanBuilder(tx: TxTable, version: Long,
-    fullSchema: StructType) extends ScanBuilder
+    fullSchema: StructType, startingVersion: Option[Long] = None)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
@@ -227,16 +230,21 @@ final class GraftScanBuilder(tx: TxTable, version: Long,
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GraftScan(tx, version, required, pushed)
+  override def build(): Scan =
+    new GraftScan(tx, version, required, pushed, startingVersion)
 }
 
 final case class GraftInputPartition(path: String, dvPaths: Array[String])
     extends InputPartition
 
 final class GraftScan(tx: TxTable, version: Long, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], startingVersion: Option[Long] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(tx, required, startingVersion)
   override def description(): String = {
     val p = pushed.map(_.toString).mkString(", ")
     s"GraftScan ${tx.dir}@v$version PushedFilters: [$p]"

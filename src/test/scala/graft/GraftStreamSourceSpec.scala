@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.TxTable
+
+/** Streaming tail of a TxTable: micro-batches = commit ranges
+  * (exactly-once version offsets), and non-append commits fail the
+  * stream honestly instead of emitting wrong rows. */
+class GraftStreamSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("readStream tails appends across commits; offsets are versions") {
+    val dir = tmpDir("gstream") + "/t"
+    val b1 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val t = new TxTable(spark, dir, b1.schema, Seq("k"), numBuckets = 2)
+    t.append(b1) // v0
+
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "-1") // from the beginning
+      .load(dir)
+      .writeStream.format("memory").queryName("gtail")
+      .option("checkpointLocation", tmpDir("gstream-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gtail").count() === 2L)
+
+      t.append(Seq((3L, "c")).toDF("k", "s")) // v1
+      t.append(Seq((4L, "d")).toDF("k", "s")) // v2
+      q.processAllAvailable()
+      val got = spark.table("gtail").collect().map(_.getLong(0)).toSet
+      assert(got === Set(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
+  test("non-append commits fail the stream with the changeFeed remedy") {
+    val dir = tmpDir("gstream-del") + "/t"
+    val b1 = (1L to 20L).map(i => (i, i % 3L)).toDF("k", "g")
+    val t = new TxTable(spark, dir, b1.schema, Seq("k"), numBuckets = 2)
+    t.append(b1)
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("gtail2")
+      .option("checkpointLocation", tmpDir("gstream-del-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // a deletion-vector write retracts rows from an EXISTING file —
+      // the append-tail stream must refuse, naming the CDC remedy
+      t.deleteWhereLight(col("g") === 0L)
+      val e = intercept[Exception] { q.processAllAvailable() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("changeFeed"), msgs)
+    } finally q.stop()
+  }
+}
