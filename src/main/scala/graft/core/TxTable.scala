@@ -761,6 +761,22 @@ final class TxTable(
     * lets callers compute which buckets a key set touches. */
   private[graft] def bucketColumn: Column = bucketExpr
 
+  /** Committed schema of version `v` (schema history travels with the
+    * manifests — the DSv2 time-travel surface needs it). */
+  private[graft] def schemaAtVersion(v: Long): StructType =
+    schemaAt(loadManifest(v))
+
+  /** Latest version whose commit (manifest publish mtime) is at or
+    * before `tsMillis` — the TIMESTAMP AS OF resolution. None when
+    * the first commit is later than `tsMillis`. Driver-side metadata
+    * (one file status per retained version). */
+  private[graft] def versionAsOfTimestamp(tsMillis: Long): Option[Long] = {
+    val f = fs
+    versions.filter(v =>
+      f.getFileStatus(manifestPath(v)).getModificationTime <= tsMillis)
+      .lastOption
+  }
+
   /** DSv2 provider surface ([[graft.sources.GraftDataSource]]): the
     * schema and live (data file, DV sidecars) pairs of version `v`,
     * zone-map/bloom pruned by `pred` when given — the same

@@ -77,6 +77,32 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(dir.toString, tx.currentSchema)
   }
 
+  /** `SELECT … FROM lake.t VERSION AS OF <v>` — pin an exact retained
+    * version (read-only relation; schema is the one that version was
+    * committed with). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirFor(ident.namespace(), ident.name())
+    if (!isTableDir(dir)) throw new NoSuchTableException(
+      (catalogName +: ident.namespace().toSeq) :+ ident.name())
+    val tx = GraftDataSource.openForRead(SparkSession.active, dir.toString)
+    val v = version.toLong
+    new GraftTable(dir.toString, tx.schemaAtVersion(v), Some(v))
+  }
+
+  /** `SELECT … FROM lake.t TIMESTAMP AS OF <ts>` — DSv2 hands the
+    * instant as MICROSECONDS since epoch; it resolves to the latest
+    * version committed at or before it (manifest publish times). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirFor(ident.namespace(), ident.name())
+    if (!isTableDir(dir)) throw new NoSuchTableException(
+      (catalogName +: ident.namespace().toSeq) :+ ident.name())
+    val tx = GraftDataSource.openForRead(SparkSession.active, dir.toString)
+    val v = tx.versionAsOfTimestamp(timestamp / 1000L).getOrElse(
+      throw new IllegalArgumentException(
+        s"no commit of $dir at or before timestamp $timestamp (micros)"))
+    new GraftTable(dir.toString, tx.schemaAtVersion(v), Some(v))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     isTableDir(dirFor(ident.namespace(), ident.name()))
 

@@ -81,13 +81,20 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
     p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftDataSource.openForRead(SparkSession.active, dirOf(options))
-      .currentSchema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = dirOf(options)
+    val tx = GraftDataSource.openForRead(SparkSession.active, dir)
+    GraftDataSource.asOfFrom(tx, options)
+      .map(tx.schemaAtVersion).getOrElse(tx.currentSchema)
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new GraftTable(dirOf(new CaseInsensitiveStringMap(properties)), schema)
+      properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val dir = dirOf(opts)
+    val tx = GraftDataSource.openForRead(SparkSession.active, dir)
+    new GraftTable(dir, schema, GraftDataSource.asOfFrom(tx, opts))
+  }
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -123,6 +130,27 @@ object GraftDataSource {
     }
   }
 
+  /** TIME TRAVEL from read options: `versionAsOf` pins an exact
+    * retained version; `timestampAsOf` (epoch millis, or a
+    * `yyyy-MM-dd HH:mm:ss` literal) resolves to the latest version
+    * committed at or before that instant via manifest publish times —
+    * the same semantics the Scala API's `readVersion`/history give. */
+  private[sources] def asOfFrom(tx: TxTable,
+      options: CaseInsensitiveStringMap): Option[Long] = {
+    val v = Option(options.get("versionAsOf")).map(_.toLong)
+    val tsRaw = Option(options.get("timestampAsOf"))
+    require(v.isEmpty || tsRaw.isEmpty,
+      "give versionAsOf OR timestampAsOf, not both")
+    v.orElse(tsRaw.map { raw =>
+      val ms =
+        if (raw.nonEmpty && raw.forall(_.isDigit)) raw.toLong
+        else java.sql.Timestamp.valueOf(raw).getTime
+      tx.versionAsOfTimestamp(ms).getOrElse(throw
+        new IllegalArgumentException(
+          s"no commit of ${tx.dir} at or before $raw"))
+    })
+  }
+
   /** Translate a DSv2 source filter into a Column the zone-map
     * evaluator understands. None = shape we don't prune on (Spark
     * still evaluates it above the scan). */
@@ -150,11 +178,19 @@ object GraftDataSource {
   * `df.writeTo(...).append()` route INTO the guarded commit protocol
   * — CHECK admission, key bucketing, bloom layout, optimistic CAS —
   * never around it. */
-final class GraftTable(val dir: String, declaredSchema: StructType)
+final class GraftTable(val dir: String, declaredSchema: StructType,
+    asOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
   private val spark = SparkSession.active
   private[sources] val tx = GraftDataSource.openForRead(spark, dir)
-  private[sources] val pinnedVersion: Long = tx.currentVersion
+  private[sources] val pinnedVersion: Long = asOf match {
+    case Some(v) =>
+      require(tx.versions.contains(v),
+        s"version $v of $dir is not retained " +
+          s"(${tx.versions.headOption.getOrElse(-1L)}..${tx.currentVersion})")
+      v
+    case None => tx.currentVersion
+  }
 
   override def name(): String = s"graft:`$dir`@v$pinnedVersion"
   override def schema(): StructType = declaredSchema
@@ -167,8 +203,12 @@ final class GraftTable(val dir: String, declaredSchema: StructType)
       Option(options.get("startingVersion")).map(_.toLong))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(asOf.isEmpty,
+      "cannot write to a time-traveled relation " +
+        "(VERSION/TIMESTAMP AS OF is read-only; use restore() to roll back)")
     new GraftWriteBuilder(tx, declaredSchema)
+  }
 }
 
 /** SQL write path via Spark's V1 write bridge (`V1Write` →

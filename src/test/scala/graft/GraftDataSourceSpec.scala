@@ -91,6 +91,46 @@ class GraftDataSourceSpec extends SparkSpec {
       s"pushed filters not reported:\n$plan")
   }
 
+  test("time travel: versionAsOf / timestampAsOf options and SQL AS OF") {
+    val dir = tmpDir("dsv2-tt") + "/t"
+    val b1 = Seq((1L, "a")).toDF("k", "s")
+    val t = new TxTable(spark, dir, b1.schema, Seq("k"), numBuckets = 2)
+    t.append(b1) // v0 = createIfAbsent (empty), v1 = this batch
+    val tsAfterV1 = new java.io.File(
+      s"$dir/_manifests/v${"%020d".format(1)}.tsv").lastModified()
+    Thread.sleep(5) // commit mtimes must be distinguishable
+    t.appendEvolving(Seq((2L, "b", 7.0)).toDF("k", "s", "x")) // v2 + schema
+
+    val old = spark.read.format("graft").option("versionAsOf", "1").load(dir)
+    assert(old.schema.fieldNames.toSeq === Seq("k", "s"),
+      "time travel must serve the schema that version was committed with")
+    assert(rows(old) === Set(Seq(1L, "a")))
+    assert(rows(load(dir)) ===
+      Set(Seq(1L, "a", null), Seq(2L, "b", 7.0)))
+
+    val byTs = spark.read.format("graft")
+      .option("timestampAsOf", tsAfterV1.toString).load(dir)
+    assert(rows(byTs) === Set(Seq(1L, "a")))
+
+    // SQL surface through the catalog
+    val root = tmpDir("dsv2-tt-cat")
+    val data = Seq((1L, 1.0)).toDF("k", "v")
+    val ct = new TxTable(spark, s"$root/tt", data.schema, Seq("k"), 2)
+    ct.append(data)                            // v0 empty, v1 batch
+    ct.append(Seq((2L, 2.0)).toDF("k", "v"))   // v2
+    spark.conf.set("spark.sql.catalog.ttc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ttc.root", root)
+    assert(spark.sql("SELECT count(*) FROM ttc.tt VERSION AS OF 1")
+      .head().getLong(0) === 1L)
+    assert(spark.sql("SELECT count(*) FROM ttc.tt").head().getLong(0) === 2L)
+
+    // writing to the past is refused
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO ttc.tt VERSION AS OF 1 VALUES (CAST(9 AS BIGINT), 9.0)")
+    }
+    assert(e != null)
+  }
+
   test("SQL over a registered view, including count(*) projection") {
     val dir = tmpDir("dsv2-sql") + "/t"
     val data = (1L to 100L).map(i => (i, i % 5L, i.toDouble)).toDF("k", "g", "v")
