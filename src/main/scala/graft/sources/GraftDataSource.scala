@@ -180,7 +180,8 @@ object GraftDataSource {
   * never around it. */
 final class GraftTable(val dir: String, declaredSchema: StructType,
     asOf: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   private val spark = SparkSession.active
   private[sources] val tx = GraftDataSource.openForRead(spark, dir)
   private[sources] val pinnedVersion: Long = asOf match {
@@ -208,6 +209,30 @@ final class GraftTable(val dir: String, declaredSchema: StructType,
       "cannot write to a time-traveled relation " +
         "(VERSION/TIMESTAMP AS OF is read-only; use restore() to roll back)")
     new GraftWriteBuilder(tx, declaredSchema)
+  }
+
+  /** `DELETE FROM …` when every predicate translates: served by the
+    * MERGE-ON-READ delete (deletion-vector sidecars, zero data-file
+    * rewrites — the cheapest correct delete at any scale; later reads
+    * mask, `materializeDeletes`/compaction folds). Untranslatable
+    * predicates report false and Spark raises the standard
+    * can't-delete error instead of us guessing. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    asOf.isEmpty &&
+      filters.forall(f => GraftDataSource.translate(f).isDefined)
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(asOf.isEmpty, "cannot DELETE from a time-traveled relation")
+    val pred = filters.flatMap(GraftDataSource.translate(_))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    tx.deleteWhereLight(pred)
+  }
+
+  /** `TRUNCATE TABLE …` — the table's own truncate: an empty version
+    * commit, history retained (restore() undoes it). */
+  override def truncateTable(): Boolean = {
+    require(asOf.isEmpty, "cannot TRUNCATE a time-traveled relation")
+    tx.truncate()
+    true
   }
 }
 

@@ -85,4 +85,21 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(allMessages(noKeys).contains("keys"))
   }
+
+  test("DELETE FROM and TRUNCATE TABLE through SQL") {
+    val root = tmpDir("graft-cat-del")
+    spark.conf.set("spark.sql.catalog.del", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.del.root", root)
+    spark.sql("""CREATE TABLE del.t (k BIGINT, g BIGINT)
+                 TBLPROPERTIES('keys'='k', 'buckets'='2')""")
+    spark.sql("INSERT INTO del.t SELECT id AS k, id % 4 AS g FROM range(40)")
+    assert(spark.sql("SELECT count(*) FROM del.t").head().getLong(0) === 40L)
+    // merge-on-read delete: rows gone through SQL, no rewrite needed
+    spark.sql("DELETE FROM del.t WHERE g = 0")
+    assert(spark.sql("SELECT count(*) FROM del.t").head().getLong(0) === 30L)
+    assert(spark.sql("SELECT count(*) FROM del.t WHERE g = 0")
+      .head().getLong(0) === 0L)
+    spark.sql("TRUNCATE TABLE del.t")
+    assert(spark.sql("SELECT count(*) FROM del.t").head().getLong(0) === 0L)
+  }
 }
