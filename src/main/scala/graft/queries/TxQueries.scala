@@ -601,9 +601,51 @@ object TxQueries {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** END-TO-END SQL DML through the DSv2 catalog
+    * ([[graft.sources.GraftCatalog]]): the table is POPULATED with
+    * `INSERT INTO` (routed through the guarded commit protocol — CHECK
+    * admission, key bucketing, CAS), MUTATED with `DELETE FROM`
+    * (merge-on-read deletion vectors, zero rewrites), and READ with a
+    * SQL aggregate over the provider's DV-masked scan — the whole
+    * reference write/read lifecycle (`repository.ts` is SQL text end
+    * to end) expressed in pure SQL, and the result must still equal
+    * DuckDB on the raw parquet minus the deleted predicate. */
+  def tx_sql_dml(s: SparkSession, dir: String): DataFrame = {
+    // the delete key is MATERIALIZED as a column at insert time:
+    // DELETE FROM pushes source Filters (equality/range), not
+    // arbitrary expressions — the relational way to delete "every 4th
+    // supplier" through SQL is to store the shard and delete the shard
+    val supp = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
+        (col("s_suppkey") % 4).cast("long").as("s_mod"))
+    supp.createOrReplaceTempView("graft_dml_src")
+    val table = cached(s, dir, "supplier", "sqldml-mod4", 2L) { loc =>
+      new TxTable(s, loc, supp.schema, Seq("s_suppkey"), numBuckets = 4)
+    } { tx =>
+      tx.createIfAbsent() // v0 — records the _table.json descriptor
+      val loc = new java.io.File(tx.dir)
+      s.conf.set("spark.sql.catalog.graftdml", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftdml.root", loc.getParent)
+      val ident = s"graftdml.`${loc.getName}`"
+      s.sql(s"INSERT INTO $ident SELECT * FROM graft_dml_src")    // v1
+      s.sql(s"DELETE FROM $ident WHERE s_mod = 1")                // v2
+    }
+    val loc = new java.io.File(table.dir)
+    s.conf.set("spark.sql.catalog.graftdml", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftdml.root", loc.getParent)
+    s.sql(
+      s"""SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+         |  min(s_suppkey) AS first_supp
+         |FROM graftdml.`${loc.getName}`
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_skipping_scan" -> (tx_skipping_scan _),
     "tx_sql_provider" -> (tx_sql_provider _),
+    "tx_sql_dml" -> (tx_sql_dml _),
     "tx_cdc_diff" -> (tx_cdc_diff _),
     "tx_dv_delete" -> (tx_dv_delete _),
     "tx_evolution_read" -> (tx_evolution_read _),
@@ -631,6 +673,16 @@ object TxQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE l_quantity >= 25
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // SQL INSERT + DELETE + SELECT through the catalog must equal
+    // DuckDB over the raw parquet minus the deleted predicate
+    "tx_sql_dml" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+        |  min(s_suppkey) AS first_supp
+        |FROM supplier
+        |WHERE NOT (s_suppkey % 4 = 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "tx_skipping_scan" ->
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
