@@ -6,9 +6,10 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.ext.IncrementalView
@@ -82,37 +83,63 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def norm(p: String): String = new Path(p).toUri.getPath
 
   /** Peel pruning Projects / Filters off the aggregate input; returns
-    * (relation, filter conditions) or None if anything else appears. */
+    * (relation, filter conditions) or None if anything else appears.
+    * Accepted relations: a parquet file scan (LogicalRelation over
+    * HadoopFsRelation — the Scala read path) or a DSv2 relation over
+    * the graft provider (the `spark.sql` path) — routing is
+    * source-API-agnostic. */
   private def peel(p: LogicalPlan, conds: Seq[Expression])
-      : Option[(LogicalRelation, Seq[Expression])] = p match {
+      : Option[(LogicalPlan, Seq[Expression])] = p match {
     case lr: LogicalRelation => Some((lr, conds))
+    case d: DataSourceV2Relation
+        if d.table.isInstanceOf[graft.sources.GraftTable] => Some((d, conds))
+    case SubqueryAlias(_, child) => peel(child, conds) // SQL names the relation
     case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       peel(child, conds)
     case Filter(cond, child) => peel(child, conds :+ cond)
     case _ => None
   }
 
+  /** The freshness predicate for a peeled source relation, or None if
+    * the relation is not a routable source scan. File scans match on
+    * exact live-file-set equality; provider relations match on the
+    * PINNED VERSION (the provider's snapshot isolation makes the
+    * version the complete identity — same check, cheaper evidence).
+    * Both require the view watermark current and the source DV-free. */
+  private def sourceMatcher(rel: LogicalPlan)
+      : Option[IncrementalView => Boolean] = rel match {
+    case lr: LogicalRelation => lr.relation match {
+      case h: HadoopFsRelation =>
+        val relFiles = h.location.inputFiles.map(norm).toSet
+        if (relFiles.isEmpty) None
+        else Some(v =>
+          // cheap prefix gate before any manifest IO
+          relFiles.head.startsWith(norm(v.source.dir) + "/") &&
+            fresh(v, relFiles))
+      case _ => None
+    }
+    case d: DataSourceV2Relation => d.table match {
+      case gt: graft.sources.GraftTable =>
+        Some(v => norm(gt.dir) == norm(v.source.dir) &&
+          v.source.liveFileSet.exists { case (sv, _) =>
+            sv == gt.pinnedVersion && v.appliedVersion == sv })
+      case _ => None
+    }
+    case _ => None
+  }
+
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     for {
       (rel, conds) <- peel(agg.child, Nil)
-      hfs <- rel.relation match {
-        case h: HadoopFsRelation => Some(h)
-        case _ => None
-      }
-      relFiles = hfs.location.inputFiles.map(norm).toSet
-      if relFiles.nonEmpty
+      matches <- sourceMatcher(rel)
       // several views may be registered over one source (e.g. a sum
       // view and a min/max view): the FIRST fresh view whose tracked
       // shape can actually serve this aggregate wins — a view that
       // matches the source but declines the shape must not block the
       // others
       out <- MvCatalog.all.iterator
-        .filter { v =>
-          // cheap prefix gate before any manifest IO
-          relFiles.head.startsWith(norm(v.source.dir) + "/") &&
-            fresh(v, relFiles)
-        }
-        .map(v => build(agg, rel, conds, v))
+        .filter(matches)
+        .map(v => build(agg, rel.output, conds, v))
         .collectFirst { case Some(p) => p }
     } yield out
   }
@@ -124,10 +151,10 @@ object MvRewrite extends Rule[LogicalPlan] {
       v.appliedVersion == srcVersion && files.map(norm) == relFiles
     }
 
-  private def build(agg: Aggregate, rel: LogicalRelation,
+  private def build(agg: Aggregate, relOutput: Seq[Attribute],
       conds: Seq[Expression], view: IncrementalView): Option[LogicalPlan] = {
     val srcByExprId: Map[ExprId, String] =
-      rel.output.map(a => a.exprId -> a.name).toMap
+      relOutput.map(a => a.exprId -> a.name).toMap
     val groupSet = view.groupCols.toSet
     val sumSet = view.sumCols.toSet
     val minMaxSet = view.minMaxCols.toSet
@@ -322,27 +349,20 @@ object MvRewrite extends Rule[LogicalPlan] {
     for {
       pairs <- equiPairs(join.condition.get, factPlan.outputSet, dimPlan.outputSet)
       (rel, factConds) <- peel(factPlan, Nil)
-      hfs <- rel.relation match {
-        case h: HadoopFsRelation => Some(h)
-        case _ => None
-      }
-      relFiles = hfs.location.inputFiles.map(norm).toSet
-      if relFiles.nonEmpty
+      matches <- sourceMatcher(rel)
       out <- MvCatalog.all.iterator
-        .filter { v =>
-          relFiles.head.startsWith(norm(v.source.dir) + "/") &&
-            fresh(v, relFiles)
-        }
-        .map(v => buildJoin(agg, rel, dimPlan, pairs, conds ++ factConds, v))
+        .filter(matches)
+        .map(v => buildJoin(agg, rel.output, dimPlan, pairs,
+          conds ++ factConds, v))
         .collectFirst { case Some(p) => p }
     } yield out
   }
 
-  private def buildJoin(agg: Aggregate, rel: LogicalRelation,
+  private def buildJoin(agg: Aggregate, relOutput: Seq[Attribute],
       dimPlan: LogicalPlan, pairs: Seq[(AttributeReference, AttributeReference)],
       conds: Seq[Expression], view: IncrementalView): Option[LogicalPlan] = {
     val srcByExprId: Map[ExprId, String] =
-      rel.output.map(a => a.exprId -> a.name).toMap
+      relOutput.map(a => a.exprId -> a.name).toMap
     val groupSet = view.groupCols.toSet
     val sumSet = view.sumCols.toSet
     val minMaxSet = view.minMaxCols.toSet

@@ -441,6 +441,28 @@ object TxQueries {
     org.apache.spark.sql.GraftSqlBridge.ofRows(s, after)
   }
 
+  /** MV ROUTING OVER SQL TEXT (round 12): the same aggregate as
+    * [[mv_routed_agg]] but expressed as `spark.sql` against the DSv2
+    * catalog identifier — the route must fire on the provider
+    * relation too (matched by PINNED VERSION instead of file-set
+    * equality; the provider's snapshot isolation makes the version
+    * the complete identity). Proves the reference's actual surface —
+    * SQL text — gets the transparent-rewrite behavior, not just
+    * DataFrame code. */
+  def mv_routed_sql(s: SparkSession, dir: String): DataFrame = {
+    val (table, _) = mvTableView(s, dir)
+    val loc = new java.io.File(table.dir)
+    s.conf.set("spark.sql.catalog.graftmv", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftmv.root", loc.getParent)
+    val q = s.sql(
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  sum(l_quantity) AS sum_qty, count(l_quantity) AS n_qty
+         |FROM graftmv.`${loc.getName}`
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    mustRoute(s, q, "mv_routed_sql")
+  }
+
   def mv_routed_agg(s: SparkSession, dir: String): DataFrame = {
     val (table, _) = mvTableView(s, dir)
     val q = table.read.groupBy("l_returnflag", "l_linestatus")
@@ -659,6 +681,7 @@ object TxQueries {
     "tx_delta_roundtrip" -> (tx_delta_roundtrip _),
     "scd2_incr_build" -> (scd2_incr_build _),
     "mv_routed_agg" -> (mv_routed_agg _),
+    "mv_routed_sql" -> (mv_routed_sql _),
     "mv_routed_join" -> (mv_routed_join _),
     "mv_routed_join_subset" -> (mv_routed_join_subset _),
     "mv_sketch_distinct" -> (mv_sketch_distinct _),
@@ -782,6 +805,14 @@ object TxQueries {
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
     "mv_routed_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       SUM(l_quantity) AS sum_qty, COUNT(l_quantity) AS n_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // the SQL-text route must produce the same rows as the DataFrame
+    // route — one oracle shape, two query surfaces
+    "mv_routed_sql" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |       SUM(l_quantity) AS sum_qty, COUNT(l_quantity) AS n_qty
         |FROM lineitem

@@ -183,8 +183,8 @@ final class GraftTable(val dir: String, declaredSchema: StructType,
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   private val spark = SparkSession.active
-  private[sources] val tx = GraftDataSource.openForRead(spark, dir)
-  private[sources] val pinnedVersion: Long = asOf match {
+  private[graft] val tx = GraftDataSource.openForRead(spark, dir)
+  private[graft] val pinnedVersion: Long = asOf match {
     case Some(v) =>
       require(tx.versions.contains(v),
         s"version $v of $dir is not retained " +
