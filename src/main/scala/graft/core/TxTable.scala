@@ -790,6 +790,28 @@ final class TxTable(
     (s, es.map(e => e.path -> e.dvs.map(_.path)))
   }
 
+  /** Planning statistics for the provider: (bytes, exact live rows)
+    * of version `v` after pruning by `pred` — manifest metadata plus
+    * one file-status per surviving file (bounded by the pruned file
+    * count; Spark's own file sources pay the same listing). Rows are
+    * None if any surviving file predates recorded stats. */
+  private[graft] def providerStats(v: Long, pred: Option[Column])
+      : (Long, Option[Long]) = {
+    val m = loadManifest(v)
+    val s = schemaAt(m)
+    val es = pred.map(p => pruneEntries(m.entries, p, s)).getOrElse(m.entries)
+    val f = fs
+    val bytes = es.map { e =>
+      scala.util.Try(f.getFileStatus(new Path(e.path)).getLen).getOrElse(0L)
+    }.sum
+    val rowsPerFile = es.map(e => e.parsedStats(s).map(_.rows))
+    val rows =
+      if (rowsPerFile.forall(_.isDefined))
+        Some(rowsPerFile.flatten.sum - es.flatMap(_.dvs).map(_.rows).sum)
+      else None
+    (bytes, rows)
+  }
+
   /** Time travel to any retained version — under the schema that
     * version was COMMITTED with (schema history travels too). */
   def readVersion(v: Long): DataFrame =

@@ -304,7 +304,8 @@ final case class GraftInputPartition(path: String, dvPaths: Array[String])
 
 final class GraftScan(tx: TxTable, version: Long, required: StructType,
     pushed: Array[Filter], startingVersion: Option[Long] = None)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
@@ -314,9 +315,42 @@ final class GraftScan(tx: TxTable, version: Long, required: StructType,
     val p = pushed.map(_.toString).mkString(", ")
     s"GraftScan ${tx.dir}@v$version PushedFilters: [$p]"
   }
+
+  /** PLANNING STATISTICS from the manifest (pruned by the pushed
+    * filters): exact live row counts from footer stats, bytes from
+    * one file-status per surviving file. Without this a DSv2 relation
+    * defaults to "unknown = huge" and Spark never broadcasts a small
+    * provider table — at cluster scale that's the difference between
+    * a broadcast hash join and a full shuffle of the big side. */
+  override def estimateStatistics(): Statistics = {
+    val (bytes, rows) = tx.providerStats(version,
+      pushed.flatMap(GraftDataSource.translate(_)).reduceOption(_ && _))
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(bytes, 1L))
+      override def numRows(): java.util.OptionalLong =
+        rows.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+    }
+  }
+
+  /** RUNTIME FILTERING (the DSv2 dynamic-pruning hook): join-key
+    * values discovered at execution time re-prune the file list
+    * through the same zone-map/bloom path — the file-level analog of
+    * dynamic partition pruning, effective wherever the key has
+    * write-time locality or a bloom filter. Any column qualifies
+    * (zone maps exist on all stats'd columns). */
+  private var runtime: Array[Filter] = Array.empty
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter(f => GraftDataSource.translate(f).isDefined)
+
   override def planInputPartitions(): Array[InputPartition] = {
     if (version < 0) return Array.empty
-    val pred = pushed.flatMap(GraftDataSource.translate(_))
+    val pred = (pushed ++ runtime).flatMap(GraftDataSource.translate(_))
       .reduceOption(_ && _)
     val (_, files) = tx.providerSnapshot(version, pred)
     files.map { case (p, dvs) => GraftInputPartition(p, dvs.toArray) }.toArray

@@ -131,6 +131,44 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(e != null)
   }
 
+  test("statistics + runtime filtering: broadcast planning and file-level DPP") {
+    val dir = tmpDir("dsv2-stats") + "/t"
+    val data = (1L to 512L).map(i => (i, i / 64L, s"v$i")).toDF("k", "r", "s")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 4)
+    t.append(data)
+    t.compactClustered(Seq("r"), filesPerBucket = 4)
+
+    // exact stats from the manifest feed the planner
+    val scan = new graft.sources.GraftScanBuilder(
+      graft.sources.GraftDataSource.openForRead(spark, dir),
+      t.currentVersion, t.currentSchema).build()
+    val st = scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(st.numRows().getAsLong === 512L)
+    assert(st.sizeInBytes().getAsLong > 0L)
+
+    // runtime join-key filters re-prune the file list (file-level DPP)
+    val total = scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.Batch].planInputPartitions().length
+    scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+      .filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("r", 2L)))
+    val pruned = scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.Batch].planInputPartitions().length
+    assert(pruned < total, s"runtime filter did not prune ($pruned/$total)")
+
+    // a small provider table broadcasts under a join (stats-driven)
+    val big = spark.range(100000).select(col("id").as("k"),
+      (col("id") % 9L).as("grp"))
+    val joined = big.join(load(dir), Seq("k"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected stats-driven broadcast:\n$plan")
+    assert(joined.count() === 512L)
+  }
+
   test("SQL over a registered view, including count(*) projection") {
     val dir = tmpDir("dsv2-sql") + "/t"
     val data = (1L to 100L).map(i => (i, i % 5L, i.toDouble)).toDF("k", "g", "v")
