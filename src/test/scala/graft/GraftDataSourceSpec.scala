@@ -169,6 +169,56 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(joined.count() === 512L)
   }
 
+  test("randomized decode parity: provider reader == Spark parquet reader") {
+    // the hand-written Group decoder is the riskiest surface — pit it
+    // against Spark's own reader over adversarial values (extremes,
+    // negative zero, unicode, empty strings, null-dense rows) for
+    // several seeds; any divergence is a decoder bug by construction
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { round =>
+      val dir = tmpDir(s"dsv2-prop$round") + "/t"
+      val n = 200
+      val rows = (1 to n).map { i =>
+        def maybe[A](v: A): Option[A] = if (rnd.nextInt(5) == 0) None else Some(v)
+        (i.toLong,
+          maybe(rnd.nextInt()),
+          maybe(Seq(Long.MinValue, Long.MaxValue, 0L, -1L,
+            rnd.nextLong())(rnd.nextInt(5))),
+          maybe(Seq(Double.MaxValue, Double.MinPositiveValue, -0.0, 0.0,
+            Double.NaN, rnd.nextDouble())(rnd.nextInt(6))),
+          maybe(Seq("", "héllo wörld ✓", "\ttab\nnl", rnd.nextString(8))(
+            rnd.nextInt(4))),
+          maybe(rnd.nextBoolean()),
+          maybe(ts(f"20${10 + rnd.nextInt(30)}%d-0${1 + rnd.nextInt(9)}%d-1${rnd.nextInt(9)}%d 0${rnd.nextInt(9)}%d:3${rnd.nextInt(9)}%d:0${rnd.nextInt(9)}%d")),
+          maybe(new java.math.BigDecimal(
+            BigInt(rnd.nextLong() % 100000000L).bigInteger, 3)))
+      }
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("i", IntegerType), StructField("l", LongType),
+        StructField("d", DoubleType), StructField("s", StringType),
+        StructField("b", BooleanType), StructField("t", TimestampType),
+        StructField("m", DecimalType(12, 3))))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(
+          r._1, r._2.orNull, r._3.orNull, r._4.orNull, r._5.orNull,
+          r._6.orNull, r._7.orNull, r._8.orNull)), 4), schema)
+      val t = new TxTable(spark, dir, schema, Seq("k"), numBuckets = 2)
+      t.append(df)
+      val viaSpark = t.read.collect().map(_.toSeq.map {
+        case d: Double if d.isNaN => "NaN"
+        case x => x
+      }).toSet
+      val viaProvider = load(dir).collect().map(_.toSeq.map {
+        case d: Double if d.isNaN => "NaN"
+        case x => x
+      }).toSet
+      assert(viaProvider === viaSpark, s"decode divergence in round $round")
+    }
+  }
+
   test("SQL over a registered view, including count(*) projection") {
     val dir = tmpDir("dsv2-sql") + "/t"
     val data = (1L to 100L).map(i => (i, i % 5L, i.toDouble)).toDF("k", "g", "v")
