@@ -1572,7 +1572,10 @@ final class TxTable(
       }.toSet
       if (dirtyBuckets.nonEmpty) {
         val (hit, kept) = m.entries.partition(e => dirtyBuckets(e.bucket))
-        stageAndCommit(kept, readEntries(hit, s), base, s)
+        // DV'd rows were already invisible to readers: folding them is
+        // layout-only from the live row set's perspective
+        stageAndCommit(kept, readEntries(hit, s), base, s,
+          meta = Map("layout_only" -> "true"))
       }
     }
   }
@@ -1605,7 +1608,11 @@ final class TxTable(
     createIfAbsent()
     withRetry {
       val base = currentVersion
-      stageAndCommit(Nil, readVersion(base), base, currentSchema)
+      // layout_only: the live ROW SET is unchanged — streaming tail
+      // readers (graft.sources.GraftMicroBatchStream) skip this commit
+      // instead of failing on its remove/re-add file churn
+      stageAndCommit(Nil, readVersion(base), base, currentSchema,
+        meta = Map("layout_only" -> "true"))
     }
   }
 
@@ -1622,7 +1629,8 @@ final class TxTable(
     withRetry {
       val base = currentVersion
       stageAndCommit(Nil, readVersion(base), base, currentSchema,
-        Some(struct(clusterBy.map(col): _*)), filesPerBucket)
+        Some(struct(clusterBy.map(col): _*)), filesPerBucket,
+        meta = Map("layout_only" -> "true"))
     }
   }
 
@@ -1650,13 +1658,14 @@ final class TxTable(
       val bounds = snap.select(cols.flatMap(c =>
         Seq(min(numView(c)), max(numView(c)))): _*).head()
       if (bounds.anyNull) // empty table or all-null dims: plain compact
-        stageAndCommit(Nil, snap, base, s)
+        stageAndCommit(Nil, snap, base, s,
+          meta = Map("layout_only" -> "true"))
       else {
         val mins = cols.indices.map(i => bounds.getDouble(2 * i))
         val maxs = cols.indices.map(i => bounds.getDouble(2 * i + 1))
         stageAndCommit(Nil, snap, base, s,
           Some(ZOrder.zvalue(cols.map(numView), mins, maxs, bitsPerCol)),
-          filesPerBucket)
+          filesPerBucket, meta = Map("layout_only" -> "true"))
       }
     }
   }

@@ -52,29 +52,46 @@ final class GraftMicroBatchStream(tx: TxTable, required: StructType,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
+  /** Steps COMMIT BY COMMIT so table maintenance doesn't kill the
+    * stream: a commit tagged `layout_only` (compaction / Z-order /
+    * DV materialization — the live row set is unchanged) is SKIPPED
+    * (its re-added files are rewrites of rows already served, its
+    * removals are tolerated); any other commit that removes files or
+    * grows deletion vectors on existing files still fails with the
+    * CDC remedy. Versions vacuumed out of (start, end] collapse into
+    * their successor's diff — then a compaction's churn is no longer
+    * attributable and the honest failure fires. */
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftOffset].version
     val e = end.asInstanceOf[GraftOffset].version
     if (e <= s) return Array.empty
-    val before = fileMap(s)
-    val after = fileMap(e)
-    val removed = before.keySet -- after.keySet
-    require(removed.isEmpty,
-      s"commit range ($s, $e] of ${tx.dir} removed ${removed.size} " +
-        "file(s) (delete/upsert/compaction) - an append-tail stream " +
-        "cannot express that; consume row-level changes via " +
-        "TxTable.changeFeed instead")
-    val dvGrew = before.collect {
-      case (p, dvs) if after.get(p).exists(_.size > dvs.size) => p
+    val out = Seq.newBuilder[InputPartition]
+    var prev = fileMap(s)
+    tx.versions.filter(v => v > s && v <= e).foreach { v =>
+      val cur = fileMap(v)
+      if (tx.commitMeta(v).get("layout_only").contains("true")) {
+        // rewrite of already-served rows: serve nothing
+      } else {
+        val removed = prev.keySet -- cur.keySet
+        require(removed.isEmpty,
+          s"commit $v of ${tx.dir} removed ${removed.size} file(s) " +
+            "(delete/upsert) - an append-tail stream cannot express " +
+            "that; consume row-level changes via TxTable.changeFeed " +
+            "instead")
+        val dvGrew = prev.collect {
+          case (p, dvs) if cur.get(p).exists(_.size > dvs.size) => p
+        }
+        require(dvGrew.isEmpty,
+          s"commit $v of ${tx.dir} added deletion vectors to " +
+            s"${dvGrew.size} existing file(s) - retractions cannot ride " +
+            "an append-tail stream; consume TxTable.changeFeed instead")
+        (cur.keySet -- prev.keySet).toSeq.sorted.foreach(p =>
+          out += GraftInputPartition(p, cur(p).toArray))
+      }
+      prev = cur
     }
-    require(dvGrew.isEmpty,
-      s"commit range ($s, $e] added deletion vectors to " +
-        s"${dvGrew.size} existing file(s) - retractions cannot ride an " +
-        "append-tail stream; consume TxTable.changeFeed instead")
-    (after.keySet -- before.keySet).toSeq.sorted
-      .map(p => GraftInputPartition(p, after(p).toArray): InputPartition)
-      .toArray
+    out.result().toArray
   }
 
   private def fileMap(v: Long): Map[String, Seq[String]] =

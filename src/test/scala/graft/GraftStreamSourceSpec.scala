@@ -34,6 +34,30 @@ class GraftStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("table maintenance (compaction) does not kill or duplicate the stream") {
+    val dir = tmpDir("gstream-compact") + "/t"
+    val b1 = (1L to 16L).map(i => (i, "a")).toDF("k", "s")
+    val t = new TxTable(spark, dir, b1.schema, Seq("k"), numBuckets = 2)
+    t.append(b1)
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "-1").load(dir)
+      .writeStream.format("memory").queryName("gtail3")
+      .option("checkpointLocation", tmpDir("gstream-compact-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gtail3").count() === 16L)
+      // maintenance rewrites every file; the live row set is unchanged
+      t.compactClustered(Seq("k"), filesPerBucket = 2)
+      t.append(Seq((100L, "z")).toDF("k", "s"))
+      q.processAllAvailable()
+      // compacted rows NOT re-served, the new append IS served
+      assert(spark.table("gtail3").count() === 17L)
+      assert(spark.table("gtail3").collect().map(_.getLong(0)).toSet ===
+        ((1L to 16L).toSet + 100L))
+    } finally q.stop()
+  }
+
   test("non-append commits fail the stream with the changeFeed remedy") {
     val dir = tmpDir("gstream-del") + "/t"
     val b1 = (1L to 20L).map(i => (i, i % 3L)).toDF("k", "g")

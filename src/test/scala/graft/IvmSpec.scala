@@ -138,8 +138,11 @@ class IvmSpec extends SparkSpec {
     // an unrelated commit on the view (compaction) must not clobber it
     view.table.compact()
     assert(view.appliedVersion === applied)
-    // and the meta travels in the manifest, not a side file
-    assert(view.table.commitMeta(view.table.versions.last).isEmpty) // compact carries none
+    // and the meta travels in the manifest, not a side file: the
+    // compaction commit carries ONLY its layout_only tag (streaming
+    // readers use it), never the view watermark
+    assert(view.table.commitMeta(view.table.versions.last) ===
+      Map("layout_only" -> "true"))
     assert(view.table.latestMeta("ivm_src_version") === Some(applied.toString))
   }
 
