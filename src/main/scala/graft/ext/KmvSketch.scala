@@ -135,7 +135,8 @@ object KmvSketch {
     * happened at `addBatchGrouped` time; this read touches segments ×
     * ≤ k store rows, the pair join is an equi-join on the hash, and
     * the N² pair frame is segment-taxonomy-sized (broadcast). */
-  def overlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+  def overlapMatrix(spark: SparkSession, dir: String,
+      requireExact: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.udaf
     val st = spark.read.parquet(dir)
     val k = st.agg(min("k")).head.getInt(0)
@@ -145,6 +146,15 @@ object KmvSketch {
       .groupBy("seg").agg(kmin(col("h")).as("s"))
       .select(col("seg"), col("s.hs").as("hs"))
       .localCheckpoint(true) // segments × ≤ k longs — bounded
+    // oracle-soundness gate on the CHECKPOINTED merge (one tiny
+    // aggregate), not on the finished grid — re-running the whole
+    // grid plan just to read its `exact` column would double the query
+    if (requireExact) {
+      val inexact = merged.filter(size(col("hs")) >= k).count()
+      require(inexact == 0L,
+        s"$inexact merged KMV sketch(es) left the exact regime " +
+          "(retained >= k hashes); estimates are not oracle-sound")
+    }
     val fl = (c: Column) => c.bitwiseXOR(lit(Long.MinValue))
     // per-segment dims: retained count, exactness, k-th-min cut (the
     // last retained hash — `hs` is sorted in unsigned order), estimate

@@ -860,10 +860,10 @@ object ExtQueries {
     * pairwise intersections is sound. */
   def x_kmv_overlap_matrix(s: SparkSession, dir: String): DataFrame = {
     val d = kmvGroupStoreDir(s, dir)
-    val m = graft.ext.KmvSketch.overlapMatrix(s, d)
-    require(m.filter(!col("exact")).isEmpty,
-      "a merged KMV sketch left the exact regime; the oracle would be unsound")
-    m.drop("exact")
+    // requireExact gates on the checkpointed merge (one tiny
+    // aggregate) instead of re-running the finished grid plan
+    graft.ext.KmvSketch.overlapMatrix(s, d, requireExact = true)
+      .drop("exact")
   }
 
   /** The ingest-store twin of `x_heavy_hitters`: the same >1/800
