@@ -168,7 +168,8 @@ object DeltaExport {
   private case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
   private case class CpFormat(provider: String)
   private case class CpMetaData(id: String, format: CpFormat,
-      schemaString: String, partitionColumns: Seq[String], createdTime: Long)
+      schemaString: String, partitionColumns: Seq[String],
+      configuration: Map[String, String], createdTime: Long)
   private case class CpAdd(path: String, partitionValues: Map[String, String],
       size: Long, modificationTime: Long, dataChange: Boolean,
       stats: Option[String])
@@ -197,6 +198,10 @@ object DeltaExport {
       format = CpFormat("parquet"),
       schemaString = (metaJ \ "schemaString").extract[String],
       partitionColumns = snap.partitionColumns,
+      // non-null configuration: stricter stock readers require the
+      // full metaData action schema in checkpoints (empty map == the
+      // JSON metaData action this log writes)
+      configuration = Map.empty,
       createdTime = (metaJ \ "createdTime").extractOpt[Long]
         .getOrElse(System.currentTimeMillis()))
     val rel = relative(fs, rootUri) _
@@ -216,8 +221,13 @@ object DeltaExport {
         p.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("no checkpoint part file"))
     val cpPath = new Path(logDir, f"${snap.version}%020d.checkpoint.parquet")
-    fs.delete(cpPath, false)
-    require(fs.rename(part, cpPath), s"could not publish $cpPath")
+    // rename-if-absent, never delete-then-rename: a checkpoint at a
+    // fixed version is content-idempotent (same log prefix → same
+    // state), so if one already exists it IS this content and a
+    // concurrent stock reader must never observe the pointed-to file
+    // missing mid-swap
+    if (!fs.exists(cpPath))
+      require(fs.rename(part, cpPath), s"could not publish $cpPath")
     fs.delete(stage, true)
     val ptr = new Path(logDir, "_last_checkpoint")
     val out = fs.create(ptr, true)

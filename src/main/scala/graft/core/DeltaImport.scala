@@ -208,7 +208,14 @@ object DeltaImport {
               m.getSeq[String](m.fieldIndex("partitionColumns"))
                 .map(JString(_)).toList),
             "configuration" -> JObject(),
-            "createdTime" -> JLong(m.getLong(m.fieldIndex("createdTime")))))
+            // createdTime is OPTIONAL in the Delta spec: a legitimate
+            // foreign checkpoint may omit the column or null it —
+            // default instead of NPE/fieldIndex-throw (the JSON replay
+            // path is already lenient via extractOpt)
+            "createdTime" -> JLong {
+              val i = m.schema.fieldNames.indexOf("createdTime")
+              if (i >= 0 && !m.isNullAt(i)) m.getLong(i) else 0L
+            }))
         }
         if (cols("add") && !row.isNullAt(row.fieldIndex("add"))) {
           val a = row.getStruct(row.fieldIndex("add"))

@@ -797,6 +797,11 @@ final class TxTable(
     * None if any surviving file predates recorded stats. */
   private[graft] def providerStats(v: Long, pred: Option[Column])
       : (Long, Option[Long]) = {
+    // mirror planInputPartitions' v<0 guard: a created-but-never-
+    // committed directory (crash between mkdirs and first publish —
+    // the state currentSchema tolerates) must PLAN as empty, not
+    // crash estimateStatistics with a missing-manifest read
+    if (v < 0) return (0L, Some(0L))
     val m = loadManifest(v)
     val s = schemaAt(m)
     val es = pred.map(p => pruneEntries(m.entries, p, s)).getOrElse(m.entries)

@@ -73,8 +73,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = dirFor(ident.namespace(), ident.name())
     if (!isTableDir(dir)) throw new NoSuchTableException(
       (catalogName +: ident.namespace().toSeq) :+ ident.name())
-    val tx = GraftDataSource.openForRead(SparkSession.active, dir.toString)
-    new GraftTable(dir.toString, tx.currentSchema)
+    // null schema = GraftTable derives it from ITS OWN pinned version
+    // (one open resolves pin + schema together — no TOCTOU window for
+    // a schema-evolving commit between two listings)
+    new GraftTable(dir.toString, null)
   }
 
   /** `SELECT … FROM lake.t VERSION AS OF <v>` — pin an exact retained
@@ -84,9 +86,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = dirFor(ident.namespace(), ident.name())
     if (!isTableDir(dir)) throw new NoSuchTableException(
       (catalogName +: ident.namespace().toSeq) :+ ident.name())
-    val tx = GraftDataSource.openForRead(SparkSession.active, dir.toString)
     val v = version.toLong
-    new GraftTable(dir.toString, tx.schemaAtVersion(v), Some(v))
+    new GraftTable(dir.toString, null, Some(v))
   }
 
   /** `SELECT … FROM lake.t TIMESTAMP AS OF <ts>` — DSv2 hands the
@@ -100,7 +101,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val v = tx.versionAsOfTimestamp(timestamp / 1000L).getOrElse(
       throw new IllegalArgumentException(
         s"no commit of $dir at or before timestamp $timestamp (micros)"))
-    new GraftTable(dir.toString, tx.schemaAtVersion(v), Some(v))
+    new GraftTable(dir.toString, null, Some(v))
   }
 
   override def tableExists(ident: Identifier): Boolean =

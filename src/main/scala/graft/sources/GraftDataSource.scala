@@ -192,15 +192,23 @@ final class GraftTable(val dir: String, declaredSchema: StructType,
       v
     case None => tx.currentVersion
   }
+  /** `declaredSchema == null` (the catalog path) means "derive from MY
+    * pinned version" — resolving schema and pin in one open kills the
+    * TOCTOU where a schema-evolving commit lands between a caller's
+    * schema read and this constructor's version pin. */
+  private[graft] val resolvedSchema: StructType =
+    if (declaredSchema != null) declaredSchema
+    else if (pinnedVersion < 0) new StructType()
+    else tx.schemaAtVersion(pinnedVersion)
 
   override def name(): String = s"graft:`$dir`@v$pinnedVersion"
-  override def schema(): StructType = declaredSchema
+  override def schema(): StructType = resolvedSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tx, pinnedVersion, declaredSchema,
+    new GraftScanBuilder(tx, pinnedVersion, resolvedSchema,
       Option(options.get("startingVersion")).map(_.toLong))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -208,7 +216,7 @@ final class GraftTable(val dir: String, declaredSchema: StructType,
     require(asOf.isEmpty,
       "cannot write to a time-traveled relation " +
         "(VERSION/TIMESTAMP AS OF is read-only; use restore() to roll back)")
-    new GraftWriteBuilder(tx, declaredSchema)
+    new GraftWriteBuilder(tx, resolvedSchema)
   }
 
   /** `DELETE FROM …` when every predicate translates: served by the

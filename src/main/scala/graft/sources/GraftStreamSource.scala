@@ -79,8 +79,12 @@ final class GraftMicroBatchStream(tx: TxTable, required: StructType,
             "(delete/upsert) - an append-tail stream cannot express " +
             "that; consume row-level changes via TxTable.changeFeed " +
             "instead")
+        // compare sidecar PATH SETS, not counts: a commit that swapped
+        // a served file's sidecars for a consolidated one of equal
+        // count but more tombstoned rows must trip this too — any
+        // change to an already-served file's DV set is a retraction
         val dvGrew = prev.collect {
-          case (p, dvs) if cur.get(p).exists(_.size > dvs.size) => p
+          case (p, dvs) if cur.get(p).exists(_.toSet != dvs.toSet) => p
         }
         require(dvGrew.isEmpty,
           s"commit $v of ${tx.dir} added deletion vectors to " +
