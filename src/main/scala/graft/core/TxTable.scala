@@ -1548,6 +1548,84 @@ final class TxTable(
     }
   }
 
+  /** ROW-LEVEL DELTA COMMIT — the sink for SQL `UPDATE` / `MERGE INTO`
+    * / subquery `DELETE` through the DSv2 provider
+    * ([[graft.sources.GraftRowLevelOperation]]): apply row tombstones
+    * (`_dv_file` basename, `_dv_pos` physical position — computed by
+    * the provider's scan over LIVE rows, so they are exact and
+    * disjoint from existing tombstones) and insert rows in ONE
+    * manifest version. Deletes ride a deletion-vector sidecar (zero
+    * data-file rewrites); inserts stage through the normal admission
+    * path (CHECK constraints, key bucketing, bloom layout).
+    *
+    * Serializability is honest, not optimistic: the delta was computed
+    * against the snapshot at `scannedVersion`, so if ANY other commit
+    * landed since (base moved, or the CAS loses), this throws instead
+    * of replaying a delta whose row positions may no longer mean the
+    * same rows. The caller re-runs the statement against the new
+    * snapshot — the same contract Delta Lake/Iceberg give concurrent
+    * row-level writers. */
+  private[graft] def applyRowDelta(dvRows: Option[DataFrame],
+      inserts: Option[DataFrame], scannedVersion: Long): Unit = {
+    if (dvRows.isEmpty && inserts.isEmpty) return
+    def staleSnapshot(base: Long): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"row-level operation on $dir was planned against " +
+          s"v$scannedVersion but the table moved to v$base before the " +
+          "commit - the computed row delta is only valid against the " +
+          "scanned snapshot; re-run the statement")
+    val base = currentVersion
+    if (base != scannedVersion) staleSnapshot(base)
+    val m = loadManifest(base)
+    val s = schemaAt(m)
+    try {
+      dvRows match {
+        case None =>
+          inserts.foreach(df => stageAndCommit(m.entries, df, base, s))
+        case Some(dv) =>
+          val stage =
+            new Path(dir, s".stage-${UUID.randomUUID().toString.take(8)}")
+          try {
+            dv.select(col("_dv_file"), col("_dv_pos")).distinct()
+              .coalesce(1).write.mode(SaveMode.Overwrite)
+              .parquet(stage.toString)
+            // per-file tombstone counts back to the driver — bounded
+            // by the touched-file count, same as deleteWhereLight
+            val perFile: Map[String, Long] = spark.read
+              .parquet(stage.toString)
+              .groupBy("_dv_file").count()
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+            if (perFile.isEmpty) {
+              inserts.foreach(df => stageAndCommit(m.entries, df, base, s))
+            } else {
+              val sidecar = fs.listStatus(stage).toSeq.map(_.getPath)
+                .filter(_.getName.endsWith(".parquet")).head.toString
+              val baseNames = m.entries
+                .map(e => e.path.substring(e.path.lastIndexOf('/') + 1))
+              val unknown = perFile.keySet -- baseNames.toSet
+              require(unknown.isEmpty,
+                s"row delta tombstones reference ${unknown.size} file(s) " +
+                  s"not live at v$base of $dir: ${unknown.take(3).mkString(", ")}")
+              val newEntries = m.entries.map { e =>
+                val name = e.path.substring(e.path.lastIndexOf('/') + 1)
+                perFile.get(name) match {
+                  case Some(n) => e.copy(dvs = e.dvs :+ DvRef(sidecar, n))
+                  case None => e
+                }
+              }
+              inserts match {
+                case Some(df) => stageAndCommit(newEntries, df, base, s)
+                case None => commit(newEntries, base, Some(s)); ()
+              }
+            }
+          } finally fs.delete(stage, true)
+      }
+    } catch {
+      // a lost CAS is the same staleness, reported the same way
+      case _: TxTable.CommitConflict => staleSnapshot(currentVersion)
+    }
+  }
+
   /** Fold accumulated deletion vectors back into data: rewrite ONLY the
     * buckets holding DV-carrying files (their live rows restage, DVs
     * drop); clean buckets re-link untouched. Run when read-side DV

@@ -664,7 +664,85 @@ object TxQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** SQL `MERGE INTO` through the row-level-operation surface
+    * ([[graft.sources.GraftRowLevelOperation]]) — the reference's
+    * load-bearing ON-CONFLICT upsert (`services/api/src/repository.ts:
+    * 25-78`) as pure SQL text: matched suppliers get their balance
+    * bumped (UPDATE → deletion-vector tombstone + staged re-insert,
+    * ONE commit, zero data-file rewrites), unmatched source rows
+    * insert. The read-back must equal DuckDB computing the same merge
+    * relationally from the raw parquet. */
+  def tx_sql_merge(s: SparkSession, dir: String): DataFrame = {
+    val supp = t(s, dir, "supplier")
+      .select("s_suppkey", "s_nationkey", "s_acctbal")
+    supp.createOrReplaceTempView("graft_merge_base")
+    val table = cached(s, dir, "supplier", "sqlmerge", 2L) { loc =>
+      new TxTable(s, loc, supp.schema, Seq("s_suppkey"), numBuckets = 4)
+    } { tx =>
+      tx.createIfAbsent() // v0 — records the _table.json descriptor
+      val loc = new java.io.File(tx.dir)
+      s.conf.set("spark.sql.catalog.graftmrg", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftmrg.root", loc.getParent)
+      val ident = s"graftmrg.`${loc.getName}`"
+      s.sql(s"INSERT INTO $ident SELECT * FROM graft_merge_base")  // v1
+      s.sql(
+        s"""MERGE INTO $ident AS t
+           |USING (
+           |  SELECT s_suppkey, s_nationkey, s_acctbal + 100.0 AS s_acctbal
+           |  FROM graft_merge_base WHERE s_suppkey % 3 = 0
+           |  UNION ALL
+           |  SELECT s_suppkey + 100000, s_nationkey, s_acctbal
+           |  FROM graft_merge_base WHERE s_suppkey % 5 = 0
+           |) AS src ON t.s_suppkey = src.s_suppkey
+           |WHEN MATCHED THEN UPDATE SET s_acctbal = src.s_acctbal
+           |WHEN NOT MATCHED THEN INSERT (s_suppkey, s_nationkey, s_acctbal)
+           |  VALUES (src.s_suppkey, src.s_nationkey, src.s_acctbal)
+           |""".stripMargin)                                        // v2
+    }
+    val loc = new java.io.File(table.dir)
+    s.conf.set("spark.sql.catalog.graftmrg", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftmrg.root", loc.getParent)
+    s.sql(
+      s"""SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+         |  max(s_suppkey) AS last_supp
+         |FROM graftmrg.`${loc.getName}`
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** SQL `UPDATE` with an expression predicate (no metadata-delete
+    * shortcut possible — the full row-level path: scan with position
+    * identity, delete+reinsert split, one guarded commit). Must equal
+    * DuckDB applying the same CASE relationally. */
+  def tx_sql_update(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val table = cached(s, dir, "customer", "sqlupd", 2L) { loc =>
+      new TxTable(s, loc, cust.schema, Seq("c_custkey"), numBuckets = 4)
+    } { tx =>
+      tx.createIfAbsent() // v0
+      tx.append(cust)     // v1
+      val loc = new java.io.File(tx.dir)
+      s.conf.set("spark.sql.catalog.graftupd", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftupd.root", loc.getParent)
+      s.sql(s"UPDATE graftupd.`${loc.getName}` " +
+        "SET c_acctbal = c_acctbal + 50.0 WHERE c_custkey % 7 = 0") // v2
+    }
+    val loc = new java.io.File(table.dir)
+    s.conf.set("spark.sql.catalog.graftupd", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftupd.root", loc.getParent)
+    s.sql(
+      s"""SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+         |FROM graftupd.`${loc.getName}`
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_sql_merge" -> (tx_sql_merge _),
+    "tx_sql_update" -> (tx_sql_update _),
     "tx_skipping_scan" -> (tx_skipping_scan _),
     "tx_sql_provider" -> (tx_sql_provider _),
     "tx_sql_dml" -> (tx_sql_dml _),
@@ -689,6 +767,33 @@ object TxQueries {
     "mv_routed_minmax" -> (mv_routed_minmax _))
 
   val oracle: Map[String, String] = Map(
+    // SQL MERGE INTO through row-level ops must equal DuckDB
+    // computing the same merge relationally from the raw parquet
+    "tx_sql_merge" ->
+      """WITH merged AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal + 100.0
+        |         ELSE s_acctbal END AS s_acctbal
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT s_suppkey + 100000, s_nationkey, s_acctbal
+        |  FROM supplier WHERE s_suppkey % 5 = 0
+        |)
+        |SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+        |  max(s_suppkey) AS last_supp
+        |FROM merged
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // SQL UPDATE (expression predicate → full row-level path)
+    "tx_sql_update" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 50.0
+        |         ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM customer
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the DSv2 provider must be INVISIBLE semantically: SQL through it
     // equals DuckDB over the raw parquet the table ingested
     "tx_sql_provider" ->

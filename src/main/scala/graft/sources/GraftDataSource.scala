@@ -178,10 +178,21 @@ object GraftDataSource {
   * `df.writeTo(...).append()` route INTO the guarded commit protocol
   * — CHECK admission, key bucketing, bloom layout, optimistic CAS —
   * never around it. */
+object GraftTable {
+  /** Metadata-column names: the physical row identity (file basename +
+    * row position) the provider's reader computes anyway for DV
+    * masking — exposed so row-level SQL (UPDATE / MERGE / subquery
+    * DELETE) can address rows exactly, duplicate keys and all. */
+  val FileCol = "_graft_file"
+  val PosCol = "_graft_pos"
+}
+
 final class GraftTable(val dir: String, declaredSchema: StructType,
     asOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   private val spark = SparkSession.active
   private[graft] val tx = GraftDataSource.openForRead(spark, dir)
   private[graft] val pinnedVersion: Long = asOf match {
@@ -241,6 +252,39 @@ final class GraftTable(val dir: String, declaredSchema: StructType,
     require(asOf.isEmpty, "cannot TRUNCATE a time-traveled relation")
     tx.truncate()
     true
+  }
+
+  /** Non-nullable row-identity metadata columns (see
+    * [[GraftTable.FileCol]]) — `SELECT _graft_file, _graft_pos` works
+    * for diagnostics, and the row-level operations key on them. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = Array(
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftTable.FileCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file basename of the row"
+    },
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftTable.PosCol
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "physical row position within the data file"
+    })
+
+  /** `UPDATE` / `MERGE INTO` / subquery `DELETE` — delta-based
+    * row-level operations over the deletion-vector machinery (see
+    * [[GraftRowLevelOperation]]). Filter-translatable `DELETE FROM`
+    * still takes the cheaper metadata-only path above (Spark's
+    * optimizer swaps it back in when `canDeleteWhere` agrees). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOf.isEmpty,
+      "cannot UPDATE/MERGE a time-traveled relation " +
+        "(VERSION/TIMESTAMP AS OF is read-only)")
+    new GraftRowLevelOperationBuilder(this, info)
   }
 }
 
@@ -396,8 +440,10 @@ final class GraftPartitionReader(path: String, dvPaths: Array[String],
   // projection: the required columns present in THIS file (a
   // pre-evolution file simply lacks the new ones — they surface null);
   // parquet cannot read zero columns, so an empty projection (count(*)
-  // over no columns) reads the narrowest stand-in field
+  // over no columns, or a rowId-only row-level scan) reads the
+  // narrowest stand-in field — which also keeps positions advancing
   private val presentFields = required.fields
+    .filter(f => f.name != GraftTable.FileCol && f.name != GraftTable.PosCol)
     .filter(f => fileSchema.containsField(f.name))
   private val requestedSchema: MessageType = {
     val types =
@@ -415,11 +461,15 @@ final class GraftPartitionReader(path: String, dvPaths: Array[String],
       .withConf(conf).build()
   }
 
-  // per required field: index in the projected group (-1 = null-fill)
-  // and a primitive decoder bound to the FILE's physical type
+  // per required field: index in the projected group (-1 = null-fill,
+  // -2 = _graft_file metadata, -3 = _graft_pos metadata) and a
+  // primitive decoder bound to the FILE's physical type
   private val fieldIdx: Array[Int] = required.fields.map { f =>
-    presentFields.indexWhere(_.name == f.name)
+    if (f.name == GraftTable.FileCol) -2
+    else if (f.name == GraftTable.PosCol) -3
+    else presentFields.indexWhere(_.name == f.name)
   }
+  private val baseNameUtf8 = UTF8String.fromString(baseName)
   private val decoders: Array[(Group, Int) => Any] =
     required.fields.zipWithIndex.map { case (f, i) =>
       if (fieldIdx(i) < 0) null
@@ -466,7 +516,9 @@ final class GraftPartitionReader(path: String, dvPaths: Array[String],
     while (i < required.length) {
       val gi = fieldIdx(i)
       vals(i) =
-        if (gi < 0 || current.getFieldRepetitionCount(gi) == 0) null
+        if (gi == -2) baseNameUtf8
+        else if (gi == -3) pos
+        else if (gi < 0 || current.getFieldRepetitionCount(gi) == 0) null
         else decoders(i)(current, gi)
       i += 1
     }
