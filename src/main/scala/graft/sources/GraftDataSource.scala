@@ -407,17 +407,136 @@ final class GraftScan(tx: TxTable, version: Long, required: StructType,
     val (_, files) = tx.providerSnapshot(version, pred)
     files.map { case (p, dvs) => GraftInputPartition(p, dvs.toArray) }.toArray
   }
+
+  /** Columnar is a SCAN-WIDE decision (Spark refuses mixed row/batch
+    * partitions): vectorized only when NO surviving file carries
+    * deletion vectors. Decided over the pushed-filter snapshot —
+    * runtime filtering only removes files, so a clean verdict stays
+    * clean for every subset Spark actually reads. */
+  private lazy val allClean: Boolean = version >= 0 && {
+    val pred = pushed.flatMap(GraftDataSource.translate(_))
+      .reduceOption(_ && _)
+    tx.providerSnapshot(version, pred)._2.forall(_._2.isEmpty)
+  }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required)
+    new GraftReaderFactory(required, allClean)
 }
 
-final class GraftReaderFactory(required: StructType)
-    extends PartitionReaderFactory {
+final class GraftReaderFactory(required: StructType,
+    allClean: Boolean = false) extends PartitionReaderFactory {
+
+  /** COLUMNAR when the whole scan can use it (Spark refuses mixed
+    * row/batch partitions): every surviving file clean of deletion
+    * vectors, and at least one data column requested. A snapshot
+    * carrying any DV'd file reads row-based until maintenance folds
+    * the DVs — the correct trade: vectorized decode for the steady
+    * state, exact masking for the transient one. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    allClean && required.fields.exists(f =>
+      f.name != GraftTable.FileCol && f.name != GraftTable.PosCol)
+
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftPartitionReader(p.path, p.dvPaths, required)
   }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftColumnarReader(p.path, required)
+  }
+}
+
+/** VECTORIZED partition reader for DV-free files: Spark's own
+  * `VectorizedParquetRecordReader` does the decode (the same columnar
+  * batch machinery the built-in parquet source runs — dictionary-aware,
+  * null-run-aware, codegen-consumable), and this wrapper only composes
+  * the batch to the required shape: file-order data vectors mapped to
+  * the requested order, missing pre-evolution columns as constant-null
+  * vectors, and the row-identity metadata columns (`_graft_file`
+  * constant, `_graft_pos` a per-batch position fill) when requested.
+  * This clears the provider's per-row Group-decode tax on the hottest
+  * path — at 100 TB the scan IS the workload.
+  *
+  * Rebase modes are pinned CORRECTED/UTC: every file this provider
+  * serves was written by this engine (Spark 4, proleptic calendar,
+  * TIMESTAMP_MICROS); a foreign legacy file would fail loudly, not
+  * decode wrongly. */
+final class GraftColumnarReader(path: String, required: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+  import org.apache.spark.sql.execution.vectorized.{ConstantColumnVector, OnHeapColumnVector}
+  import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+
+  private val baseName = path.substring(path.lastIndexOf('/') + 1)
+
+  private val fileSchema: MessageType = {
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(path), new Configuration()))
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+
+  private val dataFields = required.fields.filter(f =>
+    f.name != GraftTable.FileCol && f.name != GraftTable.PosCol)
+  private val present = dataFields.filter(f => fileSchema.containsField(f.name))
+  // parquet cannot project zero columns: a file predating every
+  // requested column still needs row COUNTS (for null-fill batches and
+  // positions), so read the narrowest stand-in without exposing it
+  private val standIn = present.isEmpty
+  private val projected: Seq[String] =
+    if (standIn) Seq(fileSchema.getFields.asScala.head.getName)
+    else present.map(_.name).toSeq
+
+  private val Capacity = 4096
+  private val reader = new VectorizedParquetRecordReader(
+    null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, Capacity)
+  reader.initialize(path, projected.asJava)
+  reader.initBatch(new StructType(), InternalRow.empty)
+  reader.enableReturningBatches()
+
+  private val presentIdx: Map[String, Int] =
+    present.map(_.name).zipWithIndex.toMap
+  private val fileVector: ConstantColumnVector = {
+    val v = new ConstantColumnVector(1, StringType)
+    v.setUtf8String(UTF8String.fromString(baseName))
+    v
+  }
+  private val nullVectors: Map[String, ConstantColumnVector] =
+    dataFields.filter(f => !presentIdx.contains(f.name)).map { f =>
+      val v = new ConstantColumnVector(1, f.dataType)
+      v.setNull()
+      f.name -> v
+    }.toMap
+  private val posVector = new OnHeapColumnVector(Capacity, LongType)
+
+  private var pos = 0L
+  private var current: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    if (!reader.nextKeyValue()) return false
+    val inner = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+    val n = inner.numRows()
+    val needPos = required.fieldNames.contains(GraftTable.PosCol)
+    if (needPos) {
+      var i = 0
+      while (i < n) { posVector.putLong(i, pos + i); i += 1 }
+    }
+    pos += n
+    val cols: Array[ColumnVector] = required.fields.map { f =>
+      if (f.name == GraftTable.FileCol) fileVector
+      else if (f.name == GraftTable.PosCol) posVector
+      else presentIdx.get(f.name) match {
+        case Some(i) => inner.column(i)
+        case None => nullVectors(f.name)
+      }
+    }
+    current = new ColumnarBatch(cols, n)
+    true
+  }
+
+  override def get(): ColumnarBatch = current
+  override def close(): Unit = reader.close()
 }
 
 /** Streams one data file as InternalRows: projected parquet Group

@@ -237,4 +237,53 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(agg.collect().toSeq.map(_.toSeq) ===
       exp.collect().toSeq.map(_.toSeq))
   }
+
+  test("columnar reads: clean snapshots vectorize, DV'd ones fall back") {
+    val dir = tmpDir("dsv2-col") + "/t"
+    val data = (1L to 500L).map(i => (i, i % 7L, s"s$i", i * 0.5))
+      .toDF("k", "g", "s", "v")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 2)
+    t.append(data)
+
+    // clean table: the executed plan converts batches (ColumnarToRow
+    // present) — the vectorized path is really on
+    val clean = load(dir).filter(col("g") === 3L).select("k", "v")
+    val cleanPlan = clean.queryExecution.executedPlan.toString
+    assert(cleanPlan.contains("ColumnarToRow"),
+      s"expected a columnar scan for a clean snapshot:\n$cleanPlan")
+    assert(clean.count() === t.read.filter(col("g") === 3L).count())
+
+    // metadata columns ride the columnar path too
+    val meta = load(dir).select(col("k"), col("_graft_pos"), col("_graft_file"))
+    assert(meta.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(meta.count() === 500L)
+    assert(meta.select("_graft_file").distinct().count() === t.dataFileCount)
+
+    // DV the table: scan must fall back to the row readers (no mixed
+    // partitions) and stay exact
+    t.deleteWhereLight(col("g") === 0L)
+    val masked = load(dir)
+    val maskedPlan = masked.queryExecution.executedPlan.toString
+    assert(!maskedPlan.contains("ColumnarToRow"),
+      s"DV'd snapshot must read row-based:\n$maskedPlan")
+    assert(masked.count() === data.filter(r => r.getLong(1) != 0L).count())
+
+    // maintenance folds DVs — columnar comes back
+    t.materializeDeletes()
+    val folded = load(dir)
+    assert(folded.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(folded.count() === masked.count())
+  }
+
+  test("columnar reads: pre-evolution files null-fill in batches") {
+    val dir = tmpDir("dsv2-col-evo") + "/t"
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val t = new TxTable(spark, dir, v1.schema, Seq("k"), numBuckets = 2)
+    t.append(v1)
+    t.appendEvolving(Seq((3L, "c", 9.5)).toDF("k", "s", "x"))
+    val back = load(dir)
+    assert(back.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(rows(back.select("k", "x")) ===
+      Set(Seq(1L, null), Seq(2L, null), Seq(3L, 9.5)))
+  }
 }
