@@ -185,54 +185,66 @@ object DeltaImport {
     }
 
     // 1) checkpoint bootstrap: ONE parquet file holds the complete
-    // state at its version (driver-side metadata read, rows = actions)
+    // state at its version. State reconstruction stays a DataFrame —
+    // the driver collects ONLY the protocol/metaData singletons (≤1
+    // row each) and the live add-file projection it must have anyway
+    // to build the file index (path + partitionValues + size + mtime +
+    // stats; never remove tombstones, never whole action rows). A
+    // million-file 100 TB checkpoint collects exactly its live file
+    // list — the same bound every file-source listing pays.
     boot.foreach { cv =>
+      import org.apache.spark.sql.functions.{col => c}
       val rows = spark.read.parquet(checkpoints(cv).toString)
       val cols = rows.columns.toSet
-      rows.collect().foreach { row =>
-        if (cols("protocol") && !row.isNullAt(row.fieldIndex("protocol"))) {
-          val p = row.getStruct(row.fieldIndex("protocol"))
-          checkProtocol(p.getInt(p.fieldIndex("minReaderVersion")))
-        }
-        if (cols("metaData") && !row.isNullAt(row.fieldIndex("metaData"))) {
-          val m = row.getStruct(row.fieldIndex("metaData"))
-          val fmtStruct = m.getStruct(m.fieldIndex("format"))
-          applyMeta(JObject(
-            "id" -> JString(m.getString(m.fieldIndex("id"))),
-            "format" -> JObject(
-              "provider" -> JString(
-                fmtStruct.getString(fmtStruct.fieldIndex("provider"))),
-              "options" -> JObject()),
-            "schemaString" -> JString(m.getString(m.fieldIndex("schemaString"))),
-            "partitionColumns" -> JArray(
-              m.getSeq[String](m.fieldIndex("partitionColumns"))
-                .map(JString(_)).toList),
-            "configuration" -> JObject(),
-            // createdTime is OPTIONAL in the Delta spec: a legitimate
-            // foreign checkpoint may omit the column or null it —
-            // default instead of NPE/fieldIndex-throw (the JSON replay
-            // path is already lenient via extractOpt)
-            "createdTime" -> JLong {
-              val i = m.schema.fieldNames.indexOf("createdTime")
-              if (i >= 0 && !m.isNullAt(i)) m.getLong(i) else 0L
-            }))
-        }
-        if (cols("add") && !row.isNullAt(row.fieldIndex("add"))) {
-          val a = row.getStruct(row.fieldIndex("add"))
-          val pv = Option(a.getMap[String, String](
-            a.fieldIndex("partitionValues")))
-            .map(_.toMap.map { case (k, v) => k -> Option(v) })
-            .getOrElse(Map.empty[String, Option[String]])
-          val p = resolve(a.getString(a.fieldIndex("path")))
-          val stats =
-            if (a.schema.fieldNames.contains("stats") &&
-                !a.isNullAt(a.fieldIndex("stats")))
-              Some(a.getString(a.fieldIndex("stats")))
-            else None
-          live.put(p, AddFile(p, pv,
-            a.getLong(a.fieldIndex("size")),
-            a.getLong(a.fieldIndex("modificationTime")), stats))
-        }
+      if (cols("protocol")) {
+        rows.where(c("protocol").isNotNull)
+          .select(c("protocol.minReaderVersion")).limit(2)
+          .collect().foreach(r => checkProtocol(r.getInt(0)))
+      }
+      if (cols("metaData")) {
+        val mdf = rows.where(c("metaData").isNotNull)
+        val mFields = rows.select(c("metaData.*")).columns.toSet
+        // createdTime is OPTIONAL in the Delta spec: a legitimate
+        // foreign checkpoint may omit the column or null it — default
+        // instead of failing (the JSON path is lenient via extractOpt)
+        val created =
+          if (mFields("createdTime"))
+            org.apache.spark.sql.functions
+              .coalesce(c("metaData.createdTime"),
+                org.apache.spark.sql.functions.lit(0L))
+          else org.apache.spark.sql.functions.lit(0L)
+        mdf.select(c("metaData.id"), c("metaData.format.provider"),
+            c("metaData.schemaString"), c("metaData.partitionColumns"),
+            created.as("createdTime"))
+          .limit(2).collect().foreach { m =>
+            applyMeta(JObject(
+              "id" -> JString(m.getString(0)),
+              "format" -> JObject(
+                "provider" -> JString(m.getString(1)),
+                "options" -> JObject()),
+              "schemaString" -> JString(m.getString(2)),
+              "partitionColumns" -> JArray(
+                m.getSeq[String](3).map(JString(_)).toList),
+              "configuration" -> JObject(),
+              "createdTime" -> JLong(m.getLong(4))))
+          }
+      }
+      if (cols("add")) {
+        val stats =
+          if (rows.select(c("add.*")).columns.contains("stats"))
+            c("add.stats")
+          else org.apache.spark.sql.functions.lit(null).cast("string")
+        rows.where(c("add").isNotNull)
+          .select(c("add.path"), c("add.partitionValues"), c("add.size"),
+            c("add.modificationTime"), stats.as("stats"))
+          .collect().foreach { a =>
+            val pv = Option(a.getMap[String, String](1))
+              .map(_.toMap.map { case (k, v) => k -> Option(v) })
+              .getOrElse(Map.empty[String, Option[String]])
+            val p = resolve(a.getString(0))
+            live.put(p, AddFile(p, pv, a.getLong(2), a.getLong(3),
+              if (a.isNullAt(4)) None else Some(a.getString(4))))
+          }
       }
     }
 

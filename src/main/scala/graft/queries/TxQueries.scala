@@ -362,6 +362,38 @@ object TxQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** ICEBERG round-trip, end to end: the table's snapshot exported as
+    * an Iceberg v2 metadata tree ([[graft.core.IcebergExport]] —
+    * HadoopCatalog layout, spec field-ids) and read BACK through the
+    * pointer chain a stock reader walks
+    * ([[graft.core.IcebergImport]]: version-hint → metadata.json →
+    * manifest-list avro → manifest avro → data files). The aggregate
+    * over the imported frame must equal DuckDB on the raw parquet —
+    * proving the exported metadata references exactly the live rows,
+    * not just that the layout looks right. */
+  def tx_iceberg_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+    val table = cached(s, dir, "part", "icebergrt", 3L) { loc =>
+      new TxTable(s, loc, p.schema, Seq("p_partkey"), numBuckets = 4)
+    } { tx =>
+      tx.append(p.filter(col("p_partkey") % 2 === 0))  // v1
+      tx.append(p.filter(col("p_partkey") % 2 === 1))  // v2
+      tx.deleteWhere(col("p_size") > 40)               // v3 (copy-on-write)
+      graft.core.IcebergExport.writeIcebergMetadata(s, tx)
+    }
+    // re-export is idempotent on reuse runs (same snapshot, cached
+    // table) — read strictly through the Iceberg metadata tree
+    if (!new java.io.File(table.dir, "metadata/version-hint.text").exists())
+      graft.core.IcebergExport.writeIcebergMetadata(s, table)
+    graft.core.IcebergImport.read(s, table.dir)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        Qhelpers.msum(col("p_retailprice")).as("total"),
+        min("p_partkey").as("min_key"))
+      .orderBy("p_brand")
+  }
+
   /** CDC-fed INCREMENTAL SCD2, end to end: the scd2_build event slice
     * lands in a source TxTable over FOUR append batches, and a
     * [[graft.ext.Scd2View]] refreshes after each — every refresh diffs
@@ -757,6 +789,7 @@ object TxQueries {
     "tx_check_read" -> (tx_check_read _),
     "tx_repair_read" -> (tx_repair_read _),
     "tx_delta_roundtrip" -> (tx_delta_roundtrip _),
+    "tx_iceberg_roundtrip" -> (tx_iceberg_roundtrip _),
     "scd2_incr_build" -> (scd2_incr_build _),
     "mv_routed_agg" -> (mv_routed_agg _),
     "mv_routed_sql" -> (mv_routed_sql _),
@@ -909,6 +942,17 @@ object TxQueries {
          |WHERE o_orderpriority <> '1-URGENT'
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
+    // both appends reconstitute part; the copy-on-write delete removes
+    // the big sizes — the ICEBERG-read aggregate must equal the
+    // raw-parquet recompute of that state
+    "tx_iceberg_roundtrip" ->
+      s"""SELECT p_brand, COUNT(*) AS n,
+         |       ${Qhelpers.sqlMsum("p_retailprice")} AS total,
+         |       MIN(p_partkey) AS min_key
+         |FROM part
+         |WHERE p_size <= 40
+         |GROUP BY p_brand
+         |ORDER BY p_brand""".stripMargin,
     "mv_routed_agg" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |       SUM(l_quantity) AS sum_qty, COUNT(l_quantity) AS n_qty

@@ -101,4 +101,42 @@ class IcebergExportSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("materializeDeletes"))
   }
+
+  test("TRUE round-trip: export -> import -> row-for-row equality") {
+    val dir = tmpDir("iceberg-rt") + "/t"
+    val data = (1L to 500L).map(i =>
+      (i, s"name$i", i * 0.25, (i % 13).toInt)).toDF("k", "s", "v", "g")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 4)
+    t.append(data)
+    t.deleteWhere(col("g") === 5) // copy-on-write: snapshot stays clean
+    IcebergExport.writeIcebergMetadata(spark, t)
+
+    val snap = graft.core.IcebergImport.snapshot(spark, dir)
+    // schema restored with exact Spark types
+    assert(snap.schema.map(f => (f.name, f.dataType)) ===
+      t.currentSchema.map(f => (f.name, f.dataType)))
+    // every live data file reachable, record counts exact
+    assert(snap.recordCounts.sum === t.count())
+
+    val back = graft.core.IcebergImport.read(spark, dir)
+    assert(back.collect().map(_.toSeq).toSet ===
+      t.read.collect().map(_.toSeq).toSet)
+  }
+
+  test("import pins a snapshot id and refuses unknown ones honestly") {
+    val dir = tmpDir("iceberg-pin") + "/t"
+    val data = (1L to 50L).map(i => (i, i * 2.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 2)
+    t.append(data)
+    IcebergExport.writeIcebergMetadata(spark, t)
+    val snap = graft.core.IcebergImport.snapshot(spark, dir)
+    // pinning the current id explicitly resolves the same file set
+    val pinned = graft.core.IcebergImport.snapshot(spark, dir,
+      Some(snap.snapshotId))
+    assert(pinned.files === snap.files)
+    val e = intercept[IllegalArgumentException] {
+      graft.core.IcebergImport.snapshot(spark, dir, Some(99999L))
+    }
+    assert(e.getMessage.contains("99999"))
+  }
 }
