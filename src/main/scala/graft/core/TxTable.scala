@@ -274,6 +274,55 @@ final class TxTable(
     }
   }
 
+  /** DROP TABLE as a guarded MANIFEST TOMBSTONE, not a delete: the
+    * commit republishes the current entries with a `table_dropped`
+    * marker, so catalog listings and loads treat the table as absent
+    * while every byte of data and history stays retained — DROP is
+    * undoable ([[undropTable]]) for as long as the manifest is, the
+    * same contract restore() gives truncate. Actual space reclaim
+    * stays where it belongs: an explicit [[vacuum]] after retention. */
+  def dropTable(): Unit = {
+    require(!isDropped, s"$dir is already dropped")
+    withRetry {
+      val base = currentVersion
+      val m = loadManifest(base)
+      commit(m.entries, base, m.declaredSchema,
+        Map(TxTable.DroppedKey -> "true"))
+      ()
+    }
+  }
+
+  /** Undo [[dropTable]] — the table resurfaces in catalogs at its
+    * pre-drop state (the drop commit carried no data change). */
+  def undropTable(): Unit = {
+    require(isDropped, s"$dir is not dropped")
+    dropMeta(Seq(TxTable.DroppedKey))
+  }
+
+  def isDropped: Boolean =
+    latestMeta(TxTable.DroppedKey).contains("true")
+
+  /** ALTER TABLE ADD COLUMNS through the existing schema-evolution
+    * path: a metadata-only commit with the widened schema — no data
+    * file is touched; pre-evolution files read the new columns as
+    * null exactly like [[appendEvolving]]'s. Columns must be new and
+    * nullable (existing rows have no value to backfill). */
+  def addColumns(cols: StructType): Unit = {
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    cols.foreach(f => require(f.nullable,
+      s"new column ${f.name} must be nullable - existing rows null-fill"))
+    withRetry {
+      val base = currentVersion
+      val m = loadManifest(base)
+      val cur = schemaAt(m)
+      cols.foreach(f => require(!cur.fieldNames.contains(f.name),
+        s"column ${f.name} already exists"))
+      val target = widen(cur, cols)
+      commit(m.entries, base, Some(target))
+      ()
+    }
+  }
+
   // ---- CHECK constraints (write-path governance; Delta's CHECK
   // constraint analog) ----
 
@@ -1968,6 +2017,10 @@ final class TxTable(
 }
 
 object TxTable {
+  /** Commit-meta key marking a catalog-dropped table (see
+    * [[TxTable.dropTable]]). */
+  private[graft] val DroppedKey = "table_dropped"
+
   /** One live data file of a committed version (see
     * [[TxTable.currentFileInfo]]). */
   final case class LiveFile(path: String, bucket: Int, statsJson: String,

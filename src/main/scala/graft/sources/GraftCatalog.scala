@@ -26,14 +26,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * pinned-snapshot [[GraftTable]] — so every query gets snapshot
   * isolation and manifest pruning exactly as `format("graft")` does.
   *
-  * DDL/DML surface: `CREATE TABLE … TBLPROPERTIES('keys'='…')` and
-  * `INSERT INTO` / `INSERT OVERWRITE` work — creation and writes
-  * route through the guarded commit protocol (the write bridge in
+  * DDL/DML surface: `CREATE TABLE … TBLPROPERTIES('keys'='…')`,
+  * `INSERT INTO` / `INSERT OVERWRITE`, `DROP TABLE` (a guarded
+  * manifest tombstone — data and history stay retained, undoable via
+  * `TxTable.undropTable`), and `ALTER TABLE … ADD COLUMNS` (the
+  * schema-evolution path). Creation and writes route through the
+  * guarded commit protocol (the write bridge in
   * [[GraftWriteBuilder]]), so SQL pays the same CHECK admission,
-  * bucketing and CAS as the Scala API. Destructive DDL (DROP/RENAME)
-  * stays refused with the Scala-API pointer. Catalog metadata ops are
-  * driver-side directory listings (cheap, object-store friendly);
-  * nothing reads data.
+  * bucketing and CAS as the Scala API. RENAME stays refused with the
+  * Scala-API pointer. Catalog metadata ops are driver-side directory
+  * listings (cheap, object-store friendly); nothing reads data.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
@@ -60,18 +62,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def isTableDir(p: Path): Boolean =
     fs.exists(new Path(p, "_manifests"))
 
+  /** A LIVE table dir: physically present AND not carrying the
+    * `table_dropped` manifest tombstone (DROP TABLE keeps data +
+    * history retained; the catalog just stops serving it). */
+  private def isLiveTableDir(p: Path): Boolean =
+    isTableDir(p) &&
+      !GraftDataSource.openForRead(SparkSession.active, p.toString).isDropped
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = dirFor(namespace)
     if (!fs.exists(dir))
       throw new NoSuchNamespaceException((catalogName +: namespace).toSeq)
     fs.listStatus(dir).filter(st => st.isDirectory &&
-        isTableDir(st.getPath))
+        isLiveTableDir(st.getPath))
       .map(st => Identifier.of(namespace, st.getPath.getName))
   }
 
   override def loadTable(ident: Identifier): Table = {
     val dir = dirFor(ident.namespace(), ident.name())
-    if (!isTableDir(dir)) throw new NoSuchTableException(
+    if (!isLiveTableDir(dir)) throw new NoSuchTableException(
       (catalogName +: ident.namespace().toSeq) :+ ident.name())
     // null schema = GraftTable derives it from ITS OWN pinned version
     // (one open resolves pin + schema together — no TOCTOU window for
@@ -84,7 +93,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * committed with). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirFor(ident.namespace(), ident.name())
-    if (!isTableDir(dir)) throw new NoSuchTableException(
+    if (!isLiveTableDir(dir)) throw new NoSuchTableException(
       (catalogName +: ident.namespace().toSeq) :+ ident.name())
     val v = version.toLong
     new GraftTable(dir.toString, null, Some(v))
@@ -95,7 +104,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * version committed at or before it (manifest publish times). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val dir = dirFor(ident.namespace(), ident.name())
-    if (!isTableDir(dir)) throw new NoSuchTableException(
+    if (!isLiveTableDir(dir)) throw new NoSuchTableException(
       (catalogName +: ident.namespace().toSeq) :+ ident.name())
     val tx = GraftDataSource.openForRead(SparkSession.active, dir.toString)
     val v = tx.versionAsOfTimestamp(timestamp / 1000L).getOrElse(
@@ -105,7 +114,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    isTableDir(dirFor(ident.namespace(), ident.name()))
+    isLiveTableDir(dirFor(ident.namespace(), ident.name()))
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
@@ -138,18 +147,59 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
     val dir = dirFor(ident.namespace(), ident.name())
-    if (isTableDir(dir))
+    if (isTableDir(dir)) {
+      if (!isLiveTableDir(dir)) throw new IllegalStateException(
+        s"table directory $dir holds a DROPPED table whose history is " +
+          "retained - undropTable() via the Scala API (graft.core.TxTable) " +
+          "to restore it, vacuum it away, or pick another name")
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(
           (catalogName +: ident.namespace().toSeq) :+ ident.name())
+    }
     val tx = new graft.core.TxTable(SparkSession.active, dir.toString,
       schema, keys, numBuckets = buckets, bloomCols = blooms)
     tx.createIfAbsent() // v0 commit writes #schema + _table.json
     new GraftTable(dir.toString, schema)
   }
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+
+  /** `ALTER TABLE … ADD COLUMNS (…)` routes onto the existing
+    * schema-evolution path (metadata-only widened-schema commit;
+    * pre-evolution files null-fill). Every other change is refused
+    * with the Scala-API pointer — type changes and renames would
+    * silently break the physical layout contract. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirFor(ident.namespace(), ident.name())
+    if (!isLiveTableDir(dir)) throw new NoSuchTableException(
+      (catalogName +: ident.namespace().toSeq) :+ ident.name())
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "graft tables are flat - nested ADD COLUMN is unsupported")
+        require(a.isNullable,
+          s"new column ${a.fieldNames().head} must be nullable " +
+            "(existing rows null-fill)")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames().head, a.dataType(), nullable = true)
+      case other => readOnly(s"ALTER TABLE ${other.getClass.getSimpleName}")
+    }
+    GraftDataSource.openForRead(SparkSession.active, dir.toString)
+      .addColumns(StructType(adds))
+    loadTable(ident)
+  }
+
+  /** `DROP TABLE` = guarded manifest tombstone: the table vanishes
+    * from this catalog but data + history stay retained
+    * (`TxTable.undropTable()` restores; `vacuum` reclaims). */
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirFor(ident.namespace(), ident.name())
+    if (!isLiveTableDir(dir)) false
+    else {
+      GraftDataSource.openForRead(SparkSession.active, dir.toString)
+        .dropTable()
+      true
+    }
+  }
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")
 

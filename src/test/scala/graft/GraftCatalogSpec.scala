@@ -40,7 +40,7 @@ class GraftCatalogSpec extends SparkSpec {
     assert(missing.getMessage.toLowerCase.contains("nope"))
 
     val ddl = intercept[Exception] {
-      spark.sql("DROP TABLE lake.sales")
+      spark.sql("ALTER TABLE lake.sales RENAME TO lake.sales2")
     }
     assert(allMessages(ddl).contains("destructive DDL"))
   }
@@ -101,5 +101,57 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) === 0L)
     spark.sql("TRUNCATE TABLE del.t")
     assert(spark.sql("SELECT count(*) FROM del.t").head().getLong(0) === 0L)
+  }
+
+  test("DROP TABLE is a retained tombstone; ALTER TABLE ADD COLUMNS evolves") {
+    val root = tmpDir("graft-cat-drop")
+    spark.conf.set("spark.sql.catalog.ddl2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ddl2.root", root)
+    spark.sql("""CREATE TABLE ddl2.t (k BIGINT, v DOUBLE)
+                 TBLPROPERTIES('keys'='k', 'buckets'='2')""")
+    spark.sql("INSERT INTO ddl2.t SELECT id, id * 1.5 FROM range(10)")
+
+    // ADD COLUMNS: metadata-only evolution; old rows null-fill
+    spark.sql("ALTER TABLE ddl2.t ADD COLUMNS (tag STRING)")
+    assert(spark.sql("SELECT * FROM ddl2.t").columns.toSeq ===
+      Seq("k", "v", "tag"))
+    assert(spark.sql("SELECT count(*) FROM ddl2.t WHERE tag IS NULL")
+      .head().getLong(0) === 10L)
+    spark.sql("INSERT INTO ddl2.t VALUES (100, 0.5, 'new')")
+    assert(spark.sql("SELECT tag FROM ddl2.t WHERE k = 100")
+      .head().getString(0) === "new")
+
+    // non-add alterations stay refused
+    val bad = intercept[Exception] {
+      spark.sql("ALTER TABLE ddl2.t ALTER COLUMN v TYPE STRING")
+    }
+    assert(allMessages(bad).contains("destructive DDL") ||
+      allMessages(bad).toLowerCase.contains("unsupported"))
+
+    // DROP: table vanishes from the catalog...
+    spark.sql("DROP TABLE ddl2.t")
+    assert(!spark.sql("SHOW TABLES IN ddl2").collect()
+      .map(_.getString(1)).contains("t"))
+    val gone = intercept[Exception] {
+      spark.sql("SELECT * FROM ddl2.t").collect()
+    }
+    assert(allMessages(gone).toLowerCase.contains("t"))
+
+    // ...but data + history are retained: the Scala API undrops and
+    // every row is still there
+    val t = new graft.core.TxTable(spark,
+      s"$root/t", new org.apache.spark.sql.types.StructType(), Seq("k"),
+      numBuckets = 2)
+    assert(t.isDropped)
+    t.undropTable()
+    assert(spark.sql("SELECT count(*) FROM ddl2.t").head().getLong(0) === 11L)
+
+    // re-creating over a dropped (not undropped) table names the remedy
+    spark.sql("DROP TABLE ddl2.t")
+    val recreate = intercept[Exception] {
+      spark.sql("""CREATE TABLE ddl2.t (k BIGINT)
+                   TBLPROPERTIES('keys'='k')""")
+    }
+    assert(allMessages(recreate).contains("undropTable"))
   }
 }

@@ -79,4 +79,28 @@ class GraftStreamSourceSpec extends SparkSpec {
       assert(msgs.contains("changeFeed"), msgs)
     } finally q.stop()
   }
+
+  test("streaming read via CATALOG identifier: readStream.table(lake.t)") {
+    val root = tmpDir("gstream-cat")
+    val b1 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val t = new TxTable(spark, s"$root/ev", b1.schema, Seq("k"), numBuckets = 2)
+    t.append(b1)
+    spark.conf.set("spark.sql.catalog.slake", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.slake.root", root)
+
+    val q = spark.readStream
+      .option("startingVersion", "-1")
+      .table("slake.ev")
+      .writeStream.format("memory").queryName("gtail_cat")
+      .option("checkpointLocation", tmpDir("gstream-cat-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gtail_cat").count() === 2L)
+      t.append(Seq((3L, "c")).toDF("k", "s"))
+      q.processAllAvailable()
+      assert(spark.table("gtail_cat").collect().map(_.getLong(0)).toSet ===
+        Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
 }
