@@ -109,8 +109,17 @@ object KmvSketch {
     * current with no corpus re-read. Store size ∝ segments × k longs
     * per batch — control-plane data, coalesced to one file. */
   def addBatchGrouped(df: DataFrame, segCol: String, keyCol: String,
-      dir: String, batchId: Long, k: Int = 4096): Unit = {
+      dir: String, batchId: Long, k: Int = 4096): Unit =
+    addBatchGroupedKeyed(df, segCol, keyCol, dir, batchId.toString, k)
+
+  /** [[addBatchGrouped]] keyed by a batch STRING (a run id) — the
+    * ingest-path variant ([[FreqSketch.addBatchKeyed]] convention):
+    * replays of the same run overwrite their own partition instead of
+    * appending a duplicate sketch. */
+  def addBatchGroupedKeyed(df: DataFrame, segCol: String, keyCol: String,
+      dir: String, batchKey: String, k: Int = 4096): Unit = {
     import org.apache.spark.sql.functions.udaf
+    val batchId = StoreKeys.sanitize(batchKey)
     val kmin = udaf(new KMinAggregator(k),
       org.apache.spark.sql.Encoders.scalaLong)
     df.select(col(segCol).cast("string").as("seg"),

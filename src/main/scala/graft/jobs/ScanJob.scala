@@ -197,6 +197,17 @@ object ScanJob {
       "len", s"${wh.root}/sketches/source_documents_quant",
       batchKey = params.runId)
 
+    // The segment-grouped KMV store completes the grouped family:
+    // per-DOMAIN k-min sketches of the batch's urls, so "which domains
+    // share urls / how big is each domain's url set?" (the pairwise
+    // overlap grid, KmvSketch.overlapMatrix) folds ∝ runs × domains ×
+    // ≤ k store rows — the corpus is never re-read, and the grid's
+    // exactness gate still applies at fold time.
+    graft.ext.KmvSketch.addBatchGroupedKeyed(
+      docs.select(col("domain"), col("url")),
+      "domain", "url", s"${wh.root}/sketches/source_documents_kmvgrp",
+      batchKey = params.runId)
+
     // L3 — vectorize (embed title+content, 6000-char cap, single chunk
     // index 0; `vectorize.ts:6-33`).
     val localStoreId = ensureLocalStore(wh, params.now)

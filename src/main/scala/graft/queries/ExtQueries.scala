@@ -866,6 +866,33 @@ object ExtQueries {
       .drop("exact")
   }
 
+  private def kmvIngestStoreDir(s: SparkSession, dir: String): String =
+    buildOnce(dir, "documents", "kmvingest", marker = "_DONE") { d =>
+      wipeDir(d)
+      val docs = t(s, dir, "documents").select(col("lang"), col("source"))
+      (0L to 3L).foreach { b =>
+        graft.ext.KmvSketch.addBatchGroupedKeyed(
+          docs.filter(pmod(xxhash64(col("source")), lit(4)) === b),
+          "lang", "source", d, batchKey = s"run-$b", k = 4096)
+      }
+      markDone(d)
+    }
+
+  /** The INGEST-path twin of `x_kmv_overlap_matrix` on a second corpus
+    * — the wiring [[graft.jobs.ScanJob]] runs per ingest batch
+    * ([[graft.ext.KmvSketch.addBatchGroupedKeyed]], run-id-keyed for
+    * replay idempotence): per-LANGUAGE source sketches appended over 4
+    * batches, then the pairwise "which languages share sources?" grid
+    * served entirely from the store. Source cardinalities (≤ 20 per
+    * language) sit far inside k, so the runtime exactness gate holds
+    * and the differential oracle against DuckDB's exact pairwise
+    * intersections is sound. */
+  def x_kmv_overlap_ingest(s: SparkSession, dir: String): DataFrame = {
+    val d = kmvIngestStoreDir(s, dir)
+    graft.ext.KmvSketch.overlapMatrix(s, d, requireExact = true)
+      .drop("exact")
+  }
+
   /** The ingest-store twin of `x_heavy_hitters`: the same >1/800
     * frequent-bigram ask served ENTIRELY from the persisted 4-batch
     * Misra–Gries store ([[graft.ext.FreqSketch]]) — the fold reads
@@ -1101,6 +1128,7 @@ object ExtQueries {
     "x_freq_store_group_top" -> (x_freq_store_group_top _),
     "x_kmv_segments" -> (x_kmv_segments _),
     "x_kmv_overlap_matrix" -> (x_kmv_overlap_matrix _),
+    "x_kmv_overlap_ingest" -> (x_kmv_overlap_ingest _),
     "ev_cooccurrence_store" -> (ev_cooccurrence_store _),
     "p6e_proximity_search" -> (p6e_proximity_search _),
     "x2_simhash_pairs" -> (x2_simhash_pairs _),
@@ -1478,6 +1506,26 @@ object ExtQueries {
         |p AS (
         | SELECT a.seg AS seg_a, b.seg AS seg_b, count(*) AS n_common
         | FROM s a JOIN s b ON a.user_id = b.user_id AND a.seg < b.seg
+        | GROUP BY 1, 2)
+        |SELECT da.seg AS seg_a, db.seg AS seg_b,
+        | coalesce(p.n_common, 0) AS n_common,
+        | da.n AS n_a, db.n AS n_b,
+        | ROUND(CAST(coalesce(p.n_common, 0) AS DOUBLE) /
+        |  CAST(da.n + db.n - coalesce(p.n_common, 0) AS DOUBLE), 6)
+        |  AS jaccard
+        |FROM d da JOIN d db ON da.seg < db.seg
+        |LEFT JOIN p ON p.seg_a = da.seg AND p.seg_b = db.seg
+        |ORDER BY seg_a, seg_b""".stripMargin,
+    // the ingest-path grid over documents: exact-regime KMV pair
+    // counts must equal DuckDB's exact pairwise DISTINCT-source
+    // intersections per language pair
+    "x_kmv_overlap_ingest" ->
+      """WITH s AS (
+        | SELECT DISTINCT lang AS seg, source FROM documents),
+        |d AS (SELECT seg, count(*) AS n FROM s GROUP BY 1),
+        |p AS (
+        | SELECT a.seg AS seg_a, b.seg AS seg_b, count(*) AS n_common
+        | FROM s a JOIN s b ON a.source = b.source AND a.seg < b.seg
         | GROUP BY 1, 2)
         |SELECT da.seg AS seg_a, db.seg AS seg_b,
         | coalesce(p.n_common, 0) AS n_common,

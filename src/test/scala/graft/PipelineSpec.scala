@@ -139,6 +139,22 @@ class PipelineSpec extends SparkSpec {
     val lens = docs.select(length(col("content")).cast("double"))
       .collect().map(_.getDouble(0)).sorted
     assert(med === lens((math.ceil(0.5 * lens.length) - 1).toInt))
+
+    // ...and one segment-grouped KMV batch (per-domain url sketches):
+    // sparse-exact at these sizes, so the folded per-domain estimates
+    // equal the exact distinct-url counts of the persisted docs
+    val kmvDir = s"${wh.root}/sketches/source_documents_kmvgrp"
+    val grid = graft.ext.KmvSketch.overlapMatrix(spark, kmvDir,
+      requireExact = true)
+    val nDomains = docs.select("domain").distinct().count()
+    assert(grid.count() === nDomains * (nDomains - 1) / 2)
+    val perDomain = docs.groupBy("domain")
+      .agg(countDistinct("url").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    grid.collect().foreach { r =>
+      assert(r.getLong(3) === perDomain(r.getString(0)), "n_a exact")
+      assert(r.getLong(4) === perDomain(r.getString(1)), "n_b exact")
+    }
   }
 
   test("ScanJob is idempotent on re-run (same run id, same candidates)") {
