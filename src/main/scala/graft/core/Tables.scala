@@ -17,13 +17,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // Spark has no TIMESTAMP(NANOS) type; with
-    // spark.sql.legacy.parquet.nanosAsLong=true (set by our sessions)
-    // nanos columns surface as LongType nanos-since-epoch. Convert to a
-    // proper timestamp (integer division — double math would lose
-    // precision above 2^53).
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalize(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Timestamp normalization every corpus read shares (the SQL table
+    * functions load raw paths through this too, so their results stay
+    * comparable with the catalog queries' loads):
+    * Spark has no TIMESTAMP(NANOS) type; with
+    * spark.sql.legacy.parquet.nanosAsLong=true (set by our sessions)
+    * nanos columns surface as LongType nanos-since-epoch. Convert to a
+    * proper timestamp (integer division — double math would lose
+    * precision above 2^53). */
+  def normalize(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) { (acc, f) =>
       if (f.name == "ts" && f.dataType == LongType)
         acc.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -37,7 +42,6 @@ object Tables {
         acc.withColumn(f.name, col(f.name).cast(TimestampType))
       else acc
     }
-  }
 
   /** Register every table as a temp view named after itself. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -20,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProduct(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => DotProductRewrite)
     e.injectOptimizerRule(_ => graft.plans.MvRewrite)
+    GraftTableFunctions.register(e)
   }
 }

@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL TABLE FUNCTIONS for the extension operators — the `spark.sql`
+  * user's door into the engine surfaces that aren't relational
+  * compositions (ranked retrieval, vector search, funnels):
+  *
+  * {{{
+  * SELECT * FROM graft_bm25('/idx/dir', 'spark table vector', 10)
+  * SELECT * FROM graft_knn('/data/embeddings.parquet',
+  *                         'vec_id', 'embedding', 0, 20)
+  * SELECT * FROM graft_funnel('/data/events.parquet',
+  *                            'view:0,click:24,purchase:24')
+  * }}}
+  *
+  * Registered through `SparkSessionExtensions.injectTableFunction`
+  * (loaded by [[GraftExtensions]]), so the functions exist in every
+  * session the engine builds — pure SQL text reaches them, no Scala.
+  * Arguments must be literals (they parameterize the PLAN the builder
+  * returns: index directory, query terms, k). The returned plan is the
+  * same one the Scala entry points build — `graft_bm25` serves from
+  * the persisted postings index without reading text, `graft_knn` is
+  * the broadcast-query brute-force cosine (exact baseline), and
+  * `graft_funnel` is the one-shuffle ordered fold — so SQL pays
+  * exactly the Scala path's cost, never a degraded re-implementation.
+  */
+object GraftTableFunctions {
+
+  private def evalArg(exprs: Seq[Expression], i: Int, what: String): Any = {
+    require(i < exprs.length, s"missing argument ${i + 1} ($what)")
+    val e = exprs(i)
+    require(e.foldable, s"argument ${i + 1} ($what) must be a literal")
+    val v = e.eval(null)
+    require(v != null, s"argument ${i + 1} ($what) must not be null")
+    v
+  }
+
+  private def str(exprs: Seq[Expression], i: Int, what: String): String =
+    evalArg(exprs, i, what) match {
+      case u: UTF8String => u.toString
+      case s: String     => s
+      case other => throw new IllegalArgumentException(
+        s"argument ${i + 1} ($what) must be a string, got $other")
+    }
+
+  private def int(exprs: Seq[Expression], i: Int, what: String): Int =
+    evalArg(exprs, i, what) match {
+      case n: Int   => n
+      case n: Long  => n.toInt
+      case n: Short => n.toInt
+      case n: Byte  => n.toInt
+      case other => throw new IllegalArgumentException(
+        s"argument ${i + 1} ($what) must be an integer, got $other")
+    }
+
+  private def plan(df: DataFrame): LogicalPlan = df.queryExecution.logical
+
+  /** `graft_bm25(indexDir, query, k [, idCol])` — BM25 top-k from a
+    * persisted [[graft.ext.TextIndex]] postings index (text never
+    * read; scores identical to the Scala entry point). */
+  private def bm25(exprs: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    val dir = str(exprs, 0, "index directory")
+    val terms = str(exprs, 1, "query").toLowerCase
+      .split("\\s+").filter(_.nonEmpty).toSeq
+    val k = int(exprs, 2, "k")
+    val idCol = if (exprs.length > 3) str(exprs, 3, "id column") else "doc_id"
+    plan(graft.ext.TextIndex.bm25Search(spark, dir, idCol, terms, k))
+  }
+
+  /** `graft_knn(parquetPath, idCol, embCol, queryId, k)` — exact
+    * brute-force cosine top-k against the row whose `idCol` equals
+    * `queryId`: query vector broadcast, per-row double dot product,
+    * score rounded to 6 dp (cross-engine determinism), top-k via
+    * TakeOrdered. Output = the table's columns minus the embedding,
+    * plus `score`. */
+  private def knn(exprs: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    val path = str(exprs, 0, "parquet path")
+    val idCol = str(exprs, 1, "id column")
+    val embCol = str(exprs, 2, "embedding column")
+    val queryId = evalArg(exprs, 3, "query id") match {
+      case n: Int => n.toLong
+      case n: Long => n
+      case other => throw new IllegalArgumentException(
+        s"query id must be integral, got $other")
+    }
+    val k = int(exprs, 4, "k")
+    val emb = graft.core.Tables.normalize(spark.read.parquet(path))
+      .withColumn("_e", col(embCol).cast("array<double>"))
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col("_e").as("_qe"))
+    val out = emb.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("_dot", expr(
+        "aggregate(zip_with(_e, _qe, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+      .withColumn("_na", sqrt(expr(
+        "aggregate(_e, 0D, (acc, x) -> acc + x * x)")))
+      .withColumn("_nq", sqrt(expr(
+        "aggregate(_qe, 0D, (acc, x) -> acc + x * x)")))
+      .withColumn("score", round(col("_dot") / (col("_na") * col("_nq")), 6))
+      .drop("_e", "_qe", "_dot", "_na", "_nq", embCol)
+      .orderBy(desc("score"), asc(idCol))
+      .limit(k)
+    plan(out)
+  }
+
+  /** `graft_funnel(parquetPath, 'type:windowHours,...')` — the
+    * one-row conversion funnel ([[graft.ext.Funnel.fold]]; ONE shuffle
+    * on user, ordered sequential fold) over an events parquet with
+    * (user_id, ts, event_type) columns. The first step's window is
+    * ignored (entry may fire at any time). */
+  private def funnel(exprs: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    val path = str(exprs, 0, "parquet path")
+    val stepsSpec = str(exprs, 1, "steps")
+    val steps = stepsSpec.split(",").map(_.trim).filter(_.nonEmpty).map { s =>
+      s.split(":") match {
+        case Array(t, w) => graft.ext.Funnel.Step(t.trim, w.trim.toInt, t.trim)
+        case Array(t)    => graft.ext.Funnel.Step(t.trim, 24, t.trim)
+        case _ => throw new IllegalArgumentException(
+          s"bad step '$s' - want 'type:windowHours'")
+      }
+    }.toSeq
+    val events = graft.core.Tables.normalize(spark.read.parquet(path))
+    plan(graft.ext.Funnel.fold(events,
+      col("user_id"), col("ts"), col("event_type"), steps))
+  }
+
+  private def tvf(name: String,
+      builder: Seq[Expression] => LogicalPlan): (FunctionIdentifier,
+      ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(GraftTableFunctions.getClass.getName, name),
+      builder)
+
+  def register(e: SparkSessionExtensions): Unit = {
+    e.injectTableFunction(tvf("graft_bm25", bm25))
+    e.injectTableFunction(tvf("graft_knn", knn))
+    e.injectTableFunction(tvf("graft_funnel", funnel))
+  }
+}

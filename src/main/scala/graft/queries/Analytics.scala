@@ -652,6 +652,14 @@ object Analytics {
         Funnel.Step("click", 24, "click"),
         Funnel.Step("purchase", 24, "purchase")))
 
+  /** The pure-SQL-text twin of `ev_funnel_steps` through the
+    * `graft_funnel` table function: same one-shuffle ordered fold,
+    * reached with no Scala entry point; shares the chained-min
+    * oracle verbatim. */
+  def ev_funnel_sql(s: SparkSession, dir: String): DataFrame =
+    s.sql(s"SELECT * FROM graft_funnel('$dir/events.parquet', " +
+      "'view:0,click:24,purchase:24')")
+
   /** 4-step funnel (signup → view → click → purchase) with per-step
     * windows that NARROW down-funnel (72 h → 24 h → 12 h) — the
     * parametric form of [[ev_funnel_steps]], same one-shuffle fold. */
@@ -767,6 +775,7 @@ object Analytics {
     "ev_milestones" -> (ev_milestones _),
     "ev_retention_cohorts" -> (ev_retention_cohorts _),
     "ev_funnel_steps" -> (ev_funnel_steps _),
+    "ev_funnel_sql" -> (ev_funnel_sql _),
     "ev_funnel_4step" -> (ev_funnel_4step _),
     "ev_gap_fill" -> (ev_gap_fill _),
     "ev_new_vs_returning" -> (ev_new_vs_returning _),
@@ -1153,6 +1162,20 @@ object Analytics {
     // stepwise min-after-previous-step with a 24h per-step window;
     // the Spark side computes the same via an ordered per-user fold
     "ev_funnel_steps" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 24 HOURS GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |         AND e.ts <= s2.t2 + INTERVAL 24 HOURS GROUP BY 1)
+        |SELECT (SELECT COUNT(*) FROM s1) AS view_users,
+        |       (SELECT COUNT(*) FROM s2) AS click_users,
+        |       (SELECT COUNT(*) FROM s3) AS purchase_users""".stripMargin,
+    "ev_funnel_sql" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type = 'view' GROUP BY 1),
         |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e

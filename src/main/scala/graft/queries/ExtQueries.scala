@@ -613,6 +613,17 @@ object ExtQueries {
       Seq("spark", "table", "vector"), k = 10)
   }
 
+  /** The pure-SQL-text twin of `p6f_bm25_rank` through the
+    * `graft_bm25` table function
+    * ([[graft.functions.GraftTableFunctions]]): `spark.sql` reaches
+    * the persisted postings index with no Scala entry point — the TVF
+    * builder returns the SAME plan bm25Search builds, so this shares
+    * p6f's oracle verbatim. */
+  def p6j_bm25_sql(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = positionalIndexDir(s, dir)
+    s.sql(s"SELECT * FROM graft_bm25('$idxDir', 'spark table vector', 10)")
+  }
+
   /** P6 proximity form at scale — unordered NEAR/2 search ("slow"
     * within two word positions of "query") served entirely from the
     * positional index: positions quantize into slop-wide windows and
@@ -1148,6 +1159,7 @@ object ExtQueries {
     "p6c_substring_search" -> (p6c_substring_search _),
     "p6d_phrase_search" -> (p6d_phrase_search _),
     "p6f_bm25_rank" -> (p6f_bm25_rank _),
+    "p6j_bm25_sql" -> (p6j_bm25_sql _),
     "x2_cosine_neardup" -> (x2_cosine_neardup _),
     "x1_label_outliers" -> (x1_label_outliers _),
     "x_hll_distinct" -> (x_hll_distinct _),
@@ -1236,6 +1248,27 @@ object ExtQueries {
     // full Okapi BM25 recomputed from raw text; the top-k cut and the
     // output order use the 6-decimal ROUNDED score in both engines
     "p6f_bm25_rank" ->
+      """WITH w AS (
+        | SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+'))
+        |   AS term
+        | FROM documents),
+        |len AS (SELECT doc_id, COUNT(*) AS len FROM w GROUP BY doc_id),
+        |n AS (SELECT COUNT(*) AS n_docs, SUM(len) AS total FROM len),
+        |tf AS (
+        | SELECT doc_id, term, COUNT(*) AS tf FROM w
+        | WHERE term IN ('spark', 'table', 'vector') GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        | SELECT tf.doc_id,
+        |  SUM(ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |      * tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * len.len
+        |          / (n.total / (n.n_docs * 1.0))))) AS score
+        | FROM tf JOIN df USING (term) JOIN len USING (doc_id) CROSS JOIN n
+        | GROUP BY 1)
+        |SELECT doc_id, ROUND(score, 6) AS score FROM sc
+        |ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 10""".stripMargin,
+    "p6j_bm25_sql" ->
       """WITH w AS (
         | SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+'))
         |   AS term

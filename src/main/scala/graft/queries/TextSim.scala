@@ -507,6 +507,15 @@ object TextSim {
       .limit(20)
   }
 
+  /** The pure-SQL-text twin of `x1_cosine_topk` through the
+    * `graft_knn` table function: exact brute-force cosine top-k over
+    * the embeddings parquet with no Scala entry point — same
+    * broadcast-query plan, same 6-dp rounding; shares x1's oracle
+    * verbatim. */
+  def x1_knn_sql(s: SparkSession, dir: String): DataFrame =
+    s.sql(s"SELECT * FROM graft_knn('$dir/embeddings.parquet', " +
+      "'vec_id', 'embedding', 0, 20)")
+
   /** X1 — FILTERED vector search ("metadata WHERE + kNN", the RAG
     * retrieval ask: nearest neighbors among label ∈ {3, 7} only),
     * filter-FIRST: the metadata predicate pushes to the parquet scan
@@ -866,6 +875,7 @@ object TextSim {
     "x4_mixture_sample" -> (x4_mixture_sample _),
     "x4_split_assign" -> (x4_split_assign _),
     "x1_cosine_topk" -> (x1_cosine_topk _),
+    "x1_knn_sql" -> (x1_knn_sql _),
     "x1_filtered_topk" -> (x1_filtered_topk _),
     "x4_bigram_pmi" -> (x4_bigram_pmi _),
     "x1_knn_label" -> (x1_knn_label _),
@@ -1350,6 +1360,13 @@ object TextSim {
         |   AS bpe_per_ws
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     "x1_cosine_topk" ->
+      """SELECT e.vec_id, e.label,
+        | ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score
+        |FROM embeddings e
+        |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY score DESC, e.vec_id ASC LIMIT 20""".stripMargin,
+    "x1_knn_sql" ->
       """SELECT e.vec_id, e.label,
         | ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score
         |FROM embeddings e

@@ -15,6 +15,7 @@ object TestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // match Sessions.local: micros carry parquet footer stats (INT96
       // doesn't), which TxTable's manifest zone maps read
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SQL table functions ([[graft.functions.GraftTableFunctions]]):
+  * pure `spark.sql` text must reach the extension operators and
+  * return exactly what the Scala entry points return — same plans,
+  * same results. */
+class SqlTableFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_bm25: SQL text serves the persisted postings index") {
+    val docs = Seq(
+      (1L, "spark table scan with vector search"),
+      (2L, "a table of tables"),
+      (3L, "vector vector vector"),
+      (4L, "nothing relevant here")).toDF("doc_id", "text")
+    val dir = tmpDir("tvf-bm25") + "/idx"
+    // BM25 serves from the positional index (postings + docstats)
+    graft.ext.TextIndex.buildPositional(docs, "doc_id", "text", dir)
+
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_bm25('$dir', 'table vector', 3)")
+    val viaScala = graft.ext.TextIndex.bm25Search(spark, dir, "doc_id",
+      Seq("table", "vector"), k = 3)
+    assert(viaSql.collect().toSeq.map(_.toSeq) ===
+      viaScala.collect().toSeq.map(_.toSeq))
+    assert(viaSql.count() === 3)
+  }
+
+  test("graft_knn: exact cosine top-k as SQL text") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 1),
+      (2L, Array(0.0f, 1.0f), 2),
+      (3L, Array(0.7f, 0.7f), 1)).toDF("vec_id", "embedding", "label")
+    val path = tmpDir("tvf-knn") + "/emb.parquet"
+    emb.write.parquet(path)
+
+    val got = spark.sql(
+      s"SELECT * FROM graft_knn('$path', 'vec_id', 'embedding', 0, 2)")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // nearest to (1,0): vec 1, then vec 3
+    assert(got.toSeq === Seq((1L, 1), (3L, 1)))
+    val cols = spark.sql(
+      s"SELECT * FROM graft_knn('$path', 'vec_id', 'embedding', 0, 2)")
+      .columns.toSeq
+    assert(cols === Seq("vec_id", "label", "score"))
+  }
+
+  test("graft_funnel: the one-shuffle fold from SQL text") {
+    val ev = Seq(
+      (1L, ts("2026-01-01 10:00:00"), "view"),
+      (1L, ts("2026-01-01 11:00:00"), "purchase"),
+      (2L, ts("2026-01-02 09:00:00"), "view"),
+      (3L, ts("2026-01-03 08:00:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val path = tmpDir("tvf-funnel") + "/ev.parquet"
+    ev.write.parquet(path)
+
+    val row = spark.sql(
+      s"SELECT * FROM graft_funnel('$path', 'view:0,purchase:24')").head()
+    assert(row.getLong(0) === 2L) // users 1 and 2 entered
+    assert(row.getLong(1) === 1L) // only user 1 converted
+  }
+
+  test("non-literal arguments are refused honestly") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_bm25(rand()::string, 'x', 1)").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("literal"))
+  }
+}
