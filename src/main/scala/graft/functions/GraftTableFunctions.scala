@@ -133,6 +133,23 @@ object GraftTableFunctions {
       col("user_id"), col("ts"), col("event_type"), steps))
   }
 
+  /** `graft_history(tableDir)` — the DESCRIBE HISTORY analog as a
+    * table function: version, commit time, live file count, added/
+    * removed file deltas, meta keys, straight from
+    * [[graft.core.TxTable.history]] (retained manifests only, no
+    * data I/O). */
+  private def history(exprs: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    val dir = str(exprs, 0, "table directory")
+    val (ks, nb, blooms) = graft.core.TxTable
+      .readDescriptor(spark, dir)
+      .getOrElse((Seq("__reader__"), 1, Nil: Seq[String]))
+    val tx = new graft.core.TxTable(spark, dir,
+      new org.apache.spark.sql.types.StructType(), ks,
+      numBuckets = nb, bloomCols = blooms)
+    plan(tx.history)
+  }
+
   private def tvf(name: String,
       builder: Seq[Expression] => LogicalPlan): (FunctionIdentifier,
       ExpressionInfo, Seq[Expression] => LogicalPlan) =
@@ -144,5 +161,6 @@ object GraftTableFunctions {
     e.injectTableFunction(tvf("graft_bm25", bm25))
     e.injectTableFunction(tvf("graft_knn", knn))
     e.injectTableFunction(tvf("graft_funnel", funnel))
+    e.injectTableFunction(tvf("graft_history", history))
   }
 }

@@ -490,6 +490,7 @@ object ExtQueries {
       timed("quantsk")(quantSketchDir(s, dir)),
       timed("quantgsk")(quantGroupSketchDir(s, dir)),
       timed("kmvgsk")(kmvGroupStoreDir(s, dir)),
+      timed("kmvingest")(kmvIngestStoreDir(s, dir)),
       timed("pairsk")(pairStoreDir(s, dir)),
       timed("mediafeats")(mediaFeatsDir(s, dir)),
       timed("audiofeats")(audioFeatsDir(s, dir)),

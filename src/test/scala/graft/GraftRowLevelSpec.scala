@@ -150,4 +150,19 @@ class GraftRowLevelSpec extends SparkSpec {
     // only the 'y' row changed; its duplicate-key sibling 'x' intact
     assert(got.toSeq === Seq(("x", 1.0), ("y", 20.0), ("z", 3.0)))
   }
+
+  test("stale row delta aborts with an honest serializability error") {
+    val root = tmpDir("graft-rl-stale")
+    val df = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val tx = new TxTable(spark, s"$root/t", df.schema, Seq("k"), numBuckets = 2)
+    tx.append(df) // v1
+    val scanned = tx.currentVersion
+    tx.append(Seq((3L, 30.0)).toDF("k", "v")) // v2 — a concurrent commit
+    val dv = Seq(("whatever.parquet", 0L)).toDF("_dv_file", "_dv_pos")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      tx.applyRowDelta(Some(dv), None, scanned)
+    }
+    assert(e.getMessage.contains(s"v$scanned"))
+    assert(tx.count() === 3L) // untouched
+  }
 }

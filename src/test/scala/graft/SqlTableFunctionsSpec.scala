@@ -72,4 +72,16 @@ class SqlTableFunctionsSpec extends SparkSpec {
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs.contains("literal"))
   }
+
+  test("graft_history: DESCRIBE HISTORY as SQL text") {
+    val dir = tmpDir("tvf-hist") + "/t"
+    val d1 = Seq((1L, "a")).toDF("k", "s")
+    val t = new graft.core.TxTable(spark, dir, d1.schema, Seq("k"),
+      numBuckets = 2)
+    t.append(d1)
+    t.append(Seq((2L, "b")).toDF("k", "s"))
+    val hist = spark.sql(s"SELECT * FROM graft_history('$dir')")
+    assert(hist.count() === t.history.count())
+    assert(hist.columns.toSeq === t.history.columns.toSeq)
+  }
 }
