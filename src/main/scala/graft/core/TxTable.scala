@@ -866,6 +866,19 @@ final class TxTable(
     (bytes, rows)
   }
 
+  /** Per-file manifest stats of version `v` for the provider's
+    * AGGREGATE PUSHDOWN: (schema, per-entry (parsed footer stats,
+    * deletion-vector tombstone rows)). Driver-side metadata only —
+    * the pushdown that makes `SELECT count(*)` (and min/max on
+    * clean snapshots) zero-data-I/O through pure SQL. */
+  private[graft] def providerAggSnapshot(v: Long)
+      : (StructType, Seq[(Option[FileStats.Stats], Long)]) = {
+    if (v < 0) return (schema, Nil)
+    val m = loadManifest(v)
+    val s = schemaAt(m)
+    (s, m.entries.map(e => (e.parsedStats(s), e.dvs.map(_.rows).sum)))
+  }
+
   /** Time travel to any retained version — under the schema that
     * version was COMMITTED with (schema history travels too). */
   def readVersion(v: Long): DataFrame =

@@ -772,7 +772,41 @@ object TxQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** AGGREGATE PUSHDOWN, route-or-fail: whole-table COUNT(*)/MIN/MAX
+    * through the provider must be served by the metadata-only
+    * [[graft.sources.GraftAggScan]] (footer row counts + zone-map
+    * extrema — zero data I/O at any table size; the required plan
+    * shape is asserted, a silent fallback to a real scan FAILS), and
+    * the answer must equal DuckDB's full-scan recompute. */
+  def tx_sql_agg_pushdown(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val table = cached(s, dir, "orders", "aggpush-us", 2L) { loc =>
+      new TxTable(s, loc, o.schema, Seq("o_orderkey"), numBuckets = 4)
+    } { tx =>
+      tx.append(o.filter(col("o_orderkey") % 2 === 0)) // v1
+      tx.append(o.filter(col("o_orderkey") % 2 === 1)) // v2
+    }
+    s.read.format("graft").load(table.dir)
+      .createOrReplaceTempView("graft_aggpush_orders")
+    // numeric extrema only: the Verify session writes INT96 timestamps
+    // (no usable footer stats), so a timestamp extremum would honestly
+    // decline the pushdown; timestamp min/max pushdown is covered by
+    // GraftDataSourceSpec whose session writes micros
+    val q = s.sql(
+      """SELECT count(*) AS n, min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
+        |FROM graft_aggpush_orders""".stripMargin)
+    require(q.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "aggregate pushdown did not fire - the metadata-only scan is " +
+        "REQUIRED for this row")
+    q
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_sql_agg_pushdown" -> (tx_sql_agg_pushdown _),
     "tx_sql_merge" -> (tx_sql_merge _),
     "tx_sql_update" -> (tx_sql_update _),
     "tx_skipping_scan" -> (tx_skipping_scan _),
@@ -800,6 +834,13 @@ object TxQueries {
     "mv_routed_minmax" -> (mv_routed_minmax _))
 
   val oracle: Map[String, String] = Map(
+    // metadata-served aggregates must equal the full-scan recompute
+    "tx_sql_agg_pushdown" ->
+      """SELECT count(*) AS n, min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
+        |FROM orders""".stripMargin,
     // SQL MERGE INTO through row-level ops must equal DuckDB
     // computing the same merge relationally from the raw parquet
     "tx_sql_merge" ->

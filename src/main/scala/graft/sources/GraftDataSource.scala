@@ -332,9 +332,11 @@ final class GraftWriteBuilder(tx: TxTable, tableSchema: StructType)
 final class GraftScanBuilder(tx: TxTable, version: Long,
     fullSchema: StructType, startingVersion: Option[Long] = None)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggPushed: Option[(StructType, Array[Any])] = None
 
   /** Every filter is returned as a residual (Spark re-evaluates —
     * manifest pruning is file-granular, not row-exact); the
@@ -347,8 +349,148 @@ final class GraftScanBuilder(tx: TxTable, version: Long,
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan =
-    new GraftScan(tx, version, required, pushed, startingVersion)
+
+  /** AGGREGATE PUSHDOWN — answer whole-table `COUNT(*)` / `MIN` /
+    * `MAX` from manifest metadata: footer row counts minus DV
+    * tombstones for the count; zone-map extrema for min/max. Zero
+    * data I/O at ANY table size — the `SELECT count(*)` fast path of
+    * the table format, surfaced to pure SQL. Honesty gates, each
+    * declining to a normal scan (never a wrong answer):
+    *  - any file without recorded stats → decline everything;
+    *  - MIN/MAX only on DV-free snapshots (a tombstone could hide
+    *    the extreme row) and only for numeric/date/timestamp/boolean
+    *    columns (string footer stats are TRUNCATED at 64 chars —
+    *    fine for pruning, unsound as exact answers);
+    *  - any filter present → Spark never offers the pushdown (our
+    *    filters are always residual), so filtered aggregates stay
+    *    row-exact. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    aggPushed = computeAgg(agg)
+    aggPushed.isDefined
+  }
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = aggPushed.isDefined
+
+  private def computeAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty) return None
+    val (s, entries) = tx.providerAggSnapshot(version)
+    if (entries.exists(_._1.isEmpty)) return None // a stats-less file
+    val stats = entries.map(_._1.get)
+    val anyDv = entries.exists(_._2 > 0L)
+    val liveRows = stats.map(_.rows).sum - entries.map(_._2).sum
+
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        s.fields.find(_.name == nr.fieldNames().head)
+      case _ => None
+    }
+    // exact-extremum support: types whose footer stats are full-
+    // fidelity values (strings truncate; decimals/binary unrecorded)
+    def extremeOk(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | FloatType | DoubleType | BooleanType => true
+      case _ => false
+    }
+    // external stat value → Catalyst-internal value for `dt`
+    def toCatalyst(v: Any, dt: DataType): Any = (v, dt) match {
+      case (n: Long, ByteType)    => n.toByte
+      case (n: Long, ShortType)   => n.toShort
+      case (n: Long, IntegerType | DateType) => n.toInt
+      case (n: Long, LongType | TimestampType) => n
+      case (d: Double, FloatType) => d.toFloat
+      case (d: Double, DoubleType) => d
+      case (b: Boolean, BooleanType) => b
+      case _ => return null
+    }
+    def extremum(f: StructField, wantMin: Boolean): Option[Any] = {
+      if (anyDv || !extremeOk(f.dataType)) return None
+      val per = stats.map { st =>
+        st.cols.get(f.name) match {
+          case Some(cs) => // (None, None) = all-null file: no value
+            if (wantMin) cs.min else cs.max
+          case None if st.rows == 0L => None // empty file: no value
+          case None => return None // rows but no recorded stats
+        }
+      }
+      val vals = per.flatten
+      if (vals.isEmpty) Some(null) // every row null (or no rows)
+      else {
+        val ord: Ordering[Any] = ((vals.head match {
+          case _: Long    => Ordering.Long.on[Any](_.asInstanceOf[Long])
+          case _: Double  => Ordering.Double.TotalOrdering
+            .on[Any](_.asInstanceOf[Double])
+          case _: Boolean => Ordering.Boolean.on[Any](_.asInstanceOf[Boolean])
+          case _ => return None
+        }): Ordering[Any])
+        val ext = if (wantMin) vals.min(ord) else vals.max(ord)
+        Some(toCatalyst(ext, f.dataType))
+      }
+    }
+
+    val fields = Seq.newBuilder[StructField]
+    val values = Seq.newBuilder[Any]
+    agg.aggregateExpressions().foreach {
+      case _: CountStar =>
+        fields += StructField("count_star", LongType, nullable = false)
+        values += liveRows
+      case m: Min =>
+        val f = colOf(m.column()).getOrElse(return None)
+        val v = extremum(f, wantMin = true).getOrElse(return None)
+        fields += StructField(s"min_${f.name}", f.dataType, nullable = true)
+        values += v
+      case m: Max =>
+        val f = colOf(m.column()).getOrElse(return None)
+        val v = extremum(f, wantMin = false).getOrElse(return None)
+        fields += StructField(s"max_${f.name}", f.dataType, nullable = true)
+        values += v
+      case _ => return None // COUNT(col)/SUM/AVG: not manifest-derivable
+    }
+    Some((StructType(fields.result()), values.result().toArray))
+  }
+
+  override def build(): Scan = aggPushed match {
+    case Some((aggSchema, values)) =>
+      new GraftAggScan(tx.dir, version, aggSchema, values)
+    case None =>
+      new GraftScan(tx, version, required, pushed, startingVersion)
+  }
+}
+
+/** The one-row scan serving a pushed-down whole-table aggregate —
+  * the values were computed from manifest metadata at plan time; no
+  * data file is ever opened. */
+final class GraftAggScan(dir: String, version: Long,
+    aggSchema: StructType, values: Array[Any]) extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftAggScan `$dir`@v$version metadata-only: " +
+      aggSchema.fieldNames.mkString(", ")
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftAggReaderFactory
+}
+
+final case class GraftAggPartition(values: Array[Any]) extends InputPartition
+
+final class GraftAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = new PartitionReader[InternalRow] {
+    private val vals = p.asInstanceOf[GraftAggPartition].values
+    private var served = false
+    override def next(): Boolean = { val n = !served; served = true; n }
+    override def get(): InternalRow = new GenericInternalRow(vals)
+    override def close(): Unit = ()
+  }
 }
 
 final case class GraftInputPartition(path: String, dvPaths: Array[String])

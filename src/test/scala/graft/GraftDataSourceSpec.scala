@@ -286,4 +286,57 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(rows(back.select("k", "x")) ===
       Set(Seq(1L, null), Seq(2L, null), Seq(3L, 9.5)))
   }
+
+  test("aggregate pushdown: count(*)/min/max answered from metadata") {
+    val dir = tmpDir("dsv2-agg") + "/t"
+    val data = (1L to 300L).map(i =>
+      (i, i * 0.5, ts(f"2026-01-${1 + (i % 28).toInt}%02d 10:00:00")))
+      .toDF("k", "v", "t")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 2)
+    t.append(data)
+    load(dir).createOrReplaceTempView("dsv2_agg_t")
+
+    // whole-table count/min/max: ONE metadata-only scan, no parquet read
+    val q = spark.sql(
+      "SELECT count(*), min(k), max(k), min(v), max(v), min(t), max(t) " +
+        "FROM dsv2_agg_t")
+    assert(q.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      s"expected the metadata-only agg scan:\n${q.queryExecution.executedPlan}")
+    val r = q.head()
+    assert(r.getLong(0) === 300L)
+    assert(r.getLong(1) === 1L && r.getLong(2) === 300L)
+    assert(r.getDouble(3) === 0.5 && r.getDouble(4) === 150.0)
+    assert(r.getTimestamp(5) === ts("2026-01-01 10:00:00"))
+    assert(r.getTimestamp(6) === ts("2026-01-28 10:00:00"))
+
+    // a filter disables the pushdown — the row-exact path answers
+    val filtered = spark.sql(
+      "SELECT count(*) FROM dsv2_agg_t WHERE k > 100")
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("GraftAggScan"))
+    assert(filtered.head().getLong(0) === 200L)
+
+    // string min/max declines (truncated footer stats are unsound as
+    // exact answers) — full scan, still correct
+    val s = spark.sql("SELECT min(CAST(k AS STRING)) FROM dsv2_agg_t")
+    assert(!s.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+
+    // DVs: count stays metadata-exact (tombstone counts are recorded),
+    // min/max declines (a tombstone could hide the extreme row)
+    t.deleteWhereLight(col("k") === 300L)
+    val fresh = load(dir)
+    fresh.createOrReplaceTempView("dsv2_agg_t2")
+    val c2 = spark.sql("SELECT count(*) FROM dsv2_agg_t2")
+    assert(c2.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(c2.head().getLong(0) === 299L)
+    val m2 = spark.sql("SELECT max(k) FROM dsv2_agg_t2")
+    assert(!m2.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(m2.head().getLong(0) === 299L)
+
+    // grouped aggregates never push — the normal scan answers
+    val g = spark.sql(
+      "SELECT k % 2, count(*) FROM dsv2_agg_t2 GROUP BY 1 ORDER BY 1")
+    assert(!g.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(g.collect().map(_.getLong(1)).sum === 299L)
+  }
 }
