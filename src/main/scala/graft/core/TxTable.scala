@@ -833,10 +833,18 @@ final class TxTable(
     * the provider skips exactly the files the Scala API would. */
   private[graft] def providerSnapshot(v: Long, pred: Option[Column])
       : (StructType, Seq[(String, Seq[String])]) = {
+    val (s, es) = providerSnapshotBucketed(v, pred)
+    (s, es.map { case (_, p, dvs) => p -> dvs })
+  }
+
+  /** [[providerSnapshot]] with each file's manifest BUCKET id — the
+    * provider's storage-partitioned reads group files by it. */
+  private[graft] def providerSnapshotBucketed(v: Long, pred: Option[Column])
+      : (StructType, Seq[(Int, String, Seq[String])]) = {
     val m = loadManifest(v)
     val s = schemaAt(m)
     val es = pred.map(p => pruneEntries(m.entries, p, s)).getOrElse(m.entries)
-    (s, es.map(e => e.path -> e.dvs.map(_.path)))
+    (s, es.map(e => (e.bucket, e.path, e.dvs.map(_.path))))
   }
 
   /** Planning statistics for the provider: (bytes, exact live rows)

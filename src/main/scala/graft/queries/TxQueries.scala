@@ -805,7 +805,61 @@ object TxQueries {
     q
   }
 
+  /** STORAGE-PARTITIONED JOIN, route-or-fail: customer and orders
+    * ingested into graft tables CO-BUCKETED on the customer key (same
+    * key semantics, same bucket count), joined through catalog
+    * identifiers under `spark.sql.sources.v2.bucketing.enabled` — the
+    * plan is REQUIRED to contain zero Exchange below the join (Spark
+    * proves co-location by resolving both sides' `bucket(n, key)`
+    * transform through [[graft.sources.GraftBucketFunction]]), and
+    * the aggregate over the shuffle-free join must equal DuckDB's
+    * recompute. At 100 TB this is the fact-to-fact join shuffle —
+    * usually the plan's single largest cost — made zero by layout. */
+  def tx_sql_spj_join(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val ords = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    val tc = cached(s, dir, "customer", "spjc", 1L) { loc =>
+      new TxTable(s, loc, cust.schema, Seq("c_custkey"), numBuckets = 4)
+    } { tx => tx.append(cust) }
+    val to = cached(s, dir, "orders", "spjo", 1L) { loc =>
+      new TxTable(s, loc, ords.schema, Seq("o_custkey"), numBuckets = 4)
+    } { tx => tx.append(ords) }
+    s.conf.set("spark.sql.catalog.graftspj", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftspj.root",
+      new java.io.File(tc.dir).getParent)
+    val cId = s"graftspj.`${new java.io.File(tc.dir).getName}`"
+    val oId = s"graftspj.`${new java.io.File(to.dir).getName}`"
+    val toggles = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = toggles.map { case (k, _) => k -> s.conf.getOption(k) }
+    toggles.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val joined = s.sql(
+        s"""SELECT c.c_nationkey, o.o_totalprice
+           |FROM $cId c JOIN $oId o ON c.c_custkey = o.o_custkey""".stripMargin)
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange") && plan.contains("SortMergeJoin"),
+        "storage-partitioned join did not fire - a shuffle-free " +
+          s"co-bucketed join is REQUIRED for this row:\n$plan")
+      val agg = joined
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n"),
+          Qhelpers.msum(col("o_totalprice")).as("total"))
+        .orderBy("nationkey")
+      // execute UNDER the SPJ confs (restored after), return the rows
+      val rows = agg.collect()
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), agg.schema)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_sql_spj_join" -> (tx_sql_spj_join _),
     "tx_sql_agg_pushdown" -> (tx_sql_agg_pushdown _),
     "tx_sql_merge" -> (tx_sql_merge _),
     "tx_sql_update" -> (tx_sql_update _),
@@ -834,6 +888,13 @@ object TxQueries {
     "mv_routed_minmax" -> (mv_routed_minmax _))
 
   val oracle: Map[String, String] = Map(
+    // the shuffle-free co-bucketed join must equal the ordinary join
+    "tx_sql_spj_join" ->
+      s"""SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+         |  count(*) AS n,
+         |  ${Qhelpers.sqlMsum("o_totalprice")} AS total
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // metadata-served aggregates must equal the full-scan recompute
     "tx_sql_agg_pushdown" ->
       """SELECT count(*) AS n, min(o_orderkey) AS min_key,

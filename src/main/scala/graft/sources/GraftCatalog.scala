@@ -37,7 +37,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Scala-API pointer. Catalog metadata ops are driver-side directory
   * listings (cheap, object-store friendly); nothing reads data.
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -202,6 +203,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")
+
+  // ---- functions: the bucket transform for storage-partitioned
+  // joins (see GraftBucketFunction) ----
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   // ---- namespaces = nested directories ----
   override def listNamespaces(): Array[Array[String]] =

@@ -254,6 +254,17 @@ final class GraftTable(val dir: String, declaredSchema: StructType,
     true
   }
 
+  /** The table's physical layout as a DSv2 transform — `bucket(n,
+    * keys…)`, resolvable through the catalog's [[GraftBucketFunction]]
+    * — so Spark can prove two co-bucketed graft tables are co-located
+    * and elide the join shuffle (storage-partitioned joins; enable
+    * `spark.sql.sources.v2.bucketing.enabled`). */
+  override def partitioning(): Array[Transform] =
+    if (tx.keys.contains("__reader__") ||
+        !tx.keys.forall(resolvedSchema.fieldNames.contains)) Array.empty
+    else Array(org.apache.spark.sql.connector.expressions.Expressions
+      .bucket(tx.numBuckets, tx.keys: _*))
+
   /** Non-nullable row-identity metadata columns (see
     * [[GraftTable.FileCol]]) — `SELECT _graft_file, _graft_pos` works
     * for diagnostics, and the row-level operations key on them. */
@@ -496,10 +507,74 @@ final class GraftAggReaderFactory extends PartitionReaderFactory {
 final case class GraftInputPartition(path: String, dvPaths: Array[String])
     extends InputPartition
 
+/** One manifest bucket's files as a single partition (the
+  * storage-partitioned mode): the partition key IS the bucket id, the
+  * value `bucket(n, keys…)` evaluates to for every row inside. */
+final case class GraftBucketPartition(bucket: Int, paths: Array[String],
+    dvPaths: Array[Array[String]]) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
+/** Sequential chain of per-file readers (bucket partitions hold many
+  * files); opens each lazily, closes as it drains. */
+private[sources] final class GraftChainReader[T](
+    makers: Seq[() => PartitionReader[T]]) extends PartitionReader[T] {
+  private var cur: PartitionReader[T] = _
+  private var idx = 0
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (idx >= makers.length) return false
+        cur = makers(idx)()
+        idx += 1
+      }
+      if (cur.next()) return true
+      cur.close()
+      cur = null
+    }
+    false
+  }
+  override def get(): T = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
+}
+
 final class GraftScan(tx: TxTable, version: Long, required: StructType,
     pushed: Array[Filter], startingVersion: Option[Long] = None)
     extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeFiltering {
+    with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
+
+  /** STORAGE-PARTITIONED mode (opt-in via
+    * `spark.sql.sources.v2.bucketing.enabled`): files group into ONE
+    * InputPartition per manifest bucket (key = bucket id, every
+    * bucket present so co-bucketed sides always expose identical key
+    * sets) and the scan reports `KeyGroupedPartitioning(bucket(n,
+    * keys…))` — a join of two graft tables with the same keys and
+    * bucket count then runs with ZERO shuffle on either side. The
+    * trade is scan fan-out bounded by the bucket count, which is why
+    * it is the same opt-in Spark's own SPJ uses; plain scans keep
+    * file-per-partition parallelism. Requires the key columns in the
+    * scan output (otherwise the transform can't resolve and grouping
+    * would only cost parallelism). */
+  private lazy val grouped: Boolean =
+    SparkSession.active.conf
+      .get("spark.sql.sources.v2.bucketing.enabled", "false") == "true" &&
+      !tx.keys.contains("__reader__") &&
+      tx.keys.forall(required.fieldNames.contains)
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (grouped)
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(tx.numBuckets, tx.keys: _*)),
+          tx.numBuckets)
+    else
+      new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(0)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
@@ -537,17 +612,34 @@ final class GraftScan(tx: TxTable, version: Long, required: StructType,
   private var runtime: Array[Filter] = Array.empty
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    required.fieldNames.map(
+    // grouped mode: no runtime re-planning — the partition-per-bucket
+    // shape (and its key set) must stay exactly what SPJ planned on
+    if (grouped) Array.empty
+    else required.fieldNames.map(
       org.apache.spark.sql.connector.expressions.Expressions.column)
   override def filter(filters: Array[Filter]): Unit =
     runtime = filters.filter(f => GraftDataSource.translate(f).isDefined)
 
   override def planInputPartitions(): Array[InputPartition] = {
-    if (version < 0) return Array.empty
+    if (version < 0 && !grouped) return Array.empty
     val pred = (pushed ++ runtime).flatMap(GraftDataSource.translate(_))
       .reduceOption(_ && _)
-    val (_, files) = tx.providerSnapshot(version, pred)
-    files.map { case (p, dvs) => GraftInputPartition(p, dvs.toArray) }.toArray
+    if (grouped) {
+      val byBucket: Map[Int, Seq[(Int, String, Seq[String])]] =
+        if (version < 0) Map.empty
+        else tx.providerSnapshotBucketed(version, pred)._2.groupBy(_._1)
+      // EVERY bucket id present (empty ones too): co-bucketed sides
+      // must expose identical partition-key sets for the join to zip
+      (0 until tx.numBuckets).map { b =>
+        val fs = byBucket.getOrElse(b, Nil)
+        GraftBucketPartition(b, fs.map(_._2).toArray,
+          fs.map(_._3.toArray).toArray): InputPartition
+      }.toArray
+    } else {
+      val (_, files) = tx.providerSnapshot(version, pred)
+      files.map { case (p, dvs) =>
+        GraftInputPartition(p, dvs.toArray): InputPartition }.toArray
+    }
   }
 
   /** Columnar is a SCAN-WIDE decision (Spark refuses mixed row/batch
@@ -578,16 +670,24 @@ final class GraftReaderFactory(required: StructType,
       f.name != GraftTable.FileCol && f.name != GraftTable.PosCol)
 
   override def createReader(partition: InputPartition)
-      : PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftPartitionReader(p.path, p.dvPaths, required)
+      : PartitionReader[InternalRow] = partition match {
+    case p: GraftInputPartition =>
+      new GraftPartitionReader(p.path, p.dvPaths, required)
+    case b: GraftBucketPartition =>
+      new GraftChainReader(b.paths.indices.map(i => () =>
+        new GraftPartitionReader(b.paths(i), b.dvPaths(i), required)
+          : PartitionReader[InternalRow]))
   }
 
   override def createColumnarReader(partition: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftColumnarReader(p.path, required)
-  }
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    partition match {
+      case p: GraftInputPartition => new GraftColumnarReader(p.path, required)
+      case b: GraftBucketPartition =>
+        new GraftChainReader(b.paths.toSeq.map(p => () =>
+          new GraftColumnarReader(p, required)
+            : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch]))
+    }
 }
 
 /** VECTORIZED partition reader for DV-free files: Spark's own

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.TxTable
+
+/** Storage-partitioned joins: two graft tables sharing keys and
+  * bucket count, loaded through the catalog with
+  * `spark.sql.sources.v2.bucketing.enabled`, must join with ZERO
+  * shuffle on either side — Spark proves co-location by resolving
+  * both sides' reported `bucket(n, keys…)` transform through the
+  * catalog's function ([[graft.sources.GraftBucketFunction]]). At
+  * 100 TB the fact-to-fact join shuffle is usually the plan's
+  * largest cost; co-located layouts erase it. */
+class StoragePartitionedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withSpj[A](body: => A): A = {
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("co-bucketed equi-join runs with zero shuffle; results exact") {
+    val root = tmpDir("graft-spj")
+    val left = (1L to 400L).map(i => (i, s"l$i", i * 0.5))
+      .toDF("k", "name", "v")
+    val right = (200L to 600L).map(i => (i, i % 7L)).toDF("k", "g")
+    val tl = new TxTable(spark, s"$root/l", left.schema, Seq("k"),
+      numBuckets = 4)
+    tl.append(left)
+    val tr = new TxTable(spark, s"$root/r", right.schema, Seq("k"),
+      numBuckets = 4)
+    tr.append(right)
+    spark.conf.set("spark.sql.catalog.spj", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.spj.root", root)
+
+    withSpj {
+      // no ORDER BY: the join itself must plan with ZERO Exchange
+      val q = spark.sql(
+        "SELECT l.k, l.v, r.g FROM spj.l l JOIN spj.r r ON l.k = r.k")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected a shuffle-free storage-partitioned join:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      val got = q.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sorted
+      val exp = left.join(right, "k")
+        .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+        .sorted
+      assert(got.toSeq === exp.toSeq)
+    }
+
+    // different bucket counts: co-location can't be proven — Spark
+    // must fall back to a shuffled join with identical results
+    val tr8 = new TxTable(spark, s"$root/r8", right.schema, Seq("k"),
+      numBuckets = 8)
+    tr8.append(right)
+    withSpj {
+      val q = spark.sql(
+        "SELECT count(*) FROM spj.l l JOIN spj.r8 r ON l.k = r.k")
+      assert(q.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(q.head().getLong(0) === 201L)
+    }
+
+    // conf off: plain file-per-partition scans, shuffled join, same rows
+    val q2 = spark.sql(
+      "SELECT count(*) FROM spj.l l JOIN spj.r r ON l.k = r.k")
+    assert(q2.head().getLong(0) === 201L)
+  }
+
+  test("grouped partitions still serve DV-masked and columnar reads") {
+    val root = tmpDir("graft-spj-dv")
+    val a = (1L to 100L).map(i => (i, i * 2.0)).toDF("k", "v")
+    val b = (1L to 100L).map(i => (i, s"s$i")).toDF("k", "s")
+    val ta = new TxTable(spark, s"$root/a", a.schema, Seq("k"), numBuckets = 2)
+    ta.append(a)
+    ta.deleteWhereLight(col("k") % 10 === 0) // DVs on the left side
+    val tb = new TxTable(spark, s"$root/b", b.schema, Seq("k"), numBuckets = 2)
+    tb.append(b)
+    spark.conf.set("spark.sql.catalog.spjdv", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.spjdv.root", root)
+
+    withSpj {
+      val q = spark.sql(
+        "SELECT a.k, a.v, b.s FROM spjdv.a a JOIN spjdv.b b ON a.k = b.k")
+      assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
+      val rows = q.collect()
+      assert(rows.length === 90) // the DV'd multiples of 10 are gone
+      assert(rows.forall(_.getLong(0) % 10 != 0))
+    }
+  }
+}
