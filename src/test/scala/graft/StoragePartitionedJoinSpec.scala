@@ -98,4 +98,56 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       assert(rows.forall(_.getLong(0) % 10 != 0))
     }
   }
+
+  test("groupBy on the bucket key aggregates with zero shuffle") {
+    val root = tmpDir("graft-spj-agg")
+    val left = (1L to 200L).map(i => (i, i * 0.5)).toDF("k", "v")
+    val tl = new TxTable(spark, s"$root/l", left.schema, Seq("k"),
+      numBuckets = 4)
+    tl.append(left)
+    spark.conf.set("spark.sql.catalog.spja", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.spja.root", root)
+    withSpj {
+      // KeyGroupedPartitioning satisfies the aggregation's clustered
+      // distribution: partial+final collapse into ONE stage, no
+      // Exchange — a keyed rollup over a 100 TB table pays no shuffle
+      val agg = spark.sql("SELECT k, sum(v) AS s FROM spja.l GROUP BY k")
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected a shuffle-free keyed aggregation:\n$plan")
+      assert(agg.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+        .take(3).toSeq === Seq((1L, 0.5), (2L, 1.0), (3L, 1.5)))
+    }
+  }
+
+  test("mixed join: only the non-graft side shuffles, INTO our buckets") {
+    val root = tmpDir("graft-spj-mix")
+    val left = (1L to 200L).map(i => (i, i * 0.5)).toDF("k", "v")
+    val tl = new TxTable(spark, s"$root/l", left.schema, Seq("k"),
+      numBuckets = 4)
+    tl.append(left)
+    spark.conf.set("spark.sql.catalog.spjm", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.spjm.root", root)
+    withSpj {
+      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      try {
+        (1L to 100L).map(i => (i, i)).toDF("k", "x")
+          .createOrReplaceTempView("spj_plain")
+        val j = spark.sql(
+          "SELECT l.k, l.v FROM spjm.l l JOIN spj_plain p ON l.k = p.k")
+        val plan = j.queryExecution.executedPlan.toString
+        // exactly one Exchange — keygroupedpartitioning on the plain
+        // side (re-bucketed by GraftBucketFunction.produceResult);
+        // the graft side never moves
+        assert(plan.split("Exchange").length == 2 &&
+          plan.contains("keygroupedpartitioning"),
+          s"expected one keygrouped Exchange on the plain side:\n$plan")
+        assert(j.count() === 100L)
+        // row-correct co-location: every key matched exactly once
+        assert(j.collect().map(_.getLong(0)).sorted.toSeq ===
+          (1L to 100L).toSeq)
+      } finally spark.conf
+        .unset("spark.sql.sources.v2.bucketing.shuffle.enabled")
+    }
+  }
 }
