@@ -808,7 +808,7 @@ object TxQueries {
   /** STORAGE-PARTITIONED JOIN, route-or-fail: customer and orders
     * ingested into graft tables CO-BUCKETED on the customer key (same
     * key semantics, same bucket count), joined through catalog
-    * identifiers under `spark.sql.sources.v2.bucketing.enabled` — the
+    * identifiers under `spark.sql.graft.preserveDataGrouping` — the
     * plan is REQUIRED to contain zero Exchange below the join (Spark
     * proves co-location by resolving both sides' `bucket(n, key)`
     * transform through [[graft.sources.GraftBucketFunction]]), and
@@ -830,6 +830,7 @@ object TxQueries {
     val cId = s"graftspj.`${new java.io.File(tc.dir).getName}`"
     val oId = s"graftspj.`${new java.io.File(to.dir).getName}`"
     val toggles = Seq(
+      "spark.sql.graft.preserveDataGrouping" -> "true",
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.enabled" -> "false")

@@ -100,6 +100,10 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
 }
 
 object GraftDataSource {
+  /** Opt-in for bucket-grouped (storage-partitioned) scans — see
+    * `GraftScan.grouped`. */
+  val PreserveGroupingConf = "spark.sql.graft.preserveDataGrouping"
+
   /** Open an existing table directory for reading only. The declared
     * schema and key list matter only to write paths; reads resolve the
     * schema from the manifest's `#schema` header, and the read-side
@@ -258,7 +262,7 @@ final class GraftTable(val dir: String, declaredSchema: StructType,
     * keys…)`, resolvable through the catalog's [[GraftBucketFunction]]
     * — so Spark can prove two co-bucketed graft tables are co-located
     * and elide the join shuffle (storage-partitioned joins; enable
-    * `spark.sql.sources.v2.bucketing.enabled`). */
+    * `spark.sql.graft.preserveDataGrouping`). */
   override def partitioning(): Array[Transform] =
     if (tx.keys.contains("__reader__") ||
         !tx.keys.forall(resolvedSchema.fieldNames.contains)) Array.empty
@@ -546,21 +550,25 @@ final class GraftScan(tx: TxTable, version: Long, required: StructType,
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
 
-  /** STORAGE-PARTITIONED mode (opt-in via
-    * `spark.sql.sources.v2.bucketing.enabled`): files group into ONE
+  /** STORAGE-PARTITIONED mode, opt-in via graft's OWN conf
+    * `spark.sql.graft.preserveDataGrouping` (the Iceberg
+    * `preserve-data-grouping` analog — Spark 4's
+    * `spark.sql.sources.v2.bucketing.enabled` is on BY DEFAULT, so it
+    * cannot gate a trade-off this sharp): files group into ONE
     * InputPartition per manifest bucket (key = bucket id, every
     * bucket present so co-bucketed sides always expose identical key
     * sets) and the scan reports `KeyGroupedPartitioning(bucket(n,
     * keys…))` — a join of two graft tables with the same keys and
-    * bucket count then runs with ZERO shuffle on either side. The
-    * trade is scan fan-out bounded by the bucket count, which is why
-    * it is the same opt-in Spark's own SPJ uses; plain scans keep
-    * file-per-partition parallelism. Requires the key columns in the
-    * scan output (otherwise the transform can't resolve and grouping
-    * would only cost parallelism). */
+    * bucket count then runs with ZERO shuffle on either side, and a
+    * keyed GROUP BY aggregates in one stage. The trade is scan
+    * fan-out bounded by the bucket count — exactly why it is opt-in
+    * per workload; plain scans keep file-per-partition parallelism.
+    * Requires the key columns in the scan output (otherwise the
+    * transform can't resolve and grouping would only cost
+    * parallelism). */
   private lazy val grouped: Boolean =
     SparkSession.active.conf
-      .get("spark.sql.sources.v2.bucketing.enabled", "false") == "true" &&
+      .get(GraftDataSource.PreserveGroupingConf, "false") == "true" &&
       !tx.keys.contains("__reader__") &&
       tx.keys.forall(required.fieldNames.contains)
 

@@ -34,6 +34,13 @@ import org.apache.spark.sql.types._
   */
 object RowParquet {
 
+  /** Smallest two's-complement byte length holding any unscaled value
+    * of the given decimal precision (the parquet spec's fixed-length
+    * table; matches Spark's own writer). */
+  private[sources] def minBytesForPrecision(precision: Int): Int =
+    (math.ceil((math.log(math.pow(10, precision)) / math.log(2) + 1) / 8))
+      .toInt.max(1)
+
   /** Parquet message type for `schema` — every field optional, logical
     * annotations matching what Spark's own parquet writer declares, so
     * staged files read back under the same Spark schema. */
@@ -74,7 +81,11 @@ object RowParquet {
             .as(LogicalTypeAnnotation.timestampType(false,
               LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
         case d: DecimalType =>
-          Types.optional(PrimitiveTypeName.BINARY)
+          // FIXED_LEN_BYTE_ARRAY is the encoding Spark's vectorized
+          // reader expects for binary decimals (plain BINARY decimal
+          // is the legacy form it refuses)
+          Types.optional(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
+            .length(minBytesForPrecision(d.precision))
             .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
             .named(f.name)
         case other => throw new UnsupportedOperationException(
@@ -112,9 +123,18 @@ object RowParquet {
             Binary.fromConstantByteArray(r.getUTF8String(i).getBytes))
           case BinaryType  => (r, i) => consumer.addBinary(
             Binary.fromConstantByteArray(r.getBinary(i)))
-          case d: DecimalType => (r, i) => consumer.addBinary(
-            Binary.fromConstantByteArray(r.getDecimal(i, d.precision, d.scale)
-              .toJavaBigDecimal.unscaledValue().toByteArray))
+          case d: DecimalType =>
+            val len = minBytesForPrecision(d.precision)
+            (r, i) => {
+              val unscaled = r.getDecimal(i, d.precision, d.scale)
+                .toJavaBigDecimal.unscaledValue()
+              val bytes = unscaled.toByteArray // minimal two's complement
+              val out = new Array[Byte](len)
+              if (unscaled.signum() < 0)
+                java.util.Arrays.fill(out, -1.toByte)
+              System.arraycopy(bytes, 0, out, len - bytes.length, bytes.length)
+              consumer.addBinary(Binary.fromConstantByteArray(out))
+            }
           case other => throw new UnsupportedOperationException(
             s"RowParquet cannot stage $other")
         }

@@ -165,4 +165,27 @@ class GraftRowLevelSpec extends SparkSpec {
     assert(e.getMessage.contains(s"v$scanned"))
     assert(tx.count() === 3L) // untouched
   }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE: full sync semantics") {
+    val root = tmpDir("graft-rl-nmbs")
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    val tx = new TxTable(spark, s"$root/t", base.schema, Seq("k"),
+      numBuckets = 2)
+    tx.append(base)
+    catalog(root, "rlsync")
+    // source = the desired end state: 2 updated, 4 new, 1/3 absent
+    Seq((2L, "B"), (4L, "d")).toDF("k", "s")
+      .createOrReplaceTempView("rl_sync_src")
+
+    spark.sql(
+      """MERGE INTO rlsync.t AS t USING rl_sync_src AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET s = s.s
+        |WHEN NOT MATCHED THEN INSERT (k, s) VALUES (s.k, s.s)
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+
+    val got = spark.sql("SELECT k, s FROM rlsync.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((2L, "B"), (4L, "d")))
+    assert(tx.count() === 2L)
+  }
 }

@@ -6,7 +6,7 @@ import graft.core.TxTable
 
 /** Storage-partitioned joins: two graft tables sharing keys and
   * bucket count, loaded through the catalog with
-  * `spark.sql.sources.v2.bucketing.enabled`, must join with ZERO
+  * `spark.sql.graft.preserveDataGrouping`, must join with ZERO
   * shuffle on either side — Spark proves co-location by resolving
   * both sides' reported `bucket(n, keys…)` transform through the
   * catalog's function ([[graft.sources.GraftBucketFunction]]). At
@@ -17,6 +17,7 @@ class StoragePartitionedJoinSpec extends SparkSpec {
 
   private def withSpj[A](body: => A): A = {
     val confs = Seq(
+      "spark.sql.graft.preserveDataGrouping" -> "true",
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.enabled" -> "false")
