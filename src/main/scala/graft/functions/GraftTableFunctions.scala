@@ -150,6 +150,31 @@ object GraftTableFunctions {
     plan(tx.history)
   }
 
+  /** `graft_files(tableDir)` — the live file inventory of the current
+    * snapshot (path, bucket, live rows, tombstoned rows): manifest
+    * metadata only, the ops view behind "how fragmented is this
+    * table / how many rows are DV-masked?". */
+  private def files(exprs: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    val dir = str(exprs, 0, "table directory")
+    val (ks, nb, blooms) = graft.core.TxTable
+      .readDescriptor(spark, dir)
+      .getOrElse((Seq("__reader__"), 1, Nil: Seq[String]))
+    val tx = new graft.core.TxTable(spark, dir,
+      new org.apache.spark.sql.types.StructType(), ks,
+      numBuckets = nb, bloomCols = blooms)
+    val s = tx.currentSchema
+    import spark.implicits._
+    val rows = tx.currentFileInfo.map { f =>
+      val live = graft.core.FileStats.fromJson(f.statsJson, s)
+        .map(_.rows - f.dvRows)
+      (f.path.substring(f.path.lastIndexOf('/') + 1), f.bucket,
+        live.getOrElse(-1L), f.dvRows)
+    }
+    plan(rows.toDF("file", "bucket", "live_rows", "dv_rows")
+      .orderBy("bucket", "file"))
+  }
+
   private def tvf(name: String,
       builder: Seq[Expression] => LogicalPlan): (FunctionIdentifier,
       ExpressionInfo, Seq[Expression] => LogicalPlan) =
@@ -162,5 +187,6 @@ object GraftTableFunctions {
     e.injectTableFunction(tvf("graft_knn", knn))
     e.injectTableFunction(tvf("graft_funnel", funnel))
     e.injectTableFunction(tvf("graft_history", history))
+    e.injectTableFunction(tvf("graft_files", files))
   }
 }

@@ -718,46 +718,54 @@ final class GraftColumnarReader(path: String, required: StructType)
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   import org.apache.spark.sql.execution.vectorized.{ConstantColumnVector, OnHeapColumnVector}
   import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+  import org.apache.spark.sql.internal.SQLConf
 
   private val baseName = path.substring(path.lastIndexOf('/') + 1)
 
-  private val fileSchema: MessageType = {
-    val r = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(path), new Configuration()))
-    try r.getFooter.getFileMetaData.getSchema finally r.close()
-  }
-
   private val dataFields = required.fields.filter(f =>
     f.name != GraftTable.FileCol && f.name != GraftTable.PosCol)
-  private val present = dataFields.filter(f => fileSchema.containsField(f.name))
-  // parquet cannot project zero columns: a file predating every
-  // requested column still needs row COUNTS (for null-fill batches and
-  // positions), so read the narrowest stand-in without exposing it
-  private val standIn = present.isEmpty
-  private val projected: Seq[String] =
-    if (standIn) Seq(fileSchema.getFields.asScala.head.getName)
-    else present.map(_.name).toSeq
+  private val dataIdx: Map[String, Int] =
+    dataFields.map(_.name).zipWithIndex.toMap
 
   private val Capacity = 4096
   private val reader = new VectorizedParquetRecordReader(
     null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, Capacity)
-  reader.initialize(path, projected.asJava)
-  reader.initBatch(new StructType(), InternalRow.empty)
-  reader.enableReturningBatches()
+  locally {
+    // PRODUCTION initialization (the split + task-context path Spark's
+    // own parquet source drives): the read-support conf carries the
+    // requested CATALYST schema, so schema clipping, INT96 timestamps
+    // and missing pre-evolution columns (null-filled batch vectors)
+    // are all handled by the same machinery the built-in scan uses —
+    // the utility `initialize(path, columns)` entry hardcodes
+    // int96AsTimestamp=false and cannot serve legacy-timestamp tables.
+    val conf = new Configuration()
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    conf.set("org.apache.spark.sql.parquet.row.requested_schema",
+      StructType(dataFields).json)
+    conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, false)
+    conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, true)
+    conf.setBoolean(SQLConf.CASE_SENSITIVE.key, false)
+    conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, true)
+    conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
+    val p = new Path(path)
+    val len = p.getFileSystem(conf).getFileStatus(p).getLen
+    // the mapred flavor: the reader base casts to it (it extends the
+    // mapreduce FileSplit, so it satisfies the interface either way)
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      p, 0, len, Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    reader.initialize(split, ctx)
+    reader.initBatch(new StructType(), InternalRow.empty)
+    reader.enableReturningBatches()
+  }
 
-  private val presentIdx: Map[String, Int] =
-    present.map(_.name).zipWithIndex.toMap
   private val fileVector: ConstantColumnVector = {
     val v = new ConstantColumnVector(1, StringType)
     v.setUtf8String(UTF8String.fromString(baseName))
     v
   }
-  private val nullVectors: Map[String, ConstantColumnVector] =
-    dataFields.filter(f => !presentIdx.contains(f.name)).map { f =>
-      val v = new ConstantColumnVector(1, f.dataType)
-      v.setNull()
-      f.name -> v
-    }.toMap
   private val posVector = new OnHeapColumnVector(Capacity, LongType)
 
   private var pos = 0L
@@ -776,10 +784,7 @@ final class GraftColumnarReader(path: String, required: StructType)
     val cols: Array[ColumnVector] = required.fields.map { f =>
       if (f.name == GraftTable.FileCol) fileVector
       else if (f.name == GraftTable.PosCol) posVector
-      else presentIdx.get(f.name) match {
-        case Some(i) => inner.column(i)
-        case None => nullVectors(f.name)
-      }
+      else inner.column(dataIdx(f.name))
     }
     current = new ColumnarBatch(cols, n)
     true

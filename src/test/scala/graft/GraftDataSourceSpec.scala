@@ -339,4 +339,31 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(!g.queryExecution.executedPlan.toString.contains("GraftAggScan"))
     assert(g.collect().map(_.getLong(1)).sum === 299L)
   }
+
+  test("columnar decode parity for INT96-timestamp tables") {
+    // a table written under the INT96 legacy default (sessions that
+    // never set outputTimestampType) must decode identically through
+    // the vectorized and row readers
+    val dir = tmpDir("dsv2-int96") + "/t"
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try {
+      val data = (1L to 100L).map(i =>
+        (i, ts(f"2026-02-${1 + (i % 27).toInt}%02d 08:30:00"))).toDF("k", "t")
+      val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 2)
+      t.append(data)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    val t = new TxTable(spark, dir,
+      spark.read.parquet(s"$dir/data").schema, Seq("k"), numBuckets = 2)
+    val viaProvider = load(dir)
+    assert(viaProvider.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow")) // clean snapshot -> vectorized
+    assert(rows(viaProvider) === rows(t.read))
+    // force the row reader via a DV and re-compare
+    t.deleteWhereLight(col("k") === 1L)
+    val masked = load(dir)
+    assert(!masked.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"))
+    assert(rows(masked) === rows(t.read))
+  }
 }

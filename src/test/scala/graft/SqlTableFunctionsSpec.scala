@@ -84,4 +84,18 @@ class SqlTableFunctionsSpec extends SparkSpec {
     assert(hist.count() === t.history.count())
     assert(hist.columns.toSeq === t.history.columns.toSeq)
   }
+
+  test("graft_files: live file inventory as SQL text") {
+    val dir = tmpDir("tvf-files") + "/t"
+    val d = (1L to 50L).map(i => (i, i * 1.0)).toDF("k", "v")
+    val t = new graft.core.TxTable(spark, dir, d.schema, Seq("k"),
+      numBuckets = 2)
+    t.append(d)
+    t.deleteWhereLight(col("k") <= 5L)
+    val files = spark.sql(s"SELECT * FROM graft_files('$dir')")
+    assert(files.columns.toSeq === Seq("file", "bucket", "live_rows", "dv_rows"))
+    assert(files.agg(sum("live_rows")).head().getLong(0) === 45L)
+    assert(files.agg(sum("dv_rows")).head().getLong(0) === 5L)
+    assert(files.count() === t.dataFileCount)
+  }
 }
