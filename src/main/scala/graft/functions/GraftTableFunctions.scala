@@ -175,6 +175,27 @@ object GraftTableFunctions {
       .orderBy("bucket", "file"))
   }
 
+  /** `graft_changes(tableDir, fromVersion, toVersion)` — the
+    * row-level CDC diff between two retained versions as SQL text
+    * (`TxTable.changes`: inserts, update pre/post images, deletes,
+    * each tagged `_change_type`). */
+  private def changes(exprs: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    val dir = str(exprs, 0, "table directory")
+    val fromV = int(exprs, 1, "from version").toLong
+    val toV = int(exprs, 2, "to version").toLong
+    val (ks, nb, blooms) = graft.core.TxTable
+      .readDescriptor(spark, dir)
+      .getOrElse((Seq("__reader__"), 1, Nil: Seq[String]))
+    val tx = new graft.core.TxTable(spark, dir,
+      new org.apache.spark.sql.types.StructType(), ks,
+      numBuckets = nb, bloomCols = blooms)
+    require(!ks.contains("__reader__"),
+      s"$dir has no _table.json descriptor - the CDC diff needs the key " +
+        "columns; write once through the Scala API to record it")
+    plan(tx.changes(fromV, toV))
+  }
+
   private def tvf(name: String,
       builder: Seq[Expression] => LogicalPlan): (FunctionIdentifier,
       ExpressionInfo, Seq[Expression] => LogicalPlan) =
@@ -188,5 +209,6 @@ object GraftTableFunctions {
     e.injectTableFunction(tvf("graft_funnel", funnel))
     e.injectTableFunction(tvf("graft_history", history))
     e.injectTableFunction(tvf("graft_files", files))
+    e.injectTableFunction(tvf("graft_changes", changes))
   }
 }

@@ -98,4 +98,18 @@ class SqlTableFunctionsSpec extends SparkSpec {
     assert(files.agg(sum("dv_rows")).head().getLong(0) === 5L)
     assert(files.count() === t.dataFileCount)
   }
+
+  test("graft_changes: row-level CDC diff as SQL text") {
+    val dir = tmpDir("tvf-cdc") + "/t"
+    val d = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val t = new graft.core.TxTable(spark, dir, d.schema, Seq("k"),
+      numBuckets = 2)
+    t.append(d)                                      // v1
+    t.upsert(Seq((2L, "B"), (3L, "c")).toDF("k", "s")) // v2
+    val sqlDiff = spark.sql(s"SELECT * FROM graft_changes('$dir', 1, 2)")
+    val apiDiff = t.changes(1L, 2L)
+    assert(sqlDiff.collect().map(_.toSeq).toSet ===
+      apiDiff.collect().map(_.toSeq).toSet)
+    assert(sqlDiff.count() >= 3) // insert + update pre/post images
+  }
 }
