@@ -21,5 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => DotProductRewrite)
     e.injectOptimizerRule(_ => graft.plans.MvRewrite)
     GraftTableFunctions.register(e)
+    e.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
   }
 }

@@ -1,0 +1,144 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+
+import graft.core.TxTable
+
+/** SQL STORED PROCEDURES for table maintenance — the Iceberg
+  * `CALL catalog.procedure(...)` analog, injected as a delegating
+  * parser ([[GraftSqlParser]] via `SparkSessionExtensions
+  * .injectParser`), so the FULL table lifecycle is SQL text:
+  *
+  * {{{
+  * CALL graft.compact('/data/t')
+  * CALL graft.zorder('/data/t', 'c1,c2')
+  * CALL graft.materialize_deletes('/data/t')
+  * CALL graft.vacuum('/data/t', 2)        -- keep 2 versions
+  * CALL graft.undrop('/data/t')
+  * CALL graft.export_delta('/data/t')     -- publish/sync _delta_log
+  * CALL graft.export_iceberg('/data/t')   -- publish v2 metadata tree
+  * }}}
+  *
+  * Each CALL plans as a leaf command — the side effect runs at
+  * EXECUTION, never at analysis (an `EXPLAIN CALL ...` is free), and
+  * the result is a small (metric, value) report. Everything routes
+  * through the same guarded maintenance entry points the Scala API
+  * uses; unknown procedures and malformed argument lists fail at
+  * execution with the procedure list named.
+  */
+final case class GraftCallCommand(proc: String, args: Seq[String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("metric", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+
+  private def open(spark: SparkSession, dir: String): TxTable = {
+    val (ks, nb, blooms) = TxTable.readDescriptor(spark, dir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$dir has no _table.json descriptor - CALL maintenance needs " +
+          "the table identity; write once through the Scala API"))
+    new TxTable(spark, dir, new StructType(), ks,
+      numBuckets = nb, bloomCols = blooms)
+  }
+
+  private def arg(i: Int, what: String): String = {
+    require(i < args.length, s"CALL graft.$proc: missing argument " +
+      s"${i + 1} ($what)")
+    args(i)
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    def report(tx: TxTable, extra: (String, String)*): Seq[Row] =
+      (Seq("table" -> tx.dir, "version" -> tx.currentVersion.toString,
+        "files" -> tx.dataFileCount.toString) ++ extra)
+        .map { case (k, v) => Row(k, v) }
+    proc match {
+      case "compact" =>
+        val tx = open(spark, arg(0, "table directory"))
+        val before = tx.dataFileCount
+        tx.compact()
+        report(tx, "files_before" -> before.toString)
+      case "zorder" =>
+        val tx = open(spark, arg(0, "table directory"))
+        val cols = arg(1, "columns").split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val before = tx.dataFileCount
+        tx.compactZOrdered(cols)
+        report(tx, "files_before" -> before.toString,
+          "zorder_by" -> cols.mkString(","))
+      case "materialize_deletes" =>
+        val tx = open(spark, arg(0, "table directory"))
+        tx.materializeDeletes()
+        report(tx)
+      case "vacuum" =>
+        val tx = open(spark, arg(0, "table directory"))
+        val keep = if (args.length > 1) arg(1, "keep versions").toInt else 1
+        tx.vacuum(keepVersions = keep)
+        report(tx, "kept_versions" -> keep.toString)
+      case "undrop" =>
+        val tx = open(spark, arg(0, "table directory"))
+        tx.undropTable()
+        report(tx)
+      case "export_delta" =>
+        val tx = open(spark, arg(0, "table directory"))
+        // first publish writes the full log; later calls append diffs
+        val v = graft.core.DeltaExport.syncDeltaLog(spark, tx)
+        report(tx, "delta_commit" -> v.map(_.toString).getOrElse("no-op"))
+      case "export_iceberg" =>
+        val tx = open(spark, arg(0, "table directory"))
+        val p = graft.core.IcebergExport.writeIcebergMetadata(spark, tx)
+        report(tx, "metadata" -> p)
+      case other => throw new UnsupportedOperationException(
+        s"unknown procedure graft.$other - available: compact, zorder, " +
+          "materialize_deletes, vacuum, undrop, export_delta, " +
+          "export_iceberg")
+    }
+  }
+}
+
+/** Delegating parser: intercepts `CALL graft.<proc>(<args>)`
+  * statements and hands every other string to Spark's own parser
+  * untouched. */
+final class GraftSqlParser(delegate: ParserInterface)
+    extends ParserInterface {
+
+  private val CallRe =
+    """(?is)\s*CALL\s+graft\.([a-zA-Z_]+)\s*\((.*)\)\s*;?\s*""".r
+
+  // one quoted string (commas inside stay intact) or one bare token
+  private val ArgRe = """'([^']*)'|([^,\s'][^,]*)""".r
+  private def parseArgs(raw: String): Seq[String] =
+    if (raw.trim.isEmpty) Nil
+    else ArgRe.findAllMatchIn(raw).map(m =>
+      Option(m.group(1)).getOrElse(m.group(2).trim)).toSeq
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case CallRe(proc, rawArgs) =>
+      GraftCallCommand(proc.toLowerCase, parseArgs(rawArgs))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}

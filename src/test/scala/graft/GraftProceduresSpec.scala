@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.TxTable
+
+/** SQL stored procedures (`CALL graft.<proc>(...)` via the injected
+  * delegating parser): the full maintenance lifecycle as SQL text,
+  * side effects at execution only. */
+class GraftProceduresSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compact / materialize_deletes / vacuum through CALL") {
+    val dir = tmpDir("proc") + "/t"
+    val d = (1L to 64L).map(i => (i, i * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, d.schema, Seq("k"), numBuckets = 2)
+    (0 until 4).foreach(i =>
+      t.append(d.filter(col("k") % 4 === i))) // many small files
+    t.deleteWhereLight(col("k") <= 4L)
+    val before = t.dataFileCount
+
+    // EXPLAIN must not execute the side effect
+    spark.sql(s"EXPLAIN CALL graft.compact('$dir')").collect()
+    assert(t.dataFileCount === before)
+
+    val rep = spark.sql(s"CALL graft.compact('$dir')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rep("files").toInt < before)
+    assert(t.read.count() === 60L) // DVs folded in by the rewrite
+
+    spark.sql(s"CALL graft.materialize_deletes('$dir')").collect()
+    val vac = spark.sql(s"CALL graft.vacuum('$dir', 1)")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(vac("kept_versions") === "1")
+    assert(t.read.count() === 60L)
+  }
+
+  test("zorder / export_delta / export_iceberg / undrop through CALL") {
+    val dir = tmpDir("proc2") + "/t"
+    val d = (1L to 200L).map(i => (i, i % 10L, i * 0.5)).toDF("k", "g", "v")
+    val t = new TxTable(spark, dir, d.schema, Seq("k"), numBuckets = 2)
+    t.append(d)
+
+    spark.sql(s"CALL graft.zorder('$dir', 'g,v')").collect()
+    assert(t.read.count() === 200L)
+
+    val delta = spark.sql(s"CALL graft.export_delta('$dir')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(delta("delta_commit") !== "no-op")
+    assert(new java.io.File(dir, "_delta_log").exists())
+
+    val ice = spark.sql(s"CALL graft.export_iceberg('$dir')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ice("metadata").endsWith("metadata.json"))
+    assert(graft.core.IcebergImport.read(spark, dir).count() === 200L)
+
+    t.dropTable()
+    assert(t.isDropped)
+    spark.sql(s"CALL graft.undrop('$dir')").collect()
+    assert(!t.isDropped)
+  }
+
+  test("unknown procedures and non-CALL SQL behave") {
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.nope('/tmp/x')").collect()
+    }
+    assert(e.getMessage.contains("available:"))
+    // the delegating parser must not disturb ordinary SQL
+    assert(spark.sql("SELECT 1 + 1").head().getInt(0) === 2)
+  }
+}
