@@ -39,7 +39,25 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
     AttributeReference("metric", StringType, nullable = false)(),
     AttributeReference("value", StringType, nullable = false)())
 
-  private def open(spark: SparkSession, dir: String): TxTable = {
+  /** Table argument: a directory path, or a configured-catalog
+    * identifier (`lake.ns.t` → `<spark.sql.catalog.lake.root>/ns/t`)
+    * — so CALL addresses tables the same two ways SELECT does. */
+  private def resolveDir(spark: SparkSession, tableArg: String): String =
+    if (tableArg.contains("/")) tableArg
+    else tableArg.split("\\.").toSeq match {
+      case cat +: rest if rest.nonEmpty =>
+        spark.conf.getOption(s"spark.sql.catalog.$cat.root") match {
+          case Some(root) => (root +: rest).mkString("/")
+          case None => throw new IllegalArgumentException(
+            s"'$tableArg' is neither a path nor an identifier of a " +
+              s"configured graft catalog (no spark.sql.catalog.$cat.root)")
+        }
+      case _ => throw new IllegalArgumentException(
+        s"'$tableArg' is neither a path nor a catalog.table identifier")
+    }
+
+  private def open(spark: SparkSession, tableArg: String): TxTable = {
+    val dir = resolveDir(spark, tableArg)
     val (ks, nb, blooms) = TxTable.readDescriptor(spark, dir)
       .getOrElse(throw new IllegalArgumentException(
         s"$dir has no _table.json descriptor - CALL maintenance needs " +

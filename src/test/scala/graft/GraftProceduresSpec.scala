@@ -68,4 +68,22 @@ class GraftProceduresSpec extends SparkSpec {
     // the delegating parser must not disturb ordinary SQL
     assert(spark.sql("SELECT 1 + 1").head().getInt(0) === 2)
   }
+
+  test("CALL addresses tables by catalog identifier too") {
+    val root = tmpDir("proc-ident")
+    val d = (1L to 32L).map(i => (i, i * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, s"$root/t", d.schema, Seq("k"), numBuckets = 2)
+    (0 until 3).foreach(i => t.append(d.filter(col("k") % 3 === i)))
+    spark.conf.set("spark.sql.catalog.mnt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.mnt.root", root)
+    val before = t.dataFileCount
+    val rep = spark.sql("CALL graft.compact('mnt.t')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rep("files").toInt < before)
+    assert(spark.sql("SELECT count(*) FROM mnt.t").head().getLong(0) === 32L)
+    val bad = intercept[Exception] {
+      spark.sql("CALL graft.compact('nocat.t')").collect()
+    }
+    assert(bad.getMessage.contains("nocat"))
+  }
 }
