@@ -880,11 +880,18 @@ final class TxTable(
     * the pushdown that makes `SELECT count(*)` (and min/max on
     * clean snapshots) zero-data-I/O through pure SQL. */
   private[graft] def providerAggSnapshot(v: Long)
+      : (StructType, Seq[(Option[FileStats.Stats], Long)]) =
+    providerPrunedStats(v, None)
+
+  /** [[providerAggSnapshot]] restricted to the files surviving `pred`
+    * (the provider's planning-statistics view of a filtered scan). */
+  private[graft] def providerPrunedStats(v: Long, pred: Option[Column])
       : (StructType, Seq[(Option[FileStats.Stats], Long)]) = {
     if (v < 0) return (schema, Nil)
     val m = loadManifest(v)
     val s = schemaAt(m)
-    (s, m.entries.map(e => (e.parsedStats(s), e.dvs.map(_.rows).sum)))
+    val es = pred.map(p => pruneEntries(m.entries, p, s)).getOrElse(m.entries)
+    (s, es.map(e => (e.parsedStats(s), e.dvs.map(_.rows).sum)))
   }
 
   /** Time travel to any retained version — under the schema that

@@ -407,26 +407,8 @@ final class GraftScanBuilder(tx: TxTable, version: Long,
         s.fields.find(_.name == nr.fieldNames().head)
       case _ => None
     }
-    // exact-extremum support: types whose footer stats are full-
-    // fidelity values (strings truncate; decimals/binary unrecorded)
-    def extremeOk(dt: DataType): Boolean = dt match {
-      case ByteType | ShortType | IntegerType | LongType | DateType |
-           TimestampType | FloatType | DoubleType | BooleanType => true
-      case _ => false
-    }
-    // external stat value → Catalyst-internal value for `dt`
-    def toCatalyst(v: Any, dt: DataType): Any = (v, dt) match {
-      case (n: Long, ByteType)    => n.toByte
-      case (n: Long, ShortType)   => n.toShort
-      case (n: Long, IntegerType | DateType) => n.toInt
-      case (n: Long, LongType | TimestampType) => n
-      case (d: Double, FloatType) => d.toFloat
-      case (d: Double, DoubleType) => d
-      case (b: Boolean, BooleanType) => b
-      case _ => return null
-    }
     def extremum(f: StructField, wantMin: Boolean): Option[Any] = {
-      if (anyDv || !extremeOk(f.dataType)) return None
+      if (anyDv || !StatValues.extremeOk(f.dataType)) return None
       val per = stats.map { st =>
         st.cols.get(f.name) match {
           case Some(cs) => // (None, None) = all-null file: no value
@@ -437,16 +419,11 @@ final class GraftScanBuilder(tx: TxTable, version: Long,
       }
       val vals = per.flatten
       if (vals.isEmpty) Some(null) // every row null (or no rows)
-      else {
-        val ord: Ordering[Any] = ((vals.head match {
-          case _: Long    => Ordering.Long.on[Any](_.asInstanceOf[Long])
-          case _: Double  => Ordering.Double.TotalOrdering
-            .on[Any](_.asInstanceOf[Double])
-          case _: Boolean => Ordering.Boolean.on[Any](_.asInstanceOf[Boolean])
-          case _ => return None
-        }): Ordering[Any])
-        val ext = if (wantMin) vals.min(ord) else vals.max(ord)
-        Some(toCatalyst(ext, f.dataType))
+      else StatValues.ordering(vals.head) match {
+        case None => None
+        case Some(ord) =>
+          val ext = if (wantMin) vals.min(ord) else vals.max(ord)
+          Some(StatValues.toCatalyst(ext, f.dataType))
       }
     }
 
@@ -505,6 +482,36 @@ final class GraftAggReaderFactory extends PartitionReaderFactory {
     override def next(): Boolean = { val n = !served; served = true; n }
     override def get(): InternalRow = new GenericInternalRow(vals)
     override def close(): Unit = ()
+  }
+}
+
+/** Shared manifest-stat value semantics for the aggregate pushdown
+  * and the planner's column statistics: which types carry
+  * full-fidelity footer extrema (strings TRUNCATE at 64 chars;
+  * decimals/binary go unrecorded), how the stored external values
+  * order, and their Catalyst-internal form. */
+private[sources] object StatValues {
+  def extremeOk(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | FloatType | DoubleType | BooleanType => true
+    case _ => false
+  }
+  def toCatalyst(v: Any, dt: DataType): Any = (v, dt) match {
+    case (n: Long, ByteType)    => n.toByte
+    case (n: Long, ShortType)   => n.toShort
+    case (n: Long, IntegerType | DateType) => n.toInt
+    case (n: Long, LongType | TimestampType) => n
+    case (d: Double, FloatType) => d.toFloat
+    case (d: Double, DoubleType) => d
+    case (b: Boolean, BooleanType) => b
+    case _ => null
+  }
+  def ordering(sample: Any): Option[Ordering[Any]] = sample match {
+    case _: Long    => Some(Ordering.Long.on[Any](_.asInstanceOf[Long]))
+    case _: Double  => Some(Ordering.Double.TotalOrdering
+      .on[Any](_.asInstanceOf[Double]))
+    case _: Boolean => Some(Ordering.Boolean.on[Any](_.asInstanceOf[Boolean]))
+    case _ => None
   }
 }
 
@@ -600,14 +607,67 @@ final class GraftScan(tx: TxTable, version: Long, required: StructType,
     * provider table — at cluster scale that's the difference between
     * a broadcast hash join and a full shuffle of the big side. */
   override def estimateStatistics(): Statistics = {
-    val (bytes, rows) = tx.providerStats(version,
-      pushed.flatMap(GraftDataSource.translate(_)).reduceOption(_ && _))
+    val pred = pushed.flatMap(GraftDataSource.translate(_))
+      .reduceOption(_ && _)
+    val (bytes, rows) = tx.providerStats(version, pred)
+    // COLUMN STATISTICS from the surviving files' zone maps (estimate
+    // grade — DV'd rows may inflate null counts/extrema slightly,
+    // which is what planner estimates are for): min/max for
+    // full-fidelity numeric/temporal/boolean columns, null counts
+    // when every file recorded them. CBO's join-size and filter
+    // selectivity estimates read these when enabled.
+    val colStats: java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      val (s, entries) = tx.providerPrunedStats(version, pred)
+      val stats = entries.flatMap(_._1)
+      if (stats.length == entries.length && stats.nonEmpty) {
+        required.fields.filter(f => StatValues.extremeOk(f.dataType))
+          .foreach { f =>
+            val per = stats.map(_.cols.get(f.name))
+            if (per.forall(_.isDefined) && s.fieldNames.contains(f.name)) {
+              val cs = per.flatten
+              val mins = cs.flatMap(_.min)
+              val maxs = cs.flatMap(_.max)
+              val nulls = cs.map(_.nulls)
+              val nullsTotal =
+                if (nulls.forall(_ >= 0L)) Some(nulls.sum) else None
+              val ord = mins.headOption.flatMap(StatValues.ordering)
+              if (mins.nonEmpty && ord.isDefined) {
+                val mn = StatValues.toCatalyst(mins.min(ord.get), f.dataType)
+                val mx = StatValues.toCatalyst(maxs.max(ord.get), f.dataType)
+                out.put(
+                  org.apache.spark.sql.connector.expressions.Expressions
+                    .column(f.name),
+                  new org.apache.spark.sql.connector.read.colstats
+                      .ColumnStatistics {
+                    override def min(): java.util.Optional[Object] =
+                      java.util.Optional.ofNullable(mn.asInstanceOf[Object])
+                    override def max(): java.util.Optional[Object] =
+                      java.util.Optional.ofNullable(mx.asInstanceOf[Object])
+                    override def nullCount(): java.util.OptionalLong =
+                      nullsTotal.map(n => java.util.OptionalLong.of(n))
+                        .getOrElse(java.util.OptionalLong.empty())
+                  })
+              }
+            }
+          }
+      }
+      out
+    }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(bytes, 1L))
       override def numRows(): java.util.OptionalLong =
         rows.map(java.util.OptionalLong.of)
           .getOrElse(java.util.OptionalLong.empty())
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
 

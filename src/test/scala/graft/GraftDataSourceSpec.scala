@@ -366,4 +366,31 @@ class GraftDataSourceSpec extends SparkSpec {
       .contains("ColumnarToRow"))
     assert(rows(masked) === rows(t.read))
   }
+
+  test("column statistics surface from zone maps for the planner") {
+    val dir = tmpDir("dsv2-colstats") + "/t"
+    val data = (1L to 100L).map(i =>
+      (i, if (i % 10 == 0) null else java.lang.Double.valueOf(i * 0.5), s"s$i"))
+      .toDF("k", "v", "s")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 2)
+    t.append(data)
+    val scan = new graft.sources.GraftScanBuilder(
+      graft.sources.GraftDataSource.openForRead(spark, dir),
+      t.currentVersion, t.currentSchema).build()
+    val cs = scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics().columnStats()
+    import scala.jdk.CollectionConverters._
+    val byName = cs.asScala.map { case (ref, st) =>
+      ref.fieldNames().head -> st }.toMap
+    // numeric columns carry zone-map extrema + null counts
+    assert(byName("k").min.get === 1L)
+    assert(byName("k").max.get === 100L)
+    assert(byName("k").nullCount.getAsLong === 0L)
+    assert(byName("v").min.get === 0.5)
+    assert(byName("v").max.get === 49.5)
+    assert(byName("v").nullCount.getAsLong === 10L)
+    // string columns decline (truncated footer stats)
+    assert(!byName.contains("s"))
+  }
 }
