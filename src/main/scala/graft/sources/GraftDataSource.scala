@@ -55,12 +55,14 @@ import graft.core.TxTable
   *    index while streaming, so a DV'd table reads correctly through
   *    plain SQL with no extra shuffle.
   *
-  * The row decode uses parquet's public example/Group API rather than
-  * Spark's internal vectorized reader (which is `private[spark]` and
-  * not a stable surface); that trades per-row materialization cost
-  * for a dependency-free reader. The upgrade path — swapping the
-  * Group decode for `VectorizedParquetRecordReader` behind the same
-  * `PartitionReader` seam — changes no planning code.
+  * Decode is two-tier: clean (DV-free) snapshots run Spark's OWN
+  * vectorized parquet reader and hand back ColumnarBatches
+  * ([[GraftColumnarReader]] — the scan-wide decision lives in
+  * [[GraftReaderFactory.supportColumnarReads]]); files carrying
+  * deletion vectors fall back to the row-at-a-time Group decode,
+  * which masks tombstones exactly by physical position. Maintenance
+  * (`materializeDeletes`, compaction) folds DVs and restores the
+  * vectorized path.
   *
   * Writes route THROUGH the guarded commit protocol, never around it:
   * the V1 write bridge ([[GraftWriteBuilder]]) hands the resolved

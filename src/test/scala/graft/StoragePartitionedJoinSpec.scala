@@ -151,4 +151,34 @@ class StoragePartitionedJoinSpec extends SparkSpec {
         .unset("spark.sql.sources.v2.bucketing.shuffle.enabled")
     }
   }
+
+  test("SPJ survives AQE: the final adaptive plan stays shuffle-free") {
+    val root = tmpDir("graft-spj-aqe")
+    val l = (1L to 200L).map(i => (i, i * 0.5)).toDF("k", "v")
+    val r = (1L to 200L).map(i => (i, i % 5L)).toDF("k", "g")
+    val tl = new TxTable(spark, s"$root/l", l.schema, Seq("k"), numBuckets = 4)
+    tl.append(l)
+    val tr = new TxTable(spark, s"$root/r", r.schema, Seq("k"), numBuckets = 4)
+    tr.append(r)
+    spark.conf.set("spark.sql.catalog.aqespj", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.aqespj.root", root)
+    val confs = Seq(
+      "spark.sql.graft.preserveDataGrouping" -> "true",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = spark.sql(
+        "SELECT l.k FROM aqespj.l l JOIN aqespj.r r ON l.k = r.k")
+      assert(q.count() === 200L) // force the FINAL adaptive plan
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"SPJ must survive adaptive re-planning:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
