@@ -61,6 +61,19 @@ object GraftTableFunctions {
 
   private def plan(df: DataFrame): LogicalPlan = df.queryExecution.logical
 
+  /** Data-reading TVFs accept BOTH raw parquet paths and graft table
+    * directories: a table dir (detected by `_manifests`) loads
+    * through the provider — snapshot-pinned, zone-map-pruned,
+    * DV-masked — so "run a funnel over the transactional events
+    * table" is one SQL call, not an export. */
+  private def loadAny(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path, "_manifests")
+    val isTable = p.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(p)
+    if (isTable) spark.read.format("graft").load(path)
+    else graft.core.Tables.normalize(spark.read.parquet(path))
+  }
+
   /** `graft_bm25(indexDir, query, k [, idCol])` — BM25 top-k from a
     * persisted [[graft.ext.TextIndex]] postings index (text never
     * read; scores identical to the Scala entry point). */
@@ -92,7 +105,7 @@ object GraftTableFunctions {
         s"query id must be integral, got $other")
     }
     val k = int(exprs, 4, "k")
-    val emb = graft.core.Tables.normalize(spark.read.parquet(path))
+    val emb = loadAny(spark, path)
       .withColumn("_e", col(embCol).cast("array<double>"))
     val q = emb.filter(col(idCol) === queryId)
       .select(col("_e").as("_qe"))
@@ -128,7 +141,7 @@ object GraftTableFunctions {
           s"bad step '$s' - want 'type:windowHours'")
       }
     }.toSeq
-    val events = graft.core.Tables.normalize(spark.read.parquet(path))
+    val events = loadAny(spark, path)
     plan(graft.ext.Funnel.fold(events,
       col("user_id"), col("ts"), col("event_type"), steps))
   }

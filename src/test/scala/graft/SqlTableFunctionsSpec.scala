@@ -112,4 +112,22 @@ class SqlTableFunctionsSpec extends SparkSpec {
       apiDiff.collect().map(_.toSeq).toSet)
     assert(sqlDiff.count() >= 3) // insert + update pre/post images
   }
+
+  test("data TVFs accept graft table dirs (snapshot + DV-masked)") {
+    val dir = tmpDir("tvf-table") + "/ev"
+    val ev = Seq(
+      (1L, ts("2026-01-01 10:00:00"), "view"),
+      (1L, ts("2026-01-01 11:00:00"), "purchase"),
+      (2L, ts("2026-01-02 09:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val t = new graft.core.TxTable(spark, dir, ev.schema, Seq("user_id"),
+      numBuckets = 2)
+    t.append(ev)
+    // tombstone user 2's view: the funnel must see the LIVE rows only
+    t.deleteWhereLight(col("user_id") === 2L)
+    val row = spark.sql(
+      s"SELECT * FROM graft_funnel('$dir', 'view:0,purchase:24')").head()
+    assert(row.getLong(0) === 1L) // only user 1 remains in the funnel
+    assert(row.getLong(1) === 1L)
+  }
 }
