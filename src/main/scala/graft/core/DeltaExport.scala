@@ -225,7 +225,10 @@ object DeltaExport {
     // fixed version is content-idempotent (same log prefix → same
     // state), so if one already exists it IS this content and a
     // concurrent stock reader must never observe the pointed-to file
-    // missing mid-swap
+    // missing mid-swap. Consequence: a checkpoint published by an
+    // OLDER writer build (different action schema) at this exact
+    // version is kept as-is until the log advances — acceptable,
+    // because the JSON tail replay remains authoritative either way
     if (!fs.exists(cpPath))
       require(fs.rename(part, cpPath), s"could not publish $cpPath")
     fs.delete(stage, true)

@@ -138,11 +138,16 @@ object IcebergImport {
       case JArray(ss) => ss
       case _ => Nil
     }
-    val wantedId: Long = snapshotId.getOrElse((md \ "current-snapshot-id") match {
-      case JInt(v) => v.toLong
-      case _ => throw new IllegalArgumentException(
-        s"$mdPath has no current-snapshot-id (empty table?)")
-    })
+    // stock HadoopCatalog writers emit current-snapshot-id: -1 (and an
+    // empty snapshots array) for a created-but-never-written table —
+    // per spec that is a valid EMPTY table, not an error
+    val currentId: Option[Long] = (md \ "current-snapshot-id") match {
+      case JInt(v) if v.toLong >= 0L => Some(v.toLong)
+      case _ => None
+    }
+    if (snapshotId.isEmpty && currentId.isEmpty)
+      return Snapshot(-1L, schema, Nil, Nil)
+    val wantedId: Long = snapshotId.orElse(currentId).get
     val snap = snaps.find(s => (s \ "snapshot-id") match {
       case JInt(v) => v.toLong == wantedId
       case _ => false

@@ -290,6 +290,14 @@ final class TxTable(
         Map(TxTable.DroppedKey -> "true"))
       ()
     }
+    // O(1) catalog marker, written AFTER the commit publishes: the
+    // commit meta is the durable audit record, the marker is the fast
+    // path every catalog resolution checks (a latestMeta scan would
+    // walk the FULL retained history for every never-dropped table —
+    // O(versions) per SELECT). Crash between commit and marker: the
+    // drop simply didn't take effect in catalogs; re-run it.
+    val out = fs.create(new Path(dir, TxTable.DroppedMarker), true)
+    out.close()
   }
 
   /** Undo [[dropTable]] — the table resurfaces in catalogs at its
@@ -297,10 +305,14 @@ final class TxTable(
   def undropTable(): Unit = {
     require(isDropped, s"$dir is not dropped")
     dropMeta(Seq(TxTable.DroppedKey))
+    fs.delete(new Path(dir, TxTable.DroppedMarker), false)
+    ()
   }
 
+  /** Marker-file check — O(1), the cost every catalog listing/load
+    * pays per table. */
   def isDropped: Boolean =
-    latestMeta(TxTable.DroppedKey).contains("true")
+    fs.exists(new Path(dir, TxTable.DroppedMarker))
 
   /** ALTER TABLE ADD COLUMNS through the existing schema-evolution
     * path: a metadata-only commit with the widened schema — no data
@@ -315,7 +327,12 @@ final class TxTable(
       val base = currentVersion
       val m = loadManifest(base)
       val cur = schemaAt(m)
-      cols.foreach(f => require(!cur.fieldNames.contains(f.name),
+      // case-INSENSITIVE duplicate check, matching widen()'s resolver
+      // semantics — otherwise adding `ID` to a table with `id` would
+      // silently no-op (widen dedups case-insensitively) instead of
+      // erroring
+      cols.foreach(f => require(
+        !cur.fieldNames.exists(_.equalsIgnoreCase(f.name)),
         s"column ${f.name} already exists"))
       val target = widen(cur, cols)
       commit(m.entries, base, Some(target))
@@ -2048,6 +2065,26 @@ object TxTable {
   /** Commit-meta key marking a catalog-dropped table (see
     * [[TxTable.dropTable]]). */
   private[graft] val DroppedKey = "table_dropped"
+
+  /** The O(1) dropped-table marker file name (catalog fast path). */
+  private[graft] val DroppedMarker = "_dropped"
+
+  /** Open an existing table directory read-only from its `_table.json`
+    * descriptor — the shared entry the SQL surfaces (TVFs, CALL
+    * procedures, the DSv2 provider's probe) use. Descriptor-less
+    * tables open with placeholder keys unless `requireDescriptor`
+    * (reads work; key-dependent paths refuse downstream). */
+  private[graft] def openReadOnly(spark: org.apache.spark.sql.SparkSession,
+      dir: String, requireDescriptor: Boolean = false): TxTable = {
+    val desc = readDescriptor(spark, dir)
+    if (requireDescriptor) require(desc.isDefined,
+      s"$dir has no _table.json descriptor - this operation needs the " +
+        "table identity; write once through the Scala API to record it")
+    val (ks, nb, blooms) =
+      desc.getOrElse((Seq("__reader__"), 1, Nil: Seq[String]))
+    new TxTable(spark, dir, new org.apache.spark.sql.types.StructType(),
+      ks, numBuckets = nb, bloomCols = blooms)
+  }
 
   /** One live data file of a committed version (see
     * [[TxTable.currentFileInfo]]). */

@@ -154,12 +154,7 @@ object GraftTableFunctions {
   private def history(exprs: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
     val dir = str(exprs, 0, "table directory")
-    val (ks, nb, blooms) = graft.core.TxTable
-      .readDescriptor(spark, dir)
-      .getOrElse((Seq("__reader__"), 1, Nil: Seq[String]))
-    val tx = new graft.core.TxTable(spark, dir,
-      new org.apache.spark.sql.types.StructType(), ks,
-      numBuckets = nb, bloomCols = blooms)
+    val tx = graft.core.TxTable.openReadOnly(spark, dir)
     plan(tx.history)
   }
 
@@ -170,12 +165,7 @@ object GraftTableFunctions {
   private def files(exprs: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
     val dir = str(exprs, 0, "table directory")
-    val (ks, nb, blooms) = graft.core.TxTable
-      .readDescriptor(spark, dir)
-      .getOrElse((Seq("__reader__"), 1, Nil: Seq[String]))
-    val tx = new graft.core.TxTable(spark, dir,
-      new org.apache.spark.sql.types.StructType(), ks,
-      numBuckets = nb, bloomCols = blooms)
+    val tx = graft.core.TxTable.openReadOnly(spark, dir)
     val s = tx.currentSchema
     import spark.implicits._
     val rows = tx.currentFileInfo.map { f =>
@@ -197,15 +187,8 @@ object GraftTableFunctions {
     val dir = str(exprs, 0, "table directory")
     val fromV = int(exprs, 1, "from version").toLong
     val toV = int(exprs, 2, "to version").toLong
-    val (ks, nb, blooms) = graft.core.TxTable
-      .readDescriptor(spark, dir)
-      .getOrElse((Seq("__reader__"), 1, Nil: Seq[String]))
-    val tx = new graft.core.TxTable(spark, dir,
-      new org.apache.spark.sql.types.StructType(), ks,
-      numBuckets = nb, bloomCols = blooms)
-    require(!ks.contains("__reader__"),
-      s"$dir has no _table.json descriptor - the CDC diff needs the key " +
-        "columns; write once through the Scala API to record it")
+    val tx = graft.core.TxTable.openReadOnly(spark, dir,
+      requireDescriptor = true) // the CDC diff needs the key columns
     plan(tx.changes(fromV, toV))
   }
 

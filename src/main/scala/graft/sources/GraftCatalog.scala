@@ -64,11 +64,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     fs.exists(new Path(p, "_manifests"))
 
   /** A LIVE table dir: physically present AND not carrying the
-    * `table_dropped` manifest tombstone (DROP TABLE keeps data +
-    * history retained; the catalog just stops serving it). */
+    * `_dropped` marker (DROP TABLE keeps data + history retained; the
+    * catalog just stops serving it). Two `exists` calls per table —
+    * O(1), never a manifest read. */
   private def isLiveTableDir(p: Path): Boolean =
     isTableDir(p) &&
-      !GraftDataSource.openForRead(SparkSession.active, p.toString).isDropped
+      !fs.exists(new Path(p, graft.core.TxTable.DroppedMarker))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = dirFor(namespace)

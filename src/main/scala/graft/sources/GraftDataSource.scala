@@ -120,10 +120,7 @@ object GraftDataSource {
     // buckets / blooms) so SQL inserts stage correctly bucketed rows;
     // descriptor-less tables open with placeholder keys — reads are
     // unaffected, writes are refused (see GraftWriteBuilder)
-    val (ks, nb, blooms) = TxTable.readDescriptor(spark, dir)
-      .getOrElse((Seq("__reader__"), 1, Nil: Seq[String]))
-    val probe = new TxTable(spark, dir, new StructType(), ks,
-      numBuckets = nb, bloomCols = blooms)
+    val probe = TxTable.openReadOnly(spark, dir)
     val v = probe.currentVersion
     if (v < 0 || probe.currentSchema.nonEmpty) probe
     else {
@@ -131,8 +128,8 @@ object GraftDataSource {
       require(files.nonEmpty,
         s"$dir has a headerless manifest and no data files to infer from")
       val inferred = spark.read.parquet(files.head._1).schema
-      new TxTable(spark, dir, inferred, ks, numBuckets = nb,
-        bloomCols = blooms)
+      new TxTable(spark, dir, inferred, probe.keys,
+        numBuckets = probe.numBuckets, bloomCols = probe.bloomCols)
     }
   }
 
@@ -383,13 +380,16 @@ final class GraftScanBuilder(tx: TxTable, version: Long,
     *    row-exact. */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = computeAgg(agg).isDefined
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
+    // compute from THIS call's aggregation (never replay state from a
+    // supportCompletePushDown probe — Spark's call order / candidate
+    // identity is not a contract worth depending on)
     aggPushed = computeAgg(agg)
     aggPushed.isDefined
   }
-  override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = aggPushed.isDefined
 
   private def computeAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
@@ -624,7 +624,15 @@ final class GraftScan(tx: TxTable, version: Long, required: StructType,
       val out = new java.util.HashMap[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      val (s, entries) = tx.providerPrunedStats(version, pred)
+      // only pay the second manifest pass when the planner will
+      // actually read column stats (CBO off — the default — never
+      // does; an unconditional build would tax EVERY scan's planning
+      // with a per-file stats parse)
+      val cboOn = SparkSession.active.conf
+        .get("spark.sql.cbo.enabled", "false") == "true"
+      val (s, entries) =
+        if (cboOn) tx.providerPrunedStats(version, pred)
+        else (new StructType(), Nil)
       val stats = entries.flatMap(_._1)
       if (stats.length == entries.length && stats.nonEmpty) {
         required.fields.filter(f => StatValues.extremeOk(f.dataType))

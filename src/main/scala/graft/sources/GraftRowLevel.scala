@@ -106,8 +106,19 @@ final class GraftDeltaBatchWrite(dir: String, rowSchema: StructType,
 
   private val stageDir = s"$dir/.stage-rl-${UUID.randomUUID().toString.take(8)}"
 
+  // the session's Hadoop configuration, serialized as entries so the
+  // EXECUTOR writers build filesystems with the same credentials /
+  // endpoints the driver has (a bare new Configuration() on an
+  // object-store deployment would lack them)
+  private val hadoopConfKv: Array[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    SparkSession.active.sparkContext.hadoopConfiguration
+      .iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+  }
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DeltaWriterFactory = GraftDeltaWriterFactory(stageDir, rowSchema)
+      : DeltaWriterFactory =
+    GraftDeltaWriterFactory(stageDir, rowSchema, hadoopConfKv)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -139,10 +150,12 @@ final class GraftDeltaBatchWrite(dir: String, rowSchema: StructType,
 }
 
 final case class GraftDeltaWriterFactory(stageDir: String,
-    rowSchema: StructType) extends DeltaWriterFactory {
+    rowSchema: StructType, hadoopConfKv: Array[(String, String)])
+    extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DeltaWriter[InternalRow] =
-    new GraftDeltaWriter(stageDir, rowSchema, partitionId, taskId)
+    new GraftDeltaWriter(stageDir, rowSchema, partitionId, taskId,
+      hadoopConfKv)
 }
 
 object GraftDeltaWriter {
@@ -159,8 +172,15 @@ object GraftDeltaWriter {
   * file names; only files named in COMMITTED messages are ever read,
   * and the whole stage dir dies with the job either way. */
 final class GraftDeltaWriter(stageDir: String, rowSchema: StructType,
-    partitionId: Int, taskId: Long) extends DeltaWriter[InternalRow] {
+    partitionId: Int, taskId: Long,
+    hadoopConfKv: Array[(String, String)] = Array.empty)
+    extends DeltaWriter[InternalRow] {
 
+  private lazy val conf: Configuration = {
+    val c = new Configuration()
+    hadoopConfKv.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
   private var delWriter: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
   private var insWriter: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
   private def delPath = s"$stageDir/del-$partitionId-$taskId.parquet"
@@ -168,7 +188,7 @@ final class GraftDeltaWriter(stageDir: String, rowSchema: StructType,
 
   private def ensureDirs(): Unit = {
     val p = new Path(stageDir)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     fs.mkdirs(p)
     ()
   }
@@ -177,7 +197,7 @@ final class GraftDeltaWriter(stageDir: String, rowSchema: StructType,
     // id fields arrive in rowId() order: [_graft_file, _graft_pos]
     if (delWriter == null) {
       ensureDirs()
-      delWriter = RowParquet.open(delPath, GraftDeltaWriter.dvSchema)
+      delWriter = RowParquet.open(delPath, GraftDeltaWriter.dvSchema, conf)
     }
     delWriter.write(new GenericInternalRow(
       Array[Any](id.getUTF8String(0).copy(), id.getLong(1))))
@@ -186,7 +206,7 @@ final class GraftDeltaWriter(stageDir: String, rowSchema: StructType,
   override def insert(row: InternalRow): Unit = {
     if (insWriter == null) {
       ensureDirs()
-      insWriter = RowParquet.open(insPath, rowSchema)
+      insWriter = RowParquet.open(insPath, rowSchema, conf)
     }
     insWriter.write(row)
   }
@@ -210,7 +230,7 @@ final class GraftDeltaWriter(stageDir: String, rowSchema: StructType,
 
   override def abort(): Unit = {
     close()
-    val fs = new Path(stageDir).getFileSystem(new Configuration())
+    val fs = new Path(stageDir).getFileSystem(conf)
     if (delWriter != null) fs.delete(new Path(delPath), false)
     if (insWriter != null) fs.delete(new Path(insPath), false)
     ()

@@ -163,10 +163,15 @@ object RowParquet {
   }
 
   /** Open a staged-file writer at `path` (task-unique — never
-    * overwritten concurrently). */
-  def open(path: String, schema: StructType): ParquetWriter[InternalRow] =
+    * overwritten concurrently). Pass the session's Hadoop
+    * configuration where available — executor tasks writing to an
+    * object store need its credentials/endpoint settings, which a
+    * bare `new Configuration()` lacks. */
+  def open(path: String, schema: StructType,
+      conf: Configuration = new Configuration())
+      : ParquetWriter[InternalRow] =
     new B(new Path(path), schema)
-      .withConf(new Configuration())
+      .withConf(conf)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .build()
 }

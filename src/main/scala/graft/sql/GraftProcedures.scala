@@ -56,15 +56,9 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
         s"'$tableArg' is neither a path nor a catalog.table identifier")
     }
 
-  private def open(spark: SparkSession, tableArg: String): TxTable = {
-    val dir = resolveDir(spark, tableArg)
-    val (ks, nb, blooms) = TxTable.readDescriptor(spark, dir)
-      .getOrElse(throw new IllegalArgumentException(
-        s"$dir has no _table.json descriptor - CALL maintenance needs " +
-          "the table identity; write once through the Scala API"))
-    new TxTable(spark, dir, new StructType(), ks,
-      numBuckets = nb, bloomCols = blooms)
-  }
+  private def open(spark: SparkSession, tableArg: String): TxTable =
+    TxTable.openReadOnly(spark, resolveDir(spark, tableArg),
+      requireDescriptor = true)
 
   private def arg(i: Int, what: String): String = {
     require(i < args.length, s"CALL graft.$proc: missing argument " +

@@ -368,6 +368,12 @@ class GraftDataSourceSpec extends SparkSpec {
   }
 
   test("column statistics surface from zone maps for the planner") {
+    // stats build only when CBO will read them (default off)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try columnStatsBody() finally spark.conf.unset("spark.sql.cbo.enabled")
+  }
+
+  private def columnStatsBody(): Unit = {
     val dir = tmpDir("dsv2-colstats") + "/t"
     val data = (1L to 100L).map(i =>
       (i, if (i % 10 == 0) null else java.lang.Double.valueOf(i * 0.5), s"s$i"))
