@@ -314,6 +314,29 @@ final class TxTable(
   def isDropped: Boolean =
     fs.exists(new Path(dir, TxTable.DroppedMarker))
 
+  /** BUCKET-COUNT EVOLUTION, the safe way: rewrite the table into a
+    * FRESH directory under a new bucket count (one staged pass —
+    * every row re-partitions under the new layout, CHECK constraints
+    * carry over), and let the operator swap directories/identifiers.
+    * In-place rebucketing is deliberately excluded: the `_table.json`
+    * descriptor and the manifest entries' bucket ids must agree for
+    * bucket pruning to be sound, and no crash-safe ordering exists
+    * for mutating both (a half-applied swap would silently
+    * mis-prune lookups). A new directory is atomic by construction —
+    * the rebucketed table exists completely or not at all. */
+  def rebucketTo(dstDir: String, newBuckets: Int): TxTable = {
+    require(newBuckets >= 1, s"bucket count must be >= 1, got $newBuckets")
+    require(currentVersion >= 0, s"$dir has no committed version")
+    val dst = new TxTable(spark, dstDir, currentSchema, keys,
+      numBuckets = newBuckets, bloomCols = bloomCols)
+    require(dst.currentVersion < 0,
+      s"$dstDir already holds a table - rebucket writes a FRESH directory")
+    dst.createIfAbsent()
+    checkConstraints.foreach { case (n, p) => dst.addCheckConstraint(n, p) }
+    dst.append(read)
+    dst
+  }
+
   /** ALTER TABLE ADD COLUMNS through the existing schema-evolution
     * path: a metadata-only commit with the widened schema — no data
     * file is touched; pre-evolution files read the new columns as

@@ -103,13 +103,19 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
         // first publish writes the full log; later calls append diffs
         val v = graft.core.DeltaExport.syncDeltaLog(spark, tx)
         report(tx, "delta_commit" -> v.map(_.toString).getOrElse("no-op"))
+      case "rebucket" =>
+        val tx = open(spark, arg(0, "source table"))
+        val dstDir = resolveDir(spark, arg(1, "destination table"))
+        val n = arg(2, "new bucket count").toInt
+        val dst = tx.rebucketTo(dstDir, n)
+        report(dst, "source" -> tx.dir, "buckets" -> n.toString)
       case "export_iceberg" =>
         val tx = open(spark, arg(0, "table directory"))
         val p = graft.core.IcebergExport.writeIcebergMetadata(spark, tx)
         report(tx, "metadata" -> p)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure graft.$other - available: compact, zorder, " +
-          "materialize_deletes, vacuum, undrop, export_delta, " +
+          "materialize_deletes, vacuum, undrop, rebucket, export_delta, " +
           "export_iceberg")
     }
   }

@@ -86,4 +86,36 @@ class GraftProceduresSpec extends SparkSpec {
     }
     assert(bad.getMessage.contains("nocat"))
   }
+
+  test("rebucket writes a fresh co-locatable layout; pruning stays sound") {
+    val root = tmpDir("proc-rebucket")
+    val d = (1L to 200L).map(i => (i, i * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, s"$root/t", d.schema, Seq("k"), numBuckets = 2)
+    t.append(d)
+    t.addCheckConstraint("v_pos", "v >= 0")
+    spark.conf.set("spark.sql.catalog.rbk", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rbk.root", root)
+
+    val rep = spark.sql("CALL graft.rebucket('rbk.t', 'rbk.t8', 8)")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rep("buckets") === "8")
+
+    val t8 = new TxTable(spark, s"$root/t8", d.schema, Seq("k"), numBuckets = 8)
+    assert(t8.read.count() === 200L)
+    // the new layout bucket-prunes point lookups correctly
+    assert(t8.lookup(Seq(42L)).collect().map(_.getDouble(1)).toSeq ===
+      Seq(42.0))
+    // CHECK constraints carried over
+    val bad = intercept[Exception] {
+      t8.append(Seq((999L, -1.0)).toDF("k", "v"))
+    }
+    assert(Option(bad.getMessage).getOrElse("").contains("v_pos") ||
+      Iterator.iterate(bad: Throwable)(_.getCause).takeWhile(_ != null)
+        .exists(t => Option(t.getMessage).exists(_.contains("v_pos"))))
+    // refusing to clobber an existing table
+    val clobber = intercept[Exception] {
+      spark.sql("CALL graft.rebucket('rbk.t', 'rbk.t8', 4)").collect()
+    }
+    assert(clobber.getMessage.contains("FRESH"))
+  }
 }
