@@ -309,10 +309,22 @@ final class TxTable(
     ()
   }
 
-  /** Marker-file check — O(1), the cost every catalog listing/load
-    * pays per table. */
-  def isDropped: Boolean =
-    fs.exists(new Path(dir, TxTable.DroppedMarker))
+  /** Dropped check, O(1) either way: the `_dropped` marker file is
+    * primary; the CURRENT commit's meta is the compatibility fallback
+    * for tables tombstoned before the marker existed (a drop commit is
+    * by contract the newest — nothing writes to a dropped table), and
+    * a fallback hit self-heals by writing the marker. Never a history
+    * scan. */
+  def isDropped: Boolean = {
+    if (fs.exists(new Path(dir, TxTable.DroppedMarker))) return true
+    val metaDropped =
+      commitMeta(currentVersion).get(TxTable.DroppedKey).contains("true")
+    if (metaDropped) { // backfill the fast path
+      val out = fs.create(new Path(dir, TxTable.DroppedMarker), true)
+      out.close()
+    }
+    metaDropped
+  }
 
   /** BUCKET-COUNT EVOLUTION, the safe way: rewrite the table into a
     * FRESH directory under a new bucket count (one staged pass —
@@ -894,11 +906,24 @@ final class TxTable(
     * None if any surviving file predates recorded stats. */
   private[graft] def providerStats(v: Long, pred: Option[Column])
       : (Long, Option[Long]) = {
+    val (bytes, rows, _, _) = providerStatsFull(v, pred)
+    (bytes, rows)
+  }
+
+  /** One-pass planning statistics: (bytes, exact live rows, schema,
+    * per-surviving-file (parsed footer stats, DV tombstone rows)) —
+    * ONE manifest load and one stats parse serve rows/bytes AND the
+    * column-statistics fold (see the provider's estimateStatistics);
+    * a second pass per planned scan would double metadata I/O on
+    * many-file tables. */
+  private[graft] def providerStatsFull(v: Long, pred: Option[Column])
+      : (Long, Option[Long], StructType,
+         Seq[(Option[FileStats.Stats], Long)]) = {
     // mirror planInputPartitions' v<0 guard: a created-but-never-
     // committed directory (crash between mkdirs and first publish —
     // the state currentSchema tolerates) must PLAN as empty, not
     // crash estimateStatistics with a missing-manifest read
-    if (v < 0) return (0L, Some(0L))
+    if (v < 0) return (0L, Some(0L), schema, Nil)
     val m = loadManifest(v)
     val s = schemaAt(m)
     val es = pred.map(p => pruneEntries(m.entries, p, s)).getOrElse(m.entries)
@@ -906,12 +931,12 @@ final class TxTable(
     val bytes = es.map { e =>
       scala.util.Try(f.getFileStatus(new Path(e.path)).getLen).getOrElse(0L)
     }.sum
-    val rowsPerFile = es.map(e => e.parsedStats(s).map(_.rows))
+    val parsed = es.map(e => (e.parsedStats(s), e.dvs.map(_.rows).sum))
     val rows =
-      if (rowsPerFile.forall(_.isDefined))
-        Some(rowsPerFile.flatten.sum - es.flatMap(_.dvs).map(_.rows).sum)
+      if (parsed.forall(_._1.isDefined))
+        Some(parsed.flatMap(_._1).map(_.rows).sum - parsed.map(_._2).sum)
       else None
-    (bytes, rows)
+    (bytes, rows, s, parsed)
   }
 
   /** Per-file manifest stats of version `v` for the provider's

@@ -70,8 +70,9 @@ object GraftTableFunctions {
     val p = new org.apache.hadoop.fs.Path(path, "_manifests")
     val isTable = p.getFileSystem(
       spark.sparkContext.hadoopConfiguration).exists(p)
-    if (isTable) spark.read.format("graft").load(path)
-    else graft.core.Tables.normalize(spark.read.parquet(path))
+    graft.core.Tables.normalize(
+      if (isTable) spark.read.format("graft").load(path)
+      else spark.read.parquet(path))
   }
 
   /** `graft_bm25(indexDir, query, k [, idCol])` — BM25 top-k from a

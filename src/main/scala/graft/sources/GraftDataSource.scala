@@ -378,16 +378,28 @@ final class GraftScanBuilder(tx: TxTable, version: Long,
     *  - any filter present → Spark never offers the pushdown (our
     *    filters are always residual), so filtered aggregates stay
     *    row-exact. */
+  // memo keyed on the Aggregation INSTANCE: supportCompletePushDown
+  // and pushAggregation each answer for exactly the aggregation they
+  // were handed (no call-order assumption), but the usual probe+push
+  // pair on the same instance pays ONE manifest read, not two
+  private var aggMemo
+      : Option[(AnyRef, Option[(StructType, Array[Any])])] = None
+  private def computeAggMemo(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any])] = aggMemo match {
+    case Some((ref, res)) if ref eq agg => res
+    case _ =>
+      val res = computeAgg(agg)
+      aggMemo = Some((agg, res))
+      res
+  }
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = computeAgg(agg).isDefined
+      : Boolean = computeAggMemo(agg).isDefined
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
-    // compute from THIS call's aggregation (never replay state from a
-    // supportCompletePushDown probe — Spark's call order / candidate
-    // identity is not a contract worth depending on)
-    aggPushed = computeAgg(agg)
+    aggPushed = computeAggMemo(agg)
     aggPushed.isDefined
   }
 
@@ -611,7 +623,9 @@ final class GraftScan(tx: TxTable, version: Long, required: StructType,
   override def estimateStatistics(): Statistics = {
     val pred = pushed.flatMap(GraftDataSource.translate(_))
       .reduceOption(_ && _)
-    val (bytes, rows) = tx.providerStats(version, pred)
+    // ONE manifest pass serves bytes/rows and the column-stats fold
+    val (bytes, rows, statsSchema, statEntries) =
+      tx.providerStatsFull(version, pred)
     // COLUMN STATISTICS from the surviving files' zone maps (estimate
     // grade — DV'd rows may inflate null counts/extrema slightly,
     // which is what planner estimates are for): min/max for
@@ -624,15 +638,15 @@ final class GraftScan(tx: TxTable, version: Long, required: StructType,
       val out = new java.util.HashMap[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      // only pay the second manifest pass when the planner will
-      // actually read column stats (CBO off — the default — never
-      // does; an unconditional build would tax EVERY scan's planning
-      // with a per-file stats parse)
+      // the per-file stats were already parsed for the row count —
+      // fold them into column stats only when CBO will read them
+      // (off by default; the fold itself is the only extra cost)
       val cboOn = SparkSession.active.conf
         .get("spark.sql.cbo.enabled", "false") == "true"
       val (s, entries) =
-        if (cboOn) tx.providerPrunedStats(version, pred)
-        else (new StructType(), Nil)
+        if (cboOn) (statsSchema, statEntries)
+        else (new StructType(), Nil: Seq[(Option[
+          graft.core.FileStats.Stats], Long)])
       val stats = entries.flatMap(_._1)
       if (stats.length == entries.length && stats.nonEmpty) {
         required.fields.filter(f => StatValues.extremeOk(f.dataType))

@@ -130,16 +130,19 @@ final class GraftSqlParser(delegate: ParserInterface)
   private val CallRe =
     """(?is)\s*CALL\s+graft\.([a-zA-Z_]+)\s*\((.*)\)\s*;?\s*""".r
 
-  // one quoted string (commas inside stay intact) or one bare token
-  private val ArgRe = """'([^']*)'|([^,\s'][^,]*)""".r
+  // one quoted string (commas stay intact; SQL-standard '' escapes a
+  // quote) or one bare token
+  private val ArgRe = """'((?:[^']|'')*)'|([^,\s'][^,]*)""".r
   private def parseArgs(raw: String): Seq[String] =
     if (raw.trim.isEmpty) Nil
     else ArgRe.findAllMatchIn(raw).map(m =>
-      Option(m.group(1)).getOrElse(m.group(2).trim)).toSeq
+      Option(m.group(1)).map(_.replace("''", "'"))
+        .getOrElse(m.group(2).trim)).toSeq
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case CallRe(proc, rawArgs) =>
-      GraftCallCommand(proc.toLowerCase, parseArgs(rawArgs))
+      GraftCallCommand(
+        proc.toLowerCase(java.util.Locale.ROOT), parseArgs(rawArgs))
     case _ => delegate.parsePlan(sqlText)
   }
 

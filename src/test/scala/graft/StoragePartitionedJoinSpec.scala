@@ -172,8 +172,11 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     try {
       val q = spark.sql(
         "SELECT l.k FROM aqespj.l l JOIN aqespj.r r ON l.k = r.k")
-      assert(q.count() === 200L) // force the FINAL adaptive plan
+      // drive q's OWN QueryExecution (count() would plan a separate
+      // one and leave q's adaptive plan unexecuted = assertion vacuous)
+      assert(q.collect().length === 200)
       val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan.take(200))
       assert(!plan.contains("Exchange"),
         s"SPJ must survive adaptive re-planning:\n$plan")
     } finally saved.foreach {
