@@ -859,7 +859,55 @@ object TxQueries {
     }
   }
 
+  /** NATIVE STREAMING SINK end to end
+    * ([[graft.sources.GraftStreamingWrite]]): the events feed streams
+    * through `writeStream.format("graft")` into a TxTable — executor
+    * tasks stage straight to parquet, the epoch commit rides the
+    * guarded protocol with the `stream_batch:` exactly-once ledger —
+    * and the aggregate read BACK from the sunk table must equal DuckDB
+    * aggregating the raw feed. This is the reference's continuous
+    * ingest (`src/jobs/scan.ts` lands fetched batches in the store)
+    * with zero foreachBatch glue: a graft table on both ends of a
+    * streaming pipeline. Replay convergence + multi-epoch + upsert /
+    * complete modes are pinned in GraftStreamSinkSpec. */
+  def tx_stream_sink(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "event_type", "value")
+    val table = cached(s, dir, "events", "streamsink", 1L) { loc =>
+      new TxTable(s, loc, raw.schema, Seq("event_id"), numBuckets = 4)
+    } { tx =>
+      tx.createIfAbsent() // v0 — records the _table.json descriptor
+      // feed: a graft table on the SOURCE end too (round-12 tail
+      // source) — the full graft→graft streaming pipeline
+      val feedDir = java.nio.file.Files
+        .createTempDirectory("streamsink-feed").toString + "/t"
+      val feed = new TxTable(s, feedDir, raw.schema, Seq("event_id"),
+        numBuckets = 4)
+      feed.append(raw)
+      val q = s.readStream.format("graft")
+        .option("startingVersion", "-1").load(feedDir)
+        .writeStream.format("graft")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("streamsink-ck").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(tx.dir) // v1 — epoch 0 lands through appendIf + ledger
+      q.awaitTermination()
+    }
+    require(table.latestMeta("stream_batch:" +
+        table.commitMeta(1L).keys.find(_.startsWith("stream_batch:")).get
+          .stripPrefix("stream_batch:")).contains("0"),
+      "streaming sink did not record its epoch ledger")
+    s.read.format("graft").load(table.dir)
+      .createOrReplaceTempView("graft_stream_sunk")
+    s.sql(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM graft_stream_sunk
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_stream_sink" -> (tx_stream_sink _),
     "tx_sql_spj_join" -> (tx_sql_spj_join _),
     "tx_sql_agg_pushdown" -> (tx_sql_agg_pushdown _),
     "tx_sql_merge" -> (tx_sql_merge _),
@@ -889,6 +937,13 @@ object TxQueries {
     "mv_routed_minmax" -> (mv_routed_minmax _))
 
   val oracle: Map[String, String] = Map(
+    // rows landed through the streaming sink ≡ the raw feed
+    "tx_stream_sink" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+        |    AS total
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the shuffle-free co-bucketed join must equal the ordinary join
     "tx_sql_spj_join" ->
       s"""SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

@@ -220,17 +220,27 @@ final class GraftTable(val dir: String, declaredSchema: StructType,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tx, pinnedVersion, resolvedSchema,
-      Option(options.get("startingVersion")).map(_.toLong))
+      Option(options.get("startingVersion")).map(_.toLong),
+      Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(asOf.isEmpty,
       "cannot write to a time-traveled relation " +
         "(VERSION/TIMESTAMP AS OF is read-only; use restore() to roll back)")
-    new GraftWriteBuilder(tx, resolvedSchema)
+    // upsert-mode writers additionally accept outputMode("update")
+    // streams (the marker interface is Spark's opt-in for that); a
+    // plain builder keeps Spark's own "sink does not support Update"
+    // refusal, because update-as-blind-append would duplicate keys
+    if (GraftWriteBuilder.upsertRequested(info.options()))
+      new GraftWriteBuilder(tx, resolvedSchema, info)
+        with org.apache.spark.sql.internal.connector
+          .SupportsStreamingUpdateAsAppend
+    else new GraftWriteBuilder(tx, resolvedSchema, info)
   }
 
   /** `DELETE FROM …` when every predicate translates: served by the
@@ -311,25 +321,45 @@ final class GraftTable(val dir: String, declaredSchema: StructType,
   * SQL INSERT contract) with a cast per column. Writes are refused on
   * descriptor-less legacy tables — appending with unknown key columns
   * would bucket rows wrongly and corrupt bucket pruning forever. */
-final class GraftWriteBuilder(tx: TxTable, tableSchema: StructType)
+object GraftWriteBuilder {
+  /** `.option("graft.mode", "upsert")` on the writer — last-writer-
+    * wins by the table keys instead of append, for both batch saves
+    * and streaming epochs. */
+  private[sources] def upsertRequested(
+      options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("graft.mode")).exists { m =>
+      require(m.equalsIgnoreCase("append") || m.equalsIgnoreCase("upsert"),
+        s"unknown graft.mode '$m' (append | upsert)")
+      m.equalsIgnoreCase("upsert")
+    }
+}
+
+class GraftWriteBuilder(tx: TxTable, tableSchema: StructType,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var overwriteAll = false
+  private val upsertMode = GraftWriteBuilder.upsertRequested(info.options())
+
   override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
     overwriteAll = true
     this
   }
+
+  private def requireDescriptor(): Unit =
+    require(!tx.keys.contains("__reader__"),
+      s"${tx.dir} has no _table.json write descriptor (created " +
+        "before round 12): SQL writes need the key columns to " +
+        "bucket correctly - write once through the Scala API " +
+        "(which records the descriptor) or add _table.json")
+
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.V1Write {
       override def toInsertableRelation: InsertableRelation =
         new InsertableRelation {
           override def insert(data: org.apache.spark.sql.DataFrame,
               overwrite: Boolean): Unit = {
-            require(!tx.keys.contains("__reader__"),
-              s"${tx.dir} has no _table.json write descriptor (created " +
-                "before round 12): SQL writes need the key columns to " +
-                "bucket correctly - write once through the Scala API " +
-                "(which records the descriptor) or add _table.json")
+            requireDescriptor()
             require(data.schema.length == tableSchema.length,
               s"INSERT provides ${data.schema.length} columns, table has " +
                 s"${tableSchema.length}")
@@ -337,14 +367,37 @@ final class GraftWriteBuilder(tx: TxTable, tableSchema: StructType)
               .select(tableSchema.fields.toIndexedSeq
                 .map(f => col(f.name).cast(f.dataType)): _*)
             if (overwriteAll || overwrite) tx.replace(conformed)
+            else if (upsertMode) tx.upsert(conformed)
             else tx.append(conformed)
           }
         }
+
+      /** `writeStream.format("graft")` / `.toTable("lake.t")` — the
+        * exactly-once micro-batch sink (see [[GraftStreamingWrite]]).
+        * The replay-ledger tag defaults to the streaming query id
+        * (stable across restarts from one checkpoint);
+        * `.option("graft.tag", …)` overrides for pipelines that
+        * re-checkpoint but must keep one ledger. */
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        requireDescriptor()
+        val mode =
+          if (overwriteAll) GraftStreamSink.ReplaceMode
+          else if (upsertMode) GraftStreamSink.UpsertMode
+          else GraftStreamSink.AppendMode
+        if (mode == GraftStreamSink.UpsertMode)
+          require(tx.keys.nonEmpty,
+            s"graft.mode=upsert needs key columns; ${tx.dir} has none")
+        val tag = Option(info.options().get("graft.tag"))
+          .getOrElse(info.queryId())
+        new GraftStreamingWrite(tx.dir, info.schema(), tag, mode)
+      }
     }
 }
 
 final class GraftScanBuilder(tx: TxTable, version: Long,
-    fullSchema: StructType, startingVersion: Option[Long] = None)
+    fullSchema: StructType, startingVersion: Option[Long] = None,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -466,7 +519,8 @@ final class GraftScanBuilder(tx: TxTable, version: Long,
     case Some((aggSchema, values)) =>
       new GraftAggScan(tx.dir, version, aggSchema, values)
     case None =>
-      new GraftScan(tx, version, required, pushed, startingVersion)
+      new GraftScan(tx, version, required, pushed, startingVersion,
+        maxVersionsPerTrigger)
   }
 }
 
@@ -566,7 +620,8 @@ private[sources] final class GraftChainReader[T](
 }
 
 final class GraftScan(tx: TxTable, version: Long, required: StructType,
-    pushed: Array[Filter], startingVersion: Option[Long] = None)
+    pushed: Array[Filter], startingVersion: Option[Long] = None,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
@@ -608,7 +663,8 @@ final class GraftScan(tx: TxTable, version: Long, required: StructType,
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(tx, required, startingVersion)
+    new GraftMicroBatchStream(tx, required, startingVersion,
+      maxVersionsPerTrigger)
   override def description(): String = {
     val p = pushed.map(_.toString).mkString(", ")
     s"GraftScan ${tx.dir}@v$version PushedFilters: [$p]"

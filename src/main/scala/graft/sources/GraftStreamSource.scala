@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 
 import graft.core.TxTable
@@ -41,12 +41,46 @@ final case class GraftOffset(version: Long) extends Offset {
   * the batch provider.
   */
 final class GraftMicroBatchStream(tx: TxTable, required: StructType,
-    startingVersion: Option[Long]) extends MicroBatchStream {
+    startingVersion: Option[Long],
+    maxVersionsPerTrigger: Option[Long] = None) extends MicroBatchStream
+    with SupportsTriggerAvailableNow {
+
+  maxVersionsPerTrigger.foreach(n => require(n >= 1,
+    s"maxVersionsPerTrigger must be >= 1, got $n"))
 
   private val t0Version: Long = startingVersion.getOrElse(tx.currentVersion)
 
+  /** `Trigger.AvailableNow` contract: pin "available" at prepare time
+    * so the run drains exactly the commits that existed when it
+    * started, then stops — commits landing mid-run wait for the next
+    * run (they are not silently included OR lost: the checkpointed
+    * offset hands them to the next start). */
+  private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(tx.currentVersion)
+
   override def initialOffset(): Offset = GraftOffset(t0Version)
   override def latestOffset(): Offset = GraftOffset(tx.currentVersion)
+
+  /** Admission control: a restart far behind the head drains the
+    * backlog `maxVersionsPerTrigger` COMMITS per micro-batch instead
+    * of planning one giant batch over thousands of commits — bounded
+    * task count and executor memory per trigger at any backlog size.
+    * Steps over RETAINED versions (vacuumed gaps collapse into their
+    * successor, same as `planInputPartitions`), composes with
+    * `Trigger.AvailableNow` (chunked drain up to the pinned end). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftOffset].version
+    val cap = availableNowEnd.getOrElse(tx.currentVersion)
+    val end = maxVersionsPerTrigger match {
+      case Some(n) =>
+        val avail = tx.versions.filter(v => v > s && v <= cap)
+        if (avail.isEmpty) s else avail.take(n.toInt).last
+      case None => cap
+    }
+    GraftOffset(end max s)
+  }
+  override def reportLatestOffset(): Offset = GraftOffset(tx.currentVersion)
   override def deserializeOffset(json: String): Offset =
     GraftOffset(json.trim.toLong)
   override def commit(end: Offset): Unit = ()

@@ -103,4 +103,36 @@ class GraftStreamSourceSpec extends SparkSpec {
         Set(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("maxVersionsPerTrigger drains a backlog in bounded per-commit batches") {
+    val dir = tmpDir("gstream-rate") + "/t"
+    val b1 = Seq((1L, "a")).toDF("k", "s")
+    val t = new TxTable(spark, dir, b1.schema, Seq("k"), numBuckets = 2)
+    t.append(b1)                               // v0
+    t.append(Seq((2L, "b")).toDF("k", "s"))    // v1
+    t.append(Seq((3L, "c")).toDF("k", "s"))    // v2
+
+    // a stream starting from scratch faces a 3-commit backlog; rate
+    // limiting must chunk it ONE commit per micro-batch (bounded task
+    // count per trigger at any backlog size), and AvailableNow must
+    // still drain to the end pinned at start
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "-1")
+      .option("maxVersionsPerTrigger", "1")
+      .load(dir)
+      .writeStream.format("memory").queryName("gtail_rate")
+      .option("checkpointLocation", tmpDir("gstream-rate-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      assert(spark.table("gtail_rate").collect().map(_.getLong(0)).toSet ===
+        Set(1L, 2L, 3L))
+      val fed = q.recentProgress.filter(_.numInputRows > 0)
+      assert(fed.length === 3,
+        s"expected 3 one-commit batches, got ${fed.length}: " +
+          fed.map(_.numInputRows).mkString(","))
+      assert(fed.forall(_.numInputRows === 1))
+    } finally q.stop()
+  }
 }
