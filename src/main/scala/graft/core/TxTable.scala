@@ -375,6 +375,91 @@ final class TxTable(
     }
   }
 
+  /** ALTER TABLE DROP COLUMN as a METADATA-ONLY commit — the 100 TB
+    * lifecycle op done the cheap sound way: the new schema simply
+    * omits the column, no data file is rewritten (reads project the
+    * declared schema by name, so the physical column is never
+    * materialized again; time travel below the drop still reads it —
+    * each version's schema is the one it was committed with).
+    *
+    * Soundness boundary, enforced not documented-away: a name once
+    * dropped can NEVER be re-added ([[widen]] refuses). Pre-drop data
+    * files still physically hold the old values, and a re-added
+    * same-name column would read them back as live data (silent
+    * resurrection). The dropped set rides the `dropped_cols` commit
+    * meta (cumulative, vacuum carry-forward keeps it alive), cached
+    * like [[checkConstraints]]. Reusing the name requires a physical
+    * migration ([[rebucketTo]] writes a fresh table without the
+    * column).
+    *
+    * Refused outright: key columns (the table's physical identity —
+    * bucketing, upsert co-location), bloom-descriptor columns (every
+    * append builds their sidecars), columns referenced by an active
+    * CHECK (later writes could not validate it), and dropping every
+    * column. */
+  def dropColumns(names: Seq[String]): Unit = {
+    require(names.nonEmpty, "DROP COLUMNS needs at least one column")
+    withRetry {
+      val base = currentVersion
+      require(base >= 0, s"$dir has no committed version")
+      val m = loadManifest(base)
+      val cur = schemaAt(m)
+      val resolved = names.map { n =>
+        cur.fieldNames.find(_.equalsIgnoreCase(n)).getOrElse(
+          throw new IllegalArgumentException(s"no such column '$n' " +
+            s"(table has ${cur.fieldNames.mkString(", ")})"))
+      }.distinct
+      resolved.foreach { n =>
+        require(!keys.exists(_.equalsIgnoreCase(n)),
+          s"cannot drop key column '$n' - it is the table's physical " +
+            "identity (bucketing, pruning, upsert co-location); " +
+            "migrate to a new layout with rebucketTo")
+        require(!bloomCols.exists(_.equalsIgnoreCase(n)),
+          s"cannot drop bloom column '$n' - the _table.json descriptor " +
+            "builds its sidecars on every append; migrate with rebucketTo")
+      }
+      checkConstraints.foreach { case (cn, pred) =>
+        val refs = spark.sessionState.sqlParser.parseExpression(pred)
+          .collect { case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => a.name }
+        resolved.foreach(n => require(!refs.exists(_.equalsIgnoreCase(n)),
+          s"CHECK $cn references column '$n' - dropCheckConstraint first"))
+      }
+      require(cur.fields.length > resolved.length,
+        "cannot drop every column of the table")
+      val target = StructType(cur.fields
+        .filterNot(f => resolved.exists(_.equalsIgnoreCase(f.name))))
+      val all = droppedColumns ++ resolved.map(_.toLowerCase)
+      commit(m.entries, base, Some(target),
+        Map("dropped_cols" -> all.toSeq.sorted.mkString(",")))
+      ()
+    }
+  }
+
+  @volatile private var droppedCache: Option[(Long, Set[String])] = None
+
+  /** Column names (lowercased) ever retired by [[dropColumns]] —
+    * permanently unavailable for re-adding (resurrection guard; see
+    * [[dropColumns]]). Carried forward like [[checkConstraints]]:
+    * each drop commit declares the full cumulative set, lookups load
+    * only manifests newer than the cached version. */
+  def droppedColumns: Set[String] = {
+    val head = currentVersion
+    if (head < 0) Set.empty
+    else droppedCache match {
+      case Some((v, s)) if v == head => s
+      case cached =>
+        val floor = cached.map(_._1).getOrElse(-1L)
+        val declared = versions.filter(_ > floor).sorted.reverseIterator
+          .map(v => commitMeta(v).get("dropped_cols"))
+          .collectFirst { case Some(s) =>
+            s.split(",").map(_.trim).filter(_.nonEmpty).toSet }
+        val s = declared.orElse(cached.map(_._2)).getOrElse(Set.empty)
+        droppedCache = Some((head, s))
+        s
+    }
+  }
+
   // ---- CHECK constraints (write-path governance; Delta's CHECK
   // constraint analog) ----
 
@@ -1293,9 +1378,21 @@ final class TxTable(
             s"${have.dataType.simpleString} to ${f.dataType.simpleString}")
       }
     }
-    StructType(cur.fields ++ incoming.fields
+    val added = incoming.fields
       .filterNot(f => cur.fieldNames.exists(_.equalsIgnoreCase(f.name)))
-      .map(f => StructField(f.name, f.dataType, nullable = true)))
+    // RESURRECTION GUARD: a name dropped by dropColumns still exists
+    // physically in pre-drop data files — re-adding it would read
+    // those stale values back as live data. Permanently refused; the
+    // remedy is a physical migration (rebucketTo).
+    added.foreach { f =>
+      require(!droppedColumns.contains(f.name.toLowerCase),
+        s"column '${f.name}' was previously dropped - pre-drop files " +
+          "still hold its values, which a re-added column would " +
+          "silently resurrect; migrate to a fresh table (rebucketTo) " +
+          "to reuse the name")
+    }
+    StructType(cur.fields ++
+      added.map(f => StructField(f.name, f.dataType, nullable = true)))
   }
 
   /** `df` shaped to `target`: present columns cast (matched

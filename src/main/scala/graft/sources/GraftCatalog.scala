@@ -166,14 +166,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** `ALTER TABLE … ADD COLUMNS (…)` routes onto the existing
     * schema-evolution path (metadata-only widened-schema commit;
-    * pre-evolution files null-fill). Every other change is refused
+    * pre-evolution files null-fill); `ALTER TABLE … DROP COLUMN …`
+    * onto the metadata-only narrowing commit (`TxTable.dropColumns` —
+    * no rewrite, resurrection-guarded). Every other change is refused
     * with the Scala-API pointer — type changes and renames would
     * silently break the physical layout contract. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirFor(ident.namespace(), ident.name())
     if (!isLiveTableDir(dir)) throw new NoSuchTableException(
       (catalogName +: ident.namespace().toSeq) :+ ident.name())
-    val adds = changes.map {
+    val (dropChanges, rest) = changes.partition(
+      _.isInstanceOf[TableChange.DeleteColumn])
+    val adds = rest.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "graft tables are flat - nested ADD COLUMN is unsupported")
@@ -184,8 +188,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           a.fieldNames().head, a.dataType(), nullable = true)
       case other => readOnly(s"ALTER TABLE ${other.getClass.getSimpleName}")
     }
-    GraftDataSource.openForRead(SparkSession.active, dir.toString)
-      .addColumns(StructType(adds))
+    val drops = dropChanges.map { case d: TableChange.DeleteColumn =>
+      require(d.fieldNames().length == 1,
+        "graft tables are flat - nested DROP COLUMN is unsupported")
+      d.fieldNames().head
+    }
+    val tx = GraftDataSource.openForRead(SparkSession.active, dir.toString)
+    if (adds.nonEmpty) tx.addColumns(StructType(adds))
+    if (drops.nonEmpty) tx.dropColumns(drops)
     loadTable(ident)
   }
 

@@ -222,10 +222,24 @@ final class GraftTable(val dir: String, declaredSchema: StructType,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tx, pinnedVersion, resolvedSchema,
-      Option(options.get("startingVersion")).map(_.toLong),
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val sv = Option(options.get("startingVersion")).map(_.toLong)
+    val st = Option(options.get("startingTimestamp"))
+    require(sv.isEmpty || st.isEmpty,
+      "give startingVersion OR startingTimestamp, not both")
+    // startingTimestamp = serve every commit published AT or AFTER the
+    // instant: the stream's start offset is the newest version strictly
+    // BEFORE it (its successors are the first batches); a timestamp
+    // predating the whole history starts from scratch
+    val start = sv.orElse(st.map { raw =>
+      val ms =
+        if (raw.nonEmpty && raw.forall(_.isDigit)) raw.toLong
+        else java.sql.Timestamp.valueOf(raw).getTime
+      tx.versionAsOfTimestamp(ms - 1).getOrElse(-1L)
+    })
+    new GraftScanBuilder(tx, pinnedVersion, resolvedSchema, start,
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {

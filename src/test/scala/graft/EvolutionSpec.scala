@@ -107,4 +107,66 @@ class EvolutionSpec extends SparkSpec {
     val rep = t.skipReport(col("note").isNotNull)
     assert(rep.scanned < rep.total || rep.total === 1)
   }
+
+  test("dropColumns: metadata-only narrowing; time travel keeps the column") {
+    val t = tkv()
+    t.append(Seq(("a", 1), ("b", 2)).toDF("k", "v"))       // v0 create, v1 data
+    t.appendEvolving(Seq(("c", 3, "n")).toDF("k", "v", "note")) // v2
+    val filesBefore = t.dataFileCount
+    t.dropColumns(Seq("NOTE"))                             // v3, case-insensitive
+    assert(t.currentSchema.fieldNames.toSeq === Seq("k", "v"))
+    // no data file rewritten: same files, narrower declared schema
+    assert(t.dataFileCount === filesBefore)
+    assert(t.read.columns.toSeq === Seq("k", "v"))
+    assert(t.read.count() === 3)
+    // each version reads under ITS schema: pre-drop still has note
+    assert(t.readVersion(2L).columns.contains("note"))
+    assert(t.droppedColumns === Set("note"))
+    // appends after the drop conform to the narrowed schema
+    t.append(Seq(("d", 4)).toDF("k", "v"))
+    assert(t.read.count() === 4)
+  }
+
+  test("dropColumns refusals: keys, unknown, every column, CHECK references") {
+    val t = tkv()
+    t.append(Seq(("a", 1)).toDF("k", "v"))
+    val key = intercept[IllegalArgumentException] {
+      t.dropColumns(Seq("k"))
+    }
+    assert(key.getMessage.contains("key column"))
+    val nope = intercept[IllegalArgumentException] {
+      t.dropColumns(Seq("ghost"))
+    }
+    assert(nope.getMessage.contains("ghost"))
+    // a CHECK referencing the column blocks the drop with the remedy
+    val t2 = tkv()
+    t2.append(Seq(("a", 1)).toDF("k", "v"))
+    t2.addCheckConstraint("v_pos", "v >= 0")
+    val chk = intercept[IllegalArgumentException] {
+      t2.dropColumns(Seq("v"))
+    }
+    assert(chk.getMessage.contains("dropCheckConstraint"))
+  }
+
+  test("resurrection guard: a dropped name can never be re-added") {
+    val t = tkv()
+    t.append(Seq(("a", 1)).toDF("k", "v"))
+    t.appendEvolving(Seq(("b", 2, 9L)).toDF("k", "v", "score"))
+    t.dropColumns(Seq("score"))
+    // addColumns refuses (including different case / different type)
+    val add = intercept[IllegalArgumentException] {
+      t.addColumns(StructType(Seq(StructField("Score", StringType))))
+    }
+    assert(add.getMessage.contains("resurrect"))
+    // the implicit evolving-writer path refuses too
+    val evo = intercept[IllegalArgumentException] {
+      t.appendEvolving(Seq(("c", 3, 7L)).toDF("k", "v", "score"))
+    }
+    assert(evo.getMessage.contains("resurrect"))
+    // and the stale physical values really are the hazard the guard
+    // names: a pre-drop data file still holds score=9 on disk
+    val paths = t.providerSnapshot(t.currentVersion, None)._2.map(_._1)
+    val raw = spark.read.parquet(paths: _*)
+    assert(raw.columns.contains("score"))
+  }
 }

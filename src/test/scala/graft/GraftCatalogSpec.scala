@@ -154,4 +154,51 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(allMessages(recreate).contains("undropTable"))
   }
+
+  test("CREATE TABLE AS SELECT lands create + populate through the protocol") {
+    val root = tmpDir("graft-cat-ctas")
+    spark.conf.set("spark.sql.catalog.ctas", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ctas.root", root)
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+      .createOrReplaceTempView("ctas_src")
+
+    spark.sql("""CREATE TABLE ctas.agg TBLPROPERTIES('keys'='k','buckets'='2')
+                 AS SELECT k, v * 2 AS v2 FROM ctas_src WHERE k <= 2""")
+    assert(spark.sql("SELECT k, v2 FROM ctas.agg ORDER BY k")
+      .as[(Long, Double)].collect().toSeq === Seq((1L, 20.0), (2L, 40.0)))
+    // the created table is a REAL TxTable: descriptor recorded, the
+    // CTAS population is a guarded commit (v0 create + v1 insert)
+    val t = TxTable.openReadOnly(spark, s"$root/agg")
+    assert(t.keys === Seq("k"))
+    assert(t.currentVersion === 1L)
+    // key column must exist in the SELECT's schema, like plain CREATE
+    val bad = intercept[Exception] {
+      spark.sql("""CREATE TABLE ctas.bad TBLPROPERTIES('keys'='nope')
+                   AS SELECT k FROM ctas_src""")
+    }
+    assert(allMessages(bad).contains("nope"))
+  }
+
+  test("ALTER TABLE DROP COLUMN: metadata-only narrowing through SQL") {
+    val root = tmpDir("graft-cat-dropcol")
+    spark.conf.set("spark.sql.catalog.dc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.dc.root", root)
+    spark.sql("""CREATE TABLE dc.t (k BIGINT, v DOUBLE, note STRING)
+                 TBLPROPERTIES('keys'='k','buckets'='2')""")
+    spark.sql("INSERT INTO dc.t VALUES (1, 1.5, 'x'), (2, 2.5, 'y')")
+
+    spark.sql("ALTER TABLE dc.t DROP COLUMN note")
+    assert(spark.table("dc.t").columns.toSeq === Seq("k", "v"))
+    assert(spark.sql("SELECT count(*) FROM dc.t").head().getLong(0) === 2L)
+    // resurrection guard fires through SQL too
+    val res = intercept[Exception] {
+      spark.sql("ALTER TABLE dc.t ADD COLUMNS (note STRING)")
+    }
+    assert(allMessages(res).contains("resurrect"))
+    // key columns refuse with the physical-identity rationale
+    val key = intercept[Exception] {
+      spark.sql("ALTER TABLE dc.t DROP COLUMN k")
+    }
+    assert(allMessages(key).contains("key column"))
+  }
 }

@@ -135,4 +135,54 @@ class GraftStreamSourceSpec extends SparkSpec {
       assert(fed.forall(_.numInputRows === 1))
     } finally q.stop()
   }
+
+  test("startingTimestamp serves exactly the commits published at/after it") {
+    val dir = tmpDir("gstream-ts") + "/t"
+    val b1 = Seq((1L, "a")).toDF("k", "s")
+    val t = new TxTable(spark, dir, b1.schema, Seq("k"), numBuckets = 2)
+    t.append(b1)
+    Thread.sleep(1100) // manifest publish times are second-granular mtimes
+    val cut = System.currentTimeMillis()
+    t.append(Seq((2L, "b")).toDF("k", "s"))
+
+    val q = spark.readStream.format("graft")
+      .option("startingTimestamp", cut.toString)
+      .load(dir)
+      .writeStream.format("memory").queryName("gtail_ts")
+      .option("checkpointLocation", tmpDir("gstream-ts-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      // only the post-cut commit is served; the pre-cut rows are not
+      assert(spark.table("gtail_ts").collect().map(_.getLong(0)).toSet ===
+        Set(2L))
+    } finally q.stop()
+
+    // a timestamp predating the whole history = serve everything
+    val q2 = spark.readStream.format("graft")
+      .option("startingTimestamp", "0")
+      .load(dir)
+      .writeStream.format("memory").queryName("gtail_ts0")
+      .option("checkpointLocation", tmpDir("gstream-ts0-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q2.awaitTermination()
+      assert(spark.table("gtail_ts0").collect().map(_.getLong(0)).toSet ===
+        Set(1L, 2L))
+    } finally q2.stop()
+
+    val both = intercept[Exception] {
+      // newScanBuilder guards batch and streaming alike; count() forces
+      // the scan to be built
+      spark.read.format("graft")
+        .option("startingVersion", "-1")
+        .option("startingTimestamp", "0")
+        .load(dir).count()
+    }
+    assert(Iterator.iterate(both: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      .contains("not both"))
+  }
 }
