@@ -172,6 +172,48 @@ class GraftStreamSinkSpec extends SparkSpec {
     assert(d.read.as[(Long, String)].collect().toSeq === Seq((1L, "a")))
   }
 
+  test("two independent streams into ONE table keep separate ledgers") {
+    val srcA = tmpDir("gsink-2a") + "/t"
+    val srcB = tmpDir("gsink-2b") + "/t"
+    val dst = tmpDir("gsink-2dst") + "/t"
+    val sA = new TxTable(spark, srcA,
+      Seq((0L, "x")).toDF("k", "s").schema, Seq("k"), numBuckets = 2)
+    sA.append(Seq((1L, "a"), (2L, "a")).toDF("k", "s"))
+    val sB = new TxTable(spark, srcB,
+      Seq((0L, "x")).toDF("k", "s").schema, Seq("k"), numBuckets = 2)
+    sB.append(Seq((10L, "b")).toDF("k", "s"))
+    val d = mkDest(dst)
+
+    def run(src: String, tag: String, ck: String): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", "-1").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ck)
+        .option("graft.tag", tag)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    val ckA = tmpDir("gsink-2ck-a"); val ckB = tmpDir("gsink-2ck-b")
+    run(srcA, "feedA", ckA)
+    run(srcB, "feedB", ckB)
+    assert(d.read.count() === 3L)
+    // per-tag ledgers: replaying EITHER pipeline from a LOST checkpoint
+    // re-sends its epoch 0 and converges to a no-op, without touching
+    // the other pipeline's ledger
+    run(srcA, "feedA", tmpDir("gsink-2ck-a-replay"))
+    assert(d.read.count() === 3L)
+    assert(d.latestMeta("stream_batch:feedA") === Some("0"))
+    assert(d.latestMeta("stream_batch:feedB") === Some("0"))
+    // normal operation (surviving checkpoint): a new commit on one
+    // feed flows as that pipeline's NEXT epoch, the other untouched
+    sB.append(Seq((11L, "b2")).toDF("k", "s"))
+    run(srcB, "feedB", ckB)
+    assert(d.read.count() === 4L)
+    assert(d.latestMeta("stream_batch:feedB") === Some("1"))
+    assert(d.latestMeta("stream_batch:feedA") === Some("0"))
+  }
+
   test("writeStream.toTable through the catalog identifier") {
     val root = tmpDir("gsink-cat")
     spark.conf.set("spark.sql.catalog.sinkcat", "graft.sources.GraftCatalog")
