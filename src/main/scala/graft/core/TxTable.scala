@@ -265,6 +265,16 @@ final class TxTable(
   def dropMeta(keys: Iterable[String]): Unit = {
     val ks = keys.toSeq.distinct
     require(ks.nonEmpty, "dropMeta needs at least one key")
+    // governance keys are NOT retirable watermarks: tombstoning
+    // `checks` would silently stop validating writes, tombstoning
+    // `dropped_cols` would disable the resurrection guard (and the
+    // next vacuum would end the key's lifecycle, making the bypass
+    // permanent)
+    val reserved = ks.filter(TxTable.ReservedMetaKeys.contains)
+    require(reserved.isEmpty,
+      s"cannot dropMeta reserved governance key(s) ${reserved.mkString(", ")}" +
+        " - use dropCheckConstraint for constraints; dropped_cols is " +
+        "permanent by design (resurrection guard)")
     withRetry {
       val base = currentVersion
       val m = loadManifest(base)
@@ -399,6 +409,14 @@ final class TxTable(
     * column. */
   def dropColumns(names: Seq[String]): Unit = {
     require(names.nonEmpty, "DROP COLUMNS needs at least one column")
+    // a descriptor-less open carries placeholder keys, so the
+    // key-column refusal below could not fire — dropping the real key
+    // column of a legacy table would corrupt its physical identity
+    // exactly like a mis-bucketed write (same guard as SQL writes)
+    require(!keys.contains("__reader__"),
+      s"$dir has no _table.json write descriptor: DROP COLUMN needs " +
+        "the key columns to protect the physical identity - open the " +
+        "table through the Scala API with its keys, or add _table.json")
     withRetry {
       val base = currentVersion
       require(base >= 0, s"$dir has no committed version")
@@ -450,8 +468,11 @@ final class TxTable(
       case Some((v, s)) if v == head => s
       case cached =>
         val floor = cached.map(_._1).getOrElse(-1L)
+        // tombstones are skipped defensively (dropMeta refuses the key
+        // now, but a pre-refusal tombstone must not disable the guard)
         val declared = versions.filter(_ > floor).sorted.reverseIterator
-          .map(v => commitMeta(v).get("dropped_cols"))
+          .map(v => commitMeta(v).get("dropped_cols")
+            .filterNot(_ == TxTable.MetaTombstone))
           .collectFirst { case Some(s) =>
             s.split(",").map(_.trim).filter(_.nonEmpty).toSet }
         val s = declared.orElse(cached.map(_._2)).getOrElse(Set.empty)
@@ -495,7 +516,8 @@ final class TxTable(
       case cached =>
         val floor = cached.map(_._1).getOrElse(-1L)
         val declared = versions.filter(_ > floor).sorted.reverseIterator
-          .map(v => commitMeta(v).get("checks"))
+          .map(v => commitMeta(v).get("checks")
+            .filterNot(_ == TxTable.MetaTombstone))
           .collectFirst { case Some(s) => decodeChecks(s) }
         val m = declared.orElse(cached.map(_._2)).getOrElse(Map.empty)
         checksCache = Some((head, m))
@@ -1399,12 +1421,7 @@ final class TxTable(
     * case-insensitively, renamed to the stored spelling), absent
     * columns null-filled (evolving writers may omit columns). */
   private def conform(df: DataFrame, target: StructType): DataFrame =
-    df.select(target.fields.map { fl =>
-      df.columns.find(_.equalsIgnoreCase(fl.name)) match {
-        case Some(c) => col(c).cast(fl.dataType).as(fl.name)
-        case None => lit(null).cast(fl.dataType).as(fl.name)
-      }
-    }: _*)
+    TxTable.conformTo(df, target)
 
   /** S12 — append: new files, manifest = old ∪ new. The staged files
     * don't depend on the base version, so a rebase after a conflict
@@ -2268,6 +2285,25 @@ object TxTable {
     * the key's lifecycle at it. The NUL bytes keep it out of any
     * plausible application value space. */
   val MetaTombstone: String = "\u0000tombstone\u0000"
+
+  /** Commit-meta keys that carry table GOVERNANCE state, not consumer
+    * watermarks — [[TxTable.dropMeta]] refuses them (a tombstone would
+    * silently disable CHECK validation / the dropped-column
+    * resurrection guard). */
+  val ReservedMetaKeys: Set[String] = Set("checks", "dropped_cols")
+
+  /** `df` shaped to `target`: present columns cast (matched
+    * case-insensitively, renamed to the stored spelling), absent
+    * columns null-filled. The ONE conform used by every write surface
+    * (Scala evolving writers, the streaming sink) so batch and
+    * streaming shaping semantics can never drift. */
+  private[graft] def conformTo(df: DataFrame, target: StructType): DataFrame =
+    df.select(target.fields.map { fl =>
+      df.columns.find(_.equalsIgnoreCase(fl.name)) match {
+        case Some(c) => col(c).cast(fl.dataType).as(fl.name)
+        case None => lit(null).cast(fl.dataType).as(fl.name)
+      }
+    }.toIndexedSeq: _*)
 
   /** Default total time a conflicting writer keeps rebasing before
     * giving up with [[CommitConflict]] (see [[TxTable.withRetry]]). */

@@ -873,7 +873,8 @@ object TxQueries {
   def tx_stream_sink(s: SparkSession, dir: String): DataFrame = {
     val raw = s.read.parquet(s"$dir/events.parquet")
       .select("event_id", "event_type", "value")
-    val table = cached(s, dir, "events", "streamsink", 1L) { loc =>
+    // tag v2: the ledger value format changed to "<epoch>:<rows>"
+    val table = cached(s, dir, "events", "streamsink2", 1L) { loc =>
       new TxTable(s, loc, raw.schema, Seq("event_id"), numBuckets = 4)
     } { tx =>
       tx.createIfAbsent() // v0 — records the _table.json descriptor
@@ -893,9 +894,9 @@ object TxQueries {
         .start(tx.dir) // v1 — epoch 0 lands through appendIf + ledger
       q.awaitTermination()
     }
-    require(table.latestMeta("stream_batch:" +
-        table.commitMeta(1L).keys.find(_.startsWith("stream_batch:")).get
-          .stripPrefix("stream_batch:")).contains("0"),
+    require(table.latestMeta(
+        table.commitMeta(1L).keys.find(_.startsWith("stream_batch:")).get)
+        .exists(_.startsWith("0:")),
       "streaming sink did not record its epoch ledger")
     s.read.format("graft").load(table.dir)
       .createOrReplaceTempView("graft_stream_sunk")

@@ -188,12 +188,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           a.fieldNames().head, a.dataType(), nullable = true)
       case other => readOnly(s"ALTER TABLE ${other.getClass.getSimpleName}")
     }
+    val tx = GraftDataSource.openForRead(SparkSession.active, dir.toString)
     val drops = dropChanges.map { case d: TableChange.DeleteColumn =>
       require(d.fieldNames().length == 1,
         "graft tables are flat - nested DROP COLUMN is unsupported")
-      d.fieldNames().head
+      (d.fieldNames().head, Option(d.ifExists()).exists(_.booleanValue()))
+    }.collect {
+      // IF EXISTS: an absent column succeeds silently; a present one
+      // (or a plain DROP COLUMN) goes through dropColumns, which
+      // raises the honest error itself for the absent+required case
+      case (n, ifExists)
+          if !ifExists ||
+            tx.currentSchema.fieldNames.exists(_.equalsIgnoreCase(n)) => n
     }
-    val tx = GraftDataSource.openForRead(SparkSession.active, dir.toString)
     if (adds.nonEmpty) tx.addColumns(StructType(adds))
     if (drops.nonEmpty) tx.dropColumns(drops)
     loadTable(ident)

@@ -58,14 +58,24 @@ private[sources] object GraftStreamSink {
     * convention as `StreamingView.start`'s per-batch ledger. */
   def metaKey(tag: String): String = s"stream_batch:$tag"
 
+  /** Ledger value `"<epoch>:<rows>"` (row count distinguishes a true
+    * crash-replay from a pinned-tag re-checkpoint over a changed
+    * source); a bare `"<epoch>"` — StreamingView's foreachBatch
+    * convention, or a pre-upgrade sink commit — parses with an
+    * unknown count. */
+  def parseLedger(v: String): (Long, Option[Long]) = v.split(':') match {
+    case Array(e, r) => (e.toLong, Some(r.toLong))
+    case _ => (v.toLong, None)
+  }
+
   sealed trait Mode
   case object AppendMode extends Mode
   case object UpsertMode extends Mode
   case object ReplaceMode extends Mode
 
-  /** `df` shaped to the table schema: present columns cast (matched
-    * case-insensitively), absent columns null-filled; a column the
-    * table lacks is refused (a silent drop would eat typos). */
+  /** `df` shaped to the table schema — [[TxTable.conformTo]], the one
+    * conform every write surface shares, plus a refusal for columns
+    * the table lacks (a silent drop would eat typos). */
   def conformTo(target: StructType, df: DataFrame): DataFrame = {
     val unknown = df.columns
       .filterNot(c => target.fieldNames.exists(_.equalsIgnoreCase(c)))
@@ -73,12 +83,7 @@ private[sources] object GraftStreamSink {
       s"streaming batch columns [${unknown.mkString(", ")}] are not in " +
         "the table schema - evolve the table first " +
         "(ALTER TABLE ... ADD COLUMNS / TxTable.addColumns)")
-    df.select(target.fields.map { fl =>
-      df.columns.find(_.equalsIgnoreCase(fl.name)) match {
-        case Some(c) => col(c).cast(fl.dataType).as(fl.name)
-        case None => lit(null).cast(fl.dataType).as(fl.name)
-      }
-    }.toIndexedSeq: _*)
+    TxTable.conformTo(df, target)
   }
 }
 
@@ -109,17 +114,46 @@ final class GraftStreamingWrite(dir: String, incoming: StructType,
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
-    val files = messages
-      .collect { case m: GraftStreamTaskResult => m }.flatMap(_.file).toSeq
+    val results = messages.collect { case m: GraftStreamTaskResult => m }
+    val files = results.flatMap(_.file).toSeq
+    val rowCount = results.map(_.rows).sum
     try {
       val tx = GraftDataSource.openForRead(spark, dir)
       val key = metaKey(tag)
-      // fast path for the common replay (no table open per attempt);
-      // the authoritative check is the snapshot-pinned precondition
-      if (!tx.latestMeta(key).map(_.toLong).exists(_ >= epochId)) {
+      // Replay vs re-checkpoint, told apart instead of guessed: a TRUE
+      // crash-replay re-sends exactly the LAST committed epoch with the
+      // same content (deterministic source replay from checkpointed
+      // offsets) — same id, same row count → converge to a no-op. A
+      // pinned graft.tag under a FRESH checkpoint resets epoch ids to 0
+      // while the source may have gained commits; silently skipping
+      // would LOSE those rows, so an epoch id BEHIND the ledger, or the
+      // same id with different content, FAILS with the remedy named.
+      val recorded = tx.latestMeta(key).map(parseLedger)
+      val skip = recorded match {
+        case Some((e, rOpt)) if e > epochId =>
+          throw new IllegalStateException(
+            s"stream ledger '$key' of $dir is at epoch $e but this run " +
+              s"sent epoch $epochId: a pinned graft.tag was restarted " +
+              "from a FRESH checkpoint after the ledger advanced - " +
+              "resuming would silently skip data. Resume the original " +
+              "checkpoint, or use a new tag (replaying the whole source " +
+              "into the ledgered table converges via the per-epoch " +
+              "no-op only when epoch ids line up)")
+        case Some((e, rOpt)) if e == epochId =>
+          if (rOpt.forall(_ == rowCount)) true // the true-replay no-op
+          else throw new IllegalStateException(
+            s"stream ledger '$key' of $dir already applied epoch $e " +
+              s"with ${rOpt.get} row(s) but this run's epoch $epochId " +
+              s"carries $rowCount: same epoch id, different content " +
+              "(pinned tag + fresh checkpoint over a changed source) - " +
+              "a silent skip would lose the difference. Use a new tag " +
+              "or resume the original checkpoint")
+        case _ => false
+      }
+      if (!skip) {
         def fresh(snap: TxTable.Snapshot): Boolean =
-          !snap.meta(key).map(_.toLong).exists(_ >= epochId)
-        val meta = Map(key -> epochId.toString)
+          !snap.meta(key).map(parseLedger).exists(_._1 >= epochId)
+        val meta = Map(key -> s"$epochId:$rowCount")
         val target = tx.currentSchema
         def batch: DataFrame = conformTo(target,
           spark.read.schema(incoming).parquet(files: _*))

@@ -166,7 +166,25 @@ class EvolutionSpec extends SparkSpec {
     // and the stale physical values really are the hazard the guard
     // names: a pre-drop data file still holds score=9 on disk
     val paths = t.providerSnapshot(t.currentVersion, None)._2.map(_._1)
-    val raw = spark.read.parquet(paths: _*)
+    val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
     assert(raw.columns.contains("score"))
+
+    // the guard is not retirable: dropMeta refuses the governance key
+    val dm = intercept[IllegalArgumentException] {
+      t.dropMeta(Seq("dropped_cols"))
+    }
+    assert(dm.getMessage.contains("reserved"))
+  }
+
+  test("dropColumns refuses descriptor-less opens (placeholder keys)") {
+    val t = tkv()
+    t.append(Seq(("a", 1)).toDF("k", "v"))
+    // simulate a legacy table: no _table.json write descriptor
+    assert(new java.io.File(t.dir, "_table.json").delete())
+    val ro = TxTable.openReadOnly(spark, t.dir)
+    val e = intercept[IllegalArgumentException] {
+      ro.dropColumns(Seq("v"))
+    }
+    assert(e.getMessage.contains("_table.json"))
   }
 }

@@ -79,11 +79,21 @@ class GraftStreamSinkSpec extends SparkSpec {
     runWithFreshCheckpoint()
     val after1 = d.read.count()
     assert(after1 === 2L)
-    // a crash-and-restart that lost the checkpoint re-sends epoch 0;
-    // the ledger (stream_batch:pipeline-A >= 0) makes it a no-op
+    // a crash-and-restart that lost the checkpoint re-sends epoch 0
+    // with the SAME content; the ledger makes it a no-op
     runWithFreshCheckpoint()
     assert(d.read.count() === after1)
-    assert(d.latestMeta("stream_batch:pipeline-A") === Some("0"))
+    assert(d.latestMeta("stream_batch:pipeline-A") === Some("0:2"))
+
+    // but a pinned tag + fresh checkpoint over a CHANGED source is NOT
+    // silently skippable: epoch 0 would now carry rows the ledger never
+    // saw, so the sink fails with the remedy instead of losing them
+    s.append(Seq((3L, "c")).toDF("k", "s"))
+    val e = intercept[Exception] { runWithFreshCheckpoint() }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("different content"), msgs)
+    assert(d.read.count() === after1) // nothing half-applied
   }
 
   test("graft.mode=upsert: later epochs win per key (live ON-CONFLICT)") {
@@ -203,15 +213,15 @@ class GraftStreamSinkSpec extends SparkSpec {
     // the other pipeline's ledger
     run(srcA, "feedA", tmpDir("gsink-2ck-a-replay"))
     assert(d.read.count() === 3L)
-    assert(d.latestMeta("stream_batch:feedA") === Some("0"))
-    assert(d.latestMeta("stream_batch:feedB") === Some("0"))
+    assert(d.latestMeta("stream_batch:feedA") === Some("0:2"))
+    assert(d.latestMeta("stream_batch:feedB") === Some("0:1"))
     // normal operation (surviving checkpoint): a new commit on one
     // feed flows as that pipeline's NEXT epoch, the other untouched
     sB.append(Seq((11L, "b2")).toDF("k", "s"))
     run(srcB, "feedB", ckB)
     assert(d.read.count() === 4L)
-    assert(d.latestMeta("stream_batch:feedB") === Some("1"))
-    assert(d.latestMeta("stream_batch:feedA") === Some("0"))
+    assert(d.latestMeta("stream_batch:feedB") === Some("1:1"))
+    assert(d.latestMeta("stream_batch:feedA") === Some("0:2"))
   }
 
   test("writeStream.toTable through the catalog identifier") {
