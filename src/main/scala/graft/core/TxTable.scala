@@ -1596,6 +1596,44 @@ final class TxTable(
     } finally fs.delete(stage, true)
   }
 
+  /** GUARDED [[appendEvolving]] — the evolving twin of [[appendIf]]:
+    * the streaming sink's schema-drift mode (`graft.evolve`) lands
+    * epochs whose batches may carry NEW columns, widening the table
+    * schema in the same atomic commit as the data + epoch watermark.
+    * The resurrection guard inside [[widen]] still applies per
+    * attempt. */
+  def appendEvolvingIf(df: DataFrame, meta: Map[String, String])
+      (pre: TxTable.Snapshot => Boolean): Boolean = {
+    createIfAbsent()
+    withRetry {
+      val base = currentVersion
+      val m = loadManifest(base)
+      if (!pre(snapshotAt(base))) false
+      else {
+        val target = widen(schemaAt(m), df.schema)
+        stageAndCommit(m.entries, conform(df, target), base, target,
+          meta = meta)
+        true
+      }
+    }
+  }
+
+  /** GUARDED [[upsertEvolving]] — see [[appendEvolvingIf]]. */
+  def upsertEvolvingIf(df: DataFrame, meta: Map[String, String])
+      (pre: TxTable.Snapshot => Boolean): Boolean = {
+    createIfAbsent()
+    withRetry {
+      val base = currentVersion
+      val m = loadManifest(base)
+      if (!pre(snapshotAt(base))) false
+      else {
+        val target = widen(schemaAt(m), df.schema)
+        upsertOnto(m, conform(df, target), base, target, meta)
+        true
+      }
+    }
+  }
+
   /** GUARDED [[upsert]]: a compare-and-set against table state. Each
     * commit attempt reads its base version FIRST and hands `pre` a
     * [[TxTable.Snapshot]] pinned at that base; only if `pre` holds is

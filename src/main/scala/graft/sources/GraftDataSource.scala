@@ -402,9 +402,19 @@ class GraftWriteBuilder(tx: TxTable, tableSchema: StructType,
         if (mode == GraftStreamSink.UpsertMode)
           require(tx.keys.nonEmpty,
             s"graft.mode=upsert needs key columns; ${tx.dir} has none")
+        // `.option("graft.evolve", "true")`: batches carrying NEW
+        // columns widen the table schema in the same atomic commit
+        // (schema-drifting log pipelines); without it unknown columns
+        // are refused. Complete mode replaces the whole table, so
+        // evolution through it would be an accident, not a policy.
+        val evolve = Option(info.options().get("graft.evolve"))
+          .exists(_.equalsIgnoreCase("true"))
+        require(!(evolve && mode == GraftStreamSink.ReplaceMode),
+          "graft.evolve is for append/upsert ingest; outputMode(complete) " +
+            "replaces the table - evolve its schema explicitly instead")
         val tag = Option(info.options().get("graft.tag"))
           .getOrElse(info.queryId())
-        new GraftStreamingWrite(tx.dir, info.schema(), tag, mode)
+        new GraftStreamingWrite(tx.dir, info.schema(), tag, mode, evolve)
       }
     }
 }

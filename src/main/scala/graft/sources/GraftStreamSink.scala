@@ -93,7 +93,8 @@ final case class GraftStreamTaskResult(file: Option[String], rows: Long)
     extends WriterCommitMessage
 
 final class GraftStreamingWrite(dir: String, incoming: StructType,
-    tag: String, mode: GraftStreamSink.Mode) extends StreamingWrite {
+    tag: String, mode: GraftStreamSink.Mode, evolve: Boolean = false)
+    extends StreamingWrite {
   import GraftStreamSink._
 
   private val stageDir = s"$dir/.stage-stream-$tag"
@@ -155,8 +156,8 @@ final class GraftStreamingWrite(dir: String, incoming: StructType,
           !snap.meta(key).map(parseLedger).exists(_._1 >= epochId)
         val meta = Map(key -> s"$epochId:$rowCount")
         val target = tx.currentSchema
-        def batch: DataFrame = conformTo(target,
-          spark.read.schema(incoming).parquet(files: _*))
+        def raw: DataFrame = spark.read.schema(incoming).parquet(files: _*)
+        def batch: DataFrame = conformTo(target, raw)
         mode match {
           case ReplaceMode =>
             // an EMPTY complete-mode epoch is still a result ("the
@@ -171,9 +172,15 @@ final class GraftStreamingWrite(dir: String, incoming: StructType,
           case UpsertMode =>
             // empty epochs skip entirely: appending/upserting nothing
             // is idempotent under replay, no ledger commit needed
-            if (files.nonEmpty) tx.upsertIf(batch, meta)(fresh)
+            if (files.nonEmpty) {
+              if (evolve) tx.upsertEvolvingIf(raw, meta)(fresh)
+              else tx.upsertIf(batch, meta)(fresh)
+            }
           case AppendMode =>
-            if (files.nonEmpty) tx.appendIf(batch, meta)(fresh)
+            if (files.nonEmpty) {
+              if (evolve) tx.appendEvolvingIf(raw, meta)(fresh)
+              else tx.appendIf(batch, meta)(fresh)
+            }
         }
         ()
       }

@@ -200,4 +200,19 @@ class DeltaImportSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("missing commits"))
   }
+
+  test("a dropped column round-trips as ABSENT (stock readers project by name)") {
+    val dir = tmpDir("deltai-drop") + "/t"
+    val data = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 2)
+    t.append(data)
+    t.dropColumns(Seq("name")) // metadata-only: files still hold 'name'
+    DeltaExport.writeDeltaLog(spark, t)
+    val back = DeltaImport.read(spark, dir)
+    // the exported schemaString is the narrowed schema; the reader
+    // projects the data files by name, so the physically-present
+    // dropped column never resurfaces through the interop path either
+    assert(back.columns.toSeq === Seq("k", "v"))
+    assert(rows(back) === rows(t.read))
+  }
 }

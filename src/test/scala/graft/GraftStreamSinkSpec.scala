@@ -182,6 +182,55 @@ class GraftStreamSinkSpec extends SparkSpec {
     assert(d.read.as[(Long, String)].collect().toSeq === Seq((1L, "a")))
   }
 
+  test("graft.evolve=true: schema-drifting epochs widen the sink table") {
+    val src = tmpDir("gsink-evo-src") + "/t"
+    val dst = tmpDir("gsink-evo-dst") + "/t"
+    val s = new TxTable(spark, src,
+      Seq((0L, "x")).toDF("k", "s").schema, Seq("k"), numBuckets = 2)
+    s.append(Seq((1L, "a")).toDF("k", "s"))
+    val d = mkDest(dst)
+
+    val ck = tmpDir("gsink-evo-ck")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", "-1").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ck)
+        .option("graft.evolve", "true")
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    run()
+    assert(d.read.columns.toSeq === Seq("k", "s"))
+    // the source gains a column; the restarted stream carries it and
+    // the sink widens the table IN the epoch commit (old rows null)
+    s.appendEvolving(Seq((2L, "b", 7L)).toDF("k", "s", "score"))
+    run()
+    assert(d.currentSchema.fieldNames.toSeq === Seq("k", "s", "score"))
+    assert(d.read.orderBy("k").as[(Long, String, Option[Long])]
+      .collect().toSeq === Seq((1L, "a", None), (2L, "b", Some(7L))))
+    // without the option, drifting batches are refused, not dropped
+    val s2 = new TxTable(spark, tmpDir("gsink-evo-src2") + "/t",
+      Seq((0L, "x", 0L)).toDF("k", "s", "extra").schema, Seq("k"),
+      numBuckets = 2)
+    s2.append(Seq((9L, "z", 1L)).toDF("k", "s", "extra"))
+    val dst2 = tmpDir("gsink-evo-dst2") + "/t"
+    mkDest(dst2)
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", "-1").load(s2.dir)
+        .writeStream.format("graft")
+        .option("checkpointLocation", tmpDir("gsink-evo-ck2"))
+        .trigger(Trigger.AvailableNow())
+        .start(dst2)
+      q.awaitTermination()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      .contains("evolve"))
+  }
+
   test("two independent streams into ONE table keep separate ledgers") {
     val srcA = tmpDir("gsink-2a") + "/t"
     val srcB = tmpDir("gsink-2b") + "/t"

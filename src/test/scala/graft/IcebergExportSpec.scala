@@ -139,4 +139,17 @@ class IcebergExportSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("99999"))
   }
+
+  test("a dropped column exports as ABSENT and never resurfaces on import") {
+    val dir = tmpDir("iceberg-drop") + "/t"
+    val data = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 2)
+    t.append(data)
+    t.dropColumns(Seq("name")) // metadata-only: files still hold 'name'
+    IcebergExport.writeIcebergMetadata(spark, t)
+    val back = graft.core.IcebergImport.read(spark, dir)
+    assert(back.columns.toSeq === Seq("k", "v"))
+    assert(back.collect().map(_.toSeq).toSet ===
+      t.read.collect().map(_.toSeq).toSet)
+  }
 }
