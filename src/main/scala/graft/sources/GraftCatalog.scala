@@ -189,6 +189,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => readOnly(s"ALTER TABLE ${other.getClass.getSimpleName}")
     }
     val tx = GraftDataSource.openForRead(SparkSession.active, dir.toString)
+    // one schema read for the whole statement (currentSchema re-lists
+    // and re-parses the head manifest per call)
+    lazy val curCols = tx.currentSchema.fieldNames
     val drops = dropChanges.map { case d: TableChange.DeleteColumn =>
       require(d.fieldNames().length == 1,
         "graft tables are flat - nested DROP COLUMN is unsupported")
@@ -198,8 +201,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       // (or a plain DROP COLUMN) goes through dropColumns, which
       // raises the honest error itself for the absent+required case
       case (n, ifExists)
-          if !ifExists ||
-            tx.currentSchema.fieldNames.exists(_.equalsIgnoreCase(n)) => n
+          if !ifExists || curCols.exists(_.equalsIgnoreCase(n)) => n
     }
     if (adds.nonEmpty) tx.addColumns(StructType(adds))
     if (drops.nonEmpty) tx.dropColumns(drops)

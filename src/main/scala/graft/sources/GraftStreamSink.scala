@@ -54,19 +54,10 @@ import graft.core.TxTable
   *    replaces the table (live aggregate tables).
   */
 private[sources] object GraftStreamSink {
-  /** Commit-metadata key carrying the last applied epoch — the same
-    * convention as `StreamingView.start`'s per-batch ledger. */
-  def metaKey(tag: String): String = s"stream_batch:$tag"
-
-  /** Ledger value `"<epoch>:<rows>"` (row count distinguishes a true
-    * crash-replay from a pinned-tag re-checkpoint over a changed
-    * source); a bare `"<epoch>"` — StreamingView's foreachBatch
-    * convention, or a pre-upgrade sink commit — parses with an
-    * unknown count. */
-  def parseLedger(v: String): (Long, Option[Long]) = v.split(':') match {
-    case Array(e, r) => (e.toLong, Some(r.toLong))
-    case _ => (v.toLong, None)
-  }
+  /** Commit-metadata key carrying the last applied epoch — the shared
+    * [[graft.core.StreamLedger]] convention (same ledger as
+    * `StreamingView.start`'s foreachBatch watermark). */
+  def metaKey(tag: String): String = graft.core.StreamLedger.key(tag)
 
   sealed trait Mode
   case object AppendMode extends Mode
@@ -88,9 +79,13 @@ private[sources] object GraftStreamSink {
 }
 
 /** One epoch task's commit message: the staged parquet path (absent
-  * if the task saw no rows) and its row count (telemetry only). */
-final case class GraftStreamTaskResult(file: Option[String], rows: Long)
-    extends WriterCommitMessage
+  * if the task saw no rows), its row count, and the sum of per-row
+  * Murmur3 value hashes. rows+hash are LOAD-BEARING, not telemetry:
+  * summed across tasks (order-independent) they are the epoch's
+  * content fingerprint in the exactly-once ledger — a replayed epoch
+  * must reproduce both or the commit fails honestly. */
+final case class GraftStreamTaskResult(file: Option[String], rows: Long,
+    hashSum: Long) extends WriterCommitMessage
 
 final class GraftStreamingWrite(dir: String, incoming: StructType,
     tag: String, mode: GraftStreamSink.Mode, evolve: Boolean = false)
@@ -118,20 +113,24 @@ final class GraftStreamingWrite(dir: String, incoming: StructType,
     val results = messages.collect { case m: GraftStreamTaskResult => m }
     val files = results.flatMap(_.file).toSeq
     val rowCount = results.map(_.rows).sum
+    val contentHash = results.map(_.hashSum).sum
     try {
       val tx = GraftDataSource.openForRead(spark, dir)
       val key = metaKey(tag)
+      import graft.core.StreamLedger
       // Replay vs re-checkpoint, told apart instead of guessed: a TRUE
       // crash-replay re-sends exactly the LAST committed epoch with the
       // same content (deterministic source replay from checkpointed
-      // offsets) — same id, same row count → converge to a no-op. A
-      // pinned graft.tag under a FRESH checkpoint resets epoch ids to 0
-      // while the source may have gained commits; silently skipping
-      // would LOSE those rows, so an epoch id BEHIND the ledger, or the
-      // same id with different content, FAILS with the remedy named.
-      val recorded = tx.latestMeta(key).map(parseLedger)
+      // offsets) — same id, same row count, same value-hash sum →
+      // converge to a no-op. A pinned graft.tag under a FRESH
+      // checkpoint resets epoch ids to 0 while the source may have
+      // changed; silently skipping would LOSE the difference, so an
+      // epoch id BEHIND the ledger, or the same id with a different
+      // content fingerprint (even at equal cardinality), FAILS with
+      // the remedy named.
+      val recorded = tx.latestMeta(key).map(StreamLedger.parse)
       val skip = recorded match {
-        case Some((e, rOpt)) if e > epochId =>
+        case Some((e, _, _)) if e > epochId =>
           throw new IllegalStateException(
             s"stream ledger '$key' of $dir is at epoch $e but this run " +
               s"sent epoch $epochId: a pinned graft.tag was restarted " +
@@ -140,21 +139,25 @@ final class GraftStreamingWrite(dir: String, incoming: StructType,
               "checkpoint, or use a new tag (replaying the whole source " +
               "into the ledgered table converges via the per-epoch " +
               "no-op only when epoch ids line up)")
-        case Some((e, rOpt)) if e == epochId =>
-          if (rOpt.forall(_ == rowCount)) true // the true-replay no-op
+        case Some((e, rOpt, hOpt)) if e == epochId =>
+          if (rOpt.forall(_ == rowCount) && hOpt.forall(_ == contentHash))
+            true // the true-replay no-op
           else throw new IllegalStateException(
             s"stream ledger '$key' of $dir already applied epoch $e " +
-              s"with ${rOpt.get} row(s) but this run's epoch $epochId " +
-              s"carries $rowCount: same epoch id, different content " +
-              "(pinned tag + fresh checkpoint over a changed source) - " +
-              "a silent skip would lose the difference. Use a new tag " +
-              "or resume the original checkpoint")
+              s"with ${rOpt.getOrElse("?")} row(s) / content hash " +
+              s"${hOpt.getOrElse("?")}, but this run's epoch $epochId " +
+              s"carries $rowCount row(s) / hash $contentHash: same " +
+              "epoch id, different content (pinned tag + fresh " +
+              "checkpoint over a changed source) - a silent skip would " +
+              "lose the difference. Use a new tag or resume the " +
+              "original checkpoint")
         case _ => false
       }
       if (!skip) {
         def fresh(snap: TxTable.Snapshot): Boolean =
-          !snap.meta(key).map(parseLedger).exists(_._1 >= epochId)
-        val meta = Map(key -> s"$epochId:$rowCount")
+          !snap.meta(key).map(StreamLedger.epochOf).exists(_ >= epochId)
+        val meta = Map(key -> StreamLedger.format(epochId, rowCount,
+          contentHash))
         val target = tx.currentSchema
         def raw: DataFrame = spark.read.schema(incoming).parquet(files: _*)
         def batch: DataFrame = conformTo(target, raw)
@@ -229,7 +232,18 @@ final class GraftStreamTaskWriter(stageDir: String, schema: StructType,
   }
   private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
   private var rows = 0L
+  private var hashSum = 0L
   private def path = s"$stageDir/ins-$epochId-$partitionId-$taskId.parquet"
+
+  /** Per-row VALUE hash (Spark's stable `hash()` murmur3 semantics —
+    * value-based, never representation-based, so a replayed epoch
+    * re-encoding the same values hashes identically). Summed, not
+    * XORed: XOR would cancel duplicate row pairs. */
+  private lazy val rowHasher =
+    new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+      schema.indices.map(i =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          i, schema(i).dataType, nullable = true)))
 
   override def write(row: InternalRow): Unit = {
     if (writer == null) {
@@ -239,12 +253,13 @@ final class GraftStreamTaskWriter(stageDir: String, schema: StructType,
     }
     writer.write(row)
     rows += 1
+    hashSum += rowHasher.eval(row).asInstanceOf[Int].toLong
   }
 
   override def commit(): WriterCommitMessage = {
     val had = writer != null
     close()
-    GraftStreamTaskResult(if (had) Some(path) else None, rows)
+    GraftStreamTaskResult(if (had) Some(path) else None, rows, hashSum)
   }
 
   override def abort(): Unit = {

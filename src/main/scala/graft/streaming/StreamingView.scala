@@ -30,8 +30,9 @@ import graft.ext.IncrementalView
   */
 object StreamingView {
 
-  /** Key under which the last applied batch id is committed. */
-  private def metaKey(queryTag: String) = s"stream_batch:$queryTag"
+  /** Key under which the last applied batch id is committed — the
+    * shared [[graft.core.StreamLedger]] convention. */
+  private def metaKey(queryTag: String) = graft.core.StreamLedger.key(queryTag)
 
   /** Start maintaining `views` over `table` from `stream`.
     *
@@ -46,7 +47,12 @@ object StreamingView {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val applied = table.latestMeta(metaKey(queryTag)).map(_.toLong)
+        // parse via the SHARED ledger convention: a table previously
+        // fed by the native sink carries "<epoch>:<rows>:<hash>"
+        // values under the same tag, which a bare _.toLong would
+        // crash on — epochOf reads the id out of every format
+        val applied = table.latestMeta(metaKey(queryTag))
+          .map(graft.core.StreamLedger.epochOf)
         if (!applied.exists(_ >= batchId)) {
           val meta = Map(metaKey(queryTag) -> batchId.toString)
           // the precondition reads the watermark from the snapshot at
@@ -54,7 +60,8 @@ object StreamingView {
           // a replay racing any other writer cannot slip a duplicate
           // batch in behind the check
           def fresh(snap: TxTable.Snapshot): Boolean =
-            !snap.meta(metaKey(queryTag)).map(_.toLong).exists(_ >= batchId)
+            !snap.meta(metaKey(queryTag))
+              .map(graft.core.StreamLedger.epochOf).exists(_ >= batchId)
           if (upsert) table.upsertIf(batch, meta)(fresh)
           else table.appendIf(batch, meta)(fresh)
           ()

@@ -83,7 +83,7 @@ class GraftStreamSinkSpec extends SparkSpec {
     // with the SAME content; the ledger makes it a no-op
     runWithFreshCheckpoint()
     assert(d.read.count() === after1)
-    assert(d.latestMeta("stream_batch:pipeline-A") === Some("0:2"))
+    assert(d.latestMeta("stream_batch:pipeline-A").get.startsWith("0:2:"))
 
     // but a pinned tag + fresh checkpoint over a CHANGED source is NOT
     // silently skippable: epoch 0 would now carry rows the ledger never
@@ -182,6 +182,35 @@ class GraftStreamSinkSpec extends SparkSpec {
     assert(d.read.as[(Long, String)].collect().toSeq === Seq((1L, "a")))
   }
 
+  test("CHECK admission gates sink epochs: a violating batch fails, commits nothing") {
+    val src = tmpDir("gsink-chk-src") + "/t"
+    val dst = tmpDir("gsink-chk-dst") + "/t"
+    val s = new TxTable(spark, src,
+      Seq((0L, 0.0)).toDF("k", "v").schema, Seq("k"), numBuckets = 2)
+    s.append(Seq((1L, 1.5), (2L, -7.0)).toDF("k", "v"))
+    val d = new TxTable(spark, dst,
+      Seq((0L, 0.0)).toDF("k", "v").schema, Seq("k"), numBuckets = 2)
+    d.createIfAbsent()
+    d.addCheckConstraint("v_pos", "v >= 0")
+
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", "-1").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", tmpDir("gsink-chk-ck"))
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("v_pos"), msgs)
+    // the epoch was refused WHOLE: no rows, no ledger advance
+    assert(d.read.count() === 0L)
+    assert(d.versions.flatMap(d.commitMeta(_).keys)
+      .forall(!_.startsWith("stream_batch:")))
+  }
+
   test("graft.evolve=true: schema-drifting epochs widen the sink table") {
     val src = tmpDir("gsink-evo-src") + "/t"
     val dst = tmpDir("gsink-evo-dst") + "/t"
@@ -262,15 +291,15 @@ class GraftStreamSinkSpec extends SparkSpec {
     // the other pipeline's ledger
     run(srcA, "feedA", tmpDir("gsink-2ck-a-replay"))
     assert(d.read.count() === 3L)
-    assert(d.latestMeta("stream_batch:feedA") === Some("0:2"))
-    assert(d.latestMeta("stream_batch:feedB") === Some("0:1"))
+    assert(d.latestMeta("stream_batch:feedA").get.startsWith("0:2:"))
+    assert(d.latestMeta("stream_batch:feedB").get.startsWith("0:1:"))
     // normal operation (surviving checkpoint): a new commit on one
     // feed flows as that pipeline's NEXT epoch, the other untouched
     sB.append(Seq((11L, "b2")).toDF("k", "s"))
     run(srcB, "feedB", ckB)
     assert(d.read.count() === 4L)
-    assert(d.latestMeta("stream_batch:feedB") === Some("1:1"))
-    assert(d.latestMeta("stream_batch:feedA") === Some("0:2"))
+    assert(d.latestMeta("stream_batch:feedB").get.startsWith("1:1:"))
+    assert(d.latestMeta("stream_batch:feedA").get.startsWith("0:2:"))
   }
 
   test("writeStream.toTable through the catalog identifier") {

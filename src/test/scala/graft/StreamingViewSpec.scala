@@ -153,4 +153,30 @@ class StreamingViewSpec extends SparkSpec {
       .as[(String, Long, Double, Double)].collect().toSet
     assert(viewRows(view) === expect)
   }
+
+  test("a sink-written ledger value parses here (shared StreamLedger)") {
+    // a table previously fed by the NATIVE sink carries
+    // "<epoch>:<rows>:<hash>" under the same stream_batch tag; moving
+    // the pipeline to foreachBatch must read that ledger, not crash on
+    // it, and must honor its watermark
+    val src = eventsDir("sv-mig-src", nFiles = 2)
+    val table = mkTable("sv-mig-tab")
+    val seed = spark.read.schema(EventStreams.eventSchema).parquet(src)
+      .select("event_id", "event_type", "value").limit(5)
+    table.appendIf(seed,
+      Map(graft.core.StreamLedger.key("mig") ->
+        graft.core.StreamLedger.format(0L, 5L, 12345L)))(_ => true)
+    val before = table.read.count()
+
+    val stream = spark.readStream.schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .select("event_id", "event_type", "value")
+    // batch 0 is behind the sink's watermark (epoch 0 applied) → skip;
+    // batch 1 is new → applies. No NumberFormatException anywhere.
+    StreamingView.start(table, Nil, stream,
+      tmpDir("sv-mig-cp"), queryTag = "mig").awaitTermination()
+    assert(graft.core.StreamLedger.epochOf(
+      table.latestMeta(graft.core.StreamLedger.key("mig")).get) === 1L)
+    assert(table.read.count() > before)
+  }
 }
