@@ -1574,6 +1574,29 @@ final class TxTable(
     }
   }
 
+  /** `REPLACE TABLE … AS SELECT` semantics: ONE guarded commit whose
+    * manifest references only the new rows AND adopts `target` as the
+    * schema — the relational "redefine the table" with history
+    * retained (time travel below the replace reads the OLD schema and
+    * rows; `restore()` undoes it). The key columns must survive into
+    * the new schema: they are the physical identity (bucketing,
+    * pruning), and changing them is [[rebucketTo]] territory, not a
+    * replace. Unlike [[appendEvolving]]'s widen, a replace may also
+    * NARROW or re-introduce columns — sound because the new manifest
+    * references no pre-replace file (a re-introduced name can never
+    * read stale pre-drop values). */
+  def replaceRedefining(df: DataFrame, target: StructType): Unit = {
+    keys.foreach(k => require(
+      target.fieldNames.exists(_.equalsIgnoreCase(k)),
+      s"REPLACE schema must keep key column '$k' (physical identity; " +
+        "changing keys needs rebucketTo)"))
+    createIfAbsent()
+    withRetry {
+      val base = currentVersion
+      stageAndCommit(Nil, conform(df, target), base, target)
+    }
+  }
+
   /** GUARDED [[append]] — see [[upsertIf]]: `pre` sees the snapshot at
     * each attempt's claimed base; a now-false precondition abandons
     * the append (returns false) instead of double-applying it. This is

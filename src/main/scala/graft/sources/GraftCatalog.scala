@@ -38,7 +38,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * listings (cheap, object-store friendly); nothing reads data.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog with StagingTableCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -131,11 +131,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * Creation commits v0 through the normal protocol, which also
     * records the `_table.json` descriptor that later SQL inserts
     * bucket by. */
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables take no PARTITIONED BY - physical layout comes from " +
-        "the 'keys'/'buckets' table properties (manifest bucketing)")
+  /** (keys, buckets, blooms) from TBLPROPERTIES, validated against
+    * the declared schema. */
+  private def layoutProps(schema: StructType,
+      properties: JMap[String, String]): (Seq[String], Int, Seq[String]) = {
     val keys = Option(properties.get("keys"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty)
@@ -148,6 +147,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val blooms = Option(properties.get("blooms"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+    (keys, buckets, blooms)
+  }
+
+  /** Shared CREATE body: refuse existing/dropped dirs, commit v0 with
+    * the descriptor, return the created TxTable. */
+  private def createTx(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): graft.core.TxTable = {
+    require(partitions.isEmpty,
+      "graft tables take no PARTITIONED BY - physical layout comes from " +
+        "the 'keys'/'buckets' table properties (manifest bucketing)")
+    val (keys, buckets, blooms) = layoutProps(schema, properties)
     val dir = dirFor(ident.namespace(), ident.name())
     if (isTableDir(dir)) {
       if (!isLiveTableDir(dir)) throw new IllegalStateException(
@@ -161,7 +172,66 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val tx = new graft.core.TxTable(SparkSession.active, dir.toString,
       schema, keys, numBuckets = buckets, bloomCols = blooms)
     tx.createIfAbsent() // v0 commit writes #schema + _table.json
-    new GraftTable(dir.toString, schema)
+    tx
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    val tx = createTx(ident, schema, partitions, properties)
+    new GraftTable(tx.dir, schema)
+  }
+
+  /** CTAS through the staging API: the table is created eagerly (v0 +
+    * descriptor), the query result lands as its first guarded commit,
+    * and an abort deletes the directory this statement created —
+    * nothing of a failed CTAS survives. */
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
+    val tx = createTx(ident, info.schema(), info.partitions(),
+      info.properties())
+    new StagedGraftTable(tx, info.schema(), replace = false,
+      preVersion = -1L)
+  }
+
+  /** `REPLACE TABLE … AS SELECT` — NOT drop-and-recreate: ONE guarded
+    * `replaceRedefining` commit adopts the new schema and rows with
+    * the table's history retained (time travel below the replace
+    * reads the old definition; abort = `restore()` to the pre-replace
+    * version). The physical layout is immutable through REPLACE: keys
+    * / buckets / blooms in the new TBLPROPERTIES must match the
+    * existing descriptor (changing them is `rebucketTo` territory —
+    * a fresh directory, stated in the refusal). */
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    val dir = dirFor(ident.namespace(), ident.name())
+    if (!isLiveTableDir(dir)) throw new NoSuchTableException(
+      (catalogName +: ident.namespace().toSeq) :+ ident.name())
+    val tx = GraftDataSource.openForRead(SparkSession.active, dir.toString)
+    require(!tx.keys.contains("__reader__"),
+      s"$dir has no _table.json write descriptor - REPLACE needs the " +
+        "key columns to keep the physical identity")
+    // TBLPROPERTIES may restate the layout; it must MATCH (the layout
+    // is the table's physical identity, a replace keeps it)
+    Option(info.properties().get("keys")).foreach { p =>
+      val asked = p.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(asked == tx.keys,
+        s"REPLACE cannot change keys (${tx.keys.mkString(",")} -> " +
+          s"${asked.mkString(",")}) - migrate with rebucketTo")
+    }
+    Option(info.properties().get("buckets")).foreach(b =>
+      require(b.toInt == tx.numBuckets,
+        s"REPLACE cannot change bucket count (${tx.numBuckets} -> $b) " +
+          "- migrate with rebucketTo"))
+    tx.keys.foreach(k => require(
+      info.schema().fieldNames.exists(_.equalsIgnoreCase(k)),
+      s"REPLACE schema must keep key column '$k'"))
+    new StagedGraftTable(tx, info.schema(), replace = true,
+      preVersion = tx.currentVersion)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: TableInfo): StagedTable = {
+    val dir = dirFor(ident.namespace(), ident.name())
+    if (isLiveTableDir(dir)) stageReplace(ident, info)
+    else stageCreate(ident, info)
   }
 
   /** `ALTER TABLE … ADD COLUMNS (…)` routes onto the existing
@@ -265,4 +335,76 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       changes: NamespaceChange*): Unit = readOnly("ALTER NAMESPACE")
   override def dropNamespace(namespace: Array[String], cascade: Boolean)
       : Boolean = readOnly("DROP NAMESPACE")
+}
+
+/** The staged table behind CTAS / RTAS (`StagingTableCatalog`): the
+  * query result arrives through the V1 write bridge and lands as ONE
+  * guarded commit — `append` onto the freshly created v0 (CTAS) or
+  * `replaceRedefining` (RTAS, history retained). `commitStagedChanges`
+  * is therefore a no-op when a write landed (the manifest CAS was the
+  * atomic point); a write-less REPLACE (plain `REPLACE TABLE`)
+  * commits an empty redefinition there instead. Abort undoes exactly
+  * this statement: delete the directory a CTAS created, `restore()`
+  * to the pre-replace version if an RTAS had landed. */
+final class StagedGraftTable(tx: graft.core.TxTable,
+    declaredSchema: StructType, replace: Boolean, preVersion: Long)
+    extends StagedTable with SupportsWrite {
+  import org.apache.spark.sql.connector.write._
+  import org.apache.spark.sql.functions.col
+
+  @volatile private var wrote = false
+
+  override def name(): String = s"graft-staged:`${tx.dir}`"
+  override def schema(): StructType = declaredSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // RTAS plans arrive as truncate-then-write; the replace commit
+      // already IS truncate+write in one, so the flag is absorbed
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation
+            : org.apache.spark.sql.sources.InsertableRelation =
+          new org.apache.spark.sql.sources.InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                overwrite: Boolean): Unit = {
+              val conformed = data
+                .toDF(declaredSchema.fieldNames.toIndexedSeq: _*)
+                .select(declaredSchema.fields.toIndexedSeq
+                  .map(f => col(f.name).cast(f.dataType)): _*)
+              if (replace) tx.replaceRedefining(conformed, declaredSchema)
+              else tx.append(conformed)
+              wrote = true
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit =
+    if (replace && !wrote) {
+      // plain REPLACE TABLE (no AS SELECT): the new definition is an
+      // empty table under the new schema
+      val spark = SparkSession.active
+      tx.replaceRedefining(
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          declaredSchema),
+        declaredSchema)
+    }
+
+  override def abortStagedChanges(): Unit =
+    if (!replace) {
+      // the CTAS created this directory; a failed statement leaves
+      // nothing behind
+      val p = new Path(tx.dir)
+      val f = p.getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      f.delete(p, true)
+      ()
+    } else if (tx.currentVersion > preVersion) {
+      tx.restore(preVersion)
+    }
 }

@@ -179,6 +179,45 @@ class GraftCatalogSpec extends SparkSpec {
     assert(allMessages(bad).contains("nope"))
   }
 
+  test("REPLACE TABLE AS SELECT: one commit, history retained, layout pinned") {
+    val root = tmpDir("graft-cat-rtas")
+    spark.conf.set("spark.sql.catalog.rt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rt.root", root)
+    spark.sql("""CREATE TABLE rt.t (k BIGINT, v DOUBLE)
+                 TBLPROPERTIES('keys'='k','buckets'='2')""")
+    spark.sql("INSERT INTO rt.t VALUES (1, 1.5), (2, 2.5)")
+    val tx = TxTable.openReadOnly(spark, s"$root/t")
+    val preVersion = tx.currentVersion
+
+    // redefinition: new column set, new rows — ONE commit, not
+    // drop-and-recreate; the physical layout carries over
+    spark.sql("""REPLACE TABLE rt.t TBLPROPERTIES('keys'='k')
+                 AS SELECT CAST(10 AS BIGINT) AS k, 'ten' AS label""")
+    assert(spark.table("rt.t").columns.toSeq === Seq("k", "label"))
+    assert(spark.sql("SELECT label FROM rt.t").as[String].collect().toSeq
+      === Seq("ten"))
+    assert(tx.currentVersion === preVersion + 1)
+    // history retained: time travel below the replace reads the OLD
+    // definition (schema AND rows)
+    val old = spark.sql(s"SELECT * FROM rt.t VERSION AS OF $preVersion")
+    assert(old.columns.toSeq === Seq("k", "v"))
+    assert(old.count() === 2L)
+
+    // CREATE OR REPLACE on a missing table creates it
+    spark.sql("""CREATE OR REPLACE TABLE rt.t2 TBLPROPERTIES('keys'='k')
+                 AS SELECT CAST(1 AS BIGINT) AS k""")
+    assert(spark.sql("SELECT count(*) FROM rt.t2").head().getLong(0) === 1L)
+
+    // the layout is the table's identity: REPLACE cannot change keys
+    val badKeys = intercept[Exception] {
+      spark.sql("""REPLACE TABLE rt.t TBLPROPERTIES('keys'='label')
+                   AS SELECT CAST(1 AS BIGINT) AS k, 'x' AS label""")
+    }
+    assert(allMessages(badKeys).contains("rebucketTo"))
+    // ...and a failed REPLACE rolls back to the pre-statement version
+    assert(spark.table("rt.t").columns.toSeq === Seq("k", "label"))
+  }
+
   test("ALTER TABLE DROP COLUMN: metadata-only narrowing through SQL") {
     val root = tmpDir("graft-cat-dropcol")
     spark.conf.set("spark.sql.catalog.dc", "graft.sources.GraftCatalog")
