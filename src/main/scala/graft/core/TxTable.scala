@@ -1584,16 +1584,35 @@ final class TxTable(
     * replace. Unlike [[appendEvolving]]'s widen, a replace may also
     * NARROW or re-introduce columns — sound because the new manifest
     * references no pre-replace file (a re-introduced name can never
-    * read stale pre-drop values). */
-  def replaceRedefining(df: DataFrame, target: StructType): Unit = {
+    * read stale pre-drop values). Active CHECK constraints carry into
+    * the redefined table (they are governance, not data); one that
+    * references a column the new schema DROPS is refused with the
+    * `dropCheckConstraint` remedy, exactly like [[dropColumns]] —
+    * otherwise every later write would fail resolving it.
+    *
+    * @return the committed version (the staged-catalog abort path
+    *   needs to know whether the head is still ITS commit before
+    *   restoring — rolling back someone else's commit would be data
+    *   loss). */
+  def replaceRedefining(df: DataFrame, target: StructType): Long = {
     keys.foreach(k => require(
       target.fieldNames.exists(_.equalsIgnoreCase(k)),
       s"REPLACE schema must keep key column '$k' (physical identity; " +
         "changing keys needs rebucketTo)"))
+    checkConstraints.foreach { case (cn, pred) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(pred)
+        .collect { case a: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute => a.name }
+      refs.foreach(r => require(
+        target.fieldNames.exists(_.equalsIgnoreCase(r)),
+        s"CHECK $cn references column '$r', absent from the REPLACE " +
+          "schema - dropCheckConstraint first"))
+    }
     createIfAbsent()
     withRetry {
       val base = currentVersion
       stageAndCommit(Nil, conform(df, target), base, target)
+      base + 1
     }
   }
 

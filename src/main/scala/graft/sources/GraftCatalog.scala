@@ -63,13 +63,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def isTableDir(p: Path): Boolean =
     fs.exists(new Path(p, "_manifests"))
 
-  /** A LIVE table dir: physically present AND not carrying the
+  /** A LIVE table dir: physically present, not carrying the
     * `_dropped` marker (DROP TABLE keeps data + history retained; the
-    * catalog just stops serving it). Two `exists` calls per table —
-    * O(1), never a manifest read. */
+    * catalog just stops serving it), and not an in-flight/orphaned
+    * CTAS staging dir (`_staging` — invisible until
+    * `commitStagedChanges` removes the marker, so an atomic CTAS never
+    * leaks a half-created table even if the driver dies). Three
+    * `exists` calls per table — O(1), never a manifest read. */
   private def isLiveTableDir(p: Path): Boolean =
     isTableDir(p) &&
-      !fs.exists(new Path(p, graft.core.TxTable.DroppedMarker))
+      !fs.exists(new Path(p, graft.core.TxTable.DroppedMarker)) &&
+      !fs.exists(new Path(p, GraftCatalog.StagingMarker))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = dirFor(namespace)
@@ -151,7 +155,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** Shared CREATE body: refuse existing/dropped dirs, commit v0 with
-    * the descriptor, return the created TxTable. */
+    * the descriptor, return the created TxTable. A pre-existing
+    * NON-EMPTY directory at the target is refused outright — it is a
+    * namespace (or foreign) directory, and creating a table inside it
+    * would make the statement's cleanup paths able to touch data the
+    * statement did not create. */
   private def createTx(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: JMap[String, String]): graft.core.TxTable = {
@@ -161,6 +169,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val (keys, buckets, blooms) = layoutProps(schema, properties)
     val dir = dirFor(ident.namespace(), ident.name())
     if (isTableDir(dir)) {
+      if (fs.exists(new Path(dir, GraftCatalog.StagingMarker)))
+        throw new IllegalStateException(
+          s"$dir holds the staging directory of an in-flight or " +
+            "crashed CTAS - wait for it, or delete the directory if " +
+            "its statement is known dead")
       if (!isLiveTableDir(dir)) throw new IllegalStateException(
         s"table directory $dir holds a DROPPED table whose history is " +
           "retained - undropTable() via the Scala API (graft.core.TxTable) " +
@@ -169,6 +182,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         .TableAlreadyExistsException(
           (catalogName +: ident.namespace().toSeq) :+ ident.name())
     }
+    require(!fs.exists(dir) || fs.listStatus(dir).isEmpty,
+      s"$dir exists and is not empty - it is a namespace (or foreign) " +
+        "directory; pick another table name")
     val tx = new graft.core.TxTable(SparkSession.active, dir.toString,
       schema, keys, numBuckets = buckets, bloomCols = blooms)
     tx.createIfAbsent() // v0 commit writes #schema + _table.json
@@ -181,15 +197,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(tx.dir, schema)
   }
 
-  /** CTAS through the staging API: the table is created eagerly (v0 +
-    * descriptor), the query result lands as its first guarded commit,
-    * and an abort deletes the directory this statement created —
-    * nothing of a failed CTAS survives. */
+  /** CTAS through the staging API with REAL atomic visibility: the
+    * table directory is created with a `_staging` marker that keeps
+    * it INVISIBLE to every catalog path (loadTable / tableExists /
+    * SHOW TABLES) until `commitStagedChanges` removes the marker —
+    * so a concurrent reader never sees a half-created table, and a
+    * driver death mid-CTAS leaves only an invisible staging dir (a
+    * later CREATE names it and the remedy). An abort deletes the
+    * directory, which the non-empty-target refusal in `createTx`
+    * guarantees this statement created. */
   override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
     val tx = createTx(ident, info.schema(), info.partitions(),
       info.properties())
+    val marker = new Path(tx.dir, GraftCatalog.StagingMarker)
+    val out = fs.create(marker, false)
+    out.close()
     new StagedGraftTable(tx, info.schema(), replace = false,
-      preVersion = -1L)
+      preVersion = -1L, stagingMarker = Some(marker.toString))
   }
 
   /** `REPLACE TABLE … AS SELECT` — NOT drop-and-recreate: ONE guarded
@@ -201,6 +225,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * existing descriptor (changing them is `rebucketTo` territory —
     * a fresh directory, stated in the refusal). */
   override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    require(info.partitions().isEmpty,
+      "graft tables take no PARTITIONED BY - physical layout comes from " +
+        "the 'keys'/'buckets' table properties (manifest bucketing)")
     val dir = dirFor(ident.namespace(), ident.name())
     if (!isLiveTableDir(dir)) throw new NoSuchTableException(
       (catalogName +: ident.namespace().toSeq) :+ ident.name())
@@ -209,10 +236,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"$dir has no _table.json write descriptor - REPLACE needs the " +
         "key columns to keep the physical identity")
     // TBLPROPERTIES may restate the layout; it must MATCH (the layout
-    // is the table's physical identity, a replace keeps it)
+    // is the table's physical identity, a replace keeps it). Key
+    // comparison is case-insensitive, like every other key resolution.
     Option(info.properties().get("keys")).foreach { p =>
       val asked = p.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      require(asked == tx.keys,
+      require(asked.length == tx.keys.length &&
+          asked.zip(tx.keys).forall { case (a, k) => a.equalsIgnoreCase(k) },
         s"REPLACE cannot change keys (${tx.keys.mkString(",")} -> " +
           s"${asked.mkString(",")}) - migrate with rebucketTo")
     }
@@ -220,11 +249,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(b.toInt == tx.numBuckets,
         s"REPLACE cannot change bucket count (${tx.numBuckets} -> $b) " +
           "- migrate with rebucketTo"))
+    Option(info.properties().get("blooms")).foreach { p =>
+      val asked = p.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(asked.length == tx.bloomCols.length &&
+          asked.zip(tx.bloomCols)
+            .forall { case (a, b) => a.equalsIgnoreCase(b) },
+        s"REPLACE cannot change bloom columns " +
+          s"(${tx.bloomCols.mkString(",")} -> ${asked.mkString(",")}) " +
+          "- migrate with rebucketTo")
+    }
     tx.keys.foreach(k => require(
       info.schema().fieldNames.exists(_.equalsIgnoreCase(k)),
       s"REPLACE schema must keep key column '$k'"))
     new StagedGraftTable(tx, info.schema(), replace = true,
-      preVersion = tx.currentVersion)
+      preVersion = tx.currentVersion, stagingMarker = None)
   }
 
   override def stageCreateOrReplace(ident: Identifier,
@@ -337,22 +375,32 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       : Boolean = readOnly("DROP NAMESPACE")
 }
 
+object GraftCatalog {
+  /** Marker file keeping a CTAS target invisible to the catalog until
+    * `commitStagedChanges` removes it (atomic-CTAS visibility; a
+    * driver death leaves only an invisible staging dir). */
+  val StagingMarker = "_staging"
+}
+
 /** The staged table behind CTAS / RTAS (`StagingTableCatalog`): the
   * query result arrives through the V1 write bridge and lands as ONE
-  * guarded commit — `append` onto the freshly created v0 (CTAS) or
+  * guarded commit — `append` onto the freshly created v0 (CTAS,
+  * invisible behind the `_staging` marker until commit) or
   * `replaceRedefining` (RTAS, history retained). `commitStagedChanges`
-  * is therefore a no-op when a write landed (the manifest CAS was the
-  * atomic point); a write-less REPLACE (plain `REPLACE TABLE`)
-  * commits an empty redefinition there instead. Abort undoes exactly
-  * this statement: delete the directory a CTAS created, `restore()`
-  * to the pre-replace version if an RTAS had landed. */
+  * removes the CTAS marker (the visibility flip); a write-less
+  * REPLACE (plain `REPLACE TABLE`) commits an empty redefinition
+  * there instead. Abort undoes exactly what THIS statement did:
+  * delete the directory a CTAS created (guaranteed ours by the
+  * non-empty-target refusal), or `restore()` the pre-replace version
+  * — but ONLY while the head is still this statement's own commit; a
+  * concurrent writer's later commit is never rolled back. */
 final class StagedGraftTable(tx: graft.core.TxTable,
-    declaredSchema: StructType, replace: Boolean, preVersion: Long)
+    declaredSchema: StructType, replace: Boolean, preVersion: Long,
+    stagingMarker: Option[String])
     extends StagedTable with SupportsWrite {
   import org.apache.spark.sql.connector.write._
-  import org.apache.spark.sql.functions.col
 
-  @volatile private var wrote = false
+  @volatile private var committedVersion: Option[Long] = None
 
   override def name(): String = s"graft-staged:`${tx.dir}`"
   override def schema(): StructType = declaredSchema
@@ -371,40 +419,59 @@ final class StagedGraftTable(tx: graft.core.TxTable,
           new org.apache.spark.sql.sources.InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
                 overwrite: Boolean): Unit = {
-              val conformed = data
-                .toDF(declaredSchema.fieldNames.toIndexedSeq: _*)
-                .select(declaredSchema.fields.toIndexedSeq
-                  .map(f => col(f.name).cast(f.dataType)): _*)
-              if (replace) tx.replaceRedefining(conformed, declaredSchema)
-              else tx.append(conformed)
-              wrote = true
+              val conformed =
+                GraftWriteBuilder.conformPositional(data, declaredSchema)
+              if (replace)
+                committedVersion =
+                  Some(tx.replaceRedefining(conformed, declaredSchema))
+              else {
+                tx.append(conformed)
+                committedVersion = Some(tx.currentVersion)
+              }
             }
           }
       }
     }
 
-  override def commitStagedChanges(): Unit =
-    if (replace && !wrote) {
+  override def commitStagedChanges(): Unit = {
+    if (replace && committedVersion.isEmpty) {
       // plain REPLACE TABLE (no AS SELECT): the new definition is an
       // empty table under the new schema
       val spark = SparkSession.active
-      tx.replaceRedefining(
+      committedVersion = Some(tx.replaceRedefining(
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           declaredSchema),
-        declaredSchema)
+        declaredSchema))
     }
+    // visibility flip: the CTAS becomes a live catalog table HERE
+    stagingMarker.foreach { m =>
+      val p = new Path(m)
+      p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+        .delete(p, false)
+    }
+  }
 
   override def abortStagedChanges(): Unit =
     if (!replace) {
-      // the CTAS created this directory; a failed statement leaves
-      // nothing behind
+      // the CTAS created this directory (createTx refused a non-empty
+      // target); a failed statement leaves nothing behind
       val p = new Path(tx.dir)
       val f = p.getFileSystem(
         SparkSession.active.sparkContext.hadoopConfiguration)
       f.delete(p, true)
       ()
-    } else if (tx.currentVersion > preVersion) {
-      tx.restore(preVersion)
+    } else committedVersion match {
+      // nothing of OURS landed (the query failed before the replace
+      // commit) - touch nothing: the version may have advanced, but
+      // only with OTHER writers' commits, which are not ours to undo
+      case None => ()
+      // our replace landed and is still the head: restore rolls back
+      // exactly this statement
+      case Some(v) if tx.currentVersion == v => tx.restore(preVersion)
+      // a later commit built on top of our replace: unwinding would
+      // destroy the concurrent writer's acknowledged data - leave the
+      // table as is (the replace itself was a complete, valid commit)
+      case Some(_) => ()
     }
 }

@@ -346,6 +346,21 @@ object GraftWriteBuilder {
         s"unknown graft.mode '$m' (append | upsert)")
       m.equalsIgnoreCase("upsert")
     }
+
+  /** The SQL-INSERT conformance contract, shared by the plain insert
+    * bridge and the staged CTAS/RTAS writer: columns match the table
+    * POSITIONALLY (renamed to the stored spellings) with a cast per
+    * column, arity mismatches refused with a curated message. */
+  private[sources] def conformPositional(
+      data: org.apache.spark.sql.DataFrame,
+      target: StructType): org.apache.spark.sql.DataFrame = {
+    require(data.schema.length == target.length,
+      s"INSERT provides ${data.schema.length} columns, table has " +
+        s"${target.length}")
+    data.toDF(target.fieldNames.toIndexedSeq: _*)
+      .select(target.fields.toIndexedSeq
+        .map(f => col(f.name).cast(f.dataType)): _*)
+  }
 }
 
 class GraftWriteBuilder(tx: TxTable, tableSchema: StructType,
@@ -374,12 +389,8 @@ class GraftWriteBuilder(tx: TxTable, tableSchema: StructType,
           override def insert(data: org.apache.spark.sql.DataFrame,
               overwrite: Boolean): Unit = {
             requireDescriptor()
-            require(data.schema.length == tableSchema.length,
-              s"INSERT provides ${data.schema.length} columns, table has " +
-                s"${tableSchema.length}")
-            val conformed = data.toDF(tableSchema.fieldNames.toIndexedSeq: _*)
-              .select(tableSchema.fields.toIndexedSeq
-                .map(f => col(f.name).cast(f.dataType)): _*)
+            val conformed =
+              GraftWriteBuilder.conformPositional(data, tableSchema)
             if (overwriteAll || overwrite) tx.replace(conformed)
             else if (upsertMode) tx.upsert(conformed)
             else tx.append(conformed)

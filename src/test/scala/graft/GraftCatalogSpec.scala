@@ -218,6 +218,67 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table("rt.t").columns.toSeq === Seq("k", "label"))
   }
 
+  test("staging guards: invisibility marker, non-empty target, CHECK-vs-REPLACE") {
+    val root = tmpDir("graft-cat-stage")
+    spark.conf.set("spark.sql.catalog.sg", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.sg.root", root)
+
+    // an orphaned CTAS staging dir (crashed driver) is INVISIBLE to
+    // the catalog, and re-creating the name states the remedy
+    spark.sql("""CREATE TABLE sg.orphan (k BIGINT)
+                 TBLPROPERTIES('keys'='k')""")
+    val marker = new java.io.File(s"$root/orphan", "_staging")
+    assert(marker.createNewFile())
+    assert(!spark.catalog.tableExists("sg.orphan"))
+    val gone = intercept[Exception] {
+      spark.sql("SELECT * FROM sg.orphan").collect()
+    }
+    assert(allMessages(gone).contains("orphan"))
+    val recreate = intercept[Exception] {
+      spark.sql("CREATE TABLE sg.orphan (k BIGINT) TBLPROPERTIES('keys'='k')")
+    }
+    assert(allMessages(recreate).contains("CTAS"))
+    assert(marker.delete()) // back to live
+    assert(spark.catalog.tableExists("sg.orphan"))
+
+    // CTAS refuses a non-empty target directory (it could be a
+    // namespace holding other tables; abort must never delete those)
+    spark.sql("""CREATE TABLE sg.ns.inner (k BIGINT)
+                 TBLPROPERTIES('keys'='k')""")
+    val clash = intercept[Exception] {
+      spark.sql("""CREATE TABLE sg.ns TBLPROPERTIES('keys'='k')
+                   AS SELECT CAST(1 AS BIGINT) AS k""")
+    }
+    assert(allMessages(clash).toLowerCase.contains("not empty"))
+    assert(spark.sql("SELECT count(*) FROM sg.ns.inner").head()
+      .getLong(0) === 0L) // the nested table survived untouched
+
+    // a CHECK referencing a column the REPLACE narrows away is
+    // refused with the remedy, not a raw unresolved-column error
+    spark.sql("""CREATE TABLE sg.chk (k BIGINT, v DOUBLE)
+                 TBLPROPERTIES('keys'='k')""")
+    TxTable.openReadOnly(spark, s"$root/chk")
+      .addCheckConstraint("v_pos", "v >= 0")
+    val chk = intercept[Exception] {
+      spark.sql("""REPLACE TABLE sg.chk TBLPROPERTIES('keys'='k')
+                   AS SELECT CAST(1 AS BIGINT) AS k, 'x' AS label""")
+    }
+    assert(allMessages(chk).contains("dropCheckConstraint"))
+
+    // a runtime-failing RTAS aborts to exactly the pre-statement
+    // state (committedVersion=None -> nothing restored, nothing lost)
+    spark.sql("INSERT INTO sg.chk VALUES (1, 2.5)")
+    val tx = TxTable.openReadOnly(spark, s"$root/chk")
+    val pre = tx.currentVersion
+    intercept[Exception] {
+      spark.sql("""REPLACE TABLE sg.chk TBLPROPERTIES('keys'='k')
+                   AS SELECT CAST(1 AS BIGINT) AS k,
+                      CAST(raise_error('boom') AS DOUBLE) AS v""")
+    }
+    assert(tx.currentVersion === pre)
+    assert(spark.sql("SELECT count(*) FROM sg.chk").head().getLong(0) === 1L)
+  }
+
   test("ALTER TABLE DROP COLUMN: metadata-only narrowing through SQL") {
     val root = tmpDir("graft-cat-dropcol")
     spark.conf.set("spark.sql.catalog.dc", "graft.sources.GraftCatalog")
