@@ -437,9 +437,7 @@ final class TxTable(
             "builds its sidecars on every append; migrate with rebucketTo")
       }
       checkConstraints.foreach { case (cn, pred) =>
-        val refs = spark.sessionState.sqlParser.parseExpression(pred)
-          .collect { case a: org.apache.spark.sql.catalyst.analysis
-              .UnresolvedAttribute => a.name }
+        val refs = checkPredicateRefs(pred)
         resolved.foreach(n => require(!refs.exists(_.equalsIgnoreCase(n)),
           s"CHECK $cn references column '$n' - dropCheckConstraint first"))
       }
@@ -1600,10 +1598,7 @@ final class TxTable(
       s"REPLACE schema must keep key column '$k' (physical identity; " +
         "changing keys needs rebucketTo)"))
     checkConstraints.foreach { case (cn, pred) =>
-      val refs = spark.sessionState.sqlParser.parseExpression(pred)
-        .collect { case a: org.apache.spark.sql.catalyst.analysis
-            .UnresolvedAttribute => a.name }
-      refs.foreach(r => require(
+      checkPredicateRefs(pred).foreach(r => require(
         target.fieldNames.exists(_.equalsIgnoreCase(r)),
         s"CHECK $cn references column '$r', absent from the REPLACE " +
           "schema - dropCheckConstraint first"))
@@ -1612,9 +1607,16 @@ final class TxTable(
     withRetry {
       val base = currentVersion
       stageAndCommit(Nil, conform(df, target), base, target)
-      base + 1
     }
   }
+
+  /** Column names a CHECK predicate references (unresolved-attribute
+    * walk) — shared by [[dropColumns]]' and [[replaceRedefining]]'s
+    * narrowing guards. */
+  private def checkPredicateRefs(pred: String): Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(pred)
+      .collect { case a: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute => a.name }
 
   /** GUARDED [[append]] — see [[upsertIf]]: `pre` sees the snapshot at
     * each attempt's claimed base; a now-false precondition abandons
@@ -2018,6 +2020,25 @@ final class TxTable(
       val m = loadManifest(v)
       commit(m.entries, base, Some(schemaAt(m)),
         Map("restored_from" -> v.toString))
+    }
+  }
+
+  /** GUARDED [[restore]] — rolls back ONLY while the head is still
+    * `expectedHead`: a concurrent commit landing first makes this a
+    * no-op (returns false) instead of being rebased past and silently
+    * unwound. The staged-catalog RTAS abort uses it to undo exactly
+    * its own replace commit, never a racing writer's. */
+  def restoreIfHead(expectedHead: Long, v: Long): Boolean = {
+    require(versions.contains(v), s"version $v is not retained")
+    withRetry {
+      val base = currentVersion
+      if (base != expectedHead) false
+      else {
+        val m = loadManifest(v)
+        commit(m.entries, base, Some(schemaAt(m)),
+          Map("restored_from" -> v.toString))
+        true
+      }
     }
   }
 

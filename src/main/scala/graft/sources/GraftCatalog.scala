@@ -161,19 +161,22 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * would make the statement's cleanup paths able to touch data the
     * statement did not create. */
   private def createTx(ident: Identifier, schema: StructType,
-      partitions: Array[Transform],
-      properties: JMap[String, String]): graft.core.TxTable = {
+      partitions: Array[Transform], properties: JMap[String, String],
+      staged: Boolean = false): graft.core.TxTable = {
     require(partitions.isEmpty,
       "graft tables take no PARTITIONED BY - physical layout comes from " +
         "the 'keys'/'buckets' table properties (manifest bucketing)")
     val (keys, buckets, blooms) = layoutProps(schema, properties)
     val dir = dirFor(ident.namespace(), ident.name())
+    // the staging check runs FIRST and regardless of _manifests: a
+    // crash between marker and v0 leaves marker-only debris that must
+    // still get the curated remedy, not a generic refusal
+    if (fs.exists(new Path(dir, GraftCatalog.StagingMarker)))
+      throw new IllegalStateException(
+        s"$dir holds the staging directory of an in-flight or " +
+          "crashed CTAS - wait for it, or delete the directory if " +
+          "its statement is known dead")
     if (isTableDir(dir)) {
-      if (fs.exists(new Path(dir, GraftCatalog.StagingMarker)))
-        throw new IllegalStateException(
-          s"$dir holds the staging directory of an in-flight or " +
-            "crashed CTAS - wait for it, or delete the directory if " +
-            "its statement is known dead")
       if (!isLiveTableDir(dir)) throw new IllegalStateException(
         s"table directory $dir holds a DROPPED table whose history is " +
           "retained - undropTable() via the Scala API (graft.core.TxTable) " +
@@ -182,9 +185,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         .TableAlreadyExistsException(
           (catalogName +: ident.namespace().toSeq) :+ ident.name())
     }
-    require(!fs.exists(dir) || fs.listStatus(dir).isEmpty,
+    if (staged)
+      // a staged CTAS must own its directory OUTRIGHT (abort deletes
+      // it recursively): adopting even an EMPTY pre-existing dir would
+      // let abort race concurrent content created inside it
+      require(!fs.exists(dir),
+        s"$dir already exists - CTAS creates its own directory " +
+          "(CREATE TABLE then INSERT to use a pre-created one)")
+    else require(!fs.exists(dir) || fs.listStatus(dir).isEmpty,
       s"$dir exists and is not empty - it is a namespace (or foreign) " +
         "directory; pick another table name")
+    if (staged) {
+      // marker BEFORE the v0 commit: the table must never be visible
+      // (or survivable as live debris) until commitStagedChanges
+      fs.mkdirs(dir)
+      val out = fs.create(new Path(dir, GraftCatalog.StagingMarker), false)
+      out.close()
+    }
     val tx = new graft.core.TxTable(SparkSession.active, dir.toString,
       schema, keys, numBuckets = buckets, bloomCols = blooms)
     tx.createIfAbsent() // v0 commit writes #schema + _table.json
@@ -208,12 +225,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * guarantees this statement created. */
   override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
     val tx = createTx(ident, info.schema(), info.partitions(),
-      info.properties())
-    val marker = new Path(tx.dir, GraftCatalog.StagingMarker)
-    val out = fs.create(marker, false)
-    out.close()
+      info.properties(), staged = true)
     new StagedGraftTable(tx, info.schema(), replace = false,
-      preVersion = -1L, stagingMarker = Some(marker.toString))
+      stagingMarker =
+        Some(new Path(tx.dir, GraftCatalog.StagingMarker).toString))
   }
 
   /** `REPLACE TABLE … AS SELECT` — NOT drop-and-recreate: ONE guarded
@@ -250,19 +265,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"REPLACE cannot change bucket count (${tx.numBuckets} -> $b) " +
           "- migrate with rebucketTo"))
     Option(info.properties().get("blooms")).foreach { p =>
-      val asked = p.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      require(asked.length == tx.bloomCols.length &&
-          asked.zip(tx.bloomCols)
-            .forall { case (a, b) => a.equalsIgnoreCase(b) },
+      // SET compare: bloom columns are unordered (one sidecar each)
+      val asked = p.split(",").map(_.trim).filter(_.nonEmpty)
+        .map(_.toLowerCase).toSet
+      require(asked == tx.bloomCols.map(_.toLowerCase).toSet,
         s"REPLACE cannot change bloom columns " +
-          s"(${tx.bloomCols.mkString(",")} -> ${asked.mkString(",")}) " +
+          s"(${tx.bloomCols.mkString(",")} -> $p) " +
           "- migrate with rebucketTo")
     }
     tx.keys.foreach(k => require(
       info.schema().fieldNames.exists(_.equalsIgnoreCase(k)),
       s"REPLACE schema must keep key column '$k'"))
     new StagedGraftTable(tx, info.schema(), replace = true,
-      preVersion = tx.currentVersion, stagingMarker = None)
+      stagingMarker = None)
   }
 
   override def stageCreateOrReplace(ident: Identifier,
@@ -395,7 +410,7 @@ object GraftCatalog {
   * — but ONLY while the head is still this statement's own commit; a
   * concurrent writer's later commit is never rolled back. */
 final class StagedGraftTable(tx: graft.core.TxTable,
-    declaredSchema: StructType, replace: Boolean, preVersion: Long,
+    declaredSchema: StructType, replace: Boolean,
     stagingMarker: Option[String])
     extends StagedTable with SupportsWrite {
   import org.apache.spark.sql.connector.write._
@@ -444,11 +459,17 @@ final class StagedGraftTable(tx: graft.core.TxTable,
           declaredSchema),
         declaredSchema))
     }
-    // visibility flip: the CTAS becomes a live catalog table HERE
+    // visibility flip: the CTAS becomes a live catalog table HERE —
+    // a failed flip must fail the statement loudly (reporting success
+    // with the marker still present would leave the table permanently
+    // invisible)
     stagingMarker.foreach { m =>
       val p = new Path(m)
-      p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
-        .delete(p, false)
+      val f = p.getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      require(f.delete(p, false),
+        s"could not remove the staging marker $m - the created table " +
+          "is NOT visible; remove the marker to publish it")
     }
   }
 
@@ -466,12 +487,14 @@ final class StagedGraftTable(tx: graft.core.TxTable,
       // commit) - touch nothing: the version may have advanced, but
       // only with OTHER writers' commits, which are not ours to undo
       case None => ()
-      // our replace landed and is still the head: restore rolls back
-      // exactly this statement
-      case Some(v) if tx.currentVersion == v => tx.restore(preVersion)
-      // a later commit built on top of our replace: unwinding would
-      // destroy the concurrent writer's acknowledged data - leave the
-      // table as is (the replace itself was a complete, valid commit)
-      case Some(_) => ()
+      // our replace landed: roll back to the version it actually
+      // stacked on (v-1, NOT the stage-time preVersion - a concurrent
+      // commit may have landed in between and must survive), and only
+      // while the head is still OUR commit; the guarded restore
+      // abandons on a race instead of being rebased past a later
+      // writer (a commit built on top of our replace makes the
+      // rollback impossible without destroying acknowledged data, so
+      // the replace - itself a complete valid commit - stands)
+      case Some(v) => tx.restoreIfHead(expectedHead = v, v = v - 1)
     }
 }

@@ -217,6 +217,20 @@ final class GraftTable(val dir: String, declaredSchema: StructType,
 
   override def name(): String = s"graft:`$dir`@v$pinnedVersion"
   override def schema(): StructType = resolvedSchema
+
+  /** `DESCRIBE TABLE EXTENDED` / `SHOW TBLPROPERTIES` surface: the
+    * physical-layout identity and the pinned snapshot, read from the
+    * already-open table (no extra I/O). */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    if (!tx.keys.contains("__reader__")) {
+      m.put("keys", tx.keys.mkString(","))
+      m.put("buckets", tx.numBuckets.toString)
+      if (tx.bloomCols.nonEmpty) m.put("blooms", tx.bloomCols.mkString(","))
+    }
+    m.put("version", pinnedVersion.toString)
+    m
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,

@@ -218,6 +218,20 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table("rt.t").columns.toSeq === Seq("k", "label"))
   }
 
+  test("SHOW TBLPROPERTIES / DESCRIBE surface the layout identity") {
+    val root = tmpDir("graft-cat-props")
+    spark.conf.set("spark.sql.catalog.pr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.pr.root", root)
+    spark.sql("""CREATE TABLE pr.t (k BIGINT, v DOUBLE)
+                 TBLPROPERTIES('keys'='k','buckets'='4','blooms'='k')""")
+    val props = spark.sql("SHOW TBLPROPERTIES pr.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("keys") === Some("k"))
+    assert(props.get("buckets") === Some("4"))
+    assert(props.get("blooms") === Some("k"))
+    assert(props.contains("version"))
+  }
+
   test("staging guards: invisibility marker, non-empty target, CHECK-vs-REPLACE") {
     val root = tmpDir("graft-cat-stage")
     spark.conf.set("spark.sql.catalog.sg", "graft.sources.GraftCatalog")
@@ -241,17 +255,40 @@ class GraftCatalogSpec extends SparkSpec {
     assert(marker.delete()) // back to live
     assert(spark.catalog.tableExists("sg.orphan"))
 
-    // CTAS refuses a non-empty target directory (it could be a
-    // namespace holding other tables; abort must never delete those)
+    // CTAS refuses ANY pre-existing target directory (it could be, or
+    // gain, namespace content; abort's recursive delete must only
+    // ever remove what the statement itself created)
     spark.sql("""CREATE TABLE sg.ns.inner (k BIGINT)
                  TBLPROPERTIES('keys'='k')""")
     val clash = intercept[Exception] {
       spark.sql("""CREATE TABLE sg.ns TBLPROPERTIES('keys'='k')
                    AS SELECT CAST(1 AS BIGINT) AS k""")
     }
-    assert(allMessages(clash).toLowerCase.contains("not empty"))
+    assert(allMessages(clash).contains("creates its own directory"))
     assert(spark.sql("SELECT count(*) FROM sg.ns.inner").head()
       .getLong(0) === 0L) // the nested table survived untouched
+    // even an EMPTY pre-existing dir is refused for CTAS (plain
+    // CREATE TABLE may still adopt it)
+    assert(new java.io.File(root, "premade").mkdir())
+    val empty = intercept[Exception] {
+      spark.sql("""CREATE TABLE sg.premade TBLPROPERTIES('keys'='k')
+                   AS SELECT CAST(1 AS BIGINT) AS k""")
+    }
+    assert(allMessages(empty).contains("creates its own directory"))
+    spark.sql("CREATE TABLE sg.premade (k BIGINT) TBLPROPERTIES('keys'='k')")
+    assert(spark.catalog.tableExists("sg.premade"))
+
+    // guarded restore: rolls back only while the head is the expected
+    // commit - a racing writer's commit makes it a no-op
+    val rt = TxTable.openReadOnly(spark, s"$root/premade")
+    spark.sql("INSERT INTO sg.premade VALUES (1)") // v1
+    spark.sql("INSERT INTO sg.premade VALUES (2)") // v2 (the "racer")
+    assert(!rt.restoreIfHead(expectedHead = 1L, v = 0L)) // stale head
+    assert(spark.sql("SELECT count(*) FROM sg.premade").head()
+      .getLong(0) === 2L) // nothing unwound
+    assert(rt.restoreIfHead(expectedHead = 2L, v = 1L))
+    assert(spark.sql("SELECT count(*) FROM sg.premade").head()
+      .getLong(0) === 1L)
 
     // a CHECK referencing a column the REPLACE narrows away is
     // refused with the remedy, not a raw unresolved-column error
