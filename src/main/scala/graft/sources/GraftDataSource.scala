@@ -439,6 +439,11 @@ class GraftWriteBuilder(tx: TxTable, tableSchema: StructType,
             "replaces the table - evolve its schema explicitly instead")
         val tag = Option(info.options().get("graft.tag"))
           .getOrElse(info.queryId())
+        // the tag names a stage DIRECTORY and a commit-meta key: path
+        // separators or colons would break both contracts silently
+        require(tag.matches("[A-Za-z0-9._-]+"),
+          s"graft.tag '$tag' must match [A-Za-z0-9._-]+ " +
+            "(it names the stage directory and the ledger key)")
         new GraftStreamingWrite(tx.dir, info.schema(), tag, mode, evolve)
       }
     }

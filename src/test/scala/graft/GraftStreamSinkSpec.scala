@@ -96,6 +96,32 @@ class GraftStreamSinkSpec extends SparkSpec {
     assert(d.read.count() === after1) // nothing half-applied
   }
 
+  test("graft.tag with path separators or colons is refused") {
+    val src = tmpDir("gsink-tag-src") + "/t"
+    val s = new TxTable(spark, src,
+      Seq((0L, "x")).toDF("k", "s").schema, Seq("k"), numBuckets = 2)
+    s.append(Seq((1L, "a")).toDF("k", "s"))
+    val dst = tmpDir("gsink-tag-dst") + "/t"
+    mkDest(dst)
+    // '/' would escape the stage directory, ':' would corrupt the
+    // ledger value format
+    for (bad <- Seq("a/b", "a:b", "")) {
+      val e = intercept[Exception] {
+        val q = spark.readStream.format("graft")
+          .option("startingVersion", "-1").load(src)
+          .writeStream.format("graft")
+          .option("checkpointLocation", tmpDir("gsink-tag-ck"))
+          .option("graft.tag", bad)
+          .trigger(Trigger.AvailableNow())
+          .start(dst)
+        q.awaitTermination()
+      }
+      assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+        .contains("graft.tag"), s"tag '$bad' not refused")
+    }
+  }
+
   test("graft.mode=upsert: later epochs win per key (live ON-CONFLICT)") {
     val src = tmpDir("gsink-ups-src") + "/t"
     val dst = tmpDir("gsink-ups-dst") + "/t"
