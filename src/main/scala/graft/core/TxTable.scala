@@ -324,14 +324,19 @@ final class TxTable(
     * for tables tombstoned before the marker existed (a drop commit is
     * by contract the newest — nothing writes to a dropped table), and
     * a fallback hit self-heals by writing the marker. Never a history
-    * scan. */
+    * scan. The backfill is BEST-EFFORT: this is a READ path, so a
+    * read-only filesystem / immutable replica / concurrent reader
+    * racing the create must not turn "list a dropped table" into a
+    * throw — the meta answer is already correct without the marker. */
   def isDropped: Boolean = {
     if (fs.exists(new Path(dir, TxTable.DroppedMarker))) return true
     val metaDropped =
       commitMeta(currentVersion).get(TxTable.DroppedKey).contains("true")
-    if (metaDropped) { // backfill the fast path
-      val out = fs.create(new Path(dir, TxTable.DroppedMarker), true)
-      out.close()
+    if (metaDropped) { // backfill the fast path, best-effort only
+      try {
+        val out = fs.create(new Path(dir, TxTable.DroppedMarker), true)
+        out.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     metaDropped
   }
@@ -1425,7 +1430,13 @@ final class TxTable(
     * don't depend on the base version, so a rebase after a conflict
     * only re-reads the manifest and re-commits — no data rewrite
     * (commit's post-conflict rollback returns them to the stage). */
-  def append(df: DataFrame): Unit = {
+  def append(df: DataFrame): Unit = { appendCommit(df); () }
+
+  /** [[append]] returning the version THIS append committed — callers
+    * that need the version must use this, never a re-read of
+    * `currentVersion` (a concurrent writer may advance the head in
+    * between: TOCTOU). */
+  def appendCommit(df: DataFrame): Long = {
     createIfAbsent()
     val (staged, stage) = stageFiles(df, currentSchema)
     try withRetry {

@@ -790,13 +790,19 @@ object TextSim {
         .persist()
       try {
         val n1 = wcounts.agg(coalesce(sum("nw"), lit(0L))).head.getLong(0)
-        bi.filter(col("nab") * 800 > n2)
+        // broadcast the FREQUENT-BIGRAM side (≤800 rows by the
+        // nab·800 > N2 filter), never wcounts: wcounts is the full
+        // unigram vocabulary census — at web-corpus scale that is
+        // 10^8–10^9 distinct tokens (Heaps' law), and forcing it into
+        // a broadcast OOMs the driver precisely when the table is big
+        val freq = bi.filter(col("nab") * 800 > n2)
           .withColumn("w1", split(col("bigram"), " ").getItem(0))
           .withColumn("w2", split(col("bigram"), " ").getItem(1))
-          .join(broadcast(wcounts.select(col("w").as("w1"),
-            col("nw").as("na"))), Seq("w1"))
-          .join(broadcast(wcounts.select(col("w").as("w2"),
-            col("nw").as("nb"))), Seq("w2"))
+        val withNa = wcounts.select(col("w").as("w1"), col("nw").as("na"))
+          .join(broadcast(freq), Seq("w1"))
+        broadcast(withNa)
+          .join(wcounts.select(col("w").as("w2"), col("nw").as("nb")),
+            Seq("w2"))
           .select(col("bigram"), col("nab").as("n"),
             round(log((col("nab").cast(DoubleType) / lit(n2.toDouble)) /
               ((col("na").cast(DoubleType) / lit(n1.toDouble)) *

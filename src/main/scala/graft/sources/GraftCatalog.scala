@@ -439,10 +439,11 @@ final class StagedGraftTable(tx: graft.core.TxTable,
               if (replace)
                 committedVersion =
                   Some(tx.replaceRedefining(conformed, declaredSchema))
-              else {
-                tx.append(conformed)
-                committedVersion = Some(tx.currentVersion)
-              }
+              else
+                // capture the version the append itself committed —
+                // re-reading tx.currentVersion here is a TOCTOU (a
+                // concurrent writer's commit would be recorded as ours)
+                committedVersion = Some(tx.appendCommit(conformed))
             }
           }
       }

@@ -75,7 +75,11 @@ final class GraftMicroBatchStream(tx: TxTable, required: StructType,
     val end = maxVersionsPerTrigger match {
       case Some(n) =>
         val avail = tx.versions.filter(v => v > s && v <= cap)
-        if (avail.isEmpty) s else avail.take(n.toInt).last
+        // clamp, don't truncate: n > Int.MaxValue means "no cap this
+        // trigger", while a raw n.toInt would wrap NEGATIVE and
+        // take(negative) = empty → the stream silently stalls forever
+        val cnt = math.min(n, Int.MaxValue.toLong).toInt
+        if (avail.isEmpty) s else avail.take(cnt).last
       case None => cap
     }
     GraftOffset(end max s)

@@ -43,7 +43,20 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
     * identifier (`lake.ns.t` → `<spark.sql.catalog.lake.root>/ns/t`)
     * — so CALL addresses tables the same two ways SELECT does. */
   private def resolveDir(spark: SparkSession, tableArg: String): String =
-    if (tableArg.contains("/")) tableArg
+    if (tableArg.contains("/")) {
+      // SECURITY GATE: a raw filesystem path from pure SQL text would
+      // hand every SQL-only user destructive maintenance (vacuum,
+      // rebucket, compact) on ANY directory the driver can reach.
+      // Catalog identifiers stay open — they resolve under a root the
+      // admin configured. Paths need an explicit administrator opt-in.
+      require(spark.conf.getOption(GraftCallCommand.AllowRawPathsKey)
+        .exists(_.equalsIgnoreCase("true")),
+        s"CALL graft.$proc('$tableArg'): raw filesystem paths are " +
+          s"disabled - address the table through a configured catalog " +
+          s"(catalog.ns.table) or set " +
+          s"${GraftCallCommand.AllowRawPathsKey}=true")
+      tableArg
+    }
     else tableArg.split("\\.").toSeq match {
       case cat +: rest if rest.nonEmpty =>
         spark.conf.getOption(s"spark.sql.catalog.$cat.root") match {
@@ -119,6 +132,13 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
           "export_iceberg")
     }
   }
+}
+
+object GraftCallCommand {
+  /** Opt-in for raw filesystem-path arguments to `CALL graft.*` —
+    * default OFF so SQL text alone can't run destructive maintenance
+    * against arbitrary reachable directories. */
+  val AllowRawPathsKey = "spark.graft.sql.allowRawPaths"
 }
 
 /** Delegating parser: intercepts `CALL graft.<proc>(<args>)`

@@ -10,6 +10,32 @@ import graft.core.TxTable
 class GraftProceduresSpec extends SparkSpec {
   import spark.implicits._
 
+  // raw-path arguments are admin-gated (see the gate test below);
+  // this suite exercises them deliberately
+  spark.conf.set(graft.sql.GraftCallCommand.AllowRawPathsKey, "true")
+
+  test("raw filesystem paths in CALL are rejected unless opted in") {
+    val dir = tmpDir("proc-gate") + "/t"
+    val d = (1L to 8L).map(i => (i, i * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, d.schema, Seq("k"), numBuckets = 2)
+    t.append(d)
+    spark.conf.unset(graft.sql.GraftCallCommand.AllowRawPathsKey)
+    try {
+      val e = intercept[Exception] {
+        spark.sql(s"CALL graft.vacuum('$dir', 1)").collect()
+      }
+      assert(e.getMessage.contains("allowRawPaths"))
+      // catalog identifiers stay open without the opt-in
+      val root = dir.stripSuffix("/t")
+      spark.conf.set("spark.sql.catalog.gate", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gate.root", root)
+      val rep = spark.sql("CALL graft.compact('gate.t')")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(rep("table") === dir)
+    } finally spark.conf.set(
+      graft.sql.GraftCallCommand.AllowRawPathsKey, "true")
+  }
+
   test("compact / materialize_deletes / vacuum through CALL") {
     val dir = tmpDir("proc") + "/t"
     val d = (1L to 64L).map(i => (i, i * 1.0)).toDF("k", "v")

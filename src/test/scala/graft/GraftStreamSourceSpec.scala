@@ -136,6 +136,29 @@ class GraftStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxVersionsPerTrigger above Int.MaxValue clamps, never stalls") {
+    val dir = tmpDir("gstream-clamp") + "/t"
+    val b1 = Seq((1L, "a")).toDF("k", "s")
+    val t = new TxTable(spark, dir, b1.schema, Seq("k"), numBuckets = 2)
+    t.append(b1)
+    t.append(Seq((2L, "b")).toDF("k", "s"))
+    // pre-fix, (Int.MaxValue+1).toInt wraps to a NEGATIVE take() →
+    // every batch plans empty and the stream stalls silently forever
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "-1")
+      .option("maxVersionsPerTrigger", (Int.MaxValue.toLong + 1L).toString)
+      .load(dir)
+      .writeStream.format("memory").queryName("gtail_clamp")
+      .option("checkpointLocation", tmpDir("gstream-clamp-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      assert(spark.table("gtail_clamp").collect().map(_.getLong(0)).toSet ===
+        Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("startingTimestamp serves exactly the commits published at/after it") {
     val dir = tmpDir("gstream-ts") + "/t"
     val b1 = Seq((1L, "a")).toDF("k", "s")
