@@ -18,27 +18,35 @@ import org.json4s.jackson.JsonMethods
   * table-relative path, so a Delta reader rooted at `table.dir` reads
   * the same bytes TxTable serves.
   *
-  * Protocol floor is (minReaderVersion 1, minWriterVersion 2) — the
-  * lowest floor, readable by every Delta client. That floor cannot
-  * express merge-on-read deletion vectors (reader v3 territory), so a
-  * snapshot with outstanding DVs is REFUSED with the remedy
-  * (`materializeDeletes()`) rather than exported wrong; shallow-clone
-  * foreign file references are refused for the same
-  * reader-compatibility reason. Zone maps translate to Delta
+  * Protocol is the LOWEST floor the snapshot's content allows:
+  * (minReaderVersion 1, minWriterVersion 2) — readable by every Delta
+  * client — while the snapshot is plain parquet, and table-features
+  * protocol (3, 7) with the `deletionVectors` feature the moment a
+  * file carries outstanding DVs. Merge-on-read deletes therefore
+  * export NATIVELY: each dirty file's tombstones serialize into the
+  * protocol's RoaringBitmapArray format ([[DeltaDv]]) inside one
+  * `deletion_vector_<uuid>.bin` per commit, and the add action
+  * carries the descriptor — no `materializeDeletes()` full-table
+  * rewrite precondition. Shallow-clone foreign file references are
+  * still refused (reader-compatibility). Zone maps translate to Delta
   * `add.stats` (numRecords / minValues / maxValues / nullCount) so a
-  * Delta reader data-skips exactly where TxTable would.
+  * Delta reader data-skips exactly where TxTable would; DV'd files
+  * mark their stats `tightBounds: false` (extrema may cover deleted
+  * rows), per the feature spec.
   *
   * The base export is a SNAPSHOT mirror (commit 00...0.json, the
   * current version); [[syncDeltaLog]] then keeps the log LIVE — each
   * sync appends the next Delta commit as a remove/add DIFF between
-  * what the log already says and the table's current snapshot, so a
-  * stock Delta reader (or [[DeltaImport]]) follows the table forward
-  * and can time-travel the exported history (VERSION AS OF = replay
-  * prefix). The diff is computed from the log itself, not a separate
-  * watermark — the log can never drift from what was actually
-  * published. Diff cost scales with the CHANGE (untouched files are
-  * identical relative paths on both sides), mirroring TxTable's own
-  * re-link commits.
+  * what the log already says and the table's current snapshot (a file
+  * whose DV grew re-adds with the new descriptor; a log that started
+  * at floor (1,2) upgrades its protocol action in the same commit the
+  * first DV appears), so a stock Delta reader (or [[DeltaImport]])
+  * follows the table forward and can time-travel the exported history
+  * (VERSION AS OF = replay prefix). The diff is computed from the log
+  * itself, not a separate watermark — the log can never drift from
+  * what was actually published. Diff cost scales with the CHANGE
+  * (untouched files are identical relative paths on both sides),
+  * mirroring TxTable's own re-link commits.
   */
 object DeltaExport {
 
@@ -56,12 +64,16 @@ object DeltaExport {
     q.stripPrefix(rootUri)
   }
 
+  private def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
   // Delta add.stats: numRecords + min/max/nullCount per column the
   // zone maps cover. Timestamp extrema are omitted (Delta wants ISO
   // strings; the manifest stores comparable micros) — stats are an
-  // optimization, absence only costs skipping.
-  private def deltaStats(statsJson: String, schema: StructType)
-      : Option[String] =
+  // optimization, absence only costs skipping. DV'd files get
+  // tightBounds=false: the extrema were computed over the physical
+  // rows and may be wider than the live ones.
+  private def deltaStats(statsJson: String, schema: StructType,
+      tightBounds: Boolean): Option[String] =
     FileStats.fromJson(statsJson, schema).map { st =>
       import org.apache.spark.sql.types._
       // extrema only for types whose JSON rendering a Delta reader
@@ -90,15 +102,26 @@ object DeltaExport {
         s.max.flatMap(jval).map(c -> _) }
       val nulls = statted.collect { case (c, s) if s.nulls >= 0L =>
         c -> (JLong(s.nulls): JValue) }
-      JsonMethods.compact(JsonMethods.render(JObject(
+      JsonMethods.compact(JsonMethods.render(JObject(List(
         "numRecords" -> JLong(st.rows),
         "minValues" -> JObject(mins.toList),
         "maxValues" -> JObject(maxs.toList),
-        "nullCount" -> JObject(nulls.toList))))
+        "nullCount" -> JObject(nulls.toList)) ++
+        (if (tightBounds) Nil
+         else List("tightBounds" -> (JBool(false): JValue))))))
     }
 
-  private def addAction(fs: FileSystem, rootUri: String,
-      schema: StructType)(f: TxTable.LiveFile): JObject = {
+  private def dvDescriptor(pathOrInlineDv: String,
+      slot: DeltaDv.Slot): JObject =
+    JObject(
+      "storageType" -> JString("u"),
+      "pathOrInlineDv" -> JString(pathOrInlineDv),
+      "offset" -> JLong(slot.offset),
+      "sizeInBytes" -> JLong(slot.sizeInBytes),
+      "cardinality" -> JLong(slot.cardinality))
+
+  private def addAction(fs: FileSystem, rootUri: String, schema: StructType,
+      dv: Option[(String, DeltaDv.Slot)])(f: TxTable.LiveFile): JObject = {
     val status = fs.getFileStatus(new Path(f.path))
     JObject("add" -> JObject(List(
       "path" -> JString(relative(fs, rootUri)(f.path)),
@@ -106,11 +129,26 @@ object DeltaExport {
       "size" -> JLong(status.getLen),
       "modificationTime" -> JLong(status.getModificationTime),
       "dataChange" -> JBool(true)) ++
-      deltaStats(f.statsJson, schema).map(s =>
-        "stats" -> (JString(s): JValue))))
+      deltaStats(f.statsJson, schema, tightBounds = dv.isEmpty).map(s =>
+        "stats" -> (JString(s): JValue)) ++
+      dv.map { case (p, slot) =>
+        "deletionVector" -> (dvDescriptor(p, slot): JValue) }))
   }
 
-  private def metaDataAction(schema: StructType): JObject =
+  private def protocolAction(withDvs: Boolean): JObject =
+    if (!withDvs)
+      JObject("protocol" -> JObject(
+        "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))
+    else
+      // table-features protocol: reader 3 / writer 7 with the feature
+      // named in BOTH lists, exactly as delta-spark publishes it
+      JObject("protocol" -> JObject(
+        "minReaderVersion" -> JInt(3), "minWriterVersion" -> JInt(7),
+        "readerFeatures" -> JArray(List(JString("deletionVectors"))),
+        "writerFeatures" -> JArray(List(JString("deletionVectors")))))
+
+  private def metaDataAction(schema: StructType,
+      dvEnabled: Boolean): JObject =
     JObject("metaData" -> JObject(
       "id" -> JString(java.util.UUID.randomUUID().toString),
       "format" -> JObject("provider" -> JString("parquet"),
@@ -118,7 +156,9 @@ object DeltaExport {
       // Delta's schemaString IS the Spark StructType JSON format
       "schemaString" -> JString(schema.json),
       "partitionColumns" -> JArray(Nil),
-      "configuration" -> JObject(),
+      "configuration" -> (if (dvEnabled)
+        JObject("delta.enableDeletionVectors" -> JString("true"))
+      else JObject()),
       "createdTime" -> JLong(System.currentTimeMillis())))
 
   private def writeCommit(fs: FileSystem, tableDir: String, version: Long,
@@ -134,12 +174,40 @@ object DeltaExport {
     commit.toString
   }
 
-  private def liveFiles(table: TxTable): Seq[TxTable.LiveFile] = {
-    val files = table.currentFileInfo
-    require(files.forall(_.dvRows == 0L),
-      "snapshot has outstanding deletion vectors, which Delta protocol " +
-        "(1,2) cannot express - run materializeDeletes() first")
-    files
+  /** Current files with their DV sidecar paths; foreign references
+    * are rejected later by [[relative]]. */
+  private def liveFiles(table: TxTable): Seq[(TxTable.LiveFile, Seq[String])] =
+    table.currentFileInfoWithDvs
+
+  /** Serialize the outstanding tombstones of `dirty` files into one
+    * protocol DV file under the table root. The per-file position
+    * sets are built DISTRIBUTED — executors read the sidecars, build
+    * and serialize each file's Roaring bitmap, and only the
+    * compressed bitmap bytes travel to the driver (descriptor-sized,
+    * never the positions) — so a heavily-deleted 100 TB table exports
+    * without driver-side position materialization. Returns the
+    * encoded UUID (`pathOrInlineDv`) and each file BASENAME's slot. */
+  private def writeDvsFor(spark: SparkSession, fs: FileSystem,
+      table: TxTable, dirty: Seq[(TxTable.LiveFile, Seq[String])])
+      : (String, Map[String, DeltaDv.Slot]) = {
+    import spark.implicits._
+    val sidecars = dirty.flatMap(_._2).distinct
+    val names = dirty.map { case (f, _) => basename(f.path) }.toSet
+    val blobs: Seq[(String, (Array[Byte], Long))] =
+      spark.read.parquet(sidecars: _*)
+        .select("_dv_file", "_dv_pos").distinct()
+        .filter(org.apache.spark.sql.functions.col("_dv_file")
+          .isin(names.toSeq: _*))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (file, it) =>
+          val positions = it.map(_._2).toArray.sorted
+          (file, DeltaDv.serializeBitmap(positions.iterator),
+            positions.length.toLong)
+        }
+        .collect().toSeq
+        .map { case (f, b, n) => (f, (b, n)) }
+    DeltaDv.writeDvFile(fs, table.dir, blobs)
   }
 
   /** Write `table.dir/_delta_log/00000000000000000000.json` for the
@@ -148,11 +216,18 @@ object DeltaExport {
     val files = liveFiles(table)
     val (fs, rootUri) = fsFor(spark, table)
     val schema = table.currentSchema
-    val protocol = JObject("protocol" -> JObject(
-      "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))
-    val adds = files.sortBy(_.path).map(addAction(fs, rootUri, schema))
+    val dirty = files.filter(_._1.dvRows > 0L)
+    val dvSlots: Map[String, (String, DeltaDv.Slot)] =
+      if (dirty.isEmpty) Map.empty
+      else {
+        val (enc, slots) = writeDvsFor(spark, fs, table, dirty)
+        slots.map { case (k, v) => k -> (enc, v) }
+      }
+    val adds = files.map(_._1).sortBy(_.path).map(f =>
+      addAction(fs, rootUri, schema, dvSlots.get(basename(f.path)))(f))
     writeCommit(fs, table.dir, 0L,
-      protocol +: metaDataAction(schema) +: adds)
+      protocolAction(dirty.nonEmpty) +:
+        metaDataAction(schema, dirty.nonEmpty) +: adds)
   }
 
   // ---- checkpoints (PROTOCOL.md "Checkpoints") ----
@@ -165,14 +240,18 @@ object DeltaExport {
   // parquet and replay only the JSON tail, and the JSON prefix
   // becomes vacuumable.
 
-  private case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
+  private case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int,
+      readerFeatures: Option[Seq[String]],
+      writerFeatures: Option[Seq[String]])
   private case class CpFormat(provider: String)
   private case class CpMetaData(id: String, format: CpFormat,
       schemaString: String, partitionColumns: Seq[String],
       configuration: Map[String, String], createdTime: Long)
+  private case class CpDv(storageType: String, pathOrInlineDv: String,
+      offset: Long, sizeInBytes: Long, cardinality: Long)
   private case class CpAdd(path: String, partitionValues: Map[String, String],
       size: Long, modificationTime: Long, dataChange: Boolean,
-      stats: Option[String])
+      stats: Option[String], deletionVector: Option[CpDv])
   private case class CpRow(protocol: Option[CpProtocol],
       metaData: Option[CpMetaData], add: Option[CpAdd])
 
@@ -183,8 +262,10 @@ object DeltaExport {
     * pointer LAST — a crash in between strands a valid checkpoint
     * behind a stale pointer, which readers recover from by listing;
     * the reverse order would point at a checkpoint that doesn't
-    * exist. `add.stats` carry through, so a bootstrapped reader
-    * data-skips exactly like a replaying one. Returns the checkpoint
+    * exist. `add.stats` and DV descriptors carry through, so a
+    * bootstrapped reader data-skips and masks exactly like a
+    * replaying one; the protocol row is the LOG's protocol (features
+    * included), never a hard-coded floor. Returns the checkpoint
     * file path. */
   def writeCheckpoint(spark: SparkSession, table: TxTable): String = {
     implicit val fmts: org.json4s.Formats = DefaultFormats
@@ -198,20 +279,26 @@ object DeltaExport {
       format = CpFormat("parquet"),
       schemaString = (metaJ \ "schemaString").extract[String],
       partitionColumns = snap.partitionColumns,
-      // non-null configuration: stricter stock readers require the
-      // full metaData action schema in checkpoints (empty map == the
-      // JSON metaData action this log writes)
-      configuration = Map.empty,
+      // the JSON metaData action's configuration, carried verbatim
+      // (stricter stock readers require the full metaData schema)
+      configuration = (metaJ \ "configuration")
+        .extractOpt[Map[String, String]].getOrElse(Map.empty),
       createdTime = (metaJ \ "createdTime").extractOpt[Long]
         .getOrElse(System.currentTimeMillis()))
     val rel = relative(fs, rootUri) _
+    val p = snap.protocol
+    val cpProto = CpProtocol(p.minReaderVersion, p.minWriterVersion,
+      if (p.readerFeatures.isEmpty) None else Some(p.readerFeatures),
+      if (p.writerFeatures.isEmpty) None else Some(p.writerFeatures))
     val rows: Seq[CpRow] =
-      CpRow(Some(CpProtocol(1, 2)), None, None) +:
+      CpRow(Some(cpProto), None, None) +:
       CpRow(None, Some(meta), None) +:
       snap.adds.map(a => CpRow(None, None, Some(CpAdd(
         rel(a.path),
         a.partitionValues.map { case (k, v) => k -> v.orNull },
-        a.size, a.modificationTime, dataChange = true, a.stats))))
+        a.size, a.modificationTime, dataChange = true, a.stats,
+        a.deletionVector.map(d => CpDv(d.storageType, d.pathOrInlineDv,
+          d.offset.getOrElse(1L), d.sizeInBytes, d.cardinality))))))
     import spark.implicits._
     val stage = new Path(logDir, s".cp-stage-${snap.version}")
     spark.createDataset(rows).toDF()
@@ -243,12 +330,15 @@ object DeltaExport {
 
   /** Append the NEXT Delta commit: the remove/add diff between the
     * published log state and the table's current snapshot (plus a
-    * fresh metaData action when the schema evolved). First call (no
-    * log yet) is the full snapshot export. Every `checkpointInterval`
-    * commits the new log state is also checkpointed ([[writeCheckpoint]])
-    * so stock readers never replay an unbounded JSON history; 0
-    * disables. Returns the commit path, or None when the log is
-    * already current — nothing is written. */
+    * fresh metaData action when the schema evolved, a protocol
+    * upgrade when DVs first appear in a floor-(1,2) log, and re-adds
+    * for files whose deletion vector GREW — remove + add of the same
+    * path with the new descriptor, the protocol's DV-update shape).
+    * First call (no log yet) is the full snapshot export. Every
+    * `checkpointInterval` commits the new log state is also
+    * checkpointed ([[writeCheckpoint]]) so stock readers never replay
+    * an unbounded JSON history; 0 disables. Returns the commit path,
+    * or None when the log is already current — nothing is written. */
   def syncDeltaLog(spark: SparkSession, table: TxTable,
       checkpointInterval: Int = 10): Option[String] = {
     val (fs, rootUri) = fsFor(spark, table)
@@ -258,22 +348,50 @@ object DeltaExport {
     val files = liveFiles(table)
     val schema = table.currentSchema
     val rel = relative(fs, rootUri) _
-    val loggedRel = logged.files.map { case (p, _) => rel(p) }.toSet
-    val current = files.map(f => rel(f.path) -> f).toMap
-    val removes = (loggedRel -- current.keySet).toSeq.sorted
-    val adds = (current.keySet -- loggedRel).toSeq.sorted
+    val loggedDvCard: Map[String, Long] = logged.adds.map(a =>
+      rel(a.path) -> a.deletionVector.map(_.cardinality).getOrElse(0L)).toMap
+    val current = files.map { case (f, sc) => rel(f.path) -> ((f, sc)) }.toMap
+    val removed = (loggedDvCard.keySet -- current.keySet).toSeq.sorted
+    val added = (current.keySet -- loggedDvCard.keySet).toSeq.sorted
+    // a path live on both sides whose tombstone count moved re-adds
+    // with the new descriptor (deletes only grow a file's DV; equal
+    // cardinality ⇒ identical bitmap). Sidecar double-counting can
+    // only OVERSTATE the current count — worst case a spurious
+    // identical re-add, never a missed update.
+    val dvChanged = (current.keySet & loggedDvCard.keySet).toSeq.sorted
+      .filter(p => current(p)._1.dvRows != loggedDvCard(p))
     val schemaChanged = logged.schema.json != schema.json
-    if (removes.isEmpty && adds.isEmpty && !schemaChanged) return None
-    val removeActions = removes.map { p =>
+    if (removed.isEmpty && added.isEmpty && dvChanged.isEmpty &&
+      !schemaChanged) return None
+
+    val readds = (added ++ dvChanged).sorted.map(current)
+    val dirty = readds.filter(_._1.dvRows > 0L)
+    val dvSlots: Map[String, (String, DeltaDv.Slot)] =
+      if (dirty.isEmpty) Map.empty
+      else {
+        val (enc, slots) = writeDvsFor(spark, fs, table, dirty)
+        slots.map { case (k, v) => k -> (enc, v) }
+      }
+    val nowHasDvs = files.exists(_._1.dvRows > 0L)
+    val upgrade =
+      if (logged.protocol.minReaderVersion < 3 && nowHasDvs)
+        Seq(protocolAction(withDvs = true))
+      else Nil
+    val meta =
+      if (schemaChanged || upgrade.nonEmpty)
+        Seq(metaDataAction(schema, nowHasDvs))
+      else Nil
+    val removeActions = (removed ++ dvChanged).sorted.map { p =>
       JObject("remove" -> JObject(
         "path" -> JString(p),
         "deletionTimestamp" -> JLong(System.currentTimeMillis()),
         "dataChange" -> JBool(true)))
     }
-    val addActions = adds.map(p => addAction(fs, rootUri, schema)(current(p)))
-    val meta = if (schemaChanged) Seq(metaDataAction(schema)) else Nil
+    val addActions = readds.map { case (f, _) =>
+      addAction(fs, rootUri, schema, dvSlots.get(basename(f.path)))(f) }
     val v = logged.version + 1L
-    val commit = writeCommit(fs, table.dir, v, meta ++ removeActions ++ addActions)
+    val commit = writeCommit(fs, table.dir, v,
+      upgrade ++ meta ++ removeActions ++ addActions)
     if (checkpointInterval > 0 && v % checkpointInterval == 0)
       writeCheckpoint(spark, table)
     Some(commit)

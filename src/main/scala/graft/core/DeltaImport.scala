@@ -26,11 +26,12 @@ import org.json4s.jackson.JsonMethods
   * reads), `commitInfo`/`txn` are no-ops. Paths are percent-decoded
   * and resolved table-relative unless absolute (both legal).
   *
-  * Honest protocol floor: `minReaderVersion` must be 1 — that is the
-  * floor [[DeltaExport]] writes and the only one whose data files are
-  * self-describing parquet. Higher floors (column mapping, deletion
-  * vectors, v2 checkpoints) change how the files must be interpreted,
-  * so a table demanding them is REFUSED, never misread. Checkpointed
+  * Honest protocol floor: `minReaderVersion` 1 (plain parquet), plus
+  * reader v3 when every listed `readerFeature` is one this reader
+  * implements — `deletionVectors` ([[DeltaDv]] decodes the protocol's
+  * bitmap format and reads mask merge-on-read). Anything else that
+  * changes how the files must be interpreted (column mapping, v2
+  * checkpoints, unknown features) is REFUSED, never misread. Checkpointed
   * logs are readable as long as every JSON commit from 0 is still
   * present (the replay ignores `_last_checkpoint` and reconstructs
   * from the full JSON history); a log whose head commits were vacuumed
@@ -45,6 +46,28 @@ import org.json4s.jackson.JsonMethods
   */
 object DeltaImport {
 
+  /** A deletion-vector descriptor as the protocol spells it (add
+    * action `deletionVector` field): where the serialized bitmap
+    * lives and how many rows it tombstones. */
+  final case class DvDesc(
+      storageType: String,
+      pathOrInlineDv: String,
+      offset: Option[Long],
+      sizeInBytes: Long,
+      cardinality: Long)
+
+  /** The table's protocol action: versions plus (reader ≥ 3 / writer
+    * ≥ 7) the explicit feature lists. */
+  final case class Protocol(
+      minReaderVersion: Int,
+      minWriterVersion: Int,
+      readerFeatures: Seq[String],
+      writerFeatures: Seq[String])
+
+  /** The only reader-relevant table feature this reader implements —
+    * anything else in `readerFeatures` is honestly refused. */
+  val SupportedReaderFeatures: Set[String] = Set("deletionVectors")
+
   /** A live add action's payload — everything a checkpoint must carry
     * forward (losing `stats` would cost Delta readers their skipping). */
   final case class AddFile(
@@ -52,7 +75,8 @@ object DeltaImport {
       partitionValues: Map[String, Option[String]],
       size: Long,
       modificationTime: Long,
-      stats: Option[String])
+      stats: Option[String],
+      deletionVector: Option[DvDesc] = None)
 
   /** Reconstructed snapshot: what the log says the table IS now. */
   final case class Snapshot(
@@ -68,7 +92,9 @@ object DeltaImport {
         * evidence that the JSON prefix was NOT re-read. */
       fromCheckpoint: Option[Long] = None,
       /** JSON commit files actually replayed (after the bootstrap). */
-      replayedJsonCommits: Int = 0) {
+      replayedJsonCommits: Int = 0,
+      /** the log's winning protocol action (floor when absent). */
+      protocol: Protocol = Protocol(1, 2, Nil, Nil)) {
     /** live data files: absolute path -> partition values (raw
       * protocol strings; null value = null partition). */
     def files: Seq[(String, Map[String, Option[String]])] =
@@ -166,14 +192,25 @@ object DeltaImport {
     var schema: StructType = null
     var partCols: Seq[String] = Nil
     var metaRaw: Option[String] = None
+    var proto: Protocol = Protocol(1, 2, Nil, Nil)
     // LinkedHashMap keeps add order for deterministic file lists
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
 
-    def checkProtocol(r: Int): Unit =
-      require(r <= 1,
-        s"table demands minReaderVersion $r (column mapping / " +
-          "deletion vectors / v2 checkpoints) - this reader " +
-          "honestly supports protocol 1 only")
+    // Honest floor: reader v1 (plain parquet), or reader v3 (table
+    // features) when every listed readerFeature is one this reader
+    // actually implements — deletionVectors only. Reader v2 (column
+    // mapping, implied, no feature list) and unknown v3 features
+    // change how the bytes must be interpreted, so they are refused,
+    // never misread.
+    def applyProtocol(r: Int, w: Int, rf: Seq[String], wf: Seq[String])
+        : Unit = {
+      require(r <= 1 ||
+        (r == 3 && rf.forall(SupportedReaderFeatures.contains)),
+        s"table demands minReaderVersion $r with readerFeatures " +
+          s"[${rf.mkString(",")}] - this reader supports protocol 1 " +
+          s"and protocol 3 with [${SupportedReaderFeatures.mkString(",")}]")
+      proto = Protocol(r, w, rf, wf)
+    }
     def applyMeta(m: JValue): Unit = {
       val fmt = (m \ "format" \ "provider").extractOpt[String]
       require(fmt.forall(_ == "parquet"),
@@ -197,9 +234,24 @@ object DeltaImport {
       val rows = spark.read.parquet(checkpoints(cv).toString)
       val cols = rows.columns.toSet
       if (cols("protocol")) {
+        val pFields = rows.select(c("protocol.*")).columns.toSet
+        def featList(name: String) =
+          if (pFields(name)) c(s"protocol.$name")
+          else org.apache.spark.sql.functions.lit(null)
+            .cast("array<string>")
+        val minW =
+          if (pFields("minWriterVersion")) c("protocol.minWriterVersion")
+          else org.apache.spark.sql.functions.lit(2)
         rows.where(c("protocol").isNotNull)
-          .select(c("protocol.minReaderVersion")).limit(2)
-          .collect().foreach(r => checkProtocol(r.getInt(0)))
+          .select(c("protocol.minReaderVersion"), minW.as("w"),
+            featList("readerFeatures").as("rf"),
+            featList("writerFeatures").as("wf"))
+          .limit(2)
+          .collect().foreach { r =>
+            def feats(i: Int): Seq[String] =
+              if (r.isNullAt(i)) Nil else r.getSeq[String](i)
+            applyProtocol(r.getInt(0), r.getInt(1), feats(2), feats(3))
+          }
       }
       if (cols("metaData")) {
         val mdf = rows.where(c("metaData").isNotNull)
@@ -230,20 +282,42 @@ object DeltaImport {
           }
       }
       if (cols("add")) {
+        val aFields = rows.select(c("add.*")).columns.toSet
         val stats =
-          if (rows.select(c("add.*")).columns.contains("stats"))
-            c("add.stats")
+          if (aFields("stats")) c("add.stats")
           else org.apache.spark.sql.functions.lit(null).cast("string")
+        val dv =
+          if (aFields("deletionVector")) c("add.deletionVector")
+          else org.apache.spark.sql.functions.lit(null).cast(
+            "struct<storageType:string,pathOrInlineDv:string," +
+              "offset:bigint,sizeInBytes:bigint,cardinality:bigint>")
         rows.where(c("add").isNotNull)
           .select(c("add.path"), c("add.partitionValues"), c("add.size"),
-            c("add.modificationTime"), stats.as("stats"))
+            c("add.modificationTime"), stats.as("stats"), dv.as("dv"))
           .collect().foreach { a =>
             val pv = Option(a.getMap[String, String](1))
               .map(_.toMap.map { case (k, v) => k -> Option(v) })
               .getOrElse(Map.empty[String, Option[String]])
             val p = resolve(a.getString(0))
+            val dvDesc =
+              if (a.isNullAt(5)) None
+              else {
+                val d = a.getStruct(5)
+                def lng(name: String): Option[Long] = {
+                  val i = d.fieldIndex(name)
+                  if (d.isNullAt(i)) None
+                  else Some(d.get(i) match {
+                    case l: Long => l
+                    case i2: Int => i2.toLong
+                  })
+                }
+                Some(DvDesc(d.getAs[String]("storageType"),
+                  d.getAs[String]("pathOrInlineDv"), lng("offset"),
+                  lng("sizeInBytes").getOrElse(0L),
+                  lng("cardinality").getOrElse(0L)))
+              }
             live.put(p, AddFile(p, pv, a.getLong(2), a.getLong(3),
-              if (a.isNullAt(4)) None else Some(a.getString(4))))
+              if (a.isNullAt(4)) None else Some(a.getString(4)), dvDesc))
           }
       }
     }
@@ -258,7 +332,11 @@ object DeltaImport {
         val j = JsonMethods.parse(line)
         (j \ "protocol") match {
           case JNothing => ()
-          case p => checkProtocol((p \ "minReaderVersion").extract[Int])
+          case p => applyProtocol(
+            (p \ "minReaderVersion").extract[Int],
+            (p \ "minWriterVersion").extractOpt[Int].getOrElse(2),
+            (p \ "readerFeatures").extractOpt[Seq[String]].getOrElse(Nil),
+            (p \ "writerFeatures").extractOpt[Seq[String]].getOrElse(Nil))
         }
         (j \ "metaData") match {
           case JNothing => ()
@@ -275,10 +353,19 @@ object DeltaImport {
               case _ => Map.empty[String, Option[String]]
             }
             val p = resolve((a \ "path").extract[String])
+            val dvDesc = (a \ "deletionVector") match {
+              case JNothing => None
+              case d => Some(DvDesc(
+                (d \ "storageType").extract[String],
+                (d \ "pathOrInlineDv").extract[String],
+                (d \ "offset").extractOpt[Long],
+                (d \ "sizeInBytes").extract[Long],
+                (d \ "cardinality").extract[Long]))
+            }
             live.put(p, AddFile(p, pv,
               (a \ "size").extractOpt[Long].getOrElse(0L),
               (a \ "modificationTime").extractOpt[Long].getOrElse(0L),
-              (a \ "stats").extractOpt[String]))
+              (a \ "stats").extractOpt[String], dvDesc))
         }
         (j \ "remove") match {
           case JNothing => ()
@@ -288,36 +375,83 @@ object DeltaImport {
     }
     require(schema != null, "log replay found no metaData action")
     Snapshot(target, schema, partCols, live.values.toSeq, metaRaw,
-      boot, tail.size)
+      boot, tail.size, proto)
   }
 
   /** Read the table's state as a DataFrame with the log's declared
     * schema (partition columns included, typed per schema) — current,
-    * or at `asOf` (VERSION AS OF). */
+    * or at `asOf` (VERSION AS OF). Files carrying deletion vectors
+    * are served MERGE-ON-READ: the driver loads only the compressed
+    * bitmap bytes (descriptor-bounded — never the positions), the
+    * positions expand on EXECUTORS, and the dirty files anti-join the
+    * broadcast tombstones on (file, row_index) — clean files never
+    * pay the mask, the same plan TxTable's own DV reads use. */
   def read(spark: SparkSession, dir: String,
       asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, dir, asOf)
+    val root = new Path(dir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = hfs.makeQualified(root).toString.stripSuffix("/")
     val dataSchema = StructType(
       snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
-    def scan(paths: Seq[String]): DataFrame =
-      spark.read.schema(dataSchema).parquet(paths: _*)
+
+    def scan(group: Seq[AddFile]): DataFrame = {
+      import org.apache.spark.sql.functions.{broadcast, element_at, split}
+      val (dirty, clean) = group.partition(_.deletionVector.nonEmpty)
+      val cleanDf =
+        if (clean.isEmpty) None
+        else Some(spark.read.schema(dataSchema).parquet(clean.map(_.path): _*))
+      val dirtyDf =
+        if (dirty.isEmpty) None
+        else {
+          import spark.implicits._
+          val blobs: Seq[(String, Array[Byte])] = dirty.map { a =>
+            val d = a.deletionVector.get
+            val bytes = d.storageType match {
+              case "u" => DeltaDv.readDvBlob(hfs, rootUri,
+                d.pathOrInlineDv, d.offset.getOrElse(1L), d.sizeInBytes)
+              case "p" => DeltaDv.readBlobAt(hfs,
+                new Path(d.pathOrInlineDv), d.offset.getOrElse(1L),
+                d.sizeInBytes)
+              case other => throw new UnsupportedOperationException(
+                s"deletion vector storageType '$other' is not supported " +
+                  "(u and p are)")
+            }
+            a.path.substring(a.path.lastIndexOf('/') + 1) -> bytes
+          }
+          val tomb = spark.createDataset(blobs)
+            .flatMap { case (f, bytes) =>
+              DeltaDv.deserializeBitmap(bytes).iterator.map(p => (f, p)) }
+            .toDF("_dv_file", "_dv_pos")
+          Some(spark.read.schema(dataSchema).parquet(dirty.map(_.path): _*)
+            .withColumn("_file",
+              element_at(split(col("_metadata.file_path"), "/"), -1))
+            .withColumn("_pos", col("_metadata.row_index"))
+            .join(broadcast(tomb),
+              col("_file") === col("_dv_file") &&
+                col("_pos") === col("_dv_pos"),
+              "left_anti")
+            .drop("_file", "_pos"))
+        }
+      (cleanDf.toSeq ++ dirtyDf.toSeq).reduce(_ unionByName _)
+    }
 
     val out =
-      if (snap.files.isEmpty) {
+      if (snap.adds.isEmpty) {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
       } else if (snap.partitionColumns.isEmpty) {
-        scan(snap.files.map(_._1))
+        scan(snap.adds)
       } else {
         // partition values live in the LOG, not the files: group the
         // live set by its value tuple and attach each group's values
         // as literal columns cast to the declared type (protocol
         // serialization: strings; null = null). Group count is the
         // table's partition count - driver-side metadata, not data.
-        snap.files.groupBy(_._2).toSeq
+        snap.adds.groupBy(_.partitionValues).toSeq
           .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
-          .map { case (pv, fs) =>
-            val withParts = snap.partitionColumns.foldLeft(scan(fs.map(_._1))) {
+          .map { case (pv, group) =>
+            val withParts = snap.partitionColumns.foldLeft(scan(group)) {
               (df, c) =>
                 val dt = snap.schema(c).dataType
                 val v: Column = pv.get(c).flatten match {

@@ -2168,6 +2168,16 @@ final class TxTable(
     else loadManifest(currentVersion).entries.map(e =>
       TxTable.LiveFile(e.path, e.bucket, e.stats, e.dvs.map(_.rows).sum))
 
+  /** [[currentFileInfo]] plus each file's DV sidecar paths — the
+    * merge-on-read export surface ([[DeltaExport]] serializes the
+    * sidecars' tombstones into protocol deletion vectors). */
+  private[core] def currentFileInfoWithDvs
+      : Seq[(TxTable.LiveFile, Seq[String])] =
+    if (currentVersion < 0) Nil
+    else loadManifest(currentVersion).entries.map(e =>
+      (TxTable.LiveFile(e.path, e.bucket, e.stats, e.dvs.map(_.rows).sum),
+        e.dvs.map(_.path)))
+
   /** Total bytes of the current version's data files — driver-side
     * metadata (one getFileStatus per manifest entry). */
   def currentDataBytes: Long =

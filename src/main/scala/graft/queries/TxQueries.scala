@@ -362,6 +362,36 @@ object TxQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** DELTA DV-NATIVE round-trip: a snapshot with OUTSTANDING
+    * merge-on-read deletion vectors exports at table-features
+    * protocol (3,7) with the `deletionVectors` feature — the
+    * tombstones serialize into the protocol's RoaringBitmapArray
+    * format ([[graft.core.DeltaDv]]), NO `materializeDeletes()`
+    * rewrite — and [[graft.core.DeltaImport]] reads the log back
+    * masking the DV'd files merge-on-read. The aggregate over the
+    * imported frame must equal DuckDB recomputing the delete on raw
+    * parquet: export and import agree on exactly which ROWS are live,
+    * not just which files. */
+  def tx_delta_dv_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice")
+    val table = cached(s, dir, "orders", "deltadv", 3L) { loc =>
+      new TxTable(s, loc, o.schema, Seq("o_orderkey"), numBuckets = 4)
+    } { tx =>
+      tx.append(o.filter(col("o_orderkey") % 3 === 0))  // v1
+      tx.append(o.filter(col("o_orderkey") % 3 =!= 0))  // v2
+      tx.deleteWhereLight(col("o_orderstatus") === "F") // v3: DVs live
+      graft.core.DeltaExport.writeDeltaLog(s, tx)       // Delta commit 0
+    }
+    graft.core.DeltaImport.read(s, table.dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        Qhelpers.msum(col("o_totalprice")).as("total"),
+        min("o_orderkey").as("min_key"))
+      .orderBy("o_orderpriority")
+  }
+
   /** ICEBERG round-trip, end to end: the table's snapshot exported as
     * an Iceberg v2 metadata tree ([[graft.core.IcebergExport]] —
     * HadoopCatalog layout, spec field-ids) and read BACK through the
@@ -927,6 +957,7 @@ object TxQueries {
     "tx_check_read" -> (tx_check_read _),
     "tx_repair_read" -> (tx_repair_read _),
     "tx_delta_roundtrip" -> (tx_delta_roundtrip _),
+    "tx_delta_dv_roundtrip" -> (tx_delta_dv_roundtrip _),
     "tx_iceberg_roundtrip" -> (tx_iceberg_roundtrip _),
     "scd2_incr_build" -> (scd2_incr_build _),
     "mv_routed_agg" -> (mv_routed_agg _),
@@ -1099,6 +1130,18 @@ object TxQueries {
          |       MIN(o_orderkey) AS min_key
          |FROM orders
          |WHERE o_orderpriority <> '1-URGENT'
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+    // both appends reconstitute orders; the light (merge-on-read)
+    // delete tombstones the F rows, which the Delta export carries as
+    // NATIVE deletion vectors — the import-side aggregate must equal
+    // the raw-parquet recompute of that masked state
+    "tx_delta_dv_roundtrip" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |       ${Qhelpers.sqlMsum("o_totalprice")} AS total,
+         |       MIN(o_orderkey) AS min_key
+         |FROM orders
+         |WHERE o_orderstatus <> 'F'
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
     // both appends reconstitute part; the copy-on-write delete removes

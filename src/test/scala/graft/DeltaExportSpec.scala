@@ -72,22 +72,137 @@ class DeltaExportSpec extends SparkSpec {
       Seq(4L, "d", 40.0)))
   }
 
-  test("outstanding deletion vectors refuse export until materialized") {
+  test("outstanding deletion vectors export NATIVELY at protocol (3,7)") {
     val dir = tmpDir("deltax-dv") + "/t"
     val data = (1L to 20L).map(k => (k, s"n$k")).toDF("k", "name")
     val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 2)
     t.append(data)
     t.deleteWhereLight(col("k") <= 5L)
-    val e = intercept[IllegalArgumentException] {
-      DeltaExport.writeDeltaLog(spark, t)
+    val commit = DeltaExport.writeDeltaLog(spark, t) // no materialize
+    val actions = scala.io.Source.fromFile(
+      commit.stripPrefix("file:"), "UTF-8").getLines().toSeq
+      .filter(_.nonEmpty).map(JsonMethods.parse(_))
+
+    // protocol action: table features, DV named in BOTH lists
+    val proto = actions.collectFirst {
+      case a if (a \ "protocol") != JNothing => a \ "protocol" }.get
+    assert((proto \ "minReaderVersion") === JInt(3))
+    assert((proto \ "minWriterVersion") === JInt(7))
+    assert((proto \ "readerFeatures") ===
+      JArray(List(JString("deletionVectors"))))
+    assert((proto \ "writerFeatures") ===
+      JArray(List(JString("deletionVectors"))))
+    val meta = actions.collectFirst {
+      case a if (a \ "metaData") != JNothing => a \ "metaData" }.get
+    assert((meta \ "configuration" \ "delta.enableDeletionVectors") ===
+      JString("true"))
+
+    // stock-reader descriptor shape on every DV'd add: storageType u,
+    // prefix+Base85-UUID path, offset past the version byte, honest
+    // cardinality, and stats demoted to tightBounds=false
+    val adds = actions.collect {
+      case a if (a \ "add") != JNothing => a \ "add" }
+    val dvAdds = adds.filter(a => (a \ "deletionVector") != JNothing)
+    assert(dvAdds.nonEmpty, "a file with tombstones must carry a DV")
+    var totalCard = 0L
+    dvAdds.foreach { a =>
+      val d = a \ "deletionVector"
+      assert((d \ "storageType") === JString("u"))
+      val JString(enc) = d \ "pathOrInlineDv"
+      assert(enc.length >= 20)
+      def num(j: JValue): Long = j match {
+        case JLong(l) => l
+        case JInt(i)  => i.toLong
+        case other    => fail(s"not a number: $other")
+      }
+      val off = num(d \ "offset")
+      val size = num(d \ "sizeInBytes")
+      val card = num(d \ "cardinality")
+      assert(off >= 1L && size > 0L && card > 0L)
+      totalCard += card
+      val JString(st) = a \ "stats"
+      assert(st.contains("\"tightBounds\":false"))
+      // the blob itself round-trips: CRC-validated read, portable
+      // RoaringBitmapArray decode, cardinality agreement
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val bytes = graft.core.DeltaDv.readDvBlob(fs, dir, enc, off, size)
+      assert(graft.core.DeltaDv.deserializeBitmap(bytes).length.toLong
+        === card)
     }
-    assert(e.getMessage.contains("materializeDeletes"))
-    t.materializeDeletes()
-    val commit = DeltaExport.writeDeltaLog(spark, t)
-    val snap = readDeltaLog(commit, dir)
-    val viaDelta = spark.read.schema(snap.schema).parquet(snap.files: _*)
+    assert(totalCard === 5L, "exactly the 5 tombstoned rows")
+    // the DV file is the protocol's: one leading format-version byte
+    val bin = new java.io.File(dir).listFiles()
+      .find(_.getName.startsWith("deletion_vector_")).get
+    val head = java.nio.file.Files.readAllBytes(bin.toPath)
+    assert(head(0) === 1.toByte)
+
+    // merge-on-read round trip through the production reader, with
+    // the tombstones still outstanding on the TxTable side
+    val viaDelta = graft.core.DeltaImport.read(spark, dir)
     assert(rows(viaDelta) === rows(t.read))
     assert(viaDelta.count() === 15L)
+  }
+
+  test("syncDeltaLog re-adds a file whose DV grew; floor logs upgrade") {
+    val dir = tmpDir("deltax-dvsync") + "/t"
+    val data = (1L to 30L).map(k => (k, s"n$k")).toDF("k", "name")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 2)
+    t.append(data)
+    DeltaExport.writeDeltaLog(spark, t) // clean → floor (1,2)
+    val s0 = graft.core.DeltaImport.snapshot(spark, dir)
+    assert(s0.protocol.minReaderVersion === 1)
+
+    t.deleteWhereLight(col("k") <= 4L)
+    assert(DeltaExport.syncDeltaLog(spark, t).isDefined)
+    val s1 = graft.core.DeltaImport.snapshot(spark, dir)
+    // same commit carries the protocol upgrade and the DV'd re-adds
+    assert(s1.protocol.minReaderVersion === 3)
+    assert(s1.protocol.readerFeatures === Seq("deletionVectors"))
+    assert(s1.adds.flatMap(_.deletionVector).map(_.cardinality).sum === 4L)
+    assert(rows(graft.core.DeltaImport.read(spark, dir)) === rows(t.read))
+
+    // a further delete grows the DV → remove+add with the NEW
+    // descriptor; the reader must follow
+    t.deleteWhereLight(col("k") > 4L && col("k") <= 9L)
+    assert(DeltaExport.syncDeltaLog(spark, t).isDefined)
+    val s2 = graft.core.DeltaImport.snapshot(spark, dir)
+    assert(s2.adds.flatMap(_.deletionVector).map(_.cardinality).sum === 9L)
+    assert(rows(graft.core.DeltaImport.read(spark, dir)) === rows(t.read))
+    assert(graft.core.DeltaImport.read(spark, dir).count() === 21L)
+    // already-current log: sync is a no-op
+    assert(DeltaExport.syncDeltaLog(spark, t).isEmpty)
+
+    // materialization folds the DVs into plain files → the next sync
+    // re-adds clean files (no descriptors) and the read still agrees
+    t.materializeDeletes()
+    assert(DeltaExport.syncDeltaLog(spark, t).isDefined)
+    val s3 = graft.core.DeltaImport.snapshot(spark, dir)
+    assert(s3.adds.flatMap(_.deletionVector).isEmpty)
+    assert(rows(graft.core.DeltaImport.read(spark, dir)) === rows(t.read))
+  }
+
+  test("checkpoints carry DV descriptors and the features protocol") {
+    val dir = tmpDir("deltax-dvcp") + "/t"
+    val data = (1L to 16L).map(k => (k, k * 2.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 2)
+    t.append(data)
+    t.deleteWhereLight(col("k") % 4 === 0L)
+    DeltaExport.writeDeltaLog(spark, t)
+    DeltaExport.writeCheckpoint(spark, t)
+    // drop the JSON commit: a bootstrapped reader must reconstruct
+    // protocol + DVs from the checkpoint parquet alone
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/_delta_log/00000000000000000000.json"), false)
+    val snap = graft.core.DeltaImport.snapshot(spark, dir)
+    assert(snap.fromCheckpoint === Some(0L))
+    assert(snap.protocol.minReaderVersion === 3)
+    assert(snap.adds.flatMap(_.deletionVector).map(_.cardinality).sum === 4L)
+    val viaDelta = graft.core.DeltaImport.read(spark, dir)
+    assert(viaDelta.count() === 12L)
+    assert(rows(viaDelta) === rows(t.read))
   }
 
   test("log shape matches the checked-in golden (volatile fields normalized)") {

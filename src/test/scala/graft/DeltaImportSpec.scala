@@ -182,16 +182,40 @@ class DeltaImportSpec extends SparkSpec {
     assert(e.getMessage.contains("missing commits"))
   }
 
-  test("refuses higher protocol floors and gapped logs honestly") {
+  test("refuses unsupported protocols and gapped logs honestly") {
+    // reader v3 demanding a feature we don't implement → refused
     val dir = tmpDir("deltai-ref") + "/t"
     val schema = Seq((0L, "")).toDF("k", "s").schema
     writeCommit(dir, 0L, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["columnMapping"],""" +
+        """"writerFeatures":["columnMapping"]}}""",
       metaLine(schema.json, Nil)))
     val e1 = intercept[IllegalArgumentException] {
       DeltaImport.snapshot(spark, dir)
     }
-    assert(e1.getMessage.contains("minReaderVersion 3"))
+    assert(e1.getMessage.contains("columnMapping"))
+
+    // reader v2 (implied column mapping, no feature list) → refused
+    val dirB = tmpDir("deltai-ref2") + "/t"
+    writeCommit(dirB, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLine(schema.json, Nil)))
+    val eB = intercept[IllegalArgumentException] {
+      DeltaImport.snapshot(spark, dirB)
+    }
+    assert(eB.getMessage.contains("minReaderVersion 2"))
+
+    // reader v3 limited to deletionVectors → ACCEPTED (we mask DVs)
+    val dirC = tmpDir("deltai-ref3") + "/t"
+    writeCommit(dirC, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}""",
+      metaLine(schema.json, Nil)))
+    val ok = DeltaImport.snapshot(spark, dirC)
+    assert(ok.protocol.minReaderVersion === 3)
+    assert(ok.protocol.readerFeatures === Seq("deletionVectors"))
 
     val dir2 = tmpDir("deltai-gap") + "/t"
     writeCommit(dir2, 1L, Seq(protoLine, metaLine(schema.json, Nil)))
