@@ -30,11 +30,13 @@ import org.json4s.jackson.JsonMethods
   * Like [[DeltaExport]], this is pure metadata over the manifest — no
   * Iceberg jars, no data rewrite: data_file entries reference the
   * snapshot's existing parquet by absolute URI, record counts come
-  * from the manifest's footer stats. The same honesty floor applies:
-  * outstanding deletion vectors cannot be expressed as v2 POSITION
-  * DELETES without rewriting sidecars into Iceberg's delete-file
-  * format, so a DV-carrying snapshot is REFUSED with the remedy
-  * (`materializeDeletes()`) rather than exported wrong; shallow-clone
+  * from the manifest's footer stats. Outstanding deletion vectors
+  * export NATIVELY as v2 POSITION DELETES: the sidecars' tombstones
+  * rewrite (distributed, sorted by file_path then pos per the spec)
+  * into a delete parquet under `_iceberg_deletes/` with the spec's
+  * reserved field-ids (2147483546 file_path / 2147483545 pos), and a
+  * second, content=1 manifest at a HIGHER sequence number points at
+  * it — no `materializeDeletes()` rewrite precondition. Shallow-clone
   * foreign references export fine (Iceberg paths are absolute URIs).
   *
   * Validation honesty: no stock Iceberg reader exists in this offline
@@ -124,15 +126,62 @@ object IcebergExport {
     fs.getFileStatus(path).getLen
   }
 
+  /** The sidecars' outstanding tombstones as ONE spec-conformant
+    * position-delete parquet under `<root>/_iceberg_deletes/` (its own
+    * directory — TxTable's `data/` holds only manifest-tracked files,
+    * and vacuum must never confuse the two). The rewrite is
+    * DISTRIBUTED: executors join the sidecar rows to the (tiny,
+    * broadcast) basename→URI map and sort by (file_path, pos) as the
+    * spec requires; the driver touches only the rename. One file per
+    * export — bounded by the tombstones outstanding since the last
+    * materialize, the same bound [[DeltaExport]]'s .bin carries.
+    * Returns (absolute URI, delete-row count). */
+  private def writePositionDeletes(spark: SparkSession, fs: FileSystem,
+      table: TxTable, dirty: Seq[(TxTable.LiveFile, Seq[String])],
+      uuid: String): (String, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val sidecars = dirty.flatMap(_._2).distinct
+    val mapping = dirty.map { case (f, _) =>
+      val p = f.path
+      (p.substring(p.lastIndexOf('/') + 1),
+        fs.makeQualified(new Path(p)).toString)
+    }
+    import spark.implicits._
+    val mapDf = mapping.toDF("_dv_file", "fp")
+    // the spec's reserved field-ids, carried as parquet field ids so
+    // id-resolving stock readers bind the columns correctly
+    val fpMd = new MetadataBuilder()
+      .putLong("parquet.field.id", 2147483546L).build()
+    val posMd = new MetadataBuilder()
+      .putLong("parquet.field.id", 2147483545L).build()
+    val rows = spark.read.parquet(sidecars: _*)
+      .select("_dv_file", "_dv_pos").distinct()
+      .join(broadcast(mapDf), "_dv_file")
+      .select(col("fp").as("file_path", fpMd),
+        col("_dv_pos").as("pos", posMd))
+      .sort("file_path", "pos")
+    val delDir = new Path(table.dir, "_iceberg_deletes")
+    val stage = new Path(delDir, s".stage-$uuid")
+    rows.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = fs.listStatus(stage).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") &&
+        p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("no delete part file"))
+    val target = new Path(delDir, s"$uuid-deletes.parquet")
+    if (fs.exists(target)) fs.delete(target, false)
+    require(fs.rename(part, target), s"could not publish $target")
+    fs.delete(stage, true)
+    val n = spark.read.parquet(target.toString).count()
+    (fs.makeQualified(target).toString, n)
+  }
+
   /** Export the table's current snapshot as an Iceberg v2 metadata
     * tree under `table.dir/metadata/`. Returns the table metadata
     * file's path. */
   def writeIcebergMetadata(spark: SparkSession, table: TxTable): String = {
-    val files = table.currentFileInfo
-    require(files.forall(_.dvRows == 0L),
-      "snapshot has outstanding deletion vectors, which this export " +
-        "does not rewrite into Iceberg position-delete files - run " +
-        "materializeDeletes() first")
+    val filesWithDvs = table.currentFileInfoWithDvs
+    val files = filesWithDvs.map(_._1)
+    val dirty = filesWithDvs.filter(_._1.dvRows > 0L)
     val root = new Path(table.dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootUri = fs.makeQualified(root).toString.stripSuffix("/")
@@ -171,16 +220,48 @@ object IcebergExport {
     }
     val manifestPath = new Path(metaDir, s"$uuid-m0.avro")
     val partitionSpecJson = """{"spec-id":0,"fields":[]}"""
+    val schemaMeta = Map(
+      "schema" -> JsonMethods.compact(JsonMethods.render(schemaJson(schema))),
+      "schema-id" -> "0",
+      "partition-spec" -> "[]",
+      "partition-spec-id" -> "0",
+      "format-version" -> "2")
     val manifestLen = writeAvro(fs, manifestPath, ManifestEntrySchema,
-      entryRecords, Map(
-        "schema" -> JsonMethods.compact(JsonMethods.render(schemaJson(schema))),
-        "schema-id" -> "0",
-        "partition-spec" -> "[]",
-        "partition-spec-id" -> "0",
-        "format-version" -> "2",
-        "content" -> "data"))
+      entryRecords, schemaMeta + ("content" -> "data"))
 
-    // manifest list: one manifest_file record
+    // DELETE manifest (content=1) at sequence 2: position deletes
+    // apply to data files at the same or LOWER sequence, so the data
+    // (seq 1) is in scope for every stock reader
+    val deletes: Option[(Path, Long, Long)] =
+      if (dirty.isEmpty) None
+      else {
+        val (delUri, delRows) = writePositionDeletes(
+          spark, fs, table, dirty, uuid)
+        val df = new GenericData.Record(
+          ManifestEntrySchema.getField("data_file").schema())
+        df.put("content", 1) // POSITION_DELETES
+        df.put("file_path", delUri)
+        df.put("file_format", "PARQUET")
+        df.put("partition", new GenericData.Record(
+          df.getSchema.getField("partition").schema()))
+        df.put("record_count", delRows)
+        df.put("file_size_in_bytes",
+          fs.getFileStatus(new Path(delUri)).getLen)
+        val e = new GenericData.Record(ManifestEntrySchema)
+        e.put("status", 1) // ADDED
+        e.put("snapshot_id", snapshotId)
+        e.put("sequence_number", 2L)
+        e.put("file_sequence_number", 2L)
+        e.put("data_file", df)
+        val p = new Path(metaDir, s"$uuid-m1.avro")
+        val len = writeAvro(fs, p, ManifestEntrySchema, Seq(e),
+          schemaMeta + ("content" -> "deletes"))
+        Some((p, len, delRows))
+      }
+    val lastSeq = if (deletes.isEmpty) 1L else 2L
+
+    // manifest list: the data manifest_file record, plus the delete
+    // manifest's when the snapshot carries tombstones
     val totalRows = files.map(rowsOf).sum
     val mf = new GenericData.Record(ManifestFileSchema)
     mf.put("manifest_path", fs.makeQualified(manifestPath).toString)
@@ -196,11 +277,28 @@ object IcebergExport {
     mf.put("added_rows_count", totalRows)
     mf.put("existing_rows_count", 0L)
     mf.put("deleted_rows_count", 0L)
+    val delMf = deletes.map { case (p, len, delRows) =>
+      val m = new GenericData.Record(ManifestFileSchema)
+      m.put("manifest_path", fs.makeQualified(p).toString)
+      m.put("manifest_length", len)
+      m.put("partition_spec_id", 0)
+      m.put("content", 1) // DELETES
+      m.put("sequence_number", 2L)
+      m.put("min_sequence_number", 2L)
+      m.put("added_snapshot_id", snapshotId)
+      m.put("added_files_count", 1)
+      m.put("existing_files_count", 0)
+      m.put("deleted_files_count", 0)
+      m.put("added_rows_count", delRows)
+      m.put("existing_rows_count", 0L)
+      m.put("deleted_rows_count", 0L)
+      m
+    }
     val listPath = new Path(metaDir, s"snap-$snapshotId-1-$uuid.avro")
-    writeAvro(fs, listPath, ManifestFileSchema, Seq(mf), Map(
+    writeAvro(fs, listPath, ManifestFileSchema, Seq(mf) ++ delMf, Map(
       "format-version" -> "2",
       "snapshot-id" -> snapshotId.toString,
-      "sequence-number" -> "1",
+      "sequence-number" -> lastSeq.toString,
       "parent-snapshot-id" -> "null"))
 
     // table metadata (v2 required fields per spec §"Table Metadata")
@@ -208,7 +306,7 @@ object IcebergExport {
       "format-version" -> JInt(2),
       "table-uuid" -> JString(uuid),
       "location" -> JString(rootUri),
-      "last-sequence-number" -> JInt(1),
+      "last-sequence-number" -> JLong(lastSeq),
       "last-updated-ms" -> JLong(nowMs),
       "last-column-id" -> JInt(schema.length),
       "current-schema-id" -> JInt(0),
@@ -224,7 +322,7 @@ object IcebergExport {
       "current-snapshot-id" -> JLong(snapshotId),
       "snapshots" -> JArray(List(JObject(
         "snapshot-id" -> JLong(snapshotId),
-        "sequence-number" -> JInt(1),
+        "sequence-number" -> JLong(lastSeq),
         "timestamp-ms" -> JLong(nowMs),
         "manifest-list" -> JString(fs.makeQualified(listPath).toString),
         "summary" -> JObject(

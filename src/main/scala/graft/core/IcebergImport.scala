@@ -34,16 +34,22 @@ import org.json4s.jackson.JsonMethods
   * DataFrame scans them under the metadata schema with full Spark
   * parallelism.
   *
-  * Honesty floor (mirrors the export's): v2 DELETE manifests
-  * (position/equality deletes) are REFUSED with a clear error rather
-  * than served as wrong rows — this engine stores deletes as its own
-  * DV sidecars and exports only clean snapshots, so a delete-carrying
-  * foreign table is outside the supported interop surface.
+  * v2 POSITION DELETES are read natively: delete manifests
+  * (content=1) resolve to the spec's delete parquet files
+  * (`file_path` + `pos`), and the returned DataFrame masks the
+  * tombstoned rows merge-on-read through the same anti-join-on-
+  * (file, row_index) plan TxTable's own DV reads use — only the
+  * referenced data files pay the mask. Position deletes name their
+  * target files EXPLICITLY (a file rewritten after the delete has a
+  * new path the delete cannot reference), so sequence-number scoping
+  * is not needed for them. EQUALITY deletes do scope by sequence
+  * number and are honestly REFUSED rather than served as wrong rows.
   */
 object IcebergImport {
 
   final case class Snapshot(snapshotId: Long, schema: StructType,
-      files: Seq[String], recordCounts: Seq[Long])
+      files: Seq[String], recordCounts: Seq[Long],
+      posDeleteFiles: Seq[String] = Nil)
 
   private def sparkType(t: String): DataType = t match {
     case "boolean"     => BooleanType
@@ -161,18 +167,14 @@ object IcebergImport {
         "snapshot has no manifest-list (v1 inline manifests unsupported)")
     }
 
-    // manifest list → manifests; refuse delete manifests honestly
+    // manifest list → manifests, split by content (0 data, 1 deletes)
     val manifests = readAvro(fs, listPath, conf)
-    val deleteManifests = manifests.filter { m =>
+    val (deleteManifests, dataManifests) = manifests.partition { m =>
       Option(m.get("content")).exists(_.asInstanceOf[Int] != 0)
     }
-    require(deleteManifests.isEmpty,
-      s"snapshot $wantedId carries ${deleteManifests.size} DELETE " +
-        "manifest(s) (position/equality deletes) - this reader serves " +
-        "append-only snapshots; compact the table with a stock writer first")
 
     // manifests → live data files (status 2 = DELETED drops the row)
-    val filesAndCounts = manifests.flatMap { m =>
+    val filesAndCounts = dataManifests.flatMap { m =>
       val mPath = new Path(m.get("manifest_path").toString)
       readAvro(fs, mPath, conf).flatMap { e =>
         val status = e.get("status").asInstanceOf[Int]
@@ -187,18 +189,73 @@ object IcebergImport {
         }
       }
     }
+
+    // delete manifests → live POSITION-delete files; equality deletes
+    // (content=2 on the data_file record) are refused, never misread
+    val posDeletes = deleteManifests.flatMap { m =>
+      val mPath = new Path(m.get("manifest_path").toString)
+      readAvro(fs, mPath, conf).flatMap { e =>
+        val status = e.get("status").asInstanceOf[Int]
+        if (status == 2) None
+        else {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val content = Option(df.get("content"))
+            .map(_.asInstanceOf[Int]).getOrElse(0)
+          require(content == 1,
+            s"snapshot $wantedId carries an EQUALITY delete file " +
+              "(content=2), which needs sequence-number scoping this " +
+              "reader does not implement - position deletes only")
+          val fmt = df.get("file_format").toString
+          require(fmt.equalsIgnoreCase("PARQUET"),
+            s"delete file format $fmt unsupported (parquet only)")
+          Some(df.get("file_path").toString)
+        }
+      }
+    }
     Snapshot(wantedId, schema,
-      filesAndCounts.map(_._1), filesAndCounts.map(_._2))
+      filesAndCounts.map(_._1), filesAndCounts.map(_._2), posDeletes)
   }
 
   /** Read the current (or pinned) snapshot as a DataFrame under the
-    * metadata schema. */
+    * metadata schema. Position deletes mask MERGE-ON-READ: only the
+    * data files a delete file actually references pay the anti-join
+    * (one driver-side metadata pass over the delete files' distinct
+    * targets decides the split); clean files stream straight
+    * through. The tombstones stay a DataFrame end to end — nothing
+    * position-shaped is collected. */
   def read(spark: SparkSession, dir: String,
       snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, split}
     val s = snapshot(spark, dir, snapshotId)
     if (s.files.isEmpty)
-      spark.createDataFrame(
+      return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
-    else spark.read.schema(s.schema).parquet(s.files: _*)
+    if (s.posDeleteFiles.isEmpty)
+      return spark.read.schema(s.schema).parquet(s.files: _*)
+
+    // basenames are the join identity (iceberg file names embed
+    // UUIDs); full-URI equality would be brittle across the file:/ vs
+    // file:/// qualifications different writers emit
+    def base(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val tomb = spark.read.parquet(s.posDeleteFiles: _*)
+      .select(element_at(split(col("file_path"), "/"), -1).as("_del_file"),
+        col("pos").as("_del_pos"))
+      .distinct()
+    val targeted = tomb.select("_del_file").distinct()
+      .collect().map(_.getString(0)).toSet // file-count-bounded metadata
+    val (dirty, clean) = s.files.partition(f => targeted(base(f)))
+    val cleanDf =
+      if (clean.isEmpty) None
+      else Some(spark.read.schema(s.schema).parquet(clean: _*))
+    val dirtyDf =
+      if (dirty.isEmpty) None
+      else Some(spark.read.schema(s.schema).parquet(dirty: _*)
+        .withColumn("_file",
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("_pos", col("_metadata.row_index"))
+        .join(tomb, col("_file") === col("_del_file") &&
+          col("_pos") === col("_del_pos"), "left_anti")
+        .drop("_file", "_pos"))
+    (cleanDf.toSeq ++ dirtyDf.toSeq).reduce(_ unionByName _)
   }
 }

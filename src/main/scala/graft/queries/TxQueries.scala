@@ -392,6 +392,36 @@ object TxQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** ICEBERG POSITION-DELETE round-trip: a snapshot with OUTSTANDING
+    * merge-on-read deletion vectors exports as a v2 delete-carrying
+    * metadata tree — the tombstones rewrite into a spec position-
+    * delete parquet referenced by a content=1 manifest at a higher
+    * sequence number, NO `materializeDeletes()` — and
+    * [[graft.core.IcebergImport]] masks them back merge-on-read. The
+    * aggregate over the imported frame must equal DuckDB recomputing
+    * the delete on raw parquet: the delete files name exactly the
+    * right (file, position) pairs. */
+  def tx_iceberg_dv_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+    val table = cached(s, dir, "part", "icebergdv", 3L) { loc =>
+      new TxTable(s, loc, p.schema, Seq("p_partkey"), numBuckets = 4)
+    } { tx =>
+      tx.append(p.filter(col("p_partkey") % 2 === 0))  // v1
+      tx.append(p.filter(col("p_partkey") % 2 === 1))  // v2
+      tx.deleteWhereLight(col("p_size") > 40)          // v3: DVs live
+      graft.core.IcebergExport.writeIcebergMetadata(s, tx)
+    }
+    if (!new java.io.File(table.dir, "metadata/version-hint.text").exists())
+      graft.core.IcebergExport.writeIcebergMetadata(s, table)
+    graft.core.IcebergImport.read(s, table.dir)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        Qhelpers.msum(col("p_retailprice")).as("total"),
+        min("p_partkey").as("min_key"))
+      .orderBy("p_brand")
+  }
+
   /** ICEBERG round-trip, end to end: the table's snapshot exported as
     * an Iceberg v2 metadata tree ([[graft.core.IcebergExport]] —
     * HadoopCatalog layout, spec field-ids) and read BACK through the
@@ -959,6 +989,7 @@ object TxQueries {
     "tx_delta_roundtrip" -> (tx_delta_roundtrip _),
     "tx_delta_dv_roundtrip" -> (tx_delta_dv_roundtrip _),
     "tx_iceberg_roundtrip" -> (tx_iceberg_roundtrip _),
+    "tx_iceberg_dv_roundtrip" -> (tx_iceberg_dv_roundtrip _),
     "scd2_incr_build" -> (scd2_incr_build _),
     "mv_routed_agg" -> (mv_routed_agg _),
     "mv_routed_sql" -> (mv_routed_sql _),
@@ -1148,6 +1179,18 @@ object TxQueries {
     // the big sizes — the ICEBERG-read aggregate must equal the
     // raw-parquet recompute of that state
     "tx_iceberg_roundtrip" ->
+      s"""SELECT p_brand, COUNT(*) AS n,
+         |       ${Qhelpers.sqlMsum("p_retailprice")} AS total,
+         |       MIN(p_partkey) AS min_key
+         |FROM part
+         |WHERE p_size <= 40
+         |GROUP BY p_brand
+         |ORDER BY p_brand""".stripMargin,
+    // both appends reconstitute part; the light (merge-on-read)
+    // delete tombstones the big sizes, which the Iceberg export
+    // carries as v2 POSITION-DELETE files — the import-side aggregate
+    // must equal the raw-parquet recompute of that masked state
+    "tx_iceberg_dv_roundtrip" ->
       s"""SELECT p_brand, COUNT(*) AS n,
          |       ${Qhelpers.sqlMsum("p_retailprice")} AS total,
          |       MIN(p_partkey) AS min_key

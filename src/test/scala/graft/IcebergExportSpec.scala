@@ -90,16 +90,75 @@ class IcebergExportSpec extends SparkSpec {
     assert(entries.size === t.dataFileCount)
   }
 
-  test("outstanding deletion vectors refuse export with the remedy named") {
+  test("outstanding deletion vectors export as v2 POSITION DELETES") {
     val dir = tmpDir("iceberg-dv") + "/t"
     val data = (1L to 20L).map(i => (i, i % 3L)).toDF("k", "g")
     val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 2)
     t.append(data)
-    t.deleteWhereLight(col("g") === 0L)
-    val e = intercept[IllegalArgumentException] {
-      IcebergExport.writeIcebergMetadata(spark, t)
+    t.deleteWhereLight(col("g") === 0L) // 6 tombstones, NO materialize
+    IcebergExport.writeIcebergMetadata(spark, t)
+
+    // metadata shape: a content=1 manifest at sequence 2 pointing at
+    // a parquet delete file with the spec's reserved columns
+    val snap = graft.core.IcebergImport.snapshot(spark, dir)
+    assert(snap.posDeleteFiles.size === 1)
+    val del = spark.read.parquet(snap.posDeleteFiles.head)
+    assert(del.columns.toSeq === Seq("file_path", "pos"))
+    assert(del.count() === 6L)
+    // sorted by (file_path, pos) per the spec
+    val rows = del.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === rows.sorted)
+    // record counts stay PHYSICAL on the data side
+    assert(snap.recordCounts.sum === 20L)
+
+    // merge-on-read round trip with tombstones still outstanding
+    val back = graft.core.IcebergImport.read(spark, dir)
+    assert(back.count() === 14L)
+    assert(back.collect().map(_.toSeq).toSet ===
+      t.read.collect().map(_.toSeq).toSet)
+  }
+
+  test("equality delete files are refused honestly") {
+    val dir = tmpDir("iceberg-eq") + "/t"
+    val data = (1L to 10L).map(i => (i, i * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 1)
+    t.append(data)
+    t.deleteWhereLight(col("k") <= 2L)
+    IcebergExport.writeIcebergMetadata(spark, t)
+    // flip the delete manifest's data_file.content to 2 (EQUALITY) by
+    // rewriting the avro — the reader must refuse, not misread
+    val metaDir = new java.io.File(dir, "metadata")
+    val m1 = metaDir.listFiles().find(_.getName.endsWith("-m1.avro")).get
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val recs = {
+      val in = new org.apache.avro.mapred.FsInput(
+        new org.apache.hadoop.fs.Path(m1.getPath), conf)
+      val r = new org.apache.avro.file.DataFileReader[
+        org.apache.avro.generic.GenericRecord](in,
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try {
+        val s = r.getSchema
+        val list = scala.jdk.CollectionConverters
+          .IteratorHasAsScala(r.iterator()).asScala.toList
+        (s, list)
+      } finally r.close()
     }
-    assert(e.getMessage.contains("materializeDeletes"))
+    recs._2.foreach { e =>
+      e.get("data_file").asInstanceOf[
+        org.apache.avro.generic.GenericRecord].put("content", 2)
+    }
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](recs._1))
+    val out = fs.create(new org.apache.hadoop.fs.Path(m1.getPath), true)
+    try { w.create(recs._1, out); recs._2.foreach(w.append) }
+    finally w.close()
+    val e = intercept[IllegalArgumentException] {
+      graft.core.IcebergImport.read(spark, dir).count()
+    }
+    assert(e.getMessage.contains("EQUALITY"))
   }
 
   test("TRUE round-trip: export -> import -> row-for-row equality") {
