@@ -484,6 +484,141 @@ final class TxTable(
     }
   }
 
+  /** ALTER COLUMN <c> TYPE <wider> as a METADATA-ONLY commit — the
+    * type-widening lifecycle op done the cheap sound way: Spark 4's
+    * parquet readers (vectorized and row-based alike) decode the
+    * narrower PHYSICAL type under the wider requested type, so no
+    * data file is rewritten and later appends simply write the wider
+    * type. Only lossless primitive widenings are allowed (the ones
+    * the reader provably upcasts): byte→short/int/long,
+    * short→int/long, int→long, float→double. Time travel below the
+    * widen still reads the old type — each version's schema is the
+    * one it was committed with.
+    *
+    * Refused: key columns (the bucket hash is TYPE-sensitive —
+    * hash(5:int) ≠ hash(5L:long), so widening a key would silently
+    * mis-prune every later lookup) and bloom-descriptor columns (same
+    * hash identity in their sidecars); decimals (the physical
+    * encoding changes with precision class). */
+  def widenColumn(name: String, to: org.apache.spark.sql.types.DataType)
+      : Unit = {
+    withRetry {
+      val base = currentVersion
+      require(base >= 0, s"$dir has no committed version")
+      val m = loadManifest(base)
+      val cur = schemaAt(m)
+      val f = cur.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(s"no such column '$name' " +
+          s"(table has ${cur.fieldNames.mkString(", ")})"))
+      require(TxTable.widensTo(f.dataType, to),
+        s"cannot widen ${f.name} from ${f.dataType.simpleString} to " +
+          s"${to.simpleString} - lossless primitive widenings only " +
+          "(byte/short/int->long, float->double)")
+      require(!keys.exists(_.equalsIgnoreCase(f.name)),
+        s"cannot widen key column '${f.name}' - the bucket hash is " +
+          "type-sensitive; migrate with rebucketTo")
+      require(!bloomCols.exists(_.equalsIgnoreCase(f.name)),
+        s"cannot widen bloom column '${f.name}' - sidecar hashes are " +
+          "type-sensitive; migrate with rebucketTo")
+      val target = StructType(cur.fields.map(x =>
+        if (x.name.equalsIgnoreCase(name)) x.copy(dataType = to) else x))
+      commit(m.entries, base, Some(target))
+      ()
+    }
+  }
+
+  /** ALTER TABLE RENAME COLUMN as a REWRITE commit: without parquet
+    * column-mapping metadata, the physical column name in every
+    * existing file IS the binding identity, so a metadata-only rename
+    * would null the column out of every pre-rename file. This engine
+    * takes the honest trade Delta pre-columnMapping took: ONE staged
+    * rewrite of the live rows under the new name (zone maps and bloom
+    * sidecars regenerate keyed by it), committed atomically with the
+    * new schema. Time travel below the rename reads the old name from
+    * the old files; interop exports after it reference only the
+    * rewritten files, so stock readers bind correctly by name.
+    *
+    * Refused: key columns (the `_table.json` physical identity;
+    * migrate with rebucketTo), bloom columns, names referenced by an
+    * active CHECK, targets that collide with a live column or with a
+    * dropped name (resurrection guard — pre-drop files still hold the
+    * dropped column's values and survive time travel). */
+  def renameColumn(from: String, to: String): Unit = {
+    require(from.nonEmpty && to.nonEmpty, "RENAME COLUMN needs names")
+    withRetry {
+      val base = currentVersion
+      require(base >= 0, s"$dir has no committed version")
+      val m = loadManifest(base)
+      val cur = schemaAt(m)
+      val f = cur.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
+        throw new IllegalArgumentException(s"no such column '$from' " +
+          s"(table has ${cur.fieldNames.mkString(", ")})"))
+      require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"column '$to' already exists")
+      require(!droppedColumns.contains(to.toLowerCase),
+        s"column '$to' was previously dropped - pre-drop files still " +
+          "hold its values (resurrection guard); use a different name " +
+          "or migrate with rebucketTo")
+      require(!keys.exists(_.equalsIgnoreCase(f.name)),
+        s"cannot rename key column '${f.name}' - it is the table's " +
+          "physical identity (bucketing, pruning, upsert co-location); " +
+          "migrate with rebucketTo")
+      require(!bloomCols.exists(_.equalsIgnoreCase(f.name)),
+        s"cannot rename bloom column '${f.name}' - the _table.json " +
+          "descriptor builds its sidecars by name; migrate with " +
+          "rebucketTo")
+      checkConstraints.foreach { case (cn, pred) =>
+        require(!checkPredicateRefs(pred).exists(_.equalsIgnoreCase(from)),
+          s"CHECK $cn references column '$from' - dropCheckConstraint " +
+            "first, rename, then re-add it under the new name")
+      }
+      val target = StructType(cur.fields.map(x =>
+        if (x.name.equalsIgnoreCase(from)) x.copy(name = to) else x))
+      stageAndCommit(Nil,
+        readVersion(base).withColumnRenamed(f.name, to), base, target,
+        meta = Map("renamed_col" -> s"${f.name.toLowerCase}->$to"))
+      ()
+    }
+  }
+
+  // ---- user table properties (SET/UNSET TBLPROPERTIES) ----
+
+  /** User TBLPROPERTIES at the current version: the full map rides ONE
+    * commit-meta key per change (newest declaration wins outright),
+    * the same carry [[checkConstraints]] uses. */
+  def tableProperties: Map[String, String] =
+    latestMeta(TxTable.TblPropsKey).map(decodeChecks).getOrElse(Map.empty)
+
+  /** SET TBLPROPERTIES: merge `props` into the current map (one
+    * metadata-only commit, data untouched). */
+  def setTableProperties(props: Map[String, String]): Unit = {
+    require(props.nonEmpty, "SET TBLPROPERTIES needs at least one pair")
+    withRetry {
+      val base = currentVersion
+      require(base >= 0, s"$dir has no committed version")
+      val m = loadManifest(base)
+      commit(m.entries, base, m.declaredSchema,
+        Map(TxTable.TblPropsKey -> encodeChecks(tableProperties ++ props)))
+      ()
+    }
+  }
+
+  /** UNSET TBLPROPERTIES: drop `keys` from the map (absent keys are a
+    * silent no-op, matching Spark's IF EXISTS-less semantics for
+    * properties). */
+  def unsetTableProperties(keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
+    withRetry {
+      val base = currentVersion
+      require(base >= 0, s"$dir has no committed version")
+      val m = loadManifest(base)
+      commit(m.entries, base, m.declaredSchema,
+        Map(TxTable.TblPropsKey ->
+          encodeChecks(tableProperties -- keys)))
+      ()
+    }
+  }
+
   // ---- CHECK constraints (write-path governance; Delta's CHECK
   // constraint analog) ----
 
@@ -2412,7 +2547,26 @@ object TxTable {
     * watermarks — [[TxTable.dropMeta]] refuses them (a tombstone would
     * silently disable CHECK validation / the dropped-column
     * resurrection guard). */
-  val ReservedMetaKeys: Set[String] = Set("checks", "dropped_cols")
+  val ReservedMetaKeys: Set[String] = Set("checks", "dropped_cols",
+    TblPropsKey)
+
+  /** Commit-meta key carrying the user TBLPROPERTIES map (JSON). */
+  val TblPropsKey: String = "tblproperties"
+
+  /** Lossless primitive widenings [[TxTable.widenColumn]] allows —
+    * exactly the upcasts Spark 4's parquet readers perform when the
+    * requested type is wider than the physical one. */
+  private[core] def widensTo(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType)            => true
+      case (IntegerType, LongType)                        => true
+      case (FloatType, DoubleType)                        => true
+      case _                                              => false
+    }
+  }
 
   /** `df` shaped to `target`: present columns cast (matched
     * case-insensitively, renamed to the stored spelling), absent

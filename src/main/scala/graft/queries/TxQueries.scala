@@ -756,6 +756,45 @@ object TxQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** DDL LIFECYCLE 2 through pure SQL text ([[graft.sources
+    * .GraftCatalog]].alterTable): RENAME COLUMN (one staged rewrite —
+    * without column-mapping the physical name is the binding
+    * identity), ALTER COLUMN TYPE (metadata-only widening: Spark 4's
+    * parquet readers upcast the narrower physical type), and SET
+    * TBLPROPERTIES, then a SQL aggregate over the renamed+widened
+    * column. The result must equal DuckDB recomputing under the new
+    * names on raw parquet — the DDL changed metadata and names, never
+    * values. */
+  def tx_sql_ddl2(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"),
+        col("c_nationkey").cast("int").as("nk_old"),
+        col("c_acctbal"))
+    c.createOrReplaceTempView("graft_ddl2_src")
+    val table = cached(s, dir, "customer", "sqlddl2", 4L) { loc =>
+      new TxTable(s, loc, c.schema, Seq("c_custkey"), numBuckets = 4)
+    } { tx =>
+      tx.createIfAbsent() // v0 — records the _table.json descriptor
+      val loc = new java.io.File(tx.dir)
+      s.conf.set("spark.sql.catalog.graftddl2", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftddl2.root", loc.getParent)
+      val ident = s"graftddl2.`${loc.getName}`"
+      s.sql(s"INSERT INTO $ident SELECT * FROM graft_ddl2_src")       // v1
+      s.sql(s"ALTER TABLE $ident RENAME COLUMN nk_old TO nation_key") // v2
+      s.sql(s"ALTER TABLE $ident ALTER COLUMN nation_key TYPE BIGINT")// v3
+      s.sql(s"ALTER TABLE $ident SET TBLPROPERTIES ('tier'='gold')")  // v4
+    }
+    val loc = new java.io.File(table.dir)
+    s.conf.set("spark.sql.catalog.graftddl2", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftddl2.root", loc.getParent)
+    s.sql(
+      s"""SELECT nation_key, count(*) AS n,
+         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+         |  min(c_custkey) AS min_cust
+         |FROM graftddl2.`${loc.getName}`
+         |GROUP BY nation_key ORDER BY nation_key""".stripMargin)
+  }
+
   /** SQL `MERGE INTO` through the row-level-operation surface
     * ([[graft.sources.GraftRowLevelOperation]]) — the reference's
     * load-bearing ON-CONFLICT upsert (`services/api/src/repository.ts:
@@ -976,6 +1015,7 @@ object TxQueries {
     "tx_skipping_scan" -> (tx_skipping_scan _),
     "tx_sql_provider" -> (tx_sql_provider _),
     "tx_sql_dml" -> (tx_sql_dml _),
+    "tx_sql_ddl2" -> (tx_sql_ddl2 _),
     "tx_cdc_diff" -> (tx_cdc_diff _),
     "tx_dv_delete" -> (tx_dv_delete _),
     "tx_evolution_read" -> (tx_evolution_read _),
@@ -1065,6 +1105,16 @@ object TxQueries {
         |  min(s_suppkey) AS first_supp
         |FROM supplier
         |WHERE NOT (s_suppkey % 4 = 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the DDL renamed nk_old->nation_key and widened int->bigint;
+    // values must be untouched, so the oracle recomputes under the
+    // NEW names from raw parquet
+    "tx_sql_ddl2" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+        |  min(c_custkey) AS min_cust
+        |FROM customer
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "tx_skipping_scan" ->
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,

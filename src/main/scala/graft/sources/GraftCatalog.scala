@@ -287,19 +287,31 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     else stageCreate(ident, info)
   }
 
-  /** `ALTER TABLE … ADD COLUMNS (…)` routes onto the existing
-    * schema-evolution path (metadata-only widened-schema commit;
-    * pre-evolution files null-fill); `ALTER TABLE … DROP COLUMN …`
-    * onto the metadata-only narrowing commit (`TxTable.dropColumns` —
-    * no rewrite, resurrection-guarded). Every other change is refused
-    * with the Scala-API pointer — type changes and renames would
-    * silently break the physical layout contract. */
+  /** `ALTER TABLE …` surface, each verb on its honest mechanism:
+    * ADD COLUMNS → metadata-only widened-schema commit (pre-evolution
+    * files null-fill); DROP COLUMN → metadata-only narrowing commit
+    * (resurrection-guarded); ALTER COLUMN TYPE → metadata-only type
+    * widening (Spark 4's parquet readers upcast the narrower physical
+    * type; lossless widenings only); RENAME COLUMN → one staged
+    * REWRITE commit (without column-mapping metadata the physical
+    * name is the binding identity — a metadata-only rename would null
+    * the column out of every old file); SET/UNSET TBLPROPERTIES →
+    * metadata-only commits on the properties map. Anything else is
+    * refused with the Scala-API pointer. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirFor(ident.namespace(), ident.name())
     if (!isLiveTableDir(dir)) throw new NoSuchTableException(
       (catalogName +: ident.namespace().toSeq) :+ ident.name())
-    val (dropChanges, rest) = changes.partition(
+    val (dropChanges, rest0) = changes.partition(
       _.isInstanceOf[TableChange.DeleteColumn])
+    val (renames, rest1) = rest0.partition(
+      _.isInstanceOf[TableChange.RenameColumn])
+    val (widens, rest2) = rest1.partition(
+      _.isInstanceOf[TableChange.UpdateColumnType])
+    val (setProps, rest3) = rest2.partition(
+      _.isInstanceOf[TableChange.SetProperty])
+    val (unsetProps, rest) = rest3.partition(
+      _.isInstanceOf[TableChange.RemoveProperty])
     val adds = rest.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
@@ -328,6 +340,22 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     if (adds.nonEmpty) tx.addColumns(StructType(adds))
     if (drops.nonEmpty) tx.dropColumns(drops)
+    renames.foreach { case r: TableChange.RenameColumn =>
+      require(r.fieldNames().length == 1,
+        "graft tables are flat - nested RENAME COLUMN is unsupported")
+      tx.renameColumn(r.fieldNames().head, r.newName())
+    }
+    widens.foreach { case w: TableChange.UpdateColumnType =>
+      require(w.fieldNames().length == 1,
+        "graft tables are flat - nested ALTER COLUMN is unsupported")
+      tx.widenColumn(w.fieldNames().head, w.newDataType())
+    }
+    val props = setProps.map { case p: TableChange.SetProperty =>
+      p.property() -> p.value() }.toMap
+    if (props.nonEmpty) tx.setTableProperties(props)
+    val unsets = unsetProps.map { case p: TableChange.RemoveProperty =>
+      p.property() }
+    if (unsets.nonEmpty) tx.unsetTableProperties(unsets)
     loadTable(ident)
   }
 

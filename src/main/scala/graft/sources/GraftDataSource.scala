@@ -223,6 +223,9 @@ final class GraftTable(val dir: String, declaredSchema: StructType,
     * already-open table (no extra I/O). */
   override def properties(): java.util.Map[String, String] = {
     val m = new java.util.HashMap[String, String]()
+    // user TBLPROPERTIES first: the physical-identity keys below are
+    // authoritative and must never be shadowed by a user pair
+    tx.tableProperties.foreach { case (k, v) => m.put(k, v) }
     if (!tx.keys.contains("__reader__")) {
       m.put("keys", tx.keys.mkString(","))
       m.put("buckets", tx.numBuckets.toString)

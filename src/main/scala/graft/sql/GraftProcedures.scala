@@ -111,6 +111,14 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
         val tx = open(spark, arg(0, "table directory"))
         tx.undropTable()
         report(tx)
+      case "restore" =>
+        // rollback under pressure, as SQL text: re-publish version v's
+        // file set as a NEW commit (history preserved, same contract
+        // as the Scala API)
+        val tx = open(spark, arg(0, "table directory"))
+        val v = arg(1, "version to restore").toLong
+        tx.restore(v)
+        report(tx, "restored_version" -> v.toString)
       case "export_delta" =>
         val tx = open(spark, arg(0, "table directory"))
         // first publish writes the full log; later calls append diffs
@@ -128,8 +136,8 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
         report(tx, "metadata" -> p)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure graft.$other - available: compact, zorder, " +
-          "materialize_deletes, vacuum, undrop, rebucket, export_delta, " +
-          "export_iceberg")
+          "materialize_deletes, vacuum, undrop, restore, rebucket, " +
+          "export_delta, export_iceberg")
     }
   }
 }

@@ -338,4 +338,88 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(allMessages(key).contains("key column"))
   }
+
+  test("ALTER COLUMN TYPE widens metadata-only; unsafe changes refuse") {
+    val root = tmpDir("graft-cat-widen")
+    spark.conf.set("spark.sql.catalog.wd", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.wd.root", root)
+    spark.sql("""CREATE TABLE wd.t (k BIGINT, n INT, f FLOAT)
+                 TBLPROPERTIES('keys'='k','buckets'='2')""")
+    spark.sql("INSERT INTO wd.t VALUES (1, 10, 1.5), (2, 20, 2.5)")
+    val filesBefore = new java.io.File(s"$root/t/data").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+
+    spark.sql("ALTER TABLE wd.t ALTER COLUMN n TYPE BIGINT")
+    spark.sql("ALTER TABLE wd.t ALTER COLUMN f TYPE DOUBLE")
+    // metadata-only: no file was rewritten
+    val filesAfter = new java.io.File(s"$root/t/data").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesAfter === filesBefore)
+    // old (narrow) files decode under the wider type, new writes mix in
+    spark.sql("INSERT INTO wd.t VALUES (3, 3000000000, 3.25)")
+    val rows = spark.sql("SELECT k, n, f FROM wd.t ORDER BY k").collect()
+    assert(rows.map(_.getLong(1)).toSeq === Seq(10L, 20L, 3000000000L))
+    assert(rows.map(_.getDouble(2)).toSeq === Seq(1.5, 2.5, 3.25))
+    assert(spark.table("wd.t").schema("n").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // narrowing refuses (Spark's own analyzer catches the downcast
+    // before the catalog; either refusal is honest)
+    val nar = intercept[Exception] {
+      spark.sql("ALTER TABLE wd.t ALTER COLUMN n TYPE INT")
+    }
+    assert(allMessages(nar).contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      allMessages(nar).contains("widen"))
+    val keyw = intercept[Exception] {
+      spark.sql("ALTER TABLE wd.t ALTER COLUMN k TYPE DECIMAL(20,0)")
+    }
+    assert(allMessages(keyw).toLowerCase.contains("widen"))
+  }
+
+  test("RENAME COLUMN rewrites once; SET/UNSET TBLPROPERTIES round-trip") {
+    val root = tmpDir("graft-cat-rename")
+    spark.conf.set("spark.sql.catalog.rn", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rn.root", root)
+    spark.sql("""CREATE TABLE rn.t (k BIGINT, old_name DOUBLE)
+                 TBLPROPERTIES('keys'='k','buckets'='2')""")
+    spark.sql("INSERT INTO rn.t VALUES (1, 1.5), (2, 2.5)")
+    val tx = graft.core.TxTable.openReadOnly(spark, s"$root/t",
+      requireDescriptor = true)
+    val vBefore = tx.currentVersion
+
+    spark.sql("ALTER TABLE rn.t RENAME COLUMN old_name TO v")
+    assert(spark.table("rn.t").columns.toSeq === Seq("k", "v"))
+    assert(spark.sql("SELECT sum(v) FROM rn.t").head().getDouble(0) === 4.0)
+    // time travel below the rename reads the OLD name (per-version
+    // schema headers)
+    val old = spark.read.format("graft")
+      .option("versionAsOf", vBefore.toString).load(s"$root/t")
+    assert(old.columns.toSeq === Seq("k", "old_name"))
+    assert(old.count() === 2L)
+    // interop export after the rename binds by the NEW physical name
+    graft.core.DeltaExport.writeDeltaLog(spark, graft.core.TxTable
+      .openReadOnly(spark, s"$root/t", requireDescriptor = true))
+    val back = graft.core.DeltaImport.read(spark, s"$root/t")
+    assert(back.columns.toSeq === Seq("k", "v"))
+    assert(back.collect().map(_.getDouble(1)).sorted.toSeq === Seq(1.5, 2.5))
+    // key-column rename refuses with the physical-identity rationale
+    val key = intercept[Exception] {
+      spark.sql("ALTER TABLE rn.t RENAME COLUMN k TO kk")
+    }
+    assert(allMessages(key).contains("key column"))
+
+    // TBLPROPERTIES lifecycle
+    spark.sql("ALTER TABLE rn.t SET TBLPROPERTIES ('team'='ops', 'tier'='gold')")
+    val props = spark.sql("SHOW TBLPROPERTIES rn.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("team") === "ops" && props("tier") === "gold")
+    spark.sql("ALTER TABLE rn.t UNSET TBLPROPERTIES ('tier')")
+    val props2 = spark.sql("SHOW TBLPROPERTIES rn.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props2.contains("team") && !props2.contains("tier"))
+    // a user pair can never shadow the physical identity keys
+    spark.sql("ALTER TABLE rn.t SET TBLPROPERTIES ('buckets'='999')")
+    val props3 = spark.sql("SHOW TBLPROPERTIES rn.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props3("buckets") === "2")
+  }
 }

@@ -86,6 +86,22 @@ class GraftProceduresSpec extends SparkSpec {
     assert(!t.isDropped)
   }
 
+  test("CALL graft.restore rolls back to a prior version through SQL") {
+    val dir = tmpDir("proc-restore") + "/t"
+    val d = (1L to 16L).map(i => (i, i * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, d.schema, Seq("k"), numBuckets = 2)
+    t.append(d)                                  // v1
+    val goodVersion = t.currentVersion
+    t.deleteWhere(col("k") <= 8L)                // v2: the bad delete
+    assert(t.read.count() === 8L)
+    val rep = spark.sql(s"CALL graft.restore('$dir', $goodVersion)")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rep("restored_version") === goodVersion.toString)
+    assert(t.read.count() === 16L)
+    // restore is a NEW commit - the bad version stays time-travelable
+    assert(t.readVersion(goodVersion + 1).count() === 8L)
+  }
+
   test("unknown procedures and non-CALL SQL behave") {
     val e = intercept[Exception] {
       spark.sql("CALL graft.nope('/tmp/x')").collect()
