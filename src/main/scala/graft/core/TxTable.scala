@@ -2288,6 +2288,174 @@ final class TxTable(
     clone
   }
 
+  // ---- named refs (TAGS) and BRANCHES / write-audit-publish ----
+
+  private def refsDir: String = s"$dir/_refs"
+  private def tagFile(name: String): Path = new Path(refsDir, s"tag-$name.json")
+  private def branchesDir: String = s"$dir/_branches"
+
+  private def requireRefName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"ref name must be [A-Za-z0-9._-]+ (no separators), got '$name'")
+
+  /** TAG a retained version with an immutable name. Tags are
+    * RETENTION PINS: [[vacuum]] keeps a tagged manifest and its files
+    * alive past `keepVersions`, so `VERSION AS OF '<tag>'` stays
+    * readable for as long as the tag exists. Create-only — re-tagging
+    * a name is refused (drop it first); the create-if-absent write IS
+    * the race arbiter between concurrent taggers. */
+  def createTag(name: String, version: Long): Unit = {
+    requireRefName(name)
+    require(versions.contains(version),
+      s"version $version of $dir is not retained (cannot tag)")
+    fs.mkdirs(new Path(refsDir))
+    val out =
+      try fs.create(tagFile(name), false)
+      catch { case _: java.io.IOException => throw
+        new IllegalArgumentException(s"tag '$name' already exists - " +
+          "tags are immutable; dropTag first") }
+    try out.write(s"""{"version":$version}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** [[createTag]] at the current head. */
+  def createTag(name: String): Unit = createTag(name, currentVersion)
+
+  def dropTag(name: String): Unit = {
+    requireRefName(name)
+    require(fs.delete(tagFile(name), false), s"no such tag '$name'")
+  }
+
+  /** All tags (name → version) — one listing of `_refs/`. */
+  def tags: Map[String, Long] = {
+    val d = new Path(refsDir)
+    if (!fs.exists(d)) Map.empty
+    else fs.listStatus(d).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith("tag-") || !n.endsWith(".json")) None
+      else scala.util.Try {
+        val in = fs.open(st.getPath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        n.stripPrefix("tag-").stripSuffix(".json") ->
+          "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).get
+            .group(1).toLong
+      }.toOption
+    }.toMap
+  }
+
+  /** Resolve a ref name to a version — `VERSION AS OF '<tag>'`. */
+  def resolveRef(name: String): Long =
+    tags.getOrElse(name, throw new IllegalArgumentException(
+      s"no such ref '$name' on $dir (tags: ${tags.keys.toSeq.sorted
+        .mkString(", ")})"))
+
+  /** Fork a BRANCH: a zero-copy shallow clone into
+    * `<dir>/_branches/<name>` — O(manifest), inside the table
+    * directory so it shares the table's storage lifecycle. Writes go
+    * to the branch through the full TxTable API (CHECK constraints
+    * carry over with the clone); readers on the MAIN table never see
+    * them. The write-audit-publish flow: write to the branch, audit
+    * it ([[publishBranch]] re-runs every CHECK pre-flip), publish —
+    * or [[dropBranch]] to abort with main untouched. */
+  def createBranch(name: String): TxTable = {
+    requireRefName(name)
+    require(currentVersion >= 0, "cannot branch a never-created table")
+    shallowCloneTo(s"$branchesDir/$name")
+  }
+
+  /** Open an existing branch. */
+  def branch(name: String): TxTable = {
+    requireRefName(name)
+    val d = s"$branchesDir/$name"
+    require(fs.exists(new Path(d)), s"no such branch '$name' on $dir")
+    new TxTable(spark, d, schema, keys, numBuckets, commitBudgetMs,
+      claimStalenessMs, bloomCols)
+  }
+
+  def branches: Seq[String] = {
+    val d = new Path(branchesDir)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+  }
+
+  /** PUBLISH a branch: one CAS-guarded commit on MAIN whose file set
+    * is the branch's head (files the branch inherited at fork are
+    * already main's own; files the branch wrote are referenced
+    * absolutely under `_branches/<name>/data`, the shallow-clone
+    * mechanism in reverse). The WAP contract, enforced:
+    *
+    *  - AUDIT pre-flip: every active CHECK constraint re-validates
+    *    over the branch's full head (one aggregate scan — the "A" in
+    *    WAP is exactly this admission cost); a violation refuses the
+    *    publish and main is untouched.
+    *  - CAS: main's head must still be the branch's fork version —
+    *    a concurrent main commit refuses the publish (re-branch and
+    *    replay is the remedy), so publish is serializable, never a
+    *    silent lost-update merge.
+    *  - The published branch is marked `_published`: its data files
+    *    are now MAIN's live data, so [[dropBranch]] refuses it until
+    *    a main-side rewrite (compact) cuts the references.
+    *
+    * Returns the version the publish committed on main. */
+  def publishBranch(name: String): Long = {
+    val b = branch(name)
+    val bHead = b.currentVersion
+    require(bHead >= 0, s"branch '$name' has no commits")
+    val forkMeta = b.metaAsOf(0L, "cloned_from").getOrElse(
+      throw new IllegalStateException(
+        s"branch '$name' carries no fork marker (not created by " +
+          "createBranch?)"))
+    val forkV = forkMeta.substring(forkMeta.lastIndexOf('@') + 1).toLong
+    val m = b.loadManifest(bHead)
+    val bSchema = b.schemaAt(m)
+    // AUDIT: the full branch head against every active CHECK — the
+    // pre-flip expectation gate
+    val checks = checkConstraints.toSeq.sortBy(_._1)
+    if (checks.nonEmpty) {
+      val aggs = checks.map { case (n, p) =>
+        org.apache.spark.sql.functions.count(when(!checkPasses(p), 1)).as(n) }
+      val row = b.read.agg(aggs.head, aggs.tail: _*).head
+      checks.zipWithIndex.foreach { case ((n, p), i) =>
+        require(row.getLong(i) == 0L,
+          s"publish of branch '$name' refused: CHECK $n ($p) violated " +
+            s"by ${row.getLong(i)} row(s) - fix the branch or drop it")
+      }
+    }
+    val f = fs
+    def abs(p: String) = f.makeQualified(new Path(p)).toString
+    val absEntries = m.entries.map(e => FEntry(e.bucket, abs(e.path),
+      e.stats, e.dvs.map(d => DvRef(abs(d.path), d.rows))))
+    // CAS on the fork: commit(base = forkV) wins only if main's head
+    // is still the fork version; anything newer conflicts
+    require(currentVersion == forkV,
+      s"main advanced to v$currentVersion since branch '$name' forked " +
+        s"at v$forkV - publish refused (re-branch from the new head " +
+        "and replay)")
+    val v = commit(absEntries, forkV, Some(bSchema),
+      Map("published_from" -> s"$name@$bHead"))
+    val marker = f.create(new Path(s"$branchesDir/$name", "_published"), true)
+    marker.close()
+    v
+  }
+
+  /** Abort (or retire) a branch: delete its directory. A PUBLISHED
+    * branch refuses — its data files are main's live data; compact
+    * main first (rewrites every bucket into main's own files), then
+    * drop. */
+  def dropBranch(name: String): Unit = {
+    requireRefName(name)
+    val d = new Path(s"$branchesDir/$name")
+    require(fs.exists(d), s"no such branch '$name' on $dir")
+    require(!fs.exists(new Path(d, "_published")),
+      s"branch '$name' was published - its files are main's live " +
+        "data; run compact() on main to cut the references, then drop")
+    fs.delete(d, true)
+    ()
+  }
+
   /** Files referenced by the CURRENT version (manifest metadata — no
     * directory listing). */
   def dataFileCount: Int =
@@ -2400,7 +2568,12 @@ final class TxTable(
     val now = System.currentTimeMillis()
     def aged(st: org.apache.hadoop.fs.FileStatus): Boolean =
       now - st.getModificationTime >= minAgeMs
-    val keep = vs.takeRight(math.max(1, keepVersions))
+    // TAGS are retention pins: a tagged manifest (and through the
+    // reference sweep below, its files) survives past keepVersions —
+    // that is what makes `VERSION AS OF '<tag>'` durable
+    val pinned = tags.values.toSet.intersect(vs.toSet)
+    val keep = (vs.takeRight(math.max(1, keepVersions)) ++ pinned)
+      .distinct.sorted
     // manifests store bare names; stripPrefix inverts exactly what
     // loadManifest prepended, so this is the raw manifest name
     val keptEntries = keep.flatMap(v => loadManifest(v).entries)

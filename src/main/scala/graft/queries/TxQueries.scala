@@ -362,6 +362,36 @@ object TxQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** WRITE-AUDIT-PUBLISH, end to end: half of orders lands on MAIN,
+    * the other half is written to a BRANCH (an in-table shallow
+    * clone — main readers cannot see it), and `publishBranch` flips
+    * the branch's head onto main as ONE CAS-guarded commit after
+    * re-running the CHECK expectations. The post-publish aggregate
+    * must equal DuckDB over ALL of orders — proving the flip admitted
+    * exactly the branch's rows, atomically. */
+  def tx_branch_wap(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val table = cached(s, dir, "orders", "wap", 3L) { loc =>
+      new TxTable(s, loc, o.schema, Seq("o_orderkey"), numBuckets = 4)
+    } { tx =>
+      val even = o.filter(col("o_orderkey") % 2 === 0)
+      tx.append(even)                                     // main v1
+      tx.addCheckConstraint("price_pos", "o_totalprice >= 0") // main v2
+      val b = tx.createBranch("load-odd")
+      b.append(o.filter(col("o_orderkey") % 2 =!= 0))     // branch only
+      require(tx.read.count() == even.count(),
+        "branch rows leaked to main pre-publish")
+      tx.publishBranch("load-odd")                        // main v3
+    }
+    table.read
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        Qhelpers.msum(col("o_totalprice")).as("total"),
+        min("o_orderkey").as("min_key"))
+      .orderBy("o_orderstatus")
+  }
+
   /** DELTA DV-NATIVE round-trip: a snapshot with OUTSTANDING
     * merge-on-read deletion vectors exports at table-features
     * protocol (3,7) with the `deletionVectors` feature — the
@@ -1028,6 +1058,7 @@ object TxQueries {
     "tx_repair_read" -> (tx_repair_read _),
     "tx_delta_roundtrip" -> (tx_delta_roundtrip _),
     "tx_delta_dv_roundtrip" -> (tx_delta_dv_roundtrip _),
+    "tx_branch_wap" -> (tx_branch_wap _),
     "tx_iceberg_roundtrip" -> (tx_iceberg_roundtrip _),
     "tx_iceberg_dv_roundtrip" -> (tx_iceberg_dv_roundtrip _),
     "scd2_incr_build" -> (scd2_incr_build _),
@@ -1217,6 +1248,15 @@ object TxQueries {
     // delete tombstones the F rows, which the Delta export carries as
     // NATIVE deletion vectors — the import-side aggregate must equal
     // the raw-parquet recompute of that masked state
+    // main held only even keys pre-publish; the branch flip must admit
+    // exactly the odd half - the aggregate equals ALL of orders
+    "tx_branch_wap" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |       ${Qhelpers.sqlMsum("o_totalprice")} AS total,
+         |       MIN(o_orderkey) AS min_key
+         |FROM orders
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
     "tx_delta_dv_roundtrip" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n,
          |       ${Qhelpers.sqlMsum("o_totalprice")} AS total,

@@ -94,14 +94,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(dir.toString, null)
   }
 
-  /** `SELECT … FROM lake.t VERSION AS OF <v>` — pin an exact retained
-    * version (read-only relation; schema is the one that version was
-    * committed with). */
+  /** `SELECT … FROM lake.t VERSION AS OF <v|'ref'>` — pin an exact
+    * retained version (read-only relation; schema is the one that
+    * version was committed with). A non-numeric version string is a
+    * NAMED REF: it resolves through the table's tag ledger
+    * (`TxTable.resolveRef`), so `VERSION AS OF 'audited-2026q3'`
+    * reads the pinned snapshot for as long as the tag exists. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirFor(ident.namespace(), ident.name())
     if (!isLiveTableDir(dir)) throw new NoSuchTableException(
       (catalogName +: ident.namespace().toSeq) :+ ident.name())
-    val v = version.toLong
+    val v =
+      if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
+      else GraftDataSource.openForRead(SparkSession.active, dir.toString)
+        .resolveRef(version)
     new GraftTable(dir.toString, null, Some(v))
   }
 

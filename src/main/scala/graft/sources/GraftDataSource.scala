@@ -140,7 +140,10 @@ object GraftDataSource {
     * the same semantics the Scala API's `readVersion`/history give. */
   private[sources] def asOfFrom(tx: TxTable,
       options: CaseInsensitiveStringMap): Option[Long] = {
-    val v = Option(options.get("versionAsOf")).map(_.toLong)
+    // non-numeric versionAsOf = a named ref (tag) on the table
+    val v = Option(options.get("versionAsOf")).map(raw =>
+      if (raw.nonEmpty && raw.forall(_.isDigit)) raw.toLong
+      else tx.resolveRef(raw))
     val tsRaw = Option(options.get("timestampAsOf"))
     require(v.isEmpty || tsRaw.isEmpty,
       "give versionAsOf OR timestampAsOf, not both")

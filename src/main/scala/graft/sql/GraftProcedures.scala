@@ -111,6 +111,33 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
         val tx = open(spark, arg(0, "table directory"))
         tx.undropTable()
         report(tx)
+      case "tag" =>
+        val tx = open(spark, arg(0, "table directory"))
+        if (args.length > 2) tx.createTag(arg(1, "tag name"),
+          arg(2, "version").toLong)
+        else tx.createTag(arg(1, "tag name"))
+        report(tx, "tag" -> arg(1, "tag name"),
+          "pinned_version" -> tx.tags(arg(1, "tag name")).toString)
+      case "drop_tag" =>
+        val tx = open(spark, arg(0, "table directory"))
+        tx.dropTag(arg(1, "tag name"))
+        report(tx, "dropped_tag" -> arg(1, "tag name"))
+      case "branch" =>
+        val tx = open(spark, arg(0, "table directory"))
+        val b = tx.createBranch(arg(1, "branch name"))
+        report(tx, "branch" -> arg(1, "branch name"),
+          "branch_dir" -> b.dir)
+      case "publish" =>
+        // write-audit-publish flip: CHECK expectations re-run over the
+        // branch head pre-flip; the commit CASes on the fork version
+        val tx = open(spark, arg(0, "table directory"))
+        val v = tx.publishBranch(arg(1, "branch name"))
+        report(tx, "published" -> arg(1, "branch name"),
+          "published_version" -> v.toString)
+      case "drop_branch" =>
+        val tx = open(spark, arg(0, "table directory"))
+        tx.dropBranch(arg(1, "branch name"))
+        report(tx, "dropped_branch" -> arg(1, "branch name"))
       case "restore" =>
         // rollback under pressure, as SQL text: re-publish version v's
         // file set as a NEW commit (history preserved, same contract
@@ -137,7 +164,8 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
       case other => throw new UnsupportedOperationException(
         s"unknown procedure graft.$other - available: compact, zorder, " +
           "materialize_deletes, vacuum, undrop, restore, rebucket, " +
-          "export_delta, export_iceberg")
+          "export_delta, export_iceberg, tag, drop_tag, branch, " +
+          "publish, drop_branch")
     }
   }
 }
