@@ -362,6 +362,60 @@ object TxQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** STREAMING EVOLVE+UPSERT, end to end: a graft→graft pipeline
+    * whose SOURCE schema widens mid-stream. Epoch 1 lands the narrow
+    * rows; the source then `appendEvolving`s a batch that carries a
+    * NEW column and re-sends existing keys; the restarted stream
+    * picks up the widened schema and the sink
+    * (`graft.mode=upsert, graft.evolve=true`) widens the destination
+    * and upserts IN the same exactly-once epoch commit
+    * ([[graft.core.TxTable.upsertEvolvingIf]]). The final aggregate
+    * must equal DuckDB recomputing the evolve+upsert state from raw
+    * parquet: keys sent only pre-evolution read NULL for the new
+    * column, re-sent keys carry it. */
+  def tx_stream_evolve(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val v1 = o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_orderpriority")
+    val v2 = o.filter(col("o_orderkey") % 2 =!= 0 ||
+        col("o_orderkey") % 4 === 0)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val table = cached(s, dir, "orders", "streamevo", 2L) { loc =>
+      new TxTable(s, loc, v1.schema, Seq("o_orderkey"), numBuckets = 4)
+    } { tx =>
+      tx.createIfAbsent() // dst v0 — records the _table.json descriptor
+      val srcDir = tx.dir + "-src"
+      val ck = tx.dir + "-ck"
+      rmTree(new java.io.File(srcDir))
+      rmTree(new java.io.File(ck))
+      val src = new TxTable(s, srcDir, v1.schema, Seq("o_orderkey"),
+        numBuckets = 4)
+      src.append(v1)
+      def run(): Unit = {
+        val q = s.readStream.format("graft")
+          .option("startingVersion", "-1").load(srcDir)
+          .writeStream.format("graft")
+          .option("checkpointLocation", ck)
+          .option("graft.mode", "upsert")
+          .option("graft.evolve", "true")
+          .option("graft.tag", "evo")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(tx.dir)
+        q.awaitTermination()
+      }
+      run()                  // epoch 1: narrow rows upsert in
+      src.appendEvolving(v2) // the source widens mid-pipeline
+      run()                  // epoch 2: widened upsert, schema evolves
+    }
+    table.read
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        count(col("o_totalprice")).as("n_total"),
+        Qhelpers.msum(col("o_totalprice")).as("sum_total"),
+        min("o_orderkey").as("min_key"))
+      .orderBy("o_orderpriority")
+  }
+
   /** WRITE-AUDIT-PUBLISH, end to end: half of orders lands on MAIN,
     * the other half is written to a BRANCH (an in-table shallow
     * clone — main readers cannot see it), and `publishBranch` flips
@@ -1059,6 +1113,7 @@ object TxQueries {
     "tx_delta_roundtrip" -> (tx_delta_roundtrip _),
     "tx_delta_dv_roundtrip" -> (tx_delta_dv_roundtrip _),
     "tx_branch_wap" -> (tx_branch_wap _),
+    "tx_stream_evolve" -> (tx_stream_evolve _),
     "tx_iceberg_roundtrip" -> (tx_iceberg_roundtrip _),
     "tx_iceberg_dv_roundtrip" -> (tx_iceberg_dv_roundtrip _),
     "scd2_incr_build" -> (scd2_incr_build _),
@@ -1248,6 +1303,21 @@ object TxQueries {
     // delete tombstones the F rows, which the Delta export carries as
     // NATIVE deletion vectors — the import-side aggregate must equal
     // the raw-parquet recompute of that masked state
+    // evolve+upsert replay: even keys arrived pre-evolution (total
+    // NULL unless re-sent), %4==0 keys were re-sent WITH the new
+    // column, odd keys arrived post-evolution with it
+    "tx_stream_evolve" ->
+      s"""WITH t AS (
+         |  SELECT o_orderkey, o_orderpriority,
+         |         CASE WHEN o_orderkey % 4 = 2 THEN NULL
+         |              ELSE o_totalprice END AS total
+         |  FROM orders)
+         |SELECT o_orderpriority, COUNT(*) AS n, COUNT(total) AS n_total,
+         |       ${Qhelpers.sqlMsum("total")} AS sum_total,
+         |       MIN(o_orderkey) AS min_key
+         |FROM t
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
     // main held only even keys pre-publish; the branch flip must admit
     // exactly the odd half - the aggregate equals ALL of orders
     "tx_branch_wap" ->

@@ -850,32 +850,27 @@ final class GraftScan(tx: TxTable, version: Long, required: StructType,
     }
   }
 
-  /** Columnar is a SCAN-WIDE decision (Spark refuses mixed row/batch
-    * partitions): vectorized only when NO surviving file carries
-    * deletion vectors. Decided over the pushed-filter snapshot —
-    * runtime filtering only removes files, so a clean verdict stays
-    * clean for every subset Spark actually reads. */
-  private lazy val allClean: Boolean = version >= 0 && {
-    val pred = pushed.flatMap(GraftDataSource.translate(_))
-      .reduceOption(_ && _)
-    tx.providerSnapshot(version, pred)._2.forall(_._2.isEmpty)
-  }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, allClean)
+    new GraftReaderFactory(required)
 }
 
-final class GraftReaderFactory(required: StructType,
-    allClean: Boolean = false) extends PartitionReaderFactory {
+final class GraftReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
 
-  /** COLUMNAR when the whole scan can use it (Spark refuses mixed
-    * row/batch partitions): every surviving file clean of deletion
-    * vectors, and at least one data column requested. A snapshot
-    * carrying any DV'd file reads row-based until maintenance folds
-    * the DVs — the correct trade: vectorized decode for the steady
-    * state, exact masking for the transient one. */
-  override def supportColumnarReads(partition: InputPartition): Boolean =
-    allClean && required.fields.exists(f =>
+  /** COLUMNAR whenever the requested data columns are survivor-
+    * copyable types (Spark refuses mixed row/batch partitions, so the
+    * decision is scan-wide). Deletion vectors no longer force the row
+    * path: the columnar reader masks tombstones batch-side — batches
+    * with no tombstones in range pass through ZERO-copy, batches with
+    * tombstones compact the survivors into reusable vectors — so a
+    * heavily-DV'd table keeps the vectorized decode exactly when it
+    * is large enough to need it. */
+  override def supportColumnarReads(partition: InputPartition): Boolean = {
+    val dataFields = required.fields.filter(f =>
       f.name != GraftTable.FileCol && f.name != GraftTable.PosCol)
+    dataFields.nonEmpty &&
+      dataFields.forall(f => GraftColumnarReader.copyable(f.dataType))
+  }
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = partition match {
@@ -890,30 +885,42 @@ final class GraftReaderFactory(required: StructType,
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     partition match {
-      case p: GraftInputPartition => new GraftColumnarReader(p.path, required)
+      case p: GraftInputPartition =>
+        new GraftColumnarReader(p.path, p.dvPaths, required)
       case b: GraftBucketPartition =>
-        new GraftChainReader(b.paths.toSeq.map(p => () =>
-          new GraftColumnarReader(p, required)
+        new GraftChainReader(b.paths.indices.map(i => () =>
+          new GraftColumnarReader(b.paths(i), b.dvPaths(i), required)
             : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch]))
     }
 }
 
-/** VECTORIZED partition reader for DV-free files: Spark's own
+/** VECTORIZED partition reader: Spark's own
   * `VectorizedParquetRecordReader` does the decode (the same columnar
   * batch machinery the built-in parquet source runs — dictionary-aware,
-  * null-run-aware, codegen-consumable), and this wrapper only composes
-  * the batch to the required shape: file-order data vectors mapped to
-  * the requested order, missing pre-evolution columns as constant-null
+  * null-run-aware, codegen-consumable), and this wrapper composes the
+  * batch to the required shape: file-order data vectors mapped to the
+  * requested order, missing pre-evolution columns as constant-null
   * vectors, and the row-identity metadata columns (`_graft_file`
   * constant, `_graft_pos` a per-batch position fill) when requested.
   * This clears the provider's per-row Group-decode tax on the hottest
   * path — at 100 TB the scan IS the workload.
   *
+  * DELETION VECTORS mask batch-side, so DV'd files keep the columnar
+  * decode: the file's tombstoned positions load once (sorted), and
+  * each batch checks its position range against a monotonic cursor —
+  * a batch with NO tombstones in range passes through ZERO-copy (the
+  * common case: deletes cluster in few row groups), a batch with
+  * tombstones compacts the survivors into reusable output vectors
+  * (one type-dispatched copy per surviving cell). `_graft_pos` stays
+  * the PHYSICAL row index either way — the row-identity the DV
+  * sidecars and row-level DML tombstone.
+  *
   * Rebase modes are pinned CORRECTED/UTC: every file this provider
   * serves was written by this engine (Spark 4, proleptic calendar,
   * TIMESTAMP_MICROS); a foreign legacy file would fail loudly, not
   * decode wrongly. */
-final class GraftColumnarReader(path: String, required: StructType)
+final class GraftColumnarReader(path: String, dvPaths: Array[String],
+    required: StructType)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   import org.apache.spark.sql.execution.vectorized.{ConstantColumnVector, OnHeapColumnVector}
@@ -968,30 +975,180 @@ final class GraftColumnarReader(path: String, required: StructType)
   }
   private val posVector = new OnHeapColumnVector(Capacity, LongType)
 
+  // this file's tombstoned positions, sorted — loaded once per file
+  // (sidecars are shared across a commit's files: filter to our
+  // basename; bounded by the file's DV cardinality)
+  private val deletedSorted: Array[Long] =
+    if (dvPaths.isEmpty) Array.emptyLongArray
+    else {
+      val set = new java.util.TreeSet[java.lang.Long]()
+      dvPaths.foreach { dv =>
+        val r = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+            new Path(dv))
+          .withConf(new Configuration()).build()
+        try {
+          var g = r.read()
+          while (g != null) {
+            if (g.getString("_dv_file", 0) == baseName)
+              set.add(g.getLong("_dv_pos", 0))
+            g = r.read()
+          }
+        } finally r.close()
+      }
+      val out = new Array[Long](set.size())
+      val it = set.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      out
+    }
+  private var delCursor = 0 // monotonic: batches advance in file order
+
+  // survivor-compaction output vectors, allocated once and reused for
+  // batches that carry tombstones (clean batches never touch them)
+  private lazy val outVectors: Array[OnHeapColumnVector] =
+    dataFields.map(f => new OnHeapColumnVector(Capacity, f.dataType))
+
   private var pos = 0L
   private var current: ColumnarBatch = _
+
+  private def compose(inner: ColumnarBatch, rows: Int,
+      fillPos: Int => Unit, dataVec: String => ColumnVector): ColumnarBatch = {
+    if (required.fieldNames.contains(GraftTable.PosCol)) {
+      var i = 0
+      while (i < rows) { fillPos(i); i += 1 }
+    }
+    val cols: Array[ColumnVector] = required.fields.map { f =>
+      if (f.name == GraftTable.FileCol) fileVector
+      else if (f.name == GraftTable.PosCol) posVector
+      else dataVec(f.name)
+    }
+    new ColumnarBatch(cols, rows)
+  }
 
   override def next(): Boolean = {
     if (!reader.nextKeyValue()) return false
     val inner = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
     val n = inner.numRows()
-    val needPos = required.fieldNames.contains(GraftTable.PosCol)
-    if (needPos) {
-      var i = 0
-      while (i < n) { posVector.putLong(i, pos + i); i += 1 }
-    }
+    val batchStart = pos
     pos += n
-    val cols: Array[ColumnVector] = required.fields.map { f =>
-      if (f.name == GraftTable.FileCol) fileVector
-      else if (f.name == GraftTable.PosCol) posVector
-      else inner.column(dataIdx(f.name))
+    // tombstones in [batchStart, batchStart+n)? the cursor only moves
+    // forward — positions and batches are both in file order
+    while (delCursor < deletedSorted.length &&
+      deletedSorted(delCursor) < batchStart) delCursor += 1
+    var delEnd = delCursor
+    while (delEnd < deletedSorted.length &&
+      deletedSorted(delEnd) < batchStart + n) delEnd += 1
+
+    if (delEnd == delCursor) {
+      // clean batch: ZERO-copy passthrough
+      current = compose(inner, n,
+        i => posVector.putLong(i, batchStart + i),
+        name => inner.column(dataIdx(name)))
+    } else {
+      // dirty batch: compact the survivors into the reused vectors
+      val survivors = new Array[Int](n - (delEnd - delCursor))
+      var i = 0; var out = 0; var d = delCursor
+      while (i < n) {
+        if (d < delEnd && deletedSorted(d) == batchStart + i) d += 1
+        else { survivors(out) = i; out += 1 }
+        i += 1
+      }
+      delCursor = delEnd
+      var c = 0
+      while (c < dataFields.length) {
+        val src = inner.column(dataIdx(dataFields(c).name))
+        val dst = outVectors(c)
+        dst.reset()
+        GraftColumnarReader.copySurvivors(dataFields(c).dataType, src, dst,
+          survivors, out)
+        c += 1
+      }
+      val byName = dataFields.map(_.name).zip(outVectors).toMap
+      current = compose(inner, out,
+        i => posVector.putLong(i, batchStart + survivors(i)),
+        name => byName(name))
     }
-    current = new ColumnarBatch(cols, n)
     true
   }
 
   override def get(): ColumnarBatch = current
   override def close(): Unit = reader.close()
+}
+
+object GraftColumnarReader {
+  import org.apache.spark.sql.vectorized.ColumnVector
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+
+  /** Types the survivor-compaction copy handles — the flat relational
+    * set this engine stores. Anything else reads row-based. */
+  def copyable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | DateType |
+        LongType | TimestampType | TimestampNTZType | FloatType |
+        DoubleType | StringType | BinaryType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Copy `count` surviving rows (source indices in `survivors`) from
+    * `src` into `dst`, type-dispatched ONCE per column per batch. */
+  private[sources] def copySurvivors(dt: org.apache.spark.sql.types.DataType,
+      src: ColumnVector, dst: OnHeapColumnVector,
+      survivors: Array[Int], count: Int): Unit = {
+    var i = 0
+    dt match {
+      case BooleanType => while (i < count) {
+        val r = survivors(i)
+        if (src.isNullAt(r)) dst.putNull(i)
+        else dst.putBoolean(i, src.getBoolean(r)); i += 1 }
+      case ByteType => while (i < count) {
+        val r = survivors(i)
+        if (src.isNullAt(r)) dst.putNull(i)
+        else dst.putByte(i, src.getByte(r)); i += 1 }
+      case ShortType => while (i < count) {
+        val r = survivors(i)
+        if (src.isNullAt(r)) dst.putNull(i)
+        else dst.putShort(i, src.getShort(r)); i += 1 }
+      case IntegerType | DateType => while (i < count) {
+        val r = survivors(i)
+        if (src.isNullAt(r)) dst.putNull(i)
+        else dst.putInt(i, src.getInt(r)); i += 1 }
+      case LongType | TimestampType | TimestampNTZType => while (i < count) {
+        val r = survivors(i)
+        if (src.isNullAt(r)) dst.putNull(i)
+        else dst.putLong(i, src.getLong(r)); i += 1 }
+      case FloatType => while (i < count) {
+        val r = survivors(i)
+        if (src.isNullAt(r)) dst.putNull(i)
+        else dst.putFloat(i, src.getFloat(r)); i += 1 }
+      case DoubleType => while (i < count) {
+        val r = survivors(i)
+        if (src.isNullAt(r)) dst.putNull(i)
+        else dst.putDouble(i, src.getDouble(r)); i += 1 }
+      case StringType => while (i < count) {
+        val r = survivors(i)
+        if (src.isNullAt(r)) dst.putNull(i)
+        else {
+          val b = src.getUTF8String(r).getBytes
+          dst.putByteArray(i, b, 0, b.length)
+        }; i += 1 }
+      case BinaryType => while (i < count) {
+        val r = survivors(i)
+        if (src.isNullAt(r)) dst.putNull(i)
+        else {
+          val b = src.getBinary(r)
+          dst.putByteArray(i, b, 0, b.length)
+        }; i += 1 }
+      case d: DecimalType => while (i < count) {
+        val r = survivors(i)
+        if (src.isNullAt(r)) dst.putNull(i)
+        else dst.putDecimal(i, src.getDecimal(r, d.precision, d.scale),
+          d.precision); i += 1 }
+      case other => throw new UnsupportedOperationException(
+        s"survivor copy for $other (supportColumnarReads should have " +
+          "routed this scan row-based)")
+    }
+  }
 }
 
 /** Streams one data file as InternalRows: projected parquet Group

@@ -259,20 +259,36 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(meta.count() === 500L)
     assert(meta.select("_graft_file").distinct().count() === t.dataFileCount)
 
-    // DV the table: scan must fall back to the row readers (no mixed
-    // partitions) and stay exact
+    // DV the table: the scan STAYS columnar (batch-side tombstone
+    // masking — clean batches pass through zero-copy, dirty batches
+    // compact survivors) and stays exact
     t.deleteWhereLight(col("g") === 0L)
     val masked = load(dir)
     val maskedPlan = masked.queryExecution.executedPlan.toString
-    assert(!maskedPlan.contains("ColumnarToRow"),
-      s"DV'd snapshot must read row-based:\n$maskedPlan")
+    assert(maskedPlan.contains("ColumnarToRow"),
+      s"DV'd snapshot must KEEP the vectorized path:\n$maskedPlan")
     assert(masked.count() === data.filter(r => r.getLong(1) != 0L).count())
+    // decode parity: every surviving row byte-equal to the merge-on-
+    // read Scala API, across all column types in the table
+    assert(masked.orderBy("k").collect().map(_.toSeq).toSeq ===
+      t.read.orderBy("k").collect().map(_.toSeq).toSeq)
+    // _graft_pos stays the PHYSICAL row index under DV'd columnar
+    // scans - the row identity DML tombstones; re-deleting by an
+    // observed position must hit exactly that row
+    val probe = load(dir)
+      .select(col("k"), col("_graft_file"), col("_graft_pos"))
+      .filter(col("k") === 8L).head()
+    val tomb = t.read.count()
+    t.deleteWhere(col("k") === 8L)
+    assert(t.read.count() === tomb - 1)
+    assert(load(dir).filter(col("k") === 8L).count() === 0L)
+    assert(probe.getLong(2) >= 0L)
 
-    // maintenance folds DVs — columnar comes back
+    // maintenance folds DVs — still columnar, still exact
     t.materializeDeletes()
     val folded = load(dir)
     assert(folded.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
-    assert(folded.count() === masked.count())
+    assert(folded.count() === masked.count() - 1)
   }
 
   test("columnar reads: pre-evolution files null-fill in batches") {
@@ -359,12 +375,15 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(viaProvider.queryExecution.executedPlan.toString
       .contains("ColumnarToRow")) // clean snapshot -> vectorized
     assert(rows(viaProvider) === rows(t.read))
-    // force the row reader via a DV and re-compare
+    // DV'd: STILL vectorized (batch-side masking) and still exact —
+    // INT96 decode parity must hold through the survivor-compaction
+    // path too
     t.deleteWhereLight(col("k") === 1L)
     val masked = load(dir)
-    assert(!masked.queryExecution.executedPlan.toString
+    assert(masked.queryExecution.executedPlan.toString
       .contains("ColumnarToRow"))
     assert(rows(masked) === rows(t.read))
+    assert(masked.count() === 99L)
   }
 
   test("column statistics surface from zone maps for the planner") {

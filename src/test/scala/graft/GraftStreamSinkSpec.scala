@@ -286,6 +286,60 @@ class GraftStreamSinkSpec extends SparkSpec {
       .contains("evolve"))
   }
 
+  test("graft.evolve + graft.mode=upsert: drifting epochs upsert, widen, replay-converge") {
+    val src = tmpDir("gsink-evoup-src") + "/t"
+    val dst = tmpDir("gsink-evoup-dst") + "/t"
+    val s = new TxTable(spark, src,
+      Seq((0L, "x")).toDF("k", "s").schema, Seq("k"), numBuckets = 2)
+    s.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    val d = mkDest(dst)
+
+    val ck = tmpDir("gsink-evoup-ck")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", "-1").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ck)
+        .option("graft.mode", "upsert")
+        .option("graft.evolve", "true")
+        .option("graft.tag", "evo-up")
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    run()
+    assert(d.read.orderBy("k").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b")))
+
+    // the SOURCE evolves mid-pipeline (append-only: an update is a
+    // re-sent key): the restarted stream carries the new column and
+    // the sink widens + upserts IN the same epoch commit
+    s.appendEvolving(Seq((2L, "B", 9L), (3L, "c", 5L))
+      .toDF("k", "s", "score"))
+    run()
+    assert(d.currentSchema.fieldNames.toSeq === Seq("k", "s", "score"))
+    assert(d.read.orderBy("k").as[(Long, String, Option[Long])]
+      .collect().toSeq ===
+      Seq((1L, "a", None), (2L, "B", Some(9L)), (3L, "c", Some(5L))))
+
+    // batch twin: the same rows through the BATCH evolving upsert
+    // must land the identical state
+    val twin = new TxTable(spark, tmpDir("gsink-evoup-twin") + "/t",
+      Seq((0L, "x")).toDF("k", "s").schema, Seq("k"), numBuckets = 2)
+    twin.upsert(Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    twin.upsertEvolving(Seq((2L, "B", 9L), (3L, "c", 5L))
+      .toDF("k", "s", "score"))
+    assert(d.read.orderBy("k").collect().map(_.toSeq).toSeq ===
+      twin.read.orderBy("k").collect().map(_.toSeq).toSeq)
+
+    // replay: a re-run with nothing new is a no-op, and the ledger
+    // watermark names the last epoch
+    val head = d.currentVersion
+    run()
+    assert(d.currentVersion === head)
+    assert(d.latestMeta("stream_batch:evo-up").isDefined)
+  }
+
   test("two independent streams into ONE table keep separate ledgers") {
     val srcA = tmpDir("gsink-2a") + "/t"
     val srcB = tmpDir("gsink-2b") + "/t"
