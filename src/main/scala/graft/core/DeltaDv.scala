@@ -96,6 +96,57 @@ object DeltaDv {
     * prefix). */
   def dvFileName(u: UUID): String = s"deletion_vector_$u.bin"
 
+  /** General Base85 decode (RFC 1924 alphabet) for INLINE descriptors
+    * (storageType "i"): the encoder pads its input to a 4-byte
+    * multiple, so the decode truncates back to `outLen` (the
+    * descriptor's `sizeInBytes`). */
+  def decodeBase85(s: String, outLen: Int): Array[Byte] = {
+    require(s.length % 5 == 0,
+      s"inline DV payload length ${s.length} is not a multiple of 5")
+    val padded = new Array[Byte](s.length / 5 * 4)
+    var g = 0
+    while (g < s.length / 5) {
+      var v = 0L
+      var d = 0
+      while (d < 5) {
+        val c = s.charAt(g * 5 + d).toInt
+        val digit = if (c < 128) B85Rev(c) else -1
+        require(digit >= 0, s"invalid Base85 char in inline DV")
+        v = v * 85 + digit
+        d += 1
+      }
+      var i = 0
+      while (i < 4) {
+        padded(g * 4 + i) = ((v >>> (8 * (3 - i))) & 0xff).toByte
+        i += 1
+      }
+      g += 1
+    }
+    require(outLen <= padded.length,
+      s"inline DV declares $outLen bytes but decodes to ${padded.length}")
+    java.util.Arrays.copyOfRange(padded, 0, outLen)
+  }
+
+  /** Inverse, for writers/tests: pad to a 4-byte multiple, encode. */
+  def encodeBase85(bytes: Array[Byte]): String = {
+    val padded =
+      if (bytes.length % 4 == 0) bytes
+      else java.util.Arrays.copyOf(bytes, (bytes.length / 4 + 1) * 4)
+    val sb = new StringBuilder(padded.length / 4 * 5)
+    var g = 0
+    while (g < padded.length / 4) {
+      var v = 0L
+      var i = 0
+      while (i < 4) { v = (v << 8) | (padded(g * 4 + i) & 0xffL); i += 1 }
+      val digits = new Array[Char](5)
+      var d = 4
+      while (d >= 0) { digits(d) = B85((v % 85).toInt); v /= 85; d -= 1 }
+      sb.appendAll(digits)
+      g += 1
+    }
+    sb.toString
+  }
+
   /** Serialize a position set as a portable RoaringBitmapArray.
     * Positions must be ≥ 0; the array is DENSE by high-32 key (empty
     * buckets serialize as empty bitmaps), matching delta-spark. */

@@ -413,9 +413,11 @@ object DeltaImport {
               case "p" => DeltaDv.readBlobAt(hfs,
                 new Path(d.pathOrInlineDv), d.offset.getOrElse(1L),
                 d.sizeInBytes)
+              case "i" => DeltaDv.decodeBase85(d.pathOrInlineDv,
+                d.sizeInBytes.toInt)
               case other => throw new UnsupportedOperationException(
                 s"deletion vector storageType '$other' is not supported " +
-                  "(u and p are)")
+                  "(u, p and i are)")
             }
             a.path.substring(a.path.lastIndexOf('/') + 1) -> bytes
           }

@@ -34,22 +34,38 @@ import org.json4s.jackson.JsonMethods
   * DataFrame scans them under the metadata schema with full Spark
   * parallelism.
   *
-  * v2 POSITION DELETES are read natively: delete manifests
-  * (content=1) resolve to the spec's delete parquet files
-  * (`file_path` + `pos`), and the returned DataFrame masks the
-  * tombstoned rows merge-on-read through the same anti-join-on-
-  * (file, row_index) plan TxTable's own DV reads use — only the
-  * referenced data files pay the mask. Position deletes name their
-  * target files EXPLICITLY (a file rewritten after the delete has a
-  * new path the delete cannot reference), so sequence-number scoping
-  * is not needed for them. EQUALITY deletes do scope by sequence
-  * number and are honestly REFUSED rather than served as wrong rows.
+  * v2 DELETE FILES are read natively, both kinds:
+  *
+  *  - POSITION deletes (content=1, no equality_ids): the spec's
+  *    delete parquet (`file_path` + `pos`) anti-joins the referenced
+  *    files on (file, row_index) — the same plan TxTable's own DV
+  *    reads use; only referenced files pay the mask. Position deletes
+  *    name their target files EXPLICITLY (a file rewritten after the
+  *    delete has a new path the delete cannot reference), so
+  *    sequence-number scoping is not needed for them.
+  *  - EQUALITY deletes (equality_ids set — the shape streaming CDC
+  *    writers like Flink produce): a data row is deleted when its
+  *    values on the delete's equality columns null-safe-match any
+  *    delete row AND its data sequence number is STRICTLY below the
+  *    delete's (per spec — a row written after the delete survives).
+  *    Data files carry their sequence as a per-scan-group literal, so
+  *    the scoping costs no join; each delete file folds in as one
+  *    null-safe anti-join.
   */
 object IcebergImport {
 
+  /** One equality-delete file: path, its sequence number, and the
+    * equality column NAMES (field ids resolved through the metadata
+    * schema). */
+  final case class EqDelete(path: String, seq: Long,
+      eqColumns: Seq[String])
+
   final case class Snapshot(snapshotId: Long, schema: StructType,
       files: Seq[String], recordCounts: Seq[Long],
-      posDeleteFiles: Seq[String] = Nil)
+      posDeleteFiles: Seq[String] = Nil,
+      eqDeletes: Seq[EqDelete] = Nil,
+      /** per-`files` data sequence numbers (equality-delete scoping). */
+      dataSeqs: Seq[Long] = Nil)
 
   private def sparkType(t: String): DataType = t match {
     case "boolean"     => BooleanType
@@ -70,6 +86,19 @@ object IcebergImport {
       s"iceberg import does not map type '$other' " +
         "(flat relational schemas only)")
   }
+
+  /** Field-id → name from the metadata schema (equality_ids resolve
+    * through this, per spec). */
+  private def fieldIdsFrom(j: JValue): Map[Int, String] =
+    (j \ "fields") match {
+      case JArray(fs) => fs.flatMap { f =>
+        ((f \ "id"), (f \ "name")) match {
+          case (JInt(id), JString(n)) => Some(id.toInt -> n)
+          case _                      => None
+        }
+      }.toMap
+      case _ => Map.empty
+    }
 
   private def schemaFrom(j: JValue): StructType = {
     val fields = (j \ "fields") match {
@@ -133,12 +162,14 @@ object IcebergImport {
       s"table is format-version $fv - this reader honestly supports v1/v2")
 
     // schema: current-schema-id into schemas (v2), else legacy "schema"
-    val schema = (md \ "schemas", md \ "current-schema-id") match {
+    val schemaJ = (md \ "schemas", md \ "current-schema-id") match {
       case (JArray(ss), JInt(cur)) =>
-        schemaFrom(ss.find(s => (s \ "schema-id") == JInt(cur)).getOrElse(
-          throw new IllegalArgumentException(s"schema-id $cur not found")))
-      case _ => schemaFrom(md \ "schema") // v1 single-schema layout
+        ss.find(s => (s \ "schema-id") == JInt(cur)).getOrElse(
+          throw new IllegalArgumentException(s"schema-id $cur not found"))
+      case _ => md \ "schema" // v1 single-schema layout
     }
+    val schema = schemaFrom(schemaJ)
+    val fieldIds = fieldIdsFrom(schemaJ)
 
     val snaps = (md \ "snapshots") match {
       case JArray(ss) => ss
@@ -173,8 +204,23 @@ object IcebergImport {
       Option(m.get("content")).exists(_.asInstanceOf[Int] != 0)
     }
 
-    // manifests → live data files (status 2 = DELETED drops the row)
-    val filesAndCounts = dataManifests.flatMap { m =>
+    // sequence number of an entry: its own, else inherited from the
+    // manifest's (per spec, null inherits on ADDED entries); v1
+    // manifests without the field read as 0
+    def asLong(x: AnyRef): Option[Long] = Option(x).map {
+      case l: java.lang.Long    => l.longValue
+      case i: java.lang.Integer => i.longValue
+    }
+    def entrySeq(m: GenericRecord, e: GenericRecord): Long = {
+      def field(r: GenericRecord, n: String): Option[Long] =
+        if (r.getSchema.getField(n) == null) None else asLong(r.get(n))
+      field(e, "sequence_number").orElse(field(m, "sequence_number"))
+        .getOrElse(0L)
+    }
+
+    // manifests → live data files (status 2 = DELETED drops the row),
+    // each with its data sequence number (equality-delete scoping)
+    val filesCountsSeqs = dataManifests.flatMap { m =>
       val mPath = new Path(m.get("manifest_path").toString)
       readAvro(fs, mPath, conf).flatMap { e =>
         val status = e.get("status").asInstanceOf[Int]
@@ -184,36 +230,57 @@ object IcebergImport {
           val fmt = df.get("file_format").toString
           require(fmt.equalsIgnoreCase("PARQUET"),
             s"data file format $fmt unsupported (parquet only)")
-          Some(df.get("file_path").toString ->
-            df.get("record_count").asInstanceOf[Long])
+          Some((df.get("file_path").toString,
+            df.get("record_count").asInstanceOf[Long],
+            entrySeq(m, e)))
         }
       }
     }
 
-    // delete manifests → live POSITION-delete files; equality deletes
-    // (content=2 on the data_file record) are refused, never misread
-    val posDeletes = deleteManifests.flatMap { m =>
+    // delete manifests → live delete files, split by kind: an entry
+    // with equality_ids is an EQUALITY delete (ids resolve to column
+    // names through the schema), anything else must be POSITION
+    val posDeletes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val eqDeletes = scala.collection.mutable.ArrayBuffer.empty[EqDelete]
+    deleteManifests.foreach { m =>
       val mPath = new Path(m.get("manifest_path").toString)
-      readAvro(fs, mPath, conf).flatMap { e =>
+      readAvro(fs, mPath, conf).foreach { e =>
         val status = e.get("status").asInstanceOf[Int]
-        if (status == 2) None
-        else {
+        if (status != 2) {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
-          val content = Option(df.get("content"))
-            .map(_.asInstanceOf[Int]).getOrElse(0)
-          require(content == 1,
-            s"snapshot $wantedId carries an EQUALITY delete file " +
-              "(content=2), which needs sequence-number scoping this " +
-              "reader does not implement - position deletes only")
           val fmt = df.get("file_format").toString
           require(fmt.equalsIgnoreCase("PARQUET"),
             s"delete file format $fmt unsupported (parquet only)")
-          Some(df.get("file_path").toString)
+          val content = Option(df.get("content"))
+            .map(_.asInstanceOf[Int]).getOrElse(0)
+          val eqIds: Seq[Int] =
+            if (df.getSchema.getField("equality_ids") == null) Nil
+            else Option(df.get("equality_ids")) match {
+              case Some(l: java.util.List[_]) =>
+                l.asScala.toSeq.map(_.asInstanceOf[Number].intValue())
+              case _ => Nil
+            }
+          if (content == 2 || eqIds.nonEmpty) {
+            require(eqIds.nonEmpty,
+              s"snapshot $wantedId carries an equality delete with no " +
+                "equality_ids - malformed metadata, refusing")
+            val cols = eqIds.map(id => fieldIds.getOrElse(id,
+              throw new IllegalArgumentException(
+                s"equality_ids references unknown field id $id")))
+            eqDeletes += EqDelete(df.get("file_path").toString,
+              entrySeq(m, e), cols)
+          } else {
+            require(content == 1,
+              s"delete manifest entry with content=$content is neither " +
+                "position (1) nor equality (2)")
+            posDeletes += df.get("file_path").toString
+          }
         }
       }
     }
     Snapshot(wantedId, schema,
-      filesAndCounts.map(_._1), filesAndCounts.map(_._2), posDeletes)
+      filesCountsSeqs.map(_._1), filesCountsSeqs.map(_._2),
+      posDeletes.toSeq, eqDeletes.toSeq, filesCountsSeqs.map(_._3))
   }
 
   /** Read the current (or pinned) snapshot as a DataFrame under the
@@ -225,37 +292,68 @@ object IcebergImport {
     * position-shaped is collected. */
   def read(spark: SparkSession, dir: String,
       snapshotId: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, element_at, split}
+    import org.apache.spark.sql.functions.{col, element_at, lit, split}
     val s = snapshot(spark, dir, snapshotId)
     if (s.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
-    if (s.posDeleteFiles.isEmpty)
+    if (s.posDeleteFiles.isEmpty && s.eqDeletes.isEmpty)
       return spark.read.schema(s.schema).parquet(s.files: _*)
 
     // basenames are the join identity (iceberg file names embed
     // UUIDs); full-URI equality would be brittle across the file:/ vs
     // file:/// qualifications different writers emit
     def base(p: String): String = p.substring(p.lastIndexOf('/') + 1)
-    val tomb = spark.read.parquet(s.posDeleteFiles: _*)
-      .select(element_at(split(col("file_path"), "/"), -1).as("_del_file"),
-        col("pos").as("_del_pos"))
-      .distinct()
-    val targeted = tomb.select("_del_file").distinct()
-      .collect().map(_.getString(0)).toSet // file-count-bounded metadata
-    val (dirty, clean) = s.files.partition(f => targeted(base(f)))
-    val cleanDf =
-      if (clean.isEmpty) None
-      else Some(spark.read.schema(s.schema).parquet(clean: _*))
-    val dirtyDf =
-      if (dirty.isEmpty) None
-      else Some(spark.read.schema(s.schema).parquet(dirty: _*)
-        .withColumn("_file",
-          element_at(split(col("_metadata.file_path"), "/"), -1))
-        .withColumn("_pos", col("_metadata.row_index"))
-        .join(tomb, col("_file") === col("_del_file") &&
-          col("_pos") === col("_del_pos"), "left_anti")
-        .drop("_file", "_pos"))
-    (cleanDf.toSeq ++ dirtyDf.toSeq).reduce(_ unionByName _)
+    val tombOpt =
+      if (s.posDeleteFiles.isEmpty) None
+      else Some(spark.read.parquet(s.posDeleteFiles: _*)
+        .select(
+          element_at(split(col("file_path"), "/"), -1).as("_del_file"),
+          col("pos").as("_del_pos"))
+        .distinct())
+    val targeted: Set[String] = tombOpt
+      .map(_.select("_del_file").distinct()
+        .collect().map(_.getString(0)).toSet) // file-count-bounded
+      .getOrElse(Set.empty)
+
+    // position masking, per file group: only referenced files pay
+    def scanMasked(files: Seq[String]): DataFrame = {
+      val (dirty, clean) = files.partition(f => targeted(base(f)))
+      val cleanDf =
+        if (clean.isEmpty) None
+        else Some(spark.read.schema(s.schema).parquet(clean: _*))
+      val dirtyDf =
+        if (dirty.isEmpty) None
+        else Some(spark.read.schema(s.schema).parquet(dirty: _*)
+          .withColumn("_file",
+            element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("_pos", col("_metadata.row_index"))
+          .join(tombOpt.get, col("_file") === col("_del_file") &&
+            col("_pos") === col("_del_pos"), "left_anti")
+          .drop("_file", "_pos"))
+      (cleanDf.toSeq ++ dirtyDf.toSeq).reduce(_ unionByName _)
+    }
+
+    if (s.eqDeletes.isEmpty) scanMasked(s.files)
+    else {
+      // data files scan grouped BY SEQUENCE, the number riding each
+      // group as a literal — equality-delete scoping (strictly-lower
+      // data sequence) then costs no join, just a residual predicate
+      val bySeq = s.files.zip(s.dataSeqs).groupBy(_._2).toSeq.sortBy(_._1)
+      val withSeq = bySeq.map { case (seq, fs) =>
+        scanMasked(fs.map(_._1)).withColumn("_gseq", lit(seq))
+      }.reduce(_ unionByName _)
+      val masked = s.eqDeletes.foldLeft(withSeq) { (df, d) =>
+        val delRows = spark.read.parquet(d.path)
+          .select(d.eqColumns.map(c =>
+            col(c).cast(s.schema(c).dataType).as(s"_del_$c")): _*)
+          .dropDuplicates()
+        val cond = d.eqColumns
+          .map(c => col(c) <=> col(s"_del_$c")).reduce(_ && _) &&
+          col("_gseq") < lit(d.seq)
+        df.join(delRows, cond, "left_anti")
+      }
+      masked.drop("_gseq").select(s.schema.map(f => col(f.name)): _*)
+    }
   }
 }

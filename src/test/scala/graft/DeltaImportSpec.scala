@@ -182,6 +182,38 @@ class DeltaImportSpec extends SparkSpec {
     assert(e.getMessage.contains("missing commits"))
   }
 
+  test("inline deletion vectors (storageType i) mask merge-on-read") {
+    val dir = tmpDir("deltai-inline") + "/t"
+    val df = (1L to 10L).map(i => (i, s"v$i")).toDF("k", "s")
+    val rel = dataFile(dir, "data", df)
+    // foreign writer shape: the bitmap bytes ride the descriptor
+    // itself, Base85-encoded - delete physical rows 0 and 3
+    val bitmap = graft.core.DeltaDv.serializeBitmap(Iterator(0L, 3L))
+    val enc = graft.core.DeltaDv.encodeBase85(bitmap)
+    // round-trip sanity of the codec itself
+    assert(graft.core.DeltaDv
+      .deserializeBitmap(graft.core.DeltaDv.decodeBase85(enc, bitmap.length))
+      .toSeq === Seq(0L, 3L))
+    writeCommit(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}""",
+      metaLine(df.schema.json, Nil),
+      s"""{"add":{"path":"$rel","partitionValues":{},"size":1,""" +
+        s""""modificationTime":1,"dataChange":true,"deletionVector":{""" +
+        s""""storageType":"i","pathOrInlineDv":"$enc",""" +
+        s""""sizeInBytes":${bitmap.length},"cardinality":2}}}"""))
+    val back = DeltaImport.read(spark, dir)
+    assert(back.count() === 8L)
+    // physical rows 0 and 3 of the single file are gone; parquet
+    // wrote df's rows in order after coalesce(1)
+    val kept = back.collect().map(_.getLong(0)).toSet
+    val written = spark.read.parquet(s"$dir/$rel")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === written.zipWithIndex
+      .filterNot { case (_, i) => i == 0 || i == 3 }.map(_._1).toSet)
+  }
+
   test("refuses unsupported protocols and gapped logs honestly") {
     // reader v3 demanding a feature we don't implement → refused
     val dir = tmpDir("deltai-ref") + "/t"

@@ -118,47 +118,150 @@ class IcebergExportSpec extends SparkSpec {
       t.read.collect().map(_.toSeq).toSet)
   }
 
-  test("equality delete files are refused honestly") {
+  /** Rewrite an avro file in place through a mutation of its records.
+    * Drops the Hadoop LocalFileSystem checksum sidecar — the original
+    * writer created one, and a stale .crc turns later reads into
+    * ChecksumExceptions. */
+  private def rewriteAvro(path: String)
+      (mutate: Seq[GenericRecord] => Seq[GenericRecord]): Unit = {
+    val (recs, schema) = readAvro(path)
+    val out = mutate(recs)
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[GenericRecord](schema))
+    try { w.create(schema, new File(path)); out.foreach(w.append) }
+    finally w.close()
+    val f = new File(path)
+    new File(f.getParentFile, s".${f.getName}.crc").delete()
+    ()
+  }
+
+  test("content=2 deletes without equality_ids refuse as malformed") {
     val dir = tmpDir("iceberg-eq") + "/t"
     val data = (1L to 10L).map(i => (i, i * 1.0)).toDF("k", "v")
     val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 1)
     t.append(data)
     t.deleteWhereLight(col("k") <= 2L)
     IcebergExport.writeIcebergMetadata(spark, t)
-    // flip the delete manifest's data_file.content to 2 (EQUALITY) by
-    // rewriting the avro — the reader must refuse, not misread
-    val metaDir = new java.io.File(dir, "metadata")
+    // flip the delete manifest's data_file.content to 2 (EQUALITY)
+    // with no equality_ids — the reader must refuse, not misread
+    val metaDir = new File(dir, "metadata")
     val m1 = metaDir.listFiles().find(_.getName.endsWith("-m1.avro")).get
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
-    val recs = {
-      val in = new org.apache.avro.mapred.FsInput(
-        new org.apache.hadoop.fs.Path(m1.getPath), conf)
-      val r = new org.apache.avro.file.DataFileReader[
-        org.apache.avro.generic.GenericRecord](in,
-        new org.apache.avro.generic.GenericDatumReader[
-          org.apache.avro.generic.GenericRecord]())
-      try {
-        val s = r.getSchema
-        val list = scala.jdk.CollectionConverters
-          .IteratorHasAsScala(r.iterator()).asScala.toList
-        (s, list)
-      } finally r.close()
+    rewriteAvro(m1.getPath) { recs =>
+      recs.foreach(_.get("data_file").asInstanceOf[GenericRecord]
+        .put("content", 2))
+      recs
     }
-    recs._2.foreach { e =>
-      e.get("data_file").asInstanceOf[
-        org.apache.avro.generic.GenericRecord].put("content", 2)
-    }
-    val w = new org.apache.avro.file.DataFileWriter(
-      new org.apache.avro.generic.GenericDatumWriter[
-        org.apache.avro.generic.GenericRecord](recs._1))
-    val out = fs.create(new org.apache.hadoop.fs.Path(m1.getPath), true)
-    try { w.create(recs._1, out); recs._2.foreach(w.append) }
-    finally w.close()
     val e = intercept[IllegalArgumentException] {
       graft.core.IcebergImport.read(spark, dir).count()
     }
-    assert(e.getMessage.contains("EQUALITY"))
+    assert(e.getMessage.contains("equality_ids"))
+  }
+
+  test("EQUALITY deletes mask null-safe and scope by sequence number") {
+    val dir = tmpDir("iceberg-eqdel") + "/t"
+    val data = (1L to 10L).map(i => (i, i * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 2)
+    t.append(data)
+    IcebergExport.writeIcebergMetadata(spark, t)
+    val metaDir = new File(dir, "metadata")
+    val m0 = metaDir.listFiles().find(_.getName.endsWith("-m0.avro")).get
+
+    // two data files (one per bucket); lift file B to sequence 5 so
+    // the strictly-lower scoping rule has something to protect
+    val (entries0, _) = readAvro(m0.getPath)
+    val paths = entries0.map(_.get("data_file")
+      .asInstanceOf[GenericRecord].get("file_path").toString)
+    assert(paths.size === 2)
+    def keysOf(p: String): Set[Long] =
+      spark.read.parquet(p).select("k").collect().map(_.getLong(0)).toSet
+    val (fileA, fileB) = (paths.head, paths(1))
+    val kA = keysOf(fileA).min // seq 1: delete applies
+    val kB = keysOf(fileB).min // seq 5: delete must NOT apply
+    rewriteAvro(m0.getPath) { recs =>
+      recs.foreach { e =>
+        val p = e.get("data_file").asInstanceOf[GenericRecord]
+          .get("file_path").toString
+        if (p == fileB) {
+          e.put("sequence_number", 5L)
+          e.put("file_sequence_number", 5L)
+        }
+      }
+      recs
+    }
+
+    // the equality delete file itself: column k, both keys named
+    val delDir = new File(dir, "_eq_deletes")
+    Seq(kA, kB).toDF("k").coalesce(1)
+      .write.mode("overwrite").parquet(delDir.toString)
+    val delPath = delDir.listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+
+    // its manifest (content=1 manifest of a content=2 data_file with
+    // equality_ids=[1] — field id 1 = column k) at sequence 2
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"file_sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        | {"name":"content","type":"int"},
+        | {"name":"file_path","type":"string"},
+        | {"name":"file_format","type":"string"},
+        | {"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        | {"name":"record_count","type":"long"},
+        | {"name":"file_size_in_bytes","type":"long"},
+        | {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}
+        |]}}]}""".stripMargin)
+    val dfRec = new org.apache.avro.generic.GenericData.Record(
+      entrySchema.getField("data_file").schema())
+    dfRec.put("content", 2)
+    dfRec.put("file_path", delPath)
+    dfRec.put("file_format", "PARQUET")
+    dfRec.put("partition", new org.apache.avro.generic.GenericData.Record(
+      dfRec.getSchema.getField("partition").schema()))
+    dfRec.put("record_count", 2L)
+    dfRec.put("file_size_in_bytes", new File(delPath).length())
+    dfRec.put("equality_ids",
+      java.util.Arrays.asList(Integer.valueOf(1)))
+    val entry = new org.apache.avro.generic.GenericData.Record(entrySchema)
+    entry.put("status", 1)
+    entry.put("sequence_number", 2L)
+    entry.put("file_sequence_number", 2L)
+    entry.put("data_file", dfRec)
+    val m1Path = new File(metaDir, "eqdel-m1.avro")
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[GenericRecord](
+        entrySchema))
+    try { w.create(entrySchema, m1Path); w.append(entry) }
+    finally w.close()
+
+    // splice the delete manifest into the manifest list (content=1)
+    val snap = metaDir.listFiles()
+      .find(_.getName.startsWith("snap-")).get
+    rewriteAvro(snap.getPath) { recs =>
+      val tpl = recs.head
+      val mf = new org.apache.avro.generic.GenericData.Record(tpl.getSchema)
+      tpl.getSchema.getFields.asScala.foreach(f =>
+        mf.put(f.name(), tpl.get(f.name())))
+      mf.put("manifest_path", m1Path.getAbsolutePath)
+      mf.put("manifest_length", m1Path.length())
+      mf.put("content", 1)
+      mf.put("sequence_number", 2L)
+      mf.put("min_sequence_number", 2L)
+      recs :+ mf
+    }
+
+    val snapMeta = graft.core.IcebergImport.snapshot(spark, dir)
+    assert(snapMeta.eqDeletes.map(d => (d.seq, d.eqColumns)) ===
+      Seq((2L, Seq("k"))))
+    val back = graft.core.IcebergImport.read(spark, dir)
+    val kept = back.collect().map(_.getLong(0)).toSet
+    // kA (data seq 1 < delete seq 2) deleted; kB (data seq 5) SURVIVES
+    assert(!kept.contains(kA), "kA must be equality-deleted")
+    assert(kept.contains(kB), "kB written above the delete's sequence " +
+      "must survive (strictly-lower scoping)")
+    assert(kept.size === 9)
   }
 
   test("TRUE round-trip: export -> import -> row-for-row equality") {
