@@ -135,20 +135,30 @@ object DeltaExport {
         "deletionVector" -> (dvDescriptor(p, slot): JValue) }))
   }
 
-  private def protocolAction(withDvs: Boolean): JObject =
-    if (!withDvs)
+  /** Lowest protocol expressing the snapshot's content: DVs are a
+    * reader+writer feature (the bytes must be masked), CDF a
+    * writer-only feature (plain reads don't need it). */
+  private def protocolAction(withDvs: Boolean,
+      withCdf: Boolean = false): JObject =
+    if (!withDvs && !withCdf)
       JObject("protocol" -> JObject(
         "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))
-    else
-      // table-features protocol: reader 3 / writer 7 with the feature
-      // named in BOTH lists, exactly as delta-spark publishes it
-      JObject("protocol" -> JObject(
-        "minReaderVersion" -> JInt(3), "minWriterVersion" -> JInt(7),
-        "readerFeatures" -> JArray(List(JString("deletionVectors"))),
-        "writerFeatures" -> JArray(List(JString("deletionVectors")))))
+    else {
+      val rf = if (withDvs) List(JString("deletionVectors")) else Nil
+      val wf = (if (withDvs) List(JString("deletionVectors")) else Nil) ++
+        (if (withCdf) List(JString("changeDataFeed")) else Nil)
+      val reader =
+        if (withDvs)
+          List("minReaderVersion" -> (JInt(3): JValue),
+            "readerFeatures" -> (JArray(rf): JValue))
+        else List("minReaderVersion" -> (JInt(1): JValue))
+      JObject("protocol" -> JObject(reader ++ List(
+        "minWriterVersion" -> (JInt(7): JValue),
+        "writerFeatures" -> (JArray(wf): JValue))))
+    }
 
-  private def metaDataAction(schema: StructType,
-      dvEnabled: Boolean): JObject =
+  private def metaDataAction(schema: StructType, dvEnabled: Boolean,
+      cdfEnabled: Boolean = false, txVersion: Option[Long] = None): JObject =
     JObject("metaData" -> JObject(
       "id" -> JString(java.util.UUID.randomUUID().toString),
       "format" -> JObject("provider" -> JString("parquet"),
@@ -156,9 +166,18 @@ object DeltaExport {
       // Delta's schemaString IS the Spark StructType JSON format
       "schemaString" -> JString(schema.json),
       "partitionColumns" -> JArray(Nil),
-      "configuration" -> (if (dvEnabled)
-        JObject("delta.enableDeletionVectors" -> JString("true"))
-      else JObject()),
+      // graft.txVersion in CONFIGURATION (not commitInfo) so the CDF
+      // sync watermark survives checkpoint bootstrap — checkpoints
+      // carry metaData verbatim, commitInfo they drop
+      "configuration" -> JObject(
+        (if (dvEnabled)
+          List("delta.enableDeletionVectors" -> (JString("true"): JValue))
+        else Nil) ++
+        (if (cdfEnabled)
+          List("delta.enableChangeDataFeed" -> (JString("true"): JValue))
+        else Nil) ++
+        txVersion.map(v =>
+          "graft.txVersion" -> (JString(v.toString): JValue)).toList),
       "createdTime" -> JLong(System.currentTimeMillis())))
 
   private def writeCommit(fs: FileSystem, tableDir: String, version: Long,
@@ -211,8 +230,13 @@ object DeltaExport {
   }
 
   /** Write `table.dir/_delta_log/00000000000000000000.json` for the
-    * current snapshot. Returns the commit file's path. */
-  def writeDeltaLog(spark: SparkSession, table: TxTable): String = {
+    * current snapshot. With `cdf`, the log advertises Change Data
+    * Feed (writer feature + table property) and records the exported
+    * TxTable version as the change watermark — CDF readers derive the
+    * initial commit's inserts from its add actions, so no change file
+    * is written here. Returns the commit file's path. */
+  def writeDeltaLog(spark: SparkSession, table: TxTable,
+      cdf: Boolean = false): String = {
     val files = liveFiles(table)
     val (fs, rootUri) = fsFor(spark, table)
     val schema = table.currentSchema
@@ -226,8 +250,46 @@ object DeltaExport {
     val adds = files.map(_._1).sortBy(_.path).map(f =>
       addAction(fs, rootUri, schema, dvSlots.get(basename(f.path)))(f))
     writeCommit(fs, table.dir, 0L,
-      protocolAction(dirty.nonEmpty) +:
-        metaDataAction(schema, dirty.nonEmpty) +: adds)
+      protocolAction(dirty.nonEmpty, cdf) +:
+        metaDataAction(schema, dirty.nonEmpty, cdf,
+          if (cdf) Some(table.currentVersion) else None) +: adds)
+  }
+
+  /** The net row-level diff `table.changes(fromTx, toTx)` as Delta
+    * CHANGE DATA files under `_change_data/` — table columns plus
+    * `_change_type` (insert | delete | update_preimage |
+    * update_postimage: graft's CDC vocabulary IS Delta's), written
+    * DISTRIBUTED (staged parts rename into place; one `cdc` action
+    * per part). Empty diff ⇒ no files, no actions. */
+  private def writeChangeData(spark: SparkSession, fs: FileSystem,
+      table: TxTable, fromTx: Long, toTx: Long): Seq[JObject] = {
+    val diff = table.changes(fromTx, toTx)
+    val cols = diff.columns.filterNot(_ == "_change_type") :+ "_change_type"
+    val cdDir = new Path(table.dir, "_change_data")
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new Path(cdDir, s".stage-$uuid")
+    diff.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").parquet(stage.toString)
+    // one footer-driven count decides empty-vs-not (metadata-fast);
+    // a zero-row diff publishes nothing
+    if (spark.read.parquet(stage.toString).count() == 0L) {
+      fs.delete(stage, true)
+      return Nil
+    }
+    val parts = fs.listStatus(stage).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") &&
+        p.getName.endsWith(".parquet")).sortBy(_.getName)
+    val actions = parts.zipWithIndex.map { case (p, i) =>
+      val target = new Path(cdDir, s"cdc-$uuid-$i.parquet")
+      require(fs.rename(p, target), s"could not publish $target")
+      JObject("cdc" -> JObject(
+        "path" -> JString(s"_change_data/${target.getName}"),
+        "partitionValues" -> JObject(),
+        "size" -> JLong(fs.getFileStatus(target).getLen),
+        "dataChange" -> JBool(false)))
+    }.toSeq
+    fs.delete(stage, true)
+    actions
   }
 
   // ---- checkpoints (PROTOCOL.md "Checkpoints") ----
@@ -340,10 +402,10 @@ object DeltaExport {
     * an unbounded JSON history; 0 disables. Returns the commit path,
     * or None when the log is already current — nothing is written. */
   def syncDeltaLog(spark: SparkSession, table: TxTable,
-      checkpointInterval: Int = 10): Option[String] = {
+      checkpointInterval: Int = 10, cdf: Boolean = false): Option[String] = {
     val (fs, rootUri) = fsFor(spark, table)
     if (!fs.exists(new Path(new Path(table.dir), "_delta_log")))
-      return Some(writeDeltaLog(spark, table))
+      return Some(writeDeltaLog(spark, table, cdf))
     val logged = DeltaImport.snapshot(spark, table.dir)
     val files = liveFiles(table)
     val schema = table.currentSchema
@@ -373,13 +435,35 @@ object DeltaExport {
         slots.map { case (k, v) => k -> (enc, v) }
       }
     val nowHasDvs = files.exists(_._1.dvRows > 0L)
+    val hadCdf = logged.protocol.writerFeatures.contains("changeDataFeed")
     val upgrade =
-      if (logged.protocol.minReaderVersion < 3 && nowHasDvs)
-        Seq(protocolAction(withDvs = true))
+      if ((logged.protocol.minReaderVersion < 3 && nowHasDvs) ||
+        (cdf && !hadCdf))
+        Seq(protocolAction(nowHasDvs, cdf || hadCdf))
       else Nil
+    // CDF: the diff between the logged TxTable version (metaData
+    // configuration graft.txVersion — checkpoint-durable) and the
+    // current one, as _change_data files + cdc actions. A log synced
+    // WITHOUT cdf that turns it on mid-life starts its feed at this
+    // commit (no watermark to diff from).
+    val curTx = table.currentVersion
+    val prevTx: Option[Long] = logged.metaRaw.flatMap { raw =>
+      val j = JsonMethods.parse(raw)
+      (j \ "configuration" \ "graft.txVersion") match {
+        case JString(v) => scala.util.Try(v.toLong).toOption
+        case _          => None
+      }
+    }
+    val cdcActions =
+      if (!cdf) Nil
+      else prevTx match {
+        case Some(p) if p < curTx => writeChangeData(spark, fs, table, p, curTx)
+        case _                    => Nil
+      }
     val meta =
-      if (schemaChanged || upgrade.nonEmpty)
-        Seq(metaDataAction(schema, nowHasDvs))
+      if (schemaChanged || upgrade.nonEmpty || cdf)
+        Seq(metaDataAction(schema, nowHasDvs, cdf || hadCdf,
+          if (cdf) Some(curTx) else None))
       else Nil
     val removeActions = (removed ++ dvChanged).sorted.map { p =>
       JObject("remove" -> JObject(
@@ -391,7 +475,7 @@ object DeltaExport {
       addAction(fs, rootUri, schema, dvSlots.get(basename(f.path)))(f) }
     val v = logged.version + 1L
     val commit = writeCommit(fs, table.dir, v,
-      upgrade ++ meta ++ removeActions ++ addActions)
+      upgrade ++ meta ++ cdcActions ++ removeActions ++ addActions)
     if (checkpointInterval > 0 && v % checkpointInterval == 0)
       writeCheckpoint(spark, table)
     Some(commit)

@@ -8,7 +8,7 @@ import scala.io.Source
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -378,6 +378,56 @@ object DeltaImport {
       boot, tail.size, proto)
   }
 
+  /** DV-masked scan of `group` under `dataSchema` — the shared read
+    * primitive of [[read]] and [[readChanges]]' insert derivation:
+    * clean files stream straight through; DV'd files anti-join the
+    * broadcast tombstones on (file, row_index), positions expanded on
+    * executors from descriptor-bounded bitmap bytes. */
+  private def maskedScan(spark: SparkSession,
+      hfs: org.apache.hadoop.fs.FileSystem, rootUri: String,
+      dataSchema: StructType, group: Seq[AddFile]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, element_at, split}
+    val (dirty, clean) = group.partition(_.deletionVector.nonEmpty)
+    val cleanDf =
+      if (clean.isEmpty) None
+      else Some(spark.read.schema(dataSchema).parquet(clean.map(_.path): _*))
+    val dirtyDf =
+      if (dirty.isEmpty) None
+      else {
+        import spark.implicits._
+        val blobs: Seq[(String, Array[Byte])] = dirty.map { a =>
+          val d = a.deletionVector.get
+          val bytes = d.storageType match {
+            case "u" => DeltaDv.readDvBlob(hfs, rootUri,
+              d.pathOrInlineDv, d.offset.getOrElse(1L), d.sizeInBytes)
+            case "p" => DeltaDv.readBlobAt(hfs,
+              new Path(d.pathOrInlineDv), d.offset.getOrElse(1L),
+              d.sizeInBytes)
+            case "i" => DeltaDv.decodeBase85(d.pathOrInlineDv,
+              d.sizeInBytes.toInt)
+            case other => throw new UnsupportedOperationException(
+              s"deletion vector storageType '$other' is not supported " +
+                "(u, p and i are)")
+          }
+          a.path.substring(a.path.lastIndexOf('/') + 1) -> bytes
+        }
+        val tomb = spark.createDataset(blobs)
+          .flatMap { case (f, bytes) =>
+            DeltaDv.deserializeBitmap(bytes).iterator.map(p => (f, p)) }
+          .toDF("_dv_file", "_dv_pos")
+        Some(spark.read.schema(dataSchema).parquet(dirty.map(_.path): _*)
+          .withColumn("_file",
+            element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("_pos", col("_metadata.row_index"))
+          .join(broadcast(tomb),
+            col("_file") === col("_dv_file") &&
+              col("_pos") === col("_dv_pos"),
+            "left_anti")
+          .drop("_file", "_pos"))
+      }
+    (cleanDf.toSeq ++ dirtyDf.toSeq).reduce(_ unionByName _)
+  }
+
   /** Read the table's state as a DataFrame with the log's declared
     * schema (partition columns included, typed per schema) — current,
     * or at `asOf` (VERSION AS OF). Files carrying deletion vectors
@@ -395,48 +445,8 @@ object DeltaImport {
     val dataSchema = StructType(
       snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
 
-    def scan(group: Seq[AddFile]): DataFrame = {
-      import org.apache.spark.sql.functions.{broadcast, element_at, split}
-      val (dirty, clean) = group.partition(_.deletionVector.nonEmpty)
-      val cleanDf =
-        if (clean.isEmpty) None
-        else Some(spark.read.schema(dataSchema).parquet(clean.map(_.path): _*))
-      val dirtyDf =
-        if (dirty.isEmpty) None
-        else {
-          import spark.implicits._
-          val blobs: Seq[(String, Array[Byte])] = dirty.map { a =>
-            val d = a.deletionVector.get
-            val bytes = d.storageType match {
-              case "u" => DeltaDv.readDvBlob(hfs, rootUri,
-                d.pathOrInlineDv, d.offset.getOrElse(1L), d.sizeInBytes)
-              case "p" => DeltaDv.readBlobAt(hfs,
-                new Path(d.pathOrInlineDv), d.offset.getOrElse(1L),
-                d.sizeInBytes)
-              case "i" => DeltaDv.decodeBase85(d.pathOrInlineDv,
-                d.sizeInBytes.toInt)
-              case other => throw new UnsupportedOperationException(
-                s"deletion vector storageType '$other' is not supported " +
-                  "(u, p and i are)")
-            }
-            a.path.substring(a.path.lastIndexOf('/') + 1) -> bytes
-          }
-          val tomb = spark.createDataset(blobs)
-            .flatMap { case (f, bytes) =>
-              DeltaDv.deserializeBitmap(bytes).iterator.map(p => (f, p)) }
-            .toDF("_dv_file", "_dv_pos")
-          Some(spark.read.schema(dataSchema).parquet(dirty.map(_.path): _*)
-            .withColumn("_file",
-              element_at(split(col("_metadata.file_path"), "/"), -1))
-            .withColumn("_pos", col("_metadata.row_index"))
-            .join(broadcast(tomb),
-              col("_file") === col("_dv_file") &&
-                col("_pos") === col("_dv_pos"),
-              "left_anti")
-            .drop("_file", "_pos"))
-        }
-      (cleanDf.toSeq ++ dirtyDf.toSeq).reduce(_ unionByName _)
-    }
+    def scan(group: Seq[AddFile]): DataFrame =
+      maskedScan(spark, hfs, rootUri, dataSchema, group)
 
     val out =
       if (snap.adds.isEmpty) {
@@ -467,5 +477,107 @@ object DeltaImport {
           .reduce(_ unionByName _)
       }
     out.select(snap.schema.map(f => col(f.name)).toSeq: _*)
+  }
+
+  /** CHANGE DATA FEED read — the row-level changes of Delta commits
+    * `[fromVersion, toVersion]` (default: through the head), as the
+    * table schema plus `_change_type` (insert | delete |
+    * update_preimage | update_postimage) and `_commit_version`,
+    * exactly delta-spark's `table_changes` shape:
+    *
+    *  - a commit carrying `cdc` actions serves its changes from those
+    *    `_change_data` files VERBATIM (the writer's word is the feed);
+    *  - a commit with only dataChange=true ADD actions (the initial
+    *    snapshot, plain appends) derives its inserts from the added
+    *    files through the DV-masked scan;
+    *  - a commit that REMOVES rows without change data cannot be
+    *    reconstructed (the removed bytes may be gone) and is REFUSED
+    *    with the remedy (sync with cdf=true), never guessed;
+    *  - dataChange=false churn (compaction re-adds) contributes
+    *    nothing, per the protocol.
+    */
+  def readChanges(spark: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val root = new Path(dir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = hfs.makeQualified(root).toString.stripSuffix("/")
+    val endSnap = snapshot(spark, dir, toVersion) // protocol gate + schema
+    val end = endSnap.version
+    require(fromVersion >= 0 && fromVersion <= end,
+      s"readChanges range [$fromVersion, $end] is empty or negative")
+    val dataSchema = StructType(endSnap.schema
+      .filterNot(f => endSnap.partitionColumns.contains(f.name)))
+    val changeSchema = StructType(dataSchema.fields :+
+      StructField("_change_type", org.apache.spark.sql.types.StringType))
+    val logDir = new Path(root, "_delta_log")
+
+    def resolve(raw: String): String = {
+      val p = java.net.URLDecoder.decode(raw,
+        StandardCharsets.UTF_8.name())
+      if (p.contains("://") || p.startsWith("/")) p else s"$rootUri/$p"
+    }
+
+    val frames = (fromVersion to end).flatMap { v =>
+      val p = new Path(logDir, f"$v%020d.json")
+      require(hfs.exists(p),
+        s"commit $v was vacuumed - the CDF range is unavailable below " +
+          "the retained log")
+      val in = hfs.open(p)
+      val lines =
+        try Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      var cdcPaths = List.empty[String]
+      var changeAdds = List.empty[AddFile]
+      var dataRemoves = 0
+      lines.filter(_.trim.nonEmpty).foreach { line =>
+        val j = JsonMethods.parse(line)
+        (j \ "cdc") match {
+          case JNothing => ()
+          case c => cdcPaths ::= resolve((c \ "path").extract[String])
+        }
+        (j \ "add") match {
+          case JNothing => ()
+          case a if (a \ "dataChange") == JBool(true) =>
+            val dv = (a \ "deletionVector") match {
+              case JNothing => None
+              case d => Some(DvDesc(
+                (d \ "storageType").extract[String],
+                (d \ "pathOrInlineDv").extract[String],
+                (d \ "offset").extractOpt[Long],
+                (d \ "sizeInBytes").extract[Long],
+                (d \ "cardinality").extract[Long]))
+            }
+            changeAdds ::= AddFile(resolve((a \ "path").extract[String]),
+              Map.empty, 0L, 0L, None, dv)
+          case _ => ()
+        }
+        (j \ "remove") match {
+          case JNothing => ()
+          case r if (r \ "dataChange") == JBool(true) => dataRemoves += 1
+          case _ => ()
+        }
+      }
+      if (cdcPaths.nonEmpty)
+        Some(spark.read.schema(changeSchema).parquet(cdcPaths.reverse: _*)
+          .withColumn("_commit_version", lit(v)))
+      else {
+        require(dataRemoves == 0,
+          s"commit $v removes rows but carries no change data - " +
+            "re-export it with syncDeltaLog(cdf = true) to get a feed")
+        if (changeAdds.isEmpty) None
+        else Some(
+          maskedScan(spark, hfs, rootUri, dataSchema, changeAdds.reverse)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)))
+      }
+    }
+    if (frames.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(changeSchema.fields :+
+          StructField("_commit_version", org.apache.spark.sql.types.LongType,
+            nullable = false)))
+    else frames.reduce(_ unionByName _)
   }
 }

@@ -476,6 +476,39 @@ object TxQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** DELTA CHANGE DATA FEED, end to end: the log is synced with
+    * `cdf = true`, so the commit carrying an upsert + merge-on-read
+    * delete also publishes `_change_data` files (graft's CDC
+    * vocabulary — insert | delete | update_preimage |
+    * update_postimage — IS Delta's) referenced by `cdc` actions, and
+    * [[graft.core.DeltaImport.readChanges]] serves the feed: commit 0
+    * derives inserts from its adds, commit 1 reads the change files
+    * verbatim. The per-change-type aggregate must equal DuckDB
+    * recomputing each class from raw parquet. */
+  def tx_delta_cdf(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val table = cached(s, dir, "orders", "deltacdf", 3L) { loc =>
+      new TxTable(s, loc, o.schema, Seq("o_orderkey"), numBuckets = 4)
+    } { tx =>
+      tx.append(o.filter(col("o_orderkey") % 2 === 0))      // tx v1
+      graft.core.DeltaExport.syncDeltaLog(s, tx, cdf = true) // commit 0
+      val upd = o.filter(col("o_orderkey") % 4 === 0 &&
+          col("o_orderstatus") === "O")
+        .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+      tx.upsert(upd)                                         // tx v2
+      tx.deleteWhereLight(col("o_orderstatus") === "F")      // tx v3
+      require(graft.core.DeltaExport
+        .syncDeltaLog(s, tx, cdf = true).isDefined,          // commit 1
+        "cdf sync found no diff after upsert+delete")
+    }
+    graft.core.DeltaImport.readChanges(s, table.dir, 0L)
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n"),
+        Qhelpers.msum(col("o_totalprice")).as("total"))
+      .orderBy("change_type")
+  }
+
   /** ICEBERG POSITION-DELETE round-trip: a snapshot with OUTSTANDING
     * merge-on-read deletion vectors exports as a v2 delete-carrying
     * metadata tree — the tombstones rewrite into a spec position-
@@ -1112,6 +1145,7 @@ object TxQueries {
     "tx_repair_read" -> (tx_repair_read _),
     "tx_delta_roundtrip" -> (tx_delta_roundtrip _),
     "tx_delta_dv_roundtrip" -> (tx_delta_dv_roundtrip _),
+    "tx_delta_cdf" -> (tx_delta_cdf _),
     "tx_branch_wap" -> (tx_branch_wap _),
     "tx_stream_evolve" -> (tx_stream_evolve _),
     "tx_iceberg_roundtrip" -> (tx_iceberg_roundtrip _),
@@ -1327,6 +1361,23 @@ object TxQueries {
          |FROM orders
          |GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
+    // the feed's classes recomputed from raw parquet: the even keys
+    // were the initial inserts; 'O'-status %4==0 keys updated (+10),
+    // carrying pre and post images; 'F'-status rows deleted
+    "tx_delta_cdf" ->
+      s"""WITH base AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+         |upd AS (SELECT * FROM base
+         |        WHERE o_orderkey % 4 = 0 AND o_orderstatus = 'O'),
+         |del AS (SELECT * FROM base WHERE o_orderstatus = 'F')
+         |SELECT 'delete' AS change_type, COUNT(*) AS n,
+         |       ${Qhelpers.sqlMsum("o_totalprice")} AS total FROM del
+         |UNION ALL SELECT 'insert', COUNT(*),
+         |       ${Qhelpers.sqlMsum("o_totalprice")} FROM base
+         |UNION ALL SELECT 'update_postimage', COUNT(*),
+         |       ${Qhelpers.sqlMsum("o_totalprice + 10")} FROM upd
+         |UNION ALL SELECT 'update_preimage', COUNT(*),
+         |       ${Qhelpers.sqlMsum("o_totalprice")} FROM upd
+         |ORDER BY change_type""".stripMargin,
     "tx_delta_dv_roundtrip" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n,
          |       ${Qhelpers.sqlMsum("o_totalprice")} AS total,

@@ -182,6 +182,77 @@ class DeltaExportSpec extends SparkSpec {
     assert(rows(graft.core.DeltaImport.read(spark, dir)) === rows(t.read))
   }
 
+  test("change data feed: cdc actions, derived inserts, honest refusals") {
+    val dir = tmpDir("deltax-cdf") + "/t"
+    val data = (1L to 20L).map(k => (k, k % 5L, k * 1.0)).toDF("k", "g", "v")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 2)
+    t.append(data)                                     // tx v1
+    DeltaExport.syncDeltaLog(spark, t, cdf = true)     // delta commit 0
+    val s0 = graft.core.DeltaImport.snapshot(spark, dir)
+    assert(s0.protocol.writerFeatures.contains("changeDataFeed"))
+    assert(s0.protocol.minReaderVersion === 1) // CDF alone: reader floor
+    val cfg0 = JsonMethods.parse(s0.metaRaw.get) \ "configuration"
+    assert((cfg0 \ "delta.enableChangeDataFeed") === JString("true"))
+    assert((cfg0 \ "graft.txVersion") === JString("1"))
+
+    t.upsert(Seq((4L, 4L, 104.0), (8L, 3L, 108.0)).toDF("k", "g", "v"))
+    t.deleteWhereLight(col("g") === 0L) // k ∈ {5,10,15,20}
+    assert(DeltaExport.syncDeltaLog(spark, t, cdf = true).isDefined)
+
+    val ch = graft.core.DeltaImport.readChanges(spark, dir, 0L)
+    assert(ch.columns.toSeq ===
+      Seq("k", "g", "v", "_change_type", "_commit_version"))
+    // commit 0: the initial snapshot derives inserts from its adds
+    val c0 = ch.filter(col("_commit_version") === 0L)
+    assert(c0.count() === 20L)
+    assert(c0.select("_change_type").distinct().head().getString(0) ===
+      "insert")
+    // commit 1: updates carry pre+post images, deletes the pre rows
+    val c1 = ch.filter(col("_commit_version") === 1L)
+      .collect().map(r => (r.getString(3), r.getLong(0), r.getDouble(2)))
+    assert(c1.count(_._1 == "update_preimage") === 2)
+    assert(c1.count(_._1 == "update_postimage") === 2)
+    assert(c1.filter(_._1 == "update_postimage").map(_._3).sorted.toSeq ===
+      Seq(104.0, 108.0))
+    assert(c1.filter(_._1 == "update_preimage").map(_._3).sorted.toSeq ===
+      Seq(4.0, 8.0))
+    assert(c1.filter(_._1 == "delete").map(_._2).sorted.toSeq ===
+      Seq(5L, 10L, 15L, 20L))
+    // replaying the feed reconstructs the table state
+    val byVersion = graft.core.DeltaImport.readChanges(spark, dir, 0L)
+      .collect().groupBy(_.getLong(4)).toSeq.sortBy(_._1)
+    var state = Map.empty[Long, (Long, Double)]
+    byVersion.foreach { case (_, rows2) =>
+      rows2.foreach { r =>
+        val (k, g, v, tp) =
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))
+        tp match {
+          case "insert" | "update_postimage" => state += k -> ((g, v))
+          case "delete"                      => state -= k
+          case "update_preimage"             => ()
+        }
+      }
+    }
+    assert(state === t.read.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap)
+
+    // a no-change sync stays a no-op even in cdf mode
+    assert(DeltaExport.syncDeltaLog(spark, t, cdf = true).isEmpty)
+
+    // a log synced WITHOUT cdf that removed rows refuses the feed
+    // with the remedy, never a guessed reconstruction
+    val dir2 = tmpDir("deltax-nocdf") + "/t"
+    val t2 = new TxTable(spark, dir2, data.schema, Seq("k"), numBuckets = 2)
+    t2.append(data)
+    DeltaExport.writeDeltaLog(spark, t2)
+    t2.deleteWhere(col("k") <= 5L)
+    assert(DeltaExport.syncDeltaLog(spark, t2).isDefined)
+    val e = intercept[IllegalArgumentException] {
+      graft.core.DeltaImport.readChanges(spark, dir2, 0L).count()
+    }
+    assert(e.getMessage.contains("cdf = true"))
+  }
+
   test("checkpoints carry DV descriptors and the features protocol") {
     val dir = tmpDir("deltax-dvcp") + "/t"
     val data = (1L to 16L).map(k => (k, k * 2.0)).toDF("k", "v")
