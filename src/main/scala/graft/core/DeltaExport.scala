@@ -158,9 +158,13 @@ object DeltaExport {
     }
 
   private def metaDataAction(schema: StructType, dvEnabled: Boolean,
-      cdfEnabled: Boolean = false, txVersion: Option[Long] = None): JObject =
+      cdfEnabled: Boolean = false, txVersion: Option[Long] = None,
+      tableId: Option[String] = None): JObject =
     JObject("metaData" -> JObject(
-      "id" -> JString(java.util.UUID.randomUUID().toString),
+      // the table id is STABLE across the log's life (stock streaming
+      // readers track it); only the very first metaData mints one
+      "id" -> JString(tableId.getOrElse(
+        java.util.UUID.randomUUID().toString)),
       "format" -> JObject("provider" -> JString("parquet"),
         "options" -> JObject()),
       // Delta's schemaString IS the Spark StructType JSON format
@@ -447,8 +451,12 @@ object DeltaExport {
     // WITHOUT cdf that turns it on mid-life starts its feed at this
     // commit (no watermark to diff from).
     val curTx = table.currentVersion
-    val prevTx: Option[Long] = logged.metaRaw.flatMap { raw =>
-      val j = JsonMethods.parse(raw)
+    val loggedMeta = logged.metaRaw.map(JsonMethods.parse(_))
+    val loggedId = loggedMeta.flatMap(j => (j \ "id") match {
+      case JString(id) => Some(id)
+      case _           => None
+    })
+    val prevTx: Option[Long] = loggedMeta.flatMap { j =>
       (j \ "configuration" \ "graft.txVersion") match {
         case JString(v) => scala.util.Try(v.toLong).toOption
         case _          => None
@@ -457,13 +465,18 @@ object DeltaExport {
     val cdcActions =
       if (!cdf) Nil
       else prevTx match {
-        case Some(p) if p < curTx => writeChangeData(spark, fs, table, p, curTx)
-        case _                    => Nil
+        case Some(p) if p < curTx =>
+          require(table.versions.contains(p),
+            s"CDF watermark v$p was vacuumed from ${table.dir} - the " +
+              "feed cannot diff from it; re-export the log or vacuum " +
+              "with a retention covering the sync cadence")
+          writeChangeData(spark, fs, table, p, curTx)
+        case _ => Nil
       }
     val meta =
       if (schemaChanged || upgrade.nonEmpty || cdf)
         Seq(metaDataAction(schema, nowHasDvs, cdf || hadCdf,
-          if (cdf) Some(curTx) else None))
+          if (cdf) Some(curTx) else None, loggedId))
       else Nil
     val removeActions = (removed ++ dvChanged).sorted.map { p =>
       JObject("remove" -> JObject(

@@ -193,6 +193,22 @@ object GraftTableFunctions {
     plan(tx.changes(fromV, toV))
   }
 
+  /** `graft_refs(tableDir)` — the named-ref ledger as SQL text: one
+    * row per tag (retention-pinning `VERSION AS OF '<ref>'` targets)
+    * and per branch (in-table write-audit-publish clones), with the
+    * version a tag pins. Metadata listings only. */
+  private def refs(exprs: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    val dir = str(exprs, 0, "table directory")
+    val tx = graft.core.TxTable.openReadOnly(spark, dir)
+    import spark.implicits._
+    val rows =
+      tx.tags.toSeq.sortBy(_._1).map { case (n, v) => ("tag", n, v) } ++
+        tx.branches.map(b => ("branch", b,
+          tx.branch(b).currentVersion))
+    plan(rows.toDF("kind", "name", "version"))
+  }
+
   private def tvf(name: String,
       builder: Seq[Expression] => LogicalPlan): (FunctionIdentifier,
       ExpressionInfo, Seq[Expression] => LogicalPlan) =
@@ -207,5 +223,6 @@ object GraftTableFunctions {
     e.injectTableFunction(tvf("graft_history", history))
     e.injectTableFunction(tvf("graft_files", files))
     e.injectTableFunction(tvf("graft_changes", changes))
+    e.injectTableFunction(tvf("graft_refs", refs))
   }
 }

@@ -124,4 +124,17 @@ class GraftRefsSpec extends SparkSpec {
     spark.sql(s"CALL graft.drop_tag('$dir', 'r1')").collect()
     assert(t.tags.isEmpty)
   }
+
+  test("graft_refs TVF lists tags and branches as SQL text") {
+    val dir = tmpDir("refs-tvf") + "/t"
+    val d = (1L to 4L).map(i => (i, i * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, d.schema, Seq("k"), numBuckets = 2)
+    t.append(d)
+    t.createTag("r1")
+    t.createBranch("wip")
+    val rows = spark.sql(s"SELECT * FROM graft_refs('$dir') ORDER BY kind")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq === Seq(
+      ("branch", "wip", 0L), ("tag", "r1", t.currentVersion)))
+  }
 }
