@@ -2456,6 +2456,70 @@ final class TxTable(
     ()
   }
 
+  /** RELOCATE the table directory — RENAME TABLE's physical half.
+    * Own files are manifest-referenced by BARE NAME (resolved against
+    * the live dir at read time) and the Delta log is table-relative
+    * by construction, so a directory rename is one atomic metadata
+    * operation — no manifest rewrite, no data movement, at any size.
+    *
+    * Refused (never silently broken) when state pins the CURRENT
+    * absolute path: a retained manifest entry referencing this dir
+    * absolutely (a published branch's files — compact() folds them
+    * into bare-name files, then vacuum retires the old manifests),
+    * live branches (their clones hold absolute back-references —
+    * publish or drop first), or an exported Iceberg metadata tree
+    * (absolute URIs per spec — remove `metadata/` and re-export after
+    * the move). Shallow clones of THIS table elsewhere keep absolute
+    * references to the OLD path — the standard clone caveat, same as
+    * vacuum's. Returns the relocated table. */
+  def relocateTo(newDir: String): TxTable = {
+    val f = fs
+    val dst = new Path(newDir)
+    require(!f.exists(dst), s"relocate target $newDir already exists")
+    require(branches.isEmpty,
+      s"$dir has live branches (${branches.mkString(", ")}) whose " +
+        "clones reference this path absolutely - publish or drop them " +
+        "before relocating")
+    require(!f.exists(new Path(dir, "metadata/version-hint.text")),
+      s"$dir carries an exported Iceberg metadata tree, whose URIs are " +
+        "absolute per spec - remove metadata/ and re-export after the " +
+        "relocate")
+    val rootUri = f.makeQualified(new Path(dir)).toString.stripSuffix("/")
+    // raw manifest scan: a stored path is self-pinning iff it was
+    // written ABSOLUTE and resolves under this directory (published
+    // branches do this; bare names and foreign refs are fine)
+    versions.foreach { v =>
+      val in = f.open(manifestPath(v))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
+        .foreach { line =>
+          val fields = line.split("\t", 4)
+          val raw = fields(1) +:
+            (if (fields.length == 4)
+              fields(3).split(";").filter(_.nonEmpty)
+                .map(r => r.take(r.lastIndexOf(':'))).toSeq
+            else Nil)
+          raw.foreach { p =>
+            val abs = p.startsWith("/") || p.contains(":/")
+            if (abs) {
+              val q = f.makeQualified(new Path(p)).toString
+              require(!q.startsWith(rootUri + "/"),
+                s"manifest v$v references $p - an ABSOLUTE path into " +
+                  "this directory (published branch files); run " +
+                  "compact() and vacuum the pre-compact versions, then " +
+                  "relocate")
+            }
+          }
+        }
+    }
+    Option(dst.getParent).foreach(f.mkdirs(_))
+    require(f.rename(new Path(dir), dst),
+      s"filesystem rename $dir -> $newDir failed")
+    new TxTable(spark, newDir, schema, keys, numBuckets, commitBudgetMs,
+      claimStalenessMs, bloomCols)
+  }
+
   /** Files referenced by the CURRENT version (manifest metadata — no
     * directory listing). */
   def dataFileCount: Int =

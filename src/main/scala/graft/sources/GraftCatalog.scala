@@ -33,9 +33,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * schema-evolution path). Creation and writes route through the
   * guarded commit protocol (the write bridge in
   * [[GraftWriteBuilder]]), so SQL pays the same CHECK admission,
-  * bucketing and CAS as the Scala API. RENAME stays refused with the
-  * Scala-API pointer. Catalog metadata ops are driver-side directory
-  * listings (cheap, object-store friendly); nothing reads data.
+  * bucketing and CAS as the Scala API. `RENAME TO` is one atomic
+  * directory rename (manifests are table-relative). Catalog metadata
+  * ops are driver-side directory listings (cheap, object-store
+  * friendly); nothing reads data.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
     with FunctionCatalog with StagingTableCatalog {
@@ -378,8 +379,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    readOnly("RENAME TABLE")
+  /** `ALTER TABLE … RENAME TO …` — one atomic directory rename:
+    * manifests reference own files by BARE NAME and the Delta log is
+    * table-relative, so relocation is metadata-only at any size
+    * (`TxTable.relocateTo` holds the honesty guards: live branches,
+    * published-branch absolute refs, exported Iceberg trees). */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val src = dirFor(oldIdent.namespace(), oldIdent.name())
+    if (!isLiveTableDir(src)) throw new NoSuchTableException(
+      (catalogName +: oldIdent.namespace().toSeq) :+ oldIdent.name())
+    val dst = dirFor(newIdent.namespace(), newIdent.name())
+    GraftDataSource.openForRead(SparkSession.active, src.toString)
+      .relocateTo(dst.toString)
+    ()
+  }
 
   // ---- functions: the bucket transform for storage-partitioned
   // joins (see GraftBucketFunction) ----

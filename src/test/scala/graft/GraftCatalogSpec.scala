@@ -10,7 +10,7 @@ import graft.core.TxTable
 class GraftCatalogSpec extends SparkSpec {
   import spark.implicits._
 
-  test("SQL by identifier across namespaces; DDL refused; errors honest") {
+  test("SQL by identifier across namespaces; RENAME TO relocates; errors honest") {
     val root = tmpDir("graft-cat")
     val sales = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
     val tSales = new TxTable(spark, s"$root/sales", sales.schema,
@@ -39,10 +39,31 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(missing.getMessage.toLowerCase.contains("nope"))
 
-    val ddl = intercept[Exception] {
-      spark.sql("ALTER TABLE lake.sales RENAME TO lake.sales2")
+    // RENAME TO: one atomic directory rename — data, history, tags
+    // and time travel all relocate (manifests are table-relative)
+    tSales.createTag("pre-rename")
+    spark.sql("ALTER TABLE lake.sales RENAME TO sales2")
+    assert(spark.sql("SELECT sum(v) AS s FROM lake.sales2")
+      .head().getDouble(0) === 60.0)
+    assert(spark.sql("SELECT count(*) FROM lake.sales2 " +
+      "VERSION AS OF 'pre-rename'").head().getLong(0) === 3L)
+    val gone = intercept[Exception] {
+      spark.sql("SELECT * FROM lake.sales").collect()
     }
-    assert(allMessages(ddl).contains("destructive DDL"))
+    assert(gone.getMessage.toLowerCase.contains("sales"))
+    // across namespaces too, and the old identifier stays free
+    spark.sql("ALTER TABLE lake.sales2 RENAME TO raw.sales3")
+    assert(spark.sql("SELECT count(*) FROM lake.raw.sales3")
+      .head().getLong(0) === 3L)
+    // a live branch pins the path: rename refuses with the remedy
+    val t3 = graft.core.TxTable.openReadOnly(spark, s"$root/raw/sales3",
+      requireDescriptor = true)
+    t3.createBranch("wip")
+    val pinned = intercept[Exception] {
+      spark.sql("ALTER TABLE lake.raw.sales3 RENAME TO sales4")
+    }
+    assert(allMessages(pinned).contains("branch"))
+    t3.dropBranch("wip")
   }
 
   private def allMessages(e: Throwable): String =
