@@ -137,16 +137,20 @@ object DeltaExport {
 
   /** Lowest protocol expressing the snapshot's content: DVs are a
     * reader+writer feature (the bytes must be masked), CDF a
-    * writer-only feature (plain reads don't need it). */
-  private def protocolAction(withDvs: Boolean,
-      withCdf: Boolean = false): JObject =
+    * writer-only feature (plain reads don't need it), CHECK
+    * constraints the legacy writer-3 floor alone (or the
+    * checkConstraints feature when features mode is already on). */
+  private def protocolAction(withDvs: Boolean, withCdf: Boolean = false,
+      withChecks: Boolean = false): JObject =
     if (!withDvs && !withCdf)
       JObject("protocol" -> JObject(
-        "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))
+        "minReaderVersion" -> JInt(1),
+        "minWriterVersion" -> JInt(if (withChecks) 3 else 2)))
     else {
       val rf = if (withDvs) List(JString("deletionVectors")) else Nil
       val wf = (if (withDvs) List(JString("deletionVectors")) else Nil) ++
-        (if (withCdf) List(JString("changeDataFeed")) else Nil)
+        (if (withCdf) List(JString("changeDataFeed")) else Nil) ++
+        (if (withChecks) List(JString("checkConstraints")) else Nil)
       val reader =
         if (withDvs)
           List("minReaderVersion" -> (JInt(3): JValue),
@@ -159,7 +163,8 @@ object DeltaExport {
 
   private def metaDataAction(schema: StructType, dvEnabled: Boolean,
       cdfEnabled: Boolean = false, txVersion: Option[Long] = None,
-      tableId: Option[String] = None): JObject =
+      tableId: Option[String] = None,
+      checks: Map[String, String] = Map.empty): JObject =
     JObject("metaData" -> JObject(
       // the table id is STABLE across the log's life (stock streaming
       // readers track it); only the very first metaData mints one
@@ -181,7 +186,12 @@ object DeltaExport {
           List("delta.enableChangeDataFeed" -> (JString("true"): JValue))
         else Nil) ++
         txVersion.map(v =>
-          "graft.txVersion" -> (JString(v.toString): JValue)).toList),
+          "graft.txVersion" -> (JString(v.toString): JValue)).toList ++
+        // graft CHECK constraints as Delta's own (delta.constraints.*)
+        // so a stock writer enforces exactly what this engine does —
+        // the predicates are plain SQL on both sides
+        checks.toList.sortBy(_._1).map { case (n, p) =>
+          s"delta.constraints.$n" -> (JString(p): JValue) }),
       "createdTime" -> JLong(System.currentTimeMillis())))
 
   private def writeCommit(fs: FileSystem, tableDir: String, version: Long,
@@ -253,10 +263,12 @@ object DeltaExport {
       }
     val adds = files.map(_._1).sortBy(_.path).map(f =>
       addAction(fs, rootUri, schema, dvSlots.get(basename(f.path)))(f))
+    val checks = table.checkConstraints
     writeCommit(fs, table.dir, 0L,
-      protocolAction(dirty.nonEmpty, cdf) +:
+      protocolAction(dirty.nonEmpty, cdf, checks.nonEmpty) +:
         metaDataAction(schema, dirty.nonEmpty, cdf,
-          if (cdf) Some(table.currentVersion) else None) +: adds)
+          if (cdf) Some(table.currentVersion) else None,
+          checks = checks) +: adds)
   }
 
   /** The net row-level diff `table.changes(fromTx, toTx)` as Delta
@@ -427,8 +439,22 @@ object DeltaExport {
     val dvChanged = (current.keySet & loggedDvCard.keySet).toSeq.sorted
       .filter(p => current(p)._1.dvRows != loggedDvCard(p))
     val schemaChanged = logged.schema.json != schema.json
+    // constraint drift: the logged delta.constraints.* map vs the
+    // table's live CHECK set — a pure addCheckConstraint/drop between
+    // syncs must still reach stock writers
+    val checks = table.checkConstraints
+    val loggedChecks: Map[String, String] = logged.metaRaw.map { raw =>
+      JsonMethods.parse(raw) \ "configuration" match {
+        case JObject(kvs) => kvs.collect {
+          case (k, JString(v)) if k.startsWith("delta.constraints.") =>
+            k.stripPrefix("delta.constraints.") -> v
+        }.toMap
+        case _ => Map.empty[String, String]
+      }
+    }.getOrElse(Map.empty)
+    val checksChanged = checks != loggedChecks
     if (removed.isEmpty && added.isEmpty && dvChanged.isEmpty &&
-      !schemaChanged) return None
+      !schemaChanged && !checksChanged) return None
 
     val readds = (added ++ dvChanged).sorted.map(current)
     val dirty = readds.filter(_._1.dvRows > 0L)
@@ -442,8 +468,9 @@ object DeltaExport {
     val hadCdf = logged.protocol.writerFeatures.contains("changeDataFeed")
     val upgrade =
       if ((logged.protocol.minReaderVersion < 3 && nowHasDvs) ||
-        (cdf && !hadCdf))
-        Seq(protocolAction(nowHasDvs, cdf || hadCdf))
+        (cdf && !hadCdf) ||
+        (checks.nonEmpty && logged.protocol.minWriterVersion < 3))
+        Seq(protocolAction(nowHasDvs, cdf || hadCdf, checks.nonEmpty))
       else Nil
     // CDF: the diff between the logged TxTable version (metaData
     // configuration graft.txVersion — checkpoint-durable) and the
@@ -474,9 +501,9 @@ object DeltaExport {
         case _ => Nil
       }
     val meta =
-      if (schemaChanged || upgrade.nonEmpty || cdf)
+      if (schemaChanged || upgrade.nonEmpty || cdf || checksChanged)
         Seq(metaDataAction(schema, nowHasDvs, cdf || hadCdf,
-          if (cdf) Some(curTx) else None, loggedId))
+          if (cdf) Some(curTx) else None, loggedId, checks))
       else Nil
     val removeActions = (removed ++ dvChanged).sorted.map { p =>
       JObject("remove" -> JObject(

@@ -151,6 +151,14 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
         // first publish writes the full log; later calls append diffs
         val v = graft.core.DeltaExport.syncDeltaLog(spark, tx)
         report(tx, "delta_commit" -> v.map(_.toString).getOrElse("no-op"))
+      case "relocate" =>
+        // RENAME TO for path-addressed tables: one atomic directory
+        // rename (manifests are table-relative); the same honesty
+        // guards as the catalog verb (TxTable.relocateTo)
+        val tx = open(spark, arg(0, "source table"))
+        val dst = resolveDir(spark, arg(1, "destination"))
+        val moved = tx.relocateTo(dst)
+        report(moved, "from" -> tx.dir)
       case "rebucket" =>
         val tx = open(spark, arg(0, "source table"))
         val dstDir = resolveDir(spark, arg(1, "destination table"))
@@ -163,9 +171,9 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
         report(tx, "metadata" -> p)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure graft.$other - available: compact, zorder, " +
-          "materialize_deletes, vacuum, undrop, restore, rebucket, " +
-          "export_delta, export_iceberg, tag, drop_tag, branch, " +
-          "publish, drop_branch")
+          "materialize_deletes, vacuum, undrop, restore, relocate, " +
+          "rebucket, export_delta, export_iceberg, tag, drop_tag, " +
+          "branch, publish, drop_branch")
     }
   }
 }

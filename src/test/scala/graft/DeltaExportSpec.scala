@@ -253,6 +253,40 @@ class DeltaExportSpec extends SparkSpec {
     assert(e.getMessage.contains("cdf = true"))
   }
 
+  test("CHECK constraints export as delta.constraints.*; log survives rename") {
+    val dir0 = tmpDir("deltax-checks") + "/t"
+    val data = (1L to 10L).map(i => (i, i * 2.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir0, data.schema, Seq("k"), numBuckets = 2)
+    t.append(data)
+    t.addCheckConstraint("v_pos", "v >= 0")
+    DeltaExport.writeDeltaLog(spark, t)
+    val s0 = graft.core.DeltaImport.snapshot(spark, dir0)
+    // legacy writer-3 floor carries constraints without features mode
+    assert(s0.protocol.minReaderVersion === 1)
+    assert(s0.protocol.minWriterVersion === 3)
+    val cfg = JsonMethods.parse(s0.metaRaw.get) \ "configuration"
+    assert((cfg \ "delta.constraints.v_pos") === JString("v >= 0"))
+
+    // constraint drift alone forces a metaData refresh on sync
+    t.addCheckConstraint("v_cap", "v <= 1000")
+    assert(DeltaExport.syncDeltaLog(spark, t).isDefined)
+    val s1 = graft.core.DeltaImport.snapshot(spark, dir0)
+    val cfg1 = JsonMethods.parse(s1.metaRaw.get) \ "configuration"
+    assert((cfg1 \ "delta.constraints.v_cap") === JString("v <= 1000"))
+    assert((cfg1 \ "delta.constraints.v_pos") === JString("v >= 0"))
+    assert(DeltaExport.syncDeltaLog(spark, t).isEmpty) // then a no-op
+
+    // the log is table-relative: a directory relocation keeps it
+    // fully readable and syncable at the new path
+    val dir1 = tmpDir("deltax-checks-moved") + "/t"
+    val moved = t.relocateTo(dir1)
+    assert(rows(graft.core.DeltaImport.read(spark, dir1)) ===
+      rows(moved.read))
+    moved.append(Seq((11L, 5.0)).toDF("k", "v"))
+    assert(DeltaExport.syncDeltaLog(spark, moved).isDefined)
+    assert(graft.core.DeltaImport.read(spark, dir1).count() === 11L)
+  }
+
   test("checkpoints carry DV descriptors and the features protocol") {
     val dir = tmpDir("deltax-dvcp") + "/t"
     val data = (1L to 16L).map(k => (k, k * 2.0)).toDF("k", "v")
