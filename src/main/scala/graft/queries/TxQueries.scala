@@ -476,6 +476,33 @@ object TxQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** RELOCATION (RENAME TABLE's physical half), end to end: the table
+    * is BUILT at a scratch path and [[graft.core.TxTable.relocateTo]]d
+    * to its final directory — one atomic filesystem rename, no
+    * manifest rewrite (own files are manifest-referenced by bare
+    * name). The post-move aggregate must equal DuckDB over raw
+    * parquet: nothing about the rows depended on the absolute path. */
+  def tx_relocate_read(s: SparkSession, dir: String): DataFrame = {
+    val su = t(s, dir, "supplier")
+      .select("s_suppkey", "s_nationkey", "s_acctbal")
+    val table = cached(s, dir, "supplier", "reloc", 1L) { loc =>
+      new TxTable(s, loc, su.schema, Seq("s_suppkey"), numBuckets = 4)
+    } { tx =>
+      val pre = tx.dir + "-pre"
+      rmTree(new java.io.File(pre))
+      val t0 = new TxTable(s, pre, su.schema, Seq("s_suppkey"),
+        numBuckets = 4)
+      t0.append(su)       // v0 create + v1 append at the scratch path
+      t0.relocateTo(tx.dir) // one rename; history travels
+    }
+    table.read
+      .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n"),
+        Qhelpers.msum(col("s_acctbal")).as("bal"),
+        min("s_suppkey").as("min_supp"))
+      .orderBy("nationkey")
+  }
+
   /** DELTA CHANGE DATA FEED, end to end: the log is synced with
     * `cdf = true`, so the commit carrying an upsert + merge-on-read
     * delete also publishes `_change_data` files (graft's CDC
@@ -1146,6 +1173,7 @@ object TxQueries {
     "tx_delta_roundtrip" -> (tx_delta_roundtrip _),
     "tx_delta_dv_roundtrip" -> (tx_delta_dv_roundtrip _),
     "tx_delta_cdf" -> (tx_delta_cdf _),
+    "tx_relocate_read" -> (tx_relocate_read _),
     "tx_branch_wap" -> (tx_branch_wap _),
     "tx_stream_evolve" -> (tx_stream_evolve _),
     "tx_iceberg_roundtrip" -> (tx_iceberg_roundtrip _),
@@ -1361,6 +1389,14 @@ object TxQueries {
          |FROM orders
          |GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
+    // relocation is path-only: the aggregate equals raw supplier
+    "tx_relocate_read" ->
+      s"""SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+         |       COUNT(*) AS n,
+         |       ${Qhelpers.sqlMsum("s_acctbal")} AS bal,
+         |       MIN(s_suppkey) AS min_supp
+         |FROM supplier
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the feed's classes recomputed from raw parquet: the even keys
     // were the initial inserts; 'O'-status %4==0 keys updated (+10),
     // carrying pre and post images; 'F'-status rows deleted
