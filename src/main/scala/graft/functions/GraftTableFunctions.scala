@@ -209,6 +209,20 @@ object GraftTableFunctions {
     plan(rows.toDF("kind", "name", "version"))
   }
 
+  /** `graft_delta_changes(tableDir, fromVersion[, toVersion])` — the
+    * exported Delta log's Change Data Feed as SQL text
+    * ([[graft.core.DeltaImport.readChanges]]): delta-spark's
+    * `table_changes` shape over the interop surface, so a SQL user
+    * consumes the feed without the Scala API. */
+  private def deltaChanges(exprs: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    val dir = str(exprs, 0, "table directory")
+    val fromV = int(exprs, 1, "from delta version").toLong
+    val toV = if (exprs.length > 2)
+      Some(int(exprs, 2, "to delta version").toLong) else None
+    plan(graft.core.DeltaImport.readChanges(spark, dir, fromV, toV))
+  }
+
   private def tvf(name: String,
       builder: Seq[Expression] => LogicalPlan): (FunctionIdentifier,
       ExpressionInfo, Seq[Expression] => LogicalPlan) =
@@ -224,5 +238,6 @@ object GraftTableFunctions {
     e.injectTableFunction(tvf("graft_files", files))
     e.injectTableFunction(tvf("graft_changes", changes))
     e.injectTableFunction(tvf("graft_refs", refs))
+    e.injectTableFunction(tvf("graft_delta_changes", deltaChanges))
   }
 }

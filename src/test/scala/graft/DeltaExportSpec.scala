@@ -239,6 +239,14 @@ class DeltaExportSpec extends SparkSpec {
     // a no-change sync stays a no-op even in cdf mode
     assert(DeltaExport.syncDeltaLog(spark, t, cdf = true).isEmpty)
 
+    // the same feed as SQL text through the TVF
+    val sqlFeed = spark.sql(
+      s"SELECT _change_type, count(*) AS n FROM " +
+        s"graft_delta_changes('$dir', 1) GROUP BY 1 ORDER BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sqlFeed === Map("delete" -> 4L,
+      "update_preimage" -> 2L, "update_postimage" -> 2L))
+
     // a log synced WITHOUT cdf that removed rows refuses the feed
     // with the remedy, never a guessed reconstruction
     val dir2 = tmpDir("deltax-nocdf") + "/t"
