@@ -453,8 +453,13 @@ object DeltaExport {
       }
     }.getOrElse(Map.empty)
     val checksChanged = checks != loggedChecks
+    // enabling CDF on an up-to-date log must still commit — the
+    // protocol upgrade and the txVersion watermark are the feed's
+    // starting point; a silent no-op would defer them indefinitely
+    val enablingCdf =
+      cdf && !logged.protocol.writerFeatures.contains("changeDataFeed")
     if (removed.isEmpty && added.isEmpty && dvChanged.isEmpty &&
-      !schemaChanged && !checksChanged) return None
+      !schemaChanged && !checksChanged && !enablingCdf) return None
 
     val readds = (added ++ dvChanged).sorted.map(current)
     val dirty = readds.filter(_._1.dvRows > 0L)

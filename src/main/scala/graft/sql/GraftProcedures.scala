@@ -148,8 +148,10 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
         report(tx, "restored_version" -> v.toString)
       case "export_delta" =>
         val tx = open(spark, arg(0, "table directory"))
-        // first publish writes the full log; later calls append diffs
-        val v = graft.core.DeltaExport.syncDeltaLog(spark, tx)
+        // first publish writes the full log; later calls append diffs;
+        // an optional 'cdf' flag publishes the Change Data Feed too
+        val cdf = args.length > 1 && arg(1, "mode").equalsIgnoreCase("cdf")
+        val v = graft.core.DeltaExport.syncDeltaLog(spark, tx, cdf = cdf)
         report(tx, "delta_commit" -> v.map(_.toString).getOrElse("no-op"))
       case "relocate" =>
         // RENAME TO for path-addressed tables: one atomic directory

@@ -130,6 +130,39 @@ class GraftConcurrencySpec extends SparkSpec {
     assert(t.latestMeta("slot") === Some("s1"))
   }
 
+  test("publishBranch races a main writer: serializable, never partial") {
+    val dir = tmpDir("conc-wap") + "/t"
+    val schema = Seq((0L, 0L)).toDF("k", "v").schema
+    val t0 = new TxTable(spark, dir, schema, Seq("k"), numBuckets = 2)
+    t0.append((1L to 20L).map(k => (k, 0L)).toDF("k", "v"))
+    val b = t0.createBranch("race")
+    b.append((100L to 109L).map(k => (k, 1L)).toDF("k", "v"))
+
+    val publishOk = new java.util.concurrent.atomic.AtomicBoolean(false)
+    race(2) { w =>
+      val t = openWriter(dir, schema)
+      if (w == 0) {
+        try { t.publishBranch("race"); publishOk.set(true) }
+        catch { case _: IllegalArgumentException | _: TxTable.CommitConflict =>
+          () } // CAS refusal is a legal outcome
+      } else {
+        t.append((200L to 204L).map(k => (k, 2L)).toDF("k", "v"))
+      }
+    }
+    val t = openWriter(dir, schema)
+    val n = t.read.count()
+    // the appender ALWAYS lands (it rebases); the publish lands only
+    // if its CAS won - and then the state holds base+branch+append.
+    // Nothing in between, nothing lost, never a partial flip.
+    if (publishOk.get) assert(n === 20L + 10L + 5L)
+    else {
+      assert(n === 20L + 5L)
+      assert(t.read.filter(col("k") >= 100L && col("k") <= 109L)
+        .count() === 0L, "a refused publish must leak nothing")
+    }
+    assert(t.read.filter(col("v") === 2L).count() === 5L)
+  }
+
   test("append/delete/upsert mixed race: row accounting stays exact") {
     val dir = tmpDir("conc-mixed") + "/t"
     val schema = Seq((0L, 0L)).toDF("k", "v").schema

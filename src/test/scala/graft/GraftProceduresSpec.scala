@@ -84,6 +84,16 @@ class GraftProceduresSpec extends SparkSpec {
     assert(t.isDropped)
     spark.sql(s"CALL graft.undrop('$dir')").collect()
     assert(!t.isDropped)
+
+    // the cdf flag: the enable commit records the feed watermark even
+    // with nothing else to sync; the NEXT sync carries the changes
+    spark.sql(s"CALL graft.export_delta('$dir', 'cdf')").collect()
+    t.deleteWhereLight(col("k") > 195L)
+    spark.sql(s"CALL graft.export_delta('$dir', 'cdf')").collect()
+    val feed = spark.sql(
+      s"SELECT _change_type, count(*) FROM graft_delta_changes('$dir', 2) " +
+        "GROUP BY 1").collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(feed.toMap === Map("delete" -> 5L))
   }
 
   test("CALL graft.restore rolls back to a prior version through SQL") {
