@@ -125,6 +125,23 @@ class GraftRefsSpec extends SparkSpec {
     assert(t.tags.isEmpty)
   }
 
+  test("publish carries a branch's schema evolution onto main") {
+    val dir = tmpDir("refs-evo") + "/t"
+    val d = (1L to 6L).map(i => (i, i * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, d.schema, Seq("k"), numBuckets = 2)
+    t.append(d)
+    val b = t.createBranch("widen")
+    b.appendEvolving(Seq((7L, 7.0, "x")).toDF("k", "v", "tag"))
+    // main stays narrow until the flip
+    assert(t.read.columns.toSeq === Seq("k", "v"))
+    t.publishBranch("widen")
+    assert(t.currentSchema.fieldNames.toSeq === Seq("k", "v", "tag"))
+    val rows = t.read.orderBy("k").collect()
+    assert(rows.length === 7)
+    assert(rows.last.getString(2) === "x")
+    assert(rows.head.isNullAt(2)) // pre-evolution rows null-fill
+  }
+
   test("graft_refs TVF lists tags and branches as SQL text") {
     val dir = tmpDir("refs-tvf") + "/t"
     val d = (1L to 4L).map(i => (i, i * 1.0)).toDF("k", "v")
