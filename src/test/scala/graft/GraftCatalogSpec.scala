@@ -383,6 +383,14 @@ class GraftCatalogSpec extends SparkSpec {
     assert(rows.map(_.getDouble(2)).toSeq === Seq(1.5, 2.5, 3.25))
     assert(spark.table("wd.t").schema("n").dataType ===
       org.apache.spark.sql.types.LongType)
+    // metadata-only aggregate pushdown stays type-consistent across
+    // the widen: old (int-written) files' extrema and new (long)
+    // files' extrema fold under the widened schema
+    val agg = spark.sql("SELECT count(*) AS c, min(n) AS mn, max(n) AS mx " +
+      "FROM wd.t").head()
+    assert((agg.getLong(0), agg.getLong(1), agg.getLong(2)) ===
+      ((3L, 10L, 3000000000L)))
+
     // narrowing refuses (Spark's own analyzer catches the downcast
     // before the catalog; either refusal is honest)
     val nar = intercept[Exception] {
