@@ -479,6 +479,92 @@ object DeltaImport {
     out.select(snap.schema.map(f => col(f.name)).toSeq: _*)
   }
 
+  /** Newest delta version with a JSON commit — ONE directory listing
+    * (offset resolution for the streaming CDF source; checkpoints
+    * don't matter here because a feed needs the JSON commits). */
+  private[graft] def latestLogVersion(spark: SparkSession,
+      dir: String): Long = {
+    val root = new Path(dir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(root, "_delta_log")
+    require(hfs.exists(logDir), s"$dir has no _delta_log - not a Delta table")
+    val commitRe = "(\\d{20})\\.json".r
+    hfs.listStatus(logDir).toSeq.flatMap(st => st.getPath.getName match {
+      case commitRe(v) => Some(v.toLong)
+      case _           => None
+    }).maxOption.getOrElse(throw new IllegalArgumentException(
+      s"$dir/_delta_log holds no JSON commits"))
+  }
+
+  /** One commit's CDF file plan: (cdc change files, clean add files
+    * to derive inserts from) — the shared contract of [[readChanges]]
+    * and the STREAMING CDF source. Refusals are the honest ones:
+    * row-removals without change data cannot be reconstructed, and
+    * (when `allowDvAdds` is false — the streaming case, whose
+    * file-partition readers cannot mask protocol bitmaps) neither can
+    * DV-carrying adds. */
+  private[graft] def commitChangePlan(spark: SparkSession, dir: String,
+      v: Long, allowDvAdds: Boolean): (Seq[String], Seq[AddFile]) = {
+    val root = new Path(dir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = hfs.makeQualified(root).toString.stripSuffix("/")
+    val p = new Path(new Path(root, "_delta_log"), f"$v%020d.json")
+    require(hfs.exists(p),
+      s"delta commit $v of $dir is missing (vacuumed?) - the CDF " +
+        "range is unavailable below the retained log")
+    def resolve(raw: String): String = {
+      val d = java.net.URLDecoder.decode(raw, StandardCharsets.UTF_8.name())
+      if (d.contains("://") || d.startsWith("/")) d else s"$rootUri/$d"
+    }
+    val in = hfs.open(p)
+    val lines =
+      try Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    var cdcPaths = List.empty[String]
+    var changeAdds = List.empty[AddFile]
+    var dataRemoves = 0
+    lines.filter(_.trim.nonEmpty).foreach { line =>
+      val j = JsonMethods.parse(line)
+      (j \ "cdc") match {
+        case JNothing => ()
+        case c => cdcPaths ::= resolve((c \ "path").extract[String])
+      }
+      (j \ "add") match {
+        case JNothing => ()
+        case a if (a \ "dataChange") == JBool(true) =>
+          val dv = (a \ "deletionVector") match {
+            case JNothing => None
+            case d => Some(DvDesc(
+              (d \ "storageType").extract[String],
+              (d \ "pathOrInlineDv").extract[String],
+              (d \ "offset").extractOpt[Long],
+              (d \ "sizeInBytes").extract[Long],
+              (d \ "cardinality").extract[Long]))
+          }
+          changeAdds ::= AddFile(resolve((a \ "path").extract[String]),
+            Map.empty, 0L, 0L, None, dv)
+        case _ => ()
+      }
+      (j \ "remove") match {
+        case JNothing => ()
+        case r if (r \ "dataChange") == JBool(true) => dataRemoves += 1
+        case _ => ()
+      }
+    }
+    if (cdcPaths.nonEmpty) (cdcPaths.reverse, Nil)
+    else {
+      require(dataRemoves == 0,
+        s"commit $v removes rows but carries no change data - " +
+          "re-export it with syncDeltaLog(cdf = true) to get a feed")
+      require(allowDvAdds || changeAdds.forall(_.deletionVector.isEmpty),
+        s"commit $v adds deletion-vector-carrying files and no change " +
+          "data - the streaming CDF reader cannot mask protocol " +
+          "bitmaps per file; start from a cdf-synced version or use " +
+          "DeltaImport.readChanges")
+      (Nil, changeAdds.reverse)
+    }
+  }
+
   /** CHANGE DATA FEED read — the row-level changes of Delta commits
     * `[fromVersion, toVersion]` (default: through the head), as the
     * table schema plus `_change_type` (insert | delete |
@@ -510,67 +596,17 @@ object DeltaImport {
       .filterNot(f => endSnap.partitionColumns.contains(f.name)))
     val changeSchema = StructType(dataSchema.fields :+
       StructField("_change_type", org.apache.spark.sql.types.StringType))
-    val logDir = new Path(root, "_delta_log")
-
-    def resolve(raw: String): String = {
-      val p = java.net.URLDecoder.decode(raw,
-        StandardCharsets.UTF_8.name())
-      if (p.contains("://") || p.startsWith("/")) p else s"$rootUri/$p"
-    }
-
     val frames = (fromVersion to end).flatMap { v =>
-      val p = new Path(logDir, f"$v%020d.json")
-      require(hfs.exists(p),
-        s"commit $v was vacuumed - the CDF range is unavailable below " +
-          "the retained log")
-      val in = hfs.open(p)
-      val lines =
-        try Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      var cdcPaths = List.empty[String]
-      var changeAdds = List.empty[AddFile]
-      var dataRemoves = 0
-      lines.filter(_.trim.nonEmpty).foreach { line =>
-        val j = JsonMethods.parse(line)
-        (j \ "cdc") match {
-          case JNothing => ()
-          case c => cdcPaths ::= resolve((c \ "path").extract[String])
-        }
-        (j \ "add") match {
-          case JNothing => ()
-          case a if (a \ "dataChange") == JBool(true) =>
-            val dv = (a \ "deletionVector") match {
-              case JNothing => None
-              case d => Some(DvDesc(
-                (d \ "storageType").extract[String],
-                (d \ "pathOrInlineDv").extract[String],
-                (d \ "offset").extractOpt[Long],
-                (d \ "sizeInBytes").extract[Long],
-                (d \ "cardinality").extract[Long]))
-            }
-            changeAdds ::= AddFile(resolve((a \ "path").extract[String]),
-              Map.empty, 0L, 0L, None, dv)
-          case _ => ()
-        }
-        (j \ "remove") match {
-          case JNothing => ()
-          case r if (r \ "dataChange") == JBool(true) => dataRemoves += 1
-          case _ => ()
-        }
-      }
+      val (cdcPaths, changeAdds) =
+        commitChangePlan(spark, dir, v, allowDvAdds = true)
       if (cdcPaths.nonEmpty)
-        Some(spark.read.schema(changeSchema).parquet(cdcPaths.reverse: _*)
+        Some(spark.read.schema(changeSchema).parquet(cdcPaths: _*)
           .withColumn("_commit_version", lit(v)))
-      else {
-        require(dataRemoves == 0,
-          s"commit $v removes rows but carries no change data - " +
-            "re-export it with syncDeltaLog(cdf = true) to get a feed")
-        if (changeAdds.isEmpty) None
-        else Some(
-          maskedScan(spark, hfs, rootUri, dataSchema, changeAdds.reverse)
-            .withColumn("_change_type", lit("insert"))
-            .withColumn("_commit_version", lit(v)))
-      }
+      else if (changeAdds.isEmpty) None
+      else Some(
+        maskedScan(spark, hfs, rootUri, dataSchema, changeAdds)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v)))
     }
     if (frames.isEmpty)
       spark.createDataFrame(

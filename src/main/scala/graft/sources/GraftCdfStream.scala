@@ -1,0 +1,171 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.DeltaImport
+
+/** STREAMING CHANGE DATA FEED —
+  * `spark.readStream.format("graft").option("readChangeFeed", "true")
+  * .load(dir)`: consume the row-level changes of a cdf-exported Delta
+  * log as a stream, delta-spark's `readChangeFeed` analog with zero
+  * Delta jars. This is the streaming REMEDY the append-tail source
+  * names when a table mutates: instead of failing on a delete/upsert
+  * commit, a pipeline that needs retractions subscribes to the feed
+  * the `syncDeltaLog(cdf = true)` exporter precomputes.
+  *
+  *  - Offsets are DELTA VERSIONS (replayable, totally ordered,
+  *    exactly-once by construction, same contract as the tail
+  *    source's TxTable versions).
+  *  - Each commit in a batch serves either its `cdc` change files
+  *    VERBATIM (the writer's word is the feed) or, for add-only
+  *    commits (the initial snapshot, plain appends), the added files
+  *    as `_change_type = 'insert'`. Rows carry `_change_type` and
+  *    `_commit_version`, the `table_changes` shape.
+  *  - HONESTY GUARDS (refusals, never wrong rows): commits that
+  *    removed rows without change data, and DV-carrying add-derived
+  *    commits (a file-partition reader cannot mask protocol bitmaps)
+  *    — `DeltaImport.readChanges` or a cdf-synced starting point are
+  *    the remedies.
+  *  - `startingVersion` option: begin at an older delta version (its
+  *    SUCCESSOR is the first batch); default −1 = the full feed from
+  *    commit 0. Schema is pinned at stream construction (the
+  *    Structured Streaming contract).
+  *
+  * Scale shape: offset resolution is one log-directory listing,
+  * per-commit planning one JSON parse (driver metadata); each batch
+  * fans out one partition per change file through the same row reader
+  * the provider uses.
+  */
+final class GraftCdfTable(dir: String) extends Table with SupportsRead {
+  private val spark = SparkSession.active
+  private[sources] val dataSchema: StructType = {
+    val snap = DeltaImport.snapshot(spark, dir)
+    StructType(snap.schema.filterNot(f =>
+      snap.partitionColumns.contains(f.name)))
+  }
+  private val fullSchema = StructType(dataSchema.fields ++ Seq(
+    StructField("_change_type", StringType, nullable = true),
+    StructField("_commit_version", LongType, nullable = false)))
+
+  override def name(): String = s"graft-cdf:`$dir`"
+  override def schema(): StructType = fullSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new Scan {
+      override def readSchema(): StructType = fullSchema
+      override def toMicroBatchStream(checkpointLocation: String)
+          : MicroBatchStream =
+        new GraftCdfMicroBatchStream(dir, dataSchema,
+          Option(options.get("startingVersion")).map(_.toLong))
+      override def description(): String = s"GraftCdfScan $dir"
+    }
+  }
+}
+
+final class GraftCdfMicroBatchStream(dir: String, dataSchema: StructType,
+    startingVersion: Option[Long]) extends MicroBatchStream
+    with SupportsTriggerAvailableNow {
+
+  private def spark = SparkSession.active
+  // default: the FULL feed (commit 0's snapshot inserts included) —
+  // a CDC consumer that starts mid-history would silently miss base
+  // rows; tailing from "now" is an explicit startingVersion
+  private val t0Version: Long = startingVersion.getOrElse(-1L)
+
+  private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(DeltaImport.latestLogVersion(spark, dir))
+
+  override def initialOffset(): Offset = GraftOffset(t0Version)
+  override def latestOffset(): Offset = GraftOffset(
+    availableNowEnd.getOrElse(DeltaImport.latestLogVersion(spark, dir)))
+  // SupportsTriggerAvailableNow extends SupportsAdmissionControl: no
+  // rate limiting here (commit granularity is already the bound), so
+  // the limit-aware overload just pins at the AvailableNow end
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = latestOffset()
+  override def reportLatestOffset(): Offset =
+    GraftOffset(DeltaImport.latestLogVersion(spark, dir))
+  override def deserializeOffset(json: String): Offset =
+    GraftOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftOffset].version
+    val e = end.asInstanceOf[GraftOffset].version
+    if (e <= s) return Array.empty
+    val out = Seq.newBuilder[InputPartition]
+    (math.max(0L, s + 1) to e).foreach { v =>
+      val (cdcFiles, insertAdds) =
+        DeltaImport.commitChangePlan(spark, dir, v, allowDvAdds = false)
+      cdcFiles.foreach(p =>
+        out += GraftCdfInputPartition(p, hasChangeCol = true, v))
+      insertAdds.foreach(a =>
+        out += GraftCdfInputPartition(a.path, hasChangeCol = false, v))
+    }
+    out.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCdfReaderFactory(dataSchema)
+}
+
+final case class GraftCdfInputPartition(path: String,
+    hasChangeCol: Boolean, commitVersion: Long) extends InputPartition
+
+final class GraftCdfReaderFactory(dataSchema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = partition match {
+    case p: GraftCdfInputPartition =>
+      new GraftCdfPartitionReader(p.path, p.hasChangeCol, p.commitVersion,
+        dataSchema)
+  }
+}
+
+/** Streams one change (or insert-derived data) file: the provider's
+  * row decoder does the parquet work; this wrapper appends the
+  * constant `_change_type` (for insert derivation) and
+  * `_commit_version`. */
+final class GraftCdfPartitionReader(path: String, hasChangeCol: Boolean,
+    commitVersion: Long, dataSchema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val innerSchema =
+    if (hasChangeCol)
+      StructType(dataSchema.fields :+
+        StructField("_change_type", StringType))
+    else dataSchema
+  private val inner =
+    new GraftPartitionReader(path, Array.empty, innerSchema)
+  private val insertTag = UTF8String.fromString("insert")
+
+  override def next(): Boolean = inner.next()
+
+  override def get(): InternalRow = {
+    val r = inner.get()
+    val n = dataSchema.length
+    val vals = new Array[Any](n + 2)
+    var i = 0
+    while (i < n) { vals(i) = r.get(i, dataSchema(i).dataType); i += 1 }
+    vals(n) = if (hasChangeCol) r.get(n, StringType) else insertTag
+    vals(n + 1) = commitVersion
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = inner.close()
+}

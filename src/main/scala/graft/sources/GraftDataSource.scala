@@ -83,8 +83,12 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
     p
   }
 
+  private def wantsCdf(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("readChangeFeed")).exists(_.equalsIgnoreCase("true"))
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = dirOf(options)
+    if (wantsCdf(options)) return new GraftCdfTable(dir).schema()
     val tx = GraftDataSource.openForRead(SparkSession.active, dir)
     GraftDataSource.asOfFrom(tx, options)
       .map(tx.schemaAtVersion).getOrElse(tx.currentSchema)
@@ -94,6 +98,9 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
       properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val dir = dirOf(opts)
+    // readChangeFeed=true: the streaming CDF surface over the
+    // cdf-exported Delta log (see GraftCdfStream)
+    if (wantsCdf(opts)) return new GraftCdfTable(dir)
     val tx = GraftDataSource.openForRead(SparkSession.active, dir)
     new GraftTable(dir, schema, GraftDataSource.asOfFrom(tx, opts))
   }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.{DeltaExport, TxTable}
+
+/** Streaming Change Data Feed
+  * (`readStream.format("graft").option("readChangeFeed","true")`):
+  * the cdf-exported Delta log consumed as a stream — table_changes
+  * rows, exactly-once delta-version offsets, honest refusals. */
+class GraftCdfStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streams the feed: snapshot inserts, then cdc commits; restart-safe") {
+    val dir = tmpDir("cdfstream") + "/t"
+    val data = (1L to 12L).map(k => (k, k % 3L, k * 1.0)).toDF("k", "g", "v")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 2)
+    t.append(data)
+    DeltaExport.syncDeltaLog(spark, t, cdf = true) // delta 0: snapshot
+
+    val ck = tmpDir("cdfstream-ck")
+    val out = tmpDir("cdfstream-out")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .load(dir)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def feed() = spark.read.parquet(out)
+    drain()
+    val after0 = feed().collect()
+    assert(after0.length === 12)
+    assert(after0.forall(r => r.getString(3) == "insert" &&
+      r.getLong(4) == 0L))
+
+    // mutations under a cdf sync arrive as the NEXT batch - change
+    // files verbatim, nothing re-served
+    t.upsert(Seq((1L, 1L, 101.0)).toDF("k", "g", "v"))
+    t.deleteWhereLight(col("g") === 0L) // k ∈ {3,6,9,12}
+    DeltaExport.syncDeltaLog(spark, t, cdf = true) // delta 1
+    drain()
+    val rows = feed().collect()
+    assert(rows.length === 12 + 2 + 4) // + update pre/post + 4 deletes
+    val c1 = rows.filter(_.getLong(4) == 1L)
+      .map(r => (r.getString(3), r.getLong(0)))
+    assert(c1.count(_._1 == "update_preimage") === 1)
+    assert(c1.count(_._1 == "update_postimage") === 1)
+    assert(c1.filter(_._1 == "delete").map(_._2).sorted.toSeq ===
+      Seq(3L, 6L, 9L, 12L))
+    // replay with the same checkpoint and nothing new: a no-op
+    drain()
+    assert(feed().count() === 18L)
+
+    // the streamed feed equals the batch feed row for row
+    val batch = graft.core.DeltaImport.readChanges(spark, dir, 0L)
+      .collect().map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet === batch)
+  }
+
+  test("honest refusals: no log, and mutation commits without change data") {
+    val dir = tmpDir("cdfstream-ref") + "/t"
+    val data = (1L to 6L).map(k => (k, k * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 2)
+    t.append(data)
+    // no _delta_log at all
+    val e0 = intercept[Exception] {
+      spark.readStream.format("graft").option("readChangeFeed", "true")
+        .load(dir).schema
+    }
+    assert(Iterator.iterate(e0: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      .contains("_delta_log"))
+
+    // a non-cdf log whose commit removed rows refuses mid-stream
+    DeltaExport.writeDeltaLog(spark, t)
+    t.deleteWhere(col("k") <= 2L)
+    DeltaExport.syncDeltaLog(spark, t) // no cdf: remove+add, no feed
+    val e1 = intercept[Exception] {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(dir)
+        .writeStream.format("memory").queryName("cdf_refuse")
+        .option("checkpointLocation", tmpDir("cdfstream-ref-ck"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    assert(Iterator.iterate(e1: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      .contains("cdf = true"))
+  }
+}
