@@ -175,13 +175,20 @@ object IcebergExport {
     (fs.makeQualified(target).toString, n)
   }
 
-  /** Export the table's current snapshot as an Iceberg v2 metadata
-    * tree under `table.dir/metadata/`. Returns the table metadata
-    * file's path. */
+  /** Export the table's RETAINED HISTORY as an Iceberg v2 metadata
+    * tree under `table.dir/metadata/`: one snapshot per retained
+    * TxTable version (snapshot-id = 1000 + version, so
+    * [[IcebergImport]]'s snapshot pinning is the VERSION AS OF
+    * analog), each with its own manifest (+ position-delete manifest
+    * when that version carried DVs), a snapshot-log in commit order,
+    * and a `refs` map — `main` at the head plus every graft TAG whose
+    * version is retained (Iceberg tags, the retention-pin twin).
+    * Schemas: the CURRENT schema describes all snapshots (older data
+    * files simply lack later columns and read as null — the same
+    * contract TxTable's own time travel gives for evolution; a
+    * dropped column is absent from every snapshot's schema, also
+    * matching). Returns the table metadata file's path. */
   def writeIcebergMetadata(spark: SparkSession, table: TxTable): String = {
-    val filesWithDvs = table.currentFileInfoWithDvs
-    val files = filesWithDvs.map(_._1)
-    val dirty = filesWithDvs.filter(_._1.dvRows > 0L)
     val root = new Path(table.dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootUri = fs.makeQualified(root).toString.stripSuffix("/")
@@ -189,36 +196,8 @@ object IcebergExport {
     fs.mkdirs(metaDir)
 
     val schema = table.currentSchema
-    val snapshotId = 1000L + table.currentVersion
     val nowMs = System.currentTimeMillis()
     val uuid = java.util.UUID.randomUUID().toString
-
-    // rows per file from footer stats (exact); a stats-less legacy
-    // entry pays one count over just that file
-    def rowsOf(f: TxTable.LiveFile): Long =
-      FileStats.fromJson(f.statsJson, schema).map(_.rows)
-        .getOrElse(spark.read.schema(schema).parquet(f.path).count())
-
-    // manifest: one manifest_entry per live data file
-    val entryRecords = files.map { f =>
-      val df = new GenericData.Record(
-        ManifestEntrySchema.getField("data_file").schema())
-      df.put("content", 0)
-      df.put("file_path", fs.makeQualified(new Path(f.path)).toString)
-      df.put("file_format", "PARQUET")
-      df.put("partition", new GenericData.Record(
-        df.getSchema.getField("partition").schema()))
-      df.put("record_count", rowsOf(f))
-      df.put("file_size_in_bytes", fs.getFileStatus(new Path(f.path)).getLen)
-      val e = new GenericData.Record(ManifestEntrySchema)
-      e.put("status", 1) // ADDED
-      e.put("snapshot_id", snapshotId)
-      e.put("sequence_number", 1L)
-      e.put("file_sequence_number", 1L)
-      e.put("data_file", df)
-      e
-    }
-    val manifestPath = new Path(metaDir, s"$uuid-m0.avro")
     val partitionSpecJson = """{"spec-id":0,"fields":[]}"""
     val schemaMeta = Map(
       "schema" -> JsonMethods.compact(JsonMethods.render(schemaJson(schema))),
@@ -226,80 +205,149 @@ object IcebergExport {
       "partition-spec" -> "[]",
       "partition-spec-id" -> "0",
       "format-version" -> "2")
-    val manifestLen = writeAvro(fs, manifestPath, ManifestEntrySchema,
-      entryRecords, schemaMeta + ("content" -> "data"))
 
-    // DELETE manifest (content=1) at sequence 2: position deletes
-    // apply to data files at the same or LOWER sequence, so the data
-    // (seq 1) is in scope for every stock reader
-    val deletes: Option[(Path, Long, Long)] =
-      if (dirty.isEmpty) None
-      else {
-        val (delUri, delRows) = writePositionDeletes(
-          spark, fs, table, dirty, uuid)
+    // rows per file from footer stats (exact); a stats-less legacy
+    // entry pays one count over just that file — cached across
+    // snapshots (history shares most files)
+    val rowsCache = scala.collection.mutable.Map.empty[String, Long]
+    def rowsOf(f: TxTable.LiveFile): Long =
+      rowsCache.getOrElseUpdate(f.path,
+        FileStats.fromJson(f.statsJson, schema).map(_.rows)
+          .getOrElse(spark.read.schema(schema).parquet(f.path).count()))
+
+    val versions = table.versions
+    require(versions.nonEmpty, "cannot export a never-committed table")
+    var lastSeq = 0L
+    val snapshots = versions.zipWithIndex.map { case (v, i) =>
+      val snapshotId = 1000L + v
+      val filesWithDvs = table.fileInfoWithDvsAt(v)
+      val files = filesWithDvs.map(_._1)
+      val dirty = filesWithDvs.filter(_._1.dvRows > 0L)
+      val dataSeq = lastSeq + 1
+
+      val entryRecords = files.map { f =>
         val df = new GenericData.Record(
           ManifestEntrySchema.getField("data_file").schema())
-        df.put("content", 1) // POSITION_DELETES
-        df.put("file_path", delUri)
+        df.put("content", 0)
+        df.put("file_path", fs.makeQualified(new Path(f.path)).toString)
         df.put("file_format", "PARQUET")
         df.put("partition", new GenericData.Record(
           df.getSchema.getField("partition").schema()))
-        df.put("record_count", delRows)
+        df.put("record_count", rowsOf(f))
         df.put("file_size_in_bytes",
-          fs.getFileStatus(new Path(delUri)).getLen)
+          fs.getFileStatus(new Path(f.path)).getLen)
         val e = new GenericData.Record(ManifestEntrySchema)
         e.put("status", 1) // ADDED
         e.put("snapshot_id", snapshotId)
-        e.put("sequence_number", 2L)
-        e.put("file_sequence_number", 2L)
+        e.put("sequence_number", dataSeq)
+        e.put("file_sequence_number", dataSeq)
         e.put("data_file", df)
-        val p = new Path(metaDir, s"$uuid-m1.avro")
-        val len = writeAvro(fs, p, ManifestEntrySchema, Seq(e),
-          schemaMeta + ("content" -> "deletes"))
-        Some((p, len, delRows))
+        e
       }
-    val lastSeq = if (deletes.isEmpty) 1L else 2L
+      val manifestPath = new Path(metaDir, s"$uuid-m$i-0.avro")
+      val manifestLen = writeAvro(fs, manifestPath, ManifestEntrySchema,
+        entryRecords, schemaMeta + ("content" -> "data"))
 
-    // manifest list: the data manifest_file record, plus the delete
-    // manifest's when the snapshot carries tombstones
-    val totalRows = files.map(rowsOf).sum
-    val mf = new GenericData.Record(ManifestFileSchema)
-    mf.put("manifest_path", fs.makeQualified(manifestPath).toString)
-    mf.put("manifest_length", manifestLen)
-    mf.put("partition_spec_id", 0)
-    mf.put("content", 0)
-    mf.put("sequence_number", 1L)
-    mf.put("min_sequence_number", 1L)
-    mf.put("added_snapshot_id", snapshotId)
-    mf.put("added_files_count", files.size)
-    mf.put("existing_files_count", 0)
-    mf.put("deleted_files_count", 0)
-    mf.put("added_rows_count", totalRows)
-    mf.put("existing_rows_count", 0L)
-    mf.put("deleted_rows_count", 0L)
-    val delMf = deletes.map { case (p, len, delRows) =>
-      val m = new GenericData.Record(ManifestFileSchema)
-      m.put("manifest_path", fs.makeQualified(p).toString)
-      m.put("manifest_length", len)
-      m.put("partition_spec_id", 0)
-      m.put("content", 1) // DELETES
-      m.put("sequence_number", 2L)
-      m.put("min_sequence_number", 2L)
-      m.put("added_snapshot_id", snapshotId)
-      m.put("added_files_count", 1)
-      m.put("existing_files_count", 0)
-      m.put("deleted_files_count", 0)
-      m.put("added_rows_count", delRows)
-      m.put("existing_rows_count", 0L)
-      m.put("deleted_rows_count", 0L)
-      m
+      // this version's tombstones as a position-delete manifest at
+      // the NEXT sequence (deletes scope over same-or-lower data)
+      val deletes: Option[(Path, Long, Long)] =
+        if (dirty.isEmpty) None
+        else {
+          val (delUri, delRows) = writePositionDeletes(
+            spark, fs, table, dirty, s"$uuid-$i")
+          val df = new GenericData.Record(
+            ManifestEntrySchema.getField("data_file").schema())
+          df.put("content", 1) // POSITION_DELETES
+          df.put("file_path", delUri)
+          df.put("file_format", "PARQUET")
+          df.put("partition", new GenericData.Record(
+            df.getSchema.getField("partition").schema()))
+          df.put("record_count", delRows)
+          df.put("file_size_in_bytes",
+            fs.getFileStatus(new Path(delUri)).getLen)
+          val e = new GenericData.Record(ManifestEntrySchema)
+          e.put("status", 1)
+          e.put("snapshot_id", snapshotId)
+          e.put("sequence_number", dataSeq + 1)
+          e.put("file_sequence_number", dataSeq + 1)
+          e.put("data_file", df)
+          val p = new Path(metaDir, s"$uuid-m$i-1.avro")
+          val len = writeAvro(fs, p, ManifestEntrySchema, Seq(e),
+            schemaMeta + ("content" -> "deletes"))
+          Some((p, len, delRows))
+        }
+      val snapSeq = if (deletes.isEmpty) dataSeq else dataSeq + 1
+      lastSeq = snapSeq
+
+      val totalRows = files.map(rowsOf).sum
+      val mf = new GenericData.Record(ManifestFileSchema)
+      mf.put("manifest_path", fs.makeQualified(manifestPath).toString)
+      mf.put("manifest_length", manifestLen)
+      mf.put("partition_spec_id", 0)
+      mf.put("content", 0)
+      mf.put("sequence_number", dataSeq)
+      mf.put("min_sequence_number", dataSeq)
+      mf.put("added_snapshot_id", snapshotId)
+      mf.put("added_files_count", files.size)
+      mf.put("existing_files_count", 0)
+      mf.put("deleted_files_count", 0)
+      mf.put("added_rows_count", totalRows)
+      mf.put("existing_rows_count", 0L)
+      mf.put("deleted_rows_count", 0L)
+      val delMf = deletes.map { case (p, len, delRows) =>
+        val m = new GenericData.Record(ManifestFileSchema)
+        m.put("manifest_path", fs.makeQualified(p).toString)
+        m.put("manifest_length", len)
+        m.put("partition_spec_id", 0)
+        m.put("content", 1) // DELETES
+        m.put("sequence_number", dataSeq + 1)
+        m.put("min_sequence_number", dataSeq + 1)
+        m.put("added_snapshot_id", snapshotId)
+        m.put("added_files_count", 1)
+        m.put("existing_files_count", 0)
+        m.put("deleted_files_count", 0)
+        m.put("added_rows_count", delRows)
+        m.put("existing_rows_count", 0L)
+        m.put("deleted_rows_count", 0L)
+        m
+      }
+      val listPath = new Path(metaDir, s"snap-$snapshotId-1-$uuid.avro")
+      writeAvro(fs, listPath, ManifestFileSchema, Seq(mf) ++ delMf, Map(
+        "format-version" -> "2",
+        "snapshot-id" -> snapshotId.toString,
+        "sequence-number" -> snapSeq.toString,
+        "parent-snapshot-id" ->
+          (if (i == 0) "null" else (1000L + versions(i - 1)).toString)))
+
+      JObject(List(
+        "snapshot-id" -> (JLong(snapshotId): JValue),
+        "sequence-number" -> (JLong(snapSeq): JValue),
+        "timestamp-ms" -> (JLong(nowMs + i): JValue),
+        "manifest-list" ->
+          (JString(fs.makeQualified(listPath).toString): JValue),
+        "summary" -> (JObject(
+          "operation" -> JString("append"),
+          "added-data-files" -> JString(files.size.toString),
+          "added-records" -> JString(totalRows.toString)): JValue)) ++
+        (if (i == 0) Nil
+         else List("parent-snapshot-id" ->
+           (JLong(1000L + versions(i - 1)): JValue))) ++
+        List("schema-id" -> (JInt(0): JValue)))
     }
-    val listPath = new Path(metaDir, s"snap-$snapshotId-1-$uuid.avro")
-    writeAvro(fs, listPath, ManifestFileSchema, Seq(mf) ++ delMf, Map(
-      "format-version" -> "2",
-      "snapshot-id" -> snapshotId.toString,
-      "sequence-number" -> lastSeq.toString,
-      "parent-snapshot-id" -> "null"))
+
+    val currentSnapshotId = 1000L + table.currentVersion
+    // refs: main at the head, plus every graft tag whose version is
+    // retained — the retention-pin twin, as Iceberg tags
+    val refs = JObject(
+      ("main" -> (JObject(
+        "snapshot-id" -> JLong(currentSnapshotId),
+        "type" -> JString("branch")): JValue)) ::
+      table.tags.toList.sortBy(_._1).collect {
+        case (n, v) if versions.contains(v) =>
+          n -> (JObject(
+            "snapshot-id" -> JLong(1000L + v),
+            "type" -> JString("tag")): JValue)
+      })
 
     // table metadata (v2 required fields per spec §"Table Metadata")
     val metadata = JObject(
@@ -319,20 +367,14 @@ object IcebergExport {
       "sort-orders" -> JArray(List(JObject(
         "order-id" -> JInt(0), "fields" -> JArray(Nil)))),
       "properties" -> JObject(),
-      "current-snapshot-id" -> JLong(snapshotId),
-      "snapshots" -> JArray(List(JObject(
-        "snapshot-id" -> JLong(snapshotId),
-        "sequence-number" -> JLong(lastSeq),
-        "timestamp-ms" -> JLong(nowMs),
-        "manifest-list" -> JString(fs.makeQualified(listPath).toString),
-        "summary" -> JObject(
-          "operation" -> JString("append"),
-          "added-data-files" -> JString(files.size.toString),
-          "added-records" -> JString(totalRows.toString)),
-        "schema-id" -> JInt(0)))),
-      "snapshot-log" -> JArray(List(JObject(
-        "timestamp-ms" -> JLong(nowMs),
-        "snapshot-id" -> JLong(snapshotId)))),
+      "current-snapshot-id" -> JLong(currentSnapshotId),
+      "refs" -> refs,
+      "snapshots" -> JArray(snapshots.toList),
+      "snapshot-log" -> JArray(versions.zipWithIndex.map { case (v, i) =>
+        JObject(
+          "timestamp-ms" -> JLong(nowMs + i),
+          "snapshot-id" -> JLong(1000L + v)): JValue
+      }.toList),
       "metadata-log" -> JArray(Nil))
     val mdPath = new Path(metaDir, "v1.metadata.json")
     val out = fs.create(mdPath, true)

@@ -2540,8 +2540,15 @@ final class TxTable(
     * sidecars' tombstones into protocol deletion vectors). */
   private[core] def currentFileInfoWithDvs
       : Seq[(TxTable.LiveFile, Seq[String])] =
-    if (currentVersion < 0) Nil
-    else loadManifest(currentVersion).entries.map(e =>
+    fileInfoWithDvsAt(currentVersion)
+
+  /** [[currentFileInfoWithDvs]] pinned at a retained version — the
+    * per-snapshot export surface (Iceberg history export walks the
+    * retained ledger). */
+  private[core] def fileInfoWithDvsAt(v: Long)
+      : Seq[(TxTable.LiveFile, Seq[String])] =
+    if (v < 0) Nil
+    else loadManifest(v).entries.map(e =>
       (TxTable.LiveFile(e.path, e.bucket, e.stats, e.dvs.map(_.rows).sum),
         e.dvs.map(_.path)))
 

@@ -135,6 +135,40 @@ class IcebergExportSpec extends SparkSpec {
     ()
   }
 
+  test("history export: snapshot pinning time-travels; refs carry tags") {
+    val dir = tmpDir("iceberg-hist") + "/t"
+    val data = (1L to 40L).map(i => (i, i * 0.5)).toDF("k", "v")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 2)
+    t.append(data.filter(col("k") <= 20L))  // v1
+    t.createTag("first-load")
+    t.append(data.filter(col("k") > 20L))   // v2
+    val mdPath = IcebergExport.writeIcebergMetadata(spark, t)
+
+    // one snapshot per retained version; the CURRENT one is v2's
+    val md = JsonMethods.parse(
+      scala.io.Source.fromFile(mdPath.stripPrefix("file:")).mkString)
+    val snapIds = (md \ "snapshots").children
+      .map(s => (s \ "snapshot-id").extract[Long]).sorted
+    assert(snapIds === List(1000L, 1001L, 1002L))
+    assert((md \ "current-snapshot-id").extract[Long] === 1002L)
+    // refs: main at the head, the graft tag as an iceberg tag
+    assert((md \ "refs" \ "main" \ "snapshot-id").extract[Long] === 1002L)
+    assert((md \ "refs" \ "main" \ "type").extract[String] === "branch")
+    assert((md \ "refs" \ "first-load" \ "snapshot-id")
+      .extract[Long] === 1001L)
+    assert((md \ "refs" \ "first-load" \ "type").extract[String] === "tag")
+
+    // the exported history TIME-TRAVELS: pinning an older snapshot id
+    // reads exactly that version's rows
+    assert(graft.core.IcebergImport.read(spark, dir).count() === 40L)
+    val pinned = graft.core.IcebergImport
+      .read(spark, dir, snapshotId = Some(1001L))
+    assert(pinned.count() === 20L)
+    assert(pinned.agg(max("k")).head().getLong(0) === 20L)
+    assert(graft.core.IcebergImport
+      .read(spark, dir, snapshotId = Some(1000L)).count() === 0L)
+  }
+
   test("content=2 deletes without equality_ids refuse as malformed") {
     val dir = tmpDir("iceberg-eq") + "/t"
     val data = (1L to 10L).map(i => (i, i * 1.0)).toDF("k", "v")
@@ -145,7 +179,9 @@ class IcebergExportSpec extends SparkSpec {
     // flip the delete manifest's data_file.content to 2 (EQUALITY)
     // with no equality_ids — the reader must refuse, not misread
     val metaDir = new File(dir, "metadata")
-    val m1 = metaDir.listFiles().find(_.getName.endsWith("-m1.avro")).get
+    // the history export names manifests -m<i>-0/-m<i>-1; the delete
+    // manifest is any *-1.avro
+    val m1 = metaDir.listFiles().find(_.getName.endsWith("-1.avro")).get
     rewriteAvro(m1.getPath) { recs =>
       recs.foreach(_.get("data_file").asInstanceOf[GenericRecord]
         .put("content", 2))
@@ -164,7 +200,10 @@ class IcebergExportSpec extends SparkSpec {
     t.append(data)
     IcebergExport.writeIcebergMetadata(spark, t)
     val metaDir = new File(dir, "metadata")
-    val m0 = metaDir.listFiles().find(_.getName.endsWith("-m0.avro")).get
+    // the HEAD version's data manifest: highest -m<i>-0.avro index
+    val m0 = metaDir.listFiles().filter(_.getName.endsWith("-0.avro"))
+      .maxBy(f => "-m(\\d+)-0".r.findFirstMatchIn(f.getName).get
+        .group(1).toInt)
 
     // two data files (one per bucket); lift file B to sequence 5 so
     // the strictly-lower scoping rule has something to protect
@@ -197,7 +236,9 @@ class IcebergExportSpec extends SparkSpec {
       .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
 
     // its manifest (content=1 manifest of a content=2 data_file with
-    // equality_ids=[1] — field id 1 = column k) at sequence 2
+    // equality_ids=[1] — field id 1 = column k) at sequence 3 — above
+    // the head data manifest's sequence (2: the empty v0 snapshot took
+    // 1), below fileB's lifted 5
     val entrySchema = new org.apache.avro.Schema.Parser().parse(
       """{"type":"record","name":"manifest_entry","fields":[
         |{"name":"status","type":"int"},
@@ -226,8 +267,8 @@ class IcebergExportSpec extends SparkSpec {
       java.util.Arrays.asList(Integer.valueOf(1)))
     val entry = new org.apache.avro.generic.GenericData.Record(entrySchema)
     entry.put("status", 1)
-    entry.put("sequence_number", 2L)
-    entry.put("file_sequence_number", 2L)
+    entry.put("sequence_number", 3L)
+    entry.put("file_sequence_number", 3L)
     entry.put("data_file", dfRec)
     val m1Path = new File(metaDir, "eqdel-m1.avro")
     val w = new org.apache.avro.file.DataFileWriter(
@@ -236,9 +277,10 @@ class IcebergExportSpec extends SparkSpec {
     try { w.create(entrySchema, m1Path); w.append(entry) }
     finally w.close()
 
-    // splice the delete manifest into the manifest list (content=1)
+    // splice the delete manifest into the CURRENT snapshot's manifest
+    // list (the history export writes one list per retained version)
     val snap = metaDir.listFiles()
-      .find(_.getName.startsWith("snap-")).get
+      .find(_.getName.startsWith(s"snap-${1000L + t.currentVersion}-")).get
     rewriteAvro(snap.getPath) { recs =>
       val tpl = recs.head
       val mf = new org.apache.avro.generic.GenericData.Record(tpl.getSchema)
@@ -247,14 +289,14 @@ class IcebergExportSpec extends SparkSpec {
       mf.put("manifest_path", m1Path.getAbsolutePath)
       mf.put("manifest_length", m1Path.length())
       mf.put("content", 1)
-      mf.put("sequence_number", 2L)
-      mf.put("min_sequence_number", 2L)
+      mf.put("sequence_number", 3L)
+      mf.put("min_sequence_number", 3L)
       recs :+ mf
     }
 
     val snapMeta = graft.core.IcebergImport.snapshot(spark, dir)
     assert(snapMeta.eqDeletes.map(d => (d.seq, d.eqColumns)) ===
-      Seq((2L, Seq("k"))))
+      Seq((3L, Seq("k"))))
     val back = graft.core.IcebergImport.read(spark, dir)
     val kept = back.collect().map(_.getLong(0)).toSet
     // kA (data seq 1 < delete seq 2) deleted; kB (data seq 5) SURVIVES
