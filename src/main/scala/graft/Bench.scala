@@ -219,20 +219,37 @@ object Bench {
     // arrives truncated/unparseable (observed in BENCH_r03.json).
     def fmt(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val bs = builds.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    // build_seconds on the stdout line: entries >= 0.25 s individually,
+    // the fast remainder folded — 27 near-zero index builds cost ~500
+    // chars of the tail budget otherwise. BENCH_LOCAL keeps every entry.
+    val (bSlow, bFast) = builds.toSeq.partition(_._2 >= 0.25)
+    val bs = (bSlow.sortBy(-_._2).map { case (k, v) =>
+      s"\"" + k + "\":" + fmt(v)
+    } ++ Seq(s"\"other_n\":${bFast.size}",
+      s"\"other_total\":${fmt(bFast.map(_._2).sum)}"))
+      .mkString("{", ",", "}")
+    val bsFull = builds.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val pipe = pipelineSec.map(v => s""","pipeline_seconds":${fmt(v)}""").getOrElse("")
-    // The harness captures a bounded stdout TAIL; at 148 queries the
-    // full per-query map pushed the line past it and round 9's bench
-    // arrived head-truncated (BENCH_r09.json parsed:null). Print every
-    // query at or above 0.25 s individually (the ones perf grading
-    // cares about, hard-capped at 80 entries) and fold the fast
-    // remainder into one summary object; BENCH_LOCAL.json keeps the
-    // complete map plus per-run detail.
+    // The harness captures a bounded stdout TAIL (observed: the LAST
+    // 2000 chars; BENCH_r13..r15 all arrived parsed:null because this
+    // line outgrew it). Budget the line by CHARACTER LENGTH, not entry
+    // count: emit slowest-first per-query entries until the map costs
+    // ~1100 chars, fold the remainder into the fast_queries summary.
+    // With ~600 chars of fixed fields + sbt's "[success] ..." footer
+    // the whole line stays inside the captured tail and parses.
     val (slowAll, fast) = results.toSeq.partition(_._2 >= 0.25)
     val sortedSlow = slowAll.sortBy(-_._2)
-    val slow = sortedSlow.take(80)
-    val fastAll = fast ++ sortedSlow.drop(80)
+    val qsBudget = 1100
+    val slowBuf = Seq.newBuilder[(String, Double)]
+    var qsLen = 0
+    var taken = 0
+    sortedSlow.foreach { case (k, v) =>
+      val cost = k.length + 10 // "key":0.000,
+      if (qsLen + cost <= qsBudget) { slowBuf += (k -> v); qsLen += cost; taken += 1 }
+    }
+    val slow = slowBuf.result()
+    val fastAll = fast ++ sortedSlow.filterNot(e => slow.exists(_._1 == e._1))
     val qs = slow.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val fastMax = if (fastAll.isEmpty) 0.0 else fastAll.map(_._2).max
@@ -271,7 +288,7 @@ object Bench {
       val rssJson = rssByQuery.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val durable =
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median","runs":$runsN,"n_queries":${results.size},"queries":$fullQs,"build_seconds":$bs$pipe,"telemetry":$telemetry,"sf":"$sfDir","runs_detail":$detail,"gc_ms":$gcJson,"rss_mb":$rssJson}"""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median","runs":$runsN,"n_queries":${results.size},"queries":$fullQs,"build_seconds":$bsFull$pipe,"telemetry":$telemetry,"sf":"$sfDir","runs_detail":$detail,"gc_ms":$gcJson,"rss_mb":$rssJson}"""
       val w = new java.io.PrintWriter("/root/repo/BENCH_LOCAL.json", "UTF-8")
       try w.println(durable) finally w.close()
       // append-only history: BENCH_LOCAL is overwritten per run, and
