@@ -986,6 +986,59 @@ object TxQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** SQL `MERGE INTO` with ALL THREE clause families — WHEN MATCHED
+    * (conditional DELETE + UPDATE), WHEN NOT MATCHED (INSERT), and
+    * `WHEN NOT MATCHED BY SOURCE` (conditional DELETE + UPDATE, the
+    * Spark-3.4+ syncing form a CDC full-snapshot apply needs: target
+    * rows the source no longer carries are retired in the SAME
+    * statement). Planned through the same [[graft.sources
+    * .GraftRowLevelOperation]] delta rewrite as [[tx_sql_merge]] —
+    * by-source clauses make the rewrite a FULL OUTER join instead of
+    * left-outer, and every touched row still lands as deletion-vector
+    * tombstone + staged re-insert in ONE commit. Read-back must equal
+    * DuckDB computing the same three-way merge relationally. */
+  def tx_sql_merge_source(s: SparkSession, dir: String): DataFrame = {
+    val supp = t(s, dir, "supplier")
+      .select("s_suppkey", "s_nationkey", "s_acctbal")
+    supp.createOrReplaceTempView("graft_mrgsrc_base")
+    val table = cached(s, dir, "supplier", "sqlmrgsrc", 2L) { loc =>
+      new TxTable(s, loc, supp.schema, Seq("s_suppkey"), numBuckets = 4)
+    } { tx =>
+      tx.createIfAbsent() // v0
+      val loc = new java.io.File(tx.dir)
+      s.conf.set("spark.sql.catalog.graftmrg", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftmrg.root", loc.getParent)
+      val ident = s"graftmrg.`${loc.getName}`"
+      s.sql(s"INSERT INTO $ident SELECT * FROM graft_mrgsrc_base") // v1
+      s.sql(
+        s"""MERGE INTO $ident AS t
+           |USING (
+           |  SELECT s_suppkey, s_nationkey, s_acctbal + 100.0 AS s_acctbal
+           |  FROM graft_mrgsrc_base WHERE s_suppkey % 2 = 0
+           |  UNION ALL
+           |  SELECT s_suppkey + 200000, s_nationkey, s_acctbal
+           |  FROM graft_mrgsrc_base WHERE s_suppkey % 7 = 0
+           |) AS src ON t.s_suppkey = src.s_suppkey
+           |WHEN MATCHED AND src.s_acctbal > 5000.0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET s_acctbal = src.s_acctbal
+           |WHEN NOT MATCHED THEN INSERT (s_suppkey, s_nationkey, s_acctbal)
+           |  VALUES (src.s_suppkey, src.s_nationkey, src.s_acctbal)
+           |WHEN NOT MATCHED BY SOURCE AND t.s_acctbal < 0.0 THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET s_acctbal = 0.0
+           |""".stripMargin)                                        // v2
+    }
+    val loc = new java.io.File(table.dir)
+    s.conf.set("spark.sql.catalog.graftmrg", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftmrg.root", loc.getParent)
+    s.sql(
+      s"""SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+         |  max(s_suppkey) AS last_supp
+         |FROM graftmrg.`${loc.getName}`
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** SQL `UPDATE` with an expression predicate (no metadata-delete
     * shortcut possible — the full row-level path: scan with position
     * identity, delete+reinsert split, one guarded commit). Must equal
@@ -1155,6 +1208,7 @@ object TxQueries {
     "tx_sql_spj_join" -> (tx_sql_spj_join _),
     "tx_sql_agg_pushdown" -> (tx_sql_agg_pushdown _),
     "tx_sql_merge" -> (tx_sql_merge _),
+    "tx_sql_merge_source" -> (tx_sql_merge_source _),
     "tx_sql_update" -> (tx_sql_update _),
     "tx_skipping_scan" -> (tx_skipping_scan _),
     "tx_sql_provider" -> (tx_sql_provider _),
@@ -1220,6 +1274,37 @@ object TxQueries {
         |  UNION ALL
         |  SELECT s_suppkey + 100000, s_nationkey, s_acctbal
         |  FROM supplier WHERE s_suppkey % 5 = 0
+        |)
+        |SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+        |  max(s_suppkey) AS last_supp
+        |FROM merged
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // three-clause-family MERGE (incl. NOT MATCHED BY SOURCE) must
+    // equal DuckDB's relational recomputation: matched rows whose
+    // bumped balance tops 5000 are deleted, other matched rows take
+    // the bumped balance, source-absent rows are deleted when
+    // negative else zeroed, and source-only rows insert
+    "tx_sql_merge_source" ->
+      """WITH src AS (
+        |  SELECT s_suppkey, s_nationkey, s_acctbal + 100.0 AS s_acctbal
+        |  FROM supplier WHERE s_suppkey % 2 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 200000 AS s_suppkey, s_nationkey, s_acctbal
+        |  FROM supplier WHERE s_suppkey % 7 = 0
+        |), merged AS (
+        |  SELECT t.s_suppkey, t.s_nationkey, s.s_acctbal
+        |  FROM supplier t JOIN src s ON t.s_suppkey = s.s_suppkey
+        |  WHERE s.s_acctbal <= 5000.0
+        |  UNION ALL
+        |  SELECT t.s_suppkey, t.s_nationkey, 0.0 AS s_acctbal
+        |  FROM supplier t
+        |  WHERE t.s_suppkey % 2 <> 0 AND t.s_acctbal >= 0.0
+        |  UNION ALL
+        |  SELECT s.s_suppkey, s.s_nationkey, s.s_acctbal
+        |  FROM src s LEFT JOIN supplier t ON t.s_suppkey = s.s_suppkey
+        |  WHERE t.s_suppkey IS NULL
         |)
         |SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
         |  count(*) AS n,
