@@ -139,20 +139,26 @@ object DeltaExport {
     * reader+writer feature (the bytes must be masked), CDF a
     * writer-only feature (plain reads don't need it), CHECK
     * constraints the legacy writer-3 floor alone (or the
-    * checkConstraints feature when features mode is already on). */
+    * checkConstraints feature when features mode is already on),
+    * column mapping the legacy (2,5) floor — readers must bind
+    * parquet columns by physicalName — or the `columnMapping`
+    * reader+writer feature when features mode is already on. */
   private def protocolAction(withDvs: Boolean, withCdf: Boolean = false,
-      withChecks: Boolean = false): JObject =
+      withChecks: Boolean = false, withMapping: Boolean = false): JObject =
     if (!withDvs && !withCdf)
       JObject("protocol" -> JObject(
-        "minReaderVersion" -> JInt(1),
-        "minWriterVersion" -> JInt(if (withChecks) 3 else 2)))
+        "minReaderVersion" -> JInt(if (withMapping) 2 else 1),
+        "minWriterVersion" -> JInt(
+          if (withMapping) 5 else if (withChecks) 3 else 2)))
     else {
-      val rf = if (withDvs) List(JString("deletionVectors")) else Nil
+      val rf = (if (withDvs) List(JString("deletionVectors")) else Nil) ++
+        (if (withMapping) List(JString("columnMapping")) else Nil)
       val wf = (if (withDvs) List(JString("deletionVectors")) else Nil) ++
         (if (withCdf) List(JString("changeDataFeed")) else Nil) ++
-        (if (withChecks) List(JString("checkConstraints")) else Nil)
+        (if (withChecks) List(JString("checkConstraints")) else Nil) ++
+        (if (withMapping) List(JString("columnMapping")) else Nil)
       val reader =
-        if (withDvs)
+        if (withDvs || withMapping)
           List("minReaderVersion" -> (JInt(3): JValue),
             "readerFeatures" -> (JArray(rf): JValue))
         else List("minReaderVersion" -> (JInt(1): JValue))
@@ -161,10 +167,44 @@ object DeltaExport {
         "writerFeatures" -> (JArray(wf): JValue))))
     }
 
+  /** `schema` decorated for Delta columnMapping name mode: EVERY
+    * field gets `delta.columnMapping.physicalName` (this engine's
+    * stable parquet name) and a `delta.columnMapping.id` — ids reused
+    * from `loggedSchema` BY PHYSICAL NAME (the spec demands id
+    * stability across commits), fresh columns numbered past the
+    * logged maximum. Returns the decorated schema and maxColumnId. */
+  private def mappedDeltaSchema(table: TxTable, schema: StructType,
+      loggedSchema: Option[StructType]): (StructType, Long) = {
+    val loggedIds: Map[String, Long] = loggedSchema.map(_.fields.iterator
+      .flatMap { f =>
+        if (f.metadata.contains("delta.columnMapping.physicalName") &&
+          f.metadata.contains("delta.columnMapping.id"))
+          Some(f.metadata.getString("delta.columnMapping.physicalName") ->
+            f.metadata.getLong("delta.columnMapping.id"))
+        else None
+      }.toMap).getOrElse(Map.empty)
+    var nextId = if (loggedIds.isEmpty) 0L else loggedIds.values.max
+    val fields = schema.fields.map { f =>
+      val phys = table.physicalFieldName(f)
+      val id = loggedIds.getOrElse(phys, { nextId += 1; nextId })
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .remove(TxTable.PhysicalNameKey) // graft-internal, not protocol
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id)
+        .build()
+      f.copy(metadata = mb)
+    }
+    val maxId = math.max(nextId,
+      fields.map(_.metadata.getLong("delta.columnMapping.id")).max)
+    (StructType(fields), maxId)
+  }
+
   private def metaDataAction(schema: StructType, dvEnabled: Boolean,
       cdfEnabled: Boolean = false, txVersion: Option[Long] = None,
       tableId: Option[String] = None,
-      checks: Map[String, String] = Map.empty): JObject =
+      checks: Map[String, String] = Map.empty,
+      mappingMaxId: Option[Long] = None): JObject =
     JObject("metaData" -> JObject(
       // the table id is STABLE across the log's life (stock streaming
       // readers track it); only the very first metaData mints one
@@ -179,6 +219,10 @@ object DeltaExport {
       // sync watermark survives checkpoint bootstrap — checkpoints
       // carry metaData verbatim, commitInfo they drop
       "configuration" -> JObject(
+        mappingMaxId.toList.flatMap(mx => List(
+          "delta.columnMapping.mode" -> (JString("name"): JValue),
+          "delta.columnMapping.maxColumnId" ->
+            (JString(mx.toString): JValue))) ++
         (if (dvEnabled)
           List("delta.enableDeletionVectors" -> (JString("true"): JValue))
         else Nil) ++
@@ -254,6 +298,15 @@ object DeltaExport {
     val files = liveFiles(table)
     val (fs, rootUri) = fsFor(spark, table)
     val schema = table.currentSchema
+    // renamed columns export as Delta columnMapping NAME mode: every
+    // field carries delta.columnMapping.physicalName (this engine's
+    // stable parquet name — files need no rewrite) + a stable id, and
+    // the add-action stats key by the physical name, per spec
+    val mapped = table.columnMappingActive
+    val (metaSchema, maxId) =
+      if (mapped) mappedDeltaSchema(table, schema, None)
+      else (schema, 0L)
+    val statsSchema = table.physicalize(schema)
     val dirty = files.filter(_._1.dvRows > 0L)
     val dvSlots: Map[String, (String, DeltaDv.Slot)] =
       if (dirty.isEmpty) Map.empty
@@ -262,13 +315,14 @@ object DeltaExport {
         slots.map { case (k, v) => k -> (enc, v) }
       }
     val adds = files.map(_._1).sortBy(_.path).map(f =>
-      addAction(fs, rootUri, schema, dvSlots.get(basename(f.path)))(f))
+      addAction(fs, rootUri, statsSchema, dvSlots.get(basename(f.path)))(f))
     val checks = table.checkConstraints
     writeCommit(fs, table.dir, 0L,
-      protocolAction(dirty.nonEmpty, cdf, checks.nonEmpty) +:
-        metaDataAction(schema, dirty.nonEmpty, cdf,
+      protocolAction(dirty.nonEmpty, cdf, checks.nonEmpty, mapped) +:
+        metaDataAction(metaSchema, dirty.nonEmpty, cdf,
           if (cdf) Some(table.currentVersion) else None,
-          checks = checks) +: adds)
+          checks = checks,
+          mappingMaxId = if (mapped) Some(maxId) else None) +: adds)
   }
 
   /** The net row-level diff `table.changes(fromTx, toTx)` as Delta
@@ -284,7 +338,13 @@ object DeltaExport {
     val cdDir = new Path(table.dir, "_change_data")
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val stage = new Path(cdDir, s".stage-$uuid")
-    diff.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    // change files bind PHYSICAL names under columnMapping, exactly
+    // like the data files (renamed tables only; identity otherwise)
+    val cur = table.currentSchema
+    def physOf(c: String): String =
+      cur.fields.find(_.name == c).map(table.physicalFieldName).getOrElse(c)
+    diff.select(cols.map(c =>
+      org.apache.spark.sql.functions.col(c).as(physOf(c))): _*)
       .write.mode("overwrite").parquet(stage.toString)
     // one footer-driven count decides empty-vs-not (metadata-fast);
     // a zero-row diff publishes nothing
@@ -425,6 +485,23 @@ object DeltaExport {
     val logged = DeltaImport.snapshot(spark, table.dir)
     val files = liveFiles(table)
     val schema = table.currentSchema
+    // renamed columns ⇒ columnMapping NAME mode. A log synced plain
+    // that sees its first rename UPGRADES in this commit (metaData
+    // with physicalName+id per field, mode=name, protocol bump) —
+    // the mode transition none→name is the one the spec allows, and
+    // ids are reused from the logged schema by physical name so they
+    // stay stable across syncs.
+    val mapped = table.columnMappingActive
+    val loggedMapped =
+      logged.protocol.readerFeatures.contains("columnMapping") ||
+        logged.metaRaw.exists(raw =>
+          (JsonMethods.parse(raw) \ "configuration" \
+            "delta.columnMapping.mode") == JString("name"))
+    val (metaSchema, maxId) =
+      if (mapped) mappedDeltaSchema(table, schema,
+        if (loggedMapped) Some(logged.schema) else None)
+      else (schema, 0L)
+    val statsSchema = table.physicalize(schema)
     val rel = relative(fs, rootUri) _
     val loggedDvCard: Map[String, Long] = logged.adds.map(a =>
       rel(a.path) -> a.deletionVector.map(_.cardinality).getOrElse(0L)).toMap
@@ -438,7 +515,7 @@ object DeltaExport {
     // identical re-add, never a missed update.
     val dvChanged = (current.keySet & loggedDvCard.keySet).toSeq.sorted
       .filter(p => current(p)._1.dvRows != loggedDvCard(p))
-    val schemaChanged = logged.schema.json != schema.json
+    val schemaChanged = logged.schema != metaSchema
     // constraint drift: the logged delta.constraints.* map vs the
     // table's live CHECK set — a pure addCheckConstraint/drop between
     // syncs must still reach stock writers
@@ -474,8 +551,10 @@ object DeltaExport {
     val upgrade =
       if ((logged.protocol.minReaderVersion < 3 && nowHasDvs) ||
         (cdf && !hadCdf) ||
-        (checks.nonEmpty && logged.protocol.minWriterVersion < 3))
-        Seq(protocolAction(nowHasDvs, cdf || hadCdf, checks.nonEmpty))
+        (checks.nonEmpty && logged.protocol.minWriterVersion < 3) ||
+        (mapped && !loggedMapped))
+        Seq(protocolAction(nowHasDvs, cdf || hadCdf, checks.nonEmpty,
+          mapped))
       else Nil
     // CDF: the diff between the logged TxTable version (metaData
     // configuration graft.txVersion — checkpoint-durable) and the
@@ -507,8 +586,9 @@ object DeltaExport {
       }
     val meta =
       if (schemaChanged || upgrade.nonEmpty || cdf || checksChanged)
-        Seq(metaDataAction(schema, nowHasDvs, cdf || hadCdf,
-          if (cdf) Some(curTx) else None, loggedId, checks))
+        Seq(metaDataAction(metaSchema, nowHasDvs, cdf || hadCdf,
+          if (cdf) Some(curTx) else None, loggedId, checks,
+          mappingMaxId = if (mapped) Some(maxId) else None))
       else Nil
     val removeActions = (removed ++ dvChanged).sorted.map { p =>
       JObject("remove" -> JObject(
@@ -517,7 +597,7 @@ object DeltaExport {
         "dataChange" -> JBool(true)))
     }
     val addActions = readds.map { case (f, _) =>
-      addAction(fs, rootUri, schema, dvSlots.get(basename(f.path)))(f) }
+      addAction(fs, rootUri, statsSchema, dvSlots.get(basename(f.path)))(f) }
     val v = logged.version + 1L
     val commit = writeCommit(fs, table.dir, v,
       upgrade ++ meta ++ cdcActions ++ removeActions ++ addActions)

@@ -66,7 +66,8 @@ object DeltaImport {
 
   /** The only reader-relevant table feature this reader implements —
     * anything else in `readerFeatures` is honestly refused. */
-  val SupportedReaderFeatures: Set[String] = Set("deletionVectors")
+  val SupportedReaderFeatures: Set[String] =
+    Set("deletionVectors", "columnMapping")
 
   /** A live add action's payload — everything a checkpoint must carry
     * forward (losing `stats` would cost Delta readers their skipping). */
@@ -196,18 +197,19 @@ object DeltaImport {
     // LinkedHashMap keeps add order for deterministic file lists
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
 
-    // Honest floor: reader v1 (plain parquet), or reader v3 (table
-    // features) when every listed readerFeature is one this reader
-    // actually implements — deletionVectors only. Reader v2 (column
-    // mapping, implied, no feature list) and unknown v3 features
-    // change how the bytes must be interpreted, so they are refused,
-    // never misread.
+    // Honest floor: reader v1 (plain parquet), reader v2 (column
+    // mapping implied — the scan binds by physicalName; id mode is
+    // refused at scan time where the metaData declares it), or
+    // reader v3 (table features) when every listed readerFeature is
+    // one this reader actually implements — deletionVectors and
+    // columnMapping. Unknown v3 features change how the bytes must
+    // be interpreted, so they are refused, never misread.
     def applyProtocol(r: Int, w: Int, rf: Seq[String], wf: Seq[String])
         : Unit = {
-      require(r <= 1 ||
+      require(r <= 2 ||
         (r == 3 && rf.forall(SupportedReaderFeatures.contains)),
         s"table demands minReaderVersion $r with readerFeatures " +
-          s"[${rf.mkString(",")}] - this reader supports protocol 1 " +
+          s"[${rf.mkString(",")}] - this reader supports protocols 1-2 " +
           s"and protocol 3 with [${SupportedReaderFeatures.mkString(",")}]")
       proto = Protocol(r, w, rf, wf)
     }
@@ -436,6 +438,38 @@ object DeltaImport {
     * positions expand on EXECUTORS, and the dirty files anti-join the
     * broadcast tombstones on (file, row_index) — clean files never
     * pay the mask, the same plan TxTable's own DV reads use. */
+  /** logical-name -> parquet-name map when the log declares
+    * columnMapping NAME mode (None = plain binding). Id mode (parquet
+    * field-id binding) is honestly refused — misbinding by name would
+    * silently misread a renamed id-mode table. */
+  private def nameMapping(snap: Snapshot): Option[Map[String, String]] = {
+    val mode = snap.metaRaw.flatMap(raw =>
+      (JsonMethods.parse(raw) \ "configuration" \
+        "delta.columnMapping.mode") match {
+        case JString(m) => Some(m)
+        case _          => None
+      })
+    mode match {
+      case Some("name") => Some(snap.schema.fields.iterator.map { f =>
+        f.name -> (
+          if (f.metadata.contains("delta.columnMapping.physicalName"))
+            f.metadata.getString("delta.columnMapping.physicalName")
+          else f.name)
+      }.toMap)
+      case Some("id") => throw new UnsupportedOperationException(
+        "delta.columnMapping.mode=id (parquet field-id binding) is " +
+          "not supported - name mode is")
+      case _ => None
+    }
+  }
+
+  private def physicalized(s: StructType,
+      mapping: Option[Map[String, String]]): StructType = mapping match {
+    case None => s
+    case Some(m) =>
+      StructType(s.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
+  }
+
   def read(spark: SparkSession, dir: String,
       asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, dir, asOf)
@@ -444,9 +478,19 @@ object DeltaImport {
     val rootUri = hfs.makeQualified(root).toString.stripSuffix("/")
     val dataSchema = StructType(
       snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
+    val mapping = nameMapping(snap)
+    require(mapping.isEmpty || snap.partitionColumns.isEmpty,
+      "columnMapping name mode with partition columns is not supported " +
+        "- partitionValues key by physical name and this reader does " +
+        "not map them")
+    val physDataSchema = physicalized(dataSchema, mapping)
 
-    def scan(group: Seq[AddFile]): DataFrame =
-      maskedScan(spark, hfs, rootUri, dataSchema, group)
+    def scan(group: Seq[AddFile]): DataFrame = {
+      // files bind by PHYSICAL name under name mode; surface the
+      // declared names (toDF is positional, so swaps are safe)
+      val df = maskedScan(spark, hfs, rootUri, physDataSchema, group)
+      if (mapping.isEmpty) df else df.toDF(dataSchema.fieldNames.toSeq: _*)
+    }
 
     val out =
       if (snap.adds.isEmpty) {
@@ -596,17 +640,27 @@ object DeltaImport {
       .filterNot(f => endSnap.partitionColumns.contains(f.name)))
     val changeSchema = StructType(dataSchema.fields :+
       StructField("_change_type", org.apache.spark.sql.types.StringType))
+    // change files bind by PHYSICAL name under columnMapping name
+    // mode, exactly like the data files
+    val mapping = nameMapping(endSnap)
+    val physDataSchema = physicalized(dataSchema, mapping)
+    val physChangeSchema = StructType(physDataSchema.fields :+
+      StructField("_change_type", org.apache.spark.sql.types.StringType))
     val frames = (fromVersion to end).flatMap { v =>
       val (cdcPaths, changeAdds) =
         commitChangePlan(spark, dir, v, allowDvAdds = true)
       if (cdcPaths.nonEmpty)
-        Some(spark.read.schema(changeSchema).parquet(cdcPaths: _*)
+        Some(spark.read.schema(physChangeSchema).parquet(cdcPaths: _*)
+          .toDF(changeSchema.fieldNames.toSeq: _*)
           .withColumn("_commit_version", lit(v)))
       else if (changeAdds.isEmpty) None
-      else Some(
-        maskedScan(spark, hfs, rootUri, dataSchema, changeAdds)
+      else Some {
+        val ins = maskedScan(spark, hfs, rootUri, physDataSchema, changeAdds)
+        (if (mapping.isEmpty) ins
+         else ins.toDF(dataSchema.fieldNames.toSeq: _*))
           .withColumn("_change_type", lit("insert"))
-          .withColumn("_commit_version", lit(v)))
+          .withColumn("_commit_version", lit(v))
+      }
     }
     if (frames.isEmpty)
       spark.createDataFrame(

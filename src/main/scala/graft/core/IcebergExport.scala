@@ -189,6 +189,11 @@ object IcebergExport {
     * dropped column is absent from every snapshot's schema, also
     * matching). Returns the table metadata file's path. */
   def writeIcebergMetadata(spark: SparkSession, table: TxTable): String = {
+    require(!table.columnMappingActive,
+      "cannot export a table with renamed columns to Iceberg yet: the " +
+        "data files bind by physical name and this metadata writes " +
+        "plain names - rebucketTo (physical migration) collapses the " +
+        "mapping, or export before renaming")
     val root = new Path(table.dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootUri = fs.makeQualified(root).toString.stripSuffix("/")

@@ -108,21 +108,20 @@ final class TxTable(
   private def fs: FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def bucketExpr: Column =
-    pmod(hash(keys.map(col): _*), lit(numBuckets)).cast(IntegerType)
-
   /** Anti/semi-join `left` against `right`'s key columns with NULL-SAFE
     * key equality. Name-based `join(_, keys, _)` compares with `=`, so
     * a NULL-keyed stored row would never match its incoming
     * counterpart — upsert would duplicate it on every write. Still an
     * equi-join (EqualNullSafe plans as a hash join), so the physical
-    * plan shape is unchanged. */
-  private def keyMatchJoin(
-      left: DataFrame, right: DataFrame, joinType: String): DataFrame = {
+    * plan shape is unchanged. Key columns are referenced by their
+    * LOGICAL names under `s` (both sides are user-facing DataFrames). */
+  private def keyMatchJoin(left: DataFrame, right: DataFrame,
+      joinType: String, s: StructType): DataFrame = {
+    val ks = logicalKeyNames(s)
     val l = left.alias("_kjl")
-    val r = right.select(keys.map(col): _*).alias("_kjr")
+    val r = right.select(ks.map(col): _*).alias("_kjr")
     l.join(r,
-      keys.map(k => col(s"_kjl.$k") <=> col(s"_kjr.$k")).reduce(_ && _),
+      ks.map(k => col(s"_kjl.$k") <=> col(s"_kjr.$k")).reduce(_ && _),
       joinType)
   }
 
@@ -162,6 +161,78 @@ final class TxTable(
 
   private def schemaAt(m: Manifest): StructType =
     m.declaredSchema.getOrElse(schema)
+
+  // ---- column mapping (metadata-only RENAME COLUMN) ----
+  //
+  // A renamed column keeps its ORIGINAL parquet column name forever —
+  // the stable "physical" name, recorded as `graft.physical` metadata
+  // on the declared schema's field (the Delta columnMapping name-mode
+  // recipe). Data files, zone-map stats, bloom sidecars, bucketing
+  // keys and DV sidecars all bind by physical name, so a rename is
+  // ONE metadata commit at any table size: no file is rewritten, and
+  // files written before AND after the rename stay byte-compatible.
+  // The logical <-> physical translation happens at exactly three
+  // choke points — [[readFiles]]/[[readFilesWithPos]] (read),
+  // [[stageFiles]] (write), [[pruneEntries]] (stats) — everything
+  // else in the engine, including CHECK enforcement and schema
+  // evolution, operates purely on logical names. Tables that never
+  // rename have an identity mapping and take none of these branches.
+
+  /** Parquet column name this declared field binds to (its name at
+    * creation time; the declared name after renames). */
+  private[graft] def physicalFieldName(f: StructField): String =
+    if (f.metadata.contains(TxTable.PhysicalNameKey))
+      f.metadata.getString(TxTable.PhysicalNameKey)
+    else f.name
+
+  /** `s` with every field under its physical (file-side) name. */
+  private[graft] def physicalize(s: StructType): StructType =
+    StructType(s.fields.map(f => f.copy(name = physicalFieldName(f))))
+
+  /** True when any field of the current schema is renamed away from
+    * its physical name (drives interop-export honesty guards). */
+  private[graft] def columnMappingActive: Boolean =
+    currentSchema.fields.exists(f => physicalFieldName(f) != f.name)
+
+  /** `s` (a pruned/projected schema in DECLARED names, possibly with
+    * extra non-table columns such as the provider's row-identity
+    * metadata columns) rebound to physical names per version `v`'s
+    * declared schema — the DSv2 reader's file-binding schema. */
+  private[graft] def physicalizeFor(v: Long, s: StructType): StructType =
+    if (v < 0) s
+    else {
+      val t = schemaAtVersion(v)
+      StructType(s.fields.map { f =>
+        t.fields.find(_.name.equalsIgnoreCase(f.name))
+          .map(tf => f.copy(name = physicalFieldName(tf)))
+          .getOrElse(f)
+      })
+    }
+
+  /** The current declared names of the physical key columns — what
+    * user-facing surfaces (SPJ transforms, DESCRIBE, SQL) call the
+    * keys after renames. */
+  private[graft] def logicalKeys: Seq[String] =
+    logicalKeyNames(currentSchema)
+
+  /** logical-lowercase -> physical for the renamed fields of `s`. */
+  private def mappingOf(s: StructType): Map[String, String] =
+    s.fields.iterator
+      .filter(f => physicalFieldName(f) != f.name)
+      .map(f => f.name.toLowerCase -> physicalFieldName(f)).toMap
+
+  /** The LOGICAL (declared) names of this table's physical key
+    * columns under schema `s` — key identity is physical (bucketing
+    * never changes on rename), but joins/dedups over user-facing
+    * DataFrames must reference the declared names. */
+  private def logicalKeyNames(s: StructType): Seq[String] =
+    keys.map(k => s.fields.find(f => physicalFieldName(f).equalsIgnoreCase(k))
+      .map(_.name).getOrElse(k))
+
+  /** Key-hash bucket id computed over `s`-shaped (logical) rows. */
+  private def bucketExprFor(s: StructType): Column =
+    pmod(hash(logicalKeyNames(s).map(col): _*), lit(numBuckets))
+      .cast(IntegerType)
 
   /** The schema of the CURRENT version — the create schema widened by
     * any [[appendEvolving]]/[[upsertEvolving]] commits since. Guarded
@@ -354,8 +425,20 @@ final class TxTable(
   def rebucketTo(dstDir: String, newBuckets: Int): TxTable = {
     require(newBuckets >= 1, s"bucket count must be >= 1, got $newBuckets")
     require(currentVersion >= 0, s"$dir has no committed version")
-    val dst = new TxTable(spark, dstDir, currentSchema, keys,
-      numBuckets = newBuckets, bloomCols = bloomCols)
+    // the migration collapses any column mapping: the fresh table's
+    // files are written under the CURRENT declared names, so its
+    // physical identity (keys, blooms, schema) is purely logical
+    val cur = currentSchema
+    val dst = new TxTable(spark, dstDir,
+      StructType(cur.fields.map(f => f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .remove(TxTable.PhysicalNameKey).build()))),
+      logicalKeyNames(cur),
+      numBuckets = newBuckets,
+      bloomCols = bloomCols.map(b =>
+        cur.fields.find(f => physicalFieldName(f).equalsIgnoreCase(b))
+          .map(_.name).getOrElse(b)))
     require(dst.currentVersion < 0,
       s"$dstDir already holds a table - rebucket writes a FRESH directory")
     dst.createIfAbsent()
@@ -432,12 +515,17 @@ final class TxTable(
           throw new IllegalArgumentException(s"no such column '$n' " +
             s"(table has ${cur.fieldNames.mkString(", ")})"))
       }.distinct
-      resolved.foreach { n =>
-        require(!keys.exists(_.equalsIgnoreCase(n)),
+      // key/bloom identity and the dropped-name registry are
+      // PHYSICAL: a renamed column's declared name differs from the
+      // parquet name its pre-drop files hold
+      val resolvedPhys = resolved.map(n =>
+        physicalFieldName(cur.fields.find(_.name == n).get))
+      resolved.zip(resolvedPhys).foreach { case (n, ph) =>
+        require(!keys.exists(_.equalsIgnoreCase(ph)),
           s"cannot drop key column '$n' - it is the table's physical " +
             "identity (bucketing, pruning, upsert co-location); " +
             "migrate to a new layout with rebucketTo")
-        require(!bloomCols.exists(_.equalsIgnoreCase(n)),
+        require(!bloomCols.exists(_.equalsIgnoreCase(ph)),
           s"cannot drop bloom column '$n' - the _table.json descriptor " +
             "builds its sidecars on every append; migrate with rebucketTo")
       }
@@ -450,7 +538,7 @@ final class TxTable(
         "cannot drop every column of the table")
       val target = StructType(cur.fields
         .filterNot(f => resolved.exists(_.equalsIgnoreCase(f.name))))
-      val all = droppedColumns ++ resolved.map(_.toLowerCase)
+      val all = droppedColumns ++ resolvedPhys.map(_.toLowerCase)
       commit(m.entries, base, Some(target),
         Map("dropped_cols" -> all.toSeq.sorted.mkString(",")))
       ()
@@ -514,10 +602,12 @@ final class TxTable(
         s"cannot widen ${f.name} from ${f.dataType.simpleString} to " +
           s"${to.simpleString} - lossless primitive widenings only " +
           "(byte/short/int->long, float->double)")
-      require(!keys.exists(_.equalsIgnoreCase(f.name)),
+      // identity comparisons are PHYSICAL: a renamed key/bloom column
+      // must still refuse the widen under its declared name
+      require(!keys.exists(_.equalsIgnoreCase(physicalFieldName(f))),
         s"cannot widen key column '${f.name}' - the bucket hash is " +
           "type-sensitive; migrate with rebucketTo")
-      require(!bloomCols.exists(_.equalsIgnoreCase(f.name)),
+      require(!bloomCols.exists(_.equalsIgnoreCase(physicalFieldName(f))),
         s"cannot widen bloom column '${f.name}' - sidecar hashes are " +
           "type-sensitive; migrate with rebucketTo")
       val target = StructType(cur.fields.map(x =>
@@ -527,22 +617,23 @@ final class TxTable(
     }
   }
 
-  /** ALTER TABLE RENAME COLUMN as a REWRITE commit: without parquet
-    * column-mapping metadata, the physical column name in every
-    * existing file IS the binding identity, so a metadata-only rename
-    * would null the column out of every pre-rename file. This engine
-    * takes the honest trade Delta pre-columnMapping took: ONE staged
-    * rewrite of the live rows under the new name (zone maps and bloom
-    * sidecars regenerate keyed by it), committed atomically with the
-    * new schema. Time travel below the rename reads the old name from
-    * the old files; interop exports after it reference only the
-    * rewritten files, so stock readers bind correctly by name.
+  /** ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit (column
+    * mapping): the renamed field keeps its creation-time parquet name
+    * forever, recorded as `graft.physical` metadata on the declared
+    * schema — no data file is rewritten at ANY table size, files
+    * written before and after the rename stay byte-compatible, and
+    * zone maps / bloom sidecars / bucketing keep binding by the
+    * stable physical name. Time travel below the rename reads the
+    * old declared name (each version's schema is the one it was
+    * committed with). Key and bloom columns rename freely: their
+    * physical identity never moves.
     *
-    * Refused: key columns (the `_table.json` physical identity;
-    * migrate with rebucketTo), bloom columns, names referenced by an
-    * active CHECK, targets that collide with a live column or with a
-    * dropped name (resurrection guard — pre-drop files still hold the
-    * dropped column's values and survive time travel). */
+    * Refused: names referenced by an active CHECK (the predicate
+    * text binds the declared name; dropCheckConstraint → rename →
+    * re-add under the new name), and targets that collide with a
+    * live column name. A previously-dropped name may be reused as a
+    * rename target — the logical namespace is independent of the
+    * physical one, so no pre-drop file values can resurrect. */
   def renameColumn(from: String, to: String): Unit = {
     require(from.nonEmpty && to.nonEmpty, "RENAME COLUMN needs names")
     withRetry {
@@ -555,27 +646,21 @@ final class TxTable(
           s"(table has ${cur.fieldNames.mkString(", ")})"))
       require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
         s"column '$to' already exists")
-      require(!droppedColumns.contains(to.toLowerCase),
-        s"column '$to' was previously dropped - pre-drop files still " +
-          "hold its values (resurrection guard); use a different name " +
-          "or migrate with rebucketTo")
-      require(!keys.exists(_.equalsIgnoreCase(f.name)),
-        s"cannot rename key column '${f.name}' - it is the table's " +
-          "physical identity (bucketing, pruning, upsert co-location); " +
-          "migrate with rebucketTo")
-      require(!bloomCols.exists(_.equalsIgnoreCase(f.name)),
-        s"cannot rename bloom column '${f.name}' - the _table.json " +
-          "descriptor builds its sidecars by name; migrate with " +
-          "rebucketTo")
       checkConstraints.foreach { case (cn, pred) =>
         require(!checkPredicateRefs(pred).exists(_.equalsIgnoreCase(from)),
           s"CHECK $cn references column '$from' - dropCheckConstraint " +
             "first, rename, then re-add it under the new name")
       }
-      val target = StructType(cur.fields.map(x =>
-        if (x.name.equalsIgnoreCase(from)) x.copy(name = to) else x))
-      stageAndCommit(Nil,
-        readVersion(base).withColumnRenamed(f.name, to), base, target,
+      val target = StructType(cur.fields.map { x =>
+        if (x.name.equalsIgnoreCase(from)) {
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(x.metadata)
+            .putString(TxTable.PhysicalNameKey, physicalFieldName(x))
+            .build()
+          StructField(to, x.dataType, x.nullable, mb)
+        } else x
+      })
+      commit(m.entries, base, Some(target),
         meta = Map("renamed_col" -> s"${f.name.toLowerCase}->$to"))
       ()
     }
@@ -1044,7 +1129,15 @@ final class TxTable(
     * (parquet-by-declared-schema — no footer merging, no rewrite). */
   private def readFiles(files: Seq[String], s: StructType): DataFrame =
     if (files.isEmpty) emptyDfFor(s)
-    else spark.read.schema(s).parquet(files: _*)
+    else {
+      val phys = physicalize(s)
+      val raw = spark.read.schema(phys).parquet(files: _*)
+      // files bind by PHYSICAL name; surface the declared names.
+      // toDF is positional, so renamed fields alias correctly even
+      // when a logical name textually equals another field's physical
+      // name (legal after chained renames).
+      if (phys == s) raw else raw.toDF(s.fieldNames.toSeq: _*)
+    }
 
   /** [[readFiles]] plus provenance columns `_file` (basename) and
     * `_pos` (row position within the file) from the parquet reader's
@@ -1052,10 +1145,16 @@ final class TxTable(
   private def readFilesWithPos(files: Seq[String], s: StructType): DataFrame =
     if (files.isEmpty)
       emptyDfFor(s).withColumn("_file", lit("")).withColumn("_pos", lit(0L))
-    else spark.read.schema(s).parquet(files: _*)
-      .withColumn("_file",
-        element_at(split(col("_metadata.file_path"), "/"), -1))
-      .withColumn("_pos", col("_metadata.row_index"))
+    else {
+      val phys = physicalize(s)
+      val raw = spark.read.schema(phys).parquet(files: _*)
+        .withColumn("_file",
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("_pos", col("_metadata.row_index"))
+      if (phys == s) raw
+      else raw.select(phys.fields.zip(s.fields).map { case (p, l) =>
+        col(p.name).as(l.name) } :+ col("_file") :+ col("_pos"): _*)
+    }
 
   /** The live tombstone set of `entries`: (file basename, row position)
     * pairs from every referenced DV sidecar. */
@@ -1105,7 +1204,7 @@ final class TxTable(
 
   /** This table's bucket id for a row (the manifest partitioner) —
     * lets callers compute which buckets a key set touches. */
-  private[graft] def bucketColumn: Column = bucketExpr
+  private[graft] def bucketColumn: Column = bucketExprFor(currentSchema)
 
   /** Committed schema of version `v` (schema history travels with the
     * manifests — the DSv2 time-travel surface needs it). */
@@ -1176,7 +1275,7 @@ final class TxTable(
     val bytes = es.map { e =>
       scala.util.Try(f.getFileStatus(new Path(e.path)).getLen).getOrElse(0L)
     }.sum
-    val parsed = es.map(e => (e.parsedStats(s), e.dvs.map(_.rows).sum))
+    val parsed = es.map(e => (e.parsedStats(physicalize(s)), e.dvs.map(_.rows).sum))
     val rows =
       if (parsed.forall(_._1.isDefined))
         Some(parsed.flatMap(_._1).map(_.rows).sum - parsed.map(_._2).sum)
@@ -1201,7 +1300,9 @@ final class TxTable(
     val m = loadManifest(v)
     val s = schemaAt(m)
     val es = pred.map(p => pruneEntries(m.entries, p, s)).getOrElse(m.entries)
-    (s, es.map(e => (e.parsedStats(s), e.dvs.map(_.rows).sum)))
+    // stats documents key by PHYSICAL name (schema `s` stays declared
+    // — consumers resolve stats via physicalFieldName)
+    (s, es.map(e => (e.parsedStats(physicalize(s)), e.dvs.map(_.rows).sum)))
   }
 
   /** Time travel to any retained version — under the schema that
@@ -1244,7 +1345,10 @@ final class TxTable(
     if (v < 0) None
     else {
       val m = loadManifest(v)
-      if (m.entries.exists(_.dvs.nonEmpty)) None
+      // a renamed column breaks the raw-scan equivalence too: a plain
+      // parquet read surfaces PHYSICAL names, not the declared ones
+      if (m.entries.exists(_.dvs.nonEmpty) ||
+        schemaAt(m).fields.exists(f => physicalFieldName(f) != f.name)) None
       else Some((v, m.entries.map(_.path).toSet))
     }
   }
@@ -1278,10 +1382,22 @@ final class TxTable(
       entries: Seq[FEntry], pred: Column, s: StructType): Seq[FEntry] = {
     analyzedPredicate(pred, s) match {
       case None => entries
-      case Some(cond) =>
+      case Some(logicalCond) =>
+        // stats documents and parquet footers are keyed by PHYSICAL
+        // column names: rewrite the analyzed predicate's attribute
+        // references before matching (no-op without renames)
+        val mapping = mappingOf(s)
+        val phys = physicalize(s)
+        val cond =
+          if (mapping.isEmpty) logicalCond
+          else logicalCond.transform {
+            case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+                if mapping.contains(a.name.toLowerCase) =>
+              a.withName(mapping(a.name.toLowerCase))
+          }
         val zoneKept = entries.filter { e =>
-          e.parsedStats(s) match {
-            case Some(st) => FileStats.mayMatch(st, cond, s)
+          e.parsedStats(phys) match {
+            case Some(st) => FileStats.mayMatch(st, cond, phys)
             case None => true // no stats recorded → never skip
           }
         }
@@ -1290,12 +1406,12 @@ final class TxTable(
         // hash-scattered across every file's [min, max]). Probes are
         // driver-side footer reads, so bound them: past the cap the
         // planning cost would rival the scan it saves.
-        val eqs = FileStats.equalityConjuncts(cond, s)
+        val eqs = FileStats.equalityConjuncts(cond, phys)
           .filter { case (c, _) => keys.contains(c) || bloomCols.contains(c) }
         if (eqs.isEmpty || zoneKept.length > TxTable.MaxBloomProbeFiles) zoneKept
         else {
           val conf = spark.sparkContext.hadoopConfiguration
-          zoneKept.filter(e => FileStats.bloomMayContain(e.path, conf, eqs, s))
+          zoneKept.filter(e => FileStats.bloomMayContain(e.path, conf, eqs, phys))
         }
     }
   }
@@ -1359,23 +1475,27 @@ final class TxTable(
     val toIds = toE.map(_.changeId).toSet
     val pre = readEntries(fromE.filterNot(e => toIds(e.changeId)), s)
     val post = readEntries(toE.filterNot(e => fromIds(e.changeId)), s)
-    val dataCols = s.fields.map(_.name).filterNot(keys.contains)
+    // key references by the TO version's declared names (renamed key
+    // columns keep their physical identity, so the diff join is still
+    // bucket-aligned); both sides were read under `s`, so names agree
+    val keyNames = logicalKeyNames(s)
+    val dataCols = s.fields.map(_.name).filterNot(keyNames.contains)
     def tagged(df: DataFrame, tag: String) = df.select(
-      (keys.map(col) ++ dataCols.map(c => col(c).as(s"_${tag}_$c")) :+
+      (keyNames.map(col) ++ dataCols.map(c => col(c).as(s"_${tag}_$c")) :+
         lit(true).as(s"_in_$tag")): _*)
     // null-safe key match: a NULL-keyed row present in both versions
     // must pair up (plain `=` would emit a spurious delete+insert)
     val joined = tagged(pre, "pre").alias("_cl")
       .join(tagged(post, "post").alias("_cr"),
-        keys.map(k => col(s"_cl.$k") <=> col(s"_cr.$k")).reduce(_ && _),
+        keyNames.map(k => col(s"_cl.$k") <=> col(s"_cr.$k")).reduce(_ && _),
         "full_outer")
-      .select(keys.map(k =>
+      .select(keyNames.map(k =>
         coalesce(col(s"_cl.$k"), col(s"_cr.$k")).as(k)) ++
         (dataCols.map(c => col(s"_pre_$c")) ++
           dataCols.map(c => col(s"_post_$c")) ++
           Seq(col("_in_pre"), col("_in_post"))): _*)
     def image(tag: String, kind: String) = struct(
-      (lit(kind).as("_change_type") +: keys.map(col)) ++
+      (lit(kind).as("_change_type") +: keyNames.map(col)) ++
         dataCols.map(c => col(s"_${tag}_$c").as(c)): _*)
     val differs =
       if (dataCols.isEmpty) lit(false)
@@ -1431,15 +1551,19 @@ final class TxTable(
     val b = math.floorMod(
       Murmur3Hash(lits, 42).eval(null).asInstanceOf[Int], numBuckets)
     // null-safe: NULL-keyed rows are first-class (see keyMatchJoin) and
-    // must be findable — `===` would filter them out silently
-    val keyPred = keys.zip(values).map { case (k, v) =>
-      col(k) <=> lit(v).cast(schema(k).dataType)
-    }.reduce(_ && _)
+    // must be findable — `===` would filter them out silently.
+    // Predicates bind the CURRENT declared key names (renamed keys
+    // hash identically — values, not names, feed the bucket hash).
+    def keyPredFor(s: StructType) =
+      logicalKeyNames(s).zip(keys.zip(values)).map { case (lk, (k, v)) =>
+        col(lk) <=> lit(v).cast(schema(k).dataType)
+      }.reduce(_ && _)
     val v0 = currentVersion
-    if (v0 < 0) emptyDfFor(schema).filter(keyPred)
+    if (v0 < 0) emptyDfFor(schema).filter(keyPredFor(schema))
     else {
       val m = loadManifest(v0)
       val s = schemaAt(m)
+      val keyPred = keyPredFor(s)
       val picked = pruneEntries( // bucket pruning, then zone maps within
         m.entries.filter(_.bucket == b), keyPred, s)
       readEntries(picked, s).filter(keyPred)
@@ -1466,9 +1590,12 @@ final class TxTable(
       asSchema.fields.map(fl => col(fl.name).cast(fl.dataType)): _*)
     // admission control: every write path stages through here, so the
     // CHECK pass covers append/upsert/insert-if-absent/apply-changes
-    // alike (compaction re-stages rows that already passed)
+    // alike (compaction re-stages rows that already passed). Runs on
+    // the LOGICAL projection: CHECK text binds declared names (a
+    // rename of a CHECK-referenced column is refused, so the binding
+    // can never drift).
     enforceChecks(projected)
-    val cast = projected.withColumn("_kb", bucketExpr)
+    val cast = projected.withColumn("_kb", bucketExprFor(asSchema))
     val laidOut = layout match {
       case None => cast.repartition(col("_kb"))
       case Some(key) =>
@@ -1483,12 +1610,22 @@ final class TxTable(
           .sortWithinPartitions(col("_kb"), col("_layout"))
           .drop("_layout")
     }
+    // files persist PHYSICAL column names (stable across renames):
+    // rename the mapped fields just before the write, after every
+    // logical-name-bound step (checks, bucket hash, layout key) ran
+    val physSchema = physicalize(asSchema)
+    // one POSITIONAL rename (laidOut = the asSchema projection + _kb):
+    // pairwise withColumnRenamed would collide on swap renames
+    val physDf =
+      if (physSchema == asSchema) laidOut
+      else laidOut.toDF(physSchema.fieldNames.toSeq :+ "_kb": _*)
     // bloom filters on key (+ configured) columns: point-read file
     // skipping where zone maps are blind (hash-scattered values).
     // Bounded at 64 KiB per column chunk so file bloat stays marginal.
+    // Keys/bloom descriptors are physical names, matching the file.
     val withBlooms = (keys ++ bloomCols).distinct
-      .filter(asSchema.fieldNames.contains)
-      .foldLeft(laidOut.write.option("parquet.bloom.filter.max.bytes", "65536")) {
+      .filter(physSchema.fieldNames.contains)
+      .foldLeft(physDf.write.option("parquet.bloom.filter.max.bytes", "65536")) {
         (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
       }
     withBlooms.mode(SaveMode.Overwrite).partitionBy("_kb").parquet(stage.toString)
@@ -1503,7 +1640,7 @@ final class TxTable(
             // zone maps from the parquet FOOTER — metadata-only, no
             // rescan of just-written data (the Delta stats analog)
             val stats = scala.util.Try(
-              FileStats.fromFooter(file.getPath.toString, asSchema, conf).toJson)
+              FileStats.fromFooter(file.getPath.toString, physSchema, conf).toJson)
               .getOrElse("")
             FEntry(b, file.getPath.toString, stats)
           }
@@ -1550,7 +1687,19 @@ final class TxTable(
           "still hold its values, which a re-added column would " +
           "silently resurrect; migrate to a fresh table (rebucketTo) " +
           "to reuse the name")
+      // PHYSICAL-namespace guard: a new column binds files under its
+      // own name; colliding with a renamed column's stable physical
+      // name would make two logical columns share one parquet column
+      cur.fields.find(c => c.name != physicalFieldName(c) &&
+          physicalFieldName(c).equalsIgnoreCase(f.name)).foreach { c =>
+        throw new IllegalArgumentException(
+          s"column name '${f.name}' is the physical (file-side) name " +
+            s"of renamed column '${c.name}' - existing files already " +
+            "bind it; choose a different name")
+      }
     }
+    // added fields carry NO metadata (so no mapping key): their
+    // physical name is their declared name
     StructType(cur.fields ++
       added.map(f => StructField(f.name, f.dataType, nullable = true)))
   }
@@ -1614,9 +1763,9 @@ final class TxTable(
     withRetry {
       val base = currentVersion
       val cur = loadManifest(base).entries
-      val incoming = df.dropDuplicates(keys)
       val s = currentSchema
-      val fresh = keyMatchJoin(incoming, readEntries(cur, s), "left_anti")
+      val incoming = df.dropDuplicates(logicalKeyNames(s))
+      val fresh = keyMatchJoin(incoming, readEntries(cur, s), "left_anti", s)
       stageAndCommit(cur, fresh, base, s)
     }
   }
@@ -1662,8 +1811,8 @@ final class TxTable(
       val target = schemaAt(m)
       val updates = df
         .select(target.fields.map(fl => col(fl.name).cast(fl.dataType)): _*)
-        .dropDuplicates(keys)
-      val touched = updates.select(bucketExpr.as("_kb")).distinct()
+        .dropDuplicates(logicalKeyNames(target))
+      val touched = updates.select(bucketExprFor(target).as("_kb")).distinct()
         .collect().map(_.getInt(0)).toSet
       if (touched.nonEmpty) {
         val hit = m.entries.filter(e => touched(e.bucket))
@@ -1678,7 +1827,7 @@ final class TxTable(
               .join(broadcast(dvTombstones(dirty)),
                 col("_file") === col("_dv_file") && col("_pos") === col("_dv_pos"),
                 "left_anti"))
-        val hits = keyMatchJoin(livePos, updates, "left_semi")
+        val hits = keyMatchJoin(livePos, updates, "left_semi", target)
           .select(col("_file").as("_dv_file"), col("_pos").as("_dv_pos"))
         val dvStage = new Path(dir, s".stage-${UUID.randomUUID().toString.take(8)}")
         val (staged, dataStage) = stageFiles(updates, target)
@@ -1738,8 +1887,25 @@ final class TxTable(
     *   needs to know whether the head is still ITS commit before
     *   restoring — rolling back someone else's commit would be data
     *   loss). */
-  def replaceRedefining(df: DataFrame, target: StructType): Long = {
-    keys.foreach(k => require(
+  def replaceRedefining(df: DataFrame, target0: StructType): Long = {
+    // a renamed column surviving into the REPLACE schema keeps its
+    // mapping metadata (carried from the current schema by declared
+    // name): the key columns' physical binding must outlive the
+    // redefinition, and non-key renames stay consistent with any
+    // files a concurrent reader still holds
+    val curFields = currentSchema.fields
+    val target = StructType(target0.fields.map { f =>
+      curFields.find(c => c.name.equalsIgnoreCase(f.name) &&
+          physicalFieldName(c) != c.name) match {
+        case Some(c) if !f.metadata.contains(TxTable.PhysicalNameKey) =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(TxTable.PhysicalNameKey, physicalFieldName(c)).build())
+        case _ => f
+      }
+    })
+    val lk = logicalKeyNames(currentSchema)
+    lk.foreach(k => require(
       target.fieldNames.exists(_.equalsIgnoreCase(k)),
       s"REPLACE schema must keep key column '$k' (physical identity; " +
         "changing keys needs rebucketTo)"))
@@ -1898,18 +2064,20 @@ final class TxTable(
       if (!pre(snapshotAt(base))) false
       else {
         val target = schemaAt(m)
+        val lk = logicalKeyNames(target)
         val ups = upserts
           .select(target.fields.map(fl => col(fl.name).cast(fl.dataType)): _*)
-          .dropDuplicates(keys)
+          .dropDuplicates(lk)
         val dels = keyMatchJoin(deleteKeys
-          .select(keys.map(k => col(k).cast(target(k).dataType)): _*)
-          .dropDuplicates(keys), ups, "left_anti") // upsert wins
-        val gone = ups.select(keys.map(col): _*).unionByName(dels)
-        val touched = gone.select(bucketExpr.as("_kb")).distinct()
+          .select(lk.map(k => col(k).cast(target(k).dataType)): _*)
+          .dropDuplicates(lk), ups, "left_anti", target) // upsert wins
+        val gone = ups.select(lk.map(col): _*).unionByName(dels)
+        val touched = gone.select(bucketExprFor(target).as("_kb")).distinct()
           .collect().map(_.getInt(0)).toSet
         if (touched.nonEmpty) {
           val (hit, kept) = m.entries.partition(e => touched(e.bucket))
-          val remain = keyMatchJoin(readEntries(hit, target), gone, "left_anti")
+          val remain = keyMatchJoin(readEntries(hit, target), gone,
+            "left_anti", target)
             .unionByName(ups)
           stageAndCommit(kept, remain, base, target, meta = meta)
         } else if (meta.nonEmpty) {
@@ -1925,13 +2093,13 @@ final class TxTable(
   private def upsertOnto(
       m: Manifest, updates0: DataFrame, base: Long, target: StructType,
       meta: Map[String, String] = Map.empty): Unit = {
-    val updates = updates0.dropDuplicates(keys)
-    val touched = updates.select(bucketExpr.as("_kb")).distinct()
+    val updates = updates0.dropDuplicates(logicalKeyNames(target))
+    val touched = updates.select(bucketExprFor(target).as("_kb")).distinct()
       .collect().map(_.getInt(0)).toSet
     if (touched.nonEmpty) {
       val (hit, kept) = m.entries.partition(e => touched(e.bucket))
       val existing = readEntries(hit, target)
-      val merged = keyMatchJoin(existing, updates, "left_anti")
+      val merged = keyMatchJoin(existing, updates, "left_anti", target)
         .unionByName(updates)
       stageAndCommit(kept, merged, base, target, meta = meta)
     } else if (meta.nonEmpty) {
@@ -1957,7 +2125,7 @@ final class TxTable(
       val s = currentSchema
       val candidates = pruneEntries(cur, cond, s)
       val touched = readEntries(candidates, s).filter(hitCond)
-        .select(bucketExpr.as("_kb"))
+        .select(bucketExprFor(s).as("_kb"))
         .distinct().collect().map(_.getInt(0)).toSet
       if (touched.nonEmpty) {
         val (hit, kept) = cur.partition(e => touched(e.bucket))
@@ -2796,6 +2964,11 @@ object TxTable {
 
   /** Commit-meta key carrying the user TBLPROPERTIES map (JSON). */
   val TblPropsKey: String = "tblproperties"
+
+  /** StructField-metadata key carrying a renamed column's stable
+    * parquet (physical) name — the column-mapping record a
+    * metadata-only RENAME COLUMN writes ([[TxTable.renameColumn]]). */
+  val PhysicalNameKey: String = "graft.physical"
 
   /** Lossless primitive widenings [[TxTable.widenColumn]] allows —
     * exactly the upcasts Spark 4's parquet readers perform when the

@@ -119,7 +119,7 @@ object Reconcile {
     val spark = source.sparkSession
     require(target.keys.size == 1,
       s"repair reconciles single-key tables, got ${target.keys.mkString(",")}")
-    val keyCol = target.keys.head
+    val keyCol = target.logicalKeys.head
     require(source.columns.contains(keyCol),
       s"source is missing the target key column $keyCol")
     // align the target read to the source column order (diffRows

@@ -41,6 +41,9 @@ object Replication {
   def sync(leader: TxTable, follower: TxTable): Int = {
     require(follower.keys == leader.keys,
       "replication requires identical key columns")
+    require(follower.logicalKeys == leader.logicalKeys,
+      "replication requires identical DECLARED key names - apply the " +
+        "same RENAME COLUMN on both sides first")
     val from = appliedVersion(follower)
     val to = leader.currentVersion
     if (to <= from) return 0
@@ -78,7 +81,7 @@ object Replication {
             .filter(col("_change_type").isin("insert", "update_postimage"))
             .drop("_change_type")
           val deletes = cached.filter(col("_change_type") === "delete")
-            .select(leader.keys.map(col): _*)
+            .select(leader.logicalKeys.map(col): _*)
           // ONE atomic commit applies both sides and the watermark —
           // fully distributed (no key list touches the driver)
           follower.applyChangesIf(upserts, deletes,

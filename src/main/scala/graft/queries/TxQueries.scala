@@ -476,6 +476,36 @@ object TxQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Delta columnMapping NAME-mode round-trip: a table with RENAMED
+    * columns (metadata-only, `graft.physical` mapping) plus a
+    * merge-on-read delete exports a Delta log whose schemaString
+    * carries `delta.columnMapping.physicalName`/`.id` per field and
+    * whose add-action stats key by physical name; the import twin
+    * binds files by physicalName (the spec's name-mode contract),
+    * surfaces the DECLARED names, and masks the DV. The aggregate
+    * under the new names must equal DuckDB applying the same delete
+    * relationally to raw parquet — names moved, bytes did not. */
+  def tx_delta_map_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice")
+    val table = cached(s, dir, "orders", "deltamap", 4L) { loc =>
+      new TxTable(s, loc, o.schema, Seq("o_orderkey"), numBuckets = 4)
+    } { tx =>
+      tx.append(o)                                       // v1
+      tx.renameColumn("o_orderkey", "order_id")          // v2 (KEY)
+      tx.renameColumn("o_totalprice", "price")           // v3
+      tx.deleteWhereLight(col("o_orderstatus") === "F")  // v4: DVs live
+      graft.core.DeltaExport.syncDeltaLog(s, tx)         // Delta commit 0
+    }
+    graft.core.DeltaImport.read(s, table.dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        Qhelpers.msum(col("price")).as("total"),
+        min("order_id").as("min_key"))
+      .orderBy("o_orderpriority")
+  }
+
   /** RELOCATION (RENAME TABLE's physical half), end to end: the table
     * is BUILT at a scratch path and [[graft.core.TxTable.relocateTo]]d
     * to its final directory — one atomic filesystem rename, no
@@ -901,14 +931,15 @@ object TxQueries {
   }
 
   /** DDL LIFECYCLE 2 through pure SQL text ([[graft.sources
-    * .GraftCatalog]].alterTable): RENAME COLUMN (one staged rewrite —
-    * without column-mapping the physical name is the binding
-    * identity), ALTER COLUMN TYPE (metadata-only widening: Spark 4's
-    * parquet readers upcast the narrower physical type), and SET
-    * TBLPROPERTIES, then a SQL aggregate over the renamed+widened
-    * column. The result must equal DuckDB recomputing under the new
-    * names on raw parquet — the DDL changed metadata and names, never
-    * values. */
+    * .GraftCatalog]].alterTable): RENAME COLUMN (METADATA-ONLY via
+    * column mapping — the field keeps its creation-time parquet name
+    * as `graft.physical` metadata, zero files rewritten), ALTER
+    * COLUMN TYPE on the RENAMED column (metadata-only widening:
+    * Spark 4's parquet readers upcast the narrower physical type —
+    * the widen composes with the mapping), and SET TBLPROPERTIES,
+    * then a SQL aggregate over the renamed+widened column. The
+    * result must equal DuckDB recomputing under the new names on raw
+    * parquet — the DDL changed metadata and names, never values. */
   def tx_sql_ddl2(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
       .select(col("c_custkey"),
@@ -937,6 +968,50 @@ object TxQueries {
          |  min(c_custkey) AS min_cust
          |FROM graftddl2.`${loc.getName}`
          |GROUP BY nation_key ORDER BY nation_key""".stripMargin)
+  }
+
+  /** METADATA-ONLY RENAME COLUMN under live DML: ingest supplier,
+    * rename BOTH a key column and a data column (each ONE metadata
+    * commit — the `graft.physical` column mapping keeps every
+    * existing file bound by its stable parquet name, so zero data
+    * files rewrite at any table size), then UPSERT and DELETE
+    * through the NEW declared names (bucket co-location, zone maps
+    * and bloom sidecars all still bind physically). The read-back
+    * under the new names must equal DuckDB applying the same
+    * mutations relationally to the raw parquet — the renames changed
+    * names, never values or row identity. */
+  def tx_rename_mapping(s: SparkSession, dir: String): DataFrame = {
+    val supp = t(s, dir, "supplier")
+      .select("s_suppkey", "s_nationkey", "s_acctbal")
+    supp.createOrReplaceTempView("graft_rnm_base")
+    val table = cached(s, dir, "supplier", "renmap", 5L) { loc =>
+      new TxTable(s, loc, supp.schema, Seq("s_suppkey"), numBuckets = 4)
+    } { tx =>
+      tx.createIfAbsent() // v0
+      val loc = new java.io.File(tx.dir)
+      s.conf.set("spark.sql.catalog.graftrnm", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftrnm.root", loc.getParent)
+      val ident = s"graftrnm.`${loc.getName}`"
+      s.sql(s"INSERT INTO $ident SELECT * FROM graft_rnm_base")        // v1
+      s.sql(s"ALTER TABLE $ident RENAME COLUMN s_suppkey TO supp_id")  // v2
+      s.sql(s"ALTER TABLE $ident RENAME COLUMN s_acctbal TO balance")  // v3
+      // DML binds the new declared names; rows land in the SAME
+      // buckets their pre-rename versions occupy (physical key hash)
+      s.sql(
+        s"""UPDATE $ident SET balance = balance + 100.0
+           |WHERE supp_id % 3 = 0""".stripMargin)                      // v4
+      s.sql(s"DELETE FROM $ident WHERE supp_id % 10 = 7")              // v5
+    }
+    val loc = new java.io.File(table.dir)
+    s.conf.set("spark.sql.catalog.graftrnm", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftrnm.root", loc.getParent)
+    s.sql(
+      s"""SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(balance AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+         |  max(supp_id) AS last_supp
+         |FROM graftrnm.`${loc.getName}`
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
   /** SQL `MERGE INTO` through the row-level-operation surface
@@ -1207,6 +1282,7 @@ object TxQueries {
     "tx_stream_sink" -> (tx_stream_sink _),
     "tx_sql_spj_join" -> (tx_sql_spj_join _),
     "tx_sql_agg_pushdown" -> (tx_sql_agg_pushdown _),
+    "tx_rename_mapping" -> (tx_rename_mapping _),
     "tx_sql_merge" -> (tx_sql_merge _),
     "tx_sql_merge_source" -> (tx_sql_merge_source _),
     "tx_sql_update" -> (tx_sql_update _),
@@ -1226,6 +1302,7 @@ object TxQueries {
     "tx_repair_read" -> (tx_repair_read _),
     "tx_delta_roundtrip" -> (tx_delta_roundtrip _),
     "tx_delta_dv_roundtrip" -> (tx_delta_dv_roundtrip _),
+    "tx_delta_map_roundtrip" -> (tx_delta_map_roundtrip _),
     "tx_delta_cdf" -> (tx_delta_cdf _),
     "tx_relocate_read" -> (tx_relocate_read _),
     "tx_branch_wap" -> (tx_branch_wap _),
@@ -1280,6 +1357,22 @@ object TxQueries {
         |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
         |  max(s_suppkey) AS last_supp
         |FROM merged
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // metadata-only renames + DML through the new names must equal
+    // DuckDB applying the same mutations relationally on raw parquet
+    "tx_rename_mapping" ->
+      """WITH mutated AS (
+        |  SELECT s_suppkey AS supp_id, s_nationkey,
+        |    CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal + 100.0
+        |         ELSE s_acctbal END AS balance
+        |  FROM supplier
+        |  WHERE s_suppkey % 10 <> 7
+        |)
+        |SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(balance AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+        |  max(supp_id) AS last_supp
+        |FROM mutated
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // three-clause-family MERGE (incl. NOT MATCHED BY SOURCE) must
     // equal DuckDB's relational recomputation: matched rows whose
@@ -1500,6 +1593,17 @@ object TxQueries {
          |       ${Qhelpers.sqlMsum("o_totalprice")} FROM upd
          |ORDER BY change_type""".stripMargin,
     "tx_delta_dv_roundtrip" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |       ${Qhelpers.sqlMsum("o_totalprice")} AS total,
+         |       MIN(o_orderkey) AS min_key
+         |FROM orders
+         |WHERE o_orderstatus <> 'F'
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+    // renamed columns ride the Delta export as columnMapping name
+    // mode; the import surfaces the DECLARED names over the same
+    // bytes, so the oracle recomputes under aliases on raw parquet
+    "tx_delta_map_roundtrip" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n,
          |       ${Qhelpers.sqlMsum("o_totalprice")} AS total,
          |       MIN(o_orderkey) AS min_key

@@ -262,9 +262,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // comparison is case-insensitive, like every other key resolution.
     Option(info.properties().get("keys")).foreach { p =>
       val asked = p.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      require(asked.length == tx.keys.length &&
-          asked.zip(tx.keys).forall { case (a, k) => a.equalsIgnoreCase(k) },
-        s"REPLACE cannot change keys (${tx.keys.mkString(",")} -> " +
+      val lk = tx.logicalKeys // users state the DECLARED key names
+      require(asked.length == lk.length &&
+          asked.zip(lk).forall { case (a, k) => a.equalsIgnoreCase(k) },
+        s"REPLACE cannot change keys (${lk.mkString(",")} -> " +
           s"${asked.mkString(",")}) - migrate with rebucketTo")
     }
     Option(info.properties().get("buckets")).foreach(b =>
@@ -280,7 +281,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"(${tx.bloomCols.mkString(",")} -> $p) " +
           "- migrate with rebucketTo")
     }
-    tx.keys.foreach(k => require(
+    tx.logicalKeys.foreach(k => require(
       info.schema().fieldNames.exists(_.equalsIgnoreCase(k)),
       s"REPLACE schema must keep key column '$k'"))
     new StagedGraftTable(tx, info.schema(), replace = true,

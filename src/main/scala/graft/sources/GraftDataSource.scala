@@ -237,7 +237,7 @@ final class GraftTable(val dir: String, declaredSchema: StructType,
     // authoritative and must never be shadowed by a user pair
     tx.tableProperties.foreach { case (k, v) => m.put(k, v) }
     if (!tx.keys.contains("__reader__")) {
-      m.put("keys", tx.keys.mkString(","))
+      m.put("keys", tx.logicalKeys.mkString(","))
       m.put("buckets", tx.numBuckets.toString)
       if (tx.bloomCols.nonEmpty) m.put("blooms", tx.bloomCols.mkString(","))
     }
@@ -315,9 +315,9 @@ final class GraftTable(val dir: String, declaredSchema: StructType,
     * `spark.sql.graft.preserveDataGrouping`). */
   override def partitioning(): Array[Transform] =
     if (tx.keys.contains("__reader__") ||
-        !tx.keys.forall(resolvedSchema.fieldNames.contains)) Array.empty
+        !tx.logicalKeys.forall(resolvedSchema.fieldNames.contains)) Array.empty
     else Array(org.apache.spark.sql.connector.expressions.Expressions
-      .bucket(tx.numBuckets, tx.keys: _*))
+      .bucket(tx.numBuckets, tx.logicalKeys: _*))
 
   /** Non-nullable row-identity metadata columns (see
     * [[GraftTable.FileCol]]) — `SELECT _graft_file, _graft_pos` works
@@ -543,8 +543,11 @@ final class GraftScanBuilder(tx: TxTable, version: Long,
     }
     def extremum(f: StructField, wantMin: Boolean): Option[Any] = {
       if (anyDv || !StatValues.extremeOk(f.dataType)) return None
+      // stats documents are keyed by the PHYSICAL column name (f is a
+      // declared-schema field, so its mapping metadata rides along)
+      val statKey = tx.physicalFieldName(f)
       val per = stats.map { st =>
-        st.cols.get(f.name) match {
+        st.cols.get(statKey) match {
           case Some(cs) => // (None, None) = all-null file: no value
             if (wantMin) cs.min else cs.max
           case None if st.rows == 0L => None // empty file: no value
@@ -713,7 +716,7 @@ final class GraftScan(tx: TxTable, version: Long, required: StructType,
     SparkSession.active.conf
       .get(GraftDataSource.PreserveGroupingConf, "false") == "true" &&
       !tx.keys.contains("__reader__") &&
-      tx.keys.forall(required.fieldNames.contains)
+      tx.logicalKeys.forall(required.fieldNames.contains)
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
@@ -721,7 +724,7 @@ final class GraftScan(tx: TxTable, version: Long, required: StructType,
       new org.apache.spark.sql.connector.read.partitioning
         .KeyGroupedPartitioning(
           Array(org.apache.spark.sql.connector.expressions.Expressions
-            .bucket(tx.numBuckets, tx.keys: _*)),
+            .bucket(tx.numBuckets, tx.logicalKeys: _*)),
           tx.numBuckets)
     else
       new org.apache.spark.sql.connector.read.partitioning
@@ -774,8 +777,13 @@ final class GraftScan(tx: TxTable, version: Long, required: StructType,
       if (stats.length == entries.length && stats.nonEmpty) {
         required.fields.filter(f => StatValues.extremeOk(f.dataType))
           .foreach { f =>
-            val per = stats.map(_.cols.get(f.name))
-            if (per.forall(_.isDefined) && s.fieldNames.contains(f.name)) {
+            // stats keyed by physical name; `f` is a pruned-schema
+            // field, so resolve through the declared schema `s`
+            val declared = s.fields.find(_.name.equalsIgnoreCase(f.name))
+            val statKey =
+              declared.map(tx.physicalFieldName).getOrElse(f.name)
+            val per = stats.map(_.cols.get(statKey))
+            if (per.forall(_.isDefined) && declared.isDefined) {
               val cs = per.flatten
               val mins = cs.flatMap(_.min)
               val maxs = cs.flatMap(_.max)
@@ -858,7 +866,10 @@ final class GraftScan(tx: TxTable, version: Long, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required)
+    // files bind by PHYSICAL column name (stable across renames);
+    // ColumnarBatch/InternalRow consumption is positional against
+    // readSchema(), so only the reader-side names change
+    new GraftReaderFactory(tx.physicalizeFor(version, required))
 }
 
 final class GraftReaderFactory(required: StructType)

@@ -141,5 +141,8 @@ final class GraftMicroBatchStream(tx: TxTable, required: StructType,
     else tx.providerSnapshot(v, None)._2.toMap
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required)
+    // bind files by physical column name (stable across renames) —
+    // one mapping covers every served version, since physical names
+    // never change once assigned
+    new GraftReaderFactory(tx.physicalizeFor(tx.currentVersion, required))
 }

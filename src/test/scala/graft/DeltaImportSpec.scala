@@ -220,23 +220,32 @@ class DeltaImportSpec extends SparkSpec {
     val schema = Seq((0L, "")).toDF("k", "s").schema
     writeCommit(dir, 0L, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["columnMapping"],""" +
-        """"writerFeatures":["columnMapping"]}}""",
+        """"readerFeatures":["v2Checkpoint"],""" +
+        """"writerFeatures":["v2Checkpoint"]}}""",
       metaLine(schema.json, Nil)))
     val e1 = intercept[IllegalArgumentException] {
       DeltaImport.snapshot(spark, dir)
     }
-    assert(e1.getMessage.contains("columnMapping"))
+    assert(e1.getMessage.contains("v2Checkpoint"))
 
-    // reader v2 (implied column mapping, no feature list) → refused
+    // reader v2 (column mapping implied) → ACCEPTED at the protocol
+    // gate (name mode binds by physicalName; see RenameMappingSpec);
+    // a mode the reader can't honor (id) refuses AT SCAN TIME
     val dirB = tmpDir("deltai-ref2") + "/t"
     writeCommit(dirB, 0L, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       metaLine(schema.json, Nil)))
-    val eB = intercept[IllegalArgumentException] {
-      DeltaImport.snapshot(spark, dirB)
+    assert(DeltaImport.snapshot(spark, dirB).version === 0L)
+    val dirB2 = tmpDir("deltai-ref2b") + "/t"
+    writeCommit(dirB2, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLine(schema.json, Nil).replace(
+        "\"configuration\":{}",
+        "\"configuration\":{\"delta.columnMapping.mode\":\"id\"}")))
+    val eB = intercept[UnsupportedOperationException] {
+      DeltaImport.read(spark, dirB2)
     }
-    assert(eB.getMessage.contains("minReaderVersion 2"))
+    assert(eB.getMessage.contains("id"))
 
     // reader v3 limited to deletionVectors → ACCEPTED (we mask DVs)
     val dirC = tmpDir("deltai-ref3") + "/t"

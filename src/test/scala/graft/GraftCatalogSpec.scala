@@ -404,7 +404,7 @@ class GraftCatalogSpec extends SparkSpec {
     assert(allMessages(keyw).toLowerCase.contains("widen"))
   }
 
-  test("RENAME COLUMN rewrites once; SET/UNSET TBLPROPERTIES round-trip") {
+  test("RENAME COLUMN is metadata-only; SET/UNSET TBLPROPERTIES round-trip") {
     val root = tmpDir("graft-cat-rename")
     spark.conf.set("spark.sql.catalog.rn", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.rn.root", root)
@@ -414,8 +414,15 @@ class GraftCatalogSpec extends SparkSpec {
     val tx = graft.core.TxTable.openReadOnly(spark, s"$root/t",
       requireDescriptor = true)
     val vBefore = tx.currentVersion
+    def dataFiles(): Set[String] =
+      Option(new java.io.File(s"$root/t/data").listFiles())
+        .map(_.map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .getOrElse(Set.empty)
+    val filesBefore = dataFiles()
 
     spark.sql("ALTER TABLE rn.t RENAME COLUMN old_name TO v")
+    assert(dataFiles() === filesBefore,
+      "rename is a metadata commit - no data file may be rewritten")
     assert(spark.table("rn.t").columns.toSeq === Seq("k", "v"))
     assert(spark.sql("SELECT sum(v) FROM rn.t").head().getDouble(0) === 4.0)
     // time travel below the rename reads the OLD name (per-version
@@ -424,17 +431,13 @@ class GraftCatalogSpec extends SparkSpec {
       .option("versionAsOf", vBefore.toString).load(s"$root/t")
     assert(old.columns.toSeq === Seq("k", "old_name"))
     assert(old.count() === 2L)
-    // interop export after the rename binds by the NEW physical name
-    graft.core.DeltaExport.writeDeltaLog(spark, graft.core.TxTable
-      .openReadOnly(spark, s"$root/t", requireDescriptor = true))
-    val back = graft.core.DeltaImport.read(spark, s"$root/t")
-    assert(back.columns.toSeq === Seq("k", "v"))
-    assert(back.collect().map(_.getDouble(1)).sorted.toSeq === Seq(1.5, 2.5))
-    // key-column rename refuses with the physical-identity rationale
-    val key = intercept[Exception] {
-      spark.sql("ALTER TABLE rn.t RENAME COLUMN k TO kk")
-    }
-    assert(allMessages(key).contains("key column"))
+    // KEY columns rename freely now (physical identity never moves):
+    // DML keeps binding the new declared name
+    spark.sql("ALTER TABLE rn.t RENAME COLUMN k TO kk")
+    assert(spark.table("rn.t").columns.toSeq === Seq("kk", "v"))
+    spark.sql("UPDATE rn.t SET v = 9.5 WHERE kk = 2")
+    assert(spark.sql("SELECT sum(v) FROM rn.t").head().getDouble(0) === 11.0)
+    spark.sql("ALTER TABLE rn.t RENAME COLUMN kk TO k") // restore
 
     // TBLPROPERTIES lifecycle
     spark.sql("ALTER TABLE rn.t SET TBLPROPERTIES ('team'='ops', 'tier'='gold')")
