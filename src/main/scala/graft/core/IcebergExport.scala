@@ -189,11 +189,6 @@ object IcebergExport {
     * dropped column is absent from every snapshot's schema, also
     * matching). Returns the table metadata file's path. */
   def writeIcebergMetadata(spark: SparkSession, table: TxTable): String = {
-    require(!table.columnMappingActive,
-      "cannot export a table with renamed columns to Iceberg yet: the " +
-        "data files bind by physical name and this metadata writes " +
-        "plain names - rebucketTo (physical migration) collapses the " +
-        "mapping, or export before renaming")
     val root = new Path(table.dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootUri = fs.makeQualified(root).toString.stripSuffix("/")
@@ -371,7 +366,20 @@ object IcebergExport {
       "default-sort-order-id" -> JInt(0),
       "sort-orders" -> JArray(List(JObject(
         "order-id" -> JInt(0), "fields" -> JArray(Nil)))),
-      "properties" -> JObject(),
+      // the spec's binding for data files WITHOUT parquet field ids
+      // (ours): each field id names its parquet column. For renamed
+      // columns that is the stable PHYSICAL name — the whole rename
+      // story rides this one property, since physical names never
+      // change across the exported history's snapshots.
+      "properties" -> JObject(
+        "schema.name-mapping.default" -> JString(
+          JsonMethods.compact(JsonMethods.render(JArray(
+            schema.fields.toList.zipWithIndex.map { case (f, i) =>
+              JObject(
+                "field-id" -> JInt(i + 1),
+                "names" -> JArray(List(JString(
+                  table.physicalFieldName(f))))): JValue
+            }))))),
       "current-snapshot-id" -> JLong(currentSnapshotId),
       "refs" -> refs,
       "snapshots" -> JArray(snapshots.toList),

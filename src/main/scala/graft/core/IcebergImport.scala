@@ -65,7 +65,15 @@ object IcebergImport {
       posDeleteFiles: Seq[String] = Nil,
       eqDeletes: Seq[EqDelete] = Nil,
       /** per-`files` data sequence numbers (equality-delete scoping). */
-      dataSeqs: Seq[Long] = Nil)
+      dataSeqs: Seq[Long] = Nil,
+      /** the schema under the PARQUET column names data files bind by
+        * — differs from `schema` only when the metadata carries a
+        * `schema.name-mapping.default` renaming (spec: the binding
+        * for files without parquet field ids). */
+      physSchema: StructType = new StructType()) {
+    def fileSchema: StructType =
+      if (physSchema.isEmpty) schema else physSchema
+  }
 
   private def sparkType(t: String): DataType = t match {
     case "boolean"     => BooleanType
@@ -171,6 +179,33 @@ object IcebergImport {
     val schema = schemaFrom(schemaJ)
     val fieldIds = fieldIdsFrom(schemaJ)
 
+    // schema.name-mapping.default (spec): field-id -> parquet column
+    // name(s), the binding for data files WITHOUT parquet field ids.
+    // When present, the file-side read schema uses the mapped names —
+    // renamed columns keep their stable physical parquet name there.
+    val mappedNames: Map[Int, String] =
+      (md \ "properties" \ "schema.name-mapping.default") match {
+        case JString(raw) => JsonMethods.parse(raw) match {
+          case JArray(es) => es.flatMap { e =>
+            ((e \ "field-id"), (e \ "names")) match {
+              case (JInt(id), JArray(JString(n) :: _)) => Some(id.toInt -> n)
+              case _                                   => None
+            }
+          }.toMap
+          case _ => Map.empty[Int, String]
+        }
+        case _ => Map.empty[Int, String]
+      }
+    val idOf: Map[String, Int] = fieldIds.map(_.swap)
+    val physSchema: StructType =
+      if (mappedNames.isEmpty) new StructType()
+      else StructType(schema.fields.map { f =>
+        idOf.get(f.name).flatMap(mappedNames.get) match {
+          case Some(n) => f.copy(name = n)
+          case None    => f
+        }
+      })
+
     val snaps = (md \ "snapshots") match {
       case JArray(ss) => ss
       case _ => Nil
@@ -183,7 +218,7 @@ object IcebergImport {
       case _ => None
     }
     if (snapshotId.isEmpty && currentId.isEmpty)
-      return Snapshot(-1L, schema, Nil, Nil)
+      return Snapshot(-1L, schema, Nil, Nil, physSchema = physSchema)
     val wantedId: Long = snapshotId.orElse(currentId).get
     val snap = snaps.find(s => (s \ "snapshot-id") match {
       case JInt(v) => v.toLong == wantedId
@@ -280,7 +315,8 @@ object IcebergImport {
     }
     Snapshot(wantedId, schema,
       filesCountsSeqs.map(_._1), filesCountsSeqs.map(_._2),
-      posDeletes.toSeq, eqDeletes.toSeq, filesCountsSeqs.map(_._3))
+      posDeletes.toSeq, eqDeletes.toSeq, filesCountsSeqs.map(_._3),
+      physSchema = physSchema)
   }
 
   /** Read the current (or pinned) snapshot as a DataFrame under the
@@ -297,8 +333,14 @@ object IcebergImport {
     if (s.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+    // data files bind by the name-mapped (physical) column names;
+    // the declared names surface via one positional rename
+    def toDeclared(df: DataFrame): DataFrame =
+      if (s.physSchema.isEmpty) df
+      else df.toDF(s.schema.fieldNames.toSeq: _*)
     if (s.posDeleteFiles.isEmpty && s.eqDeletes.isEmpty)
-      return spark.read.schema(s.schema).parquet(s.files: _*)
+      return toDeclared(
+        spark.read.schema(s.fileSchema).parquet(s.files: _*))
 
     // basenames are the join identity (iceberg file names embed
     // UUIDs); full-URI equality would be brittle across the file:/ vs
@@ -321,17 +363,17 @@ object IcebergImport {
       val (dirty, clean) = files.partition(f => targeted(base(f)))
       val cleanDf =
         if (clean.isEmpty) None
-        else Some(spark.read.schema(s.schema).parquet(clean: _*))
+        else Some(spark.read.schema(s.fileSchema).parquet(clean: _*))
       val dirtyDf =
         if (dirty.isEmpty) None
-        else Some(spark.read.schema(s.schema).parquet(dirty: _*)
+        else Some(spark.read.schema(s.fileSchema).parquet(dirty: _*)
           .withColumn("_file",
             element_at(split(col("_metadata.file_path"), "/"), -1))
           .withColumn("_pos", col("_metadata.row_index"))
           .join(tombOpt.get, col("_file") === col("_del_file") &&
             col("_pos") === col("_del_pos"), "left_anti")
           .drop("_file", "_pos"))
-      (cleanDf.toSeq ++ dirtyDf.toSeq).reduce(_ unionByName _)
+      toDeclared((cleanDf.toSeq ++ dirtyDf.toSeq).reduce(_ unionByName _))
     }
 
     if (s.eqDeletes.isEmpty) scanMasked(s.files)

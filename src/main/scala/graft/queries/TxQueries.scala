@@ -506,6 +506,34 @@ object TxQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Iceberg name-mapping round-trip: a table with RENAMED columns
+    * exports an Iceberg v2 tree whose `schema.name-mapping.default`
+    * property maps each field id to its stable PHYSICAL parquet name
+    * (the spec's binding for data files without field ids), with a
+    * merge-on-read delete riding as a v2 position-delete file; the
+    * import twin binds data files through the mapping, surfaces the
+    * DECLARED names, and masks the deletes. Must equal DuckDB
+    * applying the same delete relationally under aliases. */
+  def tx_iceberg_map_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+    val table = cached(s, dir, "part", "icemap", 4L) { loc =>
+      new TxTable(s, loc, p.schema, Seq("p_partkey"), numBuckets = 4)
+    } { tx =>
+      tx.append(p)                                    // v1
+      tx.renameColumn("p_partkey", "part_id")         // v2 (KEY)
+      tx.renameColumn("p_retailprice", "price")       // v3
+      tx.deleteWhereLight(col("p_size") > 40)         // v4: DVs live
+      graft.core.IcebergExport.writeIcebergMetadata(s, tx)
+    }
+    graft.core.IcebergImport.read(s, table.dir)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        Qhelpers.msum(col("price")).as("total"),
+        min("part_id").as("min_key"))
+      .orderBy("p_brand")
+  }
+
   /** RELOCATION (RENAME TABLE's physical half), end to end: the table
     * is BUILT at a scratch path and [[graft.core.TxTable.relocateTo]]d
     * to its final directory — one atomic filesystem rename, no
@@ -1303,6 +1331,7 @@ object TxQueries {
     "tx_delta_roundtrip" -> (tx_delta_roundtrip _),
     "tx_delta_dv_roundtrip" -> (tx_delta_dv_roundtrip _),
     "tx_delta_map_roundtrip" -> (tx_delta_map_roundtrip _),
+    "tx_iceberg_map_roundtrip" -> (tx_iceberg_map_roundtrip _),
     "tx_delta_cdf" -> (tx_delta_cdf _),
     "tx_relocate_read" -> (tx_relocate_read _),
     "tx_branch_wap" -> (tx_branch_wap _),
@@ -1611,6 +1640,17 @@ object TxQueries {
          |WHERE o_orderstatus <> 'F'
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
+    // renamed columns ride the Iceberg export via
+    // schema.name-mapping.default; the import surfaces declared names
+    // over the same bytes with the position-deletes masked
+    "tx_iceberg_map_roundtrip" ->
+      s"""SELECT p_brand, COUNT(*) AS n,
+         |       ${Qhelpers.sqlMsum("p_retailprice")} AS total,
+         |       MIN(p_partkey) AS min_key
+         |FROM part
+         |WHERE p_size <= 40
+         |GROUP BY p_brand
+         |ORDER BY p_brand""".stripMargin,
     // both appends reconstitute part; the copy-on-write delete removes
     // the big sizes — the ICEBERG-read aggregate must equal the
     // raw-parquet recompute of that state

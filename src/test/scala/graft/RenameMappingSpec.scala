@@ -137,18 +137,37 @@ class RenameMappingSpec extends SparkSpec {
     assert(bad.getMessage.contains("pos_v"))
   }
 
-  test("Iceberg export refuses mapped tables; rebucketTo collapses the mapping") {
+  test("rebucketTo collapses the mapping into a fresh physical=logical table") {
     val t = kv()
     t.append(Seq(("a", 1, 0.0)).toDF("k", "v", "w"))
     t.renameColumn("v", "value")
-    val e2 = intercept[IllegalArgumentException](
-      graft.core.IcebergExport.writeIcebergMetadata(spark, t))
-    assert(e2.getMessage.contains("rebucketTo"))
-    // the migration collapses the mapping and unblocks the export
     val dst = t.rebucketTo(tmpDir("rnm-mig") + "/fresh", 4)
     assert(!dst.columnMappingActive)
     assert(dst.read.select("value").as[Int].head() === 1)
-    graft.core.IcebergExport.writeIcebergMetadata(spark, dst)
+    // fresh files bind the declared name directly
+    val raw = spark.read.parquet(
+      new java.io.File(dst.dir, "data").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq: _*)
+    assert(raw.columns.contains("value"))
+  }
+
+  test("Iceberg export: renamed table publishes schema.name-mapping.default; import round-trips") {
+    val t = kv()
+    t.append((1 to 20).map(i => (s"k$i", i, i * 0.5)).toDF("k", "v", "w"))
+    t.renameColumn("v", "value")
+    t.renameColumn("k", "id")
+    t.deleteWhereLight(col("value") === 5) // a DV → position-delete file
+    graft.core.IcebergExport.writeIcebergMetadata(spark, t)
+    val md = scala.io.Source.fromFile(
+      new java.io.File(t.dir, "metadata/v1.metadata.json")).mkString
+    assert(md.contains("schema.name-mapping.default"))
+    assert(md.contains("\\\"names\\\":[\\\"k\\\"]") ||
+      md.contains("\"names\":[\"k\"]"), "mapping must carry physical 'k'")
+    val back = graft.core.IcebergImport.read(spark, t.dir)
+    assert(back.columns.toSeq === Seq("id", "value", "w"))
+    assert(back.count() === 19)
+    assert(back.filter(col("id") === "k9").select("value")
+      .as[Int].head() === 9)
   }
 
   test("Delta export: renamed table publishes columnMapping NAME mode; import round-trips") {
