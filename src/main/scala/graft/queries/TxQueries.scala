@@ -476,6 +476,46 @@ object TxQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** COPY INTO — idempotent batch file ingest ([[graft.core
+    * .CopyInto]]): supplier split into per-nation-parity source
+    * files, loaded in two copy runs with a VERBATIM RE-RUN between
+    * them (the exactly-once ledger makes it a no-op — the meta
+    * fingerprint CAS, not luck). The final aggregate must equal
+    * DuckDB over the whole supplier table: every source row exactly
+    * once despite the repeated command. */
+  def tx_copy_into(s: SparkSession, dir: String): DataFrame = {
+    val su = t(s, dir, "supplier")
+      .select("s_suppkey", "s_nationkey", "s_acctbal")
+    val table = cached(s, dir, "supplier", "copyinto", 2L) { loc =>
+      new TxTable(s, loc, su.schema, Seq("s_suppkey"), numBuckets = 4)
+    } { tx =>
+      tx.createIfAbsent() // v0
+      val src = new java.io.File(tx.dir + "-src")
+      rmTree(src); src.mkdirs()
+      def publish(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val stage = new java.io.File(src, s".stage-$name")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+        require(part.renameTo(new java.io.File(src, s"$name.parquet")))
+      }
+      publish("even", su.filter(col("s_suppkey") % 2 === 0))
+      val r1 = graft.core.CopyInto.run(s, tx, src.toString)    // v1
+      require(r1.loaded == 1, s"first copy loaded ${r1.loaded}")
+      val r2 = graft.core.CopyInto.run(s, tx, src.toString)    // no-op
+      require(r2.loaded == 0 && r2.skipped == 1, "re-run must no-op")
+      publish("odd", su.filter(col("s_suppkey") % 2 =!= 0))
+      val r3 = graft.core.CopyInto.run(s, tx, src.toString)    // v2
+      require(r3.loaded == 1 && r3.skipped == 1,
+        s"incremental copy loaded ${r3.loaded}")
+    }
+    table.read
+      .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n"),
+        Qhelpers.msum(col("s_acctbal")).as("bal"),
+        max("s_suppkey").as("last_supp"))
+      .orderBy("nationkey")
+  }
+
   /** Delta columnMapping NAME-mode round-trip: a table with RENAMED
     * columns (metadata-only, `graft.physical` mapping) plus a
     * merge-on-read delete exports a Delta log whose schemaString
@@ -1330,6 +1370,7 @@ object TxQueries {
     "tx_repair_read" -> (tx_repair_read _),
     "tx_delta_roundtrip" -> (tx_delta_roundtrip _),
     "tx_delta_dv_roundtrip" -> (tx_delta_dv_roundtrip _),
+    "tx_copy_into" -> (tx_copy_into _),
     "tx_delta_map_roundtrip" -> (tx_delta_map_roundtrip _),
     "tx_iceberg_map_roundtrip" -> (tx_iceberg_map_roundtrip _),
     "tx_delta_cdf" -> (tx_delta_cdf _),
@@ -1629,6 +1670,16 @@ object TxQueries {
          |WHERE o_orderstatus <> 'F'
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
+    // COPY INTO ran twice over the same source plus once after a new
+    // file landed: the ledger makes that exactly the full supplier
+    // table, which is what DuckDB aggregates directly
+    "tx_copy_into" ->
+      s"""SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+         |  count(*) AS n,
+         |  ${Qhelpers.sqlMsum("s_acctbal")} AS bal,
+         |  max(s_suppkey) AS last_supp
+         |FROM supplier
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // renamed columns ride the Delta export as columnMapping name
     // mode; the import surfaces the DECLARED names over the same
     // bytes, so the oracle recomputes under aliases on raw parquet

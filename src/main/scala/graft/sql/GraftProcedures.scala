@@ -138,6 +138,19 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
         val tx = open(spark, arg(0, "table directory"))
         tx.dropBranch(arg(1, "branch name"))
         report(tx, "dropped_branch" -> arg(1, "branch name"))
+      case "copy_into" =>
+        // idempotent batch file ingest (graft.core.CopyInto): loads
+        // only not-yet-loaded source files, exactly once under
+        // concurrency. Source dir is a read-only input, so it is not
+        // gated by allowRawPaths (nothing destructive can reach it).
+        val tx = open(spark, arg(0, "table directory"))
+        val srcDir = arg(1, "source directory")
+        val fmt = if (args.length > 2) arg(2, "format") else "parquet"
+        val pat = if (args.length > 3) arg(3, "glob pattern") else "*"
+        val r = graft.core.CopyInto.run(spark, tx, srcDir, fmt, pat)
+        report(tx, "loaded_files" -> r.loaded.toString,
+          "skipped_files" -> r.skipped.toString,
+          "loaded_rows" -> r.rows.toString)
       case "restore" =>
         // rollback under pressure, as SQL text: re-publish version v's
         // file set as a NEW commit (history preserved, same contract
