@@ -223,6 +223,28 @@ object GraftTableFunctions {
     plan(graft.core.DeltaImport.readChanges(spark, dir, fromV, toV))
   }
 
+  /** `graft_copy_ledger(tableDir)` — COPY INTO's exactly-once ledger
+    * as SQL text: one row per source file ever loaded (path, size,
+    * mtime), the ops view behind "did my load pick this file up?".
+    * Commit-meta only, no data I/O. */
+  private def copyLedger(exprs: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    val dir = str(exprs, 0, "table directory")
+    val tx = graft.core.TxTable.openReadOnly(spark, dir)
+    import spark.implicits._
+    val rows = graft.core.CopyInto.ledger(tx).toSeq.sorted.map { fp =>
+      // split from the RIGHT: the two numeric fields can't contain
+      // '|', a path theoretically could
+      val i2 = fp.lastIndexOf('|')
+      val i1 = if (i2 > 0) fp.lastIndexOf('|', i2 - 1) else -1
+      if (i1 > 0)
+        (fp.take(i1), fp.substring(i1 + 1, i2).toLong,
+          fp.drop(i2 + 1).toLong)
+      else (fp, -1L, -1L)
+    }
+    plan(rows.toDF("path", "size", "mtime").orderBy("path"))
+  }
+
   private def tvf(name: String,
       builder: Seq[Expression] => LogicalPlan): (FunctionIdentifier,
       ExpressionInfo, Seq[Expression] => LogicalPlan) =
@@ -239,5 +261,6 @@ object GraftTableFunctions {
     e.injectTableFunction(tvf("graft_changes", changes))
     e.injectTableFunction(tvf("graft_refs", refs))
     e.injectTableFunction(tvf("graft_delta_changes", deltaChanges))
+    e.injectTableFunction(tvf("graft_copy_ledger", copyLedger))
   }
 }

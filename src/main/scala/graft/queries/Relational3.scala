@@ -115,25 +115,38 @@ object Relational3 {
   def a_robust_outliers(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders").select(col("o_orderstatus").as("st"),
       money(col("o_totalprice")).cast(DoubleType).as("v"))
-    def medianOf(df: DataFrame): DataFrame = {
-      val wts = df.groupBy("st", "v").agg(count(lit(1)).as("w"))
-      val cum = wts
+    // ONE scan of orders: everything downstream — both weighted
+    // medians and the final census — runs over the per-group
+    // VALUE-WEIGHT rows (distinct (st, v) + count), materialized once.
+    // The previous shape re-derived the deviation frame from the raw
+    // table, scanning orders FOUR times; at 100 TB the fact scan IS
+    // the cost, and the distinct-value relation it reduces to is
+    // domain-bounded (price cents), not row-bounded.
+    val wts = o.groupBy("st", "v").agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    def wmedian(wdf: DataFrame, out: String): DataFrame = {
+      val cum = wdf
         .withColumn("cum",
           sum("w").over(Window.partitionBy("st").orderBy("v")))
         .withColumn("n", sum("w").over(Window.partitionBy("st")))
       cum.filter(col("cum") >= expr("(n + 1) div 2"))
-        .groupBy("st").agg(min("v").as("med"))
+        .groupBy("st").agg(min("v").as(out))
     }
-    val med = medianOf(o)
-    val dev = o.join(broadcast(med), "st")
-      .withColumn("d", abs(col("v") - col("med")))
-    val mad = medianOf(dev.select(col("st"), col("d").as("v")))
-      .withColumnRenamed("med", "mad")
-    dev.join(broadcast(mad), "st")
+    val med = wmedian(wts, "med")
+    // deviation weights fold values symmetric around the median onto
+    // one |v - med| row — still value-weight rows, never raw rows
+    val devw = wts.join(broadcast(med), "st")
+      .groupBy(col("st"), col("med"),
+        abs(col("v") - col("med")).as("d"))
+      .agg(sum("w").as("w"))
+    val mad = wmedian(devw.select(col("st"), col("d").as("v"), col("w")),
+      "mad")
+    devw.join(broadcast(mad), "st")
       .groupBy(col("st").as("o_orderstatus"), col("med").as("median"),
         col("mad"))
-      .agg(count(lit(1)).as("n"),
-        count(when(col("d") > lit(3.0) * col("mad"), 1)).as("n_outliers"))
+      .agg(sum("w").as("n"),
+        coalesce(sum(when(col("d") > lit(3.0) * col("mad"), col("w"))),
+          lit(0L)).as("n_outliers"))
       .select("o_orderstatus", "n", "median", "mad", "n_outliers")
       .orderBy("o_orderstatus")
   }

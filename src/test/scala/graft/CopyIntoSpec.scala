@@ -108,6 +108,11 @@ class CopyIntoSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(again("loaded_files") === "0" && again("skipped_files") === "1")
     assert(spark.sql("SELECT count(*) FROM cpc.t").head().getLong(0) === 2L)
+    // the ledger surfaces as SQL text
+    val led = spark.sql(s"SELECT * FROM graft_copy_ledger('$root/t')")
+    assert(led.columns.toSeq === Seq("path", "size", "mtime"))
+    val row = led.head()
+    assert(row.getString(0).endsWith("a.parquet") && row.getLong(1) > 0)
   }
 
   test("copy into a RENAMED table binds the declared names") {
