@@ -734,7 +734,8 @@ final class GraftScan(tx: TxTable, version: Long, required: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(tx, required, startingVersion,
-      maxVersionsPerTrigger)
+      maxVersionsPerTrigger,
+      schemaVersion = if (version >= 0) Some(version) else None)
   override def description(): String = {
     val p = pushed.map(_.toString).mkString(", ")
     s"GraftScan ${tx.dir}@v$version PushedFilters: [$p]"

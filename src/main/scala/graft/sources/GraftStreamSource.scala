@@ -42,7 +42,12 @@ final case class GraftOffset(version: Long) extends Offset {
   */
 final class GraftMicroBatchStream(tx: TxTable, required: StructType,
     startingVersion: Option[Long],
-    maxVersionsPerTrigger: Option[Long] = None) extends MicroBatchStream
+    maxVersionsPerTrigger: Option[Long] = None,
+    /** version `required`'s names were RESOLVED at — the physical
+      * rebinding must use this pin, not the floating head: a column
+      * renamed again mid-stream would otherwise make the resolved
+      * name unmappable (neither current-declared nor physical). */
+    schemaVersion: Option[Long] = None) extends MicroBatchStream
     with SupportsTriggerAvailableNow {
 
   maxVersionsPerTrigger.foreach(n => require(n >= 1,
@@ -142,7 +147,8 @@ final class GraftMicroBatchStream(tx: TxTable, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     // bind files by physical column name (stable across renames) —
-    // one mapping covers every served version, since physical names
-    // never change once assigned
-    new GraftReaderFactory(tx.physicalizeFor(tx.currentVersion, required))
+    // one mapping covers every served version since physical names
+    // never change, resolved at the version `required` was named at
+    new GraftReaderFactory(tx.physicalizeFor(
+      schemaVersion.getOrElse(tx.currentVersion), required))
 }

@@ -215,6 +215,31 @@ class RenameMappingSpec extends SparkSpec {
     assert(t.read.as[(String, Int)].collect().toSeq === Seq(("x", 10)))
   }
 
+  test("stream resolved between two renames binds the pinned epoch's names") {
+    val dir = tmpDir("rnm-stream") + "/t"
+    val b1 = Seq((1L, 10)).toDF("k", "v")
+    val t = new TxTable(spark, dir, b1.schema, Seq("k"), numBuckets = 2)
+    t.append(b1)                 // v1
+    t.renameColumn("v", "value") // v2 — the stream resolves HERE
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "-1").load(dir)
+      .writeStream.format("memory").queryName("rnmtail")
+      .option("checkpointLocation", tmpDir("rnm-stream-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // a FURTHER rename after resolution must not null the column:
+      // the reader rebinds "value" via the version it was resolved
+      // at (physical name "v"), not the moved head
+      t.renameColumn("value", "val2") // v3
+      t.append(Seq((2L, 20)).toDF("k", "val2")) // v4
+      q.processAllAvailable()
+      val got = spark.table("rnmtail").orderBy("k")
+        .as[(Long, Int)].collect().toSeq
+      assert(got === Seq((1L, 10), (2L, 20)))
+    } finally q.stop()
+  }
+
   test("SQL surface: ALTER TABLE RENAME COLUMN end-to-end through DSv2") {
     val root = tmpDir("rnm-sql")
     val t = kv(dir = root + "/sqlt")
