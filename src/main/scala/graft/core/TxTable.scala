@@ -2798,6 +2798,53 @@ final class TxTable(
     * full-path string comparison would silently match nothing and
     * delete live data. Also sweeps aged-out commit claims and orphaned
     * tmp/stage debris from failed attempts. */
+  /** What a [[vacuum]] with the same arguments WOULD delete — the
+    * dry run every retention change deserves before it runs against
+    * production: unreferenced aged data files and DV sidecars (with
+    * their byte total) and the dropped manifest versions. Pure
+    * metadata reads, zero mutation (the real vacuum's watermark
+    * carry-forward commit is also previewed as `carriedMetaKeys`). */
+  final case class VacuumPlan(dataFiles: Seq[String], dvFiles: Seq[String],
+      droppedVersions: Seq[Long], bytes: Long,
+      carriedMetaKeys: Seq[String])
+
+  def vacuumPlan(
+      keepVersions: Int = 1,
+      minAgeMs: Long = TxTable.DefaultVacuumRetentionMs): VacuumPlan = {
+    val f = fs
+    val vs = versions
+    if (vs.isEmpty) return VacuumPlan(Nil, Nil, Nil, 0L, Nil)
+    val now = System.currentTimeMillis()
+    def aged(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      now - st.getModificationTime >= minAgeMs
+    val pinned = tags.values.toSet.intersect(vs.toSet)
+    val keep = (vs.takeRight(math.max(1, keepVersions)) ++ pinned)
+      .distinct.sorted
+    val keptEntries = keep.flatMap(v => loadManifest(v).entries)
+    val referenced: Set[String] =
+      keptEntries.map(_.path.stripPrefix(s"$dataDir/")).toSet
+    val referencedDvs: Set[String] = keptEntries
+      .flatMap(_.dvs.map(_.path.stripPrefix(s"$dvDir/"))).toSet
+    def sweep(d: String, ref: Set[String]): Seq[(String, Long)] =
+      if (!f.exists(new Path(d))) Nil
+      else f.listStatus(new Path(d)).toSeq.collect {
+        case st if !ref(st.getPath.getName) && aged(st) =>
+          st.getPath.getName -> st.getLen
+      }
+    val dataGone = sweep(dataDir, referenced)
+    val dvGone = sweep(dvDir, referencedDvs)
+    val oldestKept = keep.head
+    val dropped = vs.filter(_ < oldestKept)
+    val retainedKeys: Set[String] = vs.filter(_ >= oldestKept)
+      .flatMap(commitMeta(_).keys).toSet
+    val carried = dropped.sorted
+      .foldLeft(Map.empty[String, String])((acc, v) => acc ++ commitMeta(v))
+      .--(retainedKeys).filterNot(_._2 == TxTable.MetaTombstone)
+    VacuumPlan(dataGone.map(_._1).sorted, dvGone.map(_._1).sorted,
+      dropped, dataGone.map(_._2).sum + dvGone.map(_._2).sum,
+      carried.keys.toSeq.sorted)
+  }
+
   def vacuum(
       keepVersions: Int = 1,
       minAgeMs: Long = TxTable.DefaultVacuumRetentionMs): Unit = {

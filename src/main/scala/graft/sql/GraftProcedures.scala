@@ -105,8 +105,23 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
       case "vacuum" =>
         val tx = open(spark, arg(0, "table directory"))
         val keep = if (args.length > 1) arg(1, "keep versions").toInt else 1
-        tx.vacuum(keepVersions = keep)
-        report(tx, "kept_versions" -> keep.toString)
+        val dry = args.length > 2 &&
+          arg(2, "mode").equalsIgnoreCase("dry_run")
+        if (dry) {
+          // preview only: what this retention WOULD delete, zero I/O
+          // beyond metadata — run before changing retention in prod
+          val p = tx.vacuumPlan(keepVersions = keep)
+          report(tx, "dry_run" -> "true",
+            "kept_versions" -> keep.toString,
+            "would_delete_data_files" -> p.dataFiles.length.toString,
+            "would_delete_dv_files" -> p.dvFiles.length.toString,
+            "would_drop_versions" -> p.droppedVersions.length.toString,
+            "would_free_bytes" -> p.bytes.toString,
+            "would_carry_meta_keys" -> p.carriedMetaKeys.mkString(","))
+        } else {
+          tx.vacuum(keepVersions = keep)
+          report(tx, "kept_versions" -> keep.toString)
+        }
       case "undrop" =>
         val tx = open(spark, arg(0, "table directory"))
         tx.undropTable()

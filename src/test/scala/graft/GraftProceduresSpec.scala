@@ -61,6 +61,33 @@ class GraftProceduresSpec extends SparkSpec {
     assert(t.read.count() === 60L)
   }
 
+  test("vacuum dry_run previews the sweep and deletes nothing") {
+    val dir = tmpDir("proc-dry") + "/t"
+    val d = (1L to 50L).map(i => (i, i * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, d.schema, Seq("k"), numBuckets = 2)
+    t.append(d)                                     // v1
+    t.upsert((1L to 50L).map(i => (i, -i * 1.0)).toDF("k", "v")) // v2
+    def files(): Int = new java.io.File(dir + "/data").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = files()
+    // Scala plan at zero age: v1's rewritten files are sweep targets
+    val p = t.vacuumPlan(keepVersions = 1, minAgeMs = 0L)
+    assert(p.dataFiles.nonEmpty && p.bytes > 0)
+    assert(p.droppedVersions === Seq(0L, 1L))
+    assert(files() === before, "plan must not delete")
+    // SQL dry run (default retention age: nothing aged yet → 0s, but
+    // the report shape and the no-mutation contract are the point)
+    val rep = spark.sql(s"CALL graft.vacuum('$dir', 1, 'dry_run')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rep("dry_run") === "true")
+    assert(rep.contains("would_free_bytes"))
+    assert(files() === before, "dry_run must not delete")
+    assert(t.currentVersion === 2L, "dry_run must not commit")
+    // the real vacuum then performs exactly the planned sweep
+    t.vacuum(keepVersions = 1, minAgeMs = 0L)
+    assert(files() === before - p.dataFiles.length)
+  }
+
   test("zorder / export_delta / export_iceberg / undrop through CALL") {
     val dir = tmpDir("proc2") + "/t"
     val d = (1L to 200L).map(i => (i, i % 10L, i * 0.5)).toDF("k", "g", "v")
