@@ -666,6 +666,48 @@ final class TxTable(
     }
   }
 
+  /** ALTER COLUMN SET/DROP DEFAULT as a metadata-only commit —
+    * Delta's exact semantics: the default applies to FUTURE inserts
+    * that omit the column (Spark's analyzer resolves it from the
+    * `CURRENT_DEFAULT` field metadata); existing rows are untouched
+    * and keep reading their stored values (or null). The
+    * exists-default is deliberately NOT set here — rewriting history
+    * via metadata would lie about what the files hold. */
+  def setColumnDefault(name: String, defaultSql: Option[String]): Unit = {
+    withRetry {
+      val base = currentVersion
+      require(base >= 0, s"$dir has no committed version")
+      val m = loadManifest(base)
+      val cur = schemaAt(m)
+      val f = cur.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(s"no such column '$name' " +
+          s"(table has ${cur.fieldNames.mkString(", ")})"))
+      // the default must parse, analyze and cast against the column
+      // NOW, not at first insert: a bad default should fail the DDL
+      defaultSql.foreach { sql =>
+        val ok = scala.util.Try(emptyDfFor(new StructType())
+          .select(expr(sql).cast(f.dataType))
+          .queryExecution.analyzed)
+        require(ok.isSuccess,
+          s"DEFAULT ($sql) does not resolve against " +
+            s"${f.dataType.simpleString}")
+      }
+      val target = StructType(cur.fields.map { x =>
+        if (x.name.equalsIgnoreCase(name)) {
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(x.metadata)
+          defaultSql match {
+            case Some(sql) => mb.putString("CURRENT_DEFAULT", sql)
+            case None      => mb.remove("CURRENT_DEFAULT")
+          }
+          x.copy(metadata = mb.build())
+        } else x
+      })
+      commit(m.entries, base, Some(target))
+      ()
+    }
+  }
+
   // ---- user table properties (SET/UNSET TBLPROPERTIES) ----
 
   /** User TBLPROPERTIES at the current version: the full map rides ONE

@@ -476,6 +476,52 @@ object TxQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Column DEFAULT values end-to-end through pure SQL: CREATE with
+    * defaults, inserts that OMIT the defaulted columns (the analyzer
+    * resolves `CURRENT_DEFAULT` from the declared schema — catalog
+    * capability + persisted field metadata), then ALTER COLUMN SET
+    * DEFAULT changing the fill for later inserts only. Must equal
+    * DuckDB computing the same values relationally from nation. */
+  def tx_sql_defaults(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation").select("n_nationkey", "n_regionkey")
+    n.createOrReplaceTempView("graft_defs_base")
+    val table = cached(s, dir, "nation", "sqldefs", 5L) { loc =>
+      new TxTable(s, loc, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_nationkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("status",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.LongType))), Seq("n_nationkey"),
+        numBuckets = 2)
+    } { tx =>
+      tx.createIfAbsent() // v0
+      val loc = new java.io.File(tx.dir)
+      s.conf.set("spark.sql.catalog.graftdefs", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftdefs.root", loc.getParent)
+      val ident = s"graftdefs.`${loc.getName}`"
+      s.sql(s"ALTER TABLE $ident ALTER COLUMN status SET DEFAULT 'pending'")
+      s.sql(s"ALTER TABLE $ident ALTER COLUMN score SET DEFAULT 0")   // v2
+      s.sql(
+        s"""INSERT INTO $ident (n_nationkey)
+           |SELECT n_nationkey FROM graft_defs_base
+           |WHERE n_regionkey < 2""".stripMargin)                     // v3
+      s.sql(s"ALTER TABLE $ident ALTER COLUMN status SET DEFAULT 'new'")
+      s.sql(
+        s"""INSERT INTO $ident (n_nationkey, score)
+           |SELECT n_nationkey, CAST(n_regionkey AS BIGINT)
+           |FROM graft_defs_base WHERE n_regionkey >= 2""".stripMargin)
+    }
+    val loc = new java.io.File(table.dir)
+    s.conf.set("spark.sql.catalog.graftdefs", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftdefs.root", loc.getParent)
+    s.sql(
+      s"""SELECT status, count(*) AS n, sum(score) AS total_score,
+         |  min(n_nationkey) AS first_key
+         |FROM graftdefs.`${loc.getName}`
+         |GROUP BY status ORDER BY status""".stripMargin)
+  }
+
   /** COPY INTO — idempotent batch file ingest ([[graft.core
     * .CopyInto]]): supplier split into per-nation-parity source
     * files, loaded in two copy runs with a VERBATIM RE-RUN between
@@ -1371,6 +1417,7 @@ object TxQueries {
     "tx_delta_roundtrip" -> (tx_delta_roundtrip _),
     "tx_delta_dv_roundtrip" -> (tx_delta_dv_roundtrip _),
     "tx_copy_into" -> (tx_copy_into _),
+    "tx_sql_defaults" -> (tx_sql_defaults _),
     "tx_delta_map_roundtrip" -> (tx_delta_map_roundtrip _),
     "tx_iceberg_map_roundtrip" -> (tx_iceberg_map_roundtrip _),
     "tx_delta_cdf" -> (tx_delta_cdf _),
@@ -1670,6 +1717,24 @@ object TxQueries {
          |WHERE o_orderstatus <> 'F'
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
+    // inserts omitting defaulted columns resolve CURRENT_DEFAULT at
+    // insert time: first batch under 'pending', second under 'new'
+    // with an explicit score — DuckDB recomputes the same rows
+    "tx_sql_defaults" ->
+      """WITH rows_t AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |    'pending' AS status, CAST(0 AS BIGINT) AS score
+        |  FROM nation WHERE n_regionkey < 2
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT), 'new',
+        |    CAST(n_regionkey AS BIGINT)
+        |  FROM nation WHERE n_regionkey >= 2
+        |)
+        |SELECT status, count(*) AS n,
+        |  CAST(sum(score) AS BIGINT) AS total_score,
+        |  min(n_nationkey) AS first_key
+        |FROM rows_t
+        |GROUP BY status ORDER BY status""".stripMargin,
     // COPY INTO ran twice over the same source plus once after a new
     // file landed: the ledger makes that exactly the full supplier
     // table, which is what DuckDB aggregates directly

@@ -52,6 +52,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
   override def name(): String = catalogName
 
+  /** Column DEFAULT values are supported (CREATE-time defaults and
+    * ALTER COLUMN SET/DROP DEFAULT): the analyzer then resolves
+    * omitted insert columns from the schema's `CURRENT_DEFAULT`
+    * metadata, which our declared schemas persist verbatim. */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def fs: FileSystem =
     new Path(root).getFileSystem(
       SparkSession.active.sparkContext.hadoopConfiguration)
@@ -318,8 +328,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       _.isInstanceOf[TableChange.UpdateColumnType])
     val (setProps, rest3) = rest2.partition(
       _.isInstanceOf[TableChange.SetProperty])
-    val (unsetProps, rest) = rest3.partition(
+    val (unsetProps, rest4) = rest3.partition(
       _.isInstanceOf[TableChange.RemoveProperty])
+    val (setDefaults, rest) = rest4.partition(
+      _.isInstanceOf[TableChange.UpdateColumnDefaultValue])
     val adds = rest.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
@@ -327,6 +339,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(a.isNullable,
           s"new column ${a.fieldNames().head} must be nullable " +
             "(existing rows null-fill)")
+        // the Delta rule, for the Delta reason: a default on ADD
+        // COLUMN would promise a value for EXISTING rows that the
+        // files don't hold. Add the column (nulls), then ALTER
+        // COLUMN SET DEFAULT for future inserts.
+        require(a.defaultValue() == null,
+          s"ADD COLUMN ${a.fieldNames().head} cannot carry a DEFAULT " +
+            "- existing rows read null; ADD the column, then ALTER " +
+            "COLUMN ... SET DEFAULT for future inserts")
         org.apache.spark.sql.types.StructField(
           a.fieldNames().head, a.dataType(), nullable = true)
       case other => readOnly(s"ALTER TABLE ${other.getClass.getSimpleName}")
@@ -357,6 +377,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(w.fieldNames().length == 1,
         "graft tables are flat - nested ALTER COLUMN is unsupported")
       tx.widenColumn(w.fieldNames().head, w.newDataType())
+    }
+    setDefaults.foreach { case d: TableChange.UpdateColumnDefaultValue =>
+      require(d.fieldNames().length == 1,
+        "graft tables are flat - nested ALTER COLUMN is unsupported")
+      // DROP DEFAULT arrives as an empty default string
+      val sql = Option(d.newDefaultValue()).map(_.trim).filter(_.nonEmpty)
+      tx.setColumnDefault(d.fieldNames().head, sql)
     }
     val props = setProps.map { case p: TableChange.SetProperty =>
       p.property() -> p.value() }.toMap
