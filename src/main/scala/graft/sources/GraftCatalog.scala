@@ -60,7 +60,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORT_COLUMN_DEFAULT_VALUE)
+        .SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT)
 
   private def fs: FileSystem =
     new Path(root).getFileSystem(
@@ -330,8 +332,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       _.isInstanceOf[TableChange.SetProperty])
     val (unsetProps, rest4) = rest3.partition(
       _.isInstanceOf[TableChange.RemoveProperty])
-    val (setDefaults, rest) = rest4.partition(
+    val (setDefaults, rest5) = rest4.partition(
       _.isInstanceOf[TableChange.UpdateColumnDefaultValue])
+    val (addCons, rest6) = rest5.partition(
+      _.isInstanceOf[TableChange.AddConstraint])
+    val (dropCons, rest) = rest6.partition(
+      _.isInstanceOf[TableChange.DropConstraint])
     val adds = rest.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
@@ -377,6 +383,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(w.fieldNames().length == 1,
         "graft tables are flat - nested ALTER COLUMN is unsupported")
       tx.widenColumn(w.fieldNames().head, w.newDataType())
+    }
+    addCons.foreach { case a: TableChange.AddConstraint =>
+      a.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          // addCheckConstraint validates the predicate against every
+          // EXISTING row and the staging choke point enforces it on
+          // every later write — ENFORCED semantics, our machinery
+          tx.addCheckConstraint(c.name(), c.predicateSql())
+        case other => readOnly(
+          s"ADD CONSTRAINT ${other.getClass.getSimpleName} " +
+            "(only CHECK constraints are enforced; PK/FK/UNIQUE are " +
+            "informational and not stored)")
+      }
+    }
+    dropCons.foreach { case d: TableChange.DropConstraint =>
+      if (!d.ifExists() || tx.checkConstraints.contains(d.name()))
+        tx.dropCheckConstraint(d.name())
     }
     setDefaults.foreach { case d: TableChange.UpdateColumnDefaultValue =>
       require(d.fieldNames().length == 1,

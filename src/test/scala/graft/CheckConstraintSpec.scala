@@ -96,6 +96,41 @@ class CheckConstraintSpec extends SparkSpec {
     assert(t2.read.count() === 2L)
   }
 
+  test("SQL ALTER TABLE ADD/DROP CONSTRAINT ... CHECK end-to-end") {
+    val root = tmpDir("chk-sql")
+    spark.conf.set("spark.sql.catalog.chkc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.chkc.root", root)
+    spark.sql("""CREATE TABLE chkc.t (k BIGINT, v INT)
+                 TBLPROPERTIES('keys'='k','buckets'='2')""")
+    spark.sql("INSERT INTO chkc.t VALUES (1, 5)")
+    spark.sql(
+      "ALTER TABLE chkc.t ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    val tx = graft.core.TxTable.openReadOnly(spark, s"$root/t",
+      requireDescriptor = true)
+    assert(tx.checkConstraints.keySet === Set("v_pos"))
+    // enforcement gates every later write (our staging choke point)
+    val bad = intercept[Exception] {
+      spark.sql("INSERT INTO chkc.t VALUES (2, -1)")
+    }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(String.valueOf(_)).mkString(" | ")
+    assert(msgs(bad).contains("v_pos"))
+    // declaration refuses when existing rows already violate (Spark's
+    // own pre-validation scan fires first with its error class; our
+    // addCheckConstraint guard is the belt behind that suspender)
+    val vio = intercept[Exception] {
+      spark.sql("ALTER TABLE chkc.t ADD CONSTRAINT v_big CHECK (v > 100)")
+    }
+    assert(msgs(vio).contains("existing rows violate") ||
+      msgs(vio).contains("NEW_CHECK_CONSTRAINT_VIOLATION"))
+    spark.sql("ALTER TABLE chkc.t DROP CONSTRAINT v_pos")
+    spark.sql("INSERT INTO chkc.t VALUES (2, -1)") // enforcement lifted
+    assert(spark.sql("SELECT count(*) FROM chkc.t").head().getLong(0) === 2L)
+    // DROP CONSTRAINT IF EXISTS on an absent name succeeds silently
+    spark.sql("ALTER TABLE chkc.t DROP CONSTRAINT IF EXISTS nope")
+  }
+
   test("history reports per-commit file deltas and meta keys") {
     val t = fresh()
     t.append(Seq(("a", 1), ("b", 2), ("c", 3), ("d", 4)).toDF("k", "v")) // v1
