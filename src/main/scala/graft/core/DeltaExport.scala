@@ -212,8 +212,20 @@ object DeltaExport {
         java.util.UUID.randomUUID().toString)),
       "format" -> JObject("provider" -> JString("parquet"),
         "options" -> JObject()),
-      // Delta's schemaString IS the Spark StructType JSON format
-      "schemaString" -> JString(schema.json),
+      // Delta's schemaString IS the Spark StructType JSON format.
+      // Write-side directives that stock writers would need a
+      // declared table feature to honor are scrubbed: CURRENT_DEFAULT
+      // (column defaults — the allowColumnDefaults feature we don't
+      // declare) and graft.physical (this engine's internal mapping
+      // record; the protocol's delta.columnMapping.* metadata is the
+      // exported truth).
+      "schemaString" -> JString(StructType(schema.fields.map { f =>
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .remove("CURRENT_DEFAULT").remove("EXISTS_DEFAULT")
+          .remove(TxTable.PhysicalNameKey)
+        f.copy(metadata = mb.build())
+      }).json),
       "partitionColumns" -> JArray(Nil),
       // graft.txVersion in CONFIGURATION (not commitInfo) so the CDF
       // sync watermark survives checkpoint bootstrap — checkpoints

@@ -65,17 +65,26 @@ object IcebergExport {
       s"iceberg export does not map $other (flat relational schemas only)")
   }
 
-  private def schemaJson(schema: StructType): JObject = {
-    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+  private def schemaJson(schema: StructType): JObject =
+    schemaJsonWithIds(schema, 0,
+      schema.fieldNames.zipWithIndex.map { case (n, i) =>
+        n.toLowerCase -> (i + 1) }.toMap, _.name)
+
+  /** Iceberg schema JSON with EXPLICIT field ids — per-snapshot
+    * schemas must give the same column (same physical name) the same
+    * id in every schema version, or time travel re-binds wrongly. */
+  private def schemaJsonWithIds(schema: StructType, schemaId: Int,
+      ids: Map[String, Int], physOf: StructField => String): JObject = {
+    val fields = schema.fields.map { f =>
       JObject(
-        "id" -> JInt(i + 1),
+        "id" -> JInt(ids(physOf(f).toLowerCase)),
         "name" -> JString(f.name),
         "required" -> JBool(!f.nullable),
         "type" -> JString(icebergType(f.dataType)))
     }
     JObject(
       "type" -> JString("struct"),
-      "schema-id" -> JInt(0),
+      "schema-id" -> JInt(schemaId),
       "fields" -> JArray(fields.toList))
   }
 
@@ -217,6 +226,49 @@ object IcebergExport {
 
     val versions = table.versions
     require(versions.nonEmpty, "cannot export a never-committed table")
+
+    // PER-SNAPSHOT SCHEMAS: each exported snapshot declares the
+    // schema its version was committed under (schema-id per snapshot
+    // — spec time travel reads the names of that epoch). Field ids
+    // are assigned from a PHYSICAL-name registry, head schema first
+    // (ids 1..n match what single-schema exports wrote), then any
+    // column only older versions know (dropped since) extends it —
+    // so the same column carries the same id in every schema version.
+    val verSchemas: Seq[(Long, StructType)] =
+      versions.map(v => v -> table.schemaAtVersion(v))
+    // lowercase key -> (id, exact-case parquet name)
+    val idReg =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Int, String)]
+    def regOf(f: StructField): Int = {
+      val phys = table.physicalFieldName(f)
+      idReg.getOrElseUpdate(phys.toLowerCase, (idReg.size + 1, phys))._1
+    }
+    schema.fields.foreach(regOf)
+    verSchemas.reverseIterator.foreach(_._2.fields.foreach(regOf))
+    val ids = idReg.map { case (k, (id, _)) => k -> id }.toMap
+    def shapeKey(s: StructType): Seq[(String, String, Boolean)] =
+      s.fields.toSeq.map(f => (f.name, f.dataType.simpleString, f.nullable))
+    // schema-id 0 stays the CURRENT schema (current-schema-id
+    // contract below); older distinct shapes number upward
+    val distinctShapes = scala.collection.mutable.LinkedHashMap(
+      shapeKey(schema) -> 0)
+    verSchemas.foreach { case (_, s) =>
+      val k = shapeKey(s)
+      if (!distinctShapes.contains(k))
+        distinctShapes(k) = distinctShapes.size
+    }
+    val schemaIdOf: Map[Long, Int] =
+      verSchemas.map { case (v, s) => v -> distinctShapes(shapeKey(s)) }.toMap
+    val schemasJson: Seq[JValue] = {
+      // one representative StructType per shape, in id order
+      val repOf = scala.collection.mutable.LinkedHashMap(
+        0 -> schema)
+      verSchemas.foreach { case (_, s) =>
+        repOf.getOrElseUpdate(distinctShapes(shapeKey(s)), s); () }
+      repOf.toSeq.sortBy(_._1).map { case (sid, s) =>
+        schemaJsonWithIds(s, sid, ids, table.physicalFieldName): JValue }
+    }
+
     var lastSeq = 0L
     val snapshots = versions.zipWithIndex.map { case (v, i) =>
       val snapshotId = 1000L + v
@@ -332,7 +384,7 @@ object IcebergExport {
         (if (i == 0) Nil
          else List("parent-snapshot-id" ->
            (JLong(1000L + versions(i - 1)): JValue))) ++
-        List("schema-id" -> (JInt(0): JValue)))
+        List("schema-id" -> (JInt(schemaIdOf(v)): JValue)))
     }
 
     val currentSnapshotId = 1000L + table.currentVersion
@@ -356,9 +408,9 @@ object IcebergExport {
       "location" -> JString(rootUri),
       "last-sequence-number" -> JLong(lastSeq),
       "last-updated-ms" -> JLong(nowMs),
-      "last-column-id" -> JInt(schema.length),
+      "last-column-id" -> JInt(idReg.size),
       "current-schema-id" -> JInt(0),
-      "schemas" -> JArray(List(schemaJson(schema))),
+      "schemas" -> JArray(schemasJson.toList),
       "default-spec-id" -> JInt(0),
       "partition-specs" -> JArray(List(
         JsonMethods.parse(partitionSpecJson))),
@@ -371,14 +423,16 @@ object IcebergExport {
       // columns that is the stable PHYSICAL name — the whole rename
       // story rides this one property, since physical names never
       // change across the exported history's snapshots.
+      // registry-wide: every column any retained version knows maps
+      // its id to the stable parquet name, so time travel through
+      // old schemas binds the same files
       "properties" -> JObject(
         "schema.name-mapping.default" -> JString(
           JsonMethods.compact(JsonMethods.render(JArray(
-            schema.fields.toList.zipWithIndex.map { case (f, i) =>
+            idReg.values.toList.map { case (id, phys) =>
               JObject(
-                "field-id" -> JInt(i + 1),
-                "names" -> JArray(List(JString(
-                  table.physicalFieldName(f))))): JValue
+                "field-id" -> JInt(id),
+                "names" -> JArray(List(JString(phys)))): JValue
             }))))),
       "current-snapshot-id" -> JLong(currentSnapshotId),
       "refs" -> refs,

@@ -176,8 +176,8 @@ object IcebergImport {
           throw new IllegalArgumentException(s"schema-id $cur not found"))
       case _ => md \ "schema" // v1 single-schema layout
     }
-    val schema = schemaFrom(schemaJ)
-    val fieldIds = fieldIdsFrom(schemaJ)
+    val headSchema = schemaFrom(schemaJ)
+    val headFieldIds = fieldIdsFrom(schemaJ)
 
     // schema.name-mapping.default (spec): field-id -> parquet column
     // name(s), the binding for data files WITHOUT parquet field ids.
@@ -196,11 +196,11 @@ object IcebergImport {
         }
         case _ => Map.empty[Int, String]
       }
-    val idOf: Map[String, Int] = fieldIds.map(_.swap)
-    val physSchema: StructType =
+    val headIdOf: Map[String, Int] = headFieldIds.map(_.swap)
+    val headPhysSchema: StructType =
       if (mappedNames.isEmpty) new StructType()
-      else StructType(schema.fields.map { f =>
-        idOf.get(f.name).flatMap(mappedNames.get) match {
+      else StructType(headSchema.fields.map { f =>
+        headIdOf.get(f.name).flatMap(mappedNames.get) match {
           case Some(n) => f.copy(name = n)
           case None    => f
         }
@@ -218,7 +218,8 @@ object IcebergImport {
       case _ => None
     }
     if (snapshotId.isEmpty && currentId.isEmpty)
-      return Snapshot(-1L, schema, Nil, Nil, physSchema = physSchema)
+      return Snapshot(-1L, headSchema, Nil, Nil,
+        physSchema = headPhysSchema)
     val wantedId: Long = snapshotId.orElse(currentId).get
     val snap = snaps.find(s => (s \ "snapshot-id") match {
       case JInt(v) => v.toLong == wantedId
@@ -226,6 +227,34 @@ object IcebergImport {
     }).getOrElse(throw new IllegalArgumentException(
       s"snapshot $wantedId is not in $mdPath (retained: " +
         snaps.flatMap(s => (s \ "snapshot-id").toOption).mkString(", ") + ")"))
+
+    // per-snapshot schema (spec time travel): a pinned snapshot reads
+    // under the schema-id IT declares — the declared names of its
+    // epoch — not the current schema. Field ids are stable across
+    // schema versions, so the name mapping still binds the files.
+    val (schema, fieldIds, physSchema) = (snap \ "schema-id") match {
+      case JInt(sid) if JInt(sid) != (schemaJ \ "schema-id") =>
+        val sj = (md \ "schemas") match {
+          case JArray(ss) => ss.find(s => (s \ "schema-id") == JInt(sid))
+            .getOrElse(throw new IllegalArgumentException(
+              s"snapshot $wantedId declares schema-id $sid, absent " +
+                "from the schemas list"))
+          case _ => schemaJ
+        }
+        val s2 = schemaFrom(sj)
+        val f2 = fieldIdsFrom(sj)
+        val id2 = f2.map(_.swap)
+        val p2 =
+          if (mappedNames.isEmpty) new StructType()
+          else StructType(s2.fields.map { f =>
+            id2.get(f.name).flatMap(mappedNames.get) match {
+              case Some(n) => f.copy(name = n)
+              case None    => f
+            }
+          })
+        (s2, f2, p2)
+      case _ => (headSchema, headFieldIds, headPhysSchema)
+    }
 
     val listPath = (snap \ "manifest-list") match {
       case JString(p) => new Path(p)

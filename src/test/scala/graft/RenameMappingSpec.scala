@@ -168,6 +168,16 @@ class RenameMappingSpec extends SparkSpec {
     assert(back.count() === 19)
     assert(back.filter(col("id") === "k9").select("value")
       .as[Int].head() === 9)
+    // PER-SNAPSHOT SCHEMAS: a snapshot pinned BELOW the renames
+    // reads the declared names of ITS epoch (spec schema-id), over
+    // the same physical files
+    assert(md.replaceAll("\\s", "").contains("\"schema-id\":1"),
+      "history must publish the pre-rename schema too")
+    val old = graft.core.IcebergImport.read(spark, t.dir,
+      snapshotId = Some(1000L + 1L)) // v1 = pre-rename append
+    assert(old.columns.toSeq === Seq("k", "v", "w"))
+    assert(old.count() === 20) // pre-delete epoch: all rows live
+    assert(old.filter(col("k") === "k9").select("v").as[Int].head() === 9)
   }
 
   test("Delta export: renamed table publishes columnMapping NAME mode; import round-trips") {
