@@ -162,7 +162,16 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
         val srcDir = arg(1, "source directory")
         val fmt = if (args.length > 2) arg(2, "format") else "parquet"
         val pat = if (args.length > 3) arg(3, "glob pattern") else "*"
-        val r = graft.core.CopyInto.run(spark, tx, srcDir, fmt, pat)
+        // reader options as 'k=v;k=v' (e.g. 'header=true;sep=|')
+        val opts: Map[String, String] =
+          if (args.length <= 4) Map.empty
+          else arg(4, "reader options").split(";").iterator
+            .map(_.trim).filter(_.nonEmpty).map { kv =>
+              val i = kv.indexOf('=')
+              require(i > 0, s"reader option '$kv' is not k=v")
+              kv.take(i).trim -> kv.drop(i + 1).trim
+            }.toMap
+        val r = graft.core.CopyInto.run(spark, tx, srcDir, fmt, pat, opts)
         report(tx, "loaded_files" -> r.loaded.toString,
           "skipped_files" -> r.skipped.toString,
           "loaded_rows" -> r.rows.toString)

@@ -108,6 +108,16 @@ class CopyIntoSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(again("loaded_files") === "0" && again("skipped_files") === "1")
     assert(spark.sql("SELECT count(*) FROM cpc.t").head().getLong(0) === 2L)
+    // csv with reader options through SQL ('k=v;k=v' form)
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(src, "extra.csv"), "k|v\ns3|30\n")
+    val csvOut = spark.sql(
+      s"CALL graft.copy_into('cpc.t', '$src', 'csv', '*.csv', " +
+        "'header=true;sep=|')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(csvOut("loaded_files") === "1" && csvOut("loaded_rows") === "1")
+    assert(spark.sql("SELECT v FROM cpc.t WHERE k = 's3'")
+      .head().getInt(0) === 30)
     // the ledger surfaces as SQL text
     val led = spark.sql(s"SELECT * FROM graft_copy_ledger('$root/t')")
     assert(led.columns.toSeq === Seq("path", "size", "mtime"))
