@@ -167,6 +167,24 @@ object DeltaExport {
         "writerFeatures" -> (JArray(wf): JValue))))
     }
 
+  /** Write-side schema directives a stock writer would need a
+    * declared table feature to honor, removed from every exported
+    * schemaString: CURRENT_DEFAULT/EXISTS_DEFAULT (column defaults —
+    * the allowColumnDefaults feature this log doesn't declare) and
+    * graft.physical (this engine's internal mapping record; the
+    * protocol's delta.columnMapping.* metadata is the exported
+    * truth). Applied BEFORE the logged-vs-current schema drift
+    * compare in [[syncDeltaLog]], so a defaulted table doesn't
+    * re-emit metaData on every sync. */
+  private def scrubbed(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .remove("CURRENT_DEFAULT").remove("EXISTS_DEFAULT")
+        .remove(TxTable.PhysicalNameKey)
+      f.copy(metadata = mb.build())
+    })
+
   /** `schema` decorated for Delta columnMapping name mode: EVERY
     * field gets `delta.columnMapping.physicalName` (this engine's
     * stable parquet name) and a `delta.columnMapping.id` — ids reused
@@ -212,20 +230,9 @@ object DeltaExport {
         java.util.UUID.randomUUID().toString)),
       "format" -> JObject("provider" -> JString("parquet"),
         "options" -> JObject()),
-      // Delta's schemaString IS the Spark StructType JSON format.
-      // Write-side directives that stock writers would need a
-      // declared table feature to honor are scrubbed: CURRENT_DEFAULT
-      // (column defaults — the allowColumnDefaults feature we don't
-      // declare) and graft.physical (this engine's internal mapping
-      // record; the protocol's delta.columnMapping.* metadata is the
-      // exported truth).
-      "schemaString" -> JString(StructType(schema.fields.map { f =>
-        val mb = new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata)
-          .remove("CURRENT_DEFAULT").remove("EXISTS_DEFAULT")
-          .remove(TxTable.PhysicalNameKey)
-        f.copy(metadata = mb.build())
-      }).json),
+      // Delta's schemaString IS the Spark StructType JSON format
+      // (callers pass a [[scrubbed]] schema)
+      "schemaString" -> JString(schema.json),
       "partitionColumns" -> JArray(Nil),
       // graft.txVersion in CONFIGURATION (not commitInfo) so the CDF
       // sync watermark survives checkpoint bootstrap — checkpoints
@@ -316,8 +323,10 @@ object DeltaExport {
     // the add-action stats key by the physical name, per spec
     val mapped = table.columnMappingActive
     val (metaSchema, maxId) =
-      if (mapped) mappedDeltaSchema(table, schema, None)
-      else (schema, 0L)
+      if (mapped) {
+        val (m, mx) = mappedDeltaSchema(table, schema, None)
+        (scrubbed(m), mx)
+      } else (scrubbed(schema), 0L)
     val statsSchema = table.physicalize(schema)
     val dirty = files.filter(_._1.dvRows > 0L)
     val dvSlots: Map[String, (String, DeltaDv.Slot)] =
@@ -510,9 +519,11 @@ object DeltaExport {
           (JsonMethods.parse(raw) \ "configuration" \
             "delta.columnMapping.mode") == JString("name"))
     val (metaSchema, maxId) =
-      if (mapped) mappedDeltaSchema(table, schema,
-        if (loggedMapped) Some(logged.schema) else None)
-      else (schema, 0L)
+      if (mapped) {
+        val (m, mx) = mappedDeltaSchema(table, schema,
+          if (loggedMapped) Some(logged.schema) else None)
+        (scrubbed(m), mx)
+      } else (scrubbed(schema), 0L)
     val statsSchema = table.physicalize(schema)
     val rel = relative(fs, rootUri) _
     val loggedDvCard: Map[String, Long] = logged.adds.map(a =>

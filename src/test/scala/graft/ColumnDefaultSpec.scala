@@ -50,6 +50,27 @@ class ColumnDefaultSpec extends SparkSpec {
     assert(spark.sql("SELECT v FROM cdf2.t WHERE k = 3").head().isNullAt(0))
   }
 
+  test("Delta export scrubs defaults; re-sync of a defaulted table is a no-op") {
+    val root = tmpDir("coldef-delta")
+    spark.conf.set("spark.sql.catalog.cdfd", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cdfd.root", root)
+    spark.sql("""CREATE TABLE cdfd.t (k BIGINT, v INT DEFAULT 7)
+                 TBLPROPERTIES('keys'='k','buckets'='2')""")
+    spark.sql("INSERT INTO cdfd.t (k) VALUES (1)")
+    val tx = graft.core.TxTable.openReadOnly(spark, s"$root/t",
+      requireDescriptor = true)
+    assert(graft.core.DeltaExport.syncDeltaLog(spark, tx).isDefined)
+    // the exported schemaString carries no write-side directives
+    val log = scala.io.Source.fromFile(new java.io.File(
+      s"$root/t/_delta_log/00000000000000000000.json")).mkString
+    assert(!log.contains("CURRENT_DEFAULT") && !log.contains("EXISTS_DEFAULT"))
+    // no drift: an unchanged defaulted table must sync to NOTHING
+    assert(graft.core.DeltaExport.syncDeltaLog(spark, tx).isEmpty,
+      "re-sync of an unchanged defaulted table must be a no-op")
+    assert(graft.core.DeltaImport.read(spark, s"$root/t")
+      .head().getInt(1) === 7)
+  }
+
   test("ADD COLUMN with DEFAULT refuses; bad default expressions refuse") {
     val root = tmpDir("coldef3")
     spark.conf.set("spark.sql.catalog.cdf3", "graft.sources.GraftCatalog")
