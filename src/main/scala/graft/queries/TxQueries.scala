@@ -1228,6 +1228,49 @@ object TxQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** `MERGE … WITH SCHEMA EVOLUTION` end-to-end: the source carries
+    * a column the target lacks; the one statement widens the target
+    * through the catalog's AddColumn path (the table's
+    * AUTOMATIC_SCHEMA_EVOLUTION capability) AND applies the
+    * update/insert rows — pre-merge rows read the new column as
+    * null. Must equal DuckDB computing the widened merge
+    * relationally from raw parquet. */
+  def tx_sql_merge_evolve(s: SparkSession, dir: String): DataFrame = {
+    val supp = t(s, dir, "supplier")
+      .select("s_suppkey", "s_nationkey", "s_acctbal")
+    supp.createOrReplaceTempView("graft_mrgevo_base")
+    val table = cached(s, dir, "supplier", "sqlmrgevo", 3L) { loc =>
+      new TxTable(s, loc, supp.schema, Seq("s_suppkey"), numBuckets = 4)
+    } { tx =>
+      tx.createIfAbsent() // v0
+      val loc = new java.io.File(tx.dir)
+      s.conf.set("spark.sql.catalog.graftmev", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftmev.root", loc.getParent)
+      val ident = s"graftmev.`${loc.getName}`"
+      s.sql(s"INSERT INTO $ident SELECT * FROM graft_mrgevo_base") // v1
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $ident AS t
+           |USING (
+           |  SELECT s_suppkey, s_nationkey,
+           |    s_acctbal + 50.0 AS s_acctbal,
+           |    CONCAT('T', CAST(s_suppkey % 3 AS STRING)) AS tier
+           |  FROM graft_mrgevo_base WHERE s_suppkey % 4 = 0
+           |) AS src ON t.s_suppkey = src.s_suppkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |""".stripMargin) // v2 (AddColumn) + v3 (row delta)
+    }
+    val loc = new java.io.File(table.dir)
+    s.conf.set("spark.sql.catalog.graftmev", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftmev.root", loc.getParent)
+    s.sql(
+      s"""SELECT COALESCE(tier, 'none') AS tier, count(*) AS n,
+         |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+         |  max(s_suppkey) AS last_supp
+         |FROM graftmev.`${loc.getName}`
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** SQL `UPDATE` with an expression predicate (no metadata-delete
     * shortcut possible — the full row-level path: scan with position
     * identity, delete+reinsert split, one guarded commit). Must equal
@@ -1399,6 +1442,7 @@ object TxQueries {
     "tx_rename_mapping" -> (tx_rename_mapping _),
     "tx_sql_merge" -> (tx_sql_merge _),
     "tx_sql_merge_source" -> (tx_sql_merge_source _),
+    "tx_sql_merge_evolve" -> (tx_sql_merge_evolve _),
     "tx_sql_update" -> (tx_sql_update _),
     "tx_skipping_scan" -> (tx_skipping_scan _),
     "tx_sql_provider" -> (tx_sql_provider _),
@@ -1471,6 +1515,23 @@ object TxQueries {
         |)
         |SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
         |  count(*) AS n,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+        |  max(s_suppkey) AS last_supp
+        |FROM merged
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // MERGE WITH SCHEMA EVOLUTION: matched %4 suppliers take the
+    // bumped balance and a tier; everyone else reads tier as null
+    "tx_sql_merge_evolve" ->
+      """WITH merged AS (
+        |  SELECT s_suppkey,
+        |    CASE WHEN s_suppkey % 4 = 0 THEN s_acctbal + 50.0
+        |         ELSE s_acctbal END AS s_acctbal,
+        |    CASE WHEN s_suppkey % 4 = 0
+        |         THEN 'T' || CAST(s_suppkey % 3 AS VARCHAR)
+        |         ELSE NULL END AS tier
+        |  FROM supplier
+        |)
+        |SELECT COALESCE(tier, 'none') AS tier, count(*) AS n,
         |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
         |  max(s_suppkey) AS last_supp
         |FROM merged

@@ -245,10 +245,15 @@ final class GraftTable(val dir: String, declaredSchema: StructType,
     m
   }
   override def capabilities(): java.util.Set[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION: `MERGE … WITH SCHEMA EVOLUTION`
+    // widens the table through the catalog's AddColumn path before
+    // the row-level rewrite plans — the same nullable-append
+    // contract appendEvolving enforces
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val sv = Option(options.get("startingVersion")).map(_.toLong)
     val st = Option(options.get("startingTimestamp"))
