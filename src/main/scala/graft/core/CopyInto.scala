@@ -87,16 +87,22 @@ object CopyInto {
       val reader = spark.read.format(format).options(options).schema(schema)
       val df = reader.load(paths: _*)
         .select(schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
-      val rows = df.count()
       val after = encode(before ++ fresh.map(fingerprint))
-      val won = table.appendIf(df, Map(MetaKey -> after)) { snap =>
+      // the row count comes from the STAGED files' footer stats
+      // (appendIfCounted) — one source read total; a pre-count()
+      // here would read every incoming file twice, and could
+      // disagree with the staged bytes if a file is replaced mid-run
+      val won = table.appendIfCounted(df, Map(MetaKey -> after)) { snap =>
         // CAS on the ledger: a concurrent copy that landed first
         // changes it, and this attempt must recompute freshness
         snap.meta(MetaKey).map(decode).getOrElse(Set.empty) == before
       }
-      if (won)
-        return Result(fresh.length, files.length - fresh.length, rows,
-          table.currentVersion)
+      won match {
+        case Some(rows) =>
+          return Result(fresh.length, files.length - fresh.length, rows,
+            table.currentVersion)
+        case None => // lost the CAS - recompute freshness and retry
+      }
       require(attempt < maxAttempts,
         s"COPY INTO lost the ledger CAS $maxAttempts times - a copy " +
           "storm on this table; re-run")

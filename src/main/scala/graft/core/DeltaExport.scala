@@ -289,11 +289,17 @@ object DeltaExport {
     import spark.implicits._
     val sidecars = dirty.flatMap(_._2).distinct
     val names = dirty.map { case (f, _) => basename(f.path) }.toSet
+    // dirty-file membership as a broadcast SEMI-JOIN, not an In-list:
+    // at ~10⁵ dirty files a literal isin() bloats the plan and the
+    // codegen'd predicate; a semi-join against a names frame stays
+    // O(1) in plan size at any dirty-file count
+    val namesDf = names.toSeq.toDF("_dv_name")
     val blobs: Seq[(String, (Array[Byte], Long))] =
       spark.read.parquet(sidecars: _*)
         .select("_dv_file", "_dv_pos").distinct()
-        .filter(org.apache.spark.sql.functions.col("_dv_file")
-          .isin(names.toSeq: _*))
+        .join(org.apache.spark.sql.functions.broadcast(namesDf),
+          org.apache.spark.sql.functions.col("_dv_file") ===
+            org.apache.spark.sql.functions.col("_dv_name"), "left_semi")
         .as[(String, Long)]
         .groupByKey(_._1)
         .mapGroups { (file, it) =>

@@ -1980,18 +1980,41 @@ final class TxTable(
     * was computed against, committed atomically with the data via
     * `meta`. */
   def appendIf(df: DataFrame, meta: Map[String, String])
-      (pre: TxTable.Snapshot => Boolean): Boolean = {
+      (pre: TxTable.Snapshot => Boolean): Boolean =
+    appendIfCounted(df, meta)(pre).isDefined
+
+  /** [[appendIf]] that also reports HOW MANY ROWS landed —
+    * `Some(stagedRowCount)` on commit, `None` when the precondition
+    * abandoned the append. The count comes from the staged files'
+    * footer stats (already read once for zone maps), so callers that
+    * need it (COPY INTO's ingest report) never pay a second read of
+    * the source — at 100 TB ingest a pre-`count()` would double the
+    * source I/O, and could even disagree with the staged bytes if a
+    * source file is replaced mid-run. */
+  def appendIfCounted(df: DataFrame, meta: Map[String, String])
+      (pre: TxTable.Snapshot => Boolean): Option[Long] = {
     createIfAbsent()
     val (staged, stage) = stageFiles(df, currentSchema)
     try withRetry {
       val base = currentVersion
       val m = loadManifest(base)
-      if (!pre(snapshotAt(base))) false
+      if (!pre(snapshotAt(base))) None
       else {
         commit(m.entries ++ staged, base, meta = meta)
-        true
+        Some(stagedRowCount(staged))
       }
     } finally fs.delete(stage, true)
+  }
+
+  /** Exact row count of just-staged entries from their footer stats;
+    * the rare stats-less entry (footer read failed at stage time)
+    * falls back to one bounded re-read of THAT file only. */
+  private def stagedRowCount(staged: Seq[FEntry]): Long = {
+    val phys = physicalize(currentSchema)
+    staged.iterator.map { e =>
+      e.parsedStats(phys).map(_.rows).getOrElse(
+        spark.read.parquet(e.path).count())
+    }.sum
   }
 
   /** GUARDED [[appendEvolving]] — the evolving twin of [[appendIf]]:

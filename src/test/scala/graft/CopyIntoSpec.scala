@@ -125,6 +125,43 @@ class CopyIntoSpec extends SparkSpec {
     assert(row.getString(0).endsWith("a.parquet") && row.getLong(1) > 0)
   }
 
+  test("source files are read ONCE per load (no pre-count pass)") {
+    val src = tmpDir("cpsrc7")
+    val n = 5000
+    addFile(src, "big", (1 to n).map(i => (s"k$i", i)))
+    val t = table(tmpDir("cpt7") + "/t")
+    t.createIfAbsent()
+    // count every record any Spark task reads during the load: the
+    // single staging pass reads ~n; the old pre-count() read 2n
+    val recs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          recs.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = CopyInto.run(spark, t, src)
+      assert(r.loaded === 1 && r.rows === n.toLong,
+        "row count must come from the staged footer stats")
+      // drain the listener bus (poll to stability - waitUntilEmpty
+      // is private[spark])
+      var last = -1L; var stable = 0
+      val deadline = System.currentTimeMillis() + 30000
+      while (stable < 3 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        val cur = recs.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      assert(recs.get() >= n.toLong,
+        s"the staging read must be visible (saw ${recs.get()})")
+      assert(recs.get() < 2L * n,
+        s"read ${recs.get()} records for $n source rows - the source " +
+          "was read more than once")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("copy into a RENAMED table binds the declared names") {
     val src = tmpDir("cpsrc6")
     val t = table(tmpDir("cpt6") + "/t")
