@@ -438,11 +438,22 @@ object DeltaImport {
     * positions expand on EXECUTORS, and the dirty files anti-join the
     * broadcast tombstones on (file, row_index) — clean files never
     * pay the mask, the same plan TxTable's own DV reads use. */
-  /** logical-name -> parquet-name map when the log declares
-    * columnMapping NAME mode (None = plain binding). Id mode (parquet
-    * field-id binding) is honestly refused — misbinding by name would
-    * silently misread a renamed id-mode table. */
-  private def nameMapping(snap: Snapshot): Option[Map[String, String]] = {
+  /** How this table's data columns bind to parquet columns, per the
+    * log's `delta.columnMapping.mode`. */
+  private sealed trait ColumnBinding
+  /** NAME mode: bind by each field's `physicalName`. */
+  private final case class BindByName(map: Map[String, String])
+      extends ColumnBinding
+  /** ID mode: bind by parquet FOOTER FIELD ID — the spec's binding
+    * for tables whose parquet column names are unrelated to the Delta
+    * schema (Iceberg-uniform converts, some Databricks writers).
+    * Served through Spark's own field-id reader
+    * (`spark.sql.parquet.fieldId.read.enabled` + `parquet.field.id`
+    * field metadata), so the vectorized decode path is unchanged. */
+  private case object BindById extends ColumnBinding
+
+  private def columnBinding(spark: SparkSession,
+      snap: Snapshot): Option[ColumnBinding] = {
     val mode = snap.metaRaw.flatMap(raw =>
       (JsonMethods.parse(raw) \ "configuration" \
         "delta.columnMapping.mode") match {
@@ -450,24 +461,53 @@ object DeltaImport {
         case _          => None
       })
     mode match {
-      case Some("name") => Some(snap.schema.fields.iterator.map { f =>
-        f.name -> (
-          if (f.metadata.contains("delta.columnMapping.physicalName"))
-            f.metadata.getString("delta.columnMapping.physicalName")
-          else f.name)
-      }.toMap)
-      case Some("id") => throw new UnsupportedOperationException(
-        "delta.columnMapping.mode=id (parquet field-id binding) is " +
-          "not supported - name mode is")
+      case Some("name") => Some(BindByName(snap.schema.fields.iterator.map {
+        f =>
+          f.name -> (
+            if (f.metadata.contains("delta.columnMapping.physicalName"))
+              f.metadata.getString("delta.columnMapping.physicalName")
+            else f.name)
+      }.toMap))
+      case Some("id") =>
+        // session-wide but SAFE: the flag only changes binding for
+        // requested schemas that carry parquet.field.id metadata —
+        // every other read in the session binds by name as before
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        Some(BindById)
+      case Some(other) => throw new UnsupportedOperationException(
+        s"delta.columnMapping.mode='$other' is not supported " +
+          "(name and id are)")
       case _ => None
     }
   }
 
+  /** `s` rewritten to the schema the parquet reader binds with: name
+    * mode renames fields to their physicalName; id mode additionally
+    * tags each field with `parquet.field.id` so Spark's reader
+    * matches footer field ids (a requested field WITHOUT an id — the
+    * CDF's `_change_type` — still binds by name, per Spark's mixed
+    * matching). Declared names are restored positionally after the
+    * scan in both modes. */
   private def physicalized(s: StructType,
-      mapping: Option[Map[String, String]]): StructType = mapping match {
+      binding: Option[ColumnBinding]): StructType = binding match {
     case None => s
-    case Some(m) =>
+    case Some(BindByName(m)) =>
       StructType(s.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
+    case Some(BindById) =>
+      StructType(s.fields.map { f =>
+        require(f.metadata.contains("delta.columnMapping.id"),
+          s"id-mode table field '${f.name}' carries no " +
+            "delta.columnMapping.id - the log is malformed")
+        val phys =
+          if (f.metadata.contains("delta.columnMapping.physicalName"))
+            f.metadata.getString("delta.columnMapping.physicalName")
+          else f.name
+        StructField(phys, f.dataType, f.nullable,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id",
+              f.metadata.getLong("delta.columnMapping.id"))
+            .build())
+      })
   }
 
   def read(spark: SparkSession, dir: String,
@@ -478,9 +518,9 @@ object DeltaImport {
     val rootUri = hfs.makeQualified(root).toString.stripSuffix("/")
     val dataSchema = StructType(
       snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
-    val mapping = nameMapping(snap)
+    val mapping = columnBinding(spark, snap)
     require(mapping.isEmpty || snap.partitionColumns.isEmpty,
-      "columnMapping name mode with partition columns is not supported " +
+      "columnMapping with partition columns is not supported " +
         "- partitionValues key by physical name and this reader does " +
         "not map them")
     val physDataSchema = physicalized(dataSchema, mapping)
@@ -640,9 +680,9 @@ object DeltaImport {
       .filterNot(f => endSnap.partitionColumns.contains(f.name)))
     val changeSchema = StructType(dataSchema.fields :+
       StructField("_change_type", org.apache.spark.sql.types.StringType))
-    // change files bind by PHYSICAL name under columnMapping name
-    // mode, exactly like the data files
-    val mapping = nameMapping(endSnap)
+    // change files bind by PHYSICAL name (or footer field id, in id
+    // mode) under columnMapping, exactly like the data files
+    val mapping = columnBinding(spark, endSnap)
     val physDataSchema = physicalized(dataSchema, mapping)
     val physChangeSchema = StructType(physDataSchema.fields :+
       StructField("_change_type", org.apache.spark.sql.types.StringType))

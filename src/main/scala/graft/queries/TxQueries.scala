@@ -592,6 +592,82 @@ object TxQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Delta columnMapping ID-mode import: a STOCK id-mode table —
+    * parquet data files whose column names (`f1..f3`) are unrelated
+    * to both the Delta schema's declared names AND its physicalNames
+    * (the Iceberg-uniform-convert shape), bound purely by parquet
+    * FOOTER FIELD IDS. The fixture hand-authors the `_delta_log`
+    * (protocol 2/5, `delta.columnMapping.mode=id`, per-field
+    * `delta.columnMapping.id`) the way a foreign writer would; the
+    * import must serve the declared names over the id-bound columns.
+    * The aggregate must equal DuckDB over the raw customer parquet —
+    * if the reader bound by any NAME it would read nothing (or the
+    * wrong column), never silently agree. */
+  def tx_delta_idmap_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val cu = t(s, dir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val src = new java.io.File(s"$dir/customer.parquet")
+    val key = Integer.toHexString(
+      (dir, "customer", src.length(), src.lastModified()).hashCode())
+    val loc = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-tx-idmap-$key")
+    val done = new java.io.File(loc, "_fixture_done")
+    if (!done.exists()) {
+      rmTree(loc); loc.mkdirs()
+      // Spark writes parquet footer field ids for fields carrying
+      // parquet.field.id metadata (fieldId.write.enabled, default on)
+      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      def idMd(i: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", i).build()
+      cu.select(col("c_custkey").as("f1", idMd(1)),
+          col("c_mktsegment").as("f2", idMd(2)),
+          col("c_acctbal").as("f3", idMd(3)))
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(new java.io.File(loc, "data").toString)
+      val files = new java.io.File(loc, "data").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      def fmd(id: Long, phys: String) =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("delta.columnMapping.id", id)
+          .putString("delta.columnMapping.physicalName", phys).build()
+      import org.apache.spark.sql.types.{StructField, StructType}
+      val logical = StructType(Seq(
+        StructField("cust_id", cu.schema("c_custkey").dataType,
+          nullable = true, fmd(1, "col-x1")),
+        StructField("segment", cu.schema("c_mktsegment").dataType,
+          nullable = true, fmd(2, "col-x2")),
+        StructField("bal", cu.schema("c_acctbal").dataType,
+          nullable = true, fmd(3, "col-x3"))))
+      val schemaJson = org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(
+          org.json4s.JString(logical.json)))
+      val lines = Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"idmap","format":{"provider":"parquet",""" +
+          s""""options":{}},"schemaString":$schemaJson,""" +
+          """"partitionColumns":[],"configuration":{""" +
+          """"delta.columnMapping.mode":"id",""" +
+          """"delta.columnMapping.maxColumnId":"3"},"createdTime":1}}""") ++
+        files.map(f =>
+          s"""{"add":{"path":"data/${f.getName}","partitionValues":{},""" +
+            s""""size":${f.length},"modificationTime":${f.lastModified},""" +
+            """"dataChange":true}}""")
+      val logDir = new java.io.File(loc, "_delta_log"); logDir.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Path.of(logDir.toString, "00000000000000000000.json"),
+        lines.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      require(done.createNewFile())
+    }
+    graft.core.DeltaImport.read(s, loc.toString)
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"),
+        Qhelpers.msum(col("bal")).as("bal_sum"),
+        min("cust_id").as("min_cust"))
+      .orderBy("segment")
+  }
+
   /** Iceberg name-mapping round-trip: a table with RENAMED columns
     * exports an Iceberg v2 tree whose `schema.name-mapping.default`
     * property maps each field id to its stable PHYSICAL parquet name
@@ -1463,6 +1539,7 @@ object TxQueries {
     "tx_copy_into" -> (tx_copy_into _),
     "tx_sql_defaults" -> (tx_sql_defaults _),
     "tx_delta_map_roundtrip" -> (tx_delta_map_roundtrip _),
+    "tx_delta_idmap_roundtrip" -> (tx_delta_idmap_roundtrip _),
     "tx_iceberg_map_roundtrip" -> (tx_iceberg_map_roundtrip _),
     "tx_delta_cdf" -> (tx_delta_cdf _),
     "tx_relocate_read" -> (tx_relocate_read _),
@@ -1817,6 +1894,16 @@ object TxQueries {
          |WHERE o_orderstatus <> 'F'
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
+    // a stock id-mode table's columns bind by parquet footer field
+    // id; the import surfaces the declared names over the same rows,
+    // so the oracle recomputes directly from the raw customer parquet
+    "tx_delta_idmap_roundtrip" ->
+      s"""SELECT c_mktsegment AS segment, COUNT(*) AS n,
+         |       ${Qhelpers.sqlMsum("c_acctbal")} AS bal_sum,
+         |       MIN(c_custkey) AS min_cust
+         |FROM customer
+         |GROUP BY c_mktsegment
+         |ORDER BY segment""".stripMargin,
     // renamed columns ride the Iceberg export via
     // schema.name-mapping.default; the import surfaces declared names
     // over the same bytes with the position-deletes masked

@@ -40,6 +40,17 @@ class DeltaImportSpec extends SparkSpec {
       s""""partitionColumns":[$pc],"configuration":{},"createdTime":1}}"""
   }
 
+  private def metaLineConf(schemaJson: String, partCols: Seq[String],
+      conf: Map[String, String]): String = {
+    val pc = partCols.map(c => s""""$c"""").mkString(",")
+    val cj = conf.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+    s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(
+          org.json4s.JString(schemaJson)))},""" +
+      s""""partitionColumns":[$pc],"configuration":{$cj},"createdTime":1}}"""
+  }
+
   /** Write a single-file parquet dir, return the data file's name
     * relative to tableDir. */
   private def dataFile(tableDir: String, sub: String,
@@ -48,6 +59,47 @@ class DeltaImportSpec extends SparkSpec {
     df.coalesce(1).write.mode("overwrite").parquet(out.toString)
     val f = out.listFiles().filter(_.getName.endsWith(".parquet")).head
     s"$sub/${f.getName}"
+  }
+
+  test("columnMapping id mode binds by parquet footer field id, not name") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("deltai-id") + "/t"
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    // file columns: (pq_a LONG, id=1) and (pq_b STRING, id=2). The
+    // LOGICAL schema names a STRING column "pq_a" — the long column's
+    // parquet name — and its physicalNames match NOTHING in the file:
+    // binding by name (logical or physical) would misread or fail;
+    // only footer-field-id binding reads this table correctly (the
+    // Iceberg-uniform-convert shape id mode exists for).
+    def idMd(i: Long) = new MetadataBuilder()
+      .putLong("parquet.field.id", i).build()
+    val fileSchema = StructType(Seq(
+      StructField("pq_a", LongType, nullable = true, idMd(1)),
+      StructField("pq_b", StringType, nullable = true, idMd(2))))
+    val data = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, "x"), Row(2L, "y"), Row(3L, "z")), 1), fileSchema)
+    val rel = dataFile(dir, "data", data)
+    def fmd(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val logical = StructType(Seq(
+      StructField("user_id", LongType, nullable = true,
+        fmd(1, "col-aaaa")),
+      StructField("pq_a", StringType, nullable = true,
+        fmd(2, "col-bbbb"))))
+    writeCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLineConf(logical.json, Nil, Map(
+        "delta.columnMapping.mode" -> "id",
+        "delta.columnMapping.maxColumnId" -> "2")),
+      s"""{"add":{"path":"$rel","partitionValues":{},"size":1,""" +
+        """"modificationTime":1,"dataChange":true}}"""))
+    val out = DeltaImport.read(spark, dir)
+    assert(out.columns.toSeq === Seq("user_id", "pq_a"))
+    assert(rows(out) ===
+      Set(Seq(1L, "x"), Seq(2L, "y"), Seq(3L, "z")))
   }
 
   test("round-trips DeltaExport's snapshot through the production reader") {
@@ -229,8 +281,10 @@ class DeltaImportSpec extends SparkSpec {
     assert(e1.getMessage.contains("v2Checkpoint"))
 
     // reader v2 (column mapping implied) → ACCEPTED at the protocol
-    // gate (name mode binds by physicalName; see RenameMappingSpec);
-    // a mode the reader can't honor (id) refuses AT SCAN TIME
+    // gate (name mode binds by physicalName, id mode by footer field
+    // id — see the id-mode test above); a MALFORMED id-mode log
+    // (fields missing delta.columnMapping.id) refuses AT SCAN TIME
+    // instead of guessing a name binding
     val dirB = tmpDir("deltai-ref2") + "/t"
     writeCommit(dirB, 0L, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
@@ -242,10 +296,21 @@ class DeltaImportSpec extends SparkSpec {
       metaLine(schema.json, Nil).replace(
         "\"configuration\":{}",
         "\"configuration\":{\"delta.columnMapping.mode\":\"id\"}")))
-    val eB = intercept[UnsupportedOperationException] {
+    val eB = intercept[IllegalArgumentException] {
       DeltaImport.read(spark, dirB2)
     }
-    assert(eB.getMessage.contains("id"))
+    assert(eB.getMessage.contains("delta.columnMapping.id"))
+    // an unknown mapping mode stays an honest refusal
+    val dirB3 = tmpDir("deltai-ref2c") + "/t"
+    writeCommit(dirB3, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLine(schema.json, Nil).replace(
+        "\"configuration\":{}",
+        "\"configuration\":{\"delta.columnMapping.mode\":\"weird\"}")))
+    val eB3 = intercept[UnsupportedOperationException] {
+      DeltaImport.read(spark, dirB3)
+    }
+    assert(eB3.getMessage.contains("weird"))
 
     // reader v3 limited to deletionVectors → ACCEPTED (we mask DVs)
     val dirC = tmpDir("deltai-ref3") + "/t"
