@@ -1755,8 +1755,118 @@ final class TxTable(
   /** S12 — append: new files, manifest = old ∪ new. The staged files
     * don't depend on the base version, so a rebase after a conflict
     * only re-reads the manifest and re-commits — no data rewrite
-    * (commit's post-conflict rollback returns them to the stage). */
-  def append(df: DataFrame): Unit = { appendCommit(df); () }
+    * (commit's post-conflict rollback returns them to the stage).
+    * Tables with IDENTITY columns route through the allocating twin
+    * (high-water-mark CAS — see the identity section). */
+  def append(df: DataFrame): Unit = {
+    val ids = identityFields(currentSchema)
+    if (ids.isEmpty) { appendCommit(df); () }
+    else appendAllocatingIdentity(df, ids)
+  }
+
+  // ---- identity columns (GENERATED ALWAYS AS IDENTITY) ----
+  //
+  // Spark 4's parser turns `row_id BIGINT GENERATED ALWAYS AS
+  // IDENTITY [(START WITH s INCREMENT BY p)]` (and the BY DEFAULT
+  // variant) into the column-metadata keys `identity.start` /
+  // `identity.step` / `identity.allowExplicitInsert`, which the
+  // declared schema persists verbatim — exactly like column
+  // DEFAULTs. Allocation is the Delta recipe: a HIGH-WATER MARK
+  // rides commit meta (`identity.<physical>.next`, carried forward
+  // by vacuum like every application watermark); an append reads the
+  // mark, generates `mark + step * monotonically_increasing_id()`
+  // per row (GAPS ARE ALLOWED by identity semantics — the
+  // per-partition id stride leaves them, which is what makes
+  // generation a zero-shuffle, single-pass expression at any scale),
+  // derives the new mark from the STAGED files' footer stats (no
+  // second read), and commits with a CAS on the mark — two
+  // concurrent appends can never allocate overlapping ids: the loser
+  // re-reads the winner's mark and re-stages.
+
+  private[graft] def identityFields(s: StructType): Seq[StructField] =
+    s.fields.toSeq.filter(_.metadata.contains(TxTable.IdentityStartKey))
+
+  private def identityMetaKey(f: StructField): String =
+    s"identity.${physicalFieldName(f)}.next"
+
+  /** Next id this table would allocate for identity column `f`. */
+  private[graft] def identityNext(f: StructField): Long =
+    latestMeta(identityMetaKey(f)).map(_.toLong)
+      .getOrElse(f.metadata.getLong(TxTable.IdentityStartKey))
+
+  /** `f`'s value for an incoming row: explicit-null rows take the
+    * generated id; non-null rows are the caller's — accepted under
+    * GENERATED BY DEFAULT, a per-row `raise_error` under ALWAYS
+    * (single pass, codegen'd, no extra validation job). */
+  private def identityValue(f: StructField, next: Long): Column = {
+    val step = f.metadata.getLong(TxTable.IdentityStepKey)
+    val gen = (lit(next) + lit(step) * monotonically_increasing_id())
+      .cast(f.dataType)
+    val explicitOk =
+      f.metadata.contains(TxTable.IdentityAllowExplicitKey) &&
+        f.metadata.getBoolean(TxTable.IdentityAllowExplicitKey)
+    if (explicitOk) coalesce(col(f.name), gen)
+    else when(col(f.name).isNull, gen).otherwise(raise_error(concat(
+      lit(s"identity column '${f.name}' is GENERATED ALWAYS - " +
+        "explicit value "), col(f.name).cast("string"),
+      lit(" is not accepted (omit the column)"))).cast(f.dataType))
+  }
+
+  /** New high-water mark after `staged` landed: one past the extreme
+    * id actually staged (from footer stats — zero data I/O), never
+    * behind the claimed mark. */
+  private def identityAdvance(f: StructField, claimed: Long,
+      staged: Seq[FEntry]): Long = {
+    val step = f.metadata.getLong(TxTable.IdentityStepKey)
+    val phys = physicalize(currentSchema)
+    val pname = physicalFieldName(f)
+    val extremes = staged.flatMap { e =>
+      e.parsedStats(phys).flatMap(_.cols.get(pname))
+        .flatMap(cs => if (step > 0) cs.max else cs.min) match {
+        case Some(l: Long) => Some(l)
+        case Some(i: Int)  => Some(i.toLong)
+        case _ =>
+          // stats-less staged file (footer read failed): one bounded
+          // re-read of THAT file only
+          val agg = if (step > 0) max(col(pname)) else min(col(pname))
+          Option(spark.read.parquet(e.path).agg(agg).head.get(0))
+            .map(_.asInstanceOf[Number].longValue())
+      }
+    }
+    if (extremes.isEmpty) claimed
+    else if (step > 0) math.max(claimed, extremes.max + step)
+    else math.min(claimed, extremes.min + step)
+  }
+
+  private def appendAllocatingIdentity(df: DataFrame,
+      ids: Seq[StructField]): Unit = {
+    ids.foreach(f => require(
+      f.dataType == org.apache.spark.sql.types.LongType,
+      s"identity column '${f.name}' must be BIGINT, " +
+        s"got ${f.dataType.simpleString}"))
+    val conformed = conform(df, currentSchema)
+    var attempt = 0
+    while (attempt < 8) {
+      attempt += 1
+      val claims = ids.map(f => f -> identityNext(f))
+      val gen = claims.foldLeft(conformed) { case (d, (f, n)) =>
+        d.withColumn(f.name, identityValue(f, n))
+      }
+      val won = appendIfMetaOf(gen, staged => claims.map { case (f, n) =>
+        identityMetaKey(f) -> identityAdvance(f, n, staged).toString
+      }.toMap) { snap =>
+        // CAS: the mark at the claimed base must still be the one
+        // the ids were generated from
+        claims.forall { case (f, n) =>
+          snap.meta(identityMetaKey(f)).map(_.toLong)
+            .getOrElse(f.metadata.getLong(TxTable.IdentityStartKey)) == n
+        }
+      }
+      if (won.isDefined) return
+    }
+    sys.error(s"identity append lost the high-water-mark CAS 8 times " +
+      s"on $dir - an append storm; re-run")
+  }
 
   /** [[append]] returning the version THIS append committed — callers
     * that need the version must use this, never a re-read of
@@ -1992,7 +2102,17 @@ final class TxTable(
     * source I/O, and could even disagree with the staged bytes if a
     * source file is replaced mid-run. */
   def appendIfCounted(df: DataFrame, meta: Map[String, String])
-      (pre: TxTable.Snapshot => Boolean): Option[Long] = {
+      (pre: TxTable.Snapshot => Boolean): Option[Long] =
+    appendIfMetaOf(df, _ => meta)(pre).map(stagedRowCount)
+
+  /** Core of the guarded appends whose commit META depends on what
+    * was STAGED (identity high-water marks need the staged max id;
+    * COPY INTO's row report needs the staged row count): stages
+    * once, evaluates `pre` at each claimed base, and derives the
+    * commit meta from the staged entries' footer stats. */
+  private def appendIfMetaOf(df: DataFrame,
+      metaOf: Seq[FEntry] => Map[String, String])
+      (pre: TxTable.Snapshot => Boolean): Option[Seq[FEntry]] = {
     createIfAbsent()
     val (staged, stage) = stageFiles(df, currentSchema)
     try withRetry {
@@ -2000,8 +2120,8 @@ final class TxTable(
       val m = loadManifest(base)
       if (!pre(snapshotAt(base))) None
       else {
-        commit(m.entries ++ staged, base, meta = meta)
-        Some(stagedRowCount(staged))
+        commit(m.entries ++ staged, base, meta = metaOf(staged))
+        Some(staged)
       }
     } finally fs.delete(stage, true)
   }
@@ -2432,6 +2552,38 @@ final class TxTable(
       // instead of failing on its remove/re-add file churn
       stageAndCommit(Nil, readVersion(base), base, currentSchema,
         meta = Map("layout_only" -> "true"))
+    }
+  }
+
+  /** SELECTIVE small-file compaction: only buckets holding at least
+    * `minFiles` data files rewrite (their live rows restage into one
+    * file each, outstanding DVs folding in); every other bucket
+    * RE-LINKS untouched. Returns how many buckets rewrote (0 = the
+    * whole call was a metadata no-op, no commit). This is the
+    * auto-maintenance primitive: on a 100 TB table where continuous
+    * ingest fragments a few hot buckets, the full [[compact]] would
+    * rewrite every clean bucket too — here the write amplification is
+    * bounded by the fragmented buckets alone. */
+  def compactBuckets(minFiles: Int): Int = {
+    require(minFiles >= 2, s"minFiles must be >= 2, got $minFiles")
+    if (currentVersion < 0) return 0
+    withRetry {
+      val base = currentVersion
+      val m = loadManifest(base)
+      val fragmented = m.entries.groupBy(_.bucket)
+        .filter { case (_, es) =>
+          es.length >= minFiles || (es.length > 1 && es.exists(_.dvs.nonEmpty))
+        }.keySet
+      if (fragmented.isEmpty) 0
+      else {
+        val (rewrite, keep) = m.entries.partition(e => fragmented(e.bucket))
+        val df = readEntries(rewrite, schemaAt(m))
+        // layout_only: the live row set is unchanged — streaming tail
+        // readers skip this commit (same contract as compact())
+        stageAndCommit(keep, df, base, schemaAt(m),
+          meta = Map("layout_only" -> "true"))
+        fragmented.size
+      }
     }
   }
 
@@ -3081,6 +3233,13 @@ object TxTable {
     * parquet (physical) name — the column-mapping record a
     * metadata-only RENAME COLUMN writes ([[TxTable.renameColumn]]). */
   val PhysicalNameKey: String = "graft.physical"
+
+  /** Column-metadata keys Spark's parser writes for `GENERATED
+    * [ALWAYS | BY DEFAULT] AS IDENTITY` columns
+    * (org.apache.spark.sql.catalyst.util.IdentityColumn). */
+  val IdentityStartKey: String = "identity.start"
+  val IdentityStepKey: String = "identity.step"
+  val IdentityAllowExplicitKey: String = "identity.allowExplicitInsert"
 
   /** Lossless primitive widenings [[TxTable.widenColumn]] allows —
     * exactly the upcasts Spark 4's parquet readers perform when the

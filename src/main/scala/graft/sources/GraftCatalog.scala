@@ -55,14 +55,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** Column DEFAULT values are supported (CREATE-time defaults and
     * ALTER COLUMN SET/DROP DEFAULT): the analyzer then resolves
     * omitted insert columns from the schema's `CURRENT_DEFAULT`
-    * metadata, which our declared schemas persist verbatim. */
+    * metadata, which our declared schemas persist verbatim. IDENTITY
+    * columns likewise: the parser's `identity.*` column metadata
+    * persists in the declared schema, and the write path allocates
+    * from a CAS'd high-water mark (TxTable's identity section). */
   override def capabilities(): java.util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
         .SUPPORT_COLUMN_DEFAULT_VALUE,
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORT_TABLE_CONSTRAINT)
+        .SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private def fs: FileSystem =
     new Path(root).getFileSystem(
@@ -185,6 +190,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(partitions.isEmpty,
       "graft tables take no PARTITIONED BY - physical layout comes from " +
         "the 'keys'/'buckets' table properties (manifest bucketing)")
+    // identity allocation strides by partition id in a 64-bit space;
+    // fail the narrow type at CREATE, not on the first insert
+    schema.fields.filter(_.metadata.contains(
+        graft.core.TxTable.IdentityStartKey)).foreach(f => require(
+      f.dataType == org.apache.spark.sql.types.LongType,
+      s"identity column '${f.name}' must be BIGINT, " +
+        s"got ${f.dataType.simpleString}"))
     val (keys, buckets, blooms) = layoutProps(schema, properties)
     val dir = dirFor(ident.namespace(), ident.name())
     // the staging check runs FIRST and regardless of _manifests: a
@@ -233,6 +245,38 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(tx.dir, schema)
   }
 
+  /** Spark's own `Column[]` → `StructType` conversion (behind
+    * TableInfo and the modern createTable) encodes comments and
+    * column DEFAULTs but DROPS the identity spec — the connector is
+    * expected to read it off the Column API (the Delta recipe).
+    * Re-attach it as the `identity.*` metadata keys TxTable's write
+    * path allocates from. Generated-expression columns are refused
+    * honestly: nothing in this engine would compute them. */
+  private def schemaOf(columns: Array[Column]): StructType = {
+    columns.foreach(c => require(c.generationExpression() == null,
+      s"generated column '${c.name()}' (GENERATED ALWAYS AS (expr)) " +
+        "is not supported - identity columns and DEFAULTs are"))
+    val base = GraftCatalogShims.v2ColumnsToStructType(columns)
+    StructType(base.fields.zip(columns).map { case (f, c) =>
+      Option(c.identityColumnSpec()) match {
+        case None => f
+        case Some(spec) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong(graft.core.TxTable.IdentityStartKey, spec.getStart)
+            .putLong(graft.core.TxTable.IdentityStepKey, spec.getStep)
+            .putBoolean(graft.core.TxTable.IdentityAllowExplicitKey,
+              spec.isAllowExplicitInsert)
+            .build())
+      }
+    })
+  }
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table =
+    createTable(ident, schemaOf(columns), partitions, properties)
+
   /** CTAS through the staging API with REAL atomic visibility: the
     * table directory is created with a `_staging` marker that keeps
     * it INVISIBLE to every catalog path (loadTable / tableExists /
@@ -243,9 +287,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * directory, which the non-empty-target refusal in `createTx`
     * guarantees this statement created. */
   override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
-    val tx = createTx(ident, info.schema(), info.partitions(),
+    val s = schemaOf(info.columns()) // identity spec survives CTAS too
+    val tx = createTx(ident, s, info.partitions(),
       info.properties(), staged = true)
-    new StagedGraftTable(tx, info.schema(), replace = false,
+    new StagedGraftTable(tx, s, replace = false,
       stagingMarker =
         Some(new Path(tx.dir, GraftCatalog.StagingMarker).toString))
   }

@@ -208,11 +208,49 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
         val tx = open(spark, arg(0, "table directory"))
         val p = graft.core.IcebergExport.writeIcebergMetadata(spark, tx)
         report(tx, "metadata" -> p)
+      case "maintenance" =>
+        // POLICY-DRIVEN auto-maintenance — the "nobody has to
+        // remember to run OPTIMIZE" verb for scheduled callers: each
+        // step runs only when its threshold trips (below it the step
+        // is a metadata no-op, so the CALL is idempotent and cheap to
+        // run on a tight schedule). Thresholds come from
+        // TBLPROPERTIES, with the compaction one overridable as arg 2:
+        //   graft.autoCompact.minFiles       (default 8): a bucket
+        //     holding >= this many files rewrites to one file —
+        //     compactBuckets touches ONLY fragmented buckets, so the
+        //     write amplification at 100 TB is bounded by the hot
+        //     buckets continuous ingest actually fragmented
+        //   graft.autoMaintain.minDeadFraction (default 0.3): buckets
+        //     whose DV-tombstoned share exceeds it fold deletes in
+        //   graft.vacuum.keepVersions (NO default): vacuum runs ONLY
+        //     when retention is explicitly configured — time travel
+        //     retention is never silently shortened by maintenance
+        val tx = open(spark, arg(0, "table directory"))
+        val props = tx.tableProperties
+        val minFiles =
+          (if (args.length > 1) Some(arg(1, "min files per bucket"))
+           else props.get("graft.autoCompact.minFiles"))
+            .map(_.toInt).getOrElse(8)
+        val deadFrac = props.get("graft.autoMaintain.minDeadFraction")
+          .map(_.toDouble).getOrElse(0.3)
+        val before = tx.dataFileCount
+        val rewrote = tx.compactBuckets(minFiles)
+        tx.materializeDeletes(minDeadFraction = deadFrac)
+        val vacuumed = props.get("graft.vacuum.keepVersions").map { kv =>
+          val minAge = props.get("graft.vacuum.minAgeMs").map(_.toLong)
+            .getOrElse(TxTable.DefaultVacuumRetentionMs)
+          tx.vacuum(keepVersions = kv.toInt, minAgeMs = minAge)
+          kv
+        }
+        report(tx, "files_before" -> before.toString,
+          "compacted_buckets" -> rewrote.toString,
+          "min_files_threshold" -> minFiles.toString,
+          "vacuum_keep_versions" -> vacuumed.getOrElse("off"))
       case other => throw new UnsupportedOperationException(
         s"unknown procedure graft.$other - available: compact, zorder, " +
-          "materialize_deletes, vacuum, undrop, restore, relocate, " +
-          "rebucket, export_delta, export_iceberg, tag, drop_tag, " +
-          "branch, publish, drop_branch")
+          "materialize_deletes, vacuum, maintenance, copy_into, undrop, " +
+          "restore, relocate, rebucket, export_delta, export_iceberg, " +
+          "tag, drop_tag, branch, publish, drop_branch")
     }
   }
 }

@@ -61,6 +61,54 @@ class GraftProceduresSpec extends SparkSpec {
     assert(t.read.count() === 60L)
   }
 
+  test("CALL graft.maintenance: threshold-gated, idempotent, retains history") {
+    val dir = tmpDir("proc-maint") + "/t"
+    val d = (1L to 48L).map(i => (i, i * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, d.schema, Seq("k"), numBuckets = 2)
+    (0 until 6).foreach(i => t.append(d.filter(col("k") % 6 === i)))
+    val before = t.dataFileCount
+    val vBefore = t.currentVersion
+    assert(before >= 6)
+
+    // below the threshold: a metadata no-op - no commit, no rewrite
+    val noop = spark.sql(s"CALL graft.maintenance('$dir', 20)")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(noop("compacted_buckets") === "0")
+    assert(t.dataFileCount === before && t.currentVersion === vBefore)
+
+    // policy via TBLPROPERTIES; the threshold trips -> one file/bucket
+    t.setTableProperties(Map("graft.autoCompact.minFiles" -> "4"))
+    val rep = spark.sql(s"CALL graft.maintenance('$dir')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rep("compacted_buckets") === "2")
+    assert(t.dataFileCount === 2)
+    assert(t.read.count() === 48L)
+    // time travel below the maintenance commit is retained
+    assert(t.readVersion(vBefore).count() === 48L)
+
+    // re-run: idempotent no-op (single files everywhere)
+    val again = spark.sql(s"CALL graft.maintenance('$dir')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(again("compacted_buckets") === "0")
+
+    // heavy DV mask (half the rows dead > default 0.3) folds in
+    t.deleteWhereLight(col("k") <= 24L)
+    assert(t.currentFileInfo.map(_.dvRows).sum === 24L)
+    spark.sql(s"CALL graft.maintenance('$dir')").collect()
+    assert(t.currentFileInfo.map(_.dvRows).sum === 0L,
+      "maintenance must fold a >30%-dead DV mask")
+    assert(t.read.count() === 24L)
+
+    // vacuum runs ONLY when retention is explicitly configured
+    assert(t.versions.length > 2)
+    t.setTableProperties(Map("graft.vacuum.keepVersions" -> "1",
+      "graft.vacuum.minAgeMs" -> "0"))
+    spark.sql(s"CALL graft.maintenance('$dir')").collect()
+    assert(t.versions.length <= 2, // head + the carry-forward commit
+      s"configured retention must vacuum, kept ${t.versions.length}")
+    assert(t.read.count() === 24L)
+  }
+
   test("vacuum dry_run previews the sweep and deletes nothing") {
     val dir = tmpDir("proc-dry") + "/t"
     val d = (1L to 50L).map(i => (i, i * 1.0)).toDF("k", "v")
