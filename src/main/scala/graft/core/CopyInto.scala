@@ -51,8 +51,24 @@ object CopyInto {
   def ledger(table: TxTable): Set[String] =
     table.latestMeta(MetaKey).map(decode).getOrElse(Set.empty)
 
-  private def fingerprint(st: FileStatus): String =
+  /** Shared with the STREAMING twin ([[graft.sources
+    * .GraftFilesSource]]): same fingerprint scheme, same listing
+    * filter, so the batch and continuous ingest paths agree on what
+    * "a new file" means (a replaced file re-loads in both). */
+  private[graft] def fingerprint(st: FileStatus): String =
     s"${st.getPath.toString}|${st.getLen}|${st.getModificationTime}"
+
+  /** Loadable files under `src` matching `pattern` (data files only —
+    * dot/underscore names are reader metadata by convention). */
+  private[graft] def listSource(
+      fs: org.apache.hadoop.fs.FileSystem, src: Path,
+      pattern: String): Array[FileStatus] =
+    fs.globStatus(new Path(src, pattern)) match {
+      case null => Array.empty[FileStatus]
+      case a => a.filter(st => st.isFile &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
+    }
 
   /** Load the not-yet-loaded files matching `srcDir`/`pattern` into
     * `table`. `format`: parquet | csv | json (Spark's readers; the
@@ -68,12 +84,7 @@ object CopyInto {
     val src = new Path(srcDir)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(src), s"COPY INTO source $srcDir does not exist")
-    val files = fs.globStatus(new Path(src, pattern)) match {
-      case null => Array.empty[FileStatus]
-      case a => a.filter(st => st.isFile &&
-        !st.getPath.getName.startsWith(".") &&
-        !st.getPath.getName.startsWith("_"))
-    }
+    val files = listSource(fs, src, pattern)
     table.createIfAbsent()
     val schema = table.currentSchema
     var attempt = 0

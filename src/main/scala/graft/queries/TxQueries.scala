@@ -592,6 +592,102 @@ object TxQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** STREAMING FILE INGEST (the Auto Loader analog, continuous twin
+    * of COPY INTO): supplier split into three source files landed in
+    * THREE `Trigger.AvailableNow` runs of the `graft-files` discovery
+    * source into a TxTable sink — files published between runs are
+    * found by the checkpoint-anchored discovery ledger, a verbatim
+    * re-run is a no-op, and the sink's exactly-once epoch ledger
+    * guards replays. The final aggregate must equal DuckDB over the
+    * whole supplier table: every source row exactly once. */
+  def tx_stream_copy(s: SparkSession, dir: String): DataFrame = {
+    val su = t(s, dir, "supplier")
+      .select("s_suppkey", "s_nationkey", "s_acctbal")
+    val table = cached(s, dir, "supplier", "streamcopy", 3L) { loc =>
+      new TxTable(s, loc, su.schema, Seq("s_suppkey"), numBuckets = 4)
+    } { tx =>
+      tx.createIfAbsent() // v0
+      val src = new java.io.File(tx.dir + "-src")
+      val ck = tx.dir + "-ck"
+      rmTree(src); rmTree(new java.io.File(ck)); src.mkdirs()
+      def publish(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val stage = new java.io.File(src, s".stage-$name")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+        require(part.renameTo(new java.io.File(src, s"$name.parquet")))
+      }
+      def drain(): Unit = {
+        val q = s.readStream.format("graft-files").schema(su.schema)
+          .load(src.toString)
+          .writeStream.format("graft")
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(tx.dir)
+        q.awaitTermination()
+      }
+      publish("m0", su.filter(col("s_suppkey") % 3 === 0))
+      drain()                                              // v1
+      publish("m1", su.filter(col("s_suppkey") % 3 === 1))
+      drain()                                              // v2
+      drain() // verbatim re-run: ledger makes it a no-op (no commit)
+      publish("m2", su.filter(col("s_suppkey") % 3 === 2))
+      drain()                                              // v3
+    }
+    table.read
+      .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n"),
+        Qhelpers.msum(col("s_acctbal")).as("bal"),
+        min("s_suppkey").as("min_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** IDENTITY COLUMNS end to end through SQL: a table whose
+    * `row_id BIGINT GENERATED ALWAYS AS IDENTITY` column allocates
+    * from the CAS'd commit-meta high-water mark across TWO separate
+    * `INSERT INTO ... (omitting row_id)` statements. Ids may have
+    * gaps (the per-partition stride), so the oracle checks the
+    * INVARIANTS DuckDB can recompute: every row got an id (no
+    * nulls), ids are globally unique across the inserts (distinct
+    * count = supplier row count), and the data columns reconstitute
+    * the supplier table exactly. */
+  def tx_sql_identity(s: SparkSession, dir: String): DataFrame = {
+    val su = t(s, dir, "supplier").select("s_suppkey", "s_acctbal")
+    su.createOrReplaceTempView("graft_ident_base")
+    val table = cached(s, dir, "supplier", "sqlident", 2L) { loc =>
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong(TxTable.IdentityStartKey, 1L)
+        .putLong(TxTable.IdentityStepKey, 1L)
+        .putBoolean(TxTable.IdentityAllowExplicitKey, false).build()
+      new TxTable(s, loc, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("row_id",
+          org.apache.spark.sql.types.LongType, nullable = true, md),
+        org.apache.spark.sql.types.StructField("s_suppkey",
+          su.schema("s_suppkey").dataType),
+        org.apache.spark.sql.types.StructField("s_acctbal",
+          su.schema("s_acctbal").dataType))), Seq("s_suppkey"),
+        numBuckets = 2)
+    } { tx =>
+      tx.createIfAbsent() // v0
+      val loc = new java.io.File(tx.dir)
+      s.conf.set("spark.sql.catalog.graftident", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftident.root", loc.getParent)
+      val ident = s"graftident.`${loc.getName}`"
+      s.sql(
+        s"""INSERT INTO $ident (s_suppkey, s_acctbal)
+           |SELECT s_suppkey, s_acctbal FROM graft_ident_base
+           |WHERE s_suppkey % 2 = 0""".stripMargin)               // v1
+      s.sql(
+        s"""INSERT INTO $ident (s_suppkey, s_acctbal)
+           |SELECT s_suppkey, s_acctbal FROM graft_ident_base
+           |WHERE s_suppkey % 2 = 1""".stripMargin)               // v2
+    }
+    table.read
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("row_id")).as("distinct_ids"),
+        sum(when(col("row_id").isNull, 1L).otherwise(0L)).as("null_ids"),
+        Qhelpers.msum(col("s_acctbal")).as("bal"))
+  }
+
   /** Delta columnMapping ID-mode import: a STOCK id-mode table —
     * parquet data files whose column names (`f1..f3`) are unrelated
     * to both the Delta schema's declared names AND its physicalNames
@@ -1540,6 +1636,8 @@ object TxQueries {
     "tx_sql_defaults" -> (tx_sql_defaults _),
     "tx_delta_map_roundtrip" -> (tx_delta_map_roundtrip _),
     "tx_delta_idmap_roundtrip" -> (tx_delta_idmap_roundtrip _),
+    "tx_sql_identity" -> (tx_sql_identity _),
+    "tx_stream_copy" -> (tx_stream_copy _),
     "tx_iceberg_map_roundtrip" -> (tx_iceberg_map_roundtrip _),
     "tx_delta_cdf" -> (tx_delta_cdf _),
     "tx_relocate_read" -> (tx_relocate_read _),
@@ -1894,6 +1992,22 @@ object TxQueries {
          |WHERE o_orderstatus <> 'F'
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
+    // three streamed source files + a no-op re-run reconstitute the
+    // supplier table exactly once - DuckDB aggregates it directly
+    "tx_stream_copy" ->
+      s"""SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+         |  count(*) AS n,
+         |  ${Qhelpers.sqlMsum("s_acctbal")} AS bal,
+         |  min(s_suppkey) AS min_supp
+         |FROM supplier
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identity ids may carry gaps but must cover every row uniquely;
+    // DuckDB recomputes the invariants from the raw supplier table
+    "tx_sql_identity" ->
+      s"""SELECT count(*) AS n, count(*) AS distinct_ids,
+         |       CAST(0 AS BIGINT) AS null_ids,
+         |       ${Qhelpers.sqlMsum("s_acctbal")} AS bal
+         |FROM supplier""".stripMargin,
     // a stock id-mode table's columns bind by parquet footer field
     // id; the import surfaces the declared names over the same rows,
     // so the oracle recomputes directly from the raw customer parquet

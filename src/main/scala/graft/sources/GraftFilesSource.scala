@@ -1,0 +1,220 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.util.{Map => JMap}
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.CopyInto
+
+/** STREAMING FILE-DISCOVERY source — the continuous twin of the batch
+  * `COPY INTO` verb (the Auto Loader analog):
+  *
+  * {{{
+  * spark.readStream.format("graft-files")
+  *   .schema(s)                       // or inferred from one file
+  *   .option("pattern", "*.parquet")  // optional glob
+  *   .load("/landing/events")
+  *   .writeStream.format("graft")...  // exactly-once into a TxTable
+  * }}}
+  *
+  * Discovery contract — IDENTICAL to COPY INTO's, via the same
+  * fingerprint scheme (`path|size|mtime`, [[CopyInto.fingerprint]]):
+  * a file is served exactly once per content identity; a file
+  * REPLACED in place (new bytes, same name) reads as new and is
+  * served again. Exactly-once across restarts comes from a
+  * DISCOVERY LEDGER under the stream's checkpoint directory: each
+  * trigger that finds fresh files writes one immutable batch file
+  * (`<checkpoint>/graft-files-ledger/<n>`) listing them, the offset
+  * is just the ledger length, and replay of offset range (a, b]
+  * re-reads ledger batches — the same files, byte for byte, no
+  * directory-state dependence (Spark's own FileStreamSource recipe,
+  * with the ledger doubling as COPY INTO's fingerprint memory).
+  *
+  * Scale shape: discovery is ONE driver-side globStatus per trigger
+  * (the cost every file-discovery loader pays; at millions of
+  * retained source files, archive ingested files out of the prefix —
+  * the shared operational remedy). Serving fans out one partition
+  * per file through the SAME vectorized parquet reader as the graft
+  * table scan ([[GraftReaderFactory]]) — parquet is the contract
+  * (csv/json land via the batch COPY INTO, which imposes the table
+  * schema; a stream cannot safely infer drifting text schemas).
+  * `maxFilesPerTrigger` bounds a backlog drain's batch size.
+  */
+final class GraftFilesSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-files"
+
+  private def dirOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "graft-files source needs a directory: " +
+        "spark.readStream.format(\"graft-files\").load(<dir>)")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val src = new Path(dirOf(options))
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(src), s"graft-files source $src does not exist")
+    val files = CopyInto.listSource(fs, src,
+      Option(options.get("pattern")).getOrElse("*"))
+    require(files.nonEmpty,
+      s"graft-files cannot infer a schema from empty $src - " +
+        "provide .schema(...) explicitly")
+    // one footer read of the newest file (driver-side); pass an
+    // explicit schema to pin evolution instead
+    spark.read.parquet(files.maxBy(_.getModificationTime)
+      .getPath.toString).schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GraftFilesTable(schema, new CaseInsensitiveStringMap(properties))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+final class GraftFilesTable(declared: StructType,
+    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"graft-files:${options.get("path")}"
+  override def schema(): StructType = declared
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan {
+      override def build(): Scan = this
+      override def readSchema(): StructType = declared
+      override def toMicroBatchStream(checkpointLocation: String)
+          : MicroBatchStream =
+        new GraftFilesMicroBatchStream(SparkSession.active,
+          options.get("path"),
+          Option(options.get("pattern")).getOrElse("*"),
+          declared, checkpointLocation,
+          Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      override def description(): String = name()
+    }
+}
+
+/** Offset = number of discovery-ledger batches written. */
+final case class GraftFilesOffset(batches: Long) extends Offset {
+  override def json(): String = batches.toString
+}
+
+final class GraftFilesMicroBatchStream(spark: SparkSession, srcDir: String,
+    pattern: String, schema: StructType, checkpointLocation: String,
+    maxFilesPerTrigger: Option[Int]) extends MicroBatchStream
+    with SupportsTriggerAvailableNow {
+
+  maxFilesPerTrigger.foreach(n => require(n >= 1,
+    s"maxFilesPerTrigger must be >= 1, got $n"))
+
+  private val src = new Path(srcDir)
+  private val fs: FileSystem =
+    src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val ledgerDir = new Path(checkpointLocation, "graft-files-ledger")
+
+  /** Fingerprints already committed to the ledger, rebuilt from the
+    * ledger files once per stream start (restart-safe), then
+    * maintained in memory. Bounded by retained SOURCE file count. */
+  private val seen: mutable.Set[String] = {
+    val s = mutable.Set.empty[String]
+    ledgerBatches.foreach(b => readBatch(b).foreach { case (fp, _) =>
+      s += fp })
+    s
+  }
+  private var batches: Long = ledgerBatches.length
+
+  private def ledgerBatches: Seq[Long] =
+    if (!fs.exists(ledgerDir)) Nil
+    else fs.listStatus(ledgerDir).toSeq
+      .flatMap(st => st.getPath.getName.toLongOption).sorted
+
+  private def readBatch(b: Long): Seq[(String, String)] = {
+    val in = fs.open(new Path(ledgerDir, b.toString))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        (line.take(i), line.drop(i + 1))
+      }.toList
+    finally in.close()
+  }
+
+  /** Write ledger batch `b` atomically (temp + rename): a driver
+    * crash mid-write never leaves a torn batch that replay would
+    * serve differently. */
+  private def writeBatch(b: Long, files: Seq[(String, String)]): Unit = {
+    fs.mkdirs(ledgerDir)
+    val tmp = new Path(ledgerDir, s".${b}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(files.map { case (fp, p) => s"$fp\t$p" }
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, new Path(ledgerDir, b.toString)),
+      s"ledger batch $b publish failed (concurrent stream on the " +
+        "same checkpoint?)")
+  }
+
+  /** Discover fresh files and extend the ledger by at most one batch
+    * (capped at `maxFilesPerTrigger`; the remainder is found by the
+    * next trigger — bounded work per micro-batch at any backlog). */
+  private def discover(): Unit = {
+    if (!fs.exists(src)) return
+    val fresh = CopyInto.listSource(fs, src, pattern)
+      .filter(st => !seen(CopyInto.fingerprint(st)))
+      .sortBy(_.getPath.toString)
+    if (fresh.isEmpty) return
+    val take = maxFilesPerTrigger.fold(fresh)(fresh.take)
+    val entries = take.toSeq.map(st =>
+      CopyInto.fingerprint(st) -> st.getPath.toString)
+    writeBatch(batches, entries)
+    entries.foreach { case (fp, _) => seen += fp }
+    batches += 1
+  }
+
+  /** `Trigger.AvailableNow`: drain EVERYTHING present at prepare time
+    * (chunked by maxFilesPerTrigger), then stop. */
+  private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    var before = -1L
+    while (before != batches) { before = batches; discover() }
+    availableNowEnd = Some(batches)
+  }
+
+  override def initialOffset(): Offset = GraftFilesOffset(0L)
+
+  override def latestOffset(): Offset = {
+    if (availableNowEnd.isEmpty) discover()
+    GraftFilesOffset(availableNowEnd.getOrElse(batches))
+  }
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    latestOffset()
+  override def reportLatestOffset(): Offset = GraftFilesOffset(batches)
+  override def deserializeOffset(json: String): Offset =
+    GraftFilesOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftFilesOffset].batches
+    val e = end.asInstanceOf[GraftFilesOffset].batches
+    (s until e).flatMap(b => readBatch(b).map { case (_, p) =>
+      GraftInputPartition(p, Array.empty): InputPartition
+    }).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(schema)
+}
