@@ -256,36 +256,52 @@ object IcebergImport {
       case _ => (headSchema, headFieldIds, headPhysSchema)
     }
 
-    val listPath = (snap \ "manifest-list") match {
-      case JString(p) => new Path(p)
-      case _ => throw new UnsupportedOperationException(
-        "snapshot has no manifest-list (v1 inline manifests unsupported)")
-    }
-
-    // manifest list → manifests, split by content (0 data, 1 deletes)
-    val manifests = readAvro(fs, listPath, conf)
-    val (deleteManifests, dataManifests) = manifests.partition { m =>
-      Option(m.get("content")).exists(_.asInstanceOf[Int] != 0)
-    }
-
-    // sequence number of an entry: its own, else inherited from the
-    // manifest's (per spec, null inherits on ADDED entries); v1
-    // manifests without the field read as 0
     def asLong(x: AnyRef): Option[Long] = Option(x).map {
       case l: java.lang.Long    => l.longValue
       case i: java.lang.Integer => i.longValue
     }
-    def entrySeq(m: GenericRecord, e: GenericRecord): Long = {
+
+    // the snapshot's manifests: through the manifest-list file (v2,
+    // and v1 tables written with one), or — LEGACY v1 — the inline
+    // `manifests` path array in the snapshot JSON itself. Inline
+    // manifests are data manifests by definition (v1 has no delete
+    // files) with no sequence numbers (v1 semantics: everything 0).
+    final case class ManifestRef(path: String, content: Int,
+        seq: Option[Long])
+    val manifests: Seq[ManifestRef] = (snap \ "manifest-list") match {
+      case JString(p) =>
+        readAvro(fs, new Path(p), conf).map { m =>
+          ManifestRef(m.get("manifest_path").toString,
+            Option(m.get("content")).map(_.asInstanceOf[Int]).getOrElse(0),
+            if (m.getSchema.getField("sequence_number") == null) None
+            else asLong(m.get("sequence_number")))
+        }
+      case _ => (snap \ "manifests") match {
+        case JArray(ms) => ms.map {
+          case JString(p) => ManifestRef(p, 0, None)
+          case other => throw new IllegalArgumentException(
+            s"inline manifest entry is not a path string: $other")
+        }
+        case _ => throw new UnsupportedOperationException(
+          "snapshot has neither a manifest-list nor inline manifests")
+      }
+    }
+    val (deleteManifests, dataManifests) =
+      manifests.partition(_.content != 0)
+
+    // sequence number of an entry: its own, else inherited from the
+    // manifest's (per spec, null inherits on ADDED entries); v1
+    // manifests without the field read as 0
+    def entrySeq(m: ManifestRef, e: GenericRecord): Long = {
       def field(r: GenericRecord, n: String): Option[Long] =
         if (r.getSchema.getField(n) == null) None else asLong(r.get(n))
-      field(e, "sequence_number").orElse(field(m, "sequence_number"))
-        .getOrElse(0L)
+      field(e, "sequence_number").orElse(m.seq).getOrElse(0L)
     }
 
     // manifests → live data files (status 2 = DELETED drops the row),
     // each with its data sequence number (equality-delete scoping)
     val filesCountsSeqs = dataManifests.flatMap { m =>
-      val mPath = new Path(m.get("manifest_path").toString)
+      val mPath = new Path(m.path)
       readAvro(fs, mPath, conf).flatMap { e =>
         val status = e.get("status").asInstanceOf[Int]
         if (status == 2) None
@@ -307,7 +323,7 @@ object IcebergImport {
     val posDeletes = scala.collection.mutable.ArrayBuffer.empty[String]
     val eqDeletes = scala.collection.mutable.ArrayBuffer.empty[EqDelete]
     deleteManifests.foreach { m =>
-      val mPath = new Path(m.get("manifest_path").toString)
+      val mPath = new Path(m.path)
       readAvro(fs, mPath, conf).foreach { e =>
         val status = e.get("status").asInstanceOf[Int]
         if (status != 2) {

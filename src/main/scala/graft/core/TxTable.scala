@@ -1756,13 +1756,9 @@ final class TxTable(
     * don't depend on the base version, so a rebase after a conflict
     * only re-reads the manifest and re-commits — no data rewrite
     * (commit's post-conflict rollback returns them to the stage).
-    * Tables with IDENTITY columns route through the allocating twin
-    * (high-water-mark CAS — see the identity section). */
-  def append(df: DataFrame): Unit = {
-    val ids = identityFields(currentSchema)
-    if (ids.isEmpty) { appendCommit(df); () }
-    else appendAllocatingIdentity(df, ids)
-  }
+    * Tables with IDENTITY columns route through the allocating core
+    * (high-water-mark CAS — see [[appendIfMetaOf]]). */
+  def append(df: DataFrame): Unit = { appendCommit(df); () }
 
   // ---- identity columns (GENERATED ALWAYS AS IDENTITY) ----
   //
@@ -1799,6 +1795,9 @@ final class TxTable(
     * GENERATED BY DEFAULT, a per-row `raise_error` under ALWAYS
     * (single pass, codegen'd, no extra validation job). */
   private def identityValue(f: StructField, next: Long): Column = {
+    require(f.dataType == org.apache.spark.sql.types.LongType,
+      s"identity column '${f.name}' must be BIGINT, " +
+        s"got ${f.dataType.simpleString}")
     val step = f.metadata.getLong(TxTable.IdentityStepKey)
     val gen = (lit(next) + lit(step) * monotonically_increasing_id())
       .cast(f.dataType)
@@ -1838,35 +1837,6 @@ final class TxTable(
     else math.min(claimed, extremes.min + step)
   }
 
-  private def appendAllocatingIdentity(df: DataFrame,
-      ids: Seq[StructField]): Unit = {
-    ids.foreach(f => require(
-      f.dataType == org.apache.spark.sql.types.LongType,
-      s"identity column '${f.name}' must be BIGINT, " +
-        s"got ${f.dataType.simpleString}"))
-    val conformed = conform(df, currentSchema)
-    var attempt = 0
-    while (attempt < 8) {
-      attempt += 1
-      val claims = ids.map(f => f -> identityNext(f))
-      val gen = claims.foldLeft(conformed) { case (d, (f, n)) =>
-        d.withColumn(f.name, identityValue(f, n))
-      }
-      val won = appendIfMetaOf(gen, staged => claims.map { case (f, n) =>
-        identityMetaKey(f) -> identityAdvance(f, n, staged).toString
-      }.toMap) { snap =>
-        // CAS: the mark at the claimed base must still be the one
-        // the ids were generated from
-        claims.forall { case (f, n) =>
-          snap.meta(identityMetaKey(f)).map(_.toLong)
-            .getOrElse(f.metadata.getLong(TxTable.IdentityStartKey)) == n
-        }
-      }
-      if (won.isDefined) return
-    }
-    sys.error(s"identity append lost the high-water-mark CAS 8 times " +
-      s"on $dir - an append storm; re-run")
-  }
 
   /** [[append]] returning the version THIS append committed — callers
     * that need the version must use this, never a re-read of
@@ -1874,11 +1844,17 @@ final class TxTable(
     * between: TOCTOU). */
   def appendCommit(df: DataFrame): Long = {
     createIfAbsent()
-    val (staged, stage) = stageFiles(df, currentSchema)
-    try withRetry {
-      val base = currentVersion
-      commit(loadManifest(base).entries ++ staged, base)
-    } finally fs.delete(stage, true)
+    if (identityFields(currentSchema).nonEmpty) {
+      // allocating path: ids generate from the CAS'd high-water mark
+      // (pre = always-true - only a stale mark re-stages)
+      appendIfMetaOf(df, _ => Map.empty)(_ => true).get._2
+    } else {
+      val (staged, stage) = stageFiles(df, currentSchema)
+      try withRetry {
+        val base = currentVersion
+        commit(loadManifest(base).entries ++ staged, base)
+      } finally fs.delete(stage, true)
+    }
   }
 
   /** [[append]] with SCHEMA EVOLUTION: columns of `df` not yet in the
@@ -2103,27 +2079,58 @@ final class TxTable(
     * source file is replaced mid-run. */
   def appendIfCounted(df: DataFrame, meta: Map[String, String])
       (pre: TxTable.Snapshot => Boolean): Option[Long] =
-    appendIfMetaOf(df, _ => meta)(pre).map(stagedRowCount)
+    appendIfMetaOf(df, _ => meta)(pre).map(r => stagedRowCount(r._1))
 
-  /** Core of the guarded appends whose commit META depends on what
-    * was STAGED (identity high-water marks need the staged max id;
-    * COPY INTO's row report needs the staged row count): stages
-    * once, evaluates `pre` at each claimed base, and derives the
-    * commit meta from the staged entries' footer stats. */
+  /** Core of EVERY append that isn't the plain fast path: stages
+    * once, evaluates `pre` at each claimed base, derives the commit
+    * meta from the staged entries' footer stats (identity high-water
+    * marks need the staged max id; COPY INTO's row report needs the
+    * staged row count) — and, on tables with IDENTITY columns, folds
+    * the id allocation in: values generate from the claimed mark
+    * BEFORE staging, the new mark (from staged stats) commits
+    * atomically with the data, and a mark made stale by a concurrent
+    * append triggers an internal re-stage with fresh ids (the
+    * caller's own `pre` failing still aborts with None — a stale
+    * mark is retryable, a failed application precondition is not).
+    * Returns (staged entries, committed version). */
   private def appendIfMetaOf(df: DataFrame,
       metaOf: Seq[FEntry] => Map[String, String])
-      (pre: TxTable.Snapshot => Boolean): Option[Seq[FEntry]] = {
+      (pre: TxTable.Snapshot => Boolean): Option[(Seq[FEntry], Long)] = {
     createIfAbsent()
-    val (staged, stage) = stageFiles(df, currentSchema)
-    try withRetry {
-      val base = currentVersion
-      val m = loadManifest(base)
-      if (!pre(snapshotAt(base))) None
-      else {
-        commit(m.entries ++ staged, base, meta = metaOf(staged))
-        Some(staged)
-      }
-    } finally fs.delete(stage, true)
+    var attempt = 0
+    while (attempt < 8) {
+      attempt += 1
+      val ids = identityFields(currentSchema)
+      val claims = ids.map(f => f -> identityNext(f))
+      val toStage =
+        if (claims.isEmpty) df
+        else claims.foldLeft(conform(df, currentSchema)) {
+          case (d, (f, n)) => d.withColumn(f.name, identityValue(f, n))
+        }
+      val (staged, stage) = stageFiles(toStage, currentSchema)
+      var markStale = false
+      val res = try withRetry {
+        val base = currentVersion
+        val m = loadManifest(base)
+        val snap = snapshotAt(base)
+        if (!pre(snap)) None
+        else if (!claims.forall { case (f, n) =>
+          snap.meta(identityMetaKey(f)).map(_.toLong)
+            .getOrElse(f.metadata.getLong(TxTable.IdentityStartKey)) == n
+        }) {
+          markStale = true; None
+        } else {
+          val v = commit(m.entries ++ staged, base,
+            meta = metaOf(staged) ++ claims.map { case (f, n) =>
+              identityMetaKey(f) -> identityAdvance(f, n, staged).toString
+            })
+          Some((staged, v))
+        }
+      } finally fs.delete(stage, true)
+      if (res.isDefined || !markStale) return res
+    }
+    sys.error(s"identity append lost the high-water-mark CAS 8 times " +
+      s"on $dir - an append storm; re-run")
   }
 
   /** Exact row count of just-staged entries from their footer stats;

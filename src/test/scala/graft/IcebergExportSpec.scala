@@ -169,6 +169,82 @@ class IcebergExportSpec extends SparkSpec {
       .read(spark, dir, snapshotId = Some(1000L)).count() === 0L)
   }
 
+  test("LEGACY v1 tree with inline snapshot manifests imports") {
+    // early v1 writers put the manifest path array directly in the
+    // snapshot JSON (no manifest-list file) and the single legacy
+    // "schema" field; the import must walk that shape too
+    val root = tmpDir("icev1") + "/t"
+    val data = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("k", "s", "v")
+    val dataDir = new File(root, "data"); dataDir.mkdirs()
+    data.coalesce(1).write.mode("overwrite")
+      .parquet(new File(root, ".stage").toString)
+    val part = new File(root, ".stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dataFile = new File(dataDir, "f1.parquet")
+    assert(part.renameTo(dataFile))
+
+    // hand-write a v1 manifest avro (entry: status + data_file)
+    val manifestSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        | {"name":"status","type":"int"},
+        | {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}
+        | ]}}]}""".stripMargin)
+    val metaDir = new File(root, "metadata"); metaDir.mkdirs()
+    val manifestPath = new File(metaDir, "m1.avro")
+    val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[GenericRecord](
+        manifestSchema))
+    w.create(manifestSchema, manifestPath)
+    val df = new org.apache.avro.generic.GenericData.Record(
+      manifestSchema.getField("data_file").schema())
+    df.put("file_path", dataFile.getAbsolutePath)
+    df.put("file_format", "PARQUET")
+    df.put("record_count", 3L)
+    df.put("file_size_in_bytes", dataFile.length())
+    val entry = new org.apache.avro.generic.GenericData.Record(manifestSchema)
+    entry.put("status", 1)
+    entry.put("data_file", df)
+    w.append(entry); w.close()
+
+    val metadata =
+      s"""{"format-version":1,"table-uuid":"v1-test","location":"$root",
+         |"last-updated-ms":1,"last-column-id":3,
+         |"schema":{"type":"struct","schema-id":0,"fields":[
+         |  {"id":1,"name":"k","required":false,"type":"long"},
+         |  {"id":2,"name":"s","required":false,"type":"string"},
+         |  {"id":3,"name":"v","required":false,"type":"double"}]},
+         |"partition-spec":[],"properties":{},
+         |"current-snapshot-id":77,
+         |"snapshots":[{"snapshot-id":77,"timestamp-ms":1,
+         |  "manifests":["${manifestPath.getAbsolutePath}"]}]}
+         |""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(metaDir.toString, "v1.metadata.json"), metadata)
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(metaDir.toString, "version-hint.text"), "1")
+
+    val got = graft.core.IcebergImport.read(spark, root)
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(got === Seq(Seq(1L, "a", 1.5), Seq(2L, "b", 2.5),
+      Seq(3L, "c", 3.5)))
+    // a snapshot with NEITHER manifest-list nor inline manifests is
+    // still an honest refusal
+    val broken = metadata.replace(
+      s""""manifests":["${manifestPath.getAbsolutePath}"]""",
+      """"note":"nothing"""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(metaDir.toString, "v1.metadata.json"), broken)
+    val e = intercept[UnsupportedOperationException] {
+      graft.core.IcebergImport.read(spark, root)
+    }
+    assert(e.getMessage.contains("neither"))
+  }
+
   test("content=2 deletes without equality_ids refuse as malformed") {
     val dir = tmpDir("iceberg-eq") + "/t"
     val data = (1L to 10L).map(i => (i, i * 1.0)).toDF("k", "v")
