@@ -1696,9 +1696,13 @@ final class TxTable(
   private def stageAndCommit(
       keep: Seq[FEntry], df: DataFrame, base: Long, asSchema: StructType,
       layout: Option[Column] = None, filesPerBucket: Int = 1,
-      meta: Map[String, String] = Map.empty): Long = {
+      meta: Map[String, String] = Map.empty,
+      /** extra commit meta derived from the STAGED entries' stats
+        * (identity high-water marks need the staged max id). */
+      metaOf: Option[Seq[FEntry] => Map[String, String]] = None): Long = {
     val (staged, stage) = stageFiles(df, asSchema, layout, filesPerBucket)
-    try commit(keep ++ staged, base, Some(asSchema), meta)
+    try commit(keep ++ staged, base, Some(asSchema),
+      metaOf.fold(meta)(f => meta ++ f(staged)))
     finally fs.delete(stage, true)
   }
 
@@ -1794,13 +1798,17 @@ final class TxTable(
     * generated id; non-null rows are the caller's — accepted under
     * GENERATED BY DEFAULT, a per-row `raise_error` under ALWAYS
     * (single pass, codegen'd, no extra validation job). */
-  private def identityValue(f: StructField, next: Long): Column = {
+  /** The raw generated-id expression for `f` from mark `next`. */
+  private def identityGen(f: StructField, next: Long): Column = {
     require(f.dataType == org.apache.spark.sql.types.LongType,
       s"identity column '${f.name}' must be BIGINT, " +
         s"got ${f.dataType.simpleString}")
-    val step = f.metadata.getLong(TxTable.IdentityStepKey)
-    val gen = (lit(next) + lit(step) * monotonically_increasing_id())
-      .cast(f.dataType)
+    (lit(next) + lit(f.metadata.getLong(TxTable.IdentityStepKey)) *
+      monotonically_increasing_id()).cast(f.dataType)
+  }
+
+  private def identityValue(f: StructField, next: Long): Column = {
+    val gen = identityGen(f, next)
     val explicitOk =
       f.metadata.contains(TxTable.IdentityAllowExplicitKey) &&
         f.metadata.getBoolean(TxTable.IdentityAllowExplicitKey)
@@ -2422,10 +2430,30 @@ final class TxTable(
     if (base != scannedVersion) staleSnapshot(base)
     val m = loadManifest(base)
     val s = schemaAt(m)
+    // MERGE insert rows into an IDENTITY table: brand-new rows (null
+    // id) take generated values; UPDATE post-images carry their
+    // existing ids untouched (coalesce — the engine round-tripped
+    // that identity itself, so the ALWAYS refusal does not apply
+    // here). The mark advance rides the same commit, and the
+    // scannedVersion pin IS the CAS: any concurrent commit fails
+    // this whole delta before a stale mark could allocate.
+    val idClaims = identityFields(s).map(f => f -> identityNext(f))
+    val ins = inserts.map { df =>
+      if (idClaims.isEmpty) df
+      else idClaims.foldLeft(conform(df, s)) { case (d, (f, n)) =>
+        d.withColumn(f.name, coalesce(col(f.name), identityGen(f, n)))
+      }
+    }
+    val idMeta: Option[Seq[FEntry] => Map[String, String]] =
+      if (idClaims.isEmpty || ins.isEmpty) None
+      else Some(staged => idClaims.map { case (f, n) =>
+        identityMetaKey(f) -> identityAdvance(f, n, staged).toString
+      }.toMap)
     try {
       dvRows match {
         case None =>
-          inserts.foreach(df => stageAndCommit(m.entries, df, base, s))
+          ins.foreach(df =>
+            stageAndCommit(m.entries, df, base, s, metaOf = idMeta))
         case Some(dv) =>
           val stage =
             new Path(dir, s".stage-${UUID.randomUUID().toString.take(8)}")
@@ -2440,7 +2468,8 @@ final class TxTable(
               .groupBy("_dv_file").count()
               .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
             if (perFile.isEmpty) {
-              inserts.foreach(df => stageAndCommit(m.entries, df, base, s))
+              ins.foreach(df =>
+                stageAndCommit(m.entries, df, base, s, metaOf = idMeta))
             } else {
               val sidecar = fs.listStatus(stage).toSeq.map(_.getPath)
                 .filter(_.getName.endsWith(".parquet")).head.toString
@@ -2457,8 +2486,9 @@ final class TxTable(
                   case None => e
                 }
               }
-              inserts match {
-                case Some(df) => stageAndCommit(newEntries, df, base, s)
+              ins match {
+                case Some(df) =>
+                  stageAndCommit(newEntries, df, base, s, metaOf = idMeta)
                 case None => commit(newEntries, base, Some(s)); ()
               }
             }
