@@ -1782,6 +1782,12 @@ final class TxTable(
   // second read), and commits with a CAS on the mark — two
   // concurrent appends can never allocate overlapping ids: the loser
   // re-reads the winner's mark and re-stages.
+  //
+  // UPSERT semantics: an upsert's rows carry their OWN identity (ids
+  // are the row identity the keys round-trip); the engine neither
+  // generates nor validates there — the SQL-standard GENERATED BY
+  // DEFAULT contract (PostgreSQL sequences behave identically on
+  // explicit inserts). MERGE inserts DO allocate (see applyRowDelta).
 
   private[graft] def identityFields(s: StructType): Seq[StructField] =
     s.fields.toSeq.filter(_.metadata.contains(TxTable.IdentityStartKey))
@@ -2161,6 +2167,13 @@ final class TxTable(
   def appendEvolvingIf(df: DataFrame, meta: Map[String, String])
       (pre: TxTable.Snapshot => Boolean): Boolean = {
     createIfAbsent()
+    // the evolving path widens the schema INSIDE its commit loop, so
+    // identity allocation (which must pin the generated frame to a
+    // mark BEFORE staging) cannot ride it; refuse rather than land
+    // null ids silently. The fixed-schema sink mode allocates fine.
+    require(identityFields(currentSchema).isEmpty,
+      s"schema-evolving appends into $dir are not supported with " +
+        "IDENTITY columns - use the fixed-schema append/sink path")
     withRetry {
       val base = currentVersion
       val m = loadManifest(base)

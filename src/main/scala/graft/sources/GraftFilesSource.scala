@@ -49,7 +49,9 @@ import graft.core.CopyInto
   * table scan ([[GraftReaderFactory]]) — parquet is the contract
   * (csv/json land via the batch COPY INTO, which imposes the table
   * schema; a stream cannot safely infer drifting text schemas).
-  * `maxFilesPerTrigger` bounds a backlog drain's batch size.
+  * `maxFilesPerTrigger` bounds a backlog drain's batch size;
+  * `archiveDir` moves durably-committed files out of the landing
+  * prefix (listing stays bounded by the un-ingested tail forever).
   */
 final class GraftFilesSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-files"
@@ -102,7 +104,8 @@ final class GraftFilesTable(declared: StructType,
           options.get("path"),
           Option(options.get("pattern")).getOrElse("*"),
           declared, checkpointLocation,
-          Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+          Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+          Option(options.get("archiveDir")))
       override def description(): String = name()
     }
 }
@@ -114,11 +117,17 @@ final case class GraftFilesOffset(batches: Long) extends Offset {
 
 final class GraftFilesMicroBatchStream(spark: SparkSession, srcDir: String,
     pattern: String, schema: StructType, checkpointLocation: String,
-    maxFilesPerTrigger: Option[Int]) extends MicroBatchStream
+    maxFilesPerTrigger: Option[Int],
+    archiveDir: Option[String] = None) extends MicroBatchStream
     with SupportsTriggerAvailableNow {
 
   maxFilesPerTrigger.foreach(n => require(n >= 1,
     s"maxFilesPerTrigger must be >= 1, got $n"))
+  archiveDir.foreach(a => require(
+    a.stripSuffix("/") != srcDir.stripSuffix("/") &&
+      !a.stripSuffix("/").startsWith(srcDir.stripSuffix("/") + "/"),
+    s"archiveDir $a must lie outside the source directory $srcDir - " +
+      "archived files would be rediscovered"))
 
   private val src = new Path(srcDir)
   private val fs: FileSystem =
@@ -203,7 +212,50 @@ final class GraftFilesMicroBatchStream(spark: SparkSession, srcDir: String,
   override def reportLatestOffset(): Offset = GraftFilesOffset(batches)
   override def deserializeOffset(json: String): Offset =
     GraftFilesOffset(json.trim.toLong)
-  override def commit(end: Offset): Unit = ()
+  /** With `archiveDir` set, files whose batch Spark has DURABLY
+    * committed move out of the landing prefix — the "archive ingested
+    * files" operational remedy automated, so the per-trigger listing
+    * stays bounded by the un-ingested tail at any ingest age.
+    * Idempotent via an archived-batch watermark beside the ledger;
+    * already-moved (or externally removed) files are tolerated.
+    * Archiving runs strictly AFTER the sink committed the batch, so
+    * replay can never reference a moved file — which also means it
+    * LAGS one batch (Spark commits a source batch when constructing
+    * the next), so the landing prefix always retains the tail batch
+    * until more data arrives. */
+  override def commit(end: Offset): Unit = archiveDir.foreach { a =>
+    val e = end.asInstanceOf[GraftFilesOffset].batches
+    val wmPath = new Path(ledgerDir, "_archived")
+    val wm: Long =
+      if (!fs.exists(wmPath)) 0L
+      else {
+        val in = fs.open(wmPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+    if (e > wm) {
+      val ad = new Path(a)
+      fs.mkdirs(ad)
+      (wm until e).foreach { b =>
+        readBatch(b).foreach { case (_, p) =>
+          val srcFile = new Path(p)
+          if (fs.exists(srcFile)) {
+            val dst0 = new Path(ad, srcFile.getName)
+            val dst = if (fs.exists(dst0))
+              new Path(ad, s"$b-${srcFile.getName}") else dst0
+            fs.rename(srcFile, dst)
+          }
+        }
+      }
+      val tmp = new Path(ledgerDir, "._archived.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(e.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.exists(wmPath)) fs.delete(wmPath, false)
+      fs.rename(tmp, wmPath)
+      ()
+    }
+  }
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset,

@@ -103,6 +103,45 @@ class GraftFilesSourceSpec extends SparkSpec {
       ledger.mkString(","))
   }
 
+  test("archiveDir moves committed files out of the landing prefix") {
+    val src = tmpDir("gfsrc5")
+    val arch = tmpDir("gfarch5")
+    val ck = tmpDir("gfck5")
+    val t = new TxTable(spark, tmpDir("gft5") + "/t", srcSchema,
+      Seq("k"), numBuckets = 2)
+    t.createIfAbsent()
+    publish(src, "a", Seq(("a1", 1), ("a2", 2)))
+    publish(src, "b", Seq(("b1", 3)))
+    drain(src, t, ck, Map("archiveDir" -> arch))
+    assert(t.read.count() === 3)
+    // Spark durably commits a batch at the NEXT run's startup — only
+    // then do its files move (never before the sink committed them)
+    publish(src, "c", Seq(("c1", 4)))
+    drain(src, t, ck, Map("archiveDir" -> arch))
+    assert(t.read.count() === 4)
+    val archived = new java.io.File(arch).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+    assert(archived.toSeq === Seq("a.parquet", "b.parquet"),
+      s"run-1 files must be archived, got ${archived.toSeq}")
+    // archiving lags ONE batch (Spark commits a source batch when it
+    // constructs the next one): once d lands, c's batch commits and
+    // its file moves — only the un-ingested tail stays in the prefix
+    publish(src, "d", Seq(("d1", 5)))
+    drain(src, t, ck, Map("archiveDir" -> arch))
+    val left = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName)
+    assert(left.toSeq === Seq("d.parquet"),
+      s"landing dir must hold only the tail batch, got ${left.toSeq}")
+    assert(t.read.count() === 5, "archiving must never re-serve or drop")
+    // archiveDir inside the source prefix is refused
+    publish(src, "e", Seq(("e1", 6)))
+    val e = intercept[Exception] {
+      drain(src, t, ck, Map("archiveDir" -> (src + "/done")))
+    }
+    assert(e.getMessage.contains("outside the source") ||
+      Option(e.getCause).exists(_.getMessage.contains("outside the source")))
+  }
+
   test("restart with the same checkpoint replays without duplicates") {
     val src = tmpDir("gfsrc4")
     val ck = tmpDir("gfck4")
