@@ -519,11 +519,18 @@ object DeltaImport {
     val dataSchema = StructType(
       snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
     val mapping = columnBinding(spark, snap)
-    require(mapping.isEmpty || snap.partitionColumns.isEmpty,
-      "columnMapping with partition columns is not supported " +
-        "- partitionValues key by physical name and this reader does " +
-        "not map them")
     val physDataSchema = physicalized(dataSchema, mapping)
+    // partitionValues key by PHYSICAL name under columnMapping (the
+    // protocol stores partition tuples under the column's physical
+    // identity, same as the data files); logical -> physical here
+    val physOf: Map[String, String] =
+      if (mapping.isEmpty) Map.empty
+      else snap.schema.fields.iterator.map { f =>
+        f.name -> (
+          if (f.metadata.contains("delta.columnMapping.physicalName"))
+            f.metadata.getString("delta.columnMapping.physicalName")
+          else f.name)
+      }.toMap
 
     def scan(group: Seq[AddFile]): DataFrame = {
       // files bind by PHYSICAL name under name mode; surface the
@@ -550,7 +557,7 @@ object DeltaImport {
             val withParts = snap.partitionColumns.foldLeft(scan(group)) {
               (df, c) =>
                 val dt = snap.schema(c).dataType
-                val v: Column = pv.get(c).flatten match {
+                val v: Column = pv.get(physOf.getOrElse(c, c)).flatten match {
                   case Some(s) => lit(s).cast(dt)
                   case None    => lit(null).cast(dt)
                 }

@@ -102,6 +102,36 @@ class DeltaImportSpec extends SparkSpec {
       Set(Seq(1L, "x"), Seq(2L, "y"), Seq(3L, "z")))
   }
 
+  test("columnMapping NAME mode with partition columns maps partitionValues") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("deltai-mappart") + "/t"
+    // data files carry ONLY the physical value column; the partition
+    // column exists in the log alone, keyed by its PHYSICAL name in
+    // every add action's partitionValues (the protocol's contract)
+    val relA = dataFile(dir, "p=10",
+      Seq(1L, 2L).toDF("c-val"))
+    val relB = dataFile(dir, "p=20",
+      Seq(3L).toDF("c-val"))
+    def fmd(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val logical = StructType(Seq(
+      StructField("p", IntegerType, nullable = true, fmd(1, "c-part")),
+      StructField("v", LongType, nullable = true, fmd(2, "c-val"))))
+    writeCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLineConf(logical.json, Seq("p"), Map(
+        "delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> "2")),
+      s"""{"add":{"path":"$relA","partitionValues":{"c-part":"10"},""" +
+        """"size":1,"modificationTime":1,"dataChange":true}}""",
+      s"""{"add":{"path":"$relB","partitionValues":{"c-part":"20"},""" +
+        """"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val out = DeltaImport.read(spark, dir)
+    assert(out.columns.toSeq === Seq("p", "v"))
+    assert(rows(out) === Set(Seq(10, 1L), Seq(10, 2L), Seq(20, 3L)))
+  }
+
   test("round-trips DeltaExport's snapshot through the production reader") {
     val dir = tmpDir("deltai-rt") + "/t"
     val data = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
