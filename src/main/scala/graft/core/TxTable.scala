@@ -1859,17 +1859,40 @@ final class TxTable(
   def appendCommit(df: DataFrame): Long = {
     createIfAbsent()
     if (identityFields(currentSchema).nonEmpty) {
-      // allocating path: ids generate from the CAS'd high-water mark
-      // (pre = always-true - only a stale mark re-stages)
+      // allocating path: ids generate from the CAS'd high-water
+      // mark (pre = always-true - only a stale mark re-stages);
+      // auto-compaction runs inside the allocating core
       appendIfMetaOf(df, _ => Map.empty)(_ => true).get._2
     } else {
-      val (staged, stage) = stageFiles(df, currentSchema)
-      try withRetry {
-        val base = currentVersion
-        commit(loadManifest(base).entries ++ staged, base)
-      } finally fs.delete(stage, true)
+      val v = {
+        val (staged, stage) = stageFiles(df, currentSchema)
+        try withRetry {
+          val base = currentVersion
+          commit(loadManifest(base).entries ++ staged, base)
+        } finally fs.delete(stage, true)
+      }
+      maybeAutoCompact()
+      v
     }
   }
+
+  /** WRITE-TRIGGERED auto-compaction (the `autoCompact` analog): when
+    * the table property `graft.autoCompact.minFiles` is set, every
+    * append that leaves a bucket holding at least that many files is
+    * followed by a [[compactBuckets]] pass over exactly those
+    * buckets — continuous ingest then never needs a scheduled
+    * OPTIMIZE for small files. The decision is ONE driver-side
+    * manifest read (zero data I/O below the threshold); the
+    * compaction commit is `layout_only`, so streaming tail readers
+    * skip it; failures are swallowed after the data landed (a lost
+    * compaction race just leaves the next append to retry — the
+    * APPEND must never fail because maintenance did). */
+  private def maybeAutoCompact(): Unit =
+    tableProperties.get(TxTable.AutoCompactKey)
+      .flatMap(_.toIntOption).filter(_ >= 2).foreach { minFiles =>
+        try { compactBuckets(minFiles); () }
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
 
   /** [[append]] with SCHEMA EVOLUTION: columns of `df` not yet in the
     * table are added (nullable) to the table schema; columns `df`
@@ -2141,7 +2164,8 @@ final class TxTable(
           Some((staged, v))
         }
       } finally fs.delete(stage, true)
-      if (res.isDefined || !markStale) return res
+      if (res.isDefined) { maybeAutoCompact(); return res }
+      if (!markStale) return None
     }
     sys.error(s"identity append lost the high-water-mark CAS 8 times " +
       s"on $dir - an append storm; re-run")
@@ -3290,6 +3314,12 @@ object TxTable {
   val IdentityStartKey: String = "identity.start"
   val IdentityStepKey: String = "identity.step"
   val IdentityAllowExplicitKey: String = "identity.allowExplicitInsert"
+
+  /** Table property enabling write-triggered auto-compaction: a
+    * bucket reaching this many files after an append rewrites to one
+    * file in a follow-up `layout_only` commit (see
+    * [[TxTable.maybeAutoCompact]]). */
+  val AutoCompactKey: String = "graft.autoCompact.minFiles"
 
   /** Lossless primitive widenings [[TxTable.widenColumn]] allows —
     * exactly the upcasts Spark 4's parquet readers perform when the

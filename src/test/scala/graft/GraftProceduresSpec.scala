@@ -109,6 +109,30 @@ class GraftProceduresSpec extends SparkSpec {
     assert(t.read.count() === 24L)
   }
 
+  test("write-triggered auto-compaction keeps buckets bounded") {
+    val dir = tmpDir("proc-autoc") + "/t"
+    val d = (1L to 40L).map(i => (i, i * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, d.schema, Seq("k"), numBuckets = 2)
+    t.createIfAbsent()
+    t.setTableProperties(Map(TxTable.AutoCompactKey -> "4"))
+    (0 until 10).foreach(i => t.append(d.filter(col("k") % 10 === i)))
+    // a bucket reaching 4 files compacts to 1 right after the append:
+    // continuous ingest never accumulates more than minFiles per
+    // bucket, with no scheduled OPTIMIZE
+    assert(t.dataFileCount <= 2 * 4,
+      s"auto-compaction must bound files, got ${t.dataFileCount}")
+    assert(t.read.count() === 40L)
+    // the compaction commits are layout_only (tail readers skip them)
+    val layoutOnly = t.versions.filter(v =>
+      t.commitMeta(v).get("layout_only").contains("true"))
+    assert(layoutOnly.nonEmpty, "expected layout_only auto-compactions")
+    // without the property nothing compacts (default off)
+    val t2 = new TxTable(spark, tmpDir("proc-autoc2") + "/t", d.schema,
+      Seq("k"), numBuckets = 2)
+    (0 until 6).foreach(i => t2.append(d.filter(col("k") % 6 === i)))
+    assert(t2.dataFileCount >= 6, "auto-compaction must be opt-in")
+  }
+
   test("vacuum dry_run previews the sweep and deletes nothing") {
     val dir = tmpDir("proc-dry") + "/t"
     val d = (1L to 50L).map(i => (i, i * 1.0)).toDF("k", "v")
