@@ -170,17 +170,23 @@ object DeltaExport {
   /** Write-side schema directives a stock writer would need a
     * declared table feature to honor, removed from every exported
     * schemaString: CURRENT_DEFAULT/EXISTS_DEFAULT (column defaults —
-    * the allowColumnDefaults feature this log doesn't declare) and
-    * graft.physical (this engine's internal mapping record; the
-    * protocol's delta.columnMapping.* metadata is the exported
-    * truth). Applied BEFORE the logged-vs-current schema drift
-    * compare in [[syncDeltaLog]], so a defaulted table doesn't
-    * re-emit metaData on every sync. */
+    * the allowColumnDefaults feature this log doesn't declare),
+    * identity.* (Spark's identity-column keys — Delta's own identity
+    * feature uses delta.identity.* plus the identityColumns writer
+    * feature, neither of which this log declares; a stock reader
+    * reads the VALUES either way) and graft.physical (this engine's
+    * internal mapping record; the protocol's delta.columnMapping.*
+    * metadata is the exported truth). Applied BEFORE the
+    * logged-vs-current schema drift compare in [[syncDeltaLog]], so
+    * a defaulted table doesn't re-emit metaData on every sync. */
   private def scrubbed(schema: StructType): StructType =
     StructType(schema.fields.map { f =>
       val mb = new org.apache.spark.sql.types.MetadataBuilder()
         .withMetadata(f.metadata)
         .remove("CURRENT_DEFAULT").remove("EXISTS_DEFAULT")
+        .remove(TxTable.IdentityStartKey)
+        .remove(TxTable.IdentityStepKey)
+        .remove(TxTable.IdentityAllowExplicitKey)
         .remove(TxTable.PhysicalNameKey)
       f.copy(metadata = mb.build())
     })
