@@ -511,8 +511,123 @@ object DeltaImport {
   }
 
   def read(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): DataFrame =
+    serveSnapshot(spark, dir, snapshot(spark, dir, asOf))
+
+  /** [[read]] restricted by `pred`, with DRIVER-SIDE FILE SKIPPING
+    * from the log's add-action stats (the Delta data-skipping
+    * contract): files whose minValues/maxValues/nullCount disprove
+    * the predicate never enter the scan plan at all — at import
+    * scale the skipped I/O is the point; a wide-bounds file
+    * (`tightBounds: false`, DV'd) stays conservative because wider
+    * extrema only ever KEEP files. Stats-less or unparseable adds
+    * are kept (skipping is an optimization, never a filter); the
+    * returned frame still applies `pred` exactly. Under
+    * columnMapping, stats key by PHYSICAL name and are translated
+    * back to declared names before evaluation. */
+  def readWhere(spark: SparkSession, dir: String, pred: Column,
       asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, dir, asOf)
+    val statsKey: Map[String, String] =
+      if (columnBinding(spark, snap).isEmpty) Map.empty
+      else snap.schema.fields.iterator.map { f =>
+        f.name -> (
+          if (f.metadata.contains("delta.columnMapping.physicalName"))
+            f.metadata.getString("delta.columnMapping.physicalName")
+          else f.name)
+      }.toMap
+    // resolve the predicate through Spark's analyzer (empty relation
+    // with the log schema) so the evaluator sees exact types; an
+    // unresolvable shape prunes nothing
+    val expr = scala.util.Try {
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          snap.schema)
+        .filter(pred).queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }
+    }.toOption.flatten
+    val kept = expr match {
+      case None => snap.adds
+      case Some(cond) => snap.adds.filter { a =>
+        a.stats.flatMap(statsFromDelta(_, snap.schema, statsKey)) match {
+          case Some(st) => FileStats.mayMatch(st, cond, snap.schema)
+          case None     => true
+        }
+      }
+    }
+    serveSnapshot(spark, dir, snap.copy(adds = kept)).filter(pred)
+  }
+
+  /** Delta add-action stats (`numRecords`/`minValues`/`maxValues`/
+    * `nullCount`) lifted into the engine's zone-map shape so
+    * [[FileStats.mayMatch]] evaluates predicates against them.
+    * Column entries that fail to lift drop out — sound: no entry =
+    * never skip on that column. */
+  private def statsFromDelta(json: String, schema: StructType,
+      statsKey: Map[String, String]): Option[FileStats.Stats] =
+    scala.util.Try {
+      val j = JsonMethods.parse(json)
+      val rows = (j \ "numRecords") match {
+        case JInt(n)  => n.toLong
+        case JLong(n) => n
+        case _        => -1L
+      }
+      val cols = schema.fields.flatMap { f =>
+        val k = statsKey.getOrElse(f.name, f.name)
+        val mn = deltaDomain(j \ "minValues" \ k, f.dataType)
+        val mx = deltaDomain(j \ "maxValues" \ k, f.dataType)
+        val nulls = (j \ "nullCount" \ k) match {
+          case JInt(n)  => n.toLong
+          case JLong(n) => n
+          case _        => -1L
+        }
+        (mn, mx) match {
+          case (Some(a), Some(b)) =>
+            Some(f.name -> FileStats.ColStats(Some(a), Some(b), nulls))
+          case _ if nulls == rows && rows >= 0 =>
+            // all-null column: provable emptiness without extrema
+            Some(f.name -> FileStats.ColStats(None, None, nulls))
+          case _ => None
+        }
+      }.toMap
+      FileStats.Stats(rows, cols)
+    }.toOption
+
+  /** One Delta stats JSON value into FileStats' comparable domain
+    * (integral/date → Long, float → Double, timestamp → micros,
+    * string/boolean as-is). Delta serializes date/timestamp extrema
+    * as ISO strings. */
+  private def deltaDomain(j: JValue,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    (j, dt) match {
+      case (JInt(n), _: ByteType | _: ShortType | _: IntegerType |
+          _: LongType) => Some(n.toLong)
+      case (JLong(n), _: ByteType | _: ShortType | _: IntegerType |
+          _: LongType) => Some(n)
+      case (JDouble(d), _: FloatType | _: DoubleType) => Some(d)
+      case (JDecimal(d), _: FloatType | _: DoubleType) => Some(d.toDouble)
+      case (JInt(n), _: FloatType | _: DoubleType) => Some(n.toDouble)
+      case (JLong(n), _: FloatType | _: DoubleType) => Some(n.toDouble)
+      case (JString(s), _: StringType) => Some(s)
+      case (JBool(b), _: BooleanType) => Some(b)
+      case (JString(s), _: DateType) =>
+        scala.util.Try(java.time.LocalDate.parse(s).toEpochDay).toOption
+      case (JString(s), _: TimestampType) =>
+        scala.util.Try {
+          val inst = scala.util.Try(java.time.Instant.parse(s)).getOrElse(
+            java.time.LocalDateTime.parse(s)
+              .toInstant(java.time.ZoneOffset.UTC))
+          inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+        }.toOption
+      case _ => None
+    }
+  }
+
+  private def serveSnapshot(spark: SparkSession, dir: String,
+      snap: Snapshot): DataFrame = {
     val root = new Path(dir)
     val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootUri = hfs.makeQualified(root).toString.stripSuffix("/")

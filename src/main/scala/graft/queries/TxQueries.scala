@@ -592,6 +592,32 @@ object TxQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** DELTA IMPORT DATA SKIPPING: an orders table CLUSTERED by price
+    * exports a Delta log whose add-action stats carry disjoint
+    * per-file price ranges; [[graft.core.DeltaImport.readWhere]]
+    * prunes non-matching files DRIVER-SIDE from those stats before
+    * the scan plan exists (the Delta data-skipping contract), and
+    * the filtered aggregate must equal DuckDB applying the same
+    * predicate relationally — pruning may only skip, never filter. */
+  def tx_delta_skip_read(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val table = cached(s, dir, "orders", "deltaskip", 2L) { loc =>
+      new TxTable(s, loc, o.schema, Seq("o_orderkey"), numBuckets = 4)
+    } { tx =>
+      tx.append(o)                                            // v1
+      tx.compactClustered(Seq("o_totalprice"), filesPerBucket = 6) // v2
+      graft.core.DeltaExport.syncDeltaLog(s, tx)
+    }
+    graft.core.DeltaImport
+      .readWhere(s, table.dir, col("o_totalprice") < lit(50000.0))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        Qhelpers.msum(col("o_totalprice")).as("total"),
+        min("o_orderkey").as("min_key"))
+      .orderBy("o_orderpriority")
+  }
+
   /** STREAMING FILE INGEST (the Auto Loader analog, continuous twin
     * of COPY INTO): supplier split into three source files landed in
     * THREE `Trigger.AvailableNow` runs of the `graft-files` discovery
@@ -1638,6 +1664,7 @@ object TxQueries {
     "tx_delta_idmap_roundtrip" -> (tx_delta_idmap_roundtrip _),
     "tx_sql_identity" -> (tx_sql_identity _),
     "tx_stream_copy" -> (tx_stream_copy _),
+    "tx_delta_skip_read" -> (tx_delta_skip_read _),
     "tx_iceberg_map_roundtrip" -> (tx_iceberg_map_roundtrip _),
     "tx_delta_cdf" -> (tx_delta_cdf _),
     "tx_relocate_read" -> (tx_relocate_read _),
@@ -1990,6 +2017,16 @@ object TxQueries {
          |       MIN(o_orderkey) AS min_key
          |FROM orders
          |WHERE o_orderstatus <> 'F'
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+    // stats pruning may only SKIP files, never filter rows - the
+    // import-side filtered aggregate equals the relational recompute
+    "tx_delta_skip_read" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |       ${Qhelpers.sqlMsum("o_totalprice")} AS total,
+         |       MIN(o_orderkey) AS min_key
+         |FROM orders
+         |WHERE o_totalprice < 50000.0
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
     // three streamed source files + a no-op re-run reconstitute the

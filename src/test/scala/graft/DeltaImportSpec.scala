@@ -102,6 +102,36 @@ class DeltaImportSpec extends SparkSpec {
       Set(Seq(1L, "x"), Seq(2L, "y"), Seq(3L, "z")))
   }
 
+  test("readWhere skips files by add-action stats (pruning-proof)") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("deltai-skip") + "/t"
+    val rel = dataFile(dir, "data",
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType)))
+    // the second add points at a file that DOES NOT EXIST, with stats
+    // proving k in [100, 200]: a reader that fails to prune it would
+    // die with FileNotFound - success IS the skipping proof
+    writeCommit(dir, 0, Seq(protoLine, metaLine(schema.json, Nil),
+      s"""{"add":{"path":"$rel","partitionValues":{},"size":1,""" +
+        """"modificationTime":1,"dataChange":true,"stats":""" +
+        """"{\"numRecords\":2,\"minValues\":{\"k\":1},""" +
+        """\"maxValues\":{\"k\":2},\"nullCount\":{\"k\":0}}"}}""",
+      """{"add":{"path":"data/ghost.parquet","partitionValues":{},""" +
+        """"size":1,"modificationTime":1,"dataChange":true,"stats":""" +
+        """"{\"numRecords\":5,\"minValues\":{\"k\":100},""" +
+        """\"maxValues\":{\"k\":200},\"nullCount\":{\"k\":0}}"}}"""))
+    val got = DeltaImport.readWhere(spark, dir, col("k") < 10L)
+    assert(rows(got) === Set(Seq(1L, "a"), Seq(2L, "b")))
+    // sanity: the unpruned read DOES fail on the ghost file
+    intercept[Exception] { DeltaImport.read(spark, dir).collect() }
+    // a predicate overlapping the ghost's range must keep it (and
+    // fail honestly - pruning never drops a may-match file)
+    intercept[Exception] {
+      DeltaImport.readWhere(spark, dir, col("k") > 150L).collect()
+    }
+  }
+
   test("columnMapping NAME mode with partition columns maps partitionValues") {
     import org.apache.spark.sql.types._
     val dir = tmpDir("deltai-mappart") + "/t"
