@@ -667,6 +667,57 @@ object TxQueries {
       .orderBy("nationkey")
   }
 
+  /** STREAMING STATEFUL DEDUP across micro-batch runs: two source
+    * files deliver OVERLAPPING supplier slices (the re-delivery
+    * shape every at-least-once feed produces); the stream pipes the
+    * `graft-files` discovery source through Spark's stateful
+    * `dropDuplicates` (keyed state in the checkpointed state store,
+    * so suppression holds ACROSS restarts) into the TxTable sink.
+    * The sunk table must equal the supplier table exactly once —
+    * DuckDB aggregates it directly. (Production note: unbounded keys
+    * use `dropDuplicatesWithinWatermark` to bound state; the
+    * contract under test — cross-run exactly-once suppression — is
+    * the same.) */
+  def tx_stream_dedup(s: SparkSession, dir: String): DataFrame = {
+    val su = t(s, dir, "supplier")
+      .select("s_suppkey", "s_nationkey", "s_acctbal")
+    val table = cached(s, dir, "supplier", "streamdedup", 2L) { loc =>
+      new TxTable(s, loc, su.schema, Seq("s_suppkey"), numBuckets = 4)
+    } { tx =>
+      tx.createIfAbsent() // v0
+      val src = new java.io.File(tx.dir + "-src")
+      val ck = tx.dir + "-ck"
+      rmTree(src); rmTree(new java.io.File(ck)); src.mkdirs()
+      def publish(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val stage = new java.io.File(src, s".stage-$name")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+        require(part.renameTo(new java.io.File(src, s"$name.parquet")))
+      }
+      def drain(): Unit = {
+        val q = s.readStream.format("graft-files").schema(su.schema)
+          .load(src.toString)
+          .dropDuplicates("s_suppkey")
+          .writeStream.format("graft")
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(tx.dir)
+        q.awaitTermination()
+      }
+      publish("f1", su.filter(col("s_suppkey") % 3 <= 1))
+      drain()                                             // v1
+      // overlap: the %3==1 slice re-delivers in full
+      publish("f2", su.filter(col("s_suppkey") % 3 >= 1))
+      drain()                                             // v2
+    }
+    table.read
+      .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n"),
+        Qhelpers.msum(col("s_acctbal")).as("bal"),
+        max("s_suppkey").as("max_supp"))
+      .orderBy("nationkey")
+  }
+
   /** IDENTITY COLUMNS end to end through SQL: a table whose
     * `row_id BIGINT GENERATED ALWAYS AS IDENTITY` column allocates
     * from the CAS'd commit-meta high-water mark across TWO separate
@@ -1665,6 +1716,7 @@ object TxQueries {
     "tx_sql_identity" -> (tx_sql_identity _),
     "tx_stream_copy" -> (tx_stream_copy _),
     "tx_delta_skip_read" -> (tx_delta_skip_read _),
+    "tx_stream_dedup" -> (tx_stream_dedup _),
     "tx_iceberg_map_roundtrip" -> (tx_iceberg_map_roundtrip _),
     "tx_delta_cdf" -> (tx_delta_cdf _),
     "tx_relocate_read" -> (tx_relocate_read _),
@@ -2019,6 +2071,15 @@ object TxQueries {
          |WHERE o_orderstatus <> 'F'
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
+    // overlapping re-deliveries suppressed by checkpointed dedup
+    // state land the supplier table exactly once
+    "tx_stream_dedup" ->
+      s"""SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+         |  count(*) AS n,
+         |  ${Qhelpers.sqlMsum("s_acctbal")} AS bal,
+         |  max(s_suppkey) AS max_supp
+         |FROM supplier
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // stats pruning may only SKIP files, never filter rows - the
     // import-side filtered aggregate equals the relational recompute
     "tx_delta_skip_read" ->
