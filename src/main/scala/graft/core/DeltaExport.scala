@@ -188,6 +188,10 @@ object DeltaExport {
         .remove(TxTable.IdentityStepKey)
         .remove(TxTable.IdentityAllowExplicitKey)
         .remove(TxTable.PhysicalNameKey)
+        // generated columns: Delta's own key is delta.generationExpression
+        // plus the generatedColumns writer feature this log doesn't
+        // declare; values are materialized, so stock readers read them
+        .remove(TxTable.GeneratedExprKey)
       f.copy(metadata = mb.build())
     })
 

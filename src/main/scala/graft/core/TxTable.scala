@@ -534,6 +534,13 @@ final class TxTable(
         resolved.foreach(n => require(!refs.exists(_.equalsIgnoreCase(n)),
           s"CHECK $cn references column '$n' - dropCheckConstraint first"))
       }
+      generatedFields(cur).foreach { g =>
+        val refs = checkPredicateRefs(g.metadata.getString(
+          TxTable.GeneratedExprKey))
+        resolved.foreach(n => require(!refs.exists(_.equalsIgnoreCase(n)),
+          s"generated column '${g.name}' is computed from '$n' - " +
+            "drop the generated column first"))
+      }
       require(cur.fields.length > resolved.length,
         "cannot drop every column of the table")
       val target = StructType(cur.fields
@@ -650,6 +657,14 @@ final class TxTable(
         require(!checkPredicateRefs(pred).exists(_.equalsIgnoreCase(from)),
           s"CHECK $cn references column '$from' - dropCheckConstraint " +
             "first, rename, then re-add it under the new name")
+      }
+      // a generation expression binds declared names in its SQL text;
+      // renaming a referenced column would silently unbind it
+      generatedFields(cur).foreach { g =>
+        require(!checkPredicateRefs(g.metadata.getString(
+            TxTable.GeneratedExprKey)).exists(_.equalsIgnoreCase(from)),
+          s"generated column '${g.name}' is computed from '$from' - " +
+            "drop the generated column first, rename, then re-add it")
       }
       val target = StructType(cur.fields.map { x =>
         if (x.name.equalsIgnoreCase(from)) {
@@ -1623,12 +1638,46 @@ final class TxTable(
     * won. Returns the manifest entries (stage paths) and the stage
     * dir, which the caller deletes when the mutation ends. One file
     * per non-empty bucket. */
+  private[graft] def generatedFields(s: StructType): Seq[StructField] =
+    s.fields.toSeq.filter(_.metadata.contains(TxTable.GeneratedExprKey))
+
+  /** GENERATED ALWAYS AS (expr) columns, materialized for one write:
+    * a row that OMITS the column (or carries null — the conform paths
+    * null-fill omitted columns before this point, so null IS the
+    * omission signal, same contract as identity) takes the computed
+    * expression; a row that PROVIDES a value must agree with the
+    * expression per the null-safe equality, enforced by a per-row
+    * codegen'd `raise_error` — single pass, no extra validation job.
+    * Compaction re-stages rows that already passed (stored value =
+    * recomputed value for a deterministic expression, which CREATE
+    * requires), so the re-check is a no-op there by construction. */
+  private def applyGenerated(df: DataFrame, s: StructType): DataFrame = {
+    val gens = generatedFields(s)
+    if (gens.isEmpty) return df
+    gens.foldLeft(df) { (d, f) =>
+      val gen = expr(f.metadata.getString(TxTable.GeneratedExprKey))
+        .cast(f.dataType)
+      if (!d.columns.exists(_.equalsIgnoreCase(f.name)))
+        d.withColumn(f.name, gen)
+      else d.withColumn(f.name,
+        when(col(f.name).isNull, gen)
+          .otherwise(when(col(f.name) <=> gen, col(f.name))
+            .otherwise(raise_error(concat(
+              lit(s"generated column '${f.name}' = "),
+              col(f.name).cast("string"),
+              lit(" does not match GENERATED ALWAYS AS (" +
+                f.metadata.getString(TxTable.GeneratedExprKey) + ") = "),
+              gen.cast("string"))).cast(f.dataType))))
+    }
+  }
+
   private def stageFiles(
       df: DataFrame, asSchema: StructType, layout: Option[Column] = None,
       filesPerBucket: Int = 1): (Seq[FEntry], Path) = {
     val f = fs
     val stage = new Path(dir, s".stage-${UUID.randomUUID().toString.take(8)}")
-    val projected = df.select(
+    val withGen = applyGenerated(df, asSchema)
+    val projected = withGen.select(
       asSchema.fields.map(fl => col(fl.name).cast(fl.dataType)): _*)
     // admission control: every write path stages through here, so the
     // CHECK pass covers append/upsert/insert-if-absent/apply-changes
@@ -3320,6 +3369,18 @@ object TxTable {
     * file in a follow-up `layout_only` commit (see
     * [[TxTable.maybeAutoCompact]]). */
   val AutoCompactKey: String = "graft.autoCompact.minFiles"
+
+  /** Column-metadata key carrying a `GENERATED ALWAYS AS (expr)`
+    * column's generation expression (SQL text binding the table's
+    * other declared columns). The key is Spark's own
+    * (`GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY`, the
+    * `CURRENT_DEFAULT` convention), so `Column[]` conversions and
+    * DESCRIBE surfaces round-trip it. The value MATERIALIZES at write
+    * time ([[TxTable]]'s `applyGenerated` inside `stageFiles` — the
+    * single choke point every write path stages through), so reads,
+    * stats, zone-map skipping and interop exports all see plain
+    * stored values; the expression itself is a write-side directive. */
+  val GeneratedExprKey: String = "GENERATION_EXPRESSION"
 
   /** Lossless primitive widenings [[TxTable.widenColumn]] allows —
     * exactly the upcasts Spark 4's parquet readers perform when the

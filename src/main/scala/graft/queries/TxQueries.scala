@@ -765,6 +765,54 @@ object TxQueries {
         Qhelpers.msum(col("s_acctbal")).as("bal"))
   }
 
+  /** GENERATED ALWAYS AS (expr) columns end to end through SQL: an
+    * `o_year INT GENERATED ALWAYS AS (year(o_orderdate))` column
+    * MATERIALIZES at write time (stageFiles' applyGenerated — the
+    * choke point every write path stages through), across TWO
+    * `INSERT INTO ... (omitting o_year)` statements. The aggregate
+    * GROUPS BY THE STORED generated values; DuckDB recomputes the
+    * grouping from the base column over the raw orders parquet — a
+    * wrong or null materialization shifts rows between groups and
+    * can never silently agree. */
+  def tx_sql_generated(s: SparkSession, dir: String): DataFrame = {
+    val or = t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderdate")
+    or.createOrReplaceTempView("graft_gen_base")
+    val table = cached(s, dir, "orders", "sqlgen", 2L) { loc =>
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(TxTable.GeneratedExprKey, "year(o_orderdate)").build()
+      new TxTable(s, loc, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          or.schema("o_orderkey").dataType),
+        org.apache.spark.sql.types.StructField("o_totalprice",
+          or.schema("o_totalprice").dataType),
+        org.apache.spark.sql.types.StructField("o_orderdate",
+          or.schema("o_orderdate").dataType),
+        org.apache.spark.sql.types.StructField("o_year",
+          org.apache.spark.sql.types.IntegerType, nullable = true, md))),
+        Seq("o_orderkey"), numBuckets = 2)
+    } { tx =>
+      tx.createIfAbsent() // v0
+      val loc = new java.io.File(tx.dir)
+      s.conf.set("spark.sql.catalog.graftgen", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftgen.root", loc.getParent)
+      val ident = s"graftgen.`${loc.getName}`"
+      s.sql(
+        s"""INSERT INTO $ident (o_orderkey, o_totalprice, o_orderdate)
+           |SELECT o_orderkey, o_totalprice, o_orderdate
+           |FROM graft_gen_base WHERE o_orderkey % 2 = 0""".stripMargin) // v1
+      s.sql(
+        s"""INSERT INTO $ident (o_orderkey, o_totalprice, o_orderdate)
+           |SELECT o_orderkey, o_totalprice, o_orderdate
+           |FROM graft_gen_base WHERE o_orderkey % 2 = 1""".stripMargin) // v2
+    }
+    table.read
+      .groupBy(col("o_year").cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n"),
+        Qhelpers.msum(col("o_totalprice")).as("bal"))
+      .orderBy("o_year")
+  }
+
   /** Delta columnMapping ID-mode import: a STOCK id-mode table —
     * parquet data files whose column names (`f1..f3`) are unrelated
     * to both the Delta schema's declared names AND its physicalNames
@@ -1714,6 +1762,7 @@ object TxQueries {
     "tx_delta_map_roundtrip" -> (tx_delta_map_roundtrip _),
     "tx_delta_idmap_roundtrip" -> (tx_delta_idmap_roundtrip _),
     "tx_sql_identity" -> (tx_sql_identity _),
+    "tx_sql_generated" -> (tx_sql_generated _),
     "tx_stream_copy" -> (tx_stream_copy _),
     "tx_delta_skip_read" -> (tx_delta_skip_read _),
     "tx_stream_dedup" -> (tx_stream_dedup _),
@@ -2106,6 +2155,15 @@ object TxQueries {
          |       CAST(0 AS BIGINT) AS null_ids,
          |       ${Qhelpers.sqlMsum("s_acctbal")} AS bal
          |FROM supplier""".stripMargin,
+    // the engine groups by the STORED generated o_year values; DuckDB
+    // recomputes the grouping from the base column — any wrong/null
+    // materialization shifts rows between groups
+    "tx_sql_generated" ->
+      s"""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         |       COUNT(*) AS n,
+         |       ${Qhelpers.sqlMsum("o_totalprice")} AS bal
+         |FROM orders
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // a stock id-mode table's columns bind by parquet footer field
     // id; the import surfaces the declared names over the same rows,
     // so the oracle recomputes directly from the raw customer parquet

@@ -67,7 +67,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
         .SUPPORT_TABLE_CONSTRAINT,
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   private def fs: FileSystem =
     new Path(root).getFileSystem(
@@ -247,20 +249,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** Spark's own `Column[]` → `StructType` conversion (behind
     * TableInfo and the modern createTable) encodes comments and
-    * column DEFAULTs but DROPS the identity spec — the connector is
-    * expected to read it off the Column API (the Delta recipe).
-    * Re-attach it as the `identity.*` metadata keys TxTable's write
-    * path allocates from. Generated-expression columns are refused
-    * honestly: nothing in this engine would compute them. */
+    * column DEFAULTs but DROPS the identity spec and the generation
+    * expression — the connector is expected to read them off the
+    * Column API (the Delta recipe). Re-attach them as the
+    * `identity.*` / `graft.generatedExpr` metadata keys TxTable's
+    * write path allocates/computes from. */
   private def schemaOf(columns: Array[Column]): StructType = {
-    columns.foreach(c => require(c.generationExpression() == null,
-      s"generated column '${c.name()}' (GENERATED ALWAYS AS (expr)) " +
-        "is not supported - identity columns and DEFAULTs are"))
     val base = GraftCatalogShims.v2ColumnsToStructType(columns)
-    StructType(base.fields.zip(columns).map { case (f, c) =>
-      Option(c.identityColumnSpec()) match {
-        case None => f
-        case Some(spec) => f.copy(metadata =
+    val withMeta = StructType(base.fields.zip(columns).map { case (f, c) =>
+      (Option(c.identityColumnSpec()), Option(c.generationExpression())) match {
+        case (None, None) => f
+        case (Some(spec), _) => f.copy(metadata =
           new org.apache.spark.sql.types.MetadataBuilder()
             .withMetadata(f.metadata)
             .putLong(graft.core.TxTable.IdentityStartKey, spec.getStart)
@@ -268,8 +267,64 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             .putBoolean(graft.core.TxTable.IdentityAllowExplicitKey,
               spec.isAllowExplicitInsert)
             .build())
+        case (None, Some(gen)) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(graft.core.TxTable.GeneratedExprKey, gen)
+            .build())
       }
     })
+    validateGenerated(withMeta)
+    withMeta
+  }
+
+  /** CREATE-time validation of every `GENERATED ALWAYS AS (expr)`
+    * column: the expression must resolve against the table's PLAIN
+    * columns only (no self/generated/identity references — stored
+    * values for those may predate any given recompute), be
+    * deterministic (the write path re-checks provided values by
+    * recomputing; compaction re-stages rows and must agree with what
+    * it stored), and stay a scalar projection (aggregates / window
+    * functions would change the row cardinality of the write). A bad
+    * expression must fail the DDL, never the first insert. */
+  private def validateGenerated(schema: StructType): Unit = {
+    val spark = SparkSession.active
+    val gens = schema.fields.filter(
+      _.metadata.contains(graft.core.TxTable.GeneratedExprKey))
+    if (gens.isEmpty) return
+    val special = schema.fields.filter(f =>
+      f.metadata.contains(graft.core.TxTable.GeneratedExprKey) ||
+        f.metadata.contains(graft.core.TxTable.IdentityStartKey))
+      .map(_.name).toSeq
+    val plain = StructType(schema.fields.filterNot(f =>
+      special.exists(_.equalsIgnoreCase(f.name))))
+    val emptyPlain = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), plain)
+    gens.foreach { f =>
+      val sql = f.metadata.getString(graft.core.TxTable.GeneratedExprKey)
+      val refs = spark.sessionState.sqlParser.parseExpression(sql)
+        .collect { case a: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute => a.name }
+      refs.foreach(r => require(
+        !special.exists(_.equalsIgnoreCase(r)),
+        s"generated column '${f.name}': GENERATED ALWAYS AS ($sql) may " +
+          s"not reference generated/identity column '$r'"))
+      val analyzed = scala.util.Try(
+        emptyPlain.select(org.apache.spark.sql.functions.expr(sql)
+          .cast(f.dataType)).queryExecution.analyzed)
+      require(analyzed.isSuccess,
+        s"generated column '${f.name}': GENERATED ALWAYS AS ($sql) does " +
+          s"not resolve to ${f.dataType.simpleString} over columns " +
+          s"(${plain.fieldNames.mkString(", ")}): " +
+          analyzed.failed.map(_.getMessage).getOrElse(""))
+      require(analyzed.get.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.Project],
+        s"generated column '${f.name}': GENERATED ALWAYS AS ($sql) must " +
+          "be a scalar expression (no aggregates / window functions)")
+      require(analyzed.get.expressions.forall(_.deterministic),
+        s"generated column '${f.name}': GENERATED ALWAYS AS ($sql) must " +
+          "be deterministic")
+    }
   }
 
   override def createTable(ident: Identifier, columns: Array[Column],
