@@ -1007,6 +1007,44 @@ object TxQueries {
       .orderBy("p_brand")
   }
 
+  /** UNIFORM EXPORT (the Delta UniForm analog): ONE table, ONE copy
+    * of the parquet data files, BOTH metadata dialects published over
+    * them — `_delta_log/` (deletes as DV sidecars) and an Iceberg v2
+    * `metadata/` tree (deletes as position-delete files) from the
+    * same live state. The build includes a merge-on-read delete, so
+    * each dialect must encode the SAME tombstones its own way over
+    * the SAME shared files. The result JOINS the two readers'
+    * per-brand aggregates; DuckDB recomputes both column pairs from
+    * the raw part table — a divergence in either dialect (or between
+    * them) shifts a pair and can never silently agree. */
+  def tx_uniform_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+    val table = cached(s, dir, "part", "uniform", 3L) { loc =>
+      new TxTable(s, loc, p.schema, Seq("p_partkey"), numBuckets = 4)
+    } { tx =>
+      tx.append(p.filter(col("p_partkey") % 2 === 0))  // v1
+      tx.append(p.filter(col("p_partkey") % 2 === 1))  // v2
+      tx.deleteWhereLight(col("p_size") > 40)          // v3: DVs live
+      graft.core.DeltaExport.syncDeltaLog(s, tx)
+      graft.core.IcebergExport.writeIcebergMetadata(s, tx)
+    }
+    // idempotent re-export on cached reuse runs (same snapshot)
+    if (!new java.io.File(table.dir, "metadata/version-hint.text").exists())
+      graft.core.IcebergExport.writeIcebergMetadata(s, table)
+    if (!new java.io.File(table.dir, "_delta_log").exists())
+      graft.core.DeltaExport.syncDeltaLog(s, table)
+    val viaDelta = graft.core.DeltaImport.read(s, table.dir)
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_delta"),
+        Qhelpers.msum(col("p_retailprice")).as("bal_delta"))
+    val viaIceberg = graft.core.IcebergImport.read(s, table.dir)
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_iceberg"),
+        Qhelpers.msum(col("p_retailprice")).as("bal_iceberg"))
+    viaDelta.join(viaIceberg, "brand").orderBy("brand")
+  }
+
   /** ICEBERG round-trip, end to end: the table's snapshot exported as
     * an Iceberg v2 metadata tree ([[graft.core.IcebergExport]] —
     * HadoopCatalog layout, spec field-ids) and read BACK through the
@@ -1772,6 +1810,7 @@ object TxQueries {
     "tx_branch_wap" -> (tx_branch_wap _),
     "tx_stream_evolve" -> (tx_stream_evolve _),
     "tx_iceberg_roundtrip" -> (tx_iceberg_roundtrip _),
+    "tx_uniform_roundtrip" -> (tx_uniform_roundtrip _),
     "tx_iceberg_dv_roundtrip" -> (tx_iceberg_dv_roundtrip _),
     "scd2_incr_build" -> (scd2_incr_build _),
     "mv_routed_agg" -> (mv_routed_agg _),
@@ -2208,6 +2247,16 @@ object TxQueries {
          |WHERE p_size <= 40
          |GROUP BY p_brand
          |ORDER BY p_brand""".stripMargin,
+    // both dialects read the same live rows, so both column pairs
+    // recompute identically from the raw part table
+    "tx_uniform_roundtrip" ->
+      s"""SELECT p_brand AS brand, COUNT(*) AS n_delta,
+         |       ${Qhelpers.sqlMsum("p_retailprice")} AS bal_delta,
+         |       COUNT(*) AS n_iceberg,
+         |       ${Qhelpers.sqlMsum("p_retailprice")} AS bal_iceberg
+         |FROM part
+         |WHERE p_size <= 40
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "mv_routed_agg" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |       SUM(l_quantity) AS sum_qty, COUNT(l_quantity) AS n_qty
