@@ -1671,6 +1671,20 @@ final class TxTable(
     }
   }
 
+  /** Null out generated columns so [[applyGenerated]] RECOMPUTES them
+    * — the row-rewrite paths' contract (upsert / MERGE post-images /
+    * CDC apply): an updated row's stored generated value predates the
+    * update of its base columns, so carrying it through would either
+    * serve a stale value or (worse) trip the write-path equality
+    * check. Delta's UPDATE semantics: generated columns recompute.
+    * Re-staged UNTOUCHED rows recompute to their stored values (the
+    * expression is deterministic by CREATE-time contract). */
+  private def resetGenerated(df: DataFrame, s: StructType): DataFrame =
+    generatedFields(s).foldLeft(df)((d, f) =>
+      if (d.columns.exists(_.equalsIgnoreCase(f.name)))
+        d.withColumn(f.name, lit(null).cast(f.dataType))
+      else d)
+
   private def stageFiles(
       df: DataFrame, asSchema: StructType, layout: Option[Column] = None,
       filesPerBucket: Int = 1): (Seq[FEntry], Path) = {
@@ -2365,7 +2379,8 @@ final class TxTable(
           val remain = keyMatchJoin(readEntries(hit, target), gone,
             "left_anti", target)
             .unionByName(ups)
-          stageAndCommit(kept, remain, base, target, meta = meta)
+          stageAndCommit(kept, resetGenerated(remain, target), base, target,
+            meta = meta)
         } else if (meta.nonEmpty) {
           commit(m.entries, base, Some(target), meta)
         }
@@ -2387,7 +2402,8 @@ final class TxTable(
       val existing = readEntries(hit, target)
       val merged = keyMatchJoin(existing, updates, "left_anti", target)
         .unionByName(updates)
-      stageAndCommit(kept, merged, base, target, meta = meta)
+      stageAndCommit(kept, resetGenerated(merged, target), base, target,
+        meta = meta)
     } else if (meta.nonEmpty) {
       // nothing to merge but the watermark must still land (e.g. a
       // refresh whose feed nets out to zero row changes)
@@ -2524,7 +2540,13 @@ final class TxTable(
     // scannedVersion pin IS the CAS: any concurrent commit fails
     // this whole delta before a stale mark could allocate.
     val idClaims = identityFields(s).map(f => f -> identityNext(f))
-    val ins = inserts.map { df =>
+    // generated columns RECOMPUTE for the whole delta: UPDATE
+    // post-images arrive here carrying their pre-update generated
+    // values (Spark's rewrite copies unassigned columns), which must
+    // refresh when a referenced base column changed — same engine-
+    // round-tripped reasoning as the identity coalesce below
+    val ins = inserts.map { df0 =>
+      val df = resetGenerated(df0, s)
       if (idClaims.isEmpty) df
       else idClaims.foldLeft(conform(df, s)) { case (d, (f, n)) =>
         d.withColumn(f.name, coalesce(col(f.name), identityGen(f, n)))

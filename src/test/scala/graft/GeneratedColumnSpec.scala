@@ -82,6 +82,29 @@ class GeneratedColumnSpec extends SparkSpec {
       "upsert post-images must recompute from the updated base value")
   }
 
+  test("SQL UPDATE / MERGE recompute the generated column (Delta UPDATE semantics)") {
+    val root = tmpDir("gencol8")
+    spark.conf.set("spark.sql.catalog.gen8", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gen8.root", root)
+    spark.sql(
+      """CREATE TABLE gen8.t (
+        |  k BIGINT, v BIGINT,
+        |  dbl BIGINT GENERATED ALWAYS AS (v * 2))
+        |TBLPROPERTIES('keys'='k','buckets'='2')""".stripMargin)
+    spark.sql("INSERT INTO gen8.t (k, v) VALUES (1, 10), (2, 20), (3, 30)")
+    // the UPDATE post-image carries the PRE-update dbl; the rewrite
+    // path must recompute it, not reject or keep it stale
+    spark.sql("UPDATE gen8.t SET v = 100 WHERE k = 2")
+    spark.sql(
+      """MERGE INTO gen8.t USING (SELECT 3 AS k, 333 AS v) s ON gen8.t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    val got = spark.sql("SELECT k, v, dbl FROM gen8.t ORDER BY k")
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 10L, 20L), (2L, 100L, 200L),
+      (3L, 333L, 666L)))
+  }
+
   test("CREATE validation: nondeterminism, aggregates, bad refs refused") {
     val root = tmpDir("gencol4")
     spark.conf.set("spark.sql.catalog.gen4", "graft.sources.GraftCatalog")
