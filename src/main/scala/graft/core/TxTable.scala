@@ -1687,7 +1687,13 @@ final class TxTable(
 
   private def stageFiles(
       df: DataFrame, asSchema: StructType, layout: Option[Column] = None,
-      filesPerBucket: Int = 1): (Seq[FEntry], Path) = {
+      filesPerBucket: Int = 1,
+      /** total range partitions for the layout split; defaults to
+        * `numBuckets * filesPerBucket` — partial-table rewrites (e.g.
+        * [[compactBucketsClustered]]) pass `buckets-in-frame ×
+        * filesPerBucket` so the per-bucket file target holds when the
+        * frame covers only the fragmented buckets. */
+      layoutPartitions: Option[Int] = None): (Seq[FEntry], Path) = {
     val f = fs
     val stage = new Path(dir, s".stage-${UUID.randomUUID().toString.take(8)}")
     val withGen = applyGenerated(df, asSchema)
@@ -1711,7 +1717,8 @@ final class TxTable(
         val keyed = cast.withColumn("_layout", key)
         (if (filesPerBucket <= 1) keyed.repartition(col("_kb"))
          else keyed.repartitionByRange(
-           numBuckets * filesPerBucket, col("_kb"), col("_layout")))
+           layoutPartitions.getOrElse(numBuckets * filesPerBucket),
+           col("_kb"), col("_layout")))
           .sortWithinPartitions(col("_kb"), col("_layout"))
           .drop("_layout")
     }
@@ -1762,8 +1769,10 @@ final class TxTable(
       meta: Map[String, String] = Map.empty,
       /** extra commit meta derived from the STAGED entries' stats
         * (identity high-water marks need the staged max id). */
-      metaOf: Option[Seq[FEntry] => Map[String, String]] = None): Long = {
-    val (staged, stage) = stageFiles(df, asSchema, layout, filesPerBucket)
+      metaOf: Option[Seq[FEntry] => Map[String, String]] = None,
+      layoutPartitions: Option[Int] = None): Long = {
+    val (staged, stage) =
+      stageFiles(df, asSchema, layout, filesPerBucket, layoutPartitions)
     try commit(keep ++ staged, base, Some(asSchema),
       metaOf.fold(meta)(f => meta ++ f(staged)))
     finally fs.delete(stage, true)
@@ -1953,8 +1962,27 @@ final class TxTable(
   private def maybeAutoCompact(): Unit =
     tableProperties.get(TxTable.AutoCompactKey)
       .flatMap(_.toIntOption).filter(_ >= 2).foreach { minFiles =>
-        try { compactBuckets(minFiles); () }
-        catch { case scala.util.control.NonFatal(_) => () }
+        // graft.autoCluster.by upgrades the follow-up from a plain
+        // one-file-per-bucket squash to a clustered rewrite of the
+        // SAME fragmented buckets — continuous ingest keeps zone-map
+        // pruning on the cluster key tight with no scheduled OPTIMIZE.
+        // filesPerBucket defaults to minFiles/2: the gap to minFiles
+        // is the re-cluster hysteresis (see compactBucketsClustered).
+        val clusterBy = tableProperties.get(TxTable.AutoClusterKey)
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .filter(_.nonEmpty)
+        try {
+          clusterBy match {
+            case Some(cols) =>
+              val fpb = tableProperties.get(TxTable.AutoClusterFilesKey)
+                .flatMap(_.toIntOption).filter(_ >= 1)
+                .getOrElse(math.max(1, minFiles / 2))
+              compactBucketsClustered(
+                math.max(minFiles, fpb + 1), cols, fpb)
+            case None => compactBuckets(minFiles)
+          }
+          ()
+        } catch { case scala.util.control.NonFatal(_) => () }
       }
 
   /** [[append]] with SCHEMA EVOLUTION: columns of `df` not yet in the
@@ -2732,6 +2760,47 @@ final class TxTable(
     }
   }
 
+  /** [[compactBuckets]] that RE-CLUSTERS what it rewrites: fragmented
+    * buckets (>= `minFiles` files, or multi-file with DVs) range-split
+    * by `clusterBy` into ~`filesPerBucket` sorted files each; clean
+    * buckets re-link untouched. This is the maintenance primitive
+    * continuous ingest needs at scale — a full-table
+    * [[compactClustered]] is a 100 TB rewrite, while this pays only
+    * for the buckets the recent appends actually fragmented, and
+    * zone-map pruning on the cluster key stays tight forever.
+    *
+    * `minFiles` must exceed `filesPerBucket`: a freshly clustered
+    * bucket HOLDS `filesPerBucket` files, so a threshold at or below
+    * that would re-trip on every subsequent append (unbounded write
+    * amplification). The gap is the hysteresis — a bucket re-clusters
+    * only after `minFiles - filesPerBucket` more appends land in it. */
+  def compactBucketsClustered(minFiles: Int, clusterBy: Seq[String],
+      filesPerBucket: Int = 4): Int = {
+    require(clusterBy.nonEmpty, "compactBucketsClustered needs columns")
+    require(minFiles > filesPerBucket,
+      s"minFiles ($minFiles) must exceed filesPerBucket " +
+        s"($filesPerBucket) - equal or lower re-trips on every append")
+    if (currentVersion < 0) return 0
+    withRetry {
+      val base = currentVersion
+      val m = loadManifest(base)
+      val fragmented = m.entries.groupBy(_.bucket)
+        .filter { case (_, es) =>
+          es.length >= minFiles || (es.length > 1 && es.exists(_.dvs.nonEmpty))
+        }.keySet
+      if (fragmented.isEmpty) 0
+      else {
+        val (rewrite, keep) = m.entries.partition(e => fragmented(e.bucket))
+        val df = readEntries(rewrite, schemaAt(m))
+        stageAndCommit(keep, df, base, schemaAt(m),
+          Some(struct(clusterBy.map(col): _*)), filesPerBucket,
+          meta = Map("layout_only" -> "true"),
+          layoutPartitions = Some(fragmented.size * filesPerBucket))
+        fragmented.size
+      }
+    }
+  }
+
   /** Compaction + CLUSTERING: rewrite the current version so each
     * bucket's rows are range-split across `filesPerBucket` files by
     * `clusterBy` (plus sorted within files). After this, zone maps give
@@ -3391,6 +3460,13 @@ object TxTable {
     * file in a follow-up `layout_only` commit (see
     * [[TxTable.maybeAutoCompact]]). */
   val AutoCompactKey: String = "graft.autoCompact.minFiles"
+
+  /** Table properties upgrading write-triggered auto-compaction to a
+    * CLUSTERED rewrite of the fragmented buckets (comma-separated
+    * cluster columns + optional files-per-bucket target; see
+    * [[TxTable.compactBucketsClustered]] for the hysteresis contract). */
+  val AutoClusterKey: String = "graft.autoCluster.by"
+  val AutoClusterFilesKey: String = "graft.autoCluster.filesPerBucket"
 
   /** Column-metadata key carrying a `GENERATED ALWAYS AS (expr)`
     * column's generation expression (SQL text binding the table's

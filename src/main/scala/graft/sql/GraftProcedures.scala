@@ -234,7 +234,20 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
         val deadFrac = props.get("graft.autoMaintain.minDeadFraction")
           .map(_.toDouble).getOrElse(0.3)
         val before = tx.dataFileCount
-        val rewrote = tx.compactBuckets(minFiles)
+        //   graft.autoCluster.by (optional): upgrades the compaction
+        //     step to a CLUSTERED rewrite of the same fragmented
+        //     buckets (zone maps stay tight on the cluster key)
+        val clusterBy = props.get(TxTable.AutoClusterKey)
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .filter(_.nonEmpty)
+        val rewrote = clusterBy match {
+          case Some(cols) =>
+            val fpb = props.get(TxTable.AutoClusterFilesKey)
+              .flatMap(_.toIntOption).filter(_ >= 1)
+              .getOrElse(math.max(1, minFiles / 2))
+            tx.compactBucketsClustered(math.max(minFiles, fpb + 1), cols, fpb)
+          case None => tx.compactBuckets(minFiles)
+        }
         tx.materializeDeletes(minDeadFraction = deadFrac)
         val vacuumed = props.get("graft.vacuum.keepVersions").map { kv =>
           val minAge = props.get("graft.vacuum.minAgeMs").map(_.toLong)

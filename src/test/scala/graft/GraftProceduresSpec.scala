@@ -133,6 +133,47 @@ class GraftProceduresSpec extends SparkSpec {
     assert(t2.dataFileCount >= 6, "auto-compaction must be opt-in")
   }
 
+  test("auto-clustering: fragmented buckets re-cluster; zone maps stay tight") {
+    val dir = tmpDir("proc-autocl") + "/t"
+    val d = (1L to 400L).map(i => (i, i % 97)).toDF("k", "v")
+    val t = new TxTable(spark, dir, d.schema, Seq("k"), numBuckets = 2)
+    t.createIfAbsent()
+    t.setTableProperties(Map(
+      TxTable.AutoCompactKey -> "6",
+      TxTable.AutoClusterKey -> "v",
+      TxTable.AutoClusterFilesKey -> "3"))
+    // ten interleaved appends: every bucket's files have FULL v range
+    // (worst case for zone maps) until auto-clustering rewrites them
+    (0 until 10).foreach(i => t.append(d.filter(col("k") % 10 === i)))
+    assert(t.read.count() === 400L)
+    // bounded files: threshold 6, clustered to ~3 per bucket
+    assert(t.dataFileCount <= 2 * 7,
+      s"auto-clustering must bound files, got ${t.dataFileCount}")
+    // THE point: the cluster key prunes inside every rewritten bucket
+    val rep = t.skipReport(col("v") === 5)
+    assert(rep.scanned < rep.total,
+      s"clustered zone maps must prune (scanned ${rep.scanned} of " +
+        s"${rep.total})")
+    assert(t.scanWhere(col("v") === 5).count() ===
+      (1L to 400L).count(_ % 97 == 5))
+    // the clustering commits are layout_only (tail readers skip them)
+    assert(t.versions.exists(v =>
+      t.commitMeta(v).get("layout_only").contains("true")))
+    // CALL graft.maintenance takes the clustered path under the
+    // property too (idempotent right after the write-triggered pass:
+    // every bucket is at/below filesPerBucket, nothing re-trips)
+    val rep2 = spark.sql(s"CALL graft.maintenance('$dir')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rep2("compacted_buckets") === "0",
+      s"fresh clustering must not re-trip, got $rep2")
+    // hysteresis: the guard refuses a threshold that would re-trip
+    // on every append
+    val e = intercept[Exception] {
+      t.compactBucketsClustered(minFiles = 3, Seq("v"), filesPerBucket = 3)
+    }
+    assert(e.getMessage.contains("exceed"))
+  }
+
   test("vacuum dry_run previews the sweep and deletes nothing") {
     val dir = tmpDir("proc-dry") + "/t"
     val d = (1L to 50L).map(i => (i, i * 1.0)).toDF("k", "v")
