@@ -102,8 +102,83 @@ object IcebergExport {
       | {"name":"file_format","type":"string","field-id":101},
       | {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
       | {"name":"record_count","type":"long","field-id":103},
-      | {"name":"file_size_in_bytes","type":"long","field-id":104}
+      | {"name":"file_size_in_bytes","type":"long","field-id":104},
+      | {"name":"value_counts","field-id":109,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k119_v120","fields":[{"name":"key","type":"int","field-id":119},{"name":"value","type":"long","field-id":120}]}}]},
+      | {"name":"null_value_counts","field-id":110,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]}}]},
+      | {"name":"lower_bounds","field-id":125,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}]},
+      | {"name":"upper_bounds","field-id":128,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}]}
       |]}}]}""".stripMargin)
+
+  /** One extremum in the spec's BINARY SINGLE-VALUE SERIALIZATION
+    * (Appendix D): fixed-width little-endian numerics, raw UTF-8 for
+    * strings, 0x00/0x01 booleans. Values arrive in FileStats'
+    * comparable domain (integral/date/timestamp → Long, float/double
+    * → Double, string/boolean as-is). Exact per-file extrema are
+    * always valid bounds, so no truncation logic is needed; types
+    * outside this set (decimal, binary) emit no bound — readers
+    * simply don't skip on those columns. */
+  private def boundBuf(v: Any,
+      dt: org.apache.spark.sql.types.DataType): Option[java.nio.ByteBuffer] = {
+    import org.apache.spark.sql.types._
+    import java.nio.{ByteBuffer, ByteOrder}
+    // fixed-width buffers fill then flip; the wrapped string buffer is
+    // ready as-is (flipping a wrap would zero its limit)
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    def done(b: ByteBuffer) = { b.flip(); b }
+    (dt, v) match {
+      case (ByteType | ShortType | IntegerType | DateType, n: Long) =>
+        Some(done(le(4).putInt(n.toInt)))
+      case (LongType | TimestampType | TimestampNTZType, n: Long) =>
+        Some(done(le(8).putLong(n)))
+      case (FloatType, d: Double) => Some(done(le(4).putFloat(d.toFloat)))
+      case (DoubleType, d: Double) => Some(done(le(8).putDouble(d)))
+      case (BooleanType, b: Boolean) =>
+        Some(done(le(1).put(if (b) 1.toByte else 0.toByte)))
+      case (StringType, s: String) => Some(ByteBuffer.wrap(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      case _ => None
+    }
+  }
+
+  /** data_file column-stats maps (value/null counts + lower/upper
+    * bounds) from the entry's footer stats — what lets a STOCK
+    * Iceberg reader data-skip our exports the way graft's own zone
+    * maps do. Avro maps with int keys ride as the spec's
+    * array-of-key/value-records shape. */
+  private def putColumnStats(df: GenericRecord,
+      st: Option[FileStats.Stats], schemaAtV: StructType,
+      physOf: StructField => String, ids: Map[String, Int]): Unit = {
+    val stats = st.getOrElse(return ())
+    val dfSchema = df.getSchema
+    def mapArray(field: String, entries: Seq[(Int, AnyRef)]): Unit =
+      if (entries.nonEmpty) {
+        val arrSchema = dfSchema.getField(field).schema().getTypes.get(1)
+        val arr = new GenericData.Array[GenericRecord](
+          entries.size, arrSchema)
+        entries.foreach { case (k, v) =>
+          val r = new GenericData.Record(arrSchema.getElementType)
+          r.put("key", k); r.put("value", v); arr.add(r)
+        }
+        df.put(field, arr)
+      }
+    val perField = schemaAtV.fields.toSeq.flatMap { f =>
+      val phys = physOf(f)
+      for {
+        id <- ids.get(phys.toLowerCase)
+        cs <- stats.cols.get(phys)
+      } yield (id, f.dataType, cs)
+    }
+    if (stats.rows >= 0)
+      mapArray("value_counts", perField.map { case (id, _, _) =>
+        id -> java.lang.Long.valueOf(stats.rows) })
+    mapArray("null_value_counts", perField.collect {
+      case (id, _, cs) if cs.nulls >= 0 =>
+        id -> java.lang.Long.valueOf(cs.nulls) })
+    mapArray("lower_bounds", perField.flatMap { case (id, dt, cs) =>
+      cs.min.flatMap(boundBuf(_, dt)).map(id -> _) })
+    mapArray("upper_bounds", perField.flatMap { case (id, dt, cs) =>
+      cs.max.flatMap(boundBuf(_, dt)).map(id -> _) })
+  }
 
   private val ManifestFileSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -270,12 +345,15 @@ object IcebergExport {
     }
 
     var lastSeq = 0L
+    val verSchemaOf: Map[Long, StructType] = verSchemas.toMap
     val snapshots = versions.zipWithIndex.map { case (v, i) =>
       val snapshotId = 1000L + v
       val filesWithDvs = table.fileInfoWithDvsAt(v)
       val files = filesWithDvs.map(_._1)
       val dirty = filesWithDvs.filter(_._1.dvRows > 0L)
       val dataSeq = lastSeq + 1
+      val vSchema = verSchemaOf.getOrElse(v, schema)
+      val vPhysSchema = table.physicalize(vSchema)
 
       val entryRecords = files.map { f =>
         val df = new GenericData.Record(
@@ -288,6 +366,8 @@ object IcebergExport {
         df.put("record_count", rowsOf(f))
         df.put("file_size_in_bytes",
           fs.getFileStatus(new Path(f.path)).getLen)
+        putColumnStats(df, FileStats.fromJson(f.statsJson, vPhysSchema),
+          vSchema, table.physicalFieldName, ids)
         val e = new GenericData.Record(ManifestEntrySchema)
         e.put("status", 1) // ADDED
         e.put("snapshot_id", snapshotId)

@@ -70,7 +70,12 @@ object IcebergImport {
         * — differs from `schema` only when the metadata carries a
         * `schema.name-mapping.default` renaming (spec: the binding
         * for files without parquet field ids). */
-      physSchema: StructType = new StructType()) {
+      physSchema: StructType = new StructType(),
+      /** per-`files` column stats lifted from the manifest's
+        * lower/upper bounds + null counts (None when the writer
+        * recorded none) — [[IcebergImport.readWhere]]'s pruning
+        * input, keyed by DECLARED column names. */
+      fileStats: Seq[Option[FileStats.Stats]] = Nil) {
     def fileSchema: StructType =
       if (physSchema.isEmpty) schema else physSchema
   }
@@ -125,6 +130,83 @@ object IcebergImport {
       case _ => throw new IllegalArgumentException("schema has no fields")
     }
     StructType(fields)
+  }
+
+  /** One manifest column-stats map (spec: avro array of key/value
+    * records with int field-id keys, the non-string-key map shape) as
+    * (field-id, raw value) pairs; tolerates a true avro map from
+    * writers that use string keys, and absence entirely. */
+  private def mapPairs(df: GenericRecord, field: String): Seq[(Int, AnyRef)] =
+    if (df.getSchema.getField(field) == null) Nil
+    else Option(df.get(field)).toSeq.flatMap {
+      case l: java.util.List[_] => l.asScala.toSeq.map { r0 =>
+        val r = r0.asInstanceOf[GenericRecord]
+        r.get("key").asInstanceOf[Number].intValue() ->
+          r.get("value").asInstanceOf[AnyRef]
+      }
+      case m: java.util.Map[_, _] => m.asScala.toSeq.flatMap { case (k, v) =>
+        k.toString.toIntOption.map(_ -> v.asInstanceOf[AnyRef]) }
+      case _ => Nil
+    }
+
+  /** One bound in the spec's binary single-value serialization back
+    * into FileStats' comparable domain (integral/date/timestamp →
+    * Long, float/double → Double, string/boolean as-is). Unknown
+    * types drop the bound — sound: no entry, no skipping. Truncated
+    * STRING bounds from foreign writers stay sound as-is: a prefix
+    * lower bound is still <= every value, and the spec requires a
+    * truncated upper bound to be incremented past the data. */
+  private def boundDomain(v: AnyRef, dt: DataType): Option[Any] = {
+    val b = (v match {
+      case bb: java.nio.ByteBuffer => Some(bb.duplicate())
+      case arr: Array[Byte] => Some(java.nio.ByteBuffer.wrap(arr))
+      case _ => None
+    }).map(_.order(java.nio.ByteOrder.LITTLE_ENDIAN)).getOrElse(return None)
+    scala.util.Try[Option[Any]] {
+      dt match {
+        case ByteType | ShortType | IntegerType | DateType =>
+          Some(b.getInt.toLong)
+        case LongType | TimestampType | TimestampNTZType => Some(b.getLong)
+        case FloatType => Some(b.getFloat.toDouble)
+        case DoubleType => Some(b.getDouble)
+        case BooleanType => Some(b.get() != 0.toByte)
+        case StringType => Some(
+          java.nio.charset.StandardCharsets.UTF_8.decode(b).toString)
+        case _ => None
+      }
+    }.toOption.flatten
+  }
+
+  /** A data_file entry's lower/upper bounds + null counts lifted into
+    * the engine's zone-map shape (keyed by DECLARED names through the
+    * schema's field ids) so [[FileStats.mayMatch]] evaluates
+    * predicates against them — the [[DeltaImport]] add-action-stats
+    * lift, Iceberg dialect. */
+  private def statsFromEntry(df: GenericRecord, rows: Long,
+      schema: StructType,
+      fieldIds: Map[Int, String]): Option[FileStats.Stats] = {
+    val lower = mapPairs(df, "lower_bounds").toMap
+    val upper = mapPairs(df, "upper_bounds").toMap
+    val nulls = mapPairs(df, "null_value_counts").flatMap { case (k, v) =>
+      v match { case n: Number => Some(k -> n.longValue()); case _ => None }
+    }.toMap
+    if (lower.isEmpty && upper.isEmpty && nulls.isEmpty) return None
+    val cols = fieldIds.flatMap { case (id, name) =>
+      schema.find(_.name == name).flatMap { f =>
+        val mn = lower.get(id).flatMap(boundDomain(_, f.dataType))
+        val mx = upper.get(id).flatMap(boundDomain(_, f.dataType))
+        val nu = nulls.getOrElse(id, -1L)
+        (mn, mx) match {
+          case (Some(a), Some(b)) =>
+            Some(name -> FileStats.ColStats(Some(a), Some(b), nu))
+          case _ if nu == rows && rows >= 0 =>
+            // all-null column: provable emptiness without extrema
+            Some(name -> FileStats.ColStats(None, None, nu))
+          case _ => None
+        }
+      }
+    }
+    if (cols.isEmpty) None else Some(FileStats.Stats(rows, cols))
   }
 
   private def readAvro(fs: FileSystem, p: Path,
@@ -310,9 +392,9 @@ object IcebergImport {
           val fmt = df.get("file_format").toString
           require(fmt.equalsIgnoreCase("PARQUET"),
             s"data file format $fmt unsupported (parquet only)")
-          Some((df.get("file_path").toString,
-            df.get("record_count").asInstanceOf[Long],
-            entrySeq(m, e)))
+          val rc = df.get("record_count").asInstanceOf[Long]
+          Some((df.get("file_path").toString, rc, entrySeq(m, e),
+            statsFromEntry(df, rc, schema, fieldIds)))
         }
       }
     }
@@ -361,7 +443,7 @@ object IcebergImport {
     Snapshot(wantedId, schema,
       filesCountsSeqs.map(_._1), filesCountsSeqs.map(_._2),
       posDeletes.toSeq, eqDeletes.toSeq, filesCountsSeqs.map(_._3),
-      physSchema = physSchema)
+      physSchema = physSchema, fileStats = filesCountsSeqs.map(_._4))
   }
 
   /** Read the current (or pinned) snapshot as a DataFrame under the
@@ -372,9 +454,45 @@ object IcebergImport {
     * through. The tombstones stay a DataFrame end to end — nothing
     * position-shaped is collected. */
   def read(spark: SparkSession, dir: String,
+      snapshotId: Option[Long] = None): DataFrame =
+    serve(spark, snapshot(spark, dir, snapshotId))
+
+  /** [[read]] with DRIVER-SIDE DATA SKIPPING from the manifests'
+    * lower/upper bounds + null counts (the [[DeltaImport.readWhere]]
+    * twin): files whose bounds provably exclude `pred` never enter
+    * the scan plan — at 100 TB the pruning decision is one metadata
+    * pass the import already paid, zero data I/O. Files without
+    * recorded stats are always kept (sound), and the surviving scan
+    * still applies the full predicate. */
+  def readWhere(spark: SparkSession, dir: String, pred: org.apache.spark.sql.Column,
       snapshotId: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, element_at, lit, split}
     val s = snapshot(spark, dir, snapshotId)
+    val cond = scala.util.Try {
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+        .filter(pred).queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }
+    }.toOption.flatten
+    val keep: Seq[Boolean] = cond match {
+      case None => s.files.map(_ => true)
+      case Some(c) => s.files.indices.map { i =>
+        s.fileStats.lift(i).flatten match {
+          case Some(st) => FileStats.mayMatch(st, c, s.schema)
+          case None     => true
+        }
+      }
+    }
+    def sel[T](xs: Seq[T]): Seq[T] =
+      if (xs.isEmpty) xs else xs.zip(keep).collect { case (x, true) => x }
+    serve(spark, s.copy(files = sel(s.files),
+      recordCounts = sel(s.recordCounts), dataSeqs = sel(s.dataSeqs),
+      fileStats = sel(s.fileStats))).filter(pred)
+  }
+
+  private def serve(spark: SparkSession, s: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, lit, split}
     if (s.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)

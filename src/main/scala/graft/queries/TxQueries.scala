@@ -618,6 +618,37 @@ object TxQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** ICEBERG MANIFEST DATA SKIPPING, end to end: the export now
+    * publishes per-file lower/upper bounds + null counts in its
+    * manifests (spec binary single-value serialization), and
+    * [[graft.core.IcebergImport.readWhere]] prunes data files
+    * driver-side from those bounds before the scan plan exists — the
+    * Iceberg twin of `tx_delta_skip_read`. The price-clustered
+    * export makes the bounds selective; the aggregate must equal
+    * DuckDB applying the same predicate relationally
+    * (IcebergExportSpec holds the ghost-file proof that pruned files
+    * are never touched). */
+  def tx_iceberg_skip_read(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val table = cached(s, dir, "orders", "iceskip", 2L) { loc =>
+      new TxTable(s, loc, o.schema, Seq("o_orderkey"), numBuckets = 4)
+    } { tx =>
+      tx.append(o)                                            // v1
+      tx.compactClustered(Seq("o_totalprice"), filesPerBucket = 6) // v2
+      graft.core.IcebergExport.writeIcebergMetadata(s, tx)
+    }
+    if (!new java.io.File(table.dir, "metadata/version-hint.text").exists())
+      graft.core.IcebergExport.writeIcebergMetadata(s, table)
+    graft.core.IcebergImport
+      .readWhere(s, table.dir, col("o_totalprice") < lit(50000.0))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        Qhelpers.msum(col("o_totalprice")).as("total"),
+        min("o_orderkey").as("min_key"))
+      .orderBy("o_orderpriority")
+  }
+
   /** STREAMING FILE INGEST (the Auto Loader analog, continuous twin
     * of COPY INTO): supplier split into three source files landed in
     * THREE `Trigger.AvailableNow` runs of the `graft-files` discovery
@@ -1803,6 +1834,7 @@ object TxQueries {
     "tx_sql_generated" -> (tx_sql_generated _),
     "tx_stream_copy" -> (tx_stream_copy _),
     "tx_delta_skip_read" -> (tx_delta_skip_read _),
+    "tx_iceberg_skip_read" -> (tx_iceberg_skip_read _),
     "tx_stream_dedup" -> (tx_stream_dedup _),
     "tx_iceberg_map_roundtrip" -> (tx_iceberg_map_roundtrip _),
     "tx_delta_cdf" -> (tx_delta_cdf _),
@@ -2171,6 +2203,16 @@ object TxQueries {
     // stats pruning may only SKIP files, never filter rows - the
     // import-side filtered aggregate equals the relational recompute
     "tx_delta_skip_read" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |       ${Qhelpers.sqlMsum("o_totalprice")} AS total,
+         |       MIN(o_orderkey) AS min_key
+         |FROM orders
+         |WHERE o_totalprice < 50000.0
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+    // manifest-bounds pruning must be invisible in the result —
+    // DuckDB applies the same predicate relationally
+    "tx_iceberg_skip_read" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n,
          |       ${Qhelpers.sqlMsum("o_totalprice")} AS total,
          |       MIN(o_orderkey) AS min_key

@@ -432,4 +432,55 @@ class IcebergExportSpec extends SparkSpec {
     assert(back.collect().map(_.toSeq).toSet ===
       t.read.collect().map(_.toSeq).toSet)
   }
+
+  test("manifests carry column bounds; readWhere prunes (ghost proof)") {
+    val dir = tmpDir("iceberg-bounds") + "/t"
+    val data = (1L to 400L)
+      .map(i => (i, s"name_${"%04d".format(i)}", i * 1.0))
+      .toDF("k", "name", "v")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 2)
+    t.append(data)
+    t.compactClustered(Seq("v"), filesPerBucket = 4) // selective bounds
+    IcebergExport.writeIcebergMetadata(spark, t)
+
+    // the import lifts the exported bounds into per-file stats
+    val snap = graft.core.IcebergImport.snapshot(spark, dir)
+    assert(snap.fileStats.nonEmpty && snap.fileStats.forall(_.isDefined),
+      "every exported data file must carry lifted bounds")
+    val vStats = snap.fileStats.flatten.flatMap(_.cols.get("v"))
+    assert(vStats.flatMap(_.min).map(_.asInstanceOf[Double]).min === 1.0)
+    assert(vStats.flatMap(_.max).map(_.asInstanceOf[Double]).max === 400.0)
+    // string bounds ride as UTF-8 (spec single-value serialization)
+    val nameStats = snap.fileStats.flatten.flatMap(_.cols.get("name"))
+    assert(nameStats.flatMap(_.min).map(_.asInstanceOf[String]).min ===
+      "name_0001")
+
+    // numbers must be right before the ghost proof: pruned read ==
+    // full read under the same predicate
+    val pred = col("v") <= 100.0
+    val full = t.read.filter(pred).agg(sum("k")).head.getLong(0)
+    assert(graft.core.IcebergImport.readWhere(spark, dir, pred)
+      .agg(sum("k")).head.getLong(0) === full)
+
+    // GHOST PROOF: delete every data file whose bounds exclude the
+    // predicate - a reader that fails to prune dies with
+    // FileNotFound, so success IS the pruning
+    val excluded = snap.files.zip(snap.fileStats).collect {
+      case (f, Some(st)) if st.cols.get("v")
+        .exists(_.min.exists(_.asInstanceOf[Double] > 100.0)) => f
+    }
+    assert(excluded.nonEmpty, "clustering must make some files excludable")
+    excluded.foreach(f => assert(
+      new File(new java.net.URI(f).getPath).delete(), s"rm $f"))
+    assert(graft.core.IcebergImport.readWhere(spark, dir, pred)
+      .agg(sum("k")).head.getLong(0) === full)
+    intercept[Exception] {
+      graft.core.IcebergImport.read(spark, dir).agg(sum("k")).head
+    }
+    // an overlapping predicate must keep ghosts (never over-prune)
+    intercept[Exception] {
+      graft.core.IcebergImport.readWhere(spark, dir, col("v") > 350.0)
+        .agg(sum("k")).head
+    }
+  }
 }
