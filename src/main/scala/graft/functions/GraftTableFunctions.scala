@@ -223,6 +223,31 @@ object GraftTableFunctions {
     plan(graft.core.DeltaImport.readChanges(spark, dir, fromV, toV))
   }
 
+  /** `graft_delta_scan(dir [, version])` — a FOREIGN Delta Lake
+    * table as SQL text (full protocol replay: checkpoints, DVs, CDF
+    * metadata, columnMapping name/id binding), optionally pinned to a
+    * log version. The SQL-only door to [[graft.core.DeltaImport]] —
+    * reading someone else's lakehouse no longer needs Scala. */
+  private def deltaScan(exprs: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    val dir = str(exprs, 0, "delta table directory")
+    val asOf = if (exprs.length > 1)
+      Some(int(exprs, 1, "delta version").toLong) else None
+    plan(graft.core.DeltaImport.read(spark, dir, asOf))
+  }
+
+  /** `graft_iceberg_scan(dir [, snapshotId])` — a FOREIGN Apache
+    * Iceberg v1/v2 table as SQL text (manifest-list walk, position +
+    * equality deletes, name mapping), optionally pinned to a
+    * snapshot id ([[graft.core.IcebergImport]]'s SQL door). */
+  private def icebergScan(exprs: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    val dir = str(exprs, 0, "iceberg table directory")
+    val snapId = if (exprs.length > 1)
+      Some(int(exprs, 1, "snapshot id").toLong) else None
+    plan(graft.core.IcebergImport.read(spark, dir, snapId))
+  }
+
   /** `graft_copy_ledger(tableDir)` — COPY INTO's exactly-once ledger
     * as SQL text: one row per source file ever loaded (path, size,
     * mtime), the ops view behind "did my load pick this file up?".
@@ -262,5 +287,7 @@ object GraftTableFunctions {
     e.injectTableFunction(tvf("graft_refs", refs))
     e.injectTableFunction(tvf("graft_delta_changes", deltaChanges))
     e.injectTableFunction(tvf("graft_copy_ledger", copyLedger))
+    e.injectTableFunction(tvf("graft_delta_scan", deltaScan))
+    e.injectTableFunction(tvf("graft_iceberg_scan", icebergScan))
   }
 }

@@ -54,5 +54,16 @@ class UniformExportSpec extends SparkSpec {
     assert(DeltaImport.read(spark, t.dir).count() ===
       IcebergImport.read(spark, t.dir).count())
     assert(DeltaImport.read(spark, t.dir).count() === 344L)
+
+    // the SQL doors: both dialects of the SAME table joined in pure
+    // SQL text through the scan TVFs - foreign-lakehouse reads need
+    // no Scala
+    val sql = spark.sql(
+      s"""SELECT count(*) AS n, sum(d.v - i.v) AS drift
+         |FROM graft_delta_scan('${t.dir}') d
+         |JOIN graft_iceberg_scan('${t.dir}') i ON d.k = i.k""".stripMargin)
+      .head()
+    assert(sql.getLong(0) === 344L)
+    assert(sql.getLong(1) === 0L, "both dialects must serve equal rows")
   }
 }
