@@ -208,6 +208,25 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
         val tx = open(spark, arg(0, "table directory"))
         val p = graft.core.IcebergExport.writeIcebergMetadata(spark, tx)
         report(tx, "metadata" -> p)
+      case "export_uniform" =>
+        // BOTH dialects over one copy of the data (the UniForm verb):
+        // _delta_log sync + Iceberg v2 tree in one CALL
+        val tx = open(spark, arg(0, "table directory"))
+        val v = graft.core.DeltaExport.syncDeltaLog(spark, tx)
+        val p = graft.core.IcebergExport.writeIcebergMetadata(spark, tx)
+        report(tx, "delta_commit" -> v.map(_.toString).getOrElse("no-op"),
+          "iceberg_metadata" -> p)
+      case "cluster" =>
+        // lexicographic twin of zorder: range-split every bucket by
+        // the cluster key (tight zone maps on the LEADING column)
+        val tx = open(spark, arg(0, "table directory"))
+        val cols = arg(1, "columns").split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val fpb = if (args.length > 2) arg(2, "files per bucket").toInt else 8
+        val before = tx.dataFileCount
+        tx.compactClustered(cols, fpb)
+        report(tx, "files_before" -> before.toString,
+          "cluster_by" -> cols.mkString(","))
       case "maintenance" =>
         // POLICY-DRIVEN auto-maintenance — the "nobody has to
         // remember to run OPTIMIZE" verb for scheduled callers: each
@@ -260,10 +279,11 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
           "min_files_threshold" -> minFiles.toString,
           "vacuum_keep_versions" -> vacuumed.getOrElse("off"))
       case other => throw new UnsupportedOperationException(
-        s"unknown procedure graft.$other - available: compact, zorder, " +
-          "materialize_deletes, vacuum, maintenance, copy_into, undrop, " +
-          "restore, relocate, rebucket, export_delta, export_iceberg, " +
-          "tag, drop_tag, branch, publish, drop_branch")
+        s"unknown procedure graft.$other - available: compact, cluster, " +
+          "zorder, materialize_deletes, vacuum, maintenance, copy_into, " +
+          "undrop, restore, relocate, rebucket, export_delta, " +
+          "export_iceberg, export_uniform, tag, drop_tag, branch, " +
+          "publish, drop_branch")
     }
   }
 }

@@ -174,6 +174,23 @@ class GraftProceduresSpec extends SparkSpec {
     assert(e.getMessage.contains("exceed"))
   }
 
+  test("CALL graft.cluster and graft.export_uniform") {
+    val dir = tmpDir("proc-cluster") + "/t"
+    val d = (1L to 300L).map(i => (i, i % 50)).toDF("k", "v")
+    val t = new TxTable(spark, dir, d.schema, Seq("k"), numBuckets = 2)
+    (0 until 3).foreach(i => t.append(d.filter(col("k") % 3 === i)))
+    spark.sql(s"CALL graft.cluster('$dir', 'v', 4)").collect()
+    val rep = t.skipReport(col("v") === 7)
+    assert(rep.scanned < rep.total, "clustered zone maps must prune")
+    assert(t.read.count() === 300L)
+
+    val uni = spark.sql(s"CALL graft.export_uniform('$dir')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(uni.contains("delta_commit") && uni.contains("iceberg_metadata"))
+    assert(graft.core.DeltaImport.read(spark, dir).count() === 300L)
+    assert(graft.core.IcebergImport.read(spark, dir).count() === 300L)
+  }
+
   test("vacuum dry_run previews the sweep and deletes nothing") {
     val dir = tmpDir("proc-dry") + "/t"
     val d = (1L to 50L).map(i => (i, i * 1.0)).toDF("k", "v")
