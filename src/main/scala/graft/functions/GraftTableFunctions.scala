@@ -228,12 +228,33 @@ object GraftTableFunctions {
     * metadata, columnMapping name/id binding), optionally pinned to a
     * log version. The SQL-only door to [[graft.core.DeltaImport]] —
     * reading someone else's lakehouse no longer needs Scala. */
+  /** Trailing optional TVF arguments: an INT pins a version/snapshot,
+    * a STRING is a predicate in SQL text routed to the import's
+    * `readWhere` (driver-side file skipping from the foreign stats —
+    * a bare TVF result would only get row-group pushdown, never
+    * manifest-level pruning). Both may appear, in either order. */
+  private def scanArgs(exprs: Seq[Expression],
+      what: String): (Option[Long], Option[String]) =
+    (1 until exprs.length).map(i => evalArg(exprs, i, what))
+      .foldLeft((Option.empty[Long], Option.empty[String])) {
+        case ((v, p), n: Int)           => (v.orElse(Some(n.toLong)), p)
+        case ((v, p), n: Long)          => (v.orElse(Some(n)), p)
+        case ((v, p), s: UTF8String)    => (v, p.orElse(Some(s.toString)))
+        case ((v, p), s: String)        => (v, p.orElse(Some(s)))
+        case (_, other) => throw new IllegalArgumentException(
+          s"$what: expected a version (int) or predicate (string), " +
+            s"got $other")
+      }
+
   private def deltaScan(exprs: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
     val dir = str(exprs, 0, "delta table directory")
-    val asOf = if (exprs.length > 1)
-      Some(int(exprs, 1, "delta version").toLong) else None
-    plan(graft.core.DeltaImport.read(spark, dir, asOf))
+    val (asOf, pred) = scanArgs(exprs, "graft_delta_scan")
+    plan(pred match {
+      case Some(p) => graft.core.DeltaImport.readWhere(spark, dir,
+        org.apache.spark.sql.functions.expr(p), asOf)
+      case None => graft.core.DeltaImport.read(spark, dir, asOf)
+    })
   }
 
   /** `graft_iceberg_scan(dir [, snapshotId])` — a FOREIGN Apache
@@ -243,9 +264,12 @@ object GraftTableFunctions {
   private def icebergScan(exprs: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
     val dir = str(exprs, 0, "iceberg table directory")
-    val snapId = if (exprs.length > 1)
-      Some(int(exprs, 1, "snapshot id").toLong) else None
-    plan(graft.core.IcebergImport.read(spark, dir, snapId))
+    val (snapId, pred) = scanArgs(exprs, "graft_iceberg_scan")
+    plan(pred match {
+      case Some(p) => graft.core.IcebergImport.readWhere(spark, dir,
+        org.apache.spark.sql.functions.expr(p), snapId)
+      case None => graft.core.IcebergImport.read(spark, dir, snapId)
+    })
   }
 
   /** `graft_copy_ledger(tableDir)` — COPY INTO's exactly-once ledger

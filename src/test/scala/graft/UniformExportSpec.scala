@@ -65,5 +65,16 @@ class UniformExportSpec extends SparkSpec {
       .head()
     assert(sql.getLong(0) === 344L)
     assert(sql.getLong(1) === 0L, "both dialects must serve equal rows")
+
+    // predicate-string arguments route to readWhere (manifest-level
+    // file skipping, not just row-group pushdown) and must be exact
+    val expect = (1L to 401L)
+      .count(k => k % 7 != 0 && k <= 100).toLong
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_delta_scan('${t.dir}', 'k <= 100')")
+      .head().getLong(0) === expect)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_iceberg_scan('${t.dir}', 'k <= 100')")
+      .head().getLong(0) === expect)
   }
 }
