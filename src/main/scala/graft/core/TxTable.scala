@@ -100,6 +100,19 @@ final class TxTable(
   require(!schema.fieldNames.exists(TxTable.ReservedCols.contains),
     s"schema may not use the reserved column names " +
       s"${TxTable.ReservedCols.mkString(", ")} (internal layout/DV scratch)")
+  // a GENERATED key would mis-bucket every upsert/MERGE: bucket
+  // targeting hashes the incoming keys BEFORE staging recomputes the
+  // expression (null-means-compute), so a null-carrying update row
+  // would hash to the wrong bucket and silently duplicate its key
+  schema.fields.filter(_.metadata.contains(TxTable.GeneratedExprKey))
+    .foreach { f =>
+      require(!keys.exists(_.equalsIgnoreCase(f.name)),
+        s"generated column '${f.name}' cannot be a key column - keys " +
+          "are the physical bucketing identity and must arrive concrete")
+      require(
+        !f.metadata.contains(TxTable.IdentityStartKey),
+        s"column '${f.name}' cannot be both IDENTITY and GENERATED")
+    }
 
   private val dataDir = s"$dir/data"
   private val manifestDir = s"$dir/_manifests"
@@ -2170,6 +2183,13 @@ final class TxTable(
         target.fieldNames.exists(_.equalsIgnoreCase(r)),
         s"CHECK $cn references column '$r', absent from the REPLACE " +
           "schema - dropCheckConstraint first"))
+    }
+    generatedFields(target).foreach { g =>
+      checkPredicateRefs(g.metadata.getString(TxTable.GeneratedExprKey))
+        .foreach(r => require(
+          target.fieldNames.exists(_.equalsIgnoreCase(r)),
+          s"generated column '${g.name}' is computed from '$r', absent " +
+            "from the REPLACE schema - drop the generated column too"))
     }
     createIfAbsent()
     withRetry {

@@ -157,6 +157,20 @@ class GeneratedColumnSpec extends SparkSpec {
       "generated-from-identity")
   }
 
+  test("a generated column cannot be a key (bucket identity arrives concrete)") {
+    val schema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("gk", LongType, nullable = true, genMd("k * 2")),
+      StructField("v", LongType)))
+    // bucket targeting hashes incoming keys BEFORE staging recomputes
+    // the expression - a null-carrying update would mis-bucket
+    val e = intercept[Exception] {
+      new TxTable(spark, tmpDir("gencol9") + "/t", schema,
+        Seq("gk"), numBuckets = 2)
+    }
+    assert(e.getMessage.contains("cannot be a key"))
+  }
+
   test("rename/drop of a referenced column refused; generated col drops") {
     val schema = StructType(Seq(
       StructField("k", LongType),
