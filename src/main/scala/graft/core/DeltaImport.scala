@@ -536,18 +536,9 @@ object DeltaImport {
             f.metadata.getString("delta.columnMapping.physicalName")
           else f.name)
       }.toMap
-    // resolve the predicate through Spark's analyzer (empty relation
-    // with the log schema) so the evaluator sees exact types; an
-    // unresolvable shape prunes nothing
-    val expr = scala.util.Try {
-      spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          snap.schema)
-        .filter(pred).queryExecution.analyzed.collectFirst {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            f.condition
-        }
-    }.toOption.flatten
+    // resolve the predicate through the shared analyzer pass (exact
+    // types; an unresolvable shape prunes nothing)
+    val expr = FileStats.resolvePredicate(spark, snap.schema, pred)
     val kept = expr match {
       case None => snap.adds
       case Some(cond) => snap.adds.filter { a =>

@@ -246,6 +246,24 @@ object FileStats {
     try evalMay(stats, pred, schema)
     catch { case scala.util.control.NonFatal(_) => true }
 
+  /** A user `Column` predicate resolved through Spark's analyzer
+    * against `schema` (empty relation — zero data I/O) into the
+    * analyzed condition [[mayMatch]] expects; None when the shape
+    * doesn't resolve, which callers treat as "prune nothing" (sound).
+    * The ONE resolution used by every import dialect's readWhere
+    * (Delta, Iceberg) so their semantics can never drift. */
+  def resolvePredicate(spark: org.apache.spark.sql.SparkSession,
+      schema: StructType,
+      pred: org.apache.spark.sql.Column): Option[Expression] =
+    scala.util.Try {
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .filter(pred).queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }
+    }.toOption.flatten
+
   private def attrName(e: Expression): Option[String] = e match {
     case a: UnresolvedAttribute if a.nameParts.length == 1 => Some(a.nameParts.head)
     case a: AttributeReference => Some(a.name)

@@ -170,8 +170,15 @@ object IcebergImport {
         case FloatType => Some(b.getFloat.toDouble)
         case DoubleType => Some(b.getDouble)
         case BooleanType => Some(b.get() != 0.toByte)
-        case StringType => Some(
-          java.nio.charset.StandardCharsets.UTF_8.decode(b).toString)
+        case StringType =>
+          val s = java.nio.charset.StandardCharsets.UTF_8.decode(b).toString
+          // the engine compares strings in UTF-16 order, but Iceberg
+          // bounds are ordered by UTF-8 bytes (code points); the two
+          // diverge exactly when supplementary characters (surrogate
+          // pairs) are involved — drop such bounds rather than risk
+          // pruning a file that actually matches
+          if (s.exists(c => c >= 0xD800.toChar && c <= 0xDFFF.toChar)) None
+          else Some(s)
         case _ => None
       }
     }.toOption.flatten
@@ -467,14 +474,7 @@ object IcebergImport {
   def readWhere(spark: SparkSession, dir: String, pred: org.apache.spark.sql.Column,
       snapshotId: Option[Long] = None): DataFrame = {
     val s = snapshot(spark, dir, snapshotId)
-    val cond = scala.util.Try {
-      spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
-        .filter(pred).queryExecution.analyzed.collectFirst {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            f.condition
-        }
-    }.toOption.flatten
+    val cond = FileStats.resolvePredicate(spark, s.schema, pred)
     val keep: Seq[Boolean] = cond match {
       case None => s.files.map(_ => true)
       case Some(c) => s.files.indices.map { i =>

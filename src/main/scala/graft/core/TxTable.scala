@@ -547,13 +547,18 @@ final class TxTable(
         resolved.foreach(n => require(!refs.exists(_.equalsIgnoreCase(n)),
           s"CHECK $cn references column '$n' - dropCheckConstraint first"))
       }
-      generatedFields(cur).foreach { g =>
-        val refs = checkPredicateRefs(g.metadata.getString(
-          TxTable.GeneratedExprKey))
-        resolved.foreach(n => require(!refs.exists(_.equalsIgnoreCase(n)),
-          s"generated column '${g.name}' is computed from '$n' - " +
-            "drop the generated column first"))
-      }
+      // a generated column being dropped IN THIS CALL releases its
+      // references — dropping (o_year, o_orderdate) together is one
+      // atomic commit, not a forced two-step
+      generatedFields(cur)
+        .filterNot(g => resolved.exists(_.equalsIgnoreCase(g.name)))
+        .foreach { g =>
+          val refs = checkPredicateRefs(g.metadata.getString(
+            TxTable.GeneratedExprKey))
+          resolved.foreach(n => require(!refs.exists(_.equalsIgnoreCase(n)),
+            s"generated column '${g.name}' is computed from '$n' - " +
+              "drop the generated column first"))
+        }
       require(cur.fields.length > resolved.length,
         "cannot drop every column of the table")
       val target = StructType(cur.fields
@@ -1181,6 +1186,11 @@ final class TxTable(
     // the first publish leaves the dir with no manifest — that state
     // must self-heal into v0 here, not wedge every later mutation
     if (currentVersion < 0) {
+      // a bad generation expression must fail CREATE, never the first
+      // insert (the Scala-API twin of the catalog's DDL validation —
+      // an unvalidated nondeterministic/aggregate expression would
+      // make the table permanently un-writable or un-compactable)
+      TxTable.validateGeneratedExprs(spark, schema)
       // a conflict here means another writer created the table — done
       try commit(Nil, -1L)
       catch { case _: TxTable.CommitConflict => () }
@@ -1661,10 +1671,17 @@ final class TxTable(
     * expression; a row that PROVIDES a value must agree with the
     * expression per the null-safe equality, enforced by a per-row
     * codegen'd `raise_error` — single pass, no extra validation job.
-    * Compaction re-stages rows that already passed (stored value =
-    * recomputed value for a deterministic expression, which CREATE
-    * requires), so the re-check is a no-op there by construction. */
-  private def applyGenerated(df: DataFrame, s: StructType): DataFrame = {
+    *
+    * `verify = false` is the REWRITE/MAINTENANCE mode: stored values
+    * pass through verbatim (nulls still compute). Re-staged rows
+    * already passed admission once, and re-enforcing would make
+    * maintenance hostage to session environment — a deterministic
+    * expression can still be SESSION-dependent (`year(ts)` reads the
+    * session time zone), so a compaction run from a differently-zoned
+    * session must neither fail the table nor silently rewrite
+    * untouched rows' values. */
+  private def applyGenerated(df: DataFrame, s: StructType,
+      verify: Boolean): DataFrame = {
     val gens = generatedFields(s)
     if (gens.isEmpty) return df
     gens.foldLeft(df) { (d, f) =>
@@ -1672,6 +1689,9 @@ final class TxTable(
         .cast(f.dataType)
       if (!d.columns.exists(_.equalsIgnoreCase(f.name)))
         d.withColumn(f.name, gen)
+      else if (!verify)
+        d.withColumn(f.name, when(col(f.name).isNull, gen)
+          .otherwise(col(f.name)))
       else d.withColumn(f.name,
         when(col(f.name).isNull, gen)
           .otherwise(when(col(f.name) <=> gen, col(f.name))
@@ -1706,10 +1726,14 @@ final class TxTable(
         * [[compactBucketsClustered]]) pass `buckets-in-frame ×
         * filesPerBucket` so the per-bucket file target holds when the
         * frame covers only the fragmented buckets. */
-      layoutPartitions: Option[Int] = None): (Seq[FEntry], Path) = {
+      layoutPartitions: Option[Int] = None,
+      /** false on REWRITE/MAINTENANCE paths: re-staged rows passed
+        * admission once; see [[applyGenerated]]'s session-dependence
+        * rationale. Fresh-data paths keep the per-row equality check. */
+      verifyGenerated: Boolean = true): (Seq[FEntry], Path) = {
     val f = fs
     val stage = new Path(dir, s".stage-${UUID.randomUUID().toString.take(8)}")
-    val withGen = applyGenerated(df, asSchema)
+    val withGen = applyGenerated(df, asSchema, verifyGenerated)
     val projected = withGen.select(
       asSchema.fields.map(fl => col(fl.name).cast(fl.dataType)): _*)
     // admission control: every write path stages through here, so the
@@ -1783,9 +1807,10 @@ final class TxTable(
       /** extra commit meta derived from the STAGED entries' stats
         * (identity high-water marks need the staged max id). */
       metaOf: Option[Seq[FEntry] => Map[String, String]] = None,
-      layoutPartitions: Option[Int] = None): Long = {
-    val (staged, stage) =
-      stageFiles(df, asSchema, layout, filesPerBucket, layoutPartitions)
+      layoutPartitions: Option[Int] = None,
+      verifyGenerated: Boolean = true): Long = {
+    val (staged, stage) = stageFiles(df, asSchema, layout, filesPerBucket,
+      layoutPartitions, verifyGenerated)
     try commit(keep ++ staged, base, Some(asSchema),
       metaOf.fold(meta)(f => meta ++ f(staged)))
     finally fs.delete(stage, true)
@@ -1978,20 +2003,13 @@ final class TxTable(
         // graft.autoCluster.by upgrades the follow-up from a plain
         // one-file-per-bucket squash to a clustered rewrite of the
         // SAME fragmented buckets — continuous ingest keeps zone-map
-        // pruning on the cluster key tight with no scheduled OPTIMIZE.
-        // filesPerBucket defaults to minFiles/2: the gap to minFiles
-        // is the re-cluster hysteresis (see compactBucketsClustered).
-        val clusterBy = tableProperties.get(TxTable.AutoClusterKey)
-          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-          .filter(_.nonEmpty)
+        // pruning on the cluster key tight with no scheduled OPTIMIZE
+        // (policy owned by TxTable.autoClusterPolicy, shared with
+        // CALL graft.maintenance so the two triggers never drift)
         try {
-          clusterBy match {
-            case Some(cols) =>
-              val fpb = tableProperties.get(TxTable.AutoClusterFilesKey)
-                .flatMap(_.toIntOption).filter(_ >= 1)
-                .getOrElse(math.max(1, minFiles / 2))
-              compactBucketsClustered(
-                math.max(minFiles, fpb + 1), cols, fpb)
+          TxTable.autoClusterPolicy(tableProperties, minFiles) match {
+            case Some((eff, cols, fpb)) =>
+              compactBucketsClustered(eff, cols, fpb)
             case None => compactBuckets(minFiles)
           }
           ()
@@ -2099,7 +2117,11 @@ final class TxTable(
         val hits = keyMatchJoin(livePos, updates, "left_semi", target)
           .select(col("_file").as("_dv_file"), col("_pos").as("_dv_pos"))
         val dvStage = new Path(dir, s".stage-${UUID.randomUUID().toString.take(8)}")
-        val (staged, dataStage) = stageFiles(updates, target)
+        // generated columns recompute for the incoming rows — the same
+        // Delta UPDATE semantics as upsertOnto (byte-identical results
+        // between the light and copy-on-write paths is the contract)
+        val (staged, dataStage) =
+          stageFiles(resetGenerated(updates, target), target)
         try {
           hits.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dvStage.toString)
           val perFile: Map[String, Long] = spark.read.parquet(dvStage.toString)
@@ -2190,7 +2212,14 @@ final class TxTable(
           target.fieldNames.exists(_.equalsIgnoreCase(r)),
           s"generated column '${g.name}' is computed from '$r', absent " +
             "from the REPLACE schema - drop the generated column too"))
+      // the constructor invariants hold for REPLACE-adopted schemas
+      // too: a generated key would mis-bucket every later upsert
+      require(!keys.exists(_.equalsIgnoreCase(g.name)),
+        s"generated column '${g.name}' cannot be a key column")
+      require(!g.metadata.contains(TxTable.IdentityStartKey),
+        s"column '${g.name}' cannot be both IDENTITY and GENERATED")
     }
+    TxTable.validateGeneratedExprs(spark, target)
     createIfAbsent()
     withRetry {
       val base = currentVersion
@@ -2426,9 +2455,9 @@ final class TxTable(
           val (hit, kept) = m.entries.partition(e => touched(e.bucket))
           val remain = keyMatchJoin(readEntries(hit, target), gone,
             "left_anti", target)
-            .unionByName(ups)
-          stageAndCommit(kept, resetGenerated(remain, target), base, target,
-            meta = meta)
+            .unionByName(resetGenerated(ups, target))
+          stageAndCommit(kept, remain, base, target,
+            meta = meta, verifyGenerated = false)
         } else if (meta.nonEmpty) {
           commit(m.entries, base, Some(target), meta)
         }
@@ -2448,10 +2477,15 @@ final class TxTable(
     if (touched.nonEmpty) {
       val (hit, kept) = m.entries.partition(e => touched(e.bucket))
       val existing = readEntries(hit, target)
+      // generated columns: the incoming UPDATES recompute (their
+      // stored values predate this write — Delta's UPDATE semantics);
+      // re-staged untouched rows keep their stored values verbatim
+      // (verifyGenerated = false: they passed admission once, and a
+      // session-dependent expression must not rewrite them)
       val merged = keyMatchJoin(existing, updates, "left_anti", target)
-        .unionByName(updates)
-      stageAndCommit(kept, resetGenerated(merged, target), base, target,
-        meta = meta)
+        .unionByName(resetGenerated(updates, target))
+      stageAndCommit(kept, merged, base, target,
+        meta = meta, verifyGenerated = false)
     } else if (meta.nonEmpty) {
       // nothing to merge but the watermark must still land (e.g. a
       // refresh whose feed nets out to zero row changes)
@@ -2480,7 +2514,7 @@ final class TxTable(
       if (touched.nonEmpty) {
         val (hit, kept) = cur.partition(e => touched(e.bucket))
         val remain = readEntries(hit, s).filter(!hitCond)
-        stageAndCommit(kept, remain, base, s)
+        stageAndCommit(kept, remain, base, s, verifyGenerated = false)
       }
     }
   }
@@ -2609,7 +2643,8 @@ final class TxTable(
       dvRows match {
         case None =>
           ins.foreach(df =>
-            stageAndCommit(m.entries, df, base, s, metaOf = idMeta))
+            stageAndCommit(m.entries, df, base, s, metaOf = idMeta,
+              verifyGenerated = false))
         case Some(dv) =>
           val stage =
             new Path(dir, s".stage-${UUID.randomUUID().toString.take(8)}")
@@ -2625,7 +2660,8 @@ final class TxTable(
               .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
             if (perFile.isEmpty) {
               ins.foreach(df =>
-                stageAndCommit(m.entries, df, base, s, metaOf = idMeta))
+                stageAndCommit(m.entries, df, base, s, metaOf = idMeta,
+                  verifyGenerated = false))
             } else {
               val sidecar = fs.listStatus(stage).toSeq.map(_.getPath)
                 .filter(_.getName.endsWith(".parquet")).head.toString
@@ -2644,7 +2680,8 @@ final class TxTable(
               }
               ins match {
                 case Some(df) =>
-                  stageAndCommit(newEntries, df, base, s, metaOf = idMeta)
+                  stageAndCommit(newEntries, df, base, s,
+                    metaOf = idMeta, verifyGenerated = false)
                 case None => commit(newEntries, base, Some(s)); ()
               }
             }
@@ -2688,7 +2725,7 @@ final class TxTable(
         // DV'd rows were already invisible to readers: folding them is
         // layout-only from the live row set's perspective
         stageAndCommit(kept, readEntries(hit, s), base, s,
-          meta = Map("layout_only" -> "true"))
+          meta = Map("layout_only" -> "true"), verifyGenerated = false)
       }
     }
   }
@@ -2744,7 +2781,7 @@ final class TxTable(
       // readers (graft.sources.GraftMicroBatchStream) skip this commit
       // instead of failing on its remove/re-add file churn
       stageAndCommit(Nil, readVersion(base), base, currentSchema,
-        meta = Map("layout_only" -> "true"))
+        meta = Map("layout_only" -> "true"), verifyGenerated = false)
     }
   }
 
@@ -2774,7 +2811,7 @@ final class TxTable(
         // layout_only: the live row set is unchanged — streaming tail
         // readers skip this commit (same contract as compact())
         stageAndCommit(keep, df, base, schemaAt(m),
-          meta = Map("layout_only" -> "true"))
+          meta = Map("layout_only" -> "true"), verifyGenerated = false)
         fragmented.size
       }
     }
@@ -2815,7 +2852,8 @@ final class TxTable(
         stageAndCommit(keep, df, base, schemaAt(m),
           Some(struct(clusterBy.map(col): _*)), filesPerBucket,
           meta = Map("layout_only" -> "true"),
-          layoutPartitions = Some(fragmented.size * filesPerBucket))
+          layoutPartitions = Some(fragmented.size * filesPerBucket),
+          verifyGenerated = false)
         fragmented.size
       }
     }
@@ -2835,7 +2873,7 @@ final class TxTable(
       val base = currentVersion
       stageAndCommit(Nil, readVersion(base), base, currentSchema,
         Some(struct(clusterBy.map(col): _*)), filesPerBucket,
-        meta = Map("layout_only" -> "true"))
+        meta = Map("layout_only" -> "true"), verifyGenerated = false)
     }
   }
 
@@ -2864,13 +2902,14 @@ final class TxTable(
         Seq(min(numView(c)), max(numView(c)))): _*).head()
       if (bounds.anyNull) // empty table or all-null dims: plain compact
         stageAndCommit(Nil, snap, base, s,
-          meta = Map("layout_only" -> "true"))
+          meta = Map("layout_only" -> "true"), verifyGenerated = false)
       else {
         val mins = cols.indices.map(i => bounds.getDouble(2 * i))
         val maxs = cols.indices.map(i => bounds.getDouble(2 * i + 1))
         stageAndCommit(Nil, snap, base, s,
           Some(ZOrder.zvalue(cols.map(numView), mins, maxs, bitsPerCol)),
-          filesPerBucket, meta = Map("layout_only" -> "true"))
+          filesPerBucket, meta = Map("layout_only" -> "true"),
+          verifyGenerated = false)
       }
     }
   }
@@ -3487,6 +3526,79 @@ object TxTable {
     * [[TxTable.compactBucketsClustered]] for the hysteresis contract). */
   val AutoClusterKey: String = "graft.autoCluster.by"
   val AutoClusterFilesKey: String = "graft.autoCluster.filesPerBucket"
+
+  /** The auto-cluster policy from table properties — ONE owner for
+    * the column parse, the filesPerBucket default (minFiles/2) and
+    * the hysteresis clamp, shared by the write-triggered pass
+    * ([[TxTable.maybeAutoCompact]]) and `CALL graft.maintenance` so
+    * the two triggers can never drift on the same property. Returns
+    * (effectiveMinFiles, clusterColumns, filesPerBucket), or None
+    * when the property is absent/empty (plain compaction applies). */
+  def autoClusterPolicy(props: Map[String, String],
+      minFiles: Int): Option[(Int, Seq[String], Int)] =
+    props.get(AutoClusterKey)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .map { cols =>
+        val fpb = props.get(AutoClusterFilesKey)
+          .flatMap(_.toIntOption).filter(_ >= 1)
+          .getOrElse(math.max(1, minFiles / 2))
+        (math.max(minFiles, fpb + 1), cols, fpb)
+      }
+
+  /** CREATE-time validation of `GENERATED ALWAYS AS (expr)` columns,
+    * shared by the SQL catalog's DDL path and [[TxTable]]'s
+    * `createIfAbsent` (the Scala-API door): the expression must
+    * resolve against the table's PLAIN columns only (no
+    * self/generated/identity references — stored values for those may
+    * predate any given recompute), be deterministic (rewrites and the
+    * write-path equality check recompute it), and stay a scalar
+    * row-local projection — aggregates AND window functions are
+    * refused by walking the ANALYZED plan (a window expression hides
+    * under a top-level Project, so a node-type check on the root
+    * would miss it). */
+  def validateGeneratedExprs(spark: SparkSession, schema: StructType): Unit = {
+    val gens = schema.fields.filter(
+      _.metadata.contains(GeneratedExprKey))
+    if (gens.isEmpty) return
+    val special = schema.fields.filter(f =>
+      f.metadata.contains(GeneratedExprKey) ||
+        f.metadata.contains(IdentityStartKey)).map(_.name).toSeq
+    val plain = StructType(schema.fields.filterNot(f =>
+      special.exists(_.equalsIgnoreCase(f.name))))
+    val emptyPlain = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], plain)
+    gens.foreach { f =>
+      val sql = f.metadata.getString(GeneratedExprKey)
+      val refs = spark.sessionState.sqlParser.parseExpression(sql)
+        .collect { case a: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute => a.name }
+      refs.foreach(r => require(
+        !special.exists(_.equalsIgnoreCase(r)),
+        s"generated column '${f.name}': GENERATED ALWAYS AS ($sql) may " +
+          s"not reference generated/identity column '$r'"))
+      val analyzed = scala.util.Try(
+        emptyPlain.select(expr(sql).cast(f.dataType))
+          .queryExecution.analyzed)
+      require(analyzed.isSuccess,
+        s"generated column '${f.name}': GENERATED ALWAYS AS ($sql) does " +
+          s"not resolve to ${f.dataType.simpleString} over columns " +
+          s"(${plain.fieldNames.mkString(", ")}): " +
+          analyzed.failed.map(_.getMessage).getOrElse(""))
+      val offenders = analyzed.get.collect {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+          "aggregates"
+        case _: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          "window functions"
+      }
+      require(offenders.isEmpty,
+        s"generated column '${f.name}': GENERATED ALWAYS AS ($sql) must " +
+          s"be a scalar row-local expression (no ${offenders.head})")
+      require(analyzed.get.expressions.forall(_.deterministic),
+        s"generated column '${f.name}': GENERATED ALWAYS AS ($sql) must " +
+          "be deterministic")
+    }
+  }
 
   /** Column-metadata key carrying a `GENERATED ALWAYS AS (expr)`
     * column's generation expression (SQL text binding the table's

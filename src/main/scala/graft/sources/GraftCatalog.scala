@@ -279,53 +279,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** CREATE-time validation of every `GENERATED ALWAYS AS (expr)`
-    * column: the expression must resolve against the table's PLAIN
-    * columns only (no self/generated/identity references — stored
-    * values for those may predate any given recompute), be
-    * deterministic (the write path re-checks provided values by
-    * recomputing; compaction re-stages rows and must agree with what
-    * it stored), and stay a scalar projection (aggregates / window
-    * functions would change the row cardinality of the write). A bad
-    * expression must fail the DDL, never the first insert. */
-  private def validateGenerated(schema: StructType): Unit = {
-    val spark = SparkSession.active
-    val gens = schema.fields.filter(
-      _.metadata.contains(graft.core.TxTable.GeneratedExprKey))
-    if (gens.isEmpty) return
-    val special = schema.fields.filter(f =>
-      f.metadata.contains(graft.core.TxTable.GeneratedExprKey) ||
-        f.metadata.contains(graft.core.TxTable.IdentityStartKey))
-      .map(_.name).toSeq
-    val plain = StructType(schema.fields.filterNot(f =>
-      special.exists(_.equalsIgnoreCase(f.name))))
-    val emptyPlain = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), plain)
-    gens.foreach { f =>
-      val sql = f.metadata.getString(graft.core.TxTable.GeneratedExprKey)
-      val refs = spark.sessionState.sqlParser.parseExpression(sql)
-        .collect { case a: org.apache.spark.sql.catalyst.analysis
-            .UnresolvedAttribute => a.name }
-      refs.foreach(r => require(
-        !special.exists(_.equalsIgnoreCase(r)),
-        s"generated column '${f.name}': GENERATED ALWAYS AS ($sql) may " +
-          s"not reference generated/identity column '$r'"))
-      val analyzed = scala.util.Try(
-        emptyPlain.select(org.apache.spark.sql.functions.expr(sql)
-          .cast(f.dataType)).queryExecution.analyzed)
-      require(analyzed.isSuccess,
-        s"generated column '${f.name}': GENERATED ALWAYS AS ($sql) does " +
-          s"not resolve to ${f.dataType.simpleString} over columns " +
-          s"(${plain.fieldNames.mkString(", ")}): " +
-          analyzed.failed.map(_.getMessage).getOrElse(""))
-      require(analyzed.get.isInstanceOf[
-          org.apache.spark.sql.catalyst.plans.logical.Project],
-        s"generated column '${f.name}': GENERATED ALWAYS AS ($sql) must " +
-          "be a scalar expression (no aggregates / window functions)")
-      require(analyzed.get.expressions.forall(_.deterministic),
-        s"generated column '${f.name}': GENERATED ALWAYS AS ($sql) must " +
-          "be deterministic")
-    }
-  }
+    * column — the shared validator
+    * ([[graft.core.TxTable.validateGeneratedExprs]], also run by the
+    * Scala API's createIfAbsent): a bad expression must fail the DDL,
+    * never the first insert. */
+  private def validateGenerated(schema: StructType): Unit =
+    graft.core.TxTable.validateGeneratedExprs(SparkSession.active, schema)
 
   override def createTable(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform],

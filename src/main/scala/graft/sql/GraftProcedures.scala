@@ -255,16 +255,11 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
         val before = tx.dataFileCount
         //   graft.autoCluster.by (optional): upgrades the compaction
         //     step to a CLUSTERED rewrite of the same fragmented
-        //     buckets (zone maps stay tight on the cluster key)
-        val clusterBy = props.get(TxTable.AutoClusterKey)
-          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-          .filter(_.nonEmpty)
-        val rewrote = clusterBy match {
-          case Some(cols) =>
-            val fpb = props.get(TxTable.AutoClusterFilesKey)
-              .flatMap(_.toIntOption).filter(_ >= 1)
-              .getOrElse(math.max(1, minFiles / 2))
-            tx.compactBucketsClustered(math.max(minFiles, fpb + 1), cols, fpb)
+        //     buckets (zone maps stay tight on the cluster key);
+        //     policy shared with the write-triggered pass
+        val rewrote = TxTable.autoClusterPolicy(props, minFiles) match {
+          case Some((eff, cols, fpb)) =>
+            tx.compactBucketsClustered(eff, cols, fpb)
           case None => tx.compactBuckets(minFiles)
         }
         tx.materializeDeletes(minDeadFraction = deadFrac)

@@ -157,6 +157,91 @@ class GeneratedColumnSpec extends SparkSpec {
       "generated-from-identity")
   }
 
+  test("upsertLight recomputes like upsert (byte-identical contract)") {
+    val schema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("v", LongType),
+      StructField("dbl", LongType, nullable = true, genMd("v * 2"))))
+    val t = new TxTable(spark, tmpDir("gencol10") + "/t", schema,
+      Seq("k"), numBuckets = 2)
+    t.append(Seq((1L, 5L), (2L, 6L)).toDF("k", "v"))
+    // a light update row naturally carries the STALE dbl it read —
+    // the DV path must recompute, exactly like the copy-on-write path
+    t.upsertLight(Seq((2L, 60L, 12L)).toDF("k", "v", "dbl"))
+    val got = t.read.select("k", "dbl").as[(Long, Long)].collect().sorted
+    assert(got.toSeq === Seq((1L, 10L), (2L, 120L)),
+      "upsertLight must recompute the generated column, not keep/reject " +
+        "the stale value")
+  }
+
+  test("window functions are refused at CREATE (both API doors)") {
+    // the analyzer hides a window expression under a top-level
+    // Project, so a root-node check alone would let it through
+    val root = tmpDir("gencol11")
+    spark.conf.set("spark.sql.catalog.gen11", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gen11.root", root)
+    // SQL door: Spark's own verifier front-runs with a bare None.get
+    // (same quirk as aggregates) — the DDL fails either way
+    intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE gen11.t (k BIGINT,
+          |  rn BIGINT GENERATED ALWAYS AS (row_number() OVER (ORDER BY k)))
+          |TBLPROPERTIES('keys'='k','buckets'='2')""".stripMargin)
+    }
+    intercept[Exception] { spark.sql("SELECT * FROM gen11.t") }
+    // the shared validator itself must name the problem (it guards
+    // the Scala door, where Spark's verifier never runs): a window
+    // expression analyzes as Project-over-Window, so a root-node-only
+    // check would silently admit it
+    val winSchema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("rn", LongType, nullable = true,
+        genMd("row_number() OVER (ORDER BY k)"))))
+    val ew = intercept[Exception] {
+      TxTable.validateGeneratedExprs(spark, winSchema)
+    }
+    assert(ew.getMessage.contains("window"),
+      s"the validator must refuse window functions by name, got: $ew")
+    // the Scala API door validates at createIfAbsent, same contract
+    val bad = StructType(Seq(
+      StructField("k", LongType),
+      StructField("r", DoubleType, nullable = true, genMd("rand()"))))
+    val t = new TxTable(spark, tmpDir("gencol12") + "/t", bad,
+      Seq("k"), numBuckets = 2)
+    val e2 = intercept[Exception] { t.append(Seq(1L).toDF("k")) }
+    assert(e2.getMessage.contains("deterministic"),
+      s"Scala-API CREATE must validate, got: $e2")
+  }
+
+  test("dropColumns drops a generated column WITH its base in one call") {
+    val schema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("v", LongType),
+      StructField("dbl", LongType, nullable = true, genMd("v * 2"))))
+    val t = new TxTable(spark, tmpDir("gencol13") + "/t", schema,
+      Seq("k"), numBuckets = 2)
+    t.append(Seq((1L, 5L)).toDF("k", "v"))
+    t.dropColumns(Seq("dbl", "v")) // atomic pair drop
+    assert(t.read.columns.toSeq === Seq("k"))
+  }
+
+  test("maintenance never rewrites or re-judges stored generated values") {
+    val schema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("v", LongType),
+      StructField("dbl", LongType, nullable = true, genMd("v * 2"))))
+    val t = new TxTable(spark, tmpDir("gencol14") + "/t", schema,
+      Seq("k"), numBuckets = 2)
+    (0 until 4).foreach(i =>
+      t.append((1L to 40L).filter(_ % 4 == i).map(x => (x, x)).toDF("k", "v")))
+    t.deleteWhereLight(col("k") % 5 === 0)
+    val before = t.read.collect().map(_.toSeq).toSet
+    t.compactBuckets(2)         // folds DVs, re-stages stored rows
+    t.compactClustered(Seq("v"), filesPerBucket = 2)
+    assert(t.read.collect().map(_.toSeq).toSet === before,
+      "layout-only maintenance must pass stored values through verbatim")
+  }
+
   test("a generated column cannot be a key (bucket identity arrives concrete)") {
     val schema = StructType(Seq(
       StructField("k", LongType),
