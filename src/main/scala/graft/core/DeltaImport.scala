@@ -461,13 +461,7 @@ object DeltaImport {
         case _          => None
       })
     mode match {
-      case Some("name") => Some(BindByName(snap.schema.fields.iterator.map {
-        f =>
-          f.name -> (
-            if (f.metadata.contains("delta.columnMapping.physicalName"))
-              f.metadata.getString("delta.columnMapping.physicalName")
-            else f.name)
-      }.toMap))
+      case Some("name") => Some(BindByName(physicalNameMap(snap.schema)))
       case Some("id") =>
         // session-wide but SAFE: the flag only changes binding for
         // requested schemas that carry parquet.field.id metadata —
@@ -525,17 +519,24 @@ object DeltaImport {
     * returned frame still applies `pred` exactly. Under
     * columnMapping, stats key by PHYSICAL name and are translated
     * back to declared names before evaluation. */
+  /** logical name -> physical parquet name from the logged schema's
+    * columnMapping metadata (identity when a field carries none) —
+    * the ONE extraction shared by name-mode binding, readWhere's
+    * stats keys and partitionValues translation. */
+  private def physicalNameMap(schema: StructType): Map[String, String] =
+    schema.fields.iterator.map { f =>
+      f.name -> (
+        if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName")
+        else f.name)
+    }.toMap
+
   def readWhere(spark: SparkSession, dir: String, pred: Column,
       asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, dir, asOf)
     val statsKey: Map[String, String] =
       if (columnBinding(spark, snap).isEmpty) Map.empty
-      else snap.schema.fields.iterator.map { f =>
-        f.name -> (
-          if (f.metadata.contains("delta.columnMapping.physicalName"))
-            f.metadata.getString("delta.columnMapping.physicalName")
-          else f.name)
-      }.toMap
+      else physicalNameMap(snap.schema)
     // resolve the predicate through the shared analyzer pass (exact
     // types; an unresolvable shape prunes nothing)
     val expr = FileStats.resolvePredicate(spark, snap.schema, pred)
@@ -631,12 +632,7 @@ object DeltaImport {
     // identity, same as the data files); logical -> physical here
     val physOf: Map[String, String] =
       if (mapping.isEmpty) Map.empty
-      else snap.schema.fields.iterator.map { f =>
-        f.name -> (
-          if (f.metadata.contains("delta.columnMapping.physicalName"))
-            f.metadata.getString("delta.columnMapping.physicalName")
-          else f.name)
-      }.toMap
+      else physicalNameMap(snap.schema)
 
     def scan(group: Seq[AddFile]): DataFrame = {
       // files bind by PHYSICAL name under name mode; surface the

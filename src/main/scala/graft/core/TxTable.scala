@@ -2023,6 +2023,13 @@ final class TxTable(
     * existing columns never change. */
   def appendEvolving(df: DataFrame): Unit = {
     createIfAbsent()
+    // same refusal as appendEvolvingIf: the evolving path widens the
+    // schema inside its commit loop, so identity allocation (which
+    // pins the generated frame to a mark BEFORE staging) cannot ride
+    // it — landing NULL ids silently would be worse than refusing
+    require(identityFields(currentSchema).isEmpty,
+      s"schema-evolving appends into $dir are not supported with " +
+        "IDENTITY columns - use the fixed-schema append path")
     withRetry {
       val base = currentVersion
       val m = loadManifest(base)
@@ -2256,7 +2263,7 @@ final class TxTable(
     * source file is replaced mid-run. */
   def appendIfCounted(df: DataFrame, meta: Map[String, String])
       (pre: TxTable.Snapshot => Boolean): Option[Long] =
-    appendIfMetaOf(df, _ => meta)(pre).map(r => stagedRowCount(r._1))
+    appendIfMetaOf(df, _ => meta)(pre).map(_._3)
 
   /** Core of EVERY append that isn't the plain fast path: stages
     * once, evaluates `pre` at each claimed base, derives the commit
@@ -2272,7 +2279,7 @@ final class TxTable(
     * Returns (staged entries, committed version). */
   private def appendIfMetaOf(df: DataFrame,
       metaOf: Seq[FEntry] => Map[String, String])
-      (pre: TxTable.Snapshot => Boolean): Option[(Seq[FEntry], Long)] = {
+      (pre: TxTable.Snapshot => Boolean): Option[(Seq[FEntry], Long, Long)] = {
     createIfAbsent()
     var attempt = 0
     while (attempt < 8) {
@@ -2285,6 +2292,12 @@ final class TxTable(
           case (d, (f, n)) => d.withColumn(f.name, identityValue(f, n))
         }
       val (staged, stage) = stageFiles(toStage, currentSchema)
+      // row count BEFORE the commit: the stats-less fallback reads the
+      // staged file, which commit() renames to a fresh UUID in data/
+      // and the finally deletes the stage dir - counting after would
+      // throw on a path that no longer exists (misreporting a landed
+      // load as failed)
+      val stagedRows = stagedRowCount(staged)
       var markStale = false
       val res = try withRetry {
         val base = currentVersion
@@ -2301,7 +2314,7 @@ final class TxTable(
             meta = metaOf(staged) ++ claims.map { case (f, n) =>
               identityMetaKey(f) -> identityAdvance(f, n, staged).toString
             })
-          Some((staged, v))
+          Some((staged, v, stagedRows))
         }
       } finally fs.delete(stage, true)
       if (res.isDefined) { maybeAutoCompact(); return res }

@@ -352,10 +352,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"(${tx.bloomCols.mkString(",")} -> $p) " +
           "- migrate with rebucketTo")
     }
+    // schemaOf, not info.schema(): Spark's Column[] conversion drops
+    // the identity spec (and generation expression), so a REPLACE
+    // restating `GENERATED ALWAYS AS IDENTITY` would otherwise lose
+    // the declaration silently and later inserts would land NULL ids
+    val replSchema = schemaOf(info.columns())
     tx.logicalKeys.foreach(k => require(
-      info.schema().fieldNames.exists(_.equalsIgnoreCase(k)),
+      replSchema.fieldNames.exists(_.equalsIgnoreCase(k)),
       s"REPLACE schema must keep key column '$k'"))
-    new StagedGraftTable(tx, info.schema(), replace = true,
+    new StagedGraftTable(tx, replSchema, replace = true,
       stagingMarker = None)
   }
 

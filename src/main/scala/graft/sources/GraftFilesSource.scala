@@ -237,13 +237,26 @@ final class GraftFilesMicroBatchStream(spark: SparkSession, srcDir: String,
       val ad = new Path(a)
       fs.mkdirs(ad)
       (wm until e).foreach { b =>
-        readBatch(b).foreach { case (_, p) =>
+        readBatch(b).zipWithIndex.foreach { case ((fp, p), i) =>
           val srcFile = new Path(p)
-          if (fs.exists(srcFile)) {
+          // move ONLY when the file on disk is still the bytes this
+          // batch ingested (fingerprint match): a file REPLACED in
+          // place after ingest belongs to a later, not-yet-committed
+          // ledger batch — moving it now would strand that batch's
+          // replay on a missing path and lose the new content. The
+          // replaced file archives when ITS batch commits.
+          val st = try Some(fs.getFileStatus(srcFile))
+          catch { case _: java.io.FileNotFoundException => None }
+          if (st.exists(s => graft.core.CopyInto.fingerprint(s) == fp)) {
+            // batch+index prefix on fallback keeps every destination
+            // unique (same-basename files from sibling subdirs, or a
+            // third collision) — a file must never silently remain in
+            // the landing prefix because its archive name was taken
             val dst0 = new Path(ad, srcFile.getName)
             val dst = if (fs.exists(dst0))
-              new Path(ad, s"$b-${srcFile.getName}") else dst0
+              new Path(ad, s"$b-$i-${srcFile.getName}") else dst0
             fs.rename(srcFile, dst)
+            ()
           }
         }
       }

@@ -246,10 +246,14 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
         //     retention is never silently shortened by maintenance
         val tx = open(spark, arg(0, "table directory"))
         val props = tx.tableProperties
+        // explicit ARG errors loudly (caller typed it); the PROPERTY
+        // parses tolerantly with the same >=2 floor as the
+        // write-triggered pass, so a value appends silently ignore
+        // can never fail the scheduled CALL instead
         val minFiles =
-          (if (args.length > 1) Some(arg(1, "min files per bucket"))
-           else props.get("graft.autoCompact.minFiles"))
-            .map(_.toInt).getOrElse(8)
+          if (args.length > 1) arg(1, "min files per bucket").toInt
+          else props.get("graft.autoCompact.minFiles")
+            .flatMap(_.toIntOption).filter(_ >= 2).getOrElse(8)
         val deadFrac = props.get("graft.autoMaintain.minDeadFraction")
           .map(_.toDouble).getOrElse(0.3)
         val before = tx.dataFileCount

@@ -142,6 +142,44 @@ class GraftFilesSourceSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("outside the source")))
   }
 
+  test("archiveDir never moves a file replaced in place before its batch commits") {
+    val src = tmpDir("gfsrc6")
+    val arch = tmpDir("gfarch6")
+    val ck = tmpDir("gfck6")
+    val t = new TxTable(spark, tmpDir("gft6") + "/t", srcSchema,
+      Seq("k"), numBuckets = 2)
+    t.createIfAbsent()
+    publish(src, "a", Seq(("a1", 1), ("a2", 2)))
+    drain(src, t, ck, Map("archiveDir" -> arch))      // batch 0: a(v1)
+    assert(t.read.count() === 2)
+    // REPLACE a in place: the new bytes belong to a FUTURE batch. When
+    // batch 0 commits (next run's startup), the archive pass must see
+    // the fingerprint changed and leave the file for its own batch —
+    // moving it would strand that batch's replay on a missing path
+    // and silently lose the replacement content
+    Thread.sleep(1100) // mtime tick (fingerprint is path|size|mtime)
+    publish(src, "a", Seq(("a3", 7), ("a4", 8), ("a5", 9)))
+    publish(src, "b", Seq(("b1", 10)))
+    drain(src, t, ck, Map("archiveDir" -> arch))      // batch 1: a(v2), b
+    assert(t.read.count() === 2 + 3 + 1,
+      "the replaced content must load (by the replaced-file contract)")
+    assert(new java.io.File(src, "a.parquet").exists(),
+      "a file whose current bytes are NOT yet committed must stay put")
+    // once batch 1 commits, the (now-matching) file archives normally
+    publish(src, "c", Seq(("c1", 20)))
+    drain(src, t, ck, Map("archiveDir" -> arch))      // batch 2: c
+    assert(t.read.count() === 7)
+    val archived = new java.io.File(arch).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+    assert(archived.contains("a.parquet") && archived.contains("b.parquet"),
+      s"committed files must archive once their bytes are durable, " +
+        s"got ${archived.toSeq}")
+    // replay converges after all the movement
+    val v = t.currentVersion
+    drain(src, t, ck, Map("archiveDir" -> arch))
+    assert(t.read.count() === 7 && t.currentVersion === v)
+  }
+
   test("restart with the same checkpoint replays without duplicates") {
     val src = tmpDir("gfsrc4")
     val ck = tmpDir("gfck4")
