@@ -185,4 +185,42 @@ class GraftConcurrencySpec extends SparkSpec {
       .count() === 10L)
     assert(t.read.filter(col("v") === 9L).count() === 40L)
   }
+
+  test("identity appends under auto-compaction: ids unique, files bounded") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("conc-idac") + "/t"
+    val md = new MetadataBuilder()
+      .putLong(TxTable.IdentityStartKey, 1L)
+      .putLong(TxTable.IdentityStepKey, 1L)
+      .putBoolean(TxTable.IdentityAllowExplicitKey, false).build()
+    val schema = StructType(Seq(
+      StructField("row_id", LongType, nullable = true, md),
+      StructField("k", LongType)))
+    def open() = new TxTable(spark, dir, schema, Seq("k"),
+      numBuckets = 2, commitBudgetMs = 180000L)
+    val t0 = open()
+    t0.createIfAbsent()
+    t0.setTableProperties(Map(TxTable.AutoCompactKey -> "4"))
+    // the mark CAS, the append commit and the follow-up layout_only
+    // compaction all interleave across writers — allocation must stay
+    // collision-free and compaction must neither lose rows nor ids
+    race(4) { w =>
+      val t = open()
+      (0 until 3).foreach { b =>
+        t.append((1L to 25L).map(i => w * 1000L + b * 100L + i).toDF("k"))
+      }
+    }
+    val t = open()
+    assert(t.read.count() === 4 * 3 * 25)
+    assert(t.read.filter(col("row_id").isNull).count() === 0L,
+      "every row allocated")
+    val ids = t.read.select("row_id").as[Long].collect()
+    assert(ids.distinct.length === ids.length,
+      "auto-compaction races must never duplicate or reuse an id")
+    // a lost final compaction race is swallowed by contract, so the
+    // bound carries slack; unbounded growth would blow well past it
+    assert(t.dataFileCount <= 12,
+      s"auto-compaction must keep files bounded under the race, " +
+        s"got ${t.dataFileCount}")
+  }
 }
