@@ -210,6 +210,22 @@ object IcebergExport {
     fs.getFileStatus(path).getLen
   }
 
+  /** [[writeAvro]] that SKIPS when `path` already exists — the
+    * incremental-sync primitive. Metadata file names are keyed by
+    * everything their content is a function of (table version +
+    * sequence number), so an existing file is byte-equivalent and a
+    * re-export pays only for NEW versions instead of rewriting the
+    * whole history per sync (and never litters the metadata dir with
+    * per-call random names). By-name params: a skipped write also
+    * skips building the records (per-file getFileStatus etc.). If a
+    * future change alters manifest CONTENT for the same version (as
+    * the column-bounds addition did), bump the name scheme. */
+  private def writeAvroOnce(fs: FileSystem, path: Path, schema: Schema,
+      records: => Seq[GenericRecord],
+      meta: => Map[String, String]): Long =
+    if (fs.exists(path)) fs.getFileStatus(path).getLen
+    else writeAvro(fs, path, schema, records, meta)
+
   /** The sidecars' outstanding tombstones as ONE spec-conformant
     * position-delete parquet under `<root>/_iceberg_deletes/` (its own
     * directory — TxTable's `data/` holds only manifest-tracked files,
@@ -224,6 +240,14 @@ object IcebergExport {
       table: TxTable, dirty: Seq[(TxTable.LiveFile, Seq[String])],
       uuid: String): (String, Long) = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    // deterministic name per table version: the tombstone set of an
+    // immutable version never changes, so an existing file is the
+    // correct one and the whole sidecar rewrite is skipped on re-sync
+    val delDir0 = new Path(table.dir, "_iceberg_deletes")
+    val target0 = new Path(delDir0, s"$uuid-deletes.parquet")
+    if (fs.exists(target0))
+      return (fs.makeQualified(target0).toString,
+        spark.read.parquet(target0.toString).count())
     val sidecars = dirty.flatMap(_._2).distinct
     val mapping = dirty.map { case (f, _) =>
       val p = f.path
@@ -281,7 +305,23 @@ object IcebergExport {
 
     val schema = table.currentSchema
     val nowMs = System.currentTimeMillis()
-    val uuid = java.util.UUID.randomUUID().toString
+    // STABLE table identity: the spec's table-uuid must survive
+    // re-sync (stock readers treat a uuid change as a different
+    // table) - reuse the previously published one when present
+    val uuid = {
+      val prev = new Path(metaDir, "v1.metadata.json")
+      (if (!fs.exists(prev)) None
+       else scala.util.Try {
+         val in = fs.open(prev)
+         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+           finally in.close()
+         (JsonMethods.parse(txt) \ "table-uuid") match {
+           case JString(u) if u.nonEmpty => Some(u)
+           case _ => None
+         }
+       }.toOption.flatten)
+        .getOrElse(java.util.UUID.randomUUID().toString)
+    }
     val partitionSpecJson = """{"spec-id":0,"fields":[]}"""
     val schemaMeta = Map(
       "schema" -> JsonMethods.compact(JsonMethods.render(schemaJson(schema))),
@@ -376,8 +416,8 @@ object IcebergExport {
         e.put("data_file", df)
         e
       }
-      val manifestPath = new Path(metaDir, s"$uuid-m$i-0.avro")
-      val manifestLen = writeAvro(fs, manifestPath, ManifestEntrySchema,
+      val manifestPath = new Path(metaDir, s"m-v$v-s$dataSeq-0.avro")
+      val manifestLen = writeAvroOnce(fs, manifestPath, ManifestEntrySchema,
         entryRecords, schemaMeta + ("content" -> "data"))
 
       // this version's tombstones as a position-delete manifest at
@@ -386,7 +426,7 @@ object IcebergExport {
         if (dirty.isEmpty) None
         else {
           val (delUri, delRows) = writePositionDeletes(
-            spark, fs, table, dirty, s"$uuid-$i")
+            spark, fs, table, dirty, s"del-v$v")
           val df = new GenericData.Record(
             ManifestEntrySchema.getField("data_file").schema())
           df.put("content", 1) // POSITION_DELETES
@@ -403,8 +443,8 @@ object IcebergExport {
           e.put("sequence_number", dataSeq + 1)
           e.put("file_sequence_number", dataSeq + 1)
           e.put("data_file", df)
-          val p = new Path(metaDir, s"$uuid-m$i-1.avro")
-          val len = writeAvro(fs, p, ManifestEntrySchema, Seq(e),
+          val p = new Path(metaDir, s"m-v$v-s$dataSeq-1.avro")
+          val len = writeAvroOnce(fs, p, ManifestEntrySchema, Seq(e),
             schemaMeta + ("content" -> "deletes"))
           Some((p, len, delRows))
         }
@@ -443,8 +483,8 @@ object IcebergExport {
         m.put("deleted_rows_count", 0L)
         m
       }
-      val listPath = new Path(metaDir, s"snap-$snapshotId-1-$uuid.avro")
-      writeAvro(fs, listPath, ManifestFileSchema, Seq(mf) ++ delMf, Map(
+      val listPath = new Path(metaDir, s"snap-$snapshotId-s$snapSeq.avro")
+      writeAvroOnce(fs, listPath, ManifestFileSchema, Seq(mf) ++ delMf, Map(
         "format-version" -> "2",
         "snapshot-id" -> snapshotId.toString,
         "sequence-number" -> snapSeq.toString,

@@ -276,10 +276,12 @@ class IcebergExportSpec extends SparkSpec {
     t.append(data)
     IcebergExport.writeIcebergMetadata(spark, t)
     val metaDir = new File(dir, "metadata")
-    // the HEAD version's data manifest: highest -m<i>-0.avro index
-    val m0 = metaDir.listFiles().filter(_.getName.endsWith("-0.avro"))
-      .maxBy(f => "-m(\\d+)-0".r.findFirstMatchIn(f.getName).get
-        .group(1).toInt)
+    // the HEAD version's data manifest: highest m-v<version>-s*-0.avro
+    val m0 = metaDir.listFiles()
+      .filter(f => f.getName.startsWith("m-v") &&
+        f.getName.endsWith("-0.avro"))
+      .maxBy(f => "m-v(\\d+)-".r.findFirstMatchIn(f.getName).get
+        .group(1).toLong)
 
     // two data files (one per bucket); lift file B to sequence 5 so
     // the strictly-lower scoping rule has something to protect
@@ -431,6 +433,46 @@ class IcebergExportSpec extends SparkSpec {
     assert(back.columns.toSeq === Seq("k", "v"))
     assert(back.collect().map(_.toSeq).toSet ===
       t.read.collect().map(_.toSeq).toSet)
+  }
+
+  test("re-sync is incremental: stable table-uuid, no metadata churn") {
+    val dir = tmpDir("iceberg-incr") + "/t"
+    val data = (1L to 100L).map(i => (i, i * 2.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 2)
+    t.append(data.filter(col("k") <= 50L))
+    IcebergExport.writeIcebergMetadata(spark, t)
+    val meta1 = new File(dir, "metadata").listFiles().map(_.getName).toSet
+    def uuidOf(): String = {
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Path.of(dir, "metadata", "v1.metadata.json"))
+      (JsonMethods.parse(txt) \ "table-uuid").extract[String]
+    }
+    val u1 = uuidOf()
+    // a no-op re-sync rewrites ONLY the metadata.json pointer pair —
+    // every versioned avro/manifest keeps its deterministic name, so
+    // the directory neither grows nor churns (and a scheduled
+    // export_uniform stays O(new versions), not O(history))
+    IcebergExport.writeIcebergMetadata(spark, t)
+    val meta2 = new File(dir, "metadata").listFiles().map(_.getName).toSet
+    assert(meta2 === meta1, s"no-op re-sync must not add files: " +
+      s"${(meta2 -- meta1).toSeq.sorted}")
+    assert(uuidOf() === u1,
+      "the spec's table-uuid must survive re-sync (stock readers treat " +
+        "a uuid change as a different table)")
+    // a new commit adds exactly its own snapshot's files
+    t.append(data.filter(col("k") > 50L))
+    t.deleteWhereLight(col("k") % 10 === 0)
+    IcebergExport.writeIcebergMetadata(spark, t)
+    val meta3 = new File(dir, "metadata").listFiles().map(_.getName).toSet
+    assert((meta3 -- meta2).map(_.stripPrefix(".")).forall(n =>
+      n.contains("-v2-") || n.contains("-v3-") || n.startsWith("snap-")),
+      s"re-sync must only add the NEW versions' files, added " +
+        s"${(meta3 -- meta2).toSeq.sorted}")
+    assert(uuidOf() === u1)
+    val back = graft.core.IcebergImport.read(spark, dir)
+    assert(back.count() === 90L)
+    assert(back.agg(sum("k")).head.getLong(0) ===
+      (1L to 100L).filter(_ % 10 != 0).sum)
   }
 
   test("manifests carry column bounds; readWhere prunes (ghost proof)") {
