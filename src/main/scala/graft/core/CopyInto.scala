@@ -109,9 +109,12 @@ object CopyInto {
         snap.meta(MetaKey).map(decode).getOrElse(Set.empty) == before
       }
       won match {
-        case Some(rows) =>
+        case Some((version, rows)) =>
+          // the version THIS load committed, straight from the commit
+          // — re-reading currentVersion here would race a concurrent
+          // writer and misreport where the load landed
           return Result(fresh.length, files.length - fresh.length, rows,
-            table.currentVersion)
+            version)
         case None => // lost the CAS - recompute freshness and retry
       }
       require(attempt < maxAttempts,

@@ -197,34 +197,75 @@ object IcebergExport {
       |{"name":"deleted_rows_count","type":"long","field-id":514}
       |]}""".stripMargin)
 
+  /** Write an avro metadata file ATOMICALLY: dot-prefixed temp, then
+    * rename to the final name (the writePositionDeletes /
+    * GraftFilesMicroBatchStream.writeBatch pattern). The skip-if-
+    * exists incremental sync treats an existing final name as
+    * complete — a crash mid-write must therefore never leave partial
+    * bytes UNDER the final name, or every later re-sync would
+    * reference a torn manifest forever. A torn temp file is a
+    * harmless orphan the next successful write truncates. */
   private def writeAvro(fs: FileSystem, path: Path, schema: Schema,
       records: Seq[GenericRecord], meta: Map[String, String]): Long = {
+    val tmp = new Path(path.getParent, s".${path.getName}.tmp")
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](schema))
     meta.foreach { case (k, v) => w.setMeta(k, v) }
-    val out = fs.create(path, true)
+    val out = fs.create(tmp, true)
     try {
       w.create(schema, out)
       records.foreach(w.append)
     } finally w.close() // closes out
+    if (fs.exists(path)) fs.delete(path, false)
+    require(fs.rename(tmp, path), s"could not publish $path")
     fs.getFileStatus(path).getLen
   }
 
-  /** [[writeAvro]] that SKIPS when `path` already exists — the
-    * incremental-sync primitive. Metadata file names are keyed by
-    * everything their content is a function of (table version +
-    * sequence number), so an existing file is byte-equivalent and a
-    * re-export pays only for NEW versions instead of rewriting the
-    * whole history per sync (and never litters the metadata dir with
-    * per-call random names). By-name params: a skipped write also
-    * skips building the records (per-file getFileStatus etc.). If a
-    * future change alters manifest CONTENT for the same version (as
-    * the column-bounds addition did), bump the name scheme. */
-  private def writeAvroOnce(fs: FileSystem, path: Path, schema: Schema,
-      records: => Seq[GenericRecord],
-      meta: => Map[String, String]): Long =
-    if (fs.exists(path)) fs.getFileStatus(path).getLen
-    else writeAvro(fs, path, schema, records, meta)
+  /** Short SELF-ENFORCING content fingerprint of an avro metadata
+    * file: SHA-256 over the writer schema, the container metadata
+    * (sorted) and every record's raw datum encoding (deterministic —
+    * no container sync markers). Part of the file NAME, so a code
+    * change that alters manifest content for the same table version
+    * can never silently reuse a stale file: the name moves with the
+    * bytes, review-enforced no more. */
+  private def contentHash(schema: Schema, records: Seq[GenericRecord],
+      meta: Map[String, String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(schema.toString.getBytes(StandardCharsets.UTF_8))
+    meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      md.update(k.getBytes(StandardCharsets.UTF_8))
+      md.update(0.toByte)
+      md.update(v.getBytes(StandardCharsets.UTF_8))
+      md.update(1.toByte)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    val enc = org.apache.avro.io.EncoderFactory.get()
+      .binaryEncoder(buf, null)
+    val dw = new GenericDatumWriter[GenericRecord](schema)
+    records.foreach(dw.write(_, enc))
+    enc.flush()
+    md.update(buf.toByteArray)
+    md.digest().take(4).map("%02x".format(_)).mkString
+  }
+
+  /** [[writeAvro]] keyed by CONTENT — the incremental-sync primitive.
+    * The final name is `<prefix>-h<contentHash>.avro`: deterministic
+    * for unchanged content (a no-op re-sync writes nothing and never
+    * litters the metadata dir with per-call random names), and
+    * self-invalidating when content changes (the bounds-addition
+    * episode: same version, new bytes → new name; the old file
+    * becomes an unreferenced orphan, never a silently-stale
+    * reference). An existing file under the hashed name is
+    * byte-equivalent by construction and is skipped. Returns
+    * (path, length). */
+  private def writeAvroOnce(fs: FileSystem, metaDir: Path, prefix: String,
+      schema: Schema, records: Seq[GenericRecord],
+      meta: Map[String, String]): (Path, Long) = {
+    val path = new Path(metaDir,
+      s"$prefix-h${contentHash(schema, records, meta)}.avro")
+    if (fs.exists(path)) (path, fs.getFileStatus(path).getLen)
+    else (path, writeAvro(fs, path, schema, records, meta))
+  }
 
   /** The sidecars' outstanding tombstones as ONE spec-conformant
     * position-delete parquet under `<root>/_iceberg_deletes/` (its own
@@ -242,12 +283,23 @@ object IcebergExport {
     import org.apache.spark.sql.functions.{broadcast, col}
     // deterministic name per table version: the tombstone set of an
     // immutable version never changes, so an existing file is the
-    // correct one and the whole sidecar rewrite is skipped on re-sync
+    // correct one and the whole sidecar rewrite is skipped on
+    // re-sync. The name CARRIES the delete-row count (`-n<rows>-`),
+    // so the skip path reports it without a Spark count job per
+    // re-sync of a DV'd table — zero jobs on a no-op sync.
     val delDir0 = new Path(table.dir, "_iceberg_deletes")
-    val target0 = new Path(delDir0, s"$uuid-deletes.parquet")
-    if (fs.exists(target0))
-      return (fs.makeQualified(target0).toString,
-        spark.read.parquet(target0.toString).count())
+    val CountedName = s"""^\\Q$uuid\\E-n(\\d+)-deletes\\.parquet$$""".r
+    val existing = (fs.globStatus(
+      new Path(delDir0, s"$uuid-n*-deletes.parquet")) match {
+      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+      case a => a
+    }).flatMap(st => st.getPath.getName match {
+      case CountedName(n) => Some((st.getPath, n.toLong))
+      case _ => None
+    }).headOption
+    existing.foreach { case (p, n) =>
+      return (fs.makeQualified(p).toString, n)
+    }
     val sidecars = dirty.flatMap(_._2).distinct
     val mapping = dirty.map { case (f, _) =>
       val p = f.path
@@ -275,11 +327,15 @@ object IcebergExport {
       .find(p => p.getName.startsWith("part-") &&
         p.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("no delete part file"))
-    val target = new Path(delDir, s"$uuid-deletes.parquet")
+    // exact row count from the staged part's FOOTER (metadata-only,
+    // no second Spark job), carried in the published name
+    val n = FileStats.fromFooter(part.toString,
+      new StructType().add("file_path", StringType).add("pos", LongType),
+      spark.sparkContext.hadoopConfiguration).rows
+    val target = new Path(delDir, s"$uuid-n$n-deletes.parquet")
     if (fs.exists(target)) fs.delete(target, false)
     require(fs.rename(part, target), s"could not publish $target")
     fs.delete(stage, true)
-    val n = spark.read.parquet(target.toString).count()
     (fs.makeQualified(target).toString, n)
   }
 
@@ -338,6 +394,12 @@ object IcebergExport {
       rowsCache.getOrElseUpdate(f.path,
         FileStats.fromJson(f.statsJson, schema).map(_.rows)
           .getOrElse(spark.read.schema(schema).parquet(f.path).count()))
+    // immutable files: one getFileStatus per distinct path per export
+    // call, however many retained versions share the file (content-
+    // hash naming builds every version's records each sync)
+    val sizeCache = scala.collection.mutable.Map.empty[String, Long]
+    def sizeOf(p: String): Long = sizeCache.getOrElseUpdate(p,
+      fs.getFileStatus(new Path(p)).getLen)
 
     val versions = table.versions
     require(versions.nonEmpty, "cannot export a never-committed table")
@@ -404,8 +466,7 @@ object IcebergExport {
         df.put("partition", new GenericData.Record(
           df.getSchema.getField("partition").schema()))
         df.put("record_count", rowsOf(f))
-        df.put("file_size_in_bytes",
-          fs.getFileStatus(new Path(f.path)).getLen)
+        df.put("file_size_in_bytes", sizeOf(f.path))
         putColumnStats(df, FileStats.fromJson(f.statsJson, vPhysSchema),
           vSchema, table.physicalFieldName, ids)
         val e = new GenericData.Record(ManifestEntrySchema)
@@ -416,8 +477,8 @@ object IcebergExport {
         e.put("data_file", df)
         e
       }
-      val manifestPath = new Path(metaDir, s"m-v$v-s$dataSeq-0.avro")
-      val manifestLen = writeAvroOnce(fs, manifestPath, ManifestEntrySchema,
+      val (manifestPath, manifestLen) = writeAvroOnce(fs, metaDir,
+        s"m-v$v-s$dataSeq-0", ManifestEntrySchema,
         entryRecords, schemaMeta + ("content" -> "data"))
 
       // this version's tombstones as a position-delete manifest at
@@ -435,16 +496,15 @@ object IcebergExport {
           df.put("partition", new GenericData.Record(
             df.getSchema.getField("partition").schema()))
           df.put("record_count", delRows)
-          df.put("file_size_in_bytes",
-            fs.getFileStatus(new Path(delUri)).getLen)
+          df.put("file_size_in_bytes", sizeOf(delUri))
           val e = new GenericData.Record(ManifestEntrySchema)
           e.put("status", 1)
           e.put("snapshot_id", snapshotId)
           e.put("sequence_number", dataSeq + 1)
           e.put("file_sequence_number", dataSeq + 1)
           e.put("data_file", df)
-          val p = new Path(metaDir, s"m-v$v-s$dataSeq-1.avro")
-          val len = writeAvroOnce(fs, p, ManifestEntrySchema, Seq(e),
+          val (p, len) = writeAvroOnce(fs, metaDir,
+            s"m-v$v-s$dataSeq-1", ManifestEntrySchema, Seq(e),
             schemaMeta + ("content" -> "deletes"))
           Some((p, len, delRows))
         }
@@ -483,8 +543,9 @@ object IcebergExport {
         m.put("deleted_rows_count", 0L)
         m
       }
-      val listPath = new Path(metaDir, s"snap-$snapshotId-s$snapSeq.avro")
-      writeAvroOnce(fs, listPath, ManifestFileSchema, Seq(mf) ++ delMf, Map(
+      val (listPath, _) = writeAvroOnce(fs, metaDir,
+        s"snap-$snapshotId-s$snapSeq", ManifestFileSchema,
+        Seq(mf) ++ delMf, Map(
         "format-version" -> "2",
         "snapshot-id" -> snapshotId.toString,
         "sequence-number" -> snapSeq.toString,

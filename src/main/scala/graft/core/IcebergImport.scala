@@ -173,12 +173,14 @@ object IcebergImport {
         case StringType =>
           val s = java.nio.charset.StandardCharsets.UTF_8.decode(b).toString
           // the engine compares strings in UTF-16 order, but Iceberg
-          // bounds are ordered by UTF-8 bytes (code points); the two
-          // diverge exactly when supplementary characters (surrogate
-          // pairs) are involved — drop such bounds rather than risk
-          // pruning a file that actually matches
-          if (s.exists(c => c >= 0xD800.toChar && c <= 0xDFFF.toChar)) None
-          else Some(s)
+          // bounds are ordered by UTF-8 bytes (code points). A
+          // surrogate-free bound is STILL unsound when the file's
+          // data holds supplementary characters (a file with U+10000
+          // and U+E000 gets lower bound U+E000, and col < that bound
+          // would wrongly prune the U+10000 row), so apply the same
+          // rule FileStats.fromFooter uses: accept only pure-ASCII
+          // bounds — the two orders then agree against any literal.
+          if (s.forall(_ < 0x80.toChar)) Some(s) else None
         case _ => None
       }
     }.toOption.flatten

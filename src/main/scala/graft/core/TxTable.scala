@@ -2253,17 +2253,21 @@ final class TxTable(
       (pre: TxTable.Snapshot => Boolean): Boolean =
     appendIfCounted(df, meta)(pre).isDefined
 
-  /** [[appendIf]] that also reports HOW MANY ROWS landed —
-    * `Some(stagedRowCount)` on commit, `None` when the precondition
-    * abandoned the append. The count comes from the staged files'
-    * footer stats (already read once for zone maps), so callers that
-    * need it (COPY INTO's ingest report) never pay a second read of
-    * the source — at 100 TB ingest a pre-`count()` would double the
-    * source I/O, and could even disagree with the staged bytes if a
-    * source file is replaced mid-run. */
+  /** [[appendIf]] that also reports WHERE AND HOW MUCH landed —
+    * `Some((committedVersion, stagedRowCount))` on commit, `None`
+    * when the precondition abandoned the append. The version is the
+    * one THIS append committed (from the commit itself, never a
+    * re-read of `currentVersion` — a concurrent writer could advance
+    * the head in between and misattribute the load). The count comes
+    * from the staged files' footer stats (already read once for zone
+    * maps), so callers that need it (COPY INTO's ingest report)
+    * never pay a second read of the source — at 100 TB ingest a
+    * pre-`count()` would double the source I/O, and could even
+    * disagree with the staged bytes if a source file is replaced
+    * mid-run. */
   def appendIfCounted(df: DataFrame, meta: Map[String, String])
-      (pre: TxTable.Snapshot => Boolean): Option[Long] =
-    appendIfMetaOf(df, _ => meta)(pre).map(_._3)
+      (pre: TxTable.Snapshot => Boolean): Option[(Long, Long)] =
+    appendIfMetaOf(df, _ => meta)(pre).map(r => (r._2, r._3))
 
   /** Core of EVERY append that isn't the plain fast path: stages
     * once, evaluates `pre` at each claimed base, derives the commit

@@ -255,7 +255,7 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
           else props.get("graft.autoCompact.minFiles")
             .flatMap(_.toIntOption).filter(_ >= 2).getOrElse(8)
         val deadFrac = props.get("graft.autoMaintain.minDeadFraction")
-          .map(_.toDouble).getOrElse(0.3)
+          .flatMap(_.toDoubleOption).getOrElse(0.3)
         val before = tx.dataFileCount
         //   graft.autoCluster.by (optional): upgrades the compaction
         //     step to a CLUSTERED rewrite of the same fragmented
@@ -267,12 +267,17 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
           case None => tx.compactBuckets(minFiles)
         }
         tx.materializeDeletes(minDeadFraction = deadFrac)
-        val vacuumed = props.get("graft.vacuum.keepVersions").map { kv =>
-          val minAge = props.get("graft.vacuum.minAgeMs").map(_.toLong)
-            .getOrElse(TxTable.DefaultVacuumRetentionMs)
-          tx.vacuum(keepVersions = kv.toInt, minAgeMs = minAge)
-          kv
-        }
+        // unparseable keepVersions SKIPS vacuum (never guess a
+        // retention); unparseable minAgeMs falls back to the default —
+        // a malformed property can never fail scheduled maintenance
+        val vacuumed = props.get("graft.vacuum.keepVersions")
+          .flatMap(_.toIntOption).map { kv =>
+            val minAge = props.get("graft.vacuum.minAgeMs")
+              .flatMap(_.toLongOption)
+              .getOrElse(TxTable.DefaultVacuumRetentionMs)
+            tx.vacuum(keepVersions = kv, minAgeMs = minAge)
+            kv.toString
+          }
         report(tx, "files_before" -> before.toString,
           "compacted_buckets" -> rewrote.toString,
           "min_files_threshold" -> minFiles.toString,

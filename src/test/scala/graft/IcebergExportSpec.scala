@@ -255,9 +255,10 @@ class IcebergExportSpec extends SparkSpec {
     // flip the delete manifest's data_file.content to 2 (EQUALITY)
     // with no equality_ids — the reader must refuse, not misread
     val metaDir = new File(dir, "metadata")
-    // the history export names manifests -m<i>-0/-m<i>-1; the delete
-    // manifest is any *-1.avro
-    val m1 = metaDir.listFiles().find(_.getName.endsWith("-1.avro")).get
+    // manifest names are m-v<ver>-s<seq>-<content>-h<hash>.avro; the
+    // delete manifest is any *-1-h*.avro
+    val m1 = metaDir.listFiles()
+      .find(_.getName.matches("m-v\\d+-s\\d+-1-h[0-9a-f]+\\.avro")).get
     rewriteAvro(m1.getPath) { recs =>
       recs.foreach(_.get("data_file").asInstanceOf[GenericRecord]
         .put("content", 2))
@@ -276,10 +277,9 @@ class IcebergExportSpec extends SparkSpec {
     t.append(data)
     IcebergExport.writeIcebergMetadata(spark, t)
     val metaDir = new File(dir, "metadata")
-    // the HEAD version's data manifest: highest m-v<version>-s*-0.avro
+    // the HEAD version's data manifest: highest m-v<version>-s*-0-h*
     val m0 = metaDir.listFiles()
-      .filter(f => f.getName.startsWith("m-v") &&
-        f.getName.endsWith("-0.avro"))
+      .filter(_.getName.matches("m-v\\d+-s\\d+-0-h[0-9a-f]+\\.avro"))
       .maxBy(f => "m-v(\\d+)-".r.findFirstMatchIn(f.getName).get
         .group(1).toLong)
 
