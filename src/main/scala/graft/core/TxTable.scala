@@ -93,10 +93,42 @@ final class TxTable(
       * parquet bloom filters for — point-read skipping on
       * high-cardinality columns whose values hash across every file,
       * where zone maps can't help (see [[scanWhere]]). */
-    val bloomCols: Seq[String] = Nil) extends TableOps {
+    val bloomCols: Seq[String] = Nil,
+    /** The bucket-id hash family (immutable table identity, like the
+      * keys): [[TxTable.SparkBucketHash]] (default — Spark's `hash()`,
+      * Murmur3 seed 42, any key shape) or
+      * [[TxTable.IcebergBucketHash]] — the Iceberg spec's `bucket[N]`
+      * transform ([[graft.functions.IcebergBucketFn]]), which lets
+      * [[IcebergExport]] publish the layout as a spec partition spec
+      * STOCK readers prune by. Iceberg mode is single-key only (the
+      * spec transform takes one source column), over an
+      * integral/temporal/string key declared NON-nullable (the
+      * transform maps NULL to a null partition, which a file's
+      * single-value partition tuple cannot honestly carry). */
+    val bucketHash: String = TxTable.SparkBucketHash) extends TableOps {
 
   require(keys.nonEmpty, "TxTable requires key columns")
   require(numBuckets > 0, "TxTable requires numBuckets > 0")
+  require(bucketHash == TxTable.SparkBucketHash ||
+    bucketHash == TxTable.IcebergBucketHash,
+    s"bucketHash must be '${TxTable.SparkBucketHash}' or " +
+      s"'${TxTable.IcebergBucketHash}', got '$bucketHash'")
+  if (bucketHash == TxTable.IcebergBucketHash &&
+    !keys.contains("__reader__")) {
+    require(keys.length == 1,
+      "iceberg bucket layout takes exactly ONE key column (the spec's " +
+        "bucket transform has a single source column)")
+    // schema-free read-only opens skip the field checks (empty schema)
+    schema.fields.find(_.name.equalsIgnoreCase(keys.head)).foreach { f =>
+      require(graft.functions.IcebergBucketFn.supported(f.dataType),
+        s"iceberg bucket layout cannot hash key type " +
+          s"${f.dataType.simpleString} (int/long/date/timestamp/string)")
+      require(!f.nullable,
+        s"iceberg-bucketed key '${f.name}' must be declared " +
+          "non-nullable - the spec transform maps NULL to a null " +
+          "partition, which a single-value file tuple cannot claim")
+    }
+  }
   require(!schema.fieldNames.exists(TxTable.ReservedCols.contains),
     s"schema may not use the reserved column names " +
       s"${TxTable.ReservedCols.mkString(", ")} (internal layout/DV scratch)")
@@ -244,8 +276,20 @@ final class TxTable(
 
   /** Key-hash bucket id computed over `s`-shaped (logical) rows. */
   private def bucketExprFor(s: StructType): Column =
-    pmod(hash(logicalKeyNames(s).map(col): _*), lit(numBuckets))
-      .cast(IntegerType)
+    if (bucketHash == TxTable.IcebergBucketHash) {
+      val k = logicalKeyNames(s).head
+      // null-in would silently land a null bucket (and a Hive default
+      // partition dir) — refuse loudly at write time instead; the
+      // create-time non-nullable contract makes this unreachable for
+      // well-typed frames
+      when(col(k).isNull, raise_error(lit(
+        s"iceberg-bucketed key '$k' may not be NULL")).cast(IntegerType))
+        .otherwise(
+          graft.functions.IcebergBucketFunctions
+            .iceberg_bucket(col(k), numBuckets))
+    } else
+      pmod(hash(logicalKeyNames(s).map(col): _*), lit(numBuckets))
+        .cast(IntegerType)
 
   /** The schema of the CURRENT version — the create schema widened by
     * any [[appendEvolving]]/[[upsertEvolving]] commits since. Guarded
@@ -451,7 +495,8 @@ final class TxTable(
       numBuckets = newBuckets,
       bloomCols = bloomCols.map(b =>
         cur.fields.find(f => physicalFieldName(f).equalsIgnoreCase(b))
-          .map(_.name).getOrElse(b)))
+          .map(_.name).getOrElse(b)),
+      bucketHash = bucketHash)
     require(dst.currentVersion < 0,
       s"$dstDir already holds a table - rebucket writes a FRESH directory")
     dst.createIfAbsent()
@@ -1119,7 +1164,8 @@ final class TxTable(
               keys.toList.map(org.json4s.JString(_))),
             "numBuckets" -> org.json4s.JInt(numBuckets),
             "bloomCols" -> org.json4s.JArray(
-              bloomCols.toList.map(org.json4s.JString(_))))))
+              bloomCols.toList.map(org.json4s.JString(_))),
+            "bucketHash" -> org.json4s.JString(bucketHash))))
         val out = f.create(p, false)
         try out.write(json.getBytes("UTF-8")) finally out.close()
       }
@@ -1628,8 +1674,14 @@ final class TxTable(
       if (raw.dataType == dt) raw
       else Literal.create(Cast(raw, dt, Some("UTC")).eval(null), dt)
     }
-    val b = math.floorMod(
-      Murmur3Hash(lits, 42).eval(null).asInstanceOf[Int], numBuckets)
+    val b =
+      if (bucketHash == TxTable.IcebergBucketHash)
+        // a NULL probe can't exist under the non-nullable key
+        // contract; any bucket serves the (empty) predicate result
+        Option(lits.head.value).map(v => graft.functions.IcebergBucketFn
+          .bucketOf(v, lits.head.dataType, numBuckets)).getOrElse(0)
+      else math.floorMod(
+        Murmur3Hash(lits, 42).eval(null).asInstanceOf[Int], numBuckets)
     // null-safe: NULL-keyed rows are first-class (see keyMatchJoin) and
     // must be findable — `===` would filter them out silently.
     // Predicates bind the CURRENT declared key names (renamed keys
@@ -2952,7 +3004,7 @@ final class TxTable(
     val m = loadManifest(srcV)
     val s = schemaAt(m)
     val clone = new TxTable(spark, dstDir, s, keys, numBuckets,
-      commitBudgetMs, claimStalenessMs, bloomCols)
+      commitBudgetMs, claimStalenessMs, bloomCols, bucketHash)
     require(!clone.exists, s"clone target $dstDir already exists")
     val f = fs
     def abs(p: String) = f.makeQualified(new Path(p)).toString
@@ -3046,7 +3098,7 @@ final class TxTable(
     val d = s"$branchesDir/$name"
     require(fs.exists(new Path(d)), s"no such branch '$name' on $dir")
     new TxTable(spark, d, schema, keys, numBuckets, commitBudgetMs,
-      claimStalenessMs, bloomCols)
+      claimStalenessMs, bloomCols, bucketHash)
   }
 
   def branches: Seq[String] = {
@@ -3192,7 +3244,7 @@ final class TxTable(
     require(f.rename(new Path(dir), dst),
       s"filesystem rename $dir -> $newDir failed")
     new TxTable(spark, newDir, schema, keys, numBuckets, commitBudgetMs,
-      claimStalenessMs, bloomCols)
+      claimStalenessMs, bloomCols, bucketHash)
   }
 
   /** Files referenced by the CURRENT version (manifest metadata — no
@@ -3447,6 +3499,15 @@ final class TxTable(
 }
 
 object TxTable {
+  /** Default bucket-id hash family: Spark's `hash()` (Murmur3 seed
+    * 42) folded over the key columns. */
+  val SparkBucketHash: String = "spark"
+
+  /** The Iceberg spec's `bucket[N]` transform as the bucket-id hash —
+    * single-key layouts whose exported partition spec STOCK readers
+    * can prune (see [[graft.functions.IcebergBucketFn]]). */
+  val IcebergBucketHash: String = "iceberg"
+
   /** Commit-meta key marking a catalog-dropped table (see
     * [[TxTable.dropTable]]). */
   private[graft] val DroppedKey = "table_dropped"
@@ -3465,10 +3526,11 @@ object TxTable {
     if (requireDescriptor) require(desc.isDefined,
       s"$dir has no _table.json descriptor - this operation needs the " +
         "table identity; write once through the Scala API to record it")
-    val (ks, nb, blooms) =
-      desc.getOrElse((Seq("__reader__"), 1, Nil: Seq[String]))
+    val (ks, nb, blooms, bh) =
+      desc.getOrElse((Seq("__reader__"), 1, Nil: Seq[String],
+        SparkBucketHash))
     new TxTable(spark, dir, new org.apache.spark.sql.types.StructType(),
-      ks, numBuckets = nb, bloomCols = blooms)
+      ks, numBuckets = nb, bloomCols = blooms, bucketHash = bh)
   }
 
   /** One live data file of a committed version (see
@@ -3481,7 +3543,7 @@ object TxTable {
     * `writeDescriptorIfAbsent` — schema-free opens need it to stage
     * correctly bucketed writes. */
   private[graft] def readDescriptor(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Option[(Seq[String], Int, Seq[String])] =
+      dir: String): Option[(Seq[String], Int, Seq[String], String)] =
     scala.util.Try {
       val p = new Path(dir, "_table.json")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -3495,7 +3557,10 @@ object TxTable {
         Some((
           (j \ "keys").extract[Seq[String]],
           (j \ "numBuckets").extract[Int],
-          (j \ "bloomCols").extract[Seq[String]]))
+          (j \ "bloomCols").extract[Seq[String]],
+          // absent in pre-existing descriptors = the default family
+          (j \ "bucketHash").extractOpt[String]
+            .getOrElse(SparkBucketHash)))
       }
     }.toOption.flatten
 

@@ -57,3 +57,45 @@ object GraftBucketFunction extends UnboundFunction {
     }
   }
 }
+
+/** The ICEBERG-hash twin of [[GraftBucketFunction]] for tables laid
+  * out with `bucketHash = "iceberg"` ([[graft.core.TxTable]]). A
+  * DISTINCT canonical name is the correctness seam: SPJ proves
+  * co-location by comparing both sides' resolved transform functions,
+  * and a spark-hash table zipped against an iceberg-hash table would
+  * pair buckets whose ids mean different rows — same-name resolution
+  * must therefore be impossible. Single key column, per the spec's
+  * transform arity. */
+object GraftIcebergBucketFunction extends UnboundFunction {
+  override def name(): String = "iceberg_bucket"
+  override def description(): String =
+    "iceberg_bucket(numBuckets, key): the Iceberg spec's bucket[N] " +
+      "transform - (murmur3_x86_32(bytes) & Int.MaxValue) % numBuckets"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2,
+      "iceberg_bucket() takes (numBuckets, key)")
+    require(inputType.head.dataType == IntegerType,
+      s"iceberg_bucket()'s first argument is the bucket count (int), " +
+        s"got ${inputType.head.dataType}")
+    require(graft.functions.IcebergBucketFn.supported(
+      inputType(1).dataType),
+      s"iceberg_bucket() is undefined for ${inputType(1).dataType}")
+    Bound(inputType.fields.map(_.dataType))
+  }
+
+  final case class Bound(argTypes: Array[DataType])
+      extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = argTypes
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "iceberg_bucket"
+    override def canonicalName(): String = "graft.iceberg_bucket"
+    override def isResultNullable: Boolean = false
+
+    override def produceResult(input: InternalRow): Integer = {
+      val n = input.getInt(0)
+      Integer.valueOf(graft.functions.IcebergBucketFn.bucketOf(
+        input.get(1, argTypes(1)), argTypes(1), n))
+    }
+  }
+}

@@ -512,10 +512,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   // ---- functions: the bucket transform for storage-partitioned
   // joins (see GraftBucketFunction) ----
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+    Array(Identifier.of(namespace, "bucket"),
+      Identifier.of(namespace, "iceberg_bucket"))
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name() == "bucket") GraftBucketFunction
+    else if (ident.name() == "iceberg_bucket") GraftIcebergBucketFunction
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
 

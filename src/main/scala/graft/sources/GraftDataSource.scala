@@ -725,13 +725,20 @@ final class GraftScan(tx: TxTable, version: Long, required: StructType,
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    if (grouped)
+    if (grouped) {
+      import org.apache.spark.sql.connector.expressions.Expressions
+      // the transform NAME is the hash family: an iceberg-hash side
+      // must never resolve to the same function as a spark-hash side,
+      // or SPJ would zip bucket ids computed by different hashes
+      val transform =
+        if (tx.bucketHash == graft.core.TxTable.IcebergBucketHash)
+          Expressions.apply("iceberg_bucket",
+            (Expressions.literal(tx.numBuckets) +:
+              tx.logicalKeys.map(Expressions.column)): _*)
+        else Expressions.bucket(tx.numBuckets, tx.logicalKeys: _*)
       new org.apache.spark.sql.connector.read.partitioning
-        .KeyGroupedPartitioning(
-          Array(org.apache.spark.sql.connector.expressions.Expressions
-            .bucket(tx.numBuckets, tx.logicalKeys: _*)),
-          tx.numBuckets)
-    else
+        .KeyGroupedPartitioning(Array(transform), tx.numBuckets)
+    } else
       new org.apache.spark.sql.connector.read.partitioning
         .UnknownPartitioning(0)
   override def readSchema(): StructType = required
