@@ -48,6 +48,13 @@ import org.json4s.jackson.JsonMethods
   */
 object IcebergExport {
 
+  /** Max data manifests per exported version for PARTITIONED tables:
+    * entries split into bucket-range groups so the manifest list's
+    * field summaries let a point query open ~1/G of the manifest
+    * bytes. Bounded — metadata file count per version never exceeds
+    * this regardless of bucket count. */
+  val ManifestGroups: Int = 8
+
   private def icebergType(dt: DataType): String = dt match {
     case BooleanType      => "boolean"
     case IntegerType      => "int"
@@ -89,9 +96,18 @@ object IcebergExport {
   }
 
   // avro schemas with the spec's REQUIRED field-ids as avro props —
-  // Iceberg readers resolve manifest fields by id, not position
-  private val ManifestEntrySchema: Schema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
+  // Iceberg readers resolve manifest fields by id, not position.
+  // The `partition` record (field-id 102) is spec-shaped: EMPTY for
+  // unpartitioned tables, one int bucket field (ids 1000+) when the
+  // table's layout exports as a bucket[N] partition spec — so the
+  // manifest-entry schema is built per shape, not a constant.
+  private def manifestEntrySchemaFor(
+      partitionFields: Seq[(String, Int)]): Schema = {
+    val pf = partitionFields.map { case (n, id) =>
+      s"""{"name":"$n","type":["null","int"],"default":null,"field-id":$id}"""
+    }.mkString(",")
+    new Schema.Parser().parse(
+    s"""{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
       |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
       |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
@@ -100,7 +116,7 @@ object IcebergExport {
       | {"name":"content","type":"int","field-id":134},
       | {"name":"file_path","type":"string","field-id":100},
       | {"name":"file_format","type":"string","field-id":101},
-      | {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      | {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$pf]}},
       | {"name":"record_count","type":"long","field-id":103},
       | {"name":"file_size_in_bytes","type":"long","field-id":104},
       | {"name":"value_counts","field-id":109,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k119_v120","fields":[{"name":"key","type":"int","field-id":119},{"name":"value","type":"long","field-id":120}]}}]},
@@ -108,6 +124,11 @@ object IcebergExport {
       | {"name":"lower_bounds","field-id":125,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}]},
       | {"name":"upper_bounds","field-id":128,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}]}
       |]}}]}""".stripMargin)
+  }
+
+  /** The unpartitioned shape (empty partition record) — delete
+    * manifests and legacy spark-hash tables. */
+  private val ManifestEntrySchema: Schema = manifestEntrySchemaFor(Nil)
 
   /** One extremum in the spec's BINARY SINGLE-VALUE SERIALIZATION
     * (Appendix D): fixed-width little-endian numerics, raw UTF-8 for
@@ -194,7 +215,13 @@ object IcebergExport {
       |{"name":"deleted_files_count","type":"int","field-id":506},
       |{"name":"added_rows_count","type":"long","field-id":512},
       |{"name":"existing_rows_count","type":"long","field-id":513},
-      |{"name":"deleted_rows_count","type":"long","field-id":514}
+      |{"name":"deleted_rows_count","type":"long","field-id":514},
+      |{"name":"partitions","field-id":507,"default":null,"type":["null",{"type":"array","items":{"type":"record","name":"r508","fields":[
+      | {"name":"contains_null","type":"boolean","field-id":509},
+      | {"name":"contains_nan","type":["null","boolean"],"default":null,"field-id":518},
+      | {"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},
+      | {"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}
+      |]}}]}
       |]}""".stripMargin)
 
   /** Write an avro metadata file ATOMICALLY: dot-prefixed temp, then
@@ -378,14 +405,6 @@ object IcebergExport {
        }.toOption.flatten)
         .getOrElse(java.util.UUID.randomUUID().toString)
     }
-    val partitionSpecJson = """{"spec-id":0,"fields":[]}"""
-    val schemaMeta = Map(
-      "schema" -> JsonMethods.compact(JsonMethods.render(schemaJson(schema))),
-      "schema-id" -> "0",
-      "partition-spec" -> "[]",
-      "partition-spec-id" -> "0",
-      "format-version" -> "2")
-
     // rows per file from footer stats (exact); a stats-less legacy
     // entry pays one count over just that file — cached across
     // snapshots (history shares most files)
@@ -446,6 +465,47 @@ object IcebergExport {
         schemaJsonWithIds(s, sid, ids, table.physicalFieldName): JValue }
     }
 
+    // HIDDEN PARTITIONING: an iceberg-hash table's bucket layout IS
+    // the spec's bucket[N] transform ([[graft.functions
+    // .IcebergBucketFn]] — same murmur3, same mod), so it publishes
+    // as a real partition spec with per-file partition tuples and
+    // manifest-list field summaries: STOCK readers prune manifests
+    // and files for key-equality predicates, exactly like
+    // [[IcebergImport.readWhere]] does on import. Spec-id 0 stays the
+    // empty (unpartitioned) spec — position-delete files scope across
+    // buckets and ride it; data manifests use spec-id 1.
+    // Spark-hash tables (seed-42 Murmur3, multi-key) cannot be
+    // expressed as a spec transform and export unpartitioned as
+    // before — never a WRONG spec, only a less pruneable one.
+    val bucketSpec: Option[(String, Int, Int)] =
+      if (table.bucketHash == TxTable.IcebergBucketHash &&
+        table.keys.length == 1)
+        idReg.get(table.keys.head.toLowerCase).map { case (srcId, phys) =>
+          (s"${phys}_bucket", srcId, table.numBuckets)
+        }
+      else None
+    val PartitionFieldId = 1000
+    val bucketSpecFieldsJson: Option[String] = bucketSpec.map {
+      case (name, srcId, n) =>
+        s"""[{"name":"$name","transform":"bucket[$n]",""" +
+          s""""source-id":$srcId,"field-id":$PartitionFieldId}]"""
+    }
+    val dataEntrySchema: Schema = bucketSpec match {
+      case Some((name, _, _)) =>
+        manifestEntrySchemaFor(Seq(name -> PartitionFieldId))
+      case None => ManifestEntrySchema
+    }
+    val dataSpecId = if (bucketSpec.isDefined) 1 else 0
+    val schemaMeta = Map(
+      "schema" -> JsonMethods.compact(JsonMethods.render(schemaJson(schema))),
+      "schema-id" -> "0",
+      "partition-spec" -> bucketSpecFieldsJson.getOrElse("[]"),
+      "partition-spec-id" -> dataSpecId.toString,
+      "format-version" -> "2")
+    // delete manifests stay on the empty spec-id 0
+    val deleteMeta = schemaMeta +
+      ("partition-spec" -> "[]", "partition-spec-id" -> "0")
+
     var lastSeq = 0L
     val verSchemaOf: Map[Long, StructType] = verSchemas.toMap
     val snapshots = versions.zipWithIndex.map { case (v, i) =>
@@ -457,19 +517,23 @@ object IcebergExport {
       val vSchema = verSchemaOf.getOrElse(v, schema)
       val vPhysSchema = table.physicalize(vSchema)
 
-      val entryRecords = files.map { f =>
+      def entryRecord(f: TxTable.LiveFile): GenericRecord = {
         val df = new GenericData.Record(
-          ManifestEntrySchema.getField("data_file").schema())
+          dataEntrySchema.getField("data_file").schema())
         df.put("content", 0)
         df.put("file_path", fs.makeQualified(new Path(f.path)).toString)
         df.put("file_format", "PARQUET")
-        df.put("partition", new GenericData.Record(
-          df.getSchema.getField("partition").schema()))
+        val part = new GenericData.Record(
+          df.getSchema.getField("partition").schema())
+        // partition TUPLE: the file's manifest bucket id IS the spec
+        // transform's value for every row inside (same hash)
+        bucketSpec.foreach { case (name, _, _) => part.put(name, f.bucket) }
+        df.put("partition", part)
         df.put("record_count", rowsOf(f))
         df.put("file_size_in_bytes", sizeOf(f.path))
         putColumnStats(df, FileStats.fromJson(f.statsJson, vPhysSchema),
           vSchema, table.physicalFieldName, ids)
-        val e = new GenericData.Record(ManifestEntrySchema)
+        val e = new GenericData.Record(dataEntrySchema)
         e.put("status", 1) // ADDED
         e.put("snapshot_id", snapshotId)
         e.put("sequence_number", dataSeq)
@@ -477,9 +541,26 @@ object IcebergExport {
         e.put("data_file", df)
         e
       }
-      val (manifestPath, manifestLen) = writeAvroOnce(fs, metaDir,
-        s"m-v$v-s$dataSeq-0", ManifestEntrySchema,
-        entryRecords, schemaMeta + ("content" -> "data"))
+      // PARTITIONED tables split each version's entries into bucket-
+      // RANGE manifest groups (≤ ManifestGroups per version), each
+      // with a tight field summary in the manifest list: a stock
+      // reader's point query opens 1/G of the manifest bytes instead
+      // of every entry — manifest-level pruning, not just file-level.
+      // Unpartitioned tables keep the one-manifest shape.
+      val groups: Seq[(Int, Seq[TxTable.LiveFile])] =
+        if (bucketSpec.isEmpty) Seq(0 -> files)
+        else {
+          val g = math.min(table.numBuckets, ManifestGroups)
+          files.groupBy(f => f.bucket * g / table.numBuckets)
+            .toSeq.sortBy(_._1)
+        }
+      val dataManifests: Seq[(Path, Long, Seq[TxTable.LiveFile])] =
+        groups.map { case (g, gf) =>
+          val (p, len) = writeAvroOnce(fs, metaDir,
+            s"m-v$v-s$dataSeq-0-g$g", dataEntrySchema,
+            gf.map(entryRecord), schemaMeta + ("content" -> "data"))
+          (p, len, gf)
+        }
 
       // this version's tombstones as a position-delete manifest at
       // the NEXT sequence (deletes scope over same-or-lower data)
@@ -505,27 +586,50 @@ object IcebergExport {
           e.put("data_file", df)
           val (p, len) = writeAvroOnce(fs, metaDir,
             s"m-v$v-s$dataSeq-1", ManifestEntrySchema, Seq(e),
-            schemaMeta + ("content" -> "deletes"))
+            deleteMeta + ("content" -> "deletes"))
           Some((p, len, delRows))
         }
       val snapSeq = if (deletes.isEmpty) dataSeq else dataSeq + 1
       lastSeq = snapSeq
 
+      /** int bucket id in the spec's binary single-value form (4-byte
+        * little-endian) for field summaries. */
+      def intBuf(i: Int): java.nio.ByteBuffer = {
+        val b = java.nio.ByteBuffer.allocate(4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i)
+        b.flip(); b
+      }
       val totalRows = files.map(rowsOf).sum
-      val mf = new GenericData.Record(ManifestFileSchema)
-      mf.put("manifest_path", fs.makeQualified(manifestPath).toString)
-      mf.put("manifest_length", manifestLen)
-      mf.put("partition_spec_id", 0)
-      mf.put("content", 0)
-      mf.put("sequence_number", dataSeq)
-      mf.put("min_sequence_number", dataSeq)
-      mf.put("added_snapshot_id", snapshotId)
-      mf.put("added_files_count", files.size)
-      mf.put("existing_files_count", 0)
-      mf.put("deleted_files_count", 0)
-      mf.put("added_rows_count", totalRows)
-      mf.put("existing_rows_count", 0L)
-      mf.put("deleted_rows_count", 0L)
+      val dataMfs = dataManifests.map { case (p, len, gf) =>
+        val mf = new GenericData.Record(ManifestFileSchema)
+        mf.put("manifest_path", fs.makeQualified(p).toString)
+        mf.put("manifest_length", len)
+        mf.put("partition_spec_id", dataSpecId)
+        mf.put("content", 0)
+        mf.put("sequence_number", dataSeq)
+        mf.put("min_sequence_number", dataSeq)
+        mf.put("added_snapshot_id", snapshotId)
+        mf.put("added_files_count", gf.size)
+        mf.put("existing_files_count", 0)
+        mf.put("deleted_files_count", 0)
+        mf.put("added_rows_count", gf.map(rowsOf).sum)
+        mf.put("existing_rows_count", 0L)
+        mf.put("deleted_rows_count", 0L)
+        // FIELD SUMMARY per partition field: this group's bucket-id
+        // range — what lets a stock reader skip the whole manifest
+        bucketSpec.foreach { _ =>
+          val arrSchema = ManifestFileSchema.getField("partitions")
+            .schema().getTypes.get(1)
+          val arr = new GenericData.Array[GenericRecord](1, arrSchema)
+          val s = new GenericData.Record(arrSchema.getElementType)
+          s.put("contains_null", false)
+          s.put("lower_bound", intBuf(gf.map(_.bucket).min))
+          s.put("upper_bound", intBuf(gf.map(_.bucket).max))
+          arr.add(s)
+          mf.put("partitions", arr)
+        }
+        mf
+      }
       val delMf = deletes.map { case (p, len, delRows) =>
         val m = new GenericData.Record(ManifestFileSchema)
         m.put("manifest_path", fs.makeQualified(p).toString)
@@ -545,7 +649,7 @@ object IcebergExport {
       }
       val (listPath, _) = writeAvroOnce(fs, metaDir,
         s"snap-$snapshotId-s$snapSeq", ManifestFileSchema,
-        Seq(mf) ++ delMf, Map(
+        dataMfs ++ delMf, Map(
         "format-version" -> "2",
         "snapshot-id" -> snapshotId.toString,
         "sequence-number" -> snapSeq.toString,
@@ -592,10 +696,13 @@ object IcebergExport {
       "last-column-id" -> JInt(idReg.size),
       "current-schema-id" -> JInt(0),
       "schemas" -> JArray(schemasJson.toList),
-      "default-spec-id" -> JInt(0),
-      "partition-specs" -> JArray(List(
-        JsonMethods.parse(partitionSpecJson))),
-      "last-partition-id" -> JInt(999),
+      "default-spec-id" -> JInt(dataSpecId),
+      "partition-specs" -> JArray(
+        JsonMethods.parse("""{"spec-id":0,"fields":[]}""") ::
+          bucketSpecFieldsJson.map(f => JsonMethods.parse(
+            s"""{"spec-id":1,"fields":$f}""")).toList),
+      "last-partition-id" -> JInt(
+        if (bucketSpec.isDefined) PartitionFieldId else 999),
       "default-sort-order-id" -> JInt(0),
       "sort-orders" -> JArray(List(JObject(
         "order-id" -> JInt(0), "fields" -> JArray(Nil)))),

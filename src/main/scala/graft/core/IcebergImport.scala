@@ -229,7 +229,22 @@ object IcebergImport {
   /** Resolve the current (or pinned) snapshot of the Iceberg table at
     * `dir` to (schema, live data files). */
   def snapshot(spark: SparkSession, dir: String,
-      snapshotId: Option[Long] = None): Snapshot = {
+      snapshotId: Option[Long] = None): Snapshot =
+    snapshotWhere(spark, dir, snapshotId, None)
+
+  /** [[snapshot]] with PARTITION PRUNING from a predicate: when the
+    * table's default spec is a single `bucket[N]` transform and
+    * `pred` carries top-level equality/IN conjuncts on the source
+    * column, the candidate bucket ids (the spec's murmur3,
+    * [[graft.functions.IcebergBucketFn]]) prune BOTH levels the way a
+    * stock reader does — whole manifests via the manifest list's
+    * field summaries (their avro is never even opened), then files
+    * via each entry's partition tuple. Everything else (no spec,
+    * other transforms, non-equality predicates, files with no tuple)
+    * is kept — pruning is an optimization, never a filter. */
+  private def snapshotWhere(spark: SparkSession, dir: String,
+      snapshotId: Option[Long],
+      pred: Option[org.apache.spark.sql.Column]): Snapshot = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
@@ -319,6 +334,32 @@ object IcebergImport {
       s"snapshot $wantedId is not in $mdPath (retained: " +
         snaps.flatMap(s => (s \ "snapshot-id").toOption).mkString(", ") + ")"))
 
+    // the default partition spec, when it is a single bucket[N]
+    // transform — the one shape this reader prunes by (v1 legacy
+    // single-spec layouts and other transforms read unpruned)
+    val bucketSpec: Option[(String, Int, Int)] = {
+      val BucketRe = """bucket\[(\d+)\]""".r
+      (md \ "partition-specs", md \ "default-spec-id") match {
+        case (JArray(specs), JInt(dsi)) =>
+          specs.find(s => (s \ "spec-id") == JInt(dsi)).flatMap { s =>
+            (s \ "fields") match {
+              case JArray(List(f)) =>
+                ((f \ "name"), (f \ "transform"), (f \ "source-id")) match {
+                  case (JString(n), JString(BucketRe(nb)), JInt(src)) =>
+                    Some((n, src.toInt, nb.toInt))
+                  case _ => None
+                }
+              case _ => None
+            }
+          }
+        case _ => None
+      }
+    }
+    val defaultSpecId: Option[Int] = (md \ "default-spec-id") match {
+      case JInt(i) => Some(i.toInt)
+      case _ => None
+    }
+
     // per-snapshot schema (spec time travel): a pinned snapshot reads
     // under the schema-id IT declares — the declared names of its
     // epoch — not the current schema. Field ids are stable across
@@ -358,14 +399,39 @@ object IcebergImport {
     // manifests are data manifests by definition (v1 has no delete
     // files) with no sequence numbers (v1 semantics: everything 0).
     final case class ManifestRef(path: String, content: Int,
-        seq: Option[Long])
+        seq: Option[Long], specId: Option[Int] = None,
+        /** the single partition field's bucket-id summary range from
+          * the manifest list (field-ids 510/511), when present. */
+        partRange: Option[(Int, Int)] = None)
+    def leInt(x: AnyRef): Option[Int] = x match {
+      case bb: java.nio.ByteBuffer => Some(bb.duplicate()
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt)
+      case arr: Array[Byte] => Some(java.nio.ByteBuffer.wrap(arr)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt)
+      case _ => None
+    }
     val manifests: Seq[ManifestRef] = (snap \ "manifest-list") match {
       case JString(p) =>
         readAvro(fs, new Path(p), conf).map { m =>
+          val range: Option[(Int, Int)] =
+            if (m.getSchema.getField("partitions") == null) None
+            else Option(m.get("partitions")).flatMap {
+              case l: java.util.List[_] if l.size() == 1 =>
+                val r = l.get(0).asInstanceOf[GenericRecord]
+                for {
+                  lo <- Option(r.get("lower_bound")).flatMap(leInt)
+                  hi <- Option(r.get("upper_bound")).flatMap(leInt)
+                } yield (lo, hi)
+              case _ => None
+            }
           ManifestRef(m.get("manifest_path").toString,
             Option(m.get("content")).map(_.asInstanceOf[Int]).getOrElse(0),
             if (m.getSchema.getField("sequence_number") == null) None
-            else asLong(m.get("sequence_number")))
+            else asLong(m.get("sequence_number")),
+            if (m.getSchema.getField("partition_spec_id") == null) None
+            else Option(m.get("partition_spec_id"))
+              .map(_.asInstanceOf[Number].intValue()),
+            range)
         }
       case _ => (snap \ "manifests") match {
         case JArray(ms) => ms.map {
@@ -377,8 +443,36 @@ object IcebergImport {
           "snapshot has neither a manifest-list nor inline manifests")
       }
     }
-    val (deleteManifests, dataManifests) =
+    // candidate bucket ids from the predicate's equality/IN conjuncts
+    // on the spec's source column — None = no pruning possible
+    val candidateBuckets: Option[Set[Int]] = for {
+      (_, srcId, nb) <- bucketSpec
+      p <- pred
+      cond <- FileStats.resolvePredicate(spark, schema, p)
+      colName <- fieldIds.get(srcId)
+      f <- schema.find(_.name == colName)
+      vals <- FileStats.equalityConjuncts(cond, schema).get(colName)
+      buckets <- scala.util.Try(vals.map(v =>
+        graft.functions.IcebergBucketFn.bucketOf(v, f.dataType, nb))
+        .toSet).toOption
+    } yield buckets
+    val (deleteManifests, dataManifests0) =
       manifests.partition(_.content != 0)
+    // MANIFEST-level pruning: a data manifest written under the
+    // bucket spec whose summary range excludes every candidate bucket
+    // is never even opened (null-partitioned rows cannot satisfy an
+    // equality on the source column, so contains_null is irrelevant)
+    val dataManifests = candidateBuckets match {
+      case None => dataManifests0
+      case Some(cs) => dataManifests0.filter { m =>
+        (m.partRange, m.specId) match {
+          case (Some((lo, hi)), sid)
+              if sid == defaultSpecId || sid.isEmpty =>
+            cs.exists(b => b >= lo && b <= hi)
+          case _ => true
+        }
+      }
+    }
 
     // sequence number of an entry: its own, else inherited from the
     // manifest's (per spec, null inherits on ADDED entries); v1
@@ -390,7 +484,10 @@ object IcebergImport {
     }
 
     // manifests → live data files (status 2 = DELETED drops the row),
-    // each with its data sequence number (equality-delete scoping)
+    // each with its data sequence number (equality-delete scoping).
+    // FILE-level partition pruning: an entry whose partition tuple
+    // names a non-candidate bucket drops here; entries with no tuple
+    // (unpartitioned manifests, foreign spec shapes) are kept.
     val filesCountsSeqs = dataManifests.flatMap { m =>
       val mPath = new Path(m.path)
       readAvro(fs, mPath, conf).flatMap { e =>
@@ -401,9 +498,25 @@ object IcebergImport {
           val fmt = df.get("file_format").toString
           require(fmt.equalsIgnoreCase("PARQUET"),
             s"data file format $fmt unsupported (parquet only)")
-          val rc = df.get("record_count").asInstanceOf[Long]
-          Some((df.get("file_path").toString, rc, entrySeq(m, e),
-            statsFromEntry(df, rc, schema, fieldIds)))
+          val fileBucket: Option[Int] = for {
+            (fname, _, _) <- bucketSpec
+            pr = df.getSchema.getField("partition")
+            if pr != null
+            rec <- Option(df.get("partition"))
+              .collect { case r: GenericRecord => r }
+            if rec.getSchema.getField(fname) != null
+            v <- Option(rec.get(fname))
+          } yield v.asInstanceOf[Number].intValue()
+          val pruned = (candidateBuckets, fileBucket) match {
+            case (Some(cs), Some(b)) => !cs(b)
+            case _ => false
+          }
+          if (pruned) None
+          else {
+            val rc = df.get("record_count").asInstanceOf[Long]
+            Some((df.get("file_path").toString, rc, entrySeq(m, e),
+              statsFromEntry(df, rc, schema, fieldIds)))
+          }
         }
       }
     }
@@ -475,7 +588,10 @@ object IcebergImport {
     * still applies the full predicate. */
   def readWhere(spark: SparkSession, dir: String, pred: org.apache.spark.sql.Column,
       snapshotId: Option[Long] = None): DataFrame = {
-    val s = snapshot(spark, dir, snapshotId)
+    // partition pruning (manifests + file tuples) happens INSIDE the
+    // snapshot resolution; the column-bounds pass below then prunes
+    // the survivors, and the scan still applies `pred` exactly
+    val s = snapshotWhere(spark, dir, snapshotId, Some(pred))
     val cond = FileStats.resolvePredicate(spark, s.schema, pred)
     val keep: Seq[Boolean] = cond match {
       case None => s.files.map(_ => true)

@@ -649,6 +649,40 @@ object TxQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** HIDDEN PARTITIONING round trip: orders in an ICEBERG-hash
+    * bucketed TxTable (the spec's bucket[N] murmur3 as the manifest
+    * partitioner), exported with a real `bucket[16]` partition spec —
+    * per-file partition tuples + manifest-list field summaries — then
+    * point-read back through [[graft.core.IcebergImport.readWhere]],
+    * whose IN-list candidates prune whole manifests and files by the
+    * same transform a stock reader would apply. The result must equal
+    * DuckDB's relational read of the raw parquet: pruning is an
+    * optimization, never a filter. */
+  def tx_iceberg_partition_read(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType, nullable = false),
+      StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType)))
+    val table = cached(s, dir, "orders", "icepart", 1L) { loc =>
+      new TxTable(s, loc, schema, Seq("o_orderkey"), numBuckets = 16,
+        bucketHash = TxTable.IcebergBucketHash)
+    } { tx =>
+      tx.append(o) // v1
+      graft.core.IcebergExport.writeIcebergMetadata(s, tx)
+    }
+    if (!new java.io.File(table.dir, "metadata/version-hint.text").exists())
+      graft.core.IcebergExport.writeIcebergMetadata(s, table)
+    graft.core.IcebergImport
+      .readWhere(s, table.dir,
+        col("o_orderkey").isin(3L, 17L, 42L, 111L, 256L, 999L))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").as("price")) // raw doubles: no arithmetic
+      .orderBy("o_orderkey")
+  }
+
   /** STREAMING FILE INGEST (the Auto Loader analog, continuous twin
     * of COPY INTO): supplier split into three source files landed in
     * THREE `Trigger.AvailableNow` runs of the `graft-files` discovery
@@ -1835,6 +1869,7 @@ object TxQueries {
     "tx_stream_copy" -> (tx_stream_copy _),
     "tx_delta_skip_read" -> (tx_delta_skip_read _),
     "tx_iceberg_skip_read" -> (tx_iceberg_skip_read _),
+    "tx_iceberg_partition_read" -> (tx_iceberg_partition_read _),
     "tx_stream_dedup" -> (tx_stream_dedup _),
     "tx_iceberg_map_roundtrip" -> (tx_iceberg_map_roundtrip _),
     "tx_delta_cdf" -> (tx_delta_cdf _),
@@ -2220,6 +2255,14 @@ object TxQueries {
          |WHERE o_totalprice < 50000.0
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
+    // bucket[N] partition pruning must be invisible in the result —
+    // DuckDB evaluates the same IN-list relationally
+    "tx_iceberg_partition_read" ->
+      s"""SELECT o_orderkey, o_custkey,
+         |       o_totalprice AS price
+         |FROM orders
+         |WHERE o_orderkey IN (3, 17, 42, 111, 256, 999)
+         |ORDER BY o_orderkey""".stripMargin,
     // three streamed source files + a no-op re-run reconstitute the
     // supplier table exactly once - DuckDB aggregates it directly
     "tx_stream_copy" ->

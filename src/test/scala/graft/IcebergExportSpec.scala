@@ -279,7 +279,7 @@ class IcebergExportSpec extends SparkSpec {
     val metaDir = new File(dir, "metadata")
     // the HEAD version's data manifest: highest m-v<version>-s*-0-h*
     val m0 = metaDir.listFiles()
-      .filter(_.getName.matches("m-v\\d+-s\\d+-0-h[0-9a-f]+\\.avro"))
+      .filter(_.getName.matches("m-v\\d+-s\\d+-0-g\\d+-h[0-9a-f]+\\.avro"))
       .maxBy(f => "m-v(\\d+)-".r.findFirstMatchIn(f.getName).get
         .group(1).toLong)
 
@@ -524,5 +524,104 @@ class IcebergExportSpec extends SparkSpec {
       graft.core.IcebergImport.readWhere(spark, dir, col("v") > 350.0)
         .agg(sum("k")).head
     }
+  }
+
+  test("iceberg-bucketed table exports a bucket[N] partition spec " +
+      "stock readers prune (ghost file AND ghost manifest proofs)") {
+    import graft.functions.IcebergBucketFn
+    val dir = tmpDir("iceberg-partspec") + "/t"
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("v", org.apache.spark.sql.types.DoubleType)
+    val t = new TxTable(spark, dir, schema, Seq("k"), numBuckets = 2,
+      bucketHash = TxTable.IcebergBucketHash)
+    val data = (1L to 200L).map(i => (i, i * 1.0)).toDF("k", "v")
+    t.append(data)
+    t.deleteWhereLight(col("k") % 50L === 0L) // DV path on a spec'd table
+    IcebergExport.writeIcebergMetadata(spark, t)
+
+    // metadata: spec-id 1 = bucket[2] on k (field-id 1000), default
+    val md = JsonMethods.parse(java.nio.file.Files.readString(
+      java.nio.file.Path.of(dir, "metadata", "v1.metadata.json")))
+    assert((md \ "default-spec-id").extract[Int] === 1)
+    val specs = (md \ "partition-specs").extract[List[JValue]]
+    assert(specs.map(s => (s \ "spec-id").extract[Int]) === List(0, 1))
+    val f1 = ((specs(1) \ "fields"): @unchecked) match {
+      case JArray(List(f)) => f
+    }
+    assert((f1 \ "transform").extract[String] === "bucket[2]")
+    assert((f1 \ "name").extract[String] === "k_bucket")
+    assert((f1 \ "field-id").extract[Int] === 1000)
+    val kId = (f1 \ "source-id").extract[Int]
+    assert(kId >= 1)
+    assert((md \ "last-partition-id").extract[Int] === 1000)
+
+    // every data manifest entry carries the spec tuple == murmur3
+    // bucket of every row in its file; manifest list carries field
+    // summaries with the group's bucket range
+    val metaDir = new File(dir, "metadata")
+    val dataManifests = metaDir.listFiles()
+      .filter(_.getName.matches("m-v\\d+-s\\d+-0-g\\d+-h[0-9a-f]+\\.avro"))
+    assert(dataManifests.length >= 2,
+      "2 buckets must export as 2 manifest groups")
+    dataManifests.foreach { m =>
+      val (recs, _) = readAvro(m.getPath)
+      recs.foreach { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val part = df.get("partition").asInstanceOf[GenericRecord]
+        val b = part.get("k_bucket").asInstanceOf[Number].intValue()
+        val p = df.get("file_path").toString
+        spark.read.parquet(p).select("k").collect().map(_.getLong(0))
+          .foreach(k => assert(IcebergBucketFn.bucketLong(k, 2) === b))
+      }
+    }
+
+    // round-trip equality before the ghost proofs (DVs masked)
+    val expect = (1L to 200L).filter(_ % 50 != 0).sum
+    assert(graft.core.IcebergImport.read(spark, dir)
+      .agg(sum("k")).head.getLong(0) === expect)
+
+    // candidate key / its bucket; a key from the OTHER bucket
+    val k1 = (1L to 200L).find(k => IcebergBucketFn.bucketLong(k, 2) == 0
+      && k % 50 != 0).get
+    val pred = col("k") === k1
+    assert(graft.core.IcebergImport.readWhere(spark, dir, pred)
+      .agg(sum("k")).head.getLong(0) === k1)
+
+    // GHOST FILE proof: delete bucket-1's data files — an equality
+    // probe into bucket 0 must never open them
+    val snap = graft.core.IcebergImport.snapshot(spark, dir)
+    t.currentFileInfo.filter(_.bucket == 1).foreach { f =>
+      assert(new File(f.path).delete(), s"rm ${f.path}")
+    }
+    assert(graft.core.IcebergImport.readWhere(spark, dir, pred)
+      .agg(sum("k")).head.getLong(0) === k1)
+    intercept[Exception] {
+      graft.core.IcebergImport.read(spark, dir).agg(sum("k")).head
+    }
+
+    // GHOST MANIFEST proof: truncate bucket-1's manifest avro to
+    // garbage — the manifest-list field summary must keep the reader
+    // from ever OPENING it (file-level pruning alone would still die
+    // parsing the manifest)
+    dataManifests.foreach { m =>
+      val (recs, _) = readAvro(m.getPath)
+      val buckets = recs.map(_.get("data_file").asInstanceOf[GenericRecord]
+        .get("partition").asInstanceOf[GenericRecord]
+        .get("k_bucket").asInstanceOf[Number].intValue()).toSet
+      if (buckets == Set(1))
+        java.nio.file.Files.write(m.toPath, Array[Byte](0, 1, 2, 3))
+    }
+    assert(graft.core.IcebergImport.readWhere(spark, dir, pred)
+      .agg(sum("k")).head.getLong(0) === k1)
+    // IN-list candidates across both buckets keep the broken manifest
+    // in scope — and fail, proving the pruning is predicate-driven
+    val k2 = (1L to 200L).find(k =>
+      IcebergBucketFn.bucketLong(k, 2) == 1 && k % 50 != 0).get
+    intercept[Exception] {
+      graft.core.IcebergImport.readWhere(spark, dir,
+        col("k").isin(k1, k2)).agg(sum("k")).head
+    }
+    assert(snap.files.nonEmpty) // snapshot taken pre-ghost stays valid
   }
 }
