@@ -192,6 +192,9 @@ object DeltaExport {
         // plus the generatedColumns writer feature this log doesn't
         // declare; values are materialized, so stock readers read them
         .remove(TxTable.GeneratedExprKey)
+        // sticky field ids ride as delta.columnMapping.id (id mode);
+        // the internal key itself never leaves the engine
+        .remove(TxTable.FieldIdKey)
       f.copy(metadata = mb.build())
     })
 
@@ -214,7 +217,13 @@ object DeltaExport {
     var nextId = if (loggedIds.isEmpty) 0L else loggedIds.values.max
     val fields = schema.fields.map { f =>
       val phys = table.physicalFieldName(f)
-      val id = loggedIds.getOrElse(phys, { nextId += 1; nextId })
+      // id-mode tables: the log id MUST be the sticky graft.fieldId -
+      // it is what the parquet footers carry; minting a different id
+      // would break the footer binding the mode promises
+      val id =
+        if (f.metadata.contains(TxTable.FieldIdKey))
+          f.metadata.getLong(TxTable.FieldIdKey)
+        else loggedIds.getOrElse(phys, { nextId += 1; nextId })
       val mb = new org.apache.spark.sql.types.MetadataBuilder()
         .withMetadata(f.metadata)
         .remove(TxTable.PhysicalNameKey) // graft-internal, not protocol
@@ -232,7 +241,8 @@ object DeltaExport {
       cdfEnabled: Boolean = false, txVersion: Option[Long] = None,
       tableId: Option[String] = None,
       checks: Map[String, String] = Map.empty,
-      mappingMaxId: Option[Long] = None): JObject =
+      mappingMaxId: Option[Long] = None,
+      mappingMode: String = "name"): JObject =
     JObject("metaData" -> JObject(
       // the table id is STABLE across the log's life (stock streaming
       // readers track it); only the very first metaData mints one
@@ -249,7 +259,7 @@ object DeltaExport {
       // carry metaData verbatim, commitInfo they drop
       "configuration" -> JObject(
         mappingMaxId.toList.flatMap(mx => List(
-          "delta.columnMapping.mode" -> (JString("name"): JValue),
+          "delta.columnMapping.mode" -> (JString(mappingMode): JValue),
           "delta.columnMapping.maxColumnId" ->
             (JString(mx.toString): JValue))) ++
         (if (dvEnabled)
@@ -337,7 +347,13 @@ object DeltaExport {
     // field carries delta.columnMapping.physicalName (this engine's
     // stable parquet name — files need no rewrite) + a stable id, and
     // the add-action stats key by the physical name, per spec
-    val mapped = table.columnMappingActive
+    // id-mode: field-id tables publish delta.columnMapping.mode=id -
+    // the log ids ARE the parquet footer ids every staged file of a
+    // fieldIds table carries, so id-resolving stock readers (and
+    // Iceberg-uniform converts) bind our files directly
+    val idMode = table.fieldIds && TxTable.fieldIdsComplete(schema)
+    val mapped = table.columnMappingActive || idMode
+    val mode = if (idMode) "id" else "name"
     val (metaSchema, maxId) =
       if (mapped) {
         val (m, mx) = mappedDeltaSchema(table, schema, None)
@@ -359,7 +375,8 @@ object DeltaExport {
         metaDataAction(metaSchema, dirty.nonEmpty, cdf,
           if (cdf) Some(table.currentVersion) else None,
           checks = checks,
-          mappingMaxId = if (mapped) Some(maxId) else None) +: adds)
+          mappingMaxId = if (mapped) Some(maxId) else None,
+          mappingMode = mode) +: adds)
   }
 
   /** The net row-level diff `table.changes(fromTx, toTx)` as Delta
@@ -528,12 +545,23 @@ object DeltaExport {
     // the mode transition none→name is the one the spec allows, and
     // ids are reused from the logged schema by physical name so they
     // stay stable across syncs.
-    val mapped = table.columnMappingActive
+    val loggedMode: Option[String] = logged.metaRaw.flatMap(raw =>
+      (JsonMethods.parse(raw) \ "configuration" \
+        "delta.columnMapping.mode") match {
+        case JString(m) if m == "name" || m == "id" => Some(m)
+        case _ => None
+      })
+    // mode is sticky: a log synced in name mode stays name (the spec
+    // allows none->name on existing data, never name->id - the old
+    // files' footers may lack ids); a fresh log from a fieldIds
+    // table starts in id mode
+    val idMode = table.fieldIds &&
+      TxTable.fieldIdsComplete(schema) && !loggedMode.contains("name")
+    val mapped = table.columnMappingActive || idMode
+    val mode = if (idMode) "id" else "name"
     val loggedMapped =
       logged.protocol.readerFeatures.contains("columnMapping") ||
-        logged.metaRaw.exists(raw =>
-          (JsonMethods.parse(raw) \ "configuration" \
-            "delta.columnMapping.mode") == JString("name"))
+        loggedMode.isDefined
     val (metaSchema, maxId) =
       if (mapped) {
         val (m, mx) = mappedDeltaSchema(table, schema,
@@ -627,7 +655,8 @@ object DeltaExport {
       if (schemaChanged || upgrade.nonEmpty || cdf || checksChanged)
         Seq(metaDataAction(metaSchema, nowHasDvs, cdf || hadCdf,
           if (cdf) Some(curTx) else None, loggedId, checks,
-          mappingMaxId = if (mapped) Some(maxId) else None))
+          mappingMaxId = if (mapped) Some(maxId) else None,
+          mappingMode = mode))
       else Nil
     val removeActions = (removed ++ dvChanged).sorted.map { p =>
       JObject("remove" -> JObject(

@@ -387,12 +387,16 @@ object DeltaImport {
     * executors from descriptor-bounded bitmap bytes. */
   private def maskedScan(spark: SparkSession,
       hfs: org.apache.hadoop.fs.FileSystem, rootUri: String,
-      dataSchema: StructType, group: Seq[AddFile]): DataFrame = {
+      dataSchema: StructType, group: Seq[AddFile],
+      /** session the parquet relations are BUILT under (the id-mode
+        * flag-scoped child, or `spark` itself). */
+      reader: Option[SparkSession] = None): DataFrame = {
+    val rs = reader.getOrElse(spark)
     import org.apache.spark.sql.functions.{broadcast, element_at, split}
     val (dirty, clean) = group.partition(_.deletionVector.nonEmpty)
     val cleanDf =
       if (clean.isEmpty) None
-      else Some(spark.read.schema(dataSchema).parquet(clean.map(_.path): _*))
+      else Some(rs.read.schema(dataSchema).parquet(clean.map(_.path): _*))
     val dirtyDf =
       if (dirty.isEmpty) None
       else {
@@ -417,7 +421,7 @@ object DeltaImport {
           .flatMap { case (f, bytes) =>
             DeltaDv.deserializeBitmap(bytes).iterator.map(p => (f, p)) }
           .toDF("_dv_file", "_dv_pos")
-        Some(spark.read.schema(dataSchema).parquet(dirty.map(_.path): _*)
+        Some(rs.read.schema(dataSchema).parquet(dirty.map(_.path): _*)
           .withColumn("_file",
             element_at(split(col("_metadata.file_path"), "/"), -1))
           .withColumn("_pos", col("_metadata.row_index"))
@@ -462,17 +466,45 @@ object DeltaImport {
       })
     mode match {
       case Some("name") => Some(BindByName(physicalNameMap(snap.schema)))
-      case Some("id") =>
-        // session-wide but SAFE: the flag only changes binding for
-        // requested schemas that carry parquet.field.id metadata —
-        // every other read in the session binds by name as before
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        Some(BindById)
+      case Some("id")   => Some(BindById)
       case Some(other) => throw new UnsupportedOperationException(
         s"delta.columnMapping.mode='$other' is not supported " +
           "(name and id are)")
       case _ => None
     }
+  }
+
+  /** The SparkSession id-mode scans are BUILT under: a cached child
+    * session (`newSession` — shared SparkContext, isolated SQLConf)
+    * with `spark.sql.parquet.fieldId.read.enabled` on. A
+    * HadoopFsRelation resolves its hadoop conf from the session it
+    * was CREATED with, so the flag rides the relation wherever the
+    * frame is later used — including queries executed from the
+    * parent session — while the parent session's conf is never
+    * mutated (a session-wide flag would silently flip any later read
+    * whose requested schema happens to carry parquet.field.id
+    * metadata from name- to id-binding). The parent's runtime SQL
+    * conf is copied in once at creation; one child per parent for
+    * the JVM's (few) sessions. */
+  private val idReadSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+  private def idReadSession(spark: SparkSession): SparkSession =
+    idReadSessions.synchronized {
+      Option(idReadSessions.get(spark)).getOrElse {
+        val s2 = spark.newSession()
+        spark.conf.getAll.foreach { case (k, v) =>
+          try s2.conf.set(k, v)
+          catch { case scala.util.control.NonFatal(_) => () } // static confs
+        }
+        s2.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        idReadSessions.put(spark, s2)
+        s2
+      }
+    }
+  private def readerFor(spark: SparkSession,
+      binding: Option[ColumnBinding]): SparkSession = binding match {
+    case Some(BindById) => idReadSession(spark)
+    case _ => spark
   }
 
   /** `s` rewritten to the schema the parquet reader binds with: name
@@ -637,7 +669,8 @@ object DeltaImport {
     def scan(group: Seq[AddFile]): DataFrame = {
       // files bind by PHYSICAL name under name mode; surface the
       // declared names (toDF is positional, so swaps are safe)
-      val df = maskedScan(spark, hfs, rootUri, physDataSchema, group)
+      val df = maskedScan(spark, hfs, rootUri, physDataSchema, group,
+        Some(readerFor(spark, mapping)))
       if (mapping.isEmpty) df else df.toDF(dataSchema.fieldNames.toSeq: _*)
     }
 
@@ -799,12 +832,14 @@ object DeltaImport {
       val (cdcPaths, changeAdds) =
         commitChangePlan(spark, dir, v, allowDvAdds = true)
       if (cdcPaths.nonEmpty)
-        Some(spark.read.schema(physChangeSchema).parquet(cdcPaths: _*)
+        Some(readerFor(spark, mapping).read
+          .schema(physChangeSchema).parquet(cdcPaths: _*)
           .toDF(changeSchema.fieldNames.toSeq: _*)
           .withColumn("_commit_version", lit(v)))
       else if (changeAdds.isEmpty) None
       else Some {
-        val ins = maskedScan(spark, hfs, rootUri, physDataSchema, changeAdds)
+        val ins = maskedScan(spark, hfs, rootUri, physDataSchema,
+          changeAdds, Some(readerFor(spark, mapping)))
         (if (mapping.isEmpty) ins
          else ins.toDF(dataSchema.fieldNames.toSeq: _*))
           .withColumn("_change_type", lit("insert"))

@@ -105,7 +105,18 @@ final class TxTable(
       * integral/temporal/string key declared NON-nullable (the
       * transform maps NULL to a null partition, which a file's
       * single-value partition tuple cannot honestly carry). */
-    val bucketHash: String = TxTable.SparkBucketHash) extends TableOps {
+    val bucketHash: String = TxTable.SparkBucketHash,
+    /** Opt-in PARQUET FIELD IDS (immutable table identity, recorded
+      * in the descriptor at creation): every column gets a sticky
+      * `graft.fieldId` (create order; evolution appends max+1; drops
+      * retire ids forever) stamped into each staged file's footer as
+      * `parquet.field.id`. This is what lets [[DeltaExport]] publish
+      * `delta.columnMapping.mode = id` logs whose ids BIND the
+      * footers — the mode Iceberg-uniform converts and id-resolving
+      * stock readers need. Off by default: pre-existing tables' files
+      * carry no footer ids, and claiming id mode over them would
+      * break stock readers. */
+    val fieldIds: Boolean = false) extends TableOps {
 
   require(keys.nonEmpty, "TxTable requires key columns")
   require(numBuckets > 0, "TxTable requires numBuckets > 0")
@@ -204,8 +215,14 @@ final class TxTable(
       declaredSchema: Option[StructType] = None,
       meta: Map[String, String] = Map.empty)
 
+  /** The declared create schema, field-id-stamped when the table opts
+    * in (ids preserved if the caller already passed some — reopening
+    * an id'd table with its currentSchema must not renumber). */
+  private lazy val schemaWithIds: StructType =
+    if (!fieldIds) schema else TxTable.stampFieldIds(schema)
+
   private def schemaAt(m: Manifest): StructType =
-    m.declaredSchema.getOrElse(schema)
+    m.declaredSchema.getOrElse(schemaWithIds)
 
   // ---- column mapping (metadata-only RENAME COLUMN) ----
   //
@@ -298,7 +315,7 @@ final class TxTable(
     * which must read as the empty-table state, not crash. */
   def currentSchema: StructType = {
     val v = currentVersion
-    if (v < 0) schema else schemaAt(loadManifest(v))
+    if (v < 0) schemaWithIds else schemaAt(loadManifest(v))
   }
 
   private def manifestPath(v: Long): Path =
@@ -496,7 +513,8 @@ final class TxTable(
       bloomCols = bloomCols.map(b =>
         cur.fields.find(f => physicalFieldName(f).equalsIgnoreCase(b))
           .map(_.name).getOrElse(b)),
-      bucketHash = bucketHash)
+      bucketHash = bucketHash,
+      fieldIds = fieldIds)
     require(dst.currentVersion < 0,
       s"$dstDir already holds a table - rebucket writes a FRESH directory")
     dst.createIfAbsent()
@@ -609,8 +627,16 @@ final class TxTable(
       val target = StructType(cur.fields
         .filterNot(f => resolved.exists(_.equalsIgnoreCase(f.name))))
       val all = droppedColumns ++ resolvedPhys.map(_.toLowerCase)
+      // field-id watermark: the dropped column's id leaves the live
+      // schema here, but must never be reissued (old footers carry it)
+      val idWm: Map[String, String] =
+        if (!fieldIds) Map.empty
+        else Map(TxTable.MaxFieldIdKey -> math.max(
+          TxTable.maxFieldId(cur),
+          latestMeta(TxTable.MaxFieldIdKey).flatMap(_.toLongOption)
+            .getOrElse(0L)).toString)
       commit(m.entries, base, Some(target),
-        Map("dropped_cols" -> all.toSeq.sorted.mkString(",")))
+        Map("dropped_cols" -> all.toSeq.sorted.mkString(",")) ++ idWm)
       ()
     }
   }
@@ -1105,7 +1131,7 @@ final class TxTable(
       // without the header still resolve to the create schema.
       val schemaHeader = Some(asSchema
         .orElse(if (base < 0) None else loadManifest(base).declaredSchema)
-        .getOrElse(schema))
+        .getOrElse(schemaWithIds)) // create schema, field-id-stamped
         .filter(_.nonEmpty)
         .map(s => s"#schema\t${s.json}\n").getOrElse("")
       val metaHeader =
@@ -1165,7 +1191,8 @@ final class TxTable(
             "numBuckets" -> org.json4s.JInt(numBuckets),
             "bloomCols" -> org.json4s.JArray(
               bloomCols.toList.map(org.json4s.JString(_))),
-            "bucketHash" -> org.json4s.JString(bucketHash))))
+            "bucketHash" -> org.json4s.JString(bucketHash),
+            "fieldIds" -> org.json4s.JBool(fieldIds))))
         val out = f.create(p, false)
         try out.write(json.getBytes("UTF-8")) finally out.close()
       }
@@ -1818,7 +1845,17 @@ final class TxTable(
     // one POSITIONAL rename (laidOut = the asSchema projection + _kb):
     // pairwise withColumnRenamed would collide on swap renames
     val physDf =
-      if (physSchema == asSchema) laidOut
+      if (fieldIds && TxTable.fieldIdsComplete(asSchema))
+        // field-id tables additionally stamp `parquet.field.id` (the
+        // sticky graft.fieldId) so every footer binds id-mode readers;
+        // positional select keeps swap renames safe like toDF
+        laidOut.select(asSchema.fields.map { f =>
+          val md = new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id",
+            f.metadata.getLong(TxTable.FieldIdKey)).build()
+          col(f.name).as(physicalFieldName(f), md)
+        }.toSeq :+ col("_kb"): _*)
+      else if (physSchema == asSchema) laidOut
       else laidOut.toDF(physSchema.fieldNames.toSeq :+ "_kb": _*)
     // bloom filters on key (+ configured) columns: point-read file
     // skipping where zone maps are blind (hash-scattered values).
@@ -1907,9 +1944,26 @@ final class TxTable(
       }
     }
     // added fields carry NO metadata (so no mapping key): their
-    // physical name is their declared name
+    // physical name is their declared name. Field-id tables stamp the
+    // NEXT id: max over the live schema AND the persisted watermark
+    // ([[dropColumns]] records it), so a retired column's id is never
+    // reissued — old footers still carry it, and an id-binding reader
+    // would resurrect the dropped bytes into the new column.
+    var nextId = math.max(TxTable.maxFieldId(cur),
+      if (fieldIds) latestMeta(TxTable.MaxFieldIdKey)
+        .flatMap(_.toLongOption).getOrElse(0L)
+      else 0L)
     StructType(cur.fields ++
-      added.map(f => StructField(f.name, f.dataType, nullable = true)))
+      added.map { f =>
+        val md =
+          if (!fieldIds) org.apache.spark.sql.types.Metadata.empty
+          else {
+            nextId += 1
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong(TxTable.FieldIdKey, nextId).build()
+          }
+        StructField(f.name, f.dataType, nullable = true, md)
+      })
   }
 
   /** `df` shaped to `target`: present columns cast (matched
@@ -3004,7 +3058,7 @@ final class TxTable(
     val m = loadManifest(srcV)
     val s = schemaAt(m)
     val clone = new TxTable(spark, dstDir, s, keys, numBuckets,
-      commitBudgetMs, claimStalenessMs, bloomCols, bucketHash)
+      commitBudgetMs, claimStalenessMs, bloomCols, bucketHash, fieldIds)
     require(!clone.exists, s"clone target $dstDir already exists")
     val f = fs
     def abs(p: String) = f.makeQualified(new Path(p)).toString
@@ -3098,7 +3152,7 @@ final class TxTable(
     val d = s"$branchesDir/$name"
     require(fs.exists(new Path(d)), s"no such branch '$name' on $dir")
     new TxTable(spark, d, schema, keys, numBuckets, commitBudgetMs,
-      claimStalenessMs, bloomCols, bucketHash)
+      claimStalenessMs, bloomCols, bucketHash, fieldIds)
   }
 
   def branches: Seq[String] = {
@@ -3244,7 +3298,7 @@ final class TxTable(
     require(f.rename(new Path(dir), dst),
       s"filesystem rename $dir -> $newDir failed")
     new TxTable(spark, newDir, schema, keys, numBuckets, commitBudgetMs,
-      claimStalenessMs, bloomCols, bucketHash)
+      claimStalenessMs, bloomCols, bucketHash, fieldIds)
   }
 
   /** Files referenced by the CURRENT version (manifest metadata — no
@@ -3508,6 +3562,43 @@ object TxTable {
     * can prune (see [[graft.functions.IcebergBucketFn]]). */
   val IcebergBucketHash: String = "iceberg"
 
+  /** Sticky per-column field id (schema metadata, [[TxTable.fieldIds]]
+    * tables): stamped into parquet footers as `parquet.field.id` and
+    * published as `delta.columnMapping.id` by id-mode Delta exports. */
+  val FieldIdKey: String = "graft.fieldId"
+
+  /** Commit-meta watermark: highest field id EVER assigned — written
+    * by dropColumns so a retired id is never reissued. */
+  private[graft] val MaxFieldIdKey = "graft.maxFieldId"
+
+  /** Highest `graft.fieldId` in `s` (0 when none carry one). */
+  private[graft] def maxFieldId(s: org.apache.spark.sql.types.StructType): Long =
+    s.fields.iterator.map(f =>
+      if (f.metadata.contains(FieldIdKey)) f.metadata.getLong(FieldIdKey)
+      else 0L).foldLeft(0L)(math.max)
+
+  /** True when EVERY field of `s` carries a field id — the id-mode
+    * export precondition. */
+  private[graft] def fieldIdsComplete(
+      s: org.apache.spark.sql.types.StructType): Boolean =
+    s.fields.nonEmpty && s.fields.forall(_.metadata.contains(FieldIdKey))
+
+  /** `s` with `graft.fieldId` stamped create-order (1..n); fields that
+    * already carry one keep it, missing ones number past the max. */
+  private[graft] def stampFieldIds(
+      s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    var next = maxFieldId(s)
+    org.apache.spark.sql.types.StructType(s.fields.map { f =>
+      if (f.metadata.contains(FieldIdKey)) f
+      else {
+        next += 1
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(FieldIdKey, next).build())
+      }
+    })
+  }
+
   /** Commit-meta key marking a catalog-dropped table (see
     * [[TxTable.dropTable]]). */
   private[graft] val DroppedKey = "table_dropped"
@@ -3526,11 +3617,12 @@ object TxTable {
     if (requireDescriptor) require(desc.isDefined,
       s"$dir has no _table.json descriptor - this operation needs the " +
         "table identity; write once through the Scala API to record it")
-    val (ks, nb, blooms, bh) =
+    val (ks, nb, blooms, bh, fids) =
       desc.getOrElse((Seq("__reader__"), 1, Nil: Seq[String],
-        SparkBucketHash))
+        SparkBucketHash, false))
     new TxTable(spark, dir, new org.apache.spark.sql.types.StructType(),
-      ks, numBuckets = nb, bloomCols = blooms, bucketHash = bh)
+      ks, numBuckets = nb, bloomCols = blooms, bucketHash = bh,
+      fieldIds = fids)
   }
 
   /** One live data file of a committed version (see
@@ -3543,7 +3635,7 @@ object TxTable {
     * `writeDescriptorIfAbsent` — schema-free opens need it to stage
     * correctly bucketed writes. */
   private[graft] def readDescriptor(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Option[(Seq[String], Int, Seq[String], String)] =
+      dir: String): Option[(Seq[String], Int, Seq[String], String, Boolean)] =
     scala.util.Try {
       val p = new Path(dir, "_table.json")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -3558,9 +3650,10 @@ object TxTable {
           (j \ "keys").extract[Seq[String]],
           (j \ "numBuckets").extract[Int],
           (j \ "bloomCols").extract[Seq[String]],
-          // absent in pre-existing descriptors = the default family
+          // absent in pre-existing descriptors = the defaults
           (j \ "bucketHash").extractOpt[String]
-            .getOrElse(SparkBucketHash)))
+            .getOrElse(SparkBucketHash),
+          (j \ "fieldIds").extractOpt[Boolean].getOrElse(false)))
       }
     }.toOption.flatten
 

@@ -889,6 +889,35 @@ object TxQueries {
     * The aggregate must equal DuckDB over the raw customer parquet —
     * if the reader bound by any NAME it would read nothing (or the
     * wrong column), never silently agree. */
+  /** ID-MODE EXPORT round trip (the export-side twin of
+    * [[tx_delta_idmap_roundtrip]]'s foreign fixture): customer in a
+    * `fieldIds = true` TxTable — every staged footer stamped with the
+    * sticky per-column ids — renamed (so name binding alone would be
+    * wrong-shaped), exported as a `delta.columnMapping.mode=id` log
+    * whose `delta.columnMapping.id`s ARE the footer ids, then read
+    * back through [[graft.core.DeltaImport]]'s id binding. Must equal
+    * DuckDB over the raw parquet. */
+  def tx_delta_idmode_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val cu = t(s, dir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val table = cached(s, dir, "customer", "idmode", 2L) { loc =>
+      new TxTable(s, loc, cu.schema, Seq("c_custkey"), numBuckets = 4,
+        fieldIds = true)
+    } { tx =>
+      tx.append(cu)                           // v1
+      tx.renameColumn("c_mktsegment", "segment") // v2 (mapping active)
+      graft.core.DeltaExport.syncDeltaLog(s, tx)
+    }
+    if (!new java.io.File(table.dir, "_delta_log").exists())
+      graft.core.DeltaExport.syncDeltaLog(s, table)
+    graft.core.DeltaImport.read(s, table.dir)
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"),
+        Qhelpers.msum(col("c_acctbal")).as("bal"),
+        min("c_custkey").as("min_cust"))
+      .orderBy("segment")
+  }
+
   def tx_delta_idmap_roundtrip(s: SparkSession, dir: String): DataFrame = {
     val cu = t(s, dir, "customer")
       .select("c_custkey", "c_mktsegment", "c_acctbal")
@@ -1870,6 +1899,7 @@ object TxQueries {
     "tx_delta_skip_read" -> (tx_delta_skip_read _),
     "tx_iceberg_skip_read" -> (tx_iceberg_skip_read _),
     "tx_iceberg_partition_read" -> (tx_iceberg_partition_read _),
+    "tx_delta_idmode_roundtrip" -> (tx_delta_idmode_roundtrip _),
     "tx_stream_dedup" -> (tx_stream_dedup _),
     "tx_iceberg_map_roundtrip" -> (tx_iceberg_map_roundtrip _),
     "tx_delta_cdf" -> (tx_delta_cdf _),
@@ -2291,6 +2321,15 @@ object TxQueries {
     // a stock id-mode table's columns bind by parquet footer field
     // id; the import surfaces the declared names over the same rows,
     // so the oracle recomputes directly from the raw customer parquet
+    // export-side id mode: footer-id-bound read must be relationally
+    // invisible (same aggregate from the raw parquet)
+    "tx_delta_idmode_roundtrip" ->
+      s"""SELECT c_mktsegment AS segment, COUNT(*) AS n,
+         |       ${Qhelpers.sqlMsum("c_acctbal")} AS bal,
+         |       MIN(c_custkey) AS min_cust
+         |FROM customer
+         |GROUP BY c_mktsegment
+         |ORDER BY segment""".stripMargin,
     "tx_delta_idmap_roundtrip" ->
       s"""SELECT c_mktsegment AS segment, COUNT(*) AS n,
          |       ${Qhelpers.sqlMsum("c_acctbal")} AS bal_sum,
