@@ -918,6 +918,87 @@ object TxQueries {
       .orderBy("segment")
   }
 
+  /** MULTI-TABLE SQL TRANSACTION (`CALL graft.txn` — the JobTxn SQL
+    * surface): two tables enlisted in one journaled transaction. A
+    * SUCCESSFUL txn lands inserts in both atomically; a txn whose
+    * second statement fails (raise_error) rolls BOTH tables back to
+    * their pre-txn versions via the intent journal — so the final
+    * state reflects exactly the committed txn, which is what DuckDB
+    * computes relationally from the base table. */
+  def tx_sql_txn(s: SparkSession, dir: String): DataFrame = {
+    val na = t(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    na.createOrReplaceTempView("graft_txn_base")
+    val tmp = sys.props("java.io.tmpdir").stripSuffix("/")
+    val src = new java.io.File(s"$dir/nation.parquet")
+    val key = Integer.toHexString(
+      (dir, "nation", src.length(), src.lastModified()).hashCode())
+    // underscore names: catalog identifiers need no backquoting (the
+    // CALL parser passes args verbatim, so quoted idents would leak
+    // backticks into the resolved path)
+    val aName = s"graft_tx_txna_$key"
+    val bName = s"graft_tx_txnb_$key"
+    val a = new TxTable(s, s"$tmp/$aName", na.schema,
+      Seq("n_nationkey"), numBuckets = 2)
+    val b = new TxTable(s, s"$tmp/$bName",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("r_key",
+          na.schema("n_regionkey").dataType),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType))),
+      Seq("r_key"), numBuckets = 2)
+    // a(v3) = create, txn-1 insert, failed-txn insert, rollback restore
+    if (a.currentVersion != 3L || b.currentVersion != 2L) {
+      rmTree(new java.io.File(s"$tmp/$aName"))
+      rmTree(new java.io.File(s"$tmp/$bName"))
+      rmTree(new java.io.File(s"$tmp/graft-txn-journal-$key"))
+      a.createIfAbsent(); b.createIfAbsent() // v0 each
+      s.conf.set("spark.sql.catalog.grafttxn", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.grafttxn.root", tmp)
+      s.conf.set(graft.sql.GraftCallCommand.AllowRawPathsKey, "true")
+      val ja = s"$tmp/graft-txn-journal-$key"
+      def call(stmts: Seq[String]): Unit = {
+        val quoted = stmts.map(st =>
+          "'" + st.replace("'", "''") + "'").mkString(", ")
+        s.sql(s"CALL graft.txn('$ja', " +
+          s"'a=grafttxn.$aName,b=grafttxn.$bName', $quoted)").collect()
+        ()
+      }
+      // txn 1: COMMITS - both tables advance together (a v1, b v1)
+      call(Seq(
+        s"INSERT INTO grafttxn.$aName SELECT n_nationkey, n_name, " +
+          "n_regionkey FROM graft_txn_base WHERE n_nationkey < 10",
+        s"INSERT INTO grafttxn.$bName SELECT n_regionkey AS r_key, " +
+          "count(*) AS cnt FROM graft_txn_base WHERE n_nationkey < 10 " +
+          "GROUP BY n_regionkey"))
+      // txn 2: statement 2 FAILS - the statement-1 insert into a must
+      // roll back (a v2 insert + v3 restore; b v2 restore-noop... b is
+      // untouched so stays v1? no: rollback only restores tables whose
+      // version moved - b stays v1)
+      val failed = scala.util.Try(call(Seq(
+        s"INSERT INTO grafttxn.$aName SELECT n_nationkey, n_name, " +
+          "n_regionkey FROM graft_txn_base WHERE n_nationkey >= 10",
+        "SELECT raise_error('abort this transaction')")))
+      require(failed.isFailure, "the aborting txn must surface its error")
+      // b then advances once more OUTSIDE a txn so the cached-state
+      // check has a distinct done-version (v2)
+      s.sql(s"INSERT INTO grafttxn.$bName VALUES (CAST(99 AS " +
+        s"${na.schema("n_regionkey").dataType.sql}), CAST(0 AS BIGINT))")
+      require(a.currentVersion == 3L,
+        s"rollback must restore a to its pre-txn content, at v3 " +
+          s"(got v${a.currentVersion})")
+    }
+    // a holds ONLY txn-1's rows (the failed txn's insert rolled back);
+    // b holds txn-1's counts + the sentinel row
+    a.read.alias("a")
+      .join(b.read.alias("b"), col("a.n_regionkey") === col("b.r_key"))
+      .groupBy(col("b.r_key").as("region"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("a.n_nationkey").as("min_key"),
+        max("b.cnt").as("region_cnt"))
+      .orderBy("region")
+  }
+
   def tx_delta_idmap_roundtrip(s: SparkSession, dir: String): DataFrame = {
     val cu = t(s, dir, "customer")
       .select("c_custkey", "c_mktsegment", "c_acctbal")
@@ -1900,6 +1981,7 @@ object TxQueries {
     "tx_iceberg_skip_read" -> (tx_iceberg_skip_read _),
     "tx_iceberg_partition_read" -> (tx_iceberg_partition_read _),
     "tx_delta_idmode_roundtrip" -> (tx_delta_idmode_roundtrip _),
+    "tx_sql_txn" -> (tx_sql_txn _),
     "tx_stream_dedup" -> (tx_stream_dedup _),
     "tx_iceberg_map_roundtrip" -> (tx_iceberg_map_roundtrip _),
     "tx_delta_cdf" -> (tx_delta_cdf _),
@@ -2321,6 +2403,19 @@ object TxQueries {
     // a stock id-mode table's columns bind by parquet footer field
     // id; the import surfaces the declared names over the same rows,
     // so the oracle recomputes directly from the raw customer parquet
+    // the committed txn's state, relationally: the aborted txn's
+    // insert must be invisible (rolled back), the committed one fully
+    // visible in BOTH tables
+    "tx_sql_txn" ->
+      s"""SELECT a.n_regionkey AS region, COUNT(*) AS n_rows,
+         |       MIN(a.n_nationkey) AS min_key, MAX(b.cnt) AS region_cnt
+         |FROM (SELECT * FROM nation WHERE n_nationkey < 10) a
+         |JOIN (SELECT n_regionkey AS r_key, count(*) AS cnt
+         |      FROM nation WHERE n_nationkey < 10
+         |      GROUP BY n_regionkey) b
+         |  ON a.n_regionkey = b.r_key
+         |GROUP BY a.n_regionkey
+         |ORDER BY region""".stripMargin,
     // export-side id mode: footer-id-bound read must be relationally
     // invisible (same aggregate from the raw parquet)
     "tx_delta_idmode_roundtrip" ->

@@ -658,8 +658,20 @@ private[sources] object StatValues {
   }
 }
 
-final case class GraftInputPartition(path: String, dvPaths: Array[String])
-    extends InputPartition
+/** One parquet file — or a BYTE RANGE of one (`length` < 0 = whole
+  * file): row groups whose midpoint falls inside [start, start+length)
+  * are served, the standard split contract, so a huge landed file
+  * fans out to several tasks instead of one. Ranged partitions are
+  * only planned where row identity doesn't matter (the graft-files
+  * ingest source): positions restart per range, so DV masking and
+  * `_graft_pos` must stay whole-file. */
+final case class GraftInputPartition(path: String, dvPaths: Array[String],
+    start: Long = 0L, length: Long = -1L)
+    extends InputPartition {
+  require(length < 0 || dvPaths.isEmpty,
+    "a byte-ranged partition cannot mask deletion vectors - positions " +
+      "restart per range")
+}
 
 /** One manifest bucket's files as a single partition (the
   * storage-partitioned mode): the partition key IS the bucket id, the
@@ -906,7 +918,8 @@ final class GraftReaderFactory(required: StructType)
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = partition match {
     case p: GraftInputPartition =>
-      new GraftPartitionReader(p.path, p.dvPaths, required)
+      new GraftPartitionReader(p.path, p.dvPaths, required,
+        p.start, p.length)
     case b: GraftBucketPartition =>
       new GraftChainReader(b.paths.indices.map(i => () =>
         new GraftPartitionReader(b.paths(i), b.dvPaths(i), required)
@@ -917,7 +930,8 @@ final class GraftReaderFactory(required: StructType)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     partition match {
       case p: GraftInputPartition =>
-        new GraftColumnarReader(p.path, p.dvPaths, required)
+        new GraftColumnarReader(p.path, p.dvPaths, required,
+          p.start, p.length)
       case b: GraftBucketPartition =>
         new GraftChainReader(b.paths.indices.map(i => () =>
           new GraftColumnarReader(b.paths(i), b.dvPaths(i), required)
@@ -951,8 +965,11 @@ final class GraftReaderFactory(required: StructType)
   * TIMESTAMP_MICROS); a foreign legacy file would fail loudly, not
   * decode wrongly. */
 final class GraftColumnarReader(path: String, dvPaths: Array[String],
-    required: StructType)
+    required: StructType, start: Long = 0L, length: Long = -1L)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  require(length < 0 ||
+    (dvPaths.isEmpty && !required.fieldNames.contains(GraftTable.PosCol)),
+    "byte-ranged reads serve no row identity (positions restart per range)")
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   import org.apache.spark.sql.execution.vectorized.{ConstantColumnVector, OnHeapColumnVector}
   import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
@@ -988,10 +1005,11 @@ final class GraftColumnarReader(path: String, dvPaths: Array[String],
     conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
     val p = new Path(path)
     val len = p.getFileSystem(conf).getFileStatus(p).getLen
+    val effLen = if (length < 0) len - start else length
     // the mapred flavor: the reader base casts to it (it extends the
     // mapreduce FileSplit, so it satisfies the interface either way)
     val split = new org.apache.hadoop.mapred.FileSplit(
-      p, 0, len, Array.empty[String])
+      p, start, effLen, Array.empty[String])
     val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
       conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
     reader.initialize(split, ctx)
@@ -1188,7 +1206,11 @@ object GraftColumnarReader {
   * filtering here — positions must match the `_metadata.row_index`
   * identity the DV sidecars tombstone). */
 final class GraftPartitionReader(path: String, dvPaths: Array[String],
-    required: StructType) extends PartitionReader[InternalRow] {
+    required: StructType, start: Long = 0L, length: Long = -1L)
+    extends PartitionReader[InternalRow] {
+  require(length < 0 ||
+    (dvPaths.isEmpty && !required.fieldNames.contains(GraftTable.PosCol)),
+    "byte-ranged reads serve no row identity (positions restart per range)")
 
   private val conf = new Configuration()
   private val hPath = new Path(path)
@@ -1219,8 +1241,9 @@ final class GraftPartitionReader(path: String, dvPaths: Array[String],
 
   private val reader: ParquetReader[Group] = {
     conf.set(ReadSupport.PARQUET_READ_SCHEMA, requestedSchema.toString)
-    ParquetReader.builder(new GroupReadSupport(), hPath)
-      .withConf(conf).build()
+    val b = ParquetReader.builder(new GroupReadSupport(), hPath)
+      .withConf(conf)
+    (if (length < 0) b else b.withFileRange(start, start + length)).build()
   }
 
   // per required field: index in the projected group (-1 = null-fill,

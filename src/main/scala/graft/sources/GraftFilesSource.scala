@@ -66,6 +66,11 @@ final class GraftFilesSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
+    val fmt = Option(options.get("format")).getOrElse("parquet")
+    require(fmt == "parquet",
+      s"graft-files '$fmt' needs an EXPLICIT .schema(...) - a stream " +
+        "must never infer a drifting text schema (the COPY INTO " +
+        "contract: the table schema is imposed)")
     val src = new Path(dirOf(options))
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(src), s"graft-files source $src does not exist")
@@ -105,7 +110,13 @@ final class GraftFilesTable(declared: StructType,
           Option(options.get("pattern")).getOrElse("*"),
           declared, checkpointLocation,
           Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-          Option(options.get("archiveDir")))
+          Option(options.get("archiveDir")),
+          Option(options.get("format")).getOrElse("parquet"),
+          {
+            import scala.jdk.CollectionConverters._
+            options.asScala.toMap
+          },
+          Option(options.get("maxBytesPerPartition")).map(_.toLong))
       override def description(): String = name()
     }
 }
@@ -118,11 +129,33 @@ final case class GraftFilesOffset(batches: Long) extends Offset {
 final class GraftFilesMicroBatchStream(spark: SparkSession, srcDir: String,
     pattern: String, schema: StructType, checkpointLocation: String,
     maxFilesPerTrigger: Option[Int],
-    archiveDir: Option[String] = None) extends MicroBatchStream
+    archiveDir: Option[String] = None,
+    /** parquet (default, vectorized) | csv | json — text formats
+      * parse line-delimited records under the IMPOSED schema (never
+      * inferred; the COPY INTO contract), with reader `options`
+      * passed through (header, delimiter, mode, ...). */
+    format: String = "parquet",
+    options: Map[String, String] = Map.empty,
+    /** parquet only: target bytes per input partition — a landed
+      * file larger than this splits into byte ranges (row groups by
+      * midpoint, the standard split contract), bounding task skew on
+      * pathological single-file landings. Defaults to the session's
+      * spark.sql.files.maxPartitionBytes. */
+    maxBytesPerPartition: Option[Long] = None) extends MicroBatchStream
     with SupportsTriggerAvailableNow {
 
   maxFilesPerTrigger.foreach(n => require(n >= 1,
     s"maxFilesPerTrigger must be >= 1, got $n"))
+  require(Set("parquet", "csv", "json").contains(format),
+    s"graft-files supports parquet|csv|json, got '$format'")
+  maxBytesPerPartition.foreach(b => require(b >= 1L,
+    s"maxBytesPerPartition must be >= 1, got $b"))
+  private val splitBytes: Long = maxBytesPerPartition.getOrElse(
+    spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+      .stripSuffix("b").toLong)
+  // captured driver-side: text parsers are timezone-aware
+  private val sessionTz: String =
+    spark.conf.get("spark.sql.session.timeZone", "UTC")
   archiveDir.foreach(a => require(
     a.stripSuffix("/") != srcDir.stripSuffix("/") &&
       !a.stripSuffix("/").startsWith(srcDir.stripSuffix("/") + "/"),
@@ -275,11 +308,114 @@ final class GraftFilesMicroBatchStream(spark: SparkSession, srcDir: String,
       end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftFilesOffset].batches
     val e = end.asInstanceOf[GraftFilesOffset].batches
-    (s until e).flatMap(b => readBatch(b).map { case (_, p) =>
-      GraftInputPartition(p, Array.empty): InputPartition
-    }).toArray
+    val files = (s until e).flatMap(readBatch)
+    if (format != "parquet")
+      // text files parse line-delimited, whole-file (a mid-file byte
+      // boundary would split a record)
+      files.map { case (_, p) =>
+        GraftTextPartition(p): InputPartition }.toArray
+    else
+      files.flatMap { case (fp, p) =>
+        // the ledger fingerprint is path|size|mtime — the SIZE this
+        // batch ingested, so splitting needs no extra fs call and a
+        // replaced-in-place file still splits by ITS batch's bytes
+        val size = fp.split('|') match {
+          case Array(_, sz, _) => sz.toLongOption.getOrElse(-1L)
+          case _ => -1L
+        }
+        if (size <= splitBytes) Seq(
+          GraftInputPartition(p, Array.empty): InputPartition)
+        else {
+          val n = ((size + splitBytes - 1) / splitBytes).toInt
+          (0 until n).map { i =>
+            val st = i.toLong * splitBytes
+            GraftInputPartition(p, Array.empty, st,
+              math.min(splitBytes, size - st)): InputPartition
+          }
+        }
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(schema)
+    if (format == "parquet") new GraftReaderFactory(schema)
+    else new GraftTextReaderFactory(format, schema, options, sessionTz)
+}
+
+/** One line-delimited csv/json file served whole (a byte split would
+  * cut records; text landings are bounded by the trigger cap, and the
+  * batch COPY INTO path covers bulk text loads). */
+final case class GraftTextPartition(path: String) extends InputPartition
+
+/** Executor-side line parser for the text formats: each line feeds
+  * Spark's own `from_csv` / `from_json` expression machinery
+  * (UnivocityParser / JacksonParser underneath — the SAME parsers
+  * `spark.read.csv/json` runs, PERMISSIVE by default, `mode` et al.
+  * ride the options) bound against the IMPOSED schema. Interpreted
+  * eval per line is fine here: ingest is bounded by the trigger cap,
+  * never the 100 TB scan path, and correctness-parity with the batch
+  * reader is what matters. `header=true` skips the first line (the
+  * schema is imposed, so the header is never read for names — Spark's
+  * own enforceSchema default). */
+final class GraftTextReaderFactory(format: String, schema: StructType,
+    options: Map[String, String], sessionTz: String)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val p = partition.asInstanceOf[GraftTextPartition]
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
+      import org.apache.spark.unsafe.types.UTF8String
+
+      private val hp = new Path(p.path)
+      private val in = hp.getFileSystem(
+        new org.apache.hadoop.conf.Configuration()).open(hp)
+      private val lines = scala.io.Source.fromInputStream(in,
+        options.getOrElse("encoding", "UTF-8")).getLines()
+      locally {
+        if (format == "csv" &&
+          options.get("header").exists(_.equalsIgnoreCase("true")) &&
+          lines.hasNext) lines.next() // schema is imposed; names unused
+      }
+      // the source-level knobs are ours, not the parser's — Univocity
+      // rejects unknown options like maxFilesPerTrigger
+      private val parserOptions = options -- Seq("path", "pattern",
+        "maxfilespertrigger", "archivedir", "format",
+        "maxbytesperpartition", "header", "encoding")
+      private val parse: org.apache.spark.sql.catalyst.expressions.Expression =
+        if (format == "csv")
+          org.apache.spark.sql.catalyst.expressions.CsvToStructs(
+            schema, parserOptions, BoundReference(0,
+              org.apache.spark.sql.types.StringType, nullable = true),
+            Some(sessionTz))
+        else
+          org.apache.spark.sql.catalyst.expressions.JsonToStructs(
+            schema, parserOptions, BoundReference(0,
+              org.apache.spark.sql.types.StringType, nullable = true),
+            Some(sessionTz))
+      private val input = new GenericInternalRow(1)
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        while (lines.hasNext) {
+          val line = lines.next()
+          if (line.nonEmpty) {
+            input.update(0, UTF8String.fromString(line))
+            val out = parse.eval(input)
+            if (out != null) {
+              // the parsers reuse their row buffer — copy per record
+              current = out.asInstanceOf[InternalRow].copy()
+              return true
+            }
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = in.close()
+    }
+  }
 }

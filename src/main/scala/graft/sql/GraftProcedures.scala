@@ -282,12 +282,62 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
           "compacted_buckets" -> rewrote.toString,
           "min_files_threshold" -> minFiles.toString,
           "vacuum_keep_versions" -> vacuumed.getOrElse("off"))
+      case "txn" =>
+        // MULTI-TABLE TRANSACTION from pure SQL — the JobTxn surface:
+        //   CALL graft.txn('<journalDir>', 'name=table[,name=table]',
+        //                  '<sql statement>'[, '<sql statement>'...])
+        // Statements run in order inside one JobTxn over the enlisted
+        // tables: any failure rolls EVERY enlisted table back to its
+        // pre-txn version (compensating, crash-safe via the intent
+        // journal — see graft.txn_recover); success commits by
+        // deleting the journal. Same caveats as the Scala API:
+        // single-writer per enlisted table, readers see intermediate
+        // states (cross-table consistency holds at txn boundaries).
+        val journal = resolveDir(spark, arg(0, "journal directory"))
+        val pairs = arg(1, "tables (name=table,...)")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
+            kv.split("=", 2) match {
+              case Array(n, d) if n.trim.nonEmpty && d.trim.nonEmpty =>
+                n.trim -> open(spark, d.trim)
+              case _ => throw new IllegalArgumentException(
+                s"CALL graft.txn: '$kv' is not name=table")
+            }
+          }
+        val stmts = args.drop(2)
+        require(stmts.nonEmpty,
+          "CALL graft.txn needs at least one SQL statement")
+        graft.core.JobTxn.run(spark, journal, pairs) {
+          stmts.foreach { st => spark.sql(st).collect(); () }
+        }
+        pairs.map { case (n, t) =>
+          Row(s"$n.version", t.currentVersion.toString) } ++
+          Seq(Row("statements", stmts.length.toString),
+            Row("journal", journal))
+      case "txn_recover" =>
+        // startup WAL-recovery: roll crashed journals back
+        //   CALL graft.txn_recover('<journalDir>', 'name=table,...')
+        val journal = resolveDir(spark, arg(0, "journal directory"))
+        val mapping = arg(1, "tables (name=table,...)")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
+            kv.split("=", 2) match {
+              case Array(n, d) if n.trim.nonEmpty && d.trim.nonEmpty =>
+                n.trim -> open(spark, d.trim)
+              case _ => throw new IllegalArgumentException(
+                s"CALL graft.txn_recover: '$kv' is not name=table")
+            }
+          }.toMap
+        val n = graft.core.JobTxn.recover(spark, journal, name =>
+          mapping.getOrElse(name, throw new IllegalArgumentException(
+            s"journal names unknown table '$name' - pass it in the " +
+              "mapping (quarantined otherwise)")))
+        Seq(Row("recovered_journals", n.toString),
+          Row("journal", journal))
       case other => throw new UnsupportedOperationException(
         s"unknown procedure graft.$other - available: compact, cluster, " +
           "zorder, materialize_deletes, vacuum, maintenance, copy_into, " +
           "undrop, restore, relocate, rebucket, export_delta, " +
           "export_iceberg, export_uniform, tag, drop_tag, branch, " +
-          "publish, drop_branch")
+          "publish, drop_branch, txn, txn_recover")
     }
   }
 }

@@ -196,4 +196,102 @@ class GraftFilesSourceSpec extends SparkSpec {
     assert(t.read.select("k").as[String].collect().sorted.toSeq ===
       Seq("a1", "a2", "b1"))
   }
+
+  private def publishText(dir: String, name: String,
+      lines: Seq[String]): Unit = {
+    val tmp = new java.io.File(dir, s".$name.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    assert(tmp.renameTo(new java.io.File(dir, name)))
+    ()
+  }
+
+  test("csv with an imposed schema: replace-in-place + restart replay") {
+    val src = tmpDir("gfcsv")
+    val ck = tmpDir("gfcsvck")
+    val t = new TxTable(spark, tmpDir("gfcsvt") + "/t", srcSchema,
+      Seq("k"), numBuckets = 2)
+    t.createIfAbsent()
+    publishText(src, "a.csv", Seq("k,v", "a1,1", "a2,2"))
+    drain(src, t, ck, Map("format" -> "csv", "header" -> "true",
+      "pattern" -> "*.csv"))
+    assert(t.read.orderBy("k").as[(String, Int)].collect().toSeq ===
+      Seq(("a1", 1), ("a2", 2)))
+    // replace in place: new bytes, same name -> re-served; upsert
+    // keys dedup the re-delivery
+    publishText(src, "a.csv", Seq("k,v", "a1,1", "a2,2", "a3,3"))
+    drain(src, t, ck, Map("format" -> "csv", "header" -> "true",
+      "pattern" -> "*.csv"))
+    assert(t.read.count() === 5) // append contract: a1/a2 re-landed
+    // a fresh stream on the same checkpoint replays nothing
+    val v = t.currentVersion
+    drain(src, t, ck, Map("format" -> "csv", "header" -> "true",
+      "pattern" -> "*.csv"))
+    assert(t.currentVersion === v)
+    // schema is IMPOSED, never inferred
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-files").option("format", "csv")
+        .load(src)
+    }
+    assert(e.getMessage.contains("EXPLICIT .schema"))
+  }
+
+  test("json lines under the imposed schema; absent columns null-fill") {
+    val src = tmpDir("gfjson")
+    val ck = tmpDir("gfjsonck")
+    val t = new TxTable(spark, tmpDir("gfjsont") + "/t", srcSchema,
+      Seq("k"), numBuckets = 2)
+    t.createIfAbsent()
+    publishText(src, "a.json", Seq(
+      """{"k":"j1","v":5}""", """{"k":"j2"}"""))
+    drain(src, t, ck, Map("format" -> "json"))
+    assert(t.read.orderBy("k").collect().map(r =>
+      (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toSeq ===
+      Seq(("j1", 5), ("j2", -1)))
+  }
+
+  test("a multi-row-group landed file fans out to >1 partition, " +
+      "identical results") {
+    val src = tmpDir("gfsplit")
+    val ck = tmpDir("gfsplitck")
+    val t = new TxTable(spark, tmpDir("gfsplitt") + "/t", srcSchema,
+      Seq("k"), numBuckets = 2)
+    t.createIfAbsent()
+    // small row groups => one file, many row groups
+    val stage = new java.io.File(src, ".stage-big")
+    (1 to 20000).map(i => (f"k$i%05d", i)).toDF("k", "v").coalesce(1)
+      .write.option("parquet.block.size", "4096")
+      .mode("overwrite").parquet(stage.toString)
+    val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+    assert(part.renameTo(new java.io.File(src, "big.parquet")))
+    val size = new java.io.File(src, "big.parquet").length()
+    assert(size > 40000L, s"need a multi-row-group file, got $size bytes")
+    // cap partitions well below the file size -> several byte ranges
+    drain(src, t, ck, Map("maxBytesPerPartition" -> (size / 4).toString))
+    assert(t.read.count() === 20000L)
+    assert(t.read.agg(sum("v")).head.getLong(0) ===
+      (1 to 20000).map(_.toLong).sum)
+    // the plan really fanned out: replay the committed ledger range
+    // through a fresh stream instance and count its partitions
+    val stream = new graft.sources.GraftFilesMicroBatchStream(spark,
+      src, "*", srcSchema, ck + "/sources/0",
+      maxFilesPerTrigger = None, archiveDir = None,
+      maxBytesPerPartition = Some(size / 4))
+    val parts = stream.planInputPartitions(
+      graft.sources.GraftFilesOffset(0L),
+      stream.reportLatestOffset()
+        .asInstanceOf[graft.sources.GraftFilesOffset])
+    assert(parts.length >= 4,
+      s"a ${size}B file at ${size / 4}B/partition must fan out, " +
+        s"got ${parts.length}")
+    val ranges = parts.map(_.asInstanceOf[
+      graft.sources.GraftInputPartition]).sortBy(_.start)
+    assert(ranges.head.start === 0L)
+    assert(ranges.map(r => r.start + r.length).max === size,
+      "ranges must tile the exact file size")
+    // a second drain with no cap is still exactly-once (no dup)
+    val v = t.currentVersion
+    drain(src, t, ck)
+    assert(t.currentVersion === v && t.read.count() === 20000L)
+  }
 }

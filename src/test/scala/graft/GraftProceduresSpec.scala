@@ -327,4 +327,54 @@ class GraftProceduresSpec extends SparkSpec {
     }
     assert(clobber.getMessage.contains("FRESH"))
   }
+
+  test("CALL graft.txn: all-or-nothing across tables; recover replays") {
+    import org.apache.spark.sql.types._
+    val root = tmpDir("txnproc")
+    val schema = new StructType().add("k", LongType).add("v", LongType)
+    val a = new TxTable(spark, s"$root/ta", schema, Seq("k"), numBuckets = 1)
+    val b = new TxTable(spark, s"$root/tb", schema, Seq("k"), numBuckets = 1)
+    a.createIfAbsent(); b.createIfAbsent()
+    val journal = s"$root/journal"
+    spark.conf.set("spark.sql.catalog.txnp", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.txnp.root", root)
+    def txn(stmts: String*): Unit = {
+      val quoted = stmts.map(st =>
+        "'" + st.replace("'", "''") + "'").mkString(", ")
+      spark.sql(s"CALL graft.txn('$journal', " +
+        s"'a=$root/ta,b=$root/tb', $quoted)").collect()
+      ()
+    }
+    // success: both advance atomically
+    txn("INSERT INTO txnp.ta VALUES (1, 10)",
+      "INSERT INTO txnp.tb VALUES (1, 100)")
+    assert(a.read.count() === 1 && b.read.count() === 1)
+    // failure mid-txn: statement 1 landed in a, statement 2 throws -
+    // BOTH tables must read back pre-txn
+    val (va, vb) = (a.currentVersion, b.currentVersion)
+    val e = intercept[Exception] {
+      txn("INSERT INTO txnp.ta VALUES (2, 20)",
+        "SELECT raise_error('boom')")
+    }
+    assert(a.read.count() === 1, "a's insert must roll back")
+    assert(b.read.count() === 1)
+    assert(b.currentVersion === vb, "untouched table never moves")
+    assert(a.currentVersion > va, "rollback is a forward restore commit")
+    assert(new java.io.File(journal).listFiles() == null ||
+      new java.io.File(journal).listFiles()
+        .forall(!_.getName.startsWith("txn-")),
+      "a rolled-back txn leaves no live journal")
+    // crash simulation: plant a journal claiming a should be at v1,
+    // then recover rolls it back and reports 1
+    a.append(Seq((9L, 90L)).toDF("k", "v"))
+    val pre = a.currentVersion
+    graft.core.JobTxn.writeJournal(spark,
+      new org.apache.hadoop.fs.Path(journal, "txn-crash.tsv"),
+      Seq(("a", pre - 1)))
+    val rec = spark.sql(s"CALL graft.txn_recover('$journal', " +
+      s"'a=$root/ta,b=$root/tb')").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(rec("recovered_journals") === "1")
+    assert(a.read.count() === 1, "recovery rolled the crashed job back")
+  }
 }
