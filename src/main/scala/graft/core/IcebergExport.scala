@@ -506,18 +506,52 @@ object IcebergExport {
     val deleteMeta = schemaMeta +
       ("partition-spec" -> "[]", "partition-spec-id" -> "0")
 
+    // SPEC-TRUE ADD/EXISTING/DELETED MANIFEST SEMANTICS: a data file's
+    // entry is ADDED (status 1) only in the snapshot that introduced
+    // it; later snapshots REUSE the adding manifest verbatim (the
+    // manifest list references it with the ORIGINAL added_snapshot_id
+    // and sequence), rewriting a manifest only when one of its files
+    // leaves the live set (survivors become EXISTING/status 0 with
+    // their add provenance, removed files DELETED/status 2 under the
+    // removing snapshot). Consequences, both load-bearing:
+    //  - incremental consumers (Iceberg's own incremental append
+    //    scan, the graft tail source) see each row ADDED exactly
+    //    once — the previous full-liveset-as-ADDED shape double-
+    //    served every carried file;
+    //  - an append re-sync writes O(new files) manifest bytes, not
+    //    O(live files): untouched manifests are referenced by name.
+    /** a live data file plus its ADD provenance — entries carry the
+      * adding snapshot and sequence forever, per the spec. */
+    final case class FileAdd(f: TxTable.LiveFile, addVersion: Long,
+        addSnapId: Long, addSeq: Long)
+    /** one data manifest as the next snapshot's list sees it: the
+      * manifest-list row fields plus the live files it tracks. */
+    final case class MfRec(path: Path, len: Long, seq: Long, minSeq: Long,
+        addedSnap: Long, added: Int, existing: Int, deleted: Int,
+        addedRows: Long, existingRows: Long, deletedRows: Long,
+        range: Option[(Int, Int)], files: Seq[FileAdd])
+
     var lastSeq = 0L
     val verSchemaOf: Map[Long, StructType] = verSchemas.toMap
+    val physCache = scala.collection.mutable.Map.empty[Long, StructType]
+    var prevMfs: Seq[MfRec] = Nil
+    var prevPaths: Set[String] = Set.empty
+    var prevDvRows = 0L
     val snapshots = versions.zipWithIndex.map { case (v, i) =>
       val snapshotId = 1000L + v
       val filesWithDvs = table.fileInfoWithDvsAt(v)
       val files = filesWithDvs.map(_._1)
       val dirty = filesWithDvs.filter(_._1.dvRows > 0L)
       val dataSeq = lastSeq + 1
-      val vSchema = verSchemaOf.getOrElse(v, schema)
-      val vPhysSchema = table.physicalize(vSchema)
 
-      def entryRecord(f: TxTable.LiveFile): GenericRecord = {
+      /** one manifest entry; the data_file record renders under the
+        * schema of the file's ADD version (its stats epoch). */
+      def entryRecord(fa: FileAdd, status: Int,
+          statusSnap: Long): GenericRecord = {
+        val f = fa.f
+        val aSchema = verSchemaOf.getOrElse(fa.addVersion, schema)
+        val aPhysSchema = physCache.getOrElseUpdate(fa.addVersion,
+          table.physicalize(aSchema))
         val df = new GenericData.Record(
           dataEntrySchema.getField("data_file").schema())
         df.put("content", 0)
@@ -531,36 +565,79 @@ object IcebergExport {
         df.put("partition", part)
         df.put("record_count", rowsOf(f))
         df.put("file_size_in_bytes", sizeOf(f.path))
-        putColumnStats(df, FileStats.fromJson(f.statsJson, vPhysSchema),
-          vSchema, table.physicalFieldName, ids)
+        putColumnStats(df, FileStats.fromJson(f.statsJson, aPhysSchema),
+          aSchema, table.physicalFieldName, ids)
         val e = new GenericData.Record(dataEntrySchema)
-        e.put("status", 1) // ADDED
-        e.put("snapshot_id", snapshotId)
-        e.put("sequence_number", dataSeq)
-        e.put("file_sequence_number", dataSeq)
+        e.put("status", status)
+        // spec: ADDED/EXISTING carry the ADDING snapshot; DELETED the
+        // REMOVING one; the data sequence is the add sequence always
+        e.put("snapshot_id", statusSnap)
+        e.put("sequence_number", fa.addSeq)
+        e.put("file_sequence_number", fa.addSeq)
         e.put("data_file", df)
         e
       }
-      // PARTITIONED tables split each version's entries into bucket-
-      // RANGE manifest groups (≤ ManifestGroups per version), each
-      // with a tight field summary in the manifest list: a stock
+
+      val livePathSet = files.map(_.path).toSet
+      val added = files.filterNot(f => prevPaths(f.path))
+      val removedCount = (prevPaths -- livePathSet).size
+      val dvRowsNow = files.map(_.dvRows).sum
+
+      // CARRY the previous snapshot's data manifests: untouched ones
+      // verbatim (their list row keeps the original added_snapshot_id
+      // and sequence); a manifest that lost a file is REWRITTEN once
+      // under this snapshot. A manifest whose files ALL died was kept
+      // for one snapshot as pure DELETED entries (incremental readers
+      // see the removal) and drops out here.
+      val carried: Seq[MfRec] = prevMfs.filter(_.files.nonEmpty)
+        .zipWithIndex.map { case (m, j) =>
+          if (m.files.forall(fa => livePathSet(fa.f.path))) m
+          else {
+            val (liveFa, deadFa) =
+              m.files.partition(fa => livePathSet(fa.f.path))
+            val recs = liveFa.map(fa => entryRecord(fa, 0, fa.addSnapId)) ++
+              deadFa.map(fa => entryRecord(fa, 2, snapshotId))
+            val (p, len) = writeAvroOnce(fs, metaDir,
+              s"m-v$v-s$dataSeq-rw$j", dataEntrySchema, recs,
+              schemaMeta + ("content" -> "data"))
+            val allB = m.files.map(_.f.bucket)
+            MfRec(p, len, dataSeq, m.files.map(_.addSeq).min, snapshotId,
+              0, liveFa.size, deadFa.size,
+              0L, liveFa.map(fa => rowsOf(fa.f)).sum,
+              deadFa.map(fa => rowsOf(fa.f)).sum,
+              if (bucketSpec.isEmpty) None
+              else Some((allB.min, allB.max)),
+              liveFa)
+          }
+        }
+
+      // PARTITIONED tables split this version's ADDED entries into
+      // bucket-RANGE manifest groups (≤ ManifestGroups per version),
+      // each with a tight field summary in the manifest list: a stock
       // reader's point query opens 1/G of the manifest bytes instead
       // of every entry — manifest-level pruning, not just file-level.
       // Unpartitioned tables keep the one-manifest shape.
       val groups: Seq[(Int, Seq[TxTable.LiveFile])] =
-        if (bucketSpec.isEmpty) Seq(0 -> files)
+        if (added.isEmpty) Nil
+        else if (bucketSpec.isEmpty) Seq(0 -> added)
         else {
           val g = math.min(table.numBuckets, ManifestGroups)
-          files.groupBy(f => f.bucket * g / table.numBuckets)
+          added.groupBy(f => f.bucket * g / table.numBuckets)
             .toSeq.sortBy(_._1)
         }
-      val dataManifests: Seq[(Path, Long, Seq[TxTable.LiveFile])] =
-        groups.map { case (g, gf) =>
-          val (p, len) = writeAvroOnce(fs, metaDir,
-            s"m-v$v-s$dataSeq-0-g$g", dataEntrySchema,
-            gf.map(entryRecord), schemaMeta + ("content" -> "data"))
-          (p, len, gf)
-        }
+      val newMfs: Seq[MfRec] = groups.map { case (g, gf) =>
+        val fas = gf.map(f => FileAdd(f, v, snapshotId, dataSeq))
+        val (p, len) = writeAvroOnce(fs, metaDir,
+          s"m-v$v-s$dataSeq-0-g$g", dataEntrySchema,
+          fas.map(fa => entryRecord(fa, 1, snapshotId)),
+          schemaMeta + ("content" -> "data"))
+        MfRec(p, len, dataSeq, dataSeq, snapshotId,
+          gf.size, 0, 0, gf.map(rowsOf).sum, 0L, 0L,
+          if (bucketSpec.isEmpty) None
+          else Some((gf.map(_.bucket).min, gf.map(_.bucket).max)),
+          fas)
+      }
+      val allMfs: Seq[MfRec] = carried ++ newMfs
 
       // this version's tombstones as a position-delete manifest at
       // the NEXT sequence (deletes scope over same-or-lower data)
@@ -591,6 +668,24 @@ object IcebergExport {
         }
       val snapSeq = if (deletes.isEmpty) dataSeq else dataSeq + 1
       lastSeq = snapSeq
+      prevMfs = allMfs
+      prevPaths = livePathSet
+      val dvGrew = dvRowsNow > prevDvRows
+      prevDvRows = dvRowsNow
+
+      // HONEST OPERATION SUMMARY (spec-required; what stock streaming
+      // readers gate on): layout_only commits — compaction,
+      // clustering — are `replace` (row set unchanged); removals or
+      // DV growth without adds are `delete`; adds plus removals are
+      // `overwrite`; pure adds are `append`.
+      val layoutOnly =
+        table.commitMeta(v).get("layout_only").contains("true")
+      val operation =
+        if (i == 0) "append"
+        else if (layoutOnly) "replace"
+        else if (removedCount == 0 && !dvGrew) "append"
+        else if (added.isEmpty) "delete"
+        else "overwrite"
 
       /** int bucket id in the spec's binary single-value form (4-byte
         * little-endian) for field summaries. */
@@ -599,32 +694,32 @@ object IcebergExport {
           .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i)
         b.flip(); b
       }
-      val totalRows = files.map(rowsOf).sum
-      val dataMfs = dataManifests.map { case (p, len, gf) =>
+      val addedRowsTotal = added.map(rowsOf).sum
+      val dataMfs = allMfs.map { m =>
         val mf = new GenericData.Record(ManifestFileSchema)
-        mf.put("manifest_path", fs.makeQualified(p).toString)
-        mf.put("manifest_length", len)
+        mf.put("manifest_path", fs.makeQualified(m.path).toString)
+        mf.put("manifest_length", m.len)
         mf.put("partition_spec_id", dataSpecId)
         mf.put("content", 0)
-        mf.put("sequence_number", dataSeq)
-        mf.put("min_sequence_number", dataSeq)
-        mf.put("added_snapshot_id", snapshotId)
-        mf.put("added_files_count", gf.size)
-        mf.put("existing_files_count", 0)
-        mf.put("deleted_files_count", 0)
-        mf.put("added_rows_count", gf.map(rowsOf).sum)
-        mf.put("existing_rows_count", 0L)
-        mf.put("deleted_rows_count", 0L)
+        mf.put("sequence_number", m.seq)
+        mf.put("min_sequence_number", m.minSeq)
+        mf.put("added_snapshot_id", m.addedSnap)
+        mf.put("added_files_count", m.added)
+        mf.put("existing_files_count", m.existing)
+        mf.put("deleted_files_count", m.deleted)
+        mf.put("added_rows_count", m.addedRows)
+        mf.put("existing_rows_count", m.existingRows)
+        mf.put("deleted_rows_count", m.deletedRows)
         // FIELD SUMMARY per partition field: this group's bucket-id
         // range — what lets a stock reader skip the whole manifest
-        bucketSpec.foreach { _ =>
+        m.range.foreach { case (lo, hi) =>
           val arrSchema = ManifestFileSchema.getField("partitions")
             .schema().getTypes.get(1)
           val arr = new GenericData.Array[GenericRecord](1, arrSchema)
           val s = new GenericData.Record(arrSchema.getElementType)
           s.put("contains_null", false)
-          s.put("lower_bound", intBuf(gf.map(_.bucket).min))
-          s.put("upper_bound", intBuf(gf.map(_.bucket).max))
+          s.put("lower_bound", intBuf(lo))
+          s.put("upper_bound", intBuf(hi))
           arr.add(s)
           mf.put("partitions", arr)
         }
@@ -663,9 +758,10 @@ object IcebergExport {
         "manifest-list" ->
           (JString(fs.makeQualified(listPath).toString): JValue),
         "summary" -> (JObject(
-          "operation" -> JString("append"),
-          "added-data-files" -> JString(files.size.toString),
-          "added-records" -> JString(totalRows.toString)): JValue)) ++
+          "operation" -> JString(operation),
+          "added-data-files" -> JString(added.size.toString),
+          "added-records" -> JString(addedRowsTotal.toString),
+          "deleted-data-files" -> JString(removedCount.toString)): JValue)) ++
         (if (i == 0) Nil
          else List("parent-snapshot-id" ->
            (JLong(1000L + versions(i - 1)): JValue))) ++

@@ -232,6 +232,212 @@ object IcebergImport {
       snapshotId: Option[Long] = None): Snapshot =
     snapshotWhere(spark, dir, snapshotId, None)
 
+  /** Resolve and parse the CURRENT table metadata JSON through the
+    * HadoopCatalog pointer chain (`metadata/version-hint.text` →
+    * `vN.metadata.json`) — the one metadata read [[snapshotWhere]],
+    * [[lineage]] and the streaming tail source all share. */
+  private def readMetadataJson(spark: SparkSession, dir: String): JValue = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val metaDir = new Path(root, "metadata")
+    val hintPath = new Path(metaDir, "version-hint.text")
+    require(fs.exists(hintPath),
+      s"$dir/metadata has no version-hint.text - not a HadoopCatalog " +
+        "iceberg table")
+    val hint = {
+      val in = fs.open(hintPath)
+      try Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    val mdPath = new Path(metaDir, s"v$hint.metadata.json")
+    require(fs.exists(mdPath), s"version hint points at missing $mdPath")
+    val in = fs.open(mdPath)
+    try JsonMethods.parse(Source.fromInputStream(in, "UTF-8").mkString)
+    finally in.close()
+  }
+
+  /** The CURRENT schema (declared names) and its physical twin under
+    * `schema.name-mapping.default`, from one metadata.json parse —
+    * what the streaming tail source pins at construction. Unlike
+    * [[snapshot]] this never opens a manifest: schema resolution
+    * must stay O(metadata) however large the table. */
+  def headSchemas(spark: SparkSession, dir: String)
+      : (StructType, StructType) = {
+    val md = readMetadataJson(spark, dir)
+    val schemaJ = (md \ "schemas", md \ "current-schema-id") match {
+      case (JArray(ss), JInt(cur)) =>
+        ss.find(s => (s \ "schema-id") == JInt(cur)).getOrElse(
+          throw new IllegalArgumentException(s"schema-id $cur not found"))
+      case _ => md \ "schema"
+    }
+    val schema = schemaFrom(schemaJ)
+    val idOf = fieldIdsFrom(schemaJ).map(_.swap)
+    val mappedNames: Map[Int, String] =
+      (md \ "properties" \ "schema.name-mapping.default") match {
+        case JString(raw) => JsonMethods.parse(raw) match {
+          case JArray(es) => es.flatMap { e =>
+            ((e \ "field-id"), (e \ "names")) match {
+              case (JInt(id), JArray(JString(n) :: _)) => Some(id.toInt -> n)
+              case _                                   => None
+            }
+          }.toMap
+          case _ => Map.empty[Int, String]
+        }
+        case _ => Map.empty[Int, String]
+      }
+    val phys =
+      if (mappedNames.isEmpty) schema
+      else StructType(schema.fields.map { f =>
+        idOf.get(f.name).flatMap(mappedNames.get) match {
+          case Some(n) => f.copy(name = n)
+          case None    => f
+        }
+      })
+    (schema, phys)
+  }
+
+  /** One snapshot on the MAIN lineage, as the streaming tail source
+    * sees it: identity, parentage, its monotonic sequence number (the
+    * offset domain), the writer-declared operation, and where its
+    * manifests live. */
+  final case class SnapMeta(id: Long, parentId: Option[Long], seq: Long,
+      operation: String, manifestList: Option[String],
+      inlineManifests: Seq[String])
+
+  /** The MAIN branch's retained snapshot lineage, oldest first —
+    * walked by `parent-snapshot-id` from the current snapshot, NOT by
+    * sorting the `snapshots` array: staged snapshots off the main
+    * line (WAP audits, tags on expired forks) carry sequence numbers
+    * too, and serving one would stream unpublished rows.
+    *
+    * Streaming requires format-version 2: v2's monotonic
+    * `sequence-number` is the replayable offset; v1 has no ordering
+    * a restart could trust (batch [[read]] covers v1).
+    *
+    * Scale: one metadata.json parse — driver metadata, O(retained
+    * snapshots), no data or manifest I/O. */
+  def lineage(spark: SparkSession, dir: String): Seq[SnapMeta] = {
+    val md = readMetadataJson(spark, dir)
+    val fv = (md \ "format-version") match {
+      case JInt(v) => v.toInt
+      case _ => throw new IllegalArgumentException("no format-version")
+    }
+    require(fv == 2,
+      s"streaming tail requires format-version 2 (monotonic sequence " +
+        s"numbers are the offset) - this table is v$fv; use the batch " +
+        "IcebergImport.read instead")
+    val snaps = (md \ "snapshots") match {
+      case JArray(ss) => ss
+      case _          => Nil
+    }
+    val byId: Map[Long, JValue] = snaps.flatMap { s =>
+      (s \ "snapshot-id") match {
+        case JInt(v) => Some(v.toLong -> s)
+        case _       => None
+      }
+    }.toMap
+    val currentId: Option[Long] = (md \ "current-snapshot-id") match {
+      case JInt(v) if v.toLong >= 0L => Some(v.toLong)
+      case _                         => None
+    }
+    def meta(j: JValue): SnapMeta = {
+      val id = (j \ "snapshot-id") match { case JInt(v) => v.toLong
+        case _ => throw new IllegalArgumentException("snapshot-id missing") }
+      val parent = (j \ "parent-snapshot-id") match {
+        case JInt(v) => Some(v.toLong)
+        case _       => None
+      }
+      val seq = (j \ "sequence-number") match {
+        case JInt(v) => v.toLong
+        case _ => throw new IllegalArgumentException(
+          s"v2 snapshot $id carries no sequence-number - malformed")
+      }
+      val op = (j \ "summary" \ "operation") match {
+        case JString(o) => o
+        case _          => "unknown"
+      }
+      val ml = (j \ "manifest-list") match {
+        case JString(p) => Some(p)
+        case _          => None
+      }
+      val inline = (j \ "manifests") match {
+        case JArray(ms) => ms.collect { case JString(p) => p }
+        case _          => Nil
+      }
+      SnapMeta(id, parent, seq, op, ml, inline)
+    }
+    val chain = scala.collection.mutable.ListBuffer.empty[SnapMeta]
+    var cur = currentId
+    while (cur.nonEmpty && byId.contains(cur.get)) {
+      val m = meta(byId(cur.get))
+      m +=: chain
+      cur = m.parentId
+    }
+    // cur nonEmpty here = the chain walked off the retained set (an
+    // expired parent) — legal; the caller decides whether a gap below
+    // its start offset matters. Record it by leaving the oldest
+    // element's parentId set; a complete history ends with None.
+    chain.toList
+  }
+
+  /** The data files snapshot `sm` ADDED (entry status 1 whose
+    * snapshot-id — explicit or inherited from the manifest's
+    * `added_snapshot_id`, per spec — is `sm.id`), plus whether the
+    * snapshot also added DELETE manifests (row-removal evidence the
+    * streaming source must refuse or skip, never misread as
+    * append-only).
+    *
+    * Scale: opens ONLY the manifests the snapshot itself added
+    * (`added_snapshot_id == sm.id`) — per-trigger work is O(new
+    * files), never O(table). */
+  def addedDataFiles(spark: SparkSession,
+      sm: SnapMeta): (Seq[String], Boolean) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    require(sm.manifestList.nonEmpty,
+      s"snapshot ${sm.id} has no manifest-list (v1 inline-manifest " +
+        "layout) - streaming requires v2")
+    val listPath = new Path(sm.manifestList.get)
+    val fs = listPath.getFileSystem(conf)
+    val manifests = readAvro(fs, listPath, conf)
+    def addedBy(m: GenericRecord): Option[Long] =
+      if (m.getSchema.getField("added_snapshot_id") == null) None
+      else Option(m.get("added_snapshot_id"))
+        .map(_.asInstanceOf[Number].longValue())
+    def contentOf(m: GenericRecord): Int =
+      Option(m.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+    def deletedCount(m: GenericRecord): Long =
+      if (m.getSchema.getField("deleted_files_count") == null) 0L
+      else Option(m.get("deleted_files_count"))
+        .map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
+    val mine = manifests.filter(m => addedBy(m).contains(sm.id))
+    // removal evidence without opening any avro: a DELETE-file
+    // manifest, or a rewritten data manifest carrying DELETED entries
+    // (deleted_files_count in its list row)
+    val deletesAdded =
+      mine.exists(m => contentOf(m) != 0 || deletedCount(m) > 0L)
+    val files = mine.filter(m => contentOf(m) == 0).flatMap { m =>
+      val mPath = new Path(m.get("manifest_path").toString)
+      readAvro(fs, mPath, conf).flatMap { e =>
+        val status = e.get("status").asInstanceOf[Int]
+        val entrySnap: Option[Long] =
+          if (e.getSchema.getField("snapshot_id") == null) None
+          else Option(e.get("snapshot_id"))
+            .map(_.asInstanceOf[Number].longValue())
+        // a null entry snapshot-id INHERITS the manifest's
+        // added_snapshot_id (spec inheritance) == sm.id here
+        if (status == 1 && entrySnap.forall(_ == sm.id)) {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val fmt = df.get("file_format").toString
+          require(fmt.equalsIgnoreCase("PARQUET"),
+            s"data file format $fmt unsupported (parquet only)")
+          Some(df.get("file_path").toString)
+        } else None
+      }
+    }
+    (files, deletesAdded)
+  }
+
   /** [[snapshot]] with PARTITION PRUNING from a predicate: when the
     * table's default spec is a single `bucket[N]` transform and
     * `pred` carries top-level equality/IN conjuncts on the source
@@ -248,25 +454,7 @@ object IcebergImport {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
-    val metaDir = new Path(root, "metadata")
-
-    // HadoopCatalog pointer chain
-    val hintPath = new Path(metaDir, "version-hint.text")
-    require(fs.exists(hintPath),
-      s"$dir/metadata has no version-hint.text - not a HadoopCatalog " +
-        "iceberg table")
-    val hint = {
-      val in = fs.open(hintPath)
-      try Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    }
-    val mdPath = new Path(metaDir, s"v$hint.metadata.json")
-    require(fs.exists(mdPath), s"version hint points at missing $mdPath")
-    val md = {
-      val in = fs.open(mdPath)
-      try JsonMethods.parse(Source.fromInputStream(in, "UTF-8").mkString)
-      finally in.close()
-    }
+    val md = readMetadataJson(spark, dir)
 
     val fv = (md \ "format-version") match {
       case JInt(v) => v.toInt
@@ -331,7 +519,7 @@ object IcebergImport {
       case JInt(v) => v.toLong == wantedId
       case _ => false
     }).getOrElse(throw new IllegalArgumentException(
-      s"snapshot $wantedId is not in $mdPath (retained: " +
+      s"snapshot $wantedId is not in $dir's metadata (retained: " +
         snaps.flatMap(s => (s \ "snapshot-id").toOption).mkString(", ") + ")"))
 
     // the default partition spec, when it is a single bucket[N]

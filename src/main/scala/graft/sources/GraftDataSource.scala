@@ -86,9 +86,14 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
   private def wantsCdf(options: CaseInsensitiveStringMap): Boolean =
     Option(options.get("readChangeFeed")).exists(_.equalsIgnoreCase("true"))
 
+  private def wantsIcebergTail(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("icebergTail")).exists(_.equalsIgnoreCase("true"))
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = dirOf(options)
     if (wantsCdf(options)) return new GraftCdfTable(dir).schema()
+    if (wantsIcebergTail(options))
+      return new GraftIcebergTailTable(dir).schema()
     val tx = GraftDataSource.openForRead(SparkSession.active, dir)
     GraftDataSource.asOfFrom(tx, options)
       .map(tx.schemaAtVersion).getOrElse(tx.currentSchema)
@@ -101,6 +106,9 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
     // readChangeFeed=true: the streaming CDF surface over the
     // cdf-exported Delta log (see GraftCdfStream)
     if (wantsCdf(opts)) return new GraftCdfTable(dir)
+    // icebergTail=true: the snapshot-tail stream over a foreign
+    // Iceberg v2 tree (see GraftIcebergTail)
+    if (wantsIcebergTail(opts)) return new GraftIcebergTailTable(dir)
     val tx = GraftDataSource.openForRead(SparkSession.active, dir)
     new GraftTable(dir, schema, GraftDataSource.asOfFrom(tx, opts))
   }

@@ -67,27 +67,46 @@ class IcebergExportSpec extends SparkSpec {
       (s \ "snapshot-id").extract[Long] == snapId).get \ "manifest-list")
       .extract[String].stripPrefix("file:")
     val (listRecs, listSchema) = readAvro(listPath)
-    assert(listRecs.size === 1)
+    // spec-true added/existing/deleted shape: the delete-rewrite head
+    // snapshot's list carries the REWRITTEN v1 manifest (survivors
+    // EXISTING, removed files DELETED) plus its own new-adds manifest
+    assert(listRecs.size === 2)
     // spec field-ids present on every manifest-list field
     assert(listSchema.getFields.asScala.forall(_.getObjectProp("field-id") != null),
       "manifest_file fields must carry spec field-ids")
     assert(listSchema.getField("manifest_path").getObjectProp("field-id")
       .toString === "500")
-    assert(listRecs.head.get("added_rows_count") === 90L)
 
-    // manifest list → manifest avro → data files, counts exact
-    val manifestPath = listRecs.head.get("manifest_path").toString
-      .stripPrefix("file:")
-    val (entries, entrySchema) = readAvro(manifestPath)
-    assert(entrySchema.getFields.asScala.forall(_.getObjectProp("field-id") != null))
-    val dataFiles = entries.map(_.get("data_file").asInstanceOf[GenericRecord])
+    // manifest list → manifest avros → data files, counts exact
+    val allEntries = listRecs.flatMap { mf =>
+      val mPath = mf.get("manifest_path").toString.stripPrefix("file:")
+      val (entries, entrySchema) = readAvro(mPath)
+      assert(entrySchema.getFields.asScala
+        .forall(_.getObjectProp("field-id") != null))
+      // the list row's added_rows_count is exactly its ADDED entries
+      val addedRows = entries
+        .filter(_.get("status").asInstanceOf[Int] == 1)
+        .map(_.get("data_file").asInstanceOf[GenericRecord]
+          .get("record_count").asInstanceOf[Long]).sum
+      assert(mf.get("added_rows_count") === addedRows)
+      entries
+    }
+    val (liveE, deadE) =
+      allEntries.partition(_.get("status").asInstanceOf[Int] != 2)
+    assert(deadE.nonEmpty,
+      "the delete-rewrite must leave DELETED tombstone entries")
+    val dataFiles = liveE.map(_.get("data_file").asInstanceOf[GenericRecord])
     assert(dataFiles.map(_.get("record_count").asInstanceOf[Long]).sum === 90L)
     dataFiles.foreach { f =>
       val p = f.get("file_path").toString.stripPrefix("file:")
       assert(new File(p).exists(), s"data_file path missing: $p")
       assert(f.get("file_format").toString === "PARQUET")
     }
-    assert(entries.size === t.dataFileCount)
+    assert(liveE.size === t.dataFileCount)
+    // operation summaries: v1 appended, v2 removed AND added (rewrite)
+    val ops = snaps.sortBy(s => (s \ "sequence-number").extract[Long])
+      .map(s => (s \ "summary" \ "operation").extract[String])
+    assert(ops === List("append", "append", "overwrite"))
   }
 
   test("outstanding deletion vectors export as v2 POSITION DELETES") {
