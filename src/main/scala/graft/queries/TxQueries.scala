@@ -732,6 +732,52 @@ object TxQueries {
       .orderBy("nationkey")
   }
 
+  /** ICEBERG SNAPSHOT-TAIL STREAM, end to end (the interop matrix's
+    * last cell — streaming IMPORT of the Iceberg dialect): customer
+    * lands in a source TxTable in TWO appends, each exported as an
+    * Iceberg v2 snapshot; the `icebergTail` source consumes the
+    * foreign tree across two `Trigger.AvailableNow` runs into a
+    * TxTable sink (sequence-number offsets make the second run serve
+    * ONLY the second snapshot's added files; a verbatim re-run is a
+    * no-op). The sunk table must equal customer exactly once —
+    * DuckDB aggregates it directly. */
+  def tx_iceberg_stream_tail(s: SparkSession, dir: String): DataFrame = {
+    val cu = t(s, dir, "customer")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val table = cached(s, dir, "customer", "icetail", 2L) { loc =>
+      new TxTable(s, loc, cu.schema, Seq("c_custkey"), numBuckets = 4)
+    } { tx =>
+      tx.createIfAbsent() // sink v0
+      val srcDir = tx.dir + "-src"
+      val ck = tx.dir + "-ck"
+      rmTree(new java.io.File(srcDir)); rmTree(new java.io.File(ck))
+      val src = new TxTable(s, srcDir, cu.schema, Seq("c_custkey"),
+        numBuckets = 4)
+      def drain(): Unit = {
+        val q = s.readStream.format("graft")
+          .option("icebergTail", "true").load(srcDir)
+          .writeStream.format("graft")
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(tx.dir)
+        q.awaitTermination()
+      }
+      src.append(cu.filter(col("c_custkey") % 2 === 0))
+      graft.core.IcebergExport.writeIcebergMetadata(s, src)
+      drain()                        // sink v1: first snapshot's rows
+      src.append(cu.filter(col("c_custkey") % 2 === 1))
+      graft.core.IcebergExport.writeIcebergMetadata(s, src)
+      drain()                        // sink v2: ONLY the new snapshot
+      drain() // verbatim re-run: offsets at the head - no commit
+    }
+    table.read
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n"),
+        Qhelpers.msum(col("c_acctbal")).as("bal"),
+        min("c_custkey").as("min_cust"))
+      .orderBy("nationkey")
+  }
+
   /** STREAMING STATEFUL DEDUP across micro-batch runs: two source
     * files deliver OVERLAPPING supplier slices (the re-delivery
     * shape every at-least-once feed produces); the stream pipes the
@@ -1977,6 +2023,7 @@ object TxQueries {
     "tx_sql_identity" -> (tx_sql_identity _),
     "tx_sql_generated" -> (tx_sql_generated _),
     "tx_stream_copy" -> (tx_stream_copy _),
+    "tx_iceberg_stream_tail" -> (tx_iceberg_stream_tail _),
     "tx_delta_skip_read" -> (tx_delta_skip_read _),
     "tx_iceberg_skip_read" -> (tx_iceberg_skip_read _),
     "tx_iceberg_partition_read" -> (tx_iceberg_partition_read _),
@@ -2383,6 +2430,15 @@ object TxQueries {
          |  ${Qhelpers.sqlMsum("s_acctbal")} AS bal,
          |  min(s_suppkey) AS min_supp
          |FROM supplier
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // two Iceberg snapshots tail-streamed into the sink exactly once
+    // - DuckDB aggregates the customer table directly
+    "tx_iceberg_stream_tail" ->
+      s"""SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+         |  count(*) AS n,
+         |  ${Qhelpers.sqlMsum("c_acctbal")} AS bal,
+         |  min(c_custkey) AS min_cust
+         |FROM customer
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     // identity ids may carry gaps but must cover every row uniquely;
     // DuckDB recomputes the invariants from the raw supplier table

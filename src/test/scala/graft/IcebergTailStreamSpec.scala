@@ -1,0 +1,193 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.core.{IcebergExport, TxTable}
+
+/** Iceberg snapshot-tail streaming source
+  * (`readStream.format("graft").option("icebergTail","true")`): a
+  * foreign Iceberg v2 tree consumed as a stream — sequence-number
+  * offsets, append snapshots served exactly once, replace snapshots
+  * skipped, mutations honestly refused (or explicitly skipped). */
+class IcebergTailStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Hand-edit a published metadata JSON (and drop Hadoop's local-FS
+    * checksum sidecar, which the in-place rewrite invalidates). */
+  private def rewriteJson(mdFile: File)(f: JValue => JValue): Unit = {
+    val md = JsonMethods.parse(scala.io.Source.fromFile(mdFile).mkString)
+    val w = new java.io.PrintWriter(mdFile, "UTF-8")
+    try w.write(JsonMethods.compact(JsonMethods.render(f(md))))
+    finally w.close()
+    val crc = new File(mdFile.getParentFile, s".${mdFile.getName}.crc")
+    if (crc.exists()) crc.delete()
+  }
+
+  private def drain(dir: String, out: String, ck: String,
+      opts: Map[String, String] = Map.empty): Unit = {
+    val r0 = spark.readStream.format("graft").option("icebergTail", "true")
+    val r = opts.foldLeft(r0) { case (b, (k, v)) => b.option(k, v) }
+    val q = r.load(dir)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("tails appends across re-syncs exactly once; re-run is a no-op") {
+    val dir = tmpDir("icetail") + "/t"
+    val a = (1L to 40L).map(k => (k, k * 1.0)).toDF("k", "v")
+    val b = (41L to 60L).map(k => (k, k * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, a.schema, Seq("k"), numBuckets = 2)
+    t.append(a)
+    IcebergExport.writeIcebergMetadata(spark, t)
+
+    val out = tmpDir("icetail-out")
+    val ck = tmpDir("icetail-ck")
+    drain(dir, out, ck)
+    assert(spark.read.parquet(out).select("k").as[Long].collect().sorted
+      === (1L to 40L).toArray)
+
+    // second append lands as its own snapshot; only ITS files serve
+    t.append(b)
+    IcebergExport.writeIcebergMetadata(spark, t)
+    drain(dir, out, ck)
+    assert(spark.read.parquet(out).select("k").as[Long].collect().sorted
+      === (1L to 60L).toArray)
+
+    // verbatim re-run: offsets already at the head - nothing new
+    drain(dir, out, ck)
+    assert(spark.read.parquet(out).count() === 60L)
+  }
+
+  test("replace snapshots (compaction) are skipped - no re-served rows") {
+    val dir = tmpDir("icetail-rp") + "/t"
+    val a = (1L to 30L).map(k => (k, k * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, a.schema, Seq("k"), numBuckets = 1)
+    t.append(a)
+    t.append((31L to 45L).map(k => (k, k * 1.0)).toDF("k", "v"))
+    IcebergExport.writeIcebergMetadata(spark, t)
+    val out = tmpDir("icetail-rp-out")
+    val ck = tmpDir("icetail-rp-ck")
+    drain(dir, out, ck)
+    assert(spark.read.parquet(out).count() === 45L)
+
+    t.compactBuckets(minFiles = 2) // layout_only -> operation "replace"
+    IcebergExport.writeIcebergMetadata(spark, t)
+    drain(dir, out, ck)
+    assert(spark.read.parquet(out).count() === 45L,
+      "a compaction rewrite must not re-serve rows")
+
+    // and a follow-up append after the compaction still streams
+    t.append(Seq((46L, 46.0)).toDF("k", "v"))
+    IcebergExport.writeIcebergMetadata(spark, t)
+    drain(dir, out, ck)
+    assert(spark.read.parquet(out).count() === 46L)
+  }
+
+  test("mutations refuse with the remedy named; skip options skip them") {
+    val dir = tmpDir("icetail-mut") + "/t"
+    val a = (1L to 20L).map(k => (k, k % 4L)).toDF("k", "g")
+    val t = new TxTable(spark, dir, a.schema, Seq("k"), numBuckets = 2)
+    t.append(a)
+    IcebergExport.writeIcebergMetadata(spark, t)
+    val out = tmpDir("icetail-mut-out")
+    val ck = tmpDir("icetail-mut-ck")
+    drain(dir, out, ck)
+    assert(spark.read.parquet(out).count() === 20L)
+
+    t.deleteWhereLight(col("g") === 0L) // DV-only -> operation "delete"
+    IcebergExport.writeIcebergMetadata(spark, t)
+    val e = intercept[Exception] { drain(dir, out, ck) }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("skipDeleteSnapshots"))
+
+    // explicit skip: the delete snapshot passes over, the stream lives
+    drain(dir, out, ck, Map("skipDeleteSnapshots" -> "true"))
+    assert(spark.read.parquet(out).count() === 20L)
+
+    // an upsert rewrite is an overwrite: refused, then skippable
+    t.upsert(Seq((1L, 9L)).toDF("k", "g"))
+    IcebergExport.writeIcebergMetadata(spark, t)
+    val e2 = intercept[Exception] { drain(dir, out, ck) }
+    val msg2 = Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg2.contains("skipOverwriteSnapshots"))
+    drain(dir, out, ck, Map("skipOverwriteSnapshots" -> "true",
+      "skipDeleteSnapshots" -> "true"))
+    assert(spark.read.parquet(out).count() === 20L)
+  }
+
+  test("expired history refuses the default full feed; startingSequence serves the retained tail") {
+    val dir = tmpDir("icetail-exp") + "/t"
+    val a = (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, a.schema, Seq("k"), numBuckets = 1)
+    t.append(a)
+    t.append((11L to 16L).map(k => (k, k * 1.0)).toDF("k", "v"))
+    IcebergExport.writeIcebergMetadata(spark, t)
+
+    // simulate snapshot expiry: the oldest retained snapshot names a
+    // parent that is no longer in the snapshots list
+    rewriteJson(new File(dir, "metadata/v1.metadata.json")) { md =>
+      md.transformField {
+        case ("snapshots", JArray(ss)) =>
+          "snapshots" -> JArray(ss.zipWithIndex.map {
+            case (s, 0) => s match {
+              case JObject(fs) => JObject(
+                ("parent-snapshot-id" -> (JInt(999): JValue)) ::
+                  fs.filterNot(_._1 == "parent-snapshot-id"))
+              case other => other
+            }
+            case (s, _) => s
+          })
+      }
+    }
+
+    val e = intercept[Exception] {
+      drain(dir, tmpDir("icetail-exp-out0"), tmpDir("icetail-exp-ck0"))
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("startingSequence"))
+
+    // explicit start AFTER the second-to-last snapshot's sequence:
+    // only the head snapshot serves
+    val lin = graft.core.IcebergImport.lineage(spark, dir)
+    val out = tmpDir("icetail-exp-out")
+    drain(dir, out, tmpDir("icetail-exp-ck"),
+      Map("startingSequence" -> lin(lin.size - 2).seq.toString))
+    assert(spark.read.parquet(out).select("k").as[Long].collect().sorted
+      === (11L to 16L).toArray)
+  }
+
+  test("format-version 1 trees refuse streaming (no sequence offsets)") {
+    val dir = tmpDir("icetail-v1") + "/t"
+    val a = (1L to 5L).map(k => (k, k * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, a.schema, Seq("k"), numBuckets = 1)
+    t.append(a)
+    IcebergExport.writeIcebergMetadata(spark, t)
+    rewriteJson(new File(dir, "metadata/v1.metadata.json")) { md =>
+      md.transformField {
+        case ("format-version", JInt(_)) => "format-version" -> JInt(1)
+      }
+    }
+    val e = intercept[Exception] {
+      drain(dir, tmpDir("icetail-v1-out"), tmpDir("icetail-v1-ck"))
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("format-version 2"))
+  }
+}
