@@ -850,6 +850,126 @@ final class TxTable(
     }
   }
 
+  // ---- ANALYZE column statistics (planner NDV; the CBO feed) ----
+
+  /** ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS, graft-shaped:
+    * compute per-column NDV (plus avg/max byte length for strings)
+    * over the CURRENT snapshot and declare them in one metadata-only
+    * commit (the TBLPROPERTIES carry pattern — newest declaration
+    * wins, vacuum carries it forward). [[graft.sources.GraftScan]]
+    * serves them to Spark's CBO as `distinctCount`/`avgLen`/`maxLen`
+    * — the stats join-cardinality estimation actually turns on;
+    * min/max/nullCount already fold from the manifest zone maps.
+    *
+    * `exact = false` (default, the 100 TB path) is ONE pass of
+    * mergeable HLL sketches (`approx_count_distinct`, `rsd`
+    * precision); `exact = true` pays real `count(DISTINCT)` per
+    * column (Spark expands multi-distinct — O(cols) shuffles) and is
+    * the oracle-checkable mode. Stats are advisory planner input
+    * pinned at the analyzed version, per ANALYZE semantics
+    * everywhere: writers do not invalidate them, the next ANALYZE
+    * replaces them. */
+  def analyzeColumns(cols: Seq[String] = Nil, exact: Boolean = false,
+      rsd: Double = 0.05): Map[String, TxTable.ColAnalysis] = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, avg, count_distinct, length, max => fmax}
+    val schema = currentSchema
+    val targets: Seq[StructField] =
+      if (cols.isEmpty)
+        schema.fields.toSeq.filter(f => f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType |
+               _: org.apache.spark.sql.types.StructType => false
+          case _ => true
+        })
+      else cols.map(c => schema.fields.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"ANALYZE column '$c' is not in the schema")))
+    require(targets.nonEmpty, "ANALYZE needs at least one flat column")
+    val v = currentVersion
+    val exprs: Seq[Column] = targets.flatMap { f =>
+      val c = col(f.name)
+      val ndv =
+        (if (exact) count_distinct(c) else approx_count_distinct(c, rsd))
+          .cast("long").as(s"__ndv_${f.name}")
+      val lens = f.dataType match {
+        case org.apache.spark.sql.types.StringType => Seq(
+          avg(length(c)).as(s"__avglen_${f.name}"),
+          fmax(length(c)).cast("long").as(s"__maxlen_${f.name}"))
+        case _ => Nil
+      }
+      ndv +: lens
+    }
+    val row = readVersion(v).agg(exprs.head, exprs.tail: _*).head()
+    val out = targets.map { f =>
+      def opt[T](name: String)(get: Int => T): Option[T] = {
+        val i = row.fieldIndex(name)
+        if (i < 0 || row.isNullAt(i)) None else Some(get(i))
+      }
+      f.name -> TxTable.ColAnalysis(
+        row.getLong(row.fieldIndex(s"__ndv_${f.name}")),
+        if (f.dataType == org.apache.spark.sql.types.StringType)
+          opt(s"__avglen_${f.name}")(row.getDouble) else None,
+        if (f.dataType == org.apache.spark.sql.types.StringType)
+          opt(s"__maxlen_${f.name}")(row.getLong) else None)
+    }.toMap
+    val json = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
+        ("version" -> (org.json4s.JLong(v): org.json4s.JValue)) ::
+          out.toList.sortBy(_._1).map { case (name, a) =>
+            name -> (org.json4s.JObject(
+              ("ndv" -> (org.json4s.JLong(a.ndv): org.json4s.JValue)) ::
+                a.avgLen.toList.map(x =>
+                  "avgLen" -> (org.json4s.JDouble(x): org.json4s.JValue)) :::
+                a.maxLen.toList.map(x =>
+                  "maxLen" -> (org.json4s.JLong(x): org.json4s.JValue)))
+              : org.json4s.JValue)
+          })))
+    withRetry {
+      val base = currentVersion
+      val m = loadManifest(base)
+      commit(m.entries, base, m.declaredSchema,
+        Map(TxTable.ColStatsKey -> json))
+      ()
+    }
+    out
+  }
+
+  /** The declared column analysis, if any: (analyzed version,
+    * per-column stats). One meta read at the head — planner-path
+    * cheap. */
+  def columnAnalysis: Option[(Long, Map[String, TxTable.ColAnalysis])] =
+    latestMeta(TxTable.ColStatsKey).flatMap { raw =>
+      scala.util.Try {
+        import org.json4s._
+        val j = org.json4s.jackson.JsonMethods.parse(raw)
+        val ver = (j \ "version") match {
+          case JInt(x)  => x.toLong
+          case JLong(x) => x
+          case _        => -1L
+        }
+        val cols = j match {
+          case JObject(fs) => fs.collect {
+            case (name, o: JObject) if name != "version" =>
+              def lng(k: String): Option[Long] = (o \ k) match {
+                case JInt(x)  => Some(x.toLong)
+                case JLong(x) => Some(x)
+                case _        => None
+              }
+              def dbl(k: String): Option[Double] = (o \ k) match {
+                case JDouble(x)  => Some(x)
+                case JInt(x)     => Some(x.toDouble)
+                case JDecimal(x) => Some(x.toDouble)
+                case _           => None
+              }
+              name -> TxTable.ColAnalysis(lng("ndv").getOrElse(-1L),
+                dbl("avgLen"), lng("maxLen"))
+          }.toMap
+          case _ => Map.empty[String, TxTable.ColAnalysis]
+        }
+        (ver, cols.filter(_._2.ndv >= 0L))
+      }.toOption
+    }
+
   // ---- CHECK constraints (write-path governance; Delta's CHECK
   // constraint analog) ----
 
@@ -3676,6 +3796,14 @@ object TxTable {
 
   /** Commit-meta key carrying the user TBLPROPERTIES map (JSON). */
   val TblPropsKey: String = "tblproperties"
+
+  /** Commit-meta key carrying ANALYZE column statistics (JSON). */
+  val ColStatsKey: String = "colstats"
+
+  /** One column's ANALYZE result: NDV, plus avg/max byte length for
+    * strings (CBO's row-width inputs). */
+  final case class ColAnalysis(ndv: Long, avgLen: Option[Double],
+      maxLen: Option[Long])
 
   /** StructField-metadata key carrying a renamed column's stable
     * parquet (physical) name — the column-mapping record a

@@ -778,6 +778,31 @@ object TxQueries {
       .orderBy("nationkey")
   }
 
+  /** ANALYZE COLUMN STATISTICS, end to end: customer in a TxTable,
+    * `analyzeColumns(exact = true)` declares per-column NDV in one
+    * metadata-only commit (the CBO feed `estimateStatistics` serves
+    * as `distinctCount`); the query re-reads the declaration and
+    * emits (column, ndv) rows. DuckDB recomputes the same NDVs with
+    * real `count(DISTINCT)` over raw customer — the declaration must
+    * be exact, not an estimate. */
+  def tx_sql_analyze(s: SparkSession, dir: String): DataFrame = {
+    val cu = t(s, dir, "customer")
+      .select("c_custkey", "c_nationkey", "c_mktsegment")
+    val table = cached(s, dir, "customer", "analyze", 2L) { loc =>
+      new TxTable(s, loc, cu.schema, Seq("c_custkey"), numBuckets = 4)
+    } { tx =>
+      tx.append(cu) // v1
+      tx.analyzeColumns(
+        Seq("c_custkey", "c_nationkey", "c_mktsegment"),
+        exact = true) // v2: the stats declaration commit
+    }
+    val (_, cols) = table.columnAnalysis.getOrElse(
+      throw new IllegalStateException("analyze declaration missing"))
+    import s.implicits._
+    cols.toSeq.map { case (c, a) => (c, a.ndv) }
+      .toDF("col", "ndv").orderBy("col")
+  }
+
   /** STREAMING STATEFUL DEDUP across micro-batch runs: two source
     * files deliver OVERLAPPING supplier slices (the re-delivery
     * shape every at-least-once feed produces); the stream pipes the
@@ -2024,6 +2049,7 @@ object TxQueries {
     "tx_sql_generated" -> (tx_sql_generated _),
     "tx_stream_copy" -> (tx_stream_copy _),
     "tx_iceberg_stream_tail" -> (tx_iceberg_stream_tail _),
+    "tx_sql_analyze" -> (tx_sql_analyze _),
     "tx_delta_skip_read" -> (tx_delta_skip_read _),
     "tx_iceberg_skip_read" -> (tx_iceberg_skip_read _),
     "tx_iceberg_partition_read" -> (tx_iceberg_partition_read _),
@@ -2431,6 +2457,17 @@ object TxQueries {
          |  min(s_suppkey) AS min_supp
          |FROM supplier
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the exact ANALYZE declaration must equal DuckDB's own
+    // count(DISTINCT) per column
+    "tx_sql_analyze" ->
+      """SELECT col, ndv FROM (
+        |  SELECT 'c_custkey' AS col,
+        |         count(DISTINCT c_custkey) AS ndv FROM customer
+        |  UNION ALL
+        |  SELECT 'c_nationkey', count(DISTINCT c_nationkey) FROM customer
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', count(DISTINCT c_mktsegment) FROM customer
+        |) ORDER BY col""".stripMargin,
     // two Iceberg snapshots tail-streamed into the sink exactly once
     // - DuckDB aggregates the customer table directly
     "tx_iceberg_stream_tail" ->

@@ -807,42 +807,75 @@ final class GraftScan(tx: TxTable, version: Long, required: StructType,
         else (new StructType(), Nil: Seq[(Option[
           graft.core.FileStats.Stats], Long)])
       val stats = entries.flatMap(_._1)
-      if (stats.length == entries.length && stats.nonEmpty) {
-        required.fields.filter(f => StatValues.extremeOk(f.dataType))
-          .foreach { f =>
-            // stats keyed by physical name; `f` is a pruned-schema
-            // field, so resolve through the declared schema `s`
-            val declared = s.fields.find(_.name.equalsIgnoreCase(f.name))
-            val statKey =
-              declared.map(tx.physicalFieldName).getOrElse(f.name)
-            val per = stats.map(_.cols.get(statKey))
-            if (per.forall(_.isDefined) && declared.isDefined) {
-              val cs = per.flatten
-              val mins = cs.flatMap(_.min)
-              val maxs = cs.flatMap(_.max)
-              val nulls = cs.map(_.nulls)
-              val nullsTotal =
-                if (nulls.forall(_ >= 0L)) Some(nulls.sum) else None
-              val ord = mins.headOption.flatMap(StatValues.ordering)
-              if (mins.nonEmpty && ord.isDefined) {
-                val mn = StatValues.toCatalyst(mins.min(ord.get), f.dataType)
-                val mx = StatValues.toCatalyst(maxs.max(ord.get), f.dataType)
-                out.put(
-                  org.apache.spark.sql.connector.expressions.Expressions
-                    .column(f.name),
-                  new org.apache.spark.sql.connector.read.colstats
-                      .ColumnStatistics {
-                    override def min(): java.util.Optional[Object] =
-                      java.util.Optional.ofNullable(mn.asInstanceOf[Object])
-                    override def max(): java.util.Optional[Object] =
-                      java.util.Optional.ofNullable(mx.asInstanceOf[Object])
-                    override def nullCount(): java.util.OptionalLong =
-                      nullsTotal.map(n => java.util.OptionalLong.of(n))
-                        .getOrElse(java.util.OptionalLong.empty())
-                  })
-              }
+      // ANALYZE-declared NDV / string lengths (TxTable.analyzeColumns)
+      // join the zone-map extremes: distinctCount is what CBO's join
+      // cardinality estimation actually keys on
+      val analysis: Map[String, graft.core.TxTable.ColAnalysis] =
+        if (cboOn)
+          tx.columnAnalysis
+            .map(_._2.map { case (k, a) => k.toLowerCase -> a })
+            .getOrElse(Map.empty)
+        else Map.empty
+      val haveFileStats = stats.length == entries.length && stats.nonEmpty
+      if (cboOn) {
+        required.fields.foreach { f =>
+          val extremes: Option[(Any, Any, Option[Long])] =
+            if (!haveFileStats || !StatValues.extremeOk(f.dataType)) None
+            else {
+              // stats keyed by physical name; `f` is a pruned-schema
+              // field, so resolve through the declared schema `s`
+              val declared = s.fields.find(_.name.equalsIgnoreCase(f.name))
+              val statKey =
+                declared.map(tx.physicalFieldName).getOrElse(f.name)
+              val per = stats.map(_.cols.get(statKey))
+              if (per.forall(_.isDefined) && declared.isDefined) {
+                val cs = per.flatten
+                val mins = cs.flatMap(_.min)
+                val maxs = cs.flatMap(_.max)
+                val nulls = cs.map(_.nulls)
+                val nullsTotal =
+                  if (nulls.forall(_ >= 0L)) Some(nulls.sum) else None
+                val ord = mins.headOption.flatMap(StatValues.ordering)
+                if (mins.nonEmpty && ord.isDefined)
+                  Some((StatValues.toCatalyst(mins.min(ord.get), f.dataType),
+                    StatValues.toCatalyst(maxs.max(ord.get), f.dataType),
+                    nullsTotal))
+                else None
+              } else None
             }
+          val an = analysis.get(f.name.toLowerCase)
+          if (extremes.nonEmpty || an.nonEmpty) {
+            out.put(
+              org.apache.spark.sql.connector.expressions.Expressions
+                .column(f.name),
+              new org.apache.spark.sql.connector.read.colstats
+                  .ColumnStatistics {
+                override def min(): java.util.Optional[Object] =
+                  extremes.map(e => java.util.Optional.ofNullable(
+                    e._1.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty[Object]())
+                override def max(): java.util.Optional[Object] =
+                  extremes.map(e => java.util.Optional.ofNullable(
+                    e._2.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty[Object]())
+                override def nullCount(): java.util.OptionalLong =
+                  extremes.flatMap(_._3)
+                    .map(n => java.util.OptionalLong.of(n))
+                    .getOrElse(java.util.OptionalLong.empty())
+                override def distinctCount(): java.util.OptionalLong =
+                  an.map(a => java.util.OptionalLong.of(a.ndv))
+                    .getOrElse(java.util.OptionalLong.empty())
+                override def avgLen(): java.util.OptionalLong =
+                  an.flatMap(_.avgLen)
+                    .map(x => java.util.OptionalLong.of(math.ceil(x).toLong))
+                    .getOrElse(java.util.OptionalLong.empty())
+                override def maxLen(): java.util.OptionalLong =
+                  an.flatMap(_.maxLen)
+                    .map(x => java.util.OptionalLong.of(x))
+                    .getOrElse(java.util.OptionalLong.empty())
+              })
           }
+        }
       }
       out
     }

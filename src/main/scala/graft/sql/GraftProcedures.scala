@@ -227,6 +227,21 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
         tx.compactClustered(cols, fpb)
         report(tx, "files_before" -> before.toString,
           "cluster_by" -> cols.mkString(","))
+      case "analyze" =>
+        // ANALYZE ... FOR COLUMNS: declare per-column NDV (+ string
+        // lengths) for the CBO feed. Default = every flat column,
+        // one-pass HLL sketches; 'exact' pays count(DISTINCT).
+        val tx = open(spark, arg(0, "table directory"))
+        val cols =
+          if (args.length > 1 && arg(1, "columns").nonEmpty)
+            arg(1, "columns").split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq
+          else Nil
+        val exact = args.length > 2 &&
+          arg(2, "mode").equalsIgnoreCase("exact")
+        val out = tx.analyzeColumns(cols, exact = exact)
+        report(tx, out.toSeq.sortBy(_._1).map { case (c, a) =>
+          s"ndv_$c" -> a.ndv.toString }: _*)
       case "maintenance" =>
         // POLICY-DRIVEN auto-maintenance — the "nobody has to
         // remember to run OPTIMIZE" verb for scheduled callers: each

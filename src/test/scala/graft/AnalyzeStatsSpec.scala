@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.TxTable
+
+/** ANALYZE column statistics (`TxTable.analyzeColumns` /
+  * `CALL graft.analyze`) and their CBO surface: NDV + string lengths
+  * declared in one metadata commit, served to Spark's optimizer as
+  * `distinctCount`/`avgLen`/`maxLen` through the DSv2 scan. */
+class AnalyzeStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(tag: String): TxTable = {
+    val dir = tmpDir(tag) + "/t"
+    val data = (1L to 200L)
+      .map(k => (k, k % 7L, s"name_${k % 13}", if (k % 10 == 0) null
+        else s"g${k % 4}"))
+      .toDF("k", "g", "nm", "grp")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 2)
+    t.append(data)
+    t
+  }
+
+  test("exact analyze stores true NDV + string lengths; roundtrip reads back") {
+    val t = mkTable("analyze")
+    val v = t.currentVersion
+    val out = t.analyzeColumns(exact = true)
+    assert(out("k").ndv === 200L)
+    assert(out("g").ndv === 7L)
+    assert(out("nm").ndv === 13L)
+    assert(out("grp").ndv === 4L) // count(DISTINCT) ignores nulls
+    // string lengths: name_0..name_12 -> max 7 bytes
+    assert(out("nm").maxLen === Some(7L))
+    assert(out("nm").avgLen.exists(x => x > 6.0 && x <= 7.0))
+    assert(out("k").avgLen.isEmpty) // non-string: no length stats
+
+    // the declaration is a metadata-only commit pinned at the
+    // analyzed version
+    val (ver, cols) = t.columnAnalysis.get
+    assert(ver === v)
+    assert(cols("g").ndv === 7L)
+    assert(t.currentVersion === v + 1)
+    assert(t.read.count() === 200L) // data untouched
+  }
+
+  test("approx analyze is one pass and lands within the rsd envelope") {
+    val t = mkTable("analyze-ap")
+    val out = t.analyzeColumns(Seq("k", "g"), exact = false, rsd = 0.05)
+    assert(math.abs(out("k").ndv - 200L) <= 20L)
+    assert(out("g").ndv >= 6L && out("g").ndv <= 8L)
+  }
+
+  test("CBO reads the declared NDV through the DSv2 scan") {
+    val t = mkTable("analyze-cbo")
+    t.analyzeColumns(exact = true)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val df = spark.read.format("graft").load(t.dir).select("k", "g", "nm")
+      val stats = df.queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.exists(_.toLong == 200L))
+      val byName = stats.attributeStats.map { case (a, s) => a.name -> s }
+      assert(byName("g").distinctCount.exists(_.toLong == 7L),
+        s"expected NDV 7 for g, got ${byName.get("g")}")
+      assert(byName("k").distinctCount.exists(_.toLong == 200L))
+      // string column: lengths ride along even without zone-map extremes
+      assert(byName("nm").distinctCount.exists(_.toLong == 13L))
+      assert(byName("nm").maxLen.contains(7L))
+      // zone-map extremes still present on the numeric key
+      assert(byName("k").min.nonEmpty && byName("k").max.nonEmpty)
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
+  test("CALL graft.analyze declares stats through pure SQL") {
+    val t = mkTable("analyze-sql")
+    spark.conf.set(graft.sql.GraftCallCommand.AllowRawPathsKey, "true")
+    try {
+      val rows = spark.sql(
+        s"CALL graft.analyze('${t.dir}', 'g,nm', 'exact')")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(rows("ndv_g") === "7")
+      assert(rows("ndv_nm") === "13")
+      val (_, cols) = t.columnAnalysis.get
+      assert(cols.keySet === Set("g", "nm"))
+    } finally
+      spark.conf.unset(graft.sql.GraftCallCommand.AllowRawPathsKey)
+  }
+
+  test("re-analyze replaces the declaration; unknown column refuses") {
+    val t = mkTable("analyze-re")
+    t.analyzeColumns(Seq("g"), exact = true)
+    assert(t.columnAnalysis.get._2.keySet === Set("g"))
+    t.append(Seq((1000L, 99L, "zz", "g9")).toDF("k", "g", "nm", "grp"))
+    t.analyzeColumns(Seq("g", "k"), exact = true)
+    val (ver, cols) = t.columnAnalysis.get
+    assert(cols.keySet === Set("g", "k"))
+    assert(cols("g").ndv === 8L) // 0..6 plus 99
+    assert(ver === t.currentVersion - 1)
+    val e = intercept[IllegalArgumentException] {
+      t.analyzeColumns(Seq("nope"))
+    }
+    assert(e.getMessage.contains("not in the schema"))
+  }
+}
