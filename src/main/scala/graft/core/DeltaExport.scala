@@ -520,6 +520,49 @@ object DeltaExport {
     cpPath.toString
   }
 
+  /** RETIRE PRE-CHECKPOINT LOG COMMITS — Delta's own log-retention
+    * cleanup, for the exported `_delta_log`: every re-sync appends a
+    * JSON commit forever, but readers bootstrap from the newest
+    * checkpoint, so commits strictly below the OLDEST RETAINED
+    * checkpoint (`keepCheckpoints` newest kept, default 2 — the
+    * crash margin stock writers keep) are dead weight. Deletes those
+    * JSON commits and the superseded checkpoint parquets; a log
+    * without a checkpoint is untouched (the full JSON history IS the
+    * only bootstrap).
+    *
+    * Consequences, by design and matching stock semantics: time
+    * travel and CDF reads below the cut REFUSE with the gap named
+    * (DeltaImport already does); current reads and incremental syncs
+    * are unaffected. Returns files removed. */
+  def expireLog(spark: SparkSession, table: TxTable,
+      keepCheckpoints: Int = 2): Int = {
+    require(keepCheckpoints >= 1, "must keep at least one checkpoint")
+    val (fs, _) = fsFor(spark, table)
+    val logDir = new Path(new Path(table.dir), "_delta_log")
+    if (!fs.exists(logDir)) return 0
+    val commitRe = "(\\d{20})\\.json".r
+    val cpRe = "(\\d{20})\\.checkpoint\\.parquet".r
+    val names = fs.listStatus(logDir).toSeq.map(_.getPath)
+    val checkpoints = names.flatMap(p => p.getName match {
+      case cpRe(v) => Some(v.toLong -> p)
+      case _       => None
+    }).sortBy(_._1)
+    if (checkpoints.isEmpty) return 0
+    val kept = checkpoints.takeRight(keepCheckpoints)
+    val cut = kept.head._1 // oldest RETAINED checkpoint version
+    var removed = 0
+    names.foreach { p =>
+      p.getName match {
+        case commitRe(v) if v.toLong < cut =>
+          fs.delete(p, false); removed += 1
+        case cpRe(v) if v.toLong < cut =>
+          fs.delete(p, false); removed += 1
+        case _ => ()
+      }
+    }
+    removed
+  }
+
   /** Append the NEXT Delta commit: the remove/add diff between the
     * published log state and the table's current snapshot (plus a
     * fresh metaData action when the schema evolved, a protocol

@@ -171,7 +171,11 @@ object DeltaImport {
         v
     }
     // bootstrap choice: the newest checkpoint at or below the target
-    val boot: Option[Long] = lastCp.filter(_ <= target)
+    // among ALL present checkpoints (not just the pointed one) — a
+    // log whose pre-checkpoint commits were retired can still time
+    // travel to any version at or above a RETAINED older checkpoint
+    val boot: Option[Long] =
+      checkpoints.keys.filter(_ <= target).reduceOption(_ max _)
     val replayFrom = boot.map(_ + 1L).getOrElse(0L)
     val tail = allCommits.filter { case (v, _) =>
       v >= replayFrom && v <= target }
@@ -703,6 +707,75 @@ object DeltaImport {
           .reduce(_ unionByName _)
       }
     out.select(snap.schema.map(f => col(f.name)).toSeq: _*)
+  }
+
+  /** TIMESTAMP AS OF resolution: the newest delta version whose
+    * commit file was modified at or before `tsMillis` — delta-spark's
+    * own rule (commit-file modification times ARE the history
+    * timeline; `DESCRIBE HISTORY` prints them). ONE directory
+    * listing, no file opens. Refuses a timestamp before the earliest
+    * retained commit (nothing to serve) — never rounds forward. */
+  def versionAsOf(spark: SparkSession, dir: String,
+      tsMillis: Long): Long = {
+    val root = new Path(dir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(root, "_delta_log")
+    require(hfs.exists(logDir), s"$dir has no _delta_log - not a Delta table")
+    val commitRe = "(\\d{20})\\.json".r
+    val stamped = hfs.listStatus(logDir).toSeq.flatMap(st =>
+      st.getPath.getName match {
+        case commitRe(v) => Some(v.toLong -> st.getModificationTime)
+        case _           => None
+      })
+    require(stamped.nonEmpty, s"$dir/_delta_log holds no JSON commits")
+    val at = stamped.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"timestamp $tsMillis is before the earliest retained commit " +
+        s"(${stamped.map(_._2).min}) of $dir")
+    at.map(_._1).max
+  }
+
+  /** Per-commit history for the ops TVF (`graft_delta_history`):
+    * (version, mtime, adds, removes, cdc files, carried metaData) for
+    * every retained JSON commit — DESCRIBE HISTORY for a foreign
+    * log, operation inferred from the actions when no commitInfo
+    * names one. One listing plus one JSON parse per retained commit
+    * (driver metadata, O(log)). */
+  def history(spark: SparkSession, dir: String)
+      : Seq[(Long, Long, Int, Int, Int, Boolean, String)] = {
+    val root = new Path(dir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(root, "_delta_log")
+    require(hfs.exists(logDir), s"$dir has no _delta_log - not a Delta table")
+    val commitRe = "(\\d{20})\\.json".r
+    hfs.listStatus(logDir).toSeq.flatMap(st => st.getPath.getName match {
+      case commitRe(v) => Some((v.toLong, st.getPath, st.getModificationTime))
+      case _           => None
+    }).sortBy(_._1).map { case (v, p, mtime) =>
+      val in = hfs.open(p)
+      val lines =
+        try Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      var adds = 0; var removes = 0; var cdc = 0; var meta = false
+      var op: Option[String] = None
+      lines.filter(_.trim.nonEmpty).foreach { line =>
+        val j = JsonMethods.parse(line)
+        if ((j \ "add") != JNothing) adds += 1
+        if ((j \ "remove") != JNothing) removes += 1
+        if ((j \ "cdc") != JNothing) cdc += 1
+        if ((j \ "metaData") != JNothing) meta = true
+        (j \ "commitInfo" \ "operation") match {
+          case JString(o) => op = Some(o)
+          case _          => ()
+        }
+      }
+      val inferred = op.getOrElse(
+        if (removes > 0 && adds > 0) "overwrite"
+        else if (removes > 0) "delete"
+        else if (adds > 0) "append"
+        else "metadata")
+      (v, mtime, adds, removes, cdc, meta, inferred)
+    }
   }
 
   /** Newest delta version with a JSON commit — ONE directory listing

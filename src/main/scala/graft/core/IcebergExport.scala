@@ -366,6 +366,95 @@ object IcebergExport {
     (fs.makeQualified(target).toString, n)
   }
 
+  /** EXPIRE ORPHANED EXPORT METADATA — the `expire_snapshots` /
+    * `remove_orphan_files` pairing for the exported tree, metadata
+    * side only (data files are graft's own, vacuum owns them): an
+    * incremental re-sync supersedes content-hash-named manifests and
+    * manifest lists, and graft retention drops whole snapshots —
+    * none of which deletes the old bytes. This walks the CURRENT
+    * metadata's full reference closure (metadata.json → manifest
+    * lists → manifests; delete manifests → position-delete parquets)
+    * and removes every unreferenced file under `metadata/` and
+    * `_iceberg_deletes/` older than `minAgeMs` (the grace window
+    * that keeps a CONCURRENT re-sync's just-written files safe —
+    * they are not referenced until its pointer flip).
+    *
+    * Time travel to every snapshot still IN the metadata is
+    * untouched by construction: their whole closure is referenced.
+    * Returns (files removed, bytes removed). */
+  def expireOrphans(spark: SparkSession, table: TxTable,
+      minAgeMs: Long = 10L * 60L * 1000L): (Int, Long) = {
+    val root = new Path(table.dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    val hintPath = new Path(metaDir, "version-hint.text")
+    require(fs.exists(hintPath),
+      s"${table.dir} has no exported Iceberg tree (metadata/version-hint)")
+    val hint = {
+      val in = fs.open(hintPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    val mdPath = new Path(metaDir, s"v$hint.metadata.json")
+    val md = {
+      val in = fs.open(mdPath)
+      try JsonMethods.parse(
+        scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+    def baseName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val referenced = scala.collection.mutable.Set[String](
+      mdPath.getName, hintPath.getName)
+    val conf = spark.sparkContext.hadoopConfiguration
+    (md \ "snapshots") match {
+      case JArray(snaps) => snaps.foreach { s =>
+        (s \ "manifest-list") match {
+          case JString(lp) =>
+            referenced += baseName(lp)
+            IcebergImport.readAvro(fs, new Path(lp), conf).foreach { m =>
+              val mPath = m.get("manifest_path").toString
+              referenced += baseName(mPath)
+              val content = Option(m.get("content"))
+                .map(_.asInstanceOf[Int]).getOrElse(0)
+              // delete manifests reference the position-delete
+              // parquets under _iceberg_deletes
+              if (content != 0)
+                IcebergImport.readAvro(fs, new Path(mPath), conf).foreach { e =>
+                  val df = e.get("data_file").asInstanceOf[GenericRecord]
+                  referenced += baseName(df.get("file_path").toString)
+                }
+            }
+          case _ => ()
+        }
+      }
+      case _ => ()
+    }
+    val now = System.currentTimeMillis()
+    var files = 0
+    var bytes = 0L
+    def sweep(dir: Path, keep: String => Boolean): Unit =
+      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (now - st.getModificationTime >= minAgeMs) {
+          if (st.isFile && !referenced.contains(n) && !keep(n)) {
+            bytes += st.getLen
+            files += 1
+            fs.delete(st.getPath, false)
+          } else if (st.isDirectory && n.startsWith(".stage-")) {
+            // a crashed sidecar write's staging dir - never referenced
+            files += 1
+            fs.delete(st.getPath, true)
+          }
+        }
+      }
+    // metadata/: only export-written shapes are candidates — never a
+    // file some other tool parked there
+    sweep(metaDir, n => !(n.endsWith(".avro") || n.endsWith(".metadata.json")))
+    sweep(new Path(root, "_iceberg_deletes"),
+      n => !(n.endsWith(".parquet") || n.startsWith(".stage-")))
+    (files, bytes)
+  }
+
   /** Export the table's RETAINED HISTORY as an Iceberg v2 metadata
     * tree under `table.dir/metadata/`: one snapshot per retained
     * TxTable version (snapshot-id = 1000 + version, so

@@ -218,7 +218,7 @@ object IcebergImport {
     if (cols.isEmpty) None else Some(FileStats.Stats(rows, cols))
   }
 
-  private def readAvro(fs: FileSystem, p: Path,
+  private[core] def readAvro(fs: FileSystem, p: Path,
       conf: org.apache.hadoop.conf.Configuration): Seq[GenericRecord] = {
     val in = new FsInput(p, conf)
     val r = new DataFileReader[GenericRecord](in,
@@ -295,6 +295,65 @@ object IcebergImport {
         }
       })
     (schema, phys)
+  }
+
+  /** The metadata's full snapshot inventory for the ops TVF
+    * (`graft_iceberg_snapshots`): every snapshot with identity,
+    * sequence, commit timestamp, declared operation, parentage and
+    * whether it sits on the MAIN lineage (a staged WAP snapshot does
+    * not). One metadata.json parse. */
+  def snapshotsInfo(spark: SparkSession, dir: String)
+      : Seq[(Long, Long, Long, String, Option[Long], Boolean)] = {
+    val md = readMetadataJson(spark, dir)
+    val onMain: Set[Long] = scala.util.Try(
+      lineage(spark, dir).map(_.id).toSet).getOrElse(Set.empty)
+    (md \ "snapshots") match {
+      case JArray(ss) => ss.flatMap { s =>
+        ((s \ "snapshot-id"), (s \ "sequence-number"),
+          (s \ "timestamp-ms")) match {
+          case (JInt(id), seqJ, tsJ) =>
+            val seq = seqJ match { case JInt(x) => x.toLong; case _ => 0L }
+            val ts = tsJ match { case JInt(x) => x.toLong; case _ => 0L }
+            val op = (s \ "summary" \ "operation") match {
+              case JString(o) => o
+              case _          => "unknown"
+            }
+            val parent = (s \ "parent-snapshot-id") match {
+              case JInt(p) => Some(p.toLong)
+              case _       => None
+            }
+            Some((id.toLong, seq, ts, op, parent, onMain(id.toLong)))
+          case _ => None
+        }
+      }
+      case _ => Nil
+    }
+  }
+
+  /** TIMESTAMP AS OF resolution, the spec's own timeline: the
+    * `snapshot-log`'s newest entry at or before `tsMillis` (each
+    * entry is a current-snapshot transition with its commit
+    * timestamp). One metadata.json parse. Refuses a timestamp before
+    * the earliest logged transition — never rounds forward. */
+  def snapshotIdAsOf(spark: SparkSession, dir: String,
+      tsMillis: Long): Long = {
+    val md = readMetadataJson(spark, dir)
+    val log: Seq[(Long, Long)] = (md \ "snapshot-log") match {
+      case JArray(es) => es.flatMap { e =>
+        ((e \ "timestamp-ms"), (e \ "snapshot-id")) match {
+          case (JInt(ts), JInt(id)) => Some(ts.toLong -> id.toLong)
+          case _                    => None
+        }
+      }
+      case _ => Nil
+    }
+    require(log.nonEmpty, s"$dir's metadata has no snapshot-log " +
+      "entries - timestamp travel needs the commit timeline")
+    val at = log.filter(_._1 <= tsMillis)
+    require(at.nonEmpty,
+      s"timestamp $tsMillis is before the earliest snapshot-log " +
+        s"entry (${log.map(_._1).min}) of $dir")
+    at.maxBy(_._1)._2
   }
 
   /** One snapshot on the MAIN lineage, as the streaming tail source

@@ -228,28 +228,60 @@ object GraftTableFunctions {
     * metadata, columnMapping name/id binding), optionally pinned to a
     * log version. The SQL-only door to [[graft.core.DeltaImport]] —
     * reading someone else's lakehouse no longer needs Scala. */
-  /** Trailing optional TVF arguments: an INT pins a version/snapshot,
-    * a STRING is a predicate in SQL text routed to the import's
-    * `readWhere` (driver-side file skipping from the foreign stats —
-    * a bare TVF result would only get row-group pushdown, never
-    * manifest-level pruning). Both may appear, in either order. */
-  private def scanArgs(exprs: Seq[Expression],
-      what: String): (Option[Long], Option[String]) =
-    (1 until exprs.length).map(i => evalArg(exprs, i, what))
-      .foldLeft((Option.empty[Long], Option.empty[String])) {
-        case ((v, p), n: Int)           => (v.orElse(Some(n.toLong)), p)
-        case ((v, p), n: Long)          => (v.orElse(Some(n)), p)
-        case ((v, p), s: UTF8String)    => (v, p.orElse(Some(s.toString)))
-        case ((v, p), s: String)        => (v, p.orElse(Some(s)))
+  /** Trailing optional TVF arguments: an INT pins a version/snapshot;
+    * a STRING starting with `ts=` pins a TIMESTAMP (epoch millis,
+    * ISO-8601 instant, or `yyyy-MM-dd[ HH:mm:ss]` UTC — resolved
+    * through each dialect's own timeline: Delta commit-file mtimes,
+    * the Iceberg snapshot-log); any other STRING is a predicate in
+    * SQL text routed to the import's `readWhere` (driver-side file
+    * skipping from the foreign stats — a bare TVF result would only
+    * get row-group pushdown, never manifest-level pruning). They may
+    * appear in any order; version and timestamp pins conflict. */
+  private def scanArgs(exprs: Seq[Expression], what: String)
+      : (Option[Long], Option[String], Option[Long]) = {
+    val out = (1 until exprs.length).map(i => evalArg(exprs, i, what))
+      .foldLeft((Option.empty[Long], Option.empty[String],
+        Option.empty[Long])) {
+        case ((v, p, t), n: Int)  => (v.orElse(Some(n.toLong)), p, t)
+        case ((v, p, t), n: Long) => (v.orElse(Some(n)), p, t)
+        case ((v, p, t), s: UTF8String) =>
+          scanStringArg(v, p, t, s.toString)
+        case ((v, p, t), s: String) => scanStringArg(v, p, t, s)
         case (_, other) => throw new IllegalArgumentException(
-          s"$what: expected a version (int) or predicate (string), " +
-            s"got $other")
+          s"$what: expected a version (int), 'ts=<timestamp>' or " +
+            s"predicate (string), got $other")
       }
+    require(out._1.isEmpty || out._3.isEmpty,
+      s"$what: a version pin and a timestamp pin conflict - pass one")
+    out
+  }
+
+  private def scanStringArg(v: Option[Long], p: Option[String],
+      t: Option[Long], s: String)
+      : (Option[Long], Option[String], Option[Long]) =
+    if (s.startsWith("ts=")) (v, p, t.orElse(Some(parseTs(s.drop(3)))))
+    else (v, p.orElse(Some(s)), t)
+
+  private def parseTs(s: String): Long = {
+    val trimmed = s.trim
+    if (trimmed.matches("\\d{10,}")) trimmed.toLong
+    else scala.util.Try(java.time.Instant.parse(trimmed).toEpochMilli)
+      .orElse(scala.util.Try(java.time.LocalDateTime
+        .parse(trimmed.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
+      .orElse(scala.util.Try(java.time.LocalDate.parse(trimmed)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot parse timestamp '$s' - epoch millis, ISO-8601, " +
+          "or yyyy-MM-dd[ HH:mm:ss] (UTC)"))
+  }
 
   private def deltaScan(exprs: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
     val dir = str(exprs, 0, "delta table directory")
-    val (asOf, pred) = scanArgs(exprs, "graft_delta_scan")
+    val (verPin, pred, tsPin) = scanArgs(exprs, "graft_delta_scan")
+    val asOf = verPin.orElse(
+      tsPin.map(graft.core.DeltaImport.versionAsOf(spark, dir, _)))
     plan(pred match {
       case Some(p) => graft.core.DeltaImport.readWhere(spark, dir,
         org.apache.spark.sql.functions.expr(p), asOf)
@@ -264,12 +296,44 @@ object GraftTableFunctions {
   private def icebergScan(exprs: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
     val dir = str(exprs, 0, "iceberg table directory")
-    val (snapId, pred) = scanArgs(exprs, "graft_iceberg_scan")
+    val (idPin, pred, tsPin) = scanArgs(exprs, "graft_iceberg_scan")
+    val snapId = idPin.orElse(
+      tsPin.map(graft.core.IcebergImport.snapshotIdAsOf(spark, dir, _)))
     plan(pred match {
       case Some(p) => graft.core.IcebergImport.readWhere(spark, dir,
         org.apache.spark.sql.functions.expr(p), snapId)
       case None => graft.core.IcebergImport.read(spark, dir, snapId)
     })
+  }
+
+  /** `graft_delta_history(dir)` — DESCRIBE HISTORY for a FOREIGN
+    * Delta log: per retained commit its mtime timeline, add/remove/
+    * cdc action counts, whether it carried a metaData action, and
+    * the operation (commitInfo's word, else inferred from the
+    * actions). Driver metadata only, O(log). */
+  private def deltaHistory(exprs: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    val dir = str(exprs, 0, "delta table directory")
+    import spark.implicits._
+    plan(graft.core.DeltaImport.history(spark, dir)
+      .toDF("version", "timestamp_ms", "adds", "removes", "cdc_files",
+        "meta_change", "operation")
+      .orderBy("version"))
+  }
+
+  /** `graft_iceberg_snapshots(dir)` — the snapshot inventory of a
+    * FOREIGN Iceberg tree: id, sequence, commit timestamp, declared
+    * operation, parent, and whether the snapshot is on the MAIN
+    * lineage (staged WAP snapshots are not). One metadata.json
+    * parse. */
+  private def icebergSnapshots(exprs: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    val dir = str(exprs, 0, "iceberg table directory")
+    import spark.implicits._
+    plan(graft.core.IcebergImport.snapshotsInfo(spark, dir)
+      .toDF("snapshot_id", "sequence_number", "timestamp_ms",
+        "operation", "parent_id", "on_main")
+      .orderBy("sequence_number", "snapshot_id"))
   }
 
   /** `graft_copy_ledger(tableDir)` — COPY INTO's exactly-once ledger
@@ -313,5 +377,7 @@ object GraftTableFunctions {
     e.injectTableFunction(tvf("graft_copy_ledger", copyLedger))
     e.injectTableFunction(tvf("graft_delta_scan", deltaScan))
     e.injectTableFunction(tvf("graft_iceberg_scan", icebergScan))
+    e.injectTableFunction(tvf("graft_delta_history", deltaHistory))
+    e.injectTableFunction(tvf("graft_iceberg_snapshots", icebergSnapshots))
   }
 }

@@ -803,6 +803,44 @@ object TxQueries {
       .toDF("col", "ndv").orderBy("col")
   }
 
+  /** EXPORTED-TREE MAINTENANCE, end to end: part in a TxTable,
+    * published as BOTH dialects (uniform), mutated (a DV-light
+    * delete), re-synced — then `expireOrphans` (Iceberg orphan
+    * metadata) and `expireLog` (Delta pre-checkpoint commits) sweep
+    * with a zero grace window. Both dialects' SQL scan doors must
+    * still reconstruct the post-delete state exactly: expire removes
+    * only what nothing references. DuckDB recomputes the surviving
+    * rows from raw part. */
+  def tx_export_expire(s: SparkSession, dir: String): DataFrame = {
+    val pt = t(s, dir, "part")
+      .select("p_partkey", "p_size", "p_retailprice")
+    val table = cached(s, dir, "part", "expexpire", 2L) { loc =>
+      new TxTable(s, loc, pt.schema, Seq("p_partkey"), numBuckets = 4)
+    } { tx =>
+      tx.append(pt) // v1
+      graft.core.IcebergExport.writeIcebergMetadata(s, tx)
+      graft.core.DeltaExport.writeDeltaLog(s, tx)
+      tx.deleteWhereLight(col("p_partkey") % 7 === 0) // v2: DVs
+      graft.core.IcebergExport.writeIcebergMetadata(s, tx)
+      graft.core.DeltaExport.syncDeltaLog(s, tx)
+      graft.core.DeltaExport.writeCheckpoint(s, tx)
+      graft.core.IcebergExport.expireOrphans(s, tx, minAgeMs = 0L)
+      graft.core.DeltaExport.expireLog(s, tx, keepCheckpoints = 1)
+    }
+    // re-run safety: Verify may reuse the cached build - expire again
+    // (idempotent) before reading through both dialect doors
+    graft.core.IcebergExport.expireOrphans(s, table, minAgeMs = 0L)
+    def agg(df: DataFrame, dialect: String): DataFrame =
+      df.groupBy(lit(dialect).as("dialect"))
+        .agg(count(lit(1)).as("n"),
+          Qhelpers.msum(col("p_retailprice")).as("price"),
+          max("p_partkey").as("max_key"))
+    agg(graft.core.DeltaImport.read(s, table.dir), "delta")
+      .unionByName(
+        agg(graft.core.IcebergImport.read(s, table.dir), "iceberg"))
+      .orderBy("dialect")
+  }
+
   /** STREAMING STATEFUL DEDUP across micro-batch runs: two source
     * files deliver OVERLAPPING supplier slices (the re-delivery
     * shape every at-least-once feed produces); the stream pipes the
@@ -2050,6 +2088,7 @@ object TxQueries {
     "tx_stream_copy" -> (tx_stream_copy _),
     "tx_iceberg_stream_tail" -> (tx_iceberg_stream_tail _),
     "tx_sql_analyze" -> (tx_sql_analyze _),
+    "tx_export_expire" -> (tx_export_expire _),
     "tx_delta_skip_read" -> (tx_delta_skip_read _),
     "tx_iceberg_skip_read" -> (tx_iceberg_skip_read _),
     "tx_iceberg_partition_read" -> (tx_iceberg_partition_read _),
@@ -2457,6 +2496,18 @@ object TxQueries {
          |  min(s_suppkey) AS min_supp
          |FROM supplier
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // after expire sweeps both exported trees, each dialect's read
+    // must still equal the post-delete state DuckDB recomputes
+    "tx_export_expire" ->
+      s"""SELECT dialect, count(*) AS n,
+         |  ${Qhelpers.sqlMsum("p_retailprice")} AS price,
+         |  max(p_partkey) AS max_key
+         |FROM (SELECT 'delta' AS dialect, p_retailprice, p_partkey
+         |        FROM part WHERE p_partkey % 7 <> 0
+         |      UNION ALL
+         |      SELECT 'iceberg', p_retailprice, p_partkey
+         |        FROM part WHERE p_partkey % 7 <> 0)
+         |GROUP BY dialect ORDER BY dialect""".stripMargin,
     // the exact ANALYZE declaration must equal DuckDB's own
     // count(DISTINCT) per column
     "tx_sql_analyze" ->

@@ -67,15 +67,20 @@ final class GraftCdfTable(dir: String) extends Table with SupportsRead {
       override def toMicroBatchStream(checkpointLocation: String)
           : MicroBatchStream =
         new GraftCdfMicroBatchStream(dir, dataSchema,
-          Option(options.get("startingVersion")).map(_.toLong))
+          Option(options.get("startingVersion")).map(_.toLong),
+          Option(options.get("maxCommitsPerTrigger")).map(_.toLong))
       override def description(): String = s"GraftCdfScan $dir"
     }
   }
 }
 
 final class GraftCdfMicroBatchStream(dir: String, dataSchema: StructType,
-    startingVersion: Option[Long]) extends MicroBatchStream
+    startingVersion: Option[Long],
+    maxCommitsPerTrigger: Option[Long] = None) extends MicroBatchStream
     with SupportsTriggerAvailableNow {
+
+  maxCommitsPerTrigger.foreach(n => require(n >= 1,
+    s"maxCommitsPerTrigger must be >= 1, got $n"))
 
   private def spark = SparkSession.active
   // default: the FULL feed (commit 0's snapshot inserts included) —
@@ -90,12 +95,25 @@ final class GraftCdfMicroBatchStream(dir: String, dataSchema: StructType,
   override def initialOffset(): Offset = GraftOffset(t0Version)
   override def latestOffset(): Offset = GraftOffset(
     availableNowEnd.getOrElse(DeltaImport.latestLogVersion(spark, dir)))
-  // SupportsTriggerAvailableNow extends SupportsAdmissionControl: no
-  // rate limiting here (commit granularity is already the bound), so
-  // the limit-aware overload just pins at the AvailableNow end
+  /** Admission control: a feed consumer starting at commit 0 of a
+    * long log (or restarting far behind) drains
+    * `maxCommitsPerTrigger` DELTA COMMITS per micro-batch instead of
+    * planning the whole backlog as one giant batch — bounded change
+    * files and executor memory per trigger at any log length. Delta
+    * versions are dense, so the step is arithmetic; composes with
+    * `Trigger.AvailableNow` (chunked drain up to the pinned end). */
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : Offset = latestOffset()
+      : Offset = {
+    val s = start.asInstanceOf[GraftOffset].version
+    val cap = availableNowEnd
+      .getOrElse(DeltaImport.latestLogVersion(spark, dir))
+    val end = maxCommitsPerTrigger match {
+      case Some(n) => math.min(s + n, cap)
+      case None    => cap
+    }
+    GraftOffset(end max s)
+  }
   override def reportLatestOffset(): Offset =
     GraftOffset(DeltaImport.latestLogVersion(spark, dir))
   override def deserializeOffset(json: String): Offset =

@@ -79,7 +79,8 @@ final class GraftIcebergTailTable(dir: String) extends Table
           Option(options.get("skipDeleteSnapshots"))
             .exists(_.equalsIgnoreCase("true")),
           Option(options.get("skipOverwriteSnapshots"))
-            .exists(_.equalsIgnoreCase("true")))
+            .exists(_.equalsIgnoreCase("true")),
+          Option(options.get("maxSnapshotsPerTrigger")).map(_.toLong))
       override def description(): String = s"GraftIcebergTailScan $dir"
     }
   }
@@ -87,8 +88,12 @@ final class GraftIcebergTailTable(dir: String) extends Table
 
 final class GraftIcebergTailStream(dir: String, physSchema: StructType,
     startingSequence: Option[Long], skipDeletes: Boolean,
-    skipOverwrites: Boolean) extends MicroBatchStream
+    skipOverwrites: Boolean, maxSnapshotsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream
     with SupportsTriggerAvailableNow {
+
+  maxSnapshotsPerTrigger.foreach(n => require(n >= 1,
+    s"maxSnapshotsPerTrigger must be >= 1, got $n"))
 
   private def spark = SparkSession.active
 
@@ -114,9 +119,30 @@ final class GraftIcebergTailStream(dir: String, physSchema: StructType,
   override def initialOffset(): Offset = GraftOffset(t0Seq)
   override def latestOffset(): Offset =
     GraftOffset(availableNowEnd.getOrElse(headSeq()))
+
+  /** Admission control: a stream starting far behind the head (or a
+    * long-stopped restart) drains `maxSnapshotsPerTrigger` SNAPSHOTS
+    * per micro-batch instead of planning the whole backlog as one
+    * giant batch — bounded task count and executor memory per
+    * trigger at any history size. Steps over the lineage's actual
+    * sequence numbers; composes with `Trigger.AvailableNow`
+    * (chunked drain up to the pinned end). */
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : Offset = latestOffset()
+      : Offset = {
+    val s = start.asInstanceOf[GraftOffset].version
+    val cap = availableNowEnd.getOrElse(headSeq())
+    val end = maxSnapshotsPerTrigger match {
+      case Some(n) =>
+        val avail = IcebergImport.lineage(spark, dir).map(_.seq)
+          .filter(q => q > s && q <= cap)
+        // clamp, don't truncate: take(negative) would stall forever
+        val cnt = math.min(n, Int.MaxValue.toLong).toInt
+        if (avail.isEmpty) s else avail.take(cnt).last
+      case None => cap
+    }
+    GraftOffset(end max s)
+  }
   override def reportLatestOffset(): Offset = GraftOffset(headSeq())
   override def deserializeOffset(json: String): Offset =
     GraftOffset(json.trim.toLong)

@@ -227,6 +227,35 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
         tx.compactClustered(cols, fpb)
         report(tx, "files_before" -> before.toString,
           "cluster_by" -> cols.mkString(","))
+      case "export_expire" =>
+        // expire_snapshots / remove_orphan_files for the exported
+        // trees: Iceberg orphan metadata + Delta pre-checkpoint log
+        // commits, whichever dialects this table has published
+        val tx = open(spark, arg(0, "table directory"))
+        val minAge =
+          if (args.length > 1) arg(1, "min age ms").toLong
+          else 10L * 60L * 1000L
+        val keepCp =
+          if (args.length > 2) arg(2, "keep checkpoints").toInt else 2
+        val root = new org.apache.hadoop.fs.Path(tx.dir)
+        val fs = root.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val hasIce = fs.exists(new org.apache.hadoop.fs.Path(root,
+          "metadata/version-hint.text"))
+        val hasDelta = fs.exists(new org.apache.hadoop.fs.Path(root,
+          "_delta_log"))
+        val (iceFiles, iceBytes) =
+          if (hasIce)
+            graft.core.IcebergExport.expireOrphans(spark, tx, minAge)
+          else (0, 0L)
+        val deltaFiles =
+          if (hasDelta)
+            graft.core.DeltaExport.expireLog(spark, tx, keepCp)
+          else 0
+        report(tx,
+          "iceberg_files_removed" -> iceFiles.toString,
+          "iceberg_bytes_removed" -> iceBytes.toString,
+          "delta_files_removed" -> deltaFiles.toString)
       case "analyze" =>
         // ANALYZE ... FOR COLUMNS: declare per-column NDV (+ string
         // lengths) for the CBO feed. Default = every flat column,

@@ -63,6 +63,34 @@ class GraftCdfStreamSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSet === batch)
   }
 
+  test("maxCommitsPerTrigger chunks the feed drain") {
+    val dir = tmpDir("cdfstream-rate") + "/t"
+    val data = (1L to 9L).map(k => (k, k * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 1)
+    t.append(data.filter(col("k") <= 3L))
+    DeltaExport.writeDeltaLog(spark, t)     // delta 0
+    t.append(data.filter(col("k") > 3L && col("k") <= 6L))
+    DeltaExport.syncDeltaLog(spark, t)      // delta 1
+    t.append(data.filter(col("k") > 6L))
+    DeltaExport.syncDeltaLog(spark, t)      // delta 2
+
+    val out = tmpDir("cdfstream-rate-out")
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("maxCommitsPerTrigger", "1")
+      .load(dir)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("cdfstream-rate-ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() === 9L)
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0L)
+    assert(dataBatches >= 2,
+      s"a 1-commit cap must chunk the drain, saw $dataBatches batches")
+  }
+
   test("honest refusals: no log, and mutation commits without change data") {
     val dir = tmpDir("cdfstream-ref") + "/t"
     val data = (1L to 6L).map(k => (k, k * 1.0)).toDF("k", "v")

@@ -171,6 +171,34 @@ class IcebergTailStreamSpec extends SparkSpec {
       === (11L to 16L).toArray)
   }
 
+  test("maxSnapshotsPerTrigger chunks the backlog drain") {
+    val dir = tmpDir("icetail-rate") + "/t"
+    val a = (1L to 12L).map(k => (k, k * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, a.schema, Seq("k"), numBuckets = 1)
+    t.append(a.filter(col("k") <= 4L))
+    t.append(a.filter(col("k") > 4L && col("k") <= 8L))
+    t.append(a.filter(col("k") > 8L))
+    IcebergExport.writeIcebergMetadata(spark, t)
+
+    val out = tmpDir("icetail-rate-out")
+    val q = spark.readStream.format("graft")
+      .option("icebergTail", "true")
+      .option("maxSnapshotsPerTrigger", "1")
+      .load(dir)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("icetail-rate-ck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // every row exactly once, drained over MULTIPLE micro-batches
+    assert(spark.read.parquet(out).select("k").as[Long].collect().sorted
+      === (1L to 12L).toArray)
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0L)
+    assert(dataBatches >= 2,
+      s"a 1-snapshot cap must chunk the drain, saw $dataBatches batches")
+  }
+
   test("format-version 1 trees refuse streaming (no sequence offsets)") {
     val dir = tmpDir("icetail-v1") + "/t"
     val a = (1L to 5L).map(k => (k, k * 1.0)).toDF("k", "v")
