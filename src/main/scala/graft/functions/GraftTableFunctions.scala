@@ -228,52 +228,40 @@ object GraftTableFunctions {
     * metadata, columnMapping name/id binding), optionally pinned to a
     * log version. The SQL-only door to [[graft.core.DeltaImport]] —
     * reading someone else's lakehouse no longer needs Scala. */
-  /** Trailing optional TVF arguments: an INT pins a version/snapshot;
-    * a STRING starting with `ts=` pins a TIMESTAMP (epoch millis,
-    * ISO-8601 instant, or `yyyy-MM-dd[ HH:mm:ss]` UTC — resolved
-    * through each dialect's own timeline: Delta commit-file mtimes,
-    * the Iceberg snapshot-log); any other STRING is a predicate in
-    * SQL text routed to the import's `readWhere` (driver-side file
-    * skipping from the foreign stats — a bare TVF result would only
-    * get row-group pushdown, never manifest-level pruning). They may
-    * appear in any order; version and timestamp pins conflict. */
+  /** Trailing optional TVF arguments, dispatched on the literal's
+    * TYPE so nothing collides with predicate text: an INT/BIGINT
+    * pins a version/snapshot; a TIMESTAMP or DATE literal
+    * (`TIMESTAMP '2026-01-01 00:00:00'`) pins a point in time —
+    * resolved through each dialect's own timeline (Delta commit-file
+    * mtimes, the Iceberg snapshot-log); a STRING is always a
+    * predicate in SQL text routed to the import's `readWhere`
+    * (driver-side file skipping from the foreign stats — a bare TVF
+    * result would only get row-group pushdown, never manifest-level
+    * pruning). They may appear in any order; version and timestamp
+    * pins conflict. */
   private def scanArgs(exprs: Seq[Expression], what: String)
       : (Option[Long], Option[String], Option[Long]) = {
-    val out = (1 until exprs.length).map(i => evalArg(exprs, i, what))
+    import org.apache.spark.sql.types.{DateType, TimestampType, TimestampNTZType}
+    val out = (1 until exprs.length)
+      .map(i => (evalArg(exprs, i, what), exprs(i).dataType))
       .foldLeft((Option.empty[Long], Option.empty[String],
         Option.empty[Long])) {
-        case ((v, p, t), n: Int)  => (v.orElse(Some(n.toLong)), p, t)
-        case ((v, p, t), n: Long) => (v.orElse(Some(n)), p, t)
-        case ((v, p, t), s: UTF8String) =>
-          scanStringArg(v, p, t, s.toString)
-        case ((v, p, t), s: String) => scanStringArg(v, p, t, s)
-        case (_, other) => throw new IllegalArgumentException(
-          s"$what: expected a version (int), 'ts=<timestamp>' or " +
-            s"predicate (string), got $other")
+        case ((v, p, t), (n: Long, _: TimestampType | _: TimestampNTZType)) =>
+          (v, p, t.orElse(Some(n / 1000L))) // micros -> millis
+        case ((v, p, t), (d: Integer, _: DateType)) =>
+          (v, p, t.orElse(Some(d.toLong * 86400000L))) // days -> millis
+        case ((v, p, t), (n: Int, _))  => (v.orElse(Some(n.toLong)), p, t)
+        case ((v, p, t), (n: Long, _)) => (v.orElse(Some(n)), p, t)
+        case ((v, p, t), (s: UTF8String, _)) =>
+          (v, p.orElse(Some(s.toString)), t)
+        case ((v, p, t), (s: String, _)) => (v, p.orElse(Some(s)), t)
+        case (_, (other, dt)) => throw new IllegalArgumentException(
+          s"$what: expected a version (int), TIMESTAMP/DATE literal " +
+            s"or predicate (string), got $other: $dt")
       }
     require(out._1.isEmpty || out._3.isEmpty,
       s"$what: a version pin and a timestamp pin conflict - pass one")
     out
-  }
-
-  private def scanStringArg(v: Option[Long], p: Option[String],
-      t: Option[Long], s: String)
-      : (Option[Long], Option[String], Option[Long]) =
-    if (s.startsWith("ts=")) (v, p, t.orElse(Some(parseTs(s.drop(3)))))
-    else (v, p.orElse(Some(s)), t)
-
-  private def parseTs(s: String): Long = {
-    val trimmed = s.trim
-    if (trimmed.matches("\\d{10,}")) trimmed.toLong
-    else scala.util.Try(java.time.Instant.parse(trimmed).toEpochMilli)
-      .orElse(scala.util.Try(java.time.LocalDateTime
-        .parse(trimmed.replace(' ', 'T'))
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
-      .orElse(scala.util.Try(java.time.LocalDate.parse(trimmed)
-        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli))
-      .getOrElse(throw new IllegalArgumentException(
-        s"cannot parse timestamp '$s' - epoch millis, ISO-8601, " +
-          "or yyyy-MM-dd[ HH:mm:ss] (UTC)"))
   }
 
   private def deltaScan(exprs: Seq[Expression]): LogicalPlan = {

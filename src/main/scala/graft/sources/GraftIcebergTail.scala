@@ -102,8 +102,11 @@ final class GraftIcebergTailStream(dir: String, physSchema: StructType,
 
   // default: the FULL feed — a consumer that starts mid-history would
   // silently miss base rows, so a lineage that no longer reaches the
-  // root refuses unless the consumer SAYS where to start
-  private val t0Seq: Long = startingSequence.getOrElse {
+  // root refuses unless the consumer SAYS where to start. LAZY on
+  // purpose: Spark asks for initialOffset only when the checkpoint is
+  // empty — a RESTART whose committed offset is already past an
+  // expiry gap must not fail construction on it
+  private lazy val t0Seq: Long = startingSequence.getOrElse {
     val lin = IcebergImport.lineage(spark, dir)
     require(lin.isEmpty || lin.head.parentId.isEmpty,
       s"$dir's oldest retained snapshot ${lin.headOption.map(_.id).orNull}" +

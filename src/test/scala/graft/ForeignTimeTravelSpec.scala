@@ -10,11 +10,11 @@ import graft.core.{DeltaExport, DeltaImport, IcebergExport, IcebergImport, TxTab
 
 /** TIMESTAMP AS OF on FOREIGN trees: Delta resolves through commit-
   * file modification times (delta-spark's rule), Iceberg through the
-  * spec's snapshot-log; both ride the scan TVFs as a `ts=` argument. */
+  * spec's snapshot-log; both ride the scan TVFs as typed TIMESTAMP/DATE literals. */
 class ForeignTimeTravelSpec extends SparkSpec {
   import spark.implicits._
 
-  test("delta: versionAsOf resolves by commit mtime; ts= rides the TVF") {
+  test("delta: versionAsOf resolves by commit mtime; a TIMESTAMP literal rides the TVF") {
     val dir = tmpDir("ttdelta") + "/t"
     val data = (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v")
     val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 1)
@@ -37,14 +37,16 @@ class ForeignTimeTravelSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("before the earliest"))
 
-    // the TVF's ts= argument: between the commits -> version 0's rows
+    // a TIMESTAMP literal between the commits -> version 0's rows
     assert(spark.sql(
-      s"SELECT count(*) FROM graft_delta_scan('$dir', 'ts=${t0 + 30000L}')")
+      s"SELECT count(*) FROM graft_delta_scan('$dir', " +
+        s"timestamp_millis(${t0 + 30000L}))")
       .head.getLong(0) === 10L)
     // a version pin and a timestamp pin conflict
     val e2 = intercept[Exception] {
       spark.sql(
-        s"SELECT * FROM graft_delta_scan('$dir', 1, 'ts=$t0')").collect()
+        s"SELECT * FROM graft_delta_scan('$dir', 1, " +
+          s"timestamp_millis($t0))").collect()
     }
     assert(e2.getMessage.contains("conflict"))
 
@@ -56,7 +58,7 @@ class ForeignTimeTravelSpec extends SparkSpec {
     assert(hist.forall(_._3 == "append"))
   }
 
-  test("iceberg: snapshotIdAsOf resolves by snapshot-log; ts= rides the TVF") {
+  test("iceberg: snapshotIdAsOf resolves by snapshot-log; a TIMESTAMP literal rides the TVF") {
     val dir = tmpDir("tticeberg") + "/t"
     val data = (1L to 8L).map(k => (k, k * 1.0)).toDF("k", "v")
     val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 1)
@@ -88,15 +90,21 @@ class ForeignTimeTravelSpec extends SparkSpec {
 
     // TVF: pinned at the first append's commit instant -> 8 rows
     assert(spark.sql(
-      s"SELECT count(*) FROM graft_iceberg_scan('$dir', 'ts=$ts1')")
+      s"SELECT count(*) FROM graft_iceberg_scan('$dir', " +
+        s"timestamp_millis($ts1))")
       .head.getLong(0) === 8L)
-    // unparseable timestamp refuses with the accepted forms named
+    // a STRING stays a predicate - a `ts` COLUMN never collides with
+    // the timestamp pin (which is a typed TIMESTAMP/DATE literal)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_iceberg_scan('$dir', 'k > 8')")
+      .head.getLong(0) === 1L)
+    // snapshot-id and timestamp pins conflict
     val e2 = intercept[Exception] {
       spark.sql(
-        s"SELECT * FROM graft_iceberg_scan('$dir', 'ts=not-a-time')")
-        .collect()
+        s"SELECT * FROM graft_iceberg_scan('$dir', $id1, " +
+          s"timestamp_millis($ts1))").collect()
     }
-    assert(e2.getMessage.contains("cannot parse timestamp"))
+    assert(e2.getMessage.contains("conflict"))
 
     // the snapshots TVF: the exported lineage, all on main, honest ops
     val snaps = spark.sql(

@@ -165,10 +165,17 @@ class IcebergTailStreamSpec extends SparkSpec {
     // only the head snapshot serves
     val lin = graft.core.IcebergImport.lineage(spark, dir)
     val out = tmpDir("icetail-exp-out")
-    drain(dir, out, tmpDir("icetail-exp-ck"),
+    val ck = tmpDir("icetail-exp-ck")
+    drain(dir, out, ck,
       Map("startingSequence" -> lin(lin.size - 2).seq.toString))
     assert(spark.read.parquet(out).select("k").as[Long].collect().sorted
       === (11L to 16L).toArray)
+
+    // RESTART without the option on the same checkpoint: the
+    // committed offset is already past the gap, so the full-feed
+    // check must not fire (it is lazy - initialOffset only)
+    drain(dir, out, ck)
+    assert(spark.read.parquet(out).count() === 6L)
   }
 
   test("maxSnapshotsPerTrigger chunks the backlog drain") {
