@@ -448,8 +448,12 @@ object IcebergExport {
         }
       }
     // metadata/: only export-written shapes are candidates — never a
-    // file some other tool parked there
-    sweep(metaDir, n => !(n.endsWith(".avro") || n.endsWith(".metadata.json")))
+    // file some other tool parked there. Dot-prefixed `.avro.tmp`
+    // names are crashed writeAvro temps: orphaned by construction
+    // (the atomic rename never happened), aged out here.
+    sweep(metaDir, n => !(n.endsWith(".avro") ||
+      n.endsWith(".metadata.json") ||
+      (n.startsWith(".") && n.endsWith(".avro.tmp"))))
     sweep(new Path(root, "_iceberg_deletes"),
       n => !(n.endsWith(".parquet") || n.startsWith(".stage-")))
     (files, bytes)
@@ -626,12 +630,21 @@ object IcebergExport {
     var prevMfs: Seq[MfRec] = Nil
     var prevPaths: Set[String] = Set.empty
     var prevDvRows = 0L
+    var prevDelMf: Option[(GenericData.Record, String)] = None
     val snapshots = versions.zipWithIndex.map { case (v, i) =>
       val snapshotId = 1000L + v
       val filesWithDvs = table.fileInfoWithDvsAt(v)
       val files = filesWithDvs.map(_._1)
       val dirty = filesWithDvs.filter(_._1.dvRows > 0L)
-      val dataSeq = lastSeq + 1
+      // STABLE sequence numbering: a pure function of the graft
+      // VERSION (2v+1 data, 2v+2 deletes — unique, monotonic, gaps
+      // are spec-legal), never a running counter over the retained
+      // set. A running counter RENUMBERS history after vacuum, and
+      // the snapshot-tail stream uses sequences as durable replay
+      // offsets — renumbered offsets silently lose rows on restart.
+      // Bonus: post-vacuum re-syncs keep every retained manifest's
+      // name and content, so they stay no-churn.
+      val dataSeq = 2L * v + 1L
 
       /** one manifest entry; the data_file record renders under the
         * schema of the file's ADD version (its stats epoch). */
@@ -728,10 +741,26 @@ object IcebergExport {
       }
       val allMfs: Seq[MfRec] = carried ++ newMfs
 
-      // this version's tombstones as a position-delete manifest at
-      // the NEXT sequence (deletes scope over same-or-lower data)
+      // This version's tombstones as a position-delete manifest at
+      // the NEXT sequence (deletes scope over same-or-lower data) —
+      // but CARRIED like the data manifests when the DV state is
+      // UNCHANGED: re-attributing an identical delete set to every
+      // later snapshot would make a pure append look like a row
+      // removal (added_snapshot_id = the append's snapshot), which
+      // the tail stream must then refuse. The carried row keeps its
+      // original adding snapshot and sequence; genuinely new
+      // tombstones supersede the old manifest wholesale (the delete
+      // parquet is cumulative).
+      val dirtyKey: String = dirty.map { case (f, refs) =>
+        f.path + "::" + f.dvRows + "::" + refs.sorted.mkString(";")
+      }.sorted.mkString("|")
+      val carriedDel: Option[GenericData.Record] = prevDelMf match {
+        case Some((row, key)) if dirty.nonEmpty && key == dirtyKey =>
+          Some(row)
+        case _ => None
+      }
       val deletes: Option[(Path, Long, Long)] =
-        if (dirty.isEmpty) None
+        if (dirty.isEmpty || carriedDel.nonEmpty) None
         else {
           val (delUri, delRows) = writePositionDeletes(
             spark, fs, table, dirty, s"del-v$v")
@@ -814,23 +843,26 @@ object IcebergExport {
         }
         mf
       }
-      val delMf = deletes.map { case (p, len, delRows) =>
-        val m = new GenericData.Record(ManifestFileSchema)
-        m.put("manifest_path", fs.makeQualified(p).toString)
-        m.put("manifest_length", len)
-        m.put("partition_spec_id", 0)
-        m.put("content", 1) // DELETES
-        m.put("sequence_number", dataSeq + 1)
-        m.put("min_sequence_number", dataSeq + 1)
-        m.put("added_snapshot_id", snapshotId)
-        m.put("added_files_count", 1)
-        m.put("existing_files_count", 0)
-        m.put("deleted_files_count", 0)
-        m.put("added_rows_count", delRows)
-        m.put("existing_rows_count", 0L)
-        m.put("deleted_rows_count", 0L)
-        m
-      }
+      val delMf: Option[GenericData.Record] = carriedDel.orElse(
+        deletes.map { case (p, len, delRows) =>
+          val m = new GenericData.Record(ManifestFileSchema)
+          m.put("manifest_path", fs.makeQualified(p).toString)
+          m.put("manifest_length", len)
+          m.put("partition_spec_id", 0)
+          m.put("content", 1) // DELETES
+          m.put("sequence_number", dataSeq + 1)
+          m.put("min_sequence_number", dataSeq + 1)
+          m.put("added_snapshot_id", snapshotId)
+          m.put("added_files_count", 1)
+          m.put("existing_files_count", 0)
+          m.put("deleted_files_count", 0)
+          m.put("added_rows_count", delRows)
+          m.put("existing_rows_count", 0L)
+          m.put("deleted_rows_count", 0L)
+          m
+        })
+      prevDelMf =
+        if (dirty.isEmpty) None else delMf.map(m => (m, dirtyKey))
       val (listPath, _) = writeAvroOnce(fs, metaDir,
         s"snap-$snapshotId-s$snapSeq", ManifestFileSchema,
         dataMfs ++ delMf, Map(

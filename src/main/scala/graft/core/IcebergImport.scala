@@ -709,12 +709,19 @@ object IcebergImport {
     // bucket spec whose summary range excludes every candidate bucket
     // is never even opened (null-partitioned rows cannot satisfy an
     // equality on the source column, so contains_null is irrelevant)
+    // Pruning applies ONLY to manifests provably on the DEFAULT spec:
+    // after partition evolution (bucket[8] -> bucket[16]) an older
+    // spec's tuples were computed with a DIFFERENT modulus, and
+    // testing them against the default spec's candidate ids would
+    // silently drop matching rows. No spec-id (legacy shapes) also
+    // means no proof — keep, never prune.
+    def onDefaultSpec(sid: Option[Int]): Boolean =
+      sid.isDefined && sid == defaultSpecId
     val dataManifests = candidateBuckets match {
       case None => dataManifests0
       case Some(cs) => dataManifests0.filter { m =>
         (m.partRange, m.specId) match {
-          case (Some((lo, hi)), sid)
-              if sid == defaultSpecId || sid.isEmpty =>
+          case (Some((lo, hi)), sid) if onDefaultSpec(sid) =>
             cs.exists(b => b >= lo && b <= hi)
           case _ => true
         }
@@ -747,6 +754,9 @@ object IcebergImport {
             s"data file format $fmt unsupported (parquet only)")
           val fileBucket: Option[Int] = for {
             (fname, _, _) <- bucketSpec
+            // same spec-id proof as the manifest level: a tuple from
+            // another spec epoch used a different modulus
+            if onDefaultSpec(m.specId)
             pr = df.getSchema.getField("partition")
             if pr != null
             rec <- Option(df.get("partition"))

@@ -150,9 +150,10 @@ final class GraftFilesMicroBatchStream(spark: SparkSession, srcDir: String,
     s"graft-files supports parquet|csv|json, got '$format'")
   maxBytesPerPartition.foreach(b => require(b >= 1L,
     s"maxBytesPerPartition must be >= 1, got $b"))
+  // SQLConf parses the bytesConf ("128m", "1g", plain digits) — a raw
+  // string toLong crashes on every human-readable form of the conf
   private val splitBytes: Long = maxBytesPerPartition.getOrElse(
-    spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-      .stripSuffix("b").toLong)
+    spark.sessionState.conf.filesMaxPartitionBytes)
   // captured driver-side: text parsers are timezone-aware
   private val sessionTz: String =
     spark.conf.get("spark.sql.session.timeZone", "UTC")

@@ -157,9 +157,23 @@ final class GraftIcebergTailStream(dir: String, physSchema: StructType,
     val s = start.asInstanceOf[GraftOffset].version
     val e = end.asInstanceOf[GraftOffset].version
     if (e <= s) return Array.empty
+    val lin = IcebergImport.lineage(spark, dir)
+    // COVERAGE, not best-effort: a committed range must replay the
+    // SAME snapshots or refuse — if expiry removed part of the chain
+    // inside (s, e], an empty/partial plan would silently lose rows,
+    // and a REWRITTEN root (re-exported after history expiry, its
+    // initial snapshot restating the full live set) would re-serve
+    // files a lagging consumer already has. Covered means the chain
+    // reaches back to a snapshot at or below the start offset, or
+    // the start IS the beginning (s == 0) and the root is genuine.
+    val covered = lin.nonEmpty &&
+      (lin.exists(_.seq <= s) || (s == 0L && lin.head.parentId.isEmpty))
+    require(covered,
+      s"snapshots in offset range ($s, $e] of $dir were expired - the " +
+        "stream cannot replay them exactly; reset the checkpoint (or " +
+        "batch-read the current state and restart from startingSequence)")
     val out = Seq.newBuilder[InputPartition]
-    IcebergImport.lineage(spark, dir)
-      .filter(m => m.seq > s && m.seq <= e)
+    lin.filter(m => m.seq > s && m.seq <= e)
       .foreach { m =>
         m.operation match {
           case "replace" => () // rewrites only - no row change, per spec

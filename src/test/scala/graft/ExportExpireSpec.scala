@@ -49,6 +49,13 @@ class ExportExpireSpec extends SparkSpec {
 
     // idempotent: a second pass finds nothing
     assert(IcebergExport.expireOrphans(spark, t, 0L)._1 === 0)
+
+    // a crashed writeAvro's torn temp is orphaned by construction
+    // (the atomic rename never ran) and ages out here
+    val torn = new File(metaDir, ".m-v9-s19-0-g0-h00000000.avro.tmp")
+    assert(torn.createNewFile())
+    assert(IcebergExport.expireOrphans(spark, t, 0L)._1 === 1)
+    assert(!torn.exists())
   }
 
   test("iceberg: the grace window protects fresh files") {

@@ -63,6 +63,20 @@ class GraftFilesSourceSpec extends SparkSpec {
       Seq(("a1", 1), ("a2", 2), ("b1", 10), ("c1", 20), ("c2", 21)))
   }
 
+  test("human-readable spark.sql.files.maxPartitionBytes ('128m') does not crash the stream") {
+    val src = tmpDir("gfiles-conf")
+    val sinkDir = tmpDir("gfiles-conf-sink") + "/t"
+    val sink = new TxTable(spark, sinkDir, srcSchema, Seq("k"),
+      numBuckets = 2)
+    sink.createIfAbsent()
+    publish(src, "m0", Seq(("a", 1), ("b", 2)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+    try drain(src, sink, tmpDir("gfiles-conf-ck"))
+    finally
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+    assert(sink.read.count() === 2L)
+  }
+
   test("a file replaced in place (new bytes, same name) loads again") {
     val src = tmpDir("gfsrc2")
     val ck = tmpDir("gfck2")

@@ -154,6 +154,42 @@ class IcebergExportSpec extends SparkSpec {
     ()
   }
 
+  test("bucket pruning requires the DEFAULT spec-id: foreign spec epochs never prune") {
+    import graft.functions.IcebergBucketFn
+    val dir = tmpDir("iceberg-specid") + "/t"
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("v", org.apache.spark.sql.types.DoubleType)
+    val t = new TxTable(spark, dir, schema, Seq("k"), numBuckets = 2,
+      bucketHash = TxTable.IcebergBucketHash)
+    t.append(spark.createDataFrame(
+      spark.sparkContext.parallelize((1L to 40L).map(k =>
+        org.apache.spark.sql.Row(k, k * 1.0))), schema))
+    IcebergExport.writeIcebergMetadata(spark, t)
+    val k1 = (1L to 40L).find(k => IcebergBucketFn.bucketLong(k, 2) == 0).get
+
+    // simulate PARTITION EVOLUTION: flip every data manifest's
+    // partition_spec_id in the manifest list to an older epoch (5).
+    // Its tuples were computed under a DIFFERENT modulus, so the
+    // reader must read them UNPRUNED - never test them against the
+    // default spec's candidate buckets
+    val metaDir = new File(dir, "metadata")
+    metaDir.listFiles().filter(_.getName.startsWith("snap-"))
+      .foreach { list =>
+        rewriteAvro(list.getPath) { recs =>
+          recs.foreach { m =>
+            if (m.get("content").asInstanceOf[Int] == 0)
+              m.put("partition_spec_id", 5)
+          }
+          recs
+        }
+      }
+    assert(graft.core.IcebergImport
+      .readWhere(spark, dir, col("k") === k1)
+      .collect().map(_.getLong(0)).toSeq === Seq(k1),
+      "a foreign spec epoch must be read unpruned, never mis-pruned")
+  }
+
   test("history export: snapshot pinning time-travels; refs carry tags") {
     val dir = tmpDir("iceberg-hist") + "/t"
     val data = (1L to 40L).map(i => (i, i * 0.5)).toDF("k", "v")
@@ -302,8 +338,9 @@ class IcebergExportSpec extends SparkSpec {
       .maxBy(f => "m-v(\\d+)-".r.findFirstMatchIn(f.getName).get
         .group(1).toLong)
 
-    // two data files (one per bucket); lift file B to sequence 5 so
-    // the strictly-lower scoping rule has something to protect
+    // two data files (one per bucket, data seq 3 = 2*v+1 for v=1);
+    // lift file B to sequence 9 so the strictly-lower scoping rule
+    // has something to protect
     val (entries0, _) = readAvro(m0.getPath)
     val paths = entries0.map(_.get("data_file")
       .asInstanceOf[GenericRecord].get("file_path").toString)
@@ -311,15 +348,15 @@ class IcebergExportSpec extends SparkSpec {
     def keysOf(p: String): Set[Long] =
       spark.read.parquet(p).select("k").collect().map(_.getLong(0)).toSet
     val (fileA, fileB) = (paths.head, paths(1))
-    val kA = keysOf(fileA).min // seq 1: delete applies
-    val kB = keysOf(fileB).min // seq 5: delete must NOT apply
+    val kA = keysOf(fileA).min // seq 3: delete applies
+    val kB = keysOf(fileB).min // seq 9: delete must NOT apply
     rewriteAvro(m0.getPath) { recs =>
       recs.foreach { e =>
         val p = e.get("data_file").asInstanceOf[GenericRecord]
           .get("file_path").toString
         if (p == fileB) {
-          e.put("sequence_number", 5L)
-          e.put("file_sequence_number", 5L)
+          e.put("sequence_number", 9L)
+          e.put("file_sequence_number", 9L)
         }
       }
       recs
@@ -333,9 +370,9 @@ class IcebergExportSpec extends SparkSpec {
       .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
 
     // its manifest (content=1 manifest of a content=2 data_file with
-    // equality_ids=[1] — field id 1 = column k) at sequence 3 — above
-    // the head data manifest's sequence (2: the empty v0 snapshot took
-    // 1), below fileB's lifted 5
+    // equality_ids=[1] — field id 1 = column k) at sequence 4 — above
+    // the head data manifest's sequence (3 = 2*v+1 for v=1), below
+    // fileB's lifted 9
     val entrySchema = new org.apache.avro.Schema.Parser().parse(
       """{"type":"record","name":"manifest_entry","fields":[
         |{"name":"status","type":"int"},
@@ -364,8 +401,8 @@ class IcebergExportSpec extends SparkSpec {
       java.util.Arrays.asList(Integer.valueOf(1)))
     val entry = new org.apache.avro.generic.GenericData.Record(entrySchema)
     entry.put("status", 1)
-    entry.put("sequence_number", 3L)
-    entry.put("file_sequence_number", 3L)
+    entry.put("sequence_number", 4L)
+    entry.put("file_sequence_number", 4L)
     entry.put("data_file", dfRec)
     val m1Path = new File(metaDir, "eqdel-m1.avro")
     val w = new org.apache.avro.file.DataFileWriter(
@@ -386,17 +423,17 @@ class IcebergExportSpec extends SparkSpec {
       mf.put("manifest_path", m1Path.getAbsolutePath)
       mf.put("manifest_length", m1Path.length())
       mf.put("content", 1)
-      mf.put("sequence_number", 3L)
-      mf.put("min_sequence_number", 3L)
+      mf.put("sequence_number", 4L)
+      mf.put("min_sequence_number", 4L)
       recs :+ mf
     }
 
     val snapMeta = graft.core.IcebergImport.snapshot(spark, dir)
     assert(snapMeta.eqDeletes.map(d => (d.seq, d.eqColumns)) ===
-      Seq((3L, Seq("k"))))
+      Seq((4L, Seq("k"))))
     val back = graft.core.IcebergImport.read(spark, dir)
     val kept = back.collect().map(_.getLong(0)).toSet
-    // kA (data seq 1 < delete seq 2) deleted; kB (data seq 5) SURVIVES
+    // kA (data seq 3 < delete seq 4) deleted; kB (data seq 9) SURVIVES
     assert(!kept.contains(kA), "kA must be equality-deleted")
     assert(kept.contains(kB), "kB written above the delete's sequence " +
       "must survive (strictly-lower scoping)")

@@ -178,6 +178,77 @@ class IcebergTailStreamSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 6L)
   }
 
+  test("appends AFTER a DV delete stay streamable (carried delete manifest)") {
+    val dir = tmpDir("icetail-dv") + "/t"
+    val a = (1L to 20L).map(k => (k, k % 4L)).toDF("k", "g")
+    val t = new TxTable(spark, dir, a.schema, Seq("k"), numBuckets = 2)
+    t.append(a)
+    IcebergExport.writeIcebergMetadata(spark, t)
+    val out = tmpDir("icetail-dv-out")
+    val ck = tmpDir("icetail-dv-ck")
+    drain(dir, out, ck)
+    assert(spark.read.parquet(out).count() === 20L)
+
+    t.deleteWhereLight(col("g") === 0L)       // v2: DVs, op 'delete'
+    IcebergExport.writeIcebergMetadata(spark, t)
+    t.append(Seq((21L, 1L), (22L, 2L)).toDF("k", "g")) // v3: pure append
+    IcebergExport.writeIcebergMetadata(spark, t)
+
+    // the delete snapshot skips EXPLICITLY; the append after it must
+    // serve normally - its snapshot carries the UNCHANGED delete
+    // manifest under the original adding snapshot, not its own
+    drain(dir, out, ck, Map("skipDeleteSnapshots" -> "true"))
+    assert(spark.read.parquet(out).select("k").as[Long].collect().sorted
+      === ((1L to 20L) ++ Seq(21L, 22L)).toArray)
+  }
+
+  test("vacuum does not renumber offsets; a caught-up stream continues exactly") {
+    val dir = tmpDir("icetail-vac") + "/t"
+    val a = (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, a.schema, Seq("k"), numBuckets = 1)
+    t.append(a)                                   // v1
+    t.append(Seq((11L, 11.0)).toDF("k", "v"))     // v2
+    IcebergExport.writeIcebergMetadata(spark, t)
+    val out = tmpDir("icetail-vac-out")
+    val ck = tmpDir("icetail-vac-ck")
+    drain(dir, out, ck)
+    assert(spark.read.parquet(out).count() === 11L)
+
+    // vacuum to the head, re-export (the root restates the live set
+    // AT ITS OWN STABLE SEQUENCE), then append - the caught-up
+    // stream serves ONLY the new snapshot, nothing re-served
+    t.vacuum(keepVersions = 1, minAgeMs = 0L)
+    IcebergExport.writeIcebergMetadata(spark, t)
+    t.append(Seq((12L, 12.0)).toDF("k", "v"))     // v3
+    IcebergExport.writeIcebergMetadata(spark, t)
+    drain(dir, out, ck)
+    assert(spark.read.parquet(out).select("k").as[Long].collect().sorted
+      === (1L to 12L).toArray)
+  }
+
+  test("a LAGGING consumer refuses a vacuum-rewritten chain instead of double-serving") {
+    val dir = tmpDir("icetail-lag") + "/t"
+    val a = (1L to 6L).map(k => (k, k * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, a.schema, Seq("k"), numBuckets = 1)
+    t.append(a)                                   // v1
+    IcebergExport.writeIcebergMetadata(spark, t)
+    val out = tmpDir("icetail-lag-out")
+    val ck = tmpDir("icetail-lag-ck")
+    drain(dir, out, ck) // committed offset = v1's sequence
+    assert(spark.read.parquet(out).count() === 6L)
+
+    t.append(Seq((7L, 7.0)).toDF("k", "v"))       // v2 (never drained)
+    t.append(Seq((8L, 8.0)).toDF("k", "v"))       // v3
+    t.vacuum(keepVersions = 1, minAgeMs = 0L)     // v1, v2 expire
+    IcebergExport.writeIcebergMetadata(spark, t)  // root restates at v3
+    val e = intercept[Exception] { drain(dir, out, ck) }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("expired"),
+      s"a rewritten chain must refuse, not re-serve: $msg")
+  }
+
   test("maxSnapshotsPerTrigger chunks the backlog drain") {
     val dir = tmpDir("icetail-rate") + "/t"
     val a = (1L to 12L).map(k => (k, k * 1.0)).toDF("k", "v")
