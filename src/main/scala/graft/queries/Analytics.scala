@@ -174,6 +174,26 @@ object Analytics {
         sum(col("value").cast(dec12_6)).cast(DoubleType).as("total_value"))
       .orderBy("k_bucket")
 
+  /** VARIANT decode — the same open-map column through Spark 4's
+    * VariantType engine path: `parse_json` builds the binary variant
+    * ONCE, `variant_get` then extracts typed paths without re-parsing
+    * the JSON text per access (the scale story for wide semi-
+    * structured records — N path reads cost one parse, where
+    * `get_json_object` re-parses per path). Must agree exactly with
+    * [[f16_json_extract]]'s text-path twin and DuckDB's recompute. */
+  def f17_variant_extract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("pv", parse_json(col("props")))
+      .withColumn("k",
+        try_variant_get(col("pv"), "$.k", "int"))
+      .withColumn("k_bucket", floor(col("k") / 10).cast(IntegerType))
+      .where(col("k").isNotNull)
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("n"), min("k").as("min_k"),
+        max("k").as("max_k"),
+        sum(col("value").cast(dec12_6)).cast(DoubleType).as("total_value"))
+      .orderBy("k_bucket")
+
   /** F-family scalar bundle — substring/case/length/clamp/round/
     * coalesce/md5 fingerprint (SURVEY §2.8 F6-F8, F11, F15, F19). */
   def f_scalar_bundle(s: SparkSession, dir: String): DataFrame =
@@ -755,6 +775,7 @@ object Analytics {
     "d2_multi_col_dedup" -> (d2_multi_col_dedup _),
     "d4_union_by_name" -> (d4_union_by_name _),
     "f16_json_extract" -> (f16_json_extract _),
+    "f17_variant_extract" -> (f17_variant_extract _),
     "f_scalar_bundle" -> (f_scalar_bundle _),
     "ev_tumbling_hourly" -> (ev_tumbling_hourly _),
     "ev_sessionize" -> (ev_sessionize _),
@@ -872,6 +893,16 @@ object Analytics {
         | SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER)
         |   / 10) AS INTEGER) AS k_bucket, value
         | FROM events) x
+        |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
+    "f17_variant_extract" ->
+      """SELECT k_bucket, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(12,6))) AS VARCHAR) AS DOUBLE) AS total_value
+        |FROM (
+        | SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |   CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER)
+        |     / 10) AS INTEGER) AS k_bucket, value
+        | FROM events) x
+        |WHERE k IS NOT NULL
         |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
     "f_scalar_bundle" ->
       """SELECT p_partkey,
