@@ -841,6 +841,30 @@ object TxQueries {
       .orderBy("dialect")
   }
 
+  /** VARIANT STORAGE, end to end: events' open-map props parsed to
+    * Spark 4's binary VariantType AT INGEST and stored in a TxTable —
+    * downstream path extraction never re-parses JSON text (the wide-
+    * record scale story; the text column pays one parse total). The
+    * aggregate over `variant_get` must equal DuckDB's recompute from
+    * the raw JSON strings. */
+  def tx_variant_store(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("value"),
+        parse_json(col("props")).as("pv"))
+    val table = cached(s, dir, "events", "varstore", 1L) { loc =>
+      new TxTable(s, loc, ev.schema, Seq("event_id"), numBuckets = 4)
+    } { tx =>
+      tx.append(ev) // v1: variant bytes land once
+    }
+    table.read
+      .withColumn("k", try_variant_get(col("pv"), "$.k", "int"))
+      .where(col("k").isNotNull)
+      .groupBy(floor(col("k") / 10).cast("int").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), min("k").as("min_k"),
+        Qhelpers.msum(col("value")).as("total_value"))
+      .orderBy("k_bucket")
+  }
+
   /** STREAMING STATEFUL DEDUP across micro-batch runs: two source
     * files deliver OVERLAPPING supplier slices (the re-delivery
     * shape every at-least-once feed produces); the stream pipes the
@@ -2089,6 +2113,7 @@ object TxQueries {
     "tx_iceberg_stream_tail" -> (tx_iceberg_stream_tail _),
     "tx_sql_analyze" -> (tx_sql_analyze _),
     "tx_export_expire" -> (tx_export_expire _),
+    "tx_variant_store" -> (tx_variant_store _),
     "tx_delta_skip_read" -> (tx_delta_skip_read _),
     "tx_iceberg_skip_read" -> (tx_iceberg_skip_read _),
     "tx_iceberg_partition_read" -> (tx_iceberg_partition_read _),
@@ -2495,6 +2520,16 @@ object TxQueries {
          |  ${Qhelpers.sqlMsum("s_acctbal")} AS bal,
          |  min(s_suppkey) AS min_supp
          |FROM supplier
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // variant-stored props must aggregate exactly like DuckDB's
+    // recompute from the raw JSON text
+    "tx_variant_store" ->
+      s"""SELECT CAST(FLOOR(k / 10) AS INTEGER) AS k_bucket,
+         |  count(*) AS n, MIN(k) AS min_k,
+         |  ${Qhelpers.sqlMsum("value")} AS total_value
+         |FROM (SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER)
+         |        AS k, value FROM events)
+         |WHERE k IS NOT NULL
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     // after expire sweeps both exported trees, each dialect's read
     // must still equal the post-delete state DuckDB recomputes
