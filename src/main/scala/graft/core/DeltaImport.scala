@@ -709,6 +709,31 @@ object DeltaImport {
     out.select(snap.schema.map(f => col(f.name)).toSeq: _*)
   }
 
+  /** Column binding for the STREAMING CDF source: (declared data
+    * schema, the physical schema its per-file row reader must project
+    * by). Name mode binds by physicalName (declared names restored
+    * positionally by the caller); ID mode is refused honestly — the
+    * stream's row reader binds parquet columns by name, and id-mode
+    * files' names are unrelated to the schema (readChanges, which
+    * rides Spark's field-id reader, is the remedy). Unmapped tables
+    * are the identity. */
+  private[graft] def streamBinding(spark: SparkSession,
+      dir: String): (StructType, StructType) = {
+    val snap = snapshot(spark, dir)
+    val dataSchema = StructType(
+      snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
+    columnBinding(spark, snap) match {
+      case None => (dataSchema, dataSchema)
+      case Some(BindByName(m)) => (dataSchema,
+        StructType(dataSchema.fields.map(f =>
+          f.copy(name = m.getOrElse(f.name, f.name)))))
+      case Some(BindById) => throw new UnsupportedOperationException(
+        s"$dir uses columnMapping ID mode - the streaming CDF reader " +
+          "binds parquet columns by name and would misread it; use " +
+          "DeltaImport.readChanges (field-id binding) instead")
+    }
+  }
+
   /** TIMESTAMP AS OF resolution: the newest delta version whose
     * commit file was modified at or before `tsMillis` — delta-spark's
     * own rule (commit-file modification times ARE the history

@@ -46,11 +46,11 @@ import graft.core.DeltaImport
   */
 final class GraftCdfTable(dir: String) extends Table with SupportsRead {
   private val spark = SparkSession.active
-  private[sources] val dataSchema: StructType = {
-    val snap = DeltaImport.snapshot(spark, dir)
-    StructType(snap.schema.filterNot(f =>
-      snap.partitionColumns.contains(f.name)))
-  }
+  // declared names surface; files bind by the PHYSICAL schema under
+  // columnMapping name mode (declared == physical when unmapped);
+  // id mode refuses at construction (see DeltaImport.streamBinding)
+  private[sources] val (dataSchema, physSchema): (StructType, StructType) =
+    DeltaImport.streamBinding(spark, dir)
   private val fullSchema = StructType(dataSchema.fields ++ Seq(
     StructField("_change_type", StringType, nullable = true),
     StructField("_commit_version", LongType, nullable = false)))
@@ -66,7 +66,9 @@ final class GraftCdfTable(dir: String) extends Table with SupportsRead {
       override def readSchema(): StructType = fullSchema
       override def toMicroBatchStream(checkpointLocation: String)
           : MicroBatchStream =
-        new GraftCdfMicroBatchStream(dir, dataSchema,
+        // the stream plans with the PHYSICAL schema - rows emit
+        // positionally, so the declared fullSchema names them
+        new GraftCdfMicroBatchStream(dir, physSchema,
           Option(options.get("startingVersion")).map(_.toLong),
           Option(options.get("maxCommitsPerTrigger")).map(_.toLong))
       override def description(): String = s"GraftCdfScan $dir"

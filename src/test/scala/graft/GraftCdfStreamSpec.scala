@@ -91,6 +91,45 @@ class GraftCdfStreamSpec extends SparkSpec {
       s"a 1-commit cap must chunk the drain, saw $dataBatches batches")
   }
 
+  test("columnMapping NAME mode streams real values; ID mode refuses") {
+    // name mode: a renamed table's files keep the PHYSICAL column
+    // name - the stream must bind it, never null-fill the declared one
+    val dir = tmpDir("cdfstream-map") + "/t"
+    val data = (1L to 8L).map(k => (k, k * 2.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 1)
+    t.append(data)
+    t.renameColumn("v", "amount")
+    DeltaExport.writeDeltaLog(spark, t, cdf = true)
+    val out = tmpDir("cdfstream-map-out")
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", tmpDir("cdfstream-map-ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.columns.take(2).toSeq === Seq("k", "amount"))
+    assert(got.agg(sum("amount")).head.getDouble(0) === (1L to 8L)
+      .map(_ * 2.0).sum, "physical-named bytes must serve, not nulls")
+
+    // id mode: the row reader cannot bind field ids - refuse, never
+    // misread
+    val dir2 = tmpDir("cdfstream-idm") + "/t"
+    val t2 = new TxTable(spark, dir2, data.schema, Seq("k"),
+      numBuckets = 1, fieldIds = true)
+    t2.append(data)
+    t2.renameColumn("v", "amount")
+    DeltaExport.writeDeltaLog(spark, t2, cdf = true)
+    val e = intercept[Exception] {
+      spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(dir2).schema
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("ID mode"))
+  }
+
   test("honest refusals: no log, and mutation commits without change data") {
     val dir = tmpDir("cdfstream-ref") + "/t"
     val data = (1L to 6L).map(k => (k, k * 1.0)).toDF("k", "v")
