@@ -322,10 +322,27 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
             tx.vacuum(keepVersions = kv, minAgeMs = minAge)
             kv.toString
           }
+        //   graft.autoAnalyze.staleVersions (optional): when the
+        //     ANALYZE declaration is missing or >= N versions behind
+        //     the head, recompute approx NDV (one HLL pass) so CBO's
+        //     join estimates never rot on a continuously-ingesting
+        //     table. Tolerant parse; never fails the scheduled CALL.
+        val analyzed: Option[Int] = props
+          .get("graft.autoAnalyze.staleVersions")
+          .flatMap(_.toLongOption).filter(_ >= 1L).flatMap { n =>
+            val staleBy = tx.columnAnalysis match {
+              case Some((ver, _)) => tx.currentVersion - ver
+              case None           => Long.MaxValue
+            }
+            if (staleBy >= n)
+              scala.util.Try(tx.analyzeColumns().size).toOption
+            else None
+          }
         report(tx, "files_before" -> before.toString,
           "compacted_buckets" -> rewrote.toString,
           "min_files_threshold" -> minFiles.toString,
-          "vacuum_keep_versions" -> vacuumed.getOrElse("off"))
+          "vacuum_keep_versions" -> vacuumed.getOrElse("off"),
+          "analyzed_columns" -> analyzed.map(_.toString).getOrElse("0"))
       case "txn" =>
         // MULTI-TABLE TRANSACTION from pure SQL — the JobTxn surface:
         //   CALL graft.txn('<journalDir>', 'name=table[,name=table]',

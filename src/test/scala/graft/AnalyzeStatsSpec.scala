@@ -86,6 +86,32 @@ class AnalyzeStatsSpec extends SparkSpec {
       spark.conf.unset(graft.sql.GraftCallCommand.AllowRawPathsKey)
   }
 
+  test("CALL graft.maintenance auto-refreshes stale NDV by policy") {
+    val t = mkTable("analyze-auto")
+    spark.conf.set(graft.sql.GraftCallCommand.AllowRawPathsKey, "true")
+    try {
+      t.setTableProperties(Map("graft.autoAnalyze.staleVersions" -> "2"))
+      def call(): Map[String, String] = spark.sql(
+        s"CALL graft.maintenance('${t.dir}')")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      // no declaration yet: infinitely stale -> analyzed now
+      assert(call()("analyzed_columns").toInt >= 4)
+      val (ver1, _) = t.columnAnalysis.get
+      // fresh declaration: below the 2-version staleness -> no-op
+      assert(call()("analyzed_columns") === "0")
+      assert(t.columnAnalysis.get._1 === ver1)
+      // two more commits trip the threshold -> refreshed
+      t.append(Seq((1001L, 1L, "a", "g0")).toDF("k", "g", "nm", "grp"))
+      t.append(Seq((1002L, 2L, "b", "g1")).toDF("k", "g", "nm", "grp"))
+      assert(call()("analyzed_columns").toInt >= 4)
+      assert(t.columnAnalysis.get._1 > ver1)
+      // a malformed property can never fail the scheduled CALL
+      t.setTableProperties(Map("graft.autoAnalyze.staleVersions" -> "zz"))
+      assert(call()("analyzed_columns") === "0")
+    } finally
+      spark.conf.unset(graft.sql.GraftCallCommand.AllowRawPathsKey)
+  }
+
   test("re-analyze replaces the declaration; unknown column refuses") {
     val t = mkTable("analyze-re")
     t.analyzeColumns(Seq("g"), exact = true)
