@@ -784,7 +784,13 @@ object IcebergExport {
             deleteMeta + ("content" -> "deletes"))
           Some((p, len, delRows))
         }
-      val snapSeq = if (deletes.isEmpty) dataSeq else dataSeq + 1
+      // snapshot sequence is UNCONDITIONALLY 2v+2: making it depend
+      // on whether THIS sync wrote a delete manifest (vs carrying
+      // one) would let a vacuum that drops the delete-origin version
+      // shift the head's sequence — and sequences are the tail
+      // stream's committed offsets. Spec-fine: a snapshot's sequence
+      // only needs to be >= its contents' (data 2v+1, deletes 2v+2).
+      val snapSeq = dataSeq + 1
       lastSeq = snapSeq
       prevMfs = allMfs
       prevPaths = livePathSet

@@ -253,8 +253,16 @@ object GraftTableFunctions {
         case ((v, p, t), (n: Int, _))  => (v.orElse(Some(n.toLong)), p, t)
         case ((v, p, t), (n: Long, _)) => (v.orElse(Some(n)), p, t)
         case ((v, p, t), (s: UTF8String, _)) =>
-          (v, p.orElse(Some(s.toString)), t)
-        case ((v, p, t), (s: String, _)) => (v, p.orElse(Some(s)), t)
+          val str = s.toString
+          // the bare 'ts=<value>' shape is AMBIGUOUS (an equality
+          // predicate on a column named ts, or the retired string
+          // form of the time pin) — refuse with both remedies rather
+          // than silently picking one
+          require(!str.matches("^ts=\\S+$"),
+            s"ambiguous argument '$str': pin a point in time with a " +
+              "typed TIMESTAMP/DATE literal, or space the predicate " +
+              "('ts = ...') to filter a column named ts")
+          (v, p.orElse(Some(str)), t)
         case (_, (other, dt)) => throw new IllegalArgumentException(
           s"$what: expected a version (int), TIMESTAMP/DATE literal " +
             s"or predicate (string), got $other: $dt")

@@ -166,8 +166,15 @@ final class GraftIcebergTailStream(dir: String, physSchema: StructType,
     // files a lagging consumer already has. Covered means the chain
     // reaches back to a snapshot at or below the start offset, or
     // the start IS the beginning (s == 0) and the root is genuine.
+    // an EXPLICIT startingSequence is an accepted boundary: the user
+    // chose to begin mid-history, so the first range from it serves
+    // the retained chain even when the chain's parent link is
+    // expired below it (e.g. startingSequence = oldestRetained - 1
+    // serves the oldest retained snapshot inclusive — the remedy the
+    // full-feed refusal advertises)
     val covered = lin.nonEmpty &&
-      (lin.exists(_.seq <= s) || (s == 0L && lin.head.parentId.isEmpty))
+      (lin.exists(_.seq <= s) || startingSequence.contains(s) ||
+        (s == 0L && lin.head.parentId.isEmpty))
     require(covered,
       s"snapshots in offset range ($s, $e] of $dir were expired - the " +
         "stream cannot replay them exactly; reset the checkpoint (or " +

@@ -124,9 +124,7 @@ class GraftCdfStreamSpec extends SparkSpec {
       spark.readStream.format("graft")
         .option("readChangeFeed", "true").load(dir2).schema
     }
-    val msg = Iterator.iterate(e: Throwable)(_.getCause)
-      .takeWhile(_ != null)
-      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val msg = causeMessages(e)
     assert(msg.contains("ID mode"))
   }
 

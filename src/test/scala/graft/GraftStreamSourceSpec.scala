@@ -73,9 +73,7 @@ class GraftStreamSourceSpec extends SparkSpec {
       // the append-tail stream must refuse, naming the CDC remedy
       t.deleteWhereLight(col("g") === 0L)
       val e = intercept[Exception] { q.processAllAvailable() }
-      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
-        .takeWhile(_ != null)
-        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      val msgs = causeMessages(e)
       assert(msgs.contains("changeFeed"), msgs)
     } finally q.stop()
   }

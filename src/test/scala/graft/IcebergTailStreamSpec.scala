@@ -106,9 +106,7 @@ class IcebergTailStreamSpec extends SparkSpec {
     t.deleteWhereLight(col("g") === 0L) // DV-only -> operation "delete"
     IcebergExport.writeIcebergMetadata(spark, t)
     val e = intercept[Exception] { drain(dir, out, ck) }
-    val msg = Iterator.iterate(e: Throwable)(_.getCause)
-      .takeWhile(_ != null)
-      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val msg = causeMessages(e)
     assert(msg.contains("skipDeleteSnapshots"))
 
     // explicit skip: the delete snapshot passes over, the stream lives
@@ -119,9 +117,7 @@ class IcebergTailStreamSpec extends SparkSpec {
     t.upsert(Seq((1L, 9L)).toDF("k", "g"))
     IcebergExport.writeIcebergMetadata(spark, t)
     val e2 = intercept[Exception] { drain(dir, out, ck) }
-    val msg2 = Iterator.iterate(e2: Throwable)(_.getCause)
-      .takeWhile(_ != null)
-      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val msg2 = causeMessages(e2)
     assert(msg2.contains("skipOverwriteSnapshots"))
     drain(dir, out, ck, Map("skipOverwriteSnapshots" -> "true",
       "skipDeleteSnapshots" -> "true"))
@@ -156,9 +152,7 @@ class IcebergTailStreamSpec extends SparkSpec {
     val e = intercept[Exception] {
       drain(dir, tmpDir("icetail-exp-out0"), tmpDir("icetail-exp-ck0"))
     }
-    val msg = Iterator.iterate(e: Throwable)(_.getCause)
-      .takeWhile(_ != null)
-      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val msg = causeMessages(e)
     assert(msg.contains("startingSequence"))
 
     // explicit start AFTER the second-to-last snapshot's sequence:
@@ -226,6 +220,66 @@ class IcebergTailStreamSpec extends SparkSpec {
       === (1L to 12L).toArray)
   }
 
+  test("vacuum with DV history: the delete-manifest rewrite cannot shift offsets") {
+    val dir = tmpDir("icetail-vacdv") + "/t"
+    val a = (1L to 12L).map(k => (k, k % 3L)).toDF("k", "g")
+    val t = new TxTable(spark, dir, a.schema, Seq("k"), numBuckets = 1)
+    t.append(a)                                   // v1
+    t.deleteWhereLight(col("g") === 0L)           // v2: DVs
+    t.append(Seq((13L, 1L)).toDF("k", "g"))       // v3
+    IcebergExport.writeIcebergMetadata(spark, t)
+    val out = tmpDir("icetail-vacdv-out")
+    val ck = tmpDir("icetail-vacdv-ck")
+    // drain through v3 (skip the delete snapshot explicitly)
+    drain(dir, out, ck, Map("skipDeleteSnapshots" -> "true"))
+    assert(spark.read.parquet(out).count() === 13L)
+
+    // vacuum to the head: the new root must RE-WRITE its delete
+    // manifest, but its snapshot sequence is 2v+2 regardless - the
+    // committed offset still matches, and a follow-up append streams
+    t.vacuum(keepVersions = 1, minAgeMs = 0L)
+    IcebergExport.writeIcebergMetadata(spark, t)
+    t.append(Seq((14L, 2L)).toDF("k", "g"))       // v4
+    IcebergExport.writeIcebergMetadata(spark, t)
+    drain(dir, out, ck, Map("skipDeleteSnapshots" -> "true",
+      "skipOverwriteSnapshots" -> "true"))
+    assert(spark.read.parquet(out).select("k").as[Long].collect().sorted
+      === (1L to 14L).toArray,
+      "only the new append may serve - nothing re-served, nothing lost")
+  }
+
+  test("startingSequence below the oldest retained snapshot serves it inclusive") {
+    val dir = tmpDir("icetail-incl") + "/t"
+    val a = (1L to 9L).map(k => (k, k * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, a.schema, Seq("k"), numBuckets = 1)
+    t.append(a)
+    t.append(Seq((10L, 10.0)).toDF("k", "v"))
+    IcebergExport.writeIcebergMetadata(spark, t)
+    // expire the chain's root link (hand-edit, as in the expiry test)
+    rewriteJson(new File(dir, "metadata/v1.metadata.json")) { md =>
+      md.transformField {
+        case ("snapshots", JArray(ss)) =>
+          "snapshots" -> JArray(ss.zipWithIndex.map {
+            case (s, 0) => s match {
+              case JObject(fs) => JObject(
+                ("parent-snapshot-id" -> (JInt(999): JValue)) ::
+                  fs.filterNot(_._1 == "parent-snapshot-id"))
+              case other => other
+            }
+            case (s, _) => s
+          })
+      }
+    }
+    // the remedy the refusal advertises: start just BELOW the oldest
+    // retained sequence - the full retained history serves
+    val lin = graft.core.IcebergImport.lineage(spark, dir)
+    val out = tmpDir("icetail-incl-out")
+    drain(dir, out, tmpDir("icetail-incl-ck"),
+      Map("startingSequence" -> (lin.head.seq - 1L).toString))
+    assert(spark.read.parquet(out).select("k").as[Long].collect().sorted
+      === (1L to 10L).toArray)
+  }
+
   test("a LAGGING consumer refuses a vacuum-rewritten chain instead of double-serving") {
     val dir = tmpDir("icetail-lag") + "/t"
     val a = (1L to 6L).map(k => (k, k * 1.0)).toDF("k", "v")
@@ -242,11 +296,37 @@ class IcebergTailStreamSpec extends SparkSpec {
     t.vacuum(keepVersions = 1, minAgeMs = 0L)     // v1, v2 expire
     IcebergExport.writeIcebergMetadata(spark, t)  // root restates at v3
     val e = intercept[Exception] { drain(dir, out, ck) }
-    val msg = Iterator.iterate(e: Throwable)(_.getCause)
-      .takeWhile(_ != null)
-      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val msg = causeMessages(e)
     assert(msg.contains("expired"),
       s"a rewritten chain must refuse, not re-serve: $msg")
+  }
+
+  test("schema evolution mid-stream: pinned schema null-fills old files, ignores new columns until restart") {
+    val dir = tmpDir("icetail-evo") + "/t"
+    val a = (1L to 5L).map(k => (k, k * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, a.schema, Seq("k"), numBuckets = 1)
+    t.append(a)
+    IcebergExport.writeIcebergMetadata(spark, t)
+    val out = tmpDir("icetail-evo-out")
+    val ck = tmpDir("icetail-evo-ck")
+    drain(dir, out, ck)
+    assert(spark.read.parquet(out).columns.toSeq === Seq("k", "v"))
+
+    // widen the table, append under the new schema, re-export
+    t.addColumns(new org.apache.spark.sql.types.StructType()
+      .add("w", org.apache.spark.sql.types.LongType))
+    t.append(Seq((6L, 6.0, 60L)).toDF("k", "v", "w"))
+    IcebergExport.writeIcebergMetadata(spark, t)
+
+    // the RUNNING stream's schema is pinned (Structured Streaming
+    // contract): the new file serves its k/v, the new column is
+    // simply not projected; a RESTARTED stream resolves the widened
+    // schema and null-fills pre-evolution batches going forward
+    drain(dir, out, ck)
+    assert(spark.read.parquet(out).select("k").as[Long].collect().sorted
+      === (1L to 6L).toArray)
+    val t2 = new graft.sources.GraftIcebergTailTable(dir)
+    assert(t2.schema().fieldNames.toSeq === Seq("k", "v", "w"))
   }
 
   test("maxSnapshotsPerTrigger chunks the backlog drain") {
@@ -291,9 +371,7 @@ class IcebergTailStreamSpec extends SparkSpec {
     val e = intercept[Exception] {
       drain(dir, tmpDir("icetail-v1-out"), tmpDir("icetail-v1-ck"))
     }
-    val msg = Iterator.iterate(e: Throwable)(_.getCause)
-      .takeWhile(_ != null)
-      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val msg = causeMessages(e)
     assert(msg.contains("format-version 2"))
   }
 }

@@ -32,6 +32,11 @@ abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
+  /** All messages down the cause chain, joined — streaming failures
+    * bury the real refusal a few causes deep. */
+  def causeMessages(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
   def ts(s: String): Timestamp = Timestamp.valueOf(s)
   val t0: Timestamp = Timestamp.valueOf("2026-01-15 12:00:00")
 }
