@@ -481,23 +481,48 @@ object IcebergExport {
 
     val schema = table.currentSchema
     val nowMs = System.currentTimeMillis()
-    // STABLE table identity: the spec's table-uuid must survive
-    // re-sync (stock readers treat a uuid change as a different
-    // table) - reuse the previously published one when present
-    val uuid = {
+    // Prior published metadata, parsed once: the spec's table-uuid
+    // must survive re-sync (stock readers treat a uuid change as a
+    // different table), and retained snapshots must KEEP their
+    // published timestamp-ms — restamping to export wall-clock made
+    // TIMESTAMP AS OF over the exported tree unstable across
+    // re-syncs (a previously valid pin could start refusing or
+    // resolve to a different snapshot). Only newly exported
+    // snapshots get stamped with this sync's clock.
+    val prevMeta: Option[JValue] = {
       val prev = new Path(metaDir, "v1.metadata.json")
-      (if (!fs.exists(prev)) None
-       else scala.util.Try {
-         val in = fs.open(prev)
-         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-           finally in.close()
-         (JsonMethods.parse(txt) \ "table-uuid") match {
-           case JString(u) if u.nonEmpty => Some(u)
-           case _ => None
-         }
-       }.toOption.flatten)
-        .getOrElse(java.util.UUID.randomUUID().toString)
+      if (!fs.exists(prev)) None
+      else scala.util.Try {
+        val in = fs.open(prev)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        JsonMethods.parse(txt)
+      }.toOption
     }
+    val uuid = prevMeta.flatMap(j => (j \ "table-uuid") match {
+      case JString(u) if u.nonEmpty => Some(u)
+      case _ => None
+    }).getOrElse(java.util.UUID.randomUUID().toString)
+    val prevTs: Map[Long, Long] = prevMeta.map { j =>
+      (j \ "snapshots") match {
+        case JArray(ss) => ss.flatMap { s =>
+          ((s \ "snapshot-id"), (s \ "timestamp-ms")) match {
+            case (JInt(id), JInt(ts))   => Some(id.toLong -> ts.toLong)
+            case (JInt(id), JLong(ts))  => Some(id.toLong -> ts)
+            case (JLong(id), JInt(ts))  => Some(id -> ts.toLong)
+            case (JLong(id), JLong(ts)) => Some(id -> ts)
+            case _ => None
+          }
+        }.toMap
+        case _ => Map.empty[Long, Long]
+      }
+    }.getOrElse(Map.empty)
+    // monotone floor: Iceberg requires snapshot-log timestamps
+    // non-decreasing in commit order; a carried-forward old stamp
+    // followed by fresh nowMs stamps satisfies it because nowMs only
+    // moves forward between syncs
+    def tsOf(snapshotId: Long, i: Int): Long =
+      prevTs.getOrElse(snapshotId, nowMs + i)
     // rows per file from footer stats (exact); a stats-less legacy
     // entry pays one count over just that file — cached across
     // snapshots (history shares most files)
@@ -881,7 +906,7 @@ object IcebergExport {
       JObject(List(
         "snapshot-id" -> (JLong(snapshotId): JValue),
         "sequence-number" -> (JLong(snapSeq): JValue),
-        "timestamp-ms" -> (JLong(nowMs + i): JValue),
+        "timestamp-ms" -> (JLong(tsOf(snapshotId, i)): JValue),
         "manifest-list" ->
           (JString(fs.makeQualified(listPath).toString): JValue),
         "summary" -> (JObject(
@@ -950,7 +975,7 @@ object IcebergExport {
       "snapshots" -> JArray(snapshots.toList),
       "snapshot-log" -> JArray(versions.zipWithIndex.map { case (v, i) =>
         JObject(
-          "timestamp-ms" -> JLong(nowMs + i),
+          "timestamp-ms" -> JLong(tsOf(1000L + v, i)),
           "snapshot-id" -> JLong(1000L + v)): JValue
       }.toList),
       "metadata-log" -> JArray(Nil))

@@ -450,6 +450,18 @@ object IcebergImport {
     * Scale: opens ONLY the manifests the snapshot itself added
     * (`added_snapshot_id == sm.id`) — per-trigger work is O(new
     * files), never O(table). */
+  /** Deleted-files count of a manifest-list row. The spec v2 Avro
+    * name is `deleted_files_count`, but Java-written Iceberg
+    * manifest lists keep the legacy `deleted_data_files_count` —
+    * probe both, or removal evidence in foreign rewritten data
+    * manifests silently reads as 0 and mutation detection rests
+    * solely on the snapshot summary's operation label. */
+  private[graft] def manifestDeletedCount(m: GenericRecord): Long =
+    Seq("deleted_files_count", "deleted_data_files_count").collectFirst {
+      case f if m.getSchema.getField(f) != null && m.get(f) != null =>
+        m.get(f).asInstanceOf[Number].longValue()
+    }.getOrElse(0L)
+
   def addedDataFiles(spark: SparkSession,
       sm: SnapMeta): (Seq[String], Boolean) = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -465,10 +477,7 @@ object IcebergImport {
         .map(_.asInstanceOf[Number].longValue())
     def contentOf(m: GenericRecord): Int =
       Option(m.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
-    def deletedCount(m: GenericRecord): Long =
-      if (m.getSchema.getField("deleted_files_count") == null) 0L
-      else Option(m.get("deleted_files_count"))
-        .map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
+    def deletedCount(m: GenericRecord): Long = manifestDeletedCount(m)
     val mine = manifests.filter(m => addedBy(m).contains(sm.id))
     // removal evidence without opening any avro: a DELETE-file
     // manifest, or a rewritten data manifest carrying DELETED entries

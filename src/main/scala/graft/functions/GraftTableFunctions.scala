@@ -246,8 +246,20 @@ object GraftTableFunctions {
       .map(i => (evalArg(exprs, i, what), exprs(i).dataType))
       .foldLeft((Option.empty[Long], Option.empty[String],
         Option.empty[Long])) {
-        case ((v, p, t), (n: Long, _: TimestampType | _: TimestampNTZType)) =>
-          (v, p, t.orElse(Some(n / 1000L))) // micros -> millis
+        case ((v, p, t), (n: Long, _: TimestampType)) =>
+          (v, p, t.orElse(Some(n / 1000L))) // instant micros -> millis
+        case ((v, p, t), (n: Long, _: TimestampNTZType)) =>
+          // NTZ micros are a WALL-CLOCK datetime, not an instant —
+          // bind it through the session timezone before comparing
+          // against commit mtimes / the snapshot-log, or the pin
+          // shifts by the zone offset in any non-UTC session
+          val ldt = java.time.LocalDateTime.ofEpochSecond(
+            java.lang.Math.floorDiv(n, 1000000L),
+            (java.lang.Math.floorMod(n, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+          val zone = java.time.ZoneId.of(
+            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+          (v, p, t.orElse(Some(ldt.atZone(zone).toInstant.toEpochMilli)))
         case ((v, p, t), (d: Integer, _: DateType)) =>
           (v, p, t.orElse(Some(d.toLong * 86400000L))) // days -> millis
         case ((v, p, t), (n: Int, _))  => (v.orElse(Some(n.toLong)), p, t)

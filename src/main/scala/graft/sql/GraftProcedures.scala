@@ -334,7 +334,11 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
               case Some((ver, _)) => tx.currentVersion - ver
               case None           => Long.MaxValue
             }
-            if (staleBy >= n)
+            // the stats commit itself bumps the head, so a fresh
+            // declaration sits exactly 1 behind — strict > keeps an
+            // idle table from re-analyzing (and re-committing) on
+            // every scheduled maintenance call at staleVersions=1
+            if (staleBy > n)
               scala.util.Try(tx.analyzeColumns().size).toOption
             else None
           }

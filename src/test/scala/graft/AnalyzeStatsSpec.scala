@@ -112,6 +112,29 @@ class AnalyzeStatsSpec extends SparkSpec {
       spark.conf.unset(graft.sql.GraftCallCommand.AllowRawPathsKey)
   }
 
+  test("autoAnalyze staleVersions=1 is stable on an idle table (no version churn)") {
+    val t = mkTable("analyze-idle")
+    spark.conf.set(graft.sql.GraftCallCommand.AllowRawPathsKey, "true")
+    try {
+      t.setTableProperties(Map("graft.autoAnalyze.staleVersions" -> "1"))
+      def call(): Map[String, String] = spark.sql(
+        s"CALL graft.maintenance('${t.dir}')")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(call()("analyzed_columns").toInt >= 4) // first: missing -> analyze
+      val v = t.currentVersion
+      // the stats commit leaves the declaration exactly 1 behind the
+      // head; that must read as FRESH, or every scheduled call on an
+      // idle table re-analyzes and commits forever
+      assert(call()("analyzed_columns") === "0")
+      assert(call()("analyzed_columns") === "0")
+      assert(t.currentVersion === v, "idle maintenance must not commit")
+      // one real data commit -> stale again
+      t.append(Seq((2001L, 3L, "c", "g2")).toDF("k", "g", "nm", "grp"))
+      assert(call()("analyzed_columns").toInt >= 4)
+    } finally
+      spark.conf.unset(graft.sql.GraftCallCommand.AllowRawPathsKey)
+  }
+
   test("re-analyze replaces the declaration; unknown column refuses") {
     val t = mkTable("analyze-re")
     t.analyzeColumns(Seq("g"), exact = true)

@@ -114,4 +114,40 @@ class ForeignTimeTravelSpec extends SparkSpec {
     assert(snaps.forall(_._3), "export publishes only the main lineage")
     assert(snaps.forall(_._2 == "append"))
   }
+
+  test("TIMESTAMP_NTZ literal binds through the session timezone, not UTC") {
+    val dir = tmpDir("ttntz") + "/t"
+    val data = (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 1)
+    t.append(data)
+    DeltaExport.writeDeltaLog(spark, t)  // delta 0
+    t.append(Seq((11L, 11.0)).toDF("k", "v"))
+    DeltaExport.syncDeltaLog(spark, t)   // delta 1
+
+    val logDir = new File(dir, "_delta_log")
+    val t0 = 1700000000000L // 2023-11-14T22:13:20Z
+    assert(new File(logDir, "0" * 20 + ".json").setLastModified(t0))
+    assert(new File(logDir, "0" * 19 + "1.json")
+      .setLastModified(t0 + 60000L))
+
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata") // UTC+5:30
+    try {
+      // the wall-clock in Kolkata 30s after commit 0: NTZ carries no
+      // zone, so the pin must resolve through the SESSION zone — read
+      // as UTC it would land 5.5h earlier, BEFORE the earliest commit,
+      // and refuse
+      val wall = java.time.Instant.ofEpochMilli(t0 + 30000L)
+        .atZone(java.time.ZoneId.of("Asia/Kolkata")).toLocalDateTime
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss"))
+      assert(spark.sql(
+        s"SELECT count(*) FROM graft_delta_scan('$dir', " +
+          s"TIMESTAMP_NTZ '$wall')").head.getLong(0) === 10L)
+      // a zoned TIMESTAMP literal of the same wall-clock agrees
+      assert(spark.sql(
+        s"SELECT count(*) FROM graft_delta_scan('$dir', " +
+          s"TIMESTAMP '$wall')").head.getLong(0) === 10L)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
 }

@@ -531,6 +531,76 @@ class IcebergExportSpec extends SparkSpec {
       (1L to 100L).filter(_ % 10 != 0).sum)
   }
 
+  test("re-sync keeps published snapshot timestamps (TIMESTAMP AS OF is stable)") {
+    val dir = tmpDir("iceberg-ts") + "/t"
+    val data = (1L to 20L).map(i => (i, i * 2.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 1)
+    t.append(data)
+    IcebergExport.writeIcebergMetadata(spark, t)
+    def log(): Seq[(Long, Long)] = {
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Path.of(dir, "metadata", "v1.metadata.json"))
+      (JsonMethods.parse(txt) \ "snapshot-log") match {
+        case JArray(es) => es.map(e =>
+          ((e \ "snapshot-id"), (e \ "timestamp-ms")) match {
+            case (JInt(id), JInt(ts)) => (id.toLong, ts.toLong)
+            case other => fail(s"bad snapshot-log entry $other")
+          })
+        case _ => fail("no snapshot-log")
+      }
+    }
+    val log1 = log()
+    Thread.sleep(5)
+    t.append(Seq((21L, 42.0)).toDF("k", "v"))
+    IcebergExport.writeIcebergMetadata(spark, t)
+    val log2 = log()
+    // retained snapshots keep their published stamp — a previously
+    // valid TIMESTAMP AS OF pin resolves to the same snapshot after
+    // the re-sync; only the NEW snapshot is stamped with this sync's
+    // clock, and the log stays monotone
+    assert(log2.take(log1.size) === log1,
+      "re-sync restamped retained snapshot-log entries")
+    assert(log2.size === log1.size + 1)
+    assert(log2.last._2 >= log1.last._2, "snapshot-log must be monotone")
+    // the snapshots array agrees with the log (same stability)
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Path.of(dir, "metadata", "v1.metadata.json"))
+    val snapTs = (JsonMethods.parse(txt) \ "snapshots") match {
+      case JArray(ss) => ss.map(s =>
+        ((s \ "snapshot-id"), (s \ "timestamp-ms")) match {
+          case (JInt(id), JInt(ts)) => (id.toLong, ts.toLong)
+          case other => fail(s"bad snapshot $other")
+        }).toMap
+      case _ => fail("no snapshots")
+    }
+    log2.foreach { case (id, ts) => assert(snapTs(id) === ts) }
+  }
+
+  test("manifest-list deleted count probes the legacy Java field name too") {
+    // Java-written Iceberg manifest lists keep deleted_data_files_count
+    // (the pre-spec-rename name); the spec v2 Avro name is
+    // deleted_files_count. Both must read as removal evidence.
+    def rec(field: String, n: Int): GenericRecord = {
+      val sch = new org.apache.avro.Schema.Parser().parse(
+        s"""{"type":"record","name":"manifest_file","fields":[
+           |{"name":"manifest_path","type":"string"},
+           |{"name":"$field","type":["null","int"],"default":null}]}"""
+          .stripMargin)
+      val r = new org.apache.avro.generic.GenericData.Record(sch)
+      r.put("manifest_path", "m.avro")
+      r.put(field, n)
+      r
+    }
+    assert(graft.core.IcebergImport.manifestDeletedCount(
+      rec("deleted_files_count", 3)) === 3L)
+    assert(graft.core.IcebergImport.manifestDeletedCount(
+      rec("deleted_data_files_count", 2)) === 2L)
+    // absent/null field reads 0, never throws
+    val bare = rec("deleted_files_count", 1)
+    bare.put("deleted_files_count", null)
+    assert(graft.core.IcebergImport.manifestDeletedCount(bare) === 0L)
+  }
+
   test("manifests carry column bounds; readWhere prunes (ghost proof)") {
     val dir = tmpDir("iceberg-bounds") + "/t"
     val data = (1L to 400L)
