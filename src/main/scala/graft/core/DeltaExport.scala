@@ -144,27 +144,46 @@ object DeltaExport {
     * parquet columns by physicalName — or the `columnMapping`
     * reader+writer feature when features mode is already on. */
   private def protocolAction(withDvs: Boolean, withCdf: Boolean = false,
-      withChecks: Boolean = false, withMapping: Boolean = false): JObject =
-    if (!withDvs && !withCdf)
+      withChecks: Boolean = false, withMapping: Boolean = false,
+      withVariant: Boolean = false): JObject =
+    if (!withDvs && !withCdf && !withVariant)
       JObject("protocol" -> JObject(
         "minReaderVersion" -> JInt(if (withMapping) 2 else 1),
         "minWriterVersion" -> JInt(
           if (withMapping) 5 else if (withChecks) 3 else 2)))
     else {
+      // variantType is a reader+writer TABLE FEATURE (delta ≥ 3.2):
+      // the bytes in the variant struct must be decoded per the
+      // published binary spec, so a reader that doesn't know the
+      // feature must refuse the table rather than misread it
       val rf = (if (withDvs) List(JString("deletionVectors")) else Nil) ++
-        (if (withMapping) List(JString("columnMapping")) else Nil)
+        (if (withMapping) List(JString("columnMapping")) else Nil) ++
+        (if (withVariant) List(JString("variantType")) else Nil)
       val wf = (if (withDvs) List(JString("deletionVectors")) else Nil) ++
         (if (withCdf) List(JString("changeDataFeed")) else Nil) ++
         (if (withChecks) List(JString("checkConstraints")) else Nil) ++
-        (if (withMapping) List(JString("columnMapping")) else Nil)
+        (if (withMapping) List(JString("columnMapping")) else Nil) ++
+        (if (withVariant) List(JString("variantType")) else Nil)
       val reader =
-        if (withDvs || withMapping)
+        if (withDvs || withMapping || withVariant)
           List("minReaderVersion" -> (JInt(3): JValue),
             "readerFeatures" -> (JArray(rf): JValue))
         else List("minReaderVersion" -> (JInt(1): JValue))
       JObject("protocol" -> JObject(reader ++ List(
         "minWriterVersion" -> (JInt(7): JValue),
         "writerFeatures" -> (JArray(wf): JValue))))
+    }
+
+  /** Whether any column (top-level or nested) is Spark 4's VARIANT —
+    * the schema shape that demands the `variantType` table feature. */
+  private def hasVariant(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.VariantType => true
+      case s: StructType => s.fields.exists(f => hasVariant(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasVariant(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        hasVariant(m.keyType) || hasVariant(m.valueType)
+      case _ => false
     }
 
   /** Write-side schema directives a stock writer would need a
@@ -371,7 +390,8 @@ object DeltaExport {
       addAction(fs, rootUri, statsSchema, dvSlots.get(basename(f.path)))(f))
     val checks = table.checkConstraints
     writeCommit(fs, table.dir, 0L,
-      protocolAction(dirty.nonEmpty, cdf, checks.nonEmpty, mapped) +:
+      protocolAction(dirty.nonEmpty, cdf, checks.nonEmpty, mapped,
+        hasVariant(schema)) +:
         metaDataAction(metaSchema, dirty.nonEmpty, cdf,
           if (cdf) Some(table.currentVersion) else None,
           checks = checks,
@@ -658,13 +678,18 @@ object DeltaExport {
       }
     val nowHasDvs = files.exists(_._1.dvRows > 0L)
     val hadCdf = logged.protocol.writerFeatures.contains("changeDataFeed")
+    // a variant column can arrive mid-life (schema evolution): the
+    // feature must land in the same commit the evolved metaData does
+    val nowVariant = hasVariant(table.currentSchema)
+    val hadVariant = logged.protocol.readerFeatures.contains("variantType")
     val upgrade =
       if ((logged.protocol.minReaderVersion < 3 && nowHasDvs) ||
         (cdf && !hadCdf) ||
         (checks.nonEmpty && logged.protocol.minWriterVersion < 3) ||
-        (mapped && !loggedMapped))
+        (mapped && !loggedMapped) ||
+        (nowVariant && !hadVariant))
         Seq(protocolAction(nowHasDvs, cdf || hadCdf, checks.nonEmpty,
-          mapped))
+          mapped, nowVariant || hadVariant))
       else Nil
     // CDF: the diff between the logged TxTable version (metaData
     // configuration graft.txVersion — checkpoint-durable) and the

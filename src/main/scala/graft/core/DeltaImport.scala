@@ -64,10 +64,15 @@ object DeltaImport {
       readerFeatures: Seq[String],
       writerFeatures: Seq[String])
 
-  /** The only reader-relevant table feature this reader implements —
-    * anything else in `readerFeatures` is honestly refused. */
+  /** The only reader-relevant table features this reader implements —
+    * anything else in `readerFeatures` is honestly refused.
+    * `variantType`: the schema's `variant` columns decode through
+    * Spark 4's own VariantType parquet binding (binary value/metadata
+    * struct per the published spec — the same layout this engine's
+    * export stages); variant SHREDDING is a different feature and
+    * stays refused. */
   val SupportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping")
+    Set("deletionVectors", "columnMapping", "variantType")
 
   /** A live add action's payload — everything a checkpoint must carry
     * forward (losing `stats` would cost Delta readers their skipping). */

@@ -865,6 +865,37 @@ object TxQueries {
       .orderBy("k_bucket")
   }
 
+  /** VARIANT INTEROP (Delta `variantType` table feature): the
+    * variant-columned TxTable of [[tx_variant_store]]'s shape,
+    * DV-deleted (so the masked merge-on-read path serves variant
+    * bytes too), exported as a Delta log that declares `variantType`
+    * in BOTH feature lists (reader+writer, protocol 3/7 — stock
+    * readers that can't decode the published binary refuse instead
+    * of misreading), then read back through [[graft.core.DeltaImport]].
+    * Typed extraction over the re-served bytes must equal DuckDB's
+    * recompute from the raw JSON text minus the deleted keys. */
+  def tx_delta_variant_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("value"),
+        parse_json(col("props")).as("pv"))
+    val table = cached(s, dir, "events", "vardelta", 2L) { loc =>
+      new TxTable(s, loc, ev.schema, Seq("event_id"), numBuckets = 4)
+    } { tx =>
+      tx.append(ev)                                  // v1
+      tx.deleteWhereLight(col("event_id") % 7 === 0) // v2: DVs outstanding
+      graft.core.DeltaExport.syncDeltaLog(s, tx)
+    }
+    if (!new java.io.File(table.dir, "_delta_log").exists())
+      graft.core.DeltaExport.syncDeltaLog(s, table)
+    graft.core.DeltaImport.read(s, table.dir)
+      .withColumn("k", try_variant_get(col("pv"), "$.k", "int"))
+      .where(col("k").isNotNull)
+      .groupBy(floor(col("k") / 10).cast("int").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), min("k").as("min_k"),
+        Qhelpers.msum(col("value")).as("total_value"))
+      .orderBy("k_bucket")
+  }
+
   /** STREAMING STATEFUL DEDUP across micro-batch runs: two source
     * files deliver OVERLAPPING supplier slices (the re-delivery
     * shape every at-least-once feed produces); the stream pipes the
@@ -2114,6 +2145,7 @@ object TxQueries {
     "tx_sql_analyze" -> (tx_sql_analyze _),
     "tx_export_expire" -> (tx_export_expire _),
     "tx_variant_store" -> (tx_variant_store _),
+    "tx_delta_variant_roundtrip" -> (tx_delta_variant_roundtrip _),
     "tx_delta_skip_read" -> (tx_delta_skip_read _),
     "tx_iceberg_skip_read" -> (tx_iceberg_skip_read _),
     "tx_iceberg_partition_read" -> (tx_iceberg_partition_read _),
@@ -2520,6 +2552,17 @@ object TxQueries {
          |  ${Qhelpers.sqlMsum("s_acctbal")} AS bal,
          |  min(s_suppkey) AS min_supp
          |FROM supplier
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the variantType-featured Delta export re-served through our
+    // importer must aggregate exactly like DuckDB's recompute from
+    // the raw JSON text minus the DV-deleted keys
+    "tx_delta_variant_roundtrip" ->
+      s"""SELECT CAST(FLOOR(k / 10) AS INTEGER) AS k_bucket,
+         |  count(*) AS n, MIN(k) AS min_k,
+         |  ${Qhelpers.sqlMsum("value")} AS total_value
+         |FROM (SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER)
+         |        AS k, value FROM events WHERE event_id % 7 <> 0)
+         |WHERE k IS NOT NULL
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     // variant-stored props must aggregate exactly like DuckDB's
     // recompute from the raw JSON text

@@ -53,11 +53,58 @@ class VariantStoreSpec extends SparkSpec {
     assert(t.scanWhere(col("k") <= 2L).count() === 2L)
   }
 
-  test("flat-relational exports refuse variant honestly") {
+  test("iceberg v2 export refuses variant honestly (no v2 variant type)") {
     val (t, _) = mk("varstore-exp")
     val e = intercept[UnsupportedOperationException] {
       graft.core.IcebergExport.writeIcebergMetadata(spark, t)
     }
     assert(e.getMessage.contains("does not map"))
+  }
+
+  test("delta export declares the variantType feature; import round-trips") {
+    val (t, dir) = mk("varstore-delta")
+    graft.core.DeltaExport.writeDeltaLog(spark, t)
+    // protocol: table-features mode with variantType in BOTH lists —
+    // a stock reader that can't decode the binary must refuse, and a
+    // delta>=3.2 reader accepts (the parquet layout is Spark 4's own
+    // value/metadata binary struct, the published encoding)
+    val c0 = java.nio.file.Files.readString(java.nio.file.Path.of(
+      dir, "_delta_log", "0" * 20 + ".json"))
+    val proto = c0.linesIterator.find(_.contains("\"protocol\"")).get
+    assert(proto.contains("\"minReaderVersion\":3"))
+    assert(proto.contains("variantType"))
+    assert(proto.contains("readerFeatures") && proto.contains("writerFeatures"))
+    // the schemaString carries the variant type name
+    val meta = c0.linesIterator.find(_.contains("\"metaData\"")).get
+    assert(meta.contains("variant"))
+    // round-trip through our own importer: typed extraction over the
+    // re-served bytes equals the source
+    val back = graft.core.DeltaImport.read(spark, dir)
+      .select(col("k"), try_variant_get(col("v"), "$.a", "int").as("a"))
+      .orderBy("k").collect()
+    assert(back.map(r => (r.getLong(0), Option(r.get(1)))).toSeq ===
+      Seq((1L, Some(5)), (2L, Some(7)), (3L, None)))
+  }
+
+  test("a variant column arriving mid-life upgrades the synced log's protocol") {
+    val dir = tmpDir("varstore-ev") + "/t"
+    val df0 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val t = new TxTable(spark, dir, df0.schema, Seq("k"), numBuckets = 1)
+    t.append(df0)
+    graft.core.DeltaExport.writeDeltaLog(spark, t) // delta 0: no variant
+    val c0 = java.nio.file.Files.readString(java.nio.file.Path.of(
+      dir, "_delta_log", "0" * 20 + ".json"))
+    assert(!c0.contains("variantType"))
+    t.addColumns(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.VariantType))))
+    t.append(Seq((3L, "c", """{"a":1}""")).toDF("k", "s", "j")
+      .withColumn("v", parse_json(col("j"))).drop("j"))
+    graft.core.DeltaExport.syncDeltaLog(spark, t) // delta 1: upgraded
+    val c1 = java.nio.file.Files.readString(java.nio.file.Path.of(
+      dir, "_delta_log", "0" * 19 + "1.json"))
+    assert(c1.contains("variantType"),
+      "the feature must land in the same commit the evolved metaData does")
+    assert(graft.core.DeltaImport.read(spark, dir).count() === 3L)
   }
 }
