@@ -934,6 +934,50 @@ object IcebergExport {
             "type" -> JString("tag")): JValue)
       })
 
+    // Declared Puffin statistics (spec §"Table Statistics"): every
+    // stats-<snapshotId>.puffin under metadata/ whose snapshot is
+    // retained is declared with its REAL byte extents — the footer
+    // is re-parsed here so the declaration can never drift from the
+    // file (blob offsets, footer size, ndv properties all come from
+    // the file itself). Stats for expired snapshots simply drop out
+    // of the declaration; [[writeStatistics]] writes the files.
+    val statisticsJson: List[JValue] = {
+      val StatsName = "^stats-(\\d+)\\.puffin$".r
+      val retained = versions.map(1000L + _).toSet
+      (fs.globStatus(new Path(metaDir, "stats-*.puffin")) match {
+        case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+        case a => a
+      }).toList.flatMap { st =>
+        st.getPath.getName match {
+          case StatsName(sid) if retained(sid.toLong) =>
+            scala.util.Try {
+              val info = Puffin.readFooter(fs, st.getPath)
+              JObject(
+                "snapshot-id" -> JLong(sid.toLong),
+                "statistics-path" ->
+                  JString(fs.makeQualified(st.getPath).toString),
+                "file-size-in-bytes" -> JLong(info.fileSize),
+                "file-footer-size-in-bytes" -> JLong(info.footerSize),
+                "blob-metadata" -> JArray(info.blobs.toList.map { b =>
+                  JObject(List(
+                    "type" -> (JString(b.blobType): JValue),
+                    "snapshot-id" -> (JLong(b.snapshotId): JValue),
+                    "sequence-number" -> (JLong(b.sequenceNumber): JValue),
+                    "fields" -> (JArray(
+                      b.fields.toList.map(JInt(_): JValue)): JValue)) ++
+                    (if (b.properties.isEmpty) Nil
+                     else List("properties" -> (JObject(
+                       b.properties.toList.sortBy(_._1).map { case (k, v) =>
+                         k -> (JString(v): JValue) }): JValue)))
+                  ): JValue
+                })): JValue
+            }.toOption
+          case _ => None
+        }
+      }.sortBy(j => (j \ "snapshot-id") match {
+        case JLong(x) => x; case JInt(x) => x.toLong; case _ => 0L })
+    }
+
     // table metadata (v2 required fields per spec §"Table Metadata")
     val metadata = JObject(
       "format-version" -> JInt(2),
@@ -978,6 +1022,7 @@ object IcebergExport {
           "timestamp-ms" -> JLong(tsOf(1000L + v, i)),
           "snapshot-id" -> JLong(1000L + v)): JValue
       }.toList),
+      "statistics" -> JArray(statisticsJson),
       "metadata-log" -> JArray(Nil))
     val mdPath = new Path(metaDir, "v1.metadata.json")
     val out = fs.create(mdPath, true)
@@ -990,5 +1035,68 @@ object IcebergExport {
     try hint.write("1".getBytes(StandardCharsets.UTF_8))
     finally hint.close()
     mdPath.toString
+  }
+
+  /** NDV statistics for the CURRENT snapshot as a spec Puffin file
+    * (`metadata/stats-<snapshotId>.puffin`): one
+    * `apache-datasketches-theta-v1` blob per supported column —
+    * REAL Apache DataSketches compact theta sketches (the library
+    * Spark itself ships), updated with the spec's single-value byte
+    * serialization ([[graft.functions.IcebergValueBytes]]) so a
+    * stock engine can UNION our sketches with its own over the same
+    * data, plus the recommended `ndv` property for readers (Trino)
+    * that consume the estimate without deserializing.
+    *
+    * Scale: ONE aggregation pass over the snapshot computes every
+    * column's sketch (Spark's `theta_sketch_agg` — mergeable,
+    * partial-aggregated map-side; the shuffle carries one ≤2^lgK
+    * sketch per column per partition, control-plane bytes). The next
+    * [[writeIcebergMetadata]] sync declares the file under the
+    * spec's `statistics` field with real blob offsets; re-running
+    * for the same snapshot overwrites deterministically (a version's
+    * content is immutable). Returns the Puffin file's path. */
+  def writeStatistics(spark: SparkSession, table: TxTable,
+      lgK: Int = 12): String = {
+    import org.apache.spark.sql.functions.theta_sketch_agg
+    import graft.functions.IcebergBucketFunctions.iceberg_value_bytes
+    import org.apache.spark.sql.functions.col
+    val root = new Path(table.dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    fs.mkdirs(metaDir)
+    val schema = table.currentSchema
+    val v = table.currentVersion
+    val snapshotId = 1000L + v
+    val snapSeq = 2L * v + 2L // the snapshot's sequence number
+    // head-schema field ids: position+1, the same assignment
+    // writeIcebergMetadata's registry makes (head schema registered
+    // first, one id per physical name, in declaration order)
+    val targets: Seq[(StructField, Int)] = schema.fields.toSeq.zipWithIndex
+      .map { case (f, i) => (f, i + 1) }
+      .filter { case (f, _) =>
+        graft.functions.IcebergValueFn.supported(f.dataType) }
+    require(targets.nonEmpty,
+      s"no sketchable columns in ${table.dir} (flat " +
+        "numeric/temporal/string/binary columns sketch)")
+    val aggs = targets.map { case (f, _) =>
+      theta_sketch_agg(iceberg_value_bytes(col(f.name)), lgK)
+        .as(s"__theta_${f.name}") }
+    val row = table.read.agg(aggs.head, aggs.tail: _*).head()
+    val blobs = targets.zipWithIndex.map { case ((f, fid), i) =>
+      val raw: Array[Byte] =
+        if (row.isNullAt(i)) null else row.getAs[Array[Byte]](i)
+      val sk =
+        if (raw == null || raw.isEmpty)
+          org.apache.datasketches.theta.UpdateSketch.builder().build()
+            .compact(true, null)
+        else org.apache.datasketches.theta.Sketches.heapifySketch(
+          org.apache.datasketches.memory.Memory.wrap(raw))
+          .compact(true, null) // ordered compact, the blob's wire form
+      (Puffin.ThetaV1, Seq(fid), snapshotId, snapSeq, sk.toByteArray,
+        Map("ndv" -> math.round(sk.getEstimate).toString))
+    }
+    val path = new Path(metaDir, s"stats-$snapshotId.puffin")
+    Puffin.write(fs, path, blobs)
+    fs.makeQualified(path).toString
   }
 }

@@ -262,6 +262,94 @@ object IcebergImport {
     * what the streaming tail source pins at construction. Unlike
     * [[snapshot]] this never opens a manifest: schema resolution
     * must stay O(metadata) however large the table. */
+  /** Declared NDV statistics of an Iceberg tree (foreign or our own
+    * export): the spec's `statistics` metadata field resolved to a
+    * per-COLUMN-NAME distinct-count map. Prefers the entry declared
+    * for the CURRENT snapshot, else the newest declared snapshot
+    * (ANALYZE semantics everywhere: stats are advisory planner input
+    * pinned at their snapshot). Per blob, the recommended `ndv`
+    * property is read first; a property-less blob pays one Puffin
+    * seek and a DataSketches deserialize to recover the estimate
+    * from the `apache-datasketches-theta-v1` sketch itself. Missing/
+    * malformed statistics return empty — stats are an optimization,
+    * never a gate. Feed the result to
+    * [[TxTable.declareColumnAnalysis]] to give an imported table the
+    * same CBO treatment ANALYZE gives a native one. */
+  def statisticsNdv(spark: SparkSession, dir: String): Map[String, Long] =
+    scala.util.Try {
+      val md = readMetadataJson(spark, dir)
+      val schemaJ = (md \ "schemas", md \ "current-schema-id") match {
+        case (JArray(ss), JInt(cur)) =>
+          ss.find(s => (s \ "schema-id") == JInt(cur)).getOrElse(md \ "schema")
+        case _ => md \ "schema"
+      }
+      val nameOf: Map[Int, String] = fieldIdsFrom(schemaJ)
+      def lng(v: JValue): Option[Long] = v match {
+        case JInt(x)  => Some(x.toLong)
+        case JLong(x) => Some(x)
+        case _        => None
+      }
+      val current = lng(md \ "current-snapshot-id")
+      val entries = (md \ "statistics") match {
+        case JArray(es) => es
+        case _          => Nil
+      }
+      val chosen = entries
+        .flatMap(e => lng(e \ "snapshot-id").map(_ -> e))
+        .sortBy(_._1) match {
+        case Nil => None
+        case withIds =>
+          current.flatMap(c => withIds.find(_._1 == c).map(_._2))
+            .orElse(Some(withIds.last._2))
+      }
+      chosen.flatMap { e =>
+        (e \ "statistics-path") match {
+          case JString(p) => Some((e, p))
+          case _          => None
+        }
+      }.map { case (e, path) =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        val p = new Path(path)
+        val fs = p.getFileSystem(conf)
+        val blobs = (e \ "blob-metadata") match {
+          case JArray(bs) => bs
+          case _          => Nil
+        }
+        blobs.flatMap { b =>
+          val isTheta = (b \ "type") match {
+            case JString(t) => t == Puffin.ThetaV1
+            case _          => false
+          }
+          val field = (b \ "fields") match {
+            case JArray(List(f)) => lng(f).map(_.toInt)
+            case _               => None // multi-field blobs: not NDV
+          }
+          val fromProp = (b \ "properties" \ "ndv") match {
+            case JString(n) => n.toLongOption
+            case _          => None
+          }
+          (isTheta, field.flatMap(nameOf.get)) match {
+            case (true, Some(name)) =>
+              val ndv = fromProp.orElse {
+                // no property: one Puffin footer parse + sketch decode
+                scala.util.Try {
+                  val info = Puffin.readFooter(fs, p)
+                  info.blobs.find(bm => bm.blobType == Puffin.ThetaV1 &&
+                    bm.fields == field.toList).map { bm =>
+                    val bytes = Puffin.readBlob(fs, p, bm)
+                    math.round(org.apache.datasketches.theta.Sketches
+                      .heapifySketch(org.apache.datasketches.memory
+                        .Memory.wrap(bytes)).getEstimate)
+                  }
+                }.toOption.flatten
+              }
+              ndv.map(name -> _)
+            case _ => None
+          }
+        }.toMap
+      }.getOrElse(Map.empty)
+    }.getOrElse(Map.empty)
+
   def headSchemas(spark: SparkSession, dir: String)
       : (StructType, StructType) = {
     val md = readMetadataJson(spark, dir)

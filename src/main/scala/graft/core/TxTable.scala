@@ -912,10 +912,30 @@ final class TxTable(
         if (f.dataType == org.apache.spark.sql.types.StringType)
           opt(s"__maxlen_${f.name}")(row.getLong) else None)
     }.toMap
+    declareColumnAnalysis(out, v)
+    out
+  }
+
+  /** Declare column statistics directly (the carrier
+    * [[analyzeColumns]] uses, public so FOREIGN stats can seed the
+    * CBO feed — e.g. `declareColumnAnalysis(IcebergImport
+    * .statisticsNdv(spark, dir).view.mapValues(TxTable.ColAnalysis(_,
+    * None, None)).toMap)` after importing a tree whose Puffin NDV is
+    * already computed: one metadata commit, no data pass). Unknown
+    * column names refuse — a typo'd declaration would silently never
+    * serve. */
+  def declareColumnAnalysis(stats: Map[String, TxTable.ColAnalysis],
+      analyzedVersion: Long = currentVersion): Unit = {
+    require(stats.nonEmpty, "empty column-statistics declaration")
+    val schema = currentSchema
+    stats.keys.foreach(c => require(
+      schema.fields.exists(_.name.equalsIgnoreCase(c)),
+      s"declared stats column '$c' is not in the schema"))
     val json = org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
-        ("version" -> (org.json4s.JLong(v): org.json4s.JValue)) ::
-          out.toList.sortBy(_._1).map { case (name, a) =>
+        ("version" ->
+          (org.json4s.JLong(analyzedVersion): org.json4s.JValue)) ::
+          stats.toList.sortBy(_._1).map { case (name, a) =>
             name -> (org.json4s.JObject(
               ("ndv" -> (org.json4s.JLong(a.ndv): org.json4s.JValue)) ::
                 a.avgLen.toList.map(x =>
@@ -931,7 +951,6 @@ final class TxTable(
         Map(TxTable.ColStatsKey -> json))
       ()
     }
-    out
   }
 
   /** The declared column analysis, if any: (analyzed version,

@@ -187,4 +187,95 @@ object IcebergBucketFunctions {
   /** User-facing Column form: `iceberg_bucket(col, n)`. */
   def iceberg_bucket(c: Column, n: Int): Column =
     GraftSqlBridge.column(IcebergBucket(GraftSqlBridge.expression(c), n))
+
+  /** User-facing Column form: the spec's single-value serialization
+    * as a BINARY column (the Puffin theta-sketch input). */
+  def iceberg_value_bytes(c: Column): Column =
+    GraftSqlBridge.column(IcebergValueBytes(GraftSqlBridge.expression(c)))
+}
+
+/** Iceberg's SINGLE-VALUE binary serialization (table spec, Appendix
+  * D): the per-type byte form every engine must agree on before
+  * hashing values into a Puffin `apache-datasketches-theta-v1`
+  * sketch — little-endian fixed-width numerics, raw UTF-8 strings.
+  * Matching these bytes exactly is what makes our exported NDV
+  * sketches union-compatible with sketches a stock engine (Trino,
+  * Spark+Iceberg) computes over the same data. */
+object IcebergValueFn {
+  private def le(v: Long, n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    out
+  }
+  def ofInt(v: Int): Array[Byte] = le(v.toLong, 4)
+  def ofLong(v: Long): Array[Byte] = le(v, 8)
+  def ofFloat(v: Float): Array[Byte] =
+    le(java.lang.Float.floatToIntBits(v).toLong, 4)
+  def ofDouble(v: Double): Array[Byte] =
+    le(java.lang.Double.doubleToLongBits(v), 8)
+  def ofBool(v: Boolean): Array[Byte] =
+    Array(if (v) 1.toByte else 0.toByte)
+  def ofUtf8(v: UTF8String): Array[Byte] = v.getBytes
+
+  def supported(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+        FloatType | DoubleType | DateType | TimestampType |
+        TimestampNTZType | StringType | BinaryType => true
+    case _ => false
+  }
+}
+
+/** Appendix D single-value serialization as a codegen'd expression:
+  * any supported column becomes the BINARY form a Puffin theta
+  * sketch must be updated with. Null-in/null-out (null values are
+  * not sketched, per the spec — NDV counts non-null values). */
+case class IcebergValueBytes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (IcebergValueFn.supported(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"iceberg single-value serialization is undefined for " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case BooleanType => IcebergValueFn.ofBool(v.asInstanceOf[Boolean])
+    case ByteType    => IcebergValueFn.ofInt(v.asInstanceOf[Byte].toInt)
+    case ShortType   => IcebergValueFn.ofInt(v.asInstanceOf[Short].toInt)
+    case IntegerType | DateType => IcebergValueFn.ofInt(v.asInstanceOf[Int])
+    case LongType | TimestampType | TimestampNTZType =>
+      IcebergValueFn.ofLong(v.asInstanceOf[Long])
+    case FloatType   => IcebergValueFn.ofFloat(v.asInstanceOf[Float])
+    case DoubleType  => IcebergValueFn.ofDouble(v.asInstanceOf[Double])
+    case StringType  => IcebergValueFn.ofUtf8(v.asInstanceOf[UTF8String])
+    case BinaryType  => v
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val fn = "graft.functions.IcebergValueFn"
+    child.dataType match {
+      case BooleanType =>
+        defineCodeGen(ctx, ev, c => s"$fn.ofBool($c)")
+      case ByteType | ShortType =>
+        defineCodeGen(ctx, ev, c => s"$fn.ofInt((int) $c)")
+      case IntegerType | DateType =>
+        defineCodeGen(ctx, ev, c => s"$fn.ofInt($c)")
+      case LongType | TimestampType | TimestampNTZType =>
+        defineCodeGen(ctx, ev, c => s"$fn.ofLong($c)")
+      case FloatType =>
+        defineCodeGen(ctx, ev, c => s"$fn.ofFloat($c)")
+      case DoubleType =>
+        defineCodeGen(ctx, ev, c => s"$fn.ofDouble($c)")
+      case StringType =>
+        defineCodeGen(ctx, ev, c => s"$fn.ofUtf8($c)")
+      case BinaryType =>
+        defineCodeGen(ctx, ev, c => s"$c")
+    }
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): IcebergValueBytes = copy(child = newChild)
 }

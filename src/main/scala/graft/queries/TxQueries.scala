@@ -865,6 +865,36 @@ object TxQueries {
       .orderBy("k_bucket")
   }
 
+  /** PUFFIN STATISTICS round trip: supplier in a TxTable, its NDV
+    * published as spec `apache-datasketches-theta-v1` sketches in a
+    * Puffin file the Iceberg metadata declares
+    * ([[graft.core.IcebergExport.writeStatistics]]), then lifted
+    * back through the import twin
+    * ([[graft.core.IcebergImport.statisticsNdv]]). Every sketched
+    * column here stays under the 2^12 nominal, so the sketches are
+    * EXACT mode and the round-tripped NDV must equal DuckDB's
+    * count(DISTINCT) — the estimate path is the same code, only the
+    * comparison would loosen. */
+  def tx_iceberg_stats_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val su = t(s, dir, "supplier")
+      .select("s_suppkey", "s_nationkey")
+    val table = cached(s, dir, "supplier", "puffstats", 1L) { loc =>
+      new TxTable(s, loc, su.schema, Seq("s_suppkey"), numBuckets = 2)
+    } { tx =>
+      tx.append(su) // v1
+      graft.core.IcebergExport.writeStatistics(s, tx)
+      graft.core.IcebergExport.writeIcebergMetadata(s, tx)
+    }
+    if (!new java.io.File(table.dir,
+        s"metadata/stats-${1000L + table.currentVersion}.puffin").exists()) {
+      graft.core.IcebergExport.writeStatistics(s, table)
+      graft.core.IcebergExport.writeIcebergMetadata(s, table)
+    }
+    val ndv = graft.core.IcebergImport.statisticsNdv(s, table.dir)
+    import s.implicits._
+    ndv.toSeq.sortBy(_._1).toDF("col", "ndv").orderBy("col")
+  }
+
   /** VARIANT INTEROP (Delta `variantType` table feature): the
     * variant-columned TxTable of [[tx_variant_store]]'s shape,
     * DV-deleted (so the masked merge-on-read path serves variant
@@ -2146,6 +2176,7 @@ object TxQueries {
     "tx_export_expire" -> (tx_export_expire _),
     "tx_variant_store" -> (tx_variant_store _),
     "tx_delta_variant_roundtrip" -> (tx_delta_variant_roundtrip _),
+    "tx_iceberg_stats_roundtrip" -> (tx_iceberg_stats_roundtrip _),
     "tx_delta_skip_read" -> (tx_delta_skip_read _),
     "tx_iceberg_skip_read" -> (tx_iceberg_skip_read _),
     "tx_iceberg_partition_read" -> (tx_iceberg_partition_read _),
@@ -2553,6 +2584,15 @@ object TxQueries {
          |  min(s_suppkey) AS min_supp
          |FROM supplier
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact-mode theta sketches round-tripped through the Puffin
+    // file must equal DuckDB's count(DISTINCT)
+    "tx_iceberg_stats_roundtrip" ->
+      """SELECT col, ndv FROM (
+        |  SELECT 's_nationkey' AS col,
+        |    count(DISTINCT s_nationkey) AS ndv FROM supplier
+        |  UNION ALL
+        |  SELECT 's_suppkey', count(DISTINCT s_suppkey) FROM supplier)
+        |ORDER BY col""".stripMargin,
     // the variantType-featured Delta export re-served through our
     // importer must aggregate exactly like DuckDB's recompute from
     // the raw JSON text minus the DV-deleted keys

@@ -256,6 +256,16 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
           "iceberg_files_removed" -> iceFiles.toString,
           "iceberg_bytes_removed" -> iceBytes.toString,
           "delta_files_removed" -> deltaFiles.toString)
+      case "export_stats" =>
+        // Publish the current snapshot's NDV as a spec Puffin file
+        // (apache-datasketches-theta-v1 blobs) and re-sync the
+        // Iceberg metadata so stock readers see the declaration —
+        // our ANALYZE numbers stop being engine-private
+        val tx = open(spark, arg(0, "table directory"))
+        val lgK = if (args.length > 1) arg(1, "lgK").toInt else 12
+        val p = graft.core.IcebergExport.writeStatistics(spark, tx, lgK)
+        val md = graft.core.IcebergExport.writeIcebergMetadata(spark, tx)
+        report(tx, "statistics" -> p, "metadata" -> md)
       case "analyze" =>
         // ANALYZE ... FOR COLUMNS: declare per-column NDV (+ string
         // lengths) for the CBO feed. Default = every flat column,
