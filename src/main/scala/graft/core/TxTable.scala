@@ -869,9 +869,18 @@ final class TxTable(
     * pinned at the analyzed version, per ANALYZE semantics
     * everywhere: writers do not invalidate them, the next ANALYZE
     * replaces them. */
+  /** `histogramBins >= 2` additionally computes an EQUI-HEIGHT
+    * histogram per numeric column: bin endpoints from ONE mergeable
+    * `percentile_approx` folded into the same aggregation pass the
+    * NDV takes, then one more pass for per-bin distinct counts
+    * (`ApproxCountDistinctForIntervals`, Spark's own ANALYZE
+    * recipe). Histograms are what stop the CBO assuming uniformity
+    * on a skewed join key — a filter on the hot value estimates the
+    * hot bin's mass, not rows/ndv. */
   def analyzeColumns(cols: Seq[String] = Nil, exact: Boolean = false,
-      rsd: Double = 0.05): Map[String, TxTable.ColAnalysis] = {
-    import org.apache.spark.sql.functions.{approx_count_distinct, avg, count_distinct, length, max => fmax}
+      rsd: Double = 0.05, histogramBins: Int = 0)
+      : Map[String, TxTable.ColAnalysis] = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, array, avg, count_distinct, length, lit, percentile_approx, count => fcount, max => fmax}
     val schema = currentSchema
     val targets: Seq[StructField] =
       if (cols.isEmpty)
@@ -885,6 +894,14 @@ final class TxTable(
         .getOrElse(throw new IllegalArgumentException(
           s"ANALYZE column '$c' is not in the schema")))
     require(targets.nonEmpty, "ANALYZE needs at least one flat column")
+    def numeric(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case _ => false
+      }
+    val histTargets: Seq[StructField] =
+      if (histogramBins >= 2) targets.filter(f => numeric(f.dataType))
+      else Nil
     val v = currentVersion
     val exprs: Seq[Column] = targets.flatMap { f =>
       val c = col(f.name)
@@ -897,20 +914,79 @@ final class TxTable(
           fmax(length(c)).cast("long").as(s"__maxlen_${f.name}"))
         case _ => Nil
       }
-      ndv +: lens
+      // histogram endpoints fold into the SAME pass: one mergeable
+      // percentile sketch per numeric column (equi-percentile
+      // endpoints), plus the non-null count the equi-height height
+      // needs
+      val hist =
+        if (!histTargets.contains(f)) Nil
+        else Seq(
+          percentile_approx(c.cast("double"),
+            array((0 to histogramBins).map(i =>
+              lit(i.toDouble / histogramBins)): _*),
+            lit(10000)).as(s"__hep_${f.name}"),
+          fcount(c).as(s"__hn_${f.name}"))
+      (ndv +: lens) ++ hist
     }
     val row = readVersion(v).agg(exprs.head, exprs.tail: _*).head()
+    // pass 2 (histogram columns only): per-bin distinct counts over
+    // the endpoints pass 1 produced — Spark's own ANALYZE recipe
+    // (ApproxCountDistinctForIntervals), all columns in one agg
+    val binNdvs: Map[String, Seq[Long]] =
+      if (histTargets.isEmpty) Map.empty
+      else {
+        val endpointsOf: Map[String, Seq[Double]] = histTargets.flatMap {
+          f =>
+            val i = row.fieldIndex(s"__hep_${f.name}")
+            if (row.isNullAt(i)) None
+            else Some(f.name -> row.getSeq[Double](i))
+        }.toMap
+        val live = histTargets.filter(f => endpointsOf.contains(f.name))
+        if (live.isEmpty) Map.empty
+        else {
+          import org.apache.spark.sql.GraftSqlBridge
+          import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+          val aggs = live.map { f =>
+            val child = GraftSqlBridge.expression(col(f.name).cast("double"))
+            val eps = CreateArray(
+              endpointsOf(f.name).map(e => Literal(e)).toSeq)
+            GraftSqlBridge.column(
+              new org.apache.spark.sql.catalyst.expressions.aggregate
+                .ApproxCountDistinctForIntervals(child, eps, rsd)
+                .toAggregateExpression()).as(s"__bins_${f.name}")
+          }
+          val r2 = readVersion(v).agg(aggs.head, aggs.tail: _*).head()
+          live.map { f =>
+            f.name -> r2.getSeq[Long](r2.fieldIndex(s"__bins_${f.name}"))
+          }.toMap
+        }
+      }
     val out = targets.map { f =>
       def opt[T](name: String)(get: Int => T): Option[T] = {
         val i = row.fieldIndex(name)
         if (i < 0 || row.isNullAt(i)) None else Some(get(i))
       }
+      val hist: Option[TxTable.ColHistogram] =
+        binNdvs.get(f.name).flatMap { ndvs =>
+          val i = row.fieldIndex(s"__hep_${f.name}")
+          if (row.isNullAt(i)) None
+          else {
+            val eps = row.getSeq[Double](i)
+            val n = row.getLong(row.fieldIndex(s"__hn_${f.name}"))
+            if (eps.length != ndvs.length + 1 || n <= 0L) None
+            else Some(TxTable.ColHistogram(
+              n.toDouble / ndvs.length,
+              eps.zip(eps.tail).zip(ndvs).map { case ((lo, hi), d) =>
+                (lo, hi, d) }))
+          }
+        }
       f.name -> TxTable.ColAnalysis(
         row.getLong(row.fieldIndex(s"__ndv_${f.name}")),
         if (f.dataType == org.apache.spark.sql.types.StringType)
           opt(s"__avglen_${f.name}")(row.getDouble) else None,
         if (f.dataType == org.apache.spark.sql.types.StringType)
-          opt(s"__maxlen_${f.name}")(row.getLong) else None)
+          opt(s"__maxlen_${f.name}")(row.getLong) else None,
+        hist)
     }.toMap
     declareColumnAnalysis(out, v)
     out
@@ -941,7 +1017,15 @@ final class TxTable(
                 a.avgLen.toList.map(x =>
                   "avgLen" -> (org.json4s.JDouble(x): org.json4s.JValue)) :::
                 a.maxLen.toList.map(x =>
-                  "maxLen" -> (org.json4s.JLong(x): org.json4s.JValue)))
+                  "maxLen" -> (org.json4s.JLong(x): org.json4s.JValue)) :::
+                a.hist.toList.map(h =>
+                  "hist" -> (org.json4s.JObject(
+                    "h" -> org.json4s.JDouble(h.height),
+                    "b" -> org.json4s.JArray(h.bins.toList.map {
+                      case (lo, hi, d) => org.json4s.JArray(List(
+                        org.json4s.JDouble(lo), org.json4s.JDouble(hi),
+                        org.json4s.JLong(d)))
+                    })): org.json4s.JValue)))
               : org.json4s.JValue)
           })))
     withRetry {
@@ -980,8 +1064,37 @@ final class TxTable(
                 case JDecimal(x) => Some(x.toDouble)
                 case _           => None
               }
+              def asD(v: JValue): Option[Double] = v match {
+                case JDouble(x)  => Some(x)
+                case JInt(x)     => Some(x.toDouble)
+                case JLong(x)    => Some(x.toDouble)
+                case JDecimal(x) => Some(x.toDouble)
+                case _           => None
+              }
+              val hist: Option[TxTable.ColHistogram] =
+                (o \ "hist") match {
+                  case h: JObject =>
+                    val bins = (h \ "b") match {
+                      case JArray(bs) => bs.flatMap {
+                        case JArray(List(lo, hi, d)) =>
+                          (asD(lo), asD(hi), asD(d)) match {
+                            case (Some(l), Some(u), Some(n)) =>
+                              Some((l, u, n.toLong))
+                            case _ => None
+                          }
+                        case _ => None
+                      }
+                      case _ => Nil
+                    }
+                    (h \ "h") match {
+                      case v0 if bins.nonEmpty =>
+                        asD(v0).map(TxTable.ColHistogram(_, bins))
+                      case _ => None
+                    }
+                  case _ => None
+                }
               name -> TxTable.ColAnalysis(lng("ndv").getOrElse(-1L),
-                dbl("avgLen"), lng("maxLen"))
+                dbl("avgLen"), lng("maxLen"), hist)
           }.toMap
           case _ => Map.empty[String, TxTable.ColAnalysis]
         }
@@ -3820,9 +3933,18 @@ object TxTable {
   val ColStatsKey: String = "colstats"
 
   /** One column's ANALYZE result: NDV, plus avg/max byte length for
-    * strings (CBO's row-width inputs). */
+    * strings (CBO's row-width inputs), plus an optional equi-height
+    * histogram (CBO's skew input). */
   final case class ColAnalysis(ndv: Long, avgLen: Option[Double],
-      maxLen: Option[Long])
+      maxLen: Option[Long], hist: Option[ColHistogram] = None)
+
+  /** An equi-height histogram: every bin holds `height` rows; bins
+    * are (lo, hi, distinct-count) over the column's double domain —
+    * the exact shape Spark's CBO consumes (`FilterEstimation` /
+    * `JoinEstimation` stop assuming uniformity wherever one is
+    * declared). */
+  final case class ColHistogram(height: Double,
+      bins: Seq[(Double, Double, Long)])
 
   /** StructField-metadata key carrying a renamed column's stable
     * parquet (physical) name — the column-mapping record a

@@ -873,6 +873,31 @@ final class GraftScan(tx: TxTable, version: Long, required: StructType,
                   an.flatMap(_.maxLen)
                     .map(x => java.util.OptionalLong.of(x))
                     .getOrElse(java.util.OptionalLong.empty())
+                // the ANALYZE-declared equi-height histogram, when
+                // one exists: Spark's transformV2Stats lifts it into
+                // attributeStats, and Filter/JoinEstimation stop
+                // assuming uniformity on this column
+                override def histogram(): java.util.Optional[
+                    org.apache.spark.sql.connector.read.colstats
+                      .Histogram] =
+                  an.flatMap(_.hist).map { h =>
+                    java.util.Optional.of(
+                      new org.apache.spark.sql.connector.read.colstats
+                          .Histogram {
+                        override def height(): Double = h.height
+                        override def bins(): Array[
+                            org.apache.spark.sql.connector.read.colstats
+                              .HistogramBin] =
+                          h.bins.map { case (l, u, d) =>
+                            new org.apache.spark.sql.connector.read
+                                .colstats.HistogramBin {
+                              override def lo(): Double = l
+                              override def hi(): Double = u
+                              override def ndv(): Long = d
+                            }
+                          }.toArray
+                      })
+                  }.getOrElse(java.util.Optional.empty())
               })
           }
         }

@@ -278,7 +278,11 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
           else Nil
         val exact = args.length > 2 &&
           arg(2, "mode").equalsIgnoreCase("exact")
-        val out = tx.analyzeColumns(cols, exact = exact)
+        // arg 3: equi-height histogram bin count (numeric columns);
+        // 0/absent = NDV only
+        val bins = if (args.length > 3) arg(3, "histogram bins").toInt else 0
+        val out = tx.analyzeColumns(cols, exact = exact,
+          histogramBins = bins)
         report(tx, out.toSeq.sortBy(_._1).map { case (c, a) =>
           s"ndv_$c" -> a.ndv.toString }: _*)
       case "maintenance" =>

@@ -135,6 +135,103 @@ class AnalyzeStatsSpec extends SparkSpec {
       spark.conf.unset(graft.sql.GraftCallCommand.AllowRawPathsKey)
   }
 
+  test("equi-height histograms compute, declare and round-trip") {
+    val dir = tmpDir("analyze-hist") + "/t"
+    // skew: 95% of rows carry g=0, the rest spread over 1..100
+    val df = (1L to 2000L).map(k =>
+      (k, if (k % 20 != 0) 0L else k % 100 + 1L)).toDF("k", "g")
+    val t = new TxTable(spark, dir, df.schema, Seq("k"), numBuckets = 2)
+    t.append(df)
+    val out = t.analyzeColumns(exact = true, histogramBins = 5)
+    val h = out("g").hist.get
+    assert(h.bins.size === 5)
+    assert(h.height === 2000.0 / 5)
+    // the hot value occupies most bins (the skew the histogram is for)
+    assert(h.bins.count { case (lo, hi, _) => lo == 0.0 && hi == 0.0 } >= 3)
+    // tail bin reaches the max non-hot value (k%20==0 -> k%100+1,
+    // max 81)
+    assert(h.bins.last._2 === 81.0)
+    // declaration round-trips through the metadata commit
+    val (_, cols) = t.columnAnalysis.get
+    val h2 = cols("g").hist.get
+    assert(h2.height === h.height)
+    assert(h2.bins === h.bins)
+    // strings carry no histogram; ndv still declared
+    assert(cols("k").hist.isDefined)
+  }
+
+  test("CBO attributeStats carry the histogram through the DSv2 scan") {
+    val dir = tmpDir("analyze-hcbo") + "/t"
+    val df = (1L to 1000L).map(k =>
+      (k, if (k % 10 != 0) 0L else k % 50 + 1L)).toDF("k", "g")
+    val t = new TxTable(spark, dir, df.schema, Seq("k"), numBuckets = 2)
+    t.append(df)
+    t.analyzeColumns(exact = true, histogramBins = 4)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val rel = spark.read.format("graft").load(t.dir)
+      val stats = rel.queryExecution.optimizedPlan.stats
+      val gAttr = stats.attributeStats.keys.find(_.name == "g").get
+      val cs = stats.attributeStats(gAttr)
+      assert(cs.histogram.isDefined,
+        "the declared histogram must reach catalyst attributeStats")
+      assert(cs.histogram.get.bins.length === 4)
+      assert(cs.distinctCount.isDefined)
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
+  test("the histogram flips the join side on a skewed filter (plan-asserted)") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    // same data twice: one table NDV-only, one with a histogram. A
+    // filter pinning the HOT value estimates rows/ndv under
+    // uniformity (tiny -> broadcast the filtered side) but the hot
+    // bin's true mass with a histogram (big -> shuffle join). The
+    // histogram is what saves the cluster from broadcasting a hot
+    // key's multi-GB slice at 100 TB.
+    def mkSkew(tag: String): TxTable = {
+      val dir = tmpDir(tag) + "/t"
+      // hot value 0 on 95% of rows; the REST are distinct, so the
+      // column's NDV is high and the uniform estimate of g=0 is tiny
+      val df = (1L to 50000L).map(k =>
+        (k, if (k % 20 != 0) 0L else k)).toDF("k", "g")
+      val t = new TxTable(spark, dir, df.schema, Seq("k"), numBuckets = 2)
+      t.append(df)
+      t
+    }
+    val plain = mkSkew("analyze-flipA")
+    plain.analyzeColumns(Seq("g", "k"), exact = true) // NDV only
+    val histed = mkSkew("analyze-flipB")
+    histed.analyzeColumns(Seq("g", "k"), exact = true, histogramBins = 5)
+    val otherDir = tmpDir("analyze-flipC") + "/t"
+    val odf = (1L to 50000L).map(k => (k, k * 2.0)).toDF("k", "v")
+    val other = new TxTable(spark, otherDir, odf.schema, Seq("k"),
+      numBuckets = 2)
+    other.append(odf)
+
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "51200") // 50 KB
+    try {
+      def joinPlan(t: TxTable): org.apache.spark.sql.execution.SparkPlan = {
+        val a = spark.read.format("graft").load(t.dir)
+          .filter(col("g") === 0L)
+        val b = spark.read.format("graft").load(other.dir)
+        a.join(b, "k").queryExecution.sparkPlan
+      }
+      val uniform = joinPlan(plain)
+      val skewAware = joinPlan(histed)
+      assert(uniform.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"NDV-only stats should estimate the hot-value filter tiny and " +
+          s"broadcast it:\n$uniform")
+      assert(skewAware.collect { case j: SortMergeJoinExec => j }.nonEmpty,
+        s"the histogram should reveal the hot value's mass and refuse " +
+          s"the broadcast:\n$skewAware")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
   test("re-analyze replaces the declaration; unknown column refuses") {
     val t = mkTable("analyze-re")
     t.analyzeColumns(Seq("g"), exact = true)
