@@ -55,6 +55,20 @@ object IcebergExport {
     * this regardless of bucket count. */
   val ManifestGroups: Int = 8
 
+  /** Render-code epoch for the manifest memo: BUMP whenever
+    * [[writeIcebergMetadata]]'s entry RENDERING changes shape (new
+    * fields, different stats encoding, …) so memoized names from the
+    * previous code can never be reused for different bytes. Data/
+    * schema/spec changes are fingerprinted automatically; only the
+    * rendering code itself needs this manual epoch. */
+  private val RenderEpoch: String = "render-1"
+
+  /** Count of data manifests actually RENDERED (records built +
+    * serialized) — test probe for the memo: a no-churn re-sync must
+    * render 0, an append re-sync only the new versions'. */
+  private[graft] val manifestRenders =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def icebergType(dt: DataType): String = dt match {
     case BooleanType      => "boolean"
     case IntegerType      => "int"
@@ -447,12 +461,23 @@ object IcebergExport {
           }
         }
       }
+    // declared Puffin statistics stay; stats files whose snapshot
+    // expired are orphans like any other metadata artifact
+    (md \ "statistics") match {
+      case JArray(es) => es.foreach { e =>
+        (e \ "statistics-path") match {
+          case JString(p) => referenced += baseName(p)
+          case _ => ()
+        }
+      }
+      case _ => ()
+    }
     // metadata/: only export-written shapes are candidates — never a
     // file some other tool parked there. Dot-prefixed `.avro.tmp`
     // names are crashed writeAvro temps: orphaned by construction
     // (the atomic rename never happened), aged out here.
     sweep(metaDir, n => !(n.endsWith(".avro") ||
-      n.endsWith(".metadata.json") ||
+      n.endsWith(".metadata.json") || n.endsWith(".puffin") ||
       (n.startsWith(".") && n.endsWith(".avro.tmp"))))
     sweep(new Path(root, "_iceberg_deletes"),
       n => !(n.endsWith(".parquet") || n.startsWith(".stage-")))
@@ -624,6 +649,78 @@ object IcebergExport {
     val deleteMeta = schemaMeta +
       ("partition-spec" -> "[]", "partition-spec-id" -> "0")
 
+    // ---- RENDER MEMO: version-keyed content-hash memoization ----
+    // Building every retained version's manifest records each sync
+    // (to compute the content-hash names) was O(live files × retained
+    // versions) driver CPU. The memo carries prefix → (input
+    // fingerprint, published name, length): a manifest whose RENDER
+    // INPUTS are unchanged — same files, buckets, zone-map stats and
+    // add provenance under the same schema/spec EPOCH — reuses its
+    // published name without building a single record, so a no-op
+    // re-sync renders nothing and an append re-sync renders O(new
+    // versions). Self-invalidation is kept for anything recomputed:
+    // a memo miss goes through [[writeAvroOnce]], whose content hash
+    // still names the bytes. The epoch hash covers the avro schemas,
+    // field-id registry and per-version table schemas; RenderEpoch
+    // is bumped when entry RENDERING itself changes shape.
+    val memoPath = new Path(metaDir, ".render-memo.json")
+    def shaHex(parts: IterableOnce[String]): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      parts.iterator.foreach { s =>
+        md.update(s.getBytes(StandardCharsets.UTF_8)); md.update(0.toByte)
+      }
+      md.digest().take(8).map("%02x".format(_)).mkString
+    }
+    val epochHash = shaHex(
+      Iterator(RenderEpoch, dataEntrySchema.toString,
+        ManifestEntrySchema.toString) ++
+        schemaMeta.toSeq.sortBy(_._1).iterator.map(kv => kv._1 + "=" + kv._2) ++
+        verSchemas.iterator.map { case (vv, s) => s"$vv:${s.json}" } ++
+        idReg.iterator.map { case (k, (id, phys)) => s"$k:$id:$phys" })
+    val memoLoaded: Map[String, (String, String, Long)] =
+      if (!fs.exists(memoPath)) Map.empty
+      else scala.util.Try {
+        val in = fs.open(memoPath)
+        val j = try JsonMethods.parse(
+          scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+        if ((j \ "epoch") != JString(epochHash))
+          Map.empty[String, (String, String, Long)]
+        else (j \ "entries") match {
+          case JObject(kvs) =>
+            val b = Map.newBuilder[String, (String, String, Long)]
+            kvs.foreach {
+              case (prefix, e: JObject) =>
+                ((e \ "fp"), (e \ "name"), (e \ "len")) match {
+                  case (JString(fp), JString(n), JInt(l)) =>
+                    b += prefix -> ((fp, n, l.toLong))
+                  case _ => ()
+                }
+              case _ => ()
+            }
+            b.result()
+          case _ => Map.empty[String, (String, String, Long)]
+        }
+      }.getOrElse(Map.empty[String, (String, String, Long)])
+    val memoOut =
+      scala.collection.mutable.LinkedHashMap.empty[String, (String, String, Long)]
+    def memoizedAvro(prefix: String, fp: String, avroSchema: Schema,
+        meta: Map[String, String])(mk: => Seq[GenericRecord]): (Path, Long) =
+      memoLoaded.get(prefix) match {
+        case Some((f0, name, len)) if f0 == fp &&
+            fs.exists(new Path(metaDir, name)) =>
+          memoOut(prefix) = (fp, name, len)
+          (new Path(metaDir, name), len)
+        case _ =>
+          IcebergExport.manifestRenders.incrementAndGet()
+          val (p, len) = writeAvroOnce(fs, metaDir, prefix, avroSchema,
+            mk, meta)
+          memoOut(prefix) = (fp, p.getName, len)
+          (p, len)
+      }
+    def statsFp(f: TxTable.LiveFile): String =
+      if (f.statsJson == null) "" else shaHex(Iterator(f.statsJson))
+
     // SPEC-TRUE ADD/EXISTING/DELETED MANIFEST SEMANTICS: a data file's
     // entry is ADDED (status 1) only in the snapshot that introduced
     // it; later snapshots REUSE the adding manifest verbatim (the
@@ -722,11 +819,14 @@ object IcebergExport {
           else {
             val (liveFa, deadFa) =
               m.files.partition(fa => livePathSet(fa.f.path))
-            val recs = liveFa.map(fa => entryRecord(fa, 0, fa.addSnapId)) ++
-              deadFa.map(fa => entryRecord(fa, 2, snapshotId))
-            val (p, len) = writeAvroOnce(fs, metaDir,
-              s"m-v$v-s$dataSeq-rw$j", dataEntrySchema, recs,
-              schemaMeta + ("content" -> "data"))
+            val rwFp = shaHex(m.files.iterator.map(fa =>
+              s"${fa.f.path}|${fa.f.bucket}|${statsFp(fa.f)}|" +
+                s"${fa.addVersion}|${fa.addSeq}|${fa.addSnapId}|" +
+                livePathSet(fa.f.path)))
+            val (p, len) = memoizedAvro(s"m-v$v-s$dataSeq-rw$j", rwFp,
+              dataEntrySchema, schemaMeta + ("content" -> "data"))(
+              liveFa.map(fa => entryRecord(fa, 0, fa.addSnapId)) ++
+                deadFa.map(fa => entryRecord(fa, 2, snapshotId)))
             val allB = m.files.map(_.f.bucket)
             MfRec(p, len, dataSeq, m.files.map(_.addSeq).min, snapshotId,
               0, liveFa.size, deadFa.size,
@@ -754,10 +854,11 @@ object IcebergExport {
         }
       val newMfs: Seq[MfRec] = groups.map { case (g, gf) =>
         val fas = gf.map(f => FileAdd(f, v, snapshotId, dataSeq))
-        val (p, len) = writeAvroOnce(fs, metaDir,
-          s"m-v$v-s$dataSeq-0-g$g", dataEntrySchema,
-          fas.map(fa => entryRecord(fa, 1, snapshotId)),
-          schemaMeta + ("content" -> "data"))
+        val gFp = shaHex(gf.iterator.map(f =>
+          s"${f.path}|${f.bucket}|${statsFp(f)}"))
+        val (p, len) = memoizedAvro(s"m-v$v-s$dataSeq-0-g$g", gFp,
+          dataEntrySchema, schemaMeta + ("content" -> "data"))(
+          fas.map(fa => entryRecord(fa, 1, snapshotId)))
         MfRec(p, len, dataSeq, dataSeq, snapshotId,
           gf.size, 0, 0, gf.map(rowsOf).sum, 0L, 0L,
           if (bucketSpec.isEmpty) None
@@ -1024,6 +1125,23 @@ object IcebergExport {
       }.toList),
       "statistics" -> JArray(statisticsJson),
       "metadata-log" -> JArray(Nil))
+    // persist the render memo (temp+rename like every metadata
+    // artifact): next sync's no-op path needs it
+    locally {
+      val memoJson = JsonMethods.compact(JsonMethods.render(JObject(
+        "epoch" -> JString(epochHash),
+        "entries" -> JObject(memoOut.toList.map { case (k, (fp, n, l)) =>
+          k -> (JObject("fp" -> JString(fp), "name" -> JString(n),
+            "len" -> JLong(l)): JValue)
+        }))))
+      val tmp = new Path(metaDir, ".render-memo.json.tmp")
+      val mo = fs.create(tmp, true)
+      try mo.write(memoJson.getBytes(StandardCharsets.UTF_8))
+      finally mo.close()
+      if (fs.exists(memoPath)) fs.delete(memoPath, false)
+      require(fs.rename(tmp, memoPath), s"could not publish $memoPath")
+    }
+
     val mdPath = new Path(metaDir, "v1.metadata.json")
     val out = fs.create(mdPath, true)
     try out.write(JsonMethods.pretty(JsonMethods.render(metadata))

@@ -531,6 +531,39 @@ class IcebergExportSpec extends SparkSpec {
       (1L to 100L).filter(_ % 10 != 0).sum)
   }
 
+  test("render memo: a no-churn re-sync renders 0 manifests, an append only its own") {
+    val dir = tmpDir("iceberg-memo") + "/t"
+    val data = (1L to 100L).map(i => (i, i * 2.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 2)
+    t.append(data.filter(col("k") <= 40L))  // v1
+    t.append(data.filter(col("k") > 40L && col("k") <= 80L)) // v2
+    def renders(body: => Unit): Long = {
+      val before = IcebergExport.manifestRenders.get()
+      body
+      IcebergExport.manifestRenders.get() - before
+    }
+    assert(renders(IcebergExport.writeIcebergMetadata(spark, t)) > 0L)
+    // no-churn re-sync: every retained version's manifest comes from
+    // the memo — zero records built, zero serialization
+    assert(renders(IcebergExport.writeIcebergMetadata(spark, t)) === 0L,
+      "a no-op re-sync must not re-render any manifest")
+    // an append re-sync renders ONLY the new version's manifests
+    t.append(data.filter(col("k") > 80L)) // v3
+    val n = renders(IcebergExport.writeIcebergMetadata(spark, t))
+    assert(n >= 1L && n <= IcebergExport.ManifestGroups.toLong,
+      s"append re-sync rendered $n manifests - expected only v3's")
+    // and the re-synced tree still reads exactly
+    assert(graft.core.IcebergImport.read(spark, dir).count() === 100L)
+    // a DELETE invalidates only the rewritten manifests (fingerprint
+    // moved: liveness changed), never the whole history
+    t.deleteWhereLight(col("k") % 10 === 0)
+    val n2 = renders(IcebergExport.writeIcebergMetadata(spark, t))
+    assert(n2 >= 1L, "a delete must re-render the rewritten manifests")
+    assert(graft.core.IcebergImport.read(spark, dir).count() === 90L)
+    // memo survives on disk and keeps the next sync at zero
+    assert(renders(IcebergExport.writeIcebergMetadata(spark, t)) === 0L)
+  }
+
   test("re-sync keeps published snapshot timestamps (TIMESTAMP AS OF is stable)") {
     val dir = tmpDir("iceberg-ts") + "/t"
     val data = (1L to 20L).map(i => (i, i * 2.0)).toDF("k", "v")
