@@ -594,6 +594,70 @@ object IcebergImport {
     (files, deletesAdded)
   }
 
+  /** Everything snapshot `sm` CHANGED, by kind — the changelog-scan
+    * planning unit: data files it added (status 1), data files it
+    * removed (status 2 DELETED entries under its id, the rewritten-
+    * manifest shape), and the DELETE files it added (split position
+    * vs equality — a changelog can resolve position deletes to rows;
+    * equality deletes it must refuse). Same scale contract as
+    * [[addedDataFiles]]: opens only the manifests `sm` itself added. */
+  final case class SnapshotChanges(
+      added: Seq[String],
+      removed: Seq[String],
+      positionDeletes: Seq[String],
+      equalityDeletes: Seq[String])
+
+  def snapshotChanges(spark: SparkSession, sm: SnapMeta): SnapshotChanges = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    require(sm.manifestList.nonEmpty,
+      s"snapshot ${sm.id} has no manifest-list (v1 inline-manifest " +
+        "layout) - changelog streaming requires v2")
+    val listPath = new Path(sm.manifestList.get)
+    val fs = listPath.getFileSystem(conf)
+    val manifests = readAvro(fs, listPath, conf)
+    def addedBy(m: GenericRecord): Option[Long] =
+      if (m.getSchema.getField("added_snapshot_id") == null) None
+      else Option(m.get("added_snapshot_id"))
+        .map(_.asInstanceOf[Number].longValue())
+    def contentOf(m: GenericRecord): Int =
+      Option(m.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+    val mine = manifests.filter(m => addedBy(m).contains(sm.id))
+    val added = Seq.newBuilder[String]
+    val removed = Seq.newBuilder[String]
+    val posDel = Seq.newBuilder[String]
+    val eqDel = Seq.newBuilder[String]
+    mine.foreach { m =>
+      val isDeleteManifest = contentOf(m) != 0
+      val mPath = new Path(m.get("manifest_path").toString)
+      readAvro(fs, mPath, conf).foreach { e =>
+        val status = e.get("status").asInstanceOf[Int]
+        val entrySnap: Option[Long] =
+          if (e.getSchema.getField("snapshot_id") == null) None
+          else Option(e.get("snapshot_id"))
+            .map(_.asInstanceOf[Number].longValue())
+        // null entry snapshot-id inherits the manifest's
+        // added_snapshot_id (spec inheritance) == sm.id here
+        if (entrySnap.forall(_ == sm.id) && (status == 1 || status == 2)) {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val path = df.get("file_path").toString
+          val fmt = df.get("file_format").toString
+          require(fmt.equalsIgnoreCase("PARQUET"),
+            s"file format $fmt unsupported (parquet only)")
+          if (!isDeleteManifest) {
+            if (status == 1) added += path else removed += path
+          } else if (status == 1) {
+            // data_file.content: 1 = POSITION_DELETES, 2 = EQUALITY
+            val c = Option(df.get("content"))
+              .map(_.asInstanceOf[Number].intValue()).getOrElse(1)
+            if (c == 2) eqDel += path else posDel += path
+          }
+        }
+      }
+    }
+    SnapshotChanges(added.result(), removed.result(),
+      posDel.result(), eqDel.result())
+  }
+
   /** [[snapshot]] with PARTITION PRUNING from a predicate: when the
     * table's default spec is a single `bucket[N]` transform and
     * `pred` carries top-level equality/IN conjuncts on the source

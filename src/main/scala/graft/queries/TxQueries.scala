@@ -778,6 +778,64 @@ object TxQueries {
       .orderBy("nationkey")
   }
 
+  /** ICEBERG CHANGELOG STREAM → MERGE: a foreign-shape Iceberg tree
+    * whose third snapshot carries POSITION DELETES streams through
+    * `icebergChanges=true` as a `_change_type`-tagged retraction
+    * feed; `foreachBatch` applies each snapshot's group in
+    * `_change_sequence` order (deletes before inserts — the
+    * copy-on-write order) against a TxTable sink. The reconstituted
+    * sink must equal the final state DuckDB computes relationally —
+    * the mutation snapshot is CONSUMED, not refused. */
+  def tx_iceberg_changes_merge(s: SparkSession, dir: String): DataFrame = {
+    val cu = t(s, dir, "customer")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val table = cached(s, dir, "customer", "icechanges", 3L) { loc =>
+      new TxTable(s, loc, cu.schema, Seq("c_custkey"), numBuckets = 4)
+    } { tx =>
+      tx.createIfAbsent() // sink v0
+      val srcDir = tx.dir + "-src"
+      val ck = tx.dir + "-ck"
+      rmTree(new java.io.File(srcDir)); rmTree(new java.io.File(ck))
+      val src = new TxTable(s, srcDir, cu.schema, Seq("c_custkey"),
+        numBuckets = 4)
+      src.append(cu.filter(col("c_custkey") % 2 === 0))
+      src.append(cu.filter(col("c_custkey") % 2 === 1))
+      src.deleteWhereLight(col("c_custkey") % 9 === 0)
+      graft.core.IcebergExport.writeIcebergMetadata(s, src)
+      val q = s.readStream.format("graft")
+        .option("icebergChanges", "true").load(srcDir)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val seqs = batch.select("_change_sequence").distinct()
+              .collect().map(_.getLong(0)).sorted
+            seqs.foreach { q0 =>
+              val grp = batch.filter(col("_change_sequence") === q0)
+              val delKeys = grp
+                .filter(col("_change_type") === "delete")
+                .select("c_custkey").collect().map(_.getLong(0))
+              if (delKeys.nonEmpty)
+                tx.deleteWhereLight(
+                  col("c_custkey").isin(delKeys.toSeq: _*))
+              val ins = grp.filter(col("_change_type") === "insert")
+                .select("c_custkey", "c_nationkey", "c_acctbal")
+              if (!ins.isEmpty) tx.upsert(ins)
+            }
+            ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    table.read
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n"),
+        Qhelpers.msum(col("c_acctbal")).as("bal"),
+        min("c_custkey").as("min_cust"))
+      .orderBy("nationkey")
+  }
+
   /** ANALYZE COLUMN STATISTICS, end to end: customer in a TxTable,
     * `analyzeColumns(exact = true)` declares per-column NDV in one
     * metadata-only commit (the CBO feed `estimateStatistics` serves
@@ -2172,6 +2230,7 @@ object TxQueries {
     "tx_sql_generated" -> (tx_sql_generated _),
     "tx_stream_copy" -> (tx_stream_copy _),
     "tx_iceberg_stream_tail" -> (tx_iceberg_stream_tail _),
+    "tx_iceberg_changes_merge" -> (tx_iceberg_changes_merge _),
     "tx_sql_analyze" -> (tx_sql_analyze _),
     "tx_export_expire" -> (tx_export_expire _),
     "tx_variant_store" -> (tx_variant_store _),
@@ -2637,6 +2696,16 @@ object TxQueries {
         |  UNION ALL
         |  SELECT 'c_mktsegment', count(DISTINCT c_mktsegment) FROM customer
         |) ORDER BY col""".stripMargin,
+    // the changelog stream reconstitutes the post-delete state: two
+    // insert snapshots plus a position-delete retraction, applied in
+    // sequence order - DuckDB computes the final state relationally
+    "tx_iceberg_changes_merge" ->
+      s"""SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+         |  count(*) AS n,
+         |  ${Qhelpers.sqlMsum("c_acctbal")} AS bal,
+         |  min(c_custkey) AS min_cust
+         |FROM customer WHERE c_custkey % 9 <> 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // two Iceberg snapshots tail-streamed into the sink exactly once
     // - DuckDB aggregates the customer table directly
     "tx_iceberg_stream_tail" ->

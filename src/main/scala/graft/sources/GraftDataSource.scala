@@ -89,9 +89,14 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
   private def wantsIcebergTail(options: CaseInsensitiveStringMap): Boolean =
     Option(options.get("icebergTail")).exists(_.equalsIgnoreCase("true"))
 
+  private def wantsIcebergChanges(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("icebergChanges")).exists(_.equalsIgnoreCase("true"))
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = dirOf(options)
     if (wantsCdf(options)) return new GraftCdfTable(dir).schema()
+    if (wantsIcebergChanges(options))
+      return new GraftIcebergTailTable(dir, changes = true).schema()
     if (wantsIcebergTail(options))
       return new GraftIcebergTailTable(dir).schema()
     val tx = GraftDataSource.openForRead(SparkSession.active, dir)
@@ -106,6 +111,10 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
     // readChangeFeed=true: the streaming CDF surface over the
     // cdf-exported Delta log (see GraftCdfStream)
     if (wantsCdf(opts)) return new GraftCdfTable(dir)
+    // icebergChanges=true: the changelog stream — mutation snapshots
+    // served as a _change_type-tagged retraction feed
+    if (wantsIcebergChanges(opts))
+      return new GraftIcebergTailTable(dir, changes = true)
     // icebergTail=true: the snapshot-tail stream over a foreign
     // Iceberg v2 tree (see GraftIcebergTail)
     if (wantsIcebergTail(opts)) return new GraftIcebergTailTable(dir)

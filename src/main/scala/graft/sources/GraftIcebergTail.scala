@@ -42,6 +42,19 @@ import graft.core.IcebergImport
   *      CDF stream of a uniform export for a true retraction feed).
   *      Honesty first: a mutation is never silently served as
   *      append-only rows.
+  *  - `icebergChanges=true` (the CHANGELOG sibling): mutation
+  *    snapshots become a retraction feed instead of a refusal —
+  *    added data files stream as `_change_type = insert`, removed
+  *    data files and position-delete manifests resolve to full-row
+  *    `delete` records (the spec's changelog-scan analog), each
+  *    tagged with its snapshot's `_change_sequence` so a
+  *    `foreachBatch` MERGE applies multi-snapshot batches in commit
+  *    order (deletes before inserts within a snapshot — the
+  *    copy-on-write order). Equality deletes refuse (no row to emit
+  *    without evaluating predicates against prior state). Writers
+  *    that publish CUMULATIVE position-delete files (this engine's
+  *    own DV export) may re-state earlier retractions — retractions
+  *    are at-least-once; MERGE application is idempotent.
   *  - `startingSequence` option: begin AFTER sequence N (its
   *    successor is the first batch). Default 0 = the full feed,
   *    which REQUIRES the retained lineage to reach the table's root
@@ -57,21 +70,30 @@ import graft.core.IcebergImport
   * the new snapshots' own manifests; each added file fans out as one
   * partition through the provider's row reader.
   */
-final class GraftIcebergTailTable(dir: String) extends Table
-    with SupportsRead {
+final class GraftIcebergTailTable(dir: String, changes: Boolean = false)
+    extends Table with SupportsRead {
   private val spark = SparkSession.active
   private[sources] val (declaredSchema, physSchema) =
     IcebergImport.headSchemas(spark, dir)
+  private val servedSchema: StructType =
+    if (changes)
+      declaredSchema
+        .add(GraftIcebergTail.ChangeTypeCol,
+          org.apache.spark.sql.types.StringType, nullable = false)
+        .add(GraftIcebergTail.ChangeSeqCol,
+          org.apache.spark.sql.types.LongType, nullable = false)
+    else declaredSchema
 
-  override def name(): String = s"graft-iceberg-tail:`$dir`"
-  override def schema(): StructType = declaredSchema
+  override def name(): String =
+    s"graft-iceberg-${if (changes) "changes" else "tail"}:`$dir`"
+  override def schema(): StructType = servedSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new ScanBuilder {
     override def build(): Scan = new Scan {
-      override def readSchema(): StructType = declaredSchema
+      override def readSchema(): StructType = servedSchema
       override def toMicroBatchStream(checkpointLocation: String)
           : MicroBatchStream =
         new GraftIcebergTailStream(dir, physSchema,
@@ -80,15 +102,18 @@ final class GraftIcebergTailTable(dir: String) extends Table
             .exists(_.equalsIgnoreCase("true")),
           Option(options.get("skipOverwriteSnapshots"))
             .exists(_.equalsIgnoreCase("true")),
-          Option(options.get("maxSnapshotsPerTrigger")).map(_.toLong))
-      override def description(): String = s"GraftIcebergTailScan $dir"
+          Option(options.get("maxSnapshotsPerTrigger")).map(_.toLong),
+          changes)
+      override def description(): String =
+        s"GraftIceberg${if (changes) "Changes" else "Tail"}Scan $dir"
     }
   }
 }
 
 final class GraftIcebergTailStream(dir: String, physSchema: StructType,
     startingSequence: Option[Long], skipDeletes: Boolean,
-    skipOverwrites: Boolean, maxSnapshotsPerTrigger: Option[Long] = None)
+    skipOverwrites: Boolean, maxSnapshotsPerTrigger: Option[Long] = None,
+    changes: Boolean = false)
     extends MicroBatchStream
     with SupportsTriggerAvailableNow {
 
@@ -186,6 +211,32 @@ final class GraftIcebergTailStream(dir: String, physSchema: StructType,
           case "replace" => () // rewrites only - no row change, per spec
           case "delete" if skipDeletes => ()
           case "overwrite" if skipOverwrites => ()
+          case op @ ("append" | "delete" | "overwrite") if changes =>
+            // CHANGELOG mode: mutation snapshots become a retraction
+            // feed - added data files as inserts, removed data files
+            // and position-deleted rows as deletes, all tagged in
+            // _change_type. Equality deletes refuse (no row to emit
+            // without evaluating predicates against prior state).
+            val ch = IcebergImport.snapshotChanges(spark, m)
+            require(ch.equalityDeletes.isEmpty,
+              s"snapshot ${m.id} (seq ${m.seq}) adds EQUALITY delete " +
+                "files - the changelog cannot resolve them to retracted " +
+                "rows; batch-read the state instead (IcebergImport.read " +
+                "handles equality deletes)")
+            ch.added.foreach(p =>
+              out += GraftIcebergChangePartition(p, Nil,
+                insert = true, onlyDeleted = false, seq = m.seq))
+            ch.removed.foreach(p =>
+              out += GraftIcebergChangePartition(p, Nil,
+                insert = false, onlyDeleted = false, seq = m.seq))
+            if (ch.positionDeletes.nonEmpty)
+              GraftIcebergTail
+                .referencedDataFiles(spark, ch.positionDeletes)
+                .foreach { case (dataPath, delFiles) =>
+                  out += GraftIcebergChangePartition(dataPath, delFiles,
+                    insert = false, onlyDeleted = true, seq = m.seq)
+                }
+            val _ = op // exhaustiveness aid; operation already vetted
           case "append" =>
             val (files, deletesAdded) =
               IcebergImport.addedDataFiles(spark, m)
@@ -198,6 +249,7 @@ final class GraftIcebergTailStream(dir: String, physSchema: StructType,
                 s"snapshot ${m.id} (seq ${m.seq}) adds delete files - " +
                   "a tail stream cannot serve row removal; set " +
                   "skipOverwriteSnapshots=true to skip such snapshots, " +
+                  "set icebergChanges=true for a retraction feed, " +
                   "or stream the Delta CDF of a uniform export")
               files.foreach(p => out += GraftIcebergTailPartition(p))
             }
@@ -208,7 +260,8 @@ final class GraftIcebergTailStream(dir: String, physSchema: StructType,
             throw new IllegalArgumentException(
               s"snapshot ${m.id} (seq ${m.seq}) is a $op - a tail " +
                 s"stream cannot serve row removal; set $remedy to skip " +
-                "it, or stream the Delta CDF of a uniform export")
+                "it, set icebergChanges=true for a retraction feed, " +
+                "or stream the Delta CDF of a uniform export")
           case other => throw new IllegalArgumentException(
             s"snapshot ${m.id} (seq ${m.seq}) declares operation " +
               s"'$other' - not a shape this tail can serve")
@@ -224,6 +277,14 @@ final class GraftIcebergTailStream(dir: String, physSchema: StructType,
 final case class GraftIcebergTailPartition(path: String)
     extends InputPartition
 
+/** One changelog unit: a data file served as inserts
+  * (`insert = true`), as whole-file deletes (a DELETED entry), or —
+  * `onlyDeleted = true` — only the rows the snapshot's position-
+  * delete files retract from it. */
+final case class GraftIcebergChangePartition(path: String,
+    deleteFiles: Seq[String], insert: Boolean, onlyDeleted: Boolean,
+    seq: Long) extends InputPartition
+
 final class GraftIcebergTailReaderFactory(physSchema: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
@@ -233,5 +294,138 @@ final class GraftIcebergTailReaderFactory(physSchema: StructType)
       // table's declared names surface positionally - field order is
       // the declared order by construction
       new GraftPartitionReader(p.path, Array.empty, physSchema)
+    case p: GraftIcebergChangePartition =>
+      new GraftIcebergChangeReader(p, physSchema)
+  }
+}
+
+/** Changelog row reader: the underlying data file through the same
+  * physical-name row reader the tail uses, each row tagged with its
+  * `_change_type`. For position-delete retractions the reader loads
+  * the delete files' positions for THIS data file (bounded by delete
+  * file size) and serves exactly those rows — the row values a
+  * downstream MERGE needs to key the retraction. */
+final class GraftIcebergChangeReader(p: GraftIcebergChangePartition,
+    physSchema: StructType) extends PartitionReader[InternalRow] {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val changeType =
+    UTF8String.fromString(if (p.insert) "insert" else "delete")
+  private val positions: java.util.HashSet[java.lang.Long] =
+    if (!p.onlyDeleted) null
+    else GraftIcebergTail.deletedPositionsFor(p.path, p.deleteFiles)
+  // position-filtered reads project _graft_pos through the shared
+  // reader (sequential full-file read => parquet row index)
+  private val innerSchema: StructType =
+    if (p.onlyDeleted)
+      physSchema.add(GraftTable.PosCol, org.apache.spark.sql.types.LongType)
+    else physSchema
+  private val inner =
+    new GraftPartitionReader(p.path, Array.empty, innerSchema)
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val row = inner.get()
+      if (positions == null ||
+        positions.contains(row.getLong(physSchema.length))) {
+        current = row
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](physSchema.length + 2)
+    var i = 0
+    while (i < physSchema.length) {
+      vals(i) =
+        if (current.isNullAt(i)) null
+        else current.get(i, physSchema(i).dataType)
+      i += 1
+    }
+    vals(physSchema.length) = changeType
+    vals(physSchema.length + 1) = p.seq
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = inner.close()
+}
+
+object GraftIcebergTail {
+  /** The changelog's change-kind column (Delta CDF vocabulary —
+    * insert | delete; updates surface as delete+insert pairs, the
+    * spec's own changelog-scan contract without row identity). */
+  val ChangeTypeCol = "_change_type"
+
+  /** The originating snapshot's SEQUENCE NUMBER: multi-snapshot
+    * micro-batches stay orderable — apply groups in ascending
+    * sequence, deletes before inserts within each (the copy-on-write
+    * overwrite order), and a foreachBatch MERGE is deterministic. */
+  val ChangeSeqCol = "_change_sequence"
+
+  private def posDeleteRows(deleteFile: String)
+      (f: (String, Long) => Unit): Unit = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.api.ReadSupport
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val conf = new Configuration()
+    // project just the spec's two required columns; writers may add
+    // an optional `row` struct we never need
+    // optional repetition in the projection: parquet's checkContains
+    // accepts optional-over-required but not the reverse, and
+    // writers differ on the requiredness they stamp
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA,
+      "message iceberg_delete { optional binary file_path (UTF8); " +
+        "optional int64 pos; }")
+    val r = ParquetReader.builder(new GroupReadSupport(),
+      new org.apache.hadoop.fs.Path(deleteFile)).withConf(conf).build()
+    try {
+      var g = r.read()
+      while (g != null) {
+        f(g.getString("file_path", 0), g.getLong("pos", 0))
+        g = r.read()
+      }
+    } finally r.close()
+  }
+
+  private def base(p: String): String =
+    p.substring(p.lastIndexOf('/') + 1)
+
+  /** Driver-side planning index: which data files the snapshot's
+    * position-delete files reference → one retraction partition per
+    * data file. Cost is O(delete rows) — the same class as a
+    * planning pass, bounded by the snapshot's own delete files. */
+  def referencedDataFiles(spark: SparkSession,
+      deleteFiles: Seq[String]): Seq[(String, Seq[String])] = {
+    val refs = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashSet[String]]
+    deleteFiles.foreach { df =>
+      posDeleteRows(df) { (dataPath, _) =>
+        refs.getOrElseUpdate(dataPath,
+          scala.collection.mutable.LinkedHashSet.empty) += df
+        ()
+      }
+    }
+    refs.toSeq.map { case (k, v) => (k, v.toSeq) }
+  }
+
+  /** Executor-side: the positions `deleteFiles` retract from
+    * `dataPath` (matched on basename — unique by construction in
+    * every Iceberg writer's naming scheme). */
+  def deletedPositionsFor(dataPath: String,
+      deleteFiles: Seq[String]): java.util.HashSet[java.lang.Long] = {
+    val mine = base(dataPath)
+    val set = new java.util.HashSet[java.lang.Long]()
+    deleteFiles.foreach { df =>
+      posDeleteRows(df) { (fp, pos) =>
+        if (base(fp) == mine) set.add(pos)
+        ()
+      }
+    }
+    set
   }
 }
