@@ -62,12 +62,38 @@ object CopyInto {
     * dot/underscore names are reader metadata by convention). */
   private[graft] def listSource(
       fs: org.apache.hadoop.fs.FileSystem, src: Path,
-      pattern: String): Array[FileStatus] =
-    fs.globStatus(new Path(src, pattern)) match {
-      case null => Array.empty[FileStatus]
-      case a => a.filter(st => st.isFile &&
-        !st.getPath.getName.startsWith(".") &&
-        !st.getPath.getName.startsWith("_"))
+      pattern: String, recursive: Boolean = false): Array[FileStatus] =
+    if (!recursive)
+      fs.globStatus(new Path(src, pattern)) match {
+        case null => Array.empty[FileStatus]
+        case a => a.filter(st => st.isFile &&
+          !st.getPath.getName.startsWith(".") &&
+          !st.getPath.getName.startsWith("_"))
+      }
+    else {
+      // recursive landings (hive-partitioned dt=.../... trees): the
+      // PATTERN matches the file NAME; hidden path segments anywhere
+      // under the root exclude the file (staging dirs, _SUCCESS)
+      val matcher = java.nio.file.FileSystems.getDefault
+        .getPathMatcher(s"glob:$pattern")
+      val rootUri = fs.makeQualified(src).toString.stripSuffix("/")
+      val out = Array.newBuilder[FileStatus]
+      val it = fs.listFiles(src, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = fs.makeQualified(st.getPath).toString
+          .stripPrefix(rootUri).stripPrefix("/")
+        val segs = rel.split('/')
+        // a k=v segment is a PARTITION dir, never hidden — the null
+        // partition renders as k=__HIVE_DEFAULT_PARTITION__ and must
+        // still be discovered
+        val hidden = segs.exists(s0 =>
+          (s0.startsWith(".") || s0.startsWith("_")) && !s0.contains('='))
+        if (st.isFile && !hidden &&
+          matcher.matches(java.nio.file.Paths.get(st.getPath.getName)))
+          out += st
+      }
+      out.result()
     }
 
   /** Load the not-yet-loaded files matching `srcDir`/`pattern` into

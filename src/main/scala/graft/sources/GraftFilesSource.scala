@@ -116,7 +116,9 @@ final class GraftFilesTable(declared: StructType,
             import scala.jdk.CollectionConverters._
             options.asScala.toMap
           },
-          Option(options.get("maxBytesPerPartition")).map(_.toLong))
+          Option(options.get("maxBytesPerPartition")).map(_.toLong),
+          Option(options.get("hivePartitions"))
+            .exists(_.equalsIgnoreCase("true")))
       override def description(): String = name()
     }
 }
@@ -141,13 +143,20 @@ final class GraftFilesMicroBatchStream(spark: SparkSession, srcDir: String,
       * midpoint, the standard split contract), bounding task skew on
       * pathological single-file landings. Defaults to the session's
       * spark.sql.files.maxPartitionBytes. */
-    maxBytesPerPartition: Option[Long] = None) extends MicroBatchStream
+    maxBytesPerPartition: Option[Long] = None,
+    /** hive-partitioned landings (`dt=2026-08-16/...`): discovery
+      * recurses, and each `k=v` path segment whose name matches an
+      * imposed-schema column surfaces as that column's value for
+      * every row of the file (URL-decoded, cast to the declared
+      * type; `__HIVE_DEFAULT_PARTITION__` reads as null) — the Auto
+      * Loader partition contract. */
+    hivePartitions: Boolean = false) extends MicroBatchStream
     with SupportsTriggerAvailableNow {
 
   maxFilesPerTrigger.foreach(n => require(n >= 1,
     s"maxFilesPerTrigger must be >= 1, got $n"))
-  require(Set("parquet", "csv", "json").contains(format),
-    s"graft-files supports parquet|csv|json, got '$format'")
+  require(Set("parquet", "csv", "json", "avro").contains(format),
+    s"graft-files supports parquet|csv|json|avro, got '$format'")
   maxBytesPerPartition.foreach(b => require(b >= 1L,
     s"maxBytesPerPartition must be >= 1, got $b"))
   // SQLConf parses the bytesConf ("128m", "1g", plain digits) — a raw
@@ -214,7 +223,8 @@ final class GraftFilesMicroBatchStream(spark: SparkSession, srcDir: String,
     * next trigger — bounded work per micro-batch at any backlog). */
   private def discover(): Unit = {
     if (!fs.exists(src)) return
-    val fresh = CopyInto.listSource(fs, src, pattern)
+    val fresh = CopyInto.listSource(fs, src, pattern,
+      recursive = hivePartitions)
       .filter(st => !seen(CopyInto.fingerprint(st)))
       .sortBy(_.getPath.toString)
     if (fresh.isEmpty) return
@@ -310,11 +320,24 @@ final class GraftFilesMicroBatchStream(spark: SparkSession, srcDir: String,
     val s = start.asInstanceOf[GraftFilesOffset].batches
     val e = end.asInstanceOf[GraftFilesOffset].batches
     val files = (s until e).flatMap(readBatch)
-    if (format != "parquet")
+    // hive mode: the k=v path segments become per-file constant
+    // OVERLAYS, computed once at planning from the ledger path (a
+    // replay re-reads the same path, so the values are replay-stable)
+    def overlay(p0: InputPartition, path: String): InputPartition =
+      if (!hivePartitions) p0
+      else {
+        val (idx, vals) =
+          GraftFilesHive.overlayFor(srcDir, path, schema, sessionTz)
+        if (idx.isEmpty) p0 else GraftFilesOverlayPartition(p0, idx, vals)
+      }
+    if (format == "csv" || format == "json")
       // text files parse line-delimited, whole-file (a mid-file byte
       // boundary would split a record)
       files.map { case (_, p) =>
-        GraftTextPartition(p): InputPartition }.toArray
+        overlay(GraftTextPartition(p), p) }.toArray
+    else if (format == "avro")
+      files.map { case (_, p) =>
+        overlay(GraftAvroPartition(p), p) }.toArray
     else
       files.flatMap { case (fp, p) =>
         // the ledger fingerprint is path|size|mtime — the SIZE this
@@ -325,21 +348,42 @@ final class GraftFilesMicroBatchStream(spark: SparkSession, srcDir: String,
           case _ => -1L
         }
         if (size <= splitBytes) Seq(
-          GraftInputPartition(p, Array.empty): InputPartition)
+          overlay(GraftInputPartition(p, Array.empty), p))
         else {
           val n = ((size + splitBytes - 1) / splitBytes).toInt
           (0 until n).map { i =>
             val st = i.toLong * splitBytes
-            GraftInputPartition(p, Array.empty, st,
-              math.min(splitBytes, size - st)): InputPartition
+            overlay(GraftInputPartition(p, Array.empty, st,
+              math.min(splitBytes, size - st)), p)
           }
         }
       }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    if (format == "parquet") new GraftReaderFactory(schema)
-    else new GraftTextReaderFactory(format, schema, options, sessionTz)
+    new GraftFilesReaderFactory(format, schema, options, sessionTz)
+}
+
+/** Dispatching factory for every graft-files partition shape:
+  * parquet (vectorized row reader, byte-range splits), csv/json
+  * (line parsers), avro (container decode), each optionally wrapped
+  * with the hive-partition constant overlay. */
+final class GraftFilesReaderFactory(format: String, schema: StructType,
+    options: Map[String, String], sessionTz: String)
+    extends PartitionReaderFactory {
+  private lazy val parquetF = new GraftReaderFactory(schema)
+  private lazy val textF =
+    new GraftTextReaderFactory(format, schema, options, sessionTz)
+
+  override def createReader(partition: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = partition match {
+    case GraftFilesOverlayPartition(inner, idx, vals) =>
+      new GraftOverlayReader(createReader(inner), schema, idx, vals)
+    case p: GraftTextPartition => textF.createReader(p)
+    case p: GraftAvroPartition => new GraftAvroReader(p.path, schema)
+    case p => parquetF.createReader(p)
+  }
 }
 
 /** One line-delimited csv/json file served whole (a byte split would
@@ -419,4 +463,197 @@ final class GraftTextReaderFactory(format: String, schema: StructType,
       override def close(): Unit = in.close()
     }
   }
+}
+
+/** One avro container file served whole. */
+final case class GraftAvroPartition(path: String) extends InputPartition
+
+/** A file partition plus the hive-partition CONSTANTS its path
+  * carries: `idx(i)` is the imposed-schema ordinal the catalyst
+  * value `vals(i)` overlays on every row. */
+final case class GraftFilesOverlayPartition(inner: InputPartition,
+    idx: Array[Int], vals: Array[Any]) extends InputPartition
+
+/** Wraps any row reader, overlaying the partition-path constants —
+  * hive semantics: the path value WINS over a same-named column that
+  * happens to exist inside the file. */
+final class GraftOverlayReader(
+    inner: org.apache.spark.sql.connector.read.PartitionReader[
+      org.apache.spark.sql.catalyst.InternalRow],
+    schema: StructType, idx: Array[Int], vals: Array[Any])
+    extends org.apache.spark.sql.connector.read.PartitionReader[
+      org.apache.spark.sql.catalyst.InternalRow] {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  override def next(): Boolean = inner.next()
+  override def get(): InternalRow = {
+    val row = inner.get()
+    val out = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      out(i) = if (row.isNullAt(i)) null else row.get(i, schema(i).dataType)
+      i += 1
+    }
+    var j = 0
+    while (j < idx.length) { out(idx(j)) = vals(j); j += 1 }
+    new GenericInternalRow(out)
+  }
+  override def close(): Unit = inner.close()
+}
+
+object GraftFilesHive {
+  /** Parse the `k=v` directory segments of `path` under `srcDir` and
+    * bind them to imposed-schema columns: (ordinals, catalyst
+    * values). URL-decoded, cast through Spark's own Cast to the
+    * declared type; the hive null sentinel reads as null; a value
+    * that fails the cast refuses loudly (serving a silently-null
+    * partition column would corrupt every row of the file). */
+  def overlayFor(srcDir: String, path: String, schema: StructType,
+      sessionTz: String): (Array[Int], Array[Any]) = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val rel = {
+      // both come from the same listing, but normalize scheme
+      // differences (file:/ vs bare) by comparing path tails
+      val s0 = srcDir.stripSuffix("/")
+      val i = path.indexOf(s0)
+      if (i >= 0) path.substring(i + s0.length).stripPrefix("/")
+      else path
+    }
+    val segs = rel.split('/').dropRight(1) // the last segment is the file
+    val idx = Array.newBuilder[Int]
+    val vals = Array.newBuilder[Any]
+    segs.foreach { seg =>
+      val eq = seg.indexOf('=')
+      if (eq > 0) {
+        val k = seg.take(eq)
+        val raw = java.net.URLDecoder.decode(seg.drop(eq + 1), "UTF-8")
+        val fi = schema.fields.indexWhere(_.name.equalsIgnoreCase(k))
+        if (fi >= 0) {
+          val dt = schema.fields(fi).dataType
+          val v: Any =
+            if (raw == "__HIVE_DEFAULT_PARTITION__") null
+            else {
+              val cast = Cast(Literal(org.apache.spark.unsafe.types
+                .UTF8String.fromString(raw),
+                org.apache.spark.sql.types.StringType), dt,
+                Some(sessionTz))
+              val out = cast.eval(null)
+              require(out != null,
+                s"partition value '$raw' for column '$k' does not cast " +
+                  s"to ${dt.simpleString} - refusing to null-fill a " +
+                  "partition column")
+              out
+            }
+          idx += fi
+          vals += v
+        }
+      }
+    }
+    (idx.result(), vals.result())
+  }
+}
+
+/** Executor-side avro container reader bound against the IMPOSED
+  * schema (never inferred — the COPY INTO contract): fields resolve
+  * by name (case-insensitive), flat standard types decode per the
+  * avro spec's logical types (date, timestamp-millis/micros),
+  * absent columns null-fill, non-flat imposed columns refuse. Uses
+  * the avro-core jar Spark already ships — no spark-avro module. */
+final class GraftAvroReader(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.read.PartitionReader[
+      org.apache.spark.sql.catalyst.InternalRow] {
+  import org.apache.avro.file.DataFileStream
+  import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val hp = new Path(path)
+  private val in = hp.getFileSystem(
+    new org.apache.hadoop.conf.Configuration()).open(hp)
+  private val stream = new DataFileStream[GenericRecord](in,
+    new GenericDatumReader[GenericRecord]())
+
+  /** the non-null branch of a [null, T] union, else the type itself */
+  private def nonNull(s: org.apache.avro.Schema): org.apache.avro.Schema =
+    if (s.getType != org.apache.avro.Schema.Type.UNION) s
+    else s.getTypes.stream().filter(
+      _.getType != org.apache.avro.Schema.Type.NULL).findFirst()
+      .orElse(s)
+
+  private val writerSchema = stream.getSchema
+  // per imposed column: the avro field position (-1 = null-fill) and
+  // a converter bound to the WRITER's type
+  private val binds: Array[(Int, AnyRef => Any)] =
+    schema.fields.map { f =>
+      val af = Option(writerSchema.getField(f.name)).orElse(
+        writerSchema.getFields.stream()
+          .filter(_.name().equalsIgnoreCase(f.name)).findFirst() match {
+          case o if o.isPresent => Some(o.get)
+          case _ => None
+        })
+      af match {
+        case None => (-1, null: AnyRef => Any)
+        case Some(field) =>
+          val at = nonNull(field.schema())
+          val logical = Option(at.getLogicalType).map(_.getName)
+          val conv: AnyRef => Any = (f.dataType, at.getType) match {
+            case (StringType, _) =>
+              v => UTF8String.fromString(v.toString)
+            case (IntegerType | DateType,
+                org.apache.avro.Schema.Type.INT) =>
+              v => v.asInstanceOf[Number].intValue()
+            case (LongType, org.apache.avro.Schema.Type.INT |
+                org.apache.avro.Schema.Type.LONG) =>
+              v => v.asInstanceOf[Number].longValue()
+            case (TimestampType | TimestampNTZType,
+                org.apache.avro.Schema.Type.LONG) =>
+              // logical timestamp-millis widens to micros; micros
+              // (and bare longs, best effort) pass through
+              if (logical.contains("timestamp-millis"))
+                v => v.asInstanceOf[Number].longValue() * 1000L
+              else v => v.asInstanceOf[Number].longValue()
+            case (FloatType, org.apache.avro.Schema.Type.FLOAT) =>
+              v => v.asInstanceOf[Number].floatValue()
+            case (DoubleType, org.apache.avro.Schema.Type.FLOAT |
+                org.apache.avro.Schema.Type.DOUBLE) =>
+              v => v.asInstanceOf[Number].doubleValue()
+            case (BooleanType, org.apache.avro.Schema.Type.BOOLEAN) =>
+              v => v.asInstanceOf[Boolean]
+            case (BinaryType, org.apache.avro.Schema.Type.BYTES) =>
+              v => {
+                val bb = v.asInstanceOf[java.nio.ByteBuffer]
+                val arr = new Array[Byte](bb.remaining())
+                bb.duplicate().get(arr); arr
+              }
+            case (BinaryType, org.apache.avro.Schema.Type.FIXED) =>
+              v => v.asInstanceOf[
+                org.apache.avro.generic.GenericFixed].bytes().clone()
+            case (dt, other) => throw new UnsupportedOperationException(
+              s"graft-files avro does not decode writer type $other " +
+                s"into ${dt.simpleString} for column '${f.name}'")
+          }
+          (field.pos(), conv)
+      }
+    }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    if (!stream.hasNext) return false
+    val rec = stream.next()
+    val vals = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      val (pos, conv) = binds(i)
+      val v = if (pos < 0) null else rec.get(pos)
+      vals(i) = if (v == null) null else conv(v.asInstanceOf[AnyRef])
+      i += 1
+    }
+    current = new GenericInternalRow(vals)
+    true
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = stream.close() // closes in
 }

@@ -308,4 +308,87 @@ class GraftFilesSourceSpec extends SparkSpec {
     drain(src, t, ck)
     assert(t.currentVersion === v && t.read.count() === 20000L)
   }
+
+  test("hive-partitioned landings surface k=v segments as typed columns") {
+    val src = tmpDir("gfhive")
+    val ck = tmpDir("gfhive-ck")
+    val hSchema = StructType(Seq(
+      StructField("k", StringType), StructField("v", IntegerType),
+      StructField("dt", DateType), StructField("region", StringType)))
+    val t = new TxTable(spark, tmpDir("gfhive-t") + "/t", hSchema,
+      Seq("k"), numBuckets = 2)
+    t.createIfAbsent()
+    // two date partitions, one with a URL-encoded region, one with
+    // the hive null sentinel
+    publish(src + "/dt=2026-01-01/region=us%20east", "a",
+      Seq(("a1", 1), ("a2", 2)))
+    publish(src + "/dt=2026-01-02/region=__HIVE_DEFAULT_PARTITION__",
+      "b", Seq(("b1", 10)))
+    def drainHive(): Unit = {
+      val q = spark.readStream.format("graft-files").schema(hSchema)
+        .option("hivePartitions", "true")
+        .load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start(t.dir)
+      q.awaitTermination()
+    }
+    drainHive()
+    val rows = t.read.orderBy("k").collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getDate(2).toString).toSeq ===
+      Seq("2026-01-01", "2026-01-01", "2026-01-02"))
+    assert(rows.map(r => Option(r.getString(3))).toSeq ===
+      Seq(Some("us east"), Some("us east"), None))
+    // restart replay: same checkpoint, nothing new - values stable
+    val ver = t.currentVersion
+    drainHive()
+    assert(t.currentVersion === ver && t.read.count() === 3)
+    // a late file in an existing partition still lands with its path values
+    publish(src + "/dt=2026-01-01/region=eu", "c", Seq(("c1", 7)))
+    drainHive()
+    assert(t.read.filter(col("region") === "eu").count() === 1)
+  }
+
+  private def publishAvro(dir: String, name: String,
+      rows: Seq[(String, Int)]): Unit = {
+    import org.apache.avro.{Schema => ASchema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    new java.io.File(dir).mkdirs()
+    val asch: ASchema = SchemaBuilder.record("rec").fields()
+      .optionalString("k").optionalInt("v").endRecord()
+    val tmp = new java.io.File(dir, s".$name.avro.tmp")
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](asch))
+    w.create(asch, tmp)
+    rows.foreach { case (k, v) =>
+      val r = new GenericData.Record(asch)
+      r.put("k", k); r.put("v", v)
+      w.append(r)
+    }
+    w.close()
+    assert(tmp.renameTo(new java.io.File(dir, s"$name.avro")))
+    ()
+  }
+
+  test("avro landings decode under the imposed schema; restart replays") {
+    val src = tmpDir("gfavro")
+    val ck = tmpDir("gfavro-ck")
+    val t = new TxTable(spark, tmpDir("gfavro-t") + "/t", srcSchema,
+      Seq("k"), numBuckets = 2)
+    t.createIfAbsent()
+    publishAvro(src, "a", Seq(("a1", 1), ("a2", 2)))
+    drain(src, t, ck, Map("format" -> "avro", "pattern" -> "*.avro"))
+    assert(t.read.orderBy("k").collect().map(r =>
+      (r.getString(0), r.getInt(1))).toSeq ===
+      Seq(("a1", 1), ("a2", 2)))
+    // re-run no-ops; a new file serves exactly once
+    publishAvro(src, "b", Seq(("b1", 10)))
+    drain(src, t, ck, Map("format" -> "avro", "pattern" -> "*.avro"))
+    drain(src, t, ck, Map("format" -> "avro", "pattern" -> "*.avro"))
+    assert(t.read.count() === 3)
+    assert(t.read.agg(sum("v")).head.getLong(0) === 13L)
+  }
 }
