@@ -116,10 +116,17 @@ object IcebergExport {
   // table's layout exports as a bucket[N] partition spec — so the
   // manifest-entry schema is built per shape, not a constant.
   private def manifestEntrySchemaFor(
-      partitionFields: Seq[(String, Int)]): Schema = {
+      partitionFields: Seq[(String, Int)], v3Dv: Boolean = false): Schema = {
     val pf = partitionFields.map { case (n, id) =>
       s"""{"name":"$n","type":["null","int"],"default":null,"field-id":$id}"""
     }.mkString(",")
+    // v3 delete manifests: the spec's deletion-vector locator fields
+    val dv3 =
+      if (!v3Dv) ""
+      else """ {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+        | {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+        | {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145},"""
+        .stripMargin
     new Schema.Parser().parse(
     s"""{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
@@ -132,7 +139,7 @@ object IcebergExport {
       | {"name":"file_format","type":"string","field-id":101},
       | {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$pf]}},
       | {"name":"record_count","type":"long","field-id":103},
-      | {"name":"file_size_in_bytes","type":"long","field-id":104},
+      | {"name":"file_size_in_bytes","type":"long","field-id":104},$dv3
       | {"name":"value_counts","field-id":109,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k119_v120","fields":[{"name":"key","type":"int","field-id":119},{"name":"value","type":"long","field-id":120}]}}]},
       | {"name":"null_value_counts","field-id":110,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]}}]},
       | {"name":"lower_bounds","field-id":125,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}]},
@@ -143,6 +150,54 @@ object IcebergExport {
   /** The unpartitioned shape (empty partition record) — delete
     * manifests and legacy spark-hash tables. */
   private val ManifestEntrySchema: Schema = manifestEntrySchemaFor(Nil)
+
+  /** v3 delete-manifest entry shape: `data_file` gains the spec's
+    * deletion-vector fields — `referenced_data_file` (143),
+    * `content_offset` (144), `content_size_in_bytes` (145) — which
+    * locate one DV blob inside a Puffin file. */
+  private val ManifestEntrySchemaV3: Schema =
+    manifestEntrySchemaFor(Nil, v3Dv = true)
+
+  /** One v3 DELETION VECTOR blob payload (Puffin `deletion-vector-v1`
+    * per the v3 spec): 4-byte big-endian length of (magic + vector),
+    * the magic bytes D1 D3 39 64, the vector as a portable 64-bit
+    * RoaringBitmapArray (the SAME serialization Delta DVs use —
+    * [[DeltaDv.serializeBitmap]], adopted verbatim by the v3 spec),
+    * then a big-endian CRC-32 of (magic + vector). */
+  private[graft] val DvMagic: Array[Byte] =
+    Array(0xD1.toByte, 0xD3.toByte, 0x39.toByte, 0x64.toByte)
+  private[graft] def dvBlobBytes(vector: Array[Byte]): Array[Byte] = {
+    val len = 4 + vector.length
+    val out = java.nio.ByteBuffer.allocate(4 + len + 4) // BE default
+    out.putInt(len)
+    out.put(DvMagic)
+    out.put(vector)
+    val crc = new java.util.zip.CRC32()
+    crc.update(DvMagic)
+    crc.update(vector)
+    out.putInt(crc.getValue.toInt)
+    out.array()
+  }
+
+  /** Inverse of [[dvBlobBytes]]: validate framing + CRC, return the
+    * vector bytes. */
+  private[graft] def dvBlobVector(blob: Array[Byte]): Array[Byte] = {
+    require(blob.length >= 12, s"DV blob too small (${blob.length}B)")
+    val bb = java.nio.ByteBuffer.wrap(blob) // BE default
+    val len = bb.getInt
+    require(len == blob.length - 8,
+      s"DV blob length $len != framed ${blob.length - 8}")
+    val magic = new Array[Byte](4)
+    bb.get(magic)
+    require(magic.sameElements(DvMagic), "DV blob magic mismatch")
+    val vector = new Array[Byte](len - 4)
+    bb.get(vector)
+    val crc = new java.util.zip.CRC32()
+    crc.update(DvMagic)
+    crc.update(vector)
+    require(bb.getInt == crc.getValue.toInt, "DV blob CRC mismatch")
+    vector
+  }
 
   /** One extremum in the spec's BINARY SINGLE-VALUE SERIALIZATION
     * (Appendix D): fixed-width little-endian numerics, raw UTF-8 for
@@ -484,6 +539,65 @@ object IcebergExport {
     (files, bytes)
   }
 
+  /** v3 DELETION VECTORS for one version's dirty set: ONE Puffin
+    * file per version (`metadata/dv-v<version>.puffin`) carrying a
+    * `deletion-vector-v1` blob per dirty data file, each framed per
+    * the v3 spec ([[dvBlobBytes]]) around the portable 64-bit
+    * RoaringBitmapArray Delta DVs already serialize. The name is
+    * deterministic per immutable version: an existing file is reused
+    * by parsing its own footer — zero Spark jobs on a re-sync (the
+    * sidecar-count lesson from round 18). Bitmap build is
+    * DISTRIBUTED; the driver collects only compressed bitmaps,
+    * bounded by DV bytes. Returns (path, fileSize, per-data-file
+    * (uri, blobMeta, cardinality)). */
+  private def writeDvPuffin(spark: SparkSession, fs: FileSystem,
+      table: TxTable, dirty: Seq[(TxTable.LiveFile, Seq[String])],
+      v: Long, metaDir: Path)
+      : (Path, Long, Seq[(String, Puffin.BlobMeta, Long)]) = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val path = new Path(metaDir, s"dv-v$v.puffin")
+    def baseOf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val uriOf: Map[String, String] = dirty.map { case (f, _) =>
+      baseOf(f.path) -> fs.makeQualified(new Path(f.path)).toString
+    }.toMap
+    def fromInfo(info: Puffin.FileInfo)
+        : Seq[(String, Puffin.BlobMeta, Long)] =
+      info.blobs.map(bm => (bm.properties("referenced-data-file"), bm,
+        bm.properties.get("cardinality")
+          .flatMap(_.toLongOption).getOrElse(0L)))
+    if (fs.exists(path)) {
+      val info = Puffin.readFooter(fs, path)
+      (path, info.fileSize, fromInfo(info))
+    } else {
+      import spark.implicits._
+      val sidecars = dirty.flatMap(_._2).distinct
+      val namesDf = dirty.map { case (f, _) => baseOf(f.path) }
+        .toDF("_dv_name")
+      val blobs: Seq[(String, Array[Byte], Long)] =
+        spark.read.parquet(sidecars: _*)
+          .select("_dv_file", "_dv_pos").distinct()
+          .join(broadcast(namesDf),
+            col("_dv_file") === col("_dv_name"), "left_semi")
+          .as[(String, Long)]
+          .groupByKey(_._1)
+          .mapGroups { (file, it) =>
+            val positions = it.map(_._2).toArray.sorted
+            (file, DeltaDv.serializeBitmap(positions.iterator),
+              positions.length.toLong)
+          }.collect().toSeq.sortBy(_._1)
+      val snapshotId = 1000L + v
+      val snapSeq = 2L * v + 2L
+      val blobSpecs = blobs.map { case (b, vec, card) =>
+        (Puffin.DeletionVectorV1, Seq.empty[Int], snapshotId, snapSeq,
+          dvBlobBytes(vec),
+          Map("referenced-data-file" -> uriOf(b),
+            "cardinality" -> card.toString))
+      }
+      val info = Puffin.write(fs, path, blobSpecs)
+      (path, info.fileSize, fromInfo(info))
+    }
+  }
+
   /** Export the table's RETAINED HISTORY as an Iceberg v2 metadata
     * tree under `table.dir/metadata/`: one snapshot per retained
     * TxTable version (snapshot-id = 1000 + version, so
@@ -497,7 +611,10 @@ object IcebergExport {
     * contract TxTable's own time travel gives for evolution; a
     * dropped column is absent from every snapshot's schema, also
     * matching). Returns the table metadata file's path. */
-  def writeIcebergMetadata(spark: SparkSession, table: TxTable): String = {
+  def writeIcebergMetadata(spark: SparkSession, table: TxTable,
+      formatVersion: Int = 2): String = {
+    require(formatVersion == 2 || formatVersion == 3,
+      s"iceberg export supports format versions 2 and 3, got $formatVersion")
     val root = new Path(table.dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootUri = fs.makeQualified(root).toString.stripSuffix("/")
@@ -753,6 +870,8 @@ object IcebergExport {
     var prevPaths: Set[String] = Set.empty
     var prevDvRows = 0L
     var prevDelMf: Option[(GenericData.Record, String)] = None
+    // v3 row-lineage id space: rows ever added, walked in commit order
+    var nextRowId = 0L
     val snapshots = versions.zipWithIndex.map { case (v, i) =>
       val snapshotId = 1000L + v
       val filesWithDvs = table.fileInfoWithDvsAt(v)
@@ -885,9 +1004,40 @@ object IcebergExport {
           Some(row)
         case _ => None
       }
-      val deletes: Option[(Path, Long, Long)] =
+      val deletes: Option[(Path, Long, Long, Int)] =
         if (dirty.isEmpty || carriedDel.nonEmpty) None
-        else {
+        else if (formatVersion >= 3) {
+          // v3 DELETION VECTORS: tombstones as Puffin blobs, one per
+          // dirty data file, each located from its own manifest entry
+          val (pufPath, pufSize, blobs) =
+            writeDvPuffin(spark, fs, table, dirty, v, metaDir)
+          val pufUri = fs.makeQualified(pufPath).toString
+          val entries = blobs.map { case (dataUri, bm, card) =>
+            val df = new GenericData.Record(
+              ManifestEntrySchemaV3.getField("data_file").schema())
+            df.put("content", 1) // POSITION_DELETES (DV representation)
+            df.put("file_path", pufUri)
+            df.put("file_format", "PUFFIN")
+            df.put("partition", new GenericData.Record(
+              df.getSchema.getField("partition").schema()))
+            df.put("record_count", card)
+            df.put("file_size_in_bytes", pufSize)
+            df.put("referenced_data_file", dataUri)
+            df.put("content_offset", bm.offset)
+            df.put("content_size_in_bytes", bm.length)
+            val e = new GenericData.Record(ManifestEntrySchemaV3)
+            e.put("status", 1)
+            e.put("snapshot_id", snapshotId)
+            e.put("sequence_number", dataSeq + 1)
+            e.put("file_sequence_number", dataSeq + 1)
+            e.put("data_file", df)
+            e: GenericRecord
+          }
+          val (p, len) = writeAvroOnce(fs, metaDir,
+            s"m-v$v-s$dataSeq-1", ManifestEntrySchemaV3, entries,
+            deleteMeta + ("content" -> "deletes"))
+          Some((p, len, blobs.map(_._3).sum, blobs.size))
+        } else {
           val (delUri, delRows) = writePositionDeletes(
             spark, fs, table, dirty, s"del-v$v")
           val df = new GenericData.Record(
@@ -908,7 +1058,7 @@ object IcebergExport {
           val (p, len) = writeAvroOnce(fs, metaDir,
             s"m-v$v-s$dataSeq-1", ManifestEntrySchema, Seq(e),
             deleteMeta + ("content" -> "deletes"))
-          Some((p, len, delRows))
+          Some((p, len, delRows, 1))
         }
       // snapshot sequence is UNCONDITIONALLY 2v+2: making it depend
       // on whether THIS sync wrote a delete manifest (vs carrying
@@ -945,6 +1095,8 @@ object IcebergExport {
         b.flip(); b
       }
       val addedRowsTotal = added.map(rowsOf).sum
+      val snapFirstRowId = nextRowId
+      nextRowId += addedRowsTotal
       val dataMfs = allMfs.map { m =>
         val mf = new GenericData.Record(ManifestFileSchema)
         mf.put("manifest_path", fs.makeQualified(m.path).toString)
@@ -976,7 +1128,7 @@ object IcebergExport {
         mf
       }
       val delMf: Option[GenericData.Record] = carriedDel.orElse(
-        deletes.map { case (p, len, delRows) =>
+        deletes.map { case (p, len, delRows, nFiles) =>
           val m = new GenericData.Record(ManifestFileSchema)
           m.put("manifest_path", fs.makeQualified(p).toString)
           m.put("manifest_length", len)
@@ -985,7 +1137,7 @@ object IcebergExport {
           m.put("sequence_number", dataSeq + 1)
           m.put("min_sequence_number", dataSeq + 1)
           m.put("added_snapshot_id", snapshotId)
-          m.put("added_files_count", 1)
+          m.put("added_files_count", nFiles)
           m.put("existing_files_count", 0)
           m.put("deleted_files_count", 0)
           m.put("added_rows_count", delRows)
@@ -998,7 +1150,7 @@ object IcebergExport {
       val (listPath, _) = writeAvroOnce(fs, metaDir,
         s"snap-$snapshotId-s$snapSeq", ManifestFileSchema,
         dataMfs ++ delMf, Map(
-        "format-version" -> "2",
+        "format-version" -> formatVersion.toString,
         "snapshot-id" -> snapshotId.toString,
         "sequence-number" -> snapSeq.toString,
         "parent-snapshot-id" ->
@@ -1018,6 +1170,9 @@ object IcebergExport {
         (if (i == 0) Nil
          else List("parent-snapshot-id" ->
            (JLong(1000L + versions(i - 1)): JValue))) ++
+        (if (formatVersion >= 3)
+          List("first-row-id" -> (JLong(snapFirstRowId): JValue))
+         else Nil) ++
         List("schema-id" -> (JInt(schemaIdOf(v)): JValue)))
     }
 
@@ -1081,7 +1236,15 @@ object IcebergExport {
 
     // table metadata (v2 required fields per spec §"Table Metadata")
     val metadata = JObject(
-      "format-version" -> JInt(2),
+      List("format-version" -> (JInt(formatVersion): JValue)) ++
+      // v3 ROW LINEAGE id space: next-row-id reserves the table's row
+      // id range; each snapshot declares its first-row-id base. (The
+      // per-manifest/per-file first_row_id inheritance fields are not
+      // yet emitted - the id SPACE is maintained so a future writer
+      // can never collide.)
+      (if (formatVersion >= 3)
+        List("next-row-id" -> (JLong(nextRowId): JValue)) else Nil) ++
+      List(
       "table-uuid" -> JString(uuid),
       "location" -> JString(rootUri),
       "last-sequence-number" -> JLong(lastSeq),
@@ -1124,7 +1287,7 @@ object IcebergExport {
           "snapshot-id" -> JLong(1000L + v)): JValue
       }.toList),
       "statistics" -> JArray(statisticsJson),
-      "metadata-log" -> JArray(Nil))
+      "metadata-log" -> JArray(Nil)))
     // persist the render memo (temp+rename like every metadata
     // artifact): next sync's no-op path needs it
     locally {

@@ -75,7 +75,11 @@ object IcebergImport {
         * lower/upper bounds + null counts (None when the writer
         * recorded none) — [[IcebergImport.readWhere]]'s pruning
         * input, keyed by DECLARED column names. */
-      fileStats: Seq[Option[FileStats.Stats]] = Nil) {
+      fileStats: Seq[Option[FileStats.Stats]] = Nil,
+      /** v3 DELETION VECTORS: (referenced data-file basename,
+        * portable RoaringBitmapArray bytes) — positions expand on
+        * EXECUTORS, the driver holds only compressed bitmaps. */
+      dvDeletes: Seq[(String, Array[Byte])] = Nil) {
     def fileSchema: StructType =
       if (physSchema.isEmpty) schema else physSchema
   }
@@ -218,7 +222,7 @@ object IcebergImport {
     if (cols.isEmpty) None else Some(FileStats.Stats(rows, cols))
   }
 
-  private[core] def readAvro(fs: FileSystem, p: Path,
+  private[graft] def readAvro(fs: FileSystem, p: Path,
       conf: org.apache.hadoop.conf.Configuration): Seq[GenericRecord] = {
     val in = new FsInput(p, conf)
     val r = new DataFileReader[GenericRecord](in,
@@ -470,10 +474,10 @@ object IcebergImport {
       case JInt(v) => v.toInt
       case _ => throw new IllegalArgumentException("no format-version")
     }
-    require(fv == 2,
-      s"streaming tail requires format-version 2 (monotonic sequence " +
-        s"numbers are the offset) - this table is v$fv; use the batch " +
-        "IcebergImport.read instead")
+    require(fv == 2 || fv == 3,
+      s"streaming tail requires format-version 2 or 3 (monotonic " +
+        s"sequence numbers are the offset) - this table is v$fv; use " +
+        "the batch IcebergImport.read instead")
     val snaps = (md \ "snapshots") match {
       case JArray(ss) => ss
       case _          => Nil
@@ -605,7 +609,10 @@ object IcebergImport {
       added: Seq[String],
       removed: Seq[String],
       positionDeletes: Seq[String],
-      equalityDeletes: Seq[String])
+      equalityDeletes: Seq[String],
+      /** v3 DV blobs the snapshot added: (referenced data file,
+        * puffin path, content offset, content size). */
+      dvs: Seq[(String, String, Long, Long)] = Nil)
 
   def snapshotChanges(spark: SparkSession, sm: SnapMeta): SnapshotChanges = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -626,6 +633,7 @@ object IcebergImport {
     val removed = Seq.newBuilder[String]
     val posDel = Seq.newBuilder[String]
     val eqDel = Seq.newBuilder[String]
+    val dvs = Seq.newBuilder[(String, String, Long, Long)]
     mine.foreach { m =>
       val isDeleteManifest = contentOf(m) != 0
       val mPath = new Path(m.get("manifest_path").toString)
@@ -641,21 +649,36 @@ object IcebergImport {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val path = df.get("file_path").toString
           val fmt = df.get("file_format").toString
-          require(fmt.equalsIgnoreCase("PARQUET"),
-            s"file format $fmt unsupported (parquet only)")
-          if (!isDeleteManifest) {
-            if (status == 1) added += path else removed += path
-          } else if (status == 1) {
-            // data_file.content: 1 = POSITION_DELETES, 2 = EQUALITY
-            val c = Option(df.get("content"))
-              .map(_.asInstanceOf[Number].intValue()).getOrElse(1)
-            if (c == 2) eqDel += path else posDel += path
+          if (isDeleteManifest && status == 1 &&
+            fmt.equalsIgnoreCase("PUFFIN")) {
+            // v3 deletion vector: the entry locates the blob directly
+            def lng(f0: String): Long =
+              Option(df.get(f0)).map(_.asInstanceOf[Number].longValue())
+                .getOrElse(throw new IllegalArgumentException(
+                  s"PUFFIN delete entry missing $f0"))
+            val ref = Option(df.get("referenced_data_file"))
+              .map(_.toString).getOrElse(
+                throw new IllegalArgumentException(
+                  "PUFFIN delete entry missing referenced_data_file"))
+            dvs += ((ref, path, lng("content_offset"),
+              lng("content_size_in_bytes")))
+          } else {
+            require(fmt.equalsIgnoreCase("PARQUET"),
+              s"file format $fmt unsupported (parquet and puffin)")
+            if (!isDeleteManifest) {
+              if (status == 1) added += path else removed += path
+            } else if (status == 1) {
+              // data_file.content: 1 = POSITION_DELETES, 2 = EQUALITY
+              val c = Option(df.get("content"))
+                .map(_.asInstanceOf[Number].intValue()).getOrElse(1)
+              if (c == 2) eqDel += path else posDel += path
+            }
           }
         }
       }
     }
     SnapshotChanges(added.result(), removed.result(),
-      posDel.result(), eqDel.result())
+      posDel.result(), eqDel.result(), dvs.result())
   }
 
   /** [[snapshot]] with PARTITION PRUNING from a predicate: when the
@@ -680,8 +703,8 @@ object IcebergImport {
       case JInt(v) => v.toInt
       case _ => throw new IllegalArgumentException("no format-version")
     }
-    require(fv <= 2,
-      s"table is format-version $fv - this reader honestly supports v1/v2")
+    require(fv <= 3,
+      s"table is format-version $fv - this reader honestly supports v1-v3")
 
     // schema: current-schema-id into schemas (v2), else legacy "schema"
     val schemaJ = (md \ "schemas", md \ "current-schema-id") match {
@@ -944,6 +967,8 @@ object IcebergImport {
     // names through the schema), anything else must be POSITION
     val posDeletes = scala.collection.mutable.ArrayBuffer.empty[String]
     val eqDeletes = scala.collection.mutable.ArrayBuffer.empty[EqDelete]
+    val dvDeletes =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
     deleteManifests.foreach { m =>
       val mPath = new Path(m.path)
       readAvro(fs, mPath, conf).foreach { e =>
@@ -951,31 +976,52 @@ object IcebergImport {
         if (status != 2) {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val fmt = df.get("file_format").toString
-          require(fmt.equalsIgnoreCase("PARQUET"),
-            s"delete file format $fmt unsupported (parquet only)")
-          val content = Option(df.get("content"))
-            .map(_.asInstanceOf[Int]).getOrElse(0)
-          val eqIds: Seq[Int] =
-            if (df.getSchema.getField("equality_ids") == null) Nil
-            else Option(df.get("equality_ids")) match {
-              case Some(l: java.util.List[_]) =>
-                l.asScala.toSeq.map(_.asInstanceOf[Number].intValue())
-              case _ => Nil
-            }
-          if (content == 2 || eqIds.nonEmpty) {
-            require(eqIds.nonEmpty,
-              s"snapshot $wantedId carries an equality delete with no " +
-                "equality_ids - malformed metadata, refusing")
-            val cols = eqIds.map(id => fieldIds.getOrElse(id,
-              throw new IllegalArgumentException(
-                s"equality_ids references unknown field id $id")))
-            eqDeletes += EqDelete(df.get("file_path").toString,
-              entrySeq(m, e), cols)
+          if (fmt.equalsIgnoreCase("PUFFIN")) {
+            // v3 DELETION VECTOR: one blob per referenced data file,
+            // located by (content_offset, content_size_in_bytes); the
+            // driver reads only the compressed blob bytes
+            def lng(f0: String): Long =
+              Option(df.get(f0)).map(_.asInstanceOf[Number].longValue())
+                .getOrElse(throw new IllegalArgumentException(
+                  s"PUFFIN delete entry missing $f0"))
+            val ref = Option(df.get("referenced_data_file"))
+              .map(_.toString).getOrElse(
+                throw new IllegalArgumentException(
+                  "PUFFIN delete entry missing referenced_data_file"))
+            val pufPath = new Path(df.get("file_path").toString)
+            val in = pufPath.getFileSystem(conf).open(pufPath)
+            val blob = new Array[Byte](lng("content_size_in_bytes").toInt)
+            try in.readFully(lng("content_offset"), blob)
+            finally in.close()
+            dvDeletes += ((ref.substring(ref.lastIndexOf('/') + 1),
+              IcebergExport.dvBlobVector(blob)))
           } else {
-            require(content == 1,
-              s"delete manifest entry with content=$content is neither " +
-                "position (1) nor equality (2)")
-            posDeletes += df.get("file_path").toString
+            require(fmt.equalsIgnoreCase("PARQUET"),
+              s"delete file format $fmt unsupported (parquet and puffin)")
+            val content = Option(df.get("content"))
+              .map(_.asInstanceOf[Int]).getOrElse(0)
+            val eqIds: Seq[Int] =
+              if (df.getSchema.getField("equality_ids") == null) Nil
+              else Option(df.get("equality_ids")) match {
+                case Some(l: java.util.List[_]) =>
+                  l.asScala.toSeq.map(_.asInstanceOf[Number].intValue())
+                case _ => Nil
+              }
+            if (content == 2 || eqIds.nonEmpty) {
+              require(eqIds.nonEmpty,
+                s"snapshot $wantedId carries an equality delete with no " +
+                  "equality_ids - malformed metadata, refusing")
+              val cols = eqIds.map(id => fieldIds.getOrElse(id,
+                throw new IllegalArgumentException(
+                  s"equality_ids references unknown field id $id")))
+              eqDeletes += EqDelete(df.get("file_path").toString,
+                entrySeq(m, e), cols)
+            } else {
+              require(content == 1,
+                s"delete manifest entry with content=$content is neither " +
+                  "position (1) nor equality (2)")
+              posDeletes += df.get("file_path").toString
+            }
           }
         }
       }
@@ -983,7 +1029,8 @@ object IcebergImport {
     Snapshot(wantedId, schema,
       filesCountsSeqs.map(_._1), filesCountsSeqs.map(_._2),
       posDeletes.toSeq, eqDeletes.toSeq, filesCountsSeqs.map(_._3),
-      physSchema = physSchema, fileStats = filesCountsSeqs.map(_._4))
+      physSchema = physSchema, fileStats = filesCountsSeqs.map(_._4),
+      dvDeletes = dvDeletes.toSeq)
   }
 
   /** Read the current (or pinned) snapshot as a DataFrame under the
@@ -1037,7 +1084,8 @@ object IcebergImport {
     def toDeclared(df: DataFrame): DataFrame =
       if (s.physSchema.isEmpty) df
       else df.toDF(s.schema.fieldNames.toSeq: _*)
-    if (s.posDeleteFiles.isEmpty && s.eqDeletes.isEmpty)
+    if (s.posDeleteFiles.isEmpty && s.eqDeletes.isEmpty &&
+      s.dvDeletes.isEmpty)
       return toDeclared(
         spark.read.schema(s.fileSchema).parquet(s.files: _*))
 
@@ -1045,17 +1093,32 @@ object IcebergImport {
     // UUIDs); full-URI equality would be brittle across the file:/ vs
     // file:/// qualifications different writers emit
     def base(p: String): String = p.substring(p.lastIndexOf('/') + 1)
-    val tombOpt =
+    val parquetTomb =
       if (s.posDeleteFiles.isEmpty) None
       else Some(spark.read.parquet(s.posDeleteFiles: _*)
         .select(
           element_at(split(col("file_path"), "/"), -1).as("_del_file"),
           col("pos").as("_del_pos"))
         .distinct())
-    val targeted: Set[String] = tombOpt
+    // v3 DVs: bitmaps expand to positions on EXECUTORS (the Delta DV
+    // read plan) and union with the parquet tombstones
+    val dvTomb =
+      if (s.dvDeletes.isEmpty) None
+      else {
+        import spark.implicits._
+        Some(spark.createDataset(s.dvDeletes)
+          .flatMap { case (f, vec) =>
+            DeltaDv.deserializeBitmap(vec).iterator.map(p => (f, p)) }
+          .toDF("_del_file", "_del_pos"))
+      }
+    val tombOpt = (parquetTomb, dvTomb) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b).distinct())
+      case (a, b)             => a.orElse(b)
+    }
+    val targeted: Set[String] = (parquetTomb
       .map(_.select("_del_file").distinct()
         .collect().map(_.getString(0)).toSet) // file-count-bounded
-      .getOrElse(Set.empty)
+      .getOrElse(Set.empty)) ++ s.dvDeletes.map(_._1)
 
     // position masking, per file group: only referenced files pay
     def scanMasked(files: Seq[String]): DataFrame = {

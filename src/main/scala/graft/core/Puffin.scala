@@ -36,6 +36,9 @@ object Puffin {
     * single-value-serialized values. */
   val ThetaV1 = "apache-datasketches-theta-v1"
 
+  /** The v3 deletion-vector blob type (one DV per data file). */
+  val DeletionVectorV1 = "deletion-vector-v1"
+
   /** One blob's footer entry. `offset`/`length` are the blob's exact
     * byte extent in the file; `fields` are Iceberg FIELD IDS (not
     * names — names travel through the table metadata's schema). */

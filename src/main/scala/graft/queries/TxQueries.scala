@@ -1434,6 +1434,37 @@ object TxQueries {
       .orderBy("p_brand")
   }
 
+  /** ICEBERG v3 DELETION-VECTOR round trip: the same DV-carrying
+    * table exported at `formatVersion = 3` — tombstones as Puffin
+    * `deletion-vector-v1` blobs (the v3 spec's framing over the
+    * portable 64-bit RoaringBitmapArray) located from the delete
+    * manifest — then read back through [[graft.core.IcebergImport]]'s
+    * DV branch. Must equal DuckDB's recompute of the masked state,
+    * exactly like the v2 twin (same data, different tombstone
+    * representation). */
+  def tx_iceberg_v3_dv_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+    val table = cached(s, dir, "part", "icebergv3dv", 3L) { loc =>
+      new TxTable(s, loc, p.schema, Seq("p_partkey"), numBuckets = 4)
+    } { tx =>
+      tx.append(p.filter(col("p_partkey") % 2 === 0))  // v1
+      tx.append(p.filter(col("p_partkey") % 2 === 1))  // v2
+      tx.deleteWhereLight(col("p_size") > 40)          // v3: DVs live
+      graft.core.IcebergExport.writeIcebergMetadata(s, tx,
+        formatVersion = 3)
+    }
+    if (!new java.io.File(table.dir, "metadata/version-hint.text").exists())
+      graft.core.IcebergExport.writeIcebergMetadata(s, table,
+        formatVersion = 3)
+    graft.core.IcebergImport.read(s, table.dir)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        Qhelpers.msum(col("p_retailprice")).as("total"),
+        min("p_partkey").as("min_key"))
+      .orderBy("p_brand")
+  }
+
   /** UNIFORM EXPORT (the Delta UniForm analog): ONE table, ONE copy
     * of the parquet data files, BOTH metadata dialects published over
     * them — `_delta_log/` (deletes as DV sidecars) and an Iceberg v2
@@ -2250,6 +2281,7 @@ object TxQueries {
     "tx_iceberg_roundtrip" -> (tx_iceberg_roundtrip _),
     "tx_uniform_roundtrip" -> (tx_uniform_roundtrip _),
     "tx_iceberg_dv_roundtrip" -> (tx_iceberg_dv_roundtrip _),
+    "tx_iceberg_v3_dv_roundtrip" -> (tx_iceberg_v3_dv_roundtrip _),
     "scd2_incr_build" -> (scd2_incr_build _),
     "mv_routed_agg" -> (mv_routed_agg _),
     "mv_routed_sql" -> (mv_routed_sql _),
@@ -2790,6 +2822,16 @@ object TxQueries {
     // carries as v2 POSITION-DELETE files — the import-side aggregate
     // must equal the raw-parquet recompute of that masked state
     "tx_iceberg_dv_roundtrip" ->
+      s"""SELECT p_brand, COUNT(*) AS n,
+         |       ${Qhelpers.sqlMsum("p_retailprice")} AS total,
+         |       MIN(p_partkey) AS min_key
+         |FROM part
+         |WHERE p_size <= 40
+         |GROUP BY p_brand
+         |ORDER BY p_brand""".stripMargin,
+    // the v3 DV (Puffin blob) representation of the same tombstones
+    // must reconstitute the identical masked state
+    "tx_iceberg_v3_dv_roundtrip" ->
       s"""SELECT p_brand, COUNT(*) AS n,
          |       ${Qhelpers.sqlMsum("p_retailprice")} AS total,
          |       MIN(p_partkey) AS min_key

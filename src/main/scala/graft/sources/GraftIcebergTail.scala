@@ -236,6 +236,15 @@ final class GraftIcebergTailStream(dir: String, physSchema: StructType,
                   out += GraftIcebergChangePartition(dataPath, delFiles,
                     insert = false, onlyDeleted = true, seq = m.seq)
                 }
+            // v3 DVs: the manifest entry located each blob already -
+            // one retraction partition per referenced data file
+            if (ch.dvs.nonEmpty)
+              ch.dvs.groupBy(_._1).toSeq.sortBy(_._1).foreach {
+                case (dataPath, blobs) =>
+                  out += GraftIcebergChangePartition(dataPath, Nil,
+                    insert = false, onlyDeleted = true, seq = m.seq,
+                    dvBlobs = blobs.map(b => (b._2, b._3, b._4)))
+              }
             val _ = op // exhaustiveness aid; operation already vetted
           case "append" =>
             val (files, deletesAdded) =
@@ -283,7 +292,10 @@ final case class GraftIcebergTailPartition(path: String)
   * delete files retract from it. */
 final case class GraftIcebergChangePartition(path: String,
     deleteFiles: Seq[String], insert: Boolean, onlyDeleted: Boolean,
-    seq: Long) extends InputPartition
+    seq: Long,
+    /** v3 DV blobs retracting from this file: (puffin path, content
+      * offset, content size). */
+    dvBlobs: Seq[(String, Long, Long)] = Nil) extends InputPartition
 
 final class GraftIcebergTailReaderFactory(physSchema: StructType)
     extends PartitionReaderFactory {
@@ -314,7 +326,13 @@ final class GraftIcebergChangeReader(p: GraftIcebergChangePartition,
     UTF8String.fromString(if (p.insert) "insert" else "delete")
   private val positions: java.util.HashSet[java.lang.Long] =
     if (!p.onlyDeleted) null
-    else GraftIcebergTail.deletedPositionsFor(p.path, p.deleteFiles)
+    else {
+      val set = GraftIcebergTail.deletedPositionsFor(p.path, p.deleteFiles)
+      p.dvBlobs.foreach { case (puf, off, size) =>
+        GraftIcebergTail.dvPositions(puf, off, size).foreach(set.add(_))
+      }
+      set
+    }
   // position-filtered reads project _graft_pos through the shared
   // reader (sequential full-file read => parquet row index)
   private val innerSchema: StructType =
@@ -411,6 +429,19 @@ object GraftIcebergTail {
       }
     }
     refs.toSeq.map { case (k, v) => (k, v.toSeq) }
+  }
+
+  /** Executor-side: one v3 DV blob's retracted positions — a byte-
+    * range read plus the portable-bitmap decode. */
+  def dvPositions(puffinPath: String, offset: Long,
+      size: Long): Array[Long] = {
+    val hp = new org.apache.hadoop.fs.Path(puffinPath)
+    val in = hp.getFileSystem(
+      new org.apache.hadoop.conf.Configuration()).open(hp)
+    val blob = new Array[Byte](size.toInt)
+    try in.readFully(offset, blob) finally in.close()
+    graft.core.DeltaDv.deserializeBitmap(
+      graft.core.IcebergExport.dvBlobVector(blob))
   }
 
   /** Executor-side: the positions `deleteFiles` retract from

@@ -206,8 +206,11 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
         report(dst, "source" -> tx.dir, "buckets" -> n.toString)
       case "export_iceberg" =>
         val tx = open(spark, arg(0, "table directory"))
-        val p = graft.core.IcebergExport.writeIcebergMetadata(spark, tx)
-        report(tx, "metadata" -> p)
+        // optional arg 1: format version (2 default; 3 = Puffin DVs)
+        val fv = if (args.length > 1) arg(1, "format version").toInt else 2
+        val p = graft.core.IcebergExport.writeIcebergMetadata(spark, tx,
+          formatVersion = fv)
+        report(tx, "metadata" -> p, "format_version" -> fv.toString)
       case "export_uniform" =>
         // BOTH dialects over one copy of the data (the UniForm verb):
         // _delta_log sync + Iceberg v2 tree in one CALL
