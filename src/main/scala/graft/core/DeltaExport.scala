@@ -417,9 +417,13 @@ object DeltaExport {
     val cur = table.currentSchema
     def physOf(c: String): String =
       cur.fields.find(_.name == c).map(table.physicalFieldName).getOrElse(c)
-    diff.select(cols.map(c =>
-      org.apache.spark.sql.functions.col(c).as(physOf(c))): _*)
-      .write.mode("overwrite").parquet(stage.toString)
+    // change files with variant columns stay UNSHREDDED, like the
+    // data files: the log declares variantType, not variantShredding
+    TxTable.withUnshreddedVariant(spark, cur) {
+      diff.select(cols.map(c =>
+        org.apache.spark.sql.functions.col(c).as(physOf(c))): _*)
+        .write.mode("overwrite").parquet(stage.toString)
+    }
     // one footer-driven count decides empty-vs-not (metadata-fast);
     // a zero-row diff publishes nothing
     if (spark.read.parquet(stage.toString).count() == 0L) {

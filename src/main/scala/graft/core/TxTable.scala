@@ -2118,7 +2118,10 @@ final class TxTable(
       .foldLeft(physDf.write.option("parquet.bloom.filter.max.bytes", "65536")) {
         (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
       }
-    withBlooms.mode(SaveMode.Overwrite).partitionBy("_kb").parquet(stage.toString)
+    TxTable.withUnshreddedVariant(spark, asSchema) {
+      withBlooms.mode(SaveMode.Overwrite).partitionBy("_kb")
+        .parquet(stage.toString)
+    }
     val conf = spark.sparkContext.hadoopConfiguration
     val entries = f.listStatus(stage).toSeq
       .filter(_.getPath.getName.startsWith("_kb="))
@@ -3925,6 +3928,42 @@ object TxTable {
     * resurrection guard). */
   val ReservedMetaKeys: Set[String] = Set("checks", "dropped_cols",
     TblPropsKey)
+
+  /** Whether any column (nested included) is Spark 4's VARIANT. */
+  private[graft] def hasVariantType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.VariantType => true
+    case s: StructType => s.fields.exists(f => hasVariantType(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      hasVariantType(a.elementType)
+    case m: org.apache.spark.sql.types.MapType =>
+      hasVariantType(m.keyType) || hasVariantType(m.valueType)
+    case _ => false
+  }
+
+  /** Runs `body` with variant SHREDDING disabled when `schema`
+    * carries a variant column. TxTable data files must stay the
+    * plain value/metadata encoding: it is the layout the DSv2 row
+    * reader decodes AND what the Delta `variantType` feature
+    * (declared WITHOUT `variantShredding`) promises stock readers —
+    * Spark 4.1 shreds by default, which would quietly break both.
+    * Set/restore on the session conf; the window only narrows a
+    * concurrent writer's optimization (unshredded is always valid
+    * variant), never its correctness. */
+  private[graft] def withUnshreddedVariant[T](
+      spark: org.apache.spark.sql.SparkSession,
+      schema: StructType)(body: => T): T =
+    if (!schema.fields.exists(f => hasVariantType(f.dataType))) body
+    else {
+      val key = "spark.sql.variant.writeShredding.enabled"
+      val prev = scala.util.Try(spark.conf.get(key)).toOption
+      spark.conf.set(key, "false")
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
 
   /** Commit-meta key carrying the user TBLPROPERTIES map (JSON). */
   val TblPropsKey: String = "tblproperties"

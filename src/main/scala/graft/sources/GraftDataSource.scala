@@ -1333,6 +1333,28 @@ final class GraftPartitionReader(path: String, dvPaths: Array[String],
   private val decoders: Array[(Group, Int) => Any] =
     required.fields.zipWithIndex.map { case (f, i) =>
       if (fieldIdx(i) < 0) null
+      else if (f.dataType.isInstanceOf[
+          org.apache.spark.sql.types.VariantType]) {
+        // VARIANT: graft stages the PLAIN encoding — a group of two
+        // binaries (value, metadata) — so the row path decodes it to
+        // the catalyst VariantVal directly. A SHREDDED group (a
+        // foreign writer's typed_value tree) needs Spark's own
+        // reassembly: refuse with the DataFrame-path remedy rather
+        // than misread partial bytes.
+        val gt = requestedSchema.getType(fieldIdx(i)).asGroupType()
+        require(gt.containsField("value") && gt.containsField("metadata")
+            && !gt.containsField("typed_value"),
+          s"variant column '${f.name}' in $baseName is SHREDDED - the " +
+            "row-level scan decodes only the plain value/metadata " +
+            "encoding; read through spark.read.parquet (it reassembles " +
+            "shredded variants)")
+        (g: Group, i0: Int) => {
+          val vg = g.getGroup(i0, 0)
+          new org.apache.spark.unsafe.types.VariantVal(
+            vg.getBinary("value", 0).getBytes,
+            vg.getBinary("metadata", 0).getBytes)
+        }
+      }
       else GraftPartitionReader.decoderFor(f.dataType,
         requestedSchema.getType(fieldIdx(i)).asPrimitiveType())
     }

@@ -71,6 +71,13 @@ final class GraftFilesSource extends TableProvider with DataSourceRegister {
       s"graft-files '$fmt' needs an EXPLICIT .schema(...) - a stream " +
         "must never infer a drifting text schema (the COPY INTO " +
         "contract: the table schema is imposed)")
+    // partition columns live in PATHS, not footers — inference would
+    // silently drop them from every row
+    require(!Option(options.get("hivePartitions"))
+        .exists(_.equalsIgnoreCase("true")),
+      "graft-files with hivePartitions=true needs an EXPLICIT " +
+        ".schema(...) including the partition columns - a parquet " +
+        "footer cannot infer the k=v path columns")
     val src = new Path(dirOf(options))
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(src), s"graft-files source $src does not exist")

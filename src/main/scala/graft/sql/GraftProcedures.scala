@@ -355,8 +355,15 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
             // declaration sits exactly 1 behind — strict > keeps an
             // idle table from re-analyzing (and re-committing) on
             // every scheduled maintenance call at staleVersions=1
+            //   graft.autoAnalyze.histogramBins (optional, >= 2):
+            //     refreshes keep equi-height histograms — without it
+            //     a scheduled refresh would silently DOWNGRADE a
+            //     histogram'd declaration to NDV-only
+            val bins = props.get("graft.autoAnalyze.histogramBins")
+              .flatMap(_.toIntOption).filter(_ >= 2).getOrElse(0)
             if (staleBy > n)
-              scala.util.Try(tx.analyzeColumns().size).toOption
+              scala.util.Try(
+                tx.analyzeColumns(histogramBins = bins).size).toOption
             else None
           }
         report(tx, "files_before" -> before.toString,

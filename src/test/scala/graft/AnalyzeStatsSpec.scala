@@ -232,6 +232,22 @@ class AnalyzeStatsSpec extends SparkSpec {
     }
   }
 
+  test("autoAnalyze refresh keeps histograms when the bins property is set") {
+    val t = mkTable("analyze-hbins")
+    spark.conf.set(graft.sql.GraftCallCommand.AllowRawPathsKey, "true")
+    try {
+      t.setTableProperties(Map(
+        "graft.autoAnalyze.staleVersions" -> "1",
+        "graft.autoAnalyze.histogramBins" -> "4"))
+      spark.sql(s"CALL graft.maintenance('${t.dir}')").collect()
+      val (_, cols) = t.columnAnalysis.get
+      assert(cols("g").hist.exists(_.bins.size == 4),
+        "a scheduled refresh must not downgrade to NDV-only")
+      assert(cols("nm").hist.isEmpty) // strings carry no histogram
+    } finally
+      spark.conf.unset(graft.sql.GraftCallCommand.AllowRawPathsKey)
+  }
+
   test("re-analyze replaces the declaration; unknown column refuses") {
     val t = mkTable("analyze-re")
     t.analyzeColumns(Seq("g"), exact = true)

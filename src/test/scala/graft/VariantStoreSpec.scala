@@ -53,6 +53,21 @@ class VariantStoreSpec extends SparkSpec {
     assert(t.scanWhere(col("k") <= 2L).count() === 2L)
   }
 
+  test("the DSv2 scan serves variant (row path decodes the value/metadata group)") {
+    val (t, _) = mk("varstore-dsv2")
+    val back = spark.read.format("graft").load(t.dir)
+      .select(col("k"), try_variant_get(col("v"), "$.a", "int").as("a"))
+      .orderBy("k").collect()
+    assert(back.map(r => (r.getLong(0), Option(r.get(1)))).toSeq ===
+      Seq((1L, Some(5)), (2L, Some(7)), (3L, None)))
+    // and through SQL over the provider
+    spark.read.format("graft").load(t.dir)
+      .createOrReplaceTempView("graft_variant_dsv2")
+    assert(spark.sql(
+      "SELECT sum(try_variant_get(v, '$.a', 'int')) " +
+        "FROM graft_variant_dsv2").head.getLong(0) === 12L)
+  }
+
   test("iceberg v2 export refuses variant honestly (no v2 variant type)") {
     val (t, _) = mk("varstore-exp")
     val e = intercept[UnsupportedOperationException] {
