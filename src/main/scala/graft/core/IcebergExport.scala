@@ -69,39 +69,48 @@ object IcebergExport {
   private[graft] val manifestRenders =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private def icebergType(dt: DataType): String = dt match {
-    case BooleanType      => "boolean"
-    case IntegerType      => "int"
-    case ShortType | ByteType => "int"
-    case LongType         => "long"
-    case FloatType        => "float"
-    case DoubleType       => "double"
-    case StringType       => "string"
-    case BinaryType       => "binary"
-    case DateType         => "date"
-    case TimestampType    => "timestamptz"
-    case TimestampNTZType => "timestamp"
-    case d: DecimalType   => s"decimal(${d.precision}, ${d.scale})"
-    case other => throw new UnsupportedOperationException(
-      s"iceberg export does not map $other (flat relational schemas only)")
-  }
+  private def icebergType(dt: DataType, v3: Boolean = false): String =
+    dt match {
+      case BooleanType      => "boolean"
+      case IntegerType      => "int"
+      case ShortType | ByteType => "int"
+      case LongType         => "long"
+      case FloatType        => "float"
+      case DoubleType       => "double"
+      case StringType       => "string"
+      case BinaryType       => "binary"
+      case DateType         => "date"
+      case TimestampType    => "timestamptz"
+      case TimestampNTZType => "timestamp"
+      case d: DecimalType   => s"decimal(${d.precision}, ${d.scale})"
+      // the v3 spec declares a variant type; graft stages the plain
+      // value/metadata encoding, which IS the published layout
+      case _: org.apache.spark.sql.types.VariantType if v3 => "variant"
+      case _: org.apache.spark.sql.types.VariantType =>
+        throw new UnsupportedOperationException(
+          "iceberg v2 export does not map variant - export with " +
+            "formatVersion = 3 (the v3 spec declares a variant type)")
+      case other => throw new UnsupportedOperationException(
+        s"iceberg export does not map $other (flat relational schemas only)")
+    }
 
-  private def schemaJson(schema: StructType): JObject =
+  private def schemaJson(schema: StructType, v3: Boolean = false): JObject =
     schemaJsonWithIds(schema, 0,
       schema.fieldNames.zipWithIndex.map { case (n, i) =>
-        n.toLowerCase -> (i + 1) }.toMap, _.name)
+        n.toLowerCase -> (i + 1) }.toMap, _.name, v3)
 
   /** Iceberg schema JSON with EXPLICIT field ids — per-snapshot
     * schemas must give the same column (same physical name) the same
     * id in every schema version, or time travel re-binds wrongly. */
   private def schemaJsonWithIds(schema: StructType, schemaId: Int,
-      ids: Map[String, Int], physOf: StructField => String): JObject = {
+      ids: Map[String, Int], physOf: StructField => String,
+      v3: Boolean = false): JObject = {
     val fields = schema.fields.map { f =>
       JObject(
         "id" -> JInt(ids(physOf(f).toLowerCase)),
         "name" -> JString(f.name),
         "required" -> JBool(!f.nullable),
-        "type" -> JString(icebergType(f.dataType)))
+        "type" -> JString(icebergType(f.dataType, v3)))
     }
     JObject(
       "type" -> JString("struct"),
@@ -722,7 +731,8 @@ object IcebergExport {
       verSchemas.foreach { case (_, s) =>
         repOf.getOrElseUpdate(distinctShapes(shapeKey(s)), s); () }
       repOf.toSeq.sortBy(_._1).map { case (sid, s) =>
-        schemaJsonWithIds(s, sid, ids, table.physicalFieldName): JValue }
+        schemaJsonWithIds(s, sid, ids, table.physicalFieldName,
+          formatVersion >= 3): JValue }
     }
 
     // HIDDEN PARTITIONING: an iceberg-hash table's bucket layout IS
@@ -757,7 +767,8 @@ object IcebergExport {
     }
     val dataSpecId = if (bucketSpec.isDefined) 1 else 0
     val schemaMeta = Map(
-      "schema" -> JsonMethods.compact(JsonMethods.render(schemaJson(schema))),
+      "schema" -> JsonMethods.compact(JsonMethods.render(
+        schemaJson(schema, formatVersion >= 3))),
       "schema-id" -> "0",
       "partition-spec" -> bucketSpecFieldsJson.getOrElse("[]"),
       "partition-spec-id" -> dataSpecId.toString,

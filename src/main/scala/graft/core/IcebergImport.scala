@@ -99,6 +99,10 @@ object IcebergImport {
       val Array(p, s) = dec.stripPrefix("decimal(").stripSuffix(")")
         .split(",").map(_.trim.toInt)
       DecimalType(p, s)
+    // the v3 spec's variant type: served through Spark 4's own
+    // parquet variant binding (plain or shredded — spark.read
+    // reassembles both)
+    case "variant" => org.apache.spark.sql.types.VariantType
     case other => throw new UnsupportedOperationException(
       s"iceberg import does not map type '$other' " +
         "(flat relational schemas only)")

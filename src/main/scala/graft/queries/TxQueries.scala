@@ -923,6 +923,44 @@ object TxQueries {
       .orderBy("k_bucket")
   }
 
+  /** VARIANT UNIFORM: ONE variant-columned TxTable (with outstanding
+    * DVs) exported to BOTH dialects — the Delta `variantType` table
+    * feature and an Iceberg v3 tree (the v3 spec's `variant` type) —
+    * over the SAME unshredded value/metadata parquet. Both importers
+    * must re-serve bytes whose typed extraction equals DuckDB's
+    * recompute from the raw JSON; a divergence in either dialect
+    * shifts its half of the union. */
+  def tx_variant_uniform(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("value"),
+        parse_json(col("props")).as("pv"))
+    val table = cached(s, dir, "events", "varuni", 2L) { loc =>
+      new TxTable(s, loc, ev.schema, Seq("event_id"), numBuckets = 4)
+    } { tx =>
+      tx.append(ev)                                  // v1
+      tx.deleteWhereLight(col("event_id") % 11 === 0) // v2: DVs
+      graft.core.DeltaExport.syncDeltaLog(s, tx)
+      graft.core.IcebergExport.writeIcebergMetadata(s, tx,
+        formatVersion = 3)
+    }
+    if (!new java.io.File(table.dir, "metadata/version-hint.text").exists()) {
+      graft.core.DeltaExport.syncDeltaLog(s, table)
+      graft.core.IcebergExport.writeIcebergMetadata(s, table,
+        formatVersion = 3)
+    }
+    def agg(df: DataFrame, dialect: String): DataFrame = df
+      .withColumn("k", try_variant_get(col("pv"), "$.k", "int"))
+      .where(col("k").isNotNull)
+      .agg(count(lit(1)).as("n"), Qhelpers.msum(col("value")).as("total"),
+        min("k").as("min_k"))
+      .select(lit(dialect).as("dialect"), col("n"), col("total"),
+        col("min_k"))
+    agg(graft.core.DeltaImport.read(s, table.dir), "delta")
+      .unionByName(
+        agg(graft.core.IcebergImport.read(s, table.dir), "iceberg"))
+      .orderBy("dialect")
+  }
+
   /** PUFFIN STATISTICS round trip: supplier in a TxTable, its NDV
     * published as spec `apache-datasketches-theta-v1` sketches in a
     * Puffin file the Iceberg metadata declares
@@ -2267,6 +2305,7 @@ object TxQueries {
     "tx_variant_store" -> (tx_variant_store _),
     "tx_delta_variant_roundtrip" -> (tx_delta_variant_roundtrip _),
     "tx_iceberg_stats_roundtrip" -> (tx_iceberg_stats_roundtrip _),
+    "tx_variant_uniform" -> (tx_variant_uniform _),
     "tx_delta_skip_read" -> (tx_delta_skip_read _),
     "tx_iceberg_skip_read" -> (tx_iceberg_skip_read _),
     "tx_iceberg_partition_read" -> (tx_iceberg_partition_read _),
@@ -2675,6 +2714,23 @@ object TxQueries {
          |  min(s_suppkey) AS min_supp
          |FROM supplier
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // both dialects re-serve the same variant bytes: each half of the
+    // union must equal DuckDB's recompute from the raw JSON minus the
+    // DV-deleted keys
+    "tx_variant_uniform" ->
+      s"""SELECT dialect, n, total, min_k FROM (
+         |  SELECT 'delta' AS dialect, count(*) AS n,
+         |    ${Qhelpers.sqlMsum("value")} AS total, MIN(k) AS min_k
+         |  FROM (SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER)
+         |          AS k, value FROM events WHERE event_id % 11 <> 0)
+         |  WHERE k IS NOT NULL
+         |  UNION ALL
+         |  SELECT 'iceberg', count(*),
+         |    ${Qhelpers.sqlMsum("value")}, MIN(k)
+         |  FROM (SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER)
+         |          AS k, value FROM events WHERE event_id % 11 <> 0)
+         |  WHERE k IS NOT NULL)
+         |ORDER BY dialect""".stripMargin,
     // exact-mode theta sketches round-tripped through the Puffin
     // file must equal DuckDB's count(DISTINCT)
     "tx_iceberg_stats_roundtrip" ->
