@@ -175,16 +175,10 @@ object DeltaExport {
     }
 
   /** Whether any column (top-level or nested) is Spark 4's VARIANT —
-    * the schema shape that demands the `variantType` table feature. */
+    * the schema shape that demands the `variantType` table feature.
+    * One detector for the whole engine ([[TxTable.hasVariantType]]). */
   private def hasVariant(dt: org.apache.spark.sql.types.DataType): Boolean =
-    dt match {
-      case _: org.apache.spark.sql.types.VariantType => true
-      case s: StructType => s.fields.exists(f => hasVariant(f.dataType))
-      case a: org.apache.spark.sql.types.ArrayType => hasVariant(a.elementType)
-      case m: org.apache.spark.sql.types.MapType =>
-        hasVariant(m.keyType) || hasVariant(m.valueType)
-      case _ => false
-    }
+    TxTable.hasVariantType(dt)
 
   /** Write-side schema directives a stock writer would need a
     * declared table feature to honor, removed from every exported

@@ -621,8 +621,11 @@ object IcebergExport {
     * dropped column is absent from every snapshot's schema, also
     * matching). Returns the table metadata file's path. */
   def writeIcebergMetadata(spark: SparkSession, table: TxTable,
-      formatVersion: Int = 2): String = {
-    require(formatVersion == 2 || formatVersion == 3,
+      /** 2 or 3; 0 (default) = KEEP the published tree's version
+        * (else 2) — a stats republish or scheduled re-sync must never
+        * silently downgrade a v3 tree to v2. */
+      formatVersion: Int = 0): String = {
+    require(formatVersion == 0 || formatVersion == 2 || formatVersion == 3,
       s"iceberg export supports format versions 2 and 3, got $formatVersion")
     val root = new Path(table.dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -654,6 +657,12 @@ object IcebergExport {
       case JString(u) if u.nonEmpty => Some(u)
       case _ => None
     }).getOrElse(java.util.UUID.randomUUID().toString)
+    val fv: Int =
+      if (formatVersion != 0) formatVersion
+      else prevMeta.flatMap(j => (j \ "format-version") match {
+        case JInt(x) => Some(x.toInt)
+        case _       => None
+      }).getOrElse(2)
     val prevTs: Map[Long, Long] = prevMeta.map { j =>
       (j \ "snapshots") match {
         case JArray(ss) => ss.flatMap { s =>
@@ -669,11 +678,14 @@ object IcebergExport {
       }
     }.getOrElse(Map.empty)
     // monotone floor: Iceberg requires snapshot-log timestamps
-    // non-decreasing in commit order; a carried-forward old stamp
-    // followed by fresh nowMs stamps satisfies it because nowMs only
-    // moves forward between syncs
+    // non-decreasing in commit order. Carried-forward stamps are a
+    // prefix <= tsFloor; NEW stamps start strictly above it — which
+    // also survives snapshot expiry shrinking the loop index and a
+    // backwards wall clock between syncs
+    val tsFloor: Long =
+      if (prevTs.isEmpty) Long.MinValue else prevTs.values.max
     def tsOf(snapshotId: Long, i: Int): Long =
-      prevTs.getOrElse(snapshotId, nowMs + i)
+      prevTs.getOrElse(snapshotId, math.max(nowMs, tsFloor + 1) + i)
     // rows per file from footer stats (exact); a stats-less legacy
     // entry pays one count over just that file — cached across
     // snapshots (history shares most files)
@@ -732,7 +744,7 @@ object IcebergExport {
         repOf.getOrElseUpdate(distinctShapes(shapeKey(s)), s); () }
       repOf.toSeq.sortBy(_._1).map { case (sid, s) =>
         schemaJsonWithIds(s, sid, ids, table.physicalFieldName,
-          formatVersion >= 3): JValue }
+          fv >= 3): JValue }
     }
 
     // HIDDEN PARTITIONING: an iceberg-hash table's bucket layout IS
@@ -768,7 +780,7 @@ object IcebergExport {
     val dataSpecId = if (bucketSpec.isDefined) 1 else 0
     val schemaMeta = Map(
       "schema" -> JsonMethods.compact(JsonMethods.render(
-        schemaJson(schema, formatVersion >= 3))),
+        schemaJson(schema, fv >= 3))),
       "schema-id" -> "0",
       "partition-spec" -> bucketSpecFieldsJson.getOrElse("[]"),
       "partition-spec-id" -> dataSpecId.toString,
@@ -881,8 +893,27 @@ object IcebergExport {
     var prevPaths: Set[String] = Set.empty
     var prevDvRows = 0L
     var prevDelMf: Option[(GenericData.Record, String)] = None
-    // v3 row-lineage id space: rows ever added, walked in commit order
-    var nextRowId = 0L
+    // v3 ROW-LINEAGE id space: ids are assigned once and NEVER
+    // reassigned (the spec's contract) — retained snapshots keep
+    // their published first-row-id, new snapshots extend from the
+    // published next-row-id, and expiry of old versions can never
+    // shrink or shift the space
+    val prevFirstRowId: Map[Long, Long] = prevMeta.map { j =>
+      (j \ "snapshots") match {
+        case JArray(ss) => ss.flatMap { s0 =>
+          ((s0 \ "snapshot-id"), (s0 \ "first-row-id")) match {
+            case (JInt(id), JInt(fr)) => Some(id.toLong -> fr.toLong)
+            case _ => None
+          }
+        }.toMap
+        case _ => Map.empty[Long, Long]
+      }
+    }.getOrElse(Map.empty)
+    var nextRowId: Long = prevMeta.flatMap(j =>
+      (j \ "next-row-id") match {
+        case JInt(x) => Some(x.toLong)
+        case _       => None
+      }).getOrElse(0L)
     val snapshots = versions.zipWithIndex.map { case (v, i) =>
       val snapshotId = 1000L + v
       val filesWithDvs = table.fileInfoWithDvsAt(v)
@@ -1017,7 +1048,7 @@ object IcebergExport {
       }
       val deletes: Option[(Path, Long, Long, Int)] =
         if (dirty.isEmpty || carriedDel.nonEmpty) None
-        else if (formatVersion >= 3) {
+        else if (fv >= 3) {
           // v3 DELETION VECTORS: tombstones as Puffin blobs, one per
           // dirty data file, each located from its own manifest entry
           val (pufPath, pufSize, blobs) =
@@ -1106,8 +1137,9 @@ object IcebergExport {
         b.flip(); b
       }
       val addedRowsTotal = added.map(rowsOf).sum
-      val snapFirstRowId = nextRowId
-      nextRowId += addedRowsTotal
+      val snapFirstRowId =
+        prevFirstRowId.getOrElse(snapshotId, nextRowId)
+      nextRowId = math.max(nextRowId, snapFirstRowId + addedRowsTotal)
       val dataMfs = allMfs.map { m =>
         val mf = new GenericData.Record(ManifestFileSchema)
         mf.put("manifest_path", fs.makeQualified(m.path).toString)
@@ -1161,7 +1193,7 @@ object IcebergExport {
       val (listPath, _) = writeAvroOnce(fs, metaDir,
         s"snap-$snapshotId-s$snapSeq", ManifestFileSchema,
         dataMfs ++ delMf, Map(
-        "format-version" -> formatVersion.toString,
+        "format-version" -> fv.toString,
         "snapshot-id" -> snapshotId.toString,
         "sequence-number" -> snapSeq.toString,
         "parent-snapshot-id" ->
@@ -1181,7 +1213,7 @@ object IcebergExport {
         (if (i == 0) Nil
          else List("parent-snapshot-id" ->
            (JLong(1000L + versions(i - 1)): JValue))) ++
-        (if (formatVersion >= 3)
+        (if (fv >= 3)
           List("first-row-id" -> (JLong(snapFirstRowId): JValue))
          else Nil) ++
         List("schema-id" -> (JInt(schemaIdOf(v)): JValue)))
@@ -1247,13 +1279,13 @@ object IcebergExport {
 
     // table metadata (v2 required fields per spec §"Table Metadata")
     val metadata = JObject(
-      List("format-version" -> (JInt(formatVersion): JValue)) ++
+      List("format-version" -> (JInt(fv): JValue)) ++
       // v3 ROW LINEAGE id space: next-row-id reserves the table's row
       // id range; each snapshot declares its first-row-id base. (The
       // per-manifest/per-file first_row_id inheritance fields are not
       // yet emitted - the id SPACE is maintained so a future writer
       // can never collide.)
-      (if (formatVersion >= 3)
+      (if (fv >= 3)
         List("next-row-id" -> (JLong(nextRowId): JValue)) else Nil) ++
       List(
       "table-uuid" -> JString(uuid),

@@ -302,9 +302,21 @@ object IcebergImport {
         case JArray(es) => es
         case _          => Nil
       }
+      // commit order comes from each snapshot's SEQUENCE NUMBER —
+      // foreign snapshot ids are random longs, so an id-sort would
+      // pick arbitrary stats as "newest"
+      val seqOf: Map[Long, Long] = (md \ "snapshots") match {
+        case JArray(ss) => ss.flatMap { s0 =>
+          (lng(s0 \ "snapshot-id"), lng(s0 \ "sequence-number")) match {
+            case (Some(id), Some(q)) => Some(id -> q)
+            case _ => None
+          }
+        }.toMap
+        case _ => Map.empty[Long, Long]
+      }
       val chosen = entries
         .flatMap(e => lng(e \ "snapshot-id").map(_ -> e))
-        .sortBy(_._1) match {
+        .sortBy { case (id, _) => (seqOf.getOrElse(id, -1L), id) } match {
         case Nil => None
         case withIds =>
           current.flatMap(c => withIds.find(_._1 == c).map(_._2))

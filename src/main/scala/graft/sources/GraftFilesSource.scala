@@ -382,6 +382,25 @@ final class GraftFilesReaderFactory(format: String, schema: StructType,
   private lazy val textF =
     new GraftTextReaderFactory(format, schema, options, sessionTz)
 
+  // plain parquet partitions KEEP the vectorized columnar path the
+  // graft scan uses (Spark requires scan-wide agreement, and a
+  // parquet stream's partitions are all GraftInputPartition unless
+  // hive overlays are in play)
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition match {
+      case p: GraftInputPartition => parquetF.supportColumnarReads(p)
+      case _ => false
+    }
+
+  override def createColumnarReader(partition: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] =
+    partition match {
+      case p: GraftInputPartition => parquetF.createColumnarReader(p)
+      case other => throw new IllegalStateException(
+        s"columnar read requested for non-columnar partition $other")
+    }
+
   override def createReader(partition: InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.catalyst.InternalRow] = partition match {
@@ -534,7 +553,10 @@ object GraftFilesHive {
       val eq = seg.indexOf('=')
       if (eq > 0) {
         val k = seg.take(eq)
-        val raw = java.net.URLDecoder.decode(seg.drop(eq + 1), "UTF-8")
+        // hive path escaping is %XX only — URLDecoder would corrupt a
+        // literal '+' (a legal unescaped partition character) to space
+        val raw = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(seg.drop(eq + 1))
         val fi = schema.fields.indexWhere(_.name.equalsIgnoreCase(k))
         if (fi >= 0) {
           val dt = schema.fields(fi).dataType
@@ -607,7 +629,8 @@ final class GraftAvroReader(path: String, schema: StructType)
           val at = nonNull(field.schema())
           val logical = Option(at.getLogicalType).map(_.getName)
           val conv: AnyRef => Any = (f.dataType, at.getType) match {
-            case (StringType, _) =>
+            case (StringType, org.apache.avro.Schema.Type.STRING |
+                org.apache.avro.Schema.Type.ENUM) =>
               v => UTF8String.fromString(v.toString)
             case (IntegerType | DateType,
                 org.apache.avro.Schema.Type.INT) =>

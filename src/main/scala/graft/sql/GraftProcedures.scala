@@ -213,10 +213,14 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
         report(tx, "metadata" -> p, "format_version" -> fv.toString)
       case "export_uniform" =>
         // BOTH dialects over one copy of the data (the UniForm verb):
-        // _delta_log sync + Iceberg v2 tree in one CALL
+        // _delta_log sync + Iceberg tree in one CALL. Optional arg 1:
+        // iceberg format version (2 default; 3 = Puffin DVs + the v3
+        // variant type - required for variant-columned tables)
         val tx = open(spark, arg(0, "table directory"))
+        val fv = if (args.length > 1) arg(1, "format version").toInt else 2
         val v = graft.core.DeltaExport.syncDeltaLog(spark, tx)
-        val p = graft.core.IcebergExport.writeIcebergMetadata(spark, tx)
+        val p = graft.core.IcebergExport.writeIcebergMetadata(spark, tx,
+          formatVersion = fv)
         report(tx, "delta_commit" -> v.map(_.toString).getOrElse("no-op"),
           "iceberg_metadata" -> p)
       case "cluster" =>
@@ -366,11 +370,32 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
                 tx.analyzeColumns(histogramBins = bins).size).toOption
             else None
           }
+        //   graft.autoAnalyze.exportStats (optional, "true"): after a
+        //     refresh, REPUBLISH the exported Iceberg tree's Puffin
+        //     statistics + metadata so stock readers' NDV stays as
+        //     fresh as our own CBO's. Only when a tree exists; failure
+        //     never fails the scheduled CALL (same tolerance rule).
+        val statsExported = analyzed.exists(_ > 0) &&
+          props.get("graft.autoAnalyze.exportStats")
+            .exists(_.equalsIgnoreCase("true")) &&
+          scala.util.Try {
+            val root = new org.apache.hadoop.fs.Path(tx.dir)
+            val tfs = root.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (!tfs.exists(new org.apache.hadoop.fs.Path(root,
+              "metadata/version-hint.text"))) false
+            else {
+              graft.core.IcebergExport.writeStatistics(spark, tx)
+              graft.core.IcebergExport.writeIcebergMetadata(spark, tx)
+              true
+            }
+          }.getOrElse(false)
         report(tx, "files_before" -> before.toString,
           "compacted_buckets" -> rewrote.toString,
           "min_files_threshold" -> minFiles.toString,
           "vacuum_keep_versions" -> vacuumed.getOrElse("off"),
-          "analyzed_columns" -> analyzed.map(_.toString).getOrElse("0"))
+          "analyzed_columns" -> analyzed.map(_.toString).getOrElse("0"),
+          "stats_exported" -> statsExported.toString)
       case "txn" =>
         // MULTI-TABLE TRANSACTION from pure SQL — the JobTxn surface:
         //   CALL graft.txn('<journalDir>', 'name=table[,name=table]',

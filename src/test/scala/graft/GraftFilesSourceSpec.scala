@@ -318,9 +318,10 @@ class GraftFilesSourceSpec extends SparkSpec {
     val t = new TxTable(spark, tmpDir("gfhive-t") + "/t", hSchema,
       Seq("k"), numBuckets = 2)
     t.createIfAbsent()
-    // two date partitions, one with a URL-encoded region, one with
-    // the hive null sentinel
-    publish(src + "/dt=2026-01-01/region=us%20east", "a",
+    // two date partitions: one with a hive-escaped space AND a
+    // literal '+' (legal unescaped - URLDecoder would corrupt it to a
+    // space), one with the hive null sentinel
+    publish(src + "/dt=2026-01-01/region=us%20east+1", "a",
       Seq(("a1", 1), ("a2", 2)))
     publish(src + "/dt=2026-01-02/region=__HIVE_DEFAULT_PARTITION__",
       "b", Seq(("b1", 10)))
@@ -340,7 +341,7 @@ class GraftFilesSourceSpec extends SparkSpec {
     assert(rows.map(_.getDate(2).toString).toSeq ===
       Seq("2026-01-01", "2026-01-01", "2026-01-02"))
     assert(rows.map(r => Option(r.getString(3))).toSeq ===
-      Seq(Some("us east"), Some("us east"), None))
+      Seq(Some("us east+1"), Some("us east+1"), None))
     // restart replay: same checkpoint, nothing new - values stable
     val ver = t.currentVersion
     drainHive()

@@ -118,6 +118,57 @@ class IcebergV3DvSpec extends SparkSpec {
     assert(IcebergImport.read(spark, dir2).count() === 90L)
   }
 
+  test("a re-sync KEEPS the published v3 version; row-id space survives expiry") {
+    val dir = tmpDir("v3dv-keep") + "/t"
+    val df = (1L to 60L).map(k => (k, k * 2.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, df.schema, Seq("k"), numBuckets = 1)
+    t.append(df.filter(col("k") <= 20L))          // v1: 20 rows
+    t.append(df.filter(col("k") > 20L && col("k") <= 40L)) // v2: 20
+    t.append(df.filter(col("k") > 40L))           // v3: 20
+    IcebergExport.writeIcebergMetadata(spark, t, formatVersion = 3)
+    def md() = JsonMethods.parse(java.nio.file.Files.readString(
+      java.nio.file.Path.of(dir, "metadata", "v1.metadata.json")))
+    def lng(v: JValue): Long = v match {
+      case JInt(x) => x.toLong; case JLong(x) => x; case _ => -1L }
+    assert(lng(md() \ "next-row-id") === 60L)
+    val firstIds0 = (md() \ "snapshots") match {
+      case JArray(ss) => ss.map(s0 =>
+        lng(s0 \ "snapshot-id") -> lng(s0 \ "first-row-id")).toMap
+      case _ => fail("no snapshots")
+    }
+    // a DEFAULT re-sync (no explicit version) must keep v3 — a stats
+    // republish or scheduled sync can never silently downgrade
+    IcebergExport.writeIcebergMetadata(spark, t)
+    assert((md() \ "format-version") === JInt(3))
+
+    // expire the oldest version, then re-sync: retained snapshots
+    // keep their published first-row-id, next-row-id never shrinks,
+    // and the snapshot-log stays monotone
+    t.vacuum(keepVersions = 2, minAgeMs = 0L)
+    t.append(Seq((61L, 122.0)).toDF("k", "v"))
+    IcebergExport.writeIcebergMetadata(spark, t)
+    val m2 = md()
+    assert((m2 \ "format-version") === JInt(3))
+    assert(lng(m2 \ "next-row-id") === 61L, "id space must only grow")
+    val snaps2 = (m2 \ "snapshots") match {
+      case JArray(ss) => ss
+      case _ => fail("no snapshots")
+    }
+    snaps2.foreach { s0 =>
+      val id = lng(s0 \ "snapshot-id")
+      firstIds0.get(id).foreach(prev =>
+        assert(lng(s0 \ "first-row-id") === prev,
+          s"snapshot $id first-row-id moved after expiry"))
+    }
+    val logTs = (m2 \ "snapshot-log") match {
+      case JArray(es) => es.map(e => lng(e \ "timestamp-ms"))
+      case _ => fail("no snapshot-log")
+    }
+    assert(logTs === logTs.sorted, "snapshot-log must stay monotone")
+    assert(logTs.distinct.size === logTs.size,
+      "new stamps must sit strictly above carried ones")
+  }
+
   test("v3 changelog stream serves DV retractions as delete rows") {
     val (t, dir) = mk("v3dv-ch")
     IcebergExport.writeIcebergMetadata(spark, t, formatVersion = 3)

@@ -151,6 +151,78 @@ class PuffinStatsSpec extends SparkSpec {
       spark.conf.unset(graft.sql.GraftCallCommand.AllowRawPathsKey)
   }
 
+  test("maintenance exportStats policy republishes Puffin stats on refresh") {
+    val (t, dir) = mk("puffin-auto")
+    spark.conf.set(graft.sql.GraftCallCommand.AllowRawPathsKey, "true")
+    try {
+      IcebergExport.writeStatistics(spark, t)
+      IcebergExport.writeIcebergMetadata(spark, t) // tree exists
+      t.setTableProperties(Map(
+        "graft.autoAnalyze.staleVersions" -> "1",
+        "graft.autoAnalyze.exportStats" -> "true"))
+      def call(): Map[String, String] = spark.sql(
+        s"CALL graft.maintenance('${t.dir}')")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      // first call: no colstats declaration yet -> analyze + republish
+      val out = call()
+      assert(out("analyzed_columns").toInt >= 4)
+      assert(out("stats_exported") === "true")
+      // the republished declaration covers the NEW head snapshot
+      val ndv = IcebergImport.statisticsNdv(spark, dir)
+      assert(ndv("g") === 7L)
+      // idle follow-up: no refresh, no republish
+      val out2 = call()
+      assert(out2("analyzed_columns") === "0")
+      assert(out2("stats_exported") === "false")
+    } finally
+      spark.conf.unset(graft.sql.GraftCallCommand.AllowRawPathsKey)
+  }
+
+  test("foreign trees pick the newest stats by SEQUENCE, not by random snapshot id") {
+    // foreign snapshot ids are random longs: the OLD snapshot here
+    // has the LARGER id, so an id-sort would serve stale NDV
+    val dir = tmpDir("puffin-seq")
+    val metaDir = new File(dir, "metadata"); metaDir.mkdirs()
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def puffin(name: String, ndv: Long): String = {
+      val sk = org.apache.datasketches.theta.UpdateSketch.builder().build()
+      (1L to ndv).foreach(v =>
+        sk.update(graft.functions.IcebergValueFn.ofLong(v)))
+      val p = new Path(metaDir.toString, name)
+      Puffin.write(fs, p, Seq((Puffin.ThetaV1, Seq(1), 0L, 0L,
+        sk.compact(true, null).toByteArray, Map("ndv" -> ndv.toString))))
+      fs.makeQualified(p).toString
+    }
+    val oldStats = puffin("stats-old.puffin", 5L)   // snapshot 9000, seq 1
+    val newStats = puffin("stats-new.puffin", 42L)  // snapshot 100,  seq 2
+    val md =
+      s"""{"format-version":2,"table-uuid":"u","location":"$dir",
+         |"current-snapshot-id":555,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |  {"id":1,"name":"k","required":false,"type":"long"}]}],
+         |"current-schema-id":0,
+         |"snapshots":[
+         |  {"snapshot-id":9000,"sequence-number":1,"timestamp-ms":1},
+         |  {"snapshot-id":100,"sequence-number":2,"timestamp-ms":2}],
+         |"statistics":[
+         |  {"snapshot-id":9000,"statistics-path":"$oldStats",
+         |   "file-size-in-bytes":1,"file-footer-size-in-bytes":1,
+         |   "blob-metadata":[{"type":"${Puffin.ThetaV1}",
+         |     "snapshot-id":9000,"sequence-number":1,"fields":[1],
+         |     "properties":{"ndv":"5"}}]},
+         |  {"snapshot-id":100,"statistics-path":"$newStats",
+         |   "file-size-in-bytes":1,"file-footer-size-in-bytes":1,
+         |   "blob-metadata":[{"type":"${Puffin.ThetaV1}",
+         |     "snapshot-id":100,"sequence-number":2,"fields":[1],
+         |     "properties":{"ndv":"42"}}]}]}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(metaDir.toString, "v1.metadata.json"), md)
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(metaDir.toString, "version-hint.text"), "1")
+    assert(IcebergImport.statisticsNdv(spark, dir) === Map("k" -> 42L))
+  }
+
   test("stats for an expired snapshot drop out of the declaration") {
     val (t, dir) = mk("puffin-exp")
     IcebergExport.writeStatistics(spark, t)
