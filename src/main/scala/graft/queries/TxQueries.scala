@@ -732,6 +732,70 @@ object TxQueries {
       .orderBy("nationkey")
   }
 
+  /** HIVE-PARTITIONED STREAMING INGEST (the Auto Loader partition
+    * contract): supplier slices land under `region=<n_nationkey>/`
+    * partition directories WITHOUT the partition column in the files;
+    * `hivePartitions=true` recurses discovery and serves each `k=v`
+    * path value as the typed column. The sunk table's per-region
+    * aggregate must equal DuckDB's recompute from the raw supplier
+    * table — a dropped or mis-cast path value shifts its group. */
+  def tx_stream_hive(s: SparkSession, dir: String): DataFrame = {
+    val su = t(s, dir, "supplier")
+      .select("s_suppkey", "s_acctbal", "s_nationkey")
+    val sunkSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s_suppkey",
+        su.schema("s_suppkey").dataType),
+      org.apache.spark.sql.types.StructField("s_acctbal",
+        su.schema("s_acctbal").dataType),
+      org.apache.spark.sql.types.StructField("region",
+        org.apache.spark.sql.types.LongType)))
+    val table = cached(s, dir, "supplier", "streamhive", 2L) { loc =>
+      new TxTable(s, loc, sunkSchema, Seq("s_suppkey"), numBuckets = 4)
+    } { tx =>
+      tx.createIfAbsent() // v0
+      val src = new java.io.File(tx.dir + "-src")
+      val ck = tx.dir + "-ck"
+      rmTree(src); rmTree(new java.io.File(ck)); src.mkdirs()
+      // partition dirs carry the region; files carry ONLY the rest
+      def publish(part: Long, name: String,
+          df: org.apache.spark.sql.DataFrame): Unit = {
+        val pdir = new java.io.File(src, s"region=$part")
+        pdir.mkdirs()
+        val stage = new java.io.File(pdir, s".stage-$name")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val f = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+        require(f.renameTo(new java.io.File(pdir, s"$name.parquet")))
+      }
+      def drain(): Unit = {
+        val q = s.readStream.format("graft-files").schema(sunkSchema)
+          .option("hivePartitions", "true")
+          .option("pattern", "*.parquet")
+          .load(src.toString)
+          .writeStream.format("graft")
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(tx.dir)
+        q.awaitTermination()
+      }
+      val regions = su.select("s_nationkey").distinct()
+        .collect().map(_.getAs[Number](0).longValue()).sorted
+      val (first, rest) = regions.partition(_ % 2 == 0)
+      first.foreach(r => publish(r, "a",
+        su.filter(col("s_nationkey") === r).drop("s_nationkey")))
+      drain()                                             // v1
+      rest.foreach(r => publish(r, "a",
+        su.filter(col("s_nationkey") === r).drop("s_nationkey")))
+      drain()                                             // v2
+      drain() // verbatim re-run: no commit
+    }
+    table.read
+      .groupBy("region")
+      .agg(count(lit(1)).as("n"),
+        Qhelpers.msum(col("s_acctbal")).as("bal"),
+        min("s_suppkey").as("min_supp"))
+      .orderBy("region")
+  }
+
   /** ICEBERG SNAPSHOT-TAIL STREAM, end to end (the interop matrix's
     * last cell — streaming IMPORT of the Iceberg dialect): customer
     * lands in a source TxTable in TWO appends, each exported as an
@@ -2298,6 +2362,7 @@ object TxQueries {
     "tx_sql_identity" -> (tx_sql_identity _),
     "tx_sql_generated" -> (tx_sql_generated _),
     "tx_stream_copy" -> (tx_stream_copy _),
+    "tx_stream_hive" -> (tx_stream_hive _),
     "tx_iceberg_stream_tail" -> (tx_iceberg_stream_tail _),
     "tx_iceberg_changes_merge" -> (tx_iceberg_changes_merge _),
     "tx_sql_analyze" -> (tx_sql_analyze _),
@@ -2750,6 +2815,15 @@ object TxQueries {
          |FROM (SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER)
          |        AS k, value FROM events WHERE event_id % 7 <> 0)
          |WHERE k IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // every partition-path region value must land typed on every row
+    // of its directory's files - DuckDB recomputes from the raw column
+    "tx_stream_hive" ->
+      s"""SELECT CAST(s_nationkey AS BIGINT) AS region,
+         |  count(*) AS n,
+         |  ${Qhelpers.sqlMsum("s_acctbal")} AS bal,
+         |  min(s_suppkey) AS min_supp
+         |FROM supplier
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     // variant-stored props must aggregate exactly like DuckDB's
     // recompute from the raw JSON text
