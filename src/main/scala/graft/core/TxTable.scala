@@ -1902,9 +1902,19 @@ final class TxTable(
     def image(tag: String, kind: String) = struct(
       (lit(kind).as("_change_type") +: keyNames.map(col)) ++
         dataCols.map(c => col(s"_${tag}_$c").as(c)): _*)
+    // VARIANT columns have no ordering, so <=> refuses them: compare
+    // their canonical JSON rendering instead (same bytes => same
+    // text; a changed value => changed text). Every other type
+    // null-safe-compares directly.
+    def eqCol(c: String): Column = s.fields.find(_.name == c)
+      .map(_.dataType) match {
+      case Some(_: org.apache.spark.sql.types.VariantType) =>
+        to_json(col(s"_pre_$c")) <=> to_json(col(s"_post_$c"))
+      case _ => col(s"_pre_$c") <=> col(s"_post_$c")
+    }
     val differs =
       if (dataCols.isEmpty) lit(false)
-      else !dataCols.map(c => col(s"_pre_$c") <=> col(s"_post_$c")).reduce(_ && _)
+      else !dataCols.map(eqCol).reduce(_ && _)
     joined.select(explode(
       when(col("_in_pre").isNull, array(image("post", "insert")))
         .when(col("_in_post").isNull, array(image("pre", "delete")))

@@ -91,6 +91,37 @@ class GraftCdfStreamSpec extends SparkSpec {
       s"a 1-commit cap must chunk the drain, saw $dataBatches batches")
   }
 
+  test("variant columns ride the CDF stream (unshredded change files)") {
+    val dir = tmpDir("cdfstream-var") + "/t"
+    val data = Seq(
+      (1L, """{"a": 5}"""), (2L, """{"a": 7}"""), (3L, """{"a": 9}"""))
+      .toDF("k", "j").withColumn("v", parse_json(col("j"))).drop("j")
+    val t = new TxTable(spark, dir, data.schema, Seq("k"), numBuckets = 1)
+    t.append(data)
+    DeltaExport.syncDeltaLog(spark, t, cdf = true) // delta 0
+    t.deleteWhereLight(col("k") === 2L)
+    DeltaExport.syncDeltaLog(spark, t, cdf = true) // delta 1: change file
+    val out = tmpDir("cdfstream-var-out")
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .load(dir)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("cdfstream-var-ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(out)
+      .select(col("k"), try_variant_get(col("v"), "$.a", "int").as("a"),
+        col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // snapshot inserts carry the bytes; the delete's change file
+    // re-serves the retracted row's variant intact
+    assert(rows.count(_._3 == "insert") === 3)
+    assert(rows.filter(_._3 == "delete").toSeq === Seq((2L, 7, "delete")))
+    assert(rows.filter(_._1 == 1L).forall(_._2 == 5))
+  }
+
   test("columnMapping NAME mode streams real values; ID mode refuses") {
     // name mode: a renamed table's files keep the PHYSICAL column
     // name - the stream must bind it, never null-fill the declared one
