@@ -88,6 +88,16 @@ object RowParquet {
             .length(minBytesForPrecision(d.precision))
             .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
             .named(f.name)
+        case _: org.apache.spark.sql.types.VariantType =>
+          // the PLAIN variant encoding (value + metadata binaries) —
+          // the same group Spark's unshredded writer stages and the
+          // graft row reader decodes
+          Types.optionalGroup()
+            .addField(Types.optional(PrimitiveTypeName.BINARY)
+              .named("value"))
+            .addField(Types.optional(PrimitiveTypeName.BINARY)
+              .named("metadata"))
+            .named(f.name)
         case other => throw new UnsupportedOperationException(
           s"RowParquet stages flat relational schemas only, not $other " +
             s"(column ${f.name})")
@@ -134,6 +144,20 @@ object RowParquet {
                 java.util.Arrays.fill(out, -1.toByte)
               System.arraycopy(bytes, 0, out, len - bytes.length, bytes.length)
               consumer.addBinary(Binary.fromConstantByteArray(out))
+            }
+          case vt: org.apache.spark.sql.types.VariantType =>
+            (r, i) => {
+              val v = r.get(i, vt)
+                .asInstanceOf[org.apache.spark.unsafe.types.VariantVal]
+              consumer.startGroup()
+              consumer.startField("value", 0)
+              consumer.addBinary(Binary.fromConstantByteArray(v.getValue))
+              consumer.endField("value", 0)
+              consumer.startField("metadata", 1)
+              consumer.addBinary(
+                Binary.fromConstantByteArray(v.getMetadata))
+              consumer.endField("metadata", 1)
+              consumer.endGroup()
             }
           case other => throw new UnsupportedOperationException(
             s"RowParquet cannot stage $other")

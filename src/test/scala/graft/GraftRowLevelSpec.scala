@@ -188,4 +188,26 @@ class GraftRowLevelSpec extends SparkSpec {
     assert(got.toSeq === Seq((2L, "B"), (4L, "d")))
     assert(tx.count() === 2L)
   }
+
+  test("variant tables take row-level SQL DML (update/delete over DVs)") {
+    val root = tmpDir("graft-rl-var")
+    val df = Seq((1L, """{"a": 5}"""), (2L, """{"a": 7}"""),
+      (3L, """{"a": 9}"""))
+      .toDF("k", "j").withColumn("v", parse_json(col("j"))).drop("j")
+    val tx = new TxTable(spark, s"$root/t", df.schema, Seq("k"),
+      numBuckets = 1)
+    tx.append(df) // v1
+    catalog(root, "rlv")
+    // the row-level scan decodes the variant group; the rewrite
+    // stages it back unshredded
+    spark.sql("DELETE FROM rlv.t WHERE k = 2") // v2
+    spark.sql(
+      "UPDATE rlv.t SET v = parse_json('{\"a\": 50}') WHERE k = 1") // v3
+    val after = spark.sql(
+      "SELECT k, try_variant_get(v, '$.a', 'int') AS a " +
+        "FROM rlv.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(after.toSeq === Seq((1L, 50), (3L, 9)))
+    assert(tx.currentVersion === 3L)
+  }
 }
