@@ -273,6 +273,25 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
         val p = graft.core.IcebergExport.writeStatistics(spark, tx, lgK)
         val md = graft.core.IcebergExport.writeIcebergMetadata(spark, tx)
         report(tx, "statistics" -> p, "metadata" -> md)
+      case "import_stats" =>
+        // Adopt a FOREIGN Iceberg tree's declared Puffin NDV as this
+        // table's column statistics: one metadata commit, zero data
+        // passes - the import-side CBO story (statisticsNdv ->
+        // declareColumnAnalysis). Columns the table doesn't have are
+        // skipped, not refused: foreign schemas may be wider.
+        val tx = open(spark, arg(0, "table directory"))
+        val src = arg(1, "foreign iceberg directory")
+        val ndv = graft.core.IcebergImport.statisticsNdv(spark, src)
+        val schema = tx.currentSchema
+        val usable = ndv.filter { case (c, _) =>
+          schema.fields.exists(_.name.equalsIgnoreCase(c)) }
+        require(usable.nonEmpty,
+          s"$src declares no statistics for any column of ${tx.dir} - " +
+            "nothing to adopt (run CALL graft.analyze instead)")
+        tx.declareColumnAnalysis(usable.view.mapValues(n =>
+          graft.core.TxTable.ColAnalysis(n, None, None)).toMap)
+        report(tx, usable.toSeq.sortBy(_._1).map { case (c, n) =>
+          s"ndv_$c" -> n.toString }: _*)
       case "analyze" =>
         // ANALYZE ... FOR COLUMNS: declare per-column NDV (+ string
         // lengths) for the CBO feed. Default = every flat column,

@@ -178,6 +178,37 @@ class PuffinStatsSpec extends SparkSpec {
       spark.conf.unset(graft.sql.GraftCallCommand.AllowRawPathsKey)
   }
 
+  test("CALL graft.import_stats adopts foreign NDV in one metadata commit") {
+    val (src, srcDir) = mk("puffin-imp-src")
+    IcebergExport.writeStatistics(spark, src)
+    IcebergExport.writeIcebergMetadata(spark, src)
+    val (dst, _) = mk("puffin-imp-dst")
+    spark.conf.set(graft.sql.GraftCallCommand.AllowRawPathsKey, "true")
+    try {
+      val v = dst.currentVersion
+      val out = spark.sql(
+        s"CALL graft.import_stats('${dst.dir}', '$srcDir')")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(out("ndv_g") === "7")
+      assert(dst.currentVersion === v + 1) // exactly one metadata commit
+      val (_, cols) = dst.columnAnalysis.get
+      assert(cols("k").ndv === 500L)
+      // nothing adoptable refuses loudly
+      val empty = new TxTable(spark, tmpDir("puffin-imp-none") + "/t",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("zzz",
+            org.apache.spark.sql.types.LongType))), Seq("zzz"),
+        numBuckets = 1)
+      empty.createIfAbsent()
+      val e = intercept[Exception] {
+        spark.sql(
+          s"CALL graft.import_stats('${empty.dir}', '$srcDir')").collect()
+      }
+      assert(e.getMessage.contains("nothing to adopt"))
+    } finally
+      spark.conf.unset(graft.sql.GraftCallCommand.AllowRawPathsKey)
+  }
+
   test("foreign trees pick the newest stats by SEQUENCE, not by random snapshot id") {
     // foreign snapshot ids are random longs: the OLD snapshot here
     // has the LARGER id, so an id-sort would serve stale NDV
