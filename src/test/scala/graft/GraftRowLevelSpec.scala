@@ -209,5 +209,11 @@ class GraftRowLevelSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1)))
     assert(after.toSeq === Seq((1L, 50), (3L, 9)))
     assert(tx.currentVersion === 3L)
+    // Spark's OWN parquet reader must also accept the RowParquet-
+    // staged variant group (TxTable.read = the DataFrame path)
+    val viaSparkRead = tx.read
+      .select(col("k"), try_variant_get(col("v"), "$.a", "int").as("a"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(viaSparkRead.toSeq === Seq((1L, 50), (3L, 9)))
   }
 }
