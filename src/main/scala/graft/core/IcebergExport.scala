@@ -170,39 +170,50 @@ object IcebergExport {
   /** One v3 DELETION VECTOR blob payload (Puffin `deletion-vector-v1`
     * per the v3 spec): 4-byte big-endian length of (magic + vector),
     * the magic bytes D1 D3 39 64, the vector as a portable 64-bit
-    * RoaringBitmapArray (the SAME serialization Delta DVs use —
-    * [[DeltaDv.serializeBitmap]], adopted verbatim by the v3 spec),
-    * then a big-endian CRC-32 of (magic + vector). */
+    * RoaringBitmapArray, then a big-endian CRC-32 of (magic +
+    * vector). The spec chose the magic so that (magic + vector)
+    * TOGETHER are byte-identical to Delta's portable DV
+    * serialization — [[DeltaDv.serializeBitmap]]'s output already
+    * BEGINS with D1 D3 39 64 (its little-endian magic 1681511377),
+    * so the framed payload is exactly that output, the magic
+    * appearing ONCE. (Round-20 fix: a second prepended magic made
+    * stock v3 readers misparse our DVs and made us reject spec-true
+    * foreign ones — the symmetric round-trip had masked it.) */
   private[graft] val DvMagic: Array[Byte] =
     Array(0xD1.toByte, 0xD3.toByte, 0x39.toByte, 0x64.toByte)
   private[graft] def dvBlobBytes(vector: Array[Byte]): Array[Byte] = {
-    val len = 4 + vector.length
-    val out = java.nio.ByteBuffer.allocate(4 + len + 4) // BE default
-    out.putInt(len)
-    out.put(DvMagic)
+    require(vector.length >= 4 && vector.take(4).sameElements(DvMagic),
+      "DV vector must be Delta-portable (leading magic D1 D3 39 64)")
+    val out = java.nio.ByteBuffer.allocate(4 + vector.length + 4) // BE
+    out.putInt(vector.length) // combined length of magic + vector
     out.put(vector)
     val crc = new java.util.zip.CRC32()
-    crc.update(DvMagic)
     crc.update(vector)
     out.putInt(crc.getValue.toInt)
     out.array()
   }
 
   /** Inverse of [[dvBlobBytes]]: validate framing + CRC, return the
-    * vector bytes. */
+    * (magic + vector) bytes unchanged — directly consumable by
+    * [[DeltaDv.deserializeBitmap]], which expects its own leading
+    * magic. */
   private[graft] def dvBlobVector(blob: Array[Byte]): Array[Byte] = {
     require(blob.length >= 12, s"DV blob too small (${blob.length}B)")
     val bb = java.nio.ByteBuffer.wrap(blob) // BE default
     val len = bb.getInt
     require(len == blob.length - 8,
       s"DV blob length $len != framed ${blob.length - 8}")
-    val magic = new Array[Byte](4)
-    bb.get(magic)
-    require(magic.sameElements(DvMagic), "DV blob magic mismatch")
-    val vector = new Array[Byte](len - 4)
+    val vector = new Array[Byte](len)
     bb.get(vector)
+    require(vector.take(4).sameElements(DvMagic), "DV blob magic mismatch")
+    // A DOUBLED magic (pre-round-20 writers prepended it again) is
+    // structurally ambiguous: the second copy would read as the u64
+    // bitmap-array count 0x…6439D3D1 ≈ 1.7e9 buckets — impossible for
+    // any real DV (count is bounded by maxPosition >>> 32). Reject it
+    // loudly instead of letting deserialization fail downstream.
+    require(vector.length < 8 || !vector.slice(4, 8).sameElements(DvMagic),
+      "double-magic DV framing (pre-spec writer) — rewrite the Puffin file")
     val crc = new java.util.zip.CRC32()
-    crc.update(DvMagic)
     crc.update(vector)
     require(bb.getInt == crc.getValue.toInt, "DV blob CRC mismatch")
     vector
@@ -574,10 +585,22 @@ object IcebergExport {
       info.blobs.map(bm => (bm.properties("referenced-data-file"), bm,
         bm.properties.get("cardinality")
           .flatMap(_.toLongOption).getOrElse(0L)))
-    if (fs.exists(path)) {
-      val info = Puffin.readFooter(fs, path)
+    // Reuse an existing file only when every blob validates under the
+    // CURRENT framing (spec magic-once); a file written by the
+    // pre-round-20 double-magic framing fails CRC here and is
+    // rewritten in place of silently serving misframed DVs.
+    val reusable: Option[Puffin.FileInfo] =
+      if (!fs.exists(path)) None
+      else scala.util.Try {
+        val info = Puffin.readFooter(fs, path)
+        info.blobs.foreach(b => dvBlobVector(Puffin.readBlob(fs, path, b)))
+        info
+      }.toOption
+    if (reusable.isDefined) {
+      val info = reusable.get
       (path, info.fileSize, fromInfo(info))
     } else {
+      if (fs.exists(path)) fs.delete(path, false)
       import spark.implicits._
       val sidecars = dirty.flatMap(_._2).distinct
       val namesDf = dirty.map { case (f, _) => baseOf(f.path) }
@@ -713,15 +736,7 @@ object IcebergExport {
     // so the same column carries the same id in every schema version.
     val verSchemas: Seq[(Long, StructType)] =
       versions.map(v => v -> table.schemaAtVersion(v))
-    // lowercase key -> (id, exact-case parquet name)
-    val idReg =
-      scala.collection.mutable.LinkedHashMap.empty[String, (Int, String)]
-    def regOf(f: StructField): Int = {
-      val phys = table.physicalFieldName(f)
-      idReg.getOrElseUpdate(phys.toLowerCase, (idReg.size + 1, phys))._1
-    }
-    schema.fields.foreach(regOf)
-    verSchemas.reverseIterator.foreach(_._2.fields.foreach(regOf))
+    val idReg = fieldIdRegistry(table, verSchemas.map(_._2))
     val ids = idReg.map { case (k, (id, _)) => k -> id }.toMap
     def shapeKey(s: StructType): Seq[(String, String, Boolean)] =
       s.fields.toSeq.map(f => (f.name, f.dataType.simpleString, f.nullable))
@@ -1379,6 +1394,28 @@ object IcebergExport {
     * spec's `statistics` field with real blob offsets; re-running
     * for the same snapshot overwrites deterministically (a version's
     * content is immutable). Returns the Puffin file's path. */
+  /** THE field-id assignment for a table's Iceberg export, shared by
+    * [[writeIcebergMetadata]] and [[writeStatistics]] so sketches can
+    * never attach to a different id than the declared schema uses:
+    * lowercase physical name -> (id, exact-case parquet name), head
+    * schema first (ids 1..n in declaration order), then any column
+    * only older versions know (dropped since) extends it — the same
+    * column carries the same id in every schema version. */
+  private[graft] def fieldIdRegistry(table: TxTable,
+      verSchemas: Seq[StructType])
+      : scala.collection.mutable.LinkedHashMap[String, (Int, String)] = {
+    val idReg =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Int, String)]
+    def regOf(f: StructField): Unit = {
+      val phys = table.physicalFieldName(f)
+      idReg.getOrElseUpdate(phys.toLowerCase, (idReg.size + 1, phys))
+      ()
+    }
+    table.currentSchema.fields.foreach(regOf)
+    verSchemas.reverseIterator.foreach(_.fields.foreach(regOf))
+    idReg
+  }
+
   def writeStatistics(spark: SparkSession, table: TxTable,
       lgK: Int = 12): String = {
     import org.apache.spark.sql.functions.theta_sketch_agg
@@ -1392,11 +1429,15 @@ object IcebergExport {
     val v = table.currentVersion
     val snapshotId = 1000L + v
     val snapSeq = 2L * v + 2L // the snapshot's sequence number
-    // head-schema field ids: position+1, the same assignment
-    // writeIcebergMetadata's registry makes (head schema registered
-    // first, one id per physical name, in declaration order)
-    val targets: Seq[(StructField, Int)] = schema.fields.toSeq.zipWithIndex
-      .map { case (f, i) => (f, i + 1) }
+    // field ids from THE shared registry ([[fieldIdRegistry]]) — the
+    // same assignment writeIcebergMetadata declares, so the sketches
+    // attach to the right ids even if registry order ever changes
+    // (e.g. a column dropped and re-added across versions)
+    val idReg = fieldIdRegistry(table,
+      table.versions.map(v => table.schemaAtVersion(v)))
+    val targets: Seq[(StructField, Int)] = schema.fields.toSeq
+      .map { f =>
+        (f, idReg(table.physicalFieldName(f).toLowerCase)._1) }
       .filter { case (f, _) =>
         graft.functions.IcebergValueFn.supported(f.dataType) }
     require(targets.nonEmpty,

@@ -998,7 +998,7 @@ object TxQueries {
     val ev = t(s, dir, "events")
       .select(col("event_id"), col("value"),
         parse_json(col("props")).as("pv"))
-    val table = cached(s, dir, "events", "varuni", 2L) { loc =>
+    val table = cached(s, dir, "events", "varuni2", 2L) { loc =>
       new TxTable(s, loc, ev.schema, Seq("event_id"), numBuckets = 4)
     } { tx =>
       tx.append(ev)                                  // v1
@@ -1547,7 +1547,7 @@ object TxQueries {
   def tx_iceberg_v3_dv_roundtrip(s: SparkSession, dir: String): DataFrame = {
     val p = t(s, dir, "part")
       .select("p_partkey", "p_brand", "p_size", "p_retailprice")
-    val table = cached(s, dir, "part", "icebergv3dv", 3L) { loc =>
+    val table = cached(s, dir, "part", "icebergv3dv2", 3L) { loc =>
       new TxTable(s, loc, p.schema, Seq("p_partkey"), numBuckets = 4)
     } { tx =>
       tx.append(p.filter(col("p_partkey") % 2 === 0))  // v1

@@ -206,18 +206,23 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
         report(dst, "source" -> tx.dir, "buckets" -> n.toString)
       case "export_iceberg" =>
         val tx = open(spark, arg(0, "table directory"))
-        // optional arg 1: format version (2 default; 3 = Puffin DVs)
-        val fv = if (args.length > 1) arg(1, "format version").toInt else 2
+        // optional arg 1: format version (3 = Puffin DVs). Omitted =
+        // 0 = KEEP the published tree's version (else 2) — a
+        // scheduled re-sync must never silently downgrade a v3 tree.
+        val fv = if (args.length > 1) arg(1, "format version").toInt else 0
         val p = graft.core.IcebergExport.writeIcebergMetadata(spark, tx,
           formatVersion = fv)
-        report(tx, "metadata" -> p, "format_version" -> fv.toString)
+        report(tx, "metadata" -> p,
+          "format_version" -> (if (fv == 0) "kept" else fv.toString))
       case "export_uniform" =>
         // BOTH dialects over one copy of the data (the UniForm verb):
         // _delta_log sync + Iceberg tree in one CALL. Optional arg 1:
-        // iceberg format version (2 default; 3 = Puffin DVs + the v3
-        // variant type - required for variant-columned tables)
+        // iceberg format version (3 = Puffin DVs + the v3 variant
+        // type - required for variant-columned tables). Omitted = 0 =
+        // keep the published tree's version (else 2), so a scheduled
+        // re-sync never downgrades a previously v3 tree.
         val tx = open(spark, arg(0, "table directory"))
-        val fv = if (args.length > 1) arg(1, "format version").toInt else 2
+        val fv = if (args.length > 1) arg(1, "format version").toInt else 0
         val v = graft.core.DeltaExport.syncDeltaLog(spark, tx)
         val p = graft.core.IcebergExport.writeIcebergMetadata(spark, tx,
           formatVersion = fv)

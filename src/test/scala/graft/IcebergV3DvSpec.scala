@@ -118,6 +118,104 @@ class IcebergV3DvSpec extends SparkSpec {
     assert(IcebergImport.read(spark, dir2).count() === 90L)
   }
 
+  test("DV blob bytes pinned to the v3 spec layout — magic appears ONCE") {
+    def hex(a: Array[Byte]): String = a.map(b => f"$b%02x").mkString
+    def unhex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+    // Position {5}: the ENTIRE framed blob, pinned byte-for-byte.
+    // Spec layout: 4-byte BE length of (magic + vector) = 0x1e, then
+    // the payload — which IS Delta's portable RoaringBitmapArray
+    // serialization, BEGINNING with its own magic D1 D3 39 64 — then
+    // a 4-byte BE CRC-32 of the payload. The magic is NOT prepended a
+    // second time (a double magic reads as a bogus u64 bitmap count
+    // in stock v3 readers — the pre-round-20 bug this fixture pins
+    // against; a symmetric round-trip alone cannot catch it).
+    val singlePinned = "0000001e" +
+      "d1d3396401000000000000003a3000000100000000000000100000000500" +
+      "df099414"
+    val single = DeltaDv.serializeBitmap(Iterator(5L))
+    assert(hex(IcebergExport.dvBlobBytes(single)) === singlePinned)
+    // payload ≡ Delta portable bytes: a Delta DV consumer reads the
+    // blob's (magic + vector) extent DIRECTLY, no re-framing
+    assert(hex(single) === singlePinned.drop(8).dropRight(8))
+
+    // Multi-bucket fixture (positions 0, 1, 5 and (3L<<32)|7 — four
+    // 32-bit buckets, two empty), same pinning
+    val multiPinned = "00000044" +
+      "d1d3396404000000000000003a30000001000000000002001000000000000100" +
+      "05003a300000000000003a300000000000003a300000010000000000000010" +
+      "0000000700" + "5ba1bc54"
+    val multi =
+      DeltaDv.serializeBitmap(Iterator(0L, 1L, 5L, (3L << 32) | 7L))
+    assert(hex(IcebergExport.dvBlobBytes(multi)) === multiPinned)
+
+    // A spec-true FOREIGN blob (authored from the pinned hex, not by
+    // our writer) is accepted and decodes to the positions
+    val foreign = IcebergExport.dvBlobVector(unhex(multiPinned))
+    assert(hex(foreign) === hex(multi))
+    assert(DeltaDv.deserializeBitmap(foreign).toSeq ===
+      Seq(0L, 1L, 5L, (3L << 32) | 7L))
+
+    // The pre-round-20 DOUBLE-MAGIC framing is rejected (CRC covers
+    // the duplicated magic, so the checksum cannot match)
+    val doubled = {
+      val vec = single
+      val bb = java.nio.ByteBuffer.allocate(4 + 4 + vec.length + 4)
+      bb.putInt(4 + vec.length)
+      bb.put(unhex("d1d33964")); bb.put(vec)
+      val crc = new java.util.zip.CRC32()
+      crc.update(unhex("d1d33964")); crc.update(vec)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    intercept[IllegalArgumentException](
+      IcebergExport.dvBlobVector(doubled))
+  }
+
+  test("a v2→v3 upgrade rewrites parquet position deletes as DV blobs") {
+    val (t, dir) = mk("v3dv-up")
+    // publish as v2 first: parquet position deletes
+    IcebergExport.writeIcebergMetadata(spark, t)
+    def md() = JsonMethods.parse(java.nio.file.Files.readString(
+      java.nio.file.Path.of(dir, "metadata", "v1.metadata.json")))
+    assert((md() \ "format-version") === JInt(2))
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // upgrade: v3 metadata must reference ONLY Puffin DVs from its
+    // delete manifests (the spec deprecates position-delete files in
+    // v3; carrying the v2 parquet manifests forward would make strict
+    // readers refuse the tree)
+    IcebergExport.writeIcebergMetadata(spark, t, formatVersion = 3)
+    assert((md() \ "format-version") === JInt(3))
+    val snaps = (md() \ "snapshots") match {
+      case JArray(ss) => ss; case _ => fail("no snapshots")
+    }
+    var delEntries = 0
+    snaps.foreach { s0 =>
+      val list = (s0 \ "manifest-list") match {
+        case JString(p) => p; case _ => fail("no manifest-list")
+      }
+      IcebergImport.readAvro(fs, new Path(list),
+        spark.sparkContext.hadoopConfiguration)
+        .filter(m => Option(m.get("content")).exists(
+          _.asInstanceOf[Int] == 1))
+        .foreach { m =>
+          IcebergImport.readAvro(fs,
+            new Path(m.get("manifest_path").toString),
+            spark.sparkContext.hadoopConfiguration).foreach { e =>
+            val df = e.get("data_file").asInstanceOf[
+              org.apache.avro.generic.GenericRecord]
+            assert(df.get("file_format").toString === "PUFFIN",
+              s"v3 delete entry still ${df.get("file_format")}")
+            delEntries += 1
+          }
+        }
+    }
+    assert(delEntries > 0, "upgrade lost the tombstones")
+    assert(IcebergImport.read(spark, dir).count() === 90L)
+  }
+
   test("a re-sync KEEPS the published v3 version; row-id space survives expiry") {
     val dir = tmpDir("v3dv-keep") + "/t"
     val df = (1L to 60L).map(k => (k, k * 2.0)).toDF("k", "v")
