@@ -70,9 +70,11 @@ object DeltaImport {
     * Spark 4's own VariantType parquet binding (binary value/metadata
     * struct per the published spec — the same layout this engine's
     * export stages); variant SHREDDING is a different feature and
-    * stays refused. */
+    * stays refused. `v2Checkpoint`: [[snapshot]] bootstraps from
+    * UUID-named v2 checkpoint mains (parquet or json) and their
+    * sidecar files. */
   val SupportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping", "variantType")
+    Set("deletionVectors", "columnMapping", "variantType", "v2Checkpoint")
 
   /** A live add action's payload — everything a checkpoint must carry
     * forward (losing `stats` would cost Delta readers their skipping). */
@@ -116,7 +118,9 @@ object DeltaImport {
     *
     * Checkpoint-aware per PROTOCOL.md: when `_last_checkpoint` names
     * a checkpoint at or below the target version, state bootstraps
-    * from that ONE parquet file and only the JSON commits AFTER it
+    * from the checkpoint's files — one classic parquet, every part of
+    * a multipart set, or a v2 UUID-named main (parquet or json) plus
+    * its sidecars — and only the JSON commits AFTER it
     * replay — the log's scale cliff (replaying thousands of JSON
     * commits) is paid once per checkpoint interval by the writer, not
     * on every read. JSON commits BEFORE the checkpoint may be absent
@@ -133,6 +137,16 @@ object DeltaImport {
 
     val commitRe = "(\\d{20})\\.json".r
     val cpRe = "(\\d{20})\\.checkpoint\\.parquet".r
+    // multipart classic: NNN.checkpoint.MMM.PPP.parquet = part M of P
+    // (stock delta-spark splits past checkpoint.partSize); a version's
+    // checkpoint is usable only when EVERY part 1..P is present
+    val cpMultiRe =
+      "(\\d{20})\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet".r
+    // v2 (the `v2Checkpoint` table feature): UUID-named single main
+    // file, parquet or json, whose state may live in SIDECAR parquet
+    // files under _delta_log/_sidecars/. The UUID cannot contain
+    // dots, so this pattern can never swallow a multipart name.
+    val cpV2Re = "(\\d{20})\\.checkpoint\\.([^.]+)\\.(parquet|json)".r
     val names = fs.listStatus(logDir).toSeq.map(_.getPath)
     val allCommits = names.flatMap { p =>
       p.getName match {
@@ -140,12 +154,40 @@ object DeltaImport {
         case _           => None
       }
     }.sortBy(_._1)
-    val checkpoints = names.flatMap { p =>
+    /** one readable checkpoint: its physical files + dialect. */
+    case class Cp(parts: Seq[Path], v2: Boolean, json: Boolean)
+    val classicCps: Map[Long, Cp] = names.flatMap { p =>
       p.getName match {
-        case cpRe(v) => Some(v.toLong -> p)
+        case cpRe(v) => Some(v.toLong -> Cp(Seq(p), v2 = false, json = false))
         case _       => None
       }
     }.toMap
+    val multiCps: Map[Long, Cp] = names.flatMap { p =>
+      p.getName match {
+        case cpMultiRe(v, m, n) => Some((v.toLong, m.toInt, n.toInt, p))
+        case _                  => None
+      }
+    }.groupBy(_._1).flatMap { case (v, parts) =>
+      val totals = parts.map(_._3).distinct
+      if (totals.sizeIs == 1 &&
+          parts.map(_._2).sorted == (1 to totals.head).toList)
+        Some(v -> Cp(parts.sortBy(_._2).map(_._4), v2 = false, json = false))
+      else None // a partial multipart upload is NOT a checkpoint
+    }
+    val v2Cps: Map[Long, Cp] = names.flatMap { p =>
+      p.getName match {
+        case cpMultiRe(_, _, _) => None // numeric parts, not a uuid
+        case cpV2Re(v, _, fmt)  => Some((v.toLong, fmt == "json", p))
+        case _                  => None
+      }
+    }.groupBy(_._1).map { case (v, cands) =>
+      // prefer a parquet main when both formats exist at one version
+      val (json, p) = cands.map(c => (c._2, c._3)).sortBy(_._1).head
+      v -> Cp(Seq(p), v2 = true, json = json)
+    }
+    // precedence at the same version: classic single file (cheapest),
+    // else complete multipart, else v2 — all encode identical state
+    val checkpoints: Map[Long, Cp] = v2Cps ++ multiCps ++ classicCps
     // _last_checkpoint is the pointer stock readers trust; fall back
     // to the newest checkpoint file actually present (pointer write
     // is the non-atomic last step — a crash can strand a valid
@@ -232,17 +274,22 @@ object DeltaImport {
       metaRaw = Some(JsonMethods.compact(JsonMethods.render(m)))
     }
 
-    // 1) checkpoint bootstrap: ONE parquet file holds the complete
-    // state at its version. State reconstruction stays a DataFrame —
-    // the driver collects ONLY the protocol/metaData singletons (≤1
-    // row each) and the live add-file projection it must have anyway
-    // to build the file index (path + partitionValues + size + mtime +
-    // stats; never remove tombstones, never whole action rows). A
+    // Checkpoint state reconstruction stays a DataFrame — the driver
+    // collects ONLY the protocol/metaData singletons (≤1 row each)
+    // and the live add-file projection it must have anyway to build
+    // the file index (path + partitionValues + size + mtime + stats;
+    // never remove tombstones, never whole action rows). A
     // million-file 100 TB checkpoint collects exactly its live file
     // list — the same bound every file-source listing pays.
-    boot.foreach { cv =>
+    /** Apply protocol/metaData/add actions found in action-shaped
+      * parquet files (a classic checkpoint, every part of a multipart
+      * one, a v2 main, or v2 sidecars — the column guards make one
+      * ingester serve all four). Returns any referenced SIDECAR paths
+      * (raw, per the v2 spec: absolute URI or a name relative to
+      * _delta_log/_sidecars/). */
+    def ingestCheckpointParquet(paths: Seq[String]): Seq[String] = {
       import org.apache.spark.sql.functions.{col => c}
-      val rows = spark.read.parquet(checkpoints(cv).toString)
+      val rows = spark.read.parquet(paths: _*)
       val cols = rows.columns.toSet
       if (cols("protocol")) {
         val pFields = rows.select(c("protocol.*")).columns.toSet
@@ -331,17 +378,22 @@ object DeltaImport {
               if (a.isNullAt(4)) None else Some(a.getString(4)), dvDesc))
           }
       }
+      if (!cols("sidecar")) Nil
+      else rows.where(c("sidecar").isNotNull)
+        .select(c("sidecar.path")).collect().map(_.getString(0)).toSeq
     }
+    /** v2 sidecar `path` resolution: absolute URIs pass through,
+      * names are relative to `_delta_log/_sidecars/`. */
+    def resolveSidecar(raw: String): String =
+      if (raw.contains("://") || raw.startsWith("/")) raw
+      else fs.makeQualified(
+        new Path(new Path(logDir, "_sidecars"), raw)).toString
 
-    // 2) JSON tail replay
-    tail.foreach { case (_, path) =>
-      val in = fs.open(path)
-      val lines =
-        try Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      lines.filter(_.trim.nonEmpty).foreach { line =>
-        val j = JsonMethods.parse(line)
-        (j \ "protocol") match {
+    /** Apply ONE action-JSON object — a commit line or a v2 JSON
+      * checkpoint line (same action vocabulary per the spec). Returns
+      * the sidecar path when the line is a sidecar action. */
+    def applyJsonAction(j: JValue): Option[String] = {
+      (j \ "protocol") match {
           case JNothing => ()
           case p => applyProtocol(
             (p \ "minReaderVersion").extract[Int],
@@ -382,7 +434,39 @@ object DeltaImport {
           case JNothing => ()
           case r => live.remove(resolve((r \ "path").extract[String]))
         }
-      }
+        (j \ "sidecar" \ "path") match {
+          case JString(s) => Some(s)
+          case _          => None
+        }
+    }
+
+    // 1) checkpoint bootstrap — classic / multipart / v2 per the
+    // layout recorded for the chosen version
+    boot.foreach { cv =>
+      val cp = checkpoints(cv)
+      val sidecars: Seq[String] =
+        if (!cp.json) ingestCheckpointParquet(cp.parts.map(_.toString))
+        else {
+          // v2 JSON main: commit-line action vocabulary
+          val in = fs.open(cp.parts.head)
+          val lines =
+            try Source.fromInputStream(in, "UTF-8").getLines().toList
+            finally in.close()
+          lines.filter(_.trim.nonEmpty)
+            .flatMap(l => applyJsonAction(JsonMethods.parse(l)))
+        }
+      if (sidecars.nonEmpty)
+        ingestCheckpointParquet(sidecars.map(resolveSidecar))
+    }
+
+    // 2) JSON tail replay
+    tail.foreach { case (_, path) =>
+      val in = fs.open(path)
+      val lines =
+        try Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.filter(_.trim.nonEmpty)
+        .foreach(l => applyJsonAction(JsonMethods.parse(l)))
     }
     require(schema != null, "log replay found no metaData action")
     Snapshot(target, schema, partCols, live.values.toSeq, metaRaw,

@@ -332,13 +332,13 @@ class DeltaImportSpec extends SparkSpec {
     val schema = Seq((0L, "")).toDF("k", "s").schema
     writeCommit(dir, 0L, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["v2Checkpoint"],""" +
-        """"writerFeatures":["v2Checkpoint"]}}""",
+        """"readerFeatures":["typeWidening"],""" +
+        """"writerFeatures":["typeWidening"]}}""",
       metaLine(schema.json, Nil)))
     val e1 = intercept[IllegalArgumentException] {
       DeltaImport.snapshot(spark, dir)
     }
-    assert(e1.getMessage.contains("v2Checkpoint"))
+    assert(e1.getMessage.contains("typeWidening"))
 
     // reader v2 (column mapping implied) → ACCEPTED at the protocol
     // gate (name mode binds by physicalName, id mode by footer field
@@ -389,6 +389,189 @@ class DeltaImportSpec extends SparkSpec {
       DeltaImport.snapshot(spark, dir2)
     }
     assert(e2.getMessage.contains("missing commits"))
+  }
+
+  // ---- foreign checkpoint dialects: multipart + v2 (UUID/sidecar) ----
+
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types.{ArrayType, BooleanType, IntegerType,
+    LongType, MapType, StringType, StructField, StructType}
+
+  /** The checkpoint action row shape stock writers use (the columns
+    * this reader consumes; real checkpoints carry more — ignored). */
+  private val actionSchema = StructType(Seq(
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType)))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("createdTime", LongType)))),
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))),
+    StructField("sidecar", StructType(Seq(
+      StructField("path", StringType),
+      StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType))))))
+
+  private def protoRow(reader: Int = 1, writer: Int = 2,
+      rf: Seq[String] = null, wf: Seq[String] = null): Row =
+    Row(Row(reader, writer, rf, wf), null, null, null)
+  private def metaRow(schemaJson: String): Row =
+    Row(null, Row("t", Row("parquet"), schemaJson, Seq.empty[String], 1L),
+      null, null)
+  private def addRow(rel: String, size: Long): Row =
+    Row(null, null,
+      Row(rel, Map.empty[String, String], size, 1L, true,
+        """{"numRecords":2}"""), null)
+  private def sidecarRow(name: String, size: Long): Row =
+    Row(null, null, null, Row(name, size, 1L))
+
+  /** Write action rows as ONE parquet file with an exact name. */
+  private def writeActionsFile(intoDir: File, name: String,
+      actions: Seq[Row]): Unit = {
+    intoDir.mkdirs()
+    val tmp = new File(intoDir, s".tmp-$name")
+    spark.createDataFrame(
+      java.util.Arrays.asList(actions: _*), actionSchema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath, new File(intoDir, name).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
+  }
+
+  test("MULTIPART checkpoint bootstraps with the JSON prefix vacuumed") {
+    val dir = tmpDir("deltai-mp") + "/t"
+    val logDir = new File(dir, "_delta_log")
+    val data1 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val data2 = Seq((3L, 30.0), (4L, 40.0)).toDF("k", "v")
+    val rel1 = dataFile(dir, "d1", data1)
+    val rel2 = dataFile(dir, "d2", data2)
+    def sz(rel: String) = new File(dir, rel).length()
+    // checkpoint at v2 split across two parts (actions may land in
+    // ANY part, per the protocol); NO json commits exist at all —
+    // the vacuumed-prefix shape stock writers produce past
+    // checkpoint.partSize
+    writeActionsFile(logDir,
+      "00000000000000000002.checkpoint.0000000001.0000000002.parquet",
+      Seq(protoRow(), metaRow(data1.schema.json)))
+    writeActionsFile(logDir,
+      "00000000000000000002.checkpoint.0000000002.0000000002.parquet",
+      Seq(addRow(rel1, sz(rel1)), addRow(rel2, sz(rel2))))
+    val snap = DeltaImport.snapshot(spark, dir)
+    assert(snap.version === 2L)
+    assert(snap.fromCheckpoint === Some(2L))
+    assert(snap.replayedJsonCommits === 0)
+    assert(snap.adds.size === 2)
+    assert(rows(DeltaImport.read(spark, dir)) ===
+      Set(Seq(1L, 10.0), Seq(2L, 20.0), Seq(3L, 30.0), Seq(4L, 40.0)))
+
+    // a json tail after the checkpoint composes on top
+    val data3 = Seq((5L, 50.0)).toDF("k", "v")
+    val rel3 = dataFile(dir, "d3", data3)
+    writeCommit(dir, 3L, Seq(
+      s"""{"add":{"path":"$rel3","partitionValues":{},"size":${sz(rel3)},""" +
+        s""""modificationTime":1,"dataChange":true}}"""))
+    assert(DeltaImport.snapshot(spark, dir).version === 3L)
+    assert(rows(DeltaImport.read(spark, dir)).size === 5)
+
+    // an INCOMPLETE part set is not a checkpoint: with part 2 gone
+    // and no json prefix, the table honestly refuses
+    new File(logDir,
+      "00000000000000000002.checkpoint.0000000002.0000000002.parquet")
+      .delete()
+    val e = intercept[IllegalArgumentException] {
+      DeltaImport.snapshot(spark, dir)
+    }
+    assert(e.getMessage.contains("missing commits"))
+  }
+
+  test("V2 checkpoint (UUID main + sidecars) bootstraps; feature accepted") {
+    val dir = tmpDir("deltai-v2cp") + "/t"
+    val logDir = new File(dir, "_delta_log")
+    val data1 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val data2 = Seq((3L, 30.0)).toDF("k", "v")
+    val rel1 = dataFile(dir, "d1", data1)
+    val rel2 = dataFile(dir, "d2", data2)
+    def sz(rel: String) = new File(dir, rel).length()
+    // live adds split across two sidecar files under _sidecars/
+    val scDir = new File(logDir, "_sidecars")
+    writeActionsFile(scDir, "s1.parquet", Seq(addRow(rel1, sz(rel1))))
+    writeActionsFile(scDir, "s2.parquet", Seq(addRow(rel2, sz(rel2))))
+    def scSize(n: String) = new File(scDir, n).length()
+    // UUID-named v2 main: protocol DECLARES v2Checkpoint (reader v3),
+    // metaData, and the sidecar pointers — no adds inline
+    writeActionsFile(logDir,
+      "00000000000000000004.checkpoint." +
+        "0aa38b51-6b3a-4c5e-9f5e-0123456789ab.parquet",
+      Seq(
+        protoRow(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint")),
+        metaRow(data1.schema.json),
+        sidecarRow("s1.parquet", scSize("s1.parquet")),
+        sidecarRow("s2.parquet", scSize("s2.parquet"))))
+    // the JSON prefix is fully vacuumed: bootstrap MUST come from the
+    // v2 checkpoint, not replay
+    val snap = DeltaImport.snapshot(spark, dir)
+    assert(snap.version === 4L)
+    assert(snap.fromCheckpoint === Some(4L))
+    assert(snap.protocol.readerFeatures === Seq("v2Checkpoint"))
+    assert(snap.adds.size === 2)
+    assert(snap.adds.forall(_.stats.exists(_.contains("numRecords"))),
+      "sidecar adds lost stats")
+    assert(rows(DeltaImport.read(spark, dir)) ===
+      Set(Seq(1L, 10.0), Seq(2L, 20.0), Seq(3L, 30.0)))
+  }
+
+  test("V2 checkpoint with a JSON main (inline adds) bootstraps") {
+    val dir = tmpDir("deltai-v2cpj") + "/t"
+    val logDir = new File(dir, "_delta_log")
+    logDir.mkdirs()
+    val data1 = Seq((7L, 70.0), (8L, 80.0)).toDF("k", "v")
+    val rel1 = dataFile(dir, "d1", data1)
+    val sz1 = new File(dir, rel1).length()
+    val mainLines = Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],""" +
+        """"writerFeatures":["v2Checkpoint"]}}""",
+      metaLine(data1.schema.json, Nil),
+      s"""{"add":{"path":"$rel1","partitionValues":{},"size":$sz1,""" +
+        s""""modificationTime":1,"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":2}"}}""")
+    Files.write(Paths.get(logDir.toString,
+      "00000000000000000001.checkpoint." +
+        "9bc0e1f2-1234-4abc-8def-aabbccddeeff.json"),
+      mainLines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val snap = DeltaImport.snapshot(spark, dir)
+    assert(snap.version === 1L && snap.fromCheckpoint === Some(1L))
+    assert(rows(DeltaImport.read(spark, dir)) ===
+      Set(Seq(7L, 70.0), Seq(8L, 80.0)))
+
+    // an UNKNOWN reader feature in the checkpoint still refuses
+    val dir2 = tmpDir("deltai-v2cpu") + "/t"
+    val log2 = new File(dir2, "_delta_log"); log2.mkdirs()
+    Files.write(Paths.get(log2.toString,
+      "00000000000000000001.checkpoint." +
+        "9bc0e1f2-1234-4abc-8def-aabbccddee00.json"),
+      (Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint","futureMagic"],""" +
+        """"writerFeatures":[]}}""",
+        metaLine(data1.schema.json, Nil))
+        .mkString("", "\n", "\n")).getBytes(StandardCharsets.UTF_8))
+    val e = intercept[IllegalArgumentException] {
+      DeltaImport.snapshot(spark, dir2)
+    }
+    assert(e.getMessage.contains("futureMagic"))
   }
 
   test("a dropped column round-trips as ABSENT (stock readers project by name)") {
