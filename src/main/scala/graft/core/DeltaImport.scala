@@ -28,14 +28,13 @@ import org.json4s.jackson.JsonMethods
   *
   * Honest protocol floor: `minReaderVersion` 1 (plain parquet), plus
   * reader v3 when every listed `readerFeature` is one this reader
-  * implements — `deletionVectors` ([[DeltaDv]] decodes the protocol's
-  * bitmap format and reads mask merge-on-read). Anything else that
-  * changes how the files must be interpreted (column mapping, v2
-  * checkpoints, unknown features) is REFUSED, never misread. Checkpointed
-  * logs are readable as long as every JSON commit from 0 is still
-  * present (the replay ignores `_last_checkpoint` and reconstructs
-  * from the full JSON history); a log whose head commits were vacuumed
-  * away is refused with the gap named.
+  * implements — see [[SupportedReaderFeatures]] (`deletionVectors`,
+  * `columnMapping`, `variantType`, `v2Checkpoint`). Anything else
+  * that changes how the files must be interpreted (unknown features)
+  * is REFUSED, never misread. Checkpointed logs bootstrap from the
+  * newest checkpoint at or below the target — classic, multipart, or
+  * v2 + sidecars — and replay only the JSON tail; a log whose needed
+  * prefix was vacuumed is refused with the gap named.
   *
   * Scale: replay is driver-side metadata work proportional to the LOG
   * (one JSON line per action), never the data; the resulting scan
@@ -473,6 +472,21 @@ object DeltaImport {
       boot, tail.size, proto)
   }
 
+  /** EXACT live row count of a snapshot when the log carries enough
+    * evidence: every add action has `numRecords` stats, minus each
+    * file's DV cardinality. None when any add lacks stats — a wrong
+    * row count misleads the CBO worse than no row count. Driver-side
+    * over already-collected metadata, zero jobs. */
+  def rowCount(snap: Snapshot): Option[Long] = {
+    val counts = snap.adds.map(_.stats.flatMap(s =>
+      scala.util.Try(
+        (JsonMethods.parse(s) \ "numRecords").extractOpt[Long])
+        .toOption.flatten))
+    if (counts.isEmpty || counts.exists(_.isEmpty)) None
+    else Some(counts.flatten.sum -
+      snap.adds.flatMap(_.deletionVector).map(_.cardinality).sum)
+  }
+
   /** DV-masked scan of `group` under `dataSchema` — the shared read
     * primitive of [[read]] and [[readChanges]]' insert derivation:
     * clean files stream straight through; DV'd files anti-join the
@@ -743,7 +757,7 @@ object DeltaImport {
     }
   }
 
-  private def serveSnapshot(spark: SparkSession, dir: String,
+  private[graft] def serveSnapshot(spark: SparkSession, dir: String,
       snap: Snapshot): DataFrame = {
     val root = new Path(dir)
     val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -84,6 +84,18 @@ object IcebergImport {
       if (physSchema.isEmpty) schema else physSchema
   }
 
+  /** EXACT live row count of a snapshot when the manifests say it:
+    * sum of data-file record counts, minus DV cardinalities (the
+    * driver already holds the compressed bitmaps — counting is a
+    * metadata-bounded decode). Position/equality DELETE FILES make
+    * the count unknowable without reading them → None; a wrong
+    * count misleads the CBO worse than no count. */
+  def rowCount(snap: Snapshot): Option[Long] =
+    if (snap.posDeleteFiles.nonEmpty || snap.eqDeletes.nonEmpty) None
+    else Some(snap.recordCounts.sum -
+      snap.dvDeletes.map(d =>
+        DeltaDv.deserializeBitmap(d._2).length.toLong).sum)
+
   private def sparkType(t: String): DataType = t match {
     case "boolean"     => BooleanType
     case "int"         => IntegerType
@@ -1090,7 +1102,7 @@ object IcebergImport {
       fileStats = sel(s.fileStats))).filter(pred)
   }
 
-  private def serve(spark: SparkSession, s: Snapshot): DataFrame = {
+  private[graft] def serve(spark: SparkSession, s: Snapshot): DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, lit, split}
     if (s.files.isEmpty)
       return spark.createDataFrame(

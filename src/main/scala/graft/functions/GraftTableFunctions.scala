@@ -284,17 +284,61 @@ object GraftTableFunctions {
     out
   }
 
+  /** Attach CATALOG STATISTICS to a foreign scan's single parquet
+    * relation so the planner stops flying blind over imported trees:
+    * exact row count (log/manifest metadata) + NDV (Puffin, when
+    * published). Under `spark.sql.cbo.enabled` the CBO then sizes
+    * PROJECTIONS as rowCount × pruned-column width — the decision
+    * that flips a small-but-wide foreign dim from sort-merge to
+    * broadcast (raw file size alone counts every column the query
+    * never reads). Applied only to the clean single-relation shape:
+    * DV-masked unions keep their native file-size stats (attaching
+    * table totals to each leg would double-count), and with CBO off
+    * the relation's own sizeInBytes is served unchanged. */
+  private def withForeignStats(lp: LogicalPlan, name: String,
+      rowCount: Option[Long], ndv: Map[String, Long]): LogicalPlan = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat,
+      CatalogStatistics, CatalogStorageFormat, CatalogTable,
+      CatalogTableType}
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    if (rowCount.isEmpty) return lp // NDV is unusable without rowCount
+    val lrs = lp.collect { case lr: LogicalRelation => lr }
+    if (lrs.length != 1) lp
+    else lp.transform {
+      case lr: LogicalRelation if lr.catalogTable.isEmpty =>
+        val stats = CatalogStatistics(
+          sizeInBytes = BigInt(lr.relation.sizeInBytes),
+          rowCount = rowCount.map(BigInt(_)),
+          colStats = ndv.map { case (c0, n) =>
+            c0 -> CatalogColumnStat(distinctCount = Some(BigInt(n))) })
+        lr.copy(catalogTable = Some(CatalogTable(
+          identifier = TableIdentifier(name),
+          tableType = CatalogTableType.EXTERNAL,
+          storage = CatalogStorageFormat.empty,
+          schema = lr.relation.schema,
+          provider = Some("parquet"),
+          stats = Some(stats))))
+    }
+  }
+
   private def deltaScan(exprs: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
     val dir = str(exprs, 0, "delta table directory")
     val (verPin, pred, tsPin) = scanArgs(exprs, "graft_delta_scan")
     val asOf = verPin.orElse(
       tsPin.map(graft.core.DeltaImport.versionAsOf(spark, dir, _)))
-    plan(pred match {
-      case Some(p) => graft.core.DeltaImport.readWhere(spark, dir,
-        org.apache.spark.sql.functions.expr(p), asOf)
-      case None => graft.core.DeltaImport.read(spark, dir, asOf)
-    })
+    pred match {
+      case Some(p) => plan(graft.core.DeltaImport.readWhere(spark, dir,
+        org.apache.spark.sql.functions.expr(p), asOf))
+      case None =>
+        // ONE log replay serves both the scan and its statistics
+        val snap = graft.core.DeltaImport.snapshot(spark, dir, asOf)
+        withForeignStats(
+          plan(graft.core.DeltaImport.serveSnapshot(spark, dir, snap)),
+          "graft_delta_scan",
+          graft.core.DeltaImport.rowCount(snap), Map.empty)
+    }
   }
 
   /** `graft_iceberg_scan(dir [, snapshotId])` — a FOREIGN Apache
@@ -307,11 +351,19 @@ object GraftTableFunctions {
     val (idPin, pred, tsPin) = scanArgs(exprs, "graft_iceberg_scan")
     val snapId = idPin.orElse(
       tsPin.map(graft.core.IcebergImport.snapshotIdAsOf(spark, dir, _)))
-    plan(pred match {
-      case Some(p) => graft.core.IcebergImport.readWhere(spark, dir,
-        org.apache.spark.sql.functions.expr(p), snapId)
-      case None => graft.core.IcebergImport.read(spark, dir, snapId)
-    })
+    pred match {
+      case Some(p) => plan(graft.core.IcebergImport.readWhere(spark, dir,
+        org.apache.spark.sql.functions.expr(p), snapId))
+      case None =>
+        // ONE manifest walk serves both the scan and its statistics;
+        // NDV comes from the tree's declared Puffin sketches
+        val snap = graft.core.IcebergImport.snapshot(spark, dir, snapId)
+        withForeignStats(
+          plan(graft.core.IcebergImport.serve(spark, snap)),
+          "graft_iceberg_scan",
+          graft.core.IcebergImport.rowCount(snap),
+          graft.core.IcebergImport.statisticsNdv(spark, dir))
+    }
   }
 
   /** `graft_delta_history(dir)` — DESCRIBE HISTORY for a FOREIGN
