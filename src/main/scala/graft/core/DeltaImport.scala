@@ -68,12 +68,18 @@ object DeltaImport {
     * `variantType`: the schema's `variant` columns decode through
     * Spark 4's own VariantType parquet binding (binary value/metadata
     * struct per the published spec — the same layout this engine's
-    * export stages); variant SHREDDING is a different feature and
-    * stays refused. `v2Checkpoint`: [[snapshot]] bootstraps from
+    * export stages). `variantShredding`: files may store a variant
+    * column SHREDDED (typed subcolumns + residual, the Spark 4.1
+    * writer default); the scan binds the declared VariantType through
+    * Spark's own parquet reader, which reassembles shredded and plain
+    * groups alike (`spark.sql.variant.allowReadingShredded`) — our
+    * own exports still stage unshredded and declare only
+    * `variantType`. `v2Checkpoint`: [[snapshot]] bootstraps from
     * UUID-named v2 checkpoint mains (parquet or json) and their
     * sidecar files. */
   val SupportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping", "variantType", "v2Checkpoint")
+    Set("deletionVectors", "columnMapping", "variantType",
+      "variantShredding", "v2Checkpoint")
 
   /** A live add action's payload — everything a checkpoint must carry
     * forward (losing `stats` would cost Delta readers their skipping). */

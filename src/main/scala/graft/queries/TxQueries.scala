@@ -1086,6 +1086,80 @@ object TxQueries {
       .orderBy("k_bucket")
   }
 
+  /** SHREDDED VARIANT IMPORT (Delta `variantShredding` feature): a
+    * FOREIGN-shaped Delta table whose parquet stores the variant
+    * column SHREDDED — typed subcolumns + residual, written by
+    * Spark's own writer with shredding ON (the stock 4.1 default this
+    * engine's own staging disables) — declared at protocol (3,7) with
+    * `variantType` AND `variantShredding`. [[graft.core.DeltaImport]]
+    * accepts the feature and binds the declared VariantType through
+    * Spark's parquet reader, which reassembles the shredded group;
+    * typed extraction over the reassembled bytes must equal DuckDB's
+    * recompute from the raw JSON text. */
+  def tx_delta_shredded_roundtrip(s: SparkSession, dir: String)
+      : DataFrame = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val key = Integer.toHexString(
+      (dir, "events", src.length(), src.lastModified()).hashCode())
+    val loc = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-shreddelta-$key")
+    val done = new java.io.File(loc, "_delta_log/_graft_done")
+    if (!done.exists()) {
+      rmTree(loc)
+      val ev = t(s, dir, "events")
+        .filter(col("event_id") % 3 =!= 0)
+        .select(col("event_id"), col("value"),
+          parse_json(col("props")).as("pv"))
+      // stage WITH shredding — scoped, the inverse of the engine's
+      // own withUnshreddedVariant staging chokepoint
+      val kW = "spark.sql.variant.writeShredding.enabled"
+      val kI = "spark.sql.variant.inferShreddingSchema"
+      val olds = Seq(kW, kI).map(k =>
+        k -> scala.util.Try(s.conf.get(k)).toOption)
+      try {
+        s.conf.set(kW, "true"); s.conf.set(kI, "true")
+        ev.repartition(2).write.parquet(new java.io.File(loc, "data").toString)
+      } finally olds.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+      // hand-author the foreign log: protocol (3,7) declaring BOTH
+      // variant features, the variant-typed schema, one add per file
+      val logDir = new java.io.File(loc, "_delta_log"); logDir.mkdirs()
+      val schemaJson = org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(
+          org.json4s.JString(ev.schema.json)))
+      val adds = new java.io.File(loc, "data").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map { f =>
+          s"""{"add":{"path":"data/${f.getName}","partitionValues":{},""" +
+            s""""size":${f.length()},"modificationTime":1,""" +
+            s""""dataChange":true}}"""
+        }
+      val lines = Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["variantType","variantShredding"],""" +
+          """"writerFeatures":["variantType","variantShredding"]}}""",
+        s"""{"metaData":{"id":"shred","format":{"provider":"parquet",""" +
+          s""""options":{}},"schemaString":$schemaJson,""" +
+          s""""partitionColumns":[],"configuration":{},"createdTime":1}}""") ++
+        adds
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(logDir.toString,
+          "00000000000000000000.json"),
+        lines.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+    }
+    graft.core.DeltaImport.read(s, loc.toString)
+      .withColumn("k", try_variant_get(col("pv"), "$.k", "int"))
+      .where(col("k").isNotNull)
+      .groupBy(floor(col("k") / 10).cast("int").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), min("k").as("min_k"),
+        Qhelpers.msum(col("value")).as("total_value"))
+      .orderBy("k_bucket")
+  }
+
   /** STREAMING STATEFUL DEDUP across micro-batch runs: two source
     * files deliver OVERLAPPING supplier slices (the re-delivery
     * shape every at-least-once feed produces); the stream pipes the
@@ -2371,6 +2445,7 @@ object TxQueries {
     "tx_delta_variant_roundtrip" -> (tx_delta_variant_roundtrip _),
     "tx_iceberg_stats_roundtrip" -> (tx_iceberg_stats_roundtrip _),
     "tx_variant_uniform" -> (tx_variant_uniform _),
+    "tx_delta_shredded_roundtrip" -> (tx_delta_shredded_roundtrip _),
     "tx_delta_skip_read" -> (tx_delta_skip_read _),
     "tx_iceberg_skip_read" -> (tx_iceberg_skip_read _),
     "tx_iceberg_partition_read" -> (tx_iceberg_partition_read _),
@@ -2814,6 +2889,18 @@ object TxQueries {
          |  ${Qhelpers.sqlMsum("value")} AS total_value
          |FROM (SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER)
          |        AS k, value FROM events WHERE event_id % 7 <> 0)
+         |WHERE k IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the shredded twin reassembles typed subcolumns + residual back
+    // to variant; DuckDB recomputes from raw JSON (different staging
+    // filter than the unshredded row, so the fixtures can't mask
+    // each other)
+    "tx_delta_shredded_roundtrip" ->
+      s"""SELECT CAST(FLOOR(k / 10) AS INTEGER) AS k_bucket,
+         |  count(*) AS n, MIN(k) AS min_k,
+         |  ${Qhelpers.sqlMsum("value")} AS total_value
+         |FROM (SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER)
+         |        AS k, value FROM events WHERE event_id % 3 <> 0)
          |WHERE k IS NOT NULL
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     // every partition-path region value must land typed on every row

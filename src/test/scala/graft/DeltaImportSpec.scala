@@ -574,6 +574,61 @@ class DeltaImportSpec extends SparkSpec {
     assert(e.getMessage.contains("futureMagic"))
   }
 
+  test("variantShredding: SHREDDED parquet reassembles through the declared VariantType") {
+    val dir = tmpDir("deltai-shred") + "/t"
+    val kW = "spark.sql.variant.writeShredding.enabled"
+    val kI = "spark.sql.variant.inferShreddingSchema"
+    val olds = Seq(kW, kI).map(k =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption)
+    val df = spark.range(0L, 50L).select(col("id").as("k"),
+      parse_json(format_string("""{"a":%d,"b":"s%d"}""",
+        col("id"), col("id"))).as("pv"))
+    try {
+      spark.conf.set(kW, "true"); spark.conf.set(kI, "true")
+      df.coalesce(1).write.parquet(s"$dir/data")
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    val file = new File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    // honesty check: the staged file IS shredded (typed subcolumns in
+    // the parquet group) — otherwise this test would only re-prove
+    // the plain variantType path
+    val pin = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toString),
+        spark.sparkContext.hadoopConfiguration))
+    val footerSchema =
+      try pin.getFooter.getFileMetaData.getSchema.toString
+      finally pin.close()
+    assert(footerSchema.contains("typed_value"),
+      s"fixture did not shred:\n$footerSchema")
+
+    // a foreign log declaring BOTH variant features over the file
+    val schemaJson = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        org.json4s.JString(df.schema.json)))
+    writeCommit(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["variantType","variantShredding"],""" +
+        """"writerFeatures":["variantType","variantShredding"]}}""",
+      s"""{"metaData":{"id":"shred","format":{"provider":"parquet",""" +
+        s""""options":{}},"schemaString":$schemaJson,""" +
+        s""""partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      s"""{"add":{"path":"data/${file.getName}","partitionValues":{},""" +
+        s""""size":${file.length()},"modificationTime":1,""" +
+        s""""dataChange":true}}"""))
+    val back = DeltaImport.read(spark, dir)
+    assert(back.schema("pv").dataType ===
+      org.apache.spark.sql.types.VariantType)
+    // typed extraction over the REASSEMBLED variant equals recompute
+    assert(back.select(sum(variant_get(col("pv"), "$.a", "long")))
+      .head.getLong(0) === (0L until 50L).sum)
+    assert(back.where(variant_get(col("pv"), "$.b", "string") === "s7")
+      .select("k").head.getLong(0) === 7L)
+  }
+
   test("a dropped column round-trips as ABSENT (stock readers project by name)") {
     val dir = tmpDir("deltai-drop") + "/t"
     val data = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v")
