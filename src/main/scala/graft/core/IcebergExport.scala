@@ -125,7 +125,9 @@ object IcebergExport {
   // table's layout exports as a bucket[N] partition spec — so the
   // manifest-entry schema is built per shape, not a constant.
   private def manifestEntrySchemaFor(
-      partitionFields: Seq[(String, Int)], v3Dv: Boolean = false): Schema = {
+      partitionFields: Seq[(String, Int)], v3Dv: Boolean = false,
+      /** v3 ROW LINEAGE: data_file gains `first_row_id` (142). */
+      v3Rows: Boolean = false): Schema = {
     val pf = partitionFields.map { case (n, id) =>
       s"""{"name":"$n","type":["null","int"],"default":null,"field-id":$id}"""
     }.mkString(",")
@@ -136,6 +138,9 @@ object IcebergExport {
         | {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
         | {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145},"""
         .stripMargin
+    val rows3 =
+      if (!v3Rows) ""
+      else """ {"name":"first_row_id","type":["null","long"],"default":null,"field-id":142},"""
     new Schema.Parser().parse(
     s"""{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
@@ -148,7 +153,7 @@ object IcebergExport {
       | {"name":"file_format","type":"string","field-id":101},
       | {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$pf]}},
       | {"name":"record_count","type":"long","field-id":103},
-      | {"name":"file_size_in_bytes","type":"long","field-id":104},$dv3
+      | {"name":"file_size_in_bytes","type":"long","field-id":104},$dv3$rows3
       | {"name":"value_counts","field-id":109,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k119_v120","fields":[{"name":"key","type":"int","field-id":119},{"name":"value","type":"long","field-id":120}]}}]},
       | {"name":"null_value_counts","field-id":110,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]}}]},
       | {"name":"lower_bounds","field-id":125,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}]},
@@ -290,8 +295,14 @@ object IcebergExport {
       cs.max.flatMap(boundBuf(_, dt)).map(id -> _) })
   }
 
-  private val ManifestFileSchema: Schema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_file","fields":[
+  private def manifestFileSchemaFor(v3Rows: Boolean): Schema = {
+    // v3 ROW LINEAGE: the manifest-list row gains `first_row_id`
+    // (520) — the base stock readers inherit data-file row ids from
+    val rows3 =
+      if (!v3Rows) ""
+      else """{"name":"first_row_id","type":["null","long"],"default":null,"field-id":520},"""
+    new Schema.Parser().parse(
+    s"""{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string","field-id":500},
       |{"name":"manifest_length","type":"long","field-id":501},
       |{"name":"partition_spec_id","type":"int","field-id":502},
@@ -304,7 +315,7 @@ object IcebergExport {
       |{"name":"deleted_files_count","type":"int","field-id":506},
       |{"name":"added_rows_count","type":"long","field-id":512},
       |{"name":"existing_rows_count","type":"long","field-id":513},
-      |{"name":"deleted_rows_count","type":"long","field-id":514},
+      |{"name":"deleted_rows_count","type":"long","field-id":514},$rows3
       |{"name":"partitions","field-id":507,"default":null,"type":["null",{"type":"array","items":{"type":"record","name":"r508","fields":[
       | {"name":"contains_null","type":"boolean","field-id":509},
       | {"name":"contains_nan","type":["null","boolean"],"default":null,"field-id":518},
@@ -312,6 +323,9 @@ object IcebergExport {
       | {"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}
       |]}}]}
       |]}""".stripMargin)
+  }
+  private val ManifestFileSchema: Schema = manifestFileSchemaFor(false)
+  private val ManifestFileSchemaV3: Schema = manifestFileSchemaFor(true)
 
   /** Write an avro metadata file ATOMICALLY: dot-prefixed temp, then
     * rename to the final name (the writePositionDeletes /
@@ -789,9 +803,15 @@ object IcebergExport {
     }
     val dataEntrySchema: Schema = bucketSpec match {
       case Some((name, _, _)) =>
-        manifestEntrySchemaFor(Seq(name -> PartitionFieldId))
-      case None => ManifestEntrySchema
+        manifestEntrySchemaFor(Seq(name -> PartitionFieldId),
+          v3Rows = fv >= 3)
+      case None =>
+        if (fv >= 3) manifestEntrySchemaFor(Nil, v3Rows = true)
+        else ManifestEntrySchema
     }
+    // v3 manifest lists carry the row-lineage base (field 520)
+    val listSchema: Schema =
+      if (fv >= 3) ManifestFileSchemaV3 else ManifestFileSchema
     val dataSpecId = if (bucketSpec.isDefined) 1 else 0
     val schemaMeta = Map(
       "schema" -> JsonMethods.compact(JsonMethods.render(
@@ -906,6 +926,10 @@ object IcebergExport {
     val physCache = scala.collection.mutable.Map.empty[Long, StructType]
     var prevMfs: Seq[MfRec] = Nil
     var prevPaths: Set[String] = Set.empty
+    // v3 ROW LINEAGE: per-file first_row_id assigned THIS sync (adds
+    // at retained versions, in manifest order); published ids always
+    // win — see publishedRowIds
+    val assignedRowIds = scala.collection.mutable.Map.empty[String, Long]
     var prevDvRows = 0L
     var prevDelMf: Option[(GenericData.Record, String)] = None
     // v3 ROW-LINEAGE id space: ids are assigned once and NEVER
@@ -929,6 +953,51 @@ object IcebergExport {
         case JInt(x) => Some(x.toLong)
         case _       => None
       }).getOrElse(0L)
+    // PUBLISHED per-file row ids (v3): the head snapshot's manifests
+    // are the durable record of which range each file was assigned —
+    // a re-sync (and especially a re-sync AFTER EXPIRY, which
+    // re-attributes surviving files to the first retained snapshot)
+    // must keep them, per the spec's no-reassignment rule. One
+    // O(live files) driver metadata pass, the same bound the export's
+    // own per-version file listing already pays; v2 trees skip it.
+    val publishedRowIds: Map[String, Long] =
+      if (fv < 3) Map.empty
+      else prevMeta.flatMap { j =>
+        scala.util.Try {
+          val curId = (j \ "current-snapshot-id") match {
+            case JInt(x) => x.toLong
+            case JLong(x) => x
+            case _ => -1L
+          }
+          val listPath = (j \ "snapshots") match {
+            case JArray(ss) => ss.collectFirst {
+              case s0 if (s0 \ "snapshot-id") == JInt(curId) ||
+                  (s0 \ "snapshot-id") == JLong(curId) =>
+                (s0 \ "manifest-list") match {
+                  case JString(p) => p
+                  case _ => throw new IllegalStateException("no list")
+                }
+            }.get
+            case _ => throw new IllegalStateException("no snapshots")
+          }
+          val conf = spark.sparkContext.hadoopConfiguration
+          IcebergImport.readAvro(fs, new Path(listPath), conf)
+            .filter(m => Option(m.get("content"))
+              .forall(_.asInstanceOf[Int] == 0))
+            .flatMap { m =>
+              IcebergImport.readAvro(fs,
+                new Path(m.get("manifest_path").toString), conf)
+                .flatMap { e =>
+                  val df0 = e.get("data_file")
+                    .asInstanceOf[org.apache.avro.generic.GenericRecord]
+                  if (df0.getSchema.getField("first_row_id") == null) None
+                  else Option(df0.get("first_row_id")).map(id =>
+                    df0.get("file_path").toString ->
+                      id.asInstanceOf[Number].longValue())
+                }
+            }.toMap
+        }.toOption
+      }.getOrElse(Map.empty)
     val snapshots = versions.zipWithIndex.map { case (v, i) =>
       val snapshotId = 1000L + v
       val filesWithDvs = table.fileInfoWithDvsAt(v)
@@ -954,9 +1023,17 @@ object IcebergExport {
           table.physicalize(aSchema))
         val df = new GenericData.Record(
           dataEntrySchema.getField("data_file").schema())
+        val qPath = fs.makeQualified(new Path(f.path)).toString
         df.put("content", 0)
-        df.put("file_path", fs.makeQualified(new Path(f.path)).toString)
+        df.put("file_path", qPath)
         df.put("file_format", "PARQUET")
+        // v3 ROW LINEAGE: every entry carries its EXPLICIT first_row_id
+        // (explicit values make rewrite manifests order-independent —
+        // null-inheritance would shift later files' ids whenever a
+        // dropped file changes manifest order)
+        if (fv >= 3)
+          assignedRowIds.get(qPath).orElse(publishedRowIds.get(qPath))
+            .foreach(id => df.put("first_row_id", java.lang.Long.valueOf(id)))
         val part = new GenericData.Record(
           df.getSchema.getField("partition").schema())
         // partition TUPLE: the file's manifest bucket id IS the spec
@@ -983,6 +1060,40 @@ object IcebergExport {
       val removedCount = (prevPaths -- livePathSet).size
       val dvRowsNow = files.map(_.dvRows).sum
 
+      // this version's ADDED files in their MANIFEST order (bucket-
+      // range groups; also the deterministic row-id assignment order)
+      val groups: Seq[(Int, Seq[TxTable.LiveFile])] =
+        if (added.isEmpty) Nil
+        else if (bucketSpec.isEmpty) Seq(0 -> added)
+        else {
+          val g = math.min(table.numBuckets, ManifestGroups)
+          added.groupBy(f => f.bucket * g / table.numBuckets)
+            .toSeq.sortBy(_._1)
+        }
+
+      val addedRowsTotal = added.map(rowsOf).sum
+      val snapFirstRowId =
+        prevFirstRowId.getOrElse(snapshotId, nextRowId)
+      if (fv >= 3) {
+        // v3 ROW LINEAGE assignment: each added file gets the next
+        // contiguous range from the snapshot's base, in manifest
+        // order — unless a prior export already PUBLISHED its id
+        // (spec: ids are never reassigned; expiry re-attributes
+        // surviving files to the first retained snapshot, but their
+        // published ranges must not move)
+        var cursor = snapFirstRowId
+        groups.foreach { case (_, gf) =>
+          gf.foreach { f =>
+            val q = fs.makeQualified(new Path(f.path)).toString
+            val id = publishedRowIds.getOrElse(q, cursor)
+            assignedRowIds(q) = id
+            cursor = math.max(cursor, id + rowsOf(f))
+          }
+        }
+        nextRowId = math.max(nextRowId, cursor)
+      }
+      nextRowId = math.max(nextRowId, snapFirstRowId + addedRowsTotal)
+
       // CARRY the previous snapshot's data manifests: untouched ones
       // verbatim (their list row keeps the original added_snapshot_id
       // and sequence); a manifest that lost a file is REWRITTEN once
@@ -995,10 +1106,14 @@ object IcebergExport {
           else {
             val (liveFa, deadFa) =
               m.files.partition(fa => livePathSet(fa.f.path))
-            val rwFp = shaHex(m.files.iterator.map(fa =>
+            val rwFp = shaHex(m.files.iterator.map { fa =>
+              val q = fs.makeQualified(new Path(fa.f.path)).toString
               s"${fa.f.path}|${fa.f.bucket}|${statsFp(fa.f)}|" +
                 s"${fa.addVersion}|${fa.addSeq}|${fa.addSnapId}|" +
-                livePathSet(fa.f.path)))
+                livePathSet(fa.f.path) + "|fr" +
+                assignedRowIds.get(q).orElse(publishedRowIds.get(q))
+                  .getOrElse(-1L)
+            })
             val (p, len) = memoizedAvro(s"m-v$v-s$dataSeq-rw$j", rwFp,
               dataEntrySchema, schemaMeta + ("content" -> "data"))(
               liveFa.map(fa => entryRecord(fa, 0, fa.addSnapId)) ++
@@ -1015,23 +1130,17 @@ object IcebergExport {
         }
 
       // PARTITIONED tables split this version's ADDED entries into
-      // bucket-RANGE manifest groups (≤ ManifestGroups per version),
-      // each with a tight field summary in the manifest list: a stock
-      // reader's point query opens 1/G of the manifest bytes instead
-      // of every entry — manifest-level pruning, not just file-level.
-      // Unpartitioned tables keep the one-manifest shape.
-      val groups: Seq[(Int, Seq[TxTable.LiveFile])] =
-        if (added.isEmpty) Nil
-        else if (bucketSpec.isEmpty) Seq(0 -> added)
-        else {
-          val g = math.min(table.numBuckets, ManifestGroups)
-          added.groupBy(f => f.bucket * g / table.numBuckets)
-            .toSeq.sortBy(_._1)
-        }
+      // bucket-RANGE manifest groups (`groups` above, ≤ ManifestGroups
+      // per version), each with a tight field summary in the manifest
+      // list: a stock reader's point query opens 1/G of the manifest
+      // bytes instead of every entry — manifest-level pruning, not
+      // just file-level. Unpartitioned tables keep one manifest.
       val newMfs: Seq[MfRec] = groups.map { case (g, gf) =>
         val fas = gf.map(f => FileAdd(f, v, snapshotId, dataSeq))
         val gFp = shaHex(gf.iterator.map(f =>
-          s"${f.path}|${f.bucket}|${statsFp(f)}"))
+          s"${f.path}|${f.bucket}|${statsFp(f)}|fr" +
+            assignedRowIds.getOrElse(
+              fs.makeQualified(new Path(f.path)).toString, -1L)))
         val (p, len) = memoizedAvro(s"m-v$v-s$dataSeq-0-g$g", gFp,
           dataEntrySchema, schemaMeta + ("content" -> "data"))(
           fas.map(fa => entryRecord(fa, 1, snapshotId)))
@@ -1151,12 +1260,8 @@ object IcebergExport {
           .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i)
         b.flip(); b
       }
-      val addedRowsTotal = added.map(rowsOf).sum
-      val snapFirstRowId =
-        prevFirstRowId.getOrElse(snapshotId, nextRowId)
-      nextRowId = math.max(nextRowId, snapFirstRowId + addedRowsTotal)
       val dataMfs = allMfs.map { m =>
-        val mf = new GenericData.Record(ManifestFileSchema)
+        val mf = new GenericData.Record(listSchema)
         mf.put("manifest_path", fs.makeQualified(m.path).toString)
         mf.put("manifest_length", m.len)
         mf.put("partition_spec_id", dataSpecId)
@@ -1170,10 +1275,21 @@ object IcebergExport {
         mf.put("added_rows_count", m.addedRows)
         mf.put("existing_rows_count", m.existingRows)
         mf.put("deleted_rows_count", m.deletedRows)
+        if (fv >= 3) {
+          // the manifest's row-lineage base: the smallest id any of
+          // its files carries (entries are all EXPLICIT, so this is
+          // advisory for readers but pinned for audits)
+          val mIds = m.files.flatMap { fa =>
+            val q = fs.makeQualified(new Path(fa.f.path)).toString
+            assignedRowIds.get(q).orElse(publishedRowIds.get(q))
+          }
+          if (mIds.nonEmpty)
+            mf.put("first_row_id", java.lang.Long.valueOf(mIds.min))
+        }
         // FIELD SUMMARY per partition field: this group's bucket-id
         // range — what lets a stock reader skip the whole manifest
         m.range.foreach { case (lo, hi) =>
-          val arrSchema = ManifestFileSchema.getField("partitions")
+          val arrSchema = listSchema.getField("partitions")
             .schema().getTypes.get(1)
           val arr = new GenericData.Array[GenericRecord](1, arrSchema)
           val s = new GenericData.Record(arrSchema.getElementType)
@@ -1187,7 +1303,7 @@ object IcebergExport {
       }
       val delMf: Option[GenericData.Record] = carriedDel.orElse(
         deletes.map { case (p, len, delRows, nFiles) =>
-          val m = new GenericData.Record(ManifestFileSchema)
+          val m = new GenericData.Record(listSchema)
           m.put("manifest_path", fs.makeQualified(p).toString)
           m.put("manifest_length", len)
           m.put("partition_spec_id", 0)
@@ -1206,7 +1322,7 @@ object IcebergExport {
       prevDelMf =
         if (dirty.isEmpty) None else delMf.map(m => (m, dirtyKey))
       val (listPath, _) = writeAvroOnce(fs, metaDir,
-        s"snap-$snapshotId-s$snapSeq", ManifestFileSchema,
+        s"snap-$snapshotId-s$snapSeq", listSchema,
         dataMfs ++ delMf, Map(
         "format-version" -> fv.toString,
         "snapshot-id" -> snapshotId.toString,
@@ -1296,10 +1412,14 @@ object IcebergExport {
     val metadata = JObject(
       List("format-version" -> (JInt(fv): JValue)) ++
       // v3 ROW LINEAGE id space: next-row-id reserves the table's row
-      // id range; each snapshot declares its first-row-id base. (The
-      // per-manifest/per-file first_row_id inheritance fields are not
-      // yet emitted - the id SPACE is maintained so a future writer
-      // can never collide.)
+      // id range; each snapshot declares its first-row-id base, every
+      // data-file entry carries an EXPLICIT first_row_id (142) and
+      // each data manifest its base (520). Published ids are never
+      // reassigned — re-syncs and expiry keep them (publishedRowIds);
+      // a layout-only compaction's rewritten files get FRESH ranges
+      // (this engine does not materialize _row_id into data files, so
+      // ids cannot survive a row-reordering rewrite — the id space
+      // grows instead, which the spec's inheritance rules permit).
       (if (fv >= 3)
         List("next-row-id" -> (JLong(nextRowId): JValue)) else Nil) ++
       List(

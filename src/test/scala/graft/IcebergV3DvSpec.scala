@@ -267,6 +267,106 @@ class IcebergV3DvSpec extends SparkSpec {
       "new stamps must sit strictly above carried ones")
   }
 
+  test("v3 ROW LINEAGE: explicit ids, stable across re-sync/expiry, fresh on rewrite") {
+    val dir = tmpDir("v3rows") + "/t"
+    val df = (1L to 60L).map(k => (k, k * 2.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, df.schema, Seq("k"), numBuckets = 2)
+    t.append(df.filter(col("k") <= 30L))  // v1: 30 rows
+    t.append(df.filter(col("k") > 30L))   // v2: 30 rows
+    IcebergExport.writeIcebergMetadata(spark, t, formatVersion = 3)
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def md() = JsonMethods.parse(java.nio.file.Files.readString(
+      java.nio.file.Path.of(dir, "metadata", "v1.metadata.json")))
+    def lng(v: JValue): Long = v match {
+      case JInt(x) => x.toLong; case JLong(x) => x; case _ => -1L }
+    /** head snapshot's (file → (first_row_id, record_count)) plus the
+      * per-manifest first_row_id list. */
+    def headIds(): (Map[String, (Long, Long)], Seq[Long]) = {
+      val snaps = (md() \ "snapshots") match {
+        case JArray(ss) => ss; case _ => fail("no snapshots") }
+      val cur = lng(md() \ "current-snapshot-id")
+      val list = snaps.find(s0 => lng(s0 \ "snapshot-id") == cur)
+        .map(s0 => (s0 \ "manifest-list") match {
+          case JString(p) => p; case _ => fail("no list") }).get
+      val mfs = IcebergImport.readAvro(fs, new Path(list), conf)
+        .filter(m => m.get("content").asInstanceOf[Int] == 0)
+      // a manifest whose files all died (pure DELETED tombstones) has
+      // no live rows and legitimately no base — the field is optional
+      val mfIds = mfs.flatMap(m => Option(m.get("first_row_id"))
+        .map(_.asInstanceOf[java.lang.Long].longValue()))
+      val fileIds = mfs.flatMap { m =>
+        IcebergImport.readAvro(fs,
+          new Path(m.get("manifest_path").toString), conf)
+          .filter(e => e.get("status").asInstanceOf[Int] != 2)
+          .map { e =>
+            val d = e.get("data_file").asInstanceOf[
+              org.apache.avro.generic.GenericRecord]
+            d.get("file_path").toString ->
+              (d.get("first_row_id").asInstanceOf[java.lang.Long]
+                .longValue(),
+                d.get("record_count").asInstanceOf[Long])
+          }
+      }.toMap
+      (fileIds, mfIds)
+    }
+    val (ids1, mfIds1) = headIds()
+    // every live file carries an EXPLICIT id; ranges are disjoint and
+    // exactly tile [0, next-row-id)
+    def assertTiling(ids: Map[String, (Long, Long)], totalRows: Long)
+        : Unit = {
+      val ranges = ids.values.toSeq.sortBy(_._1)
+      assert(ranges.map(_._2).sum === totalRows)
+      ranges.sliding(2).foreach {
+        case Seq((a, n), (b, _)) =>
+          assert(a + n <= b, s"overlap: [$a,+$n) vs $b")
+        case _ => ()
+      }
+    }
+    assertTiling(ids1, 60L)
+    assert(lng(md() \ "next-row-id") === 60L)
+    assert(mfIds1.nonEmpty && mfIds1.forall(_ >= 0L))
+
+    // a re-sync keeps EVERY published id (no reassignment)
+    IcebergExport.writeIcebergMetadata(spark, t)
+    assert(headIds()._1 === ids1, "re-sync moved published row ids")
+
+    // append: old ids keep, the new file's range starts at the
+    // published watermark
+    t.append(Seq((61L, 122.0)).toDF("k", "v"))
+    IcebergExport.writeIcebergMetadata(spark, t)
+    val (ids2, _) = headIds()
+    ids1.foreach { case (f, v0) => assert(ids2(f) === v0) }
+    val newRanges = (ids2 -- ids1.keySet).values
+    assert(newRanges.forall(_._1 >= 60L),
+      "new file dipped into published id space")
+    assert(lng(md() \ "next-row-id") === 61L)
+
+    // EXPIRY re-attributes surviving files to the first retained
+    // snapshot — their published ranges must NOT move
+    t.vacuum(keepVersions = 2, minAgeMs = 0L)
+    IcebergExport.writeIcebergMetadata(spark, t)
+    val (ids3, _) = headIds()
+    ids2.foreach { case (f, v0) => assert(ids3(f) === v0,
+      s"expiry moved $f from $v0 to ${ids3(f)}") }
+
+    // a layout-only REWRITE (compaction reorders rows, and _row_id is
+    // not materialized in the data files): rewritten files get FRESH
+    // ranges above the watermark — the id space grows, never overlaps
+    val before = lng(md() \ "next-row-id")
+    t.compact()
+    IcebergExport.writeIcebergMetadata(spark, t)
+    val (ids4, _) = headIds()
+    assertTiling(ids4, 61L)
+    assert(ids4.values.forall(_._1 >= 0L))
+    val rewritten = ids4 -- ids3.keySet
+    assert(rewritten.nonEmpty, "compaction produced no new files?")
+    assert(rewritten.values.forall(_._1 >= before),
+      "rewritten file reused a published id range")
+    assert(lng(md() \ "next-row-id") >= before + 61L)
+  }
+
   test("v3 changelog stream serves DV retractions as delete rows") {
     val (t, dir) = mk("v3dv-ch")
     IcebergExport.writeIcebergMetadata(spark, t, formatVersion = 3)
