@@ -127,7 +127,9 @@ object IcebergExport {
   private def manifestEntrySchemaFor(
       partitionFields: Seq[(String, Int)], v3Dv: Boolean = false,
       /** v3 ROW LINEAGE: data_file gains `first_row_id` (142). */
-      v3Rows: Boolean = false): Schema = {
+      v3Rows: Boolean = false,
+      /** EQUALITY deletes: data_file gains `equality_ids` (135). */
+      eqIds: Boolean = false): Schema = {
     val pf = partitionFields.map { case (n, id) =>
       s"""{"name":"$n","type":["null","int"],"default":null,"field-id":$id}"""
     }.mkString(",")
@@ -141,6 +143,9 @@ object IcebergExport {
     val rows3 =
       if (!v3Rows) ""
       else """ {"name":"first_row_id","type":["null","long"],"default":null,"field-id":142},"""
+    val eq =
+      if (!eqIds) ""
+      else """ {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135},"""
     new Schema.Parser().parse(
     s"""{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
@@ -153,7 +158,7 @@ object IcebergExport {
       | {"name":"file_format","type":"string","field-id":101},
       | {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$pf]}},
       | {"name":"record_count","type":"long","field-id":103},
-      | {"name":"file_size_in_bytes","type":"long","field-id":104},$dv3$rows3
+      | {"name":"file_size_in_bytes","type":"long","field-id":104},$dv3$rows3$eq
       | {"name":"value_counts","field-id":109,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k119_v120","fields":[{"name":"key","type":"int","field-id":119},{"name":"value","type":"long","field-id":120}]}}]},
       | {"name":"null_value_counts","field-id":110,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]}}]},
       | {"name":"lower_bounds","field-id":125,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}]},
@@ -407,6 +412,75 @@ object IcebergExport {
     * export — bounded by the tombstones outstanding since the last
     * materialize, the same bound [[DeltaExport]]'s .bin carries.
     * Returns (absolute URI, delete-row count). */
+  /** The sidecars' outstanding tombstones as ONE spec EQUALITY-delete
+    * parquet (content=2): the deleted rows' KEY VALUES, for
+    * Flink-CDC-shape consumers that mask by key. The deleted keys are
+    * recovered DISTRIBUTED — the dirty files' rows (with the reader's
+    * `_metadata` row index) semi-join the broadcast tombstone set,
+    * bounded by the DV bytes, and only the key columns are projected.
+    * Columns are written under their PHYSICAL parquet names with the
+    * table's Iceberg field ids as parquet field ids, so both
+    * id-resolving and name-mapping stock readers bind them.
+    *
+    * SOUNDNESS GATE (caller-checked too): equality deletes at the
+    * cumulative sequence mask EVERY matching key in older files, so a
+    * key that is tombstoned AND still live (an upsert-superseded row)
+    * would over-delete its live copy. [[writeIcebergMetadata]]
+    * refuses `deleteMode=equality` in that case. */
+  private def writeEqualityDeletes(spark: SparkSession, fs: FileSystem,
+      table: TxTable, dirty: Seq[(TxTable.LiveFile, Seq[String])],
+      uuid: String, keyFields: Seq[(StructField, Int)]): (String, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, col, element_at, split}
+    val delDir = new Path(table.dir, "_iceberg_deletes")
+    val CountedName = s"""^\\Q$uuid\\E-n(\\d+)-eq-deletes\\.parquet$$""".r
+    val existing = (fs.globStatus(
+      new Path(delDir, s"$uuid-n*-eq-deletes.parquet")) match {
+      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+      case a => a
+    }).flatMap(st => st.getPath.getName match {
+      case CountedName(n) => Some((st.getPath, n.toLong))
+      case _ => None
+    }).headOption
+    existing.foreach { case (p, n) =>
+      return (fs.makeQualified(p).toString, n)
+    }
+    val sidecars = dirty.flatMap(_._2).distinct
+    import spark.implicits._
+    val namesDf = dirty.map { case (f, _) =>
+      f.path.substring(f.path.lastIndexOf('/') + 1) }.toDF("_dv_file")
+    val tomb = spark.read.parquet(sidecars: _*)
+      .select("_dv_file", "_dv_pos").distinct()
+      .join(broadcast(namesDf), "_dv_file")
+    val physKeys = keyFields.map { case (f, _) =>
+      table.physicalFieldName(f) }
+    val physSchema = table.physicalize(StructType(keyFields.map(_._1)))
+    val rows = spark.read.schema(physSchema)
+      .parquet(dirty.map(_._1.path): _*)
+      .withColumn("_dv_file",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("_dv_pos", col("_metadata.row_index"))
+      .join(broadcast(tomb), Seq("_dv_file", "_dv_pos"), "left_semi")
+      .select(keyFields.zip(physKeys).map { case ((f, fid), phys) =>
+        val md = new MetadataBuilder()
+          .putLong("parquet.field.id", fid.toLong).build()
+        col(phys).as(phys, md)
+      }: _*)
+      .sort(physKeys.map(col): _*)
+    val stage = new Path(delDir, s".stage-$uuid")
+    rows.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = fs.listStatus(stage).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") &&
+        p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("no eq-delete part file"))
+    val n = FileStats.fromFooter(part.toString, physSchema,
+      spark.sparkContext.hadoopConfiguration).rows
+    val target = new Path(delDir, s"$uuid-n$n-eq-deletes.parquet")
+    if (fs.exists(target)) fs.delete(target, false)
+    require(fs.rename(part, target), s"could not publish $target")
+    fs.delete(stage, true)
+    (fs.makeQualified(target).toString, n)
+  }
+
   private def writePositionDeletes(spark: SparkSession, fs: FileSystem,
       table: TxTable, dirty: Seq[(TxTable.LiveFile, Seq[String])],
       uuid: String): (String, Long) = {
@@ -661,9 +735,22 @@ object IcebergExport {
       /** 2 or 3; 0 (default) = KEEP the published tree's version
         * (else 2) — a stats republish or scheduled re-sync must never
         * silently downgrade a v3 tree to v2. */
-      formatVersion: Int = 0): String = {
+      formatVersion: Int = 0,
+      /** "position" (default: parquet position deletes / v3 Puffin
+        * DVs) or "equality" — tombstones export as EQUALITY deletes
+        * on the table's key columns (content=2, the Flink-CDC
+        * consumer shape). Equality requires a KEYED table whose
+        * tombstoned keys are not live (pure key-deletes, not
+        * upsert-superseded rows) — refused otherwise, since a
+        * cumulative equality delete would mask the live copy too. */
+      deleteMode: String = "position"): String = {
     require(formatVersion == 0 || formatVersion == 2 || formatVersion == 3,
       s"iceberg export supports format versions 2 and 3, got $formatVersion")
+    require(deleteMode == "position" || deleteMode == "equality",
+      s"deleteMode must be position or equality, got $deleteMode")
+    require(deleteMode == "position" || table.keys.nonEmpty,
+      "deleteMode=equality requires a keyed table (equality_ids are " +
+        "the bucket key); use the default position mode for keyless tables")
     val root = new Path(table.dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootUri = fs.makeQualified(root).toString.stripSuffix("/")
@@ -812,6 +899,9 @@ object IcebergExport {
     // v3 manifest lists carry the row-lineage base (field 520)
     val listSchema: Schema =
       if (fv >= 3) ManifestFileSchemaV3 else ManifestFileSchema
+    // equality-delete manifest entries carry equality_ids (135)
+    val eqEntrySchema: Schema =
+      manifestEntrySchemaFor(Nil, eqIds = true)
     val dataSpecId = if (bucketSpec.isDefined) 1 else 0
     val schemaMeta = Map(
       "schema" -> JsonMethods.compact(JsonMethods.render(
@@ -1172,6 +1262,60 @@ object IcebergExport {
       }
       val deletes: Option[(Path, Long, Long, Int)] =
         if (dirty.isEmpty || carriedDel.nonEmpty) None
+        else if (deleteMode == "equality") {
+          // EQUALITY DELETES (content=2): the outstanding tombstones'
+          // KEY VALUES, equality_ids = the table's key columns — the
+          // shape Flink-CDC-style key-upsert consumers expect
+          val keyFields: Seq[(StructField, Int)] = table.keys.map { k =>
+            val f = schema.fields.find(_.name.equalsIgnoreCase(k))
+              .getOrElse(throw new IllegalArgumentException(
+                s"equality delete key '$k' is not in the current schema"))
+            (f, ids(table.physicalFieldName(f).toLowerCase))
+          }
+          val (eqUri, eqRows) = writeEqualityDeletes(
+            spark, fs, table, dirty, s"eq-v$v", keyFields)
+          // SOUNDNESS GATE: a cumulative equality delete (sequence
+          // above every data file) masks EVERY matching key in the
+          // table — if a tombstoned key is still live (its row was
+          // upsert-SUPERSEDED, not deleted), the live copy would be
+          // masked too. Refuse loudly with the remedy.
+          if (eqRows > 0L) {
+            import org.apache.spark.sql.functions.broadcast
+            val eqKeys = spark.read.parquet(eqUri)
+              .toDF(keyFields.map(_._1.name): _*)
+            val liveHits = table.readVersion(v)
+              .join(broadcast(eqKeys),
+                keyFields.map(_._1.name), "left_semi")
+              .limit(1).count()
+            require(liveHits == 0L,
+              s"deleteMode=equality is unsound for version $v of " +
+                s"${table.dir}: a tombstoned key is still LIVE (an " +
+                "upsert-superseded row), and a cumulative equality " +
+                "delete would mask the live copy - export with the " +
+                "default position mode instead")
+          }
+          val df = new GenericData.Record(
+            eqEntrySchema.getField("data_file").schema())
+          df.put("content", 2) // EQUALITY_DELETES
+          df.put("file_path", eqUri)
+          df.put("file_format", "PARQUET")
+          df.put("partition", new GenericData.Record(
+            df.getSchema.getField("partition").schema()))
+          df.put("record_count", eqRows)
+          df.put("file_size_in_bytes", sizeOf(eqUri))
+          df.put("equality_ids", java.util.Arrays.asList(
+            keyFields.map(f => Integer.valueOf(f._2)): _*))
+          val e = new GenericData.Record(eqEntrySchema)
+          e.put("status", 1)
+          e.put("snapshot_id", snapshotId)
+          e.put("sequence_number", dataSeq + 1)
+          e.put("file_sequence_number", dataSeq + 1)
+          e.put("data_file", df)
+          val (p, len) = writeAvroOnce(fs, metaDir,
+            s"m-v$v-s$dataSeq-1", eqEntrySchema, Seq(e),
+            deleteMeta + ("content" -> "deletes"))
+          Some((p, len, eqRows, 1))
+        }
         else if (fv >= 3) {
           // v3 DELETION VECTORS: tombstones as Puffin blobs, one per
           // dirty data file, each located from its own manifest entry

@@ -209,11 +209,15 @@ final case class GraftCallCommand(proc: String, args: Seq[String])
         // optional arg 1: format version (3 = Puffin DVs). Omitted =
         // 0 = KEEP the published tree's version (else 2) — a
         // scheduled re-sync must never silently downgrade a v3 tree.
+        // optional arg 2: delete mode ('position' default;
+        // 'equality' = key-valued deletes for CDC-shape consumers)
         val fv = if (args.length > 1) arg(1, "format version").toInt else 0
+        val dm = if (args.length > 2) arg(2, "delete mode") else "position"
         val p = graft.core.IcebergExport.writeIcebergMetadata(spark, tx,
-          formatVersion = fv)
+          formatVersion = fv, deleteMode = dm)
         report(tx, "metadata" -> p,
-          "format_version" -> (if (fv == 0) "kept" else fv.toString))
+          "format_version" -> (if (fv == 0) "kept" else fv.toString),
+          "delete_mode" -> dm)
       case "export_uniform" =>
         // BOTH dialects over one copy of the data (the UniForm verb):
         // _delta_log sync + Iceberg tree in one CALL. Optional arg 1:
