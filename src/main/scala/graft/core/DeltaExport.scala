@@ -121,7 +121,9 @@ object DeltaExport {
       "cardinality" -> JLong(slot.cardinality))
 
   private def addAction(fs: FileSystem, rootUri: String, schema: StructType,
-      dv: Option[(String, DeltaDv.Slot)])(f: TxTable.LiveFile): JObject = {
+      dv: Option[(String, DeltaDv.Slot)],
+      /** ROW TRACKING: (baseRowId, defaultRowCommitVersion). */
+      rowIds: Option[(Long, Long)] = None)(f: TxTable.LiveFile): JObject = {
     val status = fs.getFileStatus(new Path(f.path))
     JObject("add" -> JObject(List(
       "path" -> JString(relative(fs, rootUri)(f.path)),
@@ -129,11 +131,24 @@ object DeltaExport {
       "size" -> JLong(status.getLen),
       "modificationTime" -> JLong(status.getModificationTime),
       "dataChange" -> JBool(true)) ++
+      rowIds.toList.flatMap { case (base, v) => List(
+        "baseRowId" -> (JLong(base): JValue),
+        "defaultRowCommitVersion" -> (JLong(v): JValue)) } ++
       deltaStats(f.statsJson, schema, tightBounds = dv.isEmpty).map(s =>
         "stats" -> (JString(s): JValue)) ++
       dv.map { case (p, slot) =>
         "deletionVector" -> (dvDescriptor(p, slot): JValue) }))
   }
+
+  /** ROW TRACKING's durable high watermark, the spec's channel: a
+    * domainMetadata action on the delta.rowTracking domain. (The
+    * same value rides metaData configuration graft.rowIdHighWaterMark
+    * for this writer's own recovery, like graft.txVersion.) */
+  private def rowTrackingDomain(hwm: Long): JObject =
+    JObject("domainMetadata" -> JObject(
+      "domain" -> JString("delta.rowTracking"),
+      "configuration" -> JString(s"""{"rowIdHighWaterMark":$hwm}"""),
+      "removed" -> JBool(false)))
 
   /** Lowest protocol expressing the snapshot's content: DVs are a
     * reader+writer feature (the bytes must be masked), CDF a
@@ -145,8 +160,10 @@ object DeltaExport {
     * reader+writer feature when features mode is already on. */
   private def protocolAction(withDvs: Boolean, withCdf: Boolean = false,
       withChecks: Boolean = false, withMapping: Boolean = false,
-      withVariant: Boolean = false): JObject =
-    if (!withDvs && !withCdf && !withVariant)
+      withVariant: Boolean = false,
+      /** rowTracking + its domainMetadata dependency (writer-only). */
+      withRowTracking: Boolean = false): JObject =
+    if (!withDvs && !withCdf && !withVariant && !withRowTracking)
       JObject("protocol" -> JObject(
         "minReaderVersion" -> JInt(if (withMapping) 2 else 1),
         "minWriterVersion" -> JInt(
@@ -163,7 +180,12 @@ object DeltaExport {
         (if (withCdf) List(JString("changeDataFeed")) else Nil) ++
         (if (withChecks) List(JString("checkConstraints")) else Nil) ++
         (if (withMapping) List(JString("columnMapping")) else Nil) ++
-        (if (withVariant) List(JString("variantType")) else Nil)
+        (if (withVariant) List(JString("variantType")) else Nil) ++
+        // rowTracking is writer-only; its watermark rides
+        // domainMetadata actions, itself a declared writer feature
+        (if (withRowTracking)
+          List(JString("rowTracking"), JString("domainMetadata"))
+        else Nil)
       val reader =
         if (withDvs || withMapping || withVariant)
           List("minReaderVersion" -> (JInt(3): JValue),
@@ -255,7 +277,10 @@ object DeltaExport {
       tableId: Option[String] = None,
       checks: Map[String, String] = Map.empty,
       mappingMaxId: Option[Long] = None,
-      mappingMode: String = "name"): JObject =
+      mappingMode: String = "name",
+      /** ROW TRACKING: the high watermark (enables the feature and
+        * gives this writer its checkpoint-durable recovery channel). */
+      rowIdHighWaterMark: Option[Long] = None): JObject =
     JObject("metaData" -> JObject(
       // the table id is STABLE across the log's life (stock streaming
       // readers track it); only the very first metaData mints one
@@ -283,6 +308,9 @@ object DeltaExport {
         else Nil) ++
         txVersion.map(v =>
           "graft.txVersion" -> (JString(v.toString): JValue)).toList ++
+        rowIdHighWaterMark.toList.flatMap(h => List(
+          "delta.enableRowTracking" -> (JString("true"): JValue),
+          "graft.rowIdHighWaterMark" -> (JString(h.toString): JValue))) ++
         // graft CHECK constraints as Delta's own (delta.constraints.*)
         // so a stock writer enforces exactly what this engine does —
         // the predicates are plain SQL on both sides
@@ -352,7 +380,12 @@ object DeltaExport {
     * initial commit's inserts from its add actions, so no change file
     * is written here. Returns the commit file's path. */
   def writeDeltaLog(spark: SparkSession, table: TxTable,
-      cdf: Boolean = false): String = {
+      cdf: Boolean = false,
+      /** opt-in ROW TRACKING: adds carry baseRowId /
+        * defaultRowCommitVersion, the protocol declares the
+        * rowTracking + domainMetadata writer features, and the high
+        * watermark rides a delta.rowTracking domainMetadata action. */
+      rowTracking: Boolean = false): String = {
     val files = liveFiles(table)
     val (fs, rootUri) = fsFor(spark, table)
     val schema = table.currentSchema
@@ -380,17 +413,33 @@ object DeltaExport {
         val (enc, slots) = writeDvsFor(spark, fs, table, dirty)
         slots.map { case (k, v) => k -> (enc, v) }
       }
-    val adds = files.map(_._1).sortBy(_.path).map(f =>
-      addAction(fs, rootUri, statsSchema, dvSlots.get(basename(f.path)))(f))
+    // ROW TRACKING: fresh contiguous id ranges in sorted-path order
+    // (deterministic); the watermark is the total physical rows
+    val sorted = files.map(_._1).sortBy(_.path)
+    def physRows(f: TxTable.LiveFile): Long =
+      FileStats.fromJson(f.statsJson, statsSchema).map(_.rows)
+        .getOrElse(spark.read.parquet(f.path).count())
+    var hwm = 0L
+    val rowIdOf: Map[String, (Long, Long)] =
+      if (!rowTracking) Map.empty
+      else sorted.map { f =>
+        val base = hwm; hwm += physRows(f)
+        f.path -> ((base, 0L))
+      }.toMap
+    val adds = sorted.map(f =>
+      addAction(fs, rootUri, statsSchema, dvSlots.get(basename(f.path)),
+        rowIdOf.get(f.path))(f))
     val checks = table.checkConstraints
     writeCommit(fs, table.dir, 0L,
       protocolAction(dirty.nonEmpty, cdf, checks.nonEmpty, mapped,
-        hasVariant(schema)) +:
+        hasVariant(schema), withRowTracking = rowTracking) +:
         metaDataAction(metaSchema, dirty.nonEmpty, cdf,
           if (cdf) Some(table.currentVersion) else None,
           checks = checks,
           mappingMaxId = if (mapped) Some(maxId) else None,
-          mappingMode = mode) +: adds)
+          mappingMode = mode,
+          rowIdHighWaterMark = if (rowTracking) Some(hwm) else None) +:
+        (adds ++ (if (rowTracking) Seq(rowTrackingDomain(hwm)) else Nil)))
   }
 
   /** The net row-level diff `table.changes(fromTx, toTx)` as Delta
@@ -461,9 +510,13 @@ object DeltaExport {
       offset: Long, sizeInBytes: Long, cardinality: Long)
   private case class CpAdd(path: String, partitionValues: Map[String, String],
       size: Long, modificationTime: Long, dataChange: Boolean,
-      stats: Option[String], deletionVector: Option[CpDv])
+      stats: Option[String], deletionVector: Option[CpDv],
+      baseRowId: Option[Long], defaultRowCommitVersion: Option[Long])
+  private case class CpDomainMetadata(domain: String,
+      configuration: String, removed: Boolean)
   private case class CpRow(protocol: Option[CpProtocol],
-      metaData: Option[CpMetaData], add: Option[CpAdd])
+      metaData: Option[CpMetaData], add: Option[CpAdd],
+      domainMetadata: Option[CpDomainMetadata] = None)
 
   /** Checkpoint the log's CURRENT state (not the table's — a
     * checkpoint must equal what replaying the JSON prefix would say,
@@ -500,15 +553,23 @@ object DeltaExport {
     val cpProto = CpProtocol(p.minReaderVersion, p.minWriterVersion,
       if (p.readerFeatures.isEmpty) None else Some(p.readerFeatures),
       if (p.writerFeatures.isEmpty) None else Some(p.writerFeatures))
+    // ROW TRACKING: checkpoints must carry the domainMetadata high
+    // watermark (the JSON prefix that declared it becomes vacuumable)
+    val domainRows: Seq[CpRow] =
+      meta.configuration.get("graft.rowIdHighWaterMark").toSeq.map(h =>
+        CpRow(None, None, None, Some(CpDomainMetadata(
+          "delta.rowTracking",
+          s"""{"rowIdHighWaterMark":$h}""", removed = false))))
     val rows: Seq[CpRow] =
       CpRow(Some(cpProto), None, None) +:
       CpRow(None, Some(meta), None) +:
-      snap.adds.map(a => CpRow(None, None, Some(CpAdd(
+      (snap.adds.map(a => CpRow(None, None, Some(CpAdd(
         rel(a.path),
         a.partitionValues.map { case (k, v) => k -> v.orNull },
         a.size, a.modificationTime, dataChange = true, a.stats,
         a.deletionVector.map(d => CpDv(d.storageType, d.pathOrInlineDv,
-          d.offset.getOrElse(1L), d.sizeInBytes, d.cardinality))))))
+          d.offset.getOrElse(1L), d.sizeInBytes, d.cardinality)),
+        a.baseRowId, a.defaultRowCommitVersion)))) ++ domainRows)
     import spark.implicits._
     val stage = new Path(logDir, s".cp-stage-${snap.version}")
     spark.createDataset(rows).toDF()
@@ -593,10 +654,11 @@ object DeltaExport {
     * an unbounded JSON history; 0 disables. Returns the commit path,
     * or None when the log is already current — nothing is written. */
   def syncDeltaLog(spark: SparkSession, table: TxTable,
-      checkpointInterval: Int = 10, cdf: Boolean = false): Option[String] = {
+      checkpointInterval: Int = 10, cdf: Boolean = false,
+      rowTracking: Boolean = false): Option[String] = {
     val (fs, rootUri) = fsFor(spark, table)
     if (!fs.exists(new Path(new Path(table.dir), "_delta_log")))
-      return Some(writeDeltaLog(spark, table, cdf))
+      return Some(writeDeltaLog(spark, table, cdf, rowTracking))
     val logged = DeltaImport.snapshot(spark, table.dir)
     val files = liveFiles(table)
     val schema = table.currentSchema
@@ -663,10 +725,21 @@ object DeltaExport {
     // starting point; a silent no-op would defer them indefinitely
     val enablingCdf =
       cdf && !logged.protocol.writerFeatures.contains("changeDataFeed")
+    // ROW TRACKING is sticky once declared; enabling it on an
+    // existing log must commit (protocol upgrade + backfill)
+    val hadRt = logged.protocol.writerFeatures.contains("rowTracking")
+    val rt = rowTracking || hadRt
+    val enablingRt = rowTracking && !hadRt
     if (removed.isEmpty && added.isEmpty && dvChanged.isEmpty &&
-      !schemaChanged && !checksChanged && !enablingCdf) return None
+      !schemaChanged && !checksChanged && !enablingCdf && !enablingRt)
+      return None
 
-    val readds = (added ++ dvChanged).sorted.map(current)
+    // enabling row tracking BACKFILLS every live file (each add is
+    // re-committed carrying its assigned base row id, the stock
+    // enablement shape); otherwise only the usual add/DV-change set
+    val readds =
+      if (enablingRt) current.keySet.toSeq.sorted.map(current)
+      else (added ++ dvChanged).sorted.map(current)
     val dirty = readds.filter(_._1.dvRows > 0L)
     val dvSlots: Map[String, (String, DeltaDv.Slot)] =
       if (dirty.isEmpty) Map.empty
@@ -685,9 +758,9 @@ object DeltaExport {
         (cdf && !hadCdf) ||
         (checks.nonEmpty && logged.protocol.minWriterVersion < 3) ||
         (mapped && !loggedMapped) ||
-        (nowVariant && !hadVariant))
+        (nowVariant && !hadVariant) || enablingRt)
         Seq(protocolAction(nowHasDvs, cdf || hadCdf, checks.nonEmpty,
-          mapped, nowVariant || hadVariant))
+          mapped, nowVariant || hadVariant, withRowTracking = rt))
       else Nil
     // CDF: the diff between the logged TxTable version (metaData
     // configuration graft.txVersion — checkpoint-durable) and the
@@ -717,12 +790,39 @@ object DeltaExport {
           writeChangeData(spark, fs, table, p, curTx)
         case _ => Nil
       }
+    // ROW TRACKING id assignment: recover the watermark from the
+    // logged metaData (checkpoint-durable, like graft.txVersion),
+    // KEEP published ids on re-adds (a DV update must not move a
+    // file's row ids), give new paths fresh contiguous ranges
+    val loggedRowIds: Map[String, (Long, Long)] = logged.adds.flatMap(a =>
+      a.baseRowId.map(b => rel(a.path) ->
+        ((b, a.defaultRowCommitVersion.getOrElse(0L))))).toMap
+    var hwm: Long = loggedMeta.flatMap(j =>
+      (j \ "configuration" \ "graft.rowIdHighWaterMark") match {
+        case JString(x) => x.toLongOption
+        case _          => None
+      }).getOrElse(0L)
+    val nextV = logged.version + 1L
+    val rowIdOf: Map[String, (Long, Long)] =
+      if (!rt) Map.empty
+      else readds.map { case (f, _) =>
+        val pth = rel(f.path)
+        pth -> loggedRowIds.getOrElse(pth, {
+          val base = hwm
+          hwm += FileStats.fromJson(f.statsJson, statsSchema)
+            .map(_.rows)
+            .getOrElse(spark.read.parquet(f.path).count())
+          (base, nextV)
+        })
+      }.toMap
     val meta =
-      if (schemaChanged || upgrade.nonEmpty || cdf || checksChanged)
+      if (schemaChanged || upgrade.nonEmpty || cdf || checksChanged ||
+        (rt && readds.nonEmpty))
         Seq(metaDataAction(metaSchema, nowHasDvs, cdf || hadCdf,
           if (cdf) Some(curTx) else None, loggedId, checks,
           mappingMaxId = if (mapped) Some(maxId) else None,
-          mappingMode = mode))
+          mappingMode = mode,
+          rowIdHighWaterMark = if (rt) Some(hwm) else None))
       else Nil
     val removeActions = (removed ++ dvChanged).sorted.map { p =>
       JObject("remove" -> JObject(
@@ -731,10 +831,16 @@ object DeltaExport {
         "dataChange" -> JBool(true)))
     }
     val addActions = readds.map { case (f, _) =>
-      addAction(fs, rootUri, statsSchema, dvSlots.get(basename(f.path)))(f) }
-    val v = logged.version + 1L
+      addAction(fs, rootUri, statsSchema, dvSlots.get(basename(f.path)),
+        rowIdOf.get(rel(f.path)))(f) }
+    val domainActions =
+      if (rt && (readds.nonEmpty || enablingRt))
+        Seq(rowTrackingDomain(hwm))
+      else Nil
+    val v = nextV
     val commit = writeCommit(fs, table.dir, v,
-      upgrade ++ meta ++ cdcActions ++ removeActions ++ addActions)
+      upgrade ++ meta ++ cdcActions ++ removeActions ++ addActions ++
+        domainActions)
     if (checkpointInterval > 0 && v % checkpointInterval == 0)
       writeCheckpoint(spark, table)
     Some(commit)

@@ -89,7 +89,12 @@ object DeltaImport {
       size: Long,
       modificationTime: Long,
       stats: Option[String],
-      deletionVector: Option[DvDesc] = None)
+      deletionVector: Option[DvDesc] = None,
+      /** ROW TRACKING (writer feature): the file's first fresh row id
+        * and the commit version its rows default to — carried so
+        * re-adds (DV updates) and checkpoints keep them stable. */
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
 
   /** Reconstructed snapshot: what the log says the table IS now. */
   final case class Snapshot(
@@ -354,9 +359,14 @@ object DeltaImport {
           else org.apache.spark.sql.functions.lit(null).cast(
             "struct<storageType:string,pathOrInlineDv:string," +
               "offset:bigint,sizeInBytes:bigint,cardinality:bigint>")
+        def optLong(name: String) =
+          if (aFields(name)) c(s"add.$name")
+          else org.apache.spark.sql.functions.lit(null).cast("bigint")
         rows.where(c("add").isNotNull)
           .select(c("add.path"), c("add.partitionValues"), c("add.size"),
-            c("add.modificationTime"), stats.as("stats"), dv.as("dv"))
+            c("add.modificationTime"), stats.as("stats"), dv.as("dv"),
+            optLong("baseRowId").as("bri"),
+            optLong("defaultRowCommitVersion").as("drcv"))
           .collect().foreach { a =>
             val pv = Option(a.getMap[String, String](1))
               .map(_.toMap.map { case (k, v) => k -> Option(v) })
@@ -380,7 +390,9 @@ object DeltaImport {
                   lng("cardinality").getOrElse(0L)))
               }
             live.put(p, AddFile(p, pv, a.getLong(2), a.getLong(3),
-              if (a.isNullAt(4)) None else Some(a.getString(4)), dvDesc))
+              if (a.isNullAt(4)) None else Some(a.getString(4)), dvDesc,
+              if (a.isNullAt(6)) None else Some(a.getLong(6)),
+              if (a.isNullAt(7)) None else Some(a.getLong(7))))
           }
       }
       if (!cols("sidecar")) Nil
@@ -433,7 +445,9 @@ object DeltaImport {
             live.put(p, AddFile(p, pv,
               (a \ "size").extractOpt[Long].getOrElse(0L),
               (a \ "modificationTime").extractOpt[Long].getOrElse(0L),
-              (a \ "stats").extractOpt[String], dvDesc))
+              (a \ "stats").extractOpt[String], dvDesc,
+              (a \ "baseRowId").extractOpt[Long],
+              (a \ "defaultRowCommitVersion").extractOpt[Long]))
         }
         (j \ "remove") match {
           case JNothing => ()

@@ -339,4 +339,85 @@ class DeltaExportSpec extends SparkSpec {
       .mkString
     assert(normalized === golden)
   }
+
+  test("rowTracking: stable baseRowId ranges, sticky feature, checkpoint-durable") {
+    import graft.core.DeltaImport
+    implicit val fmts: Formats = DefaultFormats
+    val dir = tmpDir("delta-rt") + "/t"
+    val df = (1L to 40L).map(k => (k, k * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, df.schema, Seq("k"), numBuckets = 2)
+    t.append(df)
+    assert(DeltaExport.syncDeltaLog(spark, t, rowTracking = true).nonEmpty)
+
+    def snap() = DeltaImport.snapshot(spark, dir)
+    def rowsOf(a: DeltaImport.AddFile): Long =
+      (JsonMethods.parse(a.stats.get) \ "numRecords").extract[Long]
+    val s1 = snap()
+    assert(s1.protocol.writerFeatures.contains("rowTracking"))
+    assert(s1.protocol.writerFeatures.contains("domainMetadata"))
+    // every add carries a base id; ranges are DISJOINT and tile [0, 40)
+    assert(s1.adds.forall(_.baseRowId.isDefined))
+    val ranges1 = s1.adds.map(a => (a.baseRowId.get, rowsOf(a))).sortBy(_._1)
+    assert(ranges1.map(_._2).sum === 40L)
+    ranges1.sliding(2).foreach {
+      case Seq((a, n), (b, _)) => assert(a + n <= b, s"overlap at $a+$n vs $b")
+      case _ => ()
+    }
+    val metaConf = (JsonMethods.parse(s1.metaRaw.get) \ "configuration")
+      .extract[Map[String, String]]
+    assert(metaConf.get("delta.enableRowTracking") === Some("true"))
+    assert(metaConf.get("graft.rowIdHighWaterMark") === Some("40"))
+    // the spec channel: a delta.rowTracking domainMetadata action
+    val logDir = new java.io.File(dir, "_delta_log")
+    val c0 = java.nio.file.Files.readString(
+      java.nio.file.Path.of(logDir.toString, "0" * 20 + ".json"))
+    assert(c0.contains(""""domain":"delta.rowTracking""""))
+    assert(c0.contains("""{\"rowIdHighWaterMark\":40}"""))
+
+    // append: old files KEEP their ids, the new one starts at the
+    // watermark; the feature is STICKY (no rowTracking arg)
+    t.append(Seq((41L, 41.0)).toDF("k", "v"))
+    assert(DeltaExport.syncDeltaLog(spark, t).nonEmpty)
+    val s2 = snap()
+    val ids1 = s1.adds.map(a => a.path -> a.baseRowId.get).toMap
+    s2.adds.foreach(a => ids1.get(a.path).foreach(prev =>
+      assert(a.baseRowId === Some(prev), s"id moved for ${a.path}")))
+    val fresh = s2.adds.filterNot(a => ids1.contains(a.path))
+    assert(fresh.nonEmpty && fresh.forall(_.baseRowId.exists(_ >= 40L)))
+
+    // a DV-growth re-add keeps baseRowId (row ids never move)
+    val ids2 = s2.adds.map(a => a.path -> a.baseRowId.get).toMap
+    t.deleteWhereLight(col("k") === 3L)
+    assert(DeltaExport.syncDeltaLog(spark, t).nonEmpty)
+    val s3 = snap()
+    assert(s3.adds.forall(_.baseRowId.isDefined))
+    s3.adds.foreach(a => assert(a.baseRowId === Some(ids2(a.path)),
+      s"DV re-add moved ${a.path}"))
+
+    // checkpoint carries ids AND the domain watermark; a vacuumed
+    // JSON prefix bootstraps with both intact
+    val cpPath = DeltaExport.writeCheckpoint(spark, t)
+    val dm = spark.read.parquet(cpPath)
+    assert(dm.columns.contains("domainMetadata"))
+    assert(dm.where(col("domainMetadata.domain") === "delta.rowTracking")
+      .count() === 1L)
+    (0L to s3.version).foreach(v =>
+      new java.io.File(logDir, f"$v%020d.json").delete())
+    val s4 = snap()
+    assert(s4.fromCheckpoint === Some(s3.version))
+    assert(s4.adds.forall(_.baseRowId.isDefined))
+    s4.adds.foreach(a => assert(a.baseRowId === Some(ids2(a.path))))
+
+    // enabling on an EXISTING plain log backfills every live file
+    val dir2 = tmpDir("delta-rt2") + "/t"
+    val t2 = new TxTable(spark, dir2, df.schema, Seq("k"), numBuckets = 1)
+    t2.append(df)
+    assert(DeltaExport.syncDeltaLog(spark, t2).nonEmpty) // plain
+    assert(DeltaImport.snapshot(spark, dir2).adds
+      .forall(_.baseRowId.isEmpty))
+    assert(DeltaExport.syncDeltaLog(spark, t2, rowTracking = true).nonEmpty)
+    val b = DeltaImport.snapshot(spark, dir2)
+    assert(b.protocol.writerFeatures.contains("rowTracking"))
+    assert(b.adds.forall(_.baseRowId.isDefined))
+  }
 }
