@@ -454,6 +454,10 @@ object IcebergExport {
     val physKeys = keyFields.map { case (f, _) =>
       table.physicalFieldName(f) }
     val physSchema = table.physicalize(StructType(keyFields.map(_._1)))
+    // columns land under their DECLARED names (the metadata schema's
+    // spelling — what our own eq-masking path binds by) with the
+    // Iceberg field ids as parquet field ids (what spec id-resolving
+    // readers bind by) — correct under both binding disciplines
     val rows = spark.read.schema(physSchema)
       .parquet(dirty.map(_._1.path): _*)
       .withColumn("_dv_file",
@@ -463,16 +467,17 @@ object IcebergExport {
       .select(keyFields.zip(physKeys).map { case ((f, fid), phys) =>
         val md = new MetadataBuilder()
           .putLong("parquet.field.id", fid.toLong).build()
-        col(phys).as(phys, md)
+        col(phys).as(f.name, md)
       }: _*)
-      .sort(physKeys.map(col): _*)
+      .sort(keyFields.map(f => col(f._1.name)): _*)
     val stage = new Path(delDir, s".stage-$uuid")
     rows.coalesce(1).write.mode("overwrite").parquet(stage.toString)
     val part = fs.listStatus(stage).map(_.getPath)
       .find(p => p.getName.startsWith("part-") &&
         p.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("no eq-delete part file"))
-    val n = FileStats.fromFooter(part.toString, physSchema,
+    val n = FileStats.fromFooter(part.toString,
+      StructType(keyFields.map(_._1)),
       spark.sparkContext.hadoopConfiguration).rows
     val target = new Path(delDir, s"$uuid-n$n-eq-deletes.parquet")
     if (fs.exists(target)) fs.delete(target, false)
