@@ -79,7 +79,12 @@ object IcebergImport {
       /** v3 DELETION VECTORS: (referenced data-file basename,
         * portable RoaringBitmapArray bytes) — positions expand on
         * EXECUTORS, the driver holds only compressed bitmaps. */
-      dvDeletes: Seq[(String, Array[Byte])] = Nil) {
+      dvDeletes: Seq[(String, Array[Byte])] = Nil,
+      /** v3 ROW LINEAGE: per-`files` first row id — the entry's
+        * explicit `first_row_id` (142), else inherited from the
+        * manifest's base (520) by running record count. None when
+        * the tree assigns no lineage. */
+      fileRowBases: Seq[Option[Long]] = Nil) {
     def fileSchema: StructType =
       if (physSchema.isEmpty) schema else physSchema
   }
@@ -861,7 +866,9 @@ object IcebergImport {
         seq: Option[Long], specId: Option[Int] = None,
         /** the single partition field's bucket-id summary range from
           * the manifest list (field-ids 510/511), when present. */
-        partRange: Option[(Int, Int)] = None)
+        partRange: Option[(Int, Int)] = None,
+        /** v3 row lineage: the manifest's first_row_id base (520). */
+        firstRowId: Option[Long] = None)
     def leInt(x: AnyRef): Option[Int] = x match {
       case bb: java.nio.ByteBuffer => Some(bb.duplicate()
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt)
@@ -890,7 +897,10 @@ object IcebergImport {
             if (m.getSchema.getField("partition_spec_id") == null) None
             else Option(m.get("partition_spec_id"))
               .map(_.asInstanceOf[Number].intValue()),
-            range)
+            range,
+            if (m.getSchema.getField("first_row_id") == null) None
+            else Option(m.get("first_row_id"))
+              .map(_.asInstanceOf[Number].longValue()))
         }
       case _ => (snap \ "manifests") match {
         case JArray(ms) => ms.map {
@@ -956,6 +966,10 @@ object IcebergImport {
     // (unpartitioned manifests, foreign spec shapes) are kept.
     val filesCountsSeqs = dataManifests.flatMap { m =>
       val mPath = new Path(m.path)
+      // v3 row lineage inheritance: files with a null explicit
+      // first_row_id consume the manifest's running base in manifest
+      // order, advancing by record_count (spec); explicit values win
+      var rlCursor: Option[Long] = m.firstRowId
       readAvro(fs, mPath, conf).flatMap { e =>
         val status = e.get("status").asInstanceOf[Int]
         if (status == 2) None
@@ -983,8 +997,17 @@ object IcebergImport {
           if (pruned) None
           else {
             val rc = df.get("record_count").asInstanceOf[Long]
+            val explicitBase: Option[Long] =
+              if (df.getSchema.getField("first_row_id") == null) None
+              else Option(df.get("first_row_id"))
+                .map(_.asInstanceOf[Number].longValue())
+            val rowBase: Option[Long] = explicitBase.orElse {
+              val b = rlCursor
+              rlCursor = rlCursor.map(_ + rc)
+              b
+            }
             Some((df.get("file_path").toString, rc, entrySeq(m, e),
-              statsFromEntry(df, rc, schema, fieldIds)))
+              statsFromEntry(df, rc, schema, fieldIds), rowBase))
           }
         }
       }
@@ -1058,7 +1081,8 @@ object IcebergImport {
       filesCountsSeqs.map(_._1), filesCountsSeqs.map(_._2),
       posDeletes.toSeq, eqDeletes.toSeq, filesCountsSeqs.map(_._3),
       physSchema = physSchema, fileStats = filesCountsSeqs.map(_._4),
-      dvDeletes = dvDeletes.toSeq)
+      dvDeletes = dvDeletes.toSeq,
+      fileRowBases = filesCountsSeqs.map(_._5))
   }
 
   /** Read the current (or pinned) snapshot as a DataFrame under the
@@ -1099,28 +1123,61 @@ object IcebergImport {
       if (xs.isEmpty) xs else xs.zip(keep).collect { case (x, true) => x }
     serve(spark, s.copy(files = sel(s.files),
       recordCounts = sel(s.recordCounts), dataSeqs = sel(s.dataSeqs),
-      fileStats = sel(s.fileStats))).filter(pred)
+      fileStats = sel(s.fileStats),
+      fileRowBases = sel(s.fileRowBases))).filter(pred)
   }
 
-  private[graft] def serve(spark: SparkSession, s: Snapshot): DataFrame = {
-    import org.apache.spark.sql.functions.{col, element_at, lit, split}
-    if (s.files.isEmpty)
-      return spark.createDataFrame(
+  private[graft] def serve(spark: SparkSession, s: Snapshot,
+      /** append `_row_id` from the v3 ROW LINEAGE bases (per-file
+        * first_row_id + physical row index) — requires every file to
+        * carry a base. */
+      withRowId: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, element_at,
+      lit, split}
+    import spark.implicits._
+    if (s.files.isEmpty) {
+      val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
-    // data files bind by the name-mapped (physical) column names;
-    // the declared names surface via one positional rename
-    def toDeclared(df: DataFrame): DataFrame =
-      if (s.physSchema.isEmpty) df
-      else df.toDF(s.schema.fieldNames.toSeq: _*)
-    if (s.posDeleteFiles.isEmpty && s.eqDeletes.isEmpty &&
-      s.dvDeletes.isEmpty)
-      return toDeclared(
-        spark.read.schema(s.fileSchema).parquet(s.files: _*))
-
+      return if (!withRowId) empty
+        else empty.withColumn("_row_id", lit(null).cast("bigint"))
+    }
     // basenames are the join identity (iceberg file names embed
     // UUIDs); full-URI equality would be brittle across the file:/ vs
     // file:/// qualifications different writers emit
     def base(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val rowBaseOf: Map[String, Long] =
+      if (!withRowId) Map.empty
+      else {
+        require(s.fileRowBases.length == s.files.length &&
+          s.fileRowBases.forall(_.isDefined),
+          "row lineage needs a v3 tree whose manifests assign " +
+            "first_row_id (export with formatVersion = 3)")
+        s.files.zip(s.fileRowBases).map { case (f, b) =>
+          base(f) -> b.get }.toMap
+      }
+    /** `_row_id` = the file's base + the reader's physical row index
+      * (positions are physical, so the mask composes after this). */
+    def withLineage(scan: DataFrame): DataFrame =
+      if (!withRowId) scan
+      else {
+        val m = broadcast(rowBaseOf.toSeq.toDF("_rl_file", "_rl_base"))
+        scan.withColumn("_rl_f",
+            element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("_rl_pos", col("_metadata.row_index"))
+          .join(m, col("_rl_f") === col("_rl_file"), "left")
+          .withColumn("_row_id", col("_rl_base") + col("_rl_pos"))
+          .drop("_rl_f", "_rl_pos", "_rl_file", "_rl_base")
+      }
+    // data files bind by the name-mapped (physical) column names;
+    // the declared names surface via one positional rename
+    def toDeclared(df: DataFrame): DataFrame =
+      if (s.physSchema.isEmpty) df
+      else df.toDF((s.schema.fieldNames.toSeq ++
+        (if (withRowId) Seq("_row_id") else Nil)): _*)
+    if (s.posDeleteFiles.isEmpty && s.eqDeletes.isEmpty &&
+      s.dvDeletes.isEmpty)
+      return toDeclared(withLineage(
+        spark.read.schema(s.fileSchema).parquet(s.files: _*)))
     val parquetTomb =
       if (s.posDeleteFiles.isEmpty) None
       else Some(spark.read.parquet(s.posDeleteFiles: _*)
@@ -1153,16 +1210,29 @@ object IcebergImport {
       val (dirty, clean) = files.partition(f => targeted(base(f)))
       val cleanDf =
         if (clean.isEmpty) None
-        else Some(spark.read.schema(s.fileSchema).parquet(clean: _*))
+        else Some(withLineage(
+          spark.read.schema(s.fileSchema).parquet(clean: _*)))
       val dirtyDf =
         if (dirty.isEmpty) None
-        else Some(spark.read.schema(s.fileSchema).parquet(dirty: _*)
-          .withColumn("_file",
-            element_at(split(col("_metadata.file_path"), "/"), -1))
-          .withColumn("_pos", col("_metadata.row_index"))
-          .join(tombOpt.get, col("_file") === col("_del_file") &&
-            col("_pos") === col("_del_pos"), "left_anti")
-          .drop("_file", "_pos"))
+        else {
+          val raw = spark.read.schema(s.fileSchema).parquet(dirty: _*)
+            .withColumn("_file",
+              element_at(split(col("_metadata.file_path"), "/"), -1))
+            .withColumn("_pos", col("_metadata.row_index"))
+          val lin =
+            if (!withRowId) raw
+            else {
+              val m = broadcast(
+                rowBaseOf.toSeq.toDF("_rl_file", "_rl_base"))
+              raw.join(m, col("_file") === col("_rl_file"), "left")
+                .withColumn("_row_id", col("_rl_base") + col("_pos"))
+                .drop("_rl_file", "_rl_base")
+            }
+          Some(lin
+            .join(tombOpt.get, col("_file") === col("_del_file") &&
+              col("_pos") === col("_del_pos"), "left_anti")
+            .drop("_file", "_pos"))
+        }
       toDeclared((cleanDf.toSeq ++ dirtyDf.toSeq).reduce(_ unionByName _))
     }
 
@@ -1185,7 +1255,19 @@ object IcebergImport {
           col("_gseq") < lit(d.seq)
         df.join(delRows, cond, "left_anti")
       }
-      masked.drop("_gseq").select(s.schema.map(f => col(f.name)): _*)
+      masked.drop("_gseq").select((s.schema.map(f => col(f.name)) ++
+        (if (withRowId) Seq(col("_row_id")) else Nil)): _*)
     }
   }
+
+  /** [[read]] plus a `_row_id` column served from the tree's v3 ROW
+    * LINEAGE: each row's id = its file's assigned `first_row_id` +
+    * its physical position, exactly the ids [[IcebergExport]] pinned
+    * at export time (stable across re-sync and expiry; DV-masked rows'
+    * ids are never reassigned — they simply don't appear). Refuses
+    * trees whose manifests assign no lineage (v2, or foreign v3
+    * without the fields). */
+  def readWithRowLineage(spark: SparkSession, dir: String,
+      snapshotId: Option[Long] = None): DataFrame =
+    serve(spark, snapshot(spark, dir, snapshotId), withRowId = true)
 }

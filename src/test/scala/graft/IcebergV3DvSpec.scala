@@ -367,6 +367,44 @@ class IcebergV3DvSpec extends SparkSpec {
     assert(lng(md() \ "next-row-id") >= before + 61L)
   }
 
+  test("v3 row lineage SERVES _row_id on import; masked ids are holes, never reused") {
+    val (t, dir) = mk("v3rl-read") // 100 rows, k%10==0 DV-deleted
+    IcebergExport.writeIcebergMetadata(spark, t, formatVersion = 3)
+    val back = IcebergImport.readWithRowLineage(spark, dir)
+    assert(back.columns.last === "_row_id")
+    val pairs = back.select("k", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.size === 90)
+    assert(pairs.values.toSeq.distinct.size === 90, "duplicate row ids")
+    // ids live inside the reserved space [0, next-row-id); the 10
+    // DV-masked rows' ids are HOLES (never reassigned)
+    assert(pairs.values.forall(id => id >= 0L && id < 100L))
+    // stable across re-reads and re-syncs
+    IcebergExport.writeIcebergMetadata(spark, t)
+    val again = IcebergImport.readWithRowLineage(spark, dir)
+      .select("k", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === pairs)
+    // an append extends the space; every old id is unchanged
+    import spark.implicits._
+    t.append(Seq((101L, 202.0)).toDF("k", "v"))
+    IcebergExport.writeIcebergMetadata(spark, t)
+    val m3 = IcebergImport.readWithRowLineage(spark, dir)
+      .select("k", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (k, id) => assert(m3(k) === id,
+      s"row id moved for k=$k") }
+    assert(m3(101L) >= 100L, "new row dipped into the published space")
+
+    // a v2 tree (no lineage fields) refuses with the remedy named
+    val (t2, dir2) = mk("v3rl-v2")
+    IcebergExport.writeIcebergMetadata(spark, t2)
+    val e = intercept[IllegalArgumentException] {
+      IcebergImport.readWithRowLineage(spark, dir2).collect()
+    }
+    assert(e.getMessage.contains("first_row_id"))
+  }
+
   test("v3 changelog stream serves DV retractions as delete rows") {
     val (t, dir) = mk("v3dv-ch")
     IcebergExport.writeIcebergMetadata(spark, t, formatVersion = 3)
