@@ -38,11 +38,18 @@ object Closure {
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
     val eAnc = e.select(col("dst").as("_hop"), col("src"))
-    var reach = e.select(col("src"), col("dst").as("anc"))
-      .localCheckpoint(true)
+    // reach = LAZY union of the checkpointed generations: each
+    // generation is materialized exactly once (its own checkpoint);
+    // re-checkpointing the accumulated union every iteration re-wrote
+    // the ENTIRE closure-so-far per hop — O(depth × closure) extra
+    // materialization for zero recompute saved (every union leg is
+    // already checkpointed). Guide §1.2 / §5.
+    var gens = List(e.select(col("src"), col("dst").as("anc"))
+      .localCheckpoint(true))
+    def reach = gens.reduceLeft(_ unionByName _)
     // frontier = pairs discovered last generation; extending ONLY them
     // re-walks no settled pair
-    var frontier = reach
+    var frontier = gens.head
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -55,7 +62,7 @@ object Closure {
         .localCheckpoint(true)
       if (next.isEmpty) converged = true
       else {
-        reach = reach.unionByName(next).localCheckpoint(true)
+        gens = next :: gens
         frontier = next
       }
     }
@@ -78,9 +85,12 @@ object Closure {
       : ClosureResult = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
-    var reach = seeds.select(col("id")).distinct()
-      .withColumn("hops", lit(0)).localCheckpoint(true)
-    var frontier = reach
+    // same lazy-union-of-checkpointed-generations shape as
+    // [[transitiveWithStats]]: generations materialize once each
+    var gens = List(seeds.select(col("id")).distinct()
+      .withColumn("hops", lit(0)).localCheckpoint(true))
+    def reach = gens.reduceLeft(_ unionByName _)
+    var frontier = gens.head
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -92,7 +102,7 @@ object Closure {
         .localCheckpoint(true)
       if (next.isEmpty) converged = true
       else {
-        reach = reach.unionByName(next).localCheckpoint(true)
+        gens = next :: gens
         frontier = next
       }
     }

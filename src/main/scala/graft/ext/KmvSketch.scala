@@ -151,7 +151,11 @@ object KmvSketch {
     val k = st.agg(min("k")).head.getInt(0)
     val kmin = udaf(new KMinAggregator(k),
       org.apache.spark.sql.Encoders.scalaLong)
-    val merged = st.select("seg", "h").distinct()
+    // no pre-distinct: KMinAggregator dedups inside its bounded buffer
+    // (reduce/merge trim through .distinct), so a separate (seg, h)
+    // distinct pass only added a second full exchange of the store
+    // for rows the aggregator drops anyway (guide §2.4)
+    val merged = st.select("seg", "h")
       .groupBy("seg").agg(kmin(col("h")).as("s"))
       .select(col("seg"), col("s.hs").as("hs"))
       .localCheckpoint(true) // segments × ≤ k longs — bounded
@@ -205,7 +209,9 @@ object KmvSketch {
         round(col("da.est")).cast("long").as("n_a"),
         round(col("db.est")).cast("long").as("n_b"),
         (col("da.exact") && col("db.exact")).as("exact"))
-      .join(pairCounts, Seq("seg_a", "seg_b"), "left")
+      // pairCounts ≤ one row per segment pair (taxonomy-sized): the
+      // hint turns a two-exchange-two-sort SMJ into a broadcast join
+      .join(broadcast(pairCounts), Seq("seg_a", "seg_b"), "left")
       .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
       .withColumn("jaccard", round(col("n_common").cast("double") /
         (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6))

@@ -102,20 +102,34 @@ object PageRank {
     // ONCE instead of paying a third join every iteration
     val deg = e.groupBy(col("src")).agg(sum("w").as("d"))
     val eDeg = e.join(deg, Seq("src")).localCheckpoint(true)
+    // pr0 is a cheap projection of the checkpointed nodes frame — no
+    // checkpoint of its own (guide §1.2: don't materialize what is
+    // never recomputed)
     var pr = nodes.select(col("v"), lit(Mass / n).as("r"))
-      .localCheckpoint(true)
     var iter = 0
     var converged = false
+    // Lineage discipline, measured (guide §5): the unrolled plan is
+    // LINEAR in iterations (pr_{k} references pr_{k-1} exactly once;
+    // nodes/eDeg are checkpointed), so an eager localCheckpoint per
+    // step only pays — each one is a separate job materializing the
+    // whole rank vector. Checkpoint every [[CkptEvery]] steps to bound
+    // analyzer/optimizer cost on deep budgets, and ALWAYS when the
+    // convergence probe is armed (the probe is an action per step —
+    // without truncation step k would re-execute all k-1 predecessors,
+    // O(k²) total).
     while (iter < iterations && !converged) {
       val contrib = eDeg
         .join(pr.select(col("v").as("src"), col("r")), Seq("src"))
         .select(col("dst").as("v"), expr("(r * w) div d").as("c"))
         .groupBy("v").agg(sum("c").as("c"))
-      val next = nodes.join(contrib, Seq("v"), "left")
+      val stepped = nodes.join(contrib, Seq("v"), "left")
         .select(col("v"),
           (lit(base) + expr(s"(coalesce(c, 0L) * $dampingPct) div 100"))
             .as("r"))
-        .localCheckpoint(true)
+      val next =
+        if (convergeUnits >= 0L || iter % CkptEvery == CkptEvery - 1)
+          stepped.localCheckpoint(true)
+        else stepped
       if (convergeUnits >= 0L) {
         val delta = next
           .join(pr.select(col("v"), col("r").as("r0")), Seq("v"))
@@ -128,4 +142,9 @@ object PageRank {
     }
     pr
   }
+
+  /** Plan-depth bound for the lazy iteration chain: a checkpoint every
+    * 8 steps keeps optimizer time linear on deep budgets while a
+    * shallow budget (the catalog's 5 iterations) runs as ONE job. */
+  private val CkptEvery = 8
 }

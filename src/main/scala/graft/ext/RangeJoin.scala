@@ -57,10 +57,13 @@ object RangeJoin {
     * (inclusive). Intervals are [start, end] inclusive with
     * start ≤ end. */
   def overlapPairs(df: DataFrame, keyCol: String, startCol: String,
-      endCol: String, idCols: Seq[String]): DataFrame = {
+      endCol: String, idCols: Seq[String],
+      perKeyBound: Option[Int] = None): DataFrame = {
     require(idCols.nonEmpty, "overlapPairs needs id columns for pair order")
     val cols = keyCol +: startCol +: endCol +: idCols
     val base = df.select(cols.map(col): _*)
+    if (perKeyBound.isDefined)
+      return overlapPairsBounded(base, keyCol, startCol, endCol, idCols)
     def side(p: String): DataFrame =
       cols.foldLeft(base)((acc, c) => acc.withColumnRenamed(c, s"$p$c"))
     val a = side("a_")
@@ -83,5 +86,56 @@ object RangeJoin {
           col(s"b_$startCol")) + 1).cast("long"))
       .drop("_am", "_bm", s"b_$keyCol")
       .withColumnRenamed(s"a_$keyCol", keyCol)
+  }
+
+  /** BOUNDED-OCCUPANCY fast path (`perKeyBound` declared by the
+    * caller): when every key holds at most a few dozen intervals, the
+    * month-bucket self-JOIN pays for its generality — the input is
+    * scanned twice (one subtree per join side), each side shuffles,
+    * and the calendar explode multiplies the earlier side by its
+    * interval length. Instead gather each key's rows into ONE bounded
+    * array (`collect_list` ≤ the declared bound — the same bounded-
+    * buffer contract as `TopK`) and enumerate ordered pairs inside the
+    * group with two generators: no join, no month buckets, ONE scan,
+    * ONE shuffle (the groupBy), and downstream per-key aggregations
+    * reuse the groupBy's hash partitioning with no further exchange.
+    * Candidate volume per key is bound² (vs the bucket path's
+    * 3 × occupancy per month) — the caller's declared bound is what
+    * makes that a constant. Output schema and rows are IDENTICAL to
+    * the bucket path (property-tested); the exact predicate is the
+    * same a-starts-first single inequality. */
+  private def overlapPairsBounded(base: DataFrame, keyCol: String,
+      startCol: String, endCol: String, idCols: Seq[String]): DataFrame = {
+    val payload = startCol +: endCol +: idCols
+    // struct field order (start, ids..., end): array_sort's default
+    // lexicographic struct comparison then IS the pair orientation —
+    // after sorting, position i < j implies xs[j] does not start
+    // before xs[i] — so pair generation walks each row's TAIL only
+    // (bound²/2 candidates) and the overlap filter prunes INSIDE the
+    // array before anything explodes. The residual aFirst guard
+    // (strict (start, ids) inequality) only rejects fully-identical
+    // (start, ids) twins, exactly as the bucket path does.
+    val sortFields = (startCol +: idCols :+ endCol)
+    val grouped = base.groupBy(col(keyCol))
+      .agg(array_sort(collect_list(
+        struct(sortFields.map(col): _*))).as("_xs"))
+    val orderKey = (v: String) =>
+      s"struct(${(startCol +: idCols).map(v + "." + _).mkString(",")})"
+    val pairsArr = expr(
+      s"""flatten(transform(_xs, (x, i) ->
+         |  transform(
+         |    filter(slice(_xs, i + 2, size(_xs)),
+         |      y -> y.$startCol <= x.$endCol
+         |        AND ${orderKey("x")} < ${orderKey("y")}),
+         |    y -> struct(x AS a, y AS b))))""".stripMargin)
+    val pairs = grouped
+      .select(col(keyCol), explode(pairsArr).as("_p"))
+      .select(col(keyCol), col("_p.a").as("_a"), col("_p.b").as("_b"))
+    pairs
+      .select(col(keyCol) +:
+        payload.map(c => col("_a")(c).as(s"a_$c")) ++:
+        payload.map(c => col("_b")(c).as(s"b_$c")) :+
+        (datediff(least(col("_a")(endCol), col("_b")(endCol)),
+          col("_b")(startCol)) + 1).cast("long").as("overlap_days"): _*)
   }
 }

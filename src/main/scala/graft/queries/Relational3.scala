@@ -247,9 +247,12 @@ object Relational3 {
         Window.partitionBy("l_partkey")
           .orderBy("l_shipdate", "l_orderkey", "l_linenumber")))
       .filter(col("_rk") <= 32).drop("_rk")
+    // per-key rows are capped at 32 just above, so the operator's
+    // bounded-occupancy path applies: one scan + one shuffle instead
+    // of the month-bucket self-join's two window subtrees (r21)
     graft.ext.RangeJoin.overlapPairs(capped, "l_partkey",
         "l_shipdate", "l_transit_end",
-        Seq("l_orderkey", "l_linenumber"))
+        Seq("l_orderkey", "l_linenumber"), perKeyBound = Some(32))
       .groupBy("l_partkey")
       .agg(count(lit(1)).as("n_pairs"),
         max("overlap_days").as("max_overlap_days"))

@@ -285,6 +285,29 @@ class ExtSpec extends SparkSpec {
     assert(got === Set((1L, 10L), (2L, 11L)))
   }
 
+  test("overlapPairs: bounded-occupancy path equals the month-bucket path") {
+    // random inclusive [start, end] day intervals across 3 keys,
+    // including same-start ties (the id tiebreak) and multi-month spans
+    val rnd = new scala.util.Random(42)
+    def d(off: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2026, 1, 1).plusDays(off.toLong))
+    val rows = (1 to 60).map { i =>
+      val s = rnd.nextInt(120)
+      (rnd.nextInt(3).toLong, d(s), d(s + rnd.nextInt(80)), i.toLong, i % 4)
+    }
+    val df = rows.toDF("k", "st", "en", "id1", "id2")
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.select("k", "a_id1", "a_id2", "b_id1", "b_id2", "overlap_days")
+        .as[(Long, Long, Int, Long, Int, Long)].collect().toSet
+    val bucket = graft.ext.RangeJoin.overlapPairs(
+      df, "k", "st", "en", Seq("id1", "id2"))
+    val bounded = graft.ext.RangeJoin.overlapPairs(
+      df, "k", "st", "en", Seq("id1", "id2"), perKeyBound = Some(64))
+    assert(bounded.columns.toSeq === bucket.columns.toSeq)
+    assert(canon(bounded) === canon(bucket))
+    assert(canon(bucket).nonEmpty)
+  }
+
   test("range join: exact-tolerance boundary is inclusive across bucket edges") {
     def us(sec: Long) = new java.sql.Timestamp(sec * 1000)
     val tol = 60L * 1000 * 1000 // 60 s
