@@ -61,7 +61,7 @@ object BandIndex {
   }
 
   def nBands(spark: SparkSession, dir: String): Int =
-    spark.read.parquet(s"$dir/meta").head.getInt(0)
+    StoreRead.parquet(spark, s"$dir/meta").head.getInt(0)
 
   /** Append an ACCEPTED batch's band rows (call after the caller has
     * decided which new docs survive dedup — appending rejected dups
@@ -81,7 +81,7 @@ object BandIndex {
     val n = nBands(spark, dir)
     val newBands = bandRows(newDocs, idCol, textCol, n)
       .withColumnRenamed("id", "id_new")
-    val index = spark.read.parquet(s"$dir/data")
+    val index = StoreRead.parquet(spark, s"$dir/data")
       .select(col("band"), col("sig"), col("id").as("id_corpus"))
     val joined = index.join(broadcast(newBands), Seq("band", "sig"))
     // cap on bucket OCCUPANCY (distinct docs sharing the signature,

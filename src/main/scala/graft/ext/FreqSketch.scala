@@ -162,7 +162,7 @@ object FreqSketch {
     * while [[exactness]] reports (true, 0) (the meta schema is shared,
     * so the exactness discipline is too). */
   def mergedGrouped(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/freq")
+    StoreRead.parquet(spark, s"$dir/freq")
       .groupBy("grp", "item").agg(sum("cnt").as("cnt"))
 
   /** Per-group frequent items served entirely from a grouped store:
@@ -189,13 +189,13 @@ object FreqSketch {
     * bounds with total undercount ≤ the reported pivot sum. The fold
     * reads ∝ batches × capacity rows — never the corpus. */
   def merged(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/freq")
+    StoreRead.parquet(spark, s"$dir/freq")
       .groupBy("item").agg(sum("cnt").as("cnt"))
 
   /** (every stored count is exact, summed per-item undercount budget
     * across batches — merge-trim pivots + partition decrement events). */
   def exactness(spark: SparkSession, dir: String): (Boolean, Long) = {
-    val m = spark.read.parquet(s"$dir/meta")
+    val m = StoreRead.parquet(spark, s"$dir/meta")
       .agg(max(col("trimmed").cast("int")), sum("pivot")).head
     (m.getInt(0) == 0, m.getLong(1))
   }
@@ -229,7 +229,7 @@ object FreqSketch {
       capacity: Int): Unit = {
     require(capacity > 0, "capacity must be positive")
     try {
-      val caps = spark.read.parquet(s"$dir/meta")
+      val caps = StoreRead.parquet(spark, s"$dir/meta")
         .select("capacity").distinct().collect().map(_.getInt(0))
       require(caps.forall(_ == capacity),
         s"store capacity ${caps.mkString(",")} != $capacity")

@@ -74,7 +74,7 @@ object HistogramSketch {
   /** The merged histogram for `column` — (value, n) with counts summed
     * across every appended batch. */
   def histogram(spark: SparkSession, dir: String, column: String): DataFrame =
-    spark.read.parquet(s"$dir/hist")
+    StoreRead.parquet(spark, s"$dir/hist")
       .filter(col("column") === column)
       .groupBy("value").agg(sum("n").as("n"))
 
@@ -88,7 +88,7 @@ object HistogramSketch {
       qs: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val h = spark.read.parquet(s"$dir/hist")
+    val h = StoreRead.parquet(spark, s"$dir/hist")
       .filter(col("column") === column)
       .groupBy(groupCols.map(col) :+ col("value"): _*)
       .agg(sum("n").as("n"))

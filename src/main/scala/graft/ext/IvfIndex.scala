@@ -84,7 +84,7 @@ object IvfIndex {
   }
 
   def loadModel(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
-    val rows = spark.read.parquet(s"$dir/centroids")
+    val rows = StoreRead.parquet(spark, s"$dir/centroids")
       .orderBy("idx").collect()
     Model(rows.map(_.getSeq[Double](1).toArray))
   }

@@ -147,7 +147,7 @@ object KmvSketch {
   def overlapMatrix(spark: SparkSession, dir: String,
       requireExact: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.udaf
-    val st = spark.read.parquet(dir)
+    val st = StoreRead.parquet(spark, dir)
     val k = st.agg(min("k")).head.getInt(0)
     val kmin = udaf(new KMinAggregator(k),
       org.apache.spark.sql.Encoders.scalaLong)

@@ -70,7 +70,7 @@ object PairStore {
     * one IEEE divide — the batch query's exact arithmetic). */
   def cooccurrenceFromStore(spark: SparkSession, dir: String,
       minCo: Long = 2L): DataFrame = {
-    val meta = spark.read.parquet(s"$dir/meta")
+    val meta = StoreRead.parquet(spark, s"$dir/meta")
     val m = meta.agg(
       countDistinct("shard").as("nShards"),
       countDistinct("cap").as("nCaps"),
@@ -80,10 +80,10 @@ object PairStore {
         "distinct-user partials only merge across user-disjoint, " +
         "equally-capped batches")
     val nUsers = m.getLong(2) // user-disjoint shards sum exactly
-    val co = spark.read.parquet(s"$dir/pairs")
+    val co = StoreRead.parquet(spark, s"$dir/pairs")
       .groupBy("item_a", "item_b").agg(sum("n_co").as("n_co"))
       .filter(col("n_co") >= minCo) // threshold at FOLD time, not per batch
-    val items = spark.read.parquet(s"$dir/items")
+    val items = StoreRead.parquet(spark, s"$dir/items")
       .groupBy("item").agg(sum("nu").as("nu"))
     co.join(broadcast(items
         .select(col("item").as("item_a"), col("nu").as("n_a"))), "item_a")

@@ -157,7 +157,7 @@ object Pq {
   }
 
   def loadCodebooks(spark: SparkSession, path: String): Codebooks = {
-    val rows = spark.read.parquet(path)
+    val rows = StoreRead.parquet(spark, path)
       .orderBy("subspace", "code").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val m = rows.map(_._1).max + 1
@@ -259,7 +259,7 @@ object IvfPq {
 
   def loadIndex(spark: SparkSession, dir: String): Index = {
     val ivf = IvfIndex.Model(
-      spark.read.parquet(s"$dir/centroids").orderBy("idx").collect()
+      StoreRead.parquet(spark, s"$dir/centroids").orderBy("idx").collect()
         .map(_.getSeq[Double](1).toArray))
     Index(ivf, Pq.loadCodebooks(spark, s"$dir/codebooks"))
   }

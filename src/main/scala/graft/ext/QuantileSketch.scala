@@ -126,12 +126,12 @@ object QuantileSketch {
     * batches × capacity rows (control-plane sized; every downstream
     * window rides on THIS, never on corpus data). */
   def merged(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/quant")
+    StoreRead.parquet(spark, s"$dir/quant")
       .groupBy("v").agg(sum("w").as("w"))
 
   /** Group-wise fold of a grouped store: (grp, v, w). */
   def mergedGrouped(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/quant")
+    StoreRead.parquet(spark, s"$dir/quant")
       .groupBy("grp", "v").agg(sum("w").as("w"))
 
   /** (every stored summary is the exact weighted census, summed rank
@@ -139,7 +139,7 @@ object QuantileSketch {
     * are corpus-exact; otherwise each reported value's true rank is
     * within the budget of the requested one. */
   def exactness(spark: SparkSession, dir: String): (Boolean, Long) = {
-    val m = spark.read.parquet(s"$dir/meta")
+    val m = StoreRead.parquet(spark, s"$dir/meta")
       .agg(max(col("compacted").cast("int")), sum("budget")).head
     (m.getInt(0) == 0, m.getLong(1))
   }
@@ -275,7 +275,7 @@ object QuantileSketch {
       capacity: Int): Unit = {
     require(capacity > 0, "capacity must be positive")
     try {
-      val caps = spark.read.parquet(s"$dir/meta")
+      val caps = StoreRead.parquet(spark, s"$dir/meta")
         .select("capacity").distinct().collect().map(_.getInt(0))
       require(caps.forall(_ == capacity),
         s"store capacity ${caps.mkString(",")} != $capacity")

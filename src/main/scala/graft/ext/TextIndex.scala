@@ -69,7 +69,7 @@ object TextIndex {
       dir, overwrite = true, nBuckets)
 
   def nBuckets(spark: SparkSession, dir: String): Int =
-    spark.read.parquet(s"$dir/meta").head.getInt(0)
+    StoreRead.parquet(spark, s"$dir/meta").head.getInt(0)
 
   /** Append a new batch's postings (ingest path). */
   def append(docs: DataFrame, idCol: String, textCol: String,
@@ -85,7 +85,7 @@ object TextIndex {
     require(terms.nonEmpty, "at least one search term")
     val n = nBuckets(spark, dir)
     val buckets = terms.map(termBucket(_, n)).distinct
-    spark.read.parquet(s"$dir/data")
+    StoreRead.parquet(spark, s"$dir/data")
       .filter(col("tb").isin(buckets: _*))
       .filter(col("term").isin(terms: _*))
       .drop("tb")
@@ -204,7 +204,7 @@ object TextIndex {
     val qs = terms.map(_.toLowerCase).distinct
     require(qs.nonEmpty, "bm25Search needs at least one term")
     require(k >= 1, "k must be >= 1")
-    val stats = spark.read.parquet(s"$dir/docstats")
+    val stats = StoreRead.parquet(spark, s"$dir/docstats")
     val g = stats.agg(count(lit(1)).as("n"),
       coalesce(sum("len"), lit(0L)).as("total")).head
     val nDocs = g.getLong(0)
@@ -303,7 +303,7 @@ object TextIndex {
   }
 
   private def fuzzyMeta(spark: SparkSession, dir: String): (Int, Int) = {
-    val r = spark.read.parquet(s"$dir/meta").select("n_buckets", "depth").head
+    val r = StoreRead.parquet(spark, s"$dir/meta").select("n_buckets", "depth").head
     (r.getInt(0), r.getInt(1))
   }
 
@@ -392,7 +392,7 @@ object TextIndex {
     val pairs = qs.flatMap(q => deleteVariants(q, maxEdit).map(v => (q, v)))
     val vars = pairs.map(_._2).distinct
     val buckets = vars.map(termBucket(_, n)).distinct
-    spark.read.parquet(s"$dir/data")
+    StoreRead.parquet(spark, s"$dir/data")
       .filter(col("vb").isin(buckets: _*))
       .filter(col("variant").isin(vars: _*))
       .join(broadcast(pairs.toDF("input", "variant")), "variant")

@@ -1032,7 +1032,7 @@ object ExtQueries {
   }
 
   def m1_image_neardup(s: SparkSession, dir: String): DataFrame = {
-    val stored = s.read.parquet(mediaFeatsDir(s, dir))
+    val stored = graft.ext.StoreRead.parquet(s, mediaFeatsDir(s, dir))
     Similarity.cosineNearDupPairs(stored, "features", "media_id",
         threshold = 0.8, nBits = 4)
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
@@ -1076,7 +1076,7 @@ object ExtQueries {
     * scores from the feature sidecar, AudioCodecSpec pins the decode
     * against generated ground truth. */
   def m2_audio_neardup(s: SparkSession, dir: String): DataFrame = {
-    val stored = s.read.parquet(audioFeatsDir(s, dir))
+    val stored = graft.ext.StoreRead.parquet(s, audioFeatsDir(s, dir))
     Similarity.cosineNearDupPairs(stored, "features", "media_id",
         threshold = 0.8, nBits = 4)
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
@@ -1122,7 +1122,7 @@ object ExtQueries {
     * and text embeddings; DuckDB recomputes buckets and scores from
     * the feature sidecar. */
   def m3_video_neardup(s: SparkSession, dir: String): DataFrame = {
-    val stored = s.read.parquet(videoFeatsDir(s, dir))
+    val stored = graft.ext.StoreRead.parquet(s, videoFeatsDir(s, dir))
     Similarity.cosineNearDupPairs(stored, "features", "media_id",
         threshold = 0.8, nBits = 4)
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))

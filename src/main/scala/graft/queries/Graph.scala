@@ -105,7 +105,7 @@ object Graph {
   /** Triangle census of the co-supplier graph: nodes, edges, triangles
     * in one row, served from the persisted edge artifact. */
   def g_triangle_count(s: SparkSession, dir: String): DataFrame =
-    GraphOps.summary(s.read.parquet(s"${coEdgesDir(s, dir)}/data"))
+    GraphOps.summary(graft.ext.StoreRead.parquet(s, s"${coEdgesDir(s, dir)}/data"))
 
   /** Transitive closure of the FK lineage DAG (`ext.Closure` frontier
     * walk): orders → customer → nation → region plus supplier →

@@ -214,7 +214,7 @@ object TextSim {
     }
 
   private def ccComponents(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"${ccComponentsDir(s, dir)}/data")
+    graft.ext.StoreRead.parquet(s, s"${ccComponentsDir(s, dir)}/data")
 
   def x2_cc_components(s: SparkSession, dir: String): DataFrame =
     ccComponents(s, dir).orderBy("doc_id")
@@ -244,7 +244,7 @@ object TextSim {
     }
 
   def x2_cc_incremental(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"${ccIncrementalDir(s, dir)}/data").orderBy("doc_id")
+    graft.ext.StoreRead.parquet(s, s"${ccIncrementalDir(s, dir)}/data").orderBy("doc_id")
 
   /** X2 — the END of the dedup pipeline: canonical selection. Each
     * near-dup component keeps its min-id document; documents outside
