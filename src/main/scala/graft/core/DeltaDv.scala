@@ -195,6 +195,30 @@ object DeltaDv {
     out.result()
   }
 
+  /** Cardinality of a portable RoaringBitmapArray WITHOUT
+    * materializing positions: sums each 32-bit bucket's cardinality
+    * while decoding. A tens-of-millions-deletes DV costs O(1) extra
+    * heap here where [[deserializeBitmap]] allocates 8 bytes per
+    * deleted row — use this for counting (e.g. statistics paths). */
+  def bitmapCardinality(bytes: Array[Byte]): Long = {
+    val header = ByteBuffer.wrap(bytes, 0, 12).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = header.getInt
+    require(magic == 1681511377,
+      s"not a portable RoaringBitmapArray (magic $magic)")
+    val n = header.getLong
+    val in = new DataInputStream(
+      new java.io.ByteArrayInputStream(bytes, 12, bytes.length - 12))
+    var total = 0L
+    var k = 0L
+    while (k < n) {
+      val rb = new RoaringBitmap()
+      rb.deserialize(in)
+      total += rb.getLongCardinality
+      k += 1
+    }
+    total
+  }
+
   /** One stored blob's placement inside a DV file. */
   final case class Slot(offset: Long, sizeInBytes: Long, cardinality: Long)
 

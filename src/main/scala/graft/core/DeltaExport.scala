@@ -143,7 +143,11 @@ object DeltaExport {
   /** ROW TRACKING's durable high watermark, the spec's channel: a
     * domainMetadata action on the delta.rowTracking domain. (The
     * same value rides metaData configuration graft.rowIdHighWaterMark
-    * for this writer's own recovery, like graft.txVersion.) */
+    * for this writer's own recovery, like graft.txVersion.) The value
+    * is the HIGHEST ASSIGNED row id (delta-spark convention: -1 when
+    * none assigned; the next fresh base is value + 1) — tools that
+    * validate watermark == max(baseRowId + numPhysicalRecords - 1)
+    * accept the log. */
   private def rowTrackingDomain(hwm: Long): JObject =
     JObject("domainMetadata" -> JObject(
       "domain" -> JString("delta.rowTracking"),
@@ -414,7 +418,8 @@ object DeltaExport {
         slots.map { case (k, v) => k -> (enc, v) }
       }
     // ROW TRACKING: fresh contiguous id ranges in sorted-path order
-    // (deterministic); the watermark is the total physical rows
+    // (deterministic); the published watermark is the highest assigned
+    // id (hwm counts rows internally; the spec value is hwm - 1)
     val sorted = files.map(_._1).sortBy(_.path)
     def physRows(f: TxTable.LiveFile): Long =
       FileStats.fromJson(f.statsJson, statsSchema).map(_.rows)
@@ -438,8 +443,8 @@ object DeltaExport {
           checks = checks,
           mappingMaxId = if (mapped) Some(maxId) else None,
           mappingMode = mode,
-          rowIdHighWaterMark = if (rowTracking) Some(hwm) else None) +:
-        (adds ++ (if (rowTracking) Seq(rowTrackingDomain(hwm)) else Nil)))
+          rowIdHighWaterMark = if (rowTracking) Some(hwm - 1) else None) +:
+        (adds ++ (if (rowTracking) Seq(rowTrackingDomain(hwm - 1)) else Nil)))
   }
 
   /** The net row-level diff `table.changes(fromTx, toTx)` as Delta
@@ -553,13 +558,24 @@ object DeltaExport {
     val cpProto = CpProtocol(p.minReaderVersion, p.minWriterVersion,
       if (p.readerFeatures.isEmpty) None else Some(p.readerFeatures),
       if (p.writerFeatures.isEmpty) None else Some(p.writerFeatures))
-    // ROW TRACKING: checkpoints must carry the domainMetadata high
-    // watermark (the JSON prefix that declared it becomes vacuumable)
-    val domainRows: Seq[CpRow] =
-      meta.configuration.get("graft.rowIdHighWaterMark").toSeq.map(h =>
+    // DOMAIN METADATA: the spec requires checkpoints to carry ALL
+    // replayed domainMetadata actions forward (the JSON prefix that
+    // declared them becomes vacuumable) — including domains a stock
+    // writer committed (clustering, its own rowTracking bump), never
+    // just a re-synthesized delta.rowTracking. Tombstones (removed =
+    // true) carry verbatim; the synthesized rowTracking row remains
+    // only as a fallback for logs this writer exported before the
+    // domain action existed.
+    val replayedDomains: Seq[CpRow] = snap.domainMetadata.toSeq.sortBy(_._1)
+      .map { case (d, (cfg, rm)) =>
+        CpRow(None, None, None, Some(CpDomainMetadata(d, cfg, rm))) }
+    val rtFallback: Seq[CpRow] =
+      if (snap.domainMetadata.contains("delta.rowTracking")) Nil
+      else meta.configuration.get("graft.rowIdHighWaterMark").toSeq.map(h =>
         CpRow(None, None, None, Some(CpDomainMetadata(
           "delta.rowTracking",
           s"""{"rowIdHighWaterMark":$h}""", removed = false))))
+    val domainRows: Seq[CpRow] = replayedDomains ++ rtFallback
     val rows: Seq[CpRow] =
       CpRow(Some(cpProto), None, None) +:
       CpRow(None, Some(meta), None) +:
@@ -797,11 +813,48 @@ object DeltaExport {
     val loggedRowIds: Map[String, (Long, Long)] = logged.adds.flatMap(a =>
       a.baseRowId.map(b => rel(a.path) ->
         ((b, a.defaultRowCommitVersion.getOrElse(0L))))).toMap
-    var hwm: Long = loggedMeta.flatMap(j =>
+    // hwm below is the NEXT FRESH BASE. Recover it from every channel
+    // the log offers and take the max — relying on graft's private
+    // metaData key alone loses the watermark when a stock writer
+    // advanced it through the spec's delta.rowTracking domain, or when
+    // a foreign metaData rewrite dropped the graft key; recovering 0
+    // would re-assign bases that COLLIDE with published ids.
+    //   - delta.rowTracking domainMetadata (the spec channel): the
+    //     highest assigned id → next base = value + 1
+    //   - graft.rowIdHighWaterMark metaData key: written as highest
+    //     assigned id too (spec convention; logs from builds that
+    //     stored the next base instead just leave a one-id gap —
+    //     a gap is legal, a collision is not)
+    //   - max(baseRowId + numRecords) over logged adds with stats:
+    //     the floor the live files themselves prove
+    val domainNext: Option[Long] = logged.domainMetadata
+      .get("delta.rowTracking").collect { case (cfg, false) =>
+        (JsonMethods.parse(cfg) \ "rowIdHighWaterMark") match {
+          case JInt(x)    => Some(x.toLong + 1L)
+          case JString(x) => x.toLongOption.map(_ + 1L)
+          case _          => None
+        }
+      }.flatten
+    val graftNext: Option[Long] = loggedMeta.flatMap(j =>
       (j \ "configuration" \ "graft.rowIdHighWaterMark") match {
-        case JString(x) => x.toLongOption
+        case JString(x) => x.toLongOption.map(_ + 1L)
         case _          => None
-      }).getOrElse(0L)
+      })
+    val addsNext: Option[Long] = {
+      val tops: Seq[Long] = logged.adds.flatMap(a => for {
+        b <- a.baseRowId
+        s <- a.stats
+        n <- (JsonMethods.parse(s) \ "numRecords") match {
+          case JInt(x)  => Some(x.toLong)
+          case JLong(x) => Some(x)
+          case _        => None
+        }
+      } yield b + n)
+      if (tops.isEmpty) None else Some(tops.max)
+    }
+    var hwm: Long =
+      (domainNext.toSeq ++ graftNext.toSeq ++ addsNext.toSeq)
+        .foldLeft(0L)(math.max)
     val nextV = logged.version + 1L
     val rowIdOf: Map[String, (Long, Long)] =
       if (!rt) Map.empty
@@ -822,7 +875,7 @@ object DeltaExport {
           if (cdf) Some(curTx) else None, loggedId, checks,
           mappingMaxId = if (mapped) Some(maxId) else None,
           mappingMode = mode,
-          rowIdHighWaterMark = if (rt) Some(hwm) else None))
+          rowIdHighWaterMark = if (rt) Some(hwm - 1) else None))
       else Nil
     val removeActions = (removed ++ dvChanged).sorted.map { p =>
       JObject("remove" -> JObject(
@@ -835,7 +888,7 @@ object DeltaExport {
         rowIdOf.get(rel(f.path)))(f) }
     val domainActions =
       if (rt && (readds.nonEmpty || enablingRt))
-        Seq(rowTrackingDomain(hwm))
+        Seq(rowTrackingDomain(hwm - 1))
       else Nil
     val v = nextV
     val commit = writeCommit(fs, table.dir, v,

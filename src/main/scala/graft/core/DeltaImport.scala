@@ -112,7 +112,14 @@ object DeltaImport {
       /** JSON commit files actually replayed (after the bootstrap). */
       replayedJsonCommits: Int = 0,
       /** the log's winning protocol action (floor when absent). */
-      protocol: Protocol = Protocol(1, 2, Nil, Nil)) {
+      protocol: Protocol = Protocol(1, 2, Nil, Nil),
+      /** last-writer-wins domainMetadata per domain: domain →
+        * (configuration JSON, removed). The spec requires checkpoints
+        * to carry these forward (a stock writer's clustering or
+        * rowTracking domain must survive a vacuumed JSON prefix), and
+        * the rowTracking high watermark rides the delta.rowTracking
+        * domain. */
+      domainMetadata: Map[String, (String, Boolean)] = Map.empty) {
     /** live data files: absolute path -> partition values (raw
       * protocol strings; null value = null partition). */
     def files: Seq[(String, Map[String, Option[String]])] =
@@ -257,6 +264,9 @@ object DeltaImport {
     var proto: Protocol = Protocol(1, 2, Nil, Nil)
     // LinkedHashMap keeps add order for deterministic file lists
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    // domain → (configuration, removed); last writer wins per domain
+    val domains =
+      scala.collection.mutable.LinkedHashMap.empty[String, (String, Boolean)]
 
     // Honest floor: reader v1 (plain parquet), reader v2 (column
     // mapping implied — the scan binds by physicalName; id mode is
@@ -395,6 +405,16 @@ object DeltaImport {
               if (a.isNullAt(7)) None else Some(a.getLong(7))))
           }
       }
+      if (cols("domainMetadata")) {
+        rows.where(c("domainMetadata").isNotNull)
+          .select(c("domainMetadata.domain"),
+            c("domainMetadata.configuration"),
+            c("domainMetadata.removed"))
+          .collect().foreach { d =>
+            domains.put(d.getString(0),
+              (d.getString(1), !d.isNullAt(2) && d.getBoolean(2)))
+          }
+      }
       if (!cols("sidecar")) Nil
       else rows.where(c("sidecar").isNotNull)
         .select(c("sidecar.path")).collect().map(_.getString(0)).toSeq
@@ -453,6 +473,13 @@ object DeltaImport {
           case JNothing => ()
           case r => live.remove(resolve((r \ "path").extract[String]))
         }
+        (j \ "domainMetadata") match {
+          case JNothing => ()
+          case d =>
+            domains.put((d \ "domain").extract[String],
+              ((d \ "configuration").extractOpt[String].getOrElse("{}"),
+                (d \ "removed").extractOpt[Boolean].getOrElse(false)))
+        }
         (j \ "sidecar" \ "path") match {
           case JString(s) => Some(s)
           case _          => None
@@ -489,7 +516,7 @@ object DeltaImport {
     }
     require(schema != null, "log replay found no metaData action")
     Snapshot(target, schema, partCols, live.values.toSeq, metaRaw,
-      boot, tail.size, proto)
+      boot, tail.size, proto, domains.toMap)
   }
 
   /** EXACT live row count of a snapshot when the log carries enough

@@ -98,8 +98,9 @@ object IcebergImport {
   def rowCount(snap: Snapshot): Option[Long] =
     if (snap.posDeleteFiles.nonEmpty || snap.eqDeletes.nonEmpty) None
     else Some(snap.recordCounts.sum -
-      snap.dvDeletes.map(d =>
-        DeltaDv.deserializeBitmap(d._2).length.toLong).sum)
+      // cardinality summed while decoding — a large DV must never
+      // expand to a driver-side positions array just to be counted
+      snap.dvDeletes.map(d => DeltaDv.bitmapCardinality(d._2)).sum)
 
   private def sparkType(t: String): DataType = t match {
     case "boolean"     => BooleanType
@@ -994,21 +995,26 @@ object IcebergImport {
             case (Some(cs), Some(b)) => !cs(b)
             case _ => false
           }
+          // row-lineage inheritance consumes the manifest's running
+          // base for EVERY null-first_row_id data entry in manifest
+          // order (spec rule) — including entries WE prune: a pruned
+          // file still occupied its id slice when the manifest was
+          // written, so the cursor must advance before the entry is
+          // dropped or every later inherited base comes out short
+          val rc = df.get("record_count").asInstanceOf[Long]
+          val explicitBase: Option[Long] =
+            if (df.getSchema.getField("first_row_id") == null) None
+            else Option(df.get("first_row_id"))
+              .map(_.asInstanceOf[Number].longValue())
+          val rowBase: Option[Long] = explicitBase.orElse {
+            val b = rlCursor
+            rlCursor = rlCursor.map(_ + rc)
+            b
+          }
           if (pruned) None
-          else {
-            val rc = df.get("record_count").asInstanceOf[Long]
-            val explicitBase: Option[Long] =
-              if (df.getSchema.getField("first_row_id") == null) None
-              else Option(df.get("first_row_id"))
-                .map(_.asInstanceOf[Number].longValue())
-            val rowBase: Option[Long] = explicitBase.orElse {
-              val b = rlCursor
-              rlCursor = rlCursor.map(_ + rc)
-              b
-            }
+          else
             Some((df.get("file_path").toString, rc, entrySeq(m, e),
               statsFromEntry(df, rc, schema, fieldIds), rowBase))
-          }
         }
       }
     }

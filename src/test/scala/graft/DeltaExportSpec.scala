@@ -366,13 +366,15 @@ class DeltaExportSpec extends SparkSpec {
     val metaConf = (JsonMethods.parse(s1.metaRaw.get) \ "configuration")
       .extract[Map[String, String]]
     assert(metaConf.get("delta.enableRowTracking") === Some("true"))
-    assert(metaConf.get("graft.rowIdHighWaterMark") === Some("40"))
+    // spec convention: the watermark is the HIGHEST ASSIGNED id
+    // (40 rows -> 39), not the next fresh base
+    assert(metaConf.get("graft.rowIdHighWaterMark") === Some("39"))
     // the spec channel: a delta.rowTracking domainMetadata action
     val logDir = new java.io.File(dir, "_delta_log")
     val c0 = java.nio.file.Files.readString(
       java.nio.file.Path.of(logDir.toString, "0" * 20 + ".json"))
     assert(c0.contains(""""domain":"delta.rowTracking""""))
-    assert(c0.contains("""{\"rowIdHighWaterMark\":40}"""))
+    assert(c0.contains("""{\"rowIdHighWaterMark\":39}"""))
 
     // append: old files KEEP their ids, the new one starts at the
     // watermark; the feature is STICKY (no rowTracking arg)
@@ -419,5 +421,66 @@ class DeltaExportSpec extends SparkSpec {
     val b = DeltaImport.snapshot(spark, dir2)
     assert(b.protocol.writerFeatures.contains("rowTracking"))
     assert(b.adds.forall(_.baseRowId.isDefined))
+  }
+
+  test("rowTracking watermark survives a foreign metaData rewrite; " +
+    "checkpoints carry foreign domains") {
+    import graft.core.DeltaImport
+    implicit val fmts: Formats = DefaultFormats
+    val dir = tmpDir("delta-rtrec") + "/t"
+    val df = (1L to 40L).map(k => (k, k * 1.0)).toDF("k", "v")
+    val t = new TxTable(spark, dir, df.schema, Seq("k"), numBuckets = 2)
+    t.append(df)
+    assert(DeltaExport.syncDeltaLog(spark, t, rowTracking = true).nonEmpty)
+    val s1 = DeltaImport.snapshot(spark, dir)
+    val published = s1.adds.map(_.baseRowId.get)
+
+    // a stock writer rewrites metaData WITHOUT graft's private key and
+    // commits its own domain (clustering) — the spec watermark now
+    // rides only the delta.rowTracking domainMetadata action
+    val metaJ = org.json4s.jackson.JsonMethods.parse(s1.metaRaw.get)
+    val scrubbedConf = metaJ.transformField {
+      case ("configuration", JObject(kvs)) =>
+        ("configuration", JObject(kvs.filterNot(_._1.startsWith("graft."))))
+    }
+    val logDir = new java.io.File(dir, "_delta_log")
+    val foreign = new java.io.File(logDir,
+      f"${s1.version + 1}%020d.json")
+    val w = new java.io.PrintWriter(foreign, "UTF-8")
+    try {
+      w.println(org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(
+          JObject("metaData" -> scrubbedConf))))
+      w.println("""{"domainMetadata":{"domain":"delta.clustering",""" +
+        """"configuration":"{\"clusteringColumns\":[]}","removed":false}}""")
+    } finally w.close()
+
+    val s2 = DeltaImport.snapshot(spark, dir)
+    assert(s2.domainMetadata.contains("delta.rowTracking"))
+    assert(s2.domainMetadata.contains("delta.clustering"))
+
+    // re-sync after new rows: fresh bases must come from the domain
+    // watermark, never collide with the published ranges
+    t.append(Seq((41L, 41.0), (42L, 42.0)).toDF("k", "v"))
+    assert(DeltaExport.syncDeltaLog(spark, t).nonEmpty)
+    val s3 = DeltaImport.snapshot(spark, dir)
+    val fresh = s3.adds.flatMap(_.baseRowId).filterNot(published.contains)
+    assert(fresh.nonEmpty && fresh.forall(_ >= 40L),
+      s"fresh bases $fresh must start above the recovered watermark")
+
+    // checkpoint carries the foreign domain forward (spec: ALL
+    // non-removed domainMetadata), not just delta.rowTracking
+    val cp = DeltaExport.writeCheckpoint(spark, t)
+    val dmRows = spark.read.parquet(cp)
+      .where(col("domainMetadata").isNotNull)
+      .select("domainMetadata.domain").as[String].collect().toSet
+    assert(dmRows.contains("delta.clustering"))
+    assert(dmRows.contains("delta.rowTracking"))
+    // and the bootstrap (vacuumed JSON prefix) still serves both
+    (0L to s3.version).foreach(v =>
+      new java.io.File(logDir, f"$v%020d.json").delete())
+    val s4 = DeltaImport.snapshot(spark, dir)
+    assert(s4.domainMetadata.contains("delta.clustering"))
+    assert(s4.domainMetadata.contains("delta.rowTracking"))
   }
 }
