@@ -165,9 +165,15 @@ object Dedup {
       num: Int, den: Int): DataFrame = {
     require(num > 0 && den > 0 && num < den,
       s"threshold num/den must be a rational in (0, 1); got $num/$den")
+    // tokenized once (localCheckpoint): THREE subtrees consume the
+    // word sets (the token census feeding the frequency order, the
+    // prefix expansion, and the verify join) and each would otherwise
+    // re-run the regexp tokenize + explode over the corpus (r21,
+    // guide §1.2 — materialize what is recomputed, linear in corpus)
     val sets = df.select(col(idCol).as("_id"),
         array_distinct(words(col(textCol))).as("_set"))
       .filter(size(col("_set")) > 0)
+      .localCheckpoint(true)
     val toks = sets.select(col("_id"), size(col("_set")).as("_sz"),
       explode(col("_set")).as("_tok"))
     val freq = toks.groupBy("_tok").agg(count(lit(1)).as("_df"))

@@ -364,9 +364,13 @@ object Analytics {
     * decimal revenue, and each decile's share of total (integer-exact
     * decimal sums; the share is one divide, rounded). */
   def a_pareto_deciles(s: SparkSession, dir: String): DataFrame = {
+    // customer-domain-sized aggregate, materialized once: GlobalRank
+    // reads its input twice (the value census and the rank-join), so
+    // an uncheckpointed spend re-scans orders per consumer (r21)
     val spend = t(s, dir, "orders")
       .groupBy(col("o_custkey").as("custkey"))
       .agg(sum(money(col("o_totalprice"))).as("spend_dec"))
+      .localCheckpoint(true)
     val ranked = graft.ext.GlobalRank.withRanks(
       spend.withColumn("spend", col("spend_dec").cast(DoubleType)),
       "spend", "custkey", nTiles = 10)
@@ -422,6 +426,7 @@ object Analytics {
     val spend = t(s, dir, "orders")
       .groupBy(col("o_custkey").as("custkey"))
       .agg(sum(money(col("o_totalprice"))).cast(DoubleType).as("spend"))
+      .localCheckpoint(true) // two GlobalRank consumers, one orders scan
     graft.ext.GlobalRank.withRanks(spend, "spend", "custkey", nTiles = 10)
       .select(col("custkey"), col("spend"), col("row_number"),
         col("rank"), col("percent_rank"), col("cume_dist"),
@@ -446,10 +451,16 @@ object Analytics {
         get_json_object(col("props"), "$.k").cast(IntegerType).as("item"))
       .filter(col("item").isNotNull)
       .distinct()
+    // materialized ONCE (localCheckpoint, ≤ 64 rows per user — the
+    // same linear bound ev_session_funnel's frame carries): four
+    // consumers read it (both self-join sides, the per-item census,
+    // the user count) and would otherwise each re-run the purchase
+    // scan + distinct + window (r21, guide §5)
     val capped = p
       .withColumn("_rk", row_number().over(
         Window.partitionBy("user_id").orderBy("item")))
       .filter(col("_rk") <= 64).drop("_rk")
+      .localCheckpoint(true)
     val co = capped.select(col("user_id"), col("item").as("item_a"))
       .join(capped.select(col("user_id"), col("item").as("item_b")),
         Seq("user_id"))
@@ -700,8 +711,11 @@ object Analytics {
     val ud = t(s, dir, "events")
       .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
       .distinct()
-    val fd = ud.groupBy("user_id").agg(min("d").as("first_d"))
-    ud.join(fd, "user_id")
+    // first day via a user-keyed window (min over the user's rows):
+    // the groupBy + self-join shape scanned the distinct frame twice
+    // and paid an extra exchange for the join (r21, guide §2.4)
+    ud.withColumn("first_d",
+        min("d").over(Window.partitionBy("user_id")))
       .groupBy("d")
       .agg(count(when(col("d") === col("first_d"), 1)).as("new_users"),
         count(when(col("d") =!= col("first_d"), 1)).as("returning_users"))
