@@ -135,10 +135,14 @@ object Relational3 {
     val med = wmedian(wts, "med")
     // deviation weights fold values symmetric around the median onto
     // one |v - med| row — still value-weight rows, never raw rows
+    // materialized once like wts: TWO consumers (the MAD median and
+    // the final census) would otherwise each re-run the med-join +
+    // deviation fold over the value-weight rows (r21; domain-bounded)
     val devw = wts.join(broadcast(med), "st")
       .groupBy(col("st"), col("med"),
         abs(col("v") - col("med")).as("d"))
       .agg(sum("w").as("w"))
+      .localCheckpoint()
     val mad = wmedian(devw.select(col("st"), col("d").as("v"), col("w")),
       "mad")
     devw.join(broadcast(mad), "st")

@@ -317,6 +317,10 @@ object TextSim {
           "transform(sequence(1, length(lt) - 2), i -> xxhash64(substring(lt, i, 3))) " +
           "ELSE array() END)").as("sh"))
       .withColumn("n_sh", size(col("sh")).cast(LongType))
+      // shingled once (localCheckpoint): both verify-join sides read
+      // this frame — without it the char-3-gram hash transform runs
+      // twice over the slice (r21)
+      .localCheckpoint()
     val jac = {
       val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
       inter / (col("n_a") + col("n_b") - inter)
