@@ -148,6 +148,14 @@ object ScanJob {
       col("trust_tier").as("_tier"),
       col("monitoring_stage").as("_stage"),
       col("profile_id").as("_profile"))
+      // materialized ONCE (batch-bounded): EIGHT consumers read this
+      // frame (document insert, five ingest sketch batches, the embed
+      // input, the extraction input, the lineage links) and each
+      // would otherwise re-run the dedupe-window + recency + policy
+      // pipeline over the candidate batch (r21, guide §1.2/§5). Also
+      // required for durability: the review/link reads below survive
+      // the source_documents directory swap insertIfAbsent performs.
+      .localCheckpoint(true)
 
     val docTable = wh.domainTable("source_documents")
     docTable.insertIfAbsent(docs.drop("_published", "_tier", "_stage", "_profile"))
@@ -225,6 +233,9 @@ object ScanJob {
         col("embedding"),
         lit(localStoreId).as("vector_store_id"),
         now.cast(TimestampType).as("created_at"))
+      // embed runs ONCE: the insert and the counter both read the
+      // materialized chunk frame instead of re-embedding (r21)
+      .localCheckpoint(true)
     wh.domainTable("vector_chunks").insertIfAbsent(vectors)
     val vectorCount = vectors.count()
 
