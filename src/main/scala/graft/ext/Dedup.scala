@@ -81,8 +81,13 @@ object Dedup {
       .select(col("_id"), explode(array((0 until nBands).map(i =>
         struct(lit(i).as("band"), col(s"band$i").as("sig"))): _*)).as("e"))
       .select(col("e.band").as("band"), col("e.sig").as("sig"), col("_id"))
+    // materialized ONCE (corpus × nBands rows of (band, sig, id, n)):
+    // three consumers (both candidate-join sides and the recall
+    // ledger) would otherwise each re-run tokenize + minhash bands +
+    // explode + the bucket-size window (r21, guide §1.2/§5)
     val sized = long
       .withColumn("_n", count(lit(1)).over(Window.partitionBy("band", "sig")))
+      .localCheckpoint(true)
     val bucketed = sized.filter(col("_n") <= maxBucket)
     // the recall ledger also reports docs with NO word tokens (their
     // null band signatures would silently never join otherwise)
@@ -112,8 +117,11 @@ object Dedup {
     * word unigrams; swap `words` for shingles for higher n). */
   def jaccardVerify(pairs: DataFrame, df: DataFrame, idCol: String,
       textCol: String, threshold: Double): DataFrame = {
+    // tokenized once (localCheckpoint): both pair-side joins read the
+    // word sets — same discipline as prefixJaccardJoin (r21)
     val sets = df.select(col(idCol).as("_jid"),
       array_distinct(words(col(textCol))).as("_set"))
+      .localCheckpoint(true)
     pairs
       .join(sets.withColumnRenamed("_jid", "id_a")
         .withColumnRenamed("_set", "set_a"), Seq("id_a"))
@@ -402,8 +410,11 @@ object Dedup {
       // mutual near-dups of each other — exclude them (see [[words]])
       .filter(size(col("_ws")) > 0)
       .select(col(idCol).as("_id"), simhash16("_ws").as("_sh"))
-    // explode into (block, value) rows in one scan; a cluster run
-    // would persist `sims` (the signature table) instead of recomputing
+      // the signature table IS persisted (localCheckpoint, id + 16-bit
+      // hash per doc): both self-join sides read it — without it the
+      // tokenize + simhash fold runs twice over the corpus (r21)
+      .localCheckpoint(true)
+    // explode into (block, value) rows in one scan
     val blockCols = (0 until nBlocks).map { j =>
       val lo = j * blockSize
       val width = if (j == nBlocks - 1) bits - lo else blockSize
