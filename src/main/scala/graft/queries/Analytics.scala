@@ -470,13 +470,18 @@ object Analytics {
       .filter(col("n_co") >= 2)
     val itemUsers = capped.groupBy("item")
       .agg(countDistinct("user_id").as("nu"))
-    val nUsers = capped.select("user_id").distinct().count()
+    // user count as a 1-row broadcast frame, not a driver action: the
+    // count() cost one extra job per run for a value the plan can
+    // carry itself (r21; same integer arithmetic, identical output)
+    val nUsers = capped.agg(
+      countDistinct("user_id").as("_n_users"))
     co.join(broadcast(itemUsers
         .select(col("item").as("item_a"), col("nu").as("n_a"))), "item_a")
       .join(broadcast(itemUsers
         .select(col("item").as("item_b"), col("nu").as("n_b"))), "item_b")
+      .crossJoin(broadcast(nUsers))
       .withColumn("lift",
-        round((col("n_co") * nUsers).cast(DoubleType)
+        round((col("n_co") * col("_n_users")).cast(DoubleType)
           / (col("n_a") * col("n_b")).cast(DoubleType), 6))
       .select("item_a", "item_b", "n_co", "n_a", "n_b", "lift")
       .orderBy("item_a", "item_b")

@@ -787,19 +787,25 @@ object TextSim {
       .agg(count(lit(1)).as("nab"))
       .persist()
     try {
-      val n2 = bi.agg(coalesce(sum("nab"), lit(0L))).head.getLong(0)
+      // corpus totals as 1-row broadcast frames, not driver actions:
+      // the two head() calls cost one sequential job each per run for
+      // values the plan can carry itself (r21; identical IEEE ops —
+      // the division sequence is unchanged, only the literal became a
+      // column)
+      val n2f = bi.agg(coalesce(sum("nab"), lit(0L)).as("_n2"))
       val wcounts = docs
         .select(explode(words(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("nw"))
         .persist()
       try {
-        val n1 = wcounts.agg(coalesce(sum("nw"), lit(0L))).head.getLong(0)
+        val n1f = wcounts.agg(coalesce(sum("nw"), lit(0L)).as("_n1"))
         // broadcast the FREQUENT-BIGRAM side (≤800 rows by the
         // nab·800 > N2 filter), never wcounts: wcounts is the full
         // unigram vocabulary census — at web-corpus scale that is
         // 10^8–10^9 distinct tokens (Heaps' law), and forcing it into
         // a broadcast OOMs the driver precisely when the table is big
-        val freq = bi.filter(col("nab") * 800 > n2)
+        val freq = bi.crossJoin(broadcast(n2f))
+          .filter(col("nab") * 800 > col("_n2"))
           .withColumn("w1", split(col("bigram"), " ").getItem(0))
           .withColumn("w2", split(col("bigram"), " ").getItem(1))
         val withNa = wcounts.select(col("w").as("w1"), col("nw").as("na"))
@@ -807,10 +813,11 @@ object TextSim {
         broadcast(withNa)
           .join(wcounts.select(col("w").as("w2"), col("nw").as("nb")),
             Seq("w2"))
+          .crossJoin(broadcast(n1f))
           .select(col("bigram"), col("nab").as("n"),
-            round(log((col("nab").cast(DoubleType) / lit(n2.toDouble)) /
-              ((col("na").cast(DoubleType) / lit(n1.toDouble)) *
-                (col("nb").cast(DoubleType) / lit(n1.toDouble)))), 6)
+            round(log((col("nab").cast(DoubleType) / col("_n2").cast(DoubleType)) /
+              ((col("na").cast(DoubleType) / col("_n1").cast(DoubleType)) *
+                (col("nb").cast(DoubleType) / col("_n1").cast(DoubleType)))), 6)
               .as("pmi"))
           .orderBy("bigram")
           .localCheckpoint(true)
