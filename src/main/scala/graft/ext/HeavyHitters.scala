@@ -121,39 +121,62 @@ object HeavyHitters {
     val col0 = col(itemCol)
     val strings = items.select(col0.cast("string").as("item"))
       .filter(col("item").isNotNull)
-    // ONE pass yields BOTH the candidates and the threshold's n: each
-    // partition emits its summary plus a sentinel row (null item)
-    // carrying its item count — a separate count() action would
-    // re-evaluate the whole upstream pipeline (explodes, regexes) a
-    // third time. The summaries STAY distributed: at cluster partition
+    // ONE pass yields the candidates WITH their summary counts, the
+    // threshold's n, and the decrement evidence: each partition emits
+    // its summary plus a sentinel row (null item) carrying (decrement
+    // events, item count) — a separate count() action would
+    // re-evaluate the whole upstream pipeline (explodes, regexes)
+    // again. The summaries STAY distributed: at cluster partition
     // counts (10k+ partitions × capacity) the union of candidates is
     // tens of millions of rows — executor data, never driver state.
     // localCheckpoint materializes the bounded summary rows (≤
-    // capacity + 1 per partition) exactly once so the two derived
-    // subplans (candidates, total) don't re-run the upstream pipeline.
+    // capacity + 1 per partition) exactly once so the derived
+    // subplans don't re-run the upstream pipeline.
     val summaries = strings.as[String].mapPartitions { it =>
       var n = 0L
       val counted = it.map { x => n += 1; x }
-      val (summary, _) = misraGriesWithStats(counted, capacity)
-      (summary.map { case (i, _) => (i, 0L) } :+
-        ((null: String, n))).iterator
-    }.toDF("item", "n").localCheckpoint(true)
+      val (summary, dec) = misraGriesWithStats(counted, capacity)
+      (summary.map { case (i, c) => (i, c, 0L) } :+
+        ((null: String, dec, n))).iterator
+    }.toDF("item", "c", "n").localCheckpoint(true)
     // sentinel rows → corpus size, as a 1-row DataFrame joined in
     // below (never a driver-side literal)
     val totalDf = summaries.filter(col("item").isNull)
       .agg(coalesce(sum("n"), lit(0L)).as("hh_total"))
-    // executor-side dedup of the candidate union; the deduped set is
-    // ≤ capacity × partitions and skew-free (already distinct), so the
-    // broadcast hint is safe at any corpus size
-    val cands = summaries.filter(col("item").isNotNull)
-      .select("item").distinct()
-    strings.join(broadcast(cands), Seq("item"), "left_semi")
-      .groupBy("item")
-      .agg(count(lit(1)).as("n"))
-      .join(broadcast(totalDf))
-      .filter(col("n") * den > col("hh_total") * num)
-      .drop("hh_total")
-      .orderBy(desc("n"), asc("item"))
+    // ADAPTIVE EXACT FAST PATH (r21, the KMV/HLL sparse-exact
+    // discipline as a runtime check): a Misra–Gries state that never
+    // ran a decrement-all step is an exact census of its partition —
+    // every item seen is retained with its true count. When NO
+    // partition decremented (vocabulary fit the capacity everywhere),
+    // summing the summary counts IS the exact global census and the
+    // whole second corpus pass (re-tokenize + semi-join + count) is
+    // provably redundant. The check is one tiny aggregate over the
+    // checkpointed summary rows (metadata-bounded, the overlapMatrix
+    // requireExact precedent); any decrement anywhere falls back to
+    // the two-pass verify, so the output is EXACT in both regimes.
+    val decrements = summaries.filter(col("item").isNull)
+      .agg(coalesce(sum("c"), lit(0L))).head.getLong(0)
+    if (decrements == 0L)
+      summaries.filter(col("item").isNotNull)
+        .groupBy("item").agg(sum("c").as("n"))
+        .join(broadcast(totalDf))
+        .filter(col("n") * den > col("hh_total") * num)
+        .drop("hh_total")
+        .orderBy(desc("n"), asc("item"))
+    else {
+      // executor-side dedup of the candidate union; the deduped set is
+      // ≤ capacity × partitions and skew-free (already distinct), so
+      // the broadcast hint is safe at any corpus size
+      val cands = summaries.filter(col("item").isNotNull)
+        .select("item").distinct()
+      strings.join(broadcast(cands), Seq("item"), "left_semi")
+        .groupBy("item")
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(totalDf))
+        .filter(col("n") * den > col("hh_total") * num)
+        .drop("hh_total")
+        .orderBy(desc("n"), asc("item"))
+    }
   }
 
   /** PER-GROUP exact heavy hitters: items of `itemCol` whose frequency
@@ -190,24 +213,41 @@ object HeavyHitters {
       .filter(col("grp").isNotNull && col("item").isNotNull)
     // same distributed shape as the ungrouped pass: bounded summary
     // rows stay a DataFrame (localCheckpoint = evaluated once), a
-    // per-(partition, group) sentinel row carries the group's item
-    // count, and the driver never materializes candidates or totals
+    // per-(partition, group) sentinel row carries (decrement events,
+    // the group's item count), and the driver never materializes
+    // candidates or totals
     val summaries = strings.as[(String, String)].mapPartitions { it =>
       misraGriesByGroup(it, capacity).flatMap { case (g, st) =>
-        st.summary.map { case (i, _) => (g, i, 0L) } :+
-          ((g, null: String, st.n))
+        st.summary.map { case (i, c) => (g, i, c, 0L) } :+
+          ((g, null: String, st.decrements, st.n))
       }
-    }.toDF("grp", "item", "n").localCheckpoint(true)
+    }.toDF("grp", "item", "c", "n").localCheckpoint(true)
     val totals = summaries.filter(col("item").isNull)
       .groupBy("grp").agg(sum("n").as("hh_total"))
-    val cands = summaries.filter(col("item").isNotNull)
-      .select("grp", "item").distinct()
-    strings.join(broadcast(cands), Seq("grp", "item"), "left_semi")
-      .groupBy("grp", "item")
-      .agg(count(lit(1)).as("n"))
-      .join(broadcast(totals), Seq("grp"))
-      .filter(col("n") * den > col("hh_total") * num)
-      .select(col("grp").as(groupCol), col("item"), col("n"))
-      .orderBy(asc(groupCol), desc("n"), asc("item"))
+    // adaptive exact fast path, group-wise (see [[frequentItems]]): a
+    // per-(partition, group) state with zero decrements is an exact
+    // census of that group's slice; when NO state anywhere
+    // decremented, summed summary counts are the exact per-group
+    // censuses and the second corpus pass is skipped
+    val decrements = summaries.filter(col("item").isNull)
+      .agg(coalesce(sum("c"), lit(0L))).head.getLong(0)
+    if (decrements == 0L)
+      summaries.filter(col("item").isNotNull)
+        .groupBy("grp", "item").agg(sum("c").as("n"))
+        .join(broadcast(totals), Seq("grp"))
+        .filter(col("n") * den > col("hh_total") * num)
+        .select(col("grp").as(groupCol), col("item"), col("n"))
+        .orderBy(asc(groupCol), desc("n"), asc("item"))
+    else {
+      val cands = summaries.filter(col("item").isNotNull)
+        .select("grp", "item").distinct()
+      strings.join(broadcast(cands), Seq("grp", "item"), "left_semi")
+        .groupBy("grp", "item")
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(totals), Seq("grp"))
+        .filter(col("n") * den > col("hh_total") * num)
+        .select(col("grp").as(groupCol), col("item"), col("n"))
+        .orderBy(asc(groupCol), desc("n"), asc("item"))
+    }
   }
 }

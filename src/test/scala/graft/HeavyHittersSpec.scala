@@ -42,6 +42,25 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got === Map("hot" -> 500L))
   }
 
+  test("exact-summary fast path (no decrements) equals the two-pass verify") {
+    // capacity 256 > vocabulary 102 → no state ever decrements and the
+    // second corpus pass is skipped; capacity 16 forces eviction and
+    // the verify fallback. Both must produce the identical exact rows.
+    val fast = HeavyHitters.frequentItems(items, "item", 1L, 10L,
+      capacity = 256).as[(String, Long)].collect().toSeq
+    val verified = HeavyHitters.frequentItems(items, "item", 1L, 10L,
+      capacity = 16).as[(String, Long)].collect().toSeq
+    assert(fast === verified)
+    assert(fast.toMap === naive(1L, 10L))
+    // grouped twin: same parity across both regimes
+    val gFast = HeavyHitters.frequentItemsByGroup(grouped, "grp", "item",
+      1L, 10L, capacity = 256).as[(String, String, Long)].collect().toSeq
+    val gVerified = HeavyHitters.frequentItemsByGroup(grouped, "grp",
+      "item", 1L, 10L, capacity = 16)
+      .as[(String, String, Long)].collect().toSeq
+    assert(gFast === gVerified)
+  }
+
   test("capacity below den/num is refused, not silently lossy") {
     intercept[IllegalArgumentException] {
       HeavyHitters.frequentItems(items, "item", 1L, 100L, capacity = 50)
