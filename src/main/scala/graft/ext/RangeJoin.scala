@@ -58,12 +58,16 @@ object RangeJoin {
     * start ≤ end. */
   def overlapPairs(df: DataFrame, keyCol: String, startCol: String,
       endCol: String, idCols: Seq[String],
-      perKeyBound: Option[Int] = None): DataFrame = {
+      perKeyBound: Option[Int] = None,
+      capPerKey: Option[Int] = None): DataFrame = {
     require(idCols.nonEmpty, "overlapPairs needs id columns for pair order")
+    require(capPerKey.isEmpty || perKeyBound.isDefined,
+      "capPerKey rides the bounded-occupancy path: declare perKeyBound")
     val cols = keyCol +: startCol +: endCol +: idCols
     val base = df.select(cols.map(col): _*)
     if (perKeyBound.isDefined)
-      return overlapPairsBounded(base, keyCol, startCol, endCol, idCols)
+      return overlapPairsBounded(base, keyCol, startCol, endCol, idCols,
+        capPerKey)
     def side(p: String): DataFrame =
       cols.foldLeft(base)((acc, c) => acc.withColumnRenamed(c, s"$p$c"))
     val a = side("a_")
@@ -105,7 +109,8 @@ object RangeJoin {
     * the bucket path (property-tested); the exact predicate is the
     * same a-starts-first single inequality. */
   private def overlapPairsBounded(base: DataFrame, keyCol: String,
-      startCol: String, endCol: String, idCols: Seq[String]): DataFrame = {
+      startCol: String, endCol: String, idCols: Seq[String],
+      capPerKey: Option[Int] = None): DataFrame = {
     val payload = startCol +: endCol +: idCols
     // struct field order (start, ids..., end): array_sort's default
     // lexicographic struct comparison then IS the pair orientation —
@@ -116,9 +121,19 @@ object RangeJoin {
     // (strict (start, ids) inequality) only rejects fully-identical
     // (start, ids) twins, exactly as the bucket path does.
     val sortFields = (startCol +: idCols :+ endCol)
-    val grouped = base.groupBy(col(keyCol))
-      .agg(array_sort(collect_list(
-        struct(sortFields.map(col): _*))).as("_xs"))
+    // capPerKey: the caller's deterministic first-N-per-key cut (the
+    // row_number(ORDER BY start, ids) <= N discipline) FUSED into this
+    // aggregation — the sorted array's first N elements ARE that cut
+    // (the (start, ids) prefix of the sort key is the cap's exact
+    // ordering, and callers cap only on per-key-unique id tuples, the
+    // same condition that makes the window cut deterministic). Fusing
+    // removes the caller's separate Exchange + full Sort +
+    // WindowGroupLimit pass over the input; per-key aggregation state
+    // stays occupancy-sized, which is this path's declared contract
+    // (hot-key inputs should still pre-cap upstream).
+    val sorted = array_sort(collect_list(struct(sortFields.map(col): _*)))
+    val xs = capPerKey.map(c => slice(sorted, 1, c)).getOrElse(sorted)
+    val grouped = base.groupBy(col(keyCol)).agg(xs.as("_xs"))
     val orderKey = (v: String) =>
       s"struct(${(startCol +: idCols).map(v + "." + _).mkString(",")})"
     val pairsArr = expr(

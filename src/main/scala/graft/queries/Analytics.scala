@@ -461,15 +461,21 @@ object Analytics {
         Window.partitionBy("user_id").orderBy("item")))
       .filter(col("_rk") <= 64).drop("_rk")
       .localCheckpoint(true)
+    // count(1), not countDistinct(user_id): capped is DISTINCT on
+    // (user_id, item) by construction, so a given user contributes at
+    // most one row per (item_a, item_b) pair and per item — the counts
+    // are provably equal, and dropping the distinct-aggregate removes
+    // its extra keyed-on-(pair, user) partial stage from both censuses
+    // (r21 continuation; oracle-identical)
     val co = capped.select(col("user_id"), col("item").as("item_a"))
       .join(capped.select(col("user_id"), col("item").as("item_b")),
         Seq("user_id"))
       .filter(col("item_a") < col("item_b"))
       .groupBy("item_a", "item_b")
-      .agg(countDistinct("user_id").as("n_co"))
+      .agg(count(lit(1)).as("n_co"))
       .filter(col("n_co") >= 2)
     val itemUsers = capped.groupBy("item")
-      .agg(countDistinct("user_id").as("nu"))
+      .agg(count(lit(1)).as("nu"))
     // user count as a 1-row broadcast frame, not a driver action: the
     // count() cost one extra job per run for a value the plan can
     // carry itself (r21; same integer arithmetic, identical output)

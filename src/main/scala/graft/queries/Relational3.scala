@@ -246,17 +246,16 @@ object Relational3 {
         col("l_shipdate"),
         date_add(col("l_shipdate"),
           (col("l_quantity").cast(IntegerType) % 14) + 1).as("l_transit_end"))
-    val capped = li
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy("l_partkey")
-          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")))
-      .filter(col("_rk") <= 32).drop("_rk")
-    // per-key rows are capped at 32 just above, so the operator's
-    // bounded-occupancy path applies: one scan + one shuffle instead
-    // of the month-bucket self-join's two window subtrees (r21)
-    graft.ext.RangeJoin.overlapPairs(capped, "l_partkey",
+    // the deterministic first-32-per-part cut (ORDER BY shipdate,
+    // orderkey, linenumber — a per-key-unique tuple) is FUSED into the
+    // operator's bounded-occupancy aggregation (capPerKey): the
+    // separate Exchange + full Sort + WindowGroupLimit pass this
+    // query used to pay for the cap is gone — one scan, one shuffle,
+    // identical rows (the sorted array's first 32 ARE the window cut)
+    graft.ext.RangeJoin.overlapPairs(li, "l_partkey",
         "l_shipdate", "l_transit_end",
-        Seq("l_orderkey", "l_linenumber"), perKeyBound = Some(32))
+        Seq("l_orderkey", "l_linenumber"), perKeyBound = Some(32),
+        capPerKey = Some(32))
       .groupBy("l_partkey")
       .agg(count(lit(1)).as("n_pairs"),
         max("overlap_days").as("max_overlap_days"))

@@ -308,6 +308,36 @@ class ExtSpec extends SparkSpec {
     assert(canon(bucket).nonEmpty)
   }
 
+  test("overlapPairs: fused capPerKey equals the explicit window cut") {
+    val rnd = new scala.util.Random(7)
+    def d(off: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2026, 1, 1).plusDays(off.toLong))
+    // 3 keys x 40 rows each, same-start ties included: the cap (5)
+    // genuinely truncates and the (start, ids) tiebreak decides who
+    // survives — per-key-unique (id1, id2) keeps the cut deterministic
+    val rows = (1 to 120).map { i =>
+      val s = rnd.nextInt(30)
+      (rnd.nextInt(3).toLong, d(s), d(s + rnd.nextInt(40)), i.toLong, i % 4)
+    }
+    val df = rows.toDF("k", "st", "en", "id1", "id2")
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.select("k", "a_id1", "a_id2", "b_id1", "b_id2", "overlap_days")
+        .as[(Long, Long, Int, Long, Int, Long)].collect().toSet
+    val capped = df
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k")
+          .orderBy("st", "id1", "id2")))
+      .filter(col("_rk") <= 5).drop("_rk")
+    val viaWindow = graft.ext.RangeJoin.overlapPairs(
+      capped, "k", "st", "en", Seq("id1", "id2"), perKeyBound = Some(5))
+    val fused = graft.ext.RangeJoin.overlapPairs(
+      df, "k", "st", "en", Seq("id1", "id2"), perKeyBound = Some(5),
+      capPerKey = Some(5))
+    assert(fused.columns.toSeq === viaWindow.columns.toSeq)
+    assert(canon(fused) === canon(viaWindow))
+    assert(canon(fused).nonEmpty)
+  }
+
   test("range join: exact-tolerance boundary is inclusive across bucket edges") {
     def us(sec: Long) = new java.sql.Timestamp(sec * 1000)
     val tol = 60L * 1000 * 1000 // 60 s
