@@ -124,14 +124,8 @@ object Relational3 {
     // domain-bounded (price cents), not row-bounded.
     val wts = o.groupBy("st", "v").agg(count(lit(1)).as("w"))
       .localCheckpoint()
-    def wmedian(wdf: DataFrame, out: String): DataFrame = {
-      val cum = wdf
-        .withColumn("cum",
-          sum("w").over(Window.partitionBy("st").orderBy("v")))
-        .withColumn("n", sum("w").over(Window.partitionBy("st")))
-      cum.filter(col("cum") >= expr("(n + 1) div 2"))
-        .groupBy("st").agg(min("v").as(out))
-    }
+    def wmedian(wdf: DataFrame, out: String): DataFrame =
+      weightedMedianByGroup(wdf, out)
     val med = wmedian(wts, "med")
     // deviation weights fold values symmetric around the median onto
     // one |v - med| row — still value-weight rows, never raw rows
@@ -153,6 +147,42 @@ object Relational3 {
           lit(0L)).as("n_outliers"))
       .select("o_orderstatus", "n", "median", "mad", "n_outliers")
       .orderBy("o_orderstatus")
+  }
+
+  /** TWO-PHASE exact weighted median over (st, v, w) rows — the house
+    * rank rule verbatim (smallest v whose cumulative weight reaches
+    * (n+1) div 2), but the full-domain sort under a groups-wide window
+    * is replaced by: (1) a parallel hash census of 1024-wide value
+    * buckets (v / 1024.0 only shifts the double's exponent — exact, so
+    * the bucket order is the value order), (2) the running rule over
+    * the tiny bucket census picks each group's MEDIAN BUCKET, (3) the
+    * rank rule runs over that single bucket's rows only, offset by the
+    * weight before it. The only sorted windows left are
+    * bucket-census-sized and one-bucket-sized (r21; identical output
+    * by construction — cum(v) = before + in-bucket cum; property test
+    * pins it against the one-pass window form). */
+  private[graft] def weightedMedianByGroup(wdf: DataFrame,
+      out: String): DataFrame = {
+    val bux = wdf.groupBy(col("st"),
+        floor(col("v") / lit(1024.0)).as("b"))
+      .agg(sum("w").as("bw"))
+    val mb = bux
+      .withColumn("bcum",
+        sum("bw").over(Window.partitionBy("st").orderBy("b")))
+      .withColumn("n", sum("bw").over(Window.partitionBy("st")))
+      .filter(col("bcum") >= expr("(n + 1) div 2"))
+      .groupBy("st")
+      .agg(min(struct(col("b"), col("bcum"), col("bw"), col("n")))
+        .as("mb"))
+      .select(col("st"), col("mb.b").as("b"),
+        (col("mb.bcum") - col("mb.bw")).as("before"),
+        expr("(mb.n + 1) div 2").as("k"))
+    wdf.join(broadcast(mb), Seq("st"))
+      .filter(floor(col("v") / lit(1024.0)) === col("b"))
+      .withColumn("cum", col("before") +
+        sum("w").over(Window.partitionBy("st").orderBy("v")))
+      .filter(col("cum") >= col("k"))
+      .groupBy("st").agg(min("v").as(out))
   }
 
   /** Referential-integrity audit — the cross-table data-quality ask a
