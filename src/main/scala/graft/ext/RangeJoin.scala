@@ -2,6 +2,8 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 
 /** Interval / range join — the second operator family Spark lacks a
   * native strategy for (guide §custom-operator). A naive
@@ -91,6 +93,77 @@ object RangeJoin {
       .drop("_am", "_bm", s"b_$keyCol")
       .withColumnRenamed(s"a_$keyCol", keyCol)
   }
+
+  /** Interval row for [[overlapStats]]: start/end as epoch DAYS
+    * (`unix_date`), ids as the (long, int) tuple the capped callers
+    * use. Field order (s, id1, id2, en) matches the bounded path's
+    * array_sort struct order, so the cap cut is identical. */
+  final case class Iv(s: Int, id1: Long, id2: Int, en: Int)
+  final case class IvBuf(xs: Seq[Iv])
+  final case class OvStats(n_pairs: Long, max_overlap_days: Long)
+
+  /** Per-key overlap-pair STATS as ONE bounded typed Aggregator (the
+    * `TopK` bounded-buffer discipline): when the caller only wants
+    * per-key aggregates of the oriented overlap pairs — not the pairs
+    * themselves — materializing each pair row (array explode + a
+    * second aggregation, with the pair predicate evaluated by
+    * interpreted higher-order functions) is pure overhead. The
+    * aggregator keeps each key's first-`cap` intervals by (start,
+    * ids) — the same deterministic cut `capPerKey` fuses — in a
+    * bounded sorted buffer merged map-side (≤ cap entries per key
+    * cross the shuffle, vs every row under `collect_list`), and
+    * `finish` runs the pair scan in compiled JVM code: the buffer is
+    * start-sorted, so each row's candidate window ends at the first
+    * later start past its end (the month-bucket path's one
+    * inequality). Output rows are identical to aggregating
+    * [[overlapPairs]] with the same bound+cap (property-tested):
+    * n_pairs = COUNT(*), max_overlap_days = MAX(inclusive overlap
+    * days), keys with zero pairs emit n_pairs = 0 for the caller to
+    * filter (explode drops them). */
+  final class OverlapStatsAgg(cap: Int)
+      extends Aggregator[Iv, IvBuf, OvStats] {
+    private def key(e: Iv): (Int, Long, Int, Int) = (e.s, e.id1, e.id2, e.en)
+    private def trim(es: Seq[Iv]): Seq[Iv] =
+      if (es.size <= cap) es else es.sortBy(key).take(cap)
+    override def zero: IvBuf = IvBuf(Seq.empty)
+    override def reduce(b: IvBuf, e: Iv): IvBuf = IvBuf(trim(b.xs :+ e))
+    override def merge(a: IvBuf, b: IvBuf): IvBuf = IvBuf(trim(a.xs ++ b.xs))
+    override def finish(b: IvBuf): OvStats = {
+      val xs = b.xs.sortBy(key).toArray // pair scan needs (s, ids)-sorted
+      var n = 0L
+      var mx = 0L
+      var i = 0
+      while (i < xs.length) {
+        val x = xs(i)
+        var j = i + 1
+        var go = true
+        while (go && j < xs.length) {
+          val y = xs(j)
+          if (y.s > x.en) go = false // starts ascend: no later j overlaps
+          else {
+            // strict (start, ids) orientation: identical twins are
+            // rejected in BOTH orientations, exactly like aFirst
+            if (!(x.s == y.s && x.id1 == y.id1 && x.id2 == y.id2)) {
+              n += 1
+              val ov = (math.min(x.en, y.en) - y.s + 1).toLong
+              if (ov > mx) mx = ov
+            }
+            j += 1
+          }
+        }
+        i += 1
+      }
+      OvStats(n, mx)
+    }
+    override def bufferEncoder: Encoder[IvBuf] = Encoders.product[IvBuf]
+    override def outputEncoder: Encoder[OvStats] = Encoders.product[OvStats]
+  }
+
+  /** Column form: `overlap_stats(cap)(unix_date(start), id1, id2,
+    * unix_date(end))` → struct<n_pairs, max_overlap_days>. */
+  def overlap_stats(cap: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new OverlapStatsAgg(cap), Encoders.product[Iv])
 
   /** BOUNDED-OCCUPANCY fast path (`perKeyBound` declared by the
     * caller): when every key holds at most a few dozen intervals, the

@@ -277,18 +277,22 @@ object Relational3 {
         date_add(col("l_shipdate"),
           (col("l_quantity").cast(IntegerType) % 14) + 1).as("l_transit_end"))
     // the deterministic first-32-per-part cut (ORDER BY shipdate,
-    // orderkey, linenumber — a per-key-unique tuple) is FUSED into the
-    // operator's bounded-occupancy aggregation (capPerKey): the
-    // separate Exchange + full Sort + WindowGroupLimit pass this
-    // query used to pay for the cap is gone — one scan, one shuffle,
-    // identical rows (the sorted array's first 32 ARE the window cut)
-    graft.ext.RangeJoin.overlapPairs(li, "l_partkey",
-        "l_shipdate", "l_transit_end",
-        Seq("l_orderkey", "l_linenumber"), perKeyBound = Some(32),
-        capPerKey = Some(32))
-      .groupBy("l_partkey")
-      .agg(count(lit(1)).as("n_pairs"),
-        max("overlap_days").as("max_overlap_days"))
+    // orderkey, linenumber — a per-key-unique tuple) and the per-part
+    // pair census are FUSED into ONE bounded typed Aggregator
+    // (RangeJoin.overlap_stats, the TopK buffer discipline): one scan,
+    // one shuffle of ≤32-entry buffers, the pair scan compiled JVM
+    // code instead of interpreted higher-order functions + explode +
+    // a second aggregation. Rows identical to aggregating the
+    // capPerKey bounded path (property-tested; keys with no pair
+    // emit n_pairs = 0 here and are filtered, as explode drops them)
+    val ovs = graft.ext.RangeJoin.overlap_stats(32)
+    li.groupBy("l_partkey")
+      .agg(ovs(unix_date(to_date(col("l_shipdate"))), col("l_orderkey"),
+        col("l_linenumber").cast(IntegerType),
+        unix_date(to_date(col("l_transit_end")))).as("_st"))
+      .filter(col("_st.n_pairs") > 0)
+      .select(col("l_partkey"), col("_st.n_pairs").as("n_pairs"),
+        col("_st.max_overlap_days").as("max_overlap_days"))
       .orderBy("l_partkey")
   }
 

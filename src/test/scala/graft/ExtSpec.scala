@@ -338,6 +338,35 @@ class ExtSpec extends SparkSpec {
     assert(canon(fused).nonEmpty)
   }
 
+  test("overlap_stats aggregator equals aggregating the capped pair path") {
+    val rnd = new scala.util.Random(11)
+    def d(off: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2026, 1, 1).plusDays(off.toLong))
+    // 4 keys x 35 rows, same-start ties, spans from 0 days (point
+    // intervals) to multi-month; cap (6) genuinely truncates
+    val rows = (1 to 140).map { i =>
+      val s = rnd.nextInt(90)
+      (rnd.nextInt(4).toLong, d(s), d(s + rnd.nextInt(50)), i.toLong, i % 3)
+    }
+    val df = rows.toDF("k", "st", "en", "id1", "id2")
+    val viaPairs = graft.ext.RangeJoin.overlapPairs(
+        df, "k", "st", "en", Seq("id1", "id2"), perKeyBound = Some(6),
+        capPerKey = Some(6))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_pairs"),
+        max("overlap_days").as("max_overlap_days"))
+      .as[(Long, Long, Long)].collect().toSet
+    val ovs = graft.ext.RangeJoin.overlap_stats(6)
+    val viaAgg = df.groupBy("k")
+      .agg(ovs(unix_date(col("st")), col("id1"),
+        col("id2").cast("int"), unix_date(col("en"))).as("_st"))
+      .filter(col("_st.n_pairs") > 0)
+      .select(col("k"), col("_st.n_pairs"), col("_st.max_overlap_days"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaAgg === viaPairs)
+    assert(viaAgg.nonEmpty)
+  }
+
   test("range join: exact-tolerance boundary is inclusive across bucket edges") {
     def us(sec: Long) = new java.sql.Timestamp(sec * 1000)
     val tol = 60L * 1000 * 1000 // 60 s

@@ -72,8 +72,11 @@ class PlanShapeSpec extends SparkSpec {
 
   test("heavy hitters: the verify pass semi-joins via a broadcast of candidates") {
     import org.apache.spark.sql.functions._
-    val items = spark.read.parquet(s"$dir/documents.parquet")
-      .select(explode(graft.ext.Dedup.words(col("text"))).as("w"))
+    // all-distinct items overflow every partition's capacity, so the
+    // adaptive exact fast path cannot engage and the two-pass verify
+    // plan is the one under test
+    val items = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(concat(col("l_orderkey"), lit("-"), col("l_linenumber")).as("w"))
     val p = graft.ext.HeavyHitters.frequentItems(items, "w", 1L, 400L)
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
@@ -83,6 +86,24 @@ class PlanShapeSpec extends SparkSpec {
     // the driver, so the plan began at an in-memory LocalTableScan of
     // driver rows); the corpus size arrives as a 1-row broadcast join,
     // not a literal baked in by a driver-side action
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("hh_total"), p)
+    assert(!p.toLowerCase.contains("localtablescan"), p)
+  }
+
+  test("heavy hitters: exact-summary fast path runs no second corpus pass") {
+    import org.apache.spark.sql.functions._
+    // the fixture vocabulary fits capacity 400 in every partition → no
+    // decrement anywhere → the summaries ARE the census: the plan must
+    // aggregate the checkpointed summary rows only — no semi join, no
+    // re-read of the corpus parquet — while the threshold's total
+    // still arrives as a 1-row broadcast join, never a driver literal
+    val items = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(graft.ext.Dedup.words(col("text"))).as("w"))
+    val p = graft.ext.HeavyHitters.frequentItems(items, "w", 1L, 400L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("LeftSemi"), p)
+    assert(!p.contains("Scan parquet"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("hh_total"), p)
     assert(!p.toLowerCase.contains("localtablescan"), p)
