@@ -88,12 +88,40 @@ object KmvSketch {
   final case class KmBuf(hs: Seq[Long])
   final class KMinAggregator(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[Long, KmBuf, KmBuf] {
+    // invariant: every buffer is flip-sorted, duplicate-free, ≤ k.
+    // reduce used to re-run distinct + sortBy (boxing every Long) on
+    // the whole ≤ k buffer PER ROW — O(k² log k) per group to fill a
+    // 4096-wide sketch; a binary-search insert into the already-sorted
+    // buffer is one primitive array copy per accepted hash, and the
+    // O(1) full-buffer reject is unchanged (r21).
+    private def insert(hs: Seq[Long], h: Long): Seq[Long] = {
+      val arr = hs.toArray
+      val fh = flip(h)
+      var lo = 0
+      var hi = arr.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (flip(arr(mid)) < fh) lo = mid + 1 else hi = mid
+      }
+      if (lo < arr.length && arr(lo) == h) hs // duplicate
+      else {
+        val n = math.min(arr.length + 1, k)
+        val out = new Array[Long](n)
+        java.lang.System.arraycopy(arr, 0, out, 0, lo)
+        if (lo < n) {
+          out(lo) = h
+          java.lang.System.arraycopy(arr, lo, out, lo + 1,
+            math.min(arr.length - lo, n - lo - 1))
+        }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+      }
+    }
     private def trim(hs: Seq[Long]): Seq[Long] =
       hs.distinct.sortBy(flip).take(k)
     override def zero: KmBuf = KmBuf(Seq.empty)
     override def reduce(b: KmBuf, h: Long): KmBuf =
       if (b.hs.length >= k && flip(h) >= flip(b.hs.last)) b
-      else KmBuf(trim(b.hs :+ h))
+      else KmBuf(insert(b.hs, h))
     override def merge(a: KmBuf, b: KmBuf): KmBuf = KmBuf(trim(a.hs ++ b.hs))
     override def finish(b: KmBuf): KmBuf = b
     override def bufferEncoder: org.apache.spark.sql.Encoder[KmBuf] =

@@ -160,61 +160,62 @@ object ScanJob {
     val docTable = wh.domainTable("source_documents")
     docTable.insertIfAbsent(docs.drop("_published", "_tier", "_stage", "_profile"))
 
-    // Mergeable distinct sketches ride the ingest: one tiny HLL row
-    // per run for the doc batch's url/domain, so "distinct
-    // urls/domains so far?" folds the sketch store (cost ∝ runs)
-    // instead of rescanning a 100 TB corpus per ask.
-    graft.ext.DistinctSketch.addBatch(docs.select("url", "domain"),
-      Seq("url", "domain"), s"${wh.root}/sketches/source_documents",
-      batchId = params.runId.hashCode.toLong)
-
-    // The content-length histogram rides the same ingest (the
-    // quantile/CDF twin of the HLL store): lengths bucketize to
-    // 200-char bins so the histogram domain stays bounded, and corpus
-    // length-percentile dashboards fold ∝ runs × bins rows instead of
-    // rescanning the documents table per ask.
-    // Keyed by the run id STRING: these stores overwrite their
-    // batch_id directory for replay idempotence, so a 32-bit
-    // hash-of-runId collision between two distinct runs would
-    // silently delete the earlier run's summary.
-    graft.ext.HistogramSketch.addBatchKeyed(
-      docs.select((floor(length(col("content")) / 200) * 200)
-        .as("len_bucket")),
-      Seq("len_bucket"), s"${wh.root}/sketches/source_documents",
-      batchKey = params.runId)
-
-    // The term-frequency summary completes the ingest sketch family
-    // (distincts + quantiles + frequent items): one bounded
-    // Misra-Gries summary per run over the batch's content words, so
-    // "top terms so far" folds ∝ runs × capacity rows — and stays
-    // oracle-exact while vocabularies sit inside the capacity.
-    graft.ext.FreqSketch.addBatchKeyed(
-      docs.select(explode(graft.ext.Dedup.words(col("content")))
-        .as("word")),
-      "word", s"${wh.root}/sketches/source_documents_freq",
-      batchKey = params.runId)
-
-    // The unbinned rank-quantile summary closes the ingest sketch
-    // family: exact content-length quantiles (not 200-char-bin
-    // approximations) while a run's distinct lengths fit the summary
-    // capacity, equi-weight-grid compaction with a recorded rank
-    // budget when they don't — "what is the p95 document length so
-    // far?" folds ∝ runs × capacity rows.
-    graft.ext.QuantileSketch.addBatchKeyed(
-      docs.select(length(col("content")).cast("double").as("len")),
-      "len", s"${wh.root}/sketches/source_documents_quant",
-      batchKey = params.runId)
-
-    // The segment-grouped KMV store completes the grouped family:
-    // per-DOMAIN k-min sketches of the batch's urls, so "which domains
-    // share urls / how big is each domain's url set?" (the pairwise
-    // overlap grid, KmvSketch.overlapMatrix) folds ∝ runs × domains ×
-    // ≤ k store rows — the corpus is never re-read, and the grid's
-    // exactness gate still applies at fold time.
-    graft.ext.KmvSketch.addBatchGroupedKeyed(
-      docs.select(col("domain"), col("url")),
-      "domain", "url", s"${wh.root}/sketches/source_documents_kmvgrp",
-      batchKey = params.runId)
+    // The five mergeable ingest sketches (HLL distincts, binned
+    // histogram, Misra-Gries term frequencies, rank quantiles,
+    // per-domain KMV) each summarize the SAME checkpointed batch frame
+    // into its own store directory — five INDEPENDENT Spark jobs with
+    // no data dependency between them or on anything later in the
+    // scan. Submitted from a small thread pool so one job's straggler
+    // tail back-fills the others' idle cores (guide §2.6: actions are
+    // only sequential because the driver calls them sequentially);
+    // each job's internal plan, partitioning, and output bytes are
+    // unchanged — PipelineSpec still pins store contents. Failures
+    // propagate: the pool is joined here, inside the jobTxn boundary.
+    // Store semantics (one batch dir per run id, replay-idempotent
+    // overwrite; the 32-bit-hash caveat on the HLL batchId) are
+    // documented in each store.
+    val sketchBatches: Seq[(String, () => Unit)] = Seq(
+      "hll" -> (() =>
+        graft.ext.DistinctSketch.addBatch(docs.select("url", "domain"),
+          Seq("url", "domain"), s"${wh.root}/sketches/source_documents",
+          batchId = params.runId.hashCode.toLong)),
+      "histogram" -> (() =>
+        graft.ext.HistogramSketch.addBatchKeyed(
+          docs.select((floor(length(col("content")) / 200) * 200)
+            .as("len_bucket")),
+          Seq("len_bucket"), s"${wh.root}/sketches/source_documents",
+          batchKey = params.runId)),
+      "freq" -> (() =>
+        graft.ext.FreqSketch.addBatchKeyed(
+          docs.select(explode(graft.ext.Dedup.words(col("content")))
+            .as("word")),
+          "word", s"${wh.root}/sketches/source_documents_freq",
+          batchKey = params.runId)),
+      "quantile" -> (() =>
+        graft.ext.QuantileSketch.addBatchKeyed(
+          docs.select(length(col("content")).cast("double").as("len")),
+          "len", s"${wh.root}/sketches/source_documents_quant",
+          batchKey = params.runId)),
+      "kmv" -> (() =>
+        graft.ext.KmvSketch.addBatchGroupedKeyed(
+          docs.select(col("domain"), col("url")),
+          "domain", "url", s"${wh.root}/sketches/source_documents_kmvgrp",
+          batchKey = params.runId)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      sketchBatches.map { case (label, job) =>
+        label -> pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = job()
+        })
+      }.foreach { case (label, f) =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw new RuntimeException(s"ingest sketch batch '$label' failed",
+              e.getCause)
+        }
+      }
+    } finally { pool.shutdown(); () }
 
     // L3 — vectorize (embed title+content, 6000-char cap, single chunk
     // index 0; `vectorize.ts:6-33`).
@@ -223,8 +224,11 @@ object ScanJob {
       OntoFunctions.truncate(
         concat_ws("\n\n", coalesce(col("title"), lit("")),
           coalesce(col("content"), lit(""))), 6000).as("text"))
+    // the embedder preserves (id, text), so the chunk rows project
+    // straight off its output — the previous shape re-joined the text
+    // back on by id, a full shuffle of the 6000-char payload for
+    // columns the embed input already carried (guide §8)
     val vectors = embedder.embed(embedInput, "id", "text")
-      .join(embedInput, "id")
       .select(
         Ids.deterministicUuid(concat(lit("chunk:"), col("id"))).as("id"),
         col("id").as("document_id"),

@@ -34,7 +34,11 @@ case class MergeOutput(
     summary: String)
 
 trait Embedder {
-  /** (id, text) → (id, embedding: Array[Float]) with `dim` components. */
+  /** (id, text) → (id, text, embedding: Array[Float]) with `dim`
+    * components. The input columns are PRESERVED in the output so a
+    * caller that needs the text alongside the vector never re-joins
+    * it back on — re-attaching a heavy payload by key costs a full
+    * shuffle of the text (guide §8's re-attach trap). */
   def embed(docs: DataFrame, idCol: String, textCol: String): DataFrame
   def dim: Int
 }
@@ -165,16 +169,24 @@ object RuleMerger extends Merger {
 final class HashEmbedder(override val dim: Int = 64) extends Embedder {
   override def embed(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val fp = md5(coalesce(col(textCol), lit("")))
-    val raw = docs
+    // per-component expressions are UNROLLED (dim explicit columns)
+    // instead of transform/aggregate higher-order lambdas over a
+    // sequence array: HOFs run interpreted per element — ~3·dim lambda
+    // evaluations per row in the scan hot loop — while the unrolled
+    // form is one whole-stage-codegen projection. Values are
+    // bit-identical: the same pmod(xxhash64(concat(fp, i)), 2000)
+    // / 1000 − 1 per component, the same Σx² → sqrt norm, the same
+    // float cast (cast(i as string) ≡ lit(i.toString)).
+    val raws = (0 until dim).map(i =>
+      (pmod(xxhash64(concat(col("_fp"), lit(i.toString))), lit(2000L))
+        .cast(DoubleType) / lit(1000.0)) - lit(1.0))
+    val norm = sqrt(raws.map(c => c * c).reduce(_ + _))
+    val embedding = array(raws.map(c =>
+      (c / greatest(col("_norm"), lit(1e-12))).cast("float")): _*)
+    docs
       .withColumn("_fp", fp)
-      .withColumn("_raw", expr(
-        s"transform(sequence(0, ${dim - 1}), " +
-          "i -> cast(pmod(xxhash64(concat(_fp, cast(i as string))), 2000) as double) / 1000.0 - 1.0)"))
-      .withColumn("_norm", sqrt(expr(
-        "aggregate(_raw, 0D, (acc, x) -> acc + x * x)")))
-    raw
-      .withColumn("embedding", expr(
-        "transform(_raw, x -> cast(x / greatest(_norm, 1e-12) as float))"))
-      .select(col(idCol), col("embedding"))
+      .withColumn("_norm", norm)
+      .withColumn("embedding", embedding)
+      .select(col(idCol), col(textCol), col("embedding"))
   }
 }
