@@ -2133,20 +2133,39 @@ final class TxTable(
         .parquet(stage.toString)
     }
     val conf = spark.sparkContext.hadoopConfiguration
-    val entries = f.listStatus(stage).toSeq
+    val files = f.listStatus(stage).toSeq
       .filter(_.getPath.getName.startsWith("_kb="))
       .flatMap { d =>
         val b = d.getPath.getName.stripPrefix("_kb=").toInt
         f.listStatus(d.getPath).toSeq
           .filter(_.getPath.getName.endsWith(".parquet"))
-          .map { file =>
-            // zone maps from the parquet FOOTER — metadata-only, no
-            // rescan of just-written data (the Delta stats analog)
-            val stats = scala.util.Try(
-              FileStats.fromFooter(file.getPath.toString, physSchema, conf).toJson)
-              .getOrElse("")
-            FEntry(b, file.getPath.toString, stats)
-          }
+          .map(file => b -> file.getPath.toString)
+      }
+    // zone maps from the parquet FOOTER — metadata-only, no rescan of
+    // just-written data (the Delta stats analog). Footers are read
+    // CONCURRENTLY: this loop runs on the driver after every staged
+    // write, and a serial read was ~20-30 ms × files per commit —
+    // the dominant driver-side cost of a small commit (guide §7.3).
+    // Order is preserved (indexed results), so manifests are
+    // byte-identical to the serial read's.
+    val entries =
+      if (files.size <= 1)
+        files.map { case (b, p) =>
+          FEntry(b, p, scala.util.Try(
+            FileStats.fromFooter(p, physSchema, conf).toJson).getOrElse(""))
+        }
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(files.size, 8))
+        try {
+          files.map { case (b, p) =>
+            b -> pool.submit(new java.util.concurrent.Callable[String] {
+              override def call(): String = scala.util.Try(
+                FileStats.fromFooter(p, physSchema, conf).toJson)
+                .getOrElse("")
+            })
+          }.zip(files).map { case ((b, fut), (_, p)) => FEntry(b, p, fut.get()) }
+        } finally { pool.shutdown(); () }
       }
     (entries, stage)
   }

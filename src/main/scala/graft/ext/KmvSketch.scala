@@ -150,9 +150,13 @@ object KmvSketch {
     val batchId = StoreKeys.sanitize(batchKey)
     val kmin = udaf(new KMinAggregator(k),
       org.apache.spark.sql.Encoders.scalaLong)
+    // no pre-distinct: the aggregator rejects duplicate hashes inside
+    // its bounded buffer (binary-search insert) and merge re-distincts
+    // — the (seg, h) distinct only added a second full exchange of the
+    // batch ahead of the aggregation's own shuffle (guide §2.4, the
+    // overlapMatrix precedent)
     df.select(col(segCol).cast("string").as("seg"),
         xxhash64(col(keyCol)).as("h"))
-      .distinct()
       .groupBy("seg").agg(kmin(col("h")).as("s"))
       .select(col("seg"), explode(col("s.hs")).as("h"), lit(k).as("k"))
       .coalesce(1)
