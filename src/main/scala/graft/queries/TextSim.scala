@@ -783,9 +783,32 @@ object TextSim {
     * broadcasts. */
   def x4_bigram_pmi(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val bi = bigramStream(docs).groupBy("bigram")
-      .agg(count(lit(1)).as("nab"))
+    // ONE corpus pass for BOTH censuses (r21): the unigram and bigram
+    // streams explode from the same tokenized array as a tagged token
+    // stream (t = 0 words, t = 1 bigrams), so the corpus is scanned
+    // and tokenized once and one exchange carries what used to cross
+    // in two. Row-for-row the t-slices are exactly bigramStream(docs)
+    // and the word explode (the size < 2 guard matches bigramStream's
+    // filter — sequence(0, size-2) must never run on a short array,
+    // where it would DESCEND). Counts, and everything downstream,
+    // are unchanged.
+    val tagged = docs.select(words(col("text")).as("ws"))
+      .select(explode(concat(
+        transform(col("ws"),
+          w => struct(lit(0).as("t"), w.as("tok"))),
+        when(size(col("ws")) >= 2, transform(
+          sequence(lit(0), size(col("ws")) - 2),
+          i => struct(lit(1).as("t"),
+            concat_ws(" ", element_at(col("ws"), i + 1),
+              element_at(col("ws"), i + 2)).as("tok"))))
+          .otherwise(expr("array()").cast(
+            "array<struct<t:int,tok:string>>")))).as("e"))
+      .select(col("e.t").as("t"), col("e.tok").as("tok"))
+    val census = tagged.groupBy("t", "tok")
+      .agg(count(lit(1)).as("n"))
       .persist()
+    val bi = census.filter(col("t") === 1)
+      .select(col("tok").as("bigram"), col("n").as("nab"))
     try {
       // corpus totals as 1-row broadcast frames, not driver actions:
       // the two head() calls cost one sequential job each per run for
@@ -793,12 +816,9 @@ object TextSim {
       // the division sequence is unchanged, only the literal became a
       // column)
       val n2f = bi.agg(coalesce(sum("nab"), lit(0L)).as("_n2"))
-      val wcounts = docs
-        .select(explode(words(col("text"))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("nw"))
-        .persist()
-      try {
-        val n1f = wcounts.agg(coalesce(sum("nw"), lit(0L)).as("_n1"))
+      val wcounts = census.filter(col("t") === 0)
+        .select(col("tok").as("w"), col("n").as("nw"))
+      val n1f = wcounts.agg(coalesce(sum("nw"), lit(0L)).as("_n1"))
         // broadcast the FREQUENT-BIGRAM side (≤800 rows by the
         // nab·800 > N2 filter), never wcounts: wcounts is the full
         // unigram vocabulary census — at web-corpus scale that is
@@ -821,8 +841,7 @@ object TextSim {
               .as("pmi"))
           .orderBy("bigram")
           .localCheckpoint(true)
-      } finally { wcounts.unpersist(); () }
-    } finally { bi.unpersist(); () }
+    } finally { census.unpersist(); () }
   }
 
   private[queries] val bigramFrequentOracle: String =
